@@ -1,0 +1,62 @@
+package graft
+
+/** Hash-family mode for the MinHash pipeline.
+  *
+  *  - [[Md5Parity]]: 32-hex-char md5 strings. Fixed-width hex means
+  *    lexicographic min == unsigned 128-bit numeric min (the reference's own
+  *    trick, /root/reference/src/minhash_utils.py:81-87, minus its
+  *    variable-width `hex()` bug surface). DuckDB has an identical `md5()`,
+  *    so signatures / buckets / scores are bit-comparable in the oracle.
+  *  - [[XxFast]]: `xxhash64` longs, one base hash per shingle then one cheap
+  *    long-hash per signature slot. Signed min (any fixed total order is a
+  *    valid MinHash order; parity is not claimed for this mode).
+  */
+sealed trait MinHashMode
+case object Md5Parity extends MinHashMode
+case object XxFast extends MinHashMode
+
+/** Hyperparameters mirrored from the reference config
+  * (/root/reference/src/minhash_config.py:1-66) plus engine-side knobs.
+  *
+  * @param numShingles  k, tokens per shingle (minhash_config.py:2-3)
+  * @param numHash      signature length (minhash_config.py:5-7)
+  * @param numBands     LSH bands; numBands * numRows == numHash
+  *                     (minhash_config.py:9-13)
+  * @param numRows      signature slots per band
+  * @param numBuckets   XxFast bucket modulus (minhash_config.py:14-19)
+  * @param bucketHexLen Md5Parity bucket id = first N hex chars of the band
+  *                     md5 (string bucket space of 16^N; the reference's
+  *                     xxh32 % 500 band hash is results-shape-neutral,
+  *                     SURVEY.md §5.3)
+  * @param useVocabulary reference-parity path: global sorted shingle
+  *                     vocabulary, signatures hash vocab *indices*
+  *                     (minhash_pyspark.py:341-389). Off = "direct" mode:
+  *                     hash shingle strings themselves — no global state,
+  *                     fully narrow per-row (the 100 TB path).
+  */
+final case class MinHashConfig(
+    numShingles: Int = 2,
+    numHash: Int = 100,
+    numBands: Int = 25,
+    numRows: Int = 4,
+    numBuckets: Int = 500,
+    bucketHexLen: Int = 4,
+    mode: MinHashMode = Md5Parity,
+    useVocabulary: Boolean = false) {
+  require(numBands * numRows == numHash,
+    s"numBands($numBands) * numRows($numRows) must equal numHash($numHash)")
+}
+
+/** Column-name constants (reference: /root/reference/src/minhash_config.py:30-51). */
+object Cols {
+  val Id = "id"
+  val Text = "text"
+  val Tokens = "tokens"
+  val Shingles = "shingles"
+  val BoolVec = "bool_vec"
+  val Signature = "signature"
+  val BucketIds = "bucket_ids"
+  val Jaccard = "jaccard"
+  val Shingle = "shingle"
+  val VocabIdx = "idx"
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector kernels over `array<float|double>` embedding columns, as
+  * native higher-order-function expressions (no UDFs). Used by the
+  * similarity-search and embedding-dedup operators.
+  */
+object VectorFunctions {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential left-fold dot product (matches DuckDB's list evaluation
+    * order so oracle comparisons are bit-stable after a small round).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(toDouble(a), x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity; null (not error) on zero-norm inputs — ANSI mode
+    * would otherwise raise on divide-by-zero.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
+
+  /** Sign-quantizer bucket over the first `nBits` dimensions:
+    * sum_{d < nBits} (a[d] > 0) << d. A deterministic coarse quantization
+    * used to shard ANN search into buckets (IVF-style scale path).
+    */
+  def signBucket(a: Column, nBits: Int): Column =
+    aggregate(sequence(lit(0), lit(nBits - 1)),
+      lit(0),
+      (acc, d) => acc + when(element_at(a, d + lit(1)) > 0,
+        pow(lit(2.0), d).cast("int")).otherwise(lit(0)))
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft._
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** MinHash + LSH near-duplicate / approximate-nearest-neighbor engine.
+  *
+  * Re-expression of the reference pipeline
+  * (/root/reference/src/minhash_pyspark.py:85-182) as lazy, codegen-friendly
+  * Spark plans: tokenize → k-shingle → [optional global vocabulary] →
+  * MinHash signature → LSH band buckets, then queries as single plans with
+  * no driver round-trips.
+  *
+  * Scale design (100 TB target):
+  *  - direct mode (`useVocabulary = false`) is a single **narrow** projection
+  *    per document — no global state, no shuffle, embarrassingly parallel.
+  *  - vocab mode reproduces the reference's boolean-matrix formulation, but
+  *    distributed: the vocabulary index is assigned with `zipWithIndex` (no
+  *    driver collect, no 2 GB ceiling — reference aborts at
+  *    minhash_pyspark.py:365-374) and vectorization is an equi-join that
+  *    Catalyst turns into a broadcast join while the vocab is small.
+  */
+final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
+
+  /** Global shingle vocabulary: (shingle, idx), idx = rank in sorted shingle
+    * order (reference `shing_dict`, minhash_pyspark.py:341-389; sort flag
+    * DO_SORT_SHING_DICT minhash_config.py:27-28). Distributed via
+    * sort + zipWithIndex — order-preserving, no driver ceiling.
+    */
+  def buildVocabulary(docs: DataFrame, textCol: String = Cols.Text): DataFrame = {
+    val sorted = docs
+      .select(explode(T.shingles(col(textCol), cfg.numShingles)).as(Cols.Shingle))
+      .groupBy(Cols.Shingle).count() // agg-shingle-count
+      .sort(Cols.Shingle) // sort-vocab
+      .select(Cols.Shingle)
+    val rdd = sorted.rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (s, i) => Row(s, i) }
+    docs.sparkSession.createDataFrame(rdd, StructType(Seq(
+      StructField(Cols.Shingle, StringType, nullable = false),
+      StructField(Cols.VocabIdx, LongType, nullable = false))))
+  }
+
+  /** Adds `shingles`, `signature`, `bucket_ids` columns. Direct mode is one
+    * narrow projection; vocab mode adds the vectorizing equi-join
+    * (explode → join vocab → collect_list, reference bool_vec
+    * minhash_pyspark.py:319-339 with OOV-drop via inner join).
+    * Docs with no (in-vocabulary) shingles get a null signature — the
+    * reference crashes on these (minhash_utils.py:66,81); we define them away.
+    */
+  private[graft] def featurize(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: Option[DataFrame]): DataFrame = {
+    val shingled = df.withColumn(Cols.Shingles, T.shingles(col(textCol), cfg.numShingles))
+    val withSig = vocab match {
+      case Some(v) =>
+        val exploded = shingled.select(col(idCol), explode(col(Cols.Shingles)).as(Cols.Shingle))
+        val bv = exploded.join(v, Seq(Cols.Shingle))
+          .groupBy(idCol)
+          .agg(array_sort(collect_list(col(Cols.VocabIdx))).as(Cols.BoolVec))
+        shingled.join(bv, Seq(idCol), "left").withColumn(Cols.Signature, cfg.mode match {
+          case Md5Parity => H.minhashMd5Indices(col(Cols.BoolVec), cfg.numHash)
+          case XxFast =>
+            H.minhashXxFromBases(transform(col(Cols.BoolVec), ix => xxhash64(ix)), cfg.numHash)
+        })
+      case None =>
+        shingled.withColumn(Cols.Signature, cfg.mode match {
+          case Md5Parity => H.minhashMd5(col(Cols.Shingles), cfg.numHash)
+          case XxFast => H.minhashXxFromBases(H.baseHashesXx(col(Cols.Shingles)), cfg.numHash)
+        })
+    }
+    withSig.withColumn(Cols.BucketIds, cfg.mode match {
+      case Md5Parity =>
+        H.bandBucketsMd5(col(Cols.Signature), cfg.numBands, cfg.numRows, cfg.bucketHexLen)
+      case XxFast =>
+        H.bandBucketsXx(col(Cols.Signature), cfg.numBands, cfg.numRows, cfg.numBuckets)
+    })
+  }
+
+  /** Index build (reference `run()`, minhash_pyspark.py:170-182). The index
+    * (id, signature, bucket_ids) is cached — rt-cache parity with the
+    * reference's minhash_df/lsh_df caching (minhash_pyspark.py:435-447).
+    */
+  def fit(docs: DataFrame, idCol: String = Cols.Id, textCol: String = Cols.Text): MinHashLSHModel = {
+    val base = docs.select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text))
+    val vocab =
+      if (cfg.useVocabulary) Some(buildVocabulary(base, Cols.Text).cache()) else None
+    val index = featurize(base, Cols.Id, Cols.Text, vocab)
+      .select(Cols.Id, Cols.Signature, Cols.BucketIds)
+      .cache()
+    new MinHashLSHModel(cfg, this, base, index, vocab)
+  }
+}
+
+/** Fitted index + the query surface (reference §3.3). */
+final class MinHashLSHModel private[operators] (
+    cfg: MinHashConfig,
+    lsh: MinHashLSH,
+    val documents: DataFrame,
+    val indexDf: DataFrame,
+    val vocabulary: Option[DataFrame]) {
+
+  private def spark = documents.sparkSession
+
+  /** The query key run through the *same* expression pipeline as the corpus
+    * (reference `process_query`, minhash_pyspark.py:184-198 — but with zero
+    * kernel duplication and no driver-side dict math): a 1-row DataFrame
+    * with q_sig / q_buckets, broadcast into the query plan.
+    */
+  def queryFeatures(key: String): DataFrame = {
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(0L, key)),
+      StructType(Seq(
+        StructField(Cols.Id, LongType, nullable = false),
+        StructField(Cols.Text, StringType, nullable = true))))
+    lsh.featurize(one, Cols.Id, Cols.Text, vocabulary)
+      .select(col(Cols.Signature).as("q_sig"), col(Cols.BucketIds).as("q_buckets"))
+  }
+
+  /** Top-n approximate nearest neighbors of `key`
+    * (reference approxNearestNeighbors, minhash_pyspark.py:200-241) as ONE
+    * lazy plan: bucket filter → signature jaccard → TakeOrderedAndProject →
+    * broadcast join back to documents. `bucketThres > 0` applies the
+    * bucket-set-jaccard filter with the reference's zero-result fallback to
+    * plain overlap (minhash_pyspark.py:296-306; `isEmpty` instead of its
+    * `count() == 0`). Ties broken by ascending id (reference tie order is
+    * engine-dependent, SURVEY.md §2.6).
+    */
+  def approxNearestNeighbors(key: String, n: Int, bucketThres: Double = 0.0): DataFrame = {
+    val candBase = indexDf
+      .where(col(Cols.Signature).isNotNull)
+      .crossJoin(broadcast(queryFeatures(key).where(col("q_sig").isNotNull)))
+    val overlap = candBase.where(arrays_overlap(col(Cols.BucketIds), col("q_buckets")))
+    val cands =
+      if (bucketThres > 0.0) {
+        val strict =
+          candBase.where(H.setJaccard(col(Cols.BucketIds), col("q_buckets")) >= bucketThres)
+        if (strict.isEmpty) overlap else strict // flt-thres-fallback
+      } else overlap
+    val topk = cands
+      .select(col(Cols.Id),
+        H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
+      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
+      .limit(n)
+    documents.join(broadcast(topk), Seq(Cols.Id))
+      .select(col(Cols.Id), col(Cols.Text), col(Cols.Jaccard))
+      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
+  }
+
+  /** Batch ANN for a whole DataFrame of queries — the scale path the
+    * reference lacks: explode band buckets on both sides, equi-join on the
+    * bucket (shuffle key), dedup pairs, score, top-n per query via window.
+    */
+  def approxNearestNeighborsAll(
+      queries: DataFrame, qidCol: String, textCol: String, n: Int): DataFrame = {
+    val qf = lsh.featurize(queries.select(col(qidCol).cast("long").as("qid"), col(textCol)),
+        "qid", textCol, vocabulary)
+      .where(col(Cols.Signature).isNotNull)
+      .select(col("qid"), col(Cols.Signature).as("q_sig"),
+        explode(col(Cols.BucketIds)).as("bucket"))
+    val ix = indexDf.where(col(Cols.Signature).isNotNull)
+      .select(col(Cols.Id), col(Cols.Signature), explode(col(Cols.BucketIds)).as("bucket"))
+    val scored = qf.join(ix, Seq("bucket"))
+      .dropDuplicates("qid", Cols.Id)
+      .withColumn(Cols.Jaccard, H.signatureJaccard(col(Cols.Signature), col("q_sig")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)))
+      .where(col("rank") <= n)
+      .select(col("qid"), col(Cols.Id), col(Cols.Jaccard), col("rank"))
+  }
+
+  /** All-pairs near-duplicate join (MLlib approxSimilarityJoin analogue,
+    * SURVEY.md §7.6): explode buckets → self-equi-join on bucket → dedup
+    * pairs (a < b) → signature jaccard ≥ threshold. Bucket is the shuffle
+    * key; AQE skew handling covers hot buckets.
+    */
+  def approxSimilarityJoin(threshold: Double): DataFrame = {
+    val live = indexDf.where(col(Cols.Signature).isNotNull)
+    val a = live.select(col(Cols.Id).as("a_id"), col(Cols.Signature).as("a_sig"),
+      explode(col(Cols.BucketIds)).as("bucket"))
+    val b = live.select(col(Cols.Id).as("b_id"), col(Cols.Signature).as("b_sig"),
+      explode(col(Cols.BucketIds)).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn(Cols.Jaccard, H.signatureJaccard(col("a_sig"), col("b_sig")))
+      .where(col(Cols.Jaccard) >= threshold)
+      .select(col("a_id"), col("b_id"), col(Cols.Jaccard))
+  }
+
+  def unpersist(): Unit = {
+    indexDf.unpersist()
+    vocabulary.foreach(_.unpersist())
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.functions.SimHash64.{hamming, simhash64}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel fixtures ported from the reference behavior (FIXTURES.md §A.3). */
+class KernelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("tokenize: punctuation→space, collapse, lower, trim") {
+    val got = Seq("Hello, world!  Hi.", "co-op", "  A  b\tC ", "")
+      .toDF("text").select(T.tokenize($"text").as("t")).as[Seq[String]].collect()
+    assert(got(0) == Seq("hello", "world", "hi"))
+    assert(got(1) == Seq("co", "op")) // punct becomes space, not deleted
+    assert(got(2) == Seq("a", "b", "c"))
+    assert(got(3) == Seq("")) // matches Python ''.split(' ')
+  }
+
+  test("kShingles: sliding window, dedup, short docs empty") {
+    val rows = Seq(
+      Seq("hello", "world", "hi"),
+      Seq("a", "b", "a", "b"),
+      Seq("solo"),
+      Seq[String]())
+      .toDF("toks").select(T.kShingles($"toks", 2).as("s")).as[Seq[String]].collect()
+    assert(rows(0) == Seq("hello world", "world hi"))
+    assert(rows(1) == Seq("a b", "b a"))
+    assert(rows(2) == Seq())
+    assert(rows(3) == Seq())
+  }
+
+  test("minhashMd5: sig[h] = min over shingles of md5(h ++ s); empty → null") {
+    val df = Seq(Seq("aa bb", "bb cc"), Seq[String]()).toDF("sh")
+      .select(H.minhashMd5($"sh", 3).as("sig"))
+    val rows = df.collect()
+    val exp = (0 until 3).map(h => Seq(md5Hex(s"${h}aa bb"), md5Hex(s"${h}bb cc")).min)
+    assert(rows(0).getSeq[String](0) == exp)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("bandBucketsMd5: count ≤ bands, hex ids, deterministic") {
+    val sig = (0 until 8).map(i => md5Hex(i.toString))
+    val df = Seq(Tuple1(sig)).toDF("sig")
+      .select(H.bandBucketsMd5($"sig", 4, 2, 4).as("b"))
+    val b = df.collect()(0).getSeq[String](0)
+    assert(b.length <= 4 && b.distinct == b)
+    assert(b.forall(_.matches("[0-9a-f]{4}")))
+    val expected0 = md5Hex(sig(0) + "|" + sig(1)).take(4)
+    assert(b.contains(expected0))
+  }
+
+  test("signatureJaccard: agreement / min length") {
+    val df = Seq(
+      (Seq("x", "y", "z"), Seq("x", "y", "z")),
+      (Seq("x", "y", "z"), Seq("x", "q", "z")),
+      (Seq("x", "y"), Seq("x", "y", "z"))) // truncates to min length
+      .toDF("a", "b").select(H.signatureJaccard($"a", $"b").as("j"))
+    val got = df.as[Float].collect()
+    assert(got(0) == 1.0f && got(1) == 2f / 3f && got(2) == 1.0f)
+  }
+
+  test("setJaccard: |∩|/|∪|") {
+    val got = Seq((Seq(1, 2, 3), Seq(2, 3, 4))).toDF("a", "b")
+      .select(H.setJaccard($"a", $"b").as("j")).as[Double].collect()(0)
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
+  test("simhash64: single token equals xxhash64; identical inputs hamming 0") {
+    val df = Seq(Tuple1(Seq("token"))).toDF("t")
+      .select(simhash64($"t").as("sh"), xxhash64(lit("token")).as("xx"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    val d = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("x", "y")
+      .select(hamming(simhash64($"x"), simhash64($"y")).as("d")).collect()(0)
+    assert(d.getInt(0) == 0)
+  }
+
+  test("cosine: orthogonal 0, identical 1, zero-norm null") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 1f), Seq(1f, 1f)),
+      (Seq(0f, 0f), Seq(1f, 1f)))
+      .toDF("a", "b").select(V.cosine($"a", $"b").as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0)) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("signBucket: deterministic sign quantizer") {
+    val got = Seq(Tuple1(Seq(1f, -1f, 2f, -0.5f))).toDF("v")
+      .select(V.signBucket($"v", 4).as("b")).collect()(0).getInt(0)
+    assert(got == (1 + 4)) // dims 0 and 2 positive
+  }
+
+  test("charNGrams: sliding chars, distinct") {
+    val got = Seq("abcab").toDF("t").select(T.charNGrams($"t", 3).as("g"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("abc", "bca", "cab"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.MinHashLSH
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end index + ANN behavior on the sf0.001 documents table
+  * (golden structure per FIXTURES.md §A.4: exact-member query returns
+  * itself at jaccard 1.0 and top-1).
+  */
+class MinHashLSHSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def keyText: String =
+    docs.where(docs("doc_id") === 0).select("text").collect()(0).getString(0)
+
+  test("direct md5 mode: exact-member ANN returns the source doc at 1.0") {
+    val model = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4))
+      .fit(docs, idCol = "doc_id", textCol = "text")
+    val top = model.approxNearestNeighbors(keyText, 5).collect()
+    assert(top.nonEmpty)
+    assert(top(0).getLong(0) == 0L)
+    assert(math.abs(top(0).getFloat(2) - 1.0f) < 1e-6)
+    assert(top.length <= 5)
+    // scores non-increasing
+    val scores = top.map(_.getFloat(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    model.unpersist()
+  }
+
+  test("vocab mode agrees with reference structure; xx fast mode runs") {
+    val vocabModel = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4,
+      useVocabulary = true)).fit(docs, "doc_id", "text")
+    assert(vocabModel.vocabulary.get.count() > 0)
+    val topV = vocabModel.approxNearestNeighbors(keyText, 5).collect()
+    assert(topV(0).getLong(0) == 0L && math.abs(topV(0).getFloat(2) - 1.0f) < 1e-6)
+    vocabModel.unpersist()
+
+    val fast = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4,
+      mode = XxFast)).fit(docs, "doc_id", "text")
+    val topF = fast.approxNearestNeighbors(keyText, 5).collect()
+    assert(topF(0).getLong(0) == 0L && math.abs(topF(0).getFloat(2) - 1.0f) < 1e-6)
+    fast.unpersist()
+  }
+
+  test("bucketThres filter with zero-result fallback") {
+    val model = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4))
+      .fit(docs, "doc_id", "text")
+    // impossible threshold → falls back to overlap-any (reference :296-306)
+    val top = model.approxNearestNeighbors(keyText, 3, bucketThres = 1.1).collect()
+    assert(top.nonEmpty && top(0).getLong(0) == 0L)
+    model.unpersist()
+  }
+
+  test("approxSimilarityJoin finds no false self-pairs and respects threshold") {
+    val model = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4))
+      .fit(docs.limit(200), "doc_id", "text")
+    val pairs = model.approxSimilarityJoin(0.2).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getFloat(2) >= 0.2f))
+    model.unpersist()
+  }
+}
