@@ -1,13 +1,583 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.operators._
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 ids + training-pipeline extensions), each with a DuckDB
+  * oracle in `oracleSql`. Column names and deterministic ORDER BYs are kept
+  * identical on both sides; md5 hash mode makes the whole MinHash pipeline
+  * bit-comparable across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // Canonical configs: cfg16 keeps mid-tier oracle queries cheap; cfg100 is
+  // the reference-shape flagship (NUM_HASH=100, 25×4 bands,
+  // /root/reference/src/minhash_config.py:2-19).
+  private val cfg16 = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+  private val cfg100 = MinHashConfig(numHash = 100, numBands = 25, numRows = 4, bucketHexLen = 4)
+  private val cfg100Fast = cfg100.copy(mode = XxFast)
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default; read it as long nanos and convert with integer division (a
+    * double roundtrip would lose precision at 1.7e18).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The deterministic query key: first 120 chars of doc 0 (the reference's
+    * key_short is likewise a prefix of doc 0, BASELINE.md).
+    */
+  private def keyOf(s: SparkSession, dir: String): String =
+    docs(s, dir).where(col("doc_id") === 0).select("text")
+      .collect()(0).getString(0).take(120)
+
+  private def fitted(s: SparkSession, dir: String, cfg: MinHashConfig): MinHashLSHModel =
+    new MinHashLSH(cfg).fit(docs(s, dir), idCol = "doc_id", textCol = "text")
+
+  /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    fitted(spark, dir, cfg100)
+      .approxNearestNeighbors(keyOf(spark, dir), 10)
+      .withColumnRenamed(Cols.Id, "doc_id")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / projections / filters (SURVEY §2.1-2.2)
+    "src_scan_documents" -> ((s, d) =>
+      docs(s, d).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+    "src_scan_limit" -> ((s, d) =>
+      docs(s, d).select("doc_id", "n_chars").orderBy("doc_id").limit(100)),
+    "prj_select" -> ((s, d) =>
+      tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+    "prj_derived_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(T.tokenize(col("text"))).as("n_tokens")).orderBy("doc_id")),
+    "flt_predicate" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .where(col("l_quantity") >= 45 && col("l_returnflag") === "R" &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "flt_bucket_overlap" -> ((s, d) => {
+      val m = fitted(s, d, cfg16)
+      m.indexDf.crossJoin(broadcast(m.queryFeatures(keyOf(s, d))))
+        .where(arrays_overlap(col(Cols.BucketIds), col("q_buckets")))
+        .select(col(Cols.Id).as("doc_id")).orderBy("doc_id")
+    }),
+    "flt_bucket_thres" -> ((s, d) => {
+      val m = fitted(s, d, cfg16)
+      m.indexDf.crossJoin(broadcast(m.queryFeatures(keyOf(s, d))))
+        .withColumn("bucket_sim", H.setJaccard(col(Cols.BucketIds), col("q_buckets")))
+        .where(col("bucket_sim") >= 0.2)
+        .select(col(Cols.Id).as("doc_id"), col("bucket_sim")).orderBy("doc_id")
+    }),
+
+    // --- joins (SURVEY §2.3 + anti/window extensions)
+    "join_inner_agg" -> ((s, d) =>
+      tbl(s, d, "orders").join(tbl(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("total_price"))
+        .orderBy("nationkey")),
+    "join_semi" -> ((s, d) =>
+      tbl(s, d, "orders").join(tbl(s, d, "lineitem").where(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")),
+    "join_anti" -> ((s, d) =>
+      tbl(s, d, "customer").join(
+        tbl(s, d, "orders").where(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "join_docs_topk" -> ((s, d) => {
+      val dd = docs(s, d)
+      val topk = dd.select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(10)
+      dd.select("doc_id", "text").join(broadcast(topk), Seq("doc_id"))
+        .select("doc_id", "text", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+    }),
+
+    // --- aggregations / sorts (SURVEY §2.4, §2.6)
+    "agg_shingle_count" -> ((s, d) =>
+      docs(s, d).select(explode(T.shingles(col("text"), 2)).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("cnt")).orderBy("shingle")),
+    "agg_group_stats" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          min(col("l_extendedprice").cast("decimal(18,4)")).as("min_price"),
+          max(col("l_extendedprice").cast("decimal(18,4)")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "agg_distinct" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts")).orderBy("l_returnflag")),
+    "window_rank" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn").orderBy("o_custkey", "rn")),
+
+    // --- set ops (SURVEY §2.7 + DataFrame-level extension)
+    "set_array_ops" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = broadcast(dd.where(col("doc_id") === 0)
+        .select(array_distinct(T.tokenize(col("text"))).as("q_toks")))
+      dd.select(col("doc_id"), array_distinct(T.tokenize(col("text"))).as("toks"))
+        .crossJoin(q)
+        .select(col("doc_id"),
+          size(array_intersect(col("toks"), col("q_toks"))).as("n_common"),
+          size(array_union(col("toks"), col("q_toks"))).as("n_union"),
+          arrays_overlap(col("toks"), col("q_toks")).as("overlaps"))
+        .orderBy("doc_id")
+    }),
+    "setop_union" -> ((s, d) => {
+      val dd = docs(s, d)
+      dd.where(col("lang") === "en").select("doc_id")
+        .union(dd.where(col("source") === "src1").select("doc_id"))
+        .distinct().orderBy("doc_id")
+    }),
+    "setop_except" -> ((s, d) => {
+      val dd = docs(s, d)
+      dd.where(col("lang") === "en").select("doc_id")
+        .except(dd.where(col("source") === "src1").select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // --- MinHash pipeline stages (SURVEY §2.8), md5 parity mode
+    "fn_tokenize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), T.tokenize(col("text")).as("tokens"))
+        .orderBy("doc_id")),
+    "fn_k_shingles" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        array_sort(T.shingles(col("text"), 2)).as("shingles")).orderBy("doc_id")),
+    "fn_bool_vectorizer" -> ((s, d) => {
+      val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val vocab = lsh.buildVocabulary(base, "text")
+      lsh.featurize(base, "doc_id", "text", Some(vocab))
+        .where(size(col(Cols.BoolVec)) > 0)
+        .select(col("doc_id"), col(Cols.BoolVec)).orderBy("doc_id")
+    }),
+    "fn_minhash_sig" -> ((s, d) => {
+      val m = fitted(s, d, cfg16)
+      m.indexDf.where(col(Cols.Signature).isNotNull)
+        .select(col(Cols.Id).as("doc_id"), col(Cols.Signature)).orderBy("doc_id")
+    }),
+    "fn_buckenize" -> ((s, d) => {
+      val m = fitted(s, d, cfg16)
+      m.indexDf.where(col(Cols.Signature).isNotNull)
+        .select(col(Cols.Id).as("doc_id"),
+          array_sort(col(Cols.BucketIds)).as(Cols.BucketIds)).orderBy("doc_id")
+    }),
+    "fn_jaccard_approx" -> ((s, d) => {
+      val m = fitted(s, d, cfg16)
+      m.indexDf.where(col(Cols.Signature).isNotNull)
+        .crossJoin(broadcast(m.queryFeatures(keyOf(s, d))))
+        .select(col(Cols.Id).as("doc_id"),
+          H.signatureJaccard(col(Cols.Signature), col("q_sig")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_id").asc)
+    }),
+    "sort_vocab" -> ((s, d) => {
+      val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
+      lsh.buildVocabulary(docs(s, d), "text").orderBy("shingle")
+    }),
+
+    // --- the flagship ANN query (SURVEY §3.3), full reference config
+    "ann_query" -> ((s, d) =>
+      fitted(s, d, cfg100).approxNearestNeighbors(keyOf(s, d), 10)
+        .withColumnRenamed(Cols.Id, "doc_id")),
+    "ann_query_fast" -> ((s, d) => // xxhash64 fast mode — no SQL oracle
+      fitted(s, d, cfg100Fast).approxNearestNeighbors(keyOf(s, d), 10)
+        .withColumnRenamed(Cols.Id, "doc_id")),
+    "ann_batch" -> ((s, d) => { // multi-query scale path — no SQL oracle
+      val m = fitted(s, d, cfg100Fast)
+      val qs = docs(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id").as("qid"), col("text"))
+      m.approxNearestNeighborsAll(qs, "qid", "text", 5)
+    }),
+
+    // --- dedup family (training-pipeline extensions)
+    "dedup_exact_keep" -> ((s, d) =>
+      Dedup.dropExactDuplicates(docs(s, d), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+        .orderBy("a_id", "b_id")),
+    "dedup_minhash_pairs_fast" -> ((s, d) => // no SQL oracle (xxhash mode)
+      fitted(s, d, cfg16.copy(mode = XxFast)).approxSimilarityJoin(0.5)
+        .orderBy("a_id", "b_id")),
+    "dedup_simhash_pairs" -> ((s, d) => // no SQL oracle (xxhash internals)
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
+        .orderBy("a_id", "b_id")),
+    "dedup_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
+        k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
+    "dedup_embedding_pairs" -> ((s, d) =>
+      Dedup.embeddingPairsBrute(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
+        .orderBy("a_id", "b_id")),
+
+    // --- similarity search over embeddings
+    "sim_topk_cosine" -> ((s, d) =>
+      SimSearch.cosineTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10)
+        .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_topk_bucketed" -> ((s, d) =>
+      SimSearch.cosineTopKBucketed(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
+        nBits = 4)
+        .select(col("id").as("vec_id"), col("bucket"),
+          round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)),
+
+    // --- text analysis
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.withLangId(docs(s, d), "text")
+        .select("doc_id", "de_hits", "en_hits", "es_hits", "fr_hits", "lang_pred")
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.withQualityScore(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+          "digit_ratio", "quality_score").orderBy("doc_id")),
+    "text_token_counts" -> ((s, d) =>
+      TextAnalysis.withTokenCounts(docs(s, d), "text")
+        .select("doc_id", "ws_tokens", "bpe_ish_tokens").orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.withFingerprints(docs(s, d), "text")
+        .select("doc_id", "bag_fingerprint", "seq_fingerprint").orderBy("doc_id")),
+
+    // --- streaming twin + multimodal plumbing
+    "stream_tumbling_agg" -> ((s, d) =>
+      EventStream.tumblingCounts(events(s, d))
+        .orderBy("window_start", "event_type")),
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
+        .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
+        .orderBy("doc_id")))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB CTE chain for the md5-mode doc pipeline at (h, bands, rows,
+    * hexLen) — the SQL twin of TextFunctions/HashFunctions on `documents`.
+    */
+  private def docCtes(cfg: MinHashConfig): String = {
+    val (h, bands, rows, hexLen) = (cfg.numHash, cfg.numBands, cfg.numRows, cfg.bucketHexLen)
+    s"""
+    toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS tokens
+      FROM documents),
+    shing AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS shingles
+      FROM toks),
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
+    hashed AS (
+      SELECT doc_id, r.h, min(md5(r.h::VARCHAR || s)) AS m
+      FROM expl CROSS JOIN range($h) r(h) GROUP BY doc_id, r.h),
+    sig AS (SELECT doc_id, list(m ORDER BY h) AS signature FROM hashed GROUP BY doc_id),
+    buck AS (
+      SELECT doc_id, list_distinct(list_transform(range(0, $bands), b ->
+        substr(md5(array_to_string(signature[(b*$rows+1):(b*$rows+$rows)], '|')), 1, $hexLen))) AS bucket_ids
+      FROM sig)"""
+  }
+
+  /** Same pipeline for the query key (120-char prefix of doc 0). */
+  private def queryCtes(cfg: MinHashConfig): String = {
+    val (h, bands, rows, hexLen) = (cfg.numHash, cfg.numBands, cfg.numRows, cfg.bucketHexLen)
+    s"""
+    qdoc AS (SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id = 0),
+    qtoks AS (
+      SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS tokens
+      FROM qdoc),
+    qshing AS (
+      SELECT list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS shingles
+      FROM qtoks),
+    qexpl AS (SELECT unnest(shingles) AS s FROM qshing),
+    qhashed AS (
+      SELECT r.h, min(md5(r.h::VARCHAR || s)) AS m
+      FROM qexpl CROSS JOIN range($h) r(h) GROUP BY r.h),
+    qsig AS (SELECT list(m ORDER BY h) AS signature FROM qhashed),
+    qbuck AS (
+      SELECT list_distinct(list_transform(range(0, $bands), b ->
+        substr(md5(array_to_string(signature[(b*$rows+1):(b*$rows+$rows)], '|')), 1, $hexLen))) AS bucket_ids
+      FROM qsig)"""
+  }
+
+  private val tokenizeSql =
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+
+  private def stopwordList(lang: String): String =
+    TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "src_scan_documents" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "src_scan_limit" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100",
+    "prj_select" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "prj_derived_tokens" ->
+      s"SELECT doc_id, len($tokenizeSql) AS n_tokens FROM documents ORDER BY doc_id",
+    "flt_predicate" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+      WHERE l_quantity >= 45 AND l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1997-01-01'
+      ORDER BY l_orderkey, l_linenumber""",
+    "flt_bucket_overlap" -> s"""
+      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
+      SELECT b.doc_id FROM buck b, qbuck q
+      WHERE list_has_any(b.bucket_ids, q.bucket_ids) ORDER BY b.doc_id""",
+    "flt_bucket_thres" -> s"""
+      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
+      SELECT b.doc_id,
+        CAST(len(list_intersect(b.bucket_ids, q.bucket_ids)) AS DOUBLE)
+          / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))) AS bucket_sim
+      FROM buck b, qbuck q
+      WHERE CAST(len(list_intersect(b.bucket_ids, q.bucket_ids)) AS DOUBLE)
+          / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))) >= 0.2
+      ORDER BY b.doc_id""",
+    "join_inner_agg" -> """
+      SELECT c.c_nationkey AS nationkey, count(*) AS n_orders,
+        sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS total_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
+    "join_semi" -> """
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      ORDER BY o_orderkey""",
+    "join_anti" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      ORDER BY c_custkey""",
+    "join_docs_topk" -> """
+      WITH topk AS (SELECT doc_id, n_chars FROM documents
+                    ORDER BY n_chars DESC, doc_id LIMIT 10)
+      SELECT d.doc_id, d.text, t.n_chars FROM documents d JOIN topk t USING (doc_id)
+      ORDER BY t.n_chars DESC, d.doc_id""",
+    "agg_shingle_count" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      shing AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
+      SELECT s AS shingle, count(*) AS cnt
+      FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
+    "agg_group_stats" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        min(CAST(l_extendedprice AS DECIMAL(18,4))) AS min_price,
+        max(CAST(l_extendedprice AS DECIMAL(18,4))) AS max_price
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "agg_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "window_rank" -> """
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "set_array_ops" -> s"""
+      WITH toks AS (SELECT doc_id, list_distinct($tokenizeSql) AS tokens FROM documents),
+      q AS (SELECT tokens AS q_toks FROM toks WHERE doc_id = 0)
+      SELECT t.doc_id, len(list_intersect(t.tokens, q.q_toks)) AS n_common,
+        len(list_distinct(list_concat(t.tokens, q.q_toks))) AS n_union,
+        list_has_any(t.tokens, q.q_toks) AS overlaps
+      FROM toks t, q ORDER BY t.doc_id""",
+    "setop_union" -> """
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      UNION SELECT doc_id FROM documents WHERE source = 'src1' ORDER BY doc_id""",
+    "setop_except" -> """
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      EXCEPT SELECT doc_id FROM documents WHERE source = 'src1' ORDER BY doc_id""",
+    "fn_tokenize" ->
+      s"SELECT doc_id, $tokenizeSql AS tokens FROM documents ORDER BY doc_id",
+    "fn_k_shingles" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
+      SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1]))) AS shingles
+      FROM toks ORDER BY doc_id""",
+    "fn_bool_vectorizer" -> s"""
+      WITH ${docCtes(cfg16)},
+      vocab AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS idx
+                FROM (SELECT DISTINCT s FROM expl))
+      SELECT e.doc_id, list_sort(list(v.idx)) AS bool_vec
+      FROM expl e JOIN vocab v ON e.s = v.s GROUP BY e.doc_id ORDER BY e.doc_id""",
+    "fn_minhash_sig" -> s"""
+      WITH ${docCtes(cfg16)}
+      SELECT doc_id, signature FROM sig ORDER BY doc_id""",
+    "fn_buckenize" -> s"""
+      WITH ${docCtes(cfg16)}
+      SELECT doc_id, list_sort(bucket_ids) AS bucket_ids FROM buck ORDER BY doc_id""",
+    "fn_jaccard_approx" -> s"""
+      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
+      SELECT c.doc_id,
+        CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+          / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+      FROM sig c, qsig q ORDER BY jaccard DESC, c.doc_id""",
+    "sort_vocab" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      shing AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
+      SELECT s AS shingle, row_number() OVER (ORDER BY s) - 1 AS idx
+      FROM (SELECT DISTINCT unnest(shingles) AS s FROM shing) ORDER BY shingle""",
+    "ann_query" -> s"""
+      WITH ${docCtes(cfg100)}, ${queryCtes(cfg100)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 101), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    "dedup_exact_keep" -> """
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id""",
+    "dedup_minhash_pairs" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+            / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
+        FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
+      SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "dedup_ngram_pairs" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens) - 1),
+        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM toks),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM pairs p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
+      SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
+    "dedup_embedding_pairs" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      SELECT a_id, b_id, round(cosine, 6) AS cos6 FROM pairs
+      WHERE cosine >= 0.35 ORDER BY a_id, b_id""",
+    "sim_topk_cosine" -> """
+      WITH q AS (SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_v[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> 0)
+      SELECT vec_id, round(cosine, 6) AS cos6 FROM scored
+      ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "sim_topk_bucketed" -> """
+      WITH eb AS (
+        SELECT vec_id, embedding,
+          CAST(list_sum(list_transform(range(0, 4),
+            d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings),
+      q AS (SELECT embedding AS q_v, bucket FROM eb WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, e.bucket,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_v[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM eb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0)
+      SELECT vec_id, bucket, round(cosine, 6) AS cos6 FROM scored
+      ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "text_langid" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      hits AS (
+        SELECT doc_id,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("de")}, t))) AS de_hits,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("en")}, t))) AS en_hits,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("es")}, t))) AS es_hits,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("fr")}, t))) AS fr_hits
+        FROM toks)
+      SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+        CASE
+          WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+          WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+          WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+          WHEN fr_hits > 0 THEN 'fr'
+          ELSE 'und' END AS lang_pred
+      FROM hits ORDER BY doc_id""",
+    "text_quality" -> s"""
+      WITH toks AS (SELECT doc_id, text, $tokenizeSql AS tokens FROM documents),
+      m AS (
+        SELECT doc_id, len(tokens) AS n_tokens,
+          CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE)
+            / greatest(len(tokens), 1) AS mean_token_len,
+          CAST(len(list_filter(tokens, t -> list_contains(${stopwordList("en")}, t))) AS DOUBLE)
+            / greatest(len(tokens), 1) AS stopword_ratio,
+          CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / greatest(len(text), 1) AS digit_ratio
+        FROM toks)
+      SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, digit_ratio,
+        (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END +
+         CASE WHEN digit_ratio <= 0.2 THEN 0.25 ELSE 0.0 END) AS quality_score
+      FROM m ORDER BY doc_id""",
+    "text_token_counts" -> """
+      SELECT doc_id,
+        CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+      FROM documents ORDER BY doc_id""",
+    "text_fingerprint" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS bag_fingerprint,
+        md5(array_to_string(tokens, ' ')) AS seq_fingerprint
+      FROM toks ORDER BY doc_id""",
+    "stream_tumbling_agg" -> """
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type, count(*) AS n,
+        sum(CAST(value AS DECIMAL(18,6))) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mm_decode_meta" -> """
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        'stub' AS format,
+        CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INTEGER) AS height,
+        CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS frame_count
+      FROM documents ORDER BY doc_id""")
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.functions.SimHash64.{hamming, simhash64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All are lazy plans over (id, text) / (id, embedding) inputs; every join is
+  * key-blocked (hash group, LSH bucket, simhash band, sign bucket) so no
+  * operator does an all-pairs comparison at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical-text group.
+    * One shuffle on the 128-bit content hash (never on the raw text — at
+    * 100 TB the shuffle payload is 16 bytes + id per row).
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** Exact-duplicate groups (diagnostic view): content hash → group size +
+    * kept id. Only groups with >1 member.
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+
+  /** MinHash+LSH near-duplicate pairs — delegates to the fitted index
+    * (explode buckets → bucket equi-join → signature jaccard ≥ threshold).
+    */
+  def minhashPairs(model: MinHashLSHModel, threshold: Double): DataFrame =
+    model.approxSimilarityJoin(threshold)
+
+  /** SimHash near-duplicate pairs with band blocking: split the 64-bit
+    * simhash into 4 × 16-bit bands; by pigeonhole any pair within hamming
+    * distance ≤ 3 shares at least one exact band. Join key = (band#, value).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "band blocking with 4 bands guarantees recall only for maxDist <= 3")
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      simhash64(T.tokenize(col(textCol))).as("sh"))
+    val banded = sh.select(col("id"), col("sh"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bv"))
+      .select(col("id"), col("sh"), col("bv.band"), col("bv.v"))
+    val a = banded.select(col("band"), col("v"), col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("v"), col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming(col("a_sh"), col("b_sh")))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
+    * classic candidate-then-verify near-dup pipeline: MinHash buckets
+    * propose, exact set Jaccard over k-token shingles disposes.
+    */
+  def ngramJaccardPairs(model: MinHashLSHModel, docs: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double): DataFrame = {
+    val cands = model.approxSimilarityJoin(0.0).select("a_id", "b_id")
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      T.shingles(col(textCol), k).as("sh"))
+    cands
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", H.setJaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicate pairs, brute all-pairs — correctness
+    * baseline / oracle twin. Quadratic: only for modest partitions.
+    */
+  def embeddingPairsBrute(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_v"))
+    val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_v"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Embedding cosine near-dup pairs, sign-bucket blocked (scale path):
+    * pairs are only compared within the same sign-quantizer cell, turning
+    * the cross join into a bucket equi-join. Near-identical vectors agree
+    * on high-|value| dims, so recall is high for threshold ≈ 1; boundary
+    * dims can flip — documented approximation, like any single-probe IVF.
+    */
+  def embeddingPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val withB = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      V.signBucket(col(vecCol), nBits).as("bucket"))
+    val a = withB.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = withB.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+}

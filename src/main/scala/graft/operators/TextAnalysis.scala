@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * narrow Column expressions — every one survives a 100× scale-up as a
+  * projection inside whole-stage scan pipelines.
+  */
+object TextAnalysis {
+
+  /** Tiny fixed stopword lists (top function words). Deliberately small and
+    * hard-coded: the operator demonstrates the n-gram/stopword heuristic
+    * shape; swap lists for real fastText-style ID offline.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"))
+
+  private def stopwordHits(tokens: Column, lang: String): Column =
+    size(filter(tokens, t => array_contains(lit(Stopwords(lang).toArray), t)))
+
+  /** Adds per-language stopword-hit scores and `lang_pred` (argmax,
+    * alphabetical tie-break, "und" when no hits).
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = T.tokenize(col(textCol))
+    val scored = df
+      .withColumn("de_hits", stopwordHits(toks, "de"))
+      .withColumn("en_hits", stopwordHits(toks, "en"))
+      .withColumn("es_hits", stopwordHits(toks, "es"))
+      .withColumn("fr_hits", stopwordHits(toks, "fr"))
+    scored.withColumn("lang_pred",
+      when(col("de_hits") >= col("en_hits") && col("de_hits") >= col("es_hits") &&
+        col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+        .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") > 0, "en")
+        .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+        .when(col("fr_hits") > 0, "fr")
+        .otherwise("und"))
+  }
+
+  /** Quality signals + a rubric score in {0, 0.25, 0.5, 0.75, 1}: length in
+    * range, mean token length in range, stopword presence, digit-ratio cap.
+    * Threshold-based (not weighted floats) so the score is bit-stable across
+    * engines.
+    */
+  def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = T.tokenize(col(textCol))
+    val en = lit(Stopwords("en").toArray)
+    df.withColumn("n_chars_q", length(col(textCol)))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(toks), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => array_contains(en, t))).cast("double") /
+          greatest(size(toks), lit(1)))
+      .withColumn("digit_ratio",
+        (length(col(textCol)) - length(regexp_replace(col(textCol), "[0-9]", "")))
+          .cast("double") / greatest(length(col(textCol)), lit(1)))
+      .withColumn("quality_score",
+        (when(col("n_tokens").between(10, 2000), 0.25).otherwise(0.0) +
+          when(col("mean_token_len").between(2.0, 12.0), 0.25).otherwise(0.0) +
+          when(col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0) +
+          when(col("digit_ratio") <= 0.2, 0.25).otherwise(0.0)))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (letter runs | digit runs | single non-alnum glyph).
+    */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val trimmed = trim(col(textCol))
+    df.withColumn("ws_tokens",
+      when(length(trimmed) === 0, 0).otherwise(size(split(trimmed, "\\s+"))))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+  }
+
+  /** Content fingerprints: md5 over the sorted distinct token set (word-bag
+    * fingerprint, order-insensitive) and over the normalized token sequence
+    * (order-sensitive).
+    */
+  def withFingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val toks = T.tokenize(col(textCol))
+    df.withColumn("bag_fingerprint", md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+      .withColumn("seq_fingerprint", md5(concat_ws(" ", toks)))
+  }
+}
