@@ -116,7 +116,8 @@ object SparkEntry {
 
     // --- aggregations / sorts (SURVEY §2.4, §2.6)
     "agg_shingle_count" -> ((s, d) =>
-      docs(s, d).select(explode(T.shingles(col("text"), 2)).as("shingle"))
+      SparkUtil.ensureParallelism(docs(s, d))
+        .select(explode(T.shingles(col("text"), 2)).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("cnt")).orderBy("shingle")),
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -166,11 +167,11 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), T.tokenize(col("text")).as("tokens"))
         .orderBy("doc_id")),
     "fn_k_shingles" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_sort(T.shingles(col("text"), 2)).as("shingles")).orderBy("doc_id")),
     "fn_bool_vectorizer" -> ((s, d) => {
       val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
-      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val base = SparkUtil.ensureParallelism(docs(s, d).select(col("doc_id"), col("text")))
       val vocab = lsh.buildVocabulary(base, "text")
       lsh.featurize(base, "doc_id", "text", Some(vocab))
         .where(size(col(Cols.BoolVec)) > 0)

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Hot-loop array kernels as custom Catalyst expressions. The higher-order
+  * function encodings (`aggregate`/`zip_with`) evaluate one boxed lambda call
+  * per element; these run a primitive `while` loop per row instead —
+  * ~100× less overhead in pair-scoring joins that touch millions of rows.
+  * Numerics are identical: sequential left-to-right double accumulation,
+  * same as the HOF fold and the DuckDB oracle's list_sum.
+  */
+private[graft] trait NumericArrayInput { self: Expression =>
+  protected def checkNumericArray(dt: DataType, side: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<float|double>, got ${other.catalogString}")
+    }
+
+  protected def valueAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** Σ a[i]*b[i] over the common prefix, as double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with NumericArrayInput with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkNumericArray(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkNumericArray(right.dataType, "right")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val af = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val bf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += valueAt(a, i, af) * valueAt(b, i, bf)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** sqrt(Σ a[i]²), as double. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with NumericArrayInput with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child.dataType, "input")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val af = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = valueAt(a, i, af)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+}
+
+/** MinHash signature agreement: #(a[i] == b[i]) / min(|a|,|b|) as float —
+  * the reference's jaccard estimator (/root/reference/src/utils.py:19-29).
+  * Supports array<string> (md5 mode) and array<long> (xx fast mode).
+  */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "signature_agreement"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"both sides must be array<string> or array<long>, got ${l.catalogString} / ${r.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0f
+    val isString = left.dataType.asInstanceOf[ArrayType].elementType == StringType
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      val same =
+        if (isString) a.getUTF8String(i) == b.getUTF8String(i)
+        else a.getLong(i) == b.getLong(i)
+      if (same) eq += 1
+      i += 1
+    }
+    // double division then narrow, matching the SQL CAST(x/y AS FLOAT4) path
+    (eq.toDouble / n.toDouble).toFloat
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignatureAgreement =
+    copy(left = l, right = r)
+}
+
+object ArrayKernels {
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2Norm(a: Column): Column =
+    ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+  def signatureAgreement(a: Column, b: Column): Column =
+    ColumnBridge.column(SignatureAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

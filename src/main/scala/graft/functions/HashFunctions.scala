@@ -81,10 +81,11 @@ object HashFunctions {
   /** MinHash Jaccard estimate: #(a_i == b_i) / min(|a|, |b|) — the
     * signature-agreement ratio, NOT set Jaccard (reference
     * /root/reference/src/utils.py:19-29 truncates to the shorter signature).
+    * Custom while-loop kernel; bit-identical to the HOF encoding
+    * `size(filter(zip_with(a,b,_<=>_),v=>v)) / least(size(a),size(b))`.
     */
   def signatureJaccard(a: Column, b: Column): Column =
-    (size(filter(zip_with(a, b, (x, y) => x <=> y), v => v)) /
-      least(size(a), size(b))).cast("float")
+    ArrayKernels.signatureAgreement(a, b)
 
   /** Exact set Jaccard over two array columns: |a ∩ b| / |a ∪ b|.
     * Reference bucket-threshold filter /root/reference/src/minhash_utils.py:116-119.

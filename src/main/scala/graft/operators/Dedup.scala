@@ -80,9 +80,12 @@ object Dedup {
     */
   def embeddingPairsBrute(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_v"))
+    val a = graft.SparkUtil.ensureParallelism(
+      emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_v")))
     val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_v"))
-    a.crossJoin(b).where(col("a_id") < col("b_id"))
+    // stream side spread across tasks, small side broadcast → the O(n²) loop
+    // parallelizes instead of landing on one partition
+    a.crossJoin(broadcast(b)).where(col("a_id") < col("b_id"))
       .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
       .where(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
@@ -96,8 +99,9 @@ object Dedup {
     */
   def embeddingPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
-    val withB = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      V.signBucket(col(vecCol), nBits).as("bucket"))
+    val withB = graft.SparkUtil.ensureParallelism(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        V.signBucket(col(vecCol), nBits).as("bucket")))
     val a = withB.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
     val b = withB.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
     a.join(b, Seq("bucket"))

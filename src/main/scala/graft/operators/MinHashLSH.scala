@@ -32,7 +32,7 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
     * sort + zipWithIndex — order-preserving, no driver ceiling.
     */
   def buildVocabulary(docs: DataFrame, textCol: String = Cols.Text): DataFrame = {
-    val sorted = docs
+    val sorted = SparkUtil.ensureParallelism(docs)
       .select(explode(T.shingles(col(textCol), cfg.numShingles)).as(Cols.Shingle))
       .groupBy(Cols.Shingle).count() // agg-shingle-count
       .sort(Cols.Shingle) // sort-vocab
@@ -85,7 +85,8 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
     * reference's minhash_df/lsh_df caching (minhash_pyspark.py:435-447).
     */
   def fit(docs: DataFrame, idCol: String = Cols.Id, textCol: String = Cols.Text): MinHashLSHModel = {
-    val base = docs.select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text))
+    val base = SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text)))
     val vocab =
       if (cfg.useVocabulary) Some(buildVocabulary(base, Cols.Text).cache()) else None
     val index = featurize(base, Cols.Id, Cols.Text, vocab)
@@ -156,17 +157,30 @@ final class MinHashLSHModel private[operators] (
     */
   def approxNearestNeighborsAll(
       queries: DataFrame, qidCol: String, textCol: String, n: Int): DataFrame = {
-    val qf = lsh.featurize(queries.select(col(qidCol).cast("long").as("qid"), col(textCol)),
+    // The featurized query side MUST be materialized before the explode:
+    // otherwise InferFiltersFromGenerate + predicate pushdown substitute the
+    // whole nested featurize expression tree (buckets→signature→shingles)
+    // into a scan-level filter, re-evaluating the shingle pipeline once per
+    // signature slot per band (~2500× recompute; measured 130s vs 0.5s at
+    // sf0.1). A cached small query-feature table is also what a cluster
+    // deployment wants.
+    val qFeatured = lsh.featurize(
+        queries.select(col(qidCol).cast("long").as("qid"), col(textCol)),
         "qid", textCol, vocabulary)
       .where(col(Cols.Signature).isNotNull)
-      .select(col("qid"), col(Cols.Signature).as("q_sig"),
-        explode(col(Cols.BucketIds)).as("bucket"))
+      .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
+      .localCheckpoint()
+    val qf = qFeatured.select(col("qid"), col("q_sig"),
+      explode(col(Cols.BucketIds)).as("bucket"))
     val ix = indexDf.where(col(Cols.Signature).isNotNull)
       .select(col(Cols.Id), col(Cols.Signature), explode(col(Cols.BucketIds)).as("bucket"))
-    val scored = qf.join(ix, Seq("bucket"))
+    // score BEFORE dedup: candidate pairs reached via multiple bands are
+    // rescored (deterministic, cheap) so the dedup shuffle carries 24-byte
+    // (qid, id, jaccard) rows instead of two 100-slot signatures per row
+    qf.join(ix, Seq("bucket"))
+      .select(col("qid"), col(Cols.Id),
+        H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
       .dropDuplicates("qid", Cols.Id)
-      .withColumn(Cols.Jaccard, H.signatureJaccard(col(Cols.Signature), col("q_sig")))
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)))
       .where(col("rank") <= n)
@@ -184,11 +198,14 @@ final class MinHashLSHModel private[operators] (
       explode(col(Cols.BucketIds)).as("bucket"))
     val b = live.select(col(Cols.Id).as("b_id"), col(Cols.Signature).as("b_sig"),
       explode(col(Cols.BucketIds)).as("bucket"))
+    // score + threshold BEFORE dedup (deterministic per pair): the distinct
+    // shuffle then carries only surviving (a_id, b_id, jaccard) triples
     a.join(b, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn(Cols.Jaccard, H.signatureJaccard(col("a_sig"), col("b_sig")))
+      .select(col("a_id"), col("b_id"),
+        H.signatureJaccard(col("a_sig"), col("b_sig")).as(Cols.Jaccard))
       .where(col(Cols.Jaccard) >= threshold)
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col(Cols.Jaccard))
   }
 

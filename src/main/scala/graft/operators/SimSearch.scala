@@ -15,7 +15,7 @@ object SimSearch {
       queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("q_v"))
-    emb.crossJoin(broadcast(q))
+    graft.SparkUtil.ensureParallelism(emb).crossJoin(broadcast(q))
       .withColumn("cosine", V.cosine(col(vecCol), col("q_v")))
       .where(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("id"), col("cosine"))
@@ -30,8 +30,9 @@ object SimSearch {
     */
   def cosineTopKBucketed(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
-    val withB = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      V.signBucket(col(vecCol), nBits).as("bucket"))
+    val withB = graft.SparkUtil.ensureParallelism(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        V.signBucket(col(vecCol), nBits).as("bucket")))
     val q = withB.where(col("id") === queryId)
       .select(col("v").as("q_v"), col("bucket"))
     withB.join(broadcast(q), Seq("bucket"))

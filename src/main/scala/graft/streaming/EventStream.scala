@@ -22,16 +22,15 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"),
         col("total_value"))
 
-  /** The same aggregation as a streaming query over a parquet directory,
-    * with a 2-hour watermark for late data. Caller starts/stops it (tests
-    * use the memory sink + processAllAvailable).
+  /** The same aggregation as a streaming query over a parquet directory of
+    * raw events (ts stored as long nanos — Spark 4 rejects TIMESTAMP(NANOS)
+    * parquet natively), with a 2-hour watermark for late data. Identical
+    * expressions to the batch twin by construction. Caller starts/stops it
+    * (tests use the memory sink + processAllAvailable).
     */
-  def streamingTumblingCounts(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("total_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
-        col("total_value"))
+  def streamingTumblingCounts(spark: SparkSession, dir: String, rawSchema: StructType): DataFrame =
+    tumblingCounts(
+      spark.readStream.schema(rawSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours"))
 }

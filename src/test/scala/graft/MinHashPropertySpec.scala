@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.Parameters
+
+/** Property tests (SURVEY.md §5.2): statistical and structural invariants of
+  * the MinHash/LSH kernels, checked against an independent plain-Scala
+  * computation of exact set Jaccard.
+  */
+object MinHashPropertySpec extends Properties("MinHashLSH") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark = TestSpark.spark
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+  private val docGen: Gen[List[String]] =
+    Gen.chooseNum(4, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+
+  private def exactShingleJaccard(a: List[String], b: List[String]): Double = {
+    val sa = a.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    val sb = b.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    if ((sa ++ sb).isEmpty) 1.0 else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private def estimate(a: List[String], b: List[String], h: Int): Double = {
+    import spark.implicits._
+    val df = Seq((a.mkString(" "), b.mkString(" "))).toDF("ta", "tb")
+      .select(
+        H.minhashMd5(T.shingles(col("ta"), 2), h).as("sa"),
+        H.minhashMd5(T.shingles(col("tb"), 2), h).as("sb"))
+      .select(H.signatureJaccard(col("sa"), col("sb")).as("j"))
+    df.collect()(0).getFloat(0).toDouble
+  }
+
+  property("estimate tracks exact set jaccard within 3/sqrt(H), H=64") =
+    forAll(docGen, docGen) { (a, b) =>
+      val exact = exactShingleJaccard(a, b)
+      val est = estimate(a, b, 64)
+      math.abs(est - exact) <= 3.0 / math.sqrt(64.0) + 1e-9
+    }
+
+  property("identical docs: jaccard 1.0 and identical buckets") =
+    forAll(docGen) { a =>
+      import spark.implicits._
+      val r = Seq(Tuple1(a.mkString(" "))).toDF("t")
+        .select(H.minhashMd5(T.shingles(col("t"), 2), 16).as("s"))
+        .select(H.signatureJaccard(col("s"), col("s")).as("j"),
+          H.bandBucketsMd5(col("s"), 4, 4, 4).as("b1"),
+          H.bandBucketsMd5(col("s"), 4, 4, 4).as("b2"))
+        .collect()(0)
+      r.getFloat(0) == 1.0f && r.getSeq[String](1) == r.getSeq[String](2)
+    }
+
+  property("signature invariant under shingle order") =
+    forAll(docGen) { a =>
+      import spark.implicits._
+      val r = Seq(Tuple1(a.mkString(" "))).toDF("t")
+        .select(T.shingles(col("t"), 2).as("sh"))
+        .select(H.minhashMd5(col("sh"), 16).as("s1"),
+          H.minhashMd5(reverse(col("sh")), 16).as("s2"))
+        .collect()(0)
+      r.getSeq[String](0) == r.getSeq[String](1)
+    }
+
+  property("fast-mode bucket ids within [0, numBuckets)") =
+    forAll(docGen) { a =>
+      import spark.implicits._
+      val r = Seq(Tuple1(a.mkString(" "))).toDF("t")
+        .select(H.minhashXxFromBases(
+          H.baseHashesXx(T.shingles(col("t"), 2)), 16).as("s"))
+        .select(H.bandBucketsXx(col("s"), 4, 4, 500).as("b"))
+        .collect()(0)
+      r.isNullAt(0) || r.getSeq[Int](0).forall(v => v >= 0 && v < 500)
+    }
+
+  property("index deterministic across partitionings") = Prop.secure {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
+    def run(parts: Int): Set[(Long, Seq[String])] = {
+      val m = lsh.fit(docs.repartition(parts), "doc_id", "text")
+      val out = m.indexDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+      m.unpersist()
+      out
+    }
+    run(1) == run(7)
+  }
+}

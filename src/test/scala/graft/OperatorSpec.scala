@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior of the training-pipeline operators on crafted inputs + the
+  * sf0.001 tables (planted near-dup families: docs 0/50/82).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("dropExactDuplicates keeps lowest id per text group") {
+    val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"), (9L, "same text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("simhashPairs: exact duplicate found at hamming 0, pairs well-formed") {
+    // plant an exact duplicate of doc 0 under a fresh id
+    val dup = docs.where(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val withDup = docs.select("doc_id", "text").union(dup)
+    val pairs = Dedup.simhashPairs(withDup, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getInt(2) <= 3))
+    val exact = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 100000L)
+    assert(exact.isDefined && exact.get.getInt(2) == 0,
+      s"expected (0, 100000) at hamming 0")
+  }
+
+  test("ngramJaccardPairs verifies LSH candidates with exact set jaccard") {
+    val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2)).fit(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(model, docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+    model.unpersist()
+  }
+
+  test("embedding pairs: bucketed results are a subset of brute results") {
+    val brute = Dedup.embeddingPairsBrute(emb, "vec_id", "embedding", 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingPairsBucketed(emb, "vec_id", "embedding", 0.3, nBits = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(brute))
+  }
+
+  test("cosineTopK: sorted desc, excludes query, k rows; bucketed ⊆ brute ranking") {
+    val top = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    val bucketedIds = SimSearch.cosineTopKBucketed(emb, "vec_id", "embedding", 0L, 10, 4)
+      .collect().map(_.getLong(0)).toSet
+    val bruteAll = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 499)
+      .collect().map(_.getLong(0)).toSet
+    assert(bucketedIds.subsetOf(bruteAll + 0L))
+  }
+
+  test("langid picks the language with most stopword hits, und when none") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it was good for all"),
+      (2L, "der hund und die katze ist nicht mit dem ball"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("quality score rubric: full marks for clean prose, penalties apply") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "x"),
+      (3L, "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666 7777 8888")).toDF("doc_id", "text")
+    val got = TextAnalysis.withQualityScore(df, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) < 0.75) // too short, no stopwords
+    assert(got(3L) < 1.0)  // digit ratio too high
+  }
+
+  test("token counts: whitespace vs bpe-ish regex") {
+    val df = Seq((1L, "hello world 123 foo-bar"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.withTokenCounts(df, "text")
+      .select("doc_id", "ws_tokens", "bpe_ish_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((4, 6))) // ws: 4; bpe: hello,world,123,foo,-,bar
+    assert(got(2L) == ((0, 0)))
+  }
+
+  test("fingerprints: bag is order-insensitive, seq is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val got = TextAnalysis.withFingerprints(df, "text")
+      .select("doc_id", "bag_fingerprint", "seq_fingerprint").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._1 == got(2L)._1)
+    assert(got(1L)._2 != got(2L)._2)
+  }
+
+  test("multimodal: stub decode is deterministic and matches the formula") {
+    val meta = Multimodal.decodeMeta(
+      Multimodal.asBinaryPayloads(docs.limit(20), "doc_id", "text")).collect()
+    assert(meta.length == 20)
+    meta.foreach { m =>
+      assert(m.format == "stub")
+      assert(m.width == 64 + m.byte_len % 512)
+      assert(m.height == 64 + (m.byte_len / 7) % 512)
+      assert(m.frame_count == 1 + m.byte_len % 16)
+    }
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs.limit(5), "doc_id", "text")), 2)
+    assert(frames.count() > 0)
+  }
+}
