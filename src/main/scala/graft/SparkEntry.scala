@@ -475,13 +475,18 @@ object SparkEntry {
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
       pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      cand AS (
+        SELECT p.a_id, p.b_id FROM pairs p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.1),
       sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens) - 1),
         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM toks),
       scored AS (
         SELECT p.a_id, p.b_id,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        FROM pairs p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
+        FROM cand p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
     "dedup_embedding_pairs" -> """
       WITH pairs AS (

@@ -22,8 +22,13 @@ object HashFunctions {
     * sig[h] = min over shingles s of md5(h || s). Empty shingles ⇒ null
     * signature (the reference crashes on hex(inf) here,
     * /root/reference/src/minhash_utils.py:66,81 — we define it away).
+    * One-pass custom expression; bit-identical to [[minhashMd5Hof]].
     */
   def minhashMd5(shingles: Column, numHash: Int): Column =
+    MinHashExpr.minhashMd5(shingles, numHash)
+
+  /** HOF encoding of [[minhashMd5]], kept as the cross-check twin. */
+  def minhashMd5Hof(shingles: Column, numHash: Int): Column =
     when(size(shingles) > 0,
       transform(sequence(lit(0), lit(numHash - 1)),
         h => array_min(transform(shingles, s => md5Hash(h, s)))))
@@ -34,10 +39,7 @@ object HashFunctions {
     * Reference: /root/reference/src/minhash_utils.py:41-87.
     */
   def minhashMd5Indices(boolVec: Column, numHash: Int): Column =
-    when(size(boolVec) > 0,
-      transform(sequence(lit(0), lit(numHash - 1)),
-        h => array_min(transform(boolVec, ix => md5Hash(h, ix.cast("string"))))))
-      .otherwise(lit(null).cast("array<string>"))
+    MinHashExpr.minhashMd5(transform(boolVec, ix => ix.cast("string")), numHash)
 
   /** One 64-bit base hash per shingle — computed once, reused by all
     * signature slots (O(S) string hashes + O(S·H) cheap long hashes instead
@@ -45,10 +47,15 @@ object HashFunctions {
     */
   def baseHashesXx(shingles: Column): Column = transform(shingles, s => xxhash64(s))
 
-  /** MinHash signature, fast mode, from per-shingle base hashes:
-    * sig[h] = min over base hashes x of xxhash64(h, x). Signed min — any
-    * fixed total order on hash values is a valid MinHash order.
+  /** MinHash signature, fast mode: sig[h] = min over shingles s of
+    * xxhash64(h, xxhash64(s)) — one string hash per shingle, one cheap long
+    * hash per slot, single pass (custom expression). Signed min — any fixed
+    * total order on hash values is a valid MinHash order.
     */
+  def minhashXx(shingles: Column, numHash: Int): Column =
+    MinHashExpr.minhashXx(shingles, numHash)
+
+  /** HOF encoding over precomputed base hashes, kept as cross-check twin. */
   def minhashXxFromBases(baseHashes: Column, numHash: Int): Column =
     when(size(baseHashes) > 0,
       transform(sequence(lit(0), lit(numHash - 1)),

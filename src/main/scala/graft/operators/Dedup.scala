@@ -59,12 +59,14 @@ object Dedup {
   }
 
   /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
-    * classic candidate-then-verify near-dup pipeline: MinHash buckets
-    * propose, exact set Jaccard over k-token shingles disposes.
+    * classic coarse-to-fine near-dup pipeline: MinHash buckets propose,
+    * the cheap signature estimate prunes (estimate ≥ threshold/3 keeps
+    * recall at the exact stage), exact set Jaccard over k-token shingles
+    * disposes.
     */
   def ngramJaccardPairs(model: MinHashLSHModel, docs: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double): DataFrame = {
-    val cands = model.approxSimilarityJoin(0.0).select("a_id", "b_id")
+    val cands = model.approxSimilarityJoin(threshold / 3).select("a_id", "b_id")
     val sh = docs.select(col(idCol).cast("long").as("id"),
       T.shingles(col(textCol), k).as("sh"))
     cands

@@ -32,11 +32,15 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
     * sort + zipWithIndex — order-preserving, no driver ceiling.
     */
   def buildVocabulary(docs: DataFrame, textCol: String = Cols.Text): DataFrame = {
+    // materialize the sorted vocabulary once: zipWithIndex runs an internal
+    // partition-count job, which would otherwise re-execute the whole
+    // explode→groupBy→sort chain a second time
     val sorted = SparkUtil.ensureParallelism(docs)
       .select(explode(T.shingles(col(textCol), cfg.numShingles)).as(Cols.Shingle))
       .groupBy(Cols.Shingle).count() // agg-shingle-count
       .sort(Cols.Shingle) // sort-vocab
       .select(Cols.Shingle)
+      .localCheckpoint()
     val rdd = sorted.rdd.map(_.getString(0)).zipWithIndex()
       .map { case (s, i) => Row(s, i) }
     docs.sparkSession.createDataFrame(rdd, StructType(Seq(
@@ -69,7 +73,7 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
       case None =>
         shingled.withColumn(Cols.Signature, cfg.mode match {
           case Md5Parity => H.minhashMd5(col(Cols.Shingles), cfg.numHash)
-          case XxFast => H.minhashXxFromBases(H.baseHashesXx(col(Cols.Shingles)), cfg.numHash)
+          case XxFast => H.minhashXx(col(Cols.Shingles), cfg.numHash)
         })
     }
     withSig.withColumn(Cols.BucketIds, cfg.mode match {

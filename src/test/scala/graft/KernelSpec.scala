@@ -46,6 +46,24 @@ class KernelSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("custom one-pass minhash expressions ≡ HOF encodings on real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = T.shingles(col("text"), 2)
+    val cmp = docs.select(
+      H.minhashMd5(sh, 16).as("m_custom"),
+      H.minhashMd5Hof(sh, 16).as("m_hof"),
+      H.minhashXx(sh, 16).as("x_custom"),
+      H.minhashXxFromBases(H.baseHashesXx(sh), 16).as("x_hof"))
+    val bad = cmp.where(
+      not(col("m_custom") <=> col("m_hof")) || not(col("x_custom") <=> col("x_hof")))
+    assert(bad.count() == 0)
+    // empty-shingles doc → null from both
+    val e = Seq("solo").toDF("text")
+      .select(H.minhashMd5(T.shingles(col("text"), 2), 4).as("m"),
+        H.minhashXx(T.shingles(col("text"), 2), 4).as("x")).collect()(0)
+    assert(e.isNullAt(0) && e.isNullAt(1))
+  }
+
   test("bandBucketsMd5: count ≤ bands, hex ids, deterministic") {
     val sig = (0 until 8).map(i => md5Hex(i.toString))
     val df = Seq(Tuple1(sig)).toDF("sig")
