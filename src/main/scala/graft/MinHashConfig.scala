@@ -33,6 +33,11 @@ case object XxFast extends MinHashMode
   *                     (minhash_pyspark.py:341-389). Off = "direct" mode:
   *                     hash shingle strings themselves — no global state,
   *                     fully narrow per-row (the 100 TB path).
+  * @param vocabBroadcast hint the vectorizing equi-join to broadcast the
+  *                     vocabulary (the reference ships its dict to every
+  *                     worker the same way, minhash_pyspark.py:325). Turn
+  *                     off when the vocabulary is too large to broadcast —
+  *                     the join then degrades gracefully to shuffle.
   */
 final case class MinHashConfig(
     numShingles: Int = 2,
@@ -42,7 +47,8 @@ final case class MinHashConfig(
     numBuckets: Int = 500,
     bucketHexLen: Int = 4,
     mode: MinHashMode = Md5Parity,
-    useVocabulary: Boolean = false) {
+    useVocabulary: Boolean = false,
+    vocabBroadcast: Boolean = true) {
   require(numBands * numRows == numHash,
     s"numBands($numBands) * numRows($numRows) must equal numHash($numHash)")
 }

@@ -123,6 +123,42 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact set Jaccard |a∩b| / |a∪b| over two string arrays (inputs assumed
+  * distinct, as produced by kShingles/array_distinct). One hash-set build +
+  * one probe pass — no intermediate array materialization, unlike the
+  * `size(array_intersect)/size(array_union)` encoding. Double division,
+  * matching the SQL `CAST(len(list_intersect(..)) AS DOUBLE)/len(..)` twin.
+  */
+case class SetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "set_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"both sides must be array<string>, got ${l.catalogString} / ${r.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[Any](math.max(16, na * 2))
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SetJaccard =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -130,4 +166,6 @@ object ArrayKernels {
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
   def signatureAgreement(a: Column, b: Column): Column =
     ColumnBridge.column(SignatureAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def setJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

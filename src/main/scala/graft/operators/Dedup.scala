@@ -72,7 +72,8 @@ object Dedup {
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .withColumn("jaccard", H.setJaccard(col("a_sh"), col("b_sh")))
+      .withColumn("jaccard",
+        graft.functions.ArrayKernels.setJaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

@@ -62,7 +62,8 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
     val withSig = vocab match {
       case Some(v) =>
         val exploded = shingled.select(col(idCol), explode(col(Cols.Shingles)).as(Cols.Shingle))
-        val bv = exploded.join(v, Seq(Cols.Shingle))
+        val vside = if (cfg.vocabBroadcast) broadcast(v) else v
+        val bv = exploded.join(vside, Seq(Cols.Shingle))
           .groupBy(idCol)
           .agg(array_sort(collect_list(col(Cols.VocabIdx))).as(Cols.BoolVec))
         shingled.join(bv, Seq(idCol), "left").withColumn(Cols.Signature, cfg.mode match {

@@ -85,10 +85,15 @@ class KernelSpec extends AnyFunSuite {
     assert(got(0) == 1.0f && got(1) == 2f / 3f && got(2) == 1.0f)
   }
 
-  test("setJaccard: |∩|/|∪|") {
+  test("setJaccard: |∩|/|∪|, custom string kernel ≡ HOF") {
     val got = Seq((Seq(1, 2, 3), Seq(2, 3, 4))).toDF("a", "b")
       .select(H.setJaccard($"a", $"b").as("j")).as[Double].collect()(0)
     assert(math.abs(got - 0.5) < 1e-12)
+    val r = Seq((Seq("x", "y", "z"), Seq("y", "z", "w", "v"))).toDF("a", "b")
+      .select(
+        graft.functions.ArrayKernels.setJaccard($"a", $"b").as("custom"),
+        H.setJaccard($"a", $"b").as("hof")).collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1))
   }
 
   test("simhash64: single token equals xxhash64; identical inputs hamming 0") {
