@@ -129,6 +129,17 @@ object SparkEntry {
     "agg_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts")).orderBy("l_returnflag")),
+    "agg_rollup" -> ((s, d) =>
+      tbl(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "window_lag" -> ((s, d) =>
+      events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select("user_id", "event_id", "value", "prev_value")
+        .orderBy("user_id", "ts", "event_id")),
     "window_rank" -> ((s, d) =>
       tbl(s, d, "orders")
         .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
@@ -268,6 +279,9 @@ object SparkEntry {
     "stream_tumbling_agg" -> ((s, d) =>
       EventStream.tumblingCounts(events(s, d))
         .orderBy("window_start", "event_type")),
+    "stream_session_agg" -> ((s, d) =>
+      EventStream.sessionCounts(events(s, d))
+        .orderBy("user_id", "session_start")),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
@@ -391,6 +405,16 @@ object SparkEntry {
     "agg_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "window_lag" -> """
+      SELECT user_id, event_id, value,
+        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      ORDER BY user_id, ts, event_id""",
     "window_rank" -> """
       SELECT o_custkey, o_orderkey, rn FROM (
         SELECT o_custkey, o_orderkey, row_number() OVER (
@@ -579,6 +603,21 @@ object SparkEntry {
         event_type, count(*) AS n,
         sum(CAST(value AS DECIMAL(18,6))) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_session_agg" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n,
+        sum(CAST(value AS DECIMAL(18,6))) AS total_value
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "mm_decode_meta" -> """
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         'stub' AS format,

@@ -18,10 +18,18 @@ object TextFunctions {
     * bit-for-bit (SURVEY.md §7.5). A Unicode mode would add `(?U)`.
     * Empty text yields `[""]` (matches Python `''.split(' ')`).
     */
-  def tokenize(text: Column): Column =
+  def tokenize(text: Column): Column = tokenize(text, unicode = false)
+
+  /** `unicode = true` restores the reference's Python-`re` semantics
+    * (Unicode-aware `\w`, so accented/CJK letters survive) via the Java
+    * regex `(?U)` flag. Not oracle-checkable — DuckDB's RE2 `\w` is ASCII.
+    */
+  def tokenize(text: Column, unicode: Boolean): Column = {
+    val flag = if (unicode) "(?U)" else ""
     split(
-      trim(regexp_replace(regexp_replace(lower(text), "[^\\w\\s]", " "), "\\s+", " ")),
+      trim(regexp_replace(regexp_replace(lower(text), s"$flag[^\\w\\s]", " "), s"$flag\\s+", " ")),
       " ")
+  }
 
   /** Distinct k-token shingles in first-occurrence order. Each shingle is the
     * space-joined token window — order-isomorphic to the reference's tuple

@@ -22,6 +22,18 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Session windows: per-user sessions closed by a 30-minute inactivity
+    * gap (`session_window` — the gaps-and-islands lag/cumsum construction is
+    * the ANSI-SQL oracle twin). Runs batch or streaming (with watermark).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n"),
+        col("total_value"))
+
   /** The same aggregation as a streaming query over a parquet directory of
     * raw events (ts stored as long nanos — Spark 4 rejects TIMESTAMP(NANOS)
     * parquet natively), with a 2-hour watermark for late data. Identical

@@ -24,6 +24,18 @@ class KernelSpec extends AnyFunSuite {
     assert(got(3) == Seq("")) // matches Python ''.split(' ')
   }
 
+  test("tokenize unicode mode keeps non-ASCII letters (reference Python-re parity)") {
+    val got = Seq("Crème brûlée! 中文 text")
+      .toDF("text")
+      .select(T.tokenize($"text", unicode = true).as("u"),
+        T.tokenize($"text", unicode = false).as("a"))
+      .collect()(0)
+    assert(got.getSeq[String](0) == Seq("crème", "brûlée", "中文", "text"))
+    // ASCII mode strips the accents/CJK into separators — deliberate,
+    // matches the DuckDB/RE2 oracle
+    assert(got.getSeq[String](1) != got.getSeq[String](0))
+  }
+
   test("kShingles: sliding window, dedup, short docs empty") {
     val rows = Seq(
       Seq("hello", "world", "hi"),
