@@ -258,6 +258,12 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("bucket"),
           round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_topk_multiprobe" -> ((s, d) =>
+      SimSearch.cosineTopKMultiProbe(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
+        nBits = 4)
+        .select(col("id").as("vec_id"), col("bucket"),
+          round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)),
 
     // --- text analysis
     "text_langid" -> ((s, d) =>
@@ -542,6 +548,25 @@ object SparkEntry {
             d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
         FROM embeddings),
       q AS (SELECT embedding AS q_v, bucket FROM eb WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, e.bucket,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_v[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM eb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0)
+      SELECT vec_id, bucket, round(cosine, 6) AS cos6 FROM scored
+      ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "sim_topk_multiprobe" -> """
+      WITH eb AS (
+        SELECT vec_id, embedding,
+          CAST(list_sum(list_transform(range(0, 4),
+            d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings),
+      q AS (SELECT embedding AS q_v,
+              unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+            FROM eb WHERE vec_id = 0),
       scored AS (
         SELECT e.vec_id, e.bucket,
           list_sum(list_transform(range(1, 65),

@@ -66,6 +66,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(bucketedIds.subsetOf(bruteAll + 0L))
   }
 
+  test("multi-probe ANN: recall ≥ single-probe, probes stay within hamming 1") {
+    val single = SimSearch.cosineTopKBucketed(emb, "vec_id", "embedding", 0L, 10, 4).collect()
+    val multi = SimSearch.cosineTopKMultiProbe(emb, "vec_id", "embedding", 0L, 10, 4).collect()
+    assert(multi.length >= single.length)
+    if (single.nonEmpty && multi.nonEmpty)
+      assert(multi.head.getDouble(2) >= single.head.getDouble(2) - 1e-12)
+    val qBucket = graft.functions.VectorFunctions
+      .signBucket(org.apache.spark.sql.functions.col("embedding"), 4)
+    val qb = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(qBucket).collect()(0).getInt(0)
+    assert(multi.forall { r =>
+      java.lang.Integer.bitCount(r.getInt(1) ^ qb) <= 1
+    })
+  }
+
   test("langid picks the language with most stopword hits, und when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and it was good for all"),
