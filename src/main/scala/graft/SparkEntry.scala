@@ -22,8 +22,16 @@ object SparkEntry {
   private val cfg100 = MinHashConfig(numHash = 100, numBands = 25, numRows = 4, bucketHexLen = 4)
   private val cfg100Fast = cfg100.copy(mode = XxFast)
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // InferFiltersFromGenerate clones the (expensive) generator input
+    // expression into a pre-filter that pushdown then moves below any
+    // repartition, onto the narrow scan — re-evaluating the whole shingle
+    // pipeline twice on one task (PERF.md). It only adds redundant work for
+    // this workload (explode already skips empty arrays), so exclude it.
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
 
