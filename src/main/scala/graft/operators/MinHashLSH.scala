@@ -218,4 +218,51 @@ final class MinHashLSHModel private[operators] (
     indexDf.unpersist()
     vocabulary.foreach(_.unpersist())
   }
+
+  /** Persist the fitted model: index + documents (+ vocabulary) as parquet,
+    * config as a 1-row JSON — filesystem-agnostic (all writes go through
+    * Spark, no driver-local file APIs).
+    */
+  def save(path: String): Unit = {
+    indexDf.write.mode("overwrite").parquet(s"$path/index")
+    documents.write.mode("overwrite").parquet(s"$path/documents")
+    vocabulary.foreach(_.write.mode("overwrite").parquet(s"$path/vocabulary"))
+    val s = documents.sparkSession
+    import s.implicits._
+    Seq(MinHashLSH.ConfigRow.from(cfg)).toDS()
+      .coalesce(1).write.mode("overwrite").json(s"$path/config")
+  }
+}
+
+object MinHashLSH {
+  private[operators] final case class ConfigRow(
+      numShingles: Int, numHash: Int, numBands: Int, numRows: Int,
+      numBuckets: Int, bucketHexLen: Int, mode: String,
+      useVocabulary: Boolean, vocabBroadcast: Boolean) {
+    def toConfig: MinHashConfig = MinHashConfig(numShingles, numHash, numBands,
+      numRows, numBuckets, bucketHexLen,
+      if (mode == "xx") XxFast else Md5Parity, useVocabulary, vocabBroadcast)
+  }
+  private[operators] object ConfigRow {
+    def from(c: MinHashConfig): ConfigRow = ConfigRow(c.numShingles, c.numHash,
+      c.numBands, c.numRows, c.numBuckets, c.bucketHexLen,
+      if (c.mode == XxFast) "xx" else "md5", c.useVocabulary, c.vocabBroadcast)
+  }
+
+  /** Load a model persisted by [[MinHashLSHModel.save]]; the index is
+    * re-cached, ready for queries.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): MinHashLSHModel = {
+    import spark.implicits._
+    // JSON infers ints as bigint; pin the schema from the encoder
+    val cfg = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[ConfigRow].schema)
+      .json(s"$path/config").as[ConfigRow].collect()(0).toConfig
+    val lsh = new MinHashLSH(cfg)
+    val docs = spark.read.parquet(s"$path/documents")
+    val index = spark.read.parquet(s"$path/index").cache()
+    val vocab =
+      if (cfg.useVocabulary) Some(spark.read.parquet(s"$path/vocabulary").cache()) else None
+    new MinHashLSHModel(cfg, lsh, docs, index, vocab)
+  }
 }

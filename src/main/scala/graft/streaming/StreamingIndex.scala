@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Cols, MinHashConfig}
 import graft.operators.MinHashLSH
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.types.StructType
 
 /** Incremental corpus ingestion (SURVEY.md §7.6 north star): because the
@@ -28,4 +28,16 @@ object StreamingIndex {
       .featurize(stream, Cols.Id, Cols.Text, None)
       .select(Cols.Id, Cols.Signature, Cols.BucketIds)
   }
+
+  /** Streaming exact deduplication: drops any document whose content hash
+    * was already seen — across micro-batches, via the streaming state store
+    * (`dropDuplicates` on a streaming DataFrame is stateful). The state key
+    * is the 16-byte md5, not the text, so state size is bounded per doc.
+    */
+  def dedupedStream(spark: SparkSession, dir: String, schema: StructType,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text))
+      .withColumn("text_hash", md5(col(Cols.Text)))
+      .dropDuplicates("text_hash")
 }

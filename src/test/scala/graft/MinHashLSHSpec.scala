@@ -52,6 +52,19 @@ class MinHashLSHSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("save/load round-trip: loaded model answers queries identically") {
+    val dir = java.nio.file.Files.createTempDirectory("model-io").toString
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4)
+    val model = new MinHashLSH(cfg).fit(docs, "doc_id", "text")
+    val before = model.approxNearestNeighbors(keyText, 5).collect().toSeq
+    model.save(dir)
+    model.unpersist()
+    val loaded = MinHashLSH.loadModel(spark, dir)
+    val after = loaded.approxNearestNeighbors(keyText, 5).collect().toSeq
+    assert(after == before)
+    loaded.unpersist()
+  }
+
   test("approxSimilarityJoin finds no false self-pairs and respects threshold") {
     val model = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4))
       .fit(docs.limit(200), "doc_id", "text")

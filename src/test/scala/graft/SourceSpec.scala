@@ -23,6 +23,31 @@ class SourceSpec extends AnyFunSuite {
     assert(trimmed.count() == 2)
   }
 
+  test("streaming dedup drops repeated content across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // batch 1: three docs, one internal duplicate pair
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = StreamingIndex.dedupedStream(spark, s"$dir/b*", schema)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      // batch 2 arrives later: one brand-new doc, one cross-batch duplicate
+      Seq((4L, "epsilon zeta"), (5L, "gamma delta"))
+        .toDF("doc_id", "text").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+      assert(out.count() == 3) // the cross-batch duplicate was dropped
+      val texts = out.select("text").as[String].collect().toSet
+      assert(texts == Set("alpha beta", "gamma delta", "epsilon zeta"))
+    } finally q.stop()
+  }
+
   test("streaming incremental index matches the batch index bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("docs-stream").toString
     java.nio.file.Files.copy(
