@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -29,7 +29,7 @@ private[graft] trait NumericArrayInput { self: Expression =>
 
 /** Σ a[i]*b[i] over the common prefix, as double. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with NumericArrayInput with CodegenFallback {
+    extends BinaryExpression with NumericArrayInput {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -38,6 +38,26 @@ case class DotProduct(left: Expression, right: Expression)
     if (l != TypeCheckResult.TypeCheckSuccess) l
     else checkNumericArray(right.dataType, "right")
   }
+
+  private def getter(e: Expression, arr: String, i: String): String =
+    if (e.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      s"(double) $arr.getFloat($i)"
+    else s"$arr.getDouble($i)"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+        }
+        ${ev.value} = $acc;
+      """
+    })
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -60,12 +80,33 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** sqrt(Σ a[i]²), as double. */
 case class L2Norm(child: Expression)
-    extends UnaryExpression with NumericArrayInput with CodegenFallback {
+    extends UnaryExpression with NumericArrayInput {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkNumericArray(child.dataType, "input")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val get =
+        if (child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+          s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      s"""
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $get;
+          $acc += $x * $x;
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      """
+    })
 
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -89,9 +130,28 @@ case class L2Norm(child: Expression)
   * Supports array<string> (md5 mode) and array<long> (xx fast mode).
   */
 case class SignatureAgreement(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = FloatType
   override def prettyName: String = "signature_agreement"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val eq = ctx.freshName("eq")
+      val cmp =
+        if (left.dataType.asInstanceOf[ArrayType].elementType == StringType)
+          s"$a.getUTF8String($i).equals($b.getUTF8String($i))"
+        else s"$a.getLong($i) == $b.getLong($i)"
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $eq = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($cmp) $eq++;
+        }
+        ${ev.value} = $n == 0 ? 0.0f : (float) ((double) $eq / (double) $n);
+      """
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
