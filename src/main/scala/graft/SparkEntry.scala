@@ -188,6 +188,9 @@ object SparkEntry {
     "fn_k_shingles" -> ((s, d) =>
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_sort(T.shingles(col("text"), 2)).as("shingles")).orderBy("doc_id")),
+    "fn_char_ngrams" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        array_sort(T.charNGrams(col("text"), 3)).as("ngrams")).orderBy("doc_id")),
     "fn_bool_vectorizer" -> ((s, d) => {
       val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
       val base = SparkUtil.ensureParallelism(docs(s, d).select(col("doc_id"), col("text")))
@@ -455,6 +458,14 @@ object SparkEntry {
       SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(tokens)),
         i -> tokens[i] || ' ' || tokens[i+1]))) AS shingles
       FROM toks ORDER BY doc_id""",
+    "fn_char_ngrams" -> """
+      WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents)
+      SELECT doc_id,
+        CASE WHEN len(t) >= 3
+             THEN list_sort(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i:i+2])))
+             ELSE [] END AS ngrams
+      FROM n ORDER BY doc_id""",
     "fn_bool_vectorizer" -> s"""
       WITH ${docCtes(cfg16)},
       vocab AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS idx
