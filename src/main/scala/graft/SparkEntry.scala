@@ -292,6 +292,20 @@ object SparkEntry {
       TextAnalysis.withFingerprints(docs(s, d), "text")
         .select("doc_id", "bag_fingerprint", "seq_fingerprint").orderBy("doc_id")),
 
+    // --- the composed curation pipeline: what a training-data run does
+    "pipeline_curate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text").select("doc_id")
+      val q = TextAnalysis.withQualityScore(TextAnalysis.withLangId(dd, "text"), "text")
+        .where(col("quality_score") >= 0.75 && col("lang_pred") =!= "und")
+        .select("doc_id")
+      val nearDupLosers = fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      q.join(exact, Seq("doc_id"))
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // --- streaming twin + multimodal plumbing
     "stream_tumbling_agg" -> ((s, d) =>
       EventStream.tumblingCounts(events(s, d))
@@ -642,6 +656,46 @@ object SparkEntry {
         md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS bag_fingerprint,
         md5(array_to_string(tokens, ' ')) AS seq_fingerprint
       FROM toks ORDER BY doc_id""",
+    "pipeline_curate" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      nd AS (
+        SELECT DISTINCT p.b_id FROM pairs p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.5),
+      q AS (
+        SELECT t.doc_id,
+          (CASE WHEN len(tokens) BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+           CASE WHEN CAST(list_sum(list_transform(tokens, x -> len(x))) AS DOUBLE)
+                  / greatest(len(tokens), 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+           CASE WHEN CAST(len(list_filter(tokens, x -> list_contains(${stopwordList("en")}, x))) AS DOUBLE)
+                  / greatest(len(tokens), 1) >= 0.05 THEN 0.25 ELSE 0.0 END +
+           CASE WHEN CAST(len(d.text) - len(regexp_replace(d.text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / greatest(len(d.text), 1) <= 0.2 THEN 0.25 ELSE 0.0 END) AS score,
+          CASE
+            WHEN len(list_filter(tokens, x -> list_contains(${stopwordList("de")}, x))) >= len(list_filter(tokens, x -> list_contains(${stopwordList("en")}, x)))
+             AND len(list_filter(tokens, x -> list_contains(${stopwordList("de")}, x))) >= len(list_filter(tokens, x -> list_contains(${stopwordList("es")}, x)))
+             AND len(list_filter(tokens, x -> list_contains(${stopwordList("de")}, x))) >= len(list_filter(tokens, x -> list_contains(${stopwordList("fr")}, x)))
+             AND len(list_filter(tokens, x -> list_contains(${stopwordList("de")}, x))) > 0 THEN 'de'
+            WHEN len(list_filter(tokens, x -> list_contains(${stopwordList("en")}, x))) >= len(list_filter(tokens, x -> list_contains(${stopwordList("es")}, x)))
+             AND len(list_filter(tokens, x -> list_contains(${stopwordList("en")}, x))) >= len(list_filter(tokens, x -> list_contains(${stopwordList("fr")}, x)))
+             AND len(list_filter(tokens, x -> list_contains(${stopwordList("en")}, x))) > 0 THEN 'en'
+            WHEN len(list_filter(tokens, x -> list_contains(${stopwordList("es")}, x))) >= len(list_filter(tokens, x -> list_contains(${stopwordList("fr")}, x)))
+             AND len(list_filter(tokens, x -> list_contains(${stopwordList("es")}, x))) > 0 THEN 'es'
+            WHEN len(list_filter(tokens, x -> list_contains(${stopwordList("fr")}, x))) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+        FROM toks t JOIN documents d USING (doc_id)),
+      exact AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1)
+      SELECT q.doc_id FROM q JOIN exact USING (doc_id)
+      WHERE q.score >= 0.75 AND q.lang_pred <> 'und'
+        AND q.doc_id NOT IN (SELECT b_id FROM nd)
+      ORDER BY q.doc_id""",
     "stream_tumbling_agg" -> """
       SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         event_type, count(*) AS n,

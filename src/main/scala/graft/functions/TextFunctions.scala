@@ -50,9 +50,17 @@ object TextFunctions {
   def shingles(text: Column, k: Int): Column = kShingles(tokenize(text), k)
 
   /** Character n-grams (for n-gram Jaccard dedup): distinct sliding windows
-    * of n characters over the normalized text.
+    * of n characters over the normalized text. Custom expression — the HOF
+    * form re-evaluates the normalization once per window (see [[CharNGrams]]).
     */
   def charNGrams(text: Column, n: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      CharNGrams(org.apache.spark.sql.graftshim.ColumnBridge.expression(norm), n))
+  }
+
+  /** HOF twin of [[charNGrams]], kept for cross-checks. */
+  def charNGramsHof(text: Column, n: Int): Column = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))
     when(length(norm) >= n,
       array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),

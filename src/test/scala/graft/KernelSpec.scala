@@ -136,9 +136,14 @@ class KernelSpec extends AnyFunSuite {
     assert(got == (1 + 4)) // dims 0 and 2 positive
   }
 
-  test("charNGrams: sliding chars, distinct") {
+  test("charNGrams: sliding chars, distinct, custom ≡ HOF on real corpus") {
     val got = Seq("abcab").toDF("t").select(T.charNGrams($"t", 3).as("g"))
       .as[Seq[String]].collect()(0)
     assert(got == Seq("abc", "bca", "cab"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = docs.select(T.charNGrams(col("text"), 3).as("c"),
+        T.charNGramsHof(col("text"), 3).as("h"))
+      .where(not(col("c") <=> col("h")))
+    assert(bad.count() == 0)
   }
 }
