@@ -28,8 +28,13 @@ object TextAnalysis {
     * alphabetical tie-break, "und" when no hits).
     */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = T.tokenize(col(textCol))
+    // tokenize through a named column: passing the expression tree to each
+    // stopwordHits would re-evaluate the tokenizer once per language after
+    // project collapse (CollapseProject keeps multi-referenced non-cheap
+    // producers in their own project stage)
+    val toks = col("__toks")
     val scored = df
+      .withColumn("__toks", T.tokenize(col(textCol)))
       .withColumn("de_hits", stopwordHits(toks, "de"))
       .withColumn("en_hits", stopwordHits(toks, "en"))
       .withColumn("es_hits", stopwordHits(toks, "es"))
@@ -42,6 +47,7 @@ object TextAnalysis {
         .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
         .when(col("fr_hits") > 0, "fr")
         .otherwise("und"))
+      .drop("__toks")
   }
 
   /** Quality signals + a rubric score in {0, 0.25, 0.5, 0.75, 1}: length in
@@ -50,9 +56,10 @@ object TextAnalysis {
     * engines.
     */
   def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
-    val toks = T.tokenize(col(textCol))
+    val toks = col("__toks_q")
     val en = lit(Stopwords("en").toArray)
-    df.withColumn("n_chars_q", length(col(textCol)))
+    df.withColumn("__toks_q", T.tokenize(col(textCol)))
+      .withColumn("n_chars_q", length(col(textCol)))
       .withColumn("n_tokens", size(toks))
       .withColumn("mean_token_len",
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
@@ -68,6 +75,7 @@ object TextAnalysis {
           when(col("mean_token_len").between(2.0, 12.0), 0.25).otherwise(0.0) +
           when(col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0) +
           when(col("digit_ratio") <= 0.2, 0.25).otherwise(0.0)))
+      .drop("__toks_q")
   }
 
   /** Whitespace token count + a BPE-ish regex token count
@@ -86,8 +94,10 @@ object TextAnalysis {
     * (order-sensitive).
     */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame = {
-    val toks = T.tokenize(col(textCol))
-    df.withColumn("bag_fingerprint", md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+    val toks = col("__toks_f")
+    df.withColumn("__toks_f", T.tokenize(col(textCol)))
+      .withColumn("bag_fingerprint", md5(concat_ws(" ", array_sort(array_distinct(toks)))))
       .withColumn("seq_fingerprint", md5(concat_ws(" ", toks)))
+      .drop("__toks_f")
   }
 }
