@@ -101,8 +101,12 @@ object SparkEntry {
       tbl(s, d, "orders").join(tbl(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nationkey"))
+        // sum in exact decimal, emit as double: Spark's sum(DECIMAL(18,4))
+        // result type (DECIMAL(28,4)) differs from DuckDB's (DECIMAL(38,4))
+        // and the driver's comparator hashes the rendered value, so a
+        // canonical final type is required on both sides.
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("total_price"))
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
         .orderBy("nationkey")),
     "join_semi" -> ((s, d) =>
       tbl(s, d, "orders").join(tbl(s, d, "lineitem").where(col("l_quantity") >= 49),
@@ -130,9 +134,9 @@ object SparkEntry {
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
-          min(col("l_extendedprice").cast("decimal(18,4)")).as("min_price"),
-          max(col("l_extendedprice").cast("decimal(18,4)")).as("max_price"))
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          min(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("min_price"),
+          max(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("max_price"))
         .orderBy("l_returnflag", "l_linestatus")),
     "agg_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag")
@@ -140,7 +144,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) =>
       tbl(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "window_lag" -> ((s, d) =>
       events(s, d)
@@ -181,34 +185,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- MinHash pipeline stages (SURVEY §2.8), md5 parity mode
+    // --- MinHash pipeline stages (SURVEY §2.8), md5 parity mode.
+    // Array results are emitted as separator-joined strings: the driver's
+    // comparator sorts the result frame by every column, which a list-typed
+    // cell breaks. The join is lossless (tokens/shingles can't contain the
+    // separator) and identical on the DuckDB side (array_to_string).
     "fn_tokenize" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), T.tokenize(col("text")).as("tokens"))
+      docs(s, d).select(col("doc_id"),
+        array_join(T.tokenize(col("text")), " ").as("tokens_str"))
         .orderBy("doc_id")),
     "fn_k_shingles" -> ((s, d) =>
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
-        array_sort(T.shingles(col("text"), 2)).as("shingles")).orderBy("doc_id")),
+        array_join(array_sort(T.shingles(col("text"), 2)), "|").as("shingles_str"))
+        .orderBy("doc_id")),
     "fn_char_ngrams" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        array_sort(T.charNGrams(col("text"), 3)).as("ngrams")).orderBy("doc_id")),
+        array_join(array_sort(T.charNGrams(col("text"), 3)), "").as("ngrams_str"))
+        .orderBy("doc_id")),
     "fn_bool_vectorizer" -> ((s, d) => {
       val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
       val base = SparkUtil.ensureParallelism(docs(s, d).select(col("doc_id"), col("text")))
       val vocab = lsh.buildVocabulary(base, "text")
       lsh.featurize(base, "doc_id", "text", Some(vocab))
         .where(size(col(Cols.BoolVec)) > 0)
-        .select(col("doc_id"), col(Cols.BoolVec)).orderBy("doc_id")
+        .select(col("doc_id"),
+          array_join(col(Cols.BoolVec).cast("array<string>"), ",").as("bool_vec_str"))
+        .orderBy("doc_id")
     }),
     "fn_minhash_sig" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.where(col(Cols.Signature).isNotNull)
-        .select(col(Cols.Id).as("doc_id"), col(Cols.Signature)).orderBy("doc_id")
+        .select(col(Cols.Id).as("doc_id"),
+          array_join(col(Cols.Signature), ",").as("signature_str")).orderBy("doc_id")
     }),
     "fn_buckenize" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.where(col(Cols.Signature).isNotNull)
         .select(col(Cols.Id).as("doc_id"),
-          array_sort(col(Cols.BucketIds)).as(Cols.BucketIds)).orderBy("doc_id")
+          array_join(array_sort(col(Cols.BucketIds)), ",").as("bucket_ids_str"))
+        .orderBy("doc_id")
     }),
     "fn_jaccard_approx" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
@@ -307,12 +322,20 @@ object SparkEntry {
     }),
 
     // --- streaming twin + multimodal plumbing
+    // Engine API emits (timestamp, decimal); the gate queries normalize to
+    // (UTC string, double) — DuckDB timestamps are naive while Spark's are
+    // UTC-adjusted instants, and the comparator hashes the rendered value.
     "stream_tumbling_agg" -> ((s, d) =>
       EventStream.tumblingCounts(events(s, d))
-        .orderBy("window_start", "event_type")),
+        .orderBy("window_start", "event_type")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))),
     "stream_session_agg" -> ((s, d) =>
       EventStream.sessionCounts(events(s, d))
-        .orderBy("user_id", "session_start")),
+        .orderBy("user_id", "session_start")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n"), col("total_value").cast("double").as("total_value"))),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
@@ -327,8 +350,7 @@ object SparkEntry {
     val (h, bands, rows, hexLen) = (cfg.numHash, cfg.numBands, cfg.numRows, cfg.bucketHexLen)
     s"""
     toks AS (
-      SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
-        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS tokens
+      SELECT doc_id, $tokenizeSql AS tokens
       FROM documents),
     shing AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
@@ -351,8 +373,7 @@ object SparkEntry {
     s"""
     qdoc AS (SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id = 0),
     qtoks AS (
-      SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
-        '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS tokens
+      SELECT $tokenizeSql AS tokens
       FROM qdoc),
     qshing AS (
       SELECT list_distinct(list_transform(range(1, len(tokens)),
@@ -369,8 +390,11 @@ object SparkEntry {
       FROM qsig)"""
   }
 
+  // list_filter drops the lone '' that string_split yields on empty input —
+  // the twin of TextFunctions.tokenize's array_remove (reference .split()
+  // returns [] on empty, /root/reference/src/utils.py:41).
   private val tokenizeSql =
-    "string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+    "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
   private def stopwordList(lang: String): String =
     TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -403,7 +427,7 @@ object SparkEntry {
       ORDER BY b.doc_id""",
     "join_inner_agg" -> """
       SELECT c.c_nationkey AS nationkey, count(*) AS n_orders,
-        sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS total_price
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1 ORDER BY 1""",
     "join_semi" -> """
@@ -429,16 +453,16 @@ object SparkEntry {
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
     "agg_group_stats" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        min(CAST(l_extendedprice AS DECIMAL(18,4))) AS min_price,
-        max(CAST(l_extendedprice AS DECIMAL(18,4))) AS max_price
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
+        CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
       FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "window_lag" -> """
@@ -466,32 +490,33 @@ object SparkEntry {
       SELECT doc_id FROM documents WHERE lang = 'en'
       EXCEPT SELECT doc_id FROM documents WHERE source = 'src1' ORDER BY doc_id""",
     "fn_tokenize" ->
-      s"SELECT doc_id, $tokenizeSql AS tokens FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, array_to_string($tokenizeSql, ' ') AS tokens_str FROM documents ORDER BY doc_id",
     "fn_k_shingles" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
-      SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(tokens)),
-        i -> tokens[i] || ' ' || tokens[i+1]))) AS shingles
+      SELECT doc_id, array_to_string(list_sort(list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1]))), '|') AS shingles_str
       FROM toks ORDER BY doc_id""",
     "fn_char_ngrams" -> """
       WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                  FROM documents)
       SELECT doc_id,
         CASE WHEN len(t) >= 3
-             THEN list_sort(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i:i+2])))
-             ELSE [] END AS ngrams
+             THEN array_to_string(list_sort(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i:i+2]))), '')
+             ELSE '' END AS ngrams_str
       FROM n ORDER BY doc_id""",
     "fn_bool_vectorizer" -> s"""
       WITH ${docCtes(cfg16)},
       vocab AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS idx
                 FROM (SELECT DISTINCT s FROM expl))
-      SELECT e.doc_id, list_sort(list(v.idx)) AS bool_vec
+      SELECT e.doc_id, array_to_string(list_sort(list(v.idx)), ',') AS bool_vec_str
       FROM expl e JOIN vocab v ON e.s = v.s GROUP BY e.doc_id ORDER BY e.doc_id""",
     "fn_minhash_sig" -> s"""
       WITH ${docCtes(cfg16)}
-      SELECT doc_id, signature FROM sig ORDER BY doc_id""",
+      SELECT doc_id, array_to_string(signature, ',') AS signature_str FROM sig ORDER BY doc_id""",
     "fn_buckenize" -> s"""
       WITH ${docCtes(cfg16)}
-      SELECT doc_id, list_sort(bucket_ids) AS bucket_ids FROM buck ORDER BY doc_id""",
+      SELECT doc_id, array_to_string(list_sort(bucket_ids), ',') AS bucket_ids_str
+      FROM buck ORDER BY doc_id""",
     "fn_jaccard_approx" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT c.doc_id,
@@ -697,14 +722,19 @@ object SparkEntry {
         AND q.doc_id NOT IN (SELECT b_id FROM nd)
       ORDER BY q.doc_id""",
     "stream_tumbling_agg" -> """
-      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
         event_type, count(*) AS n,
-        sum(CAST(value AS DECIMAL(18,6))) AS total_value
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_session_agg" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       marked AS (
         SELECT user_id, ts, value,
+          -- > (strict): Spark's session_window merges an event arriving
+          -- EXACTLY gap after its predecessor (verified empirically: events
+          -- at 00:00/00:30/00:59:59 with gap=30m form ONE session), so only
+          -- a strictly larger gap starts a new session
           CASE WHEN lag(ts) OVER w IS NULL
                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -713,8 +743,9 @@ object SparkEntry {
           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked)
-      SELECT user_id, min(ts) AS session_start, count(*) AS n,
-        sum(CAST(value AS DECIMAL(18,6))) AS total_value
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "mm_decode_meta" -> """
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -27,11 +27,15 @@ private[graft] trait NumericArrayInput { self: Expression =>
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
 
-/** Σ a[i]*b[i] over the common prefix, as double. */
+/** Σ a[i]*b[i] over the common prefix, as double. A null element nulls the
+  * whole result — identical to the `aggregate`/`zip_with` HOF twin, whose
+  * fold propagates null (a silent read-as-0.0 would diverge from it).
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with NumericArrayInput {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val l = checkNumericArray(left.dataType, "left")
@@ -53,9 +57,10 @@ case class DotProduct(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
         }
-        ${ev.value} = $acc;
+        if (!${ev.isNull}) { ${ev.value} = $acc; }
       """
     })
 
@@ -68,6 +73,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += valueAt(a, i, af) * valueAt(b, i, bf)
       i += 1
     }
@@ -78,11 +84,14 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** sqrt(Σ a[i]²), as double. */
+/** sqrt(Σ a[i]²), as double. Null element ⇒ null result (HOF-twin parity,
+  * see [[DotProduct]]).
+  */
 case class L2Norm(child: Expression)
     extends UnaryExpression with NumericArrayInput {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkNumericArray(child.dataType, "input")
@@ -101,10 +110,11 @@ case class L2Norm(child: Expression)
         int $n = $a.numElements();
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $x = $get;
           $acc += $x * $x;
         }
-        ${ev.value} = java.lang.Math.sqrt($acc);
+        if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
       """
     })
 
@@ -115,6 +125,7 @@ case class L2Norm(child: Expression)
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = valueAt(a, i, af)
       acc += x * x
       i += 1
@@ -128,6 +139,8 @@ case class L2Norm(child: Expression)
 /** MinHash signature agreement: #(a[i] == b[i]) / min(|a|,|b|) as float —
   * the reference's jaccard estimator (/root/reference/src/utils.py:19-29).
   * Supports array<string> (md5 mode) and array<long> (xx fast mode).
+  * A null slot on either side counts as NOT equal (identically in codegen
+  * and interpreted eval; engine-internal signatures never contain nulls).
   */
 case class SignatureAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -147,7 +160,7 @@ case class SignatureAgreement(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         int $eq = 0;
         for (int $i = 0; $i < $n; $i++) {
-          if ($cmp) $eq++;
+          if (!$a.isNullAt($i) && !$b.isNullAt($i) && $cmp) $eq++;
         }
         ${ev.value} = $n == 0 ? 0.0f : (float) ((double) $eq / (double) $n);
       """
@@ -169,9 +182,9 @@ case class SignatureAgreement(left: Expression, right: Expression)
     var eq = 0
     var i = 0
     while (i < n) {
-      val same =
-        if (isString) a.getUTF8String(i) == b.getUTF8String(i)
-        else a.getLong(i) == b.getLong(i)
+      val same = !a.isNullAt(i) && !b.isNullAt(i) &&
+        (if (isString) a.getUTF8String(i) == b.getUTF8String(i)
+         else a.getLong(i) == b.getLong(i))
       if (same) eq += 1
       i += 1
     }

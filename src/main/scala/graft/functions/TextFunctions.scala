@@ -16,7 +16,9 @@ object TextFunctions {
     * Deliberate deviation: ASCII `\w` (Java regex default, == DuckDB/RE2)
     * instead of Python's Unicode-aware `\w`, so the DuckDB oracle matches
     * bit-for-bit (SURVEY.md §7.5). A Unicode mode would add `(?U)`.
-    * Empty text yields `[""]` (matches Python `''.split(' ')`).
+    * Text that normalizes to nothing yields `[]` — the reference's no-arg
+    * `.split()` (/root/reference/src/utils.py:41) returns `[]` on empty
+    * input, so punctuation-only docs have zero tokens, not one empty token.
     */
   def tokenize(text: Column): Column = tokenize(text, unicode = false)
 
@@ -26,9 +28,13 @@ object TextFunctions {
     */
   def tokenize(text: Column, unicode: Boolean): Column = {
     val flag = if (unicode) "(?U)" else ""
-    split(
-      trim(regexp_replace(regexp_replace(lower(text), s"$flag[^\\w\\s]", " "), s"$flag\\s+", " ")),
-      " ")
+    // array_remove drops the lone "" that split() yields on empty input —
+    // after collapse+trim no interior empty tokens can exist.
+    array_remove(
+      split(
+        trim(regexp_replace(regexp_replace(lower(text), s"$flag[^\\w\\s]", " "), s"$flag\\s+", " ")),
+        " "),
+      "")
   }
 
   /** Distinct k-token shingles in first-occurrence order. Each shingle is the

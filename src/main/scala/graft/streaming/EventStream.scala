@@ -24,7 +24,11 @@ object EventStream {
 
   /** Session windows: per-user sessions closed by a 30-minute inactivity
     * gap (`session_window` — the gaps-and-islands lag/cumsum construction is
-    * the ANSI-SQL oracle twin). Runs batch or streaming (with watermark).
+    * the ANSI-SQL oracle twin). Boundary semantics, verified empirically:
+    * an event arriving EXACTLY `gap` after its predecessor still MERGES into
+    * the session (events at 00:00/00:30/00:59:59 with gap=30m form one
+    * session), so the SQL twin's new-session predicate is the strict
+    * `ts - lag(ts) > gap`. Runs batch or streaming (with watermark).
     */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -16,12 +16,15 @@ class KernelSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
 
   test("tokenize: punctuation→space, collapse, lower, trim") {
-    val got = Seq("Hello, world!  Hi.", "co-op", "  A  b\tC ", "")
+    val got = Seq("Hello, world!  Hi.", "co-op", "  A  b\tC ", "", "?!.")
       .toDF("text").select(T.tokenize($"text").as("t")).as[Seq[String]].collect()
     assert(got(0) == Seq("hello", "world", "hi"))
     assert(got(1) == Seq("co", "op")) // punct becomes space, not deleted
     assert(got(2) == Seq("a", "b", "c"))
-    assert(got(3) == Seq("")) // matches Python ''.split(' ')
+    // reference .split() (no-arg, /root/reference/src/utils.py:41) returns []
+    // on empty — punctuation-only docs have zero tokens, not one empty token
+    assert(got(3) == Seq())
+    assert(got(4) == Seq())
   }
 
   test("tokenize unicode mode keeps non-ASCII letters (reference Python-re parity)") {

@@ -34,4 +34,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("session_window boundary: exact-gap event merges (strict-gap SQL twin)") {
+    import spark.implicits._
+    // Events exactly gap apart MERGE into one session — pins the semantics
+    // the stream_session_agg oracle twin encodes with its strict
+    // `ts - lag(ts) > gap` predicate.
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:30:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 01:00:01"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val sessions = EventStream.sessionCounts(ev).orderBy("session_start").collect()
+    assert(sessions.length == 2, s"got ${sessions.toSeq}")
+    assert(sessions(0).getLong(2) == 2L) // 00:00 + 00:30 merged
+    assert(sessions(1).getLong(2) == 1L) // 01:00:01 is > gap after 00:30
+  }
 }

@@ -1,6 +1,14 @@
 #!/usr/bin/env python3
 """Local twin of the driver's correctness gate: run each oracleSql in DuckDB
 over the sf tables and compare against the parquet written by graft.Verify.
+
+Deliberately mimics the driver's strictness (learned from round 1):
+ - sorts the frame with DataFrame.sort_values over ALL columns, which
+   raises on list/ndarray cells -> queries must not emit array columns;
+ - no Decimal->float or tz normalization: a Spark DECIMAL(28,4) vs DuckDB
+   DECIMAL(38,4), or tz-aware vs naive timestamp, fails the value compare
+   the same way the driver's hash does.
+
 Usage: oracle_check.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
@@ -11,24 +19,19 @@ import pandas as pd
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(p)[:-len(".parquet")]
+    name = os.path.basename(p)[: -len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+
+def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
-    def norm(v):
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return tuple(norm(x) for x in v)
-        if isinstance(v, float):
-            return round(v, 9)
-        if type(v).__name__ in ("Decimal",):
-            return float(v)
-        if isinstance(v, pd.Timestamp):
-            return v.tz_localize(None) if v.tzinfo else v
-        return v
-    return df.map(norm)
+    # driver-style: sort by every column (raises TypeError on array cells)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True).astype(str)
+
 
 fails, passes, skips = [], [], []
 for name in sorted(os.listdir(outdir)):
@@ -48,22 +51,28 @@ for name in sorted(os.listdir(outdir)):
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
-    a, b = canon(spark_df), canon(duck_df)
+    try:
+        a, b = canon(spark_df), canon(duck_df)
+    except Exception as e:
+        fails.append((name, f"comparator error (driver would hash-fail): {e}"))
+        continue
     if list(a.columns) != list(b.columns):
         fails.append((name, f"schema: spark={list(a.columns)} duck={list(b.columns)}"))
         continue
     if len(a) != len(b):
         fails.append((name, f"rows: spark={len(a)} duck={len(b)}"))
         continue
-    eq = a.reset_index(drop=True).astype(str).equals(b.reset_index(drop=True).astype(str))
-    if not eq:
+    if not a.equals(b):
         diff_i = None
-        av, bv = a.reset_index(drop=True).astype(str), b.reset_index(drop=True).astype(str)
-        for i in range(len(av)):
-            if not av.iloc[i].equals(bv.iloc[i]):
+        for i in range(len(a)):
+            if not a.iloc[i].equals(b.iloc[i]):
                 diff_i = i
                 break
-        fails.append((name, f"values differ, first at row {diff_i}:\n  spark={av.iloc[diff_i].to_dict() if diff_i is not None else '?'}\n  duck ={bv.iloc[diff_i].to_dict() if diff_i is not None else '?'}"))
+        fails.append(
+            (name,
+             f"values differ, first at sorted row {diff_i}:\n"
+             f"  spark={a.iloc[diff_i].to_dict() if diff_i is not None else '?'}\n"
+             f"  duck ={b.iloc[diff_i].to_dict() if diff_i is not None else '?'}"))
     else:
         passes.append((name, len(a)))
 
