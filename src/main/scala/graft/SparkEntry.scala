@@ -128,8 +128,11 @@ object SparkEntry {
 
     // --- aggregations / sorts (SURVEY §2.4, §2.6)
     "agg_shingle_count" -> ((s, d) =>
+      // tokens materialized in their own projection below the Generate —
+      // generator inputs get no subexpression elimination (PERF.md)
       SparkUtil.ensureParallelism(docs(s, d))
-        .select(explode(T.shingles(col("text"), 2)).as("shingle"))
+        .select(T.tokenize(col("text")).as("tokens"))
+        .select(explode(T.kShingles(col("tokens"), 2)).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("cnt")).orderBy("shingle")),
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")

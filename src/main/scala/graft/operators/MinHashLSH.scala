@@ -34,9 +34,15 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
   def buildVocabulary(docs: DataFrame, textCol: String = Cols.Text): DataFrame = {
     // materialize the sorted vocabulary once: zipWithIndex runs an internal
     // partition-count job, which would otherwise re-execute the whole
-    // explode→groupBy→sort chain a second time
+    // explode→groupBy→sort chain a second time.
+    // tokenize lives in its own projection below the Generate: a Generate
+    // input gets no subexpression elimination, so inlining the tokenizer
+    // would re-run the regex chain per reference inside the shingle lambda
+    // (CollapseProject keeps the split because `tokens` is referenced more
+    // than once in a non-cheap expression).
     val sorted = SparkUtil.ensureParallelism(docs)
-      .select(explode(T.shingles(col(textCol), cfg.numShingles)).as(Cols.Shingle))
+      .select(T.tokenize(col(textCol)).as(Cols.Tokens))
+      .select(explode(T.kShingles(col(Cols.Tokens), cfg.numShingles)).as(Cols.Shingle))
       .groupBy(Cols.Shingle).count() // agg-shingle-count
       .sort(Cols.Shingle) // sort-vocab
       .select(Cols.Shingle)
