@@ -125,6 +125,23 @@ object SparkEntry {
         .select("doc_id", "text", "n_chars")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
     }),
+    "join_asof" -> ((s, d) => {
+      // most recent prior click per purchase, same user — union + one
+      // windowed shuffle on user_id (no range join / cartesian; see Joins)
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      Joins.asofJoinPrior(purchases, clicks, Seq("user_id"), "ts",
+          payloadCols = Seq("event_id", "ts"), tieBreak = "event_id",
+          outPrefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("click_event_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
 
     // --- aggregations / sorts (SURVEY §2.4, §2.6)
     "agg_shingle_count" -> ((s, d) =>
@@ -161,6 +178,42 @@ object SparkEntry {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
         .where(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn").orderBy("o_custkey", "rn")),
+    "window_cumsum" -> ((s, d) =>
+      // running sum in exact decimal (order-independent), emitted as double
+      events(s, d)
+        .withColumn("run_value", sum(col("value").cast("decimal(18,6)"))
+          .over(Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "run_value")),
+    "agg_cube" -> ((s, d) =>
+      tbl(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "agg_median" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+    "agg_pivot" -> ((s, d) =>
+      // pivot(count) yields null for absent cells; DuckDB's FILTER count
+      // yields 0 — coalesce to the canonical 0
+      tbl(s, d, "lineitem").groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0)).as("n_f"), coalesce(col("O"), lit(0)).as("n_o"))
+        .orderBy("l_returnflag")),
+    "gen_posexplode" -> ((s, d) =>
+      docs(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id"), T.tokenize(col("text")).as("tokens"))
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")),
+    "fn_json_extract" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
 
     // --- set ops (SURVEY §2.7 + DataFrame-level extension)
     "set_array_ops" -> ((s, d) => {
@@ -339,6 +392,11 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n"), col("total_value").cast("double").as("total_value"))),
+    "stream_sliding_agg" -> ((s, d) =>
+      EventStream.slidingCounts(events(s, d))
+        .orderBy("window_start", "event_type")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
@@ -479,6 +537,43 @@ object SparkEntry {
           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders)
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_cumsum" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      SELECT user_id, event_id,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_value
+      FROM e ORDER BY user_id, ts, event_id""",
+    "agg_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_median" -> """
+      SELECT l_returnflag, median(l_quantity) AS med_qty, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_pivot" -> """
+      SELECT l_returnflag,
+        count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "gen_posexplode" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens
+                    FROM documents WHERE doc_id < 50)
+      SELECT doc_id, generate_subscripts(tokens, 1) - 1 AS pos, unnest(tokens) AS token
+      FROM toks ORDER BY doc_id, pos""",
+    "fn_json_extract" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events ORDER BY event_id""",
+    "join_asof" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
     "set_array_ops" -> s"""
       WITH toks AS (SELECT doc_id, list_distinct($tokenizeSql) AS tokens FROM documents),
       q AS (SELECT tokens AS q_toks FROM toks WHERE doc_id = 0)
@@ -750,6 +845,14 @@ object SparkEntry {
         count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "stream_sliding_agg" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      w AS (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+                   event_type, value FROM e)
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "mm_decode_meta" -> """
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         'stub' AS format,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond plain equi-joins (training-pipeline extensions —
+  * the reference has only equi-joins, SURVEY.md §2.3).
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, attach the payload of the
+    * latest right row with `right.tsCol <= left.tsCol` for the same key
+    * (the classic "most recent prior event/quote" lookup).
+    *
+    * Scale design: implemented as union → single window pass, ONE shuffle
+    * on `keys` — no range-condition join (which Spark would plan as a
+    * broadcast-nested-loop or cartesian), no per-key explosion. At 100 TB
+    * the shuffle carries (keys, ts, payload) only.
+    *
+    * Tie semantics: a right row at exactly left.ts matches ("at or
+    * before"); among right rows sharing the same (key, ts), the one with
+    * the greatest `tieBreak` payload column wins — pass a unique column
+    * (e.g. an event id) to make results deterministic.
+    *
+    * @param payloadCols right-side columns to attach, emitted as
+    *                    `outPrefix + name` (null when no prior right row)
+    */
+  def asofJoinPrior(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tieBreak: String,
+      outPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoinPrior needs at least one key column")
+    val keyCols: Seq[Column] = keys.map(col)
+    val leftType = org.apache.spark.sql.types.StructType(
+      left.columns.map(c => left.schema(c)))
+    val rightType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+
+    // tag 0 sorts right rows before left at equal ts ⇒ "at or before"
+    val l = left.select(
+      keyCols :+ col(tsCol).as("__ts") :+ lit(1).as("__tag") :+
+        lit(null).cast("long").as("__tie") :+
+        struct(left.columns.map(col): _*).as("__l") :+
+        lit(null).cast(rightType).as("__r"): _*)
+    val r = right.select(
+      keyCols :+ col(tsCol).as("__ts") :+ lit(0).as("__tag") :+
+        col(tieBreak).cast("long").as("__tie") :+
+        lit(null).cast(leftType).as("__l") :+
+        struct(payloadCols.map(col): _*).as("__r"): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = l.unionByName(r)
+      .withColumn("__prior", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+
+    val outCols = left.columns.map(c => col(s"__l.$c").as(c)) ++
+      payloadCols.map(c => col(s"__prior.$c").as(outPrefix + c))
+    joined.select(outCols: _*)
+  }
+}

@@ -38,6 +38,19 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("session_start"), col("n"),
         col("total_value"))
 
+  /** Sliding windows: 1-hour windows every 30 minutes (each event lands in
+    * windowDuration/slide = 2 windows, start-aligned to epoch multiples of
+    * the slide). The SQL oracle twin enumerates both candidate starts per
+    * event — time_bucket(30m, ts) and that minus 30m. Batch or streaming.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("total_value"))
+
   /** The same aggregation as a streaming query over a parquet directory of
     * raw events (ts stored as long nanos — Spark 4 rejects TIMESTAMP(NANOS)
     * parquet natively), with a 2-hour watermark for late data. Identical

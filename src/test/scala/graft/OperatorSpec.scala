@@ -13,6 +13,29 @@ class OperatorSpec extends AnyFunSuite {
   lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("asofJoinPrior: latest at-or-before right row per key; max tieBreak wins") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2026-01-01 10:00:00"), 100L), // prior clicks exist, incl. same-ts
+      (1L, t("2026-01-01 08:00:00"), 101L), // before any click → null
+      (2L, t("2026-01-01 10:00:00"), 102L)  // other key, no clicks at all
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, t("2026-01-01 09:00:00"), 1L),
+      (1L, t("2026-01-01 10:00:00"), 2L), // same-ts pair: max event_id (3) wins
+      (1L, t("2026-01-01 10:00:00"), 3L),
+      (1L, t("2026-01-01 11:00:00"), 4L)  // after left — must not match
+    ).toDF("user_id", "ts", "event_id")
+    val got = Joins.asofJoinPrior(left, right, Seq("user_id"), "ts",
+        payloadCols = Seq("event_id", "ts"), tieBreak = "event_id", outPrefix = "c_")
+      .orderBy("event_id").collect()
+    assert(got.length == 3)
+    val byId = got.map(r => r.getLong(2) -> r).toMap
+    assert(byId(100L).getLong(3) == 3L, s"at-or-before + max tie: ${byId(100L)}")
+    assert(byId(101L).isNullAt(3), "left before any right must get null")
+    assert(byId(102L).isNullAt(3), "key with no right rows must get null")
+  }
+
   test("dropExactDuplicates keeps lowest id per text group") {
     val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"), (9L, "same text"))
       .toDF("doc_id", "text")
