@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** SQL frontend: registers the engine's kernels in the session
+  * FunctionRegistry so plain `spark.sql` text can call them — the
+  * reference has no SQL surface (SURVEY.md §"What the reference is"), but a
+  * Spark-native engine should expose one. Installed via the standard
+  * extensions hook:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * Custom Catalyst expressions register directly (codegen'd in SQL exactly
+  * as in the DataFrame API); composite kernels (tokenize, shingles, band
+  * buckets) register as expression *builders* that expand to the same
+  * native expression trees — still zero UDFs, fully Catalyst-optimizable.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  private def register(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, ""),
+      builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // direct custom-Expression registrations
+    register(ext, "graft_dot_product",
+      "graft_dot_product(a, b) - dot product of two float/double arrays",
+      { case Seq(a, b) => DotProduct(a, b) })
+    register(ext, "graft_l2_norm",
+      "graft_l2_norm(a) - L2 norm of a float/double array",
+      { case Seq(a) => L2Norm(a) })
+    register(ext, "graft_signature_agreement",
+      "graft_signature_agreement(a, b) - MinHash signature agreement ratio",
+      { case Seq(a, b) => SignatureAgreement(a, b) })
+    register(ext, "graft_set_jaccard",
+      "graft_set_jaccard(a, b) - exact set Jaccard of two string arrays",
+      { case Seq(a, b) => SetJaccard(a, b) })
+    register(ext, "graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash of a token array",
+      { case Seq(a) => SimHash64(a) })
+    register(ext, "graft_char_ngrams",
+      "graft_char_ngrams(text, n) - distinct character n-grams of normalized text",
+      { case Seq(a, n) => CharNGrams(a, intArg("graft_char_ngrams", n)) })
+    register(ext, "graft_minhash_md5",
+      "graft_minhash_md5(shingles, h) - md5-mode MinHash signature (h hex strings)",
+      { case Seq(a, h) => MinHashMd5Signature(a, intArg("graft_minhash_md5", h)) })
+    register(ext, "graft_minhash_xx",
+      "graft_minhash_xx(shingles, h) - xxhash64-mode MinHash signature (h longs)",
+      { case Seq(a, h) => MinHashXxSignature(a, intArg("graft_minhash_xx", h)) })
+
+    // composite kernels: expand to the same native Column trees
+    register(ext, "graft_tokenize",
+      "graft_tokenize(text) - lower, punctuation->space, collapse, split",
+      { case Seq(a) => ColumnBridge.resolvedExpression(TextFunctions.tokenize(c(a))) })
+    register(ext, "graft_shingles",
+      "graft_shingles(text, k) - distinct k-token shingles of text",
+      { case Seq(a, k) =>
+        ColumnBridge.resolvedExpression(
+          TextFunctions.shingles(c(a), intArg("graft_shingles", k))) })
+    register(ext, "graft_band_buckets_md5",
+      "graft_band_buckets_md5(sig, bands, rows, hexLen) - LSH band bucket ids",
+      { case Seq(s, b, r, h) =>
+        ColumnBridge.resolvedExpression(HashFunctions.bandBucketsMd5(c(s),
+          intArg("bands", b), intArg("rows", r), intArg("hexLen", h))) })
+    register(ext, "graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two float/double arrays",
+      { case Seq(a, b) =>
+        ColumnBridge.resolvedExpression(VectorFunctions.cosine(c(a), c(b))) })
+  }
+}

@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → Expression conversion. `expression` above wraps the
+    * column in a lazy `ColumnNodeExpression` that only the plan-level
+    * analysis entry points unwrap — inside a FunctionRegistry builder that
+    * wrapper survives analysis and codegen then fails. This converts to a
+    * real catalyst tree up front (builtin calls become ordinary
+    * `UnresolvedFunction` nodes, which the analyzer resolves in its next
+    * fixed-point iteration).
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

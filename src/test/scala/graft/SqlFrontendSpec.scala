@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL frontend (graft.plans.GraftExtensions): every registered function
+  * must be callable from plain SQL text and agree bit-for-bit with its
+  * DataFrame-API twin.
+  */
+class SqlFrontendSpec extends AnyFunSuite {
+
+  // shared session — TestSpark installs GraftExtensions at build time
+  // (the config-string install path `spark.sql.extensions=graft.plans.
+  // GraftExtensions` is exercised externally via spark-shell in /verify)
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("custom expressions are callable from SQL and match the DataFrame API") {
+    import graft.functions.{ArrayKernels, HashFunctions => H, TextFunctions => T}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).createOrReplaceTempView("docs_sql")
+
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+        graft_tokenize(text) AS toks,
+        graft_shingles(text, 2) AS sh,
+        graft_minhash_md5(graft_shingles(text, 2), 8) AS sig,
+        graft_band_buckets_md5(graft_minhash_md5(graft_shingles(text, 2), 8), 2, 4, 2) AS buckets,
+        graft_simhash64(graft_tokenize(text)) AS sim,
+        graft_char_ngrams(text, 3) AS ng
+      FROM docs_sql ORDER BY doc_id""")
+
+    val viaApi = spark.table("docs_sql").select(
+      col("doc_id"),
+      T.tokenize(col("text")).as("toks"),
+      T.shingles(col("text"), 2).as("sh"),
+      H.minhashMd5(T.shingles(col("text"), 2), 8).as("sig"),
+      H.bandBucketsMd5(H.minhashMd5(T.shingles(col("text"), 2), 8), 2, 4, 2).as("buckets"),
+      graft.functions.SimHash64.simhash64(T.tokenize(col("text"))).as("sim"),
+      T.charNGrams(col("text"), 3).as("ng")
+    ).orderBy("doc_id")
+
+    assert(viaSql.schema == viaApi.schema)
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+  }
+
+  test("vector kernels from SQL: dot, norm, cosine, agreement, set jaccard") {
+    val row = spark.sql("""
+      SELECT
+        graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        graft_l2_norm(array(3.0D, 4.0D)) AS nrm,
+        graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        graft_signature_agreement(array('a','b','c'), array('a','x','c')) AS agree,
+        graft_set_jaccard(array('a','b'), array('b','c')) AS sj
+    """).collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 5.0)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(row.getFloat(3) - 2f / 3f) < 1e-6)
+    assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("whole ANN candidate pipeline expressed in one SQL statement") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_all")
+    // doc 0's planted near-dup family (50, 82) must surface via SQL alone
+    val top = spark.sql("""
+      WITH feat AS (
+        SELECT doc_id,
+          graft_minhash_md5(graft_shingles(text, 2), 16) AS sig,
+          graft_band_buckets_md5(graft_minhash_md5(graft_shingles(text, 2), 16), 4, 4, 2) AS buckets
+        FROM docs_all),
+      q AS (SELECT sig AS q_sig, buckets AS q_buckets FROM feat WHERE doc_id = 0)
+      SELECT f.doc_id,
+        graft_signature_agreement(f.sig, q.q_sig) AS jaccard
+      FROM feat f, q
+      WHERE arrays_overlap(f.buckets, q.q_buckets)
+      ORDER BY jaccard DESC, doc_id LIMIT 3""").collect()
+    assert(top.map(_.getLong(0)).toSet == Set(0L, 50L, 82L),
+      s"got ${top.map(_.getLong(0)).toSeq}")
+  }
+}

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites. */
+/** One shared local session for all suites. Installs the engine's
+  * SparkSessionExtensions (SQL function surface) the way a user would —
+  * suites must see exactly what `spark.sql.extensions=graft.plans.
+  * GraftExtensions` produces.
+  */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -12,5 +16,6 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 }
