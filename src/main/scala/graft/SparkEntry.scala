@@ -125,6 +125,26 @@ object SparkEntry {
         .select("doc_id", "text", "n_chars")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
     }),
+    "join_range" -> ((s, d) => {
+      // purchases within 5 minutes after each error, same user — bucketed
+      // equi-join (no nested-loop range join; see Joins.rangeJoinBucketed)
+      val ev = events(s, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("err_end"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val matched = Joins.rangeJoinBucketed(errors, purchases, Seq("user_id"),
+        "err_ts", "err_end", "p_ts", bucketMillis = 5 * 60 * 1000L, pointCols = Seq("p_id"))
+      errors
+        .join(matched.groupBy("err_id").agg(count(lit(1)).as("n_purchases")),
+          Seq("err_id"), "left")
+        .select(col("err_id"), col("user_id"),
+          date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("err_id")
+    }),
     "join_asof" -> ((s, d) => {
       // most recent prior click per purchase, same user — union + one
       // windowed shuffle on user_id (no range join / cartesian; see Joins)
@@ -565,6 +585,16 @@ object SparkEntry {
     "fn_json_extract" -> """
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events ORDER BY event_id""",
+    "join_range" -> """
+      WITH er AS (SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'error'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT er.err_id, er.user_id, strftime(er.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        count(p.ts) AS n_purchases
+      FROM er LEFT JOIN p ON er.user_id = p.user_id
+        AND p.ts >= er.ts AND p.ts < er.ts + INTERVAL '5 minutes'
+      GROUP BY 1, 2, 3 ORDER BY 1""",
     "join_asof" -> """
       WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'purchase'),

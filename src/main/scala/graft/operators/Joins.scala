@@ -65,4 +65,45 @@ object Joins {
       payloadCols.map(c => col(s"__prior.$c").as(outPrefix + c))
     joined.select(outCols: _*)
   }
+
+  /** Interval × point range join via bucketed equi-join: one row per
+    * (interval row, point row) with `startCol <= ts < endCol` and equal
+    * keys.
+    *
+    * Scale design: Spark plans a raw inequality join as a broadcast-
+    * nested-loop / cartesian product — quadratic per key. Instead, time is
+    * quantized into `bucketMillis` cells; every interval explodes to the
+    * cells it covers (ceil(len/bucket)+1 rows, 2 for interval ≈ bucket),
+    * every point maps to exactly one cell, and the join becomes a plain
+    * shuffled equi-join on (keys, cell) + a residual range filter. Each
+    * point has one cell, so no pair can match twice — no distinct needed.
+    * Pick `bucketMillis` near the typical interval length.
+    *
+    * @param intervals    frame with `startCol`/`endCol` timestamps
+    * @param points       frame with `tsCol` timestamps; emitted columns are
+    *                     the caller-selected `pointCols` (pre-alias to
+    *                     avoid collisions with interval column names)
+    */
+  def rangeJoinBucketed(
+      intervals: DataFrame,
+      points: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      tsCol: String,
+      bucketMillis: Long,
+      pointCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "rangeJoinBucketed needs at least one key column")
+    require(bucketMillis > 0, "bucketMillis must be positive")
+    val w = lit(bucketMillis)
+    val iv = intervals.withColumn("__cell", explode(sequence(
+      floor(unix_millis(col(startCol)) / w).cast("long"),
+      floor((unix_millis(col(endCol)) - 1) / w).cast("long"))))
+    val pt = points
+      .select((keys.map(col) :+ col(tsCol)) ++ pointCols.map(col): _*)
+      .withColumn("__cell", floor(unix_millis(col(tsCol)) / w).cast("long"))
+    iv.join(pt, keys :+ "__cell")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__cell")
+  }
 }

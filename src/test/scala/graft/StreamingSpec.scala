@@ -35,6 +35,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Sessionizer (flatMapGroupsWithState): batch ≡ gaps-and-islands twin") {
+    import graft.streaming.{SessionEvent, Sessionizer}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("tsMillis"))
+      .as[SessionEvent]
+    val gap = 30L * 60 * 1000
+    val got = Sessionizer.assignSessions(ev, gap)
+      .toDF().orderBy("user_id", "session_seq", "event_id").collect()
+
+    // twin: lag + running sum of new-session markers (strict > gap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsMillis", "event_id")
+    val twin = ev.toDF()
+      .withColumn("new_s",
+        when(col("tsMillis") - lag("tsMillis", 1).over(w) > gap
+          || lag("tsMillis", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_seq", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("event_id"), col("session_seq").cast("int"))
+      .orderBy("user_id", "session_seq", "event_id").collect()
+    assert(got.length == twin.length && got.length > 0)
+    assert(got.toSeq == twin.toSeq)
+  }
+
+  test("Sessionizer streaming: state carries sessions across micro-batches") {
+    import graft.streaming.{SessionEvent, Sessionizer}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("tsMillis"))
+    val cut = all.selectExpr("percentile(tsMillis, 0.5)").collect()(0).getDouble(0).toLong
+
+    // two time-ordered files → maxFilesPerTrigger=1 forces two micro-batches,
+    // so per-user sessions spanning the cut exercise cross-batch state
+    val dir = java.nio.file.Files.createTempDirectory("sessionizer-stream").toString
+    all.where(col("tsMillis") <= cut).coalesce(1).write.parquet(s"$dir/b0")
+    all.where(col("tsMillis") > cut).coalesce(1).write.parquet(s"$dir/b1")
+    val src = java.nio.file.Files.createTempDirectory("sessionizer-src").toString
+    def copyOne(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(src, name))
+    }
+    copyOne("b0", "part-0.parquet") // older file first (latestFirst=false)
+    Thread.sleep(1100)              // distinct mtimes → deterministic order
+    copyOne("b1", "part-1.parquet")
+
+    val gap = 30L * 60 * 1000
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src).as[SessionEvent]
+    val q = Sessionizer.assignSessions(stream, gap)
+      .writeStream.format("memory").queryName("sessionizer_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessionizer_out")
+        .orderBy("user_id", "session_seq", "event_id").collect()
+      val batch = Sessionizer.assignSessions(all.as[SessionEvent], gap)
+        .toDF().orderBy("user_id", "session_seq", "event_id").collect()
+      assert(got.length == batch.length && got.length > 0)
+      assert(got.toSeq == batch.toSeq,
+        "streaming with cross-batch state must equal the batch run")
+    } finally q.stop()
+  }
+
   test("session_window boundary: exact-gap event merges (strict-gap SQL twin)") {
     import spark.implicits._
     // Events exactly gap apart MERGE into one session — pins the semantics
