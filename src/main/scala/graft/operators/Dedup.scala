@@ -42,8 +42,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "band blocking with 4 bands guarantees recall only for maxDist <= 3")
-    val sh = docs.select(col(idCol).cast("long").as("id"),
-      simhash64(T.tokenize(col(textCol))).as("sh"))
+    val sh = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("id"),
+        simhash64(T.tokenize(col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bv"))
@@ -67,8 +68,15 @@ object Dedup {
   def ngramJaccardPairs(model: MinHashLSHModel, docs: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double): DataFrame = {
     val cands = model.approxSimilarityJoin(threshold / 3).select("a_id", "b_id")
-    val sh = docs.select(col(idCol).cast("long").as("id"),
-      T.shingles(col(textCol), k).as("sh"))
+    // Shingle once, in parallel, and materialize: the frame feeds BOTH join
+    // sides — left lazy it would re-tokenize the corpus twice, and a
+    // single-file local scan would do so on one task. localCheckpoint also
+    // hands Catalyst exact size stats for the broadcast decision (at
+    // cluster scale substitute persist()).
+    val sh = graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
+      .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
+      .localCheckpoint()
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
