@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape contracts: the properties PERF.md claims — pushdown, column
+  * pruning, broadcasts, product-join avoidance — asserted on the actual
+  * optimized/physical plans so a regression fails CI, not a benchmark
+  * eyeball. Queries come straight from SparkEntry (the driver contract).
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("flt_predicate pushes filters into the parquet scan") {
+    val plan = planOf("flt_predicate")
+    assert(plan.contains("PushedFilters:") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      s"expected l_quantity in PushedFilters:\n$plan")
+  }
+
+  test("prj_select prunes the scan to the projected columns") {
+    val plan = planOf("prj_select")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && !readSchema.contains("c_address"),
+      s"expected 3-column ReadSchema, got: $readSchema")
+  }
+
+  test("join_docs_topk broadcasts the top-k side and plans TakeOrderedAndProject") {
+    val plan = planOf("join_docs_topk")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for orderBy+limit:\n$plan")
+  }
+
+  test("as-of and range joins never degrade to product joins") {
+    for (q <- Seq("join_asof", "join_range")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi/window plan:\n$plan")
+    }
+  }
+
+  test("aggregations are partial+final hash aggregates (map-side combine)") {
+    val plan = planOf("agg_group_stats")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(plan.matches("(?s).*partial_(sum|count).*"),
+      s"expected partial aggregation before the exchange:\n$plan")
+  }
+
+  test("direct-mode featurize is a narrow plan: no exchange before the index") {
+    val m = new graft.operators.MinHashLSH(
+      MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
+      .fit(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val plan = m.indexDf.queryExecution.executedPlan.toString
+    // one RoundRobin repartition (ensureParallelism) is allowed; a
+    // hash/range exchange would mean an accidental shuffle in the pipeline
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"direct featurize must not shuffle:\n$plan")
+    m.unpersist()
+  }
+}
