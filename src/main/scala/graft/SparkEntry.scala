@@ -366,6 +366,11 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("bucket"),
           round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_topk_ivf" -> ((s, d) => // trained inverted lists — no SQL oracle
+      SimSearch.cosineTopKIvf(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
+        nLists = 16, nProbe = 4, iters = 2)
+        .select(col("id").as("vec_id"), col("cell"), round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)),
 
     // --- text analysis
     "text_langid" -> ((s, d) =>
@@ -420,6 +425,20 @@ object SparkEntry {
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
+        .orderBy("doc_id")),
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
+        .toDF().orderBy("doc_id")),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text")),
+          everyK = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.planResize(
+          Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text")),
+          maxSide = 256)
         .orderBy("doc_id")))
 
   // ------------------------------------------------------------ oracle SQL
@@ -889,5 +908,33 @@ object SparkEntry {
         CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
         CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INTEGER) AS height,
         CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS frame_count
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    "mm_features" -> """
+      WITH n AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+      SELECT doc_id,
+        CAST((len * 3) % 97 AS DOUBLE) / 97.0 AS f0,
+        CAST((len * 4) % 97 AS DOUBLE) / 97.0 AS f1,
+        CAST((len * 5) % 97 AS DOUBLE) / 97.0 AS f2,
+        CAST((len * 6) % 97 AS DOUBLE) / 97.0 AS f3,
+        CAST((len * 7) % 97 AS DOUBLE) / 97.0 AS f4,
+        CAST((len * 8) % 97 AS DOUBLE) / 97.0 AS f5,
+        CAST((len * 9) % 97 AS DOUBLE) / 97.0 AS f6,
+        CAST((len * 10) % 97 AS DOUBLE) / 97.0 AS f7
+      FROM n ORDER BY doc_id""",
+    "mm_frame_sample" -> """
+      WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 16 AS frame_count
+                 FROM documents)
+      SELECT doc_id, unnest(range(0, frame_count, 4)) AS frame_idx
+      FROM m ORDER BY doc_id, frame_idx""",
+    "mm_resize" -> """
+      WITH m AS (SELECT doc_id,
+          CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+          CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INTEGER) AS height
+        FROM documents),
+      s AS (SELECT doc_id, width, height,
+          least(256.0 / width, 256.0 / height, 1.0) AS sc FROM m)
+      SELECT doc_id, width, height,
+        CAST(floor(width * sc) AS INTEGER) AS out_width,
+        CAST(floor(height * sc) AS INTEGER) AS out_height
+      FROM s ORDER BY doc_id""")
 }

@@ -70,4 +70,48 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0), col("frame_count") - 1, lit(everyK))).as("frame_idx"))
+
+  /** Fixed-width media "feature vector" row (8 dims as scalar columns —
+    * comparator-friendly and column-pruned like a real feature table).
+    */
+  final case class MediaFeatures(
+      doc_id: Long, f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double)
+
+  /** ==== STUB ==== deterministic fake feature extraction: 8 doubles derived
+    * from the payload length only, so an external oracle can reproduce them
+    * from octet_length. A real embedding model would run here (per-partition
+    * batch, model loaded once per partition — the `mapPartitions` shape is
+    * the real contract).
+    */
+  def stubFeature(n: Int, j: Int): Double = ((n.toLong * (j + 3)) % 97).toDouble / 97.0
+
+  def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real extractors init the model once here, per partition
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          MediaFeatures(id,
+            stubFeature(n, 0), stubFeature(n, 1), stubFeature(n, 2),
+            stubFeature(n, 3), stubFeature(n, 4), stubFeature(n, 5),
+            stubFeature(n, 6), stubFeature(n, 7))
+        }
+      }
+  }
+
+  /** Resize stub: target-box metadata (aspect-preserving fit) computed as
+    * native expressions over the decoded metadata — no data movement, pure
+    * projection, exactly how a resize planner would annotate a media table.
+    */
+  def planResize(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"), lit(maxSide.toDouble) / col("height"), lit(1.0))
+    meta.toDF().select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_width"),
+      floor(col("height") * scale).cast("int").as("out_height"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column. */
@@ -39,6 +39,65 @@ object SimSearch {
       .where(col("id") =!= queryId)
       .withColumn("cosine", V.cosine(col("v"), col("q_v")))
       .select(col("id"), col("bucket"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** IVF top-k: k-means inverted lists with distributed Lloyd training.
+    *
+    * Training is deterministic (seeds = the `nLists` lowest-id vectors,
+    * fixed iteration count): each iteration assigns every vector to its
+    * nearest centroid with a broadcast-literal `transform` + argmax (pure
+    * expressions, no UDF) and recomputes centroids as per-cell element
+    * means via posexplode → groupBy(cell, dim) — one shuffle of (cell, dim,
+    * value) triples per iteration, never the vectors themselves. Only the
+    * (nLists × dim) centroid table ever reaches the driver.
+    *
+    * Search probes the `nProbe` lists nearest the query vector: at cluster
+    * scale `cell` is the partition/cluster key, so the probe prunes files
+    * and scans nProbe/nLists of the corpus. `nProbe = nLists` degenerates
+    * to exact brute force (recall invariant pinned in OperatorSpec).
+    */
+  def cosineTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    require(nLists >= 1 && nProbe >= 1 && nProbe <= nLists)
+    val base = graft.SparkUtil.ensureParallelism(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+      .localCheckpoint() // feeds every Lloyd iteration + the final probe scan
+    def normalized(c: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (if (n == 0) c else c.map(_ / n)).toSeq
+    }
+    // deterministic seeds: the nLists lowest-id vectors
+    var centroids: Seq[Seq[Double]] = base.orderBy("id").limit(nLists)
+      .select("v").collect()
+      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray)).toSeq
+    def cellOf(v: Column): Column = {
+      val sims = transform(typedlit(centroids), c => dotProduct(v, c))
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    for (_ <- 1 to iters) {
+      val dims = base.select(cellOf(col("v")).as("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect()
+      centroids = centroids.indices.map { cell =>
+        val ds = dims.filter(_.getInt(0) == cell)
+        if (ds.isEmpty) centroids(cell) // empty list keeps its centroid
+        else normalized(ds.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    }
+    val assigned = base.withColumn("cell", cellOf(col("v")))
+    val qv = emb.where(col(idCol) === queryId).select(col(vecCol)).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qv).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    assigned.where(col("cell").isin(probeCells: _*))
+      .withColumn("cosine", V.cosine(col("v"), typedlit(qv)))
+      .where(col("id") =!= queryId)
+      .select(col("id"), col("cell"), col("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }

@@ -89,6 +89,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(bucketedIds.subsetOf(bruteAll + 0L))
   }
 
+  test("IVF ANN: nProbe=nLists degenerates to exact brute force; partial probe is a subset") {
+    val brute = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val full = SimSearch.cosineTopKIvf(emb, "vec_id", "embedding", 0L, 10,
+        nLists = 8, nProbe = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(full.toSeq == brute.toSeq,
+      s"probing every list must equal brute force:\nivf  =${full.toSeq}\nbrute=${brute.toSeq}")
+    val partial = SimSearch.cosineTopKIvf(emb, "vec_id", "embedding", 0L, 10,
+        nLists = 8, nProbe = 2, iters = 2)
+      .collect().map(_.getLong(0))
+    assert(partial.length == 10)
+    val bruteAll = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.forall(bruteAll.contains))
+  }
+
   test("multi-probe ANN: recall ≥ single-probe, probes stay within hamming 1") {
     val single = SimSearch.cosineTopKBucketed(emb, "vec_id", "embedding", 0L, 10, 4).collect()
     val multi = SimSearch.cosineTopKMultiProbe(emb, "vec_id", "embedding", 0L, 10, 4).collect()
