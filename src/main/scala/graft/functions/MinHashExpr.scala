@@ -80,6 +80,11 @@ case class MinHashMd5Signature(child: Expression, numHash: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val md = digestLocal.get()
+    // digest into a reused scratch buffer: md.digest() would allocate a
+    // fresh 16-byte array per (shingle × slot) call — numHash × |shingles|
+    // young-gen garbage per row on the hottest loop of the engine. Minima
+    // are copied out only when they improve (rare after warm-up).
+    val scratch = new Array[Byte](16)
     val mins = new Array[Array[Byte]](numHash)
     var i = 0
     while (i < n) {
@@ -89,8 +94,9 @@ case class MinHashMd5Signature(child: Expression, numHash: Int)
         md.reset()
         md.update(hashPrefixes(h))
         md.update(sBytes)
-        val d = md.digest()
-        if (mins(h) == null || lessThan(d, mins(h))) mins(h) = d
+        md.digest(scratch, 0, 16)
+        if (mins(h) == null) mins(h) = java.util.Arrays.copyOf(scratch, 16)
+        else if (lessThan(scratch, mins(h))) System.arraycopy(scratch, 0, mins(h), 0, 16)
         h += 1
       }
       i += 1
