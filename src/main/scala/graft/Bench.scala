@@ -51,6 +51,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // each query fits/caches its own index; drop it so later queries are
+      // measured against a clean storage pool, not a 60-query cache backlog
+      spark.catalog.clearCache()
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -74,7 +74,7 @@ object SparkEntry {
       tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
     "prj_derived_tokens" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         size(T.tokenize(col("text"))).as("n_tokens")).orderBy("doc_id")),
     "flt_predicate" -> ((s, d) =>
       tbl(s, d, "lineitem")
@@ -267,7 +267,7 @@ object SparkEntry {
     // cell breaks. The join is lossless (tokens/shingles can't contain the
     // separator) and identical on the DuckDB side (array_to_string).
     "fn_tokenize" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(T.tokenize(col("text")), " ").as("tokens_str"))
         .orderBy("doc_id")),
     "fn_k_shingles" -> ((s, d) =>
@@ -275,7 +275,7 @@ object SparkEntry {
         array_join(array_sort(T.shingles(col("text"), 2)), "|").as("shingles_str"))
         .orderBy("doc_id")),
     "fn_char_ngrams" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(array_sort(T.charNGrams(col("text"), 3)), "").as("ngrams_str"))
         .orderBy("doc_id")),
     "fn_bool_vectorizer" -> ((s, d) => {
@@ -374,18 +374,18 @@ object SparkEntry {
 
     // --- text analysis
     "text_langid" -> ((s, d) =>
-      TextAnalysis.withLangId(docs(s, d), "text")
+      TextAnalysis.withLangId(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "de_hits", "en_hits", "es_hits", "fr_hits", "lang_pred")
         .orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
-      TextAnalysis.withQualityScore(docs(s, d), "text")
+      TextAnalysis.withQualityScore(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
           "digit_ratio", "quality_score").orderBy("doc_id")),
     "text_token_counts" -> ((s, d) =>
-      TextAnalysis.withTokenCounts(docs(s, d), "text")
+      TextAnalysis.withTokenCounts(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "ws_tokens", "bpe_ish_tokens").orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
-      TextAnalysis.withFingerprints(docs(s, d), "text")
+      TextAnalysis.withFingerprints(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "bag_fingerprint", "seq_fingerprint").orderBy("doc_id")),
 
     // --- the composed curation pipeline: what a training-data run does

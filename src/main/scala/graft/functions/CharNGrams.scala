@@ -34,10 +34,24 @@ case class CharNGrams(child: Expression, n: Int)
     val s = input.asInstanceOf[UTF8String]
     val len = s.numChars()
     if (len < n) return new GenericArrayData(Array.empty[Any])
+    // One O(len) pass records every char-start byte offset; windows are
+    // then zero-copy byte-range views. substringSQL would re-scan from
+    // byte 0 on every call to find the char position — O(len²) per doc,
+    // the dominant cost for multi-KB documents.
+    val bytes = s.getBytes
+    val offs = new Array[Int](len + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < len) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(len) = bytes.length
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= len - n) {
-      seen.add(s.substringSQL(i + 1, n))
+      seen.add(UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i)))
       i += 1
     }
     new GenericArrayData(seen.toArray[AnyRef](Array.empty[AnyRef]))
