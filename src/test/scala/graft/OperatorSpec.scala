@@ -36,6 +36,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(byId(102L).isNullAt(3), "key with no right rows must get null")
   }
 
+  test("asofJoinPrior ≡ brute-force max-prior join on randomized data") {
+    val rnd = new scala.util.Random(42)
+    def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(6).toLong, t(rnd.nextInt(500)), i.toLong)).toDF("k", "ts", "lid")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(6).toLong, t(rnd.nextInt(500)), (1000 + i).toLong)).toDF("k", "ts", "rid")
+    val got = Joins.asofJoinPrior(left, right, Seq("k"), "ts",
+        payloadCols = Seq("rid"), tieBreak = "rid", outPrefix = "m_")
+      .select("lid", "m_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute: max (ts, rid) among right rows at-or-before, per left row
+    val brute = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.lid"))
+      .agg(max_by(col("r.rid"), struct(col("r.ts"), col("r.rid"))).as("m_rid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == brute)
+  }
+
+  test("rangeJoinBucketed ≡ brute inequality join on randomized data") {
+    val rnd = new scala.util.Random(7)
+    def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 1000)
+    val intervals = (1 to 200).map { i =>
+      val s = rnd.nextInt(5000)
+      (rnd.nextInt(5).toLong, i.toLong, t(s), t(s + 1 + rnd.nextInt(900)))
+    }.toDF("k", "iid", "start", "end")
+    val points = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, (1000 + i).toLong, t(rnd.nextInt(6000)))).toDF("k", "pid", "pts")
+    val got = Joins.rangeJoinBucketed(intervals, points, Seq("k"),
+        "start", "end", "pts", bucketMillis = 300000L, pointCols = Seq("pid"))
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = intervals.join(points, Seq("k"))
+      .where(col("pts") >= col("start") && col("pts") < col("end"))
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("dropExactDuplicates keeps lowest id per text group") {
     val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"), (9L, "same text"))
       .toDF("doc_id", "text")
