@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.{Cols, MinHashConfig}
-import graft.operators.MinHashLSH
+import graft.operators.{MinHashLSH, MinHashLSHModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
 /** Incremental corpus ingestion (SURVEY.md §7.6 north star): because the
@@ -40,4 +41,18 @@ object StreamingIndex {
       .select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text))
       .withColumn("text_hash", md5(col(Cols.Text)))
       .dropDuplicates("text_hash")
+
+  /** Streaming ANN: answer a stream of text queries against a static fitted
+    * index — the stream-static pattern via `foreachBatch`, re-using the
+    * batch multi-query plan (bucket equi-join + per-query top-n window)
+    * per micro-batch. The index side stays cached across batches; only the
+    * micro-batch of queries is featurized each trigger. `sink` receives the
+    * (qid, id, jaccard, rank) result frame of each micro-batch.
+    */
+  def streamingAnn(model: MinHashLSHModel, queries: DataFrame, qidCol: String,
+      textCol: String, n: Int)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(model.approxNearestNeighborsAll(batch, qidCol, textCol, n))
+      }.start()
 }

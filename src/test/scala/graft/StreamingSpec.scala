@@ -102,6 +102,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN over micro-batched queries equals the batch multi-query run") {
+    import graft.operators.MinHashLSH
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2)).fit(docs, "doc_id", "text")
+    val queries = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("text"))
+
+    val batchResult = model.approxNearestNeighborsAll(queries, "qid", "text", 5)
+      .orderBy("qid", "rank").collect()
+
+    // stream the same queries as two files → two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("ann-queries").toString
+    queries.where(col("qid") < 10).coalesce(1).write.parquet(s"$dir/b0")
+    queries.where(col("qid") >= 10).coalesce(1).write.parquet(s"$dir/b1")
+    val src = java.nio.file.Files.createTempDirectory("ann-src").toString
+    def copyOne(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(src, name))
+    }
+    copyOne("b0", "q0.parquet")
+    copyOne("b1", "q1.parquet")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIndex.streamingAnn(model, stream, "qid", "text", 5) { out =>
+      collected.synchronized { collected ++= out.collect() }
+    }
+    try {
+      q.processAllAvailable()
+      val got = collected.sortBy(r => (r.getLong(0), r.getInt(3)))
+      assert(got.length == batchResult.length && got.nonEmpty)
+      assert(got.toSeq == batchResult.toSeq)
+    } finally q.stop()
+    model.unpersist()
+  }
+
   test("session_window boundary: exact-gap event merges (strict-gap SQL twin)") {
     import spark.implicits._
     // Events exactly gap apart MERGE into one session — pins the semantics
