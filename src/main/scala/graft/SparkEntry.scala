@@ -327,6 +327,15 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("text"))
       m.approxNearestNeighborsAll(qs, "qid", "text", 5)
     }),
+    "ann_batch_md5" -> ((s, d) => { // md5 twin of the batch path — oracle-checked
+      val m = fitted(s, d, cfg16)
+      val qs = docs(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("text"))
+      m.approxNearestNeighborsAll(qs, "qid", "text", 5)
+        .select(col("qid"), col(Cols.Id).as("id"), col(Cols.Jaccard),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
 
     // --- dedup family (training-pipeline extensions)
     "dedup_exact_keep" -> ((s, d) =>
@@ -689,6 +698,24 @@ object SparkEntry {
       SELECT sc.doc_id, d.text, sc.jaccard
       FROM scored sc JOIN documents d USING (doc_id)
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    "ann_batch_md5" -> s"""
+      WITH ${docCtes(cfg16)},
+      qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
+             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 20),
+      pairs AS (
+        SELECT q.qid, s.doc_id AS id, q.q_sig, s.signature
+        FROM qf q, buck b JOIN sig s USING (doc_id)
+        WHERE list_has_any(b.bucket_ids, q.q_buckets)),
+      scored AS (
+        SELECT qid, id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> signature[i] = q_sig[i])) AS DOUBLE)
+            / least(len(signature), len(q_sig)) AS FLOAT4) AS jaccard
+        FROM pairs),
+      ranked AS (
+        SELECT qid, id, jaccard,
+          row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, id) AS rank
+        FROM scored)
+      SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "dedup_exact_keep" -> """
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
