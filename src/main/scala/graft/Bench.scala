@@ -52,8 +52,12 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       // each query fits/caches its own index; drop it so later queries are
-      // measured against a clean storage pool, not a 60-query cache backlog
+      // measured against a clean storage pool, not a 60-query cache backlog.
+      // clearCache only covers Dataset caches — localCheckpoint blocks
+      // (ngram dedup, IVF, batch ANN) are pinned RDDs and need their own
+      // unpersist sweep.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -41,15 +41,19 @@ object Joins {
     val rightType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c)))
 
-    // tag 0 sorts right rows before left at equal ts ⇒ "at or before"
+    // tag 0 sorts right rows before left at equal ts ⇒ "at or before".
+    // __tie keeps the tieBreak column's own type — a cast (e.g. to long)
+    // would silently null out string/uuid tie-breakers and lose the
+    // determinism guarantee.
+    val tieType = right.schema(tieBreak).dataType
     val l = left.select(
       keyCols :+ col(tsCol).as("__ts") :+ lit(1).as("__tag") :+
-        lit(null).cast("long").as("__tie") :+
+        lit(null).cast(tieType).as("__tie") :+
         struct(left.columns.map(col): _*).as("__l") :+
         lit(null).cast(rightType).as("__r"): _*)
     val r = right.select(
       keyCols :+ col(tsCol).as("__ts") :+ lit(0).as("__tag") :+
-        col(tieBreak).cast("long").as("__tie") :+
+        col(tieBreak).as("__tie") :+
         lit(null).cast(leftType).as("__l") :+
         struct(payloadCols.map(col): _*).as("__r"): _*)
 
@@ -61,8 +65,10 @@ object Joins {
       .withColumn("__prior", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
 
-    val outCols = left.columns.map(c => col(s"__l.$c").as(c)) ++
-      payloadCols.map(c => col(s"__prior.$c").as(outPrefix + c))
+    // getField, not string-path col(): a column name containing '.' must
+    // resolve as one field, not a nested path
+    val outCols = left.columns.map(c => col("__l").getField(c).as(c)) ++
+      payloadCols.map(c => col("__prior").getField(c).as(outPrefix + c))
     joined.select(outCols: _*)
   }
 
@@ -96,9 +102,14 @@ object Joins {
     require(keys.nonEmpty, "rangeJoinBucketed needs at least one key column")
     require(bucketMillis > 0, "bucketMillis must be positive")
     val w = lit(bucketMillis)
-    val iv = intervals.withColumn("__cell", explode(sequence(
+    // guard end > start: Spark's sequence() happily generates a DESCENDING
+    // run for inverted intervals, exploding one dirty row into thousands of
+    // spurious cells; empty/inverted intervals must contribute zero rows
+    val cells = when(col(endCol) > col(startCol), sequence(
       floor(unix_millis(col(startCol)) / w).cast("long"),
-      floor((unix_millis(col(endCol)) - 1) / w).cast("long"))))
+      floor((unix_millis(col(endCol)) - 1) / w).cast("long")))
+      .otherwise(lit(Array.empty[Long]))
+    val iv = intervals.withColumn("__cell", explode(cells))
     val pt = points
       .select((keys.map(col) :+ col(tsCol)) ++ pointCols.map(col): _*)
       .withColumn("__cell", floor(unix_millis(col(tsCol)) / w).cast("long"))

@@ -37,11 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext: SparkSessionExtensions,
       name: String,
       usage: String,
-      builder: Seq[Expression] => Expression): Unit =
+      builder: PartialFunction[Seq[Expression], Expression]): Unit =
     ext.injectFunction((
       FunctionIdentifier(name),
       new ExpressionInfo("graft", null, name, usage, ""),
-      builder))
+      // applyOrElse: a wrong argument count surfaces as a named analysis
+      // error instead of a raw scala.MatchError from the case pattern
+      (exprs: Seq[Expression]) => builder.applyOrElse(exprs,
+        (e: Seq[Expression]) => throw new IllegalArgumentException(
+          s"$name: invalid number of arguments (${e.length}); usage: $usage"))))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // direct custom-Expression registrations
@@ -62,7 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a) => SimHash64(a) })
     register(ext, "graft_char_ngrams",
       "graft_char_ngrams(text, n) - distinct character n-grams of normalized text",
-      { case Seq(a, n) => CharNGrams(a, intArg("graft_char_ngrams", n)) })
+      // via TextFunctions so the lower/collapse-whitespace/trim
+      // normalization matches the DataFrame twin (raw CharNGrams would
+      // n-gram the unnormalized text and silently break SQL ≡ DataFrame)
+      { case Seq(a, n) =>
+        ColumnBridge.resolvedExpression(
+          TextFunctions.charNGrams(c(a), intArg("graft_char_ngrams", n))) })
     register(ext, "graft_minhash_md5",
       "graft_minhash_md5(shingles, h) - md5-mode MinHash signature (h hex strings)",
       { case Seq(a, h) => MinHashMd5Signature(a, intArg("graft_minhash_md5", h)) })

@@ -57,6 +57,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("asofJoinPrior: string tieBreak keeps its type (max string wins, no silent null)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2026-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, t("2026-01-01 09:00:00"), "uuid-aaa"),
+      (1L, t("2026-01-01 09:00:00"), "uuid-zzz")).toDF("k", "ts", "rid")
+    val got = Joins.asofJoinPrior(left, right, Seq("k"), "ts",
+        payloadCols = Seq("rid"), tieBreak = "rid", outPrefix = "m_").collect()(0)
+    assert(got.getString(3) == "uuid-zzz", s"expected max string tieBreak, got $got")
+  }
+
+  test("rangeJoinBucketed: inverted/empty intervals contribute zero rows, no cell blowup") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      (1L, 1L, t("2026-01-08 00:00:00"), t("2026-01-01 00:00:00")), // end < start (dirty)
+      (1L, 2L, t("2026-01-01 00:00:00"), t("2026-01-01 00:00:00")), // empty
+      (1L, 3L, t("2026-01-01 00:00:00"), t("2026-01-01 01:00:00"))  // valid
+    ).toDF("k", "iid", "start", "end")
+    val points = Seq((1L, 10L, t("2026-01-01 00:30:00"))).toDF("k", "pid", "pts")
+    val got = Joins.rangeJoinBucketed(intervals, points, Seq("k"),
+        "start", "end", "pts", bucketMillis = 300000L, pointCols = Seq("pid"))
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 10L)), s"only the valid interval may match: ${got.toSeq}")
+  }
+
   test("rangeJoinBucketed ≡ brute inequality join on randomized data") {
     val rnd = new scala.util.Random(7)
     def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 1000)

@@ -46,6 +46,30 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
   }
 
+  test("graft_char_ngrams normalizes like the DataFrame twin on raw text") {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // mixed case + double spaces: the SQL function must apply the same
+    // lower/collapse/trim normalization as TextFunctions.charNGrams
+    val df = Seq("Hello  WORLD", "  A  B  ").toDF("t")
+    df.createOrReplaceTempView("raw_text")
+    val viaSql = spark.sql("SELECT graft_char_ngrams(t, 3) AS g FROM raw_text").collect()
+    val viaApi = df.select(T.charNGrams($"t", 3).as("g")).collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql(0).getSeq[String](0).contains("o w")) // normalized, not 'o  '
+  }
+
+  test("wrong arity raises a named error, not a MatchError") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot_product(array(1.0D))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("graft_dot_product")),
+      s"expected a message naming the function, got: $e")
+  }
+
   test("vector kernels from SQL: dot, norm, cosine, agreement, set jaccard") {
     val row = spark.sql("""
       SELECT
