@@ -56,8 +56,10 @@ object Bench {
       // clearCache only covers Dataset caches — localCheckpoint blocks
       // (ngram dedup, IVF, batch ANN) are pinned RDDs and need their own
       // unpersist sweep.
+      // blocking: an async sweep would still be evicting blocks inside the
+      // next query's timed region
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Backtick-quoted column ref: a plain `col("user.id")` would resolve as
+    * a nested-field path, silently or fatally, for names containing dots.
+    */
+  private def qcol(name: String): Column = col(s"`$name`")
+
   /** Backward as-of join: for every left row, attach the payload of the
     * latest right row with `right.tsCol <= left.tsCol` for the same key
     * (the classic "most recent prior event/quote" lookup).
@@ -35,7 +40,7 @@ object Joins {
       tieBreak: String,
       outPrefix: String = "r_"): DataFrame = {
     require(keys.nonEmpty, "asofJoinPrior needs at least one key column")
-    val keyCols: Seq[Column] = keys.map(col)
+    val keyCols: Seq[Column] = keys.map(qcol)
     val leftType = org.apache.spark.sql.types.StructType(
       left.columns.map(c => left.schema(c)))
     val rightType = org.apache.spark.sql.types.StructType(
@@ -47,18 +52,22 @@ object Joins {
     // determinism guarantee.
     val tieType = right.schema(tieBreak).dataType
     val l = left.select(
-      keyCols :+ col(tsCol).as("__ts") :+ lit(1).as("__tag") :+
+      keyCols :+ qcol(tsCol).as("__ts") :+ lit(1).as("__tag") :+
         lit(null).cast(tieType).as("__tie") :+
-        struct(left.columns.map(col): _*).as("__l") :+
+        struct(left.columns.map(qcol): _*).as("__l") :+
         lit(null).cast(rightType).as("__r"): _*)
     val r = right.select(
-      keyCols :+ col(tsCol).as("__ts") :+ lit(0).as("__tag") :+
-        col(tieBreak).as("__tie") :+
+      keyCols :+ qcol(tsCol).as("__ts") :+ lit(0).as("__tag") :+
+        qcol(tieBreak).as("__tie") :+
         lit(null).cast(leftType).as("__l") :+
-        struct(payloadCols.map(col): _*).as("__r"): _*)
+        struct(payloadCols.map(qcol): _*).as("__r"): _*)
 
+    // nulls FIRST: a null tieBreak must lose to every non-null value —
+    // nulls-last would let a null-tie row beat real tie-breakers. Ties
+    // among multiple null tieBreaks remain arbitrary; pass a unique
+    // non-null column for full determinism.
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc_nulls_last)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val joined = l.unionByName(r)
@@ -85,6 +94,15 @@ object Joins {
     * point has one cell, so no pair can match twice — no distinct needed.
     * Pick `bucketMillis` near the typical interval length.
     *
+    * Dirty-data bounds: inverted/empty intervals (`end <= start`)
+    * contribute zero rows, and every interval's cell fan-out is capped at
+    * `maxCellsPerInterval` — a sentinel end date (9999-12-31) would
+    * otherwise explode one row into ~10⁸ cells. An interval longer than
+    * `maxCellsPerInterval × bucketMillis` only matches points within that
+    * horizon after `startCol` (size `bucketMillis` to the data so real
+    * intervals span a handful of cells; the cap is an anti-sentinel guard,
+    * not a tuning knob).
+    *
     * @param intervals    frame with `startCol`/`endCol` timestamps
     * @param points       frame with `tsCol` timestamps; emitted columns are
     *                     the caller-selected `pointCols` (pre-alias to
@@ -98,23 +116,27 @@ object Joins {
       endCol: String,
       tsCol: String,
       bucketMillis: Long,
-      pointCols: Seq[String]): DataFrame = {
+      pointCols: Seq[String],
+      maxCellsPerInterval: Int = 4096): DataFrame = {
     require(keys.nonEmpty, "rangeJoinBucketed needs at least one key column")
     require(bucketMillis > 0, "bucketMillis must be positive")
+    require(maxCellsPerInterval > 0, "maxCellsPerInterval must be positive")
     val w = lit(bucketMillis)
     // guard end > start: Spark's sequence() happily generates a DESCENDING
     // run for inverted intervals, exploding one dirty row into thousands of
     // spurious cells; empty/inverted intervals must contribute zero rows
-    val cells = when(col(endCol) > col(startCol), sequence(
-      floor(unix_millis(col(startCol)) / w).cast("long"),
-      floor((unix_millis(col(endCol)) - 1) / w).cast("long")))
+    val loCell = floor(unix_millis(qcol(startCol)) / w).cast("long")
+    val hiCell = least(
+      floor((unix_millis(qcol(endCol)) - 1) / w).cast("long"),
+      loCell + lit(maxCellsPerInterval.toLong - 1))
+    val cells = when(qcol(endCol) > qcol(startCol), sequence(loCell, hiCell))
       .otherwise(lit(Array.empty[Long]))
     val iv = intervals.withColumn("__cell", explode(cells))
     val pt = points
-      .select((keys.map(col) :+ col(tsCol)) ++ pointCols.map(col): _*)
-      .withColumn("__cell", floor(unix_millis(col(tsCol)) / w).cast("long"))
+      .select((keys.map(qcol) :+ qcol(tsCol)) ++ pointCols.map(qcol): _*)
+      .withColumn("__cell", floor(unix_millis(qcol(tsCol)) / w).cast("long"))
     iv.join(pt, keys :+ "__cell")
-      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .where(qcol(tsCol) >= qcol(startCol) && qcol(tsCol) < qcol(endCol))
       .drop("__cell")
   }
 }

@@ -68,6 +68,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.getString(3) == "uuid-zzz", s"expected max string tieBreak, got $got")
   }
 
+  test("asofJoinPrior: null tieBreak loses to any non-null value") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2026-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, t("2026-01-01 09:00:00"), "uuid-aaa"),
+      (1L, t("2026-01-01 09:00:00"), null.asInstanceOf[String])).toDF("k", "ts", "rid")
+    val got = Joins.asofJoinPrior(left, right, Seq("k"), "ts",
+        payloadCols = Seq("rid"), tieBreak = "rid", outPrefix = "m_").collect()(0)
+    assert(got.getString(3) == "uuid-aaa", s"null tie must lose: $got")
+  }
+
+  test("rangeJoinBucketed: sentinel far-future end is capped, matches stay within horizon") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      (1L, 1L, t("2026-01-01 00:00:00"), t("9999-12-31 00:00:00"))).toDF("k", "iid", "start", "end")
+    val points = Seq(
+      (1L, 10L, t("2026-01-01 00:10:00")),  // inside the capped horizon
+      (1L, 11L, t("2026-01-01 09:00:00"))   // beyond 4-cell × 5-min horizon
+    ).toDF("k", "pid", "pts")
+    val got = Joins.rangeJoinBucketed(intervals, points, Seq("k"),
+        "start", "end", "pts", bucketMillis = 300000L, pointCols = Seq("pid"),
+        maxCellsPerInterval = 4)
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L), s"sentinel interval must be capped at the horizon: $got")
+  }
+
   test("rangeJoinBucketed: inverted/empty intervals contribute zero rows, no cell blowup") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val intervals = Seq(
