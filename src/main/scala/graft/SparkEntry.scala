@@ -270,6 +270,11 @@ object SparkEntry {
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(T.tokenize(col("text")), " ").as("tokens_str"))
         .orderBy("doc_id")),
+    "fn_tokenize_unicode" -> ((s, d) => // Python-re `\w` parity mode — no SQL
+      // oracle (DuckDB's RE2 \w is ASCII-only); rows-only gate
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        array_join(T.tokenize(col("text"), unicode = true), " ").as("tokens_str"))
+        .orderBy("doc_id")),
     "fn_k_shingles" -> ((s, d) =>
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(array_sort(T.shingles(col("text"), 2)), "|").as("shingles_str"))
