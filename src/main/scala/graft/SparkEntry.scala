@@ -358,6 +358,14 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
+    "dedup_novel_filter" -> ((s, d) => {
+      // ingestion-time curation: keep docs >= 400 that near-dup nothing in
+      // the index fitted on docs < 400
+      val dd = docs(s, d)
+      val m = new MinHashLSH(cfg16).fit(dd.where(col("doc_id") < 400), "doc_id", "text")
+      m.filterNovel(dd.where(col("doc_id") >= 400), "doc_id", "text", 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_embedding_pairs" -> ((s, d) =>
       Dedup.embeddingPairsBrute(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
@@ -755,6 +763,20 @@ object SparkEntry {
             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         FROM cand p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
+    "dedup_novel_filter" -> s"""
+      WITH ${docCtes(cfg16)},
+      inc AS (SELECT s.doc_id, s.signature, b.bucket_ids
+              FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id >= 400),
+      ix AS (SELECT s.doc_id, s.signature, b.bucket_ids
+             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 400),
+      dups AS (
+        SELECT DISTINCT i.doc_id
+        FROM inc i JOIN ix x ON list_has_any(i.bucket_ids, x.bucket_ids)
+        WHERE CAST(CAST(len(list_filter(range(1, 17), k -> i.signature[k] = x.signature[k])) AS DOUBLE)
+          / least(len(i.signature), len(x.signature)) AS FLOAT4) >= 0.5)
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dups)
+      ORDER BY doc_id""",
     "dedup_embedding_pairs" -> """
       WITH pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

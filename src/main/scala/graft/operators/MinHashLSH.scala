@@ -220,6 +220,32 @@ final class MinHashLSHModel private[operators] (
       .select(col("a_id"), col("b_id"), col(Cols.Jaccard))
   }
 
+  /** Keep only documents that do NOT near-duplicate any indexed document
+    * (signature jaccard ≥ threshold against some index entry) — the
+    * curation filter for incremental ingestion: featurize incoming docs,
+    * bucket equi-join against the cached index, score, anti-join the
+    * matched ids away. Docs with null signatures (empty/OOV) cannot match
+    * anything and are kept. One bucket-key shuffle; the anti join carries
+    * only ids.
+    */
+  def filterNovel(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val qFeatured = lsh.featurize(
+        docs.select(col(idCol).cast("long").as("qid"), col(textCol)),
+        "qid", textCol, vocabulary)
+      .where(col(Cols.Signature).isNotNull)
+      .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
+      .localCheckpoint() // materialize before explode (see approxNearestNeighborsAll)
+    val qf = qFeatured.select(col("qid"), col("q_sig"),
+      explode(col(Cols.BucketIds)).as("bucket"))
+    val ix = indexDf.where(col(Cols.Signature).isNotNull)
+      .select(col(Cols.Signature).as("ix_sig"), explode(col(Cols.BucketIds)).as("bucket"))
+    val dupIds = qf.join(ix, Seq("bucket"))
+      .where(H.signatureJaccard(col("q_sig"), col("ix_sig")) >= threshold)
+      .select(col("qid")).distinct()
+    docs.join(dupIds, docs(idCol).cast("long") === dupIds("qid"), "left_anti")
+  }
+
   def unpersist(): Unit = {
     indexDf.unpersist()
     vocabulary.foreach(_.unpersist())

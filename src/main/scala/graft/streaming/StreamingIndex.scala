@@ -55,4 +55,18 @@ object StreamingIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) sink(model.approxNearestNeighborsAll(batch, qidCol, textCol, n))
       }.start()
+
+  /** Streaming near-duplicate curation: each micro-batch of incoming
+    * documents is filtered against the static fitted index
+    * ([[graft.operators.MinHashLSHModel.filterNovel]]) and `sink` receives
+    * only the novel survivors — the ingestion-time twin of the batch
+    * near-dup pruning in the curation pipeline.
+    */
+  def streamingNearDupFilter(model: MinHashLSHModel, docs: DataFrame,
+      idCol: String, textCol: String, threshold: Double)
+      (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(model.filterNovel(batch, idCol, textCol, threshold))
+      }.start()
 }

@@ -126,6 +126,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("filterNovel drops docs that near-dup the index, keeps novel and empty docs") {
+    val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2)).fit(docs, "doc_id", "text")
+    val doc0 = docs.where(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val incoming = Seq(
+      (900000L, doc0),                        // exact copy → must be dropped
+      (900001L, "totally novel zebra quark"), // novel → kept
+      (900002L, "???!!!")                     // empty after tokenize → kept
+    ).toDF("doc_id", "text")
+    val kept = model.filterNovel(incoming, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(900001L, 900002L), s"got ${kept.toSeq}")
+    model.unpersist()
+  }
+
   test("dropExactDuplicates keeps lowest id per text group") {
     val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"), (9L, "same text"))
       .toDF("doc_id", "text")

@@ -48,6 +48,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinPrior core is ONE hash-partition shuffle (the windowed union)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Joins
+    val spark2 = spark
+    import spark2.implicits._
+    def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    val left = (1 to 50).map(i => (i % 5L, t(i), i.toLong)).toDF("k", "ts", "lid")
+    val right = (1 to 50).map(i => (i % 5L, t(i), (100 + i).toLong)).toDF("k", "ts", "rid")
+    val plan = Joins.asofJoinPrior(left, right, Seq("k"), "ts", Seq("rid"), "rid")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one shuffle, got $shuffles:\n$plan")
+  }
+
   test("aggregations are partial+final hash aggregates (map-side combine)") {
     val plan = planOf("agg_group_stats")
     assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")

@@ -143,6 +143,32 @@ class StreamingSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("streaming near-dup filter keeps only novel docs, per micro-batch") {
+    import graft.operators.MinHashLSH
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2)).fit(docs, "doc_id", "text")
+    val doc0 = docs.where(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val incoming = Seq(
+      (900000L, doc0),                       // near-dups the index → dropped
+      (900001L, "totally novel zebra quark") // novel → kept
+    ).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("novel-src").toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(src)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIndex.streamingNearDupFilter(model,
+      spark.readStream.schema(incoming.schema).parquet(src), "doc_id", "text", 0.5) { out =>
+      buf.synchronized { buf ++= out.select("doc_id").as[Long].collect() }
+    }
+    try {
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq == Seq(900001L), s"got ${buf.toSeq}")
+    } finally q.stop()
+    model.unpersist()
+  }
+
   test("session_window boundary: exact-gap event merges (strict-gap SQL twin)") {
     import spark.implicits._
     // Events exactly gap apart MERGE into one session — pins the semantics
