@@ -231,7 +231,8 @@ final class MinHashLSHModel private[operators] (
   def filterNovel(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val qFeatured = lsh.featurize(
-        docs.select(col(idCol).cast("long").as("qid"), col(textCol)),
+        graft.SparkUtil.ensureParallelism(
+          docs.select(col(idCol).cast("long").as("qid"), col(textCol))),
         "qid", textCol, vocabulary)
       .where(col(Cols.Signature).isNotNull)
       .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
