@@ -47,7 +47,8 @@ object Bench {
     // ±2× scheduler/JIT noise; the minimum is the standard steady-state
     // estimator and stays honest (every rep does the full work — caches are
     // swept between reps).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -162,27 +162,39 @@ final class MinHashLSHModel private[operators] (
       .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
   }
 
+  /** Featurize a (qid, text) frame and explode its band buckets — shared
+    * candidate-generation front end of the batch ANN and novel-doc filter.
+    *
+    * The featurized side MUST be materialized (localCheckpoint) before the
+    * explode: otherwise InferFiltersFromGenerate + predicate pushdown
+    * substitute the whole nested featurize expression tree
+    * (buckets→signature→shingles) into a scan-level filter, re-evaluating
+    * the shingle pipeline once per signature slot per band (~2500×
+    * recompute; measured 130s vs 0.5s at sf0.1). A cached small
+    * query-feature table is also what a cluster deployment wants.
+    * The checkpoint blocks live until driver GC; the streaming wrappers
+    * (StreamingIndex) sweep them after each micro-batch.
+    */
+  private def explodedQueryFeatures(
+      queries: DataFrame, qidCol: String, textCol: String): DataFrame = {
+    val qFeatured = lsh.featurize(
+        graft.SparkUtil.ensureParallelism(
+          queries.select(col(qidCol).cast("long").as("qid"), col(textCol))),
+        "qid", textCol, vocabulary)
+      .where(col(Cols.Signature).isNotNull)
+      .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
+      .localCheckpoint()
+    qFeatured.select(col("qid"), col("q_sig"),
+      explode(col(Cols.BucketIds)).as("bucket"))
+  }
+
   /** Batch ANN for a whole DataFrame of queries — the scale path the
     * reference lacks: explode band buckets on both sides, equi-join on the
     * bucket (shuffle key), dedup pairs, score, top-n per query via window.
     */
   def approxNearestNeighborsAll(
       queries: DataFrame, qidCol: String, textCol: String, n: Int): DataFrame = {
-    // The featurized query side MUST be materialized before the explode:
-    // otherwise InferFiltersFromGenerate + predicate pushdown substitute the
-    // whole nested featurize expression tree (buckets→signature→shingles)
-    // into a scan-level filter, re-evaluating the shingle pipeline once per
-    // signature slot per band (~2500× recompute; measured 130s vs 0.5s at
-    // sf0.1). A cached small query-feature table is also what a cluster
-    // deployment wants.
-    val qFeatured = lsh.featurize(
-        queries.select(col(qidCol).cast("long").as("qid"), col(textCol)),
-        "qid", textCol, vocabulary)
-      .where(col(Cols.Signature).isNotNull)
-      .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
-      .localCheckpoint()
-    val qf = qFeatured.select(col("qid"), col("q_sig"),
-      explode(col(Cols.BucketIds)).as("bucket"))
+    val qf = explodedQueryFeatures(queries, qidCol, textCol)
     val ix = indexDf.where(col(Cols.Signature).isNotNull)
       .select(col(Cols.Id), col(Cols.Signature), explode(col(Cols.BucketIds)).as("bucket"))
     // score BEFORE dedup: candidate pairs reached via multiple bands are
@@ -230,15 +242,7 @@ final class MinHashLSHModel private[operators] (
     */
   def filterNovel(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val qFeatured = lsh.featurize(
-        graft.SparkUtil.ensureParallelism(
-          docs.select(col(idCol).cast("long").as("qid"), col(textCol))),
-        "qid", textCol, vocabulary)
-      .where(col(Cols.Signature).isNotNull)
-      .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
-      .localCheckpoint() // materialize before explode (see approxNearestNeighborsAll)
-    val qf = qFeatured.select(col("qid"), col("q_sig"),
-      explode(col(Cols.BucketIds)).as("bucket"))
+    val qf = explodedQueryFeatures(docs, idCol, textCol)
     val ix = indexDf.where(col(Cols.Signature).isNotNull)
       .select(col(Cols.Signature).as("ix_sig"), explode(col(Cols.BucketIds)).as("bucket"))
     val dupIds = qf.join(ix, Seq("bucket"))

@@ -42,19 +42,41 @@ object StreamingIndex {
       .withColumn("text_hash", md5(col(Cols.Text)))
       .dropDuplicates("text_hash")
 
+  /** Run `body` for a non-empty micro-batch, then unpersist every RDD block
+    * pinned DURING the batch: the model's query-side localCheckpoint blocks
+    * would otherwise accumulate for the stream's lifetime (only driver GC
+    * frees them). The fitted index / vocabulary caches are materialized
+    * once up front so the per-batch sweep can never evict them.
+    */
+  private def perBatch(model: MinHashLSHModel)(body: DataFrame => Unit): DataFrame => Unit = {
+    model.indexDf.count() // materialize the shared caches BEFORE any sweep
+    model.vocabulary.foreach(_.count())
+    batch => {
+      val sc = batch.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      try body(batch)
+      finally sc.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Streaming ANN: answer a stream of text queries against a static fitted
     * index — the stream-static pattern via `foreachBatch`, re-using the
     * batch multi-query plan (bucket equi-join + per-query top-n window)
     * per micro-batch. The index side stays cached across batches; only the
-    * micro-batch of queries is featurized each trigger. `sink` receives the
-    * (qid, id, jaccard, rank) result frame of each micro-batch.
+    * micro-batch of queries is featurized each trigger (and its checkpoint
+    * blocks are swept after the sink consumes the result). `sink` receives
+    * the (qid, id, jaccard, rank) result frame of each micro-batch.
     */
   def streamingAnn(model: MinHashLSHModel, queries: DataFrame, qidCol: String,
-      textCol: String, n: Int)(sink: DataFrame => Unit): StreamingQuery =
+      textCol: String, n: Int)(sink: DataFrame => Unit): StreamingQuery = {
+    val run = perBatch(model)(b => sink(model.approxNearestNeighborsAll(b, qidCol, textCol, n)))
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink(model.approxNearestNeighborsAll(batch, qidCol, textCol, n))
+        if (!batch.isEmpty) run(batch)
       }.start()
+  }
 
   /** Streaming near-duplicate curation: each micro-batch of incoming
     * documents is filtered against the static fitted index
@@ -64,9 +86,11 @@ object StreamingIndex {
     */
   def streamingNearDupFilter(model: MinHashLSHModel, docs: DataFrame,
       idCol: String, textCol: String, threshold: Double)
-      (sink: DataFrame => Unit): StreamingQuery =
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val run = perBatch(model)(b => sink(model.filterNovel(b, idCol, textCol, threshold)))
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink(model.filterNovel(batch, idCol, textCol, threshold))
+        if (!batch.isEmpty) run(batch)
       }.start()
+  }
 }
