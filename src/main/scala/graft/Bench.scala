@@ -60,10 +60,11 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // each query fits/caches its own index; drop it so later queries are
         // measured against a clean storage pool, not a 60-query cache
-        // backlog. clearCache only covers Dataset caches — localCheckpoint
-        // blocks (ngram dedup, IVF, batch ANN) are pinned RDDs and need
-        // their own unpersist sweep. blocking: an async sweep would still
-        // be evicting blocks inside the next rep's timed region.
+        // backlog. clearCache covers Dataset caches; the RDD sweep catches
+        // anything persisted below the Dataset layer. All engine persists
+        // are recomputable (no truncated-lineage checkpoints), so the sweep
+        // is always safe. blocking: an async sweep would still be evicting
+        // blocks inside the next rep's timed region.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (ok) dt else -1.0

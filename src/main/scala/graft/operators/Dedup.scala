@@ -68,15 +68,15 @@ object Dedup {
   def ngramJaccardPairs(model: MinHashLSHModel, docs: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double): DataFrame = {
     val cands = model.approxSimilarityJoin(threshold / 3).select("a_id", "b_id")
-    // Shingle once, in parallel, and materialize: the frame feeds BOTH join
+    // Shingle once, in parallel, and cache: the frame feeds BOTH join
     // sides — left lazy it would re-tokenize the corpus twice, and a
-    // single-file local scan would do so on one task. localCheckpoint also
-    // hands Catalyst exact size stats for the broadcast decision (at
-    // cluster scale substitute persist()).
+    // single-file local scan would do so on one task. persist (not
+    // localCheckpoint): the InMemoryRelation gives Catalyst size stats for
+    // the broadcast decision and stays recomputable if blocks are evicted.
     val sh = graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
       .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
-      .localCheckpoint()
+      .persist()
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))

@@ -32,9 +32,12 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
     * sort + zipWithIndex — order-preserving, no driver ceiling.
     */
   def buildVocabulary(docs: DataFrame, textCol: String = Cols.Text): DataFrame = {
-    // materialize the sorted vocabulary once: zipWithIndex runs an internal
+    // persist the sorted vocabulary: zipWithIndex runs an internal
     // partition-count job, which would otherwise re-execute the whole
-    // explode→groupBy→sort chain a second time.
+    // explode→groupBy→sort chain a second time. persist (not
+    // localCheckpoint): blocks stay recomputable under memory-pressure
+    // eviction or an external cache sweep — a truncated-lineage block that
+    // gets dropped kills the query instead of recomputing.
     // tokenize lives in its own projection below the Generate: a Generate
     // input gets no subexpression elimination, so inlining the tokenizer
     // would re-run the regex chain per reference inside the shingle lambda
@@ -46,7 +49,7 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
       .groupBy(Cols.Shingle).count() // agg-shingle-count
       .sort(Cols.Shingle) // sort-vocab
       .select(Cols.Shingle)
-      .localCheckpoint()
+      .persist()
     val rdd = sorted.rdd.map(_.getString(0)).zipWithIndex()
       .map { case (s, i) => Row(s, i) }
     docs.sparkSession.createDataFrame(rdd, StructType(Seq(
@@ -165,15 +168,16 @@ final class MinHashLSHModel private[operators] (
   /** Featurize a (qid, text) frame and explode its band buckets — shared
     * candidate-generation front end of the batch ANN and novel-doc filter.
     *
-    * The featurized side MUST be materialized (localCheckpoint) before the
-    * explode: otherwise InferFiltersFromGenerate + predicate pushdown
-    * substitute the whole nested featurize expression tree
-    * (buckets→signature→shingles) into a scan-level filter, re-evaluating
-    * the shingle pipeline once per signature slot per band (~2500×
-    * recompute; measured 130s vs 0.5s at sf0.1). A cached small
-    * query-feature table is also what a cluster deployment wants.
-    * The checkpoint blocks live until driver GC; the streaming wrappers
-    * (StreamingIndex) sweep them after each micro-batch.
+    * The featurized side MUST be cached before the explode: otherwise
+    * InferFiltersFromGenerate + predicate pushdown substitute the whole
+    * nested featurize expression tree (buckets→signature→shingles) into a
+    * scan-level filter, re-evaluating the shingle pipeline once per
+    * signature slot per band (~2500× recompute; measured 130s vs 0.5s at
+    * sf0.1). The InMemoryRelation is the optimizer barrier AND what a
+    * cluster deployment wants for the small query-feature table. persist
+    * (not localCheckpoint): blocks stay recomputable if evicted or swept,
+    * instead of failing with truncated lineage. The streaming wrappers
+    * (StreamingIndex) still sweep them after each micro-batch.
     */
   private def explodedQueryFeatures(
       queries: DataFrame, qidCol: String, textCol: String): DataFrame = {
@@ -183,7 +187,7 @@ final class MinHashLSHModel private[operators] (
         "qid", textCol, vocabulary)
       .where(col(Cols.Signature).isNotNull)
       .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
-      .localCheckpoint()
+      .persist()
     qFeatured.select(col("qid"), col("q_sig"),
       explode(col(Cols.BucketIds)).as("bucket"))
   }

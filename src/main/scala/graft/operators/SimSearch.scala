@@ -65,7 +65,8 @@ object SimSearch {
     require(nLists >= 1 && nProbe >= 1 && nProbe <= nLists)
     val base = graft.SparkUtil.ensureParallelism(
       emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
-      .localCheckpoint() // feeds every Lloyd iteration + the final probe scan
+      .persist() // feeds every Lloyd iteration + the final probe scan; stays
+      // recomputable under eviction (unlike a truncated-lineage checkpoint)
     def normalized(c: Array[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
       (if (n == 0) c else c.map(_ / n)).toSeq

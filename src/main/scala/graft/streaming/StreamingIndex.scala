@@ -43,10 +43,12 @@ object StreamingIndex {
       .dropDuplicates("text_hash")
 
   /** Run `body` for a non-empty micro-batch, then unpersist every RDD block
-    * pinned DURING the batch: the model's query-side localCheckpoint blocks
+    * pinned DURING the batch: the model's per-batch query-side cache blocks
     * would otherwise accumulate for the stream's lifetime (only driver GC
     * frees them). The fitted index / vocabulary caches are materialized
-    * once up front so the per-batch sweep can never evict them.
+    * once up front so the per-batch sweep can never evict them. The swept
+    * blocks are plain persists — recomputable, so the sweep can never
+    * invalidate a frame some later plan still references.
     */
   private def perBatch(model: MinHashLSHModel)(body: DataFrame => Unit): DataFrame => Unit = {
     model.indexDf.count() // materialize the shared caches BEFORE any sweep

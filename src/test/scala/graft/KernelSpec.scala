@@ -111,6 +111,26 @@ class KernelSpec extends AnyFunSuite {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("array kernels: null elements — dot/l2 null out, agreement counts unequal") {
+    // containsNull=true inputs (only reachable via the public ArrayKernels
+    // surface; engine-internal embeddings/signatures are containsNull=false).
+    // Contract: DotProduct/L2Norm propagate null like their HOF twins'
+    // fold; SignatureAgreement counts a null slot as not-equal. Identical
+    // in codegen (DataFrame path below) and interpreted eval.
+    import graft.functions.ArrayKernels
+    val nD = lit(null).cast("double")
+    val nS = lit(null).cast("string")
+    val r = spark.range(1).select(
+      ArrayKernels.dotProduct(array(lit(1.0), nD), array(lit(2.0), lit(3.0))).as("dot"),
+      ArrayKernels.l2Norm(array(lit(3.0), nD)).as("l2"),
+      ArrayKernels.signatureAgreement(
+        array(lit("a"), nS, lit("c")), array(lit("a"), nS, lit("c"))).as("agree"),
+      V.dotHof(array(lit(1.0), nD), array(lit(2.0), lit(3.0))).as("dot_hof")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getFloat(2) == 2f / 3f) // null slot not equal even to null
+    assert(r.isNullAt(3)) // HOF twin agrees with the custom kernel
+  }
+
   test("simhash64: single token equals xxhash64; identical inputs hamming 0") {
     val df = Seq(Tuple1(Seq("token"))).toDF("t")
       .select(simhash64($"t").as("sh"), xxhash64(lit("token")).as("xx"))
