@@ -179,6 +179,46 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "join_left_outer" -> ((s, d) => {
+      // customers with their big-order stats; customers without big orders
+      // survive the outer join (nulls coalesced to canonical sentinels —
+      // the driver comparator hashes rendered values)
+      val big = tbl(s, d, "orders").where(col("o_totalprice") > 400000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"),
+          max(col("o_totalprice")).as("max_big"))
+      tbl(s, d, "customer").join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("max_big"), lit(-1.0)).as("max_big"))
+        .orderBy("c_custkey")
+    }),
+    "join_full_outer" -> ((s, d) => {
+      // per-nation rich-customer vs rich-supplier counts; either side may be
+      // absent for a nation — USING-style join coalesces the key
+      val c = tbl(s, d, "customer").where(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = tbl(s, d, "supplier").where(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+    "join_3way_agg" -> ((s, d) =>
+      // TPC-H Q3 shape: 3-table join with per-table pushed filters, decimal
+      // revenue (exact in both engines: 2-dp inputs recovered from double),
+      // top-10. Catalyst broadcast-joins the filtered customer side.
+      tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < to_timestamp(lit("1997-06-01 00:00:00")))
+        .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > to_timestamp(lit("1997-06-01 00:00:00")))
+        .groupBy("o_orderkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)),
+
     // --- aggregations / sorts (SURVEY §2.4, §2.6)
     "agg_shingle_count" -> ((s, d) =>
       // tokens materialized in their own projection below the Generate —
@@ -223,6 +263,15 @@ object SparkEntry {
           .cast("double"))
         .orderBy("user_id", "ts", "event_id")
         .select("user_id", "event_id", "run_value")),
+    "window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).as("drk"), ntile(4).over(w).as("quartile"))
+        .where(col("drk") <= 100)
+        .orderBy("o_orderpriority", "drk")
+    }),
     "agg_cube" -> ((s, d) =>
       tbl(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
@@ -385,6 +434,20 @@ object SparkEntry {
       Dedup.embeddingPairsBrute(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
         .orderBy("a_id", "b_id")),
+    "dedup_embedding_bucketed" -> ((s, d) =>
+      // sign-bucket blocked variant — the linear-ish scale path of the
+      // brute pairs above (same scoring, bucket equi-join instead of ×)
+      Dedup.embeddingPairsBucketed(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35,
+        nBits = 4)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
+        .orderBy("a_id", "b_id")),
+    "dedup_exact_groups" -> ((s, d) => {
+      // duplicate-group diagnostic over a corpus with planted exact copies
+      // (the base corpus is dup-free at gate scale)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      Dedup.exactDuplicateGroups(dd.union(dd.where(col("doc_id") < 50)), "doc_id", "text")
+        .orderBy("text_hash")
+    }),
 
     // --- similarity search over embeddings
     "sim_topk_cosine" -> ((s, d) =>
@@ -459,6 +522,14 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))),
+    "stream_dedup" -> ((s, d) =>
+      // batch twin of streaming dropDuplicates("user_id","event_type"):
+      // first event per key in event-time order (EventStream.firstEventPerKey)
+      EventStream.firstEventPerKey(events(s, d))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id", "event_type")),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
@@ -660,6 +731,75 @@ object SparkEntry {
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
+    "join_left_outer" -> """
+      WITH big AS (
+        SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_big
+        FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+      SELECT c.c_custkey, coalesce(b.n_big, 0) AS n_big,
+        coalesce(b.max_big, -1.0) AS max_big
+      FROM customer c LEFT JOIN big b ON c.c_custkey = b.o_custkey
+      ORDER BY c.c_custkey""",
+    "join_full_outer" -> """
+      WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                 FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+            FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      ORDER BY nationkey""",
+    "join_3way_agg" -> """
+      SELECT o.o_orderkey,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        AND l.l_shipdate > TIMESTAMP '1997-06-01'
+      GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "window_ntile" -> """
+      SELECT o_orderkey, o_orderpriority, drk, quartile FROM (
+        SELECT o_orderkey, o_orderpriority,
+          dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE drk <= 100 ORDER BY o_orderpriority, drk""",
+    "dedup_embedding_bucketed" -> """
+      WITH eb AS (
+        SELECT vec_id, embedding,
+          CAST(list_sum(list_transform(range(0, 4),
+            d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT a_id, b_id, round(cosine, 6) AS cos6 FROM pairs
+      WHERE cosine >= 0.35 ORDER BY a_id, b_id""",
+    "dedup_exact_groups" -> """
+      WITH u AS (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50)
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        count(*) AS dup_count
+      FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "stream_dedup" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                   CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      r AS (SELECT user_id, event_type, event_id, ts, value,
+              row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS rn
+            FROM e)
+      SELECT user_id, event_type, event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, CAST(value AS DOUBLE) AS value
+      FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
     "set_array_ops" -> s"""
       WITH toks AS (SELECT doc_id, list_distinct($tokenizeSql) AS tokens FROM documents),
       q AS (SELECT tokens AS q_toks FROM toks WHERE doc_id = 0)

@@ -51,6 +51,21 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup twin: keep the FIRST event per (user, type) in
+    * event-time order. The streaming form is
+    * `dropDuplicates("user_id", "event_type")` (state-store keyed on the
+    * pair, keeps first arrival); the batch twin pins arrival order to event
+    * time (tie-broken by event_id) so the result is deterministic and
+    * oracle-comparable. One shuffle on the dedup key; state per key is one
+    * row, so streaming state is bounded by key cardinality, not volume.
+    */
+  def firstEventPerKey(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+  }
+
   /** The same aggregation as a streaming query over a parquet directory of
     * raw events (ts stored as long nanos — Spark 4 rejects TIMESTAMP(NANOS)
     * parquet natively), with a 2-hour watermark for late data. Identical

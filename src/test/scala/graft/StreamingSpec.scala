@@ -35,6 +35,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates equals firstEventPerKey batch twin on time-ordered input") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one file, pre-sorted by event time: arrival order == event-time order,
+    // so stateful dropDuplicates (keeps first ARRIVAL per key) must equal
+    // the deterministic batch twin (keeps first event-TIME row per key)
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .orderBy("ts", "event_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val sorted = spark.read.parquet(dir)
+    val batch = EventStream.firstEventPerKey(sorted)
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type").collect()
+
+    val q = spark.readStream.schema(sorted.schema).parquet(dir)
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type", "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("dedup_out").orderBy("user_id", "event_type").collect()
+      assert(stream.length == batch.length && stream.length > 0)
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("Sessionizer (flatMapGroupsWithState): batch ≡ gaps-and-islands twin") {
     import graft.streaming.{SessionEvent, Sessionizer}
     import spark.implicits._
