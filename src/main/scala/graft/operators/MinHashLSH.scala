@@ -185,11 +185,18 @@ final class MinHashLSHModel private[operators] (
         graft.SparkUtil.ensureParallelism(
           queries.select(col(qidCol).cast("long").as("qid"), col(textCol))),
         "qid", textCol, vocabulary)
-      .where(col(Cols.Signature).isNotNull)
       .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
       .persist()
-    qFeatured.select(col("qid"), col("q_sig"),
-      explode(col(Cols.BucketIds)).as("bucket"))
+    // null-signature filter strictly ABOVE the persist: placed below it,
+    // predicate pushdown substitutes the whole minhash expression tree into
+    // a filter under the parallelizing repartition — evaluating the entire
+    // signature per row on the 1-task file scan just to test isNotNull
+    // (measured: 5.9 s single-task stage vs 0.2 s parallel at sf0.1), then
+    // recomputing it again above the shuffle. Against the cache it reads
+    // the materialized column. (Semantically the filter is belt-and-braces:
+    // a null signature yields null bucket_ids, which explode drops.)
+    qFeatured.where(col("q_sig").isNotNull)
+      .select(col("qid"), col("q_sig"), explode(col(Cols.BucketIds)).as("bucket"))
   }
 
   /** Batch ANN for a whole DataFrame of queries — the scale path the
