@@ -93,6 +93,19 @@ object SparkEntry {
       docs(s, d).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
     "src_scan_limit" -> ((s, d) =>
       docs(s, d).select("doc_id", "n_chars").orderBy("doc_id").limit(100)),
+    "src_text_scan" -> ((s, d) => {
+      // the reference's true ingestion path (read_from_txt): round-trip the
+      // corpus through a line-per-document text file and scan it back with
+      // DocumentSource.readText. The synthetic monotonic id is partition-
+      // dependent (as the reference documents), so the gate compares the
+      // text multiset, not ids.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txt").toString + "/docs"
+      docs(s, d).orderBy("doc_id").select("text").coalesce(1)
+        .write.mode("overwrite").text(tmp)
+      graft.sources.DocumentSource.readText(s, tmp)
+        .select(col(Cols.Text), length(col(Cols.Text)).as("n_chars"))
+        .orderBy("text")
+    }),
     "prj_select" -> ((s, d) =>
       tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
@@ -284,6 +297,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "agg_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS through the SQL frontend — the gate's only
+      // spark.sql() entry, so the SQL surface is exercised end-to-end too
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
     "agg_median" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag")
         .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
@@ -529,6 +553,19 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))),
+    "stream_sessionize" -> ((s, d) => {
+      // flatMapGroupsWithState sessionizer (per-event session numbers —
+      // what session_window cannot emit), batch mode; micros units so the
+      // strict-gap boundary matches the oracle exactly
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMillis"))
+        .as[graft.streaming.SessionEvent]
+      graft.streaming.Sessionizer.assignSessions(ev, 30L * 60 * 1000000L).toDF()
+        .select(col("user_id"), col("event_id"),
+          col("session_seq").cast("long").as("session_seq"))
+        .orderBy("user_id", "event_id")
+    }),
     "stream_dedup" -> ((s, d) =>
       // batch twin of streaming dropDuplicates("user_id","event_type"):
       // first event per key in event-time order (EventStream.firstEventPerKey)
@@ -738,6 +775,27 @@ object SparkEntry {
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
+    "src_text_scan" ->
+      "SELECT text, length(text) AS n_chars FROM documents ORDER BY text",
+    "agg_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "stream_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      m AS (
+        SELECT user_id, event_id, ts,
+          -- strict > gap starts a new session (exact-gap events merge),
+          -- matching the Sessionizer/session_window boundary
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m ORDER BY user_id, event_id""",
     "join_left_outer" -> """
       WITH big AS (
         SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_big
