@@ -69,6 +69,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected partial aggregation before the exchange:\n$plan")
   }
 
+  test("no MinHash expression is ever pushed into a scan-level filter") {
+    // Regression contract for the round-3 find: a null-signature filter
+    // placed below the query-feature cache gets pushed under the
+    // parallelizing repartition, evaluating the whole minhash tree per row
+    // on the single-task file scan. The featurize pipeline must reach the
+    // scan as columns only — every Filter and every scan's data filters
+    // must be free of the signature expressions.
+    for (q <- Seq("ann_batch_md5", "dedup_novel_filter")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val physical = df.queryExecution.executedPlan.toString
+      val filterLines = physical.linesIterator
+        .filter(l => l.contains("Filter") || l.contains("PushedFilters"))
+        .mkString("\n")
+      assert(!filterLines.contains("minhash_"),
+        s"$q evaluates MinHash inside a filter:\n$filterLines")
+    }
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
