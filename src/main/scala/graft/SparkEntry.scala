@@ -371,6 +371,14 @@ object SparkEntry {
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(T.tokenize(col("text"), unicode = true), " ").as("tokens_str"))
         .orderBy("doc_id")),
+    "fn_tokenize_sql" -> ((s, d) => {
+      // the registered SQL surface (GraftExtensions) end-to-end: identical
+      // expression tree to fn_tokenize, reached through SQL text
+      SparkUtil.ensureParallelism(docs(s, d)).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id, array_join(graft_tokenize(text), ' ') AS tokens_str
+        FROM documents_v ORDER BY doc_id""")
+    }),
     "fn_k_shingles" -> ((s, d) =>
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(array_sort(T.shingles(col("text"), 2)), "|").as("shingles_str"))
@@ -879,6 +887,8 @@ object SparkEntry {
       SELECT doc_id FROM documents WHERE lang = 'en'
       EXCEPT SELECT doc_id FROM documents WHERE source = 'src1' ORDER BY doc_id""",
     "fn_tokenize" ->
+      s"SELECT doc_id, array_to_string($tokenizeSql, ' ') AS tokens_str FROM documents ORDER BY doc_id",
+    "fn_tokenize_sql" ->
       s"SELECT doc_id, array_to_string($tokenizeSql, ' ') AS tokens_str FROM documents ORDER BY doc_id",
     "fn_k_shingles" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
