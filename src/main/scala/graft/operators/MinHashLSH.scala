@@ -179,6 +179,23 @@ final class MinHashLSHModel private[operators] (
     * instead of failing with truncated lineage. The streaming wrappers
     * (StreamingIndex) still sweep them after each micro-batch.
     */
+  /** Per-query feature frames persisted by [[explodedQueryFeatures]]; each
+    * batch-ANN / novel-filter invocation adds one. [[releaseQueryCaches]]
+    * drains it — Dataset.unpersist both frees the blocks AND deregisters
+    * the CacheManager entry (an RDD-level sweep alone leaks one dead
+    * registry entry per invocation for the model's lifetime).
+    */
+  private val queryCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every per-query feature cache accumulated since the last
+    * release. Call after consuming the result of a batch query — the
+    * streaming wrappers (StreamingIndex) do this per micro-batch.
+    */
+  def releaseQueryCaches(): Unit = {
+    var df = queryCaches.poll()
+    while (df != null) { df.unpersist(); df = queryCaches.poll() }
+  }
+
   private def explodedQueryFeatures(
       queries: DataFrame, qidCol: String, textCol: String): DataFrame = {
     val qFeatured = lsh.featurize(
@@ -187,6 +204,7 @@ final class MinHashLSHModel private[operators] (
         "qid", textCol, vocabulary)
       .select(col("qid"), col(Cols.Signature).as("q_sig"), col(Cols.BucketIds))
       .persist()
+    queryCaches.add(qFeatured)
     // null-signature filter strictly ABOVE the persist: placed below it,
     // predicate pushdown substitutes the whole minhash expression tree into
     // a filter under the parallelizing repartition — evaluating the entire

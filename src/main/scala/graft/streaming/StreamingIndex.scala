@@ -57,9 +57,15 @@ object StreamingIndex {
       val sc = batch.sparkSession.sparkContext
       val before = sc.getPersistentRDDs.keySet
       try body(batch)
-      finally sc.getPersistentRDDs
-        .filterNot { case (id, _) => before.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      finally {
+        // Dataset-level release first: unpersist deregisters the
+        // CacheManager entry too (the RDD sweep below frees blocks but
+        // would leak one dead registry entry per micro-batch)
+        model.releaseQueryCaches()
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
   }
 
