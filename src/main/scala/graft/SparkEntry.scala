@@ -514,6 +514,14 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("bucket"),
           round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_knn_graph" -> ((s, d) =>
+      // top-5 neighbors of EVERY vector (similarity-graph construction),
+      // sign-bucket blocked — deterministic, so fully oracle-checkable
+      SimSearch.knnGraphBucketed(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, nBits = 4)
+        .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine"), 6).as("cos6"))
+        .orderBy("a_id", "rank")),
     "sim_topk_ivf" -> ((s, d) => // trained inverted lists — no SQL oracle
       SimSearch.cosineTopKIvf(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
         nLists = 16, nProbe = 4, iters = 2)
@@ -1076,6 +1084,26 @@ object SparkEntry {
         FROM eb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0)
       SELECT vec_id, bucket, round(cosine, 6) AS cos6 FROM scored
       ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "sim_knn_graph" -> """
+      WITH eb AS (
+        SELECT vec_id, embedding,
+          CAST(list_sum(list_transform(range(0, 4),
+            d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT a_id, b_id, cosine,
+          row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+        FROM scored)
+      SELECT a_id, b_id, rank, round(cosine, 6) AS cos6
+      FROM ranked WHERE rank <= 5 ORDER BY a_id, rank""",
     "text_langid" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       hits AS (

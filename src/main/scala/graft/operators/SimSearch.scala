@@ -103,6 +103,30 @@ object SimSearch {
       .limit(k)
   }
 
+  /** k-NN graph: the top-k cosine neighbors of EVERY vector (the
+    * similarity-graph construction step of a training-data pipeline),
+    * blocked by the sign-quantizer cell. One bucket equi-join (per-bucket
+    * quadratic — bucket occupancy is the tuning knob, like every blocked
+    * kNN join) plus one per-source window for the top-k; the shuffle keys
+    * are the bucket then the source id, never an all-pairs cross.
+    */
+  def knnGraphBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 8): DataFrame = {
+    val withB = graft.SparkUtil.ensureParallelism(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        V.signBucket(col(vecCol), nBits).as("bucket")))
+    val a = withB.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = withB.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a_id")
+          .orderBy(col("cosine").desc, col("b_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("a_id"), col("b_id"), col("rank"), col("cosine"))
+  }
+
   /** Multi-probe variant: additionally scans every quantizer cell at hamming
     * distance 1 from the query's cell (each single sign-bit flip). Vectors
     * near a quantization boundary land one bit away — probing the nBits+1
