@@ -280,7 +280,31 @@ final class MinHashLSHModel private[operators] (
     docs.join(dupIds, docs(idCol).cast("long") === dupIds("qid"), "left_anti")
   }
 
+  /** Incrementally extend the fitted index with new documents — the
+    * operation the reference cannot do (its vocabulary pins the whole
+    * corpus; ingest = full rebuild). Direct mode's featurize is a pure
+    * per-row projection, so the new docs are signed independently and the
+    * index is a union: no reshuffle, no recompute of the existing side
+    * (it reuses this model's cached blocks). The returned model is
+    * independent; `unpersist()` the old one when done with it. Ids are the
+    * caller's contract — duplicates are indexed twice, exactly like
+    * fitting over a corpus with repeated ids.
+    */
+  def append(newDocs: DataFrame, idCol: String = Cols.Id,
+      textCol: String = Cols.Text): MinHashLSHModel = {
+    require(vocabulary.isEmpty,
+      "append requires direct (vocabulary-free) mode: the vocabulary pins a " +
+        "global shingle index that new documents would invalidate")
+    val newBase = graft.SparkUtil.ensureParallelism(
+      newDocs.select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text)))
+    val addition = lsh.featurize(newBase, Cols.Id, Cols.Text, None)
+      .select(Cols.Id, Cols.Signature, Cols.BucketIds)
+    new MinHashLSHModel(cfg, lsh, documents.union(newBase),
+      indexDf.union(addition).cache(), None)
+  }
+
   def unpersist(): Unit = {
+    releaseQueryCaches()
     indexDf.unpersist()
     vocabulary.foreach(_.unpersist())
   }

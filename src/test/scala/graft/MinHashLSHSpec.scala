@@ -43,6 +43,27 @@ class MinHashLSHSpec extends AnyFunSuite {
     fast.unpersist()
   }
 
+  test("append: incremental index ≡ one-shot fit on the full corpus") {
+    import org.apache.spark.sql.functions._
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val first = docs.where(col("doc_id") < 300)
+    val rest = docs.where(col("doc_id") >= 300)
+    val incr = new MinHashLSH(cfg).fit(first, "doc_id", "text").append(rest, "doc_id", "text")
+    val full = new MinHashLSH(cfg).fit(docs, "doc_id", "text")
+    // bit-exact index equality (direct mode featurize is per-row pure)
+    assert(incr.indexDf.count() == full.indexDf.count())
+    assert(incr.indexDf.except(full.indexDf).isEmpty
+      && full.indexDf.except(incr.indexDf).isEmpty)
+    // and identical query answers
+    val a = incr.approxNearestNeighbors(keyText.take(120), 5).collect().toSeq
+    val b = full.approxNearestNeighbors(keyText.take(120), 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // vocabulary mode must refuse
+    val vmodel = new MinHashLSH(cfg.copy(useVocabulary = true)).fit(first, "doc_id", "text")
+    intercept[IllegalArgumentException] { vmodel.append(rest, "doc_id", "text") }
+    Seq(incr, full, vmodel).foreach(_.unpersist())
+  }
+
   test("bucketThres filter with zero-result fallback") {
     val model = new MinHashLSH(MinHashConfig(numHash = 32, numBands = 8, numRows = 4))
       .fit(docs, "doc_id", "text")
