@@ -53,6 +53,30 @@ final case class MinHashConfig(
     s"numBands($numBands) * numRows($numRows) must equal numHash($numHash)")
 }
 
+object MinHashConfig {
+
+  /** Size the LSH bucket space for a corpus: buckets ≈ corpus / occupancy,
+    * rounded up to a power of two (min 500, the reference default). The
+    * bucket space is THE scale knob — with the reference's fixed 500
+    * buckets, candidate collisions (and so probe cost of every bucket-join
+    * operator) grow linearly with the corpus; sized by this rule, probe
+    * cost stays flat while only the embarrassingly-parallel index build
+    * grows (PERF.md scale ladder: filterNovel 22 s → 1.9 s at 30×).
+    * `bucketHexLen` is the same knob for md5-parity mode (16^N buckets).
+    */
+  def forCorpusSize(nDocs: Long, occupancy: Int = 8,
+      base: MinHashConfig = MinHashConfig()): MinHashConfig = {
+    require(nDocs > 0 && occupancy > 0)
+    val want = math.max(500L, nDocs / occupancy)
+    val buckets = java.lang.Long.highestOneBit(math.min(want, 1L << 30)) match {
+      case b if b >= want => b.toInt
+      case b => (b * 2).toInt
+    }
+    val hexLen = math.max(2, math.ceil(math.log(buckets.toDouble) / math.log(16)).toInt)
+    base.copy(numBuckets = buckets, bucketHexLen = hexLen)
+  }
+}
+
 /** Column-name constants (reference: /root/reference/src/minhash_config.py:30-51). */
 object Cols {
   val Id = "id"

@@ -15,6 +15,15 @@ class KernelSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("MinHashConfig.forCorpusSize: power-of-two buckets ≈ corpus/occupancy") {
+    val small = MinHashConfig.forCorpusSize(1000)
+    assert(small.numBuckets == 512 && small.bucketHexLen == 3) // pow-2 floor ≈ reference default
+    val big = MinHashConfig.forCorpusSize(1000000, occupancy = 8)
+    assert(big.numBuckets == 131072) // 125000 -> next pow2
+    assert(big.bucketHexLen == 5) // 16^5 >= 131072
+    assert(big.numHash == 100) // base config untouched otherwise
+  }
+
   test("tokenize: punctuation→space, collapse, lower, trim") {
     val got = Seq("Hello, world!  Hi.", "co-op", "  A  b\tC ", "", "?!.")
       .toDF("text").select(T.tokenize($"text").as("t")).as[Seq[String]].collect()
