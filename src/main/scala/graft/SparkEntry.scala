@@ -190,6 +190,22 @@ object SparkEntry {
           coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
         .orderBy("err_id")
     }),
+    "join_interval_overlap" -> ((s, d) => {
+      // error and purchase 10-minute windows overlapping for the same user
+      // — interval×interval via cell blocking (no inequality BNLJ)
+      val ev = events(s, d)
+      def windowed(typ: String, idAs: String, sAs: String, eAs: String) =
+        ev.where(col("event_type") === typ)
+          .select(col("user_id"), col("event_id").as(idAs), col("ts").as(sAs),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as(eAs))
+      Joins.intervalOverlapJoin(
+          windowed("error", "err_id", "e_s", "e_e"),
+          windowed("purchase", "p_id", "p_s", "p_e"),
+          Seq("user_id"), "e_s", "e_e", "err_id", "p_s", "p_e", "p_id",
+          bucketMillis = 10 * 60 * 1000L)
+        .select("user_id", "err_id", "p_id")
+        .orderBy("err_id", "p_id")
+    }),
     "join_asof" -> ((s, d) => {
       // most recent prior click per purchase, same user — union + one
       // windowed shuffle on user_id (no range join / cartesian; see Joins)
@@ -791,6 +807,16 @@ object SparkEntry {
       FROM er LEFT JOIN p ON er.user_id = p.user_id
         AND p.ts >= er.ts AND p.ts < er.ts + INTERVAL '5 minutes'
       GROUP BY 1, 2, 3 ORDER BY 1""",
+    "join_interval_overlap" -> """
+      WITH er AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS s,
+                    CAST(ts AS TIMESTAMP) + INTERVAL '10 minutes' AS e
+                  FROM events WHERE event_type = 'error'),
+      p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS s,
+              CAST(ts AS TIMESTAMP) + INTERVAL '10 minutes' AS e
+            FROM events WHERE event_type = 'purchase')
+      SELECT er.user_id, er.err_id, p.p_id
+      FROM er JOIN p ON er.user_id = p.user_id AND er.s < p.e AND p.s < er.e
+      ORDER BY er.err_id, p.p_id""",
     "join_asof" -> """
       WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'purchase'),

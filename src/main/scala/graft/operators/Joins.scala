@@ -139,4 +139,43 @@ object Joins {
       .where(qcol(tsCol) >= qcol(startCol) && qcol(tsCol) < qcol(endCol))
       .drop("__cell")
   }
+
+  /** Interval × interval overlap join via the same cell blocking: one row
+    * per (left, right) pair with equal keys and half-open overlap
+    * `lStart < rEnd && rStart < lEnd`.
+    *
+    * Both sides explode to covered cells; overlapping intervals share at
+    * least one cell, so a shuffled equi-join on (keys, cell) + the residual
+    * overlap predicate finds every pair. A pair CAN share several cells —
+    * the final projection dedups on the caller's id columns (pass one
+    * unique id per side). Same dirty-data bounds as [[rangeJoinBucketed]]:
+    * inverted intervals vanish, fan-out capped per interval.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String, lEnd: String, lId: String,
+      rStart: String, rEnd: String, rId: String,
+      bucketMillis: Long,
+      maxCellsPerInterval: Int = 4096): DataFrame = {
+    require(keys.nonEmpty, "intervalOverlapJoin needs at least one key column")
+    require(bucketMillis > 0, "bucketMillis must be positive")
+    val w = lit(bucketMillis)
+    def cellsOf(s: String, e: String): Column = {
+      val lo = floor(unix_millis(qcol(s)) / w).cast("long")
+      val hi = least(
+        floor((unix_millis(qcol(e)) - 1) / w).cast("long"),
+        lo + lit(maxCellsPerInterval.toLong - 1))
+      when(qcol(e) > qcol(s), sequence(lo, hi)).otherwise(lit(Array.empty[Long]))
+    }
+    val l = left.select((keys.map(qcol) :+ qcol(lId) :+ qcol(lStart) :+ qcol(lEnd)): _*)
+      .withColumn("__cell", explode(cellsOf(lStart, lEnd)))
+    val r = right.select((keys.map(qcol) :+ qcol(rId) :+ qcol(rStart) :+ qcol(rEnd)): _*)
+      .withColumn("__cell", explode(cellsOf(rStart, rEnd)))
+    l.join(r, keys :+ "__cell")
+      .where(qcol(lStart) < qcol(rEnd) && qcol(rStart) < qcol(lEnd))
+      .dropDuplicates(keys :+ lId :+ rId)
+      .drop("__cell")
+  }
 }

@@ -126,6 +126,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("intervalOverlapJoin ≡ brute overlap join on randomized data; dirty rows vanish") {
+    val rnd = new scala.util.Random(11)
+    def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 1000)
+    def side(n: Int, idBase: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(5000)
+      (rnd.nextInt(5).toLong, (idBase + i).toLong, t(s), t(s + 1 + rnd.nextInt(900)))
+    }
+    val left = (side(150, 0) :+
+      ((1L, 9000L, t(5000), t(100)))) // inverted (dirty) — must match nothing
+      .toDF("k", "lid", "ls", "le")
+    val right = side(150, 1000).toDF("k", "rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "lid", "rs", "re", "rid", bucketMillis = 300000L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = left.join(right, Seq("k"))
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .where(col("le") > col("ls")) // the operator's inverted-interval guard
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && brute.nonEmpty)
+    assert(!got.exists(_._1 == 9000L))
+  }
+
   test("filterNovel drops docs that near-dup the index, keeps novel and empty docs") {
     val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
       bucketHexLen = 2)).fit(docs, "doc_id", "text")
