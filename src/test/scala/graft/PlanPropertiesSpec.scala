@@ -69,6 +69,25 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected partial aggregation before the exchange:\n$plan")
   }
 
+  test("join_3way_agg: per-table filters pushed, dimension side broadcast") {
+    val plan = planOf("join_3way_agg")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer side should broadcast:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*c_mktsegment[^\\]]*\\].*"),
+      s"c_mktsegment must reach the customer scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"l_shipdate must reach the lineitem scan:\n$plan")
+  }
+
+  test("blocked similarity joins never degrade to product joins") {
+    for (q <- Seq("sim_knn_graph", "join_interval_overlap", "dedup_embedding_bucketed")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay a bucket equi-join:\n$plan")
+    }
+  }
+
   test("no MinHash expression is ever pushed into a scan-level filter") {
     // Regression contract for the round-3 find: a null-signature filter
     // placed below the query-feature cache gets pushed under the
