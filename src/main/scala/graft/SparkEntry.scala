@@ -115,6 +115,23 @@ object SparkEntry {
         .select(col(Cols.Text), length(col(Cols.Text)).as("n_chars"))
         .orderBy("text")
     }),
+    "src_csv_scan" -> ((s, d) => {
+      // the in-memory twin's ingestion path (pandas read_csv,
+      // /root/reference/src/minhash_in_memory.py:328-360): round-trip
+      // (doc_id, text) through quoted CSV and scan it back with an explicit
+      // schema. Embedded line breaks need multiLine parsing, which kills
+      // split-ability — filtered on both sides like src_text_scan.
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-csv-scan-${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      docs(s, d).where(!col("text").rlike("[\\n\\r]"))
+        .select("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("doc_id LONG, text STRING")
+        .csv(tmp)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .orderBy("doc_id")
+    }),
     "prj_select" -> ((s, d) =>
       tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
@@ -826,6 +843,9 @@ object SparkEntry {
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
+    "src_csv_scan" -> """
+      SELECT doc_id, text FROM documents
+      WHERE NOT regexp_matches(text, '[\n\r]') ORDER BY doc_id""",
     "src_text_scan" -> """
       SELECT text, length(text) AS n_chars FROM documents
       WHERE NOT regexp_matches(text, '[\n\r]') ORDER BY text""",
