@@ -468,6 +468,11 @@ object SparkEntry {
     "ann_query" -> ((s, d) =>
       fitted(s, d, cfg100).approxNearestNeighbors(keyOf(s, d), 10)
         .withColumnRenamed(Cols.Id, "doc_id")),
+    "ann_query_thres" -> ((s, d) =>
+      // the bucketThres variant (reference approxNearestNeighbors
+      // bucket_thres arg): candidates pass the bucket-set-jaccard filter
+      fitted(s, d, cfg16).approxNearestNeighbors(keyOf(s, d), 10, bucketThres = 0.2)
+        .withColumnRenamed(Cols.Id, "doc_id")),
     "ann_query_fast" -> ((s, d) => // xxhash64 fast mode — no SQL oracle
       fitted(s, d, cfg100Fast).approxNearestNeighbors(keyOf(s, d), 10)
         .withColumnRenamed(Cols.Id, "doc_id")),
@@ -611,6 +616,29 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))),
+    "stream_tumbling_real" -> ((s, d) => {
+      // the SAME aggregation as stream_tumbling_agg, but executed through
+      // the real Structured Streaming machinery: file source → watermark →
+      // windowed agg → memory sink, drained with processAllAvailable. The
+      // gate thereby checks actual micro-batch execution, not just the
+      // batch twin's expressions.
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-stream-${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      java.nio.file.Files.createDirectories(tmp)
+      val target = tmp.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"), target)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(tmp.toString)
+      val query = EventStream.streamingTumblingCounts(s, tmp.toString, raw.schema)
+        .writeStream.format("memory").queryName("graft_tumbling_gate")
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table("graft_tumbling_gate")
+        .orderBy("window_start", "event_type")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))
+    }),
     "stream_sessionize" -> ((s, d) => {
       // flatMapGroupsWithState sessionizer (per-event session numbers —
       // what session_window cannot emit), batch mode; micros units so the
@@ -1005,6 +1033,32 @@ object SparkEntry {
       SELECT sc.doc_id, d.text, sc.jaccard
       FROM scored sc JOIN documents d USING (doc_id)
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    "ann_query_thres" -> s"""
+      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
+      strict AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE CAST(len(list_intersect(b.bucket_ids, q.bucket_ids)) AS DOUBLE)
+            / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))) >= 0.2),
+      fallb AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      -- the reference's zero-result fallback: use strict if nonempty, else overlap
+      cand AS (SELECT * FROM strict UNION ALL
+               SELECT * FROM fallb WHERE NOT EXISTS (SELECT 1 FROM strict)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    "stream_tumbling_real" -> """
+      SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "ann_batch_md5" -> s"""
       WITH ${docCtes(cfg16)},
       qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
