@@ -67,11 +67,11 @@ object MinHashConfig {
   def forCorpusSize(nDocs: Long, occupancy: Int = 8,
       base: MinHashConfig = MinHashConfig()): MinHashConfig = {
     require(nDocs > 0 && occupancy > 0)
-    val want = math.max(500L, nDocs / occupancy)
-    val buckets = java.lang.Long.highestOneBit(math.min(want, 1L << 30)) match {
-      case b if b >= want => b.toInt
-      case b => (b * 2).toInt
-    }
+    // cap BEFORE rounding up: a want just above 2^30 must saturate at 2^30,
+    // not double past Int.MaxValue into a negative modulus
+    val want = math.min(math.max(500L, nDocs / occupancy), 1L << 30)
+    val floorPow = java.lang.Long.highestOneBit(want)
+    val buckets = (if (floorPow >= want) floorPow else floorPow * 2).toInt
     val hexLen = math.max(2, math.ceil(math.log(buckets.toDouble) / math.log(16)).toInt)
     base.copy(numBuckets = buckets, bucketHexLen = hexLen)
   }

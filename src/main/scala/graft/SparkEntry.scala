@@ -36,6 +36,16 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
 
+  /** Shared front end of the source round-trip gates: docs without line
+    * breaks (line-per-row formats cannot represent them; the oracles filter
+    * identically) and a deterministic per-corpus temp dir so repeated runs
+    * overwrite instead of accumulating copies.
+    */
+  private def lineSafeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(!col("text").rlike("[\\n\\r]"))
+  private def roundTripDir(dir: String, prefix: String): String =
+    sys.props("java.io.tmpdir") + s"/$prefix-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
     * default; read it as long nanos and convert with integer division (a
     * double roundtrip would lose precision at 1.7e18).
@@ -102,13 +112,9 @@ object SparkEntry {
       // corpus through a line-per-document text file and scan it back with
       // DocumentSource.readText. The synthetic monotonic id is partition-
       // dependent (as the reference documents), so the gate compares the
-      // text multiset, not ids. Docs containing line breaks cannot survive
-      // a line-per-document format (the oracle filters them identically);
-      // the output path is deterministic per corpus so repeated runs
-      // overwrite instead of accumulating temp copies.
-      val tmp = sys.props("java.io.tmpdir") +
-        s"/graft-txt-scan-${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      docs(s, d).where(!col("text").rlike("[\\n\\r]"))
+      // text multiset, not ids.
+      val tmp = roundTripDir(d, "graft-txt-scan")
+      lineSafeDocs(s, d)
         .orderBy("doc_id").select("text").coalesce(1)
         .write.mode("overwrite").text(tmp)
       graft.sources.DocumentSource.readText(s, tmp)
@@ -121,11 +127,15 @@ object SparkEntry {
       // (doc_id, text) through quoted CSV and scan it back with an explicit
       // schema. Embedded line breaks need multiLine parsing, which kills
       // split-ability — filtered on both sides like src_text_scan.
-      val tmp = sys.props("java.io.tmpdir") +
-        s"/graft-csv-scan-${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      docs(s, d).where(!col("text").rlike("[\\n\\r]"))
+      // Writer-side whitespace trimming is ON by default and would corrupt
+      // whitespace-edged text relative to the oracle — pinned off.
+      val tmp = roundTripDir(d, "graft-csv-scan")
+      lineSafeDocs(s, d)
         .select("doc_id", "text").coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+        .write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp)
       s.read.option("header", "true")
         .schema("doc_id LONG, text STRING")
         .csv(tmp)
@@ -622,12 +632,13 @@ object SparkEntry {
       // windowed agg → memory sink, drained with processAllAvailable. The
       // gate thereby checks actual micro-batch execution, not just the
       // batch twin's expressions.
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-stream-${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val tmp = java.nio.file.Paths.get(roundTripDir(d, "graft-stream"))
       java.nio.file.Files.createDirectories(tmp)
-      val target = tmp.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"), target)
+      // unconditional REPLACE: a copy-if-absent would stream a stale (or
+      // crash-truncated) snapshot forever if the source is regenerated
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        tmp.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(tmp.toString)
       val query = EventStream.streamingTumblingCounts(s, tmp.toString, raw.schema)

@@ -121,20 +121,24 @@ object Joins {
     require(keys.nonEmpty, "rangeJoinBucketed needs at least one key column")
     require(bucketMillis > 0, "bucketMillis must be positive")
     require(maxCellsPerInterval > 0, "maxCellsPerInterval must be positive")
-    val w = lit(bucketMillis)
+    // cell arithmetic in MICROS: Spark timestamps are microsecond-precision,
+    // and millis truncation loses the final sub-millisecond of an interval —
+    // an interval ending at cellBoundary+0.5ms would miss points in that
+    // tail (they carry the next cell, the interval doesn't)
+    val w = lit(bucketMillis * 1000L)
     // guard end > start: Spark's sequence() happily generates a DESCENDING
     // run for inverted intervals, exploding one dirty row into thousands of
     // spurious cells; empty/inverted intervals must contribute zero rows
-    val loCell = floor(unix_millis(qcol(startCol)) / w).cast("long")
+    val loCell = floor(unix_micros(qcol(startCol)) / w).cast("long")
     val hiCell = least(
-      floor((unix_millis(qcol(endCol)) - 1) / w).cast("long"),
+      floor((unix_micros(qcol(endCol)) - 1) / w).cast("long"),
       loCell + lit(maxCellsPerInterval.toLong - 1))
     val cells = when(qcol(endCol) > qcol(startCol), sequence(loCell, hiCell))
       .otherwise(lit(Array.empty[Long]))
     val iv = intervals.withColumn("__cell", explode(cells))
     val pt = points
       .select((keys.map(qcol) :+ qcol(tsCol)) ++ pointCols.map(qcol): _*)
-      .withColumn("__cell", floor(unix_millis(qcol(tsCol)) / w).cast("long"))
+      .withColumn("__cell", floor(unix_micros(qcol(tsCol)) / w).cast("long"))
     iv.join(pt, keys :+ "__cell")
       .where(qcol(tsCol) >= qcol(startCol) && qcol(tsCol) < qcol(endCol))
       .drop("__cell")
@@ -161,11 +165,13 @@ object Joins {
       maxCellsPerInterval: Int = 4096): DataFrame = {
     require(keys.nonEmpty, "intervalOverlapJoin needs at least one key column")
     require(bucketMillis > 0, "bucketMillis must be positive")
-    val w = lit(bucketMillis)
+    // micros, not millis — see rangeJoinBucketed: millis truncation drops
+    // overlaps confined to an interval's final sub-millisecond
+    val w = lit(bucketMillis * 1000L)
     def cellsOf(s: String, e: String): Column = {
-      val lo = floor(unix_millis(qcol(s)) / w).cast("long")
+      val lo = floor(unix_micros(qcol(s)) / w).cast("long")
       val hi = least(
-        floor((unix_millis(qcol(e)) - 1) / w).cast("long"),
+        floor((unix_micros(qcol(e)) - 1) / w).cast("long"),
         lo + lit(maxCellsPerInterval.toLong - 1))
       when(qcol(e) > qcol(s), sequence(lo, hi)).otherwise(lit(Array.empty[Long]))
     }

@@ -22,6 +22,9 @@ class KernelSpec extends AnyFunSuite {
     assert(big.numBuckets == 131072) // 125000 -> next pow2
     assert(big.bucketHexLen == 5) // 16^5 >= 131072
     assert(big.numHash == 100) // base config untouched otherwise
+    // 100 TB scale: want above 2^30 saturates instead of overflowing to a
+    // negative modulus
+    assert(MinHashConfig.forCorpusSize(10000000000L).numBuckets == (1 << 30))
   }
 
   test("tokenize: punctuation→space, collapse, lower, trim") {

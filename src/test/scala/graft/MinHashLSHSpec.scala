@@ -48,7 +48,8 @@ class MinHashLSHSpec extends AnyFunSuite {
     val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
     val first = docs.where(col("doc_id") < 300)
     val rest = docs.where(col("doc_id") >= 300)
-    val incr = new MinHashLSH(cfg).fit(first, "doc_id", "text").append(rest, "doc_id", "text")
+    val m0 = new MinHashLSH(cfg).fit(first, "doc_id", "text")
+    val incr = m0.append(rest, "doc_id", "text")
     val full = new MinHashLSH(cfg).fit(docs, "doc_id", "text")
     // bit-exact index equality (direct mode featurize is per-row pure)
     assert(incr.indexDf.count() == full.indexDf.count())
@@ -61,7 +62,7 @@ class MinHashLSHSpec extends AnyFunSuite {
     // vocabulary mode must refuse
     val vmodel = new MinHashLSH(cfg.copy(useVocabulary = true)).fit(first, "doc_id", "text")
     intercept[IllegalArgumentException] { vmodel.append(rest, "doc_id", "text") }
-    Seq(incr, full, vmodel).foreach(_.unpersist())
+    Seq(m0, incr, full, vmodel).foreach(_.unpersist())
   }
 
   test("bucketThres filter with zero-result fallback") {

@@ -148,6 +148,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 9000L))
   }
 
+  test("cell blocking is microsecond-exact at cell boundaries") {
+    // Spark timestamps are micros; cell math in millis truncates the final
+    // sub-millisecond of an interval, dropping matches confined to it.
+    // Left interval ends 500us AFTER a cell boundary; the match sits in
+    // that 500us tail (and carries the next cell).
+    val spark2 = spark
+    import spark2.implicits._
+    val bucketMs = 600000L
+    val bMicros = 1700000000000000L - 1700000000000000L % (bucketMs * 1000) // cell boundary
+    def ts(us: Long) = expr(s"timestamp_micros(${us}L)")
+    val interval = Seq(1L).toDF("k")
+      .select(col("k"), lit(7L).as("iid"),
+        ts(bMicros - 1000000).as("s"), ts(bMicros + 500).as("e"))
+    val point = Seq(1L).toDF("k")
+      .select(col("k"), lit(9L).as("pid"), ts(bMicros + 200).as("pts"))
+    val gotRange = Joins.rangeJoinBucketed(interval, point, Seq("k"),
+      "s", "e", "pts", bucketMs, Seq("pid")).count()
+    assert(gotRange == 1, "point in the interval's sub-ms tail must match")
+    val right = Seq(1L).toDF("k")
+      .select(col("k"), lit(8L).as("rid"),
+        ts(bMicros + 100).as("rs"), ts(bMicros + 1000000).as("re"))
+    val gotOverlap = Joins.intervalOverlapJoin(interval, right, Seq("k"),
+      "s", "e", "iid", "rs", "re", "rid", bucketMs).count()
+    assert(gotOverlap == 1, "400us overlap across the boundary must match")
+  }
+
   test("filterNovel drops docs that near-dup the index, keeps novel and empty docs") {
     val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
       bucketHexLen = 2)).fit(docs, "doc_id", "text")
