@@ -663,6 +663,27 @@ object SparkEntry {
           col("session_seq").cast("long").as("session_seq"))
         .orderBy("user_id", "event_id")
     }),
+    "stream_dedup_real" -> ((s, d) => {
+      // the stateful dropDuplicates path through REAL streaming execution
+      // (file source → state store → append-mode memory sink). Input is
+      // pre-sorted by event time into one file so first-ARRIVAL semantics
+      // coincide with the deterministic first-event-time oracle.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-dedup")
+      events(s, d).orderBy("ts", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val sorted = s.read.parquet(tmp)
+      val query = s.readStream.schema(sorted.schema).parquet(tmp)
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName("graft_dedup_gate")
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table("graft_dedup_gate")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id", "event_type")
+    }),
     "stream_dedup" -> ((s, d) =>
       // batch twin of streaming dropDuplicates("user_id","event_type"):
       // first event per key in event-time order (EventStream.firstEventPerKey)
@@ -966,6 +987,16 @@ object SparkEntry {
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         count(*) AS dup_count
       FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "stream_dedup_real" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                   CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      r AS (SELECT user_id, event_type, event_id, ts, value,
+              row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS rn
+            FROM e)
+      SELECT user_id, event_type, event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, CAST(value AS DOUBLE) AS value
+      FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
     "stream_dedup" -> """
       WITH e AS (SELECT user_id, event_type, event_id,
                    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
