@@ -142,6 +142,28 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         .orderBy("doc_id")
     }),
+    "src_json_scan" -> ((s, d) => {
+      // JSON-lines round-trip: write (doc_id, lang, n_chars) as JSONL, scan
+      // back with an explicit schema (schema inference is a second full
+      // pass at 100 TB — always pin the schema)
+      val tmp = roundTripDir(d, "graft-json-scan")
+      docs(s, d).select("doc_id", "lang", "n_chars").coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
+        .orderBy("doc_id")
+    }),
+    "src_partitioned_scan" -> ((s, d) => {
+      // partitioned-parquet round-trip: write docs partitioned by lang,
+      // read back with a partition filter — the scan must prune to the
+      // lang=en directory (asserted on the physical plan in
+      // PlanPropertiesSpec), the 100 TB pattern for any dimension-sliced
+      // corpus
+      val tmp = roundTripDir(d, "graft-part-scan")
+      docs(s, d).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp).where(col("lang") === "en")
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
     "prj_select" -> ((s, d) =>
       tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
@@ -903,6 +925,11 @@ object SparkEntry {
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
+    "src_json_scan" -> """
+      SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
+    "src_partitioned_scan" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE lang = 'en' ORDER BY doc_id""",
     "src_csv_scan" -> """
       SELECT doc_id, text FROM documents
       WHERE NOT regexp_matches(text, '[\n\r]') ORDER BY doc_id""",

@@ -88,6 +88,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("src_partitioned_scan prunes partitions at the scan") {
+    val plan = planOf("src_partitioned_scan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang filter must prune partitions, not scan-and-filter:\n$plan")
+  }
+
   test("no MinHash expression is ever pushed into a scan-level filter") {
     // Regression contract for the round-3 find: a null-signature filter
     // placed below the query-feature cache gets pushed under the
