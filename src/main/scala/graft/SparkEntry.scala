@@ -382,6 +382,15 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
+    "agg_percentiles" -> ((s, d) =>
+      // exact interpolated percentiles (sort-based, not a sketch) — rounded
+      // so double ulp differences between engines cannot flip the compare
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")),
     "agg_median" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag")
         .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
@@ -457,6 +466,14 @@ object SparkEntry {
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(array_sort(T.shingles(col("text"), 2)), "|").as("shingles_str"))
         .orderBy("doc_id")),
+    "fn_levenshtein" -> ((s, d) => {
+      // edit distance of each doc's 40-char prefix to the query key's —
+      // capped inputs keep the O(n·m) DP bounded per row
+      val q = keyOf(s, d).take(40)
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40), lit(q)).as("edit_dist"))
+        .orderBy("doc_id")
+    }),
     "fn_char_ngrams" -> ((s, d) =>
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(array_sort(T.charNGrams(col("text"), 3)), "").as("ngrams_str"))
@@ -548,6 +565,12 @@ object SparkEntry {
       m.filterNovel(dd.where(col("doc_id") >= 400), "doc_id", "text", 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_containment_pairs" -> ((s, d) =>
+      // near-subset detection (containment ≥ 0.6 on 3-shingle sets)
+      Dedup.containmentPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
+        k = 3, threshold = 0.6)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("cont6"))
+        .orderBy("a_id", "b_id")),
     "dedup_embedding_pairs" -> ((s, d) =>
       Dedup.embeddingPairsBrute(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
@@ -610,6 +633,13 @@ object SparkEntry {
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.withTokenCounts(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "ws_tokens", "bpe_ish_tokens").orderBy("doc_id")),
+    "text_bm25_scores" -> ((s, d) =>
+      // full-text BM25 relevance of every matching doc against the query
+      // key; rounded scores, doc_id order (a top-k cut on unrounded doubles
+      // could flip near-ties between engines)
+      TextSearch.bm25Scores(docs(s, d), "doc_id", "text", keyOf(s, d))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score6"))
+        .orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprints(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "bag_fingerprint", "seq_fingerprint").orderBy("doc_id")),
@@ -880,6 +910,12 @@ object SparkEntry {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_percentiles" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_median" -> """
       SELECT l_returnflag, median(l_quantity) AS med_qty, count(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -1056,6 +1092,11 @@ object SparkEntry {
       SELECT doc_id, array_to_string(list_sort(list_distinct(list_transform(range(1, len(tokens)),
         i -> tokens[i] || ' ' || tokens[i+1]))), '|') AS shingles_str
       FROM toks ORDER BY doc_id""",
+    "fn_levenshtein" -> """
+      WITH q AS (SELECT substr(substr(text, 1, 120), 1, 40) AS qk
+                 FROM documents WHERE doc_id = 0)
+      SELECT d.doc_id, levenshtein(substr(d.text, 1, 40), q.qk) AS edit_dist
+      FROM documents d, q ORDER BY d.doc_id""",
     "fn_char_ngrams" -> """
       WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                  FROM documents)
@@ -1194,6 +1235,25 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dups)
       ORDER BY doc_id""",
+    "dedup_containment_pairs" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      cand AS (
+        SELECT p.a_id, p.b_id FROM pairs p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.1),
+      sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens) - 1),
+        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM toks),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / least(len(a.sh), len(b.sh)) AS containment
+        FROM cand p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
+      SELECT a_id, b_id, round(containment, 6) AS cont6 FROM scored
+      WHERE containment >= 0.6 ORDER BY a_id, b_id""",
     "dedup_embedding_pairs" -> """
       WITH pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1313,6 +1373,27 @@ object SparkEntry {
              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
       FROM documents ORDER BY doc_id""",
+    "text_bm25_scores" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      tl AS (SELECT doc_id, tokens, len(tokens) AS dl FROM toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM tl),
+      qdoc AS (SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id = 0),
+      qt AS (SELECT DISTINCT unnest($tokenizeSql) AS token FROM qdoc),
+      hits AS (
+        SELECT doc_id, dl, unnest(tokens) AS token FROM tl),
+      tf AS (
+        SELECT h.doc_id, h.dl, h.token, count(*) AS tf
+        FROM hits h JOIN qt ON h.token = qt.token
+        GROUP BY 1, 2, 3),
+      idf AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+          sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS score
+        FROM tf JOIN idf i USING (token), stats s
+        GROUP BY 1)
+      SELECT doc_id, round(score, 6) AS score6 FROM scored ORDER BY doc_id""",
     "text_fingerprint" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
       SELECT doc_id,

@@ -86,6 +86,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Near-subset pairs: containment |A∩B| / min(|A|,|B|) ≥ threshold over
+    * k-token shingle sets — catches a document substantially contained in a
+    * larger one (boilerplate expansion, partial copies), which symmetric
+    * Jaccard under-scores by the size ratio. Candidates come from the LSH
+    * index at `jaccardFloor` (signature estimate); recall therefore extends
+    * only down to pairs whose symmetric Jaccard clears that floor — a
+    * containment-native recall guarantee would need a different blocking
+    * scheme (hashing the smaller side only), documented as future work.
+    */
+  def containmentPairs(model: MinHashLSHModel, docs: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double,
+      jaccardFloor: Double = 0.1): DataFrame = {
+    val cands = model.approxSimilarityJoin(jaccardFloor).select("a_id", "b_id")
+    val sh = graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
+      .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
+      .persist()
+    cands
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("containment",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          least(size(col("a_sh")), size(col("b_sh"))))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** Embedding cosine near-duplicate pairs, brute all-pairs — correctness
     * baseline / oracle twin. Quadratic: only for modest partitions.
     */

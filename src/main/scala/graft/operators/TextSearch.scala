@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text relevance scoring (Robertson/Spärck Jones; the
+  * `+1`-inside-the-log variant so idf stays positive for common terms) —
+  * the search-side counterpart of the similarity operators: score every
+  * document against a free-text query with the same tokenizer the dedup
+  * pipeline uses.
+  *
+  * Scale design: the query's token set is tiny, so document tokens are
+  * exploded, FILTERED to query tokens at the scan (predicate on the
+  * generator output — everything else never enters the shuffle), tf
+  * computed per (doc, token), idf joined in from a ≤|query|-row broadcast
+  * frame, and scores summed per doc. Corpus size N and average doc length
+  * are the only driver scalars (one 2-value aggregate). No vocabulary, no
+  * per-doc state — the shuffle carries (doc, token, tf) for query tokens
+  * only.
+  */
+object TextSearch {
+
+  /** Per-document BM25 scores for `query`, docs with score 0 excluded.
+    * Output: (id, score) — deterministic; order downstream as needed.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val qTokens = query.toLowerCase.replaceAll("[^\\w\\s]", " ")
+      .trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTokens.nonEmpty, "query tokenizes to nothing")
+
+    val toks = graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
+      .withColumn("dl", size(col("toks")))
+      .persist()
+    // the only driver scalars: corpus size + average doc length
+    val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+
+    val hits = toks
+      .select(col("id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isin(qTokens: _*))
+    val tf = hits.groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+    // df per query token → idf; ≤ |query tokens| rows, broadcast into the join
+    val idf = tf.groupBy("token")
+      .agg(countDistinct(col("id")).as("df"))
+      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(broadcast(idf), Seq("token"))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("id").agg(sum(col("s")).as("score"))
+  }
+
+  /** Top-k BM25 hits with the document text attached (score-desc, id-asc). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .join(broadcast(
+        bm25Scores(docs, idCol, textCol, query)
+          .orderBy(col("score").desc, col("id").asc).limit(k)), Seq("id"))
+      .select(col("id"), col("text"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+}

@@ -148,6 +148,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 9000L))
   }
 
+  test("bm25TopK: a document is the best hit for its own prefix") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val key = docs.where(col("doc_id") === 0).select("text")
+      .collect()(0).getString(0).take(200)
+    val top = graft.operators.TextSearch.bm25TopK(docs, "doc_id", "text", key, 5).collect()
+    assert(top.nonEmpty && top.length <= 5)
+    // doc 0 (or an exact near-dup from the planted family) must lead
+    assert(Set(0L, 50L, 82L).contains(top(0).getLong(0)))
+    val scores = top.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse && scores.forall(_ > 0))
+  }
+
   test("cell blocking is microsecond-exact at cell boundaries") {
     // Spark timestamps are micros; cell math in millis truncates the final
     // sub-millisecond of an interval, dropping matches confined to it.
