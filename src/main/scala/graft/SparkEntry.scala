@@ -565,6 +565,13 @@ object SparkEntry {
       m.filterNovel(dd.where(col("doc_id") >= 400), "doc_id", "text", 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_cluster_keep" -> ((s, d) => {
+      // cluster-level dedup: connected components of the near-dup pairs,
+      // keep each cluster's min id + all unclustered docs
+      val pairs = fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+      Dedup.dropNearDuplicateClusters(docs(s, d), "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_containment_pairs" -> ((s, d) =>
       // near-subset detection (containment ≥ 0.6 on 3-shingle sets)
       Dedup.containmentPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
@@ -1235,6 +1242,27 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dups)
       ORDER BY doc_id""",
+    "dedup_cluster_keep" -> s"""
+      WITH RECURSIVE ${docCtes(cfg16).trim},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      cpair AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      jpair AS (
+        SELECT p.a_id, p.b_id FROM cpair p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jpair
+                UNION SELECT b_id, a_id FROM jpair),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS label
+                 FROM reach GROUP BY src),
+      losers AS (SELECT id FROM labels WHERE label < id)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
     "dedup_containment_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

@@ -113,6 +113,53 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("containment"))
   }
 
+  /** Connected components over an undirected (a_id, b_id) pair list by
+    * iterative min-label propagation: every node's label converges to the
+    * smallest id reachable from it. Iterations are bounded by the
+    * component diameter (near-dup clusters are shallow — typically ≤ 3
+    * hops); each round is one shuffle of (node, label) plus a fixpoint
+    * count. Deterministic; the SQL twin is a recursive transitive-closure
+    * CTE.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per node: min of own label and every neighbor's
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels // (id, label = min id of the component)
+  }
+
+  /** Cluster-level near-duplicate removal: form clusters as connected
+    * components of `pairs` and keep only each cluster's minimum id (plus
+    * every document in no cluster). The production form of dedup — pairwise
+    * thresholds alone under-delete because near-duplication is transitive.
+    */
+  def dropNearDuplicateClusters(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("label")).select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
+  }
+
   /** Embedding cosine near-duplicate pairs, brute all-pairs — correctness
     * baseline / oracle twin. Quadratic: only for modest partitions.
     */

@@ -148,6 +148,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 9000L))
   }
 
+  test("connectedComponents: min-label over chains, triangles, isolated pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    // cluster dedup keeps exactly the representatives + unclustered docs
+    val docs = (1L to 25L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicateClusters(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L)))
+  }
+
   test("bm25TopK: a document is the best hit for its own prefix") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val key = docs.where(col("doc_id") === 0).select("text")
