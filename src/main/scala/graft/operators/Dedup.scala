@@ -128,6 +128,12 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    // labels only ever DECREASE under min-propagation, so the exact-decimal
+    // label sum is strictly monotone: sum unchanged ⇔ fixpoint. One cheap
+    // aggregate per round instead of a change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -138,8 +144,9 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).isEmpty
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels.unpersist()
       labels = next
       i += 1
