@@ -726,8 +726,12 @@ object SparkEntry {
       // the stateful dropDuplicates path through REAL streaming execution
       // (file source → state store → append-mode memory sink). Input is
       // pre-sorted by event time into one file so first-ARRIVAL semantics
-      // coincide with the deterministic first-event-time oracle.
+      // coincide with the deterministic first-event-time oracle — which
+      // requires the file to stay ONE input split (a split boundary would
+      // race same-key rows through the shuffle); maxPartitionBytes is
+      // raised so the property holds at any driver scale factor.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
       val tmp = roundTripDir(d, "graft-stream-dedup")
       events(s, d).orderBy("ts", "event_id").coalesce(1)
         .write.mode("overwrite").parquet(tmp)

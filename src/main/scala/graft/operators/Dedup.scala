@@ -117,9 +117,10 @@ object Dedup {
     * iterative min-label propagation: every node's label converges to the
     * smallest id reachable from it. Iterations are bounded by the
     * component diameter (near-dup clusters are shallow — typically ≤ 3
-    * hops); each round is one shuffle of (node, label) plus a fixpoint
-    * count. Deterministic; the SQL twin is a recursive transitive-closure
-    * CTE.
+    * hops), then halved each round by pointer jumping — convergence is
+    * O(log diameter) shuffles. Deterministic; the SQL twin is a recursive
+    * transitive-closure CTE. If `maxIter` is ever hit (pathological
+    * diameter), a warning is emitted and labels may be under-merged.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edge list, both directions
@@ -130,20 +131,35 @@ object Dedup {
       .withColumn("label", col("id")).persist()
     // labels only ever DECREASE under min-propagation, so the exact-decimal
     // label sum is strictly monotone: sum unchanged ⇔ fixpoint. One cheap
-    // aggregate per round instead of a change-detection join.
+    // aggregate per round instead of a change-detection join. sum over an
+    // EMPTY frame is null — zero, not an NPE (a duplicate-free corpus has
+    // no edges and must converge immediately).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.signum() == 0 && labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per node: min of own label and every neighbor's
+      // candidate label per node: min of own label and every neighbor's...
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist()
+      // ...then pointer-jump (label := label of label): halves the residual
+      // diameter each round, so convergence is O(log diameter) iterations —
+      // a 10^6-node chain fits comfortably inside the default cap
+      val jumped = stepped.as("n")
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      // rebind through the RDD: the loop references each round's frame
+      // multiple times, so carrying the full logical plan forward grows it
+      // exponentially (4^iterations tree copies — OOMs plan rendering long
+      // before the data is big). A LogicalRDD leaf keeps every round's
+      // plan constant-size; the round is materialized by labelSum below.
+      val next = jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema).persist()
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
@@ -151,6 +167,9 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents hit maxIter=$maxIter before " +
+        "convergence — labels may be under-merged; raise maxIter")
     edges.unpersist()
     labels // (id, label = min id of the component)
   }

@@ -152,8 +152,13 @@ object Joins {
     * least one cell, so a shuffled equi-join on (keys, cell) + the residual
     * overlap predicate finds every pair. A pair CAN share several cells —
     * the final projection dedups on the caller's id columns (pass one
-    * unique id per side). Same dirty-data bounds as [[rangeJoinBucketed]]:
-    * inverted intervals vanish, fan-out capped per interval.
+    * unique id per side). Inverted intervals vanish (as in
+    * [[rangeJoinBucketed]]), and per-interval cell fan-out is capped —
+    * note the cap is a completeness bound, not just a dirty-data guard: an
+    * interval longer than `maxCellsPerInterval × bucketMillis` only matches
+    * partners overlapping within that horizon after its start. Size
+    * `bucketMillis` near the typical interval length so real intervals
+    * span a handful of cells.
     */
   def intervalOverlapJoin(
       left: DataFrame,

@@ -27,16 +27,23 @@ object TextSearch {
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
-    val qTokens = query.toLowerCase.replaceAll("[^\\w\\s]", " ")
-      .trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    // query tokens through the SAME tokenizer expression as the documents —
+    // a re-implemented driver-side copy would silently drift if the
+    // tokenizer ever changes
+    val qTokens = spark.range(1)
+      .select(T.tokenize(lit(query)).as("t"))
+      .collect()(0).getSeq[String](0).distinct
     require(qTokens.nonEmpty, "query tokenizes to nothing")
 
     val toks = graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
       .withColumn("dl", size(col("toks")))
       .persist()
-    // the only driver scalars: corpus size + average doc length
+    // the only driver scalars: corpus size + average doc length. avg over
+    // an empty/all-null corpus is null — score nothing rather than NPE.
     val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
+    if (stats.isNullAt(1))
+      return toks.select(col("id"), lit(0.0).as("score")).where(lit(false))
     val n = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1)
 

@@ -164,6 +164,14 @@ class OperatorSpec extends AnyFunSuite {
     val kept = Dedup.dropNearDuplicateClusters(docs, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L)))
+    // empty pair list: nothing to merge, every doc kept (no NPE)
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dropNearDuplicateClusters(docs, "doc_id", noPairs).count() == 25)
+    // long chain: pointer jumping converges in O(log d), far under maxIter
+    val chain = (100L until 160L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val chainLabels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 160L).forall(chainLabels(_) == 100L))
   }
 
   test("bm25TopK: a document is the best hit for its own prefix") {
