@@ -80,6 +80,34 @@ object MinHashPropertySpec extends Properties("MinHashLSH") {
       r.isNullAt(0) || r.getSeq[Int](0).forall(v => v >= 0 && v < 500)
     }
 
+  property("containment >= jaccard and within [0,1]") =
+    forAll(docGen, docGen) { (a, b) =>
+      import spark.implicits._
+      val r = Seq((a.mkString(" "), b.mkString(" "))).toDF("ta", "tb")
+        .select(T.shingles(col("ta"), 2).as("sa"), T.shingles(col("tb"), 2).as("sb"))
+        .select(
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            least(size(col("sa")), size(col("sb")))).as("cont"),
+          graft.functions.ArrayKernels.setJaccard(col("sa"), col("sb")).as("jac"))
+        .collect()(0)
+      val (cont, jac) = (r.getDouble(0), r.getDouble(1))
+      cont >= jac - 1e-12 && cont >= 0.0 && cont <= 1.0 + 1e-12
+    }
+
+  property("bm25: every score positive; a doc repeating a query token outranks one without it") =
+    Prop.secure {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "alpha beta alpha beta alpha"),
+        (2L, "gamma delta epsilon zeta eta"),
+        (3L, "alpha gamma delta zeta eta")).toDF("id", "text")
+      val scores = graft.operators.TextSearch.bm25Scores(docs, "id", "text", "alpha beta")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      scores.values.forall(_ > 0) &&
+        !scores.contains(2L) && // no query token → no score row
+        scores(1L) > scores(3L) // more matching mass ranks higher
+    }
+
   property("index deterministic across partitionings") = Prop.secure {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
