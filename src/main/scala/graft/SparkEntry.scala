@@ -640,6 +640,14 @@ object SparkEntry {
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.withTokenCounts(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "ws_tokens", "bpe_ish_tokens").orderBy("doc_id")),
+    "text_chunk" -> ((s, d) =>
+      // context-window chunking: 50-token windows, 10-token overlap; chunk
+      // text emitted as md5 (comparator-friendly cell size)
+      TextAnalysis.chunk(SparkUtil.ensureParallelism(docs(s, d)), "doc_id", "text",
+        chunkTokens = 50, overlapTokens = 10)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
     "text_bm25_scores" -> ((s, d) =>
       // full-text BM25 relevance of every matching doc against the query
       // key; rounded scores, doc_id order (a top-k cut on unrounded doubles
@@ -1405,6 +1413,18 @@ object SparkEntry {
              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
       FROM documents ORDER BY doc_id""",
+    "text_chunk" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+      chunks AS (
+        SELECT doc_id,
+          unnest(range(0, ((n - 1) // 40) + 1)) AS chunk_idx,
+          tokens, n
+        FROM nz)
+      SELECT doc_id, chunk_idx,
+        md5(array_to_string(tokens[(chunk_idx*40+1):(chunk_idx*40+50)], ' ')) AS chunk_md5,
+        least(50, n - chunk_idx*40) AS chunk_tokens
+      FROM chunks ORDER BY doc_id, chunk_idx""",
     "text_bm25_scores" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       tl AS (SELECT doc_id, tokens, len(tokens) AS dl FROM toks),

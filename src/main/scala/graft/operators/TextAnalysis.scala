@@ -89,6 +89,33 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows of `chunkTokens` with `overlapTokens` carried between
+    * consecutive chunks — the sequence-packing precursor of an LLM
+    * training pipeline. One row per (doc, chunk): (idCol, chunk_idx,
+    * chunk_text, chunk_tokens). Chunk starts are every
+    * `chunkTokens - overlapTokens` tokens; the final chunk may be short;
+    * empty docs produce no rows. Pure narrow projection + generator — no
+    * shuffle, scales as the scan does.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap($overlapTokens) < chunk($chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val toks = col("__toks_c")
+    val starts = sequence(lit(0),
+      floor((size(toks) - 1) / stride).cast("int") * stride, lit(stride))
+    df.withColumn("__toks_c", T.tokenize(col(textCol)))
+      .where(size(toks) > 0)
+      .select(col(idCol),
+        posexplode(transform(starts, st => slice(toks, st + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("chunk_tokens"))
+  }
+
   /** Content fingerprints: md5 over the sorted distinct token set (word-bag
     * fingerprint, order-insensitive) and over the normalized token sequence
     * (order-sensitive).

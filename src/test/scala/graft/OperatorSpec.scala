@@ -174,6 +174,27 @@ class OperatorSpec extends AnyFunSuite {
     assert((100L to 160L).forall(chainLabels(_) == 100L))
   }
 
+  test("chunk: overlapping windows, short docs one chunk, empty docs none") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than a chunk
+      (3L, "")) // empty → no rows
+      .toDF("id", "text")
+    val out = graft.operators.TextAnalysis.chunk(docs, "id", "text",
+      chunkTokens = 4, overlapTokens = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // stride 3: starts 0,3,6,9 → windows of ≤4 tokens
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq == Seq(
+      (0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"), (2, "t7 t8 t9 t10"), (3, "t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    assert(!out.exists(_._1 == 3L))
+    // every token position is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("bm25TopK: a document is the best hit for its own prefix") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val key = docs.where(col("doc_id") === 0).select("text")
