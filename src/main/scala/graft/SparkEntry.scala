@@ -640,6 +640,20 @@ object SparkEntry {
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.withTokenCounts(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "ws_tokens", "bpe_ish_tokens").orderBy("doc_id")),
+    "text_pii_scrub" -> ((s, d) => {
+      // PII redaction over a corpus with deterministically planted PII
+      // (the base corpus is synthetic and PII-free, so plant one email /
+      // IPv4 / phone per doc and prove the scrubber removes them)
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@example.com via 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 tel 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4829")).as("text"))
+      TextAnalysis.scrubPii(planted, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          md5(col("text_scrubbed")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
     "text_chunk" -> ((s, d) =>
       // context-window chunking: 50-token windows, 10-token overlap; chunk
       // text emitted as md5 (comparator-friendly cell size)
@@ -1413,6 +1427,22 @@ object SparkEntry {
              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
       FROM documents ORDER BY doc_id""",
+    "text_pii_scrub" -> """
+      WITH planted AS (
+        SELECT doc_id,
+          text || ' contact u' || doc_id || '@example.com via 10.0.' ||
+          (doc_id % 256) || '.7 tel 555-' ||
+          lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4829' AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<phone>', 'g')) AS scrubbed_md5
+      FROM planted ORDER BY doc_id""",
     "text_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),

@@ -116,6 +116,29 @@ object TextAnalysis {
         size(col("__chunk")).as("chunk_tokens"))
   }
 
+  /** PII scrubbing: replace emails, IPv4 addresses, and NNN-NNN-NNNN phone
+    * numbers with typed placeholder tags, and count each redaction. The
+    * patterns are deliberately restricted to syntax with identical
+    * semantics in Java regex and RE2 (no lookarounds, no backrefs) so the
+    * operation is oracle-checkable and portable. Pure narrow projection.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b"))
+
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val Seq((_, email), (_, ipv4), (_, phone)) = PiiPatterns
+    // counts against the ORIGINAL text; replacements applied email → ipv4
+    // → phone (the patterns cannot match inside each other's tags)
+    df.withColumn("n_email", size(regexp_extract_all(col(textCol), lit(email), lit(0))))
+      .withColumn("n_ipv4", size(regexp_extract_all(col(textCol), lit(ipv4), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(col(textCol), lit(phone), lit(0))))
+      .withColumn("text_scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          email, "<email>"), ipv4, "<ipv4>"), phone, "<phone>"))
+  }
+
   /** Content fingerprints: md5 over the sorted distinct token set (word-bag
     * fingerprint, order-insensitive) and over the normalized token sequence
     * (order-sensitive).

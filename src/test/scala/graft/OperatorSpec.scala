@@ -174,6 +174,20 @@ class OperatorSpec extends AnyFunSuite {
     assert((100L to 160L).forall(chainLabels(_) == 100L))
   }
 
+  test("scrubPii: redacts emails/IPv4/phones with counts, leaves clean text alone") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = graft.operators.TextAnalysis.scrubPii(Seq(
+      (1L, "mail a.b+c@x-y.org and b@c.io, host 10.0.0.1, call 555-123-4567"),
+      (2L, "no pii here, just 3.14 and v1.2.3.4.5 stays-ish"))
+      .toDF("id", "text"), "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail <email> and <email>, host <ipv4>, call <phone>")
+    assert(out(2L)._1 == 0 && out(2L)._3 == 0)
+  }
+
   test("chunk: overlapping windows, short docs one chunk, empty docs none") {
     val spark2 = spark
     import spark2.implicits._
