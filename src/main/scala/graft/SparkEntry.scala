@@ -176,6 +176,14 @@ object SparkEntry {
           col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
+    "flt_sample_hash" -> ((s, d) =>
+      // deterministic ~10% corpus sample: keep rows whose md5(key) hex
+      // prefix sorts below '1a' (26/256). Unlike rand()-based sample(),
+      // this is reproducible across runs, partitionings, and engines, and
+      // stays a codegen'd scan-level filter at any scale.
+      docs(s, d)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     "flt_bucket_overlap" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.crossJoin(broadcast(m.queryFeatures(keyOf(s, d))))
@@ -331,6 +339,18 @@ object SparkEntry {
     "agg_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts")).orderBy("l_returnflag")),
+    "agg_corr_stats" -> ((s, d) =>
+      // second-moment statistics (one-pass co-moment aggregates). Rounding
+      // absorbs the engines' different partial-merge orders: corr is O(1)
+      // magnitude (6 dp safe); covar is O(1e4) so 3 dp.
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity").cast("double"),
+            col("l_extendedprice").cast("double")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity").cast("double"),
+            col("l_extendedprice").cast("double")), 3).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity").cast("double")), 6).as("qty_sd"),
+          round(var_samp(col("l_quantity").cast("double")), 4).as("qty_var"))
+        .orderBy("l_returnflag")),
     "agg_rollup" -> ((s, d) =>
       tbl(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
@@ -365,6 +385,19 @@ object SparkEntry {
           dense_rank().over(w).as("drk"), ntile(4).over(w).as("quartile"))
         .where(col("drk") <= 100)
         .orderBy("o_orderpriority", "drk")
+    }),
+    "window_first_last" -> ((s, d) => {
+      // first/last/nth value window family; last/nth need the full-partition
+      // frame (the default frame stops at CURRENT ROW)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          first_value(col("event_id")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_eid"),
+          last_value(col("event_id")).over(full).as("last_eid"),
+          nth_value(col("event_id"), 2).over(full).as("second_eid"))
+        .orderBy("user_id", "event_id")
     }),
     "agg_cube" -> ((s, d) =>
       tbl(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
@@ -412,6 +445,17 @@ object SparkEntry {
     "fn_json_extract" -> ((s, d) =>
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+    "fn_datetime" -> ((s, d) =>
+      // calendar kernel surface: truncation, field extraction, day
+      // arithmetic. dow emitted 0=Sunday (DuckDB convention; Spark's
+      // dayofweek is 1=Sunday); week truncation is Monday-start in both.
+      events(s, d).select(col("event_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).as("hh"),
+        (dayofweek(col("ts")) - 1).as("dow"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"))
         .orderBy("event_id")),
 
     // --- set ops (SURVEY §2.7 + DataFrame-level extension)
@@ -867,6 +911,10 @@ object SparkEntry {
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
       WHERE l_quantity >= 45 AND l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1997-01-01'
       ORDER BY l_orderkey, l_linenumber""",
+    "flt_sample_hash" -> """
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+      ORDER BY doc_id""",
     "flt_bucket_overlap" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT b.doc_id FROM buck b, qbuck q
@@ -914,6 +962,13 @@ object SparkEntry {
       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_corr_stats" -> """
+      SELECT l_returnflag,
+        round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS qty_price_corr,
+        round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 3) AS qty_price_covar,
+        round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS qty_sd,
+        round(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS qty_var
       FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -965,6 +1020,15 @@ object SparkEntry {
     "fn_json_extract" -> """
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events ORDER BY event_id""",
+    "fn_datetime" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT event_id,
+        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        hour(ts) AS hh,
+        dayofweek(ts) AS dow,
+        strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+      FROM e ORDER BY event_id""",
     "join_range" -> """
       WITH er AS (SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                   FROM events WHERE event_type = 'error'),
@@ -1061,6 +1125,16 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice DESC, o_orderkey))
       WHERE drk <= 100 ORDER BY o_orderpriority, drk""",
+    "window_first_last" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT user_id, event_id,
+        first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_eid,
+        last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_eid,
+        nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_eid
+      FROM e ORDER BY user_id, event_id""",
     "dedup_embedding_bucketed" -> """
       WITH eb AS (
         SELECT vec_id, embedding,
