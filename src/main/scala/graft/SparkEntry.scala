@@ -706,6 +706,26 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           md5(col("chunk_text")).as("chunk_md5"), col("chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")),
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.withNormalizedText(SparkUtil.ensureParallelism(docs(s, d)), "text")
+        .select("doc_id", "text_norm").orderBy("doc_id")),
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style repetition signals; exact small-int ratios, rounded
+      TextAnalysis.withRepetitionMetrics(
+          SparkUtil.ensureParallelism(docs(s, d)), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("top_unigram_frac"), 6).as("top_unigram_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")),
+    "text_boilerplate" -> ((s, d) =>
+      // cross-document segment dedup (line-dedup with fixed token windows
+      // standing in for lines); cleaned text emitted as md5
+      TextAnalysis.removeBoilerplate(SparkUtil.ensureParallelism(docs(s, d)),
+          "doc_id", "text", segTokens = 10, minDocs = 2)
+        .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")),
     "text_bm25_scores" -> ((s, d) =>
       // full-text BM25 relevance of every matching doc against the query
       // key; rounded scores, doc_id order (a top-k cut on unrounded doubles
@@ -1529,6 +1549,41 @@ object SparkEntry {
         md5(array_to_string(tokens[(chunk_idx*40+1):(chunk_idx*40+50)], ' ')) AS chunk_md5,
         least(50, n - chunk_idx*40) AS chunk_tokens
       FROM chunks ORDER BY doc_id, chunk_idx""",
+    "text_normalize" -> """
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+      FROM documents ORDER BY doc_id""",
+    "text_repetition" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      uni AS (SELECT doc_id, unnest(tokens) AS gram FROM toks),
+      uc AS (SELECT doc_id, gram, count(*) AS c FROM uni GROUP BY 1, 2),
+      ua AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_unigram_frac
+             FROM uc GROUP BY 1),
+      big AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS gram FROM toks),
+      bc AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+      ba AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+               round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_bigram_frac
+             FROM bc GROUP BY 1)
+      SELECT d.doc_id, ua.top_unigram_frac, ba.top_bigram_frac, ba.dup_bigram_frac
+      FROM documents d
+      LEFT JOIN ua ON d.doc_id = ua.doc_id
+      LEFT JOIN ba ON d.doc_id = ba.doc_id
+      ORDER BY d.doc_id""",
+    "text_boilerplate" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+      segs AS (SELECT doc_id, unnest(range(0, ((n - 1) // 10) + 1)) AS seg_idx, tokens
+               FROM nz),
+      st AS (SELECT doc_id, seg_idx,
+               array_to_string(tokens[(seg_idx*10+1):(seg_idx*10+10)], ' ') AS seg
+             FROM segs),
+      cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM st GROUP BY 1),
+      j AS (SELECT st.doc_id, st.seg_idx, st.seg, cnt.nd >= 2 AS dropped
+            FROM st JOIN cnt USING (seg))
+      SELECT doc_id, count(*) AS n_segs, count(*) FILTER (WHERE dropped) AS n_dropped,
+        md5(coalesce(array_to_string(list(seg ORDER BY seg_idx) FILTER (WHERE NOT dropped), ' '), '')) AS clean_md5
+      FROM j GROUP BY 1 ORDER BY 1""",
     "text_bm25_scores" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       tl AS (SELECT doc_id, tokens, len(tokens) AS dl FROM toks),

@@ -37,6 +37,25 @@ object TextFunctions {
       "")
   }
 
+  /** The normalization underlying [[tokenize]], exposed as its own kernel:
+    * lower → punctuation→space → collapse whitespace → trim. Same ASCII
+    * `\w` dialect caveat as tokenize.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\w\\s]", " "), "\\s+", " "))
+
+  /** ALL k-token windows (non-distinct, in order) — the multiset variant of
+    * [[kShingles]] for occurrence-counting operators (repetition metrics);
+    * dedup-oriented callers want the distinct form.
+    */
+  def kShinglesAll(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    when(size(tokens) >= k,
+      transform(sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct k-token shingles in first-occurrence order. Each shingle is the
     * space-joined token window — order-isomorphic to the reference's tuple
     * representation because ' ' (0x20) sorts below every `\w` character, so

@@ -139,6 +139,77 @@ object TextAnalysis {
           email, "<email>"), ipv4, "<ipv4>"), phone, "<phone>"))
   }
 
+  /** Text normalization as a standalone curation step: lowercase,
+    * punctuation→space, whitespace collapse, trim — the canonical form every
+    * downstream dedup/fingerprint operator assumes. Pure narrow projection.
+    */
+  def withNormalizedText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_norm", T.normalize(col(textCol)))
+
+  /** Repetition quality signals (Gopher-style): the occupancy of the most
+    * frequent unigram/bigram and the fraction of bigram occurrences that are
+    * repeats. High values flag degenerate/boilerplate text for filtering.
+    *
+    * Distributed shape: explode → two-level groupBy with map-side combine —
+    * the per-(doc, gram) cardinality is bounded by corpus token count, the
+    * final reduce is per-doc. No per-row O(n²) HOF scans, no driver state;
+    * both shuffles key on (id, gram) so skew tracks document length, not
+    * corpus hot keys. Docs with zero tokens keep null metrics (left join).
+    */
+  def withRepetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.withColumn("__toks_r", T.tokenize(col(textCol)))
+    def topFrac(grams: DataFrame, fracCol: String, dupCol: Option[String]): DataFrame = {
+      val perGram = grams.groupBy(col(idCol), col("gram")).count()
+      val agg0 = perGram.groupBy(col(idCol)).agg(
+        (max(col("count")).cast("double") / sum(col("count"))).as(fracCol),
+        (sum(when(col("count") > 1, col("count")).otherwise(0L)).cast("double") /
+          sum(col("count"))).as(dupCol.getOrElse("__drop")))
+      if (dupCol.isDefined) agg0 else agg0.drop("__drop")
+    }
+    val uni = topFrac(
+      base.select(col(idCol), explode(col("__toks_r")).as("gram")),
+      "top_unigram_frac", None)
+    val bi = topFrac(
+      base.select(col(idCol), explode(T.kShinglesAll(col("__toks_r"), 2)).as("gram")),
+      "top_bigram_frac", Some("dup_bigram_frac"))
+    base.drop("__toks_r")
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+  }
+
+  /** Cross-document boilerplate removal, the segment-level dedup of a
+    * training pipeline: split each document into consecutive `segTokens`
+    * token segments (the corpus has no line structure, so fixed windows
+    * stand in for lines), drop every segment whose exact text occurs in at
+    * least `minDocs` distinct documents, and reassemble the survivors in
+    * order.
+    *
+    * Distributed shape: chunk (narrow generator) → groupBy(segment text)
+    * countDistinct → shuffle join back on the segment hash → per-doc
+    * reassembly via collect_list + array_sort (segment count per doc is
+    * len/segTokens, so the collected state is bounded by the document
+    * itself). The segment-frequency side aggregates BEFORE the join, so the
+    * join's build side is |distinct segments|, never |corpus|.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(segTokens > 0 && minDocs > 1, s"need segTokens>0, minDocs>1")
+    val segs = chunk(df, idCol, textCol, segTokens, overlapTokens = 0)
+      .withColumnRenamed("chunk_idx", "seg_idx")
+      .withColumnRenamed("chunk_text", "seg")
+    val counts = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    segs.join(counts, Seq("seg"))
+      .withColumn("__dropped", col("__nd") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("__dropped"), 1)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__dropped"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_clean"))
+  }
+
   /** Content fingerprints: md5 over the sorted distinct token set (word-bag
     * fingerprint, order-insensitive) and over the normalized token sequence
     * (order-sensitive).

@@ -387,6 +387,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1L)._2 != got(2L)._2)
   }
 
+  test("normalize: lowercases, strips punctuation, collapses whitespace") {
+    val df = Seq((1L, "  Hello,   WORLD!! 42 "), (2L, "...")).toDF("doc_id", "text")
+    val got = TextAnalysis.withNormalizedText(df, "text")
+      .select("doc_id", "text_norm").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world 42")
+    assert(got(2L) == "")
+  }
+
+  test("repetition metrics: degenerate text scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),       // one unigram, one repeated bigram
+      (2L, "alpha beta gamma delta"),    // all distinct
+      (3L, "")                           // zero tokens → null metrics
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionMetrics(df, "doc_id", "text")
+      .select("doc_id", "top_unigram_frac", "top_bigram_frac", "dup_bigram_frac")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(1) == 1.0)           // spam/4 of 4
+    assert(got(1L).getDouble(2) == 1.0)           // "spam spam" x3 of 3
+    assert(got(1L).getDouble(3) == 1.0)
+    assert(got(2L).getDouble(1) == 0.25)
+    assert(got(2L).getDouble(2) == 1.0 / 3)       // each bigram once, max 1 of 3
+    assert(got(2L).getDouble(3) == 0.0)
+    assert(got(3L).isNullAt(1) && got(3L).isNullAt(2))
+  }
+
+  test("removeBoilerplate: drops cross-doc repeated segments, keeps order") {
+    // 4-token segments; "a b c d" opens docs 1 and 2 (boilerplate), tails differ
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s t u v n")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(df, "doc_id", "text",
+        segTokens = 4, minDocs = 2)
+      .select("doc_id", "n_segs", "n_dropped", "text_clean").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 1L, "e f g h")))
+    assert(got(2L) == ((2L, 1L, "x y z w")))
+    assert(got(3L) == ((2L, 0L, "p q r s t u v n")))
+  }
+
   test("multimodal: stub decode is deterministic and matches the formula") {
     val meta = Multimodal.decodeMeta(
       Multimodal.asBinaryPayloads(docs.limit(20), "doc_id", "text")).collect()
