@@ -616,6 +616,14 @@ object SparkEntry {
       Dedup.dropNearDuplicateClusters(docs(s, d), "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: every 20th doc plays the eval set; flag
+      // the rest of the corpus by distinct shared 2-shingles
+      val dd = docs(s, d)
+      Dedup.contaminationFlags(dd.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          bench = dd.where(col("doc_id") % 20 === 0), benchTextCol = "text")
+        .select("doc_id", "n_overlap", "contaminated").orderBy("doc_id")
+    }),
     "dedup_containment_pairs" -> ((s, d) =>
       // near-subset detection (containment ≥ 0.6 on 3-shingle sets)
       Dedup.containmentPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
@@ -1383,6 +1391,19 @@ object SparkEntry {
       losers AS (SELECT id FROM labels WHERE label < id)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
+    "dedup_decontaminate" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      shing AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks),
+      bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM shing WHERE doc_id % 20 = 0),
+      corpus AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing WHERE doc_id % 20 <> 0),
+      hits AS (SELECT doc_id, count(*) AS n_overlap
+               FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+      SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+        h.doc_id IS NOT NULL AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id""",
     "dedup_containment_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

@@ -30,6 +30,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .where(col("dup_count") > 1)
 
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * one k-token shingle with a benchmark/eval set (the train-test overlap
+    * scrub of a training pipeline). Adds `n_overlap` (distinct shared
+    * shingles) and `contaminated` to `docs`.
+    *
+    * Scale shape: the benchmark side (eval suites — thousands of docs, not
+    * terabytes) collapses to its distinct shingle set and is broadcast; the
+    * corpus side is a narrow tokenize→shingle→explode whose broadcast inner
+    * join keeps only MATCHED (id, shingle) rows, so the only shuffle — the
+    * per-doc count — carries hit rows, not the corpus. The 100 TB side is
+    * never shuffled or collected.
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 2): DataFrame = {
+    val benchShingles = broadcast(
+      bench.select(explode(T.shingles(col(benchTextCol), k)).as("shingle")).distinct())
+    val corpusShingles = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol), explode(T.shingles(col(textCol), k)).as("shingle"))
+    val hits = corpusShingles.join(benchShingles, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Filtering form of [[contaminationFlags]]: the corpus minus everything
+    * that overlaps the benchmark set.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 2): DataFrame =
+    contaminationFlags(docs, idCol, textCol, bench, benchTextCol, k)
+      .where(!col("contaminated"))
+      .drop("n_overlap", "contaminated")
+
   /** MinHash+LSH near-duplicate pairs — delegates to the fitted index
     * (explode buckets → bucket equi-join → signature jaccard ≥ threshold).
     */

@@ -430,6 +430,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, "p q r s t u v n")))
   }
 
+  test("decontaminate: flags docs sharing a shingle with the benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // "alpha beta" hits the bench set
+      (2L, "zeta eta theta iota"),    // clean
+      (3L, "x")                       // < k tokens → no shingles → clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta epsilon")).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "text")
+      .select("doc_id", "n_overlap", "contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flags(1L) == ((1L, true)))
+    assert(flags(2L) == ((0L, false)))
+    assert(flags(3L) == ((0L, false)))
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq == Seq(2L, 3L))
+  }
+
   test("multimodal: stub decode is deterministic and matches the formula") {
     val meta = Multimodal.decodeMeta(
       Multimodal.asBinaryPayloads(docs.limit(20), "doc_id", "text")).collect()
