@@ -539,6 +539,16 @@ object SparkEntry {
         .select(col(Cols.Id).as("doc_id"),
           array_join(col(Cols.Signature), ",").as("signature_str")).orderBy("doc_id")
     }),
+    "fn_minhash_agg" -> ((s, d) =>
+      // MinHash as a distributed aggregate over the exploded (doc, shingle)
+      // relation — same signatures as the per-row kernel, but folded by the
+      // hash aggregate with map-side combine (MinHashAgg scaladoc)
+      SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"), explode(T.shingles(col("text"), 2)).as("shingle"))
+        .groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("shingle"), cfg16.numHash).as("sig"))
+        .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
+        .orderBy("doc_id")),
     "fn_buckenize" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.where(col(Cols.Signature).isNotNull)
@@ -1247,6 +1257,9 @@ object SparkEntry {
       SELECT e.doc_id, array_to_string(list_sort(list(v.idx)), ',') AS bool_vec_str
       FROM expl e JOIN vocab v ON e.s = v.s GROUP BY e.doc_id ORDER BY e.doc_id""",
     "fn_minhash_sig" -> s"""
+      WITH ${docCtes(cfg16)}
+      SELECT doc_id, array_to_string(signature, ',') AS signature_str FROM sig ORDER BY doc_id""",
+    "fn_minhash_agg" -> s"""
       WITH ${docCtes(cfg16)}
       SELECT doc_id, array_to_string(signature, ',') AS signature_str FROM sig ORDER BY doc_id""",
     "fn_buckenize" -> s"""

@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_minhash_xx",
       "graft_minhash_xx(shingles, h) - xxhash64-mode MinHash signature (h longs)",
       { case Seq(a, h) => MinHashXxSignature(a, intArg("graft_minhash_xx", h)) })
+    register(ext, "graft_minhash_md5_agg",
+      "graft_minhash_md5_agg(shingle, h) - md5-mode MinHash AGGREGATE over " +
+        "one-shingle-per-row groups (the analyzer wraps it as an aggregate)",
+      { case Seq(a, h) => MinHashMd5Agg(a, intArg("graft_minhash_md5_agg", h)) })
 
     // composite kernels: expand to the same native Column trees
     register(ext, "graft_tokenize",

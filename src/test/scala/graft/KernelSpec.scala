@@ -91,6 +91,31 @@ class KernelSpec extends AnyFunSuite {
     assert(e.isNullAt(0) && e.isNullAt(1))
   }
 
+  test("minhash AGGREGATE ≡ per-row kernel on real corpus (partial-merge path)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perRow = docs
+      .select(col("doc_id"), H.minhashMd5(T.shingles(col("text"), 2), 16).as("sig"))
+      .where(col("sig").isNotNull)
+    // repartition the exploded rows so each doc's shingles land in several
+    // partitions — forces update+serialize+merge, not just a single update run
+    val viaAgg = docs
+      .select(col("doc_id"), explode(T.shingles(col("text"), 2)).as("shingle"))
+      .repartition(7)
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("shingle"), 16).as("sig"))
+    assert(perRow.join(viaAgg, Seq("doc_id"))
+      .where(not(perRow("sig") <=> viaAgg("sig"))).count() == 0)
+    assert(perRow.count() == viaAgg.count())
+    // SQL frontend twin
+    docs.createOrReplaceTempView("docs_agg_v")
+    val sqlRows = spark.sql("""
+      SELECT doc_id, graft_minhash_md5_agg(shingle, 16) AS sig FROM (
+        SELECT doc_id, explode(graft_shingles(text, 2)) AS shingle FROM docs_agg_v)
+      GROUP BY doc_id""")
+    assert(perRow.join(sqlRows, Seq("doc_id"))
+      .where(not(perRow("sig") <=> sqlRows("sig"))).count() == 0)
+  }
+
   test("bandBucketsMd5: count ≤ bands, hex ids, deterministic") {
     val sig = (0 until 8).map(i => md5Hex(i.toString))
     val df = Seq(Tuple1(sig)).toDF("sig")
