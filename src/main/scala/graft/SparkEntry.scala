@@ -263,6 +263,29 @@ object SparkEntry {
         .select("user_id", "err_id", "p_id")
         .orderBy("err_id", "p_id")
     }),
+    "join_skew_salted" -> ((s, d) => {
+      // salted lineitem ⋈ orders (the manual skew defense; results must be
+      // exactly the plain join's — the oracle IS the plain join)
+      val li = tbl(s, d, "lineitem")
+      val ord = tbl(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      Joins.saltedJoin(li, ord, Seq("l_orderkey"), Seq("o_orderkey"),
+          saltFrom = concat_ws("|", col("l_orderkey"), col("l_linenumber")), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "agg_approx_distinct" -> ((s, d) =>
+      // HLL++ distinct estimate, gated by tolerance: the emitted boolean
+      // asserts the sketch lands within 5% of exact (the oracle emits the
+      // exact count and literal TRUE, so a drifting sketch fails the hash)
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("__approx") - col("exact_nd")) <=
+            col("exact_nd") * 0.05).as("approx_within_5pct"))
+        .orderBy("l_returnflag")),
     "join_asof" -> ((s, d) => {
       // most recent prior click per purchase, same user — union + one
       // windowed shuffle on user_id (no range join / cartesian; see Joins)
@@ -1087,6 +1110,16 @@ object SparkEntry {
       SELECT er.user_id, er.err_id, p.p_id
       FROM er JOIN p ON er.user_id = p.user_id AND er.s < p.e AND p.s < er.e
       ORDER BY er.err_id, p.p_id""",
+    "join_skew_salted" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+    "agg_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+        TRUE AS approx_within_5pct
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     "join_asof" -> """
       WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'purchase'),

@@ -14,6 +14,37 @@ object Joins {
     */
   private def qcol(name: String): Column = col(s"`$name`")
 
+  /** Skew-salted equi-join: the manual hot-key defense for when AQE's
+    * runtime skew splitting isn't available (AQE off, deterministic plan
+    * required, or skew concentrated in a single key exceeding even split
+    * thresholds). The probe side gets a per-ROW salt in [0, salt) derived
+    * from `saltFrom` (pass any per-row-distinct column: a row id, an event
+    * id — NOT the join key, which would put each hot key back in one
+    * partition); the build side is replicated `salt` times. The join key
+    * becomes (keys..., salt), so one hot key fans out over `salt` reducers
+    * at the cost of a `salt`× build-side duplication. Results are exactly
+    * the plain join's — replication guarantees every (probe row, build row)
+    * key match still meets on exactly one salt value.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKeys: Seq[String],
+      buildKeys: Seq[String],
+      saltFrom: Column,
+      salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 1, s"salt must be > 1, got $salt")
+    require(probeKeys.nonEmpty && probeKeys.length == buildKeys.length,
+      s"key lists must be non-empty and same length: $probeKeys vs $buildKeys")
+    val p = probe.withColumn("__salt_p", pmod(xxhash64(saltFrom), lit(salt.toLong)).cast("int"))
+    val b = build.withColumn("__salt_b", explode(sequence(lit(0), lit(salt - 1))))
+    val cond = probeKeys.zip(buildKeys)
+      .map { case (pk, bk) => p(pk) === b(bk) }
+      .reduce(_ && _) && p("__salt_p") === b("__salt_b")
+    p.join(b, cond, joinType).drop("__salt_p", "__salt_b")
+  }
+
   /** Backward as-of join: for every left row, attach the payload of the
     * latest right row with `right.tsCol <= left.tsCol` for the same key
     * (the classic "most recent prior event/quote" lookup).

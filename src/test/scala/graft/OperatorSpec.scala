@@ -430,6 +430,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, "p q r s t u v n")))
   }
 
+  test("saltedJoin ≡ plain join on randomized skewed data (inner and left)") {
+    val rnd = new scala.util.Random(7)
+    // heavy skew: 60% of probe rows share key 1
+    val probe = (1 to 400).map { i =>
+      (i.toLong, if (rnd.nextDouble() < 0.6) 1L else rnd.nextInt(20).toLong, rnd.nextInt(100))
+    }.toDF("row_id", "k", "v")
+    val build = (0 to 15).map(k => (k.toLong, s"dim$k")).toDF("bk", "name")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Joins.saltedJoin(probe, build, Seq("k"), Seq("bk"),
+          saltFrom = col("row_id"), salt = 5, joinType = jt)
+        .select("row_id", "k", "v", "bk", "name")
+      val plain = probe.join(build, col("k") === col("bk"), jt)
+        .select("row_id", "k", "v", "bk", "name")
+      assert(salted.exceptAll(plain).count() == 0, s"$jt: salted ⊄ plain")
+      assert(plain.exceptAll(salted).count() == 0, s"$jt: plain ⊄ salted")
+    }
+  }
+
   test("decontaminate: flags docs sharing a shingle with the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"), // "alpha beta" hits the bench set
