@@ -451,6 +451,17 @@ object SparkEntry {
       tbl(s, d, "lineitem").groupBy("l_returnflag")
         .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+    "agg_approx_percentile" -> ((s, d) =>
+      // quantile sketch, tolerance-gated like agg_approx_distinct: the
+      // boolean asserts the sketch lands within 1% of the exact median
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(median(col("l_extendedprice").cast("double")).as("__exact"),
+          percentile_approx(col("l_extendedprice").cast("double"),
+            lit(0.5), lit(10000)).as("__apx"))
+        .select(col("l_returnflag"), round(col("__exact"), 4).as("exact_median"),
+          (abs(col("__apx") - col("__exact")) <= col("__exact") * 0.01)
+            .as("approx_within_1pct"))
+        .orderBy("l_returnflag")),
     "agg_pivot" -> ((s, d) =>
       // pivot(count) yields null for absent cells; DuckDB's FILTER count
       // yields 0 — coalesce to the canonical 0
@@ -737,6 +748,18 @@ object SparkEntry {
       TextAnalysis.scrubPii(planted, "text")
         .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
           md5(col("text_scrubbed")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+    "text_url_extract" -> ((s, d) => {
+      // URL metadata over deterministically planted URLs (base corpus has
+      // none); the regexes are RE2-safe so DuckDB computes the same fields
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(lit("see https://sub"), (col("doc_id") % 10).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string"), lit(" then "),
+          col("text"), lit(" and http://mirror.test.net/x")).as("text"))
+      TextAnalysis.withUrlMetadata(planted, "text")
+        .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
     "text_chunk" -> ((s, d) =>
@@ -1068,6 +1091,24 @@ object SparkEntry {
     "agg_median" -> """
       SELECT l_returnflag, median(l_quantity) AS med_qty, count(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_approx_percentile" -> """
+      SELECT l_returnflag,
+        round(median(CAST(l_extendedprice AS DOUBLE)), 4) AS exact_median,
+        TRUE AS approx_within_1pct
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "text_url_extract" -> """
+      WITH planted AS (
+        SELECT doc_id,
+          'see https://sub' || CAST(doc_id % 10 AS VARCHAR) ||
+          '.example' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.org/p/' || CAST(doc_id AS VARCHAR) || ' then ' || text ||
+          ' and http://mirror.test.net/x' AS text
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?')) AS n_urls,
+        regexp_extract(text, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?', 0) AS first_url,
+        regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS first_host
+      FROM planted ORDER BY doc_id""",
     "agg_pivot" -> """
       SELECT l_returnflag,
         count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,

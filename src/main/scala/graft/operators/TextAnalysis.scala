@@ -127,6 +127,19 @@ object TextAnalysis {
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
     ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b"))
 
+  /** URL metadata: count of http(s) URLs, the first URL, and its host —
+    * the provenance/domain-filtering signals of a web-scrape pipeline.
+    * RE2-safe patterns (no lookarounds), pure narrow projection.
+    */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?"
+  val UrlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  def withUrlMetadata(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))))
+      .withColumn("first_url", regexp_extract(col(textCol), UrlPattern, 0))
+      .withColumn("first_host", regexp_extract(col(textCol), UrlHostPattern, 1))
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val Seq((_, email), (_, ipv4), (_, phone)) = PiiPatterns
     // counts against the ORIGINAL text; replacements applied email → ipv4
