@@ -441,11 +441,14 @@ object SparkEntry {
     "agg_percentiles" -> ((s, d) =>
       // exact interpolated percentiles (sort-based, not a sketch) — rounded
       // so double ulp differences between engines cannot flip the compare
+      // one array-percentile aggregate, not three scalar ones — each scalar
+      // percentile keeps its own per-group value buffer over the full table
       tbl(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__ps"), 1), 4).as("p50"),
+          round(element_at(col("__ps"), 2), 4).as("p90"),
+          round(element_at(col("__ps"), 3), 4).as("p99"))
         .orderBy("l_returnflag")),
     "agg_median" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag")
