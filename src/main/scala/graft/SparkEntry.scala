@@ -838,6 +838,26 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))),
+    "stream_join" -> ((s, d) =>
+      // batch twin of the stream-stream interaction join
+      EventStream.purchasesNearErrors(events(s, d))
+        .orderBy("err_id", "p_id")),
+    "stream_join_real" -> ((s, d) => {
+      // REAL stream-stream inner join: two watermarked file-source streams
+      // joined on user_id + event-time bounds, drained to a memory sink
+      val tmp = java.nio.file.Paths.get(roundTripDir(d, "graft-stream-join"))
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        tmp.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(tmp.toString)
+      val query = EventStream.streamingPurchasesNearErrors(s, tmp.toString, raw.schema)
+        .writeStream.format("memory").queryName("graft_stream_join_gate")
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table("graft_stream_join_gate").orderBy("err_id", "p_id")
+    }),
     "stream_tumbling_real" -> ((s, d) => {
       // the SAME aggregation as stream_tumbling_agg, but executed through
       // the real Structured Streaming machinery: file source → watermark →
@@ -1388,6 +1408,24 @@ object SparkEntry {
       SELECT sc.doc_id, d.text, sc.jaccard
       FROM scored sc JOIN documents d USING (doc_id)
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    "stream_join" -> """
+      WITH er AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'error'),
+      p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT er.err_id, p.p_id, er.user_id
+      FROM er JOIN p ON er.user_id = p.user_id
+        AND p.ts >= er.ts AND p.ts < er.ts + INTERVAL '2 hours'
+      ORDER BY er.err_id, p.p_id""",
+    "stream_join_real" -> """
+      WITH er AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'error'),
+      p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT er.err_id, p.p_id, er.user_id
+      FROM er JOIN p ON er.user_id = p.user_id
+        AND p.ts >= er.ts AND p.ts < er.ts + INTERVAL '2 hours'
+      ORDER BY er.err_id, p.p_id""",
     "stream_tumbling_real" -> """
       SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
                '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -66,6 +66,49 @@ object EventStream {
       .select("user_id", "event_type", "event_id", "ts", "value")
   }
 
+  /** Event-interaction join: purchases within `horizon` AFTER an error by
+    * the same user, emitted as (err_id, p_id, user_id) pairs. The batch
+    * form; [[streamingPurchasesNearErrors]] runs the identical expressions
+    * as a watermarked stream-stream join. The user_id equality is the
+    * shuffle key — the time bounds evaluate as a post-join filter, so no
+    * cartesian/BNLJ plan at any scale.
+    */
+  def purchasesNearErrors(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    val errors = events.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    errors.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("err_ts") &&
+          col("p_ts") < col("err_ts") + expr(s"INTERVAL $horizon"))
+      .select("err_id", "p_id", "user_id")
+  }
+
+  /** Stream-stream inner join with watermarks on BOTH sides: each side's
+    * state store holds only rows younger than watermark + horizon, so state
+    * is bounded by rate × (watermark + horizon), not stream length. Append
+    * mode; results match the batch twin exactly once both streams drain.
+    */
+  def streamingPurchasesNearErrors(spark: SparkSession, dir: String,
+      rawSchema: StructType, horizon: String = "2 hours"): DataFrame = {
+    def src = spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val errors = src.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "4 hours")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "4 hours")
+    errors.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("err_ts") &&
+          col("p_ts") < col("err_ts") + expr(s"INTERVAL $horizon"))
+      .select("err_id", "p_id", "user_id")
+  }
+
   /** The same aggregation as a streaming query over a parquet directory of
     * raw events (ts stored as long nanos — Spark 4 rejects TIMESTAMP(NANOS)
     * parquet natively), with a 2-hour watermark for late data. Identical

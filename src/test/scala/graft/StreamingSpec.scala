@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interaction join equals batch twin after both streams drain") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events-ssjoin").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val raw = spark.read.parquet(dir)
+    val batch = EventStream.purchasesNearErrors(
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .orderBy("err_id", "p_id").collect()
+    val q = EventStream.streamingPurchasesNearErrors(spark, dir, raw.schema)
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("ssjoin_out").orderBy("err_id", "p_id").collect()
+      assert(stream.length == batch.length && stream.length > 0,
+        s"stream=${stream.length} batch=${batch.length}")
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("Sessionizer (flatMapGroupsWithState): batch ≡ gaps-and-islands twin") {
     import graft.streaming.{SessionEvent, Sessionizer}
     import spark.implicits._
