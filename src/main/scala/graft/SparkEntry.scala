@@ -576,6 +576,16 @@ object SparkEntry {
         .select(col(Cols.Id).as("doc_id"),
           array_join(col(Cols.Signature), ",").as("signature_str")).orderBy("doc_id")
     }),
+    "fn_simhash_md5" -> ((s, d) =>
+      // md5-mode SimHash: oracle-checkable bit for bit (DuckDB rebuilds the
+      // majority fingerprint from md5 hex nibbles); docs with zero tokens
+      // excluded on both sides (no hash evidence to fingerprint)
+      SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"), T.tokenize(col("text")).as("__toks"))
+        .where(size(col("__toks")) > 0)
+        .select(col("doc_id"),
+          graft.functions.SimHash64.simhashMd5(col("__toks")).as("simhash"))
+        .orderBy("doc_id")),
     "fn_minhash_agg" -> ((s, d) =>
       // MinHash as a distributed aggregate over the exploded (doc, shingle)
       // relation — same signatures as the per-row kernel, but folded by the
@@ -1359,6 +1369,23 @@ object SparkEntry {
     "fn_minhash_agg" -> s"""
       WITH ${docCtes(cfg16)}
       SELECT doc_id, array_to_string(signature, ',') AS signature_str FROM sig ORDER BY doc_id""",
+    "fn_simhash_md5" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+      hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+      bits AS (
+        SELECT doc_id, i.i, b.b,
+          CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(i.i AS INT), 1)) - 1)
+                     & (1 << CAST(b.b AS INT))) > 0 THEN 1 ELSE -1 END AS w
+        FROM hx, range(1, 17) i(i), range(0, 4) b(b)),
+      maj AS (SELECT doc_id, i, b, CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS bit
+              FROM bits GROUP BY 1, 2, 3),
+      nib AS (SELECT doc_id, i, sum(bit * (1 << CAST(b AS INT))) AS v
+              FROM maj GROUP BY 1, 2),
+      sh AS (SELECT doc_id,
+               string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY i) AS simhash
+             FROM nib GROUP BY 1)
+      SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
     "fn_buckenize" -> s"""
       WITH ${docCtes(cfg16)}
       SELECT doc_id, array_to_string(list_sort(bucket_ids), ',') AS bucket_ids_str

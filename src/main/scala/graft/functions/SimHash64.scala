@@ -58,10 +58,85 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** md5-mode SimHash: per token, the first 8 bytes of md5(token) supply the
+  * 64 bit weights; output is the 16-hex-char majority fingerprint. Slower
+  * than [[SimHash64]] (a full digest per token) but — like the md5 MinHash
+  * mode — every engine with an md5() can recompute it, so the kernel is
+  * DuckDB-oracle-checkable bit for bit. Empty arrays yield all-ones
+  * ("ffffffffffffffff": every zero count is >= 0), matching [[SimHash64]].
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_md5"
+
+  @transient private lazy val digestLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = digestLocal.get()
+    val scratch = new Array[Byte](16)
+    // counts indexed by (hex nibble position i in 0..15) * 4 + (bit b in 0..3)
+    val counts = new Array[Int](64)
+    var k = 0
+    val n = arr.numElements()
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        md.reset()
+        md.update(arr.getUTF8String(k).getBytes)
+        md.digest(scratch, 0, 16)
+        var i = 0
+        while (i < 16) {
+          val v = if ((i & 1) == 0) (scratch(i >> 1) >>> 4) & 0xF
+                  else scratch(i >> 1) & 0xF
+          var b = 0
+          while (b < 4) {
+            if (((v >> b) & 1) == 1) counts(i * 4 + b) += 1
+            else counts(i * 4 + b) -= 1
+            b += 1
+          }
+          i += 1
+        }
+      }
+      k += 1
+    }
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        if (counts(i * 4 + b) >= 0) nib |= (1 << b)
+        b += 1
+      }
+      out(i) = hexChars(nib).toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 object SimHash64 {
   /** Column API: simhash64(tokens). */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Column API: md5-mode oracle-checkable simhash (16-hex-char string). */
+  def simhashMd5(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(tokens)))
 
   /** Hamming distance between two simhash values — pure built-ins. */
   def hamming(a: Column, b: Column): Column =

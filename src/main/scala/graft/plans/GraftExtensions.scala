@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a token array",
       { case Seq(a) => SimHash64(a) })
+    register(ext, "graft_simhash_md5",
+      "graft_simhash_md5(tokens) - md5-mode SimHash fingerprint (16 hex chars)",
+      { case Seq(a) => SimHashMd5(a) })
     register(ext, "graft_char_ngrams",
       "graft_char_ngrams(text, n) - distinct character n-grams of normalized text",
       // via TextFunctions so the lower/collapse-whitespace/trim

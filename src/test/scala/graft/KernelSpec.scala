@@ -116,6 +116,20 @@ class KernelSpec extends AnyFunSuite {
       .where(not(perRow("sig") <=> sqlRows("sig"))).count() == 0)
   }
 
+  test("simhashMd5: single token == its md5 prefix; empty == all-ones; SQL twin agrees") {
+    import graft.functions.SimHash64.simhashMd5
+    val got = Seq(Seq("a"), Seq[String]()).toDF("toks")
+      .select(simhashMd5($"toks").as("sh")).collect().map(_.getString(0))
+    assert(got(0) == md5Hex("a").take(16)) // one token: majority == its own bits
+    assert(got(1) == "ffffffffffffffff")   // zero counts are >= 0 → every bit set
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_sh_v")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash_md5(graft_tokenize(text)) AS sh FROM docs_sh_v")
+    val viaDf = docs.select(simhashMd5(T.tokenize(col("text"))).as("sh"))
+    assert(viaDf.exceptAll(viaSql).count() == 0 && viaSql.exceptAll(viaDf).count() == 0)
+  }
+
   test("bandBucketsMd5: count ≤ bands, hex ids, deterministic") {
     val sig = (0 until 8).map(i => md5Hex(i.toString))
     val df = Seq(Tuple1(sig)).toDF("sig")
