@@ -176,6 +176,20 @@ object SparkEntry {
           col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
+    "flt_subquery" -> ((s, d) => {
+      // correlated EXISTS + scalar subquery through the SQL frontend —
+      // Catalyst decorrelates the EXISTS into a left-semi join and plans
+      // the scalar subquery as a broadcast one-row aggregate
+      tbl(s, d, "orders").createOrReplaceTempView("orders_v")
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          AND o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        ORDER BY o_orderkey""")
+    }),
     "flt_sample_hash" -> ((s, d) =>
       // deterministic ~10% corpus sample: keep rows whose md5(key) hex
       // prefix sorts below '1a' (26/256). Unlike rand()-based sample(),
@@ -408,6 +422,18 @@ object SparkEntry {
           dense_rank().over(w).as("drk"), ntile(4).over(w).as("quartile"))
         .where(col("drk") <= 100)
         .orderBy("o_orderpriority", "drk")
+    }),
+    "window_range_frame" -> ((s, d) => {
+      // RANGE frame over event time: per-user rolling 1-hour event count
+      // ending at each event (value-based frame — ROWS frames can't express
+      // "last hour" under irregular event spacing)
+      events(s, d).createOrReplaceTempView("events_range_v")
+      s.sql("""
+        SELECT user_id, event_id,
+          count(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events_range_v
+        ORDER BY user_id, ts, event_id""")
     }),
     "window_first_last" -> ((s, d) => {
       // first/last/nth value window family; last/nth need the full-partition
@@ -1032,6 +1058,13 @@ object SparkEntry {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
       ORDER BY doc_id""",
+    "flt_subquery" -> """
+      SELECT o_orderkey, o_orderpriority
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey""",
     "flt_bucket_overlap" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT b.doc_id FROM buck b, qbuck q
@@ -1270,6 +1303,12 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice DESC, o_orderkey))
       WHERE drk <= 100 ORDER BY o_orderpriority, drk""",
+    "window_range_frame" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT user_id, event_id,
+        count(*) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS n_last_hour
+      FROM e ORDER BY user_id, ts, event_id""",
     "window_first_last" -> """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
       SELECT user_id, event_id,
