@@ -112,6 +112,40 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("flt_sample_hash: the md5 sampling predicate stays a scan-level filter") {
+    val plan = planOf("flt_sample_hash")
+    // no shuffle at all — sampling must be a narrow scan+filter pipeline
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash sampling must not shuffle:\n$plan")
+    assert(plan.contains("Filter"), s"expected a filter stage:\n$plan")
+  }
+
+  test("dedup_decontaminate broadcasts the benchmark shingle set") {
+    val plan = planOf("dedup_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (the corpus side must never shuffle into the match):\n$plan")
+  }
+
+  test("saltedJoin plans a hash equi-join on (keys, salt) — never a product join") {
+    val plan = planOf("join_skew_salted")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join must stay an equi-join:\n$plan")
+  }
+
+  test("flt_subquery decorrelates EXISTS to a semi join (no subquery loop)") {
+    val physical = SparkEntry.queries("flt_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("LeftSemi"), s"expected left-semi join:\n$physical")
+  }
+
+  test("stream_join batch twin keys the shuffle on user_id (no product join)") {
+    val plan = planOf("stream_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interaction join must hash on user_id with time bounds as post-filter:\n$plan")
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
