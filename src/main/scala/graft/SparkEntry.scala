@@ -289,6 +289,19 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    "agg_collect_ordered" -> ((s, d) =>
+      // behavioral sequence construction: each user's event-type string in
+      // event-time order (the session→sequence step of a behavior-model
+      // pipeline). Order is imposed INSIDE the aggregate (array_sort on
+      // (ts, event_id) structs) — collect_list alone has no deterministic
+      // order under parallel merge.
+      events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("event_seq"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
     "agg_approx_distinct" -> ((s, d) =>
       // HLL++ distinct estimate, gated by tolerance: the emitted boolean
       // asserts the sketch lands within 5% of exact (the oracle emits the
@@ -888,9 +901,17 @@ object SparkEntry {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(tmp.toString)
-      val query = EventStream.streamingPurchasesNearErrors(s, tmp.toString, raw.schema)
-        .writeStream.format("memory").queryName("graft_stream_join_gate")
-        .outputMode("append").start()
+      // a stream-stream join materializes one state store per shuffle
+      // partition per side per micro-batch — size the partition count to
+      // the stream (the filtered error/purchase rows), not the session
+      // default; the setting is pinned at query START, so restore after
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try EventStream.streamingPurchasesNearErrors(s, tmp.toString, raw.schema)
+          .writeStream.format("memory").queryName("graft_stream_join_gate")
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try query.processAllAvailable() finally query.stop()
       s.table("graft_stream_join_gate").orderBy("err_id", "p_id")
     }),
@@ -1227,6 +1248,11 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
         TRUE AS approx_within_5pct
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_collect_ordered" -> """
+      SELECT user_id,
+        string_agg(event_type, ',' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS event_seq,
+        count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1""",
     "join_asof" -> """
       WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'purchase'),

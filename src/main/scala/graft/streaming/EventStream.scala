@@ -93,8 +93,12 @@ object EventStream {
     */
   def streamingPurchasesNearErrors(spark: SparkSession, dir: String,
       rawSchema: StructType, horizon: String = "2 hours"): DataFrame = {
+    // prune to the four needed columns BEFORE anything stateful: every
+    // surviving column of both sides lives in the join state stores for
+    // watermark + horizon — the wide `props` payload must never get there
     def src = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
     val errors = src.where(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
       .withWatermark("err_ts", "4 hours")

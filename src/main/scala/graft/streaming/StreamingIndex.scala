@@ -101,4 +101,22 @@ object StreamingIndex {
         if (!batch.isEmpty) run(batch)
       }.start()
   }
+
+  /** Streaming benchmark decontamination: every micro-batch of incoming
+    * documents is scrubbed of train-test overlap against a STATIC benchmark
+    * set ([[graft.operators.Dedup.decontaminate]] — the benchmark's distinct
+    * shingle set broadcasts once per batch plan; the stream side is a
+    * narrow shingle-explode). `sink` receives only the clean survivors.
+    * A pure stream-static broadcast pattern: no state store needed because
+    * the benchmark never changes mid-stream.
+    */
+  def streamingDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 2)
+      (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Dedup.decontaminate(
+            batch, idCol, textCol, bench, benchTextCol, k))
+      }.start()
 }

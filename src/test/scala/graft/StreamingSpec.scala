@@ -219,6 +219,29 @@ class StreamingSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs per micro-batch") {
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta something"),   // shares shingle "alpha beta" → dropped
+      (11L, "clean novel words here"), // kept
+      (12L, "x")                       // < k tokens → no shingles → kept
+    ).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("decon-src").toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(src)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIndex.streamingDecontaminate(
+      spark.readStream.schema(incoming.schema).parquet(src), "doc_id", "text",
+      bench, "text") { out =>
+      buf.synchronized { buf ++= out.select("doc_id").as[Long].collect() }
+    }
+    try {
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq == Seq(11L, 12L), s"got ${buf.toSeq}")
+    } finally q.stop()
+  }
+
   test("session_window boundary: exact-gap event merges (strict-gap SQL twin)") {
     import spark.implicits._
     // Events exactly gap apart MERGE into one session — pins the semantics
