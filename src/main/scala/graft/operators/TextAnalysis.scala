@@ -163,31 +163,47 @@ object TextAnalysis {
     * frequent unigram/bigram and the fraction of bigram occurrences that are
     * repeats. High values flag degenerate/boilerplate text for filtering.
     *
-    * Distributed shape: explode → two-level groupBy with map-side combine —
-    * the per-(doc, gram) cardinality is bounded by corpus token count, the
-    * final reduce is per-doc. No per-row O(n²) HOF scans, no driver state;
-    * both shuffles key on (id, gram) so skew tracks document length, not
-    * corpus hot keys. Docs with zero tokens keep null metrics (left join).
+    * Distributed shape: ZERO shuffles. Per row, sort the gram multiset and
+    * fold run lengths with one `aggregate` HOF — the longest run is the top
+    * gram's count, runs ≥ 2 sum to the duplicate occurrences. O(n log n)
+    * per document inside the scan's projection, so the operator scales
+    * exactly as the scan does (the earlier explode → two-level groupBy form
+    * paid two shuffle rounds keyed on (id, gram) for the same numbers).
+    * Docs with zero tokens/bigrams keep null metrics.
     */
   def withRepetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.withColumn("__toks_r", T.tokenize(col(textCol)))
-    def topFrac(grams: DataFrame, fracCol: String, dupCol: Option[String]): DataFrame = {
-      val perGram = grams.groupBy(col(idCol), col("gram")).count()
-      val agg0 = perGram.groupBy(col(idCol)).agg(
-        (max(col("count")).cast("double") / sum(col("count"))).as(fracCol),
-        (sum(when(col("count") > 1, col("count")).otherwise(0L)).cast("double") /
-          sum(col("count"))).as(dupCol.getOrElse("__drop")))
-      if (dupCol.isDefined) agg0 else agg0.drop("__drop")
-    }
-    val uni = topFrac(
-      base.select(col(idCol), explode(col("__toks_r")).as("gram")),
-      "top_unigram_frac", None)
-    val bi = topFrac(
-      base.select(col(idCol), explode(T.kShinglesAll(col("__toks_r"), 2)).as("gram")),
-      "top_bigram_frac", Some("dup_bigram_frac"))
-    base.drop("__toks_r")
-      .join(uni, Seq(idCol), "left")
-      .join(bi, Seq(idCol), "left")
+    // run-length fold over a SORTED gram array → (maxRun, dupSum):
+    // extending a run 1→2 adds 2 (both occurrences become duplicates),
+    // extending further adds 1; a fresh gram resets the run to 1.
+    def runStats(sortedGrams: Column): Column =
+      aggregate(sortedGrams,
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("max_run"), lit(0L).as("dup")),
+        (acc, t) => {
+          val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(acc.getField("max_run"), run).as("max_run"),
+            (acc.getField("dup") +
+              when(t =!= acc.getField("prev"), lit(0L))
+                .when(acc.getField("run") === 1, lit(2L))
+                .otherwise(lit(1L))).as("dup"))
+        })
+    def frac(num: Column, denom: Column): Column =
+      when(denom > 0, num.cast("double") / denom)
+    val toks = col("__toks_r")
+    val bi = col("__bi_r")
+    df.withColumn("__toks_r", T.tokenize(col(textCol)))
+      .withColumn("__uni_st", runStats(array_sort(toks)))
+      .withColumn("__bi_r", T.kShinglesAll(toks, 2))
+      .withColumn("__bi_st", runStats(array_sort(bi)))
+      .withColumn("top_unigram_frac",
+        frac(col("__uni_st").getField("max_run"), size(toks)))
+      .withColumn("top_bigram_frac",
+        frac(col("__bi_st").getField("max_run"), size(bi)))
+      .withColumn("dup_bigram_frac",
+        frac(col("__bi_st").getField("dup"), size(bi)))
+      .drop("__toks_r", "__uni_st", "__bi_r", "__bi_st")
   }
 
   /** Cross-document boilerplate removal, the segment-level dedup of a
