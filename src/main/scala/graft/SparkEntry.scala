@@ -289,6 +289,14 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    "agg_funnel" -> ((s, d) =>
+      // ordered conversion funnel view → click → purchase, 6h stage windows
+      EventStream.funnel(events(s, d), Seq("view", "click", "purchase"), "6 hours")
+        .select(col("user_id"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"))
+        .orderBy("user_id")),
     "agg_collect_ordered" -> ((s, d) =>
       // behavioral sequence construction: each user's event-type string in
       // event-time order (the session→sequence step of a behavior-model
@@ -1248,6 +1256,26 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
         TRUE AS approx_within_5pct
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT v.user_id, v.t1,
+              min(CASE WHEN ec.ts >= v.t1 AND ec.ts < v.t1 + INTERVAL '6 hours'
+                       THEN ec.ts END) AS t2
+            FROM v LEFT JOIN e ec
+              ON ec.user_id = v.user_id AND ec.event_type = 'click'
+            GROUP BY 1, 2),
+      p AS (SELECT c.user_id, c.t1, c.t2,
+              min(CASE WHEN ep.ts >= c.t2 AND ep.ts < c.t2 + INTERVAL '6 hours'
+                       THEN ep.ts END) AS t3
+            FROM c LEFT JOIN e ep
+              ON ep.user_id = c.user_id AND ep.event_type = 'purchase'
+            GROUP BY 1, 2, 3)
+      SELECT user_id,
+        strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+        strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+        strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
+      FROM p ORDER BY user_id""",
     "agg_collect_ordered" -> """
       SELECT user_id,
         string_agg(event_type, ',' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS event_seq,

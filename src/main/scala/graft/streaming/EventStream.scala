@@ -66,6 +66,35 @@ object EventStream {
       .select("user_id", "event_type", "event_id", "ts", "value")
   }
 
+  /** Conversion funnel: for each user, the first `stages.head` event, then
+    * for every later stage the first event of that type landing within
+    * `within` AFTER the previous stage's timestamp (null once a stage is
+    * missed — classic ordered-funnel semantics). Output: one row per user
+    * who entered the funnel, with t1..tN stage timestamps.
+    *
+    * Scale shape: stage i is a left join of the (shrinking, per-user) funnel
+    * frame against ONLY the stage-i-filtered events, followed by a per-user
+    * conditional min — `stages.length - 1` shuffles of pre-filtered event
+    * slices, never of the full log.
+    */
+  def funnel(events: DataFrame, stages: Seq[String], within: String): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var acc = e.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    var carried = Seq("t1")
+    for ((st, idx) <- stages.tail.zipWithIndex) {
+      val prev = s"t${idx + 1}"
+      val cur = s"t${idx + 2}"
+      acc = acc.join(e.where(col("event_type") === st), Seq("user_id"), "left")
+        .groupBy(col("user_id") +: carried.map(col): _*)
+        .agg(min(when(col("ts") >= col(prev) &&
+          col("ts") < col(prev) + expr(s"INTERVAL $within"), col("ts"))).as(cur))
+      carried = carried :+ cur
+    }
+    acc
+  }
+
   /** Event-interaction join: purchases within `horizon` AFTER an error by
     * the same user, emitted as (err_id, p_id, user_id) pairs. The batch
     * form; [[streamingPurchasesNearErrors]] runs the identical expressions

@@ -448,6 +448,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: ordered stages within windows; missed stage nulls the rest") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes: view 10:00 → click 10:30 → purchase 10:45
+      (1L, "view", t("2026-01-01 10:00:00")),
+      (1L, "click", t("2026-01-01 10:30:00")),
+      (1L, "purchase", t("2026-01-01 10:45:00")),
+      // user 2: click BEFORE first view — not a conversion; purchase ignored
+      (2L, "click", t("2026-01-01 09:00:00")),
+      (2L, "view", t("2026-01-01 10:00:00")),
+      (2L, "purchase", t("2026-01-01 10:30:00")),
+      // user 3: click too late (> 1 hour after view)
+      (3L, "view", t("2026-01-01 10:00:00")),
+      (3L, "click", t("2026-01-01 11:30:00")),
+      // user 4: never views — not in the funnel at all
+      (4L, "click", t("2026-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.streaming.EventStream.funnel(
+        ev, Seq("view", "click", "purchase"), "1 hour")
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((false, false, false)))
+    assert(got(2L) == ((false, true, true)), "pre-view click must not count")
+    assert(got(3L) == ((false, true, true)), "late click must not count")
+  }
+
   test("decontaminate: flags docs sharing a shingle with the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"), // "alpha beta" hits the bench set
