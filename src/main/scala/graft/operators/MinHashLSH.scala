@@ -229,14 +229,23 @@ final class MinHashLSHModel private[operators] (
     // score BEFORE dedup: candidate pairs reached via multiple bands are
     // rescored (deterministic, cheap) so the dedup shuffle carries 24-byte
     // (qid, id, jaccard) rows instead of two 100-slot signatures per row
+    // per-query top-n via the bounded-heap aggregate, not a row_number
+    // window: the window form shuffles AND SORTS every candidate row per
+    // qid, the heap aggregate reduces each map partition to ≤ n rows per
+    // qid before the exchange (same deterministic (jaccard desc, id asc)
+    // order — ties pinned by id; TopKAgg scaladoc)
     qf.join(ix, Seq("bucket"))
       .select(col("qid"), col(Cols.Id),
         H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
       .dropDuplicates("qid", Cols.Id)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)))
-      .where(col("rank") <= n)
-      .select(col("qid"), col(Cols.Id), col(Cols.Jaccard), col("rank"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(col(Cols.Jaccard), col(Cols.Id), n).as("__topk"))
+      .select(col("qid"), posexplode(col("__topk")).as(Seq("__r0", "__e")))
+      .select(col("qid"), col("__e.id").as(Cols.Id),
+        // score travels as double inside the heap; the cast back to float
+        // is lossless (it started as a float) and keeps the public schema
+        col("__e.score").cast("float").as(Cols.Jaccard),
+        (col("__r0") + 1).cast("int").as("rank"))
   }
 
   /** All-pairs near-duplicate join (MLlib approxSimilarityJoin analogue,

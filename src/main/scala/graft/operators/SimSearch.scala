@@ -117,14 +117,18 @@ object SimSearch {
         V.signBucket(col(vecCol), nBits).as("bucket")))
     val a = withB.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
     val b = withB.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
+    // per-source top-k via the bounded-heap aggregate (TopKAgg scaladoc):
+    // map-side partial heaps instead of a per-a_id shuffle-and-sort of the
+    // whole bucket-join output — the win grows with bucket occupancy
     a.join(b, Seq("bucket"))
       .where(col("a_id") =!= col("b_id"))
       .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
-      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("a_id")
-          .orderBy(col("cosine").desc, col("b_id").asc)))
-      .where(col("rank") <= k)
-      .select(col("a_id"), col("b_id"), col("rank"), col("cosine"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("b_id"), k).as("__topk"))
+      .select(col("a_id"),
+        org.apache.spark.sql.functions.posexplode(col("__topk")).as(Seq("__r0", "__e")))
+      .select(col("a_id"), col("__e.id").as("b_id"),
+        (col("__r0") + 1).cast("int").as("rank"), col("__e.score").as("cosine"))
   }
 
   /** Multi-probe variant: additionally scans every quantizer cell at hamming

@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_minhash_xx",
       "graft_minhash_xx(shingles, h) - xxhash64-mode MinHash signature (h longs)",
       { case Seq(a, h) => MinHashXxSignature(a, intArg("graft_minhash_xx", h)) })
+    register(ext, "graft_topk",
+      "graft_topk(score, id, k) - grouped top-k aggregate (bounded heap, " +
+        "score desc / id asc), returns array<struct<score, id>>",
+      { case Seq(s, i, kk) =>
+        TopKAgg(org.apache.spark.sql.catalyst.expressions.CreateStruct(Seq(
+          org.apache.spark.sql.catalyst.expressions.Cast(s, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(i, org.apache.spark.sql.types.LongType))),
+          intArg("graft_topk", kk)) })
     register(ext, "graft_minhash_md5_agg",
       "graft_minhash_md5_agg(shingle, h) - md5-mode MinHash AGGREGATE over " +
         "one-shingle-per-row groups (the analyzer wraps it as an aggregate)",

@@ -130,6 +130,38 @@ class KernelSpec extends AnyFunSuite {
     assert(viaDf.exceptAll(viaSql).count() == 0 && viaSql.exceptAll(viaDf).count() == 0)
   }
 
+  test("topK aggregate ≡ row_number window on randomized data with ties") {
+    import graft.functions.TopKAgg
+    val rnd = new scala.util.Random(11)
+    // heavy ties: scores drawn from just 5 distinct values
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(20).toLong, (rnd.nextInt(5) / 4.0), i.toLong)
+    }.toDF("key", "score", "id")
+    val viaAgg = rows.repartition(7) // force partial heaps + merge
+      .groupBy("key")
+      .agg(TopKAgg.topK(col("score"), col("id"), 3).as("tk"))
+      .select(col("key"), posexplode(col("tk")).as(Seq("r0", "e")))
+      .select(col("key"), (col("r0") + 1).as("rank"),
+        col("e.score").as("score"), col("e.id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = rows
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("key"), col("rank").cast("long").as("rank"),
+        col("score"), col("id"))
+    assert(viaAgg.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaAgg).count() == 0)
+    // SQL frontend twin
+    rows.createOrReplaceTempView("topk_v")
+    val viaSql = spark.sql("""
+      SELECT key, graft_topk(score, id, 3) AS tk FROM topk_v GROUP BY key""")
+      .select(col("key"), posexplode(col("tk")).as(Seq("r0", "e")))
+      .select(col("key"), (col("r0") + 1).as("rank"),
+        col("e.score").as("score"), col("e.id").as("id"))
+    assert(viaSql.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaSql).count() == 0)
+  }
+
   test("bandBucketsMd5: count ≤ bands, hex ids, deterministic") {
     val sig = (0 until 8).map(i => md5Hex(i.toString))
     val df = Seq(Tuple1(sig)).toDF("sig")
