@@ -289,6 +289,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    "agg_mode" -> ((s, d) => {
+      // deterministic mode: most frequent ship-priority value per flag,
+      // smallest value on count ties (built-in mode() leaves ties
+      // unspecified — the window construction pins them, twin in SQL)
+      val counts = tbl(s, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("n").desc, col("o_orderpriority").asc)))
+        .where(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    }),
     "agg_funnel" -> ((s, d) =>
       // ordered conversion funnel view → click → purchase, 6h stage windows
       EventStream.funnel(events(s, d), Seq("view", "click", "purchase"), "6 hours")
@@ -555,6 +569,16 @@ object SparkEntry {
           arrays_overlap(col("toks"), col("q_toks")).as("overlaps"))
         .orderBy("doc_id")
     }),
+    "setop_intersect" -> ((s, d) => {
+      // customers that are BOTH in the building segment and hold an open
+      // order — DataFrame intersect (plans as a distinct + semi-ish hash)
+      val building = tbl(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val withOpen = tbl(s, d, "orders")
+        .where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(withOpen).orderBy("c_custkey")
+    }),
     "setop_union" -> ((s, d) => {
       val dd = docs(s, d)
       dd.where(col("lang") === "en").select("doc_id")
@@ -770,6 +794,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("bucket"),
           round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "fn_vector_stats" -> ((s, d) =>
+      // per-embedding scalar stats via sequential-order HOF folds (both
+      // engines fold the array left-to-right in double, so the rounded
+      // results are bit-comparable)
+      SparkUtil.ensureParallelism(tbl(s, d, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"),
+          size(col("e")).as("dim"),
+          round(aggregate(col("e"), lit(0.0), (a, x) => a + x) / size(col("e")), 6).as("mean6"),
+          round(sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)), 6).as("l2_6"))
+        .orderBy("vec_id")),
     "sim_knn_graph" -> ((s, d) =>
       // top-5 neighbors of EVERY vector (similarity-graph construction),
       // sign-bucket blocked — deterministic, so fully oracle-checkable
@@ -1256,6 +1291,26 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
         TRUE AS approx_within_5pct
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "setop_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY c_custkey""",
+    "fn_vector_stats" -> """
+      SELECT vec_id, len(embedding) AS dim,
+        round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+              / len(embedding), 6) AS mean6,
+        round(sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_6
+      FROM embeddings ORDER BY vec_id""",
+    "agg_mode" -> """
+      WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                 FROM orders GROUP BY 1, 2),
+      r AS (SELECT o_orderstatus, o_orderpriority, n, row_number() OVER (
+              PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+            FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      FROM r WHERE rn = 1 ORDER BY o_orderstatus""",
     "agg_funnel" -> """
       WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
