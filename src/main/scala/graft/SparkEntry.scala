@@ -152,6 +152,14 @@ object SparkEntry {
       s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
         .orderBy("doc_id")
     }),
+    "src_orc_scan" -> ((s, d) => {
+      // ORC round-trip (the other columnar format Spark ships natively);
+      // values are preserved exactly, so the oracle is the source table
+      val tmp = roundTripDir(d, "graft-orc-scan")
+      docs(s, d).select("doc_id", "lang", "source", "n_chars").coalesce(1)
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("doc_id")
+    }),
     "src_partitioned_scan" -> ((s, d) => {
       // partitioned-parquet round-trip: write docs partitioned by lang,
       // read back with a partition filter — the scan must prune to the
@@ -1107,6 +1115,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "src_scan_documents" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "src_orc_scan" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "src_scan_limit" ->
       "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100",
