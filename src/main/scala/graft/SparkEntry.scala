@@ -966,6 +966,41 @@ object SparkEntry {
       try query.processAllAvailable() finally query.stop()
       s.table("graft_stream_join_gate").orderBy("err_id", "p_id")
     }),
+    "stream_topk" -> ((s, d) =>
+      // per-type running top-5 events by value — the custom bounded-heap
+      // aggregate in a plain batch aggregation (twin of stream_topk_real)
+      events(s, d)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), 5).as("__tk"))
+        .select(col("event_type"), posexplode(col("__tk")).as(Seq("__r0", "__e")))
+        .select(col("event_type"), (col("__r0") + 1).cast("long").as("rank"),
+          col("__e.id").as("event_id"), round(col("__e.score"), 6).as("value6"))
+        .orderBy("event_type", "rank")),
+    "stream_topk_real" -> ((s, d) => {
+      // the SAME top-k aggregation through real Structured Streaming in
+      // complete mode — the TypedImperativeAggregate's serialize/merge path
+      // IS the streaming state round-trip, exercised by the state store
+      val tmp = java.nio.file.Paths.get(roundTripDir(d, "graft-stream-topk"))
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        tmp.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(tmp.toString)
+      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val query = stream
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), 5).as("__tk"))
+        .writeStream.format("memory").queryName("graft_stream_topk_gate")
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table("graft_stream_topk_gate")
+        .select(col("event_type"), posexplode(col("__tk")).as(Seq("__r0", "__e")))
+        .select(col("event_type"), (col("__r0") + 1).cast("long").as("rank"),
+          col("__e.id").as("event_id"), round(col("__e.score"), 6).as("value6"))
+        .orderBy("event_type", "rank")
+    }),
     "stream_tumbling_real" -> ((s, d) => {
       // the SAME aggregation as stream_tumbling_agg, but executed through
       // the real Structured Streaming machinery: file source → watermark →
@@ -1593,6 +1628,18 @@ object SparkEntry {
       SELECT sc.doc_id, d.text, sc.jaccard
       FROM scored sc JOIN documents d USING (doc_id)
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    "stream_topk" -> """
+      WITH r AS (SELECT event_type, event_id, value, row_number() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+                 FROM events)
+      SELECT event_type, rank, event_id, round(value, 6) AS value6
+      FROM r WHERE rank <= 5 ORDER BY event_type, rank""",
+    "stream_topk_real" -> """
+      WITH r AS (SELECT event_type, event_id, value, row_number() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+                 FROM events)
+      SELECT event_type, rank, event_id, round(value, 6) AS value6
+      FROM r WHERE rank <= 5 ORDER BY event_type, rank""",
     "stream_join" -> """
       WITH er AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS ts
                   FROM events WHERE event_type = 'error'),
