@@ -206,6 +206,15 @@ object SparkEntry {
       docs(s, d)
         .where(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    "flt_sample_stratified" -> ((s, d) =>
+      // deterministic stratified sampling (sampleBy twin): per-language
+      // md5-prefix thresholds — keep ~10% of English, ~50% of everything
+      // else. Same scan-level-filter scale shape as flt_sample_hash.
+      docs(s, d)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", "1a").otherwise("80"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
     "flt_bucket_overlap" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.crossJoin(broadcast(m.queryFeatures(keyOf(s, d))))
@@ -1167,6 +1176,11 @@ object SparkEntry {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
       ORDER BY doc_id""",
+    "flt_sample_stratified" -> """
+      SELECT lang, count(*) AS n_kept FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        CASE WHEN lang = 'en' THEN '1a' ELSE '80' END
+      GROUP BY 1 ORDER BY 1""",
     "flt_subquery" -> """
       SELECT o_orderkey, o_orderpriority
       FROM orders
