@@ -737,6 +737,11 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) =>
       fitted(s, d, cfg16).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
+    "graph_triangles" -> ((s, d) =>
+      // duplicate-family triangles over the near-dup pair graph (cyclic
+      // 3-way self-join; Dedup.trianglePairs scaladoc)
+      Dedup.trianglePairs(fitted(s, d, cfg16).approxSimilarityJoin(0.3))
+        .orderBy("i", "j", "k")),
     "dedup_minhash_pairs_fast" -> ((s, d) => // no SQL oracle (xxhash mode)
       fitted(s, d, cfg16.copy(mode = XxFast)).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
@@ -1712,6 +1717,20 @@ object SparkEntry {
             / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
         FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "graph_triangles" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+            / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
+        FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id),
+      e AS (SELECT a_id AS u, b_id AS v FROM scored WHERE jaccard >= 0.3)
+      SELECT e1.u AS i, e1.v AS j, e2.v AS k
+      FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ORDER BY i, j, k""",
     "dedup_ngram_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

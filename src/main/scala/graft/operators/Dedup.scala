@@ -220,6 +220,24 @@ object Dedup {
     docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
   }
 
+  /** Triangles of an undirected (a_id, b_id) pair list (a < b normalized):
+    * the smallest unit of cluster density — a near-dup pair that closes a
+    * triangle is far more likely to be a true duplicate family than an
+    * isolated LSH collision. Cyclic 3-way self-join on ordered edges
+    * (i < j < k with (i,j), (j,k), (i,k) all present), each leg an
+    * equi-join on an edge endpoint — no product joins; the ordered-edge
+    * normalization means every triangle is emitted exactly once.
+    */
+  def trianglePairs(pairs: DataFrame): DataFrame = {
+    val e = pairs.selectExpr("least(a_id, b_id) AS u", "greatest(a_id, b_id) AS v")
+      .where(col("u") < col("v")).distinct()
+    val e1 = e.select(col("u").as("i"), col("v").as("j"))
+    val e2 = e.select(col("u").as("j"), col("v").as("k"))
+    val e3 = e.select(col("u").as("i"), col("v").as("k"))
+    e1.join(e2, Seq("j")).join(e3, Seq("i", "k"))
+      .select(col("i"), col("j"), col("k"))
+  }
+
   /** Embedding cosine near-duplicate pairs, brute all-pairs — correctness
     * baseline / oracle twin. Quadratic: only for modest partitions.
     */

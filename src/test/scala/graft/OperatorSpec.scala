@@ -448,6 +448,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("trianglePairs: exactly the closed triples, once each, any edge orientation") {
+    // K4 on {1,2,3,4} minus edge (1,4), plus a dangling edge (5,6):
+    // triangles are (1,2,3) and (2,3,4) only. Edges given in mixed
+    // orientation and with a duplicate to exercise normalization.
+    val edges = Seq(
+      (1L, 2L), (3L, 1L), (2L, 3L), (2L, 4L), (4L, 3L), (5L, 6L), (2L, 1L)
+    ).toDF("a_id", "b_id")
+    val got = Dedup.trianglePairs(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq((1L, 2L, 3L), (2L, 3L, 4L)))
+  }
+
   test("funnel: ordered stages within windows; missed stage nulls the rest") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
