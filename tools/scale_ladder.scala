@@ -1,0 +1,53 @@
+// Scale ladder: replicate the sf0.1 corpus 1x/3x/10x/30x and time the
+// index-backed operators at each size, with buckets scaled by
+// MinHashConfig.forCorpusSize (PERF.md scale design). Run via:
+//
+//   /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+//     --jars target/scala-2.13/pysparkminhashlshspark_2.13-0.1.0.jar \
+//     -I tools/scale_ladder.scala <<< ":quit"
+//
+// Prints one JSON line per (scale, op). Flat seconds across the ladder for
+// the per-doc ops (featurize) and sub-linear growth for the probe ops
+// (batch ANN, filterNovel) is the pass criterion — superlinear growth means
+// a bucket-join degenerated.
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators._
+
+val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  .select(col("doc_id"), col("text"))
+val n0 = base.count()
+
+for (mult <- Seq(1, 3, 10, 30)) {
+  val docs = (0 until mult).map { r =>
+    base.select((col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"), col("text"))
+  }.reduce(_ union _).repartition(32).persist()
+  val n = docs.count()
+  val cfg = MinHashConfig.forCorpusSize(n,
+    base = MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
+  def time(op: String)(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    body
+    println(f"""{"ladder":$mult,"docs":$n,"op":"$op","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+  }
+  var model: MinHashLSHModel = null
+  time("fit_featurize") {
+    model = new MinHashLSH(cfg).fit(docs, "doc_id", "text")
+    model.indexDf.write.format("noop").mode("overwrite").save()
+  }
+  time("ann_batch_20q") {
+    val qs = base.where(col("doc_id") < 20).select(col("doc_id").as("qid"), col("text"))
+    model.approxNearestNeighborsAll(qs, "qid", "text", 5)
+      .write.format("noop").mode("overwrite").save()
+  }
+  time("filter_novel_500") {
+    val incoming = base.where(col("doc_id") < 500)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+    model.filterNovel(incoming, "doc_id", "text", 0.5)
+      .write.format("noop").mode("overwrite").save()
+  }
+  model.unpersist()
+  docs.unpersist()
+}
+System.exit(0)
