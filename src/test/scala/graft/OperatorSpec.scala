@@ -448,6 +448,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfModel: save/load round-trip answers identically; probe prunes partitions") {
+    val model = SimSearch.trainIvf(emb, "vec_id", "embedding", nLists = 8, iters = 1)
+    val qv = emb.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val fresh = model.query(qv, k = 10, nProbe = 3, excludeId = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-model").toString
+    model.save(dir)
+    val loaded = IvfModel.load(spark, dir)
+    assert(loaded.centroids == model.centroids)
+    val reloaded = loaded.query(qv, k = 10, nProbe = 3, excludeId = Some(3L))
+    assert(reloaded.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      == fresh.toSeq)
+    // the probe on the LOADED index must be partition-pruned, not a full scan
+    val plan = reloaded.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cell probe must prune partitions:\n$plan")
+    model.unpersist()
+  }
+
   test("trianglePairs: exactly the closed triples, once each, any edge orientation") {
     // K4 on {1,2,3,4} minus edge (1,4), plus a dangling edge (5,6):
     // triangles are (1,2,3) and (2,3,4) only. Edges given in mixed
