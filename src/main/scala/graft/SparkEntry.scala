@@ -306,6 +306,13 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    "agg_histogram" -> ((s, d) =>
+      // fixed-width-bin value histogram per event type (the profiling
+      // primitive); bin = floor(value / 25), bin edges exact in binary
+      events(s, d)
+        .groupBy(col("event_type"), floor(col("value") / 25).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")),
     "agg_mode" -> ((s, d) => {
       // deterministic mode: most frequent ship-priority value per flag,
       // smallest value on count ties (built-in mode() leaves ties
@@ -867,6 +874,18 @@ object SparkEntry {
           md5(col("text_scrubbed")).as("scrubbed_md5"))
         .orderBy("doc_id")
     }),
+    "text_dedup_within" -> ((s, d) => {
+      // intra-doc segment dedup over a corpus with a planted repeated
+      // opener (two identical 4-token phrases, boundary-aligned at the
+      // front) — every doc drops >= 1 segment; natural repeats add more
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(lit("end of section marker end of section marker "),
+          col("text")).as("text"))
+      TextAnalysis.dedupSegmentsWithin(planted, "doc_id", "text", segTokens = 4)
+        .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+          md5(col("text_deduped")).as("dedup_md5"))
+        .orderBy("doc_id")
+    }),
     "text_url_extract" -> ((s, d) => {
       // URL metadata over deterministically planted URLs (base corpus has
       // none); the regexes are RE2-safe so DuckDB computes the same fields
@@ -1290,6 +1309,21 @@ object SparkEntry {
         round(median(CAST(l_extendedprice AS DOUBLE)), 4) AS exact_median,
         TRUE AS approx_within_1pct
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "text_dedup_within" -> s"""
+      WITH planted AS (
+        SELECT doc_id, 'end of section marker end of section marker ' || text AS text
+        FROM documents),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+      segs AS (SELECT doc_id, unnest(range(0, ((n - 1) // 4) + 1)) AS i, tokens FROM nz),
+      st AS (SELECT doc_id, i,
+               array_to_string(tokens[(i*4+1):(i*4+4)], ' ') AS s FROM segs),
+      k AS (SELECT doc_id, i, s,
+              row_number() OVER (PARTITION BY doc_id, s ORDER BY i) AS rn FROM st)
+      SELECT doc_id, count(*) AS n_segs,
+        count(*) FILTER (WHERE rn > 1) AS n_dropped,
+        md5(array_to_string(list(s ORDER BY i) FILTER (WHERE rn = 1), ' ')) AS dedup_md5
+      FROM k GROUP BY 1 ORDER BY 1""",
     "text_url_extract" -> """
       WITH planted AS (
         SELECT doc_id,
@@ -1367,6 +1401,9 @@ object SparkEntry {
         round(sqrt(list_aggregate(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_6
       FROM embeddings ORDER BY vec_id""",
+    "agg_histogram" -> """
+      SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_mode" -> """
       WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
                  FROM orders GROUP BY 1, 2),

@@ -239,6 +239,34 @@ object TextAnalysis {
           x => x.getField("seg")), " ").as("text_clean"))
   }
 
+  /** Intra-document segment dedup (the within-doc twin of
+    * [[removeBoilerplate]], Gopher's repeated-paragraph removal): drop every
+    * repeat of a segment already seen EARLIER IN THE SAME DOCUMENT, keep
+    * first occurrences in order. Pure narrow implementation — the
+    * first-seen filter is a per-row HOF over the doc's own segments (state
+    * bounded by the document), so the operator scales as the scan; no
+    * shuffle at all.
+    */
+  def dedupSegmentsWithin(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0, s"segTokens must be > 0: $segTokens")
+    val toks = col("__toks_w")
+    val starts = sequence(lit(0),
+      floor((size(toks) - 1) / segTokens).cast("int") * segTokens, lit(segTokens))
+    val segs = transform(starts, st => concat_ws(" ", slice(toks, st + 1, lit(segTokens))))
+    df.withColumn("__toks_w", T.tokenize(col(textCol)))
+      .where(size(toks) > 0)
+      .withColumn("__segs", segs)
+      .select(col(idCol),
+        size(col("__segs")).cast("long").as("n_segs"),
+        // keep segment i iff no identical segment appears at j < i
+        filter(col("__segs"), (s, i) =>
+          !exists(slice(col("__segs"), lit(1), i), p => p === s)).as("__kept"))
+      .select(col(idCol), col("n_segs"),
+        (col("n_segs") - size(col("__kept"))).cast("long").as("n_dropped"),
+        array_join(col("__kept"), " ").as("text_deduped"))
+  }
+
   /** Content fingerprints: md5 over the sorted distinct token set (word-bag
     * fingerprint, order-insensitive) and over the normalized token sequence
     * (order-sensitive).

@@ -414,6 +414,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L).isNullAt(1) && got(3L).isNullAt(2))
   }
 
+  test("dedupSegmentsWithin: first occurrence kept in order, later repeats dropped") {
+    val df = Seq(
+      (1L, "a b c d x y z w a b c d p q r s"), // seg 0 == seg 2 → drop 1
+      (2L, "a b c d e f g h"),                 // no repeats
+      (3L, "")                                 // zero tokens → filtered out
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSegmentsWithin(df, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((4L, 1L, "a b c d x y z w p q r s")))
+    assert(got(2L) == ((2L, 0L, "a b c d e f g h")))
+  }
+
   test("removeBoilerplate: drops cross-doc repeated segments, keeps order") {
     // 4-token segments; "a b c d" opens docs 1 and 2 (boilerplate), tails differ
     val df = Seq(
