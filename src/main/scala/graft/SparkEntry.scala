@@ -691,6 +691,24 @@ object SparkEntry {
         .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("shingle"), cfg16.numHash).as("sig"))
         .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
         .orderBy("doc_id")),
+    "fn_minhash_weighted" -> ((s, d) => {
+      // tf-WEIGHTED MinHash (integer-weight expansion): each occurrence of
+      // a repeated shingle gets its own element "gram#occ", so signature
+      // agreement estimates weighted Jaccard  sum(min tf)/sum(max tf) —
+      // repetition-heavy near-dups that plain set MinHash under-scores.
+      // Built on the non-distinct gram stream + the MinHash AGGREGATE.
+      val grams = SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"),
+          posexplode(T.kShinglesAll(T.tokenize(col("text")), 2)).as(Seq("pos", "g")))
+      val tagged = grams
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("doc_id", "g").orderBy("pos")) - 1)
+        .select(col("doc_id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
+      tagged.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), cfg16.numHash).as("sig"))
+        .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
+        .orderBy("doc_id")
+    }),
     "fn_buckenize" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.where(col(Cols.Signature).isNotNull)
@@ -1618,6 +1636,23 @@ object SparkEntry {
     "fn_minhash_agg" -> s"""
       WITH ${docCtes(cfg16)}
       SELECT doc_id, array_to_string(signature, ',') AS signature_str FROM sig ORDER BY doc_id""",
+    "fn_minhash_weighted" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      gr AS (SELECT doc_id, list_transform(range(1, len(tokens)),
+               i -> tokens[i] || ' ' || tokens[i+1]) AS grams
+             FROM toks WHERE len(tokens) >= 2),
+      expl AS (SELECT doc_id, unnest(grams) AS g,
+                 generate_subscripts(grams, 1) AS pos FROM gr),
+      tagged AS (SELECT doc_id,
+                   g || '#' || CAST(row_number() OVER (
+                     PARTITION BY doc_id, g ORDER BY pos) - 1 AS VARCHAR) AS tg
+                 FROM expl),
+      hashed AS (SELECT doc_id, r.h, min(md5(r.h::VARCHAR || tg)) AS m
+                 FROM tagged CROSS JOIN range(${cfg16.numHash}) r(h)
+                 GROUP BY doc_id, r.h),
+      sig AS (SELECT doc_id, list(m ORDER BY h) AS signature FROM hashed GROUP BY doc_id)
+      SELECT doc_id, array_to_string(signature, ',') AS signature_str
+      FROM sig ORDER BY doc_id""",
     "fn_simhash_md5" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
