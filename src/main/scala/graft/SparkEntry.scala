@@ -767,6 +767,34 @@ object SparkEntry {
       // 3-way self-join; Dedup.trianglePairs scaladoc)
       Dedup.trianglePairs(fitted(s, d, cfg16).approxSimilarityJoin(0.3))
         .orderBy("i", "j", "k")),
+    "dedup_weighted_pairs" -> ((s, d) => {
+      // end-to-end tf-WEIGHTED near-dup pairs: weighted signatures (see
+      // fn_minhash_weighted) → LSH banding → bucket self-join → weighted
+      // agreement ≥ 0.4. Catches repetition-heavy near-dups set-semantics
+      // MinHash under-scores.
+      val grams = SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"),
+          posexplode(T.kShinglesAll(T.tokenize(col("text")), 2)).as(Seq("pos", "g")))
+      val sigs = grams
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("doc_id", "g").orderBy("pos")) - 1)
+        .select(col("doc_id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
+        .groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), cfg16.numHash).as("sig"))
+        .withColumn("bucket_ids",
+          H.bandBucketsMd5(col("sig"), cfg16.numBands, cfg16.numRows, cfg16.bucketHexLen))
+        .persist()
+      val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        explode(col("bucket_ids")).as("bucket"))
+      val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        explode(col("bucket_ids")).as("bucket"))
+      a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          H.signatureJaccard(col("a_sig"), col("b_sig")).as("w_jaccard"))
+        .where(col("w_jaccard") >= 0.4)
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_minhash_pairs_fast" -> ((s, d) => // no SQL oracle (xxhash mode)
       fitted(s, d, cfg16.copy(mode = XxFast)).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
@@ -1653,6 +1681,35 @@ object SparkEntry {
       sig AS (SELECT doc_id, list(m ORDER BY h) AS signature FROM hashed GROUP BY doc_id)
       SELECT doc_id, array_to_string(signature, ',') AS signature_str
       FROM sig ORDER BY doc_id""",
+    "dedup_weighted_pairs" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      gr AS (SELECT doc_id, list_transform(range(1, len(tokens)),
+               i -> tokens[i] || ' ' || tokens[i+1]) AS grams
+             FROM toks WHERE len(tokens) >= 2),
+      expl AS (SELECT doc_id, unnest(grams) AS g,
+                 generate_subscripts(grams, 1) AS pos FROM gr),
+      tagged AS (SELECT doc_id,
+                   g || '#' || CAST(row_number() OVER (
+                     PARTITION BY doc_id, g ORDER BY pos) - 1 AS VARCHAR) AS tg
+                 FROM expl),
+      hashed AS (SELECT doc_id, r.h, min(md5(r.h::VARCHAR || tg)) AS m
+                 FROM tagged CROSS JOIN range(${cfg16.numHash}) r(h)
+                 GROUP BY doc_id, r.h),
+      sig AS (SELECT doc_id, list(m ORDER BY h) AS signature FROM hashed GROUP BY doc_id),
+      buck AS (
+        SELECT doc_id, list_distinct(list_transform(range(0, ${cfg16.numBands}), b ->
+          substr(md5(array_to_string(signature[(b*${cfg16.numRows}+1):(b*${cfg16.numRows}+${cfg16.numRows})], '|')), 1, ${cfg16.bucketHexLen}))) AS bucket_ids
+        FROM sig),
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(CAST(len(list_filter(range(1, ${cfg16.numHash + 1}), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+            / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS w_jaccard
+        FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
+      SELECT a_id, b_id, w_jaccard FROM scored WHERE w_jaccard >= 0.4
+      ORDER BY a_id, b_id""",
     "fn_simhash_md5" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
