@@ -767,34 +767,10 @@ object SparkEntry {
       // 3-way self-join; Dedup.trianglePairs scaladoc)
       Dedup.trianglePairs(fitted(s, d, cfg16).approxSimilarityJoin(0.3))
         .orderBy("i", "j", "k")),
-    "dedup_weighted_pairs" -> ((s, d) => {
-      // end-to-end tf-WEIGHTED near-dup pairs: weighted signatures (see
-      // fn_minhash_weighted) → LSH banding → bucket self-join → weighted
-      // agreement ≥ 0.4. Catches repetition-heavy near-dups set-semantics
-      // MinHash under-scores.
-      val grams = SparkUtil.ensureParallelism(docs(s, d))
-        .select(col("doc_id"),
-          posexplode(T.kShinglesAll(T.tokenize(col("text")), 2)).as(Seq("pos", "g")))
-      val sigs = grams
-        .withColumn("occ", row_number().over(
-          Window.partitionBy("doc_id", "g").orderBy("pos")) - 1)
-        .select(col("doc_id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
-        .groupBy("doc_id")
-        .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), cfg16.numHash).as("sig"))
-        .withColumn("bucket_ids",
-          H.bandBucketsMd5(col("sig"), cfg16.numBands, cfg16.numRows, cfg16.bucketHexLen))
-        .persist()
-      val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        explode(col("bucket_ids")).as("bucket"))
-      val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        explode(col("bucket_ids")).as("bucket"))
-      a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          H.signatureJaccard(col("a_sig"), col("b_sig")).as("w_jaccard"))
-        .where(col("w_jaccard") >= 0.4)
-        .dropDuplicates("a_id", "b_id")
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_weighted_pairs" -> ((s, d) =>
+      // end-to-end tf-WEIGHTED near-dup pairs (Dedup.weightedMinhashPairs)
+      Dedup.weightedMinhashPairs(docs(s, d), "doc_id", "text", cfg16, 0.4)
+        .orderBy("a_id", "b_id")),
     "dedup_minhash_pairs_fast" -> ((s, d) => // no SQL oracle (xxhash mode)
       fitted(s, d, cfg16.copy(mode = XxFast)).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),

@@ -70,6 +70,40 @@ object Dedup {
   def minhashPairs(model: MinHashLSHModel, threshold: Double): DataFrame =
     model.approxSimilarityJoin(threshold)
 
+  /** tf-WEIGHTED MinHash near-duplicate pairs: integer-weight expansion —
+    * every occurrence of a repeated k-shingle becomes its own element
+    * ("gram#occ", numbered per doc by a window over the non-distinct gram
+    * stream) — so signature agreement estimates weighted Jaccard
+    * sum(min tf)/sum(max tf). Catches repetition-heavy near-dups that
+    * set-semantics MinHash under-scores. Signatures fold through the
+    * MinHash AGGREGATE (map-side combine over the exploded tagged stream);
+    * candidate blocking and verification mirror [[minhashPairs]].
+    */
+  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: graft.MinHashConfig, threshold: Double, k: Int = 2): DataFrame = {
+    val grams = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(T.kShinglesAll(T.tokenize(col(textCol)), k)).as(Seq("pos", "g")))
+    val sigs = grams
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("id", "g").orderBy("pos")) - 1)
+      .select(col("id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
+      .groupBy("id")
+      .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), cfg.numHash).as("sig"))
+      .withColumn("bucket_ids",
+        H.bandBucketsMd5(col("sig"), cfg.numBands, cfg.numRows, cfg.bucketHexLen))
+      .persist()
+    val a = sigs.select(col("id").as("a_id"), col("sig").as("a_sig"),
+      explode(col("bucket_ids")).as("bucket"))
+    val b = sigs.select(col("id").as("b_id"), col("sig").as("b_sig"),
+      explode(col("bucket_ids")).as("bucket"))
+    a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        H.signatureJaccard(col("a_sig"), col("b_sig")).as("w_jaccard"))
+      .where(col("w_jaccard") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** SimHash near-duplicate pairs with band blocking: split the 64-bit
     * simhash into 4 × 16-bit bands; by pigeonhole any pair within hamming
     * distance ≤ 3 shares at least one exact band. Join key = (band#, value).
