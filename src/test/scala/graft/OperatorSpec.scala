@@ -461,6 +461,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedMinhashPairs: repetition-heavy near-dups score high; distinct docs don't pair") {
+    val spam = Array.fill(30)("buy cheap tokens now").mkString(" ")
+    val docsW = Seq(
+      (1L, spam),                                  // 30 copies of the phrase
+      (2L, spam + " buy cheap tokens now"),        // 31 copies — same SET, ~same multiset
+      (3L, "completely different content about graph algorithms and spark execution plans")
+    ).toDF("doc_id", "text")
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val pairs = Dedup.weightedMinhashPairs(docsW, "doc_id", "text", cfg, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getFloat(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"repetition-identical docs must pair: $pairs")
+    assert(pairs((1L, 2L)) >= 0.5f)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
   test("IvfModel: save/load round-trip answers identically; probe prunes partitions") {
     val model = SimSearch.trainIvf(emb, "vec_id", "embedding", nLists = 8, iters = 1)
     val qv = emb.where(col("vec_id") === 3).select("embedding")
