@@ -856,6 +856,33 @@ object SparkEntry {
           round(aggregate(col("e"), lit(0.0), (a, x) => a + x) / size(col("e")), 6).as("mean6"),
           round(sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)), 6).as("l2_6"))
         .orderBy("vec_id")),
+    "sim_recall_eval" -> ((s, d) => {
+      // ANN quality evaluation as a first-class operator: recall@10 of the
+      // single-probe sign-bucket search against exact brute force, for 20
+      // query vectors — the measurement a pipeline runs before trusting an
+      // approximate index. Both rankings share the (cosine desc, id asc)
+      // tie rule, so the whole evaluation is oracle-checkable.
+      val e = SparkUtil.ensureParallelism(tbl(s, d, "embeddings"))
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"),
+          V.signBucket(col("embedding"), 8).as("bucket"))
+        .persist()
+      val q = broadcast(e.where(col("id") < 20)
+        .select(col("id").as("qid"), col("v").as("qv"), col("bucket").as("qb")))
+      def top10(cands: DataFrame): DataFrame = cands
+        .select(col("qid"), col("id"), V.cosine(col("v"), col("qv")).as("c"))
+        .groupBy("qid")
+        .agg(graft.functions.TopKAgg.topK(col("c"), col("id"), 10).as("tk"))
+        .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("ids"))
+      val brute = top10(e.crossJoin(q).where(col("id") =!= col("qid")))
+      val bucketed = top10(e.join(q, col("bucket") === col("qb"))
+          .where(col("id") =!= col("qid")))
+        .withColumnRenamed("ids", "b_ids")
+      brute.join(bucketed, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(size(array_intersect(col("b_ids"), col("ids"))), lit(0)).as("n_hit"))
+        .withColumn("recall10", round(col("n_hit") / 10.0, 6))
+        .orderBy("qid")
+    }),
     "sim_knn_graph" -> ((s, d) =>
       // top-5 neighbors of EVERY vector (similarity-graph construction),
       // sign-bucket blocked — deterministic, so fully oracle-checkable
@@ -1932,6 +1959,37 @@ object SparkEntry {
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       SELECT a_id, b_id, round(cosine, 6) AS cos6 FROM pairs
       WHERE cosine >= 0.35 ORDER BY a_id, b_id""",
+    "sim_recall_eval" -> """
+      WITH e AS (SELECT vec_id AS id, embedding AS v,
+        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT id AS qid, v AS qv, bucket AS qb FROM e WHERE id < 20),
+      pairs AS (
+        SELECT q.qid, e.id, e.bucket, q.qb,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.v[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 0.0) AS c
+        FROM e, q WHERE e.id <> q.qid),
+      brute AS (SELECT qid, id FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rn
+        FROM pairs) WHERE rn <= 10),
+      buck AS (SELECT qid, id FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rn
+        FROM pairs WHERE bucket = qb) WHERE rn <= 10),
+      hits AS (SELECT b.qid, count(bk.id) AS n_hit
+               FROM brute b LEFT JOIN buck bk ON b.qid = bk.qid AND b.id = bk.id
+               GROUP BY 1)
+      SELECT qid, n_hit, round(n_hit / 10.0, 6) AS recall10
+      FROM hits ORDER BY qid""",
     "sim_topk_cosine" -> """
       WITH q AS (SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0),
       scored AS (
