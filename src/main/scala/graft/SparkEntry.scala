@@ -877,10 +877,18 @@ object SparkEntry {
       val bucketed = top10(e.join(q, col("bucket") === col("qb"))
           .where(col("id") =!= col("qid")))
         .withColumnRenamed("ids", "b_ids")
-      brute.join(bucketed, Seq("qid"), "left")
+      // multi-probe widens to the 8 hamming-1 cells (one sign-bit flip each)
+      val probeCond = (col("bucket") === col("qb")) ||
+        (0 until 8).map(d => col("bucket") === col("qb").bitwiseXOR(lit(1 << d)))
+          .reduce(_ || _)
+      val multi = top10(e.join(q, probeCond).where(col("id") =!= col("qid")))
+        .withColumnRenamed("ids", "m_ids")
+      brute.join(bucketed, Seq("qid"), "left").join(multi, Seq("qid"), "left")
         .select(col("qid"),
-          coalesce(size(array_intersect(col("b_ids"), col("ids"))), lit(0)).as("n_hit"))
-        .withColumn("recall10", round(col("n_hit") / 10.0, 6))
+          coalesce(size(array_intersect(col("b_ids"), col("ids"))), lit(0)).as("n_hit_single"),
+          coalesce(size(array_intersect(col("m_ids"), col("ids"))), lit(0)).as("n_hit_multi"))
+        .withColumn("recall_single", round(col("n_hit_single") / 10.0, 6))
+        .withColumn("recall_multi", round(col("n_hit_multi") / 10.0, 6))
         .orderBy("qid")
     }),
     "sim_knn_graph" -> ((s, d) =>
@@ -1985,10 +1993,22 @@ object SparkEntry {
       buck AS (SELECT qid, id FROM (
         SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rn
         FROM pairs WHERE bucket = qb) WHERE rn <= 10),
-      hits AS (SELECT b.qid, count(bk.id) AS n_hit
-               FROM brute b LEFT JOIN buck bk ON b.qid = bk.qid AND b.id = bk.id
+      multi AS (SELECT qid, id FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rn
+        FROM pairs WHERE bucket = qb OR bucket = xor(qb, 1) OR bucket = xor(qb, 2)
+          OR bucket = xor(qb, 4) OR bucket = xor(qb, 8) OR bucket = xor(qb, 16)
+          OR bucket = xor(qb, 32) OR bucket = xor(qb, 64) OR bucket = xor(qb, 128))
+        WHERE rn <= 10),
+      hits AS (SELECT b.qid,
+                 count(bk.id) AS n_hit_single,
+                 count(m.id) AS n_hit_multi
+               FROM brute b
+               LEFT JOIN buck bk ON b.qid = bk.qid AND b.id = bk.id
+               LEFT JOIN multi m ON b.qid = m.qid AND b.id = m.id
                GROUP BY 1)
-      SELECT qid, n_hit, round(n_hit / 10.0, 6) AS recall10
+      SELECT qid, n_hit_single, n_hit_multi,
+        round(n_hit_single / 10.0, 6) AS recall_single,
+        round(n_hit_multi / 10.0, 6) AS recall_multi
       FROM hits ORDER BY qid""",
     "sim_topk_cosine" -> """
       WITH q AS (SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0),
