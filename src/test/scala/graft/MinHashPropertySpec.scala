@@ -80,6 +80,37 @@ object MinHashPropertySpec extends Properties("MinHashLSH") {
       r.isNullAt(0) || r.getSeq[Int](0).forall(v => v >= 0 && v < 500)
     }
 
+  private def exactWeightedJaccard(a: List[String], b: List[String]): Double = {
+    def tf(d: List[String]) = d.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      .toList.groupBy(identity).view.mapValues(_.size).toMap
+    val (ta, tb) = (tf(a), tf(b))
+    val keys = ta.keySet ++ tb.keySet
+    val num = keys.toList.map(k => math.min(ta.getOrElse(k, 0), tb.getOrElse(k, 0))).sum
+    val den = keys.toList.map(k => math.max(ta.getOrElse(k, 0), tb.getOrElse(k, 0))).sum
+    if (den == 0) 1.0 else num.toDouble / den
+  }
+
+  property("weighted estimate tracks exact weighted jaccard within 3/sqrt(H), H=64") =
+    forAll(docGen, docGen) { (a, b) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+      // tf-weighted signatures exactly as Dedup.weightedMinhashPairs builds them
+      val sigs = docs
+        .select(col("doc_id"),
+          posexplode(T.kShinglesAll(T.tokenize(col("text")), 2)).as(Seq("pos", "g")))
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("doc_id", "g").orderBy("pos")) - 1)
+        .select(col("doc_id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
+        .groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), 64).as("sig"))
+      val est = sigs.where(col("doc_id") === 1).select(col("sig").as("sa"))
+        .crossJoin(sigs.where(col("doc_id") === 2).select(col("sig").as("sb")))
+        .select(H.signatureJaccard(col("sa"), col("sb")).as("j"))
+        .collect()(0).getFloat(0).toDouble
+      math.abs(est - exactWeightedJaccard(a, b)) <= 3.0 / math.sqrt(64.0) + 1e-9
+    }
+
   property("containment >= jaccard and within [0,1]") =
     forAll(docGen, docGen) { (a, b) =>
       import spark.implicits._
