@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * which is fine: two empty docs are identical, hamming = 0.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -28,6 +28,43 @@ case class SimHash64(child: Expression)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  // real codegen (same bit-for-bit loop as nullSafeEval): XXH64 is the
+  // static Java class Spark's own xxhash64 codegen calls, so the generated
+  // projection stays inside whole-stage codegen in the pair-scoring joins
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val res = ctx.freshName("res")
+      s"""
+        int[] $counts = new int[64];
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+            for (int $j = 0; $j < 64; $j++) {
+              if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+            }
+          }
+        }
+        long $res = 0L;
+        for (int $k = 0; $k < 64; $k++) {
+          if ($counts[$k] >= 0) $res |= (1L << $k);
+        }
+        ${ev.value} = $res;
+      """
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
