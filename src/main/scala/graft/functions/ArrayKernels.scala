@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -203,7 +203,7 @@ case class SignatureAgreement(left: Expression, right: Expression)
   * matching the SQL `CAST(len(list_intersect(..)) AS DOUBLE)/len(..)` twin.
   */
 case class SetJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "set_jaccard"
 
@@ -212,6 +212,31 @@ case class SetJaccard(left: Expression, right: Expression)
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"both sides must be array<string>, got ${l.catalogString} / ${r.catalogString}")
   }
+
+  // real codegen (same hash-set build + probe as nullSafeEval) so the exact
+  // verify stays inside whole-stage codegen in the candidate-scoring joins
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      s"""
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        java.util.HashSet $set = new java.util.HashSet(java.lang.Math.max(16, $na * 2));
+        for (int $i = 0; $i < $na; $i++) { $set.add($a.getUTF8String($i)); }
+        int $inter = 0;
+        for (int $j = 0; $j < $nb; $j++) {
+          if ($set.contains($b.getUTF8String($j))) $inter++;
+        }
+        int $union = $na + $nb - $inter;
+        ${ev.value} = $union == 0 ? 0.0 : (double) $inter / (double) $union;
+      """
+    })
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
