@@ -555,6 +555,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(clean.toSeq == Seq(2L, 3L))
   }
 
+  test("argument contracts: invalid configs fail fast, not mid-job") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq("doc_id"), Seq("doc_id"), col("doc_id"), salt = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq.empty, Seq.empty, col("doc_id"), salt = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.removeBoilerplate(df, "doc_id", "text", segTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dedupSegmentsWithin(df, "doc_id", "text", segTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.funnel(df, Seq.empty, "1 hour")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.TopKAgg(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("x")), k = 0)
+    }
+    val model = SimSearch.trainIvf(emb.limit(20), "vec_id", "embedding", nLists = 4, iters = 1)
+    intercept[IllegalArgumentException] { model.query(Seq(1.0), 5, nProbe = 0) }
+    intercept[IllegalArgumentException] { model.query(Seq(1.0), 5, nProbe = 5) }
+    model.unpersist()
+  }
+
   test("multimodal: stub decode is deterministic and matches the formula") {
     val meta = Multimodal.decodeMeta(
       Multimodal.asBinaryPayloads(docs.limit(20), "doc_id", "text")).collect()
