@@ -76,6 +76,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver stores only the tail of this process's output, and the big
+    // per-query line above can push the leading total out of the retained
+    // window — repeat the total LAST so every BENCH_r*.json tail carries it
+    println(f"""{"total":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -691,24 +691,24 @@ object SparkEntry {
         .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("shingle"), cfg16.numHash).as("sig"))
         .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
         .orderBy("doc_id")),
-    "fn_minhash_weighted" -> ((s, d) => {
+    "fn_minhash_weighted" -> ((s, d) =>
       // tf-WEIGHTED MinHash (integer-weight expansion): each occurrence of
       // a repeated shingle gets its own element "gram#occ", so signature
       // agreement estimates weighted Jaccard  sum(min tf)/sum(max tf) —
       // repetition-heavy near-dups that plain set MinHash under-scores.
-      // Built on the non-distinct gram stream + the MinHash AGGREGATE.
-      val grams = SparkUtil.ensureParallelism(docs(s, d))
+      // ZERO-shuffle form: per-row hashmap occurrence tagging
+      // (TagOccurrences) + the per-row signature kernel, all inside the
+      // scan's projection — same signatures the (id,gram) window + MinHash
+      // aggregate produced, without the two O(corpus-tokens) shuffles.
+      SparkUtil.ensureParallelism(docs(s, d))
         .select(col("doc_id"),
-          posexplode(T.kShinglesAll(T.tokenize(col("text")), 2)).as(Seq("pos", "g")))
-      val tagged = grams
-        .withColumn("occ", row_number().over(
-          Window.partitionBy("doc_id", "g").orderBy("pos")) - 1)
-        .select(col("doc_id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
-      tagged.groupBy("doc_id")
-        .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), cfg16.numHash).as("sig"))
+          graft.functions.ArrayKernels.tagOccurrences(
+            T.kShinglesAll(T.tokenize(col("text")), 2)).as("tg"))
+        .where(size(col("tg")) > 0) // empty docs had no exploded rows before
+        .select(col("doc_id"),
+          graft.functions.MinHashExpr.minhashMd5(col("tg"), cfg16.numHash).as("sig"))
         .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     "fn_buckenize" -> ((s, d) => {
       val m = fitted(s, d, cfg16)
       m.indexDf.where(col(Cols.Signature).isNotNull)

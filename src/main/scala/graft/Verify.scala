@@ -24,7 +24,17 @@ object Verify {
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only(n) }
+      else {
+        // loud + fail-fast: a leaked/typo'd filter must never silently
+        // shrink the gate's query set (a name matching nothing would
+        // otherwise dump zero queries and look like a clean round)
+        System.err.println(s"[verify] *** SPARK_GRAFT_ONLY ACTIVE — dumping " +
+          s"ONLY ${only.mkString(",")} (NOT a full gate run) ***")
+        val unknown = only -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+        SparkEntry.queries.filter { case (n, _) => only(n) }
+      }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

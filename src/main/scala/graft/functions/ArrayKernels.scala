@@ -257,6 +257,65 @@ case class SetJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-row integer-weight occurrence tagging for weighted MinHash: element
+  * `s` becomes `"s#occ"` where `occ` is the count of PRIOR occurrences of
+  * `s` in the same array (0-based). The resulting tag SET is identical to
+  * the exploded-stream `(gram, row_number() over (id, gram) - 1)` window
+  * encoding's — a set doesn't care which physical occurrence got which
+  * number — but it is computed in one hashmap pass inside the scan's
+  * projection: the O(corpus-tokens) (id, gram) window shuffle and the
+  * exploded-stream signature-aggregate shuffle both disappear. Null
+  * elements are dropped (the aggregate twin ignores null inputs).
+  */
+case class TagOccurrences(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tag_occurrences"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tag_occurrences requires array<string>, got ${other.catalogString}")
+  }
+
+  // one static call — the row stays inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TagOccurrencesKernel.tag($a);")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TagOccurrencesKernel.tag(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): TagOccurrences =
+    copy(child = c)
+}
+
+/** Static kernel shared by [[TagOccurrences]]'s interpreted eval and its
+  * generated code (a plain object compiles to static forwarders Janino can
+  * call).
+  */
+object TagOccurrencesKernel {
+  def tag(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      math.max(16, n * 2))
+    val out = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val c = counts.merge(s, 1, (x: Integer, y: Integer) => Integer.valueOf(x + y))
+        out(m) = org.apache.spark.unsafe.types.UTF8String.concat(s,
+          org.apache.spark.unsafe.types.UTF8String.fromString("#" + (c - 1)))
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
 object ArrayKernels {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -266,4 +325,6 @@ object ArrayKernels {
     ColumnBridge.column(SignatureAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def setJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def tagOccurrences(a: Column): Column =
+    ColumnBridge.column(TagOccurrences(ColumnBridge.expression(a)))
 }

@@ -37,6 +37,8 @@ case class MinHashMd5Agg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Array[Byte]]] with UnaryLike[Expression] {
 
+  require(numHash > 0, s"numHash must be > 0, got $numHash")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_md5_agg"

@@ -128,6 +128,13 @@ final class TopKHeap(val k: Int) {
     s1 < s2 || (s1 == s2 && i1 > i2)
 
   def offer(score: Double, id: Long): Unit = {
+    // NaN policy: skipped, same as null scores at the aggregate layer. NaN
+    // breaks the strict-weak-order contract of both `worse` and the
+    // sortedBestFirst comparator (every comparison involving NaN is false,
+    // so a NaN could lodge at the root and block all future admissions).
+    // Engine scorers never produce NaN (cosine() yields null for zero
+    // vectors), but graft_topk is public SQL surface.
+    if (score.isNaN) return
     if (size < k) {
       var i = size
       scores(i) = score; ids(i) = id

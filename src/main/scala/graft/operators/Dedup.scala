@@ -72,24 +72,27 @@ object Dedup {
 
   /** tf-WEIGHTED MinHash near-duplicate pairs: integer-weight expansion —
     * every occurrence of a repeated k-shingle becomes its own element
-    * ("gram#occ", numbered per doc by a window over the non-distinct gram
-    * stream) — so signature agreement estimates weighted Jaccard
+    * "gram#occ" — so signature agreement estimates weighted Jaccard
     * sum(min tf)/sum(max tf). Catches repetition-heavy near-dups that
-    * set-semantics MinHash under-scores. Signatures fold through the
-    * MinHash AGGREGATE (map-side combine over the exploded tagged stream);
-    * candidate blocking and verification mirror [[minhashPairs]].
+    * set-semantics MinHash under-scores.
+    *
+    * Distributed shape: ZERO shuffles below the bucket join. Occurrence
+    * tagging is a per-row hashmap pass ([[graft.functions.TagOccurrences]])
+    * and the signature the per-row one-pass kernel — both inside the scan's
+    * projection. (The earlier form exploded the non-distinct gram stream and
+    * paid an O(corpus-tokens) `(id, gram)` window shuffle plus a second
+    * groupBy(id) aggregate shuffle for bit-identical signatures.)
+    * Candidate blocking and verification mirror [[minhashPairs]].
     */
   def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.MinHashConfig, threshold: Double, k: Int = 2): DataFrame = {
-    val grams = graft.SparkUtil.ensureParallelism(docs)
+    val sigs = graft.SparkUtil.ensureParallelism(docs)
       .select(col(idCol).cast("long").as("id"),
-        posexplode(T.kShinglesAll(T.tokenize(col(textCol)), k)).as(Seq("pos", "g")))
-    val sigs = grams
-      .withColumn("occ", row_number().over(
-        Window.partitionBy("id", "g").orderBy("pos")) - 1)
-      .select(col("id"), concat(col("g"), lit("#"), col("occ")).as("tg"))
-      .groupBy("id")
-      .agg(graft.functions.MinHashAgg.minhashMd5Agg(col("tg"), cfg.numHash).as("sig"))
+        graft.functions.ArrayKernels.tagOccurrences(
+          T.kShinglesAll(T.tokenize(col(textCol)), k)).as("tg"))
+      .where(size(col("tg")) > 0) // empty docs had no exploded rows before
+      .select(col("id"),
+        graft.functions.MinHashExpr.minhashMd5(col("tg"), cfg.numHash).as("sig"))
       .withColumn("bucket_ids",
         H.bandBucketsMd5(col("sig"), cfg.numBands, cfg.numRows, cfg.bucketHexLen))
       .persist()

@@ -35,6 +35,15 @@ object Joins {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, s"salt must be > 1, got $salt")
+    // Only PROBE-preserving types are equivalent to the plain join: with a
+    // build-preserving type (right/full outer), an unmatched build row was
+    // replicated `salt` times by the explode and would be emitted once per
+    // salt value — `salt` spurious null-padded rows instead of one.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports only probe-preserving join types $allowed, got " +
+        s"'$joinType' — build-preserving types would emit unmatched build rows salt times")
     require(probeKeys.nonEmpty && probeKeys.length == buildKeys.length,
       s"key lists must be non-empty and same length: $probeKeys vs $buildKeys")
     val p = probe.withColumn("__salt_p", pmod(xxhash64(saltFrom), lit(salt.toLong)).cast("int"))

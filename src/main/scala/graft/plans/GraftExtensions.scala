@@ -83,7 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, h) => MinHashXxSignature(a, intArg("graft_minhash_xx", h)) })
     register(ext, "graft_topk",
       "graft_topk(score, id, k) - grouped top-k aggregate (bounded heap, " +
-        "score desc / id asc), returns array<struct<score, id>>",
+        "score desc / id asc), returns array<struct<score, id>>; " +
+        "null and NaN scores are skipped (neither ranks)",
       { case Seq(s, i, kk) =>
         TopKAgg(org.apache.spark.sql.catalyst.expressions.CreateStruct(Seq(
           org.apache.spark.sql.catalyst.expressions.Cast(s, org.apache.spark.sql.types.DoubleType),

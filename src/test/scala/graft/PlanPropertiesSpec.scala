@@ -147,6 +147,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"interaction join must hash on user_id with time bounds as post-filter:\n$plan")
   }
 
+  test("weighted MinHash signatures are shuffle-free: no window, no sig aggregate") {
+    // the tf-weighted pipeline must compute tagged signatures inside the
+    // scan's projection — the old (id, gram) row_number window and the
+    // exploded-stream MinHash aggregate each shuffled O(corpus tokens)
+    val df = graft.operators.Dedup.weightedMinhashPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      MinHashConfig(numHash = 16, numBands = 4, numRows = 4), 0.4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"no window may remain in the weighted pipeline:\n$plan")
+    assert(!plan.contains("minhash_md5_agg"),
+      s"signatures must come from the per-row kernel, not the aggregate:\n$plan")
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
