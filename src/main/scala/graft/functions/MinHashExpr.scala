@@ -115,7 +115,7 @@ case class MinHashMd5Signature(child: Expression, numHash: Int)
 }
 
 case class MinHashXxSignature(child: Expression, numHash: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -127,10 +127,44 @@ case class MinHashXxSignature(child: Expression, numHash: Int)
       s"minhash_xx requires array<string>, got ${other.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // real codegen (one static call into the shared kernel) so the fast-mode
+  // index build stays inside whole-stage codegen — the loop is pure long
+  // arithmetic, unlike the digest-bound md5 kernel where a fallback is
+  // justified. The kernel returns null for empty arrays, so the generated
+  // code re-checks isNull after the call.
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.MinHashXxKernel.sig($a, $numHash);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashXxKernel.sig(input.asInstanceOf[ArrayData], numHash)
+
+  override protected def withNewChildInternal(c: Expression): MinHashXxSignature =
+    copy(child = c)
+}
+
+/** Static kernel shared by [[MinHashXxSignature]]'s interpreted eval and its
+  * generated code. Semantics unchanged from the CodegenFallback version:
+  * sig[h] = min over shingles s of xxhash64(h: int, xxhash64(s)), Spark's
+  * XXH64 chain seeded 42, signed min; empty array ⇒ null. The per-slot
+  * seeds xxhash64(h) depend only on (h, 42) — cached per numHash so the
+  * hot loop is one hashLong per (shingle × slot).
+  */
+object MinHashXxKernel {
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def seeds(numHash: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHash,
+      (n: Integer) => Array.tabulate(n)(h => XXH64.hashInt(h, 42L)))
+
+  def sig(arr: ArrayData, numHash: Int): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
+    val slotSeeds = seeds(numHash)
     val mins = new Array[Long](numHash)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
@@ -140,8 +174,7 @@ case class MinHashXxSignature(child: Expression, numHash: Int)
       val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var h = 0
       while (h < numHash) {
-        // xxhash64(h: int, base: long) == XXH64 chain seeded 42
-        val v = XXH64.hashLong(base, XXH64.hashInt(h, 42L))
+        val v = XXH64.hashLong(base, slotSeeds(h))
         if (v < mins(h)) mins(h) = v
         h += 1
       }
@@ -149,9 +182,6 @@ case class MinHashXxSignature(child: Expression, numHash: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): MinHashXxSignature =
-    copy(child = c)
 }
 
 object MinHashExpr {
