@@ -15,6 +15,16 @@ sealed trait MinHashMode
 case object Md5Parity extends MinHashMode
 case object XxFast extends MinHashMode
 
+/** BIT-PARITY with the reference's DEFAULT hash family: signature slot =
+  * xxh128(f"{slot}{x}", seed=1) unsigned-128 min, stored as Python hex()
+  * strings; buckets = xxh32(repr(band_tuple), seed=1) % numBuckets
+  * (/root/reference/src/utils.py:13-16,44-47, minhash_utils.py:41-113).
+  * Pure-JVM spec ports — see [[graft.functions.XxHashKernel]]. Reference
+  * parity holds on the vocabulary path (the reference always hashes vocab
+  * indices); direct mode uses the same family over shingle strings.
+  */
+case object Xx128Parity extends MinHashMode
+
 /** Hyperparameters mirrored from the reference config
   * (/root/reference/src/minhash_config.py:1-66) plus engine-side knobs.
   *

@@ -22,6 +22,9 @@ object SparkEntry {
   private val cfg16Vocab = cfg16.copy(useVocabulary = true)
   private val cfg100 = MinHashConfig(numHash = 100, numBands = 25, numRows = 4, bucketHexLen = 4)
   private val cfg100Fast = cfg100.copy(mode = XxFast)
+  // the reference's DEFAULT config: xxh128 family over vocab indices,
+  // xxh32 % 500 band buckets — bit-parity mode (functions/XxHash.scala)
+  private val cfg100Xx128 = cfg100.copy(mode = Xx128Parity, useVocabulary = true)
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // InferFiltersFromGenerate clones the (expensive) generator input
@@ -739,6 +742,21 @@ object SparkEntry {
     "ann_query_fast" -> ((s, d) => // xxhash64 fast mode — no SQL oracle
       fitted(s, d, cfg100Fast).approxNearestNeighbors(keyOf(s, d), 10)
         .withColumnRenamed(Cols.Id, "doc_id")),
+    "ann_query_xx128" -> ((s, d) =>
+      // the reference's DEFAULT mode end-to-end (xxh128 family over vocab
+      // indices, xxh32 band buckets) — no SQL oracle (DuckDB has no xxh128);
+      // rows-only gate, structure mirrors the md5-parity ann_query twin
+      fitted(s, d, cfg100Xx128).approxNearestNeighbors(keyOf(s, d), 10)
+        .withColumnRenamed(Cols.Id, "doc_id")),
+    "fn_minhash_xx128" -> ((s, d) => {
+      // signature dump in the reference's default family: Python-hex()
+      // strings over vocab indices — no SQL oracle; rows-only gate
+      val m = fitted(s, d, cfg100Xx128)
+      m.indexDf.where(col(Cols.Signature).isNotNull)
+        .select(col(Cols.Id).as("doc_id"),
+          array_join(col(Cols.Signature), ",").as("signature_str"))
+        .orderBy("doc_id")
+    }),
     "ann_batch" -> ((s, d) => { // multi-query scale path — no SQL oracle
       val m = fitted(s, d, cfg100Fast)
       val qs = docs(s, d).where(col("doc_id") < 50)
@@ -1163,6 +1181,19 @@ object SparkEntry {
         .orderBy("user_id", "event_type")),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
+        .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
+        .orderBy("doc_id")),
+    "mm_decode_png" -> ((s, d) =>
+      // REAL decode path: plant spec-valid PNG bytes (signature + IHDR with
+      // correct CRC32) with dims derived from doc_id, parse them back with
+      // the real header parser; the oracle recomputes the planted dims
+      Multimodal.decodeMeta(Multimodal.plantImagePayloads(docs(s, d), "doc_id", "png"))
+        .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
+        .orderBy("doc_id")),
+    "mm_decode_jpeg" -> ((s, d) =>
+      // REAL decode path, JPEG: SOI + APP0 (exercises the marker skip loop)
+      // + SOF0 carrying the planted dims + EOI
+      Multimodal.decodeMeta(Multimodal.plantImagePayloads(docs(s, d), "doc_id", "jpeg"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
         .orderBy("doc_id")),
     "mm_features" -> ((s, d) =>
@@ -2288,6 +2319,18 @@ object SparkEntry {
         CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
         CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INTEGER) AS height,
         CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS frame_count
+      FROM documents ORDER BY doc_id""",
+    "mm_decode_png" -> """
+      SELECT doc_id, CAST(45 AS INTEGER) AS byte_len, 'png' AS format,
+        CAST(16 + doc_id % 512 AS INTEGER) AS width,
+        CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS frame_count
+      FROM documents ORDER BY doc_id""",
+    "mm_decode_jpeg" -> """
+      SELECT doc_id, CAST(41 AS INTEGER) AS byte_len, 'jpeg' AS format,
+        CAST(16 + doc_id % 512 AS INTEGER) AS width,
+        CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS frame_count
       FROM documents ORDER BY doc_id""",
     "mm_features" -> """
       WITH n AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)

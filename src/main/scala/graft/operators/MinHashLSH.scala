@@ -79,11 +79,15 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
           case Md5Parity => H.minhashMd5Indices(col(Cols.BoolVec), cfg.numHash)
           case XxFast =>
             H.minhashXxFromBases(transform(col(Cols.BoolVec), ix => xxhash64(ix)), cfg.numHash)
+          case Xx128Parity => // reference default family over vocab indices — bit-parity
+            graft.functions.XxHashExpr.minhashXx128(col(Cols.BoolVec), cfg.numHash)
         })
       case None =>
         shingled.withColumn(Cols.Signature, cfg.mode match {
           case Md5Parity => H.minhashMd5(col(Cols.Shingles), cfg.numHash)
           case XxFast => H.minhashXx(col(Cols.Shingles), cfg.numHash)
+          case Xx128Parity => // same family over shingle strings (no reference twin)
+            graft.functions.XxHashExpr.minhashXx128(col(Cols.Shingles), cfg.numHash)
         })
     }
     withSig.withColumn(Cols.BucketIds, cfg.mode match {
@@ -91,6 +95,9 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
         H.bandBucketsMd5(col(Cols.Signature), cfg.numBands, cfg.numRows, cfg.bucketHexLen)
       case XxFast =>
         H.bandBucketsXx(col(Cols.Signature), cfg.numBands, cfg.numRows, cfg.numBuckets)
+      case Xx128Parity =>
+        graft.functions.XxHashExpr.bandBucketsXx32(
+          col(Cols.Signature), cfg.numBands, cfg.numRows, cfg.numBuckets)
     })
   }
 
@@ -340,12 +347,20 @@ object MinHashLSH {
       useVocabulary: Boolean, vocabBroadcast: Boolean) {
     def toConfig: MinHashConfig = MinHashConfig(numShingles, numHash, numBands,
       numRows, numBuckets, bucketHexLen,
-      if (mode == "xx") XxFast else Md5Parity, useVocabulary, vocabBroadcast)
+      mode match {
+        case "xx" => XxFast
+        case "xx128" => Xx128Parity
+        case _ => Md5Parity
+      }, useVocabulary, vocabBroadcast)
   }
   private[operators] object ConfigRow {
     def from(c: MinHashConfig): ConfigRow = ConfigRow(c.numShingles, c.numHash,
       c.numBands, c.numRows, c.numBuckets, c.bucketHexLen,
-      if (c.mode == XxFast) "xx" else "md5", c.useVocabulary, c.vocabBroadcast)
+      c.mode match {
+        case XxFast => "xx"
+        case Xx128Parity => "xx128"
+        case Md5Parity => "md5"
+      }, c.useVocabulary, c.vocabBroadcast)
   }
 
   /** Load a model persisted by [[MinHashLSHModel.save]]; the index is

@@ -81,6 +81,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_minhash_xx",
       "graft_minhash_xx(shingles, h) - xxhash64-mode MinHash signature (h longs)",
       { case Seq(a, h) => MinHashXxSignature(a, intArg("graft_minhash_xx", h)) })
+    register(ext, "graft_minhash_xx128",
+      "graft_minhash_xx128(elems, h) - reference-default xxh128 MinHash " +
+        "signature (h Python-hex strings) over vocab indices or shingles",
+      { case Seq(a, h) => MinHashXx128Signature(a, intArg("graft_minhash_xx128", h)) })
+    register(ext, "graft_band_buckets_xx32",
+      "graft_band_buckets_xx32(sig, bands, rows, buckets) - reference-default " +
+        "LSH band buckets: xxh32(repr(band), seed=1) mod buckets",
+      { case Seq(a, b, r, k) => BandBucketsXx32(a,
+        intArg("graft_band_buckets_xx32", b), intArg("graft_band_buckets_xx32", r),
+        intArg("graft_band_buckets_xx32", k)) })
     register(ext, "graft_topk",
       "graft_topk(score, id, k) - grouped top-k aggregate (bounded heap, " +
         "score desc / id asc), returns array<struct<score, id>>; " +
