@@ -827,6 +827,22 @@ object SparkEntry {
         k = 3, threshold = 0.6)
         .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("cont6"))
         .orderBy("a_id", "b_id")),
+    "dedup_containment_deep" -> ((s, d) => {
+      // containment-NATIVE blocking (exact prefix filtering — no LSH
+      // recall floor): the corpus plus PLANTED small-inside-large docs
+      // (150-char prefixes of every 10th doc, ids +100000) whose symmetric
+      // Jaccard vs their source is far below any LSH floor; the oracle is
+      // a brute all-pairs containment over the same union
+      val dd = docs(s, d)
+      val planted = dd.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          substring(col("text"), 1, 150).as("text"))
+      Dedup.containmentPairsDeep(
+          dd.select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text", k = 3, threshold = 0.8)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("cont6"))
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_embedding_pairs" -> ((s, d) =>
       Dedup.embeddingPairsBrute(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
@@ -1987,6 +2003,24 @@ object SparkEntry {
         FROM cand p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
       SELECT a_id, b_id, round(containment, 6) AS cont6 FROM scored
       WHERE containment >= 0.6 ORDER BY a_id, b_id""",
+    "dedup_containment_deep" -> s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, substr(text, 1, 150) AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM base),
+      sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens) - 1),
+        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM toks
+        WHERE len(tokens) >= 3),
+      scored AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / least(len(a.sh), len(b.sh)) AS containment
+        FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+      SELECT a_id, b_id, round(containment, 6) AS cont6 FROM scored
+      WHERE containment >= 0.8 ORDER BY a_id, b_id""",
     "dedup_embedding_pairs" -> """
       WITH pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -162,9 +162,11 @@ object Dedup {
     * larger one (boilerplate expansion, partial copies), which symmetric
     * Jaccard under-scores by the size ratio. Candidates come from the LSH
     * index at `jaccardFloor` (signature estimate); recall therefore extends
-    * only down to pairs whose symmetric Jaccard clears that floor — a
-    * containment-native recall guarantee would need a different blocking
-    * scheme (hashing the smaller side only), documented as future work.
+    * only down to pairs whose symmetric Jaccard clears that floor. For the
+    * containment-NATIVE recall guarantee (no floor), use
+    * [[containmentPairsDeep]] — exact prefix-filtering blocking. This
+    * LSH-candidate form remains the cheap path when an index is already
+    * fitted and the size ratio is bounded.
     */
   def containmentPairs(model: MinHashLSHModel, docs: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double,
@@ -174,6 +176,63 @@ object Dedup {
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
       .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
       .persist()
+    cands
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("containment",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          least(size(col("a_sh")), size(col("b_sh"))))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
+  /** Containment-NATIVE near-subset pairs — EXACT prefix-filtering blocking
+    * (the set-similarity-join trick), no LSH recall floor: unlike
+    * [[containmentPairs]], a tiny document inside a 100× larger one is
+    * found, because candidates never depend on symmetric Jaccard.
+    *
+    * Pigeonhole guarantee: for a pair with containment ≥ t whose smaller
+    * side has n shingles, at most (1-t)·n of them are missing from the
+    * other side — so ANY floor((1-t)·n)+1 chosen shingles include at least
+    * one that both share. Each doc therefore publishes only its
+    * floor((1-t)·n)+1 globally-RAREST shingles (ascending document
+    * frequency — rare shingles minimize candidate fan-out) as its blocking
+    * prefix; a shingle equi-join of prefixes against the full postings
+    * recovers every qualifying pair (recall 1.0), and exact containment
+    * verification disposes.
+    *
+    * Scale shape: df + postings are one explode of the DISTINCT per-doc
+    * shingles (not the token stream); the prefix choice bounds the
+    * candidate join (a doc contributes (1-t)·n+1 probes, each hitting
+    * df(shingle) postings — rarest-first makes that product small); the
+    * verify join ships shingle arrays only for surviving candidate pairs.
+    */
+  def containmentPairsDeep(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val sh = graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
+      .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    val posting = sh.select(col("id").as("pid"), explode(col("sh")).as("shingle"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc blocking prefix: the floor((1-t)*n)+1 rarest shingles, ranked
+    // by (df asc, shingle) — sort_array on struct(df, shingle) is the
+    // deterministic rank; ties can pick either, the guarantee holds for any
+    // fixed choice
+    val prefix = posting.join(dfreq, Seq("shingle"))
+      .groupBy(col("pid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .select(col("pid").as("a_pid"), explode(expr(
+        s"transform(slice(ranked, 1, cast(floor((1.0 - $threshold) * size(ranked)) as int) + 1), " +
+          "r -> r.shingle)")).as("shingle"))
+    val cands = prefix
+      .join(posting.select(col("pid").as("b_pid"), col("shingle")), Seq("shingle"))
+      .where(col("a_pid") =!= col("b_pid"))
+      .select(least(col("a_pid"), col("b_pid")).as("a_id"),
+        greatest(col("a_pid"), col("b_pid")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))

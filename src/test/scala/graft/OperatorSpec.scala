@@ -596,4 +596,36 @@ class OperatorSpec extends AnyFunSuite {
       Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs.limit(5), "doc_id", "text")), 2)
     assert(frames.count() > 0)
   }
+
+  test("containmentPairsDeep finds small-inside-large below any LSH jaccard floor") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // plant a large doc (20 corpus texts concatenated, ~10k chars) and a
+    // 150-char prefix of it: near-total containment of the prefix, but
+    // symmetric jaccard ~ prefix/large — far below the 0.1 floor the
+    // LSH-candidate version needs
+    val large = docs.orderBy("doc_id").limit(20)
+      .select(col("text")).collect().map(_.getString(0)).mkString(" ")
+    assert(large.length > 1500, "need a long synthetic doc for the floor test")
+    val planted = Seq((200000L, large), (100000L, large.substring(0, 150)))
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(planted)
+    val deep = graft.operators.Dedup.containmentPairsDeep(
+      corpus, "doc_id", "text", k = 3, threshold = 0.8)
+    val hit = deep.where(col("a_id") === 100000L && col("b_id") === 200000L)
+      .collect()
+    assert(hit.length == 1 && hit(0).getDouble(2) >= 0.8,
+      s"planted prefix must be found by containment-native blocking: ${hit.toSeq}")
+    // and the pair really is below the symmetric-jaccard floor of the
+    // LSH-candidate version (documents the recall gap that motivated this)
+    val symJac = corpus.where(col("doc_id").isin(200000L, 100000L))
+      .select(graft.functions.TextFunctions.kShingles(
+        graft.functions.TextFunctions.tokenize(col("text")), 3).as("sh"))
+      .collect()
+    val a = symJac(0).getSeq[String](0).toSet
+    val b = symJac(1).getSeq[String](0).toSet
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j < 0.1, s"planted pair should sit below the 0.1 LSH floor, got $j")
+  }
 }
