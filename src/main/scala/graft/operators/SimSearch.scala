@@ -86,12 +86,29 @@ object SimSearch {
     var centroids: Seq[Seq[Double]] = base.orderBy("id").limit(nLists)
       .select("v").collect()
       .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray)).toSeq
-    def cellOf(v: Column): Column = {
-      val sims = transform(typedlit(centroids), c => dotProduct(v, c))
+    def argmaxCell(v: Column, cs: Column): Column = {
+      val sims = transform(cs, c => dotProduct(v, c))
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
+    // centroid delivery: under the threshold a typedlit plan literal is the
+    // cheapest (single projection, zero exchanges); above it the literal
+    // bloats every plan that embeds it (nLists=4096 × dim doubles is
+    // megabytes of plan tree), so the centroid table ships as a BROADCAST
+    // one-row frame instead — same argmax expression over the joined
+    // column, still zero shuffles, plan size flat in nLists
+    def withCell(df: DataFrame): DataFrame =
+      if (nLists <= TypedLitCentroidMax)
+        df.withColumn("cell", argmaxCell(col("v"), typedlit(centroids)))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val centRow = broadcast(Seq(Tuple1(centroids)).toDF("__cents"))
+        df.crossJoin(centRow)
+          .withColumn("cell", argmaxCell(col("v"), col("__cents")))
+          .drop("__cents")
+      }
     for (_ <- 1 to iters) {
-      val dims = base.select(cellOf(col("v")).as("cell"), posexplode(col("v")))
+      val dims = withCell(base).select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .collect()
       centroids = centroids.indices.map { cell =>
@@ -100,8 +117,13 @@ object SimSearch {
         else normalized(ds.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
       }
     }
-    IvfModel(centroids, base.withColumn("cell", cellOf(col("v"))))
+    IvfModel(centroids, withCell(base))
   }
+
+  /** Above this, centroid assignment joins a broadcast centroid row instead
+    * of embedding a typedlit plan literal (see trainIvf).
+    */
+  private[graft] val TypedLitCentroidMax = 64
 
   /** k-NN graph: the top-k cosine neighbors of EVERY vector (the
     * similarity-graph construction step of a training-data pipeline),

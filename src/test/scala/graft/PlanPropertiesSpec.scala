@@ -161,6 +161,63 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"signatures must come from the per-row kernel, not the aggregate:\n$plan")
   }
 
+  test("large-nLists IVF assignment broadcasts centroids, no megabyte plan literal") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val big = graft.operators.SimSearch.trainIvf(emb, "vec_id", "embedding",
+      nLists = graft.operators.SimSearch.TypedLitCentroidMax + 36, iters = 1)
+    val plan = big.assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"centroids must arrive via broadcast above the typedlit threshold:\n${plan.take(2000)}")
+    // a typedlit of 100 x 64 doubles would put ~100KB of digits in the plan
+    assert(plan.length < 50000,
+      s"plan must not embed the centroid table as a literal (len=${plan.length})")
+    big.unpersist()
+    val small = graft.operators.SimSearch.trainIvf(emb, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val smallPlan = small.assigned.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("BroadcastNestedLoopJoin"),
+      "small nLists keeps the single-projection typedlit path")
+    small.unpersist()
+  }
+
+  test("AQE splits a planted hot bucket in the LSH-shaped equi-join (skew evidence)") {
+    // the bucket equi-join behind approxSimilarityJoin / batch ANN relies on
+    // AQE to split hot LSH buckets; until now that safety was argued, not
+    // pinned. Plant a bucket carrying ~90% of the probe rows (with payload
+    // bytes so the skewed partition crosses the test-scaled thresholds),
+    // force a sort-merge join, and assert the finalized adaptive plan
+    // actually applied the skew split (the `skew=true` marker).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val payload = "x" * 200
+      val probe = spark.range(60000).select(
+        when(col("id") % 10 =!= 0, lit(0))
+          .otherwise(pmod(col("id"), lit(997)).cast("int")).as("bucket"),
+        col("id").as("a_id"), lit(payload).as("a_sig"))
+      val build = spark.range(1000).select(
+        col("id").cast("int").as("bucket"), col("id").as("b_id"))
+      val joined = probe.join(build, Seq("bucket"))
+      // materialize THROUGH this Dataset's own QueryExecution so its
+      // AdaptiveSparkPlan is finalized (df.write/count build a separate one)
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split on the planted hot bucket:\n${plan.take(3000)}")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
