@@ -703,13 +703,17 @@ object SparkEntry {
       // (TagOccurrences) + the per-row signature kernel, all inside the
       // scan's projection — same signatures the (id,gram) window + MinHash
       // aggregate produced, without the two O(corpus-tokens) shuffles.
+      // empty-doc filter ABOVE the persist as sig IS NULL (empty⇒null
+      // kernel contract) — a size(tg) filter below it lands on the 1-task
+      // scan re-running the tag tree per row (round-3 pushdown lesson)
       SparkUtil.ensureParallelism(docs(s, d))
         .select(col("doc_id"),
           graft.functions.ArrayKernels.tagOccurrences(
             T.kShinglesAll(T.tokenize(col("text")), 2)).as("tg"))
-        .where(size(col("tg")) > 0) // empty docs had no exploded rows before
         .select(col("doc_id"),
           graft.functions.MinHashExpr.minhashMd5(col("tg"), cfg16.numHash).as("sig"))
+        .persist()
+        .where(col("sig").isNotNull)
         .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
         .orderBy("doc_id")),
     "fn_buckenize" -> ((s, d) => {

@@ -86,19 +86,24 @@ object Dedup {
     */
   def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.MinHashConfig, threshold: Double, k: Int = 2): DataFrame = {
+    // empty-gram filter strictly ABOVE the persist, as sig IS NULL (the
+    // kernel's empty⇒null contract): a size(tg) > 0 filter below the cache
+    // gets substituted+pushed onto the single-task file scan, re-running
+    // the whole tokenize→shingle→tag tree per row there (the round-3
+    // dedup_novel_filter regression; plan-asserted in PlanPropertiesSpec)
     val sigs = graft.SparkUtil.ensureParallelism(docs)
       .select(col(idCol).cast("long").as("id"),
         graft.functions.ArrayKernels.tagOccurrences(
           T.kShinglesAll(T.tokenize(col(textCol)), k)).as("tg"))
-      .where(size(col("tg")) > 0) // empty docs had no exploded rows before
       .select(col("id"),
         graft.functions.MinHashExpr.minhashMd5(col("tg"), cfg.numHash).as("sig"))
       .withColumn("bucket_ids",
         H.bandBucketsMd5(col("sig"), cfg.numBands, cfg.numRows, cfg.bucketHexLen))
       .persist()
-    val a = sigs.select(col("id").as("a_id"), col("sig").as("a_sig"),
+    val live = sigs.where(col("sig").isNotNull)
+    val a = live.select(col("id").as("a_id"), col("sig").as("a_sig"),
       explode(col("bucket_ids")).as("bucket"))
-    val b = sigs.select(col("id").as("b_id"), col("sig").as("b_sig"),
+    val b = live.select(col("id").as("b_id"), col("sig").as("b_sig"),
       explode(col("bucket_ids")).as("bucket"))
     a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

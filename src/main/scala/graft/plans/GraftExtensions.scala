@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_set_jaccard",
       "graft_set_jaccard(a, b) - exact set Jaccard of two string arrays",
       { case Seq(a, b) => SetJaccard(a, b) })
+    register(ext, "graft_tag_occurrences",
+      "graft_tag_occurrences(arr) - weighted-minhash occurrence tagging: " +
+        "element s becomes 's#occ' (occ = prior occurrences of s in arr)",
+      { case Seq(a) => TagOccurrences(a) })
     register(ext, "graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a token array",
       { case Seq(a) => SimHash64(a) })

@@ -159,6 +159,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"no window may remain in the weighted pipeline:\n$plan")
     assert(!plan.contains("minhash_md5_agg"),
       s"signatures must come from the per-row kernel, not the aggregate:\n$plan")
+    // and the empty-doc filter must NOT be substituted into a scan-level
+    // predicate re-running the tag tree per row (round-3 pushdown trap)
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(!filterLines.contains("tag_occurrences") && !filterLines.contains("minhash_"),
+      s"weighted pipeline evaluates kernels inside a filter:\n$filterLines")
   }
 
   test("large-nLists IVF assignment broadcasts centroids, no megabyte plan literal") {

@@ -86,6 +86,23 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("graft_tag_occurrences and xx128 kernels from SQL") {
+    val row = spark.sql("""
+      SELECT
+        graft_tag_occurrences(array('a', 'b', 'a')) AS tags,
+        graft_minhash_xx128(array('aa bb'), 2) AS sig
+    """).collect()(0)
+    assert(row.getSeq[String](0) == Seq("a#0", "b#0", "a#1"))
+    val sig = row.getSeq[String](1)
+    assert(sig.length == 2 && sig.forall(_.matches("0x[0-9a-f]+")))
+    // matches the DataFrame twin bit-for-bit
+    val df = spark.sql("SELECT array('aa bb') AS sh")
+      .select(graft.functions.XxHashExpr.minhashXx128(
+        org.apache.spark.sql.functions.col("sh"), 2).as("sig"))
+      .collect()(0).getSeq[String](0)
+    assert(df == sig)
+  }
+
   test("whole ANN candidate pipeline expressed in one SQL statement") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs_all")
