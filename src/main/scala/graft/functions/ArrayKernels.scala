@@ -257,6 +257,62 @@ case class SetJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |a ∩ b| over two string arrays (inputs assumed distinct) as int — one
+  * hash-set build + one probe pass, no intermediate array materialization,
+  * unlike the `size(array_intersect(..))` encoding. The integer count makes
+  * derived ratios (containment = count / least(|a|,|b|)) bit-identical to
+  * the DuckDB `len(list_intersect(..))` oracle arithmetic.
+  */
+case class SetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "set_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"both sides must be array<string>, got ${l.catalogString} / ${r.catalogString}")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      s"""
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        java.util.HashSet $set = new java.util.HashSet(java.lang.Math.max(16, $na * 2));
+        for (int $i = 0; $i < $na; $i++) { $set.add($a.getUTF8String($i)); }
+        int $inter = 0;
+        for (int $j = 0; $j < $nb; $j++) {
+          if ($set.contains($b.getUTF8String($j))) $inter++;
+        }
+        ${ev.value} = $inter;
+      """
+    })
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[Any](math.max(16, na * 2))
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SetIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Per-row integer-weight occurrence tagging for weighted MinHash: element
   * `s` becomes `"s#occ"` where `occ` is the count of PRIOR occurrences of
   * `s` in the same array (0-based). The resulting tag SET is identical to
@@ -327,4 +383,6 @@ object ArrayKernels {
     ColumnBridge.column(SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def tagOccurrences(a: Column): Column =
     ColumnBridge.column(TagOccurrences(ColumnBridge.expression(a)))
+  def setIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SetIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

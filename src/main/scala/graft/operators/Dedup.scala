@@ -185,8 +185,8 @@ object Dedup {
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("containment",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          least(size(col("a_sh")), size(col("b_sh"))))
+        graft.functions.ArrayKernels.setIntersectCount(col("a_sh"), col("b_sh"))
+          .cast("double") / least(size(col("a_sh")), size(col("b_sh"))))
       .where(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
   }
@@ -242,8 +242,8 @@ object Dedup {
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("containment",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          least(size(col("a_sh")), size(col("b_sh"))))
+        graft.functions.ArrayKernels.setIntersectCount(col("a_sh"), col("b_sh"))
+          .cast("double") / least(size(col("a_sh")), size(col("b_sh"))))
       .where(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
   }
