@@ -376,7 +376,10 @@ object XxHashKernel {
     var i = 0
     while (i < decimals.length) {
       val s = sig.getUTF8String(i).toString
-      decimals(i) = new java.math.BigInteger(s.substring(2), 16).toString
+      // Python's int(s, 16) accepts both "0x..."-prefixed and bare hex —
+      // tolerate both so md5-mode (bare 32-hex) signatures also bucketize
+      val hex = if (s.startsWith("0x")) s.substring(2) else s
+      decimals(i) = new java.math.BigInteger(hex, 16).toString
       i += 1
     }
     val seen = new java.util.LinkedHashSet[Integer]()

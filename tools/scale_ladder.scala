@@ -47,6 +47,20 @@ for (mult <- Seq(1, 3, 10, 30)) {
     model.filterNovel(incoming, "doc_id", "text", 0.5)
       .write.format("noop").mode("overwrite").save()
   }
+  time("weighted_featurize") {
+    // round-6 shuffle-free weighted MinHash: tag → sig → buckets is one
+    // narrow projection, so it must scale exactly as the scan does (the
+    // pair JOIN is excluded on purpose — a replicated corpus makes every
+    // doc a near-dup family of size mult, so pair output is quadratic by
+    // definition and would measure output volume, not the blocking)
+    import graft.functions.{ArrayKernels, MinHashExpr, TextFunctions => T, HashFunctions => H}
+    docs.select(col("doc_id"),
+        ArrayKernels.tagOccurrences(T.kShinglesAll(T.tokenize(col("text")), 2)).as("tg"))
+      .select(col("doc_id"), MinHashExpr.minhashMd5(col("tg"), cfg.numHash).as("sig"))
+      .withColumn("bucket_ids",
+        H.bandBucketsMd5(col("sig"), cfg.numBands, cfg.numRows, cfg.bucketHexLen))
+      .write.format("noop").mode("overwrite").save()
+  }
   model.unpersist()
   docs.unpersist()
 }
