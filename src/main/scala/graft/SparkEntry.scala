@@ -817,6 +817,13 @@ object SparkEntry {
       Dedup.dropNearDuplicateClusters(docs(s, d), "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "split_leakage_safe" -> ((s, d) => {
+      // leakage-safe train/val split: near-dup clusters move atomically,
+      // so no val doc has a near-duplicate in train
+      val pairs = fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+      Dedup.leakageSafeSplit(docs(s, d), "doc_id", pairs, valFraction = 0.1)
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
+    }),
     "dedup_decontaminate" -> ((s, d) => {
       // benchmark decontamination: every 20th doc plays the eval set; flag
       // the rest of the corpus by distinct shared 2-shingles
@@ -1982,6 +1989,29 @@ object SparkEntry {
       losers AS (SELECT id FROM labels WHERE label < id)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
+    "split_leakage_safe" -> s"""
+      WITH RECURSIVE ${docCtes(cfg16).trim},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      cpair AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      jpair AS (
+        SELECT p.a_id, p.b_id FROM cpair p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jpair
+                UNION SELECT b_id, a_id FROM jpair),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS label
+                 FROM reach GROUP BY src)
+      SELECT d.doc_id,
+        CASE WHEN substr(md5(CAST(coalesce(l.label, d.doc_id) AS VARCHAR)), 1, 2) < '19'
+             THEN 'val' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+      ORDER BY d.doc_id""",
     "dedup_decontaminate" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       shing AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),

@@ -321,6 +321,33 @@ object Dedup {
     docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
   }
 
+  /** Leakage-safe train/validation split: near-duplicate CLUSTERS
+    * (connected components of `pairs`) are assigned to a side atomically,
+    * so a validation document never has a near-duplicate in train — the
+    * contamination mode a plain per-doc hash split cannot prevent.
+    * Deterministic and engine-portable: side = first-2-hex-chars of
+    * md5(cluster label) compared against a threshold (fraction granularity
+    * 1/256, same scheme as the hash-sampling operators). Unclustered docs
+    * use their own id as the label. Adds a `split` column ('train'/'val').
+    *
+    * Scale shape: the component labels are O(log diameter) label-propagation
+    * rounds over the PAIR list (tiny next to the corpus); the final join
+    * ships (id, label) only; the hash split is a narrow projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valFraction: Double = 0.1): DataFrame = {
+    require(valFraction > 0.0 && valFraction < 1.0,
+      s"valFraction must be in (0,1), got $valFraction")
+    val ceil = f"${math.floor(valFraction * 256).toInt}%02x"
+    val labels = connectedComponents(pairs).withColumnRenamed("id", "__cid")
+    docs.join(labels, docs(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("__label", coalesce(col("label"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(substring(md5(col("__label").cast("string")), 1, 2) < ceil, "val")
+          .otherwise("train"))
+      .drop("__cid", "label", "__label")
+  }
+
   /** Triangles of an undirected (a_id, b_id) pair list (a < b normalized):
     * the smallest unit of cluster density — a near-dup pair that closes a
     * triangle is far more likely to be a true duplicate family than an

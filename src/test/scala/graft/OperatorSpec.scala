@@ -615,6 +615,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(packed(3).getLong(2) == 1 && packed(3).getInt(3) == 0 && packed(3).getBoolean(4))
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles train/val; fraction sane") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = new graft.operators.MinHashLSH(
+      MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
+      .fit(docs, "doc_id", "text")
+    val pairs = m.approxSimilarityJoin(0.5).persist()
+    val split = graft.operators.Dedup.leakageSafeSplit(docs, "doc_id", pairs, 0.2)
+      .select(col("doc_id").cast("long").as("doc_id"), col("split")).persist()
+    // the invariant a per-doc hash split violates: both ends of every
+    // near-dup pair must land on the same side
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "a_split"), Seq("a_id"))
+      .join(split.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "b_split"), Seq("b_id"))
+      .where(col("a_split") =!= col("b_split"))
+      .count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle the split")
+    val frac = split.where(col("split") === "val").count().toDouble / split.count()
+    assert(frac > 0.05 && frac < 0.45, s"val fraction wildly off target 0.2: $frac")
+    m.unpersist(); pairs.unpersist(); split.unpersist()
+  }
+
   test("containmentPairsDeep finds small-inside-large below any LSH jaccard floor") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
