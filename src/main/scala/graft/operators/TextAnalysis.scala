@@ -124,19 +124,38 @@ object TextAnalysis {
     * docs that cross into the next sequence (the ones an attention mask /
     * document-boundary reset must handle).
     *
-    * Distributed shape: one global running token total — a range-partitioned
-    * sort-window, the same cost class as any global orderBy, shuffling only
-    * (id, n_tokens). At 100 TB packing is normally done per shard; this
-    * global-order form is the deterministic spec (and what the oracle
-    * checks) — shard-local packing is this operator applied per shard.
+    * Distributed shape: a DISTRIBUTED two-pass running total — local cumsum
+    * inside range partitions plus broadcast per-partition prefix offsets.
+    * (The naive `Window.orderBy(id)` with no partitionBy funnels the ENTIRE
+    * corpus through one task — the canonical global-window trap.) The range
+    * shuffle carries only (id, n_tokens); the totals pass collects one row
+    * per partition. The persisted partitioning pins the sampled range
+    * boundaries so the totals pass and the cumsum pass agree on `__pid`.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
-    val w = Window.orderBy(col(idCol))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df
+      .withColumn("n_tokens", size(T.tokenize(col(textCol))).cast("long"))
+      .select(col(idCol), col("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // one row per partition; prefix-sum on the driver (bounded by the
+    // partition count, never the data)
+    val totals = parted.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", size(T.tokenize(col(textCol))).cast("long"))
-      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    parted.join(offDf, Seq("__pid"))
+      .withColumn("__start",
+        col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("n_tokens"),
         floor(col("__start") / maxTokens).cast("long").as("seq_id"),
         (col("__start") % maxTokens).cast("int").as("seq_offset"),
