@@ -139,6 +139,33 @@ object MinHashPropertySpec extends Properties("MinHashLSH") {
         scores(1L) > scores(3L) // more matching mass ranks higher
     }
 
+  property("tagOccurrences: tag SET is permutation-invariant; sizes preserved") =
+    forAll(docGen) { tokens =>
+      // weighted-MinHash correctness rests on exactly this: the tag SET
+      // {g#0..g#(tf-1)} depends only on per-element counts, never on order
+      import spark.implicits._
+      def tags(ts: List[String]): Seq[String] =
+        Seq(Tuple1(ts)).toDF("a")
+          .select(graft.functions.ArrayKernels.tagOccurrences(col("a")).as("t"))
+          .collect()(0).getSeq[String](0)
+      val t1 = tags(tokens)
+      val t2 = tags(scala.util.Random.shuffle(tokens))
+      t1.size == tokens.size && t1.toSet == t2.toSet && t1.distinct.size == t1.size
+    }
+
+  property("xxh128 spec port ≡ openhft on random content and lengths") =
+    forAll(Gen.chooseNum(0, 512), Gen.chooseNum(Long.MinValue, Long.MaxValue)) {
+      (len, seedSrc) =>
+        val seed = seedSrc % 1000
+        val rnd = new scala.util.Random(seedSrc)
+        val bytes = new Array[Byte](len)
+        rnd.nextBytes(bytes)
+        val expect = shaded.parquet.net.openhft.hashing.LongTupleHashFunction
+          .xx128(seed).hashBytes(bytes)
+        val (lo, hi) = graft.functions.XxHashKernel.xxh128(bytes, 0, len, seed)
+        lo == expect(0) && hi == expect(1)
+    }
+
   property("index deterministic across partitionings") = Prop.secure {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
