@@ -118,6 +118,14 @@ class XxHashSpec extends AnyFunSuite {
       val top = m.approxNearestNeighbors(key, 5).select("id").collect().map(_.getLong(0)).toSet
       assert(Set(0L, 50L, 82L).subsetOf(top), s"planted family missing from $top")
       m.unpersist()
+      // direct (vocabulary-free) mode: same family over shingle strings —
+      // the 100 TB path; must also retrieve the planted family
+      val md = new graft.operators.MinHashLSH(cfg.copy(useVocabulary = false))
+        .fit(docs, "doc_id", "text")
+      val topD = md.approxNearestNeighbors(key, 5).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(Set(0L, 50L, 82L).subsetOf(topD), s"direct-mode family missing from $topD")
+      md.unpersist()
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 }
