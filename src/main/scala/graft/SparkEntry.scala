@@ -817,6 +817,17 @@ object SparkEntry {
       Dedup.dropNearDuplicateClusters(docs(s, d), "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_snapshot_diff" -> ((s, d) => {
+      // crawl-to-crawl delta: old = ids < 400, new = ids >= 100 with every
+      // 7th doc's text mutated -> added/removed/changed/unchanged per id
+      val dd = docs(s, d)
+      val oldC = dd.where(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val newC = dd.where(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(oldC, newC, "doc_id", "text").orderBy("id")
+    }),
     "split_leakage_safe" -> ((s, d) => {
       // leakage-safe train/val split: near-dup clusters move atomically,
       // so no val doc has a near-duplicate in train
@@ -1989,6 +2000,18 @@ object SparkEntry {
       losers AS (SELECT id FROM labels WHERE label < id)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
+    "dedup_snapshot_diff" -> """
+      WITH oldc AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      newc AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id >= 100)
+      SELECT coalesce(o.doc_id, n.doc_id) AS id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+      ORDER BY id""",
     "split_leakage_safe" -> s"""
       WITH RECURSIVE ${docCtes(cfg16).trim},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

@@ -321,6 +321,26 @@ object Dedup {
     docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
   }
 
+  /** Corpus snapshot diff — the crawl-to-crawl delta of an ingestion
+    * pipeline: classify every id across two corpus versions as `added`
+    * (new only), `removed` (old only), `changed` (both, different text) or
+    * `unchanged`. The comparison joins 16-byte md5 content hashes, never
+    * text — at 100 TB the full-outer join ships (id, hash) pairs, and both
+    * scans stay pruned to (id, text).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as(s"__h_$side"))
+    hashed(oldDocs, "old").join(hashed(newDocs, "new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Leakage-safe train/validation split: near-duplicate CLUSTERS
     * (connected components of `pairs`) are assigned to a side atomically,
     * so a validation document never has a near-duplicate in train — the
