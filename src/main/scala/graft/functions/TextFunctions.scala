@@ -25,8 +25,26 @@ object TextFunctions {
   /** `unicode = true` restores the reference's Python-`re` semantics
     * (Unicode-aware `\w`, so accented/CJK letters survive) via the Java
     * regex `(?U)` flag. Not oracle-checkable — DuckDB's RE2 `\w` is ASCII.
+    *
+    * ASCII mode runs as a custom one-pass kernel ([[TokenizeAscii]]): the
+    * chain (lower → `[^\w\s]`→' ' → `\s+`→' ' → trim → split → drop "")
+    * reduces exactly to "maximal runs of `[a-zA-Z0-9_]`, A-Z lowercased" —
+    * every other byte (incl. every byte of a multi-byte UTF-8 char, none of
+    * which is ASCII `\w`) is a separator either via the punctuation replace
+    * or the whitespace split. One byte scan replaces two regex passes per
+    * row on the hottest input path of the engine; the regex chain is kept
+    * for unicode mode and as the equivalence-test twin
+    * ([[tokenizeRegexTwin]], pinned ≡ kernel in KernelSpec).
     */
-  def tokenize(text: Column, unicode: Boolean): Column = {
+  def tokenize(text: Column, unicode: Boolean): Column =
+    if (unicode) tokenizeRegexTwin(text, unicode = true)
+    else org.apache.spark.sql.graftshim.ColumnBridge.column(
+      TokenizeAscii(org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
+
+  /** The original regex-chain encoding — unicode mode's implementation and
+    * the ASCII kernel's cross-check twin.
+    */
+  def tokenizeRegexTwin(text: Column, unicode: Boolean): Column = {
     val flag = if (unicode) "(?U)" else ""
     // array_remove drops the lone "" that split() yields on empty input —
     // after collapse+trim no interior empty tokens can exist.
@@ -91,5 +109,82 @@ object TextFunctions {
       array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),
         i => norm.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+}
+
+/** One-pass ASCII tokenizer: maximal runs of `[a-zA-Z0-9_]` with A-Z
+  * lowercased — provably equivalent to the regex chain (see
+  * [[TextFunctions.tokenize]] scaladoc), 2 regex passes cheaper per row.
+  * Byte-wise scan is correct because every token byte is single-byte ASCII
+  * and every byte of a multi-byte UTF-8 char is ≥ 0x80 (a separator).
+  */
+case class TokenizeAscii(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_ascii"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokenize_ascii requires string, got ${other.catalogString}")
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TokenizeAsciiKernel.tokenize($s);")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenizeAsciiKernel.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): TokenizeAscii =
+    copy(child = c)
+}
+
+/** Static kernel shared by [[TokenizeAscii]]'s interpreted eval and its
+  * generated code.
+  */
+object TokenizeAsciiKernel {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def tokenize(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef](16)
+    var i = 0
+    var start = -1
+    var needsLower = false
+    while (i <= n) {
+      val b = if (i < n) bytes(i) & 0xFF else 0
+      val isToken = i < n &&
+        ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || b == '_')
+      if (isToken) {
+        if (start < 0) { start = i; needsLower = false }
+        if (b >= 'A' && b <= 'Z') needsLower = true
+      } else if (start >= 0) {
+        val tok = java.util.Arrays.copyOfRange(bytes, start, i)
+        if (needsLower) {
+          var k = 0
+          while (k < tok.length) {
+            val c = tok(k) & 0xFF
+            if (c >= 'A' && c <= 'Z') tok(k) = (c + 32).toByte
+            k += 1
+          }
+        }
+        out.add(UTF8String.fromBytes(tok))
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 }

@@ -27,6 +27,27 @@ class KernelSpec extends AnyFunSuite {
     assert(MinHashConfig.forCorpusSize(10000000000L).numBuckets == (1 << 30))
   }
 
+  test("tokenize kernel ≡ regex chain on corpus + adversarial strings, codegen on") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val badCorpus = docs.select(
+          T.tokenize(col("text")).as("k"),
+          T.tokenizeRegexTwin(col("text"), unicode = false).as("r"))
+        .where(not(col("k") <=> col("r")))
+      assert(badCorpus.count() == 0, "kernel must equal the regex chain on the corpus")
+      val nasty = Seq("", "   ", "...!!!", "a", "A_b9 C--d", "étoile Ünïcode 漢字 mix",
+        "tab\there\nnewline nbsp", "__under__score__", "ALLCAPS lower 123",
+        "ends with punct!", "!starts", "a.b,c;d:e", "ctrlchars")
+      val badNasty = nasty.toDF("t").select(
+          T.tokenize(col("t")).as("k"),
+          T.tokenizeRegexTwin(col("t"), unicode = false).as("r"))
+        .where(not(col("k") <=> col("r")))
+      assert(badNasty.count() == 0,
+        s"kernel diverges on: ${badNasty.collect().toSeq}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("tokenize: punctuation→space, collapse, lower, trim") {
     val got = Seq("Hello, world!  Hi.", "co-op", "  A  b\tC ", "", "?!.")
       .toDF("text").select(T.tokenize($"text").as("t")).as[Seq[String]].collect()
