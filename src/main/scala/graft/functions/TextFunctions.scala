@@ -57,10 +57,12 @@ object TextFunctions {
 
   /** The normalization underlying [[tokenize]], exposed as its own kernel:
     * lower → punctuation→space → collapse whitespace → trim. Same ASCII
-    * `\w` dialect caveat as tokenize.
+    * `\w` dialect caveat as tokenize. Implemented as the tokens re-joined
+    * with single spaces — the same function, through the one-pass kernel
+    * instead of two regex executions.
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^\\w\\s]", " "), "\\s+", " "))
+    concat_ws(" ", tokenize(text))
 
   /** ALL k-token windows (non-distinct, in order) — the multiset variant of
     * [[kShingles]] for occurrence-counting operators (repetition metrics);
