@@ -66,6 +66,7 @@ object Bench {
         // are recomputable (no truncated-lineage checkpoints), so the sweep
         // is always safe. blocking: an async sweep would still be evicting
         // blocks inside the next rep's timed region.
+        SparkUtil.releaseScopedCaches() // drain the scoped-cache registry first
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (ok) dt else -1.0

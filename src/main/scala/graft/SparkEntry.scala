@@ -712,7 +712,7 @@ object SparkEntry {
             T.kShinglesAll(T.tokenize(col("text")), 2)).as("tg"))
         .select(col("doc_id"),
           graft.functions.MinHashExpr.minhashMd5(col("tg"), cfg16.numHash).as("sig"))
-        .persist()
+        .transform(SparkUtil.scopedPersist)
         .where(col("sig").isNotNull)
         .select(col("doc_id"), array_join(col("sig"), ",").as("signature_str"))
         .orderBy("doc_id")),
@@ -921,7 +921,7 @@ object SparkEntry {
       val e = SparkUtil.ensureParallelism(tbl(s, d, "embeddings"))
         .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"),
           V.signBucket(col("embedding"), 8).as("bucket"))
-        .persist()
+        .transform(SparkUtil.scopedPersist)
       val q = broadcast(e.where(col("id") < 20)
         .select(col("id").as("qid"), col("v").as("qv"), col("bucket").as("qb")))
       def top10(cands: DataFrame): DataFrame = cands
@@ -1241,13 +1241,35 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.plantImagePayloads(docs(s, d), "doc_id", "jpeg"))
         .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
         .orderBy("doc_id")),
+    "mm_decode_gif" -> ((s, d) =>
+      // REAL decode path, GIF: multi-frame GIF89a (1-5 planted 1×1 frames
+      // with local color tables and spec-valid LZW streams) — frame_count
+      // comes from the image-descriptor walk, not the payload length
+      Multimodal.decodeMeta(Multimodal.plantImagePayloads(docs(s, d), "doc_id", "gif"))
+        .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
+        .orderBy("doc_id")),
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().orderBy("doc_id")),
+    "mm_features_real" -> ((s, d) =>
+      // REAL pixel path: complete solid-color PNGs (deflate-compressed
+      // IDAT) decoded with javax.imageio; per-channel mean reproduces the
+      // planted color formula exactly, std is exactly zero
+      Multimodal.extractFeatures(
+          Multimodal.plantImagePayloads(docs(s, d), "doc_id", "png_solid"))
+        .toDF()
+        .select(col("doc_id"),
+          round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+          round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"),
+          round(col("f4"), 6).as("f4"), round(col("f5"), 6).as("f5"),
+          round(col("f6"), 6).as("f6"), round(col("f7"), 6).as("f7"))
+        .orderBy("doc_id")),
     "mm_frame_sample" -> ((s, d) =>
+      // frame sampling re-gated on REAL frame counts: every 2nd frame of
+      // the planted multi-frame GIFs (descriptor-walk counts, not stubs)
       Multimodal.sampleFrames(
-          Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text")),
-          everyK = 4)
+          Multimodal.decodeMeta(Multimodal.plantImagePayloads(docs(s, d), "doc_id", "gif")),
+          everyK = 2)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("doc_id", "frame_idx")),
     "mm_resize" -> ((s, d) =>
@@ -2455,10 +2477,25 @@ object SparkEntry {
         CAST((len * 9) % 97 AS DOUBLE) / 97.0 AS f6,
         CAST((len * 10) % 97 AS DOUBLE) / 97.0 AS f7
       FROM n ORDER BY doc_id""",
+    "mm_decode_gif" -> """
+      SELECT doc_id, CAST(14 + 21 * (1 + doc_id % 5) AS INTEGER) AS byte_len,
+        'gif' AS format,
+        CAST(16 + doc_id % 512 AS INTEGER) AS width,
+        CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height,
+        CAST(1 + doc_id % 5 AS INTEGER) AS frame_count
+      FROM documents ORDER BY doc_id""",
+    "mm_features_real" -> """
+      SELECT doc_id,
+        round((doc_id % 256) / 255.0, 6) AS f0,
+        round(((doc_id * 3) % 256) / 255.0, 6) AS f1,
+        round(((doc_id * 7) % 256) / 255.0, 6) AS f2,
+        0.0 AS f3, 0.0 AS f4, 0.0 AS f5,
+        round((4 + doc_id % 13) / 1024.0, 6) AS f6,
+        round((4 + (doc_id * 5) % 11) / 1024.0, 6) AS f7
+      FROM documents ORDER BY doc_id""",
     "mm_frame_sample" -> """
-      WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 16 AS frame_count
-                 FROM documents)
-      SELECT doc_id, unnest(range(0, frame_count, 4)) AS frame_idx
+      WITH m AS (SELECT doc_id, 1 + doc_id % 5 AS frame_count FROM documents)
+      SELECT doc_id, unnest(range(0, frame_count, 2)) AS frame_idx
       FROM m ORDER BY doc_id, frame_idx""",
     "mm_resize" -> """
       WITH m AS (SELECT doc_id,

@@ -41,6 +41,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release mid-query scoped caches so 131 queries don't accumulate
+      // storage (fitted-model caches are NOT scoped and stay shared)
+      SparkUtil.releaseScopedCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -59,10 +59,12 @@ object TextFunctions {
     * lower → punctuation→space → collapse whitespace → trim. Same ASCII
     * `\w` dialect caveat as tokenize. Implemented as the tokens re-joined
     * with single spaces — the same function, through the one-pass kernel
-    * instead of two regex executions.
+    * instead of two regex executions. The isNotNull guard preserves
+    * null-in/null-out (the regex chain's and the oracle's semantics):
+    * Spark's `concat_ws` SKIPS a null array and would map NULL → "".
     */
   def normalize(text: Column): Column =
-    concat_ws(" ", tokenize(text))
+    when(text.isNotNull, concat_ws(" ", tokenize(text)))
 
   /** ALL k-token windows (non-distinct, in order) — the multiset variant of
     * [[kShingles]] for occurrence-counting operators (repetition metrics);

@@ -332,27 +332,35 @@ object XxHashKernel {
     val prefixes = hashPrefixCache.computeIfAbsent(numHash,
       (k: Integer) => Array.tabulate(k)(h => h.toString.getBytes("UTF-8")))
     var scratch = new Array[Byte](64)
+    var contributed = 0
     var i = 0
     while (i < n) {
-      val elemBytes =
-        (if (isLong) java.lang.Long.toString(arr.getLong(i))
-         else arr.getUTF8String(i).toString).getBytes("UTF-8")
-      var h = 0
-      while (h < numHash) {
-        val p = prefixes(h)
-        val total = p.length + elemBytes.length
-        if (scratch.length < total) scratch = new Array[Byte](total * 2)
-        System.arraycopy(p, 0, scratch, 0, p.length)
-        System.arraycopy(elemBytes, 0, scratch, p.length, elemBytes.length)
-        val (lo, hi) = xxh128(scratch, 0, total, 1L)
-        val c = java.lang.Long.compareUnsigned(hi, minHigh(h))
-        if (c < 0 || (c == 0 && java.lang.Long.compareUnsigned(lo, minLow(h)) < 0)) {
-          minHigh(h) = hi; minLow(h) = lo
+      // SQL-registered entry points accept array<string> with
+      // containsNull=true: skip null elements (the md5 aggregate's
+      // null-ignoring behavior) instead of NPE-ing
+      if (!arr.isNullAt(i)) {
+        contributed += 1
+        val elemBytes =
+          (if (isLong) java.lang.Long.toString(arr.getLong(i))
+           else arr.getUTF8String(i).toString).getBytes("UTF-8")
+        var h = 0
+        while (h < numHash) {
+          val p = prefixes(h)
+          val total = p.length + elemBytes.length
+          if (scratch.length < total) scratch = new Array[Byte](total * 2)
+          System.arraycopy(p, 0, scratch, 0, p.length)
+          System.arraycopy(elemBytes, 0, scratch, p.length, elemBytes.length)
+          val (lo, hi) = xxh128(scratch, 0, total, 1L)
+          val c = java.lang.Long.compareUnsigned(hi, minHigh(h))
+          if (c < 0 || (c == 0 && java.lang.Long.compareUnsigned(lo, minLow(h)) < 0)) {
+            minHigh(h) = hi; minLow(h) = lo
+          }
+          h += 1
         }
-        h += 1
       }
       i += 1
     }
+    if (contributed == 0) return null // all-null == empty: no elements hashed
     val out = new Array[AnyRef](numHash)
     var h = 0
     while (h < numHash) { out(h) = pyHex(minLow(h), minHigh(h)); h += 1 }
@@ -375,6 +383,9 @@ object XxHashKernel {
     val decimals = new Array[String](numBands * numRows)
     var i = 0
     while (i < decimals.length) {
+      // a signature containing a null slot is malformed: propagate null
+      // (standard SQL semantics) instead of NPE-ing on user-supplied arrays
+      if (sig.isNullAt(i)) return null
       val s = sig.getUTF8String(i).toString
       // Python's int(s, 16) accepts both "0x..."-prefixed and bare hex —
       // tolerate both so md5-mode (bare 32-hex) signatures also bucketize

@@ -14,12 +14,26 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest id per identical-text group.
-    * One shuffle on the 128-bit content hash (never on the raw text — at
-    * 100 TB the shuffle payload is 16 bytes + id per row).
+    *
+    * Scale shape: the keep/drop DECISION is computed on a (id, 16-byte md5)
+    * projection — partial-aggregated min-id per hash, then a hash equi-join
+    * back to that same narrow projection to name the losers — so every
+    * exchange in the decision carries hash + id, never text. (The previous
+    * `row_number().over(partitionBy(md5(text)))` window had to shuffle the
+    * FULL row to emit it, shipping the whole corpus text.) The loser-id
+    * list is then removed with a broadcast anti-join: its size is the
+    * duplicate count, not the corpus — a curated corpus at 100 TB drops a
+    * few percent, and if the duplicate list ever outgrew broadcast, AQE
+    * falls back to an id-keyed shuffle, still strictly cheaper than the
+    * old full-text window exchange.
     */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val keyed = docs.select(col(idCol).as("__ded_id"), md5(col(textCol)).as("__ded_h"))
+    val winners = keyed.groupBy(col("__ded_h")).agg(min(col("__ded_id")).as("__ded_keep"))
+    val losers = keyed.join(winners, Seq("__ded_h"))
+      .where(col("__ded_id") =!= col("__ded_keep"))
+      .select(col("__ded_id").as("__ded_loser"))
+    docs.join(broadcast(losers), docs(idCol) === col("__ded_loser"), "left_anti")
   }
 
   /** Exact-duplicate groups (diagnostic view): content hash → group size +
@@ -99,7 +113,7 @@ object Dedup {
         graft.functions.MinHashExpr.minhashMd5(col("tg"), cfg.numHash).as("sig"))
       .withColumn("bucket_ids",
         H.bandBucketsMd5(col("sig"), cfg.numBands, cfg.numRows, cfg.bucketHexLen))
-      .persist()
+      .transform(graft.SparkUtil.scopedPersist)
     val live = sigs.where(col("sig").isNotNull)
     val a = live.select(col("id").as("a_id"), col("sig").as("a_sig"),
       explode(col("bucket_ids")).as("bucket"))
@@ -149,10 +163,9 @@ object Dedup {
     // single-file local scan would do so on one task. persist (not
     // localCheckpoint): the InMemoryRelation gives Catalyst size stats for
     // the broadcast decision and stays recomputable if blocks are evicted.
-    val sh = graft.SparkUtil.ensureParallelism(
+    val sh = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
-      .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
-      .persist()
+      .select(col("id"), T.kShingles(col("toks"), k).as("sh")))
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
@@ -177,10 +190,9 @@ object Dedup {
       textCol: String, k: Int, threshold: Double,
       jaccardFloor: Double = 0.1): DataFrame = {
     val cands = model.approxSimilarityJoin(jaccardFloor).select("a_id", "b_id")
-    val sh = graft.SparkUtil.ensureParallelism(
+    val sh = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
-      .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
-      .persist()
+      .select(col("id"), T.kShingles(col("toks"), k).as("sh")))
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
@@ -215,11 +227,10 @@ object Dedup {
   def containmentPairsDeep(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val sh = graft.SparkUtil.ensureParallelism(
+    val sh = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
       .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
+      .where(size(col("sh")) > 0))
     val posting = sh.select(col("id").as("pid"), explode(col("sh")).as("shingle"))
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc blocking prefix: the floor((1-t)*n)+1 rarest shingles, ranked
@@ -306,7 +317,9 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents hit maxIter=$maxIter before " +
         "convergence — labels may be under-merged; raise maxIter")
     edges.unpersist()
-    labels // (id, label = min id of the component)
+    // the returned frame stays persisted for the caller's join(s); register
+    // it for the harness sweep so it doesn't outlive the query
+    graft.SparkUtil.registerScoped(labels) // (id, label = min id of the component)
   }
 
   /** Cluster-level near-duplicate removal: form clusters as connected
@@ -359,13 +372,17 @@ object Dedup {
     require(valFraction > 0.0 && valFraction < 1.0,
       s"valFraction must be in (0,1), got $valFraction")
     val ceil = f"${math.floor(valFraction * 256).toInt}%02x"
-    val labels = connectedComponents(pairs).withColumnRenamed("id", "__cid")
+    // both component columns renamed to reserved names BEFORE the join: a
+    // user `label` column on docs would otherwise make the coalesce
+    // ambiguous (AnalysisException) or get dropped from the output
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", "__cid").withColumnRenamed("label", "__cc_label")
     docs.join(labels, docs(idCol).cast("long") === col("__cid"), "left")
-      .withColumn("__label", coalesce(col("label"), col(idCol).cast("long")))
+      .withColumn("__label", coalesce(col("__cc_label"), col(idCol).cast("long")))
       .withColumn("split",
         when(substring(md5(col("__label").cast("string")), 1, 2) < ceil, "val")
           .otherwise("train"))
-      .drop("__cid", "label", "__label")
+      .drop("__cid", "__cc_label", "__label")
   }
 
   /** Triangles of an undirected (a_id, b_id) pair list (a < b normalized):

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata, processed per-partition in batches.
   *
   * Header decode is REAL for the common image containers — PNG (IHDR), JPEG
-  * (SOF scan), GIF (logical screen descriptor) — parsed directly from the
-  * payload bytes per the public format specs, pure JVM. Payloads that are
-  * none of these fall back to the **clearly marked deterministic STUB**
-  * (`stubDecode`): this container has no pixel codecs, so full decode /
-  * feature extraction derives fake but stable values from the payload
-  * bytes. Swapping in a real pixel codec means replacing exactly that one
-  * function; the `mapPartitions` batch contract stays.
+  * (SOF scan), GIF (logical screen descriptor + image-descriptor frame
+  * count) — parsed directly from the payload bytes per the public format
+  * specs, pure JVM. Feature extraction is REAL for PNG payloads: pixel
+  * decode via `javax.imageio` with per-channel mean/std statistics
+  * ([[pixelFeatures]]). Payloads that are none of these fall back to the
+  * **clearly marked deterministic STUB** paths (`stubDecode`,
+  * `stubFeature`): no audio/video codec ships in this container, so those
+  * derive fake but stable values from the payload bytes. Swapping in a
+  * richer codec or embedding model means replacing exactly those
+  * functions; the `mapPartitions` batch contract stays.
   */
 object Multimodal {
 
@@ -70,6 +73,10 @@ object Multimodal {
     if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
     var i = 2
     while (i + 4 <= b.length && (b(i) & 0xFF) == 0xFF) {
+      // consume 0xFF fill/padding bytes before the marker byte (legal per
+      // the spec) — without this a padded stream would misread the second
+      // 0xFF as part of a segment length and skip to a bogus offset
+      while (i + 4 <= b.length && (b(i + 1) & 0xFF) == 0xFF) i += 1
       val marker = b(i + 1) & 0xFF
       val isSof = marker >= 0xC0 && marker <= 0xCF &&
         marker != 0xC4 && marker != 0xC8 && marker != 0xCC
@@ -96,12 +103,56 @@ object Multimodal {
       if (w > 0 && h > 0) Some(("gif", w, h)) else None
     } else None
 
+  /** REAL GIF frame count: walk the data stream counting image descriptors
+    * (0x2C blocks) — skip the global color table per its LSD flag, skip
+    * extension blocks (0x21 label + sub-blocks) and each frame's local
+    * color table + LZW sub-blocks, stop at the 0x3B trailer. A truncated /
+    * malformed stream stops the walk; a stream with no countable
+    * descriptor reports 1 (the static-image reading of the header).
+    */
+  private def gifFrameCount(b: Array[Byte]): Int = {
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xFF)
+      p + 1 // block terminator
+    }
+    var pos = 13
+    val packed = b(10) & 0xFF
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // global color table
+    var frames = 0
+    var done = false
+    while (!done && pos < b.length) {
+      (b(pos) & 0xFF) match {
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          pos = skipSubBlocks(pos + 2)
+        case 0x2C => // image descriptor
+          frames += 1
+          if (pos + 10 > b.length) done = true
+          else {
+            val ip = b(pos + 9) & 0xFF
+            pos += 10
+            if ((ip & 0x80) != 0) pos += 3 * (1 << ((ip & 7) + 1)) // local color table
+            pos += 1 // LZW minimum code size
+            pos = skipSubBlocks(pos)
+          }
+        case 0x3B => done = true // trailer
+        case _ => done = true // malformed: stop, keep what was counted
+      }
+    }
+    math.max(frames, 1)
+  }
+
   /** REAL header decode: PNG / JPEG / GIF dimensions parsed from the
-    * container bytes; anything else falls back to [[stubDecode]].
+    * container bytes — and for GIF the frame count from the image
+    * descriptor walk (PNG/JPEG containers are single-frame by definition
+    * here; APNG is out of scope). Anything else falls back to
+    * [[stubDecode]].
     */
   def decodeHeader(id: Long, payload: Array[Byte]): MediaMeta =
     parsePng(payload).orElse(parseJpeg(payload)).orElse(parseGif(payload)) match {
-      case Some((fmt, w, h)) => MediaMeta(id, payload.length, fmt, w, h, 1)
+      case Some((fmt, w, h)) =>
+        val frames = if (fmt == "gif") gifFrameCount(payload) else 1
+        MediaMeta(id, payload.length, fmt, w, h, frames)
       case None => stubDecode(id, payload)
     }
 
@@ -159,19 +210,117 @@ object Multimodal {
     b
   }
 
+  /** Planted GIF frame count: 1-5 frames derived from the id. */
+  def plantGifFrames(id: Long): Int = (1 + id % 5).toInt
+
+  /** A minimal REAL multi-frame GIF89a: header + logical screen descriptor
+    * (dims from the id, no global color table), then [[plantGifFrames]]
+    * image descriptors — each a 1×1 frame with a 2-entry local color table
+    * and a spec-valid LZW data stream (clear, pixel 0, end-of-information
+    * in 3-bit codes) — then the trailer. 14 + 21·frames bytes. The gate
+    * oracle recomputes both the dimensions and the frame count.
+    */
+  def plantGif(id: Long): Array[Byte] = {
+    val (w, h) = plantDims(id)
+    val frames = plantGifFrames(id)
+    val out = new java.io.ByteArrayOutputStream(14 + 21 * frames)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def le(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    le(w); le(h)
+    out.write(0x00) // packed: no global color table
+    out.write(0x00) // background color index
+    out.write(0x00) // pixel aspect ratio
+    var f = 0
+    while (f < frames) {
+      out.write(0x2C) // image descriptor
+      le(0); le(0); le(1); le(1) // left, top, 1×1
+      out.write(0x80) // packed: local color table, 2 entries
+      out.write(Array[Byte](0, 0, 0, -1, -1, -1), 0, 6) // LCT: black, white
+      out.write(0x02) // LZW minimum code size
+      // codes (3-bit): clear=4, pixel 0, EOI=5 → LSB-first packed 0x44 0x01
+      out.write(0x02); out.write(0x44); out.write(0x01); out.write(0x00)
+      f += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Planted solid color: (r, g, b) derived from the id. */
+  def plantSolidColor(id: Long): (Int, Int, Int) =
+    ((id % 256).toInt, ((id * 3) % 256).toInt, ((id * 7) % 256).toInt)
+
+  /** Planted solid-PNG dimensions (small — the pixel path decodes them). */
+  def plantSolidDims(id: Long): (Int, Int) =
+    ((4 + id % 13).toInt, (4 + (id * 5) % 11).toInt)
+
+  /** A COMPLETE real PNG (signature, IHDR, deflate-compressed truecolor
+    * IDAT, IEND) filled with the planted solid color — decodable by any
+    * conformant reader, including `javax.imageio`. The gate oracle
+    * recomputes the per-channel statistics from the color formula.
+    */
+  def plantSolidPng(id: Long): Array[Byte] = {
+    val (w, h) = plantSolidDims(id)
+    val (r, g, b) = plantSolidColor(id)
+    val out = new java.io.ByteArrayOutputStream(256)
+    out.write(PngSig, 0, 8)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val len = new Array[Byte](4); wbe32(len, 0, data.length); out.write(len, 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val cb = new Array[Byte](4); wbe32(cb, 0, crc.getValue.toInt); out.write(cb, 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    wbe32(ihdr, 0, w); wbe32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor
+    chunk("IHDR", ihdr)
+    // raw scanlines: filter byte 0 + w × (r, g, b) per row, zlib-deflated
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + 3 * w)
+      raw(base) = 0
+      var x = 0
+      while (x < w) {
+        raw(base + 1 + 3 * x) = r.toByte
+        raw(base + 2 + 3 * x) = g.toByte
+        raw(base + 3 + 3 * x) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** (doc_id, payload, media_type) of REAL planted container bytes — the
-    * gate surface proving [[decodeHeader]] round-trips dimensions from
-    * actual format headers.
+    * gate surface proving [[decodeHeader]] / [[extractFeatures]] round-trip
+    * dimensions, frame counts, and pixel statistics from actual format
+    * payloads.
     */
   def plantImagePayloads(docs: DataFrame, idCol: String, format: String): DataFrame = {
-    require(format == "png" || format == "jpeg", s"unsupported plant format $format")
+    val planter: Long => Array[Byte] = format match {
+      case "png" => plantPng
+      case "jpeg" => plantJpeg
+      case "gif" => plantGif
+      case "png_solid" => plantSolidPng
+      case other => throw new IllegalArgumentException(s"unsupported plant format $other")
+    }
+    val mediaType = "image/" + (if (format == "png_solid") "png" else format)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map(id => (id, if (format == "png") plantPng(id) else plantJpeg(id),
-          "image/" + format))
-      }
+      .mapPartitions { it => it.map(id => (id, planter(id), mediaType)) }
       .toDF("doc_id", "payload", "media_type")
   }
 
@@ -215,14 +364,54 @@ object Multimodal {
       doc_id: Long, f0: Double, f1: Double, f2: Double, f3: Double,
       f4: Double, f5: Double, f6: Double, f7: Double)
 
-  /** ==== STUB ==== deterministic fake feature extraction: 8 doubles derived
-    * from the payload length only, so an external oracle can reproduce them
-    * from octet_length. A real embedding model would run here (per-partition
-    * batch, model loaded once per partition — the `mapPartitions` shape is
-    * the real contract).
+  /** ==== STUB ==== deterministic fake feature extraction for payloads no
+    * in-container codec can decode: 8 doubles derived from the payload
+    * length only, so an external oracle can reproduce them from
+    * octet_length. Recognized PNG payloads take the REAL pixel path in
+    * [[extractFeatures]] instead.
     */
   def stubFeature(n: Int, j: Int): Double = ((n.toLong * (j + 3)) % 97).toDouble / 97.0
 
+  /** REAL pixel features of a decoded image: per-channel mean and standard
+    * deviation over all pixels (each normalized to [0,1]) plus the
+    * dimensions scaled by 1/1024 — (mean_r, mean_g, mean_b, std_r, std_g,
+    * std_b, w/1024, h/1024) in the 8 [[MediaFeatures]] slots. Integer pixel
+    * sums stay exact in double (< 2^53), so for planted solid-color images
+    * the means reproduce the color formula bit-exactly and the stds are
+    * exactly zero — oracle-checkable.
+    */
+  def pixelFeatures(id: Long, img: java.awt.image.BufferedImage): MediaFeatures = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var qr = 0.0; var qg = 0.0; var qb = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >>> 16) & 0xFF; val g = (rgb >>> 8) & 0xFF; val b = rgb & 0xFF
+        sr += r; sg += g; sb += b
+        qr += r.toDouble * r; qg += g.toDouble * g; qb += b.toDouble * b
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    def std(sum: Double, sq: Double): Double =
+      math.sqrt(math.max(0.0, sq / n - (sum / n) * (sum / n)))
+    MediaFeatures(id,
+      sr / n / 255.0, sg / n / 255.0, sb / n / 255.0,
+      std(sr, qr) / 255.0, std(sg, qg) / 255.0, std(sb, qb) / 255.0,
+      w / 1024.0, h / 1024.0)
+  }
+
+  /** Feature extraction: REAL pixel statistics for PNG payloads (decoded
+    * pure-JVM via `javax.imageio` inside the per-partition batch — the
+    * reader is probed once per payload, codec state amortized per
+    * partition), [[stubFeature]] for everything else (no other codec ships
+    * in-container). An unreadable/corrupt PNG also falls back to the stub
+    * rather than failing the batch.
+    */
   def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -231,11 +420,19 @@ object Multimodal {
       .mapPartitions { it =>
         // real extractors init the model once here, per partition
         it.map { case (id, bytes) =>
-          val n = bytes.length
-          MediaFeatures(id,
-            stubFeature(n, 0), stubFeature(n, 1), stubFeature(n, 2),
-            stubFeature(n, 3), stubFeature(n, 4), stubFeature(n, 5),
-            stubFeature(n, 6), stubFeature(n, 7))
+          val img =
+            if (bytes.length >= 8 && bytes.startsWith(PngSig))
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            else null
+          if (img != null) pixelFeatures(id, img)
+          else {
+            val n = bytes.length
+            MediaFeatures(id,
+              stubFeature(n, 0), stubFeature(n, 1), stubFeature(n, 2),
+              stubFeature(n, 3), stubFeature(n, 4), stubFeature(n, 5),
+              stubFeature(n, 6), stubFeature(n, 7))
+          }
         }
       }
   }

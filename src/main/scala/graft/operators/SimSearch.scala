@@ -76,8 +76,12 @@ object SimSearch {
     require(nLists >= 1)
     val base = graft.SparkUtil.ensureParallelism(
       emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
-      .persist() // feeds every Lloyd iteration + the final probe scan; stays
-      // recomputable under eviction (unlike a truncated-lineage checkpoint)
+      // feeds every Lloyd iteration + the final probe scan; stays
+      // recomputable under eviction (unlike a truncated-lineage checkpoint).
+      // scopedPersist: also registered for the harness sweep — a one-shot
+      // query must not leave the training cache pinned (model.unpersist
+      // remains the explicit release for long-lived models)
+      .transform(graft.SparkUtil.scopedPersist)
     def normalized(c: Array[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
       (if (n == 0) c else c.map(_ / n)).toSeq

@@ -143,7 +143,7 @@ object TextAnalysis {
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .transform(graft.SparkUtil.scopedPersist)
     // one row per partition; prefix-sum on the driver (bounded by the
     // partition count, never the data)
     val totals = parted.groupBy("__pid").agg(sum("n_tokens").as("t"))
@@ -261,12 +261,15 @@ object TextAnalysis {
     * least `minDocs` distinct documents, and reassemble the survivors in
     * order.
     *
-    * Distributed shape: chunk (narrow generator) → groupBy(segment text)
-    * countDistinct → shuffle join back on the segment hash → per-doc
-    * reassembly via collect_list + array_sort (segment count per doc is
-    * len/segTokens, so the collected state is bounded by the document
-    * itself). The segment-frequency side aggregates BEFORE the join, so the
-    * join's build side is |distinct segments|, never |corpus|.
+    * Distributed shape: chunk (narrow generator) → groupBy(16-byte segment
+    * HASH) countDistinct, filtered to the boilerplate segments only → left
+    * join back on the hash → per-doc reassembly via collect_list +
+    * array_sort (segment count per doc is len/segTokens, so the collected
+    * state is bounded by the document itself). The count aggregation and
+    * its join key carry md5(seg), never the segment text (at 100 TB the
+    * count-side shuffle is 16 bytes + id per segment), and the build side
+    * is |distinct BOILERPLATE segments| — the nd ≥ minDocs filter runs
+    * before the join, so unique segments never enter it.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 10, minDocs: Int = 2): DataFrame = {
@@ -274,10 +277,14 @@ object TextAnalysis {
     val segs = chunk(df, idCol, textCol, segTokens, overlapTokens = 0)
       .withColumnRenamed("chunk_idx", "seg_idx")
       .withColumnRenamed("chunk_text", "seg")
-    val counts = segs.groupBy("seg")
+      .withColumn("__segh", md5(col("seg")))
+    val common = segs.select(col("__segh"), col(idCol))
+      .groupBy("__segh")
       .agg(countDistinct(col(idCol)).as("__nd"))
-    segs.join(counts, Seq("seg"))
-      .withColumn("__dropped", col("__nd") >= minDocs)
+      .where(col("__nd") >= minDocs)
+      .select("__segh")
+    segs.join(common.withColumn("__hit", lit(true)), Seq("__segh"), "left")
+      .withColumn("__dropped", col("__hit").isNotNull)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_segs"),
         count(when(col("__dropped"), 1)).as("n_dropped"),

@@ -38,7 +38,7 @@ object TextSearch {
     val toks = graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
       .withColumn("dl", size(col("toks")))
-      .persist()
+      .transform(graft.SparkUtil.scopedPersist)
     // the only driver scalars: corpus size + average doc length. avg over
     // an empty/all-null corpus is null — score nothing rather than NPE.
     val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)

@@ -670,4 +670,94 @@ class OperatorSpec extends AnyFunSuite {
     val j = a.intersect(b).size.toDouble / a.union(b).size
     assert(j < 0.1, s"planted pair should sit below the 0.1 LSH floor, got $j")
   }
+
+  test("GIF planter round-trips dims AND frame count through the descriptor walk") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 17L, 511L)) {
+      val bytes = Multimodal.plantGif(id)
+      val m = Multimodal.decodeHeader(id, bytes)
+      assert(m.format == "gif")
+      assert(m.width == (16 + id % 512).toInt && m.height == (16 + (id * 7) % 512).toInt)
+      assert(m.frame_count == Multimodal.plantGifFrames(id),
+        s"id=$id: expected ${Multimodal.plantGifFrames(id)} frames, got ${m.frame_count}")
+      assert(m.byte_len == 14 + 21 * Multimodal.plantGifFrames(id))
+    }
+    // truncated stream: walk stops without throwing, count stays >= 1
+    val truncated = Multimodal.plantGif(4L).take(20)
+    assert(Multimodal.decodeHeader(4L, truncated).frame_count >= 1)
+  }
+
+  test("JPEG parser tolerates 0xFF fill bytes before markers (legal padding)") {
+    val clean = Multimodal.plantJpeg(9L)
+    val m0 = Multimodal.decodeHeader(9L, clean)
+    // inject two fill bytes between SOI and APP0, and three before the SOF
+    val sofAt = clean.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    assert(sofAt > 0, "planted JPEG must contain an SOF0 marker")
+    val padded = (clean.slice(0, 2) ++ Array.fill(2)(0xFF.toByte) ++
+      clean.slice(2, sofAt) ++ Array.fill(3)(0xFF.toByte) ++ clean.drop(sofAt))
+    val m1 = Multimodal.decodeHeader(9L, padded)
+    assert(m1.format == "jpeg" && m1.width == m0.width && m1.height == m0.height,
+      s"padded stream must parse to the same dims: $m1 vs $m0")
+  }
+
+  test("solid-PNG planter decodes via javax.imageio; pixel features are exact") {
+    val ids = Seq(0L, 1L, 7L, 200L, 255L, 256L, 300L)
+    val planted = Multimodal.plantImagePayloads(
+      ids.toDF("doc_id"), "doc_id", "png_solid")
+    val feats = Multimodal.extractFeatures(planted).collect()
+      .map(f => f.doc_id -> f).toMap
+    for (id <- ids) {
+      val (r, g, b) = Multimodal.plantSolidColor(id)
+      val (w, h) = Multimodal.plantSolidDims(id)
+      val f = feats(id)
+      assert(f.f0 == r / 255.0 && f.f1 == g / 255.0 && f.f2 == b / 255.0,
+        s"id=$id: channel means must reproduce the planted color exactly: $f")
+      assert(f.f3 == 0.0 && f.f4 == 0.0 && f.f5 == 0.0,
+        s"id=$id: solid image must have exactly zero std: $f")
+      assert(f.f6 == w / 1024.0 && f.f7 == h / 1024.0)
+    }
+    // non-image payloads still take the deterministic stub path
+    val stub = Multimodal.extractFeatures(
+      Multimodal.asBinaryPayloads(docs.limit(3), "doc_id", "text")).collect()
+    stub.foreach { f =>
+      val n = docs.where(col("doc_id") === f.doc_id)
+        .select(length(col("text"))).collect()(0).getInt(0)
+      assert(f.f0 == Multimodal.stubFeature(n, 0))
+    }
+  }
+
+  test("leakageSafeSplit tolerates a user 'label' column on the input docs") {
+    val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
+      .toDF("doc_id", "text").withColumn("label", lit("user-owned"))
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.leakageSafeSplit(d, "doc_id", pairs, 0.5)
+    assert(out.columns.contains("label"), "the user's label column must survive")
+    assert(out.where(col("label") =!= "user-owned").count() == 0)
+    val sides = out.where(col("doc_id").isin(1L, 2L))
+      .select("split").distinct().count()
+    assert(sides == 1, "paired docs must land on one side")
+  }
+
+  test("normalize: null text stays null (null-in/null-out, not empty string)") {
+    val d = Seq((1L, "A  b!"), (2L, null)).toDF("id", "text")
+    val got = d.select(col("id"),
+      graft.functions.TextFunctions.normalize(col("text")).as("n"))
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "a b")
+    assert(got(1).isNullAt(1), "normalize(NULL) must be NULL, not \"\"")
+  }
+
+  test("xx128 SQL kernels skip/propagate nulls instead of NPE-ing") {
+    val got = spark.sql(
+      """SELECT graft_minhash_xx128(array('a', CAST(NULL AS STRING), 'b'), 4) AS s1,
+                graft_minhash_xx128(array(CAST(NULL AS STRING)), 4) AS s2,
+                graft_minhash_xx128(array('a', 'b'), 4) AS s3""").collect()(0)
+    assert(!got.isNullAt(0), "null elements are skipped, not fatal")
+    assert(got.isNullAt(1), "all-null behaves like empty: null signature")
+    assert(got.getSeq[String](0) == got.getSeq[String](2),
+      "signature over non-null elements must ignore the null")
+    val bb = spark.sql(
+      """SELECT graft_band_buckets_xx32(array('0x1', CAST(NULL AS STRING), '0x2', '0x3'),
+                2, 2, 500) AS b""").collect()(0)
+    assert(bb.isNullAt(0), "a signature with a null slot propagates null")
+  }
 }

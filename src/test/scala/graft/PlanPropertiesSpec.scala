@@ -225,6 +225,31 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dropExactDuplicates: no exchange ever carries the text column") {
+    // the round-6 finding: the old full-row window shuffled the whole
+    // corpus text to rank it; the decision must ride on (id, 16-byte md5)
+    // projections only, with the loser-id list broadcast back
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Dedup.dropExactDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      val shuffleOutputs = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+      assert(shuffleOutputs.nonEmpty, "expected the hash-keyed decision shuffles")
+      shuffleOutputs.foreach { cols =>
+        assert(!cols.exists(_.toLowerCase.contains("text")),
+          s"an exchange ships the text column: $cols")
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"loser removal must be a broadcast anti-join:\n$plan")
+    } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
