@@ -761,6 +761,29 @@ object SparkEntry {
           array_join(col(Cols.Signature), ",").as("signature_str"))
         .orderBy("doc_id")
     }),
+    "ann_mode_agreement" -> ((s, d) => {
+      // the three hash families (md5 parity, xxhash64 fast, reference-
+      // default xx128) answer the same flagship query; their STRONG hits
+      // must be identical — the families cross-check each other end-to-end
+      // where DuckDB cannot follow (it has no xxh128). Contract: with the
+      // estimator sd sqrt(j(1-j)/100) ≈ 0.05, any top-10 member at
+      // estimated jaccard ≥ 0.3 is ≥ 3σ above the collision-noise tail
+      // (empirically ≤ 0.14 at gate scales, true near-dups ≥ 0.74), so the
+      // ≥ 0.3 subsets must agree exactly and be non-empty; below that the
+      // ranking is sampling noise and set disagreement is expected.
+      def strong(cfg: MinHashConfig): Set[Long] =
+        fitted(s, d, cfg).approxNearestNeighbors(keyOf(s, d), 10)
+          .where(col(Cols.Jaccard) >= 0.3f)
+          .select(col(Cols.Id)).collect().map(_.getLong(0)).toSet
+      val md5Ids = strong(cfg100)
+      val fastIds = strong(cfg100Fast)
+      val xxIds = strong(cfg100Xx128)
+      import s.implicits._
+      Seq((md5Ids.nonEmpty && md5Ids == fastIds,
+          md5Ids.nonEmpty && md5Ids == xxIds,
+          fastIds.nonEmpty && fastIds == xxIds))
+        .toDF("agree_md5_fast", "agree_md5_xx128", "agree_fast_xx128")
+    }),
     "ann_batch" -> ((s, d) => { // multi-query scale path — no SQL oracle
       val m = fitted(s, d, cfg100Fast)
       val qs = docs(s, d).where(col("doc_id") < 50)
@@ -960,6 +983,16 @@ object SparkEntry {
         nLists = 16, nProbe = 4, iters = 2)
         .select(col("id").as("vec_id"), col("cell"), round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_recall_ivf" -> ((s, d) =>
+      // IVF quality made oracle-checkable (the sim_recall_eval pattern):
+      // recall@10 of the trained-IVF probe vs exact brute force for 20
+      // queries, emitted as a tolerance boolean — the Lloyd centroids are
+      // engine-internal doubles, so the VALUE is not oracle-expressible,
+      // but "the approximate index reaches the recall floor" is
+      SimSearch.ivfRecallEval(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 20, k = 10, nLists = 16, nProbe = 8, iters = 2,
+        recallFloor = 0.5)
+        .orderBy("qid")),
 
     // --- text analysis
     "text_langid" -> ((s, d) =>
@@ -1215,6 +1248,30 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
           col("value").cast("double").as("value"))
         .orderBy("user_id", "event_type")
+    }),
+    "stream_index_update" -> ((s, d) => {
+      // SURVEY §7.6 north star — incremental corpus ingestion: the corpus
+      // round-trips into 4 parquet files and streams back ONE FILE PER
+      // MICRO-BATCH; each batch runs the same per-row direct-mode
+      // featurize pipeline and appends to the index sink. The pipeline is
+      // narrow (no global state), so the final appended index state must
+      // equal a batch-built index EXACTLY — the oracle recomputes every
+      // signature and bucket set from the documents.
+      val tmp = roundTripDir(d, "graft-stream-index")
+      docs(s, d).select(col("doc_id"), col("text")).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val stream = graft.streaming.StreamingIndex.incrementalIndex(
+        s, tmp, schema, cfg16, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream.format("memory").queryName("graft_index_update")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_index_update")
+        .where(col(Cols.Signature).isNotNull)
+        .select(col(Cols.Id).as("doc_id"),
+          array_join(col(Cols.Signature), ",").as("signature_str"),
+          array_join(array_sort(col(Cols.BucketIds)), ",").as("bucket_ids_str"))
+        .orderBy("doc_id")
     }),
     "stream_dedup" -> ((s, d) =>
       // batch twin of streaming dropDuplicates("user_id","event_type"):
@@ -1840,6 +1897,17 @@ object SparkEntry {
       WITH ${docCtes(cfg16)}
       SELECT doc_id, array_to_string(list_sort(bucket_ids), ',') AS bucket_ids_str
       FROM buck ORDER BY doc_id""",
+    "stream_index_update" -> s"""
+      WITH ${docCtes(cfg16)}
+      SELECT s.doc_id, array_to_string(s.signature, ',') AS signature_str,
+        array_to_string(list_sort(b.bucket_ids), ',') AS bucket_ids_str
+      FROM sig s JOIN buck b USING (doc_id) ORDER BY s.doc_id""",
+    "sim_recall_ivf" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "ann_mode_agreement" -> """
+      SELECT true AS agree_md5_fast, true AS agree_md5_xx128,
+        true AS agree_fast_xx128""",
     "fn_jaccard_approx" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT c.doc_id,

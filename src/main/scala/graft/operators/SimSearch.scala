@@ -179,6 +179,54 @@ object SimSearch {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** IVF quality evaluation — recall@k of the trained-IVF probe against
+    * exact brute force for the `nQueries` lowest-id vectors, the
+    * measurement that decides whether an approximate index is trustworthy.
+    * Emits one row per query with `recall_ok = recall@k ≥ recallFloor`.
+    *
+    * Distributed end to end: every query's probe set (its `nProbe`
+    * highest-dot-product cells, same (-sim, idx) tie rule as
+    * [[IvfModel.query]]) is computed as an expression over the broadcast
+    * centroid literal; candidates come from one cell equi-join; both the
+    * IVF and brute rankings fold through the bounded-heap top-k aggregate.
+    * No per-query driver loop — the evaluation is one plan.
+    *
+    * The recall VALUE is not oracle-expressible (Lloyd centroids are
+    * engine-internal doubles), so the gate contract is the tolerance
+    * boolean, like `agg_approx_distinct`.
+    */
+  def ivfRecallEval(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, nLists: Int = 16, nProbe: Int = 8,
+      iters: Int = 2, recallFloor: Double = 0.5): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    val model = trainIvf(emb, idCol, vecCol, nLists, iters)
+    val base = model.assigned
+    val q = base.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    // probe cells per query: indices of the nProbe largest centroid dot
+    // products, ranked by (-sim, idx) — identical to the driver-side rule
+    val cents = typedlit(model.centroids)
+    val sims = transform(cents, c => dotProduct(col("qv"), c))
+    val ranked = sort_array(zip_with(sims,
+      sequence(lit(0), lit(nLists - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx"))))
+    val qp = q.withColumn("cell",
+      explode(slice(transform(ranked, r => r.getField("idx")), 1, nProbe)))
+    def topIds(cands: DataFrame, outCol: String): DataFrame = cands
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorFunctions.cosine(col("v"), col("qv")).as("c"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as(outCol))
+    val ivf = topIds(base.join(broadcast(qp), Seq("cell")), "ivf_ids")
+    val brute = topIds(base.crossJoin(broadcast(q)), "ids")
+    brute.join(ivf, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
+          .cast("double") / k >= recallFloor).as("recall_ok"))
+  }
 }
 
 /** A trained IVF index: the (nLists × dim) centroid table (driver-side —

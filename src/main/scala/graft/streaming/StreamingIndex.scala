@@ -21,9 +21,14 @@ object StreamingIndex {
     */
   def incrementalIndex(spark: SparkSession, dir: String, schema: StructType,
       cfg: MinHashConfig = MinHashConfig(), idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    // bound each micro-batch so a backlogged directory streams as many
+    // small appends (the incremental contract) instead of one giant batch
+    val stream = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
       .select(col(idCol).cast("long").as(Cols.Id), col(textCol).as(Cols.Text))
     new MinHashLSH(cfg)
       .featurize(stream, Cols.Id, Cols.Text, None)

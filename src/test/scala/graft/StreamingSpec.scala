@@ -193,6 +193,45 @@ class StreamingSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("incremental index over micro-batches equals the batch-built index exactly") {
+    import graft.operators.MinHashLSH
+    import graft.streaming.StreamingIndex
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    // 3 files → 3 micro-batches (maxFilesPerTrigger=1): real incremental appends
+    val src = java.nio.file.Files.createTempDirectory("index-src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val stream = StreamingIndex.incrementalIndex(spark, src,
+      docs.schema, cfg, maxFilesPerTrigger = Some(1))
+    val q = stream.writeStream.format("memory").queryName("idx_update_spec")
+      .outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("idx_update_spec").collect() }
+      finally q.stop()
+    val batch = new MinHashLSH(cfg).fit(docs, "doc_id", "text")
+    val expected = batch.indexDf
+      .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getSeq[String](1)).map(_.toList),
+        Option(r.getSeq[String](2)).map(_.toList.sorted))
+    assert(streamed.length == expected.length && streamed.nonEmpty)
+    assert(streamed.map(key).sortBy(_._1).toSeq == expected.map(key).sortBy(_._1).toSeq,
+      "per-row featurize must make streamed and batch index states identical")
+    batch.unpersist()
+  }
+
+  test("ivfRecallEval: nProbe = nLists degenerates to brute force — recall exactly 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = graft.operators.SimSearch.ivfRecallEval(emb, "vec_id", "embedding",
+      nQueries = 10, k = 5, nLists = 8, nProbe = 8, iters = 1, recallFloor = 1.0)
+      .collect()
+    assert(all.length == 10)
+    assert(all.forall(_.getBoolean(1)),
+      "full-probe IVF must reproduce the exact brute top-k for every query")
+    graft.SparkUtil.releaseScopedCaches()
+  }
+
   test("streaming near-dup filter keeps only novel docs, per micro-batch") {
     import graft.operators.MinHashLSH
     import graft.streaming.StreamingIndex
