@@ -224,8 +224,13 @@ object Dedup {
     * df(shingle) postings — rarest-first makes that product small); the
     * verify join ships shingle arrays only for surviving candidate pairs.
     */
-  def containmentPairsDeep(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
+  /** Blocking stage of [[containmentPairsDeep]], exposed as its own step so
+    * scale diagnostics (tools/scale_ladder.scala) can count the candidate
+    * pairs the rarest-prefix bound admits, separately from verification.
+    * Returns (persisted shingle frame, deduped candidate-pair frame).
+    */
+  def containmentBlocking(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val sh = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
@@ -249,6 +254,12 @@ object Dedup {
       .select(least(col("a_pid"), col("b_pid")).as("a_id"),
         greatest(col("a_pid"), col("b_pid")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    (sh, cands)
+  }
+
+  def containmentPairsDeep(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val (sh, cands) = containmentBlocking(docs, idCol, textCol, k, threshold)
     cands
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))

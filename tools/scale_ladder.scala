@@ -64,4 +64,37 @@ for (mult <- Seq(1, 3, 10, 30)) {
   model.unpersist()
   docs.unpersist()
 }
+
+// ---- containment ladder: rarest-prefix blocking under corpus growth ----
+// Replication alone would make every doc a cross-replica near-dup (pair
+// output quadratic by construction), so each replica is letter-rotated
+// (translate over the full alphabet) — replicas share no shingles and the
+// TRUE pair count grows linearly with the planted families: 10 small
+// prefix-docs per replica, each contained in its long source doc. The pass
+// criterion is near-linear candidate-pair growth — superlinear candidates
+// mean the rarest-prefix bound stopped holding as df grew.
+val alpha = "abcdefghijklmnopqrstuvwxyz"
+for (mult <- Seq(1, 3, 10)) {
+  val corpus = (0 until mult).map { r =>
+    val to = alpha.drop(r * 7 % 26) + alpha.take(r * 7 % 26)
+    val rotated = base.select((col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+      translate(col("text"), alpha, to).as("text"))
+    val planted = rotated.orderBy("doc_id").limit(10)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        substring(col("text"), 1, 150).as("text"))
+    rotated.unionByName(planted)
+  }.reduce(_ unionByName _).repartition(32).persist()
+  val n = corpus.count()
+  val t0 = System.nanoTime()
+  val (sh, cands) = Dedup.containmentBlocking(corpus, "doc_id", "text", 3, 0.8)
+  val nCands = cands.persist().count()
+  val tBlock = (System.nanoTime() - t0) / 1e9
+  val t1 = System.nanoTime()
+  val pairs = Dedup.containmentPairsDeep(corpus, "doc_id", "text", 3, 0.8)
+  val nPairs = pairs.count()
+  val tFull = (System.nanoTime() - t1) / 1e9
+  println(f"""{"ladder":$mult,"docs":$n,"op":"containment_deep","cand_pairs":$nCands,"true_pairs":$nPairs,"block_sec":$tBlock%.2f,"full_sec":$tFull%.2f}""")
+  cands.unpersist(); corpus.unpersist()
+  graft.SparkUtil.releaseScopedCaches()
+}
 System.exit(0)
