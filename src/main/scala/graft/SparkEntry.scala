@@ -983,6 +983,23 @@ object SparkEntry {
         nLists = 16, nProbe = 4, iters = 2)
         .select(col("id").as("vec_id"), col("cell"), round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_topk_int8" -> ((s, d) => {
+      // int8-quantized ANN (the 4× storage-reduction path of an embedding
+      // pipeline): symmetric per-vector scale max|x|/127, round-half-away
+      // codes, cosine over the DEQUANTIZED doubles — fully deterministic
+      // arithmetic, so the whole quantize→search pipeline is oracle-checked
+      val e = SparkUtil.ensureParallelism(tbl(s, d, "embeddings"))
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .withColumn("scale", V.int8Scale(col("v")))
+        .withColumn("dq",
+          V.dequantizeInt8(V.quantizeInt8(col("v"), col("scale")), col("scale")))
+      val q = broadcast(e.where(col("id") === 0).select(col("dq").as("q_dq")))
+      e.crossJoin(q).where(col("id") =!= 0)
+        .select(col("id").as("vec_id"),
+          round(V.cosine(col("dq"), col("q_dq")), 6).as("cos6"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+        .limit(10)
+    }),
     "sim_recall_ivf" -> ((s, d) =>
       // IVF quality made oracle-checkable (the sim_recall_eval pattern):
       // recall@10 of the trained-IVF probe vs exact brute force for 20
@@ -1062,6 +1079,13 @@ object SparkEntry {
     "text_normalize" -> ((s, d) =>
       TextAnalysis.withNormalizedText(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "text_norm").orderBy("doc_id")),
+    "text_mix_weights" -> ((s, d) =>
+      // temperature-scaled domain sampling weights (alpha = 0.5 upsamples
+      // small domains) over the corpus `source` column
+      TextAnalysis.domainMixWeights(docs(s, d), "source", alpha = 0.5)
+        .select(col("domain"), col("n"), round(col("p"), 6).as("p6"),
+          round(col("weight"), 6).as("w6"))
+        .orderBy("domain")),
     "text_repetition" -> ((s, d) =>
       // Gopher-style repetition signals; exact small-int ratios, rounded
       TextAnalysis.withRepetitionMetrics(
@@ -1333,7 +1357,28 @@ object SparkEntry {
       Multimodal.planResize(
           Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text")),
           maxSide = 256)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    "mm_resize_real" -> ((s, d) => {
+      // REAL pixel resize: solid PNGs aspect-fit into an 8px box
+      // (bilinear), re-encoded as PNG, then DECODED AGAIN — the output
+      // dims come from the resized container's own header and the solid
+      // color survives interpolation exactly (every source pixel is
+      // identical), so the oracle recomputes dims AND channel means
+      val resized = Multimodal.resizePixels(
+        Multimodal.plantImagePayloads(docs(s, d), "doc_id", "png_solid"), maxSide = 8)
+      // both the meta and the feature branch read the resized payloads:
+      // scoped persist so the resize runs once, released by the harness
+      val back = SparkUtil.scopedPersist(
+        resized.select(col("doc_id"), col("payload_out").as("payload")))
+      Multimodal.decodeMeta(back).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").as("out_width"), col("height").as("out_height"))
+        .join(Multimodal.extractFeatures(back).toDF()
+          .select(col("doc_id"), round(col("f0"), 6).as("mean_r6"),
+            round(col("f1"), 6).as("mean_g6"), round(col("f2"), 6).as("mean_b6")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1905,6 +1950,45 @@ object SparkEntry {
     "sim_recall_ivf" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "sim_topk_int8" -> """
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id,
+              greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS sc, v
+            FROM e),
+      dq AS (SELECT vec_id,
+               list_transform(v, x -> CAST(round(x / sc) AS INTEGER) * sc) AS dv
+             FROM s),
+      q AS (SELECT dv AS q_v FROM dq WHERE vec_id = 0),
+      scored AS (
+        SELECT d.vec_id,
+          list_sum(list_transform(range(1, 65), i -> d.dv[i] * q.q_v[i]))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> d.dv[i] * d.dv[i]))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> q.q_v[i] * q.q_v[i]))), 0.0) AS cosine
+        FROM dq d, q WHERE d.vec_id <> 0)
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, round(cosine, 6) AS cos6 FROM scored
+      ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "text_mix_weights" -> """
+      WITH c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),
+      t AS (SELECT sum(n) AS total FROM c),
+      r AS (SELECT domain, n, CAST(n AS DOUBLE) / total AS p FROM c, t),
+      z AS (SELECT sum(pow(p, 0.5)) AS z FROM r)
+      SELECT r.domain, r.n, round(r.p, 6) AS p6, round(pow(r.p, 0.5) / z.z, 6) AS w6
+      FROM r, z ORDER BY r.domain""",
+    "mm_resize_real" -> """
+      WITH m AS (SELECT doc_id,
+          CAST(4 + doc_id % 13 AS DOUBLE) AS w,
+          CAST(4 + (doc_id * 5) % 11 AS DOUBLE) AS h
+        FROM documents),
+      s AS (SELECT doc_id, w, h, least(8.0 / w, 8.0 / h, 1.0) AS sc FROM m)
+      SELECT doc_id, 'png' AS format,
+        CAST(greatest(floor(w * sc), 1) AS INTEGER) AS out_width,
+        CAST(greatest(floor(h * sc), 1) AS INTEGER) AS out_height,
+        round((doc_id % 256) / 255.0, 6) AS mean_r6,
+        round(((doc_id * 3) % 256) / 255.0, 6) AS mean_g6,
+        round(((doc_id * 7) % 256) / 255.0, 6) AS mean_b6
+      FROM s ORDER BY doc_id""",
     "ann_mode_agreement" -> """
       SELECT true AS agree_md5_fast, true AS agree_md5_xx128,
         true AS agree_fast_xx128""",

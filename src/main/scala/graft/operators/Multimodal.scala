@@ -437,6 +437,50 @@ object Multimodal {
       }
   }
 
+  /** REAL pixel resize for decodable PNG payloads: aspect-preserving fit
+    * into a `maxSide` box (the same floor(dim × scale) formula as
+    * [[planResize]], never upscaled), bilinear-interpolated `drawImage`,
+    * re-encoded as PNG — per-partition batches, codec state amortized like
+    * every Multimodal operator. Payloads `javax.imageio` cannot decode are
+    * DROPPED (a real media pipeline routes undecodable rows to a dead-letter
+    * table, not through the resize). Output: (doc_id, width, height,
+    * out_width, out_height, payload_out).
+    */
+  def resizePixels(payloads: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img =
+            if (bytes.length >= 8 && bytes.startsWith(PngSig))
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            else null
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val scale = math.min(1.0, math.min(maxSide.toDouble / w, maxSide.toDouble / h))
+            val ow = math.max(1, math.floor(w * scale).toInt)
+            val oh = math.max(1, math.floor(h * scale).toInt)
+            val out = new java.awt.image.BufferedImage(ow, oh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream(256)
+            javax.imageio.ImageIO.write(out, "png", baos)
+            Some((id, w, h, ow, oh, baos.toByteArray))
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height", "payload_out")
+  }
+
   /** Resize stub: target-box metadata (aspect-preserving fit) computed as
     * native expressions over the decoded metadata — no data movement, pure
     * projection, exactly how a resize planner would annotate a media table.

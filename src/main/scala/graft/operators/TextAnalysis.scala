@@ -207,6 +207,31 @@ object TextAnalysis {
   def withNormalizedText(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("text_norm", T.normalize(col(textCol)))
 
+  /** Temperature-scaled domain mixing weights — the multilingual/multi-
+    * domain sampling step of a training pipeline: per domain, its corpus
+    * share p = n/N and sampling weight w ∝ p^alpha renormalized
+    * (alpha < 1 upsamples small domains, alpha = 1 keeps natural
+    * proportions). Output: (domain, n, p, weight).
+    *
+    * Scale shape: one partial-agg count shuffle keyed on the domain; the
+    * two scalars (corpus total, normalizer) ride along as broadcast
+    * one-row aggregates — nothing is collected, nothing else shuffles.
+    */
+  def domainMixWeights(df: DataFrame, domainCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__total"))
+    val raw = counts.crossJoin(broadcast(total))
+      .withColumn("p", col("n") / col("__total"))
+      .withColumn("__praw", pow(col("p"), lit(alpha)))
+    val z = raw.agg(sum("__praw").as("__z"))
+    raw.crossJoin(broadcast(z))
+      .select(col("domain"), col("n"), col("p"),
+        (col("__praw") / col("__z")).as("weight"))
+  }
+
   /** Repetition quality signals (Gopher-style): the occupancy of the most
     * frequent unigram/bigram and the fraction of bigram occurrences that are
     * repeats. High values flag degenerate/boilerplate text for filtering.

@@ -746,6 +746,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1), "normalize(NULL) must be NULL, not \"\"")
   }
 
+  test("int8 quantization: codes in [-127,127], reconstruction error <= scale/2") {
+    import graft.functions.{VectorFunctions => V}
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("scale", V.int8Scale(col("v")))
+      .withColumn("q", V.quantizeInt8(col("v"), col("scale")))
+      .withColumn("dq", V.dequantizeInt8(col("q"), col("scale")))
+      .limit(50).collect()
+    e.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      val dq = r.getSeq[Double](4)
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes out of range: ${q.take(5)}")
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12,
+          s"reconstruction error ${math.abs(x - y)} exceeds scale/2 = ${scale / 2}")
+      }
+    }
+  }
+
+  test("domainMixWeights: weights sum to 1; alpha<1 upsamples the small domain") {
+    val d = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "dom")
+    val w = TextAnalysis.domainMixWeights(d, "dom", alpha = 0.5)
+      .orderBy("domain").collect()
+    assert(math.abs(w.map(_.getDouble(3)).sum - 1.0) < 1e-12, "weights must sum to 1")
+    val byDom = w.map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(byDom("small")._2 > byDom("small")._1,
+      "alpha=0.5 must upsample the small domain above its natural share")
+    assert(byDom("big")._2 < byDom("big")._1,
+      "alpha=0.5 must downsample the big domain below its natural share")
+  }
+
+  test("resizePixels: aspect-fit dims, solid color exactly preserved, undecodable dropped") {
+    val ids = Seq(3L, 10L, 200L)
+    val planted = Multimodal.plantImagePayloads(ids.toDF("doc_id"), "doc_id", "png_solid")
+    val junk = Seq((999L, Array[Byte](1, 2, 3), "application/x-junk"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.resizePixels(planted.unionByName(junk), maxSide = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(999L), "undecodable payloads must be dropped")
+    for (id <- ids) {
+      val (w, h) = Multimodal.plantSolidDims(id)
+      val sc = math.min(1.0, math.min(8.0 / w, 8.0 / h))
+      val r = out(id)
+      assert(r.getInt(3) == math.max(1, math.floor(w * sc).toInt) &&
+        r.getInt(4) == math.max(1, math.floor(h * sc).toInt),
+        s"id=$id wrong output box: $r")
+      // decode the resized payload: solid color must survive interpolation
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](5)))
+      val (cr, cg, cb) = Multimodal.plantSolidColor(id)
+      val rgb = img.getRGB(0, 0)
+      assert(((rgb >>> 16) & 0xFF) == cr && ((rgb >>> 8) & 0xFF) == cg && (rgb & 0xFF) == cb,
+        s"id=$id color drifted through resize")
+    }
+  }
+
   test("xx128 SQL kernels skip/propagate nulls instead of NPE-ing") {
     val got = spark.sql(
       """SELECT graft_minhash_xx128(array('a', CAST(NULL AS STRING), 'b'), 4) AS s1,
