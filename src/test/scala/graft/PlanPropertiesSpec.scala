@@ -250,6 +250,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("sim_topk_int8: quantize pipeline stays narrow — no hash exchange, top-k via TakeOrdered") {
+    val plan = planOf("sim_topk_int8")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantize → dequantize → cosine must be a projection pipeline:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
