@@ -825,6 +825,21 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
+    "dedup_substring_pairs" -> ((s, d) => {
+      // exact CHARACTER-level duplication (winnowing blocking, the MOSS /
+      // substring-dedup scheme; guarantee floor w+k-1 = 40 normalized
+      // chars): plant a 111-char slogan in docs 0-5 — all 15 planted pairs
+      // must surface with ≥ 2 shared fingerprints — alongside the corpus's
+      // natural ≥ 40-char exact repeats
+      val slogan = " colorless green ideas sleep furiously beside the quick" +
+        " brown fox while the archive replicates itself verbatim"
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        when(col("doc_id") < 6, concat(col("text"), lit(slogan)))
+          .otherwise(col("text")).as("text"))
+      Dedup.sharedSubstringPairs(planted, "doc_id", "text",
+        k = 16, w = 25, minShared = 2)
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_novel_filter" -> ((s, d) => {
       // ingestion-time curation: keep docs >= 400 that near-dup nothing in
       // the index fitted on docs < 400
@@ -1976,6 +1991,22 @@ object SparkEntry {
       z AS (SELECT sum(pow(p, 0.5)) AS z FROM r)
       SELECT r.domain, r.n, round(r.p, 6) AS p6, round(pow(r.p, 0.5) / z.z, 6) AS w6
       FROM r, z ORDER BY r.domain""",
+    "dedup_substring_pairs" -> """
+      WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id < 6 THEN text || ' colorless green ideas sleep furiously beside the quick brown fox while the archive replicates itself verbatim'
+               ELSE text END AS text
+        FROM documents),
+      n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM p),
+      h AS (SELECT doc_id, list_transform(range(1, len(t) - 14), i -> md5(substr(t, i, 16))) AS hs
+            FROM n WHERE len(t) >= 40),
+      f AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(0, len(hs) - 24),
+                j -> list_min(hs[(j+1):(j+25)])))) AS fp
+            FROM h),
+      pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT a_id, b_id, n_shared FROM pr WHERE n_shared >= 2 ORDER BY a_id, b_id""",
     "mm_resize_real" -> """
       WITH m AS (SELECT doc_id,
           CAST(4 + doc_id % 13 AS DOUBLE) AS w,

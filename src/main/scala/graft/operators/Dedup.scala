@@ -270,6 +270,34 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("containment"))
   }
 
+  /** Exact shared-substring pairs — character-level duplication, the signal
+    * token/shingle dedup misses when copies differ in tokenization
+    * boundaries (code, templated text, partial sentences). Blocking =
+    * winnowing fingerprints ([[TextAnalysis.winnowFingerprints]]): by the
+    * winnowing theorem every pair sharing an exact run of ≥ w + k - 1
+    * normalized characters shares a fingerprint, alignment-free, so recall
+    * over that length floor is 1.0 at the blocking stage; `minShared`
+    * fingerprints dispose (2+ rejects single-anchor coincidences).
+    *
+    * Scale shape: fingerprints are a narrow per-row projection; the only
+    * shuffles are the fingerprint equi-join and the pair count — both
+    * carry (32-hex fingerprint, id), never text. Over-common fingerprints
+    * (boilerplate phrases) are the usual hot-bucket story: AQE skew-split
+    * handles them like LSH buckets (plan evidence in PlanPropertiesSpec).
+    */
+  def sharedSubstringPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, minShared: Int = 2): DataFrame = {
+    val fp = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val a = fp.select(col("fp"), col("id").as("a_id"))
+    val b = fp.select(col("fp"), col("id").as("b_id"))
+    a.join(b, Seq("fp"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected (a_id, b_id) pair list by
     * iterative min-label propagation: every node's label converges to the
     * smallest id reachable from it. Iterations are bounded by the

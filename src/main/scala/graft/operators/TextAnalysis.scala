@@ -358,4 +358,44 @@ object TextAnalysis {
       .withColumn("seq_fingerprint", md5(concat_ws(" ", toks)))
       .drop("__toks_f")
   }
+
+  /** Winnowing fingerprints (the MOSS document-fingerprinting scheme) over
+    * whitespace-normalized text: md5 every char `k`-gram, then keep the
+    * MINIMUM hash of each sliding window of `w` consecutive gram hashes,
+    * distinct. DETERMINISTIC GUARANTEE: two documents sharing any exact
+    * substring of length ≥ w + k - 1 characters share at least one
+    * fingerprint — the winnowing theorem, alignment-free (unlike stride
+    * sampling, which misses shifted copies). The blocking signal of exact
+    * substring-level dedup over a training corpus.
+    *
+    * Runs as a one-pass O(n) kernel ([[graft.functions.WinnowFingerprints]],
+    * monotonic-deque sliding minimum, md5 digester reused); the HOF twin
+    * below is O(n·w) and kept for cross-checks and as the DuckDB oracle's
+    * formula. Docs shorter than w+k-1 chars get no fingerprints.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 2 && w >= 1, s"need k>=2, w>=1; got k=$k w=$w")
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(norm), k, w))
+  }
+
+  /** The HOF-encoded twin of [[winnowFingerprints]] — the exact formula the
+    * DuckDB oracle replays; KernelSpec pins kernel ≡ twin. The gram-hash
+    * array is BOUND ONCE through a lambda variable (`transform` over a
+    * singleton array) — inlining it into the window lambda would re-run
+    * all n md5s per window position, the CharNGrams O(n²) trap.
+    */
+  def winnowFingerprintsHof(text: Column, k: Int, w: Int): Column = {
+    require(k >= 2 && w >= 1, s"need k>=2, w>=1; got k=$k w=$w")
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val hashes = transform(sequence(lit(1), length(norm) - (k - 1)),
+      i => md5(norm.substr(i, lit(k))))
+    when(length(norm) >= k + w - 1,
+      element_at(transform(array(hashes), hs =>
+        array_distinct(transform(sequence(lit(0), size(hs) - w),
+          j => array_min(slice(hs, j + 1, lit(w)))))), 1))
+      .otherwise(array().cast("array<string>"))
+  }
 }

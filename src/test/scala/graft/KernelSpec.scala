@@ -48,6 +48,45 @@ class KernelSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("winnow kernel ≡ HOF twin on corpus + adversarial strings, codegen on") {
+    import graft.operators.TextAnalysis
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // the HOF twin is O(n·w) per row — cap the corpus slice so the TWIN
+      // (not the kernel) stays inside test time; 100 docs × 2 configs still
+      // exercises every hash/window path on real text
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(100)
+      for ((k, w) <- Seq((8, 8), (16, 25))) {
+        val bad = docs.select(
+            TextAnalysis.winnowFingerprints(col("text"), k, w).as("a"),
+            TextAnalysis.winnowFingerprintsHof(col("text"), k, w).as("b"))
+          .where(not(col("a") <=> col("b")))
+        assert(bad.count() == 0, s"kernel must equal the HOF twin at k=$k w=$w")
+      }
+      // boundary lengths around the w+k-1 floor, repeats, unicode chars
+      val nasty = Seq("", "x", "a" * 14, "a" * 15, "a" * 16, "ab" * 40,
+        "the the the the the the", "étoile Ünïcode 漢字 mix padded to length!!",
+        "  spaces   collapse   to one   then fingerprint  ")
+      val badNasty = nasty.toDF("t").select(
+          TextAnalysis.winnowFingerprints(col("t"), 8, 8).as("a"),
+          TextAnalysis.winnowFingerprintsHof(col("t"), 8, 8).as("b"))
+        .where(not(col("a") <=> col("b")))
+      assert(badNasty.count() == 0,
+        s"winnow kernel diverges on: ${badNasty.collect().toSeq}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 run share a fingerprint") {
+    import graft.operators.TextAnalysis
+    val shared = "zqv wxj kpl mno rst uvw xyz abc defg"  // 36 chars > 8+8-1
+    val d = Seq(("prefix junk one " + shared), (shared + " suffix junk two"))
+      .toDF("t").select(TextAnalysis.winnowFingerprints(col("t"), 8, 8).as("f"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(d(0).intersect(d(1)).nonEmpty,
+      "alignment-shifted copies of a long run must share a fingerprint")
+  }
+
   test("tokenize: punctuation→space, collapse, lower, trim") {
     val got = Seq("Hello, world!  Hi.", "co-op", "  A  b\tC ", "", "?!.")
       .toDF("text").select(T.tokenize($"text").as("t")).as[Seq[String]].collect()
