@@ -1094,6 +1094,13 @@ object SparkEntry {
     "text_normalize" -> ((s, d) =>
       TextAnalysis.withNormalizedText(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "text_norm").orderBy("doc_id")),
+    "text_unigram_logprob" -> ((s, d) =>
+      // self-trained unigram-LM quality score (the cheap perplexity
+      // filter); position-ordered fold makes the double sum deterministic
+      TextAnalysis.withUnigramLogProb(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob6"))
+        .orderBy("doc_id")),
     "text_mix_weights" -> ((s, d) =>
       // temperature-scaled domain sampling weights (alpha = 0.5 upsamples
       // small domains) over the corpus `source` column
@@ -1984,6 +1991,19 @@ object SparkEntry {
         FROM dq d, q WHERE d.vec_id <> 0)
       SELECT CAST(vec_id AS BIGINT) AS vec_id, round(cosine, 6) AS cos6 FROM scored
       ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "text_unigram_logprob" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      p AS (SELECT doc_id, unnest(tokens) AS token,
+              generate_subscripts(tokens, 1) AS pos FROM toks),
+      f AS (SELECT token, count(*) AS c FROM p GROUP BY 1),
+      t AS (SELECT sum(c) AS total FROM f),
+      lp AS (SELECT p.doc_id, p.pos, ln(CAST(f.c AS DOUBLE) / total) AS logp
+             FROM p JOIN f USING (token), t),
+      per AS (SELECT doc_id, count(*) AS n_tokens,
+                list_sum(list(logp ORDER BY pos)) AS s FROM lp GROUP BY 1)
+      SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        round(per.s / per.n_tokens, 6) AS avg_logprob6
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_mix_weights" -> """
       WITH c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),
       t AS (SELECT sum(n) AS total FROM c),

@@ -359,6 +359,41 @@ object TextAnalysis {
       .drop("__toks_f")
   }
 
+  /** Unigram language-model quality score — the cheap perplexity filter of
+    * a curation pipeline: train a unigram LM on the corpus itself (token
+    * frequencies over the whole input) and score every document by its
+    * average token log-probability. Vocabulary-atypical documents
+    * (gibberish, wrong language, heavy boilerplate) score low, exactly the
+    * signal an n-gram-LM perplexity filter provides, with no external
+    * model file. Adds `n_tokens` and `avg_logprob` (null for empty docs).
+    *
+    * Determinism across engines: the per-doc double sum folds log-probs in
+    * TOKEN POSITION order (collect_list(struct(pos, logp)) → array_sort →
+    * sequential fold), so there is exactly one addition order and the
+    * DuckDB oracle reproduces it bit-for-bit — a plain avg() would sum in
+    * partition order and drift in the last ulp. Shuffles carry
+    * (token, count) and (id, pos, logp), never text; the corpus total is a
+    * broadcast one-row aggregate.
+    */
+  def withUnigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), posexplode(T.tokenize(col(textCol))).as(Seq("pos", "token")))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+    val total = freqs.agg(sum("__c").as("__total"))
+    val perDoc = toks.join(freqs, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("pos"),
+        log(col("__c").cast("double") / col("__total")).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("logp")))).as("__lps"))
+      .select(col(idCol), col("n_tokens"),
+        (aggregate(col("__lps"), lit(0.0), (a, x) => a + x.getField("logp"))
+          / col("n_tokens")).as("avg_logprob"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
   /** Winnowing fingerprints (the MOSS document-fingerprinting scheme) over
     * whitespace-normalized text: md5 every char `k`-gram, then keep the
     * MINIMUM hash of each sliding window of `w` consecutive gram hashes,

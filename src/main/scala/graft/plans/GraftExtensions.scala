@@ -127,5 +127,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_cosine(a, b) - cosine similarity of two float/double arrays",
       { case Seq(a, b) =>
         ColumnBridge.resolvedExpression(VectorFunctions.cosine(c(a), c(b))) })
+    register(ext, "graft_winnow",
+      "graft_winnow(text, k, w) - winnowing fingerprints (MOSS) of " +
+        "normalized text: min md5 per window of w char-k-gram hashes; any " +
+        "shared exact run of >= w+k-1 chars shares a fingerprint",
+      // via TextAnalysis so the lower/collapse/trim normalization matches
+      // the DataFrame twin (raw WinnowFingerprints would skip it)
+      { case Seq(a, k, w) =>
+        ColumnBridge.resolvedExpression(
+          graft.operators.TextAnalysis.winnowFingerprints(c(a),
+            intArg("graft_winnow", k), intArg("graft_winnow", w))) })
   }
 }

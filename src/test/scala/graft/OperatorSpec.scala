@@ -746,6 +746,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1), "normalize(NULL) must be NULL, not \"\"")
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs; empty doc null") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the the the"), // most common token only → highest avg
+      (3L, "zyzzyva qwertyuiop"),      // rare tokens → lowest avg
+      (4L, ""),
+      (5L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withUnigramLogProb(d, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(byId(4L)._1 == 0L && byId(4L)._2.isNaN, "empty doc: 0 tokens, null score")
+    assert(byId(2L)._2 > byId(1L)._2 && byId(1L)._2 > byId(3L)._2,
+      s"common-token docs must outscore rare-token docs: $byId")
+    assert(byId(2L)._1 == 6L)
+  }
+
   test("int8 quantization: codes in [-127,127], reconstruction error <= scale/2") {
     import graft.functions.{VectorFunctions => V}
     val e = emb.select(col("vec_id"), col("embedding").as("v"))

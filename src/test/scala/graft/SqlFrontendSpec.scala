@@ -60,6 +60,21 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(viaSql(0).getSeq[String](0).contains("o w")) // normalized, not 'o  '
   }
 
+  test("graft_winnow matches the DataFrame twin and fingerprints shared runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("The  Quick brown fox jumps over the lazy dog tonight",
+      "prefix pad the quick brown fox jumps over the lazy dog tonight").toDF("t")
+    df.createOrReplaceTempView("winnow_text")
+    val viaSql = spark.sql("SELECT graft_winnow(t, 8, 8) AS f FROM winnow_text").collect()
+    val viaApi = df.select(
+      graft.operators.TextAnalysis.winnowFingerprints($"t", 8, 8).as("f")).collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    val a = viaSql(0).getSeq[String](0).toSet
+    val b = viaSql(1).getSeq[String](0).toSet
+    assert(a.intersect(b).nonEmpty, "shared normalized run must share a fingerprint")
+  }
+
   test("wrong arity raises a named error, not a MatchError") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot_product(array(1.0D))").collect()
