@@ -1094,6 +1094,13 @@ object SparkEntry {
     "text_normalize" -> ((s, d) =>
       TextAnalysis.withNormalizedText(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "text_norm").orderBy("doc_id")),
+    "text_token_budget" -> ((s, d) =>
+      // token-budget subset selection: best docs by n_chars (any numeric
+      // score works — the operator is score-generic) within 50k tokens;
+      // distributed two-pass cumsum, no global single-task window
+      TextAnalysis.selectWithinTokenBudget(docs(s, d), "doc_id", "text",
+        "n_chars", budget = 15000L)
+        .orderBy("doc_id")),
     "text_unigram_logprob" -> ((s, d) =>
       // self-trained unigram-LM quality score (the cheap perplexity
       // filter); position-ordered fold makes the double sum deterministic
@@ -1991,6 +1998,15 @@ object SparkEntry {
         FROM dq d, q WHERE d.vec_id <> 0)
       SELECT CAST(vec_id AS BIGINT) AS vec_id, round(cosine, 6) AS cos6 FROM scored
       ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "text_token_budget" -> s"""
+      WITH toks AS (SELECT doc_id, n_chars, $tokenizeSql AS tokens FROM documents),
+      t AS (SELECT doc_id, n_chars, len(tokens) AS nt FROM toks),
+      c AS (SELECT doc_id, nt,
+              sum(nt) OVER (ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+      SELECT doc_id, nt AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum <= 15000 ORDER BY doc_id""",
     "text_unigram_logprob" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       p AS (SELECT doc_id, unnest(tokens) AS token,

@@ -359,6 +359,43 @@ object TextAnalysis {
       .drop("__toks_f")
   }
 
+  /** Token-budget subset selection — "give me the best documents that fit
+    * in N training tokens": rank by `scoreCol` descending (id as the
+    * deterministic tiebreaker) and keep the prefix whose cumulative token
+    * count stays within `budget`. Output: (id, n_tokens, cum_tokens) of
+    * the selected documents.
+    *
+    * Distributed shape: the same two-pass running total as
+    * [[packSequences]] — range-partition on the rank order, local cumsum
+    * per partition, one collected offset row per partition — so there is
+    * no single-task global window; the range shuffle carries
+    * (id, score, n_tokens) only.
+    */
+  def selectWithinTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val parted = df
+      .withColumn("__nt", size(T.tokenize(col(textCol))).cast("long"))
+      .select(col(idCol), col(scoreCol).as("__score"), col("__nt"))
+      .repartitionByRange(col("__score").desc, col(idCol))
+      .sortWithinPartitions(col("__score").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .transform(graft.SparkUtil.scopedPersist)
+    val totals = parted.groupBy("__pid").agg(sum("__nt").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(col("__score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parted.join(offDf, Seq("__pid"))
+      .withColumn("cum_tokens", col("__off") + sum(col("__nt")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col("__nt").as("n_tokens"), col("cum_tokens"))
+  }
+
   /** Unigram language-model quality score — the cheap perplexity filter of
     * a curation pipeline: train a unigram LM on the corpus itself (token
     * frequencies over the whole input) and score every document by its

@@ -746,6 +746,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1), "normalize(NULL) must be NULL, not \"\"")
   }
 
+  test("selectWithinTokenBudget: greedy score-desc prefix, budget respected, ties by id") {
+    val d = Seq(
+      (1L, "a b c d", 10.0),  // 4 tokens, best score
+      (2L, "e f g", 5.0),     // 3 tokens
+      (3L, "h i j k l", 5.0), // 5 tokens — tie with doc 2, loses on id
+      (4L, "m n", 1.0)        // 2 tokens, worst
+    ).toDF("doc_id", "text", "score")
+    val got = TextAnalysis.selectWithinTokenBudget(d, "doc_id", "text", "score", 12L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // order: 1 (cum 4), 2 (cum 7), 3 (cum 12), 4 (cum 14 > 12 dropped)
+    assert(got.toSeq == Seq((1L, 4L, 4L), (2L, 3L, 7L), (3L, 5L, 12L)),
+      s"got ${got.toSeq}")
+    graft.SparkUtil.releaseScopedCaches()
+  }
+
   test("unigramLogProb: common-token docs outscore rare-token docs; empty doc null") {
     val d = Seq(
       (1L, "the cat sat on the mat"),
