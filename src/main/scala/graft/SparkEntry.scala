@@ -1157,6 +1157,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curate_v2" -> ((s, d) => {
+      // the round-7 composed pipeline: exact dedup (hash-only decision) →
+      // exact-substring near-dup pruning (winnowing blocking, higher id of
+      // each pair loses) → token-budget selection — three curation stages,
+      // one lazy plan, every stage individually oracle-gated above
+      val dd = docs(s, d)
+      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text")
+      val losers = Dedup.sharedSubstringPairs(exact, "doc_id", "text",
+          k = 16, w = 25, minShared = 2)
+        .select(col("b_id").as("doc_id")).distinct()
+      val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+      TextAnalysis.selectWithinTokenBudget(kept, "doc_id", "text", "n_chars", 15000L)
+        .orderBy("doc_id")
+    }),
+
     // --- streaming twin + multimodal plumbing
     // Engine API emits (timestamp, decimal); the gate queries normalize to
     // (UTC string, double) — DuckDB timestamps are naive while Spark's are
@@ -2631,6 +2646,33 @@ object SparkEntry {
       WHERE q.score >= 0.75 AND q.lang_pred <> 'und'
         AND q.doc_id NOT IN (SELECT b_id FROM nd)
       ORDER BY q.doc_id""",
+    "pipeline_curate_v2" -> s"""
+      WITH exact AS (SELECT doc_id, text, n_chars FROM (
+          SELECT doc_id, text, n_chars,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM exact),
+      h AS (SELECT doc_id, list_transform(range(1, len(t) - 14), i -> md5(substr(t, i, 16))) AS hs
+            FROM nrm WHERE len(t) >= 40),
+      f AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(0, len(hs) - 24),
+                j -> list_min(hs[(j+1):(j+25)])))) AS fp
+            FROM h),
+      pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ns
+             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      losers AS (SELECT DISTINCT b_id FROM pr WHERE ns >= 2),
+      kept AS (SELECT e.* FROM exact e
+               WHERE e.doc_id NOT IN (SELECT b_id FROM losers)),
+      toks AS (SELECT doc_id, n_chars, $tokenizeSql AS tokens FROM kept),
+      t2 AS (SELECT doc_id, n_chars, len(tokens) AS nt FROM toks),
+      c AS (SELECT doc_id, nt,
+              sum(nt) OVER (ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t2)
+      SELECT doc_id, nt AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum <= 15000 ORDER BY doc_id""",
     "stream_tumbling_agg" -> """
       SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
                '%Y-%m-%d %H:%M:%S') AS window_start,
