@@ -67,17 +67,19 @@ object WinnowKernel {
   }
 
   def fingerprints(input: UTF8String, k: Int, w: Int): GenericArrayData = {
-    // char-based (not byte-based) windows: Spark substr / DuckDB substr both
-    // count characters, and the oracle must see identical grams
-    val s = input.toString
-    val n = s.length
+    // CODE-POINT (not UTF-16 unit, not byte) windows: Spark substr/length and
+    // DuckDB substr both count Unicode code points, and the HOF twin + oracle
+    // must see identical grams — a supplementary-plane char (emoji) is ONE
+    // position, so Java String.substring indexing would diverge on it
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
     if (n < k + w - 1) return new GenericArrayData(Array.empty[AnyRef])
     val m = n - k + 1 // gram count
     val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[String](m)
     var i = 0
     while (i < m) {
-      hashes(i) = md5Hex(md, s.substring(i, i + k))
+      hashes(i) = md5Hex(md, new String(cps, i, k))
       i += 1
     }
     // sliding-window minimum via monotonic deque of indices (values

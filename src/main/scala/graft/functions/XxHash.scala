@@ -473,8 +473,10 @@ case class BandBucketsXx32(child: Expression, numBands: Int, numRows: Int, numBu
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.XxHashKernel.bandBuckets($a, $numBands, $numRows, $numBuckets);")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.XxHashKernel.bandBuckets($a, $numBands, $numRows, $numBuckets);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def nullSafeEval(input: Any): Any =
     XxHashKernel.bandBuckets(input.asInstanceOf[ArrayData], numBands, numRows, numBuckets)

@@ -21,11 +21,13 @@ object Dedup {
     * exchange in the decision carries hash + id, never text. (The previous
     * `row_number().over(partitionBy(md5(text)))` window had to shuffle the
     * FULL row to emit it, shipping the whole corpus text.) The loser-id
-    * list is then removed with a broadcast anti-join: its size is the
-    * duplicate count, not the corpus — a curated corpus at 100 TB drops a
-    * few percent, and if the duplicate list ever outgrew broadcast, AQE
-    * falls back to an id-keyed shuffle, still strictly cheaper than the
-    * old full-text window exchange.
+    * list is then removed with an id-keyed anti-join carrying NO hint: a
+    * web crawl can shed 30-50 % of its docs as exact dupes, so the loser
+    * list scales with the corpus and must be allowed to shuffle. When the
+    * list IS small (curated corpora), AQE's runtime size estimate converts
+    * the anti-join to a broadcast on its own; a forced `broadcast()` hint
+    * would instead be honored unconditionally and die at the 8 GB
+    * broadcast / driver-memory ceiling on a dup-heavy corpus.
     */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = docs.select(col(idCol).as("__ded_id"), md5(col(textCol)).as("__ded_h"))
@@ -33,7 +35,7 @@ object Dedup {
     val losers = keyed.join(winners, Seq("__ded_h"))
       .where(col("__ded_id") =!= col("__ded_keep"))
       .select(col("__ded_id").as("__ded_loser"))
-    docs.join(broadcast(losers), docs(idCol) === col("__ded_loser"), "left_anti")
+    docs.join(losers, docs(idCol) === col("__ded_loser"), "left_anti")
   }
 
   /** Exact-duplicate groups (diagnostic view): content hash → group size +

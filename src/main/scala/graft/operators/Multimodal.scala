@@ -111,6 +111,10 @@ object Multimodal {
     * descriptor reports 1 (the static-image reading of the header).
     */
   private def gifFrameCount(b: Array[Byte]): Int = {
+    // parseGif accepts >= 10 bytes (header + LSD dims), but the walk needs
+    // the packed byte at 10 and starts at 13: a truncated stream is a
+    // single-frame header, not an ArrayIndexOutOfBounds
+    if (b.length < 13) return 1
     def skipSubBlocks(start: Int): Int = {
       var p = start
       while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xFF)

@@ -64,10 +64,18 @@ class KernelSpec extends AnyFunSuite {
           .where(not(col("a") <=> col("b")))
         assert(bad.count() == 0, s"kernel must equal the HOF twin at k=$k w=$w")
       }
-      // boundary lengths around the w+k-1 floor, repeats, unicode chars
+      // boundary lengths around the w+k-1 floor, repeats, unicode chars —
+      // including SUPPLEMENTARY-PLANE (astral) chars, where one code point
+      // is two UTF-16 units: Spark substr/length count code points, so the
+      // kernel must too (String.substring indexing would split surrogates)
       val nasty = Seq("", "x", "a" * 14, "a" * 15, "a" * 16, "ab" * 40,
         "the the the the the the", "étoile Ünïcode 漢字 mix padded to length!!",
-        "  spaces   collapse   to one   then fingerprint  ")
+        "  spaces   collapse   to one   then fingerprint  ",
+        "emoji 😀 mid-string padded out to enough length!",
+        "😀😁😂😃 astral run " +
+          "🍕🍔 more text to clear the floor",
+        "😀" * 15, // 15 code points = exactly the 8+8-1 floor
+        "😀" * 14) // 14 code points = below the floor → empty
       val badNasty = nasty.toDF("t").select(
           TextAnalysis.winnowFingerprints(col("t"), 8, 8).as("a"),
           TextAnalysis.winnowFingerprintsHof(col("t"), 8, 8).as("b"))

@@ -270,6 +270,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("dropExactDuplicates: dup-heavy corpus (80% dupes) completes with no hinted broadcast") {
+    // web crawls shed 30-50%+ as exact dupes: the loser list scales with the
+    // corpus, so the anti-join must be free to shuffle — a broadcast() hint
+    // would be honored unconditionally and die at the broadcast ceiling
+    val heavy = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        concat(lit("shared text #"), (col("id") % 1000).cast("string")).as("text"))
+    val plan = Dedup.dropExactDuplicates(heavy, "doc_id", "text")
+    val hinted = plan.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"forced broadcast hint found in dup-heavy dedup plan: $hinted")
+    val kept = plan.select("doc_id").as[Long].collect().sorted
+    assert(kept.length == 1000 && kept.toSeq == (0L until 1000L))
+  }
+
   test("simhashPairs: exact duplicate found at hamming 0, pairs well-formed") {
     // plant an exact duplicate of doc 0 under a fresh id
     val dup = docs.where(col("doc_id") === 0)
@@ -684,6 +700,11 @@ class OperatorSpec extends AnyFunSuite {
     // truncated stream: walk stops without throwing, count stays >= 1
     val truncated = Multimodal.plantGif(4L).take(20)
     assert(Multimodal.decodeHeader(4L, truncated).frame_count >= 1)
+    // 10-byte truncation: parseGif accepts it (header + dims) but the
+    // frame walk reads b(10)/b(13) — must report 1 frame, not throw
+    val tenBytes = Multimodal.plantGif(4L).take(10)
+    val m10 = Multimodal.decodeHeader(4L, tenBytes)
+    assert(m10.format == "gif" && m10.frame_count == 1)
   }
 
   test("JPEG parser tolerates 0xFF fill bytes before markers (legal padding)") {
@@ -851,5 +872,22 @@ class OperatorSpec extends AnyFunSuite {
       """SELECT graft_band_buckets_xx32(array('0x1', CAST(NULL AS STRING), '0x2', '0x3'),
                 2, 2, 500) AS b""").collect()(0)
     assert(bb.isNullAt(0), "a signature with a null slot propagates null")
+    // same propagation through WHOLE-STAGE CODEGEN (non-literal input — a
+    // constant-folded literal only exercises nullSafeEval): the generated
+    // code must set isNull when the kernel returns null, or the null value
+    // NPEs on UnsafeRow write
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = spark.createDataFrame(Seq(
+        (1L, Seq("0x1", null, "0x2", "0x3")),
+        (2L, Seq("0x1", "0x4", "0x2", "0x3"))))
+        .toDF("id", "sig")
+        .select(col("id"),
+          graft.functions.XxHashExpr.bandBucketsXx32(col("sig"), 2, 2, 500).as("b"))
+        .orderBy("id").collect()
+      assert(rows(0).isNullAt(1), "codegen path must propagate null for a null slot")
+      assert(!rows(1).isNullAt(1) && rows(1).getSeq[Int](1).length == 2,
+        "codegen path must bucket a clean signature")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 }

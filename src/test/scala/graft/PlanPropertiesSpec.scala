@@ -228,7 +228,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
   test("dropExactDuplicates: no exchange ever carries the text column") {
     // the round-6 finding: the old full-row window shuffled the whole
     // corpus text to rank it; the decision must ride on (id, 16-byte md5)
-    // projections only, with the loser-id list broadcast back
+    // projections only. The round-7 finding: the loser-id anti-join must
+    // carry NO broadcast() hint (a dup-heavy crawl makes a forced broadcast
+    // fail hard) — broadcast is AQE's runtime call, never ours.
     val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -244,8 +246,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
           s"an exchange ships the text column: $cols")
       }
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-        s"loser removal must be a broadcast anti-join:\n$plan")
+      assert(plan.contains("LeftAnti"), s"loser removal must be an anti-join:\n$plan")
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hinted.isEmpty,
+        s"no forced broadcast hint allowed — the loser list scales with dup rate: $hinted")
     } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
       spark.conf.set("spark.sql.adaptive.enabled", _))
   }
