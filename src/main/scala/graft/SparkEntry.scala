@@ -1103,7 +1103,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_unigram_logprob" -> ((s, d) =>
       // self-trained unigram-LM quality score (the cheap perplexity
-      // filter); position-ordered fold makes the double sum deterministic
+      // filter); micro-nat integer quantization makes the per-doc sum
+      // exact and order-independent — plain partial-aggregable sum/count
       TextAnalysis.withUnigramLogProb(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logprob"), 6).as("avg_logprob6"))
@@ -2024,16 +2025,16 @@ object SparkEntry {
       FROM c WHERE cum <= 15000 ORDER BY doc_id""",
     "text_unigram_logprob" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
-      p AS (SELECT doc_id, unnest(tokens) AS token,
-              generate_subscripts(tokens, 1) AS pos FROM toks),
+      p AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
       f AS (SELECT token, count(*) AS c FROM p GROUP BY 1),
       t AS (SELECT sum(c) AS total FROM f),
-      lp AS (SELECT p.doc_id, p.pos, ln(CAST(f.c AS DOUBLE) / total) AS logp
-             FROM p JOIN f USING (token), t),
-      per AS (SELECT doc_id, count(*) AS n_tokens,
-                list_sum(list(logp ORDER BY pos)) AS s FROM lp GROUP BY 1)
+      lp AS (SELECT token,
+               CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+             FROM f, t),
+      per AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
+              FROM p JOIN lp USING (token) GROUP BY 1)
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
-        round(per.s / per.n_tokens, 6) AS avg_logprob6
+        round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_mix_weights" -> """
       WITH c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),

@@ -404,29 +404,36 @@ object TextAnalysis {
     * signal an n-gram-LM perplexity filter provides, with no external
     * model file. Adds `n_tokens` and `avg_logprob` (null for empty docs).
     *
-    * Determinism across engines: the per-doc double sum folds log-probs in
-    * TOKEN POSITION order (collect_list(struct(pos, logp)) → array_sort →
-    * sequential fold), so there is exactly one addition order and the
-    * DuckDB oracle reproduces it bit-for-bit — a plain avg() would sum in
-    * partition order and drift in the last ulp. Shuffles carry
-    * (token, count) and (id, pos, logp), never text; the corpus total is a
-    * broadcast one-row aggregate.
+    * Determinism at scale: each token's log-prob is quantized to integer
+    * MICRO-NATS (`round(logp * 1e6)` as long) on the per-TOKEN side, so
+    * the per-doc aggregate is an exact integer sum — order-independent
+    * under any partitioning, plain partial-aggregable sum/count, no
+    * ordered fold, no per-doc buffering. (The previous form collected each
+    * document's full (pos, logp) list into one aggregation buffer and
+    * sorted it just to pin the double addition order — a 1M-token doc
+    * meant a 1M-entry array in executor memory, plus a second
+    * occurrence-level shuffle.) The 1e-6-nat quantization is far below any
+    * curation threshold and makes the score bit-reproducible across
+    * cluster sizes. Shuffle shape: one map-side-combined (token, count)
+    * aggregate, ONE occurrence-level exchange (the unhinted toks⋈freqs
+    * join — AQE broadcasts the vocab when it is actually small), then a
+    * map-side-combined (id, count, sum) aggregate of longs; the corpus
+    * total is a broadcast one-row aggregate.
     */
   def withUnigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), posexplode(T.tokenize(col(textCol))).as(Seq("pos", "token")))
+      .select(col(idCol), explode(T.tokenize(col(textCol))).as("token"))
     val freqs = toks.groupBy("token").agg(count(lit(1)).as("__c"))
     val total = freqs.agg(sum("__c").as("__total"))
-    val perDoc = toks.join(freqs, Seq("token"))
-      .crossJoin(broadcast(total))
-      .select(col(idCol), col("pos"),
-        log(col("__c").cast("double") / col("__total")).as("logp"))
+    val lp = freqs.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("__c").cast("double") / col("__total")) * 1e6)
+          .cast("long").as("__lpi"))
+    val perDoc = toks.join(lp, Seq("token"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sort_array(collect_list(struct(col("pos"), col("logp")))).as("__lps"))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lpi").as("__slpi"))
       .select(col(idCol), col("n_tokens"),
-        (aggregate(col("__lps"), lit(0.0), (a, x) => a + x.getField("logp"))
-          / col("n_tokens")).as("avg_logprob"))
+        (col("__slpi").cast("double") / 1e6 / col("n_tokens")).as("avg_logprob"))
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }

@@ -256,6 +256,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("text_unigram_logprob: partial-aggregable, no collect_list, one occurrence-level exchange") {
+    // the round-7 finding: the old plan shuffled the token stream twice and
+    // buffered each doc's full (pos, logp) list in one aggregation buffer;
+    // the micro-nat integer sum must plan as plain HashAggregates with at
+    // most ONE exchange carrying occurrence rows (the toks ⋈ freqs join)
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextAnalysis.withUnigramLogProb(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      val physical = df.queryExecution.executedPlan
+      val plan = physical.toString
+      assert(!plan.contains("collect_list") && !plan.contains("ObjectHashAggregate"),
+        s"per-doc fold must be a plain partial-aggregable sum, not a buffered list:\n$plan")
+      // exchanges carrying (id, token) pairs = occurrence-level; the
+      // map-side-combined aggregates carry (token, count) / (id, count, sum)
+      val occurrenceExchanges = physical.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "token") &&
+               e.output.exists(_.name.contains("doc_id")) => e
+      }
+      assert(occurrenceExchanges.size <= 1,
+        s"at most one occurrence-level shuffle allowed, found ${occurrenceExchanges.size}:\n$plan")
+    } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("sim_topk_int8: quantize pipeline stays narrow — no hash exchange, top-k via TakeOrdered") {
     val plan = planOf("sim_topk_int8")
     assert(!plan.contains("Exchange hashpartitioning"),
