@@ -225,11 +225,15 @@ object SparkEntry {
         .select(col(Cols.Id).as("doc_id")).orderBy("doc_id")
     }),
     "flt_bucket_thres" -> ((s, d) => {
+      // threshold 0.1 ADMITS rows at gate scale (max bucket_sim at sf0.01
+      // is 1/6; the old 0.2 matched on 0 = 0 rows, proving nothing about
+      // the intersect/union ratio)
       val m = fitted(s, d, cfg16)
       m.indexDf.crossJoin(broadcast(m.queryFeatures(keyOf(s, d))))
         .withColumn("bucket_sim", H.setJaccard(col(Cols.BucketIds), col("q_buckets")))
-        .where(col("bucket_sim") >= 0.2)
-        .select(col(Cols.Id).as("doc_id"), col("bucket_sim")).orderBy("doc_id")
+        .where(col("bucket_sim") >= 0.1)
+        .select(col(Cols.Id).as("doc_id"), round(col("bucket_sim"), 6).as("bucket_sim6"))
+        .orderBy("doc_id")
     }),
 
     // --- joins (SURVEY §2.3 + anti/window extensions)
@@ -1521,11 +1525,11 @@ object SparkEntry {
     "flt_bucket_thres" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT b.doc_id,
-        CAST(len(list_intersect(b.bucket_ids, q.bucket_ids)) AS DOUBLE)
-          / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))) AS bucket_sim
+        round(CAST(len(list_intersect(b.bucket_ids, q.bucket_ids)) AS DOUBLE)
+          / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))), 6) AS bucket_sim6
       FROM buck b, qbuck q
       WHERE CAST(len(list_intersect(b.bucket_ids, q.bucket_ids)) AS DOUBLE)
-          / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))) >= 0.2
+          / len(list_distinct(list_concat(b.bucket_ids, q.bucket_ids))) >= 0.1
       ORDER BY b.doc_id""",
     "join_inner_agg" -> """
       SELECT c.c_nationkey AS nationkey, count(*) AS n_orders,
