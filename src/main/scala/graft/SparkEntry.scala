@@ -1407,6 +1407,55 @@ object SparkEntry {
           Multimodal.decodeMeta(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text")),
           maxSide = 256)
         .orderBy("doc_id")),
+    "mm_features_real_gif" -> ((s, d) =>
+      // REAL pixel path, GIF: the JDK-encoded solid-color GIF is a lossless
+      // palette container, so decode returns the exact planted color — the
+      // oracle recomputes the channel means from the color formula, like PNG
+      Multimodal.extractFeatures(
+          Multimodal.plantImagePayloads(docs(s, d), "doc_id", "gif_solid"))
+        .toDF()
+        .select(col("doc_id"),
+          round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+          round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"),
+          round(col("f4"), 6).as("f4"), round(col("f5"), 6).as("f5"),
+          round(col("f6"), 6).as("f6"), round(col("f7"), 6).as("f7"))
+        .orderBy("doc_id")),
+    "mm_features_real_jpeg" -> ((s, d) =>
+      // REAL pixel path, JPEG: a solid image has only DC coefficients, so
+      // the decoded image stays perfectly uniform (std exactly 0) while DC
+      // quantization shifts the color — gate = uniformity + mean within
+      // 5/255 of the planted formula (measured max deviation 3/255 over
+      // ids 0-499 at the JDK writer's default quality), dims exact
+      Multimodal.extractFeatures(
+          Multimodal.plantImagePayloads(docs(s, d), "doc_id", "jpeg_solid"))
+        .toDF()
+        .select(col("doc_id"),
+          (col("f3") === 0.0 && col("f4") === 0.0 && col("f5") === 0.0)
+            .as("is_uniform"),
+          (abs(col("f0") * 255 - (col("doc_id") % 256)) <= 5.0 &&
+           abs(col("f1") * 255 - (col("doc_id") * 3 % 256)) <= 5.0 &&
+           abs(col("f2") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
+            .as("mean_close"),
+          round(col("f6"), 6).as("f6"), round(col("f7"), 6).as("f7"))
+        .orderBy("doc_id")),
+    "mm_resize_real_gif" -> ((s, d) => {
+      // REAL resize through the GIF decoder: solid GIFs aspect-fit into an
+      // 8px box, re-encoded as PNG (resize normalizes the container),
+      // re-decoded — lossless in, uniform through bilinear, so dims AND
+      // exact channel means replay from the planted formulas
+      val resized = Multimodal.resizePixels(
+        Multimodal.plantImagePayloads(docs(s, d), "doc_id", "gif_solid"), maxSide = 8)
+      val back = SparkUtil.scopedPersist(
+        resized.select(col("doc_id"), col("payload_out").as("payload")))
+      Multimodal.decodeMeta(back).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").as("out_width"), col("height").as("out_height"))
+        .join(Multimodal.extractFeatures(back).toDF()
+          .select(col("doc_id"), round(col("f0"), 6).as("mean_r6"),
+            round(col("f1"), 6).as("mean_g6"), round(col("f2"), 6).as("mean_b6")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
     "mm_resize_real" -> ((s, d) => {
       // REAL pixel resize: solid PNGs aspect-fit into an 8px box
       // (bilinear), re-encoded as PNG, then DECODED AGAIN — the output
@@ -2759,6 +2808,33 @@ object SparkEntry {
         round((4 + doc_id % 13) / 1024.0, 6) AS f6,
         round((4 + (doc_id * 5) % 11) / 1024.0, 6) AS f7
       FROM documents ORDER BY doc_id""",
+    "mm_features_real_gif" -> """
+      SELECT doc_id,
+        round((doc_id % 256) / 255.0, 6) AS f0,
+        round(((doc_id * 3) % 256) / 255.0, 6) AS f1,
+        round(((doc_id * 7) % 256) / 255.0, 6) AS f2,
+        0.0 AS f3, 0.0 AS f4, 0.0 AS f5,
+        round((4 + doc_id % 13) / 1024.0, 6) AS f6,
+        round((4 + (doc_id * 5) % 11) / 1024.0, 6) AS f7
+      FROM documents ORDER BY doc_id""",
+    "mm_features_real_jpeg" -> """
+      SELECT doc_id, true AS is_uniform, true AS mean_close,
+        round((4 + doc_id % 13) / 1024.0, 6) AS f6,
+        round((4 + (doc_id * 5) % 11) / 1024.0, 6) AS f7
+      FROM documents ORDER BY doc_id""",
+    "mm_resize_real_gif" -> """
+      WITH m AS (SELECT doc_id,
+          CAST(4 + doc_id % 13 AS DOUBLE) AS w,
+          CAST(4 + (doc_id * 5) % 11 AS DOUBLE) AS h
+        FROM documents),
+      s AS (SELECT doc_id, w, h, least(8.0 / w, 8.0 / h, 1.0) AS sc FROM m)
+      SELECT doc_id, 'png' AS format,
+        CAST(greatest(floor(w * sc), 1) AS INTEGER) AS out_width,
+        CAST(greatest(floor(h * sc), 1) AS INTEGER) AS out_height,
+        round((doc_id % 256) / 255.0, 6) AS mean_r6,
+        round(((doc_id * 3) % 256) / 255.0, 6) AS mean_g6,
+        round(((doc_id * 7) % 256) / 255.0, 6) AS mean_b6
+      FROM s ORDER BY doc_id""",
     "mm_frame_sample" -> """
       WITH m AS (SELECT doc_id, 1 + doc_id % 5 AS frame_count FROM documents)
       SELECT doc_id, unnest(range(0, frame_count, 2)) AS frame_idx

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * Header decode is REAL for the common image containers — PNG (IHDR), JPEG
   * (SOF scan), GIF (logical screen descriptor + image-descriptor frame
   * count) — parsed directly from the payload bytes per the public format
-  * specs, pure JVM. Feature extraction is REAL for PNG payloads: pixel
-  * decode via `javax.imageio` with per-channel mean/std statistics
-  * ([[pixelFeatures]]). Payloads that are none of these fall back to the
+  * specs, pure JVM. Feature extraction and resize are REAL for PNG, JPEG,
+  * and GIF payloads: pixel decode via `javax.imageio` with per-channel
+  * mean/std statistics ([[pixelFeatures]]). Payloads that are none of
+  * these fall back to the
   * **clearly marked deterministic STUB** paths (`stubDecode`,
   * `stubFeature`): no audio/video codec ships in this container, so those
   * derive fake but stable values from the payload bytes. Swapping in a
@@ -307,6 +308,42 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A BufferedImage of [[plantSolidDims]] filled with [[plantSolidColor]]. */
+  private def solidImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = plantSolidDims(id)
+    val (r, g, b) = plantSolidColor(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    img
+  }
+
+  /** A COMPLETE real JPEG of the planted solid color, encoded by the JDK's
+    * own writer (`javax.imageio`, baseline JFIF). A solid image has only DC
+    * coefficients, so the DECODED image is still perfectly uniform (std
+    * exactly 0); the uniform color itself shifts by DC quantization, which
+    * is why the JPEG gate asserts uniformity + a mean tolerance instead of
+    * the exact color formula.
+    */
+  def plantSolidJpeg(id: Long): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream(512)
+    javax.imageio.ImageIO.write(solidImage(id), "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** A COMPLETE real GIF of the planted solid color (JDK writer). GIF is a
+    * lossless palette format: decode returns the exact planted color, so the
+    * gate oracle recomputes the channel means from the color formula like
+    * the PNG path.
+    */
+  def plantSolidGif(id: Long): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream(512)
+    javax.imageio.ImageIO.write(solidImage(id), "gif", baos)
+    baos.toByteArray
+  }
+
   /** (doc_id, payload, media_type) of REAL planted container bytes — the
     * gate surface proving [[decodeHeader]] / [[extractFeatures]] round-trip
     * dimensions, frame counts, and pixel statistics from actual format
@@ -318,9 +355,11 @@ object Multimodal {
       case "jpeg" => plantJpeg
       case "gif" => plantGif
       case "png_solid" => plantSolidPng
+      case "jpeg_solid" => plantSolidJpeg
+      case "gif_solid" => plantSolidGif
       case other => throw new IllegalArgumentException(s"unsupported plant format $other")
     }
-    val mediaType = "image/" + (if (format == "png_solid") "png" else format)
+    val mediaType = "image/" + format.stripSuffix("_solid")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
@@ -409,12 +448,25 @@ object Multimodal {
       w / 1024.0, h / 1024.0)
   }
 
-  /** Feature extraction: REAL pixel statistics for PNG payloads (decoded
-    * pure-JVM via `javax.imageio` inside the per-partition batch — the
-    * reader is probed once per payload, codec state amortized per
-    * partition), [[stubFeature]] for everything else (no other codec ships
-    * in-container). An unreadable/corrupt PNG also falls back to the stub
-    * rather than failing the batch.
+  /** ImageIO pixel decode for any payload whose container the header
+    * parsers recognize (PNG / JPEG / GIF — the formats `javax.imageio`
+    * ships decoders for); null for unrecognized containers or corrupt
+    * streams, so callers can fall back instead of failing the batch. The
+    * header check is a cheap byte probe that keeps ImageIO's
+    * exception-driven rejection off the non-image hot path.
+    */
+  private def decodePixels(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes)).isDefined)
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    else null
+
+  /** Feature extraction: REAL pixel statistics for PNG / JPEG / GIF
+    * payloads (decoded pure-JVM via `javax.imageio` inside the
+    * per-partition batch — the reader is probed once per payload, codec
+    * state amortized per partition), [[stubFeature]] for everything else
+    * (no audio/video codec ships in-container). An unreadable/corrupt
+    * image also falls back to the stub rather than failing the batch.
     */
   def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
     val spark = payloads.sparkSession
@@ -424,11 +476,7 @@ object Multimodal {
       .mapPartitions { it =>
         // real extractors init the model once here, per partition
         it.map { case (id, bytes) =>
-          val img =
-            if (bytes.length >= 8 && bytes.startsWith(PngSig))
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case scala.util.control.NonFatal(_) => null }
-            else null
+          val img = decodePixels(bytes)
           if (img != null) pixelFeatures(id, img)
           else {
             val n = bytes.length
@@ -441,14 +489,16 @@ object Multimodal {
       }
   }
 
-  /** REAL pixel resize for decodable PNG payloads: aspect-preserving fit
-    * into a `maxSide` box (the same floor(dim × scale) formula as
-    * [[planResize]], never upscaled), bilinear-interpolated `drawImage`,
-    * re-encoded as PNG — per-partition batches, codec state amortized like
-    * every Multimodal operator. Payloads `javax.imageio` cannot decode are
-    * DROPPED (a real media pipeline routes undecodable rows to a dead-letter
-    * table, not through the resize). Output: (doc_id, width, height,
-    * out_width, out_height, payload_out).
+  /** REAL pixel resize for decodable PNG / JPEG / GIF payloads:
+    * aspect-preserving fit into a `maxSide` box (the same floor(dim ×
+    * scale) formula as [[planResize]], never upscaled),
+    * bilinear-interpolated `drawImage`, re-encoded as PNG (resize
+    * normalizes the container — lossless output regardless of input
+    * format) — per-partition batches, codec state amortized like every
+    * Multimodal operator. Payloads `javax.imageio` cannot decode are
+    * DROPPED (a real media pipeline routes undecodable rows to a
+    * dead-letter table, not through the resize). Output: (doc_id, width,
+    * height, out_width, out_height, payload_out).
     */
   def resizePixels(payloads: DataFrame, maxSide: Int): DataFrame = {
     require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
@@ -458,11 +508,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val img =
-            if (bytes.length >= 8 && bytes.startsWith(PngSig))
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case scala.util.control.NonFatal(_) => null }
-            else null
+          val img = decodePixels(bytes)
           if (img == null) None
           else {
             val w = img.getWidth; val h = img.getHeight

@@ -746,6 +746,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("solid GIF/JPEG planters take the real pixel path: GIF exact, JPEG uniform+close") {
+    val ids = Seq(0L, 1L, 7L, 200L, 255L, 256L, 300L)
+    // GIF: lossless palette — decode must return the exact planted color
+    val gifFeats = Multimodal.extractFeatures(
+      Multimodal.plantImagePayloads(ids.toDF("doc_id"), "doc_id", "gif_solid"))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- ids) {
+      val (r, g, b) = Multimodal.plantSolidColor(id)
+      val (w, h) = Multimodal.plantSolidDims(id)
+      val f = gifFeats(id)
+      assert(f.f0 == r / 255.0 && f.f1 == g / 255.0 && f.f2 == b / 255.0,
+        s"id=$id: GIF means must be exact: $f")
+      assert(f.f3 == 0.0 && f.f4 == 0.0 && f.f5 == 0.0)
+      assert(f.f6 == w / 1024.0 && f.f7 == h / 1024.0)
+    }
+    // JPEG: DC-only image stays uniform (std exactly 0); the uniform color
+    // sits within DC-quantization distance of the planted formula
+    val jpgFeats = Multimodal.extractFeatures(
+      Multimodal.plantImagePayloads(ids.toDF("doc_id"), "doc_id", "jpeg_solid"))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- ids) {
+      val (r, g, b) = Multimodal.plantSolidColor(id)
+      val f = jpgFeats(id)
+      assert(f.f3 == 0.0 && f.f4 == 0.0 && f.f5 == 0.0,
+        s"id=$id: decoded JPEG of a solid image must stay uniform: $f")
+      assert(math.abs(f.f0 * 255 - r) <= 5 && math.abs(f.f1 * 255 - g) <= 5 &&
+        math.abs(f.f2 * 255 - b) <= 5, s"id=$id: JPEG means must be within 5/255: $f")
+    }
+    // resize routes through the GIF decoder too; output is normalized PNG
+    val resized = Multimodal.resizePixels(
+      Multimodal.plantImagePayloads(ids.toDF("doc_id"), "doc_id", "gif_solid"), maxSide = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val r = resized(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](5)))
+      val (cr, cg, cb) = Multimodal.plantSolidColor(id)
+      val rgb = img.getRGB(0, 0)
+      assert(((rgb >>> 16) & 0xFF) == cr && ((rgb >>> 8) & 0xFF) == cg && (rgb & 0xFF) == cb,
+        s"id=$id: color must survive GIF decode -> bilinear -> PNG encode")
+    }
+  }
+
   test("leakageSafeSplit tolerates a user 'label' column on the input docs") {
     val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
       .toDF("doc_id", "text").withColumn("label", lit("user-owned"))
