@@ -97,4 +97,55 @@ for (mult <- Seq(1, 3, 10)) {
   cands.unpersist(); corpus.unpersist()
   graft.SparkUtil.releaseScopedCaches()
 }
+// ---- winnowing ladder: shared-substring blocking under corpus growth ----
+// Same rotation construction as the containment rung, but the rotation
+// must cover UPPERCASE (winnow normalizes with lower(), which would fold
+// unrotated uppercase into cross-replica-identical lowercase) and DIGITS
+// (a 40-char numeric run is replica-invariant otherwise): with the full
+// [A-Za-z0-9] rotation, replicas share no normalized substrings, so
+// fingerprints never collide across replicas and both candidate volume
+// and true pairs must grow LINEARLY with the replica count. Within each
+// replica, a replica-rotated slogan is appended to 8 docs → C(8,2) = 28
+// planted true pairs per replica on top of the corpus's natural shared
+// substrings. Candidates = fingerprint-join rows before the minShared
+// filter (the skew surface: hot fingerprints ARE boilerplate slogans by
+// construction). Superlinear candidates mean a fingerprint hot-bucket
+// degenerated. Params match the dedup_substring_pairs gate (k=16, w=25).
+val digits = "0123456789"
+val slogan = "colorless green ideas sleep furiously beside the quick brown fox while the archive replicates itself verbatim and the winnow window slides on"
+for (mult <- Seq(1, 3, 10)) {
+  val rotL = (r: Int) => alpha.drop(r * 7 % 26) + alpha.take(r * 7 % 26)
+  val corpus = (0 until mult).map { r =>
+    val from = alpha + alpha.toUpperCase + digits
+    val to = rotL(r) + rotL(r).toUpperCase + digits.drop(r * 3 % 10) + digits.take(r * 3 % 10)
+    val rotated = base.select((col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+      translate(col("text"), from, to).as("text"))
+    rotated.withColumn("text",
+      when(col("doc_id") % 1000000L < 8,
+        concat(col("text"), lit(" "), translate(lit(slogan), alpha, rotL(r))))
+        .otherwise(col("text")))
+  }.reduce(_ unionByName _).repartition(32).persist()
+  val n = corpus.count()
+  val t0 = System.nanoTime()
+  val fp = corpus
+    .select(col("doc_id").cast("long").as("id"),
+      explode(graft.operators.TextAnalysis.winnowFingerprints(col("text"), 16, 25)).as("fp"))
+  val cands = fp.select(col("fp"), col("id").as("a_id"))
+    .join(fp.select(col("fp"), col("id").as("b_id")), Seq("fp"))
+    .where(col("a_id") < col("b_id"))
+    .persist()
+  val nCands = cands.count()
+  // linearity proof: candidates must stay WITHIN replicas (each replica's
+  // count is a corpus-size-independent constant — winnow-minimum selection
+  // varies per rotation, so per-replica constants differ statistically,
+  // but zero cross-replica pairs means total = sum of constants = linear)
+  val nCross = cands.where(
+    (col("a_id") / 1000000L).cast("long") =!= (col("b_id") / 1000000L).cast("long")).count()
+  val tBlock = (System.nanoTime() - t0) / 1e9
+  val t1 = System.nanoTime()
+  val nPairs = Dedup.sharedSubstringPairs(corpus, "doc_id", "text", 16, 25, 2).count()
+  val tFull = (System.nanoTime() - t1) / 1e9
+  println(f"""{"ladder":$mult,"docs":$n,"op":"winnow_substring","cand_pairs":$nCands,"cross_pairs":$nCross,"true_pairs":$nPairs,"block_sec":$tBlock%.2f,"full_sec":$tFull%.2f}""")
+  cands.unpersist(); corpus.unpersist()
+}
 System.exit(0)
