@@ -16,20 +16,66 @@ object SparkUtil {
   /** Mid-query caches registered for explicit release. Operators that must
     * persist an intermediate frame (shared by both sides of a self-join, or
     * pinned against filter-pushdown re-execution) register it here instead
-    * of leaking one storage entry per invocation; the harness (Verify /
-    * Bench / a user pipeline) calls [[releaseScopedCaches]] once the query's
-    * result is materialized. Every registered frame is a plain persist —
-    * recomputable — so release is always safe, never a correctness event.
+    * of leaking one storage entry per invocation. Release paths:
+    *
+    *  - [[withScopedCaches]] — the PUBLIC bracket: caches registered while
+    *    the body runs are released when it returns, automatically and
+    *    nesting-safe. A user pipeline composing operators directly wraps
+    *    each materialization (`withScopedCaches { op(...).count() }`) and
+    *    never touches the registry.
+    *  - [[releaseScopedCaches]] — the harness sweep (Verify per query,
+    *    Bench between reps) for code not running inside a bracket.
+    *
+    * Every registered frame is a plain persist — recomputable — so release
+    * is always safe, never a correctness event (a bracket that closes
+    * before the caller materializes its DataFrame only costs recompute).
     */
   private val scopedCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` and register it for the next [[releaseScopedCaches]]. */
+  /** Active [[withScopedCaches]] frames for the current thread (operators
+    * build their plans — and register their caches — on the calling
+    * thread, so thread-local scoping matches operator composition).
+    */
+  private val frames = new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[DataFrame]]] {
+    override def initialValue() = new java.util.ArrayDeque[java.util.ArrayList[DataFrame]]()
+  }
+
+  /** Persist `df` and register it for release — to the innermost enclosing
+    * [[withScopedCaches]] bracket if one is active on this thread, else to
+    * the global queue drained by [[releaseScopedCaches]].
+    */
   def scopedPersist(df: DataFrame): DataFrame = registerScoped(df.persist())
 
-  /** Register an already-persisted frame for the next sweep. */
-  def registerScoped(df: DataFrame): DataFrame = { scopedCaches.add(df); df }
+  /** Register an already-persisted frame (same scoping as [[scopedPersist]]). */
+  def registerScoped(df: DataFrame): DataFrame = {
+    val stack = frames.get()
+    if (!stack.isEmpty) stack.peek().add(df) else scopedCaches.add(df)
+    df
+  }
 
-  /** Unpersist every registered mid-query cache (non-blocking). */
+  /** Run `body` and release every scoped cache it registered, automatically
+    * — the cache-hygiene bracket for pipelines composing operators outside
+    * the Verify/Bench harness. Nesting-safe: an inner bracket releases only
+    * its own registrations. Wrap the MATERIALIZATION (the action), not just
+    * the plan construction, or the caches are released before they pay off.
+    */
+  def withScopedCaches[T](body: => T): T = {
+    val stack = frames.get()
+    val frame = new java.util.ArrayList[DataFrame]()
+    stack.push(frame)
+    try body
+    finally {
+      stack.pop()
+      frame.forEach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** Number of globally-registered caches awaiting a sweep (test surface). */
+  private[graft] def scopedCacheCount: Int = scopedCaches.size
+
+  /** Unpersist every globally-registered mid-query cache (non-blocking). */
   def releaseScopedCaches(): Unit = {
     var df = scopedCaches.poll()
     while (df != null) {

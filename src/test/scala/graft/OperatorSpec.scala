@@ -789,6 +789,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("withScopedCaches: repeated operator calls leave no registry growth or cached frames") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val before = SparkUtil.scopedCacheCount
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    for (_ <- 1 to 3) {
+      // containmentPairsDeep scopedPersists its shingle frame internally
+      // (Dedup.scala containmentBlocking) — the composition a user
+      // pipeline would run outside the Verify/Bench harness
+      val n = SparkUtil.withScopedCaches {
+        Dedup.containmentPairsDeep(d, "doc_id", "text", 3, 0.5).count()
+      }
+      assert(n >= 0)
+    }
+    assert(SparkUtil.scopedCacheCount == before,
+      "bracket must release its own registrations — no global registry growth")
+    // nesting: the inner bracket must not release the outer bracket's cache
+    SparkUtil.withScopedCaches {
+      val outer = SparkUtil.scopedPersist(d.select("doc_id"))
+      outer.count()
+      SparkUtil.withScopedCaches {
+        SparkUtil.scopedPersist(d.select("text")).count()
+      }
+      assert(outer.queryExecution.optimizedPlan.isInstanceOf[InMemoryRelation] ||
+        outer.storageLevel.useMemory,
+        "inner bracket released the outer bracket's cache")
+    }
+    assert(SparkUtil.scopedCacheCount == before)
+  }
+
   test("leakageSafeSplit tolerates a user 'label' column on the input docs") {
     val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
       .toDF("doc_id", "text").withColumn("label", lit("user-owned"))
