@@ -801,11 +801,15 @@ object SparkEntry {
       // margin under the measured value (EXACTLY 1.0 at both sf0.001 —
       // 28 = 28 pairs — and sf0.01 — 25 = 25; both engines deterministic
       // at fixed seed); the top-scored pair must always be in the core.
+      // The check runs on a fixed 1000-doc slice: MLlib's similarity join
+      // blows up superlinearly with corpus size (72 s at sf0.1 full) and a
+      // bias cross-check doesn't need the whole corpus to detect bias.
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH => MLMinHashLSH}
-      val scored = SparkUtil.scopedPersist(fitted(s, d, cfg16)
-        .approxSimilarityJoin(0.5))
+      val slice = docs(s, d).where(col("doc_id") < 1000)
+      val sliceModel = new MinHashLSH(cfg16).fit(slice, "doc_id", "text")
+      val scored = SparkUtil.scopedPersist(sliceModel.approxSimilarityJoin(0.5))
       val ours = scored.select(col("a_id"), col("b_id"))
-      val sh = docs(s, d).select(col("doc_id"), T.shingles(col("text"), 2).as("sh"))
+      val sh = slice.select(col("doc_id"), T.shingles(col("text"), 2).as("sh"))
         .where(size(col("sh")) > 0)
       val feat = new HashingTF().setInputCol("sh").setOutputCol("features")
         .setNumFeatures(1 << 18).transform(sh)
@@ -822,6 +826,7 @@ object SparkEntry {
       val top = scored.orderBy(col(Cols.Jaccard).desc, col("a_id"), col("b_id"))
         .limit(1).select("a_id", "b_id")
       val topAgreed = top.join(ml, Seq("a_id", "b_id")).count() > 0
+      sliceModel.unpersist() // every action above is eager; the fit cache is done
       import s.implicits._
       Seq((nOurs > 0 && nMl > 0,
           nCore.toDouble / math.max(nOurs, nMl) >= 0.9,
@@ -1159,6 +1164,14 @@ object SparkEntry {
       TextAnalysis.domainMixWeights(docs(s, d), "source", alpha = 0.5)
         .select(col("domain"), col("n"), round(col("p"), 6).as("p6"),
           round(col("weight"), 6).as("w6"))
+        .orderBy("domain")),
+    "text_mix_sample" -> ((s, d) =>
+      // APPLY the domain mixture: deterministic hash-threshold sampling at
+      // rate min(1, w_d*N/n_d) per domain — per-domain kept counts + rates
+      TextAnalysis.sampleToMixture(docs(s, d), "doc_id", "source", alpha = 0.5)
+        .groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(first(col("sample_rate")), 6).as("rate6"))
         .orderBy("domain")),
     "text_repetition" -> ((s, d) =>
       // Gopher-style repetition signals; exact small-int ratios, rounded
@@ -2136,6 +2149,20 @@ object SparkEntry {
       z AS (SELECT sum(pow(p, 0.5)) AS z FROM r)
       SELECT r.domain, r.n, round(r.p, 6) AS p6, round(pow(r.p, 0.5) / z.z, 6) AS w6
       FROM r, z ORDER BY r.domain""",
+    "text_mix_sample" -> """
+      WITH c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),
+      t AS (SELECT sum(n) AS total FROM c),
+      r AS (SELECT domain, n, CAST(n AS DOUBLE) / total AS p FROM c, t),
+      z AS (SELECT sum(pow(p, 0.5)) AS z FROM r),
+      rate AS (SELECT domain,
+                 least(1.0, (pow(p, 0.5) / z.z) * total / n) AS sample_rate
+               FROM r, z, t),
+      kept AS (SELECT d.source AS domain, rate.sample_rate FROM documents d
+               JOIN rate ON d.source = rate.domain
+               WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     / 4294967296.0 < rate.sample_rate)
+      SELECT domain, count(*) AS n_kept, round(any_value(sample_rate), 6) AS rate6
+      FROM kept GROUP BY domain ORDER BY domain""",
     "dedup_substring_pairs" -> """
       WITH p AS (SELECT doc_id,
           CASE WHEN doc_id < 6 THEN text || ' colorless green ideas sleep furiously beside the quick brown fox while the archive replicates itself verbatim'

@@ -232,6 +232,34 @@ object TextAnalysis {
         (col("__praw") / col("__z")).as("weight"))
   }
 
+  /** Deterministic domain-mixture sampling — APPLY the
+    * [[domainMixWeights]] mixture to the corpus: each domain is sampled at
+    * `rate_d = min(1, weight_d · N / n_d)` (the rate that reshapes the
+    * corpus toward the temperature-scaled mixture without replication), and
+    * membership is decided by a per-document HASH threshold
+    * (`md5(id) prefix / 2^32 < rate_d`), not a random draw — the sample is
+    * reproducible across runs, cluster sizes, and engines, which is what a
+    * training-data pipeline needs for provenance. Adds `sample_rate` to the
+    * kept rows.
+    *
+    * Scale shape: the rate table is |domains| rows (a broadcast); the
+    * corpus side is one narrow filter on a hash prefix — no shuffle of the
+    * 100 TB side at all.
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val weights = domainMixWeights(df, domainCol, alpha)
+    val total = weights.agg(sum("n").as("__total"))
+    val rates = weights.crossJoin(broadcast(total))
+      .select(col("domain").as("__mix_domain"),
+        least(lit(1.0), col("weight") * col("__total") / col("n")).as("sample_rate"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    df.join(broadcast(rates), df(domainCol) === col("__mix_domain"))
+      .where(u < col("sample_rate"))
+      .drop("__mix_domain")
+  }
+
   /** Repetition quality signals (Gopher-style): the occupancy of the most
     * frequent unigram/bigram and the fraction of bigram occurrences that are
     * repeats. High values flag degenerate/boilerplate text for filtering.

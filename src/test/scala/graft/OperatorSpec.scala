@@ -789,6 +789,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleToMixture: deterministic, upsamples small domains, broadcast-only corpus join") {
+    val d = docs.select(col("doc_id"), col("text"), col("source"))
+    val out = TextAnalysis.sampleToMixture(d, "doc_id", "source", alpha = 0.5)
+    val rates = out.groupBy("source").agg(
+        first(col("sample_rate")).as("rate"), count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rates.nonEmpty)
+    rates.values.foreach { case (rate, kept) =>
+      assert(rate > 0.0 && rate <= 1.0 && kept > 0) }
+    // temperature alpha<1 upsamples small domains: the smallest domain's
+    // rate must exceed the largest domain's
+    val counts = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = counts.minBy(_._2)._1; val largest = counts.maxBy(_._2)._1
+    if (smallest != largest)
+      assert(rates(smallest)._1 > rates(largest)._1,
+        s"alpha=0.5 must upsample $smallest over $largest: $rates")
+    // deterministic: same ids both runs
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextAnalysis.sampleToMixture(d, "doc_id", "source", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // corpus side never shuffles: the rate table joins in as a broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast-join the corpus:\n${plan.take(2000)}")
+  }
+
   test("withScopedCaches: repeated operator calls leave no registry growth or cached frames") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val before = SparkUtil.scopedCacheCount
