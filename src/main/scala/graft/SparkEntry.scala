@@ -1064,6 +1064,14 @@ object SparkEntry {
         .orderBy(col("cos6").desc, col("vec_id").asc)
         .limit(10)
     }),
+    "sim_recall_int8" -> ((s, d) =>
+      // int8 ranking fidelity: top-10 by dequantized-int8 cosine vs top-10
+      // by full-precision cosine for 20 queries, as a tolerance boolean —
+      // floor 0.7 with margin under the measured min recall of 0.90 at
+      // both sf0.01 and sf0.1 (avg 0.98); fully deterministic tie rule
+      SimSearch.int8RecallEval(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 20, k = 10, recallFloor = 0.7)
+        .orderBy("qid")),
     "sim_recall_ivf" -> ((s, d) =>
       // IVF quality made oracle-checkable (the sim_recall_eval pattern):
       // recall@10 of the trained-IVF probe vs exact brute force for 20
@@ -2099,6 +2107,9 @@ object SparkEntry {
         array_to_string(list_sort(b.bucket_ids), ',') AS bucket_ids_str
       FROM sig s JOIN buck b USING (doc_id) ORDER BY s.doc_id""",
     "sim_recall_ivf" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "sim_recall_int8" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_topk_int8" -> """

@@ -227,6 +227,38 @@ object SimSearch {
         (coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
           .cast("double") / k >= recallFloor).as("recall_ok"))
   }
+
+  /** Ranking fidelity of int8 embedding quantization: recall@k of the
+    * top-k by cosine over DEQUANTIZED int8 codes vs the top-k by
+    * full-precision cosine, per query — the end-to-end "4× compression
+    * does not destroy the ranking" guarantee a quantized embedding store
+    * must give before it replaces the fp store at 100 TB. Fully
+    * deterministic (both rankings share the bounded-heap top-k's
+    * (-score, id) tie rule), emitted as a per-query tolerance boolean
+    * like [[ivfRecallEval]].
+    */
+  def int8RecallEval(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, recallFloor: Double = 0.8): DataFrame = {
+    import graft.functions.{VectorFunctions => V, TopKAgg}
+    val base = graft.SparkUtil.ensureParallelism(emb)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("scale", V.int8Scale(col("v")))
+      .withColumn("dq",
+        V.dequantizeInt8(V.quantizeInt8(col("v"), col("scale")), col("scale")))
+    val q = broadcast(base.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"), col("dq").as("qdq")))
+    val paired = graft.SparkUtil.scopedPersist(
+      base.crossJoin(q).where(col("id") =!= col("qid")))
+    def topIds(score: Column, out: String): DataFrame = paired
+      .select(col("qid"), col("id"), score.as("c"))
+      .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as(out))
+    topIds(V.cosine(col("v"), col("qv")), "ids")
+      .join(topIds(V.cosine(col("dq"), col("qdq")), "i8_ids"), Seq("qid"))
+      .select(col("qid"),
+        (size(array_intersect(col("i8_ids"), col("ids"))).cast("double") / k
+          >= recallFloor).as("recall_ok"))
+  }
 }
 
 /** A trained IVF index: the (nLists × dim) centroid table (driver-side —
