@@ -789,6 +789,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("int8RecallEval: quantized ranking clears the recall floor on real embeddings") {
+    val r = SimSearch.int8RecallEval(emb, "vec_id", "embedding",
+        nQueries = 10, k = 10, recallFloor = 0.7)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(1)).toMap
+    assert(r.size == 10 && r.values.forall(identity),
+      s"int8 top-10 must stay within the recall floor of fp top-10: $r")
+    // floor 1.01 is unsatisfiable: the boolean must actually depend on recall
+    val strict = SimSearch.int8RecallEval(emb, "vec_id", "embedding", 5, 10, 1.01)
+      .collect().map(_.getBoolean(1))
+    assert(strict.forall(!_), "an unsatisfiable floor must fail every query")
+  }
+
   test("sampleToMixture: deterministic, upsamples small domains, broadcast-only corpus join") {
     val d = docs.select(col("doc_id"), col("text"), col("source"))
     val out = TextAnalysis.sampleToMixture(d, "doc_id", "source", alpha = 0.5)
