@@ -637,6 +637,18 @@ object SparkEntry {
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(T.tokenize(col("text"), unicode = true), " ").as("tokens_str"))
         .orderBy("doc_id")),
+    "fn_tokenize_unicode_agree" -> ((s, d) =>
+      // the checkable HALF of unicode mode: on text with no non-ASCII
+      // word chars, `(?U)\w` and ASCII `\w` are the same class, so the
+      // unicode tokenizer must equal the ASCII kernel token-for-token —
+      // a per-doc boolean DuckDB can assert as constant true (the
+      // non-ASCII half stays rows-only; KernelSpec covers its semantics)
+      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        (!col("text").rlike("[^\\x00-\\x7F]") &&
+          T.tokenize(col("text"), unicode = true) <=> T.tokenize(col("text")))
+          .as("ascii_and_equal"))
+        .where(col("ascii_and_equal"))
+        .orderBy("doc_id")),
     "fn_tokenize_sql" -> ((s, d) => {
       // the registered SQL surface (GraftExtensions) end-to-end: identical
       // expression tree to fn_tokenize, reached through SQL text
@@ -868,6 +880,25 @@ object SparkEntry {
     "dedup_minhash_pairs_fast" -> ((s, d) => // no SQL oracle (xxhash mode)
       fitted(s, d, cfg16.copy(mode = XxFast)).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
+    "dedup_mode_agreement" -> ((s, d) => {
+      // the fast (xxhash64) near-dup pair set vs the oracle-checked md5
+      // pair set at the same config and threshold: both families estimate
+      // the same jaccard, and at gate scale the corpus similarity
+      // structure is bimodal (every admitted pair estimates >= 0.75 =
+      // threshold + 2 estimator sd, nothing else reaches 0.5), so the
+      // sets must be EQUAL — this upgrades the rows-only
+      // dedup_minhash_pairs_fast to an end-to-end cross-checked mode.
+      // Measured: sets identical at sf0.001 (28 = 28) and sf0.01 (25 = 25).
+      val md5P = SparkUtil.scopedPersist(fitted(s, d, cfg16)
+        .approxSimilarityJoin(0.5).select(col("a_id"), col("b_id")))
+      val fastP = SparkUtil.scopedPersist(fitted(s, d, cfg16.copy(mode = XxFast))
+        .approxSimilarityJoin(0.5).select(col("a_id"), col("b_id")))
+      val (nM, nF) = (md5P.count(), fastP.count())
+      val nBoth = md5P.join(fastP, Seq("a_id", "b_id")).count()
+      import s.implicits._
+      Seq((nM > 0, nM == nF && nBoth == nM))
+        .toDF("nonempty", "pair_sets_equal")
+    }),
     "dedup_simhash_pairs" -> ((s, d) => // no SQL oracle (xxhash internals)
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
         .orderBy("a_id", "b_id")),
@@ -2209,6 +2240,11 @@ object SparkEntry {
     "ann_mllib_agreement" -> """
       SELECT true AS both_nonempty, true AS overlap_strong,
         true AS top_pair_agreed""",
+    "dedup_mode_agreement" -> """
+      SELECT true AS nonempty, true AS pair_sets_equal""",
+    "fn_tokenize_unicode_agree" -> """
+      SELECT doc_id, true AS ascii_and_equal FROM documents
+      WHERE NOT regexp_matches(text, '[^\x00-\x7F]') ORDER BY doc_id""",
     "fn_jaccard_approx" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT c.doc_id,
