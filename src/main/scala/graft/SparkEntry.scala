@@ -994,6 +994,19 @@ object SparkEntry {
         nBits = 4)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
         .orderBy("a_id", "b_id")),
+    "dedup_embedding_clusters" -> ((s, d) => {
+      // SemDeDup-style semantic cluster dedup: embedding cosine near-dup
+      // pairs → connected components → keep each cluster's min id plus all
+      // singletons. The gate scores pairs with the brute generator (the
+      // oracle's own formula); the sign-bucketed generator is the declared
+      // 100 TB path (dedup_embedding_bucketed) and the component machinery
+      // is shared with dedup_cluster_keep.
+      val e = tbl(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val pairs = Dedup.embeddingPairsBrute(e, "vec_id", "embedding", 0.35)
+      Dedup.dropNearDuplicateClusters(e, "vec_id", pairs)
+        .select("vec_id").orderBy("vec_id")
+    }),
     "dedup_exact_groups" -> ((s, d) => {
       // duplicate-group diagnostic over a corpus with planted exact copies
       // (the base corpus is dup-free at gate scale)
@@ -2512,6 +2525,27 @@ object SparkEntry {
         WHERE len(a.sh) > 0 AND len(b.sh) > 0)
       SELECT a_id, b_id, round(containment, 6) AS cont6 FROM scored
       WHERE containment >= 0.8 ORDER BY a_id, b_id""",
+    "dedup_embedding_clusters" -> """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+      jp AS (SELECT a_id, b_id FROM pairs WHERE cosine >= 0.35),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+                UNION SELECT b_id, a_id FROM jp),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS label
+                 FROM reach GROUP BY src),
+      losers AS (SELECT id FROM labels WHERE label < id)
+      SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+      WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""",
     "dedup_embedding_pairs" -> """
       WITH pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
