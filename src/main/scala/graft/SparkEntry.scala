@@ -1210,6 +1210,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logprob"), 6).as("avg_logprob6"))
         .orderBy("doc_id")),
+    "text_gopher_rules" -> ((s, d) =>
+      // the published Gopher rule set (Rae et al. 2021 A1.1) as per-rule
+      // booleans + conjunction; every signal an exact int or int-ratio
+      TextAnalysis.withGopherRules(SparkUtil.ensureParallelism(docs(s, d)), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mwl6"),
+          round(col("symbol_ratio"), 6).as("sym6"),
+          round(col("alpha_word_frac"), 6).as("alpha6"), col("stop_hits"),
+          col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
+          col("r_bullet_lines"), col("r_ellipsis_lines"), col("r_alpha_words"),
+          col("r_stopwords"), col("gopher_pass"))
+        .orderBy("doc_id")),
+    "text_dsir_weights" -> ((s, d) =>
+      // DSIR importance weights toward the English slice: hashed-unigram
+      // (md5-prefix mod 1024) target/source log-ratio, micro-nat exact sum
+      TextAnalysis.dsirImportanceWeights(docs(s, d), "doc_id", "text",
+        col("lang") === "en", buckets = 1024)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("log_weight"), 6).as("log_w6"),
+          round(col("avg_log_weight"), 6).as("avg_log_w6"))
+        .orderBy("doc_id")),
     "text_mix_weights" -> ((s, d) =>
       // temperature-scaled domain sampling weights (alpha = 0.5 upsamples
       // small domains) over the corpus `source` column
@@ -2196,6 +2217,64 @@ object SparkEntry {
               FROM p JOIN lp USING (token) GROUP BY 1)
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
         round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_gopher_rules" -> s"""
+      WITH base AS (SELECT doc_id, text, $tokenizeSql AS tokens,
+          string_split(text, chr(10)) AS lines FROM documents),
+      sig AS (SELECT doc_id,
+          len(tokens) AS n_words,
+          CAST(coalesce(list_sum(list_transform(tokens, t -> len(t))), 0) AS DOUBLE)
+            / greatest(len(tokens), 1) AS mwl,
+          (len(text) - len(replace(text, '#', ''))) +
+            ((len(text) - len(replace(text, '...', ''))) // 3) AS n_sym,
+          len(list_filter(lines, l ->
+            list_contains(['-', '*', '•'], substr(trim(l), 1, 1)))) AS n_bullet,
+          len(list_filter(lines, l ->
+            (len(l) >= 3 AND substr(l, len(l) - 2, 3) = '...')
+            OR (len(l) >= 1 AND substr(l, len(l), 1) = '…'))) AS n_ell,
+          len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+          len(list_filter(['the','be','to','of','and','that','have','with'],
+            w -> list_contains(tokens, w))) AS stop_hits,
+          greatest(len(lines), 1) AS n_lines,
+          greatest(len(tokens), 1) AS dw
+        FROM base)
+      SELECT doc_id, n_words, round(mwl, 6) AS mwl6,
+        round(CAST(n_sym AS DOUBLE) / dw, 6) AS sym6,
+        round(CAST(n_alpha AS DOUBLE) / dw, 6) AS alpha6, stop_hits,
+        (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        (mwl BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+        (CAST(n_sym AS DOUBLE) / dw <= 0.1) AS r_symbol_ratio,
+        (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS r_bullet_lines,
+        (CAST(n_ell AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis_lines,
+        (CAST(n_alpha AS DOUBLE) / dw >= 0.8) AS r_alpha_words,
+        (stop_hits >= 2) AS r_stopwords,
+        ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+          AND (CAST(n_sym AS DOUBLE) / dw <= 0.1)
+          AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+          AND (CAST(n_ell AS DOUBLE) / n_lines <= 0.3)
+          AND (CAST(n_alpha AS DOUBLE) / dw >= 0.8)
+          AND (stop_hits >= 2)) AS gopher_pass
+      FROM sig ORDER BY doc_id""",
+    "text_dsir_weights" -> s"""
+      WITH toks AS (SELECT doc_id, lang, $tokenizeSql AS tokens FROM documents),
+      occ AS (SELECT doc_id, (lang = 'en') AS is_t,
+          CAST('0x' || substr(md5(token), 1, 8) AS UBIGINT) % 1024 AS b
+        FROM (SELECT doc_id, lang, unnest(tokens) AS token FROM toks)),
+      c AS (SELECT b, count(*) AS cs,
+              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+            FROM occ GROUP BY 1),
+      t AS (SELECT sum(cs) AS s_tot, sum(ct) AS t_tot FROM c),
+      lr AS (SELECT b,
+               CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(t_tot + 1024 AS DOUBLE))
+                         - ln(CAST(cs + 1 AS DOUBLE) / CAST(s_tot + 1024 AS DOUBLE)))
+                 * 1e6) AS BIGINT) AS lri
+             FROM c, t),
+      per AS (SELECT doc_id, count(*) AS n_tokens, sum(lri) AS s
+              FROM occ JOIN lr USING (b) GROUP BY 1)
+      SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        round(CAST(per.s AS DOUBLE) / 1e6, 6) AS log_w6,
+        round(CAST(round(CAST(per.s AS DOUBLE) / per.n_tokens) AS BIGINT)
+          / 1e6, 6) AS avg_log_w6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_mix_weights" -> """
       WITH c AS (SELECT source AS domain, count(*) AS n FROM documents GROUP BY 1),

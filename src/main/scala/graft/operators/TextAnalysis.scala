@@ -466,6 +466,124 @@ object TextAnalysis {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Gopher-style document quality rules (the published rule set of Rae et
+    * al. 2021, Appendix A1.1 — the standard pre-filter of web-crawl
+    * curation pipelines). Adds the raw signals and one boolean per rule:
+    *
+    *  - `r_word_count`:    50 ≤ word count ≤ 100,000
+    *  - `r_mean_word_len`: 3 ≤ mean word length ≤ 10
+    *  - `r_symbol_ratio`:  (# of `#` + `...` symbols) / words ≤ 0.1
+    *  - `r_bullet_lines`:  ≤ 90% of lines start with a bullet (`-`/`*`/`•`)
+    *  - `r_ellipsis_lines`: ≤ 30% of lines end with `...`/`…`
+    *  - `r_alpha_words`:   ≥ 80% of words contain a letter
+    *  - `r_stopwords`:     ≥ 2 of the 8 required English stop words present
+    *
+    * and `gopher_pass` = conjunction. Every signal is an exact integer (or
+    * a ratio of two exact integers), so the booleans are bit-stable across
+    * engines and cluster sizes. Distributed shape: ZERO shuffles — one
+    * narrow projection per row inside the scan pipeline, scaling exactly as
+    * the scan does at 100 TB.
+    */
+  def withGopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = col("__toks_gr")
+    val lines = col("__lines_gr")
+    val nWords = col("n_words")
+    val denomW = greatest(nWords, lit(1)).cast("double")
+    val bulletStart = (l: Column) =>
+      substring(trim(l), 1, 1).isin("-", "*", "•")
+    val ellipsisEnd = (l: Column) =>
+      (length(l) >= 3 && l.substr(length(l) - 2, lit(3)) === "...") ||
+        (length(l) >= 1 && l.substr(length(l), lit(1)) === "…")
+    val required = lit(Array("the", "be", "to", "of", "and", "that", "have", "with"))
+    df.withColumn("__toks_gr", T.tokenize(t))
+      .withColumn("__lines_gr", split(t, "\n"))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / denomW)
+      .withColumn("__n_symbols",
+        (length(t) - length(regexp_replace(t, "#", ""))).cast("long") +
+          ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("symbol_ratio", col("__n_symbols").cast("double") / denomW)
+      .withColumn("__n_lines", greatest(size(lines), lit(1)).cast("double"))
+      .withColumn("bullet_frac",
+        size(filter(lines, bulletStart)).cast("double") / col("__n_lines"))
+      .withColumn("ellipsis_frac",
+        size(filter(lines, ellipsisEnd)).cast("double") / col("__n_lines"))
+      .withColumn("alpha_word_frac",
+        size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / denomW)
+      .withColumn("stop_hits",
+        size(filter(required, w => array_contains(toks, w))).cast("long"))
+      .withColumn("r_word_count", nWords.between(50L, 100000L))
+      .withColumn("r_mean_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullet_lines", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis_lines", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_alpha_words", col("alpha_word_frac") >= 0.8)
+      .withColumn("r_stopwords", col("stop_hits") >= 2L)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stopwords"))
+      .drop("__toks_gr", "__lines_gr", "__n_symbols", "__n_lines")
+  }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much more
+    * likely its hashed-unigram features are under a TARGET distribution
+    * (e.g. the wiki-like slice of the corpus) than under the overall SOURCE
+    * distribution — `log w(d) = Σ_tokens [log p̂_target(b) − log p̂_source(b)]`
+    * with the hashing trick (`b = md5-prefix(token) mod buckets`) and
+    * add-one smoothing. High-weight docs are the ones importance resampling
+    * keeps when curating toward the target domain.
+    *
+    * Adds `n_tokens`, `log_weight`, `avg_log_weight` (null log-weights for
+    * empty docs). Like [[withUnigramLogProb]], each bucket's log-ratio is
+    * quantized to integer MICRO-NATS so the per-doc sum is exact and
+    * order-independent — plain partial-aggregable aggregates throughout.
+    *
+    * Scale shape: the hashing trick makes the feature table AT MOST
+    * `buckets` rows regardless of corpus size — always broadcastable — so
+    * the only occurrence-level exchange is the map-side-combined
+    * (bucket, count) aggregate; the per-doc sum is a broadcast-join +
+    * combined (id, sum) aggregate. No vocabulary-sized state anywhere.
+    */
+  def dsirImportanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val occ = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), isTarget.as("__is_t"),
+        explode(T.tokenize(col(textCol))).as("token"))
+      .select(col(idCol), col("__is_t"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") %
+          buckets).as("__b"))
+    val counts = occ.groupBy("__b")
+      .agg(count(lit(1)).as("__cs"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
+    val totals = counts.agg(sum("__cs").as("__S"), sum("__ct").as("__T"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round((log((col("__ct") + 1).cast("double") /
+                   (col("__T") + buckets).cast("double")) -
+               log((col("__cs") + 1).cast("double") /
+                   (col("__S") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("__lri"))
+    val perDoc = occ.join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lri").as("__s"))
+      .select(col(idCol), col("n_tokens"), col("__s").as("log_weight_micro"),
+        (col("__s").cast("double") / 1e6).as("log_weight"),
+        // avg rounded to integer micro-nats BEFORE the 1e-6 scale-down:
+        // s/n lands on exact .5 micro-nat ties (both engines round those
+        // half-away-from-zero on exact doubles), while s/1e6/n puts the
+        // tie at the 7th decimal of a non-representable double where
+        // engine rounding diverges
+        (round(col("__s").cast("double") / col("n_tokens")).cast("long")
+          .cast("double") / 1e6).as("avg_log_weight"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
   /** Winnowing fingerprints (the MOSS document-fingerprinting scheme) over
     * whitespace-normalized text: md5 every char `k`-gram, then keep the
     * MINIMUM hash of each sliding window of `w` consecutive gram hashes,

@@ -973,6 +973,66 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule trips on its crafted violation, clean doc passes all") {
+    import spark.implicits._
+    val goodBody = (1 to 60).map(i => s"word$i").mkString(
+      "the cat sat on that mat and we spoke of it with be to have ", " ", "")
+    val docs = Seq(
+      (1L, goodBody),                                    // passes everything
+      (2L, "the of and short"),                          // < 50 words
+      (3L, ("a " * 60).trim),                            // mean word len < 3
+      (4L, goodBody + (" #" * 20)),                      // symbol ratio > 0.1
+      (5L, (1 to 10).map(i => s"- bullet line $i").mkString("\n")), // 100% bullets
+      (6L, (1 to 10).map(i => s"line number $i...").mkString("\n")), // 100% ellipsis ends
+      (7L, goodBody.replaceAll("word\\d+", "12345")),    // alpha frac low
+      (8L, (1 to 60).map(i => s"zz$i").mkString(" ")))   // no required stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withGopherRules(docs, "text")
+      .orderBy("doc_id").collect()
+    def rule(i: Int, name: String): Boolean =
+      out(i).getAs[Boolean](name)
+    assert(rule(0, "gopher_pass"), "clean doc must pass the conjunction")
+    assert(!rule(1, "r_word_count") && !rule(1, "gopher_pass"))
+    assert(!rule(2, "r_mean_word_len"))
+    assert(!rule(3, "r_symbol_ratio"))
+    assert(!rule(4, "r_bullet_lines"))
+    assert(!rule(5, "r_ellipsis_lines"))
+    assert(!rule(6, "r_alpha_words"))
+    assert(!rule(7, "r_stopwords"))
+    // every violation doc fails the conjunction
+    (1 to 7).foreach(i => assert(!rule(i, "gopher_pass"), s"doc ${i + 1}"))
+  }
+
+  test("dsirImportanceWeights: target-distinctive docs score high, off-target low") {
+    import spark.implicits._
+    // target docs share 'zebra quagga'; source-only docs share 'widget gadget'
+    val docs = (0L until 40L).map { i =>
+      val target = i < 10
+      val body =
+        if (target) "zebra quagga savanna " * 10
+        else "widget gadget factory " * 10
+      (i, body.trim, if (target) "en" else "zz")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirImportanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 256)
+      .select("doc_id", "avg_log_weight", "log_weight_micro").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val tAvg = (0L until 10L).map(out(_)._1).sum / 10
+    val sAvg = (10L until 40L).map(out(_)._1).sum / 30
+    assert(tAvg > 0 && sAvg < 0,
+      s"target tokens must up-weight (got $tAvg) and source-only down-weight ($sAvg)")
+    // micro-nat sum is exact: avg = round(micro/n)/1e6 for a spot doc
+    val n = 30 // 10 reps x 3 tokens
+    val spot = out(0L)
+    assert(spot._1 == math.round(spot._2.toDouble / n) / 1e6)
+    // empty doc: null weight, zero tokens
+    val empty = TextAnalysis.dsirImportanceWeights(
+      Seq((1L, "", "en")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", col("lang") === "en").collect()(0)
+    assert(empty.getAs[Long]("n_tokens") == 0L && empty.isNullAt(
+      empty.fieldIndex("avg_log_weight")))
+  }
+
   test("xx128 SQL kernels skip/propagate nulls instead of NPE-ing") {
     val got = spark.sql(
       """SELECT graft_minhash_xx128(array('a', CAST(NULL AS STRING), 'b'), 4) AS s1,
