@@ -1210,6 +1210,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logprob"), 6).as("avg_logprob6"))
         .orderBy("doc_id")),
+    "text_bigram_backoff" -> ((s, d) =>
+      // held-out bigram LM with stupid backoff: counts trained on even
+      // doc_ids, scored over every doc (unseen bigrams exercise backoff)
+      TextAnalysis.withBigramLogProb(docs(s, d), "doc_id", "text",
+        col("doc_id") % 2 === 0, alpha = 0.4)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logscore"), 6).as("avg_ls6"))
+        .orderBy("doc_id")),
     "text_gopher_rules" -> ((s, d) =>
       // the published Gopher rule set (Rae et al. 2021 A1.1) as per-rule
       // booleans + conjunction; every signal an exact int or int-ratio
@@ -2217,6 +2225,33 @@ object SparkEntry {
               FROM p JOIN lp USING (token) GROUP BY 1)
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
         round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_bigram_backoff" -> s"""
+      WITH toks AS (SELECT doc_id, (doc_id % 2 = 0) AS is_train,
+          $tokenizeSql AS tokens FROM documents),
+      occ AS (SELECT doc_id, is_train, unnest(tokens) AS token FROM toks),
+      bg AS (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(tokens)),
+                 i -> tokens[i] || ' ' || tokens[i + 1])) AS bigram
+             FROM toks),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE is_train GROUP BY 1),
+      c1 AS (SELECT token, count(*) AS c1 FROM occ WHERE is_train GROUP BY 1),
+      t AS (SELECT sum(c1) AS n, count(*) AS v FROM c1),
+      sc AS (SELECT b.doc_id,
+               CAST(round(ln(CASE WHEN c2.c2 IS NOT NULL
+                   THEN CAST(c2.c2 AS DOUBLE) / w1.c1
+                   ELSE 0.4 * CAST(coalesce(w2.c1, 0) + 1 AS DOUBLE)
+                        / CAST(t.n + t.v AS DOUBLE) END) * 1e6) AS BIGINT) AS lsi
+             FROM bg b
+             LEFT JOIN c2 ON b.bigram = c2.bigram
+             LEFT JOIN c1 w1 ON string_split(b.bigram, ' ')[1] = w1.token
+             LEFT JOIN c1 w2 ON string_split(b.bigram, ' ')[-1] = w2.token
+             CROSS JOIN t),
+      per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lsi) AS s
+              FROM sc GROUP BY 1)
+      SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+        round(CAST(round(CAST(per.s AS DOUBLE) / per.n_bigrams) AS BIGINT)
+          / 1e6, 6) AS avg_ls6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_gopher_rules" -> s"""
       WITH base AS (SELECT doc_id, text, $tokenizeSql AS tokens,

@@ -466,6 +466,73 @@ object TextAnalysis {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Bigram-LM quality score with STUPID BACKOFF (Brants et al. 2007 — the
+    * web-scale scoring scheme: no discounting to train, just
+    * `S(w2|w1) = c(w1 w2)/c(w1)` when the bigram was seen, else
+    * `α · (c(w2)+1)/(N+V)` from the unigram distribution). Counts are
+    * TRAINED on a held-out slice (`trainFilter`) and scored over every
+    * document, so unseen bigrams — and the backoff path — genuinely occur,
+    * which is what makes the score a perplexity filter rather than a
+    * self-fit tautology. Adds `n_bigrams` and `avg_logscore` (null for docs
+    * with < 2 tokens).
+    *
+    * Determinism: per-bigram log-scores quantize to integer micro-nats
+    * ([[withUnigramLogProb]]'s trick), so per-doc sums are exact,
+    * order-independent, plain partial-aggregable.
+    *
+    * Scale shape: count tables are corpus-vocabulary sized (NOT bounded),
+    * so they are never force-broadcast — the three occurrence-level joins
+    * are equi-joins on bigram/token keys that AQE broadcasts only when the
+    * vocabulary is actually small; every aggregate is map-side combined.
+    */
+  def withBigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), trainFilter.as("__is_train"),
+        T.tokenize(col(textCol)).as("__toks"))
+    val toks = base.select(col(idCol), col("__is_train"),
+      explode(col("__toks")).as("token"))
+    // guard: sequence(1, n-1) for n < 2 would produce a DESCENDING range
+    // (and OOB element_at under ANSI); short docs get no bigram rows
+    val bigrams = base
+      .select(col(idCol), col("__is_train"),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val c2 = bigrams.where(col("__is_train"))
+      .groupBy("bigram").agg(count(lit(1)).as("__c2"))
+    val c1 = toks.where(col("__is_train"))
+      .groupBy("token").agg(count(lit(1)).as("__c1"))
+    val tot = c1.agg(sum("__c1").as("__N"),
+      count(lit(1)).cast("long").as("__V"))
+    val scored = bigrams
+      .join(c2, Seq("bigram"), "left")
+      .join(c1.select(col("token").as("w1"), col("__c1").as("__cw1")),
+        Seq("w1"), "left")
+      .join(c1.select(col("token").as("w2"), col("__c1").as("__cw2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        round(log(when(col("__c2").isNotNull,
+            col("__c2").cast("double") / col("__cw1"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("__cw2"), lit(0L)) + 1).cast("double") /
+            (col("__N") + col("__V")).cast("double"))) * 1e6)
+          .cast("long").as("__lsi"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lsi").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (round(col("__s").cast("double") / col("n_bigrams")).cast("long")
+          .cast("double") / 1e6).as("avg_logscore"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** Gopher-style document quality rules (the published rule set of Rae et
     * al. 2021, Appendix A1.1 — the standard pre-filter of web-crawl
     * curation pipelines). Adds the raw signals and one boolean per rule:

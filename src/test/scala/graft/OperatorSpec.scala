@@ -973,6 +973,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLogProb: held-out backoff fires on unseen bigrams; fluent docs outscore") {
+    import spark.implicits._
+    // train slice (even ids) is fluent "a b c d" chains; odd ids: one doc
+    // repeats a trained bigram, one is vocabulary-alien (pure backoff)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta " * 5),
+      (2L, "alpha beta gamma delta " * 5),
+      (1L, "alpha beta alpha beta alpha beta"),   // seen bigrams + unseen "beta alpha"
+      (3L, "zork quux blorp zork quux blorp"),    // every bigram + unigram unseen
+      (5L, "alpha"),                              // < 2 tokens -> null
+      (7L, ""))                                   // empty -> null
+      .map { case (i, t) => (i, t.trim) }.toDF("doc_id", "text")
+    val out = TextAnalysis.withBigramLogProb(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+      .select("doc_id", "n_bigrams", "avg_logscore").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 19 && out(0L).getDouble(2) > out(1L).getDouble(2),
+      "fluent doc must outscore the partially-unseen doc")
+    assert(out(1L).getDouble(2) > out(3L).getDouble(2),
+      "partially-seen doc must outscore the fully-backoff doc")
+    assert(out(3L).getDouble(2) < math.log(0.4),
+      "alien doc must live entirely below the backoff ceiling")
+    assert(out(5L).getLong(1) == 0L && out(5L).isNullAt(2), "1-token doc null")
+    assert(out(7L).getLong(1) == 0L && out(7L).isNullAt(2), "empty doc null")
+  }
+
   test("gopherRules: each rule trips on its crafted violation, clean doc passes all") {
     import spark.implicits._
     val goodBody = (1 to 60).map(i => s"word$i").mkString(
