@@ -935,6 +935,13 @@ object SparkEntry {
       Dedup.dropNearDuplicateClusters(docs(s, d), "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_cluster_best" -> ((s, d) => {
+      // cluster dedup keeping the LONGEST member per near-dup cluster
+      // (score = n_chars, ties by min id) — the curation-grade variant
+      val pairs = fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+      Dedup.keepBestPerCluster(docs(s, d), "doc_id", pairs, "n_chars")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_snapshot_diff" -> ((s, d) => {
       // crawl-to-crawl delta: old = ids < 400, new = ids >= 100 with every
       // 7th doc's text mutated -> added/removed/changed/unchanged per id
@@ -2552,6 +2559,31 @@ object SparkEntry {
       labels AS (SELECT src AS id, least(src, min(dst)) AS label
                  FROM reach GROUP BY src),
       losers AS (SELECT id FROM labels WHERE label < id)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
+    "dedup_cluster_best" -> s"""
+      WITH RECURSIVE ${docCtes(cfg16).trim},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      cpair AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      jpair AS (
+        SELECT p.a_id, p.b_id FROM cpair p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jpair
+                UNION SELECT b_id, a_id FROM jpair),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS label
+                 FROM reach GROUP BY src),
+      ranked AS (SELECT l.id, l.label,
+                   row_number() OVER (PARTITION BY l.label
+                     ORDER BY d.n_chars DESC, l.id ASC) AS rn
+                 FROM labels l JOIN documents d ON l.id = d.doc_id),
+      losers AS (SELECT id FROM ranked WHERE rn > 1)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
     "dedup_snapshot_diff" -> """

@@ -375,6 +375,36 @@ object Dedup {
     docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
   }
 
+  /** Cluster-level dedup keeping the BEST-scoring member of each near-dup
+    * cluster (ties broken by min id) instead of [[dropNearDuplicateClusters]]'
+    * min-id convention — the production curation form: when a crawl holds
+    * five mirrors of a page, keep the longest / highest-quality capture,
+    * not the one with the accidentally-smallest id. `scoreCol` is any
+    * numeric column of `docs` (n_chars, a quality score, ...).
+    *
+    * Scale shape: identical to the min-id form — the winner decision runs
+    * on an (id, label, score) projection (never text), one map-side
+    * combined argmax per cluster via `max(struct(score, -id))`, and the
+    * kept set returns as a LEFT ANTI join of loser ids (unhinted; AQE
+    * broadcasts when the loser list is actually small).
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs) // (id, label), persisted+scoped
+    val scored = docs
+      .select(col(idCol).cast("long").as("__sid"),
+        col(scoreCol).cast("double").as("__score"))
+      .join(labels, col("__sid") === col("id"))
+      .select(col("label"), col("__sid"), col("__score"))
+    val best = scored.groupBy("label")
+      .agg(max(struct(col("__score").as("s"), (-col("__sid")).as("nid"))).as("w"))
+      .select(col("label"), (-col("w.nid")).as("__keep_id"))
+    val losers = labels.join(best, Seq("label"))
+      .where(col("id") =!= col("__keep_id"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
+  }
+
   /** Corpus snapshot diff — the crawl-to-crawl delta of an ingestion
     * pipeline: classify every id across two corpus versions as `added`
     * (new only), `removed` (old only), `changed` (both, different text) or

@@ -174,6 +174,27 @@ class OperatorSpec extends AnyFunSuite {
     assert((100L to 160L).forall(chainLabels(_) == 100L))
   }
 
+  test("keepBestPerCluster: argmax score wins (not min id), ties fall to min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a_id", "b_id")
+    // cluster {1,2,3}: best score is doc 3 (NOT the min id); {10,11}: tie
+    // on score -> min id 10; {20,21}: best is 20 (agrees with min id)
+    val docs = Seq(
+      (1L, 5.0), (2L, 7.0), (3L, 9.0),
+      (10L, 4.0), (11L, 4.0),
+      (20L, 8.0), (21L, 2.0),
+      (30L, 1.0)) // unclustered, always kept
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 10L, 20L, 30L),
+      s"expected argmax winners {3,10,20} + unclustered 30, got $kept")
+    // empty pair list: everything kept
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.keepBestPerCluster(docs, "doc_id", noPairs, "score").count() == 8)
+  }
+
   test("scrubPii: redacts emails/IPv4/phones with counts, leaves clean text alone") {
     val spark2 = spark
     import spark2.implicits._
