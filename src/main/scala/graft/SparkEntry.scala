@@ -942,6 +942,20 @@ object SparkEntry {
       Dedup.keepBestPerCluster(docs(s, d), "doc_id", pairs, "n_chars")
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_cluster_sizes" -> ((s, d) => {
+      // corpus-QA report: near-dup cluster size histogram (how much of the
+      // corpus is mirrored, and in how big clumps) — unclustered docs are
+      // size-1 singletons
+      val pairs = fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+      val labels = Dedup.connectedComponents(pairs)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as("doc_id"))
+      val withLabel = dd.join(labels, dd("doc_id") === labels("id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("label"))
+      withLabel.groupBy("label").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
     "dedup_snapshot_diff" -> ((s, d) => {
       // crawl-to-crawl delta: old = ids < 400, new = ids >= 100 with every
       // 7th doc's text mutated -> added/removed/changed/unchanged per id
@@ -1216,6 +1230,14 @@ object SparkEntry {
       TextAnalysis.withUnigramLogProb(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logprob"), 6).as("avg_logprob6"))
+        .orderBy("doc_id")),
+    "text_char_entropy" -> ((s, d) =>
+      // char-distribution Shannon entropy (gibberish signal); micro-nat
+      // quantized so the zero-shuffle fold hash-matches the oracle's
+      // group-and-sum form
+      TextAnalysis.withCharEntropy(SparkUtil.ensureParallelism(docs(s, d)), "text")
+        .select(col("doc_id"), col("n_distinct_chars"),
+          round(col("char_entropy"), 6).as("entropy6"))
         .orderBy("doc_id")),
     "text_bigram_backoff" -> ((s, d) =>
       // held-out bigram LM with stupid backoff: counts trained on even
@@ -2233,6 +2255,19 @@ object SparkEntry {
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
         round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                  FROM documents),
+      cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      per AS (SELECT doc_id, count(*) AS nd, sum(n) AS total,
+                sum(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e6)
+                  AS BIGINT)) AS s
+              FROM cc GROUP BY 1)
+      SELECT d.doc_id, coalesce(per.nd, 0) AS n_distinct_chars,
+        round(CAST(round((CAST(round(CAST(per.total AS DOUBLE)
+              * ln(CAST(per.total AS DOUBLE)) * 1e6) AS BIGINT) - per.s)
+            / CAST(per.total AS DOUBLE)) AS BIGINT) / 1e6, 6) AS entropy6
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_bigram_backoff" -> s"""
       WITH toks AS (SELECT doc_id, (doc_id % 2 = 0) AS is_train,
           $tokenizeSql AS tokens FROM documents),
@@ -2586,6 +2621,29 @@ object SparkEntry {
       losers AS (SELECT id FROM ranked WHERE rn > 1)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
+    "dedup_cluster_sizes" -> s"""
+      WITH RECURSIVE ${docCtes(cfg16).trim},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      cpair AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      jpair AS (
+        SELECT p.a_id, p.b_id FROM cpair p
+        JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+        WHERE CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+          / least(len(sa.signature), len(sb.signature)) AS FLOAT4) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jpair
+                UNION SELECT b_id, a_id FROM jpair),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS label
+                 FROM reach GROUP BY src),
+      lab AS (SELECT coalesce(l.label, d.doc_id) AS label
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+      szs AS (SELECT label, count(*) AS sz FROM lab GROUP BY 1)
+      SELECT sz AS cluster_size, count(*) AS n_clusters
+      FROM szs GROUP BY 1 ORDER BY 1""",
     "dedup_snapshot_diff" -> """
       WITH oldc AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
       newc AS (SELECT doc_id,

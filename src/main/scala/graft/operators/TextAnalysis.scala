@@ -307,6 +307,52 @@ object TextAnalysis {
       .drop("__toks_r", "__uni_st", "__bi_r", "__bi_st")
   }
 
+  /** Character-distribution Shannon entropy per document — the classic
+    * gibberish/degenerate-text signal (keyboard mash and repeated filler
+    * score far below prose; base64/hex blobs score far above it). Adds
+    * `n_distinct_chars` and `char_entropy` (nats, null for empty text),
+    * computed as `H = (n·ln n − Σ_c c·ln c) / n` over character counts.
+    *
+    * Determinism: each `c·ln c` term and the `n·ln n` term quantize to
+    * integer MICRO-NATS; the per-doc fold accumulates the TELESCOPED
+    * per-step delta `q(run) − q(run−1)` (which sums exactly to
+    * `Σ q(c_final)`), so the result is bit-identical to the oracle's
+    * group-and-sum form. The final average rounds to integer micro-nats
+    * before the 1e-6 scale-down (same tie-safety as
+    * [[dsirImportanceWeights]]).
+    *
+    * Distributed shape: ZERO shuffles — sort the char array and fold runs
+    * inside the scan's projection, exactly like [[withRepetitionMetrics]].
+    */
+  def withCharEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val chars = col("__chars_e")
+    val q = (c: Column) =>
+      round(c.cast("double") * log(c.cast("double")) * 1e6).cast("long")
+    val fold = aggregate(array_sort(chars),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("s"), lit(0L).as("nd")),
+      (acc, ch) => {
+        val run = when(ch === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(ch.as("prev"), run.as("run"),
+          (acc.getField("s") +
+            when(run >= 2, q(run) - q(run - 1)).otherwise(lit(0L))).as("s"),
+          (acc.getField("nd") +
+            when(run === 1, lit(1L)).otherwise(lit(0L))).as("nd"))
+      })
+    val n = col("__n_e")
+    df.withColumn("__chars_e",
+        regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0)))
+      .withColumn("__n_e", size(chars).cast("long"))
+      .withColumn("__st_e", fold)
+      .withColumn("n_distinct_chars", col("__st_e").getField("nd"))
+      .withColumn("char_entropy",
+        when(n > 0,
+          round((q(n) - col("__st_e").getField("s")).cast("double") / n)
+            .cast("long").cast("double") / 1e6))
+      .drop("__chars_e", "__n_e", "__st_e")
+  }
+
   /** Cross-document boilerplate removal, the segment-level dedup of a
     * training pipeline: split each document into consecutive `segTokens`
     * token segments (the corpus has no line structure, so fixed windows

@@ -994,6 +994,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropy: telescoped fold matches closed form; gibberish orders below prose") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = graft.operators.TextAnalysis.withCharEntropy(Seq(
+      (1L, "aab"),                       // H = ln3 - (2 ln2)/3
+      (2L, "aaaaaaaa"),                  // degenerate: H = 0
+      (3L, "the quick brown fox jumps"), // prose
+      (4L, "中文字符也算"),                // CJK chars count individually
+      (5L, ""))                          // empty: null
+      .toDF("doc_id", "text"), "text")
+      .select("doc_id", "n_distinct_chars", "char_entropy").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val expected1 = math.round((math.round(3 * math.log(3) * 1e6) -
+      math.round(2 * math.log(2) * 1e6)) / 3.0) / 1e6
+    assert(out(1L).getDouble(2) == expected1 && out(1L).getLong(1) == 2)
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getLong(1) == 1)
+    assert(out(3L).getDouble(2) > out(1L).getDouble(2) &&
+      out(1L).getDouble(2) > out(2L).getDouble(2),
+      "prose > skewed > degenerate entropy ordering")
+    assert(out(4L).getLong(1) == 6, "six distinct CJK chars")
+    assert(out(5L).isNullAt(2) && out(5L).getLong(1) == 0L, "empty text null entropy")
+  }
+
   test("bigramLogProb: held-out backoff fires on unseen bigrams; fluent docs outscore") {
     import spark.implicits._
     // train slice (even ids) is fluent "a b c d" chains; odd ids: one doc
