@@ -1231,6 +1231,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logprob"), 6).as("avg_logprob6"))
         .orderBy("doc_id")),
+    "text_compression_signal" -> ((s, d) => {
+      // DEFLATE-ratio gibberish signal (custom codegen'd kernel). DuckDB
+      // has no deflate, so the gate is the tolerance-boolean pattern:
+      // corpus-level bounds (measured 0.38-1.0, avg 0.527 at sf0.001 AND
+      // sf0.01) + the planted slogan-vs-prose ordering the signal exists
+      // to detect (0.05 vs 0.77 — LZ77 sees repeated substrings that
+      // char-entropy cannot)
+      val slogan = "buy now limited offer " * 30
+      val prose = "the quick brown fox jumps over the lazy dog while " +
+        "carefully composing varied and informative sentences about " +
+        "science history art and engineering"
+      docs(s, d).select(T.deflateRatio(col("text")).as("r"))
+        .agg(count(lit(1)).as("n_docs"), min("r").as("__mn"),
+          avg("r").as("__av"), max("r").as("__mx"))
+        .select(col("n_docs"),
+          (col("__mn") > 0.2 && col("__mx") <= 1.1).as("ratios_bounded"),
+          col("__av").between(0.35, 0.7).as("avg_in_band"),
+          (T.deflateRatio(lit(slogan)) < 0.15 &&
+            T.deflateRatio(lit(prose)) > 0.5).as("probe_ordering"))
+    }),
     "text_char_entropy" -> ((s, d) =>
       // char-distribution Shannon entropy (gibberish signal); micro-nat
       // quantized so the zero-shuffle fold hash-matches the oracle's
@@ -2255,6 +2275,9 @@ object SparkEntry {
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
         round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_compression_signal" -> """
+      SELECT count(*) AS n_docs, true AS ratios_bounded, true AS avg_in_band,
+        true AS probe_ordering FROM documents""",
     "text_char_entropy" -> """
       WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
                   FROM documents),

@@ -96,6 +96,11 @@ object TextFunctions {
   /** Full text → distinct k-shingles pipeline. */
   def shingles(text: Column, k: Int): Column = kShingles(tokenize(text), k)
 
+  /** DEFLATE compressed/raw byte ratio — see [[DeflateRatio]]. */
+  def deflateRatio(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      DeflateRatio(org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
+
   /** Character n-grams (for n-gram Jaccard dedup): distinct sliding windows
     * of n characters over the normalized text. Custom expression — the HOF
     * form re-evaluates the normalization once per window (see [[CharNGrams]]).

@@ -109,6 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "one-shingle-per-row groups (the analyzer wraps it as an aggregate)",
       { case Seq(a, h) => MinHashMd5Agg(a, intArg("graft_minhash_md5_agg", h)) })
 
+    register(ext, "graft_deflate_ratio",
+      "graft_deflate_ratio(text) - DEFLATE compressed/raw byte ratio (0.0 for empty)",
+      { case Seq(a) => DeflateRatio(a) })
+
     // composite kernels: expand to the same native Column trees
     register(ext, "graft_tokenize",
       "graft_tokenize(text) - lower, punctuation->space, collapse, split",

@@ -320,4 +320,31 @@ class KernelSpec extends AnyFunSuite {
       .where(not(col("c") <=> col("h")))
     assert(bad.count() == 0)
   }
+
+  test("deflateRatio: total function, repeated-substring collapse, codegen path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // interpreted/constant-folded path
+    val folded = spark.sql(
+      """SELECT graft_deflate_ratio('') AS empty,
+                graft_deflate_ratio(CAST(NULL AS STRING)) AS nul,
+                graft_deflate_ratio(repeat('slogan ', 50)) AS rep,
+                graft_deflate_ratio('one small prose sentence here') AS prose
+      """).collect()(0)
+    assert(folded.getDouble(0) == 0.0, "empty text ratio 0.0 (total function)")
+    assert(folded.isNullAt(1), "null in, null out")
+    assert(folded.getDouble(2) < 0.1 && folded.getDouble(3) > 0.5 &&
+      folded.getDouble(2) < folded.getDouble(3),
+      "LZ77 must collapse the repeated slogan far below prose")
+    // whole-stage-codegen path on non-literal input must agree exactly
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = Seq("", "slogan " * 50, "one small prose sentence here")
+        .toDF("text")
+        .select(T.deflateRatio(col("text")).as("r")).collect().map(_.getDouble(0))
+      assert(rows(0) == 0.0 && rows(1) == folded.getDouble(2) &&
+        rows(2) == folded.getDouble(3),
+        "generated code must call the same kernel as nullSafeEval")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
