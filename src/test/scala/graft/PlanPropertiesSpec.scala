@@ -256,6 +256,38 @@ class PlanPropertiesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("keepBestPerCluster: winner decision never ships text; anti-join unhinted") {
+    // same contract as dropExactDuplicates: the argmax ranking rides on
+    // (id, label, score) projections only, and the loser removal is a
+    // plain LEFT ANTI with no forced broadcast (loser count scales with
+    // the corpus dup rate)
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val spark2 = spark
+      import spark2.implicits._
+      val pairs = Seq((0L, 50L), (0L, 82L)).toDF("a_id", "b_id")
+      val df = graft.operators.Dedup.keepBestPerCluster(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", pairs, "n_chars")
+      val shuffleOutputs = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+      shuffleOutputs.foreach { cols =>
+        assert(!cols.exists(_.toLowerCase.contains("text")),
+          s"an exchange ships the text column: $cols")
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"loser removal must be an anti-join:\n$plan")
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hinted.isEmpty, s"no forced broadcast hint allowed: $hinted")
+      graft.SparkUtil.releaseScopedCaches()
+    } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("text_unigram_logprob: partial-aggregable, no collect_list, one occurrence-level exchange") {
     // the round-7 finding: the old plan shuffled the token stream twice and
     // buffered each doc's full (pos, logp) list in one aggregation buffer;
