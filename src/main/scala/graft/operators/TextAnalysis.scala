@@ -556,20 +556,28 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("__c1"))
     val tot = c1.agg(sum("__c1").as("__N"),
       count(lit(1)).cast("long").as("__V"))
-    val scored = bigrams
+    // score DISTINCT bigram types, then join occurrences once: the three
+    // count lookups run on the (Zipf-small) type table, so only the
+    // partial-agg'd distinct and one equi-join touch occurrence rows —
+    // not three back-to-back occurrence-level shuffles
+    val types = bigrams.select("bigram", "w1", "w2").distinct()
+    val typeScores = types
       .join(c2, Seq("bigram"), "left")
       .join(c1.select(col("token").as("w1"), col("__c1").as("__cw1")),
         Seq("w1"), "left")
       .join(c1.select(col("token").as("w2"), col("__c1").as("__cw2")),
         Seq("w2"), "left")
       .crossJoin(broadcast(tot))
-      .select(col(idCol),
+      .select(col("bigram"),
         round(log(when(col("__c2").isNotNull,
             col("__c2").cast("double") / col("__cw1"))
           .otherwise(lit(alpha) *
             (coalesce(col("__cw2"), lit(0L)) + 1).cast("double") /
             (col("__N") + col("__V")).cast("double"))) * 1e6)
           .cast("long").as("__lsi"))
+    val scored = bigrams.select(col(idCol), col("bigram"))
+      .join(typeScores, Seq("bigram"))
+      .select(col(idCol), col("__lsi"))
     val perDoc = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum("__lsi").as("__s"))
       .select(col(idCol), col("n_bigrams"),
