@@ -1231,6 +1231,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logprob"), 6).as("avg_logprob6"))
         .orderBy("doc_id")),
+    "text_ccnet_buckets" -> ((s, d) =>
+      // CCNet perplexity bucketing at fixed micro-nat cutoffs (head ≥
+      // -3.40 nats, tail < -3.404 — calibrated to admit all three buckets
+      // at both gate scales); integer comparisons, no quantile window
+      TextAnalysis.ccnetBuckets(docs(s, d), "doc_id", "text",
+        headCutMicro = -3400000L, tailCutMicro = -3404000L)
+        .select(col("doc_id"), col("n_tokens"), col("ppl_bucket"))
+        .orderBy("doc_id")),
     "text_compression_signal" -> ((s, d) => {
       // DEFLATE-ratio gibberish signal (custom codegen'd kernel). DuckDB
       // has no deflate, so the gate is the tolerance-boolean pattern:
@@ -2275,6 +2283,25 @@ object SparkEntry {
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
         round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_ccnet_buckets" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      p AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      f AS (SELECT token, count(*) AS c FROM p GROUP BY 1),
+      t AS (SELECT sum(c) AS total FROM f),
+      lp AS (SELECT token,
+               CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+             FROM f, t),
+      per AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
+              FROM p JOIN lp USING (token) GROUP BY 1),
+      am AS (SELECT doc_id, n_tokens,
+               CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro
+             FROM per)
+      SELECT d.doc_id, coalesce(am.n_tokens, 0) AS n_tokens,
+        CASE WHEN am.avg_micro IS NULL THEN 'unscored'
+             WHEN am.avg_micro >= -3400000 THEN 'head'
+             WHEN am.avg_micro < -3404000 THEN 'tail'
+             ELSE 'middle' END AS ppl_bucket
+      FROM documents d LEFT JOIN am USING (doc_id) ORDER BY d.doc_id""",
     "text_compression_signal" -> """
       SELECT count(*) AS n_docs, true AS ratios_bounded, true AS avg_in_band,
         true AS probe_ordering FROM documents""",

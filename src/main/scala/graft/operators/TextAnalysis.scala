@@ -506,10 +506,37 @@ object TextAnalysis {
     val perDoc = toks.join(lp, Seq("token"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum("__lpi").as("__slpi"))
-      .select(col(idCol), col("n_tokens"),
+      .select(col(idCol), col("n_tokens"), col("__slpi").as("logprob_micro"),
         (col("__slpi").cast("double") / 1e6 / col("n_tokens")).as("avg_logprob"))
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): assign every
+    * document to `head` / `middle` / `tail` by its LM score against FIXED
+    * cutoffs (CCNet's design — cutoffs come from a reference model /
+    * calibration run, NOT from a corpus-wide quantile, so the operator is
+    * a pure narrow projection over [[withUnigramLogProb]] with no global
+    * sort or percentile window; a 100 TB corpus buckets in one pass).
+    * Cutoffs are INTEGER MICRO-NATS compared against the exact per-doc
+    * integer average — zero float-boundary ambiguity across engines or
+    * cluster sizes. Token-less docs get `unscored`.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      headCutMicro: Long, tailCutMicro: Long): DataFrame = {
+    require(headCutMicro > tailCutMicro,
+      s"head cutoff must exceed tail cutoff, got $headCutMicro <= $tailCutMicro")
+    withUnigramLogProb(df, idCol, textCol)
+      .withColumn("__avg_micro",
+        when(col("n_tokens") > 0,
+          round(col("logprob_micro").cast("double") / col("n_tokens"))
+            .cast("long")))
+      .withColumn("ppl_bucket",
+        when(col("__avg_micro").isNull, "unscored")
+          .when(col("__avg_micro") >= headCutMicro, "head")
+          .when(col("__avg_micro") < tailCutMicro, "tail")
+          .otherwise("middle"))
+      .drop("__avg_micro")
   }
 
   /** Bigram-LM quality score with STUPID BACKOFF (Brants et al. 2007 — the

@@ -994,6 +994,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnetBuckets: fixed integer cutoffs split head/middle/tail; empty doc unscored") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus where "common" dominates: docs of common tokens score high
+    // (head), docs of one-off tokens score low (tail)
+    val docs = ((0L until 8L).map(i => (i, "common common common")) ++
+      Seq((8L, ("rare" + 8) + " " + ("unique" + 8)), (9L, ""))).toDF("doc_id", "text")
+    // common: p = 24/26 -> avg ln p ~ -0.08 nats; rare tokens: ln(1/26) ~ -3.26
+    val out = TextAnalysis.ccnetBuckets(docs, "doc_id", "text",
+      headCutMicro = -1000000L, tailCutMicro = -2000000L)
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 8L).foreach(i => assert(out(i) == "head", s"doc $i: ${out(i)}"))
+    assert(out(8L) == "tail", s"rare-token doc: ${out(8L)}")
+    assert(out(9L) == "unscored", "empty doc")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ccnetBuckets(docs, "doc_id", "text", -5L, -5L)
+    }
+  }
+
   test("charEntropy: telescoped fold matches closed form; gibberish orders below prose") {
     val spark2 = spark
     import spark2.implicits._
