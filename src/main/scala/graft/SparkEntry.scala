@@ -947,13 +947,7 @@ object SparkEntry {
       // corpus is mirrored, and in how big clumps) — unclustered docs are
       // size-1 singletons
       val pairs = fitted(s, d, cfg16).approxSimilarityJoin(0.5)
-      val labels = Dedup.connectedComponents(pairs)
-      val dd = docs(s, d).select(col("doc_id").cast("long").as("doc_id"))
-      val withLabel = dd.join(labels, dd("doc_id") === labels("id"), "left")
-        .select(coalesce(col("label"), col("doc_id")).as("label"))
-      withLabel.groupBy("label").agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
+      Dedup.clusterSizeHistogram(docs(s, d), "doc_id", pairs)
         .orderBy("cluster_size")
     }),
     "dedup_snapshot_diff" -> ((s, d) => {

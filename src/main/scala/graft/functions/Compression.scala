@@ -48,17 +48,26 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
   * generated code.
   */
 object DeflateRatioKernel {
+  // one native zlib stream + scratch buffer per executor thread, reused via
+  // reset() — per-row Deflater construction is a native init/teardown that
+  // would dominate the cost of compressing typical documents. Never end()d:
+  // the thread-local lives for the executor thread's lifetime, so native
+  // memory is bounded by the thread count, not the row count.
+  private val local =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(6, true), new Array[Byte](8192))
+    }
+
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 0.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }

@@ -391,9 +391,13 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
     val labels = connectedComponents(pairs) // (id, label), persisted+scoped
+    // NaN orders ABOVE every double in Spark comparisons — an upstream
+    // 0.0/0.0 score would otherwise always win the cluster; treat NaN (and
+    // null) as worst instead
     val scored = docs
       .select(col(idCol).cast("long").as("__sid"),
-        col(scoreCol).cast("double").as("__score"))
+        coalesce(nanvl(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)),
+          lit(Double.NegativeInfinity)).as("__score"))
       .join(labels, col("__sid") === col("id"))
       .select(col("label"), col("__sid"), col("__score"))
     val best = scored.groupBy("label")
@@ -403,6 +407,23 @@ object Dedup {
       .where(col("id") =!= col("__keep_id"))
       .select(col("id").as("__loser"))
     docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
+  }
+
+  /** Near-dup cluster size histogram — the corpus-QA report of a dedup run
+    * (how much of the corpus is mirrored, and in how big clumps). Docs in
+    * no cluster count as size-1 singletons. Returns
+    * (cluster_size, n_clusters). Two tiny (label)/(size) aggregates above
+    * the pair generator; the corpus side ships ids only.
+    */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val ids = docs.select(col(idCol).cast("long").as("__cid"))
+    ids.join(labels, ids("__cid") === labels("id"), "left")
+      .select(coalesce(col("label"), col("__cid")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
   }
 
   /** Corpus snapshot diff — the crawl-to-crawl delta of an ingestion

@@ -595,12 +595,19 @@ object TextAnalysis {
       .join(c1.select(col("token").as("w2"), col("__c1").as("__cw2")),
         Seq("w2"), "left")
       .crossJoin(broadcast(tot))
+      // an empty train slice must fail loudly at execution, not return
+      // all-null scores a downstream filter would silently act on
+      .withColumn("__nv",
+        when(col("__N").isNotNull, (col("__N") + col("__V")).cast("double"))
+          .otherwise(raise_error(lit(
+            "withBigramLogProb: trainFilter matched no rows — no counts to train on"))
+            .cast("double")))
       .select(col("bigram"),
         round(log(when(col("__c2").isNotNull,
             col("__c2").cast("double") / col("__cw1"))
           .otherwise(lit(alpha) *
             (coalesce(col("__cw2"), lit(0L)) + 1).cast("double") /
-            (col("__N") + col("__V")).cast("double"))) * 1e6)
+            col("__nv"))) * 1e6)
           .cast("long").as("__lsi"))
     val scored = bigrams.select(col(idCol), col("bigram"))
       .join(typeScores, Seq("bigram"))

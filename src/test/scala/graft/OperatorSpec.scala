@@ -193,6 +193,19 @@ class OperatorSpec extends AnyFunSuite {
     // empty pair list: everything kept
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.keepBestPerCluster(docs, "doc_id", noPairs, "score").count() == 8)
+    // NaN score must lose (Spark orders NaN above every double; the
+    // operator maps it to -inf so a 0.0/0.0 upstream ratio can't win)
+    val nanDocs = Seq((1L, Double.NaN), (2L, 3.0), (3L, 1.0)).toDF("doc_id", "score")
+    val nanKept = Dedup.keepBestPerCluster(nanDocs, "doc_id",
+      Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"), "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(nanKept == Set(2L), s"NaN must not win the argmax, got $nanKept")
+    // cluster-size histogram: {1,2,3} + {10,11} + 1 singleton
+    val hist = Dedup.clusterSizeHistogram(
+      Seq(1L, 2L, 3L, 10L, 11L, 30L).toDF("doc_id"), "doc_id",
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $hist")
   }
 
   test("scrubPii: redacts emails/IPv4/phones with counts, leaves clean text alone") {
