@@ -706,8 +706,11 @@ object TextAnalysis {
   def dsirImportanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val occ = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), isTarget.as("__is_t"),
+    // project BEFORE the parallelism spread so the local round-robin (a
+    // cluster no-op) never ships columns the scorer doesn't read
+    val occ = graft.SparkUtil.ensureParallelism(
+        df.select(col(idCol), isTarget.as("__is_t"), col(textCol)))
+      .select(col(idCol), col("__is_t"),
         explode(T.tokenize(col(textCol))).as("token"))
       .select(col(idCol), col("__is_t"),
         (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") %

@@ -288,6 +288,49 @@ class PlanPropertiesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("dsirImportanceWeights: feature table broadcasts; no token or text in any exchange") {
+    // the operator's 100 TB claim: the hashing trick bounds the feature
+    // table at `buckets` rows (always broadcastable), and every exchange
+    // carries (bucket, counts) or (id, micro-nat longs) — the token strings
+    // and text never shuffle
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextAnalysis.dsirImportanceWeights(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en", buckets = 256)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "the <=buckets-row log-ratio table must join as a broadcast")
+      assert(!plan.toString.contains("collect_list"), "no per-doc buffering")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          (e.outputPartitioning, e.output.map(_.name))
+      }
+      shuffles.foreach { case (_, cols) =>
+        assert(!cols.exists(_.toLowerCase.contains("token")),
+          s"an exchange ships token strings: $cols")
+      }
+      // text may ride (a) the local round-robin parallelism spread — a
+      // cluster no-op — but only at the PROJECTED width (id, flag, text),
+      // and (b) the single id-keyed enrich join back onto docs (the
+      // accepted final shape, same as withUnigramLogProb)
+      val textShuffles = shuffles.filter(_._2.exists(_.toLowerCase.contains("text")))
+      val (spreads, keyed) = textShuffles.partition(
+        _._1.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+      spreads.foreach { case (_, cols) =>
+        assert(cols.size <= 3, s"parallelism spread ships unread columns: $cols")
+      }
+      assert(keyed.size <= 1,
+        s"more than one keyed exchange ships text: ${keyed.map(_._2)}")
+      keyed.foreach { case (p, _) =>
+        assert(p.toString.toLowerCase.contains("doc_id"),
+          s"text exchange not keyed by the doc id: $p")
+      }
+    } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("text_unigram_logprob: partial-aggregable, no collect_list, one occurrence-level exchange") {
     // the round-7 finding: the old plan shuffled the token stream twice and
     // buffered each doc's full (pos, logp) list in one aggregation buffer;
