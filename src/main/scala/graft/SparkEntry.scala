@@ -1362,6 +1362,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curate_v3" -> ((s, d) => {
+      // the round-8 composed pipeline: exact dedup → Gopher rule filter
+      // (word-count rule — the discriminating rule at corpus scale; the
+      // full conjunction is gated separately) → CCNet perplexity tail cut —
+      // quality-driven curation, one lazy plan, stages oracle-gated above
+      val dd = docs(s, d)
+      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text")
+      val gophered = TextAnalysis.withGopherRules(exact, "text")
+        .where(col("r_word_count"))
+      TextAnalysis.ccnetBuckets(gophered, "doc_id", "text",
+          headCutMicro = -3400000L, tailCutMicro = -3404000L)
+        .where(col("ppl_bucket") =!= "tail")
+        .select(col("doc_id"), col("n_words"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // --- streaming twin + multimodal plumbing
     // Engine API emits (timestamp, decimal); the gate queries normalize to
     // (UTC string, double) — DuckDB timestamps are naive while Spark's are
@@ -3126,6 +3142,33 @@ object SparkEntry {
             FROM t2)
       SELECT doc_id, nt AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
       FROM c WHERE cum <= 15000 ORDER BY doc_id""",
+    "pipeline_curate_v3" -> s"""
+      WITH exact AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      gt AS (SELECT doc_id, $tokenizeSql AS tokens FROM exact),
+      goph AS (SELECT doc_id, tokens, len(tokens) AS n_words FROM gt
+               WHERE len(tokens) BETWEEN 50 AND 100000),
+      p AS (SELECT doc_id, unnest(tokens) AS token FROM goph),
+      f AS (SELECT token, count(*) AS c FROM p GROUP BY 1),
+      t AS (SELECT sum(c) AS total FROM f),
+      lp AS (SELECT token,
+               CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+             FROM f, t),
+      per AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
+              FROM p JOIN lp USING (token) GROUP BY 1),
+      am AS (SELECT doc_id,
+               CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro
+             FROM per),
+      lab AS (SELECT g.doc_id, g.n_words,
+                CASE WHEN am.avg_micro IS NULL THEN 'unscored'
+                     WHEN am.avg_micro >= -3400000 THEN 'head'
+                     WHEN am.avg_micro < -3404000 THEN 'tail'
+                     ELSE 'middle' END AS ppl_bucket
+              FROM goph g LEFT JOIN am USING (doc_id))
+      SELECT doc_id, n_words, ppl_bucket FROM lab
+      WHERE ppl_bucket <> 'tail' ORDER BY doc_id""",
     "stream_tumbling_agg" -> """
       SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
                '%Y-%m-%d %H:%M:%S') AS window_start,
