@@ -1523,6 +1523,26 @@ object SparkEntry {
           col("value").cast("double").as("value"))
         .orderBy("user_id", "event_type")
     }),
+    "stream_gopher_real" -> ((s, d) => {
+      // quality filtering lifts to streams unchanged: the Gopher rules are
+      // a STATELESS narrow projection, so real micro-batch execution
+      // (4 files → 4 triggers, append-mode memory sink) must equal the
+      // batch computation regardless of micro-batch boundaries
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-gopher")
+      docs(s, d).select("doc_id", "text").repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = TextAnalysis.withGopherRules(src, "text")
+        .select(col("doc_id"), col("n_words"), col("r_word_count"),
+          col("stop_hits"))
+        .writeStream.format("memory").queryName("graft_gopher_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_gopher_gate").orderBy("doc_id")
+    }),
     "stream_index_update" -> ((s, d) => {
       // SURVEY §7.6 north star — incremental corpus ingestion: the corpus
       // round-trips into 4 parquet files and streams back ONE FILE PER
@@ -2107,6 +2127,15 @@ object SparkEntry {
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         count(*) AS dup_count
       FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "stream_gopher_real" -> s"""
+      WITH base AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      sig AS (SELECT doc_id, len(tokens) AS n_words,
+          len(list_filter(['the','be','to','of','and','that','have','with'],
+            w -> list_contains(tokens, w))) AS stop_hits
+        FROM base)
+      SELECT doc_id, n_words,
+        (n_words BETWEEN 50 AND 100000) AS r_word_count, stop_hits
+      FROM sig ORDER BY doc_id""",
     "stream_dedup_real" -> """
       WITH e AS (SELECT user_id, event_type, event_id,
                    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
