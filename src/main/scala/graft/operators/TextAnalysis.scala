@@ -25,6 +25,20 @@ object TextAnalysis {
   private def stopwordHits(tokens: Column, lang: String): Column =
     size(filter(tokens, t => array_contains(lit(Stopwords(lang).toArray), t)))
 
+  /** Average of an exact integer micro-unit sum, rounded to integer
+    * micro-units BEFORE any scale-down: `sum/n` lands exact .5 ties on
+    * representable doubles that both engines round half-away-from-zero,
+    * while `sum/1e6/n` puts the tie at the 7th decimal of a
+    * non-representable double where Spark and DuckDB rounding diverge
+    * (the `text_dsir_weights` round-8 lesson).
+    */
+  private def microAvgLong(sumMicro: Column, n: Column): Column =
+    round(sumMicro.cast("double") / n).cast("long")
+
+  /** [[microAvgLong]] scaled back to natural units as a double. */
+  private def microAvg(sumMicro: Column, n: Column): Column =
+    microAvgLong(sumMicro, n).cast("double") / 1e6
+
   /** Adds per-language stopword-hit scores and `lang_pred` (argmax,
     * alphabetical tie-break, "und" when no hits).
     */
@@ -347,9 +361,7 @@ object TextAnalysis {
       .withColumn("__st_e", fold)
       .withColumn("n_distinct_chars", col("__st_e").getField("nd"))
       .withColumn("char_entropy",
-        when(n > 0,
-          round((q(n) - col("__st_e").getField("s")).cast("double") / n)
-            .cast("long").cast("double") / 1e6))
+        when(n > 0, microAvg(q(n) - col("__st_e").getField("s"), n)))
       .drop("__chars_e", "__n_e", "__st_e")
   }
 
@@ -529,8 +541,7 @@ object TextAnalysis {
     withUnigramLogProb(df, idCol, textCol)
       .withColumn("__avg_micro",
         when(col("n_tokens") > 0,
-          round(col("logprob_micro").cast("double") / col("n_tokens"))
-            .cast("long")))
+          microAvgLong(col("logprob_micro"), col("n_tokens"))))
       .withColumn("ppl_bucket",
         when(col("__avg_micro").isNull, "unscored")
           .when(col("__avg_micro") >= headCutMicro, "head")
@@ -575,8 +586,6 @@ object TextAnalysis {
             i => concat(element_at(col("__toks"), i), lit(" "),
               element_at(col("__toks"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("bigram"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .withColumn("w2", substring_index(col("bigram"), " ", -1))
     val c2 = bigrams.where(col("__is_train"))
       .groupBy("bigram").agg(count(lit(1)).as("__c2"))
     val c1 = toks.where(col("__is_train"))
@@ -587,7 +596,9 @@ object TextAnalysis {
     // count lookups run on the (Zipf-small) type table, so only the
     // partial-agg'd distinct and one equi-join touch occurrence rows —
     // not three back-to-back occurrence-level shuffles
-    val types = bigrams.select("bigram", "w1", "w2").distinct()
+    val types = bigrams.select("bigram").distinct()
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
     val typeScores = types
       .join(c2, Seq("bigram"), "left")
       .join(c1.select(col("token").as("w1"), col("__c1").as("__cw1")),
@@ -615,8 +626,7 @@ object TextAnalysis {
     val perDoc = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum("__lsi").as("__s"))
       .select(col(idCol), col("n_bigrams"),
-        (round(col("__s").cast("double") / col("n_bigrams")).cast("long")
-          .cast("double") / 1e6).as("avg_logscore"))
+        microAvg(col("__s"), col("n_bigrams")).as("avg_logscore"))
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
@@ -731,13 +741,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("__lri").as("__s"))
       .select(col(idCol), col("n_tokens"), col("__s").as("log_weight_micro"),
         (col("__s").cast("double") / 1e6).as("log_weight"),
-        // avg rounded to integer micro-nats BEFORE the 1e-6 scale-down:
-        // s/n lands on exact .5 micro-nat ties (both engines round those
-        // half-away-from-zero on exact doubles), while s/1e6/n puts the
-        // tie at the 7th decimal of a non-representable double where
-        // engine rounding diverges
-        (round(col("__s").cast("double") / col("n_tokens")).cast("long")
-          .cast("double") / 1e6).as("avg_log_weight"))
+        microAvg(col("__s"), col("n_tokens")).as("avg_log_weight"))
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
