@@ -1192,6 +1192,24 @@ object SparkEntry {
         .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
+    "text_url_canonical" -> ((s, d) => {
+      // crawl-frontier URL dedup: two messy raw forms per doc family
+      // (uppercase scheme/host + default port + fragment vs tracking
+      // params) must collapse to the same canonical URL
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://Sub"), (col("doc_id") % 10).cast("string"),
+            lit(".Example.ORG:443/P/"), (col("doc_id") % 20).cast("string"),
+            lit("?id="), (col("doc_id") % 20).cast("string"),
+            lit("#sec"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
+            lit(".example.org/P/"), (col("doc_id") % 20).cast("string"),
+            lit("?utm_source=feed&id="), (col("doc_id") % 20).cast("string"),
+            lit("&fbclid=x"), col("doc_id").cast("string"))).as("raw_url"))
+      planted.select(col("doc_id"), col("raw_url"),
+          TextAnalysis.canonicalizeUrl(col("raw_url")).as("url_canon"))
+        .orderBy("doc_id")
+    }),
     "text_chunk" -> ((s, d) =>
       // context-window chunking: 50-token windows, 10-token overlap; chunk
       // text emitted as md5 (comparator-friendly cell size)
@@ -3029,6 +3047,34 @@ object SparkEntry {
         CAST(s % 512 AS INTEGER) AS seq_offset,
         n_tokens > 0 AND floor((s + n_tokens - 1) / 512.0) > floor(s / 512.0)
           AS spans_boundary
+      FROM c ORDER BY doc_id""",
+    "text_url_canonical" -> """
+      WITH planted AS (SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0
+            THEN 'HTTPS://Sub' || (doc_id % 10) || '.Example.ORG:443/P/' ||
+                 (doc_id % 20) || '?id=' || (doc_id % 20) || '#sec' || doc_id
+            ELSE 'https://sub' || (doc_id % 10) || '.example.org/P/' ||
+                 (doc_id % 20) || '?utm_source=feed&id=' || (doc_id % 20) ||
+                 '&fbclid=x' || doc_id
+          END AS raw_url FROM documents),
+      s1 AS (SELECT doc_id, raw_url,
+               regexp_replace(raw_url, '#.*$', '') AS nofrag FROM planted),
+      p AS (SELECT doc_id, raw_url,
+          lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        FROM s1),
+      c AS (SELECT doc_id, raw_url, scheme, host,
+          CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+               ELSE host END AS host2,
+          regexp_replace(regexp_replace(regexp_replace(rest,
+            '(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+            '\?&', '?', 'g'), '[?&]+$', '') AS rest2
+        FROM p)
+      SELECT doc_id, raw_url,
+        CASE WHEN scheme = '' OR host = '' THEN raw_url
+             ELSE scheme || '://' || host2 || rest2 END AS url_canon
       FROM c ORDER BY doc_id""",
     "text_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),

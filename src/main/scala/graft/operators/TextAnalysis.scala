@@ -202,6 +202,30 @@ object TextAnalysis {
       .withColumn("first_url", regexp_extract(col(textCol), UrlPattern, 0))
       .withColumn("first_host", regexp_extract(col(textCol), UrlHostPattern, 1))
 
+  /** URL canonicalization — the crawl-frontier dedup normalizer: lowercase
+    * scheme+host, strip the scheme's default port (:80 / :443), drop the
+    * fragment, remove tracking parameters (`utm_*`, `fbclid`, `gclid`) and
+    * tidy the separators they leave behind. Path case and meaningful query
+    * params are preserved (they are significant per RFC 3986). Non-URL
+    * input passes through unchanged. Pure RE2-safe regex chain — a narrow
+    * projection the DuckDB oracle replays verbatim, applied identically at
+    * any scale.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+    val noTrack = regexp_replace(rest,
+      "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    when(scheme === "" || host === "", url)
+      .otherwise(concat(scheme, lit("://"), hostNoPort, tidy))
+  }
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val Seq((_, email), (_, ipv4), (_, phone)) = PiiPatterns
     // counts against the ORIGINAL text; replacements applied email → ipv4

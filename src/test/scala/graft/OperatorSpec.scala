@@ -1007,6 +1007,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeUrl: messy raw forms collapse; non-URLs pass through") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      "HTTPS://Sub.Example.ORG:443/Path/X?id=5#frag",
+      "https://sub.example.org/Path/X?utm_source=a&id=5&fbclid=zz",
+      "https://sub.example.org/Path/X?id=5&utm_campaign=b",
+      "http://Host.Net:80/a?utm_x=1",
+      "http://host.net:8080/a",          // non-default port preserved
+      "ftp://Mixed.Case/z?gclid=1",
+      "not a url at all",
+      "")
+      .toDF("u")
+      .select(graft.operators.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "https://sub.example.org/Path/X?id=5")
+    assert(rows(1) == rows(0) && rows(2) == rows(0),
+      "tracking/fragment/port/case variants must collapse to one canonical")
+    assert(rows(3) == "http://host.net/a")
+    assert(rows(4) == "http://host.net:8080/a")
+    assert(rows(5) == "ftp://mixed.case/z")
+    assert(rows(6) == "not a url at all" && rows(7) == "")
+  }
+
   test("ccnetBuckets: fixed integer cutoffs split head/middle/tail; empty doc unscored") {
     val spark2 = spark
     import spark2.implicits._
