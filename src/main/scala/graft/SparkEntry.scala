@@ -3061,20 +3061,24 @@ object SparkEntry {
                regexp_replace(raw_url, '#.*$', '') AS nofrag FROM planted),
       p AS (SELECT doc_id, raw_url,
           lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-          lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
         FROM s1),
-      c AS (SELECT doc_id, raw_url, scheme, host,
+      p2 AS (SELECT doc_id, raw_url, scheme, rest,
+          regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+          lower(regexp_replace(auth, '^[^@]*@', '')) AS host
+        FROM p),
+      c AS (SELECT doc_id, raw_url, scheme, host, userinfo,
           CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
                WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
                ELSE host END AS host2,
           regexp_replace(regexp_replace(regexp_replace(rest,
             '(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
             '\?&', '?', 'g'), '[?&]+$', '') AS rest2
-        FROM p)
+        FROM p2)
       SELECT doc_id, raw_url,
         CASE WHEN scheme = '' OR host = '' THEN raw_url
-             ELSE scheme || '://' || host2 || rest2 END AS url_canon
+             ELSE scheme || '://' || userinfo || host2 || rest2 END AS url_canon
       FROM c ORDER BY doc_id""",
     "text_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),

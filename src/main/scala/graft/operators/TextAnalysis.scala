@@ -214,7 +214,11 @@ object TextAnalysis {
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // only the HOST is case-insensitive per RFC 3986 — userinfo (user:pass@)
+    // keeps its case
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val host = lower(regexp_replace(auth, "^[^@]*@", ""))
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
       .when(scheme === "https", regexp_replace(host, ":443$", ""))
@@ -223,7 +227,7 @@ object TextAnalysis {
       "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
     val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
     when(scheme === "" || host === "", url)
-      .otherwise(concat(scheme, lit("://"), hostNoPort, tidy))
+      .otherwise(concat(scheme, lit("://"), userinfo, hostNoPort, tidy))
   }
 
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
