@@ -1193,15 +1193,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "text_url_canonical" -> ((s, d) => {
-      // crawl-frontier URL dedup: two messy raw forms per doc family
+      // crawl-frontier URL dedup: messy raw forms per doc family
       // (uppercase scheme/host + default port + fragment vs tracking
-      // params) must collapse to the same canonical URL
+      // params) must collapse to the same canonical URL, while the
+      // adversarial family (mod-4 == 2) proves look-alikes survive:
+      // 'gclid=' in a path segment, '?gclid=' inside a param VALUE, and
+      // 'myfbclid' (tracking name as a suffix) are all NOT tracking params
       val planted = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 2 === 0,
+        when(col("doc_id") % 4 === 0,
           concat(lit("HTTPS://Sub"), (col("doc_id") % 10).cast("string"),
             lit(".Example.ORG:443/P/"), (col("doc_id") % 20).cast("string"),
             lit("?id="), (col("doc_id") % 20).cast("string"),
             lit("#sec"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
+              lit(".example.org/p/gclid=x?next=/a?gclid=1&myfbclid=keep"),
+              lit("&utm_medium=z"), col("doc_id").cast("string")))
           .otherwise(concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
             lit(".example.org/P/"), (col("doc_id") % 20).cast("string"),
             lit("?utm_source=feed&id="), (col("doc_id") % 20).cast("string"),
@@ -1299,6 +1306,34 @@ object SparkEntry {
           col("r_bullet_lines"), col("r_ellipsis_lines"), col("r_alpha_words"),
           col("r_stopwords"), col("gopher_pass"))
         .orderBy("doc_id")),
+    "text_gopher_full" -> ((s, d) => {
+      // the COMPLETE Gopher rule set incl. the A1.2 repetition rules, over
+      // a corpus with planted violations per rule family (base corpus has
+      // no newlines, so line/para rules would be vacuous without them):
+      // mod-7 family 0 = duplicate lines, 1 = duplicate paragraphs,
+      // 2 = dominant bigram, 3 = dominant trigram; sizes chosen to trip
+      // the thresholds at every doc length in the corpus (max ~100 tokens)
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit("\nrepeat line\nrepeat line\nrepeat line\nrepeat line")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit("\n\ndup para\n\ndup para")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" "), repeat(lit("buy now "), 40)))
+          .when(col("doc_id") % 7 === 3,
+            concat(col("text"), lit(" "), repeat(lit("one two three "), 60)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withGopherRulesFull(planted, "text")
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dupline6"),
+          round(col("dup_para_frac"), 6).as("duppara6"),
+          round(col("top_bigram_frac2"), 6).as("topbi6"),
+          round(col("top_trigram_frac"), 6).as("toptri6"),
+          col("r_dup_lines"), col("r_dup_paras"), col("r_top_bigram"),
+          col("r_top_trigram"), col("gopher_pass"), col("gopher_full_pass"))
+        .orderBy("doc_id")
+    }),
     "text_dsir_weights" -> ((s, d) =>
       // DSIR importance weights toward the English slice: hashed-unigram
       // (md5-prefix mod 1024) target/source log-ratio, micro-nat exact sum
@@ -1663,8 +1698,10 @@ object SparkEntry {
       // REAL pixel path, JPEG: a solid image has only DC coefficients, so
       // the decoded image stays perfectly uniform (std exactly 0) while DC
       // quantization shifts the color — gate = uniformity + mean within
-      // 5/255 of the planted formula (measured max deviation 3/255 over
-      // ids 0-499 at the JDK writer's default quality), dims exact
+      // 5/255 of the planted formula, dims exact. The planted encode pins
+      // quality=0.9 via ImageWriteParam MODE_EXPLICIT (measured max
+      // deviation 3/255 over ids 0-499; an unpinned default quality was a
+      // JDK-upgrade flake risk)
       Multimodal.extractFeatures(
           Multimodal.plantImagePayloads(docs(s, d), "doc_id", "jpeg_solid"))
         .toDF()
@@ -1676,6 +1713,25 @@ object SparkEntry {
            abs(col("f2") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
             .as("mean_close"),
           round(col("f6"), 6).as("f6"), round(col("f7"), 6).as("f7"))
+        .orderBy("doc_id")),
+    "mm_features_real_wav" -> ((s, d) =>
+      // REAL audio path: complete RIFF/PCM WAVs (16-bit, mono/stereo,
+      // period-4 square waves) parsed by the pure-JVM chunk walker; header
+      // fields replay from the id formulas and per-channel RMS/peak have
+      // closed forms (RMS = A*sqrt(5/8)/32768, peak = A/32768) the oracle
+      // recomputes exactly
+      Multimodal.extractWavFeatures(
+          Multimodal.plantAudioPayloads(docs(s, d), "doc_id"))
+        .toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bit_depth").cast("long").as("bit_depth"),
+          col("n_frames"),
+          round(col("rms_ch0"), 6).as("rms_ch0"),
+          round(col("peak_ch0"), 6).as("peak_ch0"),
+          round(col("rms_ch1"), 6).as("rms_ch1"),
+          round(col("peak_ch1"), 6).as("peak_ch1"))
         .orderBy("doc_id")),
     "mm_resize_real_gif" -> ((s, d) => {
       // REAL resize through the GIF decoder: solid GIFs aspect-fit into an
@@ -2338,7 +2394,7 @@ object SparkEntry {
       per AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
               FROM p JOIN lp USING (token) GROUP BY 1)
       SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
-        round(CAST(per.s AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob6
+        round(CAST(round(CAST(per.s AS DOUBLE) / per.n_tokens) AS BIGINT) / 1e6, 6) AS avg_logprob6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_ccnet_buckets" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
@@ -2439,6 +2495,84 @@ object SparkEntry {
           AND (CAST(n_alpha AS DOUBLE) / dw >= 0.8)
           AND (stop_hits >= 2)) AS gopher_pass
       FROM sig ORDER BY doc_id""",
+    "text_gopher_full" -> s"""
+      WITH planted AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || 'repeat line' ||
+                 chr(10) || 'repeat line' || chr(10) || 'repeat line' ||
+                 chr(10) || 'repeat line'
+               WHEN doc_id % 7 = 1 THEN text || chr(10) || chr(10) ||
+                 'dup para' || chr(10) || chr(10) || 'dup para'
+               WHEN doc_id % 7 = 2 THEN text || ' ' || repeat('buy now ', 40)
+               WHEN doc_id % 7 = 3 THEN text || ' ' || repeat('one two three ', 60)
+               ELSE text END AS text FROM documents),
+      base AS (SELECT doc_id, text, $tokenizeSql AS tokens,
+          string_split(text, chr(10)) AS lines FROM planted),
+      sig AS (SELECT doc_id,
+          len(tokens) AS n_words,
+          CAST(coalesce(list_sum(list_transform(tokens, t -> len(t))), 0) AS DOUBLE)
+            / greatest(len(tokens), 1) AS mwl,
+          (len(text) - len(replace(text, '#', ''))) +
+            ((len(text) - len(replace(text, '...', ''))) // 3) AS n_sym,
+          len(list_filter(lines, l ->
+            list_contains(['-', '*', '•'], substr(trim(l), 1, 1)))) AS n_bullet,
+          len(list_filter(lines, l ->
+            (len(l) >= 3 AND substr(l, len(l) - 2, 3) = '...')
+            OR (len(l) >= 1 AND substr(l, len(l), 1) = '…'))) AS n_ell,
+          len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+          len(list_filter(['the','be','to','of','and','that','have','with'],
+            w -> list_contains(tokens, w))) AS stop_hits,
+          greatest(len(lines), 1) AS n_lines,
+          greatest(len(tokens), 1) AS dw
+        FROM base),
+      gp AS (SELECT doc_id,
+          ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+            AND (CAST(n_sym AS DOUBLE) / dw <= 0.1)
+            AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+            AND (CAST(n_ell AS DOUBLE) / n_lines <= 0.3)
+            AND (CAST(n_alpha AS DOUBLE) / dw >= 0.8)
+            AND (stop_hits >= 2)) AS gopher_pass
+        FROM sig),
+      lgrp AS (SELECT doc_id, l, count(*) AS c FROM
+          (SELECT doc_id, unnest(lines) AS l FROM base) GROUP BY 1, 2),
+      lstat AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+            / sum(c) AS dup_line_frac FROM lgrp GROUP BY 1),
+      pgrp AS (SELECT doc_id, p, count(*) AS c FROM
+          (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS p
+           FROM planted) GROUP BY 1, 2),
+      pstat AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+            / sum(c) AS dup_para_frac FROM pgrp GROUP BY 1),
+      bgrp AS (SELECT doc_id, g, count(*) AS c FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+             i -> tokens[i] || ' ' || tokens[i + 1])) AS g FROM base) GROUP BY 1, 2),
+      bstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+                FROM bgrp GROUP BY 1),
+      tgrp AS (SELECT doc_id, g, count(*) AS c FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS g
+           FROM base) GROUP BY 1, 2),
+      tstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_trigram_frac
+                FROM tgrp GROUP BY 1)
+      SELECT b.doc_id,
+        round(l.dup_line_frac, 6) AS dupline6,
+        round(p.dup_para_frac, 6) AS duppara6,
+        round(bs.top_bigram_frac, 6) AS topbi6,
+        round(ts.top_trigram_frac, 6) AS toptri6,
+        coalesce(l.dup_line_frac <= 0.30, true) AS r_dup_lines,
+        coalesce(p.dup_para_frac <= 0.30, true) AS r_dup_paras,
+        coalesce(bs.top_bigram_frac <= 0.20, true) AS r_top_bigram,
+        coalesce(ts.top_trigram_frac <= 0.18, true) AS r_top_trigram,
+        gp.gopher_pass,
+        (gp.gopher_pass AND coalesce(l.dup_line_frac <= 0.30, true)
+          AND coalesce(p.dup_para_frac <= 0.30, true)
+          AND coalesce(bs.top_bigram_frac <= 0.20, true)
+          AND coalesce(ts.top_trigram_frac <= 0.18, true)) AS gopher_full_pass
+      FROM base b
+      JOIN gp ON b.doc_id = gp.doc_id
+      LEFT JOIN lstat l ON b.doc_id = l.doc_id
+      LEFT JOIN pstat p ON b.doc_id = p.doc_id
+      LEFT JOIN bstat bs ON b.doc_id = bs.doc_id
+      LEFT JOIN tstat ts ON b.doc_id = ts.doc_id
+      ORDER BY b.doc_id""",
     "text_dsir_weights" -> s"""
       WITH toks AS (SELECT doc_id, lang, $tokenizeSql AS tokens FROM documents),
       occ AS (SELECT doc_id, (lang = 'en') AS is_t,
@@ -3050,9 +3184,13 @@ object SparkEntry {
       FROM c ORDER BY doc_id""",
     "text_url_canonical" -> """
       WITH planted AS (SELECT doc_id,
-          CASE WHEN doc_id % 2 = 0
+          CASE WHEN doc_id % 4 = 0
             THEN 'HTTPS://Sub' || (doc_id % 10) || '.Example.ORG:443/P/' ||
                  (doc_id % 20) || '?id=' || (doc_id % 20) || '#sec' || doc_id
+            WHEN doc_id % 4 = 2
+            THEN 'https://sub' || (doc_id % 10) ||
+                 '.example.org/p/gclid=x?next=/a?gclid=1&myfbclid=keep' ||
+                 '&utm_medium=z' || doc_id
             ELSE 'https://sub' || (doc_id % 10) || '.example.org/P/' ||
                  (doc_id % 20) || '?utm_source=feed&id=' || (doc_id % 20) ||
                  '&fbclid=x' || doc_id
@@ -3072,9 +3210,11 @@ object SparkEntry {
           CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
                WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
                ELSE host END AS host2,
-          regexp_replace(regexp_replace(regexp_replace(rest,
-            '(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
-            '\?&', '?', 'g'), '[?&]+$', '') AS rest2
+          regexp_extract(rest, '^([^?]*)', 1) ||
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(rest, '^[^?]*(\?.*)$', 1),
+            '(^\?|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+            '([?&])&+', '\1', 'g'), '[?&]+$', '') AS rest2
         FROM p2)
       SELECT doc_id, raw_url,
         CASE WHEN scheme = '' OR host = '' THEN raw_url
@@ -3343,6 +3483,24 @@ object SparkEntry {
         round((4 + doc_id % 13) / 1024.0, 6) AS f6,
         round((4 + (doc_id * 5) % 11) / 1024.0, 6) AS f7
       FROM documents ORDER BY doc_id""",
+    "mm_features_real_wav" -> """
+      WITH p AS (SELECT doc_id,
+          8000 + (doc_id % 8) * 1000 AS sample_rate,
+          1 + doc_id % 2 AS channels,
+          64 + (doc_id % 16) * 4 AS n_frames,
+          2 * (1 + (doc_id * 7) % 8192) AS a0,
+          2 * (1 + (doc_id * 7 + 11) % 8192) AS a1
+        FROM documents)
+      SELECT doc_id,
+        CAST(sample_rate AS BIGINT) AS sample_rate,
+        CAST(channels AS BIGINT) AS channels,
+        CAST(16 AS BIGINT) AS bit_depth,
+        CAST(n_frames AS BIGINT) AS n_frames,
+        round(sqrt(5 * a0 * a0 / 8.0) / 32768, 6) AS rms_ch0,
+        round(a0 / 32768.0, 6) AS peak_ch0,
+        CASE WHEN channels > 1 THEN round(sqrt(5 * a1 * a1 / 8.0) / 32768, 6) END AS rms_ch1,
+        CASE WHEN channels > 1 THEN round(a1 / 32768.0, 6) END AS peak_ch1
+      FROM p ORDER BY doc_id""",
     "mm_resize_real_gif" -> """
       WITH m AS (SELECT doc_id,
           CAST(4 + doc_id % 13 AS DOUBLE) AS w,

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * count) — parsed directly from the payload bytes per the public format
   * specs, pure JVM. Feature extraction and resize are REAL for PNG, JPEG,
   * and GIF payloads: pixel decode via `javax.imageio` with per-channel
-  * mean/std statistics ([[pixelFeatures]]). Payloads that are none of
-  * these fall back to the
+  * mean/std statistics ([[pixelFeatures]]). Audio is REAL for RIFF/PCM
+  * WAV payloads ([[parseWav]] / [[extractWavFeatures]] — header fields and
+  * per-channel RMS/peak are pure public byte parsing, no codec needed).
+  * Payloads that are none of these fall back to the
   * **clearly marked deterministic STUB** paths (`stubDecode`,
-  * `stubFeature`): no audio/video codec ships in this container, so those
-  * derive fake but stable values from the payload bytes. Swapping in a
-  * richer codec or embedding model means replacing exactly those
-  * functions; the `mapPartitions` batch contract stays.
+  * `stubFeature`): no compressed-audio/video codec ships in this
+  * container, so those derive fake but stable values from the payload
+  * bytes. Swapping in a richer codec or embedding model means replacing
+  * exactly those functions; the `mapPartitions` batch contract stays.
   */
 object Multimodal {
 
@@ -53,6 +55,9 @@ object Multimodal {
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
   @inline private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  @inline private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  @inline private def le16s(b: Array[Byte], i: Int): Int = (le16(b, i) << 16) >> 16
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
@@ -145,6 +150,46 @@ object Multimodal {
       }
     }
     math.max(frames, 1)
+  }
+
+  // ---------------- real WAV/PCM audio parsing ----------------
+
+  /** Parsed RIFF/WAVE facts: linear-PCM format fields plus the location of
+    * the sample data inside the payload.
+    */
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitDepth: Int, dataOff: Int, dataLen: Int)
+
+  /** REAL WAV header parse — RIFF/PCM needs NO codec: a strict chunk walk
+    * per the public RIFF spec ("RIFF"<size>"WAVE", then word-aligned
+    * <id><size> chunks), keeping the `fmt ` fields (PCM format tag 1 only,
+    * 8- or 16-bit) and the `data` chunk extent. Returns None for anything
+    * malformed, truncated, or non-PCM — callers fall back or dead-letter,
+    * never throw.
+    */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var p = 12
+    var sr = 0; var ch = 0; var bits = 0; var fmtOk = false
+    var dOff = -1; var dLen = 0
+    while (p + 8 <= b.length) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || p + 8 + sz > b.length) return None // truncated chunk
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ' && sz >= 16) {
+        val tag = le16(b, p + 8)
+        ch = le16(b, p + 10)
+        sr = le32(b, p + 12)
+        bits = le16(b, p + 22)
+        fmtOk = tag == 1 && ch >= 1 && (bits == 8 || bits == 16)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
+        dOff = p + 8; dLen = sz
+      }
+      p += 8 + sz + (sz & 1) // chunks are word-aligned per RIFF
+    }
+    if (fmtOk && sr > 0 && dOff >= 0) Some(WavInfo(sr, ch, bits, dOff, dLen))
+    else None
   }
 
   /** REAL header decode: PNG / JPEG / GIF dimensions parsed from the
@@ -329,7 +374,20 @@ object Multimodal {
     */
   def plantSolidJpeg(id: Long): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream(512)
-    javax.imageio.ImageIO.write(solidImage(id), "jpg", baos)
+    // pin the encoder quality EXPLICITLY: the gate's mean-color tolerance
+    // budgets for the DC quantization of a KNOWN quantization table, and
+    // the JDK default quality is an unversioned implementation detail a
+    // JDK upgrade may change — MODE_EXPLICIT at 0.9 keeps the planted
+    // bytes stable across JDKs
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(solidImage(id), null, null), param)
+    } finally { ios.close(); writer.dispose() }
     baos.toByteArray
   }
 
@@ -487,6 +545,127 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Per-payload WAV facts + per-channel signal statistics. `rms_*` /
+    * `peak_*` are normalized to [0,1] full-scale; channel-1 slots are null
+    * for mono payloads. Channels beyond the first two contribute to
+    * neither (curation pipelines key on the first stereo pair).
+    */
+  final case class WavFeatures(
+      doc_id: Long, sample_rate: Int, channels: Int, bit_depth: Int,
+      n_frames: Long, rms_ch0: Double, peak_ch0: Double,
+      rms_ch1: Option[Double], peak_ch1: Option[Double])
+
+  /** REAL audio features for WAV/PCM payloads — RIFF parsing and PCM sample
+    * math are pure public byte walking, no codec needed (the same genre as
+    * the PNG/GIF walkers). Per channel: RMS and peak of the normalized
+    * samples. Sample squares are exact dyadic rationals (integer / 2^30),
+    * so the sums — and for planted closed-form waveforms the RMS itself —
+    * are bit-reproducible across engines and partitionings. Non-WAV /
+    * non-PCM payloads are DROPPED (dead-letter route, like
+    * [[resizePixels]]); the audio STUB now stands in only for payloads
+    * that are neither a decodable image nor RIFF/PCM.
+    * Per-partition batch contract like every Multimodal operator.
+    */
+  def extractWavFeatures(payloads: DataFrame): Dataset[WavFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseWav(bytes).map { info =>
+            val bytesPerSample = info.bitDepth / 8
+            val frameBytes = bytesPerSample * info.channels
+            val n = if (frameBytes == 0) 0L else (info.dataLen / frameBytes).toLong
+            val nch = math.min(info.channels, 2)
+            val sumSq = new Array[Double](2)
+            val peak = new Array[Double](2)
+            var i = 0L
+            while (i < n) {
+              var c = 0
+              while (c < nch) {
+                val off = info.dataOff + (i * frameBytes).toInt + c * bytesPerSample
+                val s =
+                  if (info.bitDepth == 16) le16s(bytes, off).toDouble / 32768.0
+                  else ((bytes(off) & 0xFF) - 128).toDouble / 128.0
+                sumSq(c) += s * s
+                val a = math.abs(s); if (a > peak(c)) peak(c) = a
+                c += 1
+              }
+              i += 1
+            }
+            def rms(c: Int): Double = if (n == 0) 0.0 else math.sqrt(sumSq(c) / n)
+            WavFeatures(id, info.sampleRate, info.channels, info.bitDepth, n,
+              rms(0), peak(0),
+              if (nch > 1) Some(rms(1)) else None,
+              if (nch > 1) Some(peak(1)) else None)
+          }
+        }
+      }
+  }
+
+  /** Planted WAV parameters from the id — shared by [[plantWavPcm]] and the
+    * gate oracle: (sample rate, channels, frames, per-channel amplitude).
+    * Amplitudes are EVEN so the quarter-amplitude square wave's half
+    * samples stay integers and every squared sample is an exact dyadic
+    * rational.
+    */
+  def plantWavParams(id: Long): (Int, Int, Int, Int => Int) = {
+    val sr = 8000 + (id % 8).toInt * 1000
+    val ch = (1 + id % 2).toInt
+    val frames = (64 + (id % 16) * 4).toInt // multiple of 4: whole periods
+    val amp = (c: Int) => 2 * (1 + ((id * 7 + c * 11) % 8192)).toInt // <= 16384, even
+    (sr, ch, frames, amp)
+  }
+
+  /** A COMPLETE real 16-bit PCM WAV (RIFF + fmt + data) of a
+    * period-4 square wave per channel: samples +A, -A, A/2, -A/2 — so
+    * RMS = A·sqrt(5/8)/32768 and peak = A/32768 in closed form, which the
+    * DuckDB gate oracle recomputes exactly from the id.
+    */
+  def plantWavPcm(id: Long): Array[Byte] = {
+    val (sr, ch, frames, amp) = plantWavParams(id)
+    val dataLen = frames * ch * 2
+    val b = new Array[Byte](44 + dataLen)
+    def wstr(i: Int, s: String): Unit = { var j = 0; while (j < s.length) { b(i + j) = s.charAt(j).toByte; j += 1 } }
+    def wle32(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte; b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte }
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte }
+    wstr(0, "RIFF"); wle32(4, 36 + dataLen); wstr(8, "WAVE")
+    wstr(12, "fmt "); wle32(16, 16)
+    wle16(20, 1) // PCM
+    wle16(22, ch); wle32(24, sr)
+    wle32(28, sr * ch * 2) // byte rate
+    wle16(32, ch * 2) // block align
+    wle16(34, 16) // bits per sample
+    wstr(36, "data"); wle32(40, dataLen)
+    var i = 0
+    while (i < frames) {
+      val phase = i % 4
+      var c = 0
+      while (c < ch) {
+        val a = amp(c)
+        val v = phase match {
+          case 0 => a; case 1 => -a; case 2 => a / 2; case _ => -a / 2
+        }
+        wle16(44 + (i * ch + c) * 2, v)
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** (doc_id, payload, media_type) of REAL planted PCM WAVs — the audio
+    * twin of [[plantImagePayloads]].
+    */
+  def plantAudioPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantWavPcm(id), "audio/wav")) }
+      .toDF("doc_id", "payload", "media_type")
   }
 
   /** REAL pixel resize for decodable PNG / JPEG / GIF payloads:

@@ -223,11 +223,18 @@ object TextAnalysis {
     val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
       .when(scheme === "https", regexp_replace(host, ":443$", ""))
       .otherwise(host)
-    val noTrack = regexp_replace(rest,
-      "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
-    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    // tracking params live only in the QUERY (after the first '?'), and a
+    // param starts only at the query head or after '&' — anchoring there
+    // keeps '?myfbclid=1', '?last_utm_source=x', values like
+    // '?next=/a?gclid=1', and path segments '/p/gclid=x' intact
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*(\\?.*)$", 1)
+    val noTrackQ = regexp_replace(query,
+      "(^\\?|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    val tidyQ = regexp_replace(regexp_replace(noTrackQ, "([?&])&+", "$1"),
+      "[?&]+$", "")
     when(scheme === "" || host === "", url)
-      .otherwise(concat(scheme, lit("://"), userinfo, hostNoPort, tidy))
+      .otherwise(concat(scheme, lit("://"), userinfo, hostNoPort, path, tidyQ))
   }
 
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
@@ -314,26 +321,33 @@ object TextAnalysis {
     * paid two shuffle rounds keyed on (id, gram) for the same numbers).
     * Docs with zero tokens/bigrams keep null metrics.
     */
+  // run-length fold over a SORTED gram array → (maxRun, dupSum):
+  // extending a run 1→2 adds 2 (both occurrences become duplicates),
+  // extending further adds 1; a fresh gram resets the run to 1.
+  private def runStats(sortedGrams: Column): Column =
+    aggregate(sortedGrams,
+      // null prev (not "" — a gram can legitimately BE the empty string,
+      // e.g. blank lines): `t === null` is null, `when` treats it as
+      // false, so the first element always opens a fresh run
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("max_run"), lit(0L).as("dup")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        // dup increment depends only on the NEW run length: a run reaching
+        // 2 retro-counts both occurrences, extending past 2 adds one
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("max_run"), run).as("max_run"),
+          (acc.getField("dup") +
+            when(run === 2, lit(2L)).when(run > 2, lit(1L))
+              .otherwise(lit(0L))).as("dup"))
+      })
+
+  private def fracOrNull(num: Column, denom: Column): Column =
+    when(denom > 0, num.cast("double") / denom)
+
   def withRepetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // run-length fold over a SORTED gram array → (maxRun, dupSum):
-    // extending a run 1→2 adds 2 (both occurrences become duplicates),
-    // extending further adds 1; a fresh gram resets the run to 1.
-    def runStats(sortedGrams: Column): Column =
-      aggregate(sortedGrams,
-        struct(lit("").as("prev"), lit(0L).as("run"),
-          lit(0L).as("max_run"), lit(0L).as("dup")),
-        (acc, t) => {
-          val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(lit(1L))
-          struct(t.as("prev"), run.as("run"),
-            greatest(acc.getField("max_run"), run).as("max_run"),
-            (acc.getField("dup") +
-              when(t =!= acc.getField("prev"), lit(0L))
-                .when(acc.getField("run") === 1, lit(2L))
-                .otherwise(lit(1L))).as("dup"))
-        })
-    def frac(num: Column, denom: Column): Column =
-      when(denom > 0, num.cast("double") / denom)
+    def frac(num: Column, denom: Column): Column = fracOrNull(num, denom)
     val toks = col("__toks_r")
     val bi = col("__bi_r")
     df.withColumn("__toks_r", T.tokenize(col(textCol)))
@@ -547,7 +561,11 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum("__lpi").as("__slpi"))
       .select(col(idCol), col("n_tokens"), col("__slpi").as("logprob_micro"),
-        (col("__slpi").cast("double") / 1e6 / col("n_tokens")).as("avg_logprob"))
+        // microAvg (round to integer micro-nats BEFORE the 1e-6 scale-down)
+        // — raw s/1e6/n puts cross-engine rounding ties at the 7th decimal
+        // of a non-representable double (the text_dsir_weights lesson);
+        // the integer average is exact and scale-independent
+        microAvg(col("__slpi"), col("n_tokens")).as("avg_logprob"))
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
@@ -704,7 +722,15 @@ object TextAnalysis {
       .withColumn("ellipsis_frac",
         size(filter(lines, ellipsisEnd)).cast("double") / col("__n_lines"))
       .withColumn("alpha_word_frac",
-        size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / denomW)
+        // "contains a letter" without a per-token regex-engine call:
+        // translate deletes [a-z] via a char map, so a length drop == a
+        // letter present (tokenize output is already lowercase). Same
+        // boolean as rlike("[a-z]") at a fraction of the instruction count
+        // — this projection's per-token work dominates an otherwise
+        // zero-shuffle operator at 100 TB.
+        size(filter(toks, w =>
+          length(w) > length(translate(w, "abcdefghijklmnopqrstuvwxyz", ""))))
+          .cast("double") / denomW)
       .withColumn("stop_hits",
         size(filter(required, w => array_contains(toks, w))).cast("long"))
       .withColumn("r_word_count", nWords.between(50L, 100000L))
@@ -719,6 +745,56 @@ object TextAnalysis {
           col("r_bullet_lines") && col("r_ellipsis_lines") &&
           col("r_alpha_words") && col("r_stopwords"))
       .drop("__toks_gr", "__lines_gr", "__n_symbols", "__n_lines")
+  }
+
+  /** The COMPLETE Gopher rule set (Rae et al. 2021, Appendix A1): the
+    * A1.1 document rules of [[withGopherRules]] PLUS the A1.2
+    * repetition rules the paper applies alongside them —
+    *
+    *  - `r_dup_lines`:    duplicate-line fraction ≤ 0.30
+    *  - `r_dup_paras`:    duplicate-paragraph fraction ≤ 0.30
+    *  - `r_top_bigram`:   top-2-gram occurrence fraction ≤ 0.20
+    *  - `r_top_trigram`:  top-3-gram occurrence fraction ≤ 0.18
+    *
+    * and `gopher_full_pass` = `gopher_pass` ∧ the four. Fractions are
+    * ratios of exact integers from the same sorted run-length fold as
+    * [[withRepetitionMetrics]] (paragraphs split on blank lines, lines on
+    * `\n`); a doc with no bigrams/trigrams passes the n-gram rules
+    * vacuously (null-safe ≤). Thresholds are the paper's Table A1 values
+    * applied to occurrence fractions.
+    *
+    * Distributed shape: like the base rules, ZERO shuffles — every signal
+    * is a per-row fold inside the scan projection; the operator scales as
+    * the scan at 100 TB.
+    */
+  def withGopherRulesFull(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = col("__lines_gf")
+    val paras = col("__paras_gf")
+    val toks = col("__toks_gf")
+    def passOrVacuous(c: Column): Column = coalesce(c, lit(true))
+    withGopherRules(df, textCol)
+      .withColumn("__lines_gf", split(t, "\n"))
+      .withColumn("__paras_gf", split(t, "\n\n"))
+      .withColumn("__toks_gf", T.tokenize(t))
+      .withColumn("dup_line_frac",
+        fracOrNull(runStats(array_sort(lines)).getField("dup"), size(lines)))
+      .withColumn("dup_para_frac",
+        fracOrNull(runStats(array_sort(paras)).getField("dup"), size(paras)))
+      .withColumn("top_bigram_frac2",
+        fracOrNull(runStats(array_sort(T.kShinglesAll(toks, 2))).getField("max_run"),
+          greatest(size(toks) - 1, lit(0))))
+      .withColumn("top_trigram_frac",
+        fracOrNull(runStats(array_sort(T.kShinglesAll(toks, 3))).getField("max_run"),
+          greatest(size(toks) - 2, lit(0))))
+      .withColumn("r_dup_lines", passOrVacuous(col("dup_line_frac") <= 0.30))
+      .withColumn("r_dup_paras", passOrVacuous(col("dup_para_frac") <= 0.30))
+      .withColumn("r_top_bigram", passOrVacuous(col("top_bigram_frac2") <= 0.20))
+      .withColumn("r_top_trigram", passOrVacuous(col("top_trigram_frac") <= 0.18))
+      .withColumn("gopher_full_pass",
+        col("gopher_pass") && col("r_dup_lines") && col("r_dup_paras") &&
+          col("r_top_bigram") && col("r_top_trigram"))
+      .drop("__lines_gf", "__paras_gf", "__toks_gf")
   }
 
   /** DSIR-style importance weights (Data Selection via Importance
