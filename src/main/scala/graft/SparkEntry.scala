@@ -39,6 +39,27 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
 
+  /** Shared planted crawl-URL corpus of the URL gate family (canonical,
+    * url-keyed dedup, domain stats): three messy raw-form families per
+    * doc_id — see the `text_url_canonical` gate comment. Mirrored verbatim
+    * by `plantedUrlSql`.
+    */
+  private def plantedUrls(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Sub"), (col("doc_id") % 10).cast("string"),
+          lit(".Example.ORG:443/P/"), (col("doc_id") % 20).cast("string"),
+          lit("?id="), (col("doc_id") % 20).cast("string"),
+          lit("#sec"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
+            lit(".example.org/p/gclid=x?next=/a?gclid=1&myfbclid=keep"),
+            lit("&utm_medium=z"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
+          lit(".example.org/P/"), (col("doc_id") % 20).cast("string"),
+          lit("?utm_source=feed&id="), (col("doc_id") % 20).cast("string"),
+          lit("&fbclid=x"), col("doc_id").cast("string"))).as("raw_url"))
+
   /** Shared front end of the source round-trip gates: docs without line
     * breaks (line-per-row formats cannot represent them; the oracles filter
     * identically) and a deterministic per-corpus temp dir so repeated runs
@@ -1192,31 +1213,36 @@ object SparkEntry {
         .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
-    "text_url_canonical" -> ((s, d) => {
+    "text_url_canonical" -> ((s, d) =>
       // crawl-frontier URL dedup: messy raw forms per doc family
       // (uppercase scheme/host + default port + fragment vs tracking
       // params) must collapse to the same canonical URL, while the
       // adversarial family (mod-4 == 2) proves look-alikes survive:
       // 'gclid=' in a path segment, '?gclid=' inside a param VALUE, and
       // 'myfbclid' (tracking name as a suffix) are all NOT tracking params
-      val planted = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("HTTPS://Sub"), (col("doc_id") % 10).cast("string"),
-            lit(".Example.ORG:443/P/"), (col("doc_id") % 20).cast("string"),
-            lit("?id="), (col("doc_id") % 20).cast("string"),
-            lit("#sec"), col("doc_id").cast("string")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
-              lit(".example.org/p/gclid=x?next=/a?gclid=1&myfbclid=keep"),
-              lit("&utm_medium=z"), col("doc_id").cast("string")))
-          .otherwise(concat(lit("https://sub"), (col("doc_id") % 10).cast("string"),
-            lit(".example.org/P/"), (col("doc_id") % 20).cast("string"),
-            lit("?utm_source=feed&id="), (col("doc_id") % 20).cast("string"),
-            lit("&fbclid=x"), col("doc_id").cast("string"))).as("raw_url"))
-      planted.select(col("doc_id"), col("raw_url"),
+      plantedUrls(s, d).select(col("doc_id"), col("raw_url"),
           TextAnalysis.canonicalizeUrl(col("raw_url")).as("url_canon"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+    "dedup_url_keyed" -> ((s, d) =>
+      // canonical-URL keep-min dedup — the crawl step BEFORE content
+      // dedup: docs whose messy raw forms collapse to one canonical URL
+      // keep only the min doc_id. Every planted family exercises the
+      // decision: mod-4==0 and the odd family collapse within mod-20
+      // congruence classes (fragment/port/tracking variants of the same
+      // page), and mod-4==2 collapses by host once its per-doc
+      // utm_medium value is stripped
+      Dedup.dropUrlDuplicates(plantedUrls(s, d), "doc_id", "raw_url")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalizeUrl(col("raw_url")).as("url_canon"))
+        .orderBy("doc_id")),
+    "text_domain_stats" -> ((s, d) =>
+      // per-host doc/token counts over the planted crawl URLs — the
+      // provenance table that feeds the domain mixture sampler
+      TextAnalysis.domainStats(
+          plantedUrls(s, d).join(docs(s, d).select("doc_id", "text"), Seq("doc_id")),
+          "raw_url", "text")
+        .select(col("host"), col("n_docs"), col("n_tokens"))
+        .orderBy("host")),
     "text_chunk" -> ((s, d) =>
       // context-window chunking: 50-token windows, 10-token overlap; chunk
       // text emitted as md5 (comparator-friendly cell size)
@@ -1825,6 +1851,51 @@ object SparkEntry {
   // list_filter drops the lone '' that string_split yields on empty input —
   // the twin of TextFunctions.tokenize's array_remove (reference .split()
   // returns [] on empty, /root/reference/src/utils.py:41).
+  /** DuckDB twin of [[plantedUrls]] — a parenthesized subquery. */
+  private val plantedUrlSql = """(SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0
+            THEN 'HTTPS://Sub' || (doc_id % 10) || '.Example.ORG:443/P/' ||
+                 (doc_id % 20) || '?id=' || (doc_id % 20) || '#sec' || doc_id
+            WHEN doc_id % 4 = 2
+            THEN 'https://sub' || (doc_id % 10) ||
+                 '.example.org/p/gclid=x?next=/a?gclid=1&myfbclid=keep' ||
+                 '&utm_medium=z' || doc_id
+            ELSE 'https://sub' || (doc_id % 10) || '.example.org/P/' ||
+                 (doc_id % 20) || '?utm_source=feed&id=' || (doc_id % 20) ||
+                 '&fbclid=x' || doc_id
+          END AS raw_url FROM documents)"""
+
+  /** DuckDB replay of `TextAnalysis.canonicalizeUrl` over [[plantedUrlSql]]
+    * — CTE body ending in `canon(doc_id, raw_url, url_canon)`, shared by
+    * the URL gate family.
+    */
+  private val urlCanonCtes = s"""planted AS $plantedUrlSql,
+      s1 AS (SELECT doc_id, raw_url,
+               regexp_replace(raw_url, '#.*$$', '') AS nofrag FROM planted),
+      p AS (SELECT doc_id, raw_url,
+          lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
+        FROM s1),
+      p2 AS (SELECT doc_id, raw_url, scheme, rest,
+          regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+          lower(regexp_replace(auth, '^[^@]*@', '')) AS host
+        FROM p),
+      c AS (SELECT doc_id, raw_url, scheme, host, userinfo,
+          CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$$', '')
+               WHEN scheme = 'https' THEN regexp_replace(host, ':443$$', '')
+               ELSE host END AS host2,
+          regexp_extract(rest, '^([^?]*)', 1) ||
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(rest, '^[^?]*(\\?.*)$$', 1),
+            '(^\\?|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+            '([?&])&+', '\\1', 'g'), '[?&]+$$', '') AS rest2
+        FROM p2),
+      canon AS (SELECT doc_id, raw_url,
+        CASE WHEN scheme = '' OR host = '' THEN raw_url
+             ELSE scheme || '://' || userinfo || host2 || rest2 END AS url_canon
+      FROM c)"""
+
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
@@ -3182,44 +3253,25 @@ object SparkEntry {
         n_tokens > 0 AND floor((s + n_tokens - 1) / 512.0) > floor(s / 512.0)
           AS spans_boundary
       FROM c ORDER BY doc_id""",
-    "text_url_canonical" -> """
-      WITH planted AS (SELECT doc_id,
-          CASE WHEN doc_id % 4 = 0
-            THEN 'HTTPS://Sub' || (doc_id % 10) || '.Example.ORG:443/P/' ||
-                 (doc_id % 20) || '?id=' || (doc_id % 20) || '#sec' || doc_id
-            WHEN doc_id % 4 = 2
-            THEN 'https://sub' || (doc_id % 10) ||
-                 '.example.org/p/gclid=x?next=/a?gclid=1&myfbclid=keep' ||
-                 '&utm_medium=z' || doc_id
-            ELSE 'https://sub' || (doc_id % 10) || '.example.org/P/' ||
-                 (doc_id % 20) || '?utm_source=feed&id=' || (doc_id % 20) ||
-                 '&fbclid=x' || doc_id
-          END AS raw_url FROM documents),
-      s1 AS (SELECT doc_id, raw_url,
-               regexp_replace(raw_url, '#.*$', '') AS nofrag FROM planted),
-      p AS (SELECT doc_id, raw_url,
-          lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
-        FROM s1),
-      p2 AS (SELECT doc_id, raw_url, scheme, rest,
-          regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
-          lower(regexp_replace(auth, '^[^@]*@', '')) AS host
-        FROM p),
-      c AS (SELECT doc_id, raw_url, scheme, host, userinfo,
-          CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
-               WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
-               ELSE host END AS host2,
-          regexp_extract(rest, '^([^?]*)', 1) ||
-          regexp_replace(regexp_replace(regexp_replace(
-            regexp_extract(rest, '^[^?]*(\?.*)$', 1),
-            '(^\?|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
-            '([?&])&+', '\1', 'g'), '[?&]+$', '') AS rest2
-        FROM p2)
-      SELECT doc_id, raw_url,
-        CASE WHEN scheme = '' OR host = '' THEN raw_url
-             ELSE scheme || '://' || userinfo || host2 || rest2 END AS url_canon
-      FROM c ORDER BY doc_id""",
+    "text_url_canonical" -> s"""
+      WITH $urlCanonCtes
+      SELECT doc_id, raw_url, url_canon FROM canon ORDER BY doc_id""",
+    "dedup_url_keyed" -> s"""
+      WITH $urlCanonCtes
+      SELECT doc_id, url_canon FROM (
+        SELECT doc_id, url_canon,
+          min(doc_id) OVER (PARTITION BY url_canon) AS keep
+        FROM canon)
+      WHERE doc_id = keep ORDER BY doc_id""",
+    "text_domain_stats" -> s"""
+      WITH planted AS $plantedUrlSql,
+      j AS (SELECT p.doc_id, p.raw_url, d.text
+            FROM planted p JOIN documents d USING (doc_id)),
+      h AS (SELECT lower(regexp_extract(raw_url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)', 1)) AS host,
+            len($tokenizeSql) AS nt FROM j)
+      SELECT host, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM h GROUP BY 1 ORDER BY host""",
     "text_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),

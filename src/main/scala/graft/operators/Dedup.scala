@@ -38,6 +38,26 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__ded_loser"), "left_anti")
   }
 
+  /** URL-keyed dedup — the crawl-pipeline step BEFORE any content dedup:
+    * keep the min-id document per CANONICAL URL
+    * ([[TextAnalysis.canonicalizeUrl]] — scheme/host case, default ports,
+    * fragments, and tracking params do not distinguish pages). Identical
+    * hash-only decision shape to [[dropExactDuplicates]]: the
+    * canonicalized URL collapses to a 16-byte md5 before any exchange, so
+    * every shuffle carries (hash, id) — never the URL text, never the
+    * document — and the loser anti-join stays unhinted (AQE broadcasts a
+    * small loser list, a dup-heavy crawl's list is allowed to shuffle).
+    */
+  def dropUrlDuplicates(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("__ud_id"),
+      md5(TextAnalysis.canonicalizeUrl(col(urlCol))).as("__ud_h"))
+    val winners = keyed.groupBy(col("__ud_h")).agg(min(col("__ud_id")).as("__ud_keep"))
+    val losers = keyed.join(winners, Seq("__ud_h"))
+      .where(col("__ud_id") =!= col("__ud_keep"))
+      .select(col("__ud_id").as("__ud_loser"))
+    docs.join(losers, docs(idCol) === col("__ud_loser"), "left_anti")
+  }
+
   /** Exact-duplicate groups (diagnostic view): content hash → group size +
     * kept id. Only groups with >1 member.
     */

@@ -256,6 +256,25 @@ object TextAnalysis {
   def withNormalizedText(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("text_norm", T.normalize(col(textCol)))
 
+  /** Per-domain corpus statistics — the provenance table a crawl pipeline
+    * feeds into [[domainMixWeights]] / `sampleToMixture`: per canonical
+    * HOST (lowercased, userinfo and port stripped — the same RFC 3986
+    * fields [[canonicalizeUrl]] normalizes), document count and total
+    * token count. Rows without a parseable URL group under host `''` (the
+    * dead-letter bucket a real pipeline routes to provenance review).
+    *
+    * Scale shape: ONE map-side-combined aggregate keyed on the host — the
+    * exchange carries (host, count, sum) partials, never text; host
+    * cardinality (millions) is tiny against a 100 TB corpus.
+    */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    df.select(
+        lower(regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)", 1)).as("host"),
+        size(T.tokenize(col(textCol))).cast("long").as("__nt"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+
   /** Temperature-scaled domain mixing weights — the multilingual/multi-
     * domain sampling step of a training pipeline: per domain, its corpus
     * share p = n/N and sampling weight w ∝ p^alpha renormalized

@@ -1007,6 +1007,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dropUrlDuplicates / domainStats: canonical-URL keep-min; host stats bucket dead letters") {
+    val rows = Seq(
+      (1L, "HTTPS://A.Example.COM:443/x?id=1#frag", "w1 w2 w3"),
+      (2L, "https://a.example.com/x?id=1&utm_source=z", "w1 w2"),   // same canon as 1
+      (3L, "https://a.example.com/x?id=2", "w1"),                   // different page
+      (4L, "http://User:P@B.net:80/y", "w1 w2 w3 w4"),
+      (5L, "not a url", "w1 w2")
+    ).toDF("doc_id", "url", "text")
+    val kept = graft.operators.Dedup.dropUrlDuplicates(rows, "doc_id", "url")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)),
+      s"doc 2 is a canonical dup of doc 1: ${kept.mkString(",")}")
+    val stats = graft.operators.TextAnalysis.domainStats(rows, "url", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("a.example.com") == (3L, 6L), s"host stats: $stats")
+    assert(stats("b.net") == (1L, 4L), "userinfo and port must strip from the host")
+    assert(stats("") == (1L, 2L), "non-URLs bucket under the empty host")
+  }
+
   test("extractWavFeatures: planted PCM round-trips header + closed-form RMS/peak; non-WAV dropped") {
     val ids = Seq(0L, 1L, 7L, 42L, 333L) // mono and stereo, varied rates
     val planted = Multimodal.plantAudioPayloads(ids.toDF("doc_id"), "doc_id")
