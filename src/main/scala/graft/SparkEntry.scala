@@ -1284,6 +1284,26 @@ object SparkEntry {
         headCutMicro = -3400000L, tailCutMicro = -3404000L)
         .select(col("doc_id"), col("n_tokens"), col("ppl_bucket"))
         .orderBy("doc_id")),
+    "text_ccnet_calibrated" -> ((s, d) => {
+      // CCNet as published: derive the cutoffs from a CALIBRATION slice
+      // (held-out even ids; top/bottom 30% of its scored docs), then
+      // bucket the FULL corpus at those cutoffs. The gate also asserts
+      // the k = ceil(q*n) rank rule agrees with DuckDB's own
+      // quantile_disc (tolerance booleans, lit(true) on the Spark side)
+      val corpus = docs(s, d)
+      val cal = TextAnalysis.calibrateCcnetCutoffs(
+        corpus.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        headFrac = 0.3, tailFrac = 0.3)
+      TextAnalysis.ccnetBuckets(corpus, "doc_id", "text",
+          cal.headCutMicro, cal.tailCutMicro)
+        .select(col("doc_id"), col("n_tokens"), col("ppl_bucket"),
+          lit(cal.nScored).as("n_cal"),
+          lit(cal.headCutMicro).as("head_cut"),
+          lit(cal.tailCutMicro).as("tail_cut"),
+          lit(true).as("head_matches_disc"),
+          lit(true).as("tail_matches_disc"))
+        .orderBy("doc_id")
+    }),
     "text_compression_signal" -> ((s, d) => {
       // DEFLATE-ratio gibberish signal (custom codegen'd kernel). DuckDB
       // has no deflate, so the gate is the tolerance-boolean pattern:
@@ -2486,6 +2506,50 @@ object SparkEntry {
              WHEN am.avg_micro < -3404000 THEN 'tail'
              ELSE 'middle' END AS ppl_bucket
       FROM documents d LEFT JOIN am USING (doc_id) ORDER BY d.doc_id""",
+    "text_ccnet_calibrated" -> s"""
+      WITH ttoks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents
+                     WHERE doc_id % 2 = 0),
+      tp AS (SELECT doc_id, unnest(tokens) AS token FROM ttoks),
+      tf AS (SELECT token, count(*) AS c FROM tp GROUP BY 1),
+      tt AS (SELECT sum(c) AS total FROM tf),
+      tlp AS (SELECT token,
+                CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+              FROM tf, tt),
+      tper AS (SELECT doc_id, count(*) AS n, sum(lpi) AS s
+               FROM tp JOIN tlp USING (token) GROUP BY 1),
+      tavg AS (SELECT CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS avg FROM tper),
+      tot AS (SELECT count(*) AS n FROM tavg),
+      ks AS (SELECT CAST(greatest(1, ceil(0.7 * n)) AS BIGINT) AS kh,
+                    CAST(greatest(1, ceil(0.3 * n)) AS BIGINT) AS kt, n FROM tot),
+      cum AS (SELECT avg, sum(count(*)) OVER (ORDER BY avg) AS cumc
+              FROM tavg GROUP BY avg),
+      hc AS (SELECT min(avg) AS v FROM cum, ks WHERE cumc >= kh),
+      tc AS (SELECT min(avg) AS v FROM cum, ks WHERE cumc >= kt),
+      disc AS (SELECT quantile_disc(avg, 0.7) AS dh,
+                      quantile_disc(avg, 0.3) AS dt FROM tavg),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      p AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      f AS (SELECT token, count(*) AS c FROM p GROUP BY 1),
+      t AS (SELECT sum(c) AS total FROM f),
+      lp AS (SELECT token,
+               CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+             FROM f, t),
+      per AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
+              FROM p JOIN lp USING (token) GROUP BY 1),
+      am AS (SELECT doc_id, n_tokens,
+               CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro
+             FROM per)
+      SELECT d.doc_id, coalesce(am.n_tokens, 0) AS n_tokens,
+        CASE WHEN am.avg_micro IS NULL THEN 'unscored'
+             WHEN am.avg_micro >= hc.v THEN 'head'
+             WHEN am.avg_micro < tc.v THEN 'tail'
+             ELSE 'middle' END AS ppl_bucket,
+        ks.n AS n_cal, hc.v AS head_cut, tc.v AS tail_cut,
+        (hc.v = disc.dh) AS head_matches_disc,
+        (tc.v = disc.dt) AS tail_matches_disc
+      FROM documents d LEFT JOIN am USING (doc_id)
+      CROSS JOIN hc CROSS JOIN tc CROSS JOIN disc CROSS JOIN ks
+      ORDER BY d.doc_id""",
     "text_compression_signal" -> """
       SELECT count(*) AS n_docs, true AS ratios_bounded, true AS avg_in_band,
         true AS probe_ordering FROM documents""",

@@ -615,6 +615,65 @@ object TextAnalysis {
       .drop("__avg_micro")
   }
 
+  /** Derived CCNet cutoffs: scored-doc count and the head/tail micro-nat
+    * cutoffs ready for [[ccnetBuckets]].
+    */
+  final case class CcnetCutoffs(nScored: Long, headCutMicro: Long, tailCutMicro: Long)
+
+  /** CCNet cutoff CALIBRATION (Wenzek et al. 2020 derive their bucket
+    * thresholds from a calibration run, not by hand): compute, from a
+    * calibration slice, the integer micro-nat cutoffs such that the top
+    * `headFrac` of scored docs land in `head` and the bottom `tailFrac`
+    * in `tail` — i.e. the discrete (1−headFrac)- and tailFrac-quantiles
+    * of the exact per-doc integer averages, with the k-th-smallest rank
+    * rule `k = ⌈q·n⌉` (DuckDB's `quantile_disc` semantics, so the gate
+    * can cross-check against the oracle's own quantile implementation).
+    *
+    * Distributed shape: one value-counts aggregate over the integer
+    * averages — cardinality is bounded by the micro-nat value RANGE
+    * (corpus-size-independent), so the counts table stays small at any
+    * scale — then a range-partitioned two-pass cumulative count (the
+    * [[packSequences]] offsets pattern; no single-task global window) and
+    * two single-row fetches for the selected order statistics. Nothing
+    * unbounded is ever collected.
+    */
+  def calibrateCcnetCutoffs(df: DataFrame, idCol: String, textCol: String,
+      headFrac: Double, tailFrac: Double): CcnetCutoffs = {
+    require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1,
+      s"need 0 < headFrac, 0 < tailFrac, headFrac+tailFrac < 1; got $headFrac/$tailFrac")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = withUnigramLogProb(df, idCol, textCol)
+      .where(col("n_tokens") > 0)
+      .select(microAvgLong(col("logprob_micro"), col("n_tokens")).as("__avg"))
+      .groupBy("__avg").agg(count(lit(1)).as("__c"))
+    val parted = counts.repartitionByRange(col("__avg"))
+      .sortWithinPartitions("__avg")
+      .withColumn("__pid", spark_partition_id())
+      .transform(graft.SparkUtil.scopedPersist)
+    // one row per partition, prefix-summed on the driver (bounded by the
+    // partition count, never the data)
+    val totals = parted.groupBy("__pid").agg(sum("__c").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    require(n > 0, "calibration slice has no scored documents")
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy("__avg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parted.join(offDf, Seq("__pid"))
+      .withColumn("__cum", col("__off") + sum("__c").over(w))
+      .transform(graft.SparkUtil.scopedPersist)
+    def kthSmallest(k: Long): Long =
+      cum.where(col("__cum") >= k).agg(min("__avg")).first().getLong(0)
+    val kHead = math.max(1L, math.ceil((1.0 - headFrac) * n).toLong)
+    val kTail = math.max(1L, math.ceil(tailFrac * n).toLong)
+    val head = kthSmallest(kHead)
+    val tail = kthSmallest(kTail)
+    CcnetCutoffs(n, head, tail)
+  }
+
   /** Bigram-LM quality score with STUPID BACKOFF (Brants et al. 2007 — the
     * web-scale scoring scheme: no discounting to train, just
     * `S(w2|w1) = c(w1 w2)/c(w1)` when the bigram was seen, else

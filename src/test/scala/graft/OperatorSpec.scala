@@ -1007,6 +1007,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrateCcnetCutoffs: k=ceil(q*n) order statistics over exact integer averages") {
+    // 5 all-common docs (score A) > 3 half-rare docs (B) > 2 all-rare (C);
+    // token counts: 'the' 18, each rare 1, total 25
+    val docs = ((0L until 5L).map(i => (i, "the the the")) ++
+      (5L until 8L).map(i => (i, s"the zzz$i")) ++
+      (8L until 10L).map(i => (i, s"qq$i ww$i"))).toDF("doc_id", "text")
+    val got = TextAnalysis.calibrateCcnetCutoffs(docs, "doc_id", "text",
+      headFrac = 0.3, tailFrac = 0.3)
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val lpThe = micro(math.log(18.0 / 25)); val lpRare = micro(math.log(1.0 / 25))
+    val avgA = math.round((3 * lpThe).toDouble / 3)        // all-common docs
+    val avgB = math.round((lpThe + lpRare).toDouble / 2)   // half-rare docs
+    // ascending multiset [C,C,B,B,B,A,A,A,A,A]: k_head=ceil(0.7*10)=7 -> A,
+    // k_tail=ceil(0.3*10)=3 -> B
+    assert(got == TextAnalysis.CcnetCutoffs(10L, avgA, avgB), s"got $got")
+    // composed: bucketing the same slice at the derived cutoffs yields the
+    // expected membership (5 head = the A docs, 2 tail = the C docs)
+    val b = TextAnalysis.ccnetBuckets(docs, "doc_id", "text",
+        got.headCutMicro, got.tailCutMicro)
+      .groupBy("ppl_bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b == Map("head" -> 5L, "middle" -> 3L, "tail" -> 2L), s"buckets: $b")
+  }
+
   test("dropUrlDuplicates / domainStats: canonical-URL keep-min; host stats bucket dead letters") {
     val rows = Seq(
       (1L, "HTTPS://A.Example.COM:443/x?id=1#frag", "w1 w2 w3"),
