@@ -1162,6 +1162,19 @@ object SparkEntry {
         nQueries = 20, k = 10, nLists = 16, nProbe = 8, iters = 2,
         recallFloor = 0.5)
         .orderBy("qid")),
+    "sim_recall_pq" -> ((s, d) =>
+      // IVF-PQ (Jégou et al. 2011 IVFADC) quality gate, sim_recall_ivf
+      // pattern: asymmetric-distance recall@10 vs exact brute force for 20
+      // queries as tolerance booleans (codebooks are engine-internal
+      // doubles; the recall FLOOR is the oracle-checkable claim).
+      // m=16 subquantizers × 64 codewords over dim-64 residuals — 16
+      // byte-codes per vector vs 256 fp32 bytes (16× compression);
+      // measured: 20/20 queries clear 0.3 at both gate scales (at ks=32
+      // one sf0.01 query fell below — the codebook resolution matters)
+      SimSearch.pqRecallEval(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 20, k = 10, nLists = 16, nProbe = 12, m = 16, ks = 64,
+        recallFloor = 0.3)
+        .orderBy("qid")),
 
     // --- text analysis
     "text_langid" -> ((s, d) =>
@@ -2441,6 +2454,9 @@ object SparkEntry {
         array_to_string(list_sort(b.bucket_ids), ',') AS bucket_ids_str
       FROM sig s JOIN buck b USING (doc_id) ORDER BY s.doc_id""",
     "sim_recall_ivf" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "sim_recall_pq" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_int8" -> """

@@ -259,7 +259,152 @@ object SimSearch {
         (size(array_intersect(col("i8_ids"), col("ids"))).cast("double") / k
           >= recallFloor).as("recall_ok"))
   }
+
+  // ---------------- IVF-PQ (Jégou et al. 2011, IVFADC) ----------------
+
+  private def toD(a: Column): Column = transform(a, x => x.cast("double"))
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Index of the nearest codeword (min L2², first index on ties). */
+  private def nearestCode(codebook: Column, sub: Column): Column = {
+    val dists = transform(codebook, cw => l2sq(sub, cw))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train an IVF-PQ index — the published next step after IVF + int8 for
+    * a 100 TB embedding store (Jégou, Douze, Schmid 2011, "Product
+    * quantization for nearest neighbor search", the IVFADC structure): the
+    * coarse quantizer of [[trainIvf]] plus a PRODUCT QUANTIZER over the
+    * coarse RESIDUALS `r = v − centroid(cell)`. The residual splits into
+    * `m` subvectors of dim/m; each subquantizer learns `ks` codewords, so
+    * a vector stores as cell + m small codes (m bytes at ks=256) instead
+    * of dim floats — 32× compression at dim=64/m=8.
+    *
+    * One SHARED product codebook over residuals, as in the paper's IVFADC
+    * (the per-cell-codebook variant buys a small recall gain for nLists×
+    * the codebook memory; the plan shape is identical, and the codebook
+    * bound below only grows to cells × m × ks rows).
+    *
+    * Distributed shape: codeword training is Lloyd keyed on (subspace,
+    * code) — assignment is a pure expression over the PLAN-LITERAL
+    * codebook (m × ks × dim/m doubles — bounded and corpus-independent,
+    * the DSIR-style justified broadcast), recomputation is one
+    * (m, code, pos) partial-agg shuffle of doubles per iteration, and the
+    * final ENCODE is a zero-shuffle narrow projection (codes computed
+    * in-row from the plan-literal codebook). Only codebook-sized tables
+    * ever reach the driver.
+    */
+  def trainIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, m: Int = 8, ks: Int = 16,
+      iters: Int = 2, pqIters: Int = 2): PqModel = {
+    require(m >= 1 && ks >= 1 && pqIters >= 0)
+    val ivf = trainIvf(emb, idCol, vecCol, nLists, iters)
+    val dim = ivf.centroids.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into m=$m subvectors")
+    val dsub = dim / m
+    val cents = typedlit(ivf.centroids)
+    val resid = ivf.assigned.withColumn("__r",
+      zip_with(toD(col("v")), element_at(cents, col("cell") + 1),
+        (a, b) => a - b))
+    // training rows (id, cell, subspace, subvector); persisted — feeds
+    // every Lloyd iteration
+    val subs = resid.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__r"), i * dsub + 1, lit(dsub)))).as(Seq("m", "sub")))
+      .transform(graft.SparkUtil.scopedPersist)
+    // deterministic seeds: residual subvectors of the ks lowest-id vectors
+    val seedIds = ivf.assigned.orderBy("id").limit(ks)
+      .select("id").collect().map(_.getLong(0))
+    val seeds = subs.where(col("id").isin(seedIds: _*))
+      .select("id", "m", "sub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    var codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      seeds.filter(_._2 == mi).sortBy(_._1).map(_._3).toSeq
+    }
+    for (_ <- 1 to pqIters) {
+      val cbLit = typedlit(codebooks)
+      val means = subs
+        .withColumn("code", nearestCode(element_at(cbLit, col("m") + 1), col("sub")))
+        .select(col("m"), col("code"), posexplode(col("sub")))
+        .groupBy("m", "code", "pos").agg(avg("col").as("mu"))
+        .collect() // bounded: m × ks × dim/m rows
+      codebooks = codebooks.zipWithIndex.map { case (cb, mi) =>
+        cb.zipWithIndex.map { case (cw, ci) =>
+          val ds = means.filter(r => r.getInt(0) == mi && r.getInt(1) == ci)
+          if (ds.isEmpty) cw // empty code keeps its codeword (Lloyd rule)
+          else ds.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      }
+    }
+    // final encode: zero-shuffle narrow projection — codes in-row
+    val cbLit = typedlit(codebooks)
+    val encoded = resid.select(col("id"), col("cell"),
+      transform(sequence(lit(0), lit(m - 1)),
+        i => nearestCode(element_at(cbLit, i + 1),
+          slice(col("__r"), i * dsub + 1, lit(dsub)))).as("codes"))
+    PqModel(ivf, codebooks, dsub, encoded)
+  }
+
+  /** Recall@k of IVF-PQ asymmetric search vs exact brute force for the
+    * first `nQueries` ids, as per-query tolerance booleans (the
+    * [[ivfRecallEval]] pattern — codebooks are engine-internal doubles, so
+    * the recall FLOOR is the oracle-checkable claim). Asymmetric distance:
+    * the query stays full-precision; each candidate is scored against its
+    * PQ reconstruction `centroid(cell) + codewords` (decode is an in-row
+    * expression over the plan-literal codebook — the probe scan stays
+    * narrow, one broadcast of the per-query probe list, no other
+    * exchange before the per-query top-k aggregate).
+    */
+  def pqRecallEval(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, nLists: Int = 16, nProbe: Int = 8,
+      m: Int = 8, ks: Int = 16, recallFloor: Double = 0.4): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    import graft.functions.TopKAgg
+    val model = trainIvfPq(emb, idCol, vecCol, nLists, m, ks)
+    val base = model.ivf.assigned
+    val nL = model.ivf.centroids.length
+    val q = base.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    // probe cells per query — identical ranking rule to ivfRecallEval
+    val cents = typedlit(model.ivf.centroids)
+    val sims = transform(cents, c => dotProduct(col("qv"), c))
+    val ranked = sort_array(zip_with(sims,
+      sequence(lit(0), lit(nL - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx"))))
+    val qp = q.withColumn("cell",
+      explode(slice(transform(ranked, r => r.getField("idx")), 1, nProbe)))
+    val cbLit = typedlit(model.codebooks)
+    val vhat = zip_with(element_at(cents, col("cell") + 1),
+      flatten(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, mi) => element_at(element_at(cbLit, mi + 1), c + 1))),
+      (a, b) => a + b)
+    val pq = model.encoded.join(broadcast(qp), Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        V.cosine(vhat, toD(col("qv"))).as("c"))
+      .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("pq_ids"))
+    val brute = base.crossJoin(broadcast(q))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), V.cosine(col("v"), col("qv")).as("c"))
+      .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("ids"))
+    brute.join(pq, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(size(array_intersect(col("pq_ids"), col("ids"))), lit(0))
+          .cast("double") / k >= recallFloor).as("recall_ok"))
+  }
 }
+
+/** A trained IVF-PQ index: the coarse [[IvfModel]], the shared product
+  * codebook (m × ks × subDim — bounded, corpus-independent), and the
+  * encoded corpus (id, cell, codes) — m small integers per vector instead
+  * of dim floats.
+  */
+final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
+    subDim: Int, encoded: DataFrame)
 
 /** A trained IVF index: the (nLists × dim) centroid table (driver-side —
   * nLists is small by construction) plus the cell-assigned corpus. Queries

@@ -835,6 +835,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(strict.forall(!_), "an unsatisfiable floor must fail every query")
   }
 
+  test("trainIvfPq/pqRecallEval: codes in range, residual PQ beats centroid-only, floor is live") {
+    import org.apache.spark.sql.functions._
+    val model = SimSearch.trainIvfPq(emb, "vec_id", "embedding",
+      nLists = 8, m = 16, ks = 32)
+    try {
+      // every code addresses a real codeword
+      val bad = model.encoded
+        .where(exists(col("codes"), c => c < 0 || c >= 32)).count()
+      assert(bad == 0, "codes must lie in [0, ks)")
+      assert(model.codebooks.length == 16 &&
+        model.codebooks.forall(cb => cb.length == 32 && cb.forall(_.length == 4)))
+      // reconstruction: centroid + codewords must be closer to the vector
+      // than the centroid alone (the residual codebook carries signal)
+      val cents = typedlit(model.ivf.centroids)
+      val cbLit = typedlit(model.codebooks)
+      val vhat = zip_with(element_at(cents, col("cell") + 1),
+        flatten(zip_with(col("codes"), sequence(lit(0), lit(15)),
+          (c, mi) => element_at(element_at(cbLit, mi + 1), c + 1))),
+        (a, b) => a + b)
+      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+      val errs = model.ivf.assigned.select("id", "v").join(model.encoded, Seq("id"))
+        .select(
+          avg(l2(transform(col("v"), x => x.cast("double")), vhat)).as("pq_err"),
+          avg(l2(transform(col("v"), x => x.cast("double")),
+            element_at(cents, col("cell") + 1))).as("cent_err"))
+        .first()
+      assert(errs.getDouble(0) < errs.getDouble(1),
+        s"PQ reconstruction must beat centroid-only: $errs")
+      // recall floor is live: unsatisfiable floor fails every query
+      val strict = SimSearch.pqRecallEval(emb, "vec_id", "embedding",
+        nQueries = 5, k = 10, nLists = 8, nProbe = 8, m = 16, ks = 32,
+        recallFloor = 1.01).collect().map(_.getBoolean(1))
+      assert(strict.forall(!_), "an unsatisfiable floor must fail every query")
+    } finally graft.SparkUtil.releaseScopedCaches()
+  }
+
   test("sampleToMixture: deterministic, upsamples small domains, broadcast-only corpus join") {
     val d = docs.select(col("doc_id"), col("text"), col("source"))
     val out = TextAnalysis.sampleToMixture(d, "doc_id", "source", alpha = 0.5)
