@@ -320,6 +320,12 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Instrumentation only: propagation rounds used by the most recent
+    * [[connectedComponents]] call on this driver — scale-ladder evidence
+    * for the O(log diameter) convergence claim, not part of the API.
+    */
+  @volatile private[graft] var ccRoundsLastRun: Int = 0
+
   /** Connected components over an undirected (a_id, b_id) pair list by
     * iterative min-label propagation: every node's label converges to the
     * smallest id reachable from it. Iterations are bounded by the
@@ -377,6 +383,7 @@ object Dedup {
     if (!converged)
       System.err.println(s"[graft] connectedComponents hit maxIter=$maxIter before " +
         "convergence — labels may be under-merged; raise maxIter")
+    ccRoundsLastRun = i
     edges.unpersist()
     // the returned frame stays persisted for the caller's join(s); register
     // it for the harness sweep so it doesn't outlive the query
