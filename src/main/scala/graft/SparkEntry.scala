@@ -1635,6 +1635,28 @@ object SparkEntry {
           col("value").cast("double").as("value"))
         .orderBy("user_id", "event_type")
     }),
+    "stream_url_dedup_real" -> ((s, d) => {
+      // the crawl frontier as a STREAM: canonical-URL dedup through real
+      // streaming execution — stateful dropDuplicates keyed on the md5 of
+      // the canonicalized URL (the state store holds 16-byte keys, never
+      // URL text). Input is pre-sorted by doc_id into ONE split so
+      // first-arrival coincides with keep-min, making the batch
+      // dedup_url_keyed oracle replay exactly.
+      s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
+      val tmp = roundTripDir(d, "graft-stream-urldedup")
+      plantedUrls(s, d).orderBy("doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val q = s.readStream.schema(schema).parquet(tmp)
+        .withColumn("url_canon", TextAnalysis.canonicalizeUrl(col("raw_url")))
+        .withColumn("__k", md5(col("url_canon")))
+        .dropDuplicates("__k")
+        .select(col("doc_id"), col("url_canon"))
+        .writeStream.format("memory").queryName("graft_url_dedup_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_url_dedup_gate").orderBy("doc_id")
+    }),
     "stream_gopher_real" -> ((s, d) => {
       // quality filtering lifts to streams unchanged: the Gopher rules are
       // a STATELESS narrow projection, so real micro-batch execution
@@ -2305,6 +2327,13 @@ object SparkEntry {
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         count(*) AS dup_count
       FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "stream_url_dedup_real" -> s"""
+      WITH $urlCanonCtes
+      SELECT doc_id, url_canon FROM (
+        SELECT doc_id, url_canon,
+          min(doc_id) OVER (PARTITION BY url_canon) AS keep
+        FROM canon)
+      WHERE doc_id = keep ORDER BY doc_id""",
     "stream_gopher_real" -> s"""
       WITH base AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       sig AS (SELECT doc_id, len(tokens) AS n_words,

@@ -366,6 +366,57 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"top-10 must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("gopher_full rules are a zero-shuffle narrow projection") {
+    val df = graft.operators.TextAnalysis.withGopherRulesFull(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"every Gopher signal is a per-row fold — no exchange allowed: $exchanges")
+  }
+
+  test("domainStats is one map-side-combined aggregate keyed on the host") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(lit("https://h"),
+          (col("doc_id") % 5).cast("string"), lit(".org/p")).as("url"), col("text"))
+      val physical = graft.operators.TextAnalysis.domainStats(docs, "url", "text")
+        .queryExecution.executedPlan
+      val exchanges = physical.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1, s"exactly one host-keyed exchange: $exchanges")
+      assert(exchanges.head.output.map(_.name.toLowerCase).forall(c =>
+        !c.contains("text") && !c.contains("url")),
+        s"the aggregate exchange must carry (host, partials), not text/url: " +
+          exchanges.head.output.map(_.name))
+      assert(physical.toString.contains("HashAggregate"),
+        "host counts must partial-aggregate map-side")
+    } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("IVF-PQ final encode is projections over the cached corpus — no new exchange") {
+    val model = graft.operators.SimSearch.trainIvfPq(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      nLists = 8, m = 16, ks = 16)
+    try {
+      // exchanges INSIDE the InMemoryRelation (the one-time ensureParallelism
+      // of the training base, paid at fit) sit behind the InMemoryTableScan
+      // leaf and are not part of this operator tree; the encode itself must
+      // add no exchange on top of the cache scan
+      val aboveCache = model.encoded.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(aboveCache.isEmpty,
+        s"PQ encode must be an in-row projection over the cached corpus: $aboveCache")
+    } finally graft.SparkUtil.releaseScopedCaches()
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
