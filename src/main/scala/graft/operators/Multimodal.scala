@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * mean/std statistics ([[pixelFeatures]]). Audio is REAL for RIFF/PCM
   * WAV payloads ([[parseWav]] / [[extractWavFeatures]] — header fields and
   * per-channel RMS/peak are pure public byte parsing, no codec needed).
-  * Payloads that are none of these fall back to the
+  * Video is REAL for AVI containers ([[parseAvi]] — header dims + counted
+  * `movi` frame chunks), and for MJPEG streams the first frame decodes
+  * through the image pixel path ([[firstAviFrame]] — each `00dc` chunk is
+  * a complete JPEG). Payloads that are none of these fall back to the
   * **clearly marked deterministic STUB** paths (`stubDecode`,
-  * `stubFeature`): no compressed-audio/video codec ships in this
-  * container, so those derive fake but stable values from the payload
-  * bytes. Swapping in a richer codec or embedding model means replacing
-  * exactly those functions; the `mapPartitions` batch contract stays.
+  * `stubFeature`): no compressed-audio codec or non-MJPEG video codec
+  * ships in this container, so those derive fake but stable values from
+  * the payload bytes. Swapping in a richer codec or embedding model means
+  * replacing exactly those functions; the `mapPartitions` batch contract
+  * stays.
   */
 object Multimodal {
 
@@ -192,6 +196,87 @@ object Multimodal {
     else None
   }
 
+  // ---------------- real AVI/MJPEG video parsing ----------------
+
+  /** Parsed AVI facts: main-header dimensions, the frame count (counted
+    * `NNdc`/`NNdb` chunks in the `movi` list when present, else the
+    * header's declared total), and the first video stream's codec fourcc.
+    */
+  final case class AviInfo(width: Int, height: Int, frames: Int, fourcc: String)
+
+  /** REAL AVI header parse — the video container, like WAV, is pure RIFF
+    * byte walking, NO codec needed: `RIFF…AVI ` → recurse through `LIST`
+    * chunks, read `avih` (56-byte main header: dwTotalFrames at data
+    * offset 16, dwWidth/dwHeight at 32/36), take the first `vids` stream's
+    * handler fourcc from `strh`, and COUNT the actual frame chunks inside
+    * the `movi` list (ids `NNdc`/`NNdb`) rather than trusting the declared
+    * total. None for anything malformed or truncated.
+    */
+  def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+    if (b.length < 24 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    var w = 0; var h = 0; var declared = 0; var counted = 0
+    var fourcc = ""; var sawAvih = false
+    def fcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    def isFrameChunk(p: Int): Boolean =
+      b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
+        (b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b'))
+    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+      var p = start
+      while (p + 8 <= end) {
+        val sz = le32(b, p + 4)
+        if (sz < 0 || p + 8 + sz > end) return false // truncated chunk
+        if (fcc(p) == "LIST" && sz >= 4) {
+          val listType = fcc(p + 8)
+          if (!walk(p + 12, p + 8 + sz, inMovi || listType == "movi")) return false
+        } else if (fcc(p) == "avih" && sz >= 40) {
+          declared = le32(b, p + 8 + 16)
+          w = le32(b, p + 8 + 32); h = le32(b, p + 8 + 36)
+          sawAvih = true
+        } else if (fcc(p) == "strh" && sz >= 8) {
+          if (fcc(p + 8) == "vids" && fourcc.isEmpty) fourcc = fcc(p + 12)
+        } else if (inMovi && isFrameChunk(p)) {
+          counted += 1
+        }
+        p += 8 + sz + (sz & 1) // word alignment per RIFF
+      }
+      true
+    }
+    if (!walk(12, b.length, inMovi = false)) return None
+    if (sawAvih && w > 0 && h > 0)
+      Some(AviInfo(w, h, if (counted > 0) counted else math.max(declared, 1), fourcc))
+    else None
+  }
+
+  /** Payload bytes of the FIRST video frame chunk (`NNdc`/`NNdb`) in the
+    * `movi` list — for MJPG streams this is a complete JPEG the image
+    * pixel path can decode (the keyframe-thumbnail read of a video
+    * pipeline). None when there is no frame chunk.
+    */
+  def firstAviFrame(b: Array[Byte]): Option[Array[Byte]] = {
+    if (parseAvi(b).isEmpty) return None
+    def fcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    def walk(start: Int, end: Int, inMovi: Boolean): Option[Array[Byte]] = {
+      var p = start
+      while (p + 8 <= end) {
+        val sz = le32(b, p + 4)
+        if (sz < 0 || p + 8 + sz > end) return None
+        if (fcc(p) == "LIST" && sz >= 4) {
+          val r = walk(p + 12, p + 8 + sz, inMovi || fcc(p + 8) == "movi")
+          if (r.isDefined) return r
+        } else if (inMovi &&
+            b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
+            b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')) {
+          return Some(java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz))
+        }
+        p += 8 + sz + (sz & 1)
+      }
+      None
+    }
+    walk(12, b.length, inMovi = false)
+  }
+
   /** REAL header decode: PNG / JPEG / GIF dimensions parsed from the
     * container bytes — and for GIF the frame count from the image
     * descriptor walk (PNG/JPEG containers are single-frame by definition
@@ -203,7 +288,19 @@ object Multimodal {
       case Some((fmt, w, h)) =>
         val frames = if (fmt == "gif") gifFrameCount(payload) else 1
         MediaMeta(id, payload.length, fmt, w, h, frames)
-      case None => stubDecode(id, payload)
+      case None => parseAvi(payload) match {
+        case Some(AviInfo(w, h, frames, _)) =>
+          MediaMeta(id, payload.length, "avi", w, h, frames)
+        case None => parseWav(payload) match {
+          // audio reuses the row shape: the spatial slots carry
+          // (sample_rate, channels), frame_count = PCM sample frames
+          case Some(wi) =>
+            val fb = (wi.bitDepth / 8) * wi.channels
+            MediaMeta(id, payload.length, "wav", wi.sampleRate, wi.channels,
+              if (fb == 0) 0 else wi.dataLen / fb)
+          case None => stubDecode(id, payload)
+        }
+      }
     }
 
   // ---------------- planted real payloads (test/oracle surface) ----------------
@@ -517,7 +614,14 @@ object Multimodal {
     if (parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes)).isDefined)
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
-    else null
+    else firstAviFrame(bytes) match {
+      // video: decode the FIRST frame (keyframe-thumbnail semantics) —
+      // for MJPG streams each frame chunk is a complete JPEG
+      case Some(frame) if parseJpeg(frame).isDefined =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+        catch { case scala.util.control.NonFatal(_) => null }
+      case _ => null
+    }
 
   /** Feature extraction: REAL pixel statistics for PNG / JPEG / GIF
     * payloads (decoded pure-JVM via `javax.imageio` inside the
@@ -657,6 +761,53 @@ object Multimodal {
     b
   }
 
+  /** Planted AVI frame count: 1-4 frames derived from the id. */
+  def plantAviFrames(id: Long): Int = (1 + id % 4).toInt
+
+  /** A COMPLETE real AVI/MJPEG container (RIFF AVI: hdrl with avih +
+    * vids/MJPG strl, movi with [[plantAviFrames]] `00dc` chunks, each a
+    * complete [[plantSolidJpeg]] JPEG at [[plantSolidDims]]) — the video
+    * twin of the planted image payloads. Both the header fields and the
+    * first decoded frame are oracle-checkable.
+    */
+  def plantAviMjpeg(id: Long): Array[Byte] = {
+    val (w, h) = plantSolidDims(id)
+    val frames = plantAviFrames(id)
+    val frame = plantSolidJpeg(id)
+    val framePadded = frame.length + (frame.length & 1)
+    val out = new java.io.ByteArrayOutputStream(512 + frames * (8 + framePadded))
+    def wle32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    def wfcc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    val avihSz = 56; val strhSz = 56; val strfSz = 40
+    val strlSz = 4 + 8 + strhSz + 8 + strfSz
+    val hdrlSz = 4 + 8 + avihSz + 8 + strlSz
+    val moviSz = 4 + frames * (8 + framePadded)
+    val riffSz = 4 + 8 + hdrlSz + 8 + moviSz
+    wfcc("RIFF"); wle32(riffSz); wfcc("AVI ")
+    wfcc("LIST"); wle32(hdrlSz); wfcc("hdrl")
+    wfcc("avih"); wle32(avihSz)
+    wle32(33333); wle32(0); wle32(0); wle32(0) // usec/frame, maxbps, pad, flags
+    wle32(frames); wle32(0); wle32(1); wle32(0) // total frames, initial, streams, bufsize
+    wle32(w); wle32(h); wle32(0); wle32(0); wle32(0); wle32(0) // dims + reserved
+    wfcc("LIST"); wle32(strlSz); wfcc("strl")
+    wfcc("strh"); wle32(strhSz)
+    wfcc("vids"); wfcc("MJPG")
+    (0 until 12).foreach(_ => wle32(0)) // flags..frame box, zero-filled
+    wfcc("strf"); wle32(strfSz)
+    wle32(strfSz); wle32(w); wle32(h); wle32(1 | (24 << 16)) // biSize..planes=1,bits=24
+    wfcc("MJPG"); wle32(w * h * 3); wle32(0); wle32(0); wle32(0); wle32(0)
+    wfcc("LIST"); wle32(moviSz); wfcc("movi")
+    for (_ <- 0 until frames) {
+      wfcc("00dc"); wle32(frame.length)
+      out.write(frame, 0, frame.length)
+      if ((frame.length & 1) == 1) out.write(0) // word alignment
+    }
+    out.toByteArray
+  }
+
   /** (doc_id, payload, media_type) of REAL planted PCM WAVs — the audio
     * twin of [[plantImagePayloads]].
     */
@@ -665,6 +816,17 @@ object Multimodal {
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
       .mapPartitions { it => it.map(id => (id, plantWavPcm(id), "audio/wav")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** (doc_id, payload, media_type) of REAL planted AVI/MJPEG containers —
+    * the video twin of [[plantImagePayloads]].
+    */
+  def plantVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantAviMjpeg(id), "video/x-msvideo")) }
       .toDF("doc_id", "payload", "media_type")
   }
 
