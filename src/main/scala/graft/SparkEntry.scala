@@ -1814,6 +1814,47 @@ object SparkEntry {
           round(col("rms_ch1"), 6).as("rms_ch1"),
           round(col("peak_ch1"), 6).as("peak_ch1"))
         .orderBy("doc_id")),
+    "mm_features_real_avi" -> ((s, d) => {
+      // REAL video path: complete AVI/MJPEG containers (RIFF AVI: avih
+      // header + vids/MJPG stream + movi with 1-4 planted solid-JPEG
+      // frames) parsed by the pure-JVM chunk walker. Header dims and the
+      // COUNTED movi frame chunks replay from the id formulas; the first
+      // frame decodes through the image pixel path (each 00dc chunk is a
+      // complete JPEG), so like mm_features_real_jpeg the gate asserts
+      // decoded uniformity (exact) + mean within 5/255 of the planted
+      // color formula + exact frame dims
+      val payloads = SparkUtil.scopedPersist(
+        Multimodal.plantVideoPayloads(docs(s, d), "doc_id"))
+      Multimodal.decodeMeta(payloads).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width"), col("height"), col("frame_count"))
+        .join(Multimodal.extractFeatures(payloads).toDF()
+          .select(col("doc_id"),
+            (col("f3") === 0.0 && col("f4") === 0.0 && col("f5") === 0.0)
+              .as("is_uniform"),
+            (abs(col("f0") * 255 - (col("doc_id") % 256)) <= 5.0 &&
+             abs(col("f1") * 255 - (col("doc_id") * 3 % 256)) <= 5.0 &&
+             abs(col("f2") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
+              .as("mean_close")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "mm_frame_sample_real" -> ((s, d) =>
+      // REAL frame sampling: every 2nd ACTUAL frame chunk extracted from
+      // the planted AVI movi lists and pixel-decoded (MJPEG = complete
+      // JPEGs) — frame indices replay from the planted count formula,
+      // dims from the planted solid dims, uniformity is exact
+      Multimodal.sampleVideoFrames(
+          Multimodal.plantVideoPayloads(docs(s, d), "doc_id"), everyK = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width"), col("height"),
+          (col("std_r") === 0.0 && col("std_g") === 0.0 && col("std_b") === 0.0)
+            .as("is_uniform"),
+          (abs(col("mean_r") * 255 - (col("doc_id") % 256)) <= 5.0 &&
+           abs(col("mean_g") * 255 - (col("doc_id") * 3 % 256)) <= 5.0 &&
+           abs(col("mean_b") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
+            .as("mean_close"))
+        .orderBy("doc_id", "frame_idx")),
     "mm_resize_real_gif" -> ((s, d) => {
       // REAL resize through the GIF decoder: solid GIFs aspect-fit into an
       // 8px box, re-encoded as PNG (resize normalizes the container),
@@ -3662,6 +3703,20 @@ object SparkEntry {
         CASE WHEN channels > 1 THEN round(sqrt(5 * a1 * a1 / 8.0) / 32768, 6) END AS rms_ch1,
         CASE WHEN channels > 1 THEN round(a1 / 32768.0, 6) END AS peak_ch1
       FROM p ORDER BY doc_id""",
+    "mm_features_real_avi" -> """
+      SELECT doc_id, 'avi' AS format,
+        CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS height,
+        CAST(1 + doc_id % 4 AS INTEGER) AS frame_count,
+        true AS is_uniform, true AS mean_close
+      FROM documents ORDER BY doc_id""",
+    "mm_frame_sample_real" -> """
+      WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS frame_count FROM documents)
+      SELECT doc_id, unnest(range(0, frame_count, 2)) AS frame_idx,
+        CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS height,
+        true AS is_uniform, true AS mean_close
+      FROM m ORDER BY doc_id, frame_idx""",
     "mm_resize_real_gif" -> """
       WITH m AS (SELECT doc_id,
           CAST(4 + doc_id % 13 AS DOUBLE) AS w,

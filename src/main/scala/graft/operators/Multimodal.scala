@@ -547,13 +547,80 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling stub over the fake "video": emits every k-th frame index
-    * as (doc_id, frame_idx) — exercises the explode/generator shape used for
-    * frame-level datasets.
+  /** Frame-INDEX sampling over decoded metadata: emits every k-th frame
+    * index as (doc_id, frame_idx) — the explode/generator shape used for
+    * frame-level datasets, driven by the REAL decoded frame counts (GIF
+    * descriptor walk / AVI `movi` chunk count). Pure narrow projection.
     */
   def sampleFrames(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
     meta.toDF().select(col("doc_id"),
       explode(sequence(lit(0), col("frame_count") - 1, lit(everyK))).as("frame_idx"))
+
+  /** ALL video frame chunks of an AVI payload in stream order:
+    * (frame_idx, bytes) for each `NNdc`/`NNdb` chunk inside `movi` lists.
+    * Empty for non-AVI / malformed payloads.
+    */
+  def aviFrames(b: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    if (parseAvi(b).isEmpty) return Nil
+    def fcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val sz = le32(b, p + 4)
+        if (sz < 0 || p + 8 + sz > end) return // parseAvi already vetted; defensive
+        if (fcc(p) == "LIST" && sz >= 4) {
+          walk(p + 12, p + 8 + sz, inMovi || fcc(p + 8) == "movi")
+        } else if (inMovi &&
+            b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
+            b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')) {
+          out += ((out.length, java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz)))
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** REAL video frame sampling: extract every k-th ACTUAL frame chunk from
+    * AVI payloads and decode it through the image pixel path (MJPEG frames
+    * are complete JPEGs) — the frame-level-dataset shape of a video
+    * pipeline, with real bytes instead of synthesized indices. Emits
+    * (doc_id, frame_idx, width, height, mean_r, mean_g, mean_b, std_r,
+    * std_g, std_b); undecodable frames and non-AVI payloads are DROPPED
+    * (dead-letter route). Per-partition batch contract like every
+    * Multimodal operator; output grows with frames/k, never wider than the
+    * decoded statistics — no raw pixels cross an exchange.
+    */
+  def sampleVideoFrames(payloads: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviFrames(bytes).iterator
+            .filter { case (idx, _) => idx % everyK == 0 }
+            .flatMap { case (idx, frame) =>
+              val img =
+                if (parseJpeg(frame).isDefined)
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                else null
+              if (img == null) None
+              else {
+                val f = pixelFeatures(id, img)
+                Some((id, idx, img.getWidth, img.getHeight,
+                  f.f0, f.f1, f.f2, f.f3, f.f4, f.f5))
+              }
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b")
+  }
 
   /** Fixed-width media "feature vector" row (8 dims as scalar columns —
     * comparator-friendly and column-pruned like a real feature table).

@@ -1116,6 +1116,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(nonPcm).isEmpty, "non-PCM format must reject")
   }
 
+  test("parseAvi/aviFrames: planted MJPEG round-trips header + frames; malformed rejected") {
+    val ids = Seq(0L, 1L, 3L, 42L, 257L)
+    for (id <- ids) {
+      val b = Multimodal.plantAviMjpeg(id)
+      val (w, h) = Multimodal.plantSolidDims(id)
+      val frames = Multimodal.plantAviFrames(id)
+      val info = Multimodal.parseAvi(b)
+      assert(info.contains(Multimodal.AviInfo(w, h, frames, "MJPG")),
+        s"id=$id header mismatch: $info")
+      // every movi chunk is a complete JPEG of the planted dims
+      val chunks = Multimodal.aviFrames(b)
+      assert(chunks.map(_._1) == (0 until frames), s"id=$id frame indices")
+      for ((_, frame) <- chunks) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+        assert(img.getWidth == w && img.getHeight == h, s"id=$id frame dims")
+      }
+      assert(Multimodal.firstAviFrame(b).map(_.toSeq).contains(chunks.head._2.toSeq))
+    }
+    // robustness: truncation inside the movi list must reject, not miscount
+    val good = Multimodal.plantAviMjpeg(3L)
+    assert(Multimodal.parseAvi(good.take(good.length - 7)).isEmpty,
+      "truncated movi chunk must reject")
+    assert(Multimodal.parseAvi(good.take(20)).isEmpty, "truncated header must reject")
+    assert(Multimodal.aviFrames(good.take(good.length - 7)).isEmpty)
+    assert(Multimodal.parseAvi("RIFF1234WAVE".getBytes("US-ASCII")).isEmpty,
+      "non-AVI RIFF must reject")
+    // odd-size frame chunks are word-aligned per RIFF: the walker must pad,
+    // or it would misread the next chunk id and miscount — hand-build a
+    // container with two odd-size (3-byte) frame chunks to pin this
+    val odd = {
+      val out = new java.io.ByteArrayOutputStream(128)
+      def wle32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+        out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF) }
+      def wfcc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+      val avihSz = 56
+      val hdrlSz = 4 + 8 + avihSz
+      val moviSz = 4 + 2 * (8 + 4) // two 3-byte chunks, each padded to 4
+      wfcc("RIFF"); wle32(4 + 8 + hdrlSz + 8 + moviSz); wfcc("AVI ")
+      wfcc("LIST"); wle32(hdrlSz); wfcc("hdrl")
+      wfcc("avih"); wle32(avihSz)
+      wle32(33333); wle32(0); wle32(0); wle32(0)
+      wle32(2); wle32(0); wle32(1); wle32(0)
+      wle32(5); wle32(7); wle32(0); wle32(0); wle32(0); wle32(0)
+      wfcc("LIST"); wle32(moviSz); wfcc("movi")
+      for (_ <- 0 until 2) { wfcc("00dc"); wle32(3); out.write(Array[Byte](1, 2, 3), 0, 3); out.write(0) }
+      out.toByteArray
+    }
+    assert(Multimodal.parseAvi(odd).contains(Multimodal.AviInfo(5, 7, 2, "")),
+      "odd-size chunks must word-align, not miscount")
+    assert(Multimodal.aviFrames(odd).map(_._2.toSeq) == Seq(Seq[Byte](1, 2, 3), Seq[Byte](1, 2, 3)))
+  }
+
+  test("sampleVideoFrames: every-kth real frame decodes; non-AVI dropped") {
+    val ids = Seq(0L, 3L, 7L) // frame counts 1, 4, 4
+    val planted = Multimodal.plantVideoPayloads(ids.toDF("doc_id"), "doc_id")
+    val junk = Seq((999L, "not a container".getBytes("US-ASCII"), "application/x-junk"))
+      .toDF("doc_id", "payload", "media_type")
+    val rows = Multimodal.sampleVideoFrames(planted.unionByName(junk), everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(!rows.keys.exists(_._1 == 999L), "non-AVI payloads must be dropped")
+    for (id <- ids) {
+      val (w, h) = Multimodal.plantSolidDims(id)
+      val expected = (0 until Multimodal.plantAviFrames(id) by 2).toSet
+      assert(rows.keys.filter(_._1 == id).map(_._2).toSet == expected, s"id=$id indices")
+      assert(rows((id, 0)) == (w, h), s"id=$id frame dims")
+    }
+  }
+
   test("canonicalizeUrl: messy raw forms collapse; non-URLs pass through") {
     val spark2 = spark
     import spark2.implicits._
