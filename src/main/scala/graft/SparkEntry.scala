@@ -1619,6 +1619,10 @@ object SparkEntry {
       // race same-key rows through the shuffle); maxPartitionBytes is
       // raised so the property holds at any driver scale factor.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the one-split override is scoped to THIS gate's streaming read and
+      // restored after the query drains — a session-level leak would bleed
+      // into every later gate/bench query in the same session
+      val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
       val tmp = roundTripDir(d, "graft-stream-dedup")
       events(s, d).orderBy("ts", "event_id").coalesce(1)
@@ -1628,7 +1632,13 @@ object SparkEntry {
         .dropDuplicates("user_id", "event_type")
         .writeStream.format("memory").queryName("graft_dedup_gate")
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally {
+        query.stop()
+        prevMpb match {
+          case Some(v) => s.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => s.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
       s.table("graft_dedup_gate")
         .select(col("user_id"), col("event_type"), col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
@@ -1642,6 +1652,9 @@ object SparkEntry {
       // URL text). Input is pre-sorted by doc_id into ONE split so
       // first-arrival coincides with keep-min, making the batch
       // dedup_url_keyed oracle replay exactly.
+      // scoped override, restored after the query drains (see
+      // stream_dedup_real) — never leaked into later queries
+      val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
       val tmp = roundTripDir(d, "graft-stream-urldedup")
       plantedUrls(s, d).orderBy("doc_id").coalesce(1)
@@ -1654,7 +1667,13 @@ object SparkEntry {
         .select(col("doc_id"), col("url_canon"))
         .writeStream.format("memory").queryName("graft_url_dedup_gate")
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        prevMpb match {
+          case Some(v) => s.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => s.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
       s.table("graft_url_dedup_gate").orderBy("doc_id")
     }),
     "stream_gopher_real" -> ((s, d) => {

@@ -47,6 +47,13 @@ object Dedup {
     * every shuffle carries (hash, id) — never the URL text, never the
     * document — and the loser anti-join stays unhinted (AQE broadcasts a
     * small loser list, a dup-heavy crawl's list is allowed to shuffle).
+    *
+    * Null-URL rows are ALL KEPT: `md5(null)` is null, and null keys never
+    * match in the winner equi-join, so a row with no URL can never be
+    * declared a loser. This is deliberate dead-letter semantics — a
+    * missing URL carries no evidence two documents are the same page;
+    * route null-URL rows to content dedup ([[dropExactDuplicates]])
+    * instead of guessing here.
     */
   def dropUrlDuplicates(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val keyed = docs.select(col(idCol).as("__ud_id"),

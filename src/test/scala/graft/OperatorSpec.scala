@@ -1074,17 +1074,21 @@ class OperatorSpec extends AnyFunSuite {
       (2L, "https://a.example.com/x?id=1&utm_source=z", "w1 w2"),   // same canon as 1
       (3L, "https://a.example.com/x?id=2", "w1"),                   // different page
       (4L, "http://User:P@B.net:80/y", "w1 w2 w3 w4"),
-      (5L, "not a url", "w1 w2")
+      (5L, "not a url", "w1 w2"),
+      (6L, null, "no url at all"),
+      (7L, null, "also no url")
     ).toDF("doc_id", "url", "text")
     val kept = graft.operators.Dedup.dropUrlDuplicates(rows, "doc_id", "url")
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)),
-      s"doc 2 is a canonical dup of doc 1: ${kept.mkString(",")}")
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L, 6L, 7L)),
+      s"doc 2 is a canonical dup of doc 1; null-URL rows are ALL kept " +
+        s"(dead-letter semantics, never deduped against each other): ${kept.mkString(",")}")
     val stats = graft.operators.TextAnalysis.domainStats(rows, "url", "text")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(stats("a.example.com") == (3L, 6L), s"host stats: $stats")
     assert(stats("b.net") == (1L, 4L), "userinfo and port must strip from the host")
     assert(stats("") == (1L, 2L), "non-URLs bucket under the empty host")
+    assert(stats(null) == (2L, 7L), "null URLs bucket under the null host")
   }
 
   test("extractWavFeatures: planted PCM round-trips header + closed-form RMS/peak; non-WAV dropped") {

@@ -12,7 +12,10 @@
 //     -I tools/adjudicate.scala <<< ":quit"
 //
 // SPARK_GRAFT_ADJ_QUERIES (comma list), SPARK_GRAFT_ADJ_SF, SPARK_GRAFT_ADJ_REPS
-// override defaults. Prints "ADJ name rows min-of-N [times...] readKB writeKB".
+// override defaults. Prints "ADJ name rows min-of-N [times...] readKB writeKB"
+// where the byte columns are PER-RUN (accumulated across the timed reps'
+// stages — including their cache sweeps and noop writes — then divided by
+// reps, so they are comparable to the min-of-N time beside them).
 // NOTE: spark-shell -I compiles statement-by-statement — one-liners only.
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
@@ -35,6 +38,6 @@ def sweep(): Unit = { graft.SparkUtil.releaseScopedCaches(); spark.catalog.clear
 
 def once(q: String): Double = { val t0 = System.nanoTime(); graft.SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save(); val dt = (System.nanoTime() - t0) / 1e9; sweep(); dt }
 
-for (q <- names) { val warm = once(q); AdjMeter.reset(); val times = (1 to reps).map(_ => once(q)); println(f"ADJ $q warm=$warm%.3f min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} read=${AdjMeter.read / 1e3}%.0f KB write=${AdjMeter.write / 1e3}%.0f KB") }
+for (q <- names) { val warm = once(q); AdjMeter.reset(); val times = (1 to reps).map(_ => once(q)); println(f"ADJ $q warm=$warm%.3f min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} read=${AdjMeter.read / 1e3 / reps}%.0f KB write=${AdjMeter.write / 1e3 / reps}%.0f KB") }
 
 System.exit(0)
