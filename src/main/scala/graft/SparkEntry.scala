@@ -1188,6 +1188,34 @@ object SparkEntry {
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.withTokenCounts(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "ws_tokens", "bpe_ish_tokens").orderBy("doc_id")),
+    "text_token_counts_bpe" -> ((s, d) =>
+      // REAL subword tokenization: the Sennrich/GPT-2 merge-loop BPE with
+      // a planted hierarchical merge table (plan-literal, the same
+      // bounded-broadcast convention as the PQ codebooks) — training
+      // pipelines budget in subword tokens, not whitespace words. The
+      // oracle replays the merges exactly as a replace() chain over
+      // bracket-delimited symbols (exact for a hierarchical table)
+      SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"),
+          size(T.tokenize(col("text"))).cast("long").as("n_words"),
+          graft.functions.Bpe.countTokens(T.tokenize(col("text")))
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+    "text_pack_sequences_bpe" -> ((s, d) =>
+      // sequence packing in the unit that matters — BPE subwords: same
+      // distributed two-pass cumsum, the per-doc count comes from the
+      // merge-loop kernel instead of the whitespace tokenizer
+      TextAnalysis.packSequencesCounted(SparkUtil.ensureParallelism(docs(s, d)),
+          "doc_id", graft.functions.Bpe.countTokens(T.tokenize(col("text"))),
+          maxTokens = 512)
+        .orderBy("doc_id")),
+    "text_token_budget_bpe" -> ((s, d) =>
+      // token-budget selection budgeted in BPE subwords (n_chars score,
+      // same distributed cumsum as text_token_budget)
+      TextAnalysis.selectWithinTokenBudgetCounted(docs(s, d), "doc_id",
+          graft.functions.Bpe.countTokens(T.tokenize(col("text"))),
+          "n_chars", budget = 15000L)
+        .orderBy("doc_id")),
     "text_pii_scrub" -> ((s, d) => {
       // PII redaction over a corpus with deterministically planted PII
       // (the base corpus is synthetic and PII-free, so plant one email /
@@ -2013,6 +2041,17 @@ object SparkEntry {
 
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+
+  /** Shared CTE chain: per-doc BPE subword count (bigint, 0 for empty
+    * docs) as `__bpe_c(doc_id, nb)` — the DuckDB replay of the planted
+    * hierarchical merge table (see [[graft.functions.Bpe.duckdbCountSql]]).
+    */
+  private lazy val bpeDocCountCtes = s"""
+      __bpe_toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      __bpe_w AS (SELECT doc_id, unnest(tokens) AS w FROM __bpe_toks),
+      __bpe_c AS (SELECT doc_id,
+          CAST(sum(${graft.functions.Bpe.duckdbCountSql("w")}) AS BIGINT) AS nb
+        FROM __bpe_w GROUP BY doc_id)"""
 
   private def stopwordList(lang: String): String =
     TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3409,6 +3448,36 @@ object SparkEntry {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g'),
           '\b\d{3}-\d{3}-\d{4}\b', '<phone>', 'g')) AS scrubbed_md5
       FROM planted ORDER BY doc_id""",
+    "text_token_counts_bpe" -> s"""
+      WITH $bpeDocCountCtes
+      SELECT d.doc_id,
+        CAST(len($tokenizeSql) AS BIGINT) AS n_words,
+        coalesce(c.nb, 0) AS n_bpe_tokens
+      FROM documents d LEFT JOIN __bpe_c c USING (doc_id) ORDER BY d.doc_id""",
+    "text_pack_sequences_bpe" -> s"""
+      WITH $bpeDocCountCtes,
+      t AS (SELECT d.doc_id, coalesce(c.nb, 0) AS n_tokens
+            FROM documents d LEFT JOIN __bpe_c c USING (doc_id)),
+      cum AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+            FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(floor(s / 512.0) AS BIGINT) AS seq_id,
+        CAST(s % 512 AS INTEGER) AS seq_offset,
+        n_tokens > 0 AND floor((s + n_tokens - 1) / 512.0) > floor(s / 512.0)
+          AS spans_boundary
+      FROM cum ORDER BY doc_id""",
+    "text_token_budget_bpe" -> s"""
+      WITH $bpeDocCountCtes,
+      t AS (SELECT d.doc_id, d.n_chars, coalesce(c.nb, 0) AS nt
+            FROM documents d LEFT JOIN __bpe_c c USING (doc_id)),
+      cum AS (SELECT doc_id, nt,
+              sum(nt) OVER (ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+      SELECT doc_id, nt AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+      FROM cum WHERE cum <= 15000 ORDER BY doc_id""",
     "text_pack_sequences" -> s"""
       WITH t AS (SELECT doc_id, CAST(len($tokenizeSql) AS BIGINT) AS n_tokens
                  FROM documents),

@@ -147,12 +147,22 @@ object TextAnalysis {
     * boundaries so the totals pass and the cumsum pass agree on `__pid`.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame =
+    packSequencesCounted(df, idCol,
+      size(T.tokenize(col(textCol))).cast("long"), maxTokens)
+
+  /** [[packSequences]] with a caller-supplied per-doc token count — the
+    * budgeting unit is pluggable (whitespace words, BPE subwords via
+    * [[graft.functions.Bpe.countTokens]], chars); the distributed two-pass
+    * cumsum is identical.
+    */
+  def packSequencesCounted(df: DataFrame, idCol: String, nTokens: Column,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
     val spark = df.sparkSession
     import spark.implicits._
     val parted = df
-      .withColumn("n_tokens", size(T.tokenize(col(textCol))).cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
       .select(col(idCol), col("n_tokens"))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -519,10 +529,19 @@ object TextAnalysis {
     * (id, score, n_tokens) only.
     */
   def selectWithinTokenBudget(df: DataFrame, idCol: String, textCol: String,
-      scoreCol: String, budget: Long): DataFrame = {
+      scoreCol: String, budget: Long): DataFrame =
+    selectWithinTokenBudgetCounted(df, idCol,
+      size(T.tokenize(col(textCol))).cast("long"), scoreCol, budget)
+
+  /** [[selectWithinTokenBudget]] with a caller-supplied per-doc token
+    * count (see [[packSequencesCounted]] — budget in the unit that
+    * matters, e.g. BPE subwords).
+    */
+  def selectWithinTokenBudgetCounted(df: DataFrame, idCol: String,
+      nTokens: Column, scoreCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
     val parted = df
-      .withColumn("__nt", size(T.tokenize(col(textCol))).cast("long"))
+      .withColumn("__nt", nTokens.cast("long"))
       .select(col(idCol), col(scoreCol).as("__score"), col("__nt"))
       .repartitionByRange(col("__score").desc, col(idCol))
       .sortWithinPartitions(col("__score").desc, col(idCol))

@@ -347,4 +347,68 @@ class KernelSpec extends AnyFunSuite {
         "generated code must call the same kernel as nullSafeEval")
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("BPE kernel: exact merge loop — order by rank, all-occurrence L2R passes") {
+    import graft.functions.{Bpe, BpeKernel, BpeTable}
+    def enc(w: String, t: BpeTable) = BpeKernel.encodeWord(w, t).toSeq
+    val planted = Bpe.plantedTable
+    assert(enc("the", planted) == Seq("the"))
+    assert(enc("then", planted) == Seq("the", "n"),
+      "(th,e) rank 1 beats (e,n) rank 8 — 'the'+'n', not 'th'+'en'")
+    assert(enc("thin", planted) == Seq("th", "in"))
+    assert(enc("resting", planted) == Seq("r", "est", "ing"))
+    assert(enc("ander", planted) == Seq("and", "er"))
+    assert(enc("", planted).isEmpty)
+    assert(enc("zq", planted) == Seq("z", "q"), "no listed pair → chars")
+    // overlap: all-occurrence pass is left-to-right, non-overlapping
+    val aa = new BpeTable(Seq(("a", "a")))
+    assert(enc("aaaa", aa) == Seq("aa", "aa"))
+    assert(enc("aaa", aa) == Seq("aa", "a"))
+    // NON-hierarchical table: a later-rank merge must re-enable an
+    // earlier-rank pair (iterative lowest-present, NOT one sequential
+    // pass per rule — the sequential replay would leave [x, ab])
+    val nh = new BpeTable(Seq(("x", "ab"), ("a", "b")))
+    assert(enc("xab", nh) == Seq("xab"))
+    // planted-table hierarchy: every operand is a char or an EARLIER
+    // rule's output, outputs distinct — the property the DuckDB replace()
+    // replay depends on (guards future edits to PlantedMerges)
+    val outputs = Bpe.PlantedMerges.map { case (l, r) => l + r }
+    assert(outputs.distinct == outputs, "merge outputs must be distinct")
+    Bpe.PlantedMerges.zipWithIndex.foreach { case ((l, r), i) =>
+      for (op <- Seq(l, r) if op.length > 1)
+        assert(outputs.indexOf(op) >= 0 && outputs.indexOf(op) < i,
+          s"operand '$op' of rule $i must be an earlier rule's output")
+    }
+  }
+
+  test("BPE expressions ≡ kernel + DuckDB-replay twin on corpus, codegen on") {
+    import graft.functions.Bpe
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // SQL-expressible twin of the replace()-chain oracle, run in SPARK:
+      // bracket-delimit each word's chars, apply merges in rank order
+      val replay = Bpe.PlantedMerges.foldLeft(
+        regexp_replace(col("w"), "(.)", "[$1]")) {
+        case (acc, (l, r)) => regexp_replace(acc, s"\\[$l\\]\\[$r\\]", s"[$l$r]")
+      }
+      val perWord = docs
+        .select(explode(T.tokenize(col("text"))).as("w"))
+        .select(col("w"),
+          Bpe.countTokens(array(col("w"))).as("k"),
+          (length(replay) - length(regexp_replace(replay, "\\[", "")))
+            .cast("long").as("r"))
+      val bad = perWord.where(not(col("k") <=> col("r")))
+      assert(bad.count() == 0,
+        s"kernel must equal the replace-chain replay: ${bad.take(5).toSeq}")
+      // count over the word array == sum of per-word encodes
+      val agg = docs.select(
+          Bpe.countTokens(T.tokenize(col("text"))).as("n"),
+          aggregate(transform(T.tokenize(col("text")),
+              w => size(Bpe.encodeWord(w)).cast("long")),
+            lit(0L), (a, x) => a + x).as("m"))
+        .where(not(col("n") <=> col("m")))
+      assert(agg.count() == 0, "array count must equal summed per-word encodes")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
