@@ -1175,6 +1175,16 @@ object SparkEntry {
         nQueries = 20, k = 10, nLists = 16, nProbe = 12, m = 16, ks = 64,
         recallFloor = 0.3)
         .orderBy("qid")),
+    "sim_recall_pq_rerank" -> ((s, d) =>
+      // IVFADC+R (exact re-rank of the PQ top-C, the production shape):
+      // same parameters as sim_recall_pq, candidate depth C=50, and a
+      // STRICTLY HIGHER floor (0.5 vs 0.3) — the re-rank recall dominates
+      // plain PQ by construction; measured min 0.7 / avg 0.96 at both
+      // gate scales, so 0.5 keeps 0.2 margin
+      SimSearch.pqRerankRecallEval(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", nQueries = 20, k = 10, rerankC = 50, nLists = 16,
+        nProbe = 12, m = 16, ks = 64, recallFloor = 0.5)
+        .orderBy("qid")),
 
     // --- text analysis
     "text_langid" -> ((s, d) =>
@@ -2585,6 +2595,9 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_pq" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "sim_recall_pq_rerank" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_int8" -> """

@@ -396,6 +396,85 @@ object SimSearch {
         (coalesce(size(array_intersect(col("pq_ids"), col("ids"))), lit(0))
           .cast("double") / k >= recallFloor).as("recall_ok"))
   }
+
+  /** IVFADC+R — the exact-re-rank stage the same Jégou et al. 2011 line of
+    * work adds on top of IVFADC (and the standard production shape): the
+    * PQ asymmetric scan keeps the top `rerankC` CANDIDATES per query
+    * (C > k), then only those C rows are re-scored against the
+    * FULL-PRECISION vectors and the final top-k is exact among them.
+    * Per-query recall@k is then |candidates ∩ true top-k| / k — by
+    * construction at least the plain-PQ recall at equal parameters (the
+    * true neighbors inside the candidate set always win an exact
+    * re-score), which is why this gate carries a STRICTLY HIGHER floor
+    * than [[pqRecallEval]].
+    *
+    * Scale shape: the candidate list is bounded (nQueries × C id pairs) —
+    * it BROADCASTS onto the full-precision scan, so the re-rank join
+    * ships only the C candidate rows per query out of the scan and
+    * nothing reshuffles (plan-asserted in PlanPropertiesSpec); query
+    * vectors ride the same bounded broadcast. Emitted as per-query
+    * tolerance booleans (the [[ivfRecallEval]] contract — codebooks are
+    * engine-internal doubles, the FLOOR is the oracle-checkable claim).
+    */
+  def pqRerankRecallEval(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, rerankC: Int, nLists: Int = 16, nProbe: Int = 8,
+      m: Int = 8, ks: Int = 16, recallFloor: Double = 0.5): DataFrame =
+    pqRerankRecalls(emb, idCol, vecCol, nQueries, k, rerankC, nLists,
+      nProbe, m, ks)
+      .select(col("qid"), (col("recall") >= recallFloor).as("recall_ok"))
+
+  /** The per-query recall@k values behind [[pqRerankRecallEval]] (exposed
+    * for floor calibration — measure, don't guess).
+    */
+  def pqRerankRecalls(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, rerankC: Int, nLists: Int = 16, nProbe: Int = 8,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    import graft.functions.TopKAgg
+    require(rerankC >= k, s"rerankC ($rerankC) must be >= k ($k)")
+    val model = trainIvfPq(emb, idCol, vecCol, nLists, m, ks)
+    val base = model.ivf.assigned
+    val nL = model.ivf.centroids.length
+    val q = base.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    // probe cells per query — identical ranking rule to pqRecallEval
+    val cents = typedlit(model.ivf.centroids)
+    val sims = transform(cents, c => dotProduct(col("qv"), c))
+    val ranked = sort_array(zip_with(sims,
+      sequence(lit(0), lit(nL - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx"))))
+    val qp = q.withColumn("cell",
+      explode(slice(transform(ranked, r => r.getField("idx")), 1, nProbe)))
+    val cbLit = typedlit(model.codebooks)
+    val vhat = zip_with(element_at(cents, col("cell") + 1),
+      flatten(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, mi) => element_at(element_at(cbLit, mi + 1), c + 1))),
+      (a, b) => a + b)
+    // stage 1 — PQ asymmetric scan, top-C candidate ids per query
+    val cand = model.encoded.join(broadcast(qp), Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), V.cosine(vhat, toD(col("qv"))).as("c"))
+      .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), rerankC).as("tk"))
+      .select(col("qid"),
+        explode(transform(col("tk"), x => x.getField("id"))).as("id"))
+    // stage 2 — exact re-rank of ONLY the candidate rows: the bounded
+    // (qid, id) list broadcasts onto the full-precision scan
+    val rer = base.join(broadcast(cand), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"), V.cosine(col("v"), col("qv")).as("c"))
+      .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"),
+        transform(col("tk"), x => x.getField("id")).as("rr_ids"))
+    val brute = base.crossJoin(broadcast(q))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), V.cosine(col("v"), col("qv")).as("c"))
+      .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("ids"))
+    brute.join(rer, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(size(array_intersect(col("rr_ids"), col("ids"))), lit(0))
+          .cast("double") / k).as("recall"))
+  }
 }
 
 /** A trained IVF-PQ index: the coarse [[IvfModel]], the shared product

@@ -872,6 +872,34 @@ class OperatorSpec extends AnyFunSuite {
     } finally graft.SparkUtil.releaseScopedCaches()
   }
 
+  test("pqRerankRecallEval: full-probe full-depth is exact; deeper candidates dominate; floor live") {
+    try {
+      // probing every cell with candidate depth >= corpus, the re-rank IS
+      // brute force: recall must be exactly 1.0 for every query
+      val exact = SimSearch.pqRerankRecalls(emb, "vec_id", "embedding",
+        nQueries = 5, k = 10, rerankC = 600, nLists = 8, nProbe = 8,
+        m = 16, ks = 32).collect().map(_.getDouble(1))
+      assert(exact.forall(_ == 1.0), s"full probe + full depth must be exact: ${exact.toSeq}")
+      // C = k degenerates to plain PQ top-k (re-ranking k candidates and
+      // keeping k is a no-op on the set) — deeper C must dominate it
+      // per-query (training is deterministic, both runs share the model)
+      def recalls(c: Int) = SimSearch.pqRerankRecalls(emb, "vec_id", "embedding",
+        nQueries = 8, k = 10, rerankC = c, nLists = 8, nProbe = 4,
+        m = 16, ks = 32).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val shallow = recalls(10); val deep = recalls(50)
+      shallow.foreach { case (qid, r) =>
+        assert(deep(qid) >= r, s"qid=$qid: C=50 recall ${deep(qid)} < C=10 recall $r")
+      }
+      assert(deep.values.sum > shallow.values.sum,
+        s"deeper candidates should lift recall somewhere: $shallow vs $deep")
+      // the floor is live
+      val strict = SimSearch.pqRerankRecallEval(emb, "vec_id", "embedding",
+        nQueries = 5, k = 10, rerankC = 50, nLists = 8, nProbe = 8,
+        m = 16, ks = 32, recallFloor = 1.01).collect().map(_.getBoolean(1))
+      assert(strict.forall(!_), "an unsatisfiable floor must fail every query")
+    } finally graft.SparkUtil.releaseScopedCaches()
+  }
+
   test("sampleToMixture: deterministic, upsamples small domains, broadcast-only corpus join") {
     val d = docs.select(col("doc_id"), col("text"), col("source"))
     val out = TextAnalysis.sampleToMixture(d, "doc_id", "source", alpha = 0.5)

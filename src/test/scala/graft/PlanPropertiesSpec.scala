@@ -417,6 +417,43 @@ class PlanPropertiesSpec extends AnyFunSuite {
     } finally graft.SparkUtil.releaseScopedCaches()
   }
 
+  test("PQ re-rank ships only candidate rows: broadcast joins, no vector in any exchange") {
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.SimSearch.pqRerankRecalls(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        nQueries = 3, k = 5, rerankC = 20, nLists = 8, nProbe = 4,
+        m = 16, ks = 16)
+      val plan = df.queryExecution.executedPlan
+      // the bounded (qid, id) candidate list and query vectors broadcast
+      // onto the scans — a sort-merge join TOUCHING the vectors would mean
+      // the corpus reshuffled to meet candidate-sized data (the final
+      // recall-compare join of the two per-query aggregates may merge-join;
+      // it carries nQueries id-list rows, no vectors)
+      val vecSmj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.children.exists(_.output.exists(a => a.name == "v" || a.name == "qv")) => j
+      }
+      assert(vecSmj.isEmpty, s"re-rank joins must broadcast the bounded side: $vecSmj")
+      // the only shuffles are the per-query top-k aggregates; none may
+      // carry a full-precision vector (exchanges inside the cached
+      // training base sit behind the InMemoryTableScan leaf)
+      val shuffleOutputs = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+      shuffleOutputs.foreach { cols =>
+        assert(!cols.exists(c => c == "v" || c == "qv" || c == "sub"),
+          s"an exchange ships a full-precision vector: $cols")
+      }
+    } finally {
+      graft.SparkUtil.releaseScopedCaches()
+      prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        spark.conf.set("spark.sql.adaptive.enabled", _))
+    }
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
