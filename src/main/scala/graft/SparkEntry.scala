@@ -1252,6 +1252,23 @@ object SparkEntry {
           md5(col("text_deduped")).as("dedup_md5"))
         .orderBy("doc_id")
     }),
+    "text_para_dedup_global" -> ((s, d) => {
+      // CORPUS-WIDE paragraph dedup (the CCNet preprocessing step; the
+      // within-doc twin is text_dedup_within): plant a global boilerplate
+      // paragraph and a mod-10 family paragraph in front of every doc's
+      // own text — the global para survives only in doc 0, each family
+      // para only in its lowest-id doc, and natural exact-dup doc texts
+      // drop their copies too; the oracle replays the same
+      // first-occurrence rule with a window
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(lit("subscribe to our newsletter for daily updates\n\n"),
+          lit("shared section "), (col("doc_id") % 10).cast("string"),
+          lit(" standard terms apply\n\n"), col("text")).as("text"))
+      TextAnalysis.dedupParagraphsGlobal(planted, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_deduped")).as("dedup_md5"))
+        .orderBy("doc_id")
+    }),
     "text_url_extract" -> ((s, d) => {
       // URL metadata over deterministically planted URLs (base corpus has
       // none); the regexes are RE2-safe so DuckDB computes the same fields
@@ -2208,6 +2225,24 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_segs,
         count(*) FILTER (WHERE rn > 1) AS n_dropped,
         md5(array_to_string(list(s ORDER BY i) FILTER (WHERE rn = 1), ' ')) AS dedup_md5
+      FROM k GROUP BY 1 ORDER BY 1""",
+    "text_para_dedup_global" -> """
+      WITH planted AS (
+        SELECT doc_id,
+          'subscribe to our newsletter for daily updates' || chr(10) || chr(10) ||
+          'shared section ' || CAST(doc_id % 10 AS VARCHAR) ||
+          ' standard terms apply' || chr(10) || chr(10) || text AS text
+        FROM documents),
+      d AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM planted),
+      e AS (SELECT doc_id, unnest(ps) AS p,
+              generate_subscripts(ps, 1) - 1 AS pi FROM d),
+      k AS (SELECT doc_id, pi, p,
+              row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, pi) AS rn
+            FROM e)
+      SELECT doc_id, count(*) AS n_paras,
+        count(*) FILTER (WHERE rn > 1) AS n_dropped,
+        md5(coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
+          chr(10) || chr(10) ORDER BY pi), '')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
     "text_url_extract" -> """
       WITH planted AS (

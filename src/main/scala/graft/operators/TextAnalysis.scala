@@ -504,6 +504,46 @@ object TextAnalysis {
         array_join(col("__kept"), " ").as("text_deduped"))
   }
 
+  /** CORPUS-WIDE duplicate-paragraph removal — the CCNet preprocessing
+    * step BEFORE perplexity scoring (Wenzek et al. 2020 run it over
+    * shards of Common Crawl): a paragraph that appears anywhere else in
+    * the corpus keeps only its FIRST occurrence (lowest (id, position)),
+    * every other copy is dropped — boilerplate (headers, cookie banners,
+    * license blocks) repeats across pages and would otherwise dominate
+    * the LM. The within-doc twin is [[dedupSegmentsWithin]]; this one's
+    * decision is global, so it must shuffle — but only hashes.
+    *
+    * Scale shape (the [[graft.operators.Dedup.dropExactDuplicates]]
+    * convention): paragraphs explode to (16-byte md5, id, pos) DECISION
+    * rows — the winner groupBy and the loser join carry hashes and ints,
+    * never paragraph text. Losers collapse to one (id, drop-positions)
+    * row per affected document, and the reconstruction is a single
+    * unhinted join back onto the un-exploded corpus (AQE broadcasts the
+    * drop table when dup density is low; a boilerplate-heavy crawl's
+    * table is allowed to shuffle) followed by an in-row indexed filter —
+    * document text itself crosses at most that one join.
+    */
+  def dedupParagraphsGlobal(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__paras"))
+    val keyed = paras
+      .select(col(idCol), posexplode(col("__paras")).as(Seq("__pi", "__p")))
+      .select(col(idCol), col("__pi"), md5(col("__p")).as("__h"))
+    val winners = keyed.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__pi"))).as("__w"))
+    val drops = keyed.join(winners, Seq("__h"))
+      .where(struct(col(idCol), col("__pi")) =!= col("__w"))
+      .groupBy(col(idCol)).agg(collect_set(col("__pi")).as("__drop"))
+    paras.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__paras")).cast("long").as("n_paras"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+        array_join(filter(col("__paras"), (_, i) =>
+          !coalesce(array_contains(col("__drop"), i), lit(false))), sep)
+          .as("text_deduped"))
+  }
+
   /** Content fingerprints: md5 over the sorted distinct token set (word-bag
     * fingerprint, order-insensitive) and over the normalized token sequence
     * (order-sensitive).

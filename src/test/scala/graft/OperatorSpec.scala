@@ -1216,6 +1216,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupParagraphsGlobal: first occurrence corpus-wide wins; within-doc repeats drop") {
+    val rows = Seq(
+      (1L, "boiler\n\nunique one"),
+      (2L, "boiler\n\nunique two\n\nboiler"), // cross-doc AND within-doc repeat
+      (3L, "unique three\n\nboiler"),         // repeat not in first position
+      (4L, "boiler"),                          // doc left empty after dedup
+      (5L, "unique five")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.dedupParagraphsGlobal(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 0L, "boiler\n\nunique one"), s"doc 1 keeps all: ${out(1L)}")
+    assert(out(2L) == (3L, 2L, "unique two"), s"doc 2 drops both copies: ${out(2L)}")
+    assert(out(3L) == (2L, 1L, "unique three"), s"doc 3 drops mid-doc copy: ${out(3L)}")
+    assert(out(4L) == (1L, 1L, ""), s"doc 4 empties out: ${out(4L)}")
+    assert(out(5L) == (1L, 0L, "unique five"), s"doc 5 untouched: ${out(5L)}")
+  }
+
   test("canonicalizeUrl: messy raw forms collapse; non-URLs pass through") {
     val spark2 = spark
     import spark2.implicits._

@@ -256,6 +256,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("dedupParagraphsGlobal: decision shuffles carry hashes/ints, never paragraph text") {
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.selectExpr("doc_id",
+        "concat('boiler\\n\\n', text) AS text")
+      val df = graft.operators.TextAnalysis.dedupParagraphsGlobal(
+        planted, "doc_id", "text")
+      val shuffleOutputs = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+      assert(shuffleOutputs.nonEmpty, "expected the winner/drop decision shuffles")
+      shuffleOutputs.foreach { cols =>
+        assert(!cols.exists(c => c.contains("text") || c == "__p" || c == "__paras"),
+          s"an exchange ships paragraph text: $cols")
+      }
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hinted.isEmpty,
+        s"no forced broadcast — the drop table scales with dup density: $hinted")
+    } finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("keepBestPerCluster: winner decision never ships text; anti-join unhinted") {
     // same contract as dropExactDuplicates: the argmax ranking rides on
     // (id, label, score) projections only, and the loser removal is a
