@@ -1888,6 +1888,22 @@ object SparkEntry {
           round(col("rms_ch1"), 6).as("rms_ch1"),
           round(col("peak_ch1"), 6).as("peak_ch1"))
         .orderBy("doc_id")),
+    "mm_features_real_mp3" -> ((s, d) =>
+      // REAL compressed-audio metadata: spec-valid MPEG-1 Layer III
+      // streams (ID3v2 tag + planted frame count, each frame a real
+      // header + declared-length payload) walked by the pure-JVM
+      // frame-header parser — every emitted field replays from the id
+      // formulas in closed form
+      Multimodal.extractMp3Features(
+          Multimodal.plantMp3Payloads(docs(s, d), "doc_id"))
+        .select(col("doc_id"), col("version"),
+          col("layer").cast("long").as("layer"),
+          col("bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_samples"))
+        .orderBy("doc_id")),
     "mm_features_real_avi" -> ((s, d) => {
       // REAL video path: complete AVI/MJPEG containers (RIFF AVI: avih
       // header + vids/MJPG stream + movi with 1-4 planted solid-JPEG
@@ -3838,6 +3854,20 @@ object SparkEntry {
         round(a0 / 32768.0, 6) AS peak_ch0,
         CASE WHEN channels > 1 THEN round(sqrt(5 * a1 * a1 / 8.0) / 32768, 6) END AS rms_ch1,
         CASE WHEN channels > 1 THEN round(a1 / 32768.0, 6) END AS peak_ch1
+      FROM p ORDER BY doc_id""",
+    "mm_features_real_mp3" -> """
+      WITH p AS (SELECT doc_id,
+          list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+            CAST(1 + doc_id % 14 AS INTEGER)) AS kbps,
+          list_extract([44100,48000,32000],
+            CAST(1 + doc_id % 3 AS INTEGER)) AS sr,
+          3 + doc_id % 6 AS frames,
+          CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch
+        FROM documents)
+      SELECT doc_id, 'mpeg1' AS version, CAST(3 AS BIGINT) AS layer,
+        CAST(kbps AS BIGINT) AS bitrate_kbps, CAST(sr AS BIGINT) AS sample_rate,
+        CAST(ch AS BIGINT) AS channels, CAST(frames AS BIGINT) AS n_frames,
+        CAST(frames * 1152 AS BIGINT) AS n_samples
       FROM p ORDER BY doc_id""",
     "mm_features_real_avi" -> """
       SELECT doc_id, 'avi' AS format,

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * Video is REAL for AVI containers ([[parseAvi]] — header dims + counted
   * `movi` frame chunks), and for MJPEG streams the first frame decodes
   * through the image pixel path ([[firstAviFrame]] — each `00dc` chunk is
-  * a complete JPEG). Payloads that are none of these fall back to the
+  * a complete JPEG). Compressed-audio METADATA is REAL for MPEG-1/2
+  * Layer III streams ([[parseMp3]] / [[extractMp3Features]] — the 4-byte
+  * frame-header walk is the public ISO/IEC 11172-3 spec, no codec).
+  * Payloads that are none of these fall back to the
   * **clearly marked deterministic STUB** paths (`stubDecode`,
-  * `stubFeature`): no compressed-audio codec or non-MJPEG video codec
+  * `stubFeature`): no audio-DECODE codec or non-MJPEG video codec
   * ships in this container, so those derive fake but stable values from
   * the payload bytes. Swapping in a richer codec or embedding model means
   * replacing exactly those functions; the `mapPartitions` batch contract
@@ -826,6 +829,155 @@ object Multimodal {
       i += 1
     }
     b
+  }
+
+  // ---------------- real MP3 frame-header parsing ----------------
+
+  /** Parsed MP3 stream facts from the frame-header walk — header fields of
+    * the first frame plus counted frames and total samples (the duration
+    * numerator: duration = samples / sample_rate). NO codec involved: the
+    * 4-byte frame header and the frame-length formula are the public
+    * MPEG-1/2 audio spec (ISO/IEC 11172-3), the same genre as the
+    * RIFF/PNG/GIF walkers.
+    */
+  final case class Mp3Info(
+      version: String, layer: Int, bitrateKbps: Int, sampleRate: Int,
+      channels: Int, frames: Int, samples: Long)
+
+  private val Mp3BitrateKbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateKbpsV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
+
+  /** REAL MP3 metadata walk (Layer III): skip a leading ID3v2 tag
+    * (syncsafe size), then require a valid frame at every position — 11-bit
+    * sync, version/layer/bitrate/samplerate table lookups, frame length
+    * `144000·kbps/sr + pad` (MPEG1; 72000 for MPEG2/2.5) — counting frames
+    * and 1152/576 samples each until the payload ends (a trailing 128-byte
+    * ID3v1 `TAG` block is allowed). Returns None for anything malformed,
+    * truncated, free-format (bitrate index 0), or non-Layer-III — callers
+    * dead-letter, never throw. First-frame header fields are reported as
+    * the stream facts (VBR streams vary bitrate per frame; the walk still
+    * counts them because each frame carries its own length).
+    */
+  def parseMp3(b: Array[Byte]): Option[Mp3Info] = {
+    var p = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      p = 10 + sz
+      if (p > b.length) return None
+    }
+    var frames = 0; var samples = 0L
+    var ver = ""; var kbps0 = 0; var sr0 = 0; var ch0 = 0
+    while (p < b.length) {
+      if (b.length - p == 128 && b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G') {
+        p = b.length // trailing ID3v1 block
+      } else {
+        if (p + 4 > b.length) return None
+        val h = be32(b, p)
+        if ((h >>> 21) != 0x7FF) return None // 11-bit sync
+        val verBits = (h >>> 19) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val layerBits = (h >>> 17) & 3 // 1=Layer III
+        if (verBits == 1 || layerBits != 1) return None
+        val brIdx = (h >>> 12) & 0xF
+        val srIdx = (h >>> 10) & 3
+        val pad = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3 // 3 = mono
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val mpeg1 = verBits == 3
+        val kbps = (if (mpeg1) Mp3BitrateKbpsV1L3 else Mp3BitrateKbpsV2L3)(brIdx)
+        val srBase = Mp3SampleRateV1(srIdx)
+        val sr = if (mpeg1) srBase else if (verBits == 2) srBase / 2 else srBase / 4
+        val flen = (if (mpeg1) 144000 else 72000) * kbps / sr + pad
+        if (flen <= 4 || p + flen > b.length) return None
+        if (frames == 0) {
+          ver = if (mpeg1) "mpeg1" else if (verBits == 2) "mpeg2" else "mpeg2.5"
+          kbps0 = kbps; sr0 = sr; ch0 = if (mode == 3) 1 else 2
+        }
+        frames += 1
+        samples += (if (mpeg1) 1152L else 576L)
+        p += flen
+      }
+    }
+    if (frames > 0) Some(Mp3Info(ver, 3, kbps0, sr0, ch0, frames, samples))
+    else None
+  }
+
+  /** Planted MP3 parameters from the id — shared by [[plantMp3]] and the
+    * gate oracle: (bitrate kbps, sample rate, frames, channels).
+    */
+  def plantMp3Params(id: Long): (Int, Int, Int, Int) = (
+    Mp3BitrateKbpsV1L3(1 + (id % 14).toInt),
+    Mp3SampleRateV1((id % 3).toInt),
+    (3 + id % 6).toInt,
+    if (id % 2 == 0) 2 else 1)
+
+  /** A COMPLETE spec-valid MPEG-1 Layer III stream: a small ID3v2 tag
+    * (exercises the syncsafe skip), then the planted number of frames —
+    * each a real 4-byte header (sync/version/layer/bitrate/samplerate/
+    * padding/mode) followed by a zero payload of exactly the
+    * `144000·kbps/sr + pad` frame length the header declares. No codec
+    * writes audio — frame STRUCTURE is the entire claim, and every header
+    * field replays from the id formulas in closed form.
+    */
+  def plantMp3(id: Long): Array[Byte] = {
+    val (kbps, sr, frames, ch) = plantMp3Params(id)
+    val brIdx = Mp3BitrateKbpsV1L3.indexOf(kbps)
+    val srIdx = Mp3SampleRateV1.indexOf(sr)
+    val pad = ((id / 3) % 2).toInt
+    val flen = 144000 * kbps / sr + pad
+    val tagBody = 8
+    val out = new java.io.ByteArrayOutputStream(10 + tagBody + frames * flen)
+    // ID3v2.3 header: "ID3", version, flags, syncsafe size
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(3); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0); out.write(tagBody)
+    (0 until tagBody).foreach(_ => out.write(0))
+    val frame = new Array[Byte](flen)
+    frame(0) = 0xFF.toByte
+    frame(1) = 0xFB.toByte // sync + MPEG1 + Layer III + no CRC
+    frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+    frame(3) = (if (ch == 1) 0xC0 else 0x00).toByte // mode: mono / stereo
+    for (_ <- 0 until frames) out.write(frame, 0, flen)
+    out.toByteArray
+  }
+
+  /** (doc_id, payload, media_type) of REAL planted MP3 streams — the
+    * compressed-audio twin of [[plantAudioPayloads]].
+    */
+  def plantMp3Payloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantMp3(id), "audio/mpeg")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** REAL MP3 metadata features via [[parseMp3]]: one row per parseable
+    * Layer III payload — (doc_id, version, layer, bitrate_kbps,
+    * sample_rate, channels, n_frames, n_samples). Non-MP3 payloads are
+    * DROPPED (dead-letter route, like [[extractWavFeatures]]); the audio
+    * stub now stands in only for payloads that are neither a decodable
+    * image, RIFF/PCM, nor a Layer III stream. Per-partition batch
+    * contract like every Multimodal operator.
+    */
+  def extractMp3Features(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseMp3(bytes).map { i =>
+            (id, i.version, i.layer, i.bitrateKbps, i.sampleRate,
+              i.channels, i.frames, i.samples)
+          }
+        }
+      }
+      .toDF("doc_id", "version", "layer", "bitrate_kbps", "sample_rate",
+        "channels", "n_frames", "n_samples")
   }
 
   /** Planted AVI frame count: 1-4 frames derived from the id. */

@@ -1148,6 +1148,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(nonPcm).isEmpty, "non-PCM format must reject")
   }
 
+  test("parseMp3: planted Layer III round-trips header + frame walk; malformed rejected") {
+    val ids = Seq(0L, 1L, 2L, 5L, 13L, 41L, 257L)
+    for (id <- ids) {
+      val b = Multimodal.plantMp3(id)
+      val (kbps, sr, frames, ch) = Multimodal.plantMp3Params(id)
+      val info = Multimodal.parseMp3(b)
+      assert(info.contains(Multimodal.Mp3Info("mpeg1", 3, kbps, sr, ch,
+        frames, frames * 1152L)), s"id=$id: $info vs ($kbps,$sr,$frames,$ch)")
+    }
+    val good = Multimodal.plantMp3(5L)
+    // truncation mid-frame must reject, not undercount
+    assert(Multimodal.parseMp3(good.dropRight(3)).isEmpty, "truncated frame must reject")
+    // garbage after the last frame must reject (only ID3v1 'TAG' may trail)
+    assert(Multimodal.parseMp3(good ++ Array[Byte](0, 0, 0, 0)).isEmpty)
+    val tagged = good ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(Multimodal.parseMp3(tagged).map(_.frames) ==
+      Multimodal.parseMp3(good).map(_.frames), "trailing ID3v1 block is allowed")
+    // corrupt sync / free bitrate / reserved samplerate all reject
+    val noSync = good.clone(); noSync(18) = 0x7F // first frame header after the 18-byte ID3v2
+    assert(Multimodal.parseMp3(noSync).isEmpty, "broken sync must reject")
+    val freeBr = good.clone(); freeBr(20) = (freeBr(20) & 0x0F).toByte
+    assert(Multimodal.parseMp3(freeBr).isEmpty, "free-format bitrate must reject")
+    val badSr = good.clone(); badSr(20) = (badSr(20) | 0x0C).toByte
+    assert(Multimodal.parseMp3(badSr).isEmpty, "reserved samplerate must reject")
+    assert(Multimodal.parseMp3("not audio at all".getBytes("US-ASCII")).isEmpty)
+    // oversized ID3v2 size field must reject, not scan past the payload
+    val bigTag = good.clone(); bigTag(9) = 0x7F
+    assert(Multimodal.parseMp3(bigTag.take(30)).isEmpty)
+  }
+
   test("parseAvi/aviFrames: planted MJPEG round-trips header + frames; malformed rejected") {
     val ids = Seq(0L, 1L, 3L, 42L, 257L)
     for (id <- ids) {
