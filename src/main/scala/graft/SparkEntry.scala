@@ -44,6 +44,13 @@ object SparkEntry {
     * doc_id — see the `text_url_canonical` gate comment. Mirrored verbatim
     * by `plantedUrlSql`.
     */
+  /** Planted quality-classifier weight table (4096 hashed buckets, integer
+    * micro-logits): w[b] = (((b·37+11) mod 2001) − 1000) milli-logits — a
+    * stand-in for offline-trained fastText weights, replayable in SQL.
+    */
+  private lazy val qualityWeights: Seq[Long] =
+    (0 until 4096).map(b => (((b * 37 + 11) % 2001) - 1000) * 1000L)
+
   private def plantedUrls(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       when(col("doc_id") % 4 === 0,
@@ -1446,6 +1453,61 @@ object SparkEntry {
           round(col("top_trigram_frac"), 6).as("toptri6"),
           col("r_dup_lines"), col("r_dup_paras"), col("r_top_bigram"),
           col("r_top_trigram"), col("gopher_pass"), col("gopher_full_pass"))
+        .orderBy("doc_id")
+    }),
+    "text_quality_classifier" -> ((s, d) =>
+      // fastText-shape linear quality classifier (Joulin et al. 2016):
+      // hashed unigram+bigram features (md5-prefix mod 4096), planted
+      // weight table w[b] = (((b*37+11) mod 2001) - 1000) milli-logits,
+      // bias +0.02 (chosen from the measured logit distribution so the
+      // threshold actually discriminates: 310/500 pass at sf0.01) —
+      // integer micro-logit sums, exact replay in DuckDB
+      TextAnalysis.qualityClassifierScore(SparkUtil.ensureParallelism(docs(s, d)),
+          "doc_id", "text", qualityWeights, biasMicro = 20000L)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logit"), 6).as("logit6"), col("quality_pass"))
+        .orderBy("doc_id")),
+    "pipeline_curate_v4" -> ((s, d) => {
+      // the round-10 composed pipeline — the full public-curation shape:
+      // canonical-URL dedup → exact content dedup → FULL Gopher rule
+      // conjunction (A1.1 + A1.2) → CCNet bucketing at CALIBRATED
+      // cutoffs (derived from the even-id slice of the gophered
+      // survivors) → linear-classifier threshold. One lazy plan up to
+      // the calibration collect; every stage individually gated above
+      // the synthetic corpus has no English stopwords, so the Gopher
+      // stopword rule would empty the pipeline — plant a fixed stopword
+      // prefix (8 distinct hits), the same plant-what-the-corpus-lacks
+      // convention as the PII/URL/newline gates
+      val dd = docs(s, d).select(col("doc_id"),
+        concat(lit("the of and that have with be to "), col("text")).as("text"))
+      // per-PAIR URLs: docs (2k, 2k+1) differ only in case, default port,
+      // and tracking params, so canonicalization collapses each pair and
+      // keep-min leaves exactly the even ids — closed-form for the oracle
+      // while still exercising the full canonicalize+dedup machinery
+      val urls = dd.select(col("doc_id"),
+        concat(lit("HTTPS://Site.Example.ORG:443/page/"),
+          (col("doc_id") - col("doc_id") % 2).cast("string"),
+          lit("?utm_source=feed&fbclid=x"), col("doc_id").cast("string"))
+          .as("raw_url"))
+      val urlKept = Dedup.dropUrlDuplicates(urls, "doc_id", "raw_url")
+        .select("doc_id")
+      val d1 = dd.join(urlKept, Seq("doc_id"))
+      val d2 = Dedup.dropExactDuplicates(d1, "doc_id", "text")
+      val d3 = SparkUtil.scopedPersist(
+        TextAnalysis.withGopherRulesFull(d2, "text")
+          .where(col("gopher_full_pass")).select("doc_id", "text"))
+      val cal = TextAnalysis.calibrateCcnetCutoffs(
+        d3.where(col("doc_id") % 4 === 0), "doc_id", "text",
+        headFrac = 0.3, tailFrac = 0.3)
+      val d4 = TextAnalysis.ccnetBuckets(d3, "doc_id", "text",
+          cal.headCutMicro, cal.tailCutMicro)
+        .where(col("ppl_bucket") =!= "tail")
+        .select("doc_id", "text", "n_tokens", "ppl_bucket")
+      TextAnalysis.qualityClassifierScore(d4, "doc_id", "text",
+          qualityWeights, biasMicro = 20000L)
+        .where(col("quality_pass"))
+        .select(col("doc_id"), col("n_tokens"), col("ppl_bucket"),
+          col("n_feats"), round(col("logit"), 6).as("logit6"))
         .orderBy("doc_id")
     }),
     "text_dsir_weights" -> ((s, d) =>
@@ -2916,6 +2978,143 @@ object SparkEntry {
       LEFT JOIN bstat bs ON b.doc_id = bs.doc_id
       LEFT JOIN tstat ts ON b.doc_id = ts.doc_id
       ORDER BY b.doc_id""",
+    "text_quality_classifier" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      uni AS (SELECT doc_id, unnest(tokens) AS f FROM toks),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+               i -> tokens[i] || ' ' || tokens[i + 1])) AS f FROM toks),
+      occ AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 4096 AS BIGINT) AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      per AS (SELECT doc_id, count(*) AS n_feats,
+          sum((((b * 37 + 11) % 2001) - 1000) * 1000) AS s
+        FROM occ GROUP BY 1),
+      sc AS (SELECT doc_id, n_feats,
+          CAST(round(CAST(s AS DOUBLE) / n_feats) AS BIGINT) + 20000 AS lm
+        FROM per)
+      SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+        round(CAST(sc.lm AS DOUBLE) / 1e6, 6) AS logit6,
+        sc.lm >= 0 AS quality_pass
+      FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_curate_v4" -> s"""
+      WITH ukeep AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+      d1 AS (SELECT d.doc_id,
+               'the of and that have with be to ' || d.text AS text
+             FROM documents d JOIN ukeep USING (doc_id)),
+      d2 AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM d1) WHERE rn = 1),
+      base AS (SELECT doc_id, text, $tokenizeSql AS tokens,
+          string_split(text, chr(10)) AS lines FROM d2),
+      sig AS (SELECT doc_id,
+          len(tokens) AS n_words,
+          CAST(coalesce(list_sum(list_transform(tokens, t -> len(t))), 0) AS DOUBLE)
+            / greatest(len(tokens), 1) AS mwl,
+          (len(text) - len(replace(text, '#', ''))) +
+            ((len(text) - len(replace(text, '...', ''))) // 3) AS n_sym,
+          len(list_filter(lines, l ->
+            list_contains(['-', '*', '•'], substr(trim(l), 1, 1)))) AS n_bullet,
+          len(list_filter(lines, l ->
+            (len(l) >= 3 AND substr(l, len(l) - 2, 3) = '...')
+            OR (len(l) >= 1 AND substr(l, len(l), 1) = '…'))) AS n_ell,
+          len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+          len(list_filter(['the','be','to','of','and','that','have','with'],
+            w -> list_contains(tokens, w))) AS stop_hits,
+          greatest(len(lines), 1) AS n_lines,
+          greatest(len(tokens), 1) AS dw
+        FROM base),
+      gp AS (SELECT doc_id,
+          ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+            AND (CAST(n_sym AS DOUBLE) / dw <= 0.1)
+            AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+            AND (CAST(n_ell AS DOUBLE) / n_lines <= 0.3)
+            AND (CAST(n_alpha AS DOUBLE) / dw >= 0.8)
+            AND (stop_hits >= 2)) AS gopher_pass
+        FROM sig),
+      lgrp AS (SELECT doc_id, l, count(*) AS c FROM
+          (SELECT doc_id, unnest(lines) AS l FROM base) GROUP BY 1, 2),
+      lstat AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+            / sum(c) AS dup_line_frac FROM lgrp GROUP BY 1),
+      pgrp AS (SELECT doc_id, p, count(*) AS c FROM
+          (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS p
+           FROM d2) GROUP BY 1, 2),
+      pstat AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+            / sum(c) AS dup_para_frac FROM pgrp GROUP BY 1),
+      bgrp AS (SELECT doc_id, g, count(*) AS c FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+             i -> tokens[i] || ' ' || tokens[i + 1])) AS g FROM base) GROUP BY 1, 2),
+      bstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+                FROM bgrp GROUP BY 1),
+      tgrp AS (SELECT doc_id, g, count(*) AS c FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS g
+           FROM base) GROUP BY 1, 2),
+      tstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_trigram_frac
+                FROM tgrp GROUP BY 1),
+      d3 AS (SELECT b.doc_id, b.text, b.tokens
+             FROM base b
+             JOIN gp ON b.doc_id = gp.doc_id
+             LEFT JOIN lstat l ON b.doc_id = l.doc_id
+             LEFT JOIN pstat p ON b.doc_id = p.doc_id
+             LEFT JOIN bstat bs ON b.doc_id = bs.doc_id
+             LEFT JOIN tstat ts ON b.doc_id = ts.doc_id
+             WHERE gp.gopher_pass
+               AND coalesce(l.dup_line_frac <= 0.30, true)
+               AND coalesce(p.dup_para_frac <= 0.30, true)
+               AND coalesce(bs.top_bigram_frac <= 0.20, true)
+               AND coalesce(ts.top_trigram_frac <= 0.18, true)),
+      cp AS (SELECT doc_id, unnest(tokens) AS token FROM d3 WHERE doc_id % 4 = 0),
+      cf AS (SELECT token, count(*) AS c FROM cp GROUP BY 1),
+      ctt AS (SELECT sum(c) AS total FROM cf),
+      clp AS (SELECT token,
+                CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+              FROM cf, ctt),
+      cper AS (SELECT doc_id, count(*) AS n, sum(lpi) AS s
+               FROM cp JOIN clp USING (token) GROUP BY 1),
+      cav AS (SELECT CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS avg FROM cper),
+      tot AS (SELECT count(*) AS n FROM cav),
+      ks AS (SELECT CAST(greatest(1, ceil(0.7 * n)) AS BIGINT) AS kh,
+                    CAST(greatest(1, ceil(0.3 * n)) AS BIGINT) AS kt FROM tot),
+      cum AS (SELECT avg, sum(count(*)) OVER (ORDER BY avg) AS cumc
+              FROM cav GROUP BY avg),
+      hc AS (SELECT min(avg) AS v FROM cum, ks WHERE cumc >= kh),
+      tc AS (SELECT min(avg) AS v FROM cum, ks WHERE cumc >= kt),
+      p3 AS (SELECT doc_id, unnest(tokens) AS token FROM d3),
+      f3 AS (SELECT token, count(*) AS c FROM p3 GROUP BY 1),
+      t3 AS (SELECT sum(c) AS total FROM f3),
+      lp3 AS (SELECT token,
+                CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
+              FROM f3, t3),
+      per3 AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
+               FROM p3 JOIN lp3 USING (token) GROUP BY 1),
+      am3 AS (SELECT doc_id, n_tokens,
+                CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro
+              FROM per3),
+      d4 AS (SELECT d3.doc_id, d3.tokens, coalesce(am3.n_tokens, 0) AS n_tokens,
+               CASE WHEN am3.avg_micro IS NULL THEN 'unscored'
+                    WHEN am3.avg_micro >= hc.v THEN 'head'
+                    WHEN am3.avg_micro < tc.v THEN 'tail'
+                    ELSE 'middle' END AS ppl_bucket
+             FROM d3 LEFT JOIN am3 USING (doc_id)
+             CROSS JOIN hc CROSS JOIN tc),
+      d4k AS (SELECT * FROM d4 WHERE ppl_bucket <> 'tail'),
+      uni AS (SELECT doc_id, unnest(tokens) AS f FROM d4k),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+               i -> tokens[i] || ' ' || tokens[i + 1])) AS f FROM d4k),
+      occ AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 4096 AS BIGINT) AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      perc AS (SELECT doc_id, count(*) AS n_feats,
+          sum((((b * 37 + 11) % 2001) - 1000) * 1000) AS s
+        FROM occ GROUP BY 1),
+      scc AS (SELECT doc_id, n_feats,
+          CAST(round(CAST(s AS DOUBLE) / n_feats) AS BIGINT) + 20000 AS lm
+        FROM perc)
+      SELECT d4k.doc_id, d4k.n_tokens, d4k.ppl_bucket,
+        scc.n_feats, round(CAST(scc.lm AS DOUBLE) / 1e6, 6) AS logit6
+      FROM d4k JOIN scc USING (doc_id)
+      WHERE scc.lm >= 0 ORDER BY d4k.doc_id""",
     "text_dsir_weights" -> s"""
       WITH toks AS (SELECT doc_id, lang, $tokenizeSql AS tokens FROM documents),
       occ AS (SELECT doc_id, (lang = 'en') AS is_t,

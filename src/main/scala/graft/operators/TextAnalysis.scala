@@ -987,6 +987,63 @@ object TextAnalysis {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Linear quality-classifier scoring — the fastText shape (Joulin et
+    * al. 2016, "Bag of Tricks for Efficient Text Classification") used by
+    * public curation pipelines (GPT-3/LLaMA-style "looks like wiki/books"
+    * filters) to complement perplexity filtering: hashed unigram+bigram
+    * features (`b = md5-prefix mod buckets`, the [[dsirImportanceWeights]]
+    * trick), a LINEAR score `logit = bias + mean(w[b])`, and a keep/drop
+    * threshold. Weights come from OFFLINE training and arrive as a
+    * bounded table (`buckets` rows regardless of corpus size — the
+    * DSIR-style justified broadcast); `weightsMicro` are integer
+    * MICRO-logits so the per-doc sum is exact, order-independent, and
+    * oracle-replayable. The sigmoid is monotone, so thresholding the
+    * logit IS thresholding the probability — the operator stays in
+    * exact log-space like [[withUnigramLogProb]].
+    *
+    * Adds `n_feats`, `logit` (mean micro-logit + bias, natural units),
+    * and `quality_pass` (exact integer comparison against 0; fold any
+    * threshold into `biasMicro`). Empty docs: n_feats 0, null logit/pass.
+    *
+    * Scale shape: one occurrence-level map-side-combined (id, count, sum)
+    * aggregate after a broadcast join against the weight table — no
+    * vocabulary-sized state, no text in any exchange.
+    */
+  def qualityClassifierScore(df: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Seq[Long], biasMicro: Long): DataFrame = {
+    val buckets = weightsMicro.size
+    require(buckets > 0, "weight table must not be empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(
+      weightsMicro.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+        .toDF("__b", "__w"))
+    val toks = graft.SparkUtil.ensureParallelism(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), T.tokenize(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val bigrams = when(n >= 2,
+      zip_with(slice(col("__toks"), lit(1), n - 1),
+        slice(col("__toks"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val occ = toks
+      .select(col(idCol), explode(concat(col("__toks"), bigrams)).as("__f"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__f")), 1, 8), 16, 10).cast("long") %
+          buckets).as("__b"))
+    val perDoc = occ.join(wDf, Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("__w").as("__s"))
+      .select(col(idCol), col("n_feats"),
+        ((microAvgLong(col("__s"), col("n_feats")) + biasMicro).cast("double")
+          / 1e6).as("logit"),
+        (microAvgLong(col("__s"), col("n_feats")) + biasMicro >= 0L)
+          .as("quality_pass"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+  }
+
   /** Winnowing fingerprints (the MOSS document-fingerprinting scheme) over
     * whitespace-normalized text: md5 every char `k`-gram, then keep the
     * MINIMUM hash of each sliding window of `w` consecutive gram hashes,

@@ -1246,6 +1246,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityClassifierScore: features = unigrams+bigrams, exact micro sums, live threshold") {
+    // two single-bucket weight tables pin the feature extraction: with
+    // buckets=1 every feature hits bucket 0, so n_feats and the logit are
+    // closed-form in the weight
+    val rows = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .qualityClassifierScore(rows, "doc_id", "text",
+        weightsMicro = Seq(500000L), biasMicro = -400000L)
+      .select("doc_id", "n_feats", "logit", "quality_pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean]))).toMap
+    // "a b c": 3 unigrams + 2 bigrams = 5 feats, mean w = 0.5, logit 0.1
+    assert(out(1L) == (5L, Some(0.1), Some(true)), s"doc 1: ${out(1L)}")
+    // "solo": 1 unigram, 0 bigrams
+    assert(out(2L) == (1L, Some(0.1), Some(true)), s"doc 2: ${out(2L)}")
+    // empty doc: 0 feats, null logit/pass
+    assert(out(3L) == (0L, None, None), s"doc 3: ${out(3L)}")
+    // negative weights flip the threshold
+    val neg = graft.operators.TextAnalysis
+      .qualityClassifierScore(rows, "doc_id", "text",
+        weightsMicro = Seq(-500000L), biasMicro = 400000L)
+      .select("doc_id", "quality_pass")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(neg(1L).contains(false) && neg(3L).isEmpty, s"neg: $neg")
+  }
+
   test("dedupParagraphsGlobal: first occurrence corpus-wide wins; within-doc repeats drop") {
     val rows = Seq(
       (1L, "boiler\n\nunique one"),
