@@ -1793,6 +1793,37 @@ object SparkEntry {
       }
       s.table("graft_url_dedup_gate").orderBy("doc_id")
     }),
+    "stream_ivf_update_real" -> ((s, d) => {
+      // embedding-index maintenance as a STREAM: train IVF-PQ in batch
+      // (the offline fit), then stream the corpus back one file per
+      // micro-batch and encode each arrival with the FROZEN model —
+      // cell assignment + PQ codes are plan-literal expressions, a
+      // stateless narrow projection (no state store; the bounded
+      // codebook rides in the plan), so the appended index must equal
+      // the batch encode EXACTLY regardless of micro-batch boundaries.
+      // Codebooks are engine-internal doubles, so the gate contract is
+      // the per-id agreement boolean (the ann_mode_agreement pattern)
+      val emb = tbl(s, d, "embeddings")
+      val model = SimSearch.trainIvfPq(emb, "vec_id", "embedding",
+        nLists = 16, m = 16, ks = 64)
+      val tmp = roundTripDir(d, "graft-stream-ivf")
+      emb.select("vec_id", "embedding").repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = SimSearch.pqEncodeNew(model, src, "vec_id", "embedding")
+        .writeStream.format("memory").queryName("graft_ivf_update")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.table("graft_ivf_update")
+        .select(col("id"), col("cell").as("s_cell"), col("codes").as("s_codes"))
+      model.encoded.join(streamed, Seq("id"))
+        .select(col("id").as("vec_id"),
+          (col("cell") === col("s_cell")).as("cell_matches"),
+          (col("codes") === col("s_codes")).as("codes_match"))
+        .orderBy("vec_id")
+    }),
     "stream_gopher_real" -> ((s, d) => {
       // quality filtering lifts to streams unchanged: the Gopher rules are
       // a STATELESS narrow projection, so real micro-batch execution
@@ -2713,6 +2744,10 @@ object SparkEntry {
     "sim_recall_pq_rerank" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "stream_ivf_update_real" -> """
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS cell_matches,
+        true AS codes_match
+      FROM embeddings ORDER BY vec_id""",
     "sim_recall_int8" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",

@@ -397,6 +397,37 @@ object SimSearch {
           .cast("double") / k >= recallFloor).as("recall_ok"))
   }
 
+  /** FROZEN-model encode of NEW vectors — the index-maintenance path of a
+    * production ANN store: incoming embeddings are assigned to their IVF
+    * cell and product-quantized against the codebooks trained at fit time
+    * (retraining is an offline event; ingestion must not depend on it).
+    * Pure plan-literal expressions over (id, vector) — a STATELESS narrow
+    * projection, so it lifts to Structured Streaming unchanged: no state
+    * store at all, the bounded codebook rides in the plan, and micro-batch
+    * boundaries cannot affect the result (gated as
+    * `stream_ivf_update_real`). Output matches [[PqModel.encoded]]:
+    * (id, cell, codes).
+    */
+  def pqEncodeNew(model: PqModel, df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    val m = model.codebooks.length
+    val dsub = model.subDim
+    val cents = typedlit(model.ivf.centroids)
+    val sims = transform(cents, c => dotProduct(col("__v"), c))
+    val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
+    val cbLit = typedlit(model.codebooks)
+    val resid = zip_with(toD(col("__v")), element_at(cents, col("cell") + 1),
+      (a, b) => a - b)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .withColumn("cell", cell)
+      .withColumn("__r", resid)
+      .select(col("id"), col("cell"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => nearestCode(element_at(cbLit, i + 1),
+            slice(col("__r"), i * dsub + 1, lit(dsub)))).as("codes"))
+  }
+
   /** IVFADC+R — the exact-re-rank stage the same Jégou et al. 2011 line of
     * work adds on top of IVFADC (and the standard production shape): the
     * PQ asymmetric scan keeps the top `rerankC` CANDIDATES per query

@@ -441,6 +441,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
       }
       assert(aboveCache.isEmpty,
         s"PQ encode must be an in-row projection over the cached corpus: $aboveCache")
+      // the frozen-model encode of NEW vectors (the streaming ingestion
+      // path) must be zero-exchange over the raw scan — fully stateless
+      val fresh = graft.operators.SimSearch.pqEncodeNew(model,
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      val freshEx = fresh.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(freshEx.isEmpty,
+        s"frozen-model encode must be a stateless narrow projection: $freshEx")
     } finally graft.SparkUtil.releaseScopedCaches()
   }
 
