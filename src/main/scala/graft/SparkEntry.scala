@@ -2038,6 +2038,32 @@ object SparkEntry {
            abs(col("mean_b") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
             .as("mean_close"))
         .orderBy("doc_id", "frame_idx")),
+    "mm_resize_real_avi" -> ((s, d) => {
+      // REAL resize through the VIDEO path (keyframe-thumbnail
+      // semantics): the planted AVI's first MJPEG frame decodes through
+      // the image pixel path, aspect-fits into an 8px box, re-encodes
+      // as PNG, and is decoded AGAIN — output dims replay from the
+      // planted solid dims; the JPEG DC shift survives bilinear
+      // interpolation uniformly, so the re-decoded thumbnail stays
+      // uniform and its mean stays within the 5/255 JPEG tolerance
+      val resized = Multimodal.resizePixels(
+        Multimodal.plantVideoPayloads(docs(s, d), "doc_id"), maxSide = 8)
+      val back = SparkUtil.scopedPersist(
+        resized.select(col("doc_id"), col("payload_out").as("payload")))
+      Multimodal.decodeMeta(back).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").as("out_width"), col("height").as("out_height"))
+        .join(Multimodal.extractFeatures(back).toDF()
+          .select(col("doc_id"),
+            (col("f3") === 0.0 && col("f4") === 0.0 && col("f5") === 0.0)
+              .as("is_uniform"),
+            (abs(col("f0") * 255 - (col("doc_id") % 256)) <= 5.0 &&
+             abs(col("f1") * 255 - (col("doc_id") * 3 % 256)) <= 5.0 &&
+             abs(col("f2") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
+              .as("mean_close")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
     "mm_resize_real_gif" -> ((s, d) => {
       // REAL resize through the GIF decoder: solid GIFs aspect-fit into an
       // 8px box, re-encoded as PNG (resize normalizes the container),
@@ -4117,6 +4143,17 @@ object SparkEntry {
         CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS height,
         true AS is_uniform, true AS mean_close
       FROM m ORDER BY doc_id, frame_idx""",
+    "mm_resize_real_avi" -> """
+      WITH m AS (SELECT doc_id,
+          CAST(4 + doc_id % 13 AS DOUBLE) AS w,
+          CAST(4 + (doc_id * 5) % 11 AS DOUBLE) AS h
+        FROM documents),
+      s AS (SELECT doc_id, w, h, least(8.0 / w, 8.0 / h, 1.0) AS sc FROM m)
+      SELECT doc_id, 'png' AS format,
+        CAST(greatest(floor(w * sc), 1) AS INTEGER) AS out_width,
+        CAST(greatest(floor(h * sc), 1) AS INTEGER) AS out_height,
+        true AS is_uniform, true AS mean_close
+      FROM s ORDER BY doc_id""",
     "mm_resize_real_gif" -> """
       WITH m AS (SELECT doc_id,
           CAST(4 + doc_id % 13 AS DOUBLE) AS w,
