@@ -1802,10 +1802,13 @@ object SparkEntry {
       // codebook rides in the plan), so the appended index must equal
       // the batch encode EXACTLY regardless of micro-batch boundaries.
       // Codebooks are engine-internal doubles, so the gate contract is
-      // the per-id agreement boolean (the ann_mode_agreement pattern)
+      // the per-id agreement boolean (the ann_mode_agreement pattern).
+      // Small model on purpose: the claim is frozen-model AGREEMENT
+      // (any codebook exercises it identically); recall quality is
+      // sim_recall_pq/_rerank's job with the production-sized model
       val emb = tbl(s, d, "embeddings")
       val model = SimSearch.trainIvfPq(emb, "vec_id", "embedding",
-        nLists = 16, m = 16, ks = 64)
+        nLists = 8, m = 8, ks = 16)
       val tmp = roundTripDir(d, "graft-stream-ivf")
       emb.select("vec_id", "embedding").repartition(4)
         .write.mode("overwrite").parquet(tmp)
