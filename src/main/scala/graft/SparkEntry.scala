@@ -1499,10 +1499,14 @@ object SparkEntry {
       val cal = TextAnalysis.calibrateCcnetCutoffs(
         d3.where(col("doc_id") % 4 === 0), "doc_id", "text",
         headFrac = 0.3, tailFrac = 0.3)
-      val d4 = TextAnalysis.ccnetBuckets(d3, "doc_id", "text",
-          cal.headCutMicro, cal.tailCutMicro)
-        .where(col("ppl_bucket") =!= "tail")
-        .select("doc_id", "text", "n_tokens", "ppl_bucket")
+      // scoped-persisted: the classifier references d4 twice (feature
+      // explode + join-back), which would otherwise replay the CCNet
+      // LM join
+      val d4 = SparkUtil.scopedPersist(
+        TextAnalysis.ccnetBuckets(d3, "doc_id", "text",
+            cal.headCutMicro, cal.tailCutMicro)
+          .where(col("ppl_bucket") =!= "tail")
+          .select("doc_id", "text", "n_tokens", "ppl_bucket"))
       TextAnalysis.qualityClassifierScore(d4, "doc_id", "text",
           qualityWeights, biasMicro = 20000L)
         .where(col("quality_pass"))
