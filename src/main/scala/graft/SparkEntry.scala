@@ -685,6 +685,17 @@ object SparkEntry {
         SELECT doc_id, array_join(graft_tokenize(text), ' ') AS tokens_str
         FROM documents_v ORDER BY doc_id""")
     }),
+    "fn_bpe_sql" -> ((s, d) => {
+      // the registered BPE SQL surface (GraftExtensions) end-to-end:
+      // identical kernel to text_token_counts_bpe, reached through SQL
+      // text; the constant probe word pins the per-word encode path
+      // ('weathering' -> w|e|a|ther|ing under the planted merge ranks)
+      SparkUtil.ensureParallelism(docs(s, d)).createOrReplaceTempView("documents_bpe_v")
+      s.sql("""
+        SELECT doc_id, graft_bpe_count(graft_tokenize(text)) AS n_bpe_tokens,
+          array_join(graft_bpe_encode('weathering'), '|') AS probe
+        FROM documents_bpe_v ORDER BY doc_id""")
+    }),
     "fn_k_shingles" -> ((s, d) =>
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(array_sort(T.shingles(col("text"), 2)), "|").as("shingles_str"))
@@ -2666,6 +2677,11 @@ object SparkEntry {
       s"SELECT doc_id, array_to_string($tokenizeSql, ' ') AS tokens_str FROM documents ORDER BY doc_id",
     "fn_tokenize_sql" ->
       s"SELECT doc_id, array_to_string($tokenizeSql, ' ') AS tokens_str FROM documents ORDER BY doc_id",
+    "fn_bpe_sql" -> s"""
+      WITH $bpeDocCountCtes
+      SELECT d.doc_id, coalesce(c.nb, 0) AS n_bpe_tokens,
+        'w|e|a|ther|ing' AS probe
+      FROM documents d LEFT JOIN __bpe_c c USING (doc_id) ORDER BY d.doc_id""",
     "fn_k_shingles" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
       SELECT doc_id, array_to_string(list_sort(list_distinct(list_transform(range(1, len(tokens)),

@@ -113,6 +113,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_deflate_ratio(text) - DEFLATE compressed/raw byte ratio (0.0 for empty)",
       { case Seq(a) => DeflateRatio(a) })
 
+    register(ext, "graft_bpe_count",
+      "graft_bpe_count(words) - total BPE subword count of a word array " +
+        "under the engine's planted merge table (a deployment trains its " +
+        "own table offline and installs it via the Scala API)",
+      { case Seq(a) => BpeCountTokens(a, Bpe.plantedTable) })
+    register(ext, "graft_bpe_encode",
+      "graft_bpe_encode(word) - BPE subword tokens of one word under the " +
+        "engine's planted merge table",
+      { case Seq(a) => BpeEncodeWord(a, Bpe.plantedTable) })
+
     // composite kernels: expand to the same native Column trees
     register(ext, "graft_tokenize",
       "graft_tokenize(text) - lower, punctuation->space, collapse, split",

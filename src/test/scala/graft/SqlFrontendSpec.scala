@@ -118,6 +118,25 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(df == sig)
   }
 
+  test("graft_bpe_count / graft_bpe_encode: SQL surface equals the DataFrame kernel") {
+    import org.apache.spark.sql.functions.col
+    val enc = spark.sql(
+      "SELECT array_join(graft_bpe_encode('weathering'), '|') AS e").collect()(0).getString(0)
+    assert(enc == "w|e|a|ther|ing", s"got $enc")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_bpe")
+    val bad = spark.sql(
+      "SELECT doc_id, graft_bpe_count(graft_tokenize(text)) AS n FROM docs_bpe")
+      .join(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"),
+            graft.functions.Bpe.countTokens(
+              graft.functions.TextFunctions.tokenize(col("text"))).as("m")),
+        Seq("doc_id"))
+      .where(col("n") =!= col("m")).count()
+    assert(bad == 0, "SQL and DataFrame BPE counts must agree per doc")
+  }
+
   test("whole ANN candidate pipeline expressed in one SQL statement") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs_all")
