@@ -1229,6 +1229,19 @@ object SparkEntry {
           graft.functions.Bpe.countTokens(T.tokenize(col("text")))
             .as("n_bpe_tokens"))
         .orderBy("doc_id")),
+    "text_bpe_learn" -> ((s, d) => {
+      // distributed BPE merge LEARNING (Sennrich learn_bpe): 6 greedy
+      // rounds over the corpus token occurrences — encode under the
+      // merges so far, count adjacent symbol pairs (one map-side-combined
+      // aggregate/round), adopt the most frequent (count desc, then
+      // lexicographic). The oracle replays the identical rounds over a
+      // bracketed-symbol representation
+      import s.implicits._
+      graft.functions.Bpe.learnMerges(docs(s, d), "text", k = 6)
+        .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+        .toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    }),
     "text_pack_sequences_bpe" -> ((s, d) =>
       // sequence packing in the unit that matters — BPE subwords: same
       // distributed two-pass cumsum, the per-doc count comes from the
@@ -2236,7 +2249,37 @@ object SparkEntry {
   private def stopwordList(lang: String): String =
     TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Generated k-round replay of [[graft.functions.Bpe.learnMerges]]:
+    * round i = extract bracketed symbols, count adjacent pairs, pick the
+    * (count desc, l, r) argmax, apply it as one replace() — exact because
+    * the learned table is hierarchical by construction.
+    */
+  private lazy val bpeLearnOracle: String = {
+    val rounds = 6
+    val header =
+      s"""WITH toks AS (SELECT $tokenizeSql AS tokens FROM documents),
+      w0 AS (SELECT regexp_replace(unnest(tokens), '(.)', '[\\1]', 'g') AS s
+             FROM toks),"""
+    val body = (1 to rounds).map { i =>
+      val prev = s"w${i - 1}"
+      s"""
+      s$i AS (SELECT regexp_extract_all(s, '\\[([^\\]]*)\\]', 1) AS sym FROM $prev),
+      p$i AS (SELECT p[1] AS l, p[2] AS r FROM (
+          SELECT unnest(list_transform(range(1, len(sym)),
+            j -> [sym[j], sym[j + 1]])) AS p FROM s$i)),
+      c$i AS (SELECT l, r, count(*) AS c FROM p$i GROUP BY 1, 2),
+      b$i AS (SELECT l, r, c FROM c$i ORDER BY c DESC, l, r LIMIT 1),
+      w$i AS (SELECT replace($prev.s, '[' || b$i.l || '][' || b$i.r || ']',
+          '[' || b$i.l || b$i.r || ']') AS s FROM $prev, b$i),"""
+    }.mkString
+    val unions = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
+          c AS pair_count FROM b$i""").mkString("\n      UNION ALL ")
+    header + body.stripSuffix(",") + "\n      " + unions + "\n      ORDER BY rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_bpe_learn" -> bpeLearnOracle,
     "src_scan_documents" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "src_orc_scan" ->

@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen — zero shuffles, scales as the scan does.
   */
 final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
-  require(merges.nonEmpty, "merge table must not be empty")
+  // empty table is legal: encode degenerates to character symbols — the
+  // starting state of merge LEARNING ([[Bpe.learnMerges]])
   // rank lookup keyed on left +  + right ( cannot appear in a
   // tokenizer word, so the joint key is unambiguous)
   @transient lazy val ranks: java.util.HashMap[String, Integer] = {
@@ -174,6 +175,61 @@ object Bpe {
 
   def countTokens(words: Column, table: BpeTable = plantedTable): Column =
     ColumnBridge.column(BpeCountTokens(ColumnBridge.expression(words), table))
+
+  /** BPE merge LEARNING (Sennrich et al. 2016 `learn_bpe`), distributed:
+    * `k` greedy rounds, each = encode every token occurrence under the
+    * merges learned so far (narrow, codegen'd kernel), count adjacent
+    * symbol pairs corpus-wide, and adopt the most frequent pair
+    * (deterministic tie-break: count desc, then (left, right)
+    * lexicographic). Returns (left, right, pair_count) in rank order.
+    *
+    * Scale shape: each round is one map-side-combined (l, r, count)
+    * aggregate — the LM-training shuffle shape, pair cardinality bounded
+    * by the symbol-bigram vocabulary — plus a ONE-ROW argmax fetch;
+    * nothing corpus-sized reaches the driver. k rounds = k passes over
+    * the (persisted) token column; production pipelines learn on a
+    * calibration sample, exactly like the CCNet cutoffs.
+    *
+    * The learned table is HIERARCHICAL by construction (operands are
+    * symbols that exist at learning time = chars or earlier outputs), so
+    * the DuckDB replace-chain replay is exact; the distinct-outputs
+    * precondition of that replay is asserted per round.
+    */
+  def learnMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): Seq[(String, String, Long)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.functions._
+    val words = graft.SparkUtil.ensureParallelism(df.select(col(textCol)))
+      .select(explode(TextFunctions.tokenize(col(textCol))).as("__w"))
+      .transform(graft.SparkUtil.scopedPersist)
+    var merges = Vector.empty[(String, String)]
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val syms = words.select(
+        encodeWord(col("__w"), new BpeTable(merges)).as("__s"))
+      val n = size(col("__s"))
+      val top = syms.where(n >= 2)
+        .select(explode(zip_with(
+          slice(col("__s"), lit(1), n - 1), slice(col("__s"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges :+= ((l, r))
+        require(merges.map { case (a, b) => a + b }.distinct.size == merges.size,
+          "learned merge outputs must stay distinct (oracle-replay precondition)")
+        learned += ((l, r, top(0).getLong(2)))
+      }
+      i += 1
+    }
+    learned.toSeq
+  }
 
   /** The DuckDB replay of [[PlantedMerges]] over one word expression:
     * bracket-delimit every character (`[t][h][e]` — tokenizer words are

@@ -381,6 +381,30 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("learnMerges: greedy max-count, lexicographic tie-break, <2 early stop") {
+    import graft.functions.Bpe
+    try {
+      // pair counts: (a,a)×4 from 'aa', (a,b)×3 from 'ab', (z,z)×1 from 'zz'
+      val rows = Seq("aa ab aa ab aa", "ab aa zz").toDF("text")
+      val learned = Bpe.learnMerges(rows, "text", k = 5)
+      assert(learned == Seq(("a", "a", 4L), ("a", "b", 3L)),
+        s"greedy order + early stop below count 2: $learned")
+      // tie at count 2: (b,a) beats (c,a) lexicographically
+      val tie = Seq("ba ba ca ca").toDF("text")
+      assert(Bpe.learnMerges(tie, "text", k = 1).head._1 == "b")
+      // learned table compresses: fewer subwords than characters
+      val chars = Seq("aa ab aa").toDF("text")
+        .select(Bpe.countTokens(T.tokenize(col("text")),
+          new graft.functions.BpeTable(Nil)).as("n")).collect()(0).getLong(0)
+      val merged = Seq("aa ab aa").toDF("text")
+        .select(Bpe.countTokens(T.tokenize(col("text")),
+          new graft.functions.BpeTable(learned.map(m => (m._1, m._2)))).as("n"))
+        .collect()(0).getLong(0)
+      assert(chars == 6L && merged == 3L,
+        s"learned merges must compress: $chars chars -> $merged subwords")
+    } finally graft.SparkUtil.releaseScopedCaches()
+  }
+
   test("BPE expressions ≡ kernel + DuckDB-replay twin on corpus, codegen on") {
     import graft.functions.Bpe
     spark.conf.set("spark.sql.codegen.fallback", "false")
