@@ -2028,6 +2028,21 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"),
           col("n_samples"))
         .orderBy("doc_id")),
+    "mm_features_real_flac" -> ((s, d) =>
+      // REAL lossless-audio metadata: spec-valid FLAC streams (fLaC +
+      // bit-packed STREAMINFO + a last-flagged PADDING block + fake
+      // trailing frame bytes the walk must not read) parsed by the
+      // pure-JVM block walker; every field replays from the id formulas
+      Multimodal.extractFlacFeatures(
+          Multimodal.plantFlacPayloads(docs(s, d), "doc_id"))
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("total_samples"),
+          col("min_block").cast("long").as("min_block"),
+          col("max_block").cast("long").as("max_block"))
+        .orderBy("doc_id")),
     "mm_features_real_avi" -> ((s, d) => {
       // REAL video path: complete AVI/MJPEG containers (RIFF AVI: avih
       // header + vids/MJPG stream + movi with 1-4 planted solid-JPEG
@@ -4181,6 +4196,16 @@ object SparkEntry {
         CASE WHEN channels > 1 THEN round(sqrt(5 * a1 * a1 / 8.0) / 32768, 6) END AS rms_ch1,
         CASE WHEN channels > 1 THEN round(a1 / 32768.0, 6) END AS peak_ch1
       FROM p ORDER BY doc_id""",
+    "mm_features_real_flac" -> """
+      SELECT doc_id,
+        CAST(list_extract([44100, 48000, 32000, 96000],
+          CAST(1 + doc_id % 4 AS INTEGER)) AS BIGINT) AS sample_rate,
+        CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT)
+          AS bits_per_sample,
+        CAST(1000 + doc_id % 9000 AS BIGINT) AS total_samples,
+        CAST(4096 AS BIGINT) AS min_block, CAST(4096 AS BIGINT) AS max_block
+      FROM documents ORDER BY doc_id""",
     "mm_features_real_mp3" -> """
       WITH p AS (SELECT doc_id,
           list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * through the image pixel path ([[firstAviFrame]] — each `00dc` chunk is
   * a complete JPEG). Compressed-audio METADATA is REAL for MPEG-1/2
   * Layer III streams ([[parseMp3]] / [[extractMp3Features]] — the 4-byte
-  * frame-header walk is the public ISO/IEC 11172-3 spec, no codec).
+  * frame-header walk is the public ISO/IEC 11172-3 spec, no codec) and
+  * for FLAC ([[parseFlac]] / [[extractFlacFeatures]] — the STREAMINFO
+  * bit fields per RFC 9639).
   * Payloads that are none of these fall back to the
   * **clearly marked deterministic STUB** paths (`stubDecode`,
   * `stubFeature`): no audio-DECODE codec or non-MJPEG video codec
@@ -978,6 +980,125 @@ object Multimodal {
       }
       .toDF("doc_id", "version", "layer", "bitrate_kbps", "sample_rate",
         "channels", "n_frames", "n_samples")
+  }
+
+  // ---------------- real FLAC STREAMINFO parsing ----------------
+
+  /** Parsed FLAC stream facts from the STREAMINFO metadata block — the
+    * lossless-audio twin of [[Mp3Info]]: everything a curation pipeline
+    * needs (rate, channels, depth, duration numerator) without touching a
+    * codec. Public spec (RFC 9639 / the original FLAC format document).
+    */
+  final case class FlacInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, minBlock: Int, maxBlock: Int)
+
+  private def be24(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 16) | ((b(i + 1) & 0xFF) << 8) | (b(i + 2) & 0xFF)
+
+  /** REAL FLAC metadata walk: `fLaC` magic, then metadata blocks
+    * (1-byte last-flag+type, 3-byte big-endian length) of which
+    * STREAMINFO (type 0, 34 bytes) MUST be first per spec — sample rate
+    * (20 bits), channels−1 (3), bits-per-sample−1 (5) and total samples
+    * (36) unpacked from its bit fields. Walks the remaining metadata
+    * blocks to validate structure, stops at the last-block flag (audio
+    * frames after it are codec territory and not validated). None for
+    * anything malformed or truncated.
+    */
+  def parseFlac(b: Array[Byte]): Option[FlacInfo] = {
+    if (b.length < 42 ||
+        !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    if ((b(4) & 0x7F) != 0) return None // STREAMINFO must be the first block
+    if (be24(b, 5) != 34) return None
+    // STREAMINFO bit fields sit after min/max blocksize (2×16) and
+    // min/max framesize (2×24) — i.e. at payload offset 8 + 10
+    val minBlock = be16(b, 8); val maxBlock = be16(b, 10)
+    val sr = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) | ((b(20) & 0xFF) >> 4)
+    val ch = ((b(20) >> 1) & 0x7) + 1
+    val bps = (((b(20) & 1) << 4) | ((b(21) & 0xFF) >> 4)) + 1
+    val total = (((b(21) & 0xF).toLong) << 32) |
+      ((b(22) & 0xFF).toLong << 24) | ((b(23) & 0xFF).toLong << 16) |
+      ((b(24) & 0xFF).toLong << 8) | (b(25) & 0xFF).toLong
+    if (sr == 0) return None // 0 is invalid per spec
+    // walk the remaining metadata blocks for structural validity
+    var p = 8 + 34
+    var last = (b(4) & 0x80) != 0
+    while (!last) {
+      if (p + 4 > b.length) return None
+      last = (b(p) & 0x80) != 0
+      val len = be24(b, p + 1)
+      if (p + 4 + len > b.length) return None
+      p += 4 + len
+    }
+    Some(FlacInfo(sr, ch, bps, total, minBlock, maxBlock))
+  }
+
+  /** Planted FLAC parameters from the id: (sample rate, channels, bits per
+    * sample, total samples) — shared with the gate oracle.
+    */
+  def plantFlacParams(id: Long): (Int, Int, Int, Long) = (
+    Array(44100, 48000, 32000, 96000)((id % 4).toInt),
+    (1 + id % 2).toInt,
+    if (id % 3 == 0) 24 else 16,
+    1000L + (id % 9000))
+
+  /** A COMPLETE spec-valid FLAC metadata stream: `fLaC` + STREAMINFO
+    * (bit-packed planted fields, zeroed md5) + a PADDING block marked
+    * last (exercises the block walk) + a few trailing bytes standing in
+    * for audio frames (the walk must stop at the last-block flag, not
+    * read them).
+    */
+  def plantFlac(id: Long): Array[Byte] = {
+    val (sr, ch, bps, total) = plantFlacParams(id)
+    val out = new java.io.ByteArrayOutputStream(64)
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x00) // STREAMINFO, not last
+    out.write(0); out.write(0); out.write(34)
+    def wbe16(v: Int): Unit = { out.write((v >>> 8) & 0xFF); out.write(v & 0xFF) }
+    def wbe24(v: Int): Unit = { out.write((v >>> 16) & 0xFF); out.write((v >>> 8) & 0xFF); out.write(v & 0xFF) }
+    wbe16(4096); wbe16(4096) // min/max blocksize
+    wbe24(0); wbe24(0) // min/max framesize (0 = unknown, legal)
+    out.write((sr >>> 12) & 0xFF)
+    out.write((sr >>> 4) & 0xFF)
+    out.write(((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4))
+    out.write((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF).toInt)
+    out.write(((total >> 24) & 0xFF).toInt); out.write(((total >> 16) & 0xFF).toInt)
+    out.write(((total >> 8) & 0xFF).toInt); out.write((total & 0xFF).toInt)
+    (0 until 16).foreach(_ => out.write(0)) // md5 of the audio data (zeroed)
+    out.write(0x81) // PADDING block, LAST
+    out.write(0); out.write(0); out.write(4)
+    (0 until 4).foreach(_ => out.write(0))
+    out.write(0xFF); out.write(0xF8) // fake frame-sync bytes (not validated)
+    out.toByteArray
+  }
+
+  /** (doc_id, payload, media_type) of REAL planted FLAC streams. */
+  def plantFlacPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantFlac(id), "audio/flac")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** REAL FLAC metadata features via [[parseFlac]] — non-FLAC payloads
+    * DROPPED (dead-letter route); per-partition batch contract.
+    */
+  def extractFlacFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseFlac(bytes).map { i =>
+            (id, i.sampleRate, i.channels, i.bitsPerSample, i.totalSamples,
+              i.minBlock, i.maxBlock)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "min_block", "max_block")
   }
 
   /** Planted AVI frame count: 1-4 frames derived from the id. */

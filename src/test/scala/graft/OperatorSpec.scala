@@ -1178,6 +1178,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.parseMp3(bigTag.take(30)).isEmpty)
   }
 
+  test("parseFlac: planted STREAMINFO round-trips bit fields; malformed rejected") {
+    val ids = Seq(0L, 1L, 2L, 3L, 6L, 41L, 8999L)
+    for (id <- ids) {
+      val b = Multimodal.plantFlac(id)
+      val (sr, ch, bps, total) = Multimodal.plantFlacParams(id)
+      val info = Multimodal.parseFlac(b)
+      assert(info.contains(Multimodal.FlacInfo(sr, ch, bps, total, 4096, 4096)),
+        s"id=$id: $info vs ($sr,$ch,$bps,$total)")
+    }
+    val good = Multimodal.plantFlac(5L)
+    // magic / first-block / length violations reject
+    assert(Multimodal.parseFlac("fLaX1234".getBytes("US-ASCII") ++ new Array[Byte](40)).isEmpty)
+    val notFirst = good.clone(); notFirst(4) = 0x01 // PADDING before STREAMINFO
+    assert(Multimodal.parseFlac(notFirst).isEmpty, "STREAMINFO must be first")
+    val badLen = good.clone(); badLen(7) = 33
+    assert(Multimodal.parseFlac(badLen).isEmpty, "STREAMINFO must be 34 bytes")
+    // truncation inside the metadata walk rejects (cut mid-PADDING block)
+    assert(Multimodal.parseFlac(good.take(45)).isEmpty, "truncated block must reject")
+    // a stream whose last-block flag is never set must reject, not loop/overrun
+    val noLast = good.clone(); noLast(42) = 0x01 // PADDING no longer marked last
+    assert(Multimodal.parseFlac(noLast).isEmpty)
+    // zero sample rate is invalid per spec
+    val zeroSr = good.clone(); zeroSr(18) = 0; zeroSr(19) = 0
+    zeroSr(20) = (zeroSr(20) & 0x0F).toByte
+    assert(Multimodal.parseFlac(zeroSr).isEmpty)
+  }
+
   test("parseAvi/aviFrames: planted MJPEG round-trips header + frames; malformed rejected") {
     val ids = Seq(0L, 1L, 3L, 42L, 257L)
     for (id <- ids) {
