@@ -1283,6 +1283,23 @@ object SparkEntry {
           md5(col("text_deduped")).as("dedup_md5"))
         .orderBy("doc_id")
     }),
+    "text_c4_line_filter" -> ((s, d) => {
+      // C4 line filtering (Raffel et al. 2020): plant 4 lines per doc —
+      // a proper sentence (kept), a short punctuated line (fails the
+      // word floor), an unpunctuated long line (fails the terminal
+      // mark), and the doc's own text with a period appended (kept when
+      // it reaches 5 words — short docs genuinely drop it)
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(
+          lit("this line is a proper sentence with terminal punctuation.\n"),
+          lit("too short.\n"),
+          lit("this longer line has no terminal punctuation at all\n"),
+          col("text"), lit(".")).as("text"))
+      TextAnalysis.c4LineFilter(planted, "doc_id", "text", minWords = 5)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     "text_para_dedup_global" -> ((s, d) => {
       // CORPUS-WIDE paragraph dedup (the CCNet preprocessing step; the
       // within-doc twin is text_dedup_within): plant a global boilerplate
@@ -2437,6 +2454,24 @@ object SparkEntry {
         count(*) FILTER (WHERE rn > 1) AS n_dropped,
         md5(array_to_string(list(s ORDER BY i) FILTER (WHERE rn = 1), ' ')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
+    "text_c4_line_filter" -> """
+      WITH planted AS (SELECT doc_id,
+          'this line is a proper sentence with terminal punctuation.' || chr(10) ||
+          'too short.' || chr(10) ||
+          'this longer line has no terminal punctuation at all' || chr(10) ||
+          text || '.' AS text
+        FROM documents),
+      l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+      k AS (SELECT doc_id, lines,
+              list_filter(lines, x ->
+                substr(trim(x), -1, 1) IN ('.', '!', '?', '"') AND
+                len(list_filter(string_split_regex(trim(x), '\s+'),
+                  w -> w <> '')) >= 5) AS kept
+            FROM l)
+      SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        md5(array_to_string(kept, chr(10))) AS clean_md5
+      FROM k ORDER BY doc_id""",
     "text_para_dedup_global" -> """
       WITH planted AS (
         SELECT doc_id,

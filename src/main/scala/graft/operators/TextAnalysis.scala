@@ -504,6 +504,36 @@ object TextAnalysis {
         array_join(col("__kept"), " ").as("text_deduped"))
   }
 
+  /** C4-style LINE filtering (Raffel et al. 2020 §2.2 — the most-cited
+    * public curation pipeline): keep only lines that end in a terminal
+    * punctuation mark (`.` `!` `?` `"`) and carry at least `minWords`
+    * whitespace words — the rule that strips navigation, button text,
+    * and cookie banners from web extracts. Adds `n_lines`, `n_kept`,
+    * and `text_clean` (kept lines re-joined). Whole-doc drop decisions
+    * (C4's ≥3-sentence rule) compose on top via a `where` on `n_kept`.
+    *
+    * Pure narrow projection — per-row HOFs over the doc's own lines,
+    * zero shuffles, scales as the scan. Terminal-punctuation test is a
+    * dialect-safe `substr(-1)` membership (no regex), so the DuckDB
+    * oracle replays it verbatim.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = split(col(textCol), "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= minWords
+    }
+    df.withColumn("__lines_c4", lines)
+      .withColumn("__kept_c4", filter(col("__lines_c4"), keepLine _))
+      .withColumn("n_lines", size(col("__lines_c4")).cast("long"))
+      .withColumn("n_kept", size(col("__kept_c4")).cast("long"))
+      .withColumn("text_clean", array_join(col("__kept_c4"), "\n"))
+      .drop("__lines_c4", "__kept_c4")
+  }
+
   /** CORPUS-WIDE duplicate-paragraph removal — the CCNet preprocessing
     * step BEFORE perplexity scoring (Wenzek et al. 2020 run it over
     * shards of Common Crawl): a paragraph that appears anywhere else in

@@ -1300,6 +1300,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(neg(1L).contains(false) && neg(3L).isEmpty, s"neg: $neg")
   }
 
+  test("c4LineFilter: terminal punctuation + word floor; edge lines handled") {
+    val rows = Seq(
+      (1L, "a proper sentence lives right here.\nshort.\nno terminal mark on this long line\nanother full sentence ends with a bang!"),
+      (2L, "\"a quoted sentence also counts as terminal.\"\n   padded line with five words here?   "),
+      (3L, ""),
+      (4L, "one two three four five") // 5 words, no punctuation
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.c4LineFilter(rows, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (4L, 2L,
+      "a proper sentence lives right here.\nanother full sentence ends with a bang!"))
+    // trailing quote terminates; trimmed padding doesn't break the word count
+    assert(out(2L)._2 == 2L, s"doc 2: ${out(2L)}")
+    assert(out(3L) == (1L, 0L, ""), "empty doc: one empty line, nothing kept")
+    assert(out(4L) == (1L, 0L, ""), "no terminal punctuation drops the line")
+  }
+
   test("dedupParagraphsGlobal: first occurrence corpus-wide wins; within-doc repeats drop") {
     val rows = Seq(
       (1L, "boiler\n\nunique one"),
