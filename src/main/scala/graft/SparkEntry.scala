@@ -39,6 +39,28 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
 
+  /** Shared planted corpus of the bloom-decontamination gate pair: bench =
+    * every 20th doc with a 5-token canary phrase appended (canary number
+    * cycles 0-4 over bench docs), corpus = the rest, with the mod-7==3 docs
+    * carrying a matching canary — the only deterministic 5-shingle overlap,
+    * so exact contamination is selective and the negatives can witness
+    * bloom false positives. Mirrored verbatim by the oracle CTEs.
+    */
+  private def bloomGateTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dd = docs(s, d)
+    val bench = dd.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" benchmark canary sequence number "),
+          (expr("doc_id div 20") % 5).cast("string")).as("text"))
+    val corpus = dd.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" benchmark canary sequence number "),
+            (col("doc_id") % 5).cast("string")))
+          .otherwise(col("text")).as("text"))
+    (corpus, bench)
+  }
+
   /** Shared planted crawl-URL corpus of the URL gate family (canonical,
     * url-keyed dedup, domain stats): three messy raw-form families per
     * doc_id — see the `text_url_canonical` gate comment. Mirrored verbatim
@@ -1014,6 +1036,47 @@ object SparkEntry {
       Dedup.contaminationFlags(dd.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
           bench = dd.where(col("doc_id") % 20 === 0), benchTextCol = "text")
         .select("doc_id", "n_overlap", "contaminated").orderBy("doc_id")
+    }),
+    "dedup_bloom_decontam" -> ((s, d) => {
+      // Bloom-sketch decontamination (the zero-join 100 TB path of
+      // dedup_decontaminate): bench = every 20th doc with a 5-token canary
+      // phrase appended, its distinct 5-shingles ORed into one bounded
+      // BloomFilterAggregate bitset; the corpus pass is a narrow exists()
+      // projection with the probe inside the lambda — no explode, no join,
+      // no shuffle. k=5 makes exact contamination SELECTIVE: only the
+      // mod-7 planted corpus docs carry a bench canary, so the no-FN
+      // invariant is exercised by real positives AND the negatives leave
+      // room to observe false positives (dedup_bloom_fp). The oracle
+      // replays the exact 5-shingle join; no_false_neg is constant-true
+      // because a Bloom filter never drops an inserted element.
+      val (corpus, bench) = bloomGateTables(s, d)
+      val bloom = Dedup.benchShingleBloom(bench, "text", k = 5)
+      Dedup.bloomContaminationFlags(corpus, "doc_id", "text", bloom, k = 5)
+        .join(Dedup.contaminationFlags(corpus, "doc_id", "text",
+          bench = bench, benchTextCol = "text", k = 5)
+          .select("doc_id", "contaminated"), Seq("doc_id"))
+        .select(col("doc_id"), col("contaminated"),
+          (col("bloom_hit") || !col("contaminated")).as("no_false_neg"))
+        .orderBy("doc_id")
+    }),
+    "dedup_bloom_fp" -> ((s, d) => {
+      // corpus-level FP discipline for the bloom path: at fpp=1e-6 the
+      // expected per-doc any-shingle FP odds are ~n_shingles×1e-6, so the
+      // bloom-only count over the genuine negatives must stay within a
+      // generous 1% + slack envelope (empirically 0 at both gate scales);
+      // n and n_exact are exact and oracle-replayed, fp_ok is the
+      // tolerance boolean
+      val (corpus, bench) = bloomGateTables(s, d)
+      val bloom = Dedup.benchShingleBloom(bench, "text", k = 5)
+      Dedup.bloomContaminationFlags(corpus, "doc_id", "text", bloom, k = 5)
+        .join(Dedup.contaminationFlags(corpus, "doc_id", "text",
+          bench = bench, benchTextCol = "text", k = 5)
+          .select("doc_id", "contaminated"), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("contaminated").cast("long")).as("n_exact"),
+          sum((col("bloom_hit") && !col("contaminated")).cast("long")).as("__n_fp"))
+        .select(col("n_docs"), col("n_exact"),
+          (col("__n_fp") <= greatest(lit(5L), (col("n_docs") / 100L))).as("fp_ok"))
     }),
     "dedup_containment_pairs" -> ((s, d) =>
       // near-subset detection (containment ≥ 0.6 on 3-shingle sets)
@@ -2266,6 +2329,32 @@ object SparkEntry {
 
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+
+  /** Shared CTE chain of the bloom-decontamination gate pair — replays
+    * [[bloomGateTables]]'s canary planting and the exact 5-shingle
+    * contamination join (`hits` = corpus doc_ids sharing any distinct
+    * 5-shingle with the bench set).
+    */
+  private lazy val bloomGateCtes = s"""
+      bench_docs AS (
+        SELECT doc_id, text || ' benchmark canary sequence number ' ||
+          CAST((doc_id // 20) % 5 AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 20 = 0),
+      corpus_docs AS (
+        SELECT doc_id, CASE WHEN doc_id % 7 = 3
+            THEN text || ' benchmark canary sequence number ' ||
+              CAST(doc_id % 5 AS VARCHAR)
+            ELSE text END AS text
+        FROM documents WHERE doc_id % 20 <> 0),
+      btoks AS (SELECT doc_id, $tokenizeSql AS tokens FROM bench_docs),
+      ctoks AS (SELECT doc_id, $tokenizeSql AS tokens FROM corpus_docs),
+      bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(tokens) - 3),
+        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' ||
+             tokens[i+3] || ' ' || tokens[i+4])) AS shingle FROM btoks),
+      csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tokens) - 3),
+        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' ||
+             tokens[i+3] || ' ' || tokens[i+4]))) AS shingle FROM ctoks),
+      hits AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))"""
 
   /** Shared CTE chain: per-doc BPE subword count (bigint, 0 for empty
     * docs) as `__bpe_c(doc_id, nb)` — the DuckDB replay of the planted
@@ -3652,6 +3741,17 @@ object SparkEntry {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
       LEFT JOIN hits h ON d.doc_id = h.doc_id
       ORDER BY d.doc_id""",
+    "dedup_bloom_decontam" -> s"""
+      WITH $bloomGateCtes
+      SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated,
+        TRUE AS no_false_neg
+      FROM corpus_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id""",
+    "dedup_bloom_fp" -> s"""
+      WITH $bloomGateCtes
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(h.doc_id) AS BIGINT) AS n_exact, TRUE AS fp_ok
+      FROM corpus_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
     "dedup_containment_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

@@ -107,6 +107,75 @@ object Dedup {
       .where(!col("contaminated"))
       .drop("n_overlap", "contaminated")
 
+  /** Serialized Bloom filter over the benchmark set's distinct k-shingle
+    * hashes — the bounded-sketch form of the [[contaminationFlags]] bench
+    * side, for corpora where even the shingle JOIN is too expensive.
+    *
+    * Scale shape: built with Spark's own `BloomFilterAggregate` (the same
+    * sketch the runtime-filter optimizer injects), so construction is one
+    * partial-aggregated pass over the bench shingles — every executor ORs
+    * its local bitset, the driver receives exactly ONE serialized filter of
+    * `numBits/8` bytes regardless of bench size. With the default
+    * `fpp = 1e-6` sizing a 1 M-shingle benchmark costs ~3.6 MB — safely
+    * inside broadcast budget at any corpus scale, vs. a bench-shingle
+    * broadcast join whose build side grows with the benchmark.
+    *
+    * The returned bytes are deterministic for a given (bench, params): bit
+    * ORs commute, so partial-merge order cannot change the bitset.
+    */
+  def benchShingleBloom(bench: DataFrame, textCol: String, k: Int = 2,
+      expectedItems: Long = 1L << 18, fpp: Double = 1e-6): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val hashed = graft.SparkUtil.ensureParallelism(bench)
+      .select(explode(T.shingles(col(textCol), k)).as("__bf_sh"))
+      .select(xxhash64(col("__bf_sh")).as("__bf_h"))
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(col("__bf_h")), Literal(expectedItems),
+        Literal(numBits)).toAggregateExpression())
+    hashed.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain` over a serialized bench Bloom filter, as a Column —
+    * wraps Spark's codegen'd `BloomFilterMightContain` (filter deserialized
+    * once per task, not per row). `value` must be an xxhash64 long.
+    */
+  private def bloomMightContain(bloom: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloom)), ColumnBridge.expression(value)))
+  }
+
+  /** Bloom-filter benchmark decontamination — the zero-shuffle, zero-join
+    * scale path of [[contaminationFlags]]: a corpus document is flagged
+    * when ANY of its k-shingles might be in the benchmark Bloom filter.
+    *
+    * Scale shape: the flag is a NARROW projection — `exists()` over the
+    * shingle array with the bloom probe inside the lambda — so the corpus
+    * pass has no explode, no join, and no shuffle at all; the only data
+    * movement is the bounded filter literal riding the task closure. This
+    * is the shape that survives 100 TB: the exact join must move every
+    * corpus shingle once, the bloom pass moves nothing.
+    *
+    * Guarantees (gated): NO FALSE NEGATIVES — a Bloom filter never drops an
+    * inserted element, so every exactly-contaminated doc is flagged. False
+    * positives exist at the configured rate; per doc the any-shingle union
+    * bound is ~`n_shingles × fpp` (the default 1e-6 keeps a 1 k-shingle doc
+    * under 0.1 %). Pipelines that cannot tolerate FP removals re-check
+    * flagged docs with the exact join — a second pass over only the flagged
+    * sliver.
+    */
+  def bloomContaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+      bloom: Array[Byte], k: Int = 2): DataFrame =
+    docs.withColumn("bloom_hit",
+      exists(T.shingles(col(textCol), k),
+        sh => bloomMightContain(bloom, xxhash64(sh))))
+
   /** MinHash+LSH near-duplicate pairs — delegates to the fitted index
     * (explode buckets → bucket equi-join → signature jaccard ≥ threshold).
     */

@@ -605,6 +605,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(clean.toSeq == Seq(2L, 3L))
   }
 
+  test("bloom decontamination: no false negatives, deterministic bitset, zero-shuffle flag pass") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // "alpha beta" hits the bench set
+      (2L, "zeta eta theta iota"),    // clean
+      (3L, "x")                       // < k tokens → no shingles → clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta epsilon")).toDF("doc_id", "text")
+    val bloom = Dedup.benchShingleBloom(bench, "text", expectedItems = 1024L)
+    // determinism: bit ORs commute, so a rebuild (different partitioning)
+    // must produce the identical serialized bitset
+    val bloom2 = Dedup.benchShingleBloom(bench.repartition(7), "text",
+      expectedItems = 1024L)
+    assert(java.util.Arrays.equals(bloom, bloom2))
+    val flags = Dedup.bloomContaminationFlags(corpus, "doc_id", "text", bloom)
+      .select("doc_id", "bloom_hit").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L), "exactly-contaminated doc must be bloom-flagged (no FN)")
+    assert(!flags(3L), "shingle-free doc can never hit")
+    // the corpus pass is a narrow projection: no exchange anywhere
+    val plan = Dedup.bloomContaminationFlags(corpus, "doc_id", "text", bloom)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom flag pass must be zero-shuffle:\n$plan")
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
