@@ -225,6 +225,23 @@ object SparkEntry {
       s.read.parquet(tmp).where(col("lang") === "en")
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    "src_warc_scan" -> ((s, d) =>
+      // WARC ingestion (ISO 28500, the Common Crawl container): spec-valid
+      // planted files (warcinfo + 1-3 response records each, one 404 per
+      // mod-5 doc) walked by the strict pure-JVM record parser; every
+      // emitted field — URI, declared Content-Length, HTTP status, body —
+      // replays from the (id, j) formulas in closed form. Zero shuffle:
+      // parsing is a per-partition batch map
+      graft.sources.WarcSource.extractWarcRecords(
+          graft.sources.WarcSource.plantWarcPayloads(
+            SparkUtil.ensureParallelism(docs(s, d)), "doc_id"))
+        .where(col("rec_type") === "response")
+        .select(col("doc_id"), (col("rec_seq") - 1).cast("long").as("rec_idx"),
+          col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          length(col("body")).cast("long").as("body_len"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id", "rec_idx")),
     "prj_select" -> ((s, d) =>
       tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
@@ -2712,6 +2729,26 @@ object SparkEntry {
     "src_text_scan" -> """
       SELECT text, length(text) AS n_chars FROM documents
       WHERE NOT regexp_matches(text, '[\n\r]') ORDER BY text""",
+    "src_warc_scan" -> """
+      WITH recs AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS rec_idx
+                    FROM documents),
+      r AS (SELECT doc_id, rec_idx,
+          CASE WHEN doc_id % 5 = 0 AND rec_idx = 1
+            THEN 'HTTP/1.1 404 Not Found' ELSE 'HTTP/1.1 200 OK' END AS status_line,
+          CASE WHEN doc_id % 5 = 0 AND rec_idx = 1 THEN 404 ELSE 200 END AS http_status,
+          '<html><body>page ' || CAST(doc_id AS VARCHAR) || ' section ' ||
+            CAST(rec_idx AS VARCHAR) || ' ' ||
+            repeat('x', CAST(doc_id % 5 + rec_idx + 1 AS INTEGER)) ||
+            '</body></html>' AS body,
+          'http://host' || CAST((doc_id + rec_idx) % 7 AS VARCHAR) || '.example/p/' ||
+            CAST(doc_id AS VARCHAR) || '/' || CAST(rec_idx AS VARCHAR) AS target_uri
+        FROM recs)
+      SELECT doc_id, CAST(rec_idx AS BIGINT) AS rec_idx, target_uri,
+        CAST(len(status_line || chr(13) || chr(10) || 'Content-Type: text/html' ||
+          chr(13) || chr(10) || chr(13) || chr(10) || body) AS BIGINT) AS content_length,
+        CAST(http_status AS BIGINT) AS http_status,
+        CAST(len(body) AS BIGINT) AS body_len, md5(body) AS body_md5
+      FROM r ORDER BY doc_id, rec_idx""",
     "agg_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -70,4 +70,47 @@ class SourceSpec extends AnyFunSuite {
       model.unpersist()
     } finally q.stop()
   }
+
+  test("warc: planted file round-trips through the strict record walk") {
+    import graft.sources.WarcSource
+    for (id <- Seq(0L, 3L, 5L, 10L, 16L)) {
+      val recs = WarcSource.parseWarc(WarcSource.plantWarc(id)).get
+      assert(recs.head.recType == "warcinfo")
+      assert(recs.head.httpStatus.isEmpty)
+      val responses = recs.tail
+      assert(responses.length == WarcSource.plantWarcResponseCount(id))
+      responses.zipWithIndex.foreach { case (r, j) =>
+        assert(r.recType == "response")
+        assert(r.targetUri.contains(s"http://host${(id + j) % 7}.example/p/$id/$j"))
+        val expStatus = if (id % 5 == 0 && j == 1) 404 else 200
+        assert(r.httpStatus.contains(expStatus))
+        assert(r.body == s"<html><body>page $id section $j " +
+          ("x" * ((id % 5).toInt + j + 1)) + "</body></html>")
+      }
+    }
+  }
+
+  test("warc: malformed payloads dead-letter, headers are case-insensitive") {
+    import graft.sources.WarcSource
+    val good = WarcSource.plantWarc(7L)
+    // truncated mid-block
+    assert(WarcSource.parseWarc(good.take(good.length - 10)).isEmpty)
+    // bad magic
+    assert(WarcSource.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
+    // missing Content-Length
+    assert(WarcSource.parseWarc(
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n".getBytes).isEmpty)
+    // declared length overruns the payload
+    assert(WarcSource.parseWarc(
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 999\r\n\r\nx\r\n\r\n"
+        .getBytes).isEmpty)
+    // missing the two-CRLF record separator
+    assert(WarcSource.parseWarc(
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 1\r\n\r\nx".getBytes).isEmpty)
+    // lowercase header names parse fine (spec: names are case-insensitive)
+    val lower = ("WARC/1.0\r\nwarc-type: metadata\r\ncontent-length: 2\r\n\r\nhi" +
+      "\r\n\r\n").getBytes
+    val rec = WarcSource.parseWarc(lower).get.head
+    assert(rec.recType == "metadata" && rec.body == "hi" && rec.contentLength == 2L)
+  }
 }
