@@ -1409,6 +1409,24 @@ object SparkEntry {
         .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
+    "text_url_blocklist" -> ((s, d) => {
+      // UT1-shaped domain blocklist filtering over planted hosts: four
+      // domain families — blocked-by-suffix (malware.bad.example under
+      // bad.example), the LOOK-ALIKE that must survive (notbad.example is
+      // not label-aligned under bad.example), a clean family, and an
+      // exact-domain block (blog.test)
+      import s.implicits._
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(lit("https://sub"), (col("doc_id") % 10).cast("string"), lit("."),
+          element_at(array(lit("malware.bad.example"), lit("notbad.example"),
+            lit("shop.example"), lit("blog.test")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("raw_url"))
+      val blocklist = Seq("bad.example", "blog.test").toDF("domain")
+      TextAnalysis.urlBlocklistFlags(planted, "doc_id", "raw_url", blocklist)
+        .select(col("doc_id"), col("host"), col("blocked"))
+        .orderBy("doc_id")
+    }),
     "text_url_canonical" -> ((s, d) =>
       // crawl-frontier URL dedup: messy raw forms per doc family
       // (uppercase scheme/host + default port + fragment vs tracking
@@ -2596,6 +2614,18 @@ object SparkEntry {
         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
           chr(10) || chr(10) ORDER BY pi), '')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
+    "text_url_blocklist" -> """
+      WITH planted AS (SELECT doc_id,
+          'sub' || CAST(doc_id % 10 AS VARCHAR) || '.' ||
+          list_extract(['malware.bad.example','notbad.example','shop.example','blog.test'],
+            CAST(doc_id % 4 + 1 AS INTEGER)) AS host
+        FROM documents),
+      sfx AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM planted)
+      SELECT doc_id, host,
+        len(list_filter(list_transform(range(1, len(parts) + 1),
+          i -> array_to_string(parts[i:], '.')),
+          sx -> sx IN ('bad.example', 'blog.test'))) > 0 AS blocked
+      FROM sfx ORDER BY doc_id""",
     "text_url_extract" -> """
       WITH planted AS (
         SELECT doc_id,

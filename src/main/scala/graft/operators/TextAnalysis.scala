@@ -285,6 +285,50 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 
+  /** Domain-blocklist URL filtering — the UT1/adult-list-shaped gatekeeper
+    * every public crawl pipeline (CCNet, C4, RefinedWeb) runs before
+    * content filters: a document is blocked when its canonical host equals
+    * a blocklist domain OR sits under one as a subdomain. Matching is
+    * LABEL-ALIGNED, not string-suffix: the host is split on dots and every
+    * dot-aligned suffix is joined back, so `ads.bad.example` is blocked by
+    * `bad.example` while `notbad.example` is NOT.
+    *
+    * Scale shape: the per-host suffix expansion is bounded by label depth
+    * (≤ ~10), so the explode is a constant-factor narrow stage; the join
+    * against the blocklist is keyed on the suffix string (UT1 is a few
+    * million rows — AQE broadcasts it; a forced hint is deliberately
+    * omitted so a pathological list may still shuffle), and the only other
+    * exchange is the blocked-id distinct — id-sized, never text. Rows with
+    * no parseable host produce only the empty suffix, match nothing, and
+    * are KEPT (dead-letter semantics, like [[Dedup.dropUrlDuplicates]]).
+    */
+  def urlBlocklistFlags(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)", 1))
+    val parts = split(host, "\\.")
+    val suffixes = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+    val keyed = df.select(col(idCol).as("__bl_id"), explode(suffixes).as("__bl_sfx"))
+    val blockKeys = blocklist
+      .select(lower(trim(col(domainCol))).as("__bl_sfx")).distinct()
+    val blockedIds = keyed.join(blockKeys, Seq("__bl_sfx"))
+      .select(col("__bl_id")).distinct()
+      .withColumn("__bl_hit", lit(true))
+    df.withColumn("host", host)
+      .join(blockedIds, col(idCol) === col("__bl_id"), "left")
+      .withColumn("blocked", coalesce(col("__bl_hit"), lit(false)))
+      .drop("__bl_id", "__bl_hit")
+  }
+
+  /** Filtering form of [[urlBlocklistFlags]]: the corpus minus blocked
+    * documents.
+    */
+  def filterBlockedUrls(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame =
+    urlBlocklistFlags(df, idCol, urlCol, blocklist, domainCol)
+      .where(!col("blocked")).drop("host", "blocked")
+
   /** Temperature-scaled domain mixing weights — the multilingual/multi-
     * domain sampling step of a training pipeline: per domain, its corpus
     * share p = n/N and sampling weight w ∝ p^alpha renormalized

@@ -629,6 +629,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bloom flag pass must be zero-shuffle:\n$plan")
   }
 
+  test("url blocklist: label-aligned suffix match, look-alikes and null hosts survive") {
+    val docs = Seq(
+      (1L, "https://ads.bad.example/x"),   // subdomain of a blocked domain
+      (2L, "https://notbad.example/x"),    // string-suffix look-alike — NOT blocked
+      (3L, "https://bad.example/x"),       // exact blocked domain
+      (4L, "https://shop.example/x"),      // clean
+      (5L, "no scheme here"),              // unparseable → kept
+      (6L, "https://BAD.Example:443/x")    // case/port must not defeat the match
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("bad.example").toDF("domain")
+    val flags = TextAnalysis.urlBlocklistFlags(docs, "doc_id", "url", blocklist)
+      .select("doc_id", "blocked").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> false, 6L -> true))
+    val kept = TextAnalysis.filterBlockedUrls(docs, "doc_id", "url", blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
