@@ -1409,6 +1409,15 @@ object SparkEntry {
         .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
+    "text_shuffle_shards" -> ((s, d) =>
+      // deterministic shuffle-and-shard (the final training-order stage):
+      // every doc's shard and in-shard position replay from
+      // md5(seed:id) alone, so the oracle recomputes the full assignment
+      // with the same hex-prefix key
+      TextAnalysis.shuffleShards(SparkUtil.ensureParallelism(docs(s, d)),
+          "doc_id", seed = "42", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .orderBy("doc_id")),
     "text_url_blocklist" -> ((s, d) => {
       // UT1-shaped domain blocklist filtering over planted hosts: four
       // domain families — blocked-by-suffix (malware.bad.example under
@@ -2614,6 +2623,13 @@ object SparkEntry {
         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
           chr(10) || chr(10) ORDER BY pi), '')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
+    "text_shuffle_shards" -> """
+      WITH k AS (SELECT doc_id,
+          CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS hk
+        FROM documents)
+      SELECT doc_id, CAST(hk % 8 AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS BIGINT) AS shard_pos
+      FROM k ORDER BY doc_id""",
     "text_url_blocklist" -> """
       WITH planted AS (SELECT doc_id,
           'sub' || CAST(doc_id % 10 AS VARCHAR) || '.' ||

@@ -188,6 +188,37 @@ object TextAnalysis {
             floor(col("__start") / maxTokens)).as("spans_boundary"))
   }
 
+  /** Deterministic shuffle-and-shard — the LAST stage of a training-data
+    * pipeline: assign every document a pseudo-random shard and a position
+    * inside it, reproducibly from (seed, id) alone. The order key is the
+    * first 8 hex chars of `md5(seed || ':' || id)` — the same
+    * engine-portable hash-threshold trick as `text_mix_sample` — so
+    * re-running the pipeline (or a different engine) lands every doc in
+    * the identical slot: shard = key mod nShards, position = rank of the
+    * key inside the shard (id as tiebreak for the astronomically-unlikely
+    * collision).
+    *
+    * Scale shape: the decision runs on a narrow (id, key) projection — the
+    * per-shard rank's `Window.partitionBy(shard)` therefore exchanges
+    * id+key rows, never text — and the full row joins back by id at the
+    * end. Writing the result as files is then
+    * `repartition(nShards, shard).sortWithinPartitions(pos)`: one
+    * shuffle, each output file internally in training order.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val decision = df.select(col(idCol).as("__sh_id"))
+      .withColumn("__sh_key", conv(substring(md5(concat(
+        lit(seed + ":"), col("__sh_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("shard", pmod(col("__sh_key"), lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__sh_key"), col("__sh_id")))
+        .cast("long"))
+      .select(col("__sh_id"), col("shard"), col("shard_pos"))
+    df.join(decision, col(idCol) === col("__sh_id")).drop("__sh_id")
+  }
+
   /** PII scrubbing: replace emails, IPv4 addresses, and NNN-NNN-NNNN phone
     * numbers with typed placeholder tags, and count each redaction. The
     * patterns are deliberately restricted to syntax with identical

@@ -649,6 +649,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
 
+  test("shuffle shards: deterministic, balanced-ish, dense positions, narrow window") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextAnalysis.shuffleShards(docs, "doc_id", "s1", 4)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = TextAnalysis.shuffleShards(docs.repartition(13), "doc_id", "s1", 4)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "assignment must not depend on partitioning")
+    // a different seed must produce a different permutation
+    val c = TextAnalysis.shuffleShards(docs, "doc_id", "s2", 4)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq != c.toSeq)
+    // positions are dense 1..n per shard; every shard non-empty at n=200
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(a.map(_._2).distinct.length == 4)
+    // the rank window runs on the narrow (id, key) projection: no text in
+    // any exchange (AQE off so the exchanges are visible pre-execution)
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.shuffleShards(docs, "doc_id", "s1", 4)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      assert(plan.nonEmpty && plan.forall(cols => !cols.contains("text")),
+        s"shard decision exchanges must not carry text: $plan")
+    } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
