@@ -1409,6 +1409,17 @@ object SparkEntry {
         .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
+    "text_oov_rate" -> ((s, d) => {
+      // vocab-coverage measurement: top-100 corpus vocabulary (count desc,
+      // term asc tiebreak), then per-doc OOV counts/rate against it — the
+      // oracle recomputes the identical vocab and coverage
+      val dd = SparkUtil.ensureParallelism(docs(s, d))
+      TextAnalysis.oovStats(dd, "doc_id", "text",
+          TextAnalysis.topFrequencyVocab(dd, "text", 100), "term")
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_rate").as("oov6"))
+        .orderBy("doc_id")
+    }),
     "text_shuffle_shards" -> ((s, d) =>
       // deterministic shuffle-and-shard (the final training-order stage):
       // every doc's shard and in-shard position replay from
@@ -2623,6 +2634,20 @@ object SparkEntry {
         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
           chr(10) || chr(10) ORDER BY pi), '')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
+    "text_oov_rate" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      e AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+      v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM e
+            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 100)),
+      cnt AS (SELECT e.doc_id, count(*) AS n_tokens,
+              count(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+              FROM e LEFT JOIN v ON e.tok = v.tok GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        coalesce(n_oov, 0) AS n_oov,
+        CASE WHEN coalesce(n_tokens, 0) > 0
+          THEN round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov6
+      FROM documents d LEFT JOIN cnt USING (doc_id)
+      ORDER BY d.doc_id""",
     "text_shuffle_shards" -> """
       WITH k AS (SELECT doc_id,
           CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS hk

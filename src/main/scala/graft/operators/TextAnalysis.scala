@@ -188,6 +188,45 @@ object TextAnalysis {
             floor(col("__start") / maxTokens)).as("spans_boundary"))
   }
 
+  /** Top-k corpus vocabulary by term frequency (count desc, term asc as
+    * the deterministic tiebreak) — the bounded table [[oovStats]] measures
+    * coverage against. One map-side-combined count aggregate, then a
+    * TakeOrdered of k rows: the driver holds k terms, never the corpus.
+    */
+  def topFrequencyVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    df.select(explode(T.tokenize(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term").asc).limit(k)
+  }
+
+  /** Out-of-vocabulary statistics — tokenizer/vocab coverage measurement
+    * (the check run before committing to a vocab size: what fraction of
+    * corpus tokens fall outside it): per doc, total tokens, tokens not in
+    * the vocabulary, and the OOV rate (null for token-free docs).
+    *
+    * Scale shape: tokens explode once and LEFT-join the vocabulary — a
+    * bounded table (32 k-1 M terms) that AQE broadcasts, keeping the join
+    * map-side; the only shuffle is the (id, counts) partial aggregate.
+    * Docs with zero tokens are restored by the final id join (count 0,
+    * rate null).
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, termCol: String = "term"): DataFrame = {
+    val toks = df.select(col(idCol), explode(T.tokenize(col(textCol))).as("__ov_tok"))
+    val v = vocab.select(col(termCol).as("__ov_tok")).distinct()
+      .withColumn("__ov_in", lit(true))
+    val counts = toks.join(v, Seq("__ov_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__ov_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_rate", when(col("n_tokens") > 0,
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)))
+  }
+
   /** Deterministic shuffle-and-shard — the LAST stage of a training-data
     * pipeline: assign every document a pseudo-random shard and a position
     * inside it, reproducibly from (seed, id) alone. The order key is the

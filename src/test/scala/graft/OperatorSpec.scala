@@ -683,6 +683,27 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("oov stats: coverage against a top-k vocab, token-free docs restored") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog"),
+      (3L, ""),                    // token-free → counts 0, rate null
+      (4L, "zyx unseen words only")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.topFrequencyVocab(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 'the' ×3, then count-1 terms tie-broken alphabetically: cat, dog
+    assert(vocab.toSeq == Seq(("the", 3L), ("cat", 1L), ("dog", 1L)))
+    val stats = TextAnalysis.oovStats(docs, "doc_id", "text",
+        TextAnalysis.topFrequencyVocab(docs, "text", 3), "term")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(stats(1L) == ((6L, 3L, Some(0.5)))) // oov: sat, on, mat
+    assert(stats(2L) == ((2L, 0L, Some(0.0))))
+    assert(stats(3L) == ((0L, 0L, None)))
+    assert(stats(4L) == ((4L, 4L, Some(1.0))))
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
