@@ -1409,6 +1409,25 @@ object SparkEntry {
         .select("doc_id", "n_urls", "first_url", "first_host")
         .orderBy("doc_id")
     }),
+    "text_html_extract" -> ((s, d) => {
+      // HTML-to-text over planted markup wrapping each doc's text: a
+      // script block whose body contains raw < > && (must be removed as a
+      // BLOCK before tag stripping), a style block, a comment, entities
+      // (&amp; decoded last), and an anchor counted by n_links; the
+      // oracle replays the identical RE2-safe chain
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(lit("<html><head><title>t"), col("doc_id").cast("string"),
+          lit("</title><style>p {color: red}</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p>"), col("text"),
+          lit("</p><script>var x = 1 < 2 && y > 0;</script>" +
+            "<p>tail &amp; fin &lt;ok&gt;</p>" +
+            "<a href=\"/x\">link</a></body></html>")).as("html"))
+      TextAnalysis.htmlToText(planted, "html")
+        .select(col("doc_id"), col("n_links"),
+          md5(col("text_extracted")).as("extract_md5"))
+        .orderBy("doc_id")
+    }),
     "text_oov_rate" -> ((s, d) => {
       // vocab-coverage measurement: top-100 corpus vocabulary (count desc,
       // term asc tiebreak), then per-doc OOV counts/rate against it — the
@@ -1626,6 +1645,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"),
           round(col("logit"), 6).as("logit6"), col("quality_pass"))
         .orderBy("doc_id")),
+    "pipeline_ingest_warc" -> ((s, d) => {
+      // the INGESTION pipeline upstream of every curation pipeline:
+      // WARC record walk → keep HTTP-200 responses → HTML-to-text
+      // extraction → domain-blocklist filter on the target URI. One lazy
+      // plan, every stage individually gated (src_warc_scan,
+      // text_html_extract, text_url_blocklist); the oracle recomputes
+      // all surviving pages in closed form from the (id, j) plant
+      import s.implicits._
+      val pages = graft.sources.WarcSource.extractWarcRecords(
+          graft.sources.WarcSource.plantWarcPayloads(
+            SparkUtil.ensureParallelism(docs(s, d)), "doc_id"))
+        .where(col("rec_type") === "response" && col("http_status") === 200)
+        .select((col("doc_id") * 10 + col("rec_seq") - 1).as("page_id"),
+          col("target_uri"), col("body"))
+      val blocklist = Seq("host3.example").toDF("domain")
+      TextAnalysis.urlBlocklistFlags(
+          TextAnalysis.htmlToText(pages, "body"), "page_id", "target_uri",
+          blocklist)
+        .where(!col("blocked"))
+        .select(col("page_id"), col("host"),
+          md5(col("text_extracted")).as("page_md5"),
+          size(T.tokenize(col("text_extracted"))).cast("long").as("n_tokens"))
+        .orderBy("page_id")
+    }),
     "pipeline_curate_v4" -> ((s, d) => {
       // the round-10 composed pipeline — the full public-curation shape:
       // canonical-URL dedup → exact content dedup → FULL Gopher rule
@@ -2634,6 +2677,34 @@ object SparkEntry {
         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
           chr(10) || chr(10) ORDER BY pi), '')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
+    "text_html_extract" -> """
+      WITH planted AS (SELECT doc_id,
+          '<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p {color: red}</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' || text ||
+          '</p><script>var x = 1 < 2 && y > 0;</script>' ||
+          '<p>tail &amp; fin &lt;ok&gt;</p>' ||
+          '<a href="/x">link</a></body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT doc_id, html,
+          regexp_replace(html, '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g') AS t
+        FROM planted),
+      s2 AS (SELECT doc_id, html,
+          regexp_replace(t, '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, html,
+          regexp_replace(t, '<!--[\s\S]*?-->', ' ', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, html,
+          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, html,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t
+        FROM s4)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links,
+        md5(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS extract_md5
+      FROM s5 ORDER BY doc_id""",
     "text_oov_rate" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       e AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
@@ -3370,6 +3441,19 @@ object SparkEntry {
         round(CAST(sc.lm AS DOUBLE) / 1e6, 6) AS logit6,
         sc.lm >= 0 AS quality_pass
       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_ingest_warc" -> """
+      WITH recs AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
+                    FROM documents),
+      ok AS (SELECT doc_id, j FROM recs WHERE NOT (doc_id % 5 = 0 AND j = 1)),
+      p AS (SELECT doc_id * 10 + j AS page_id,
+          'host' || CAST((doc_id + j) % 7 AS VARCHAR) || '.example' AS host,
+          'page ' || CAST(doc_id AS VARCHAR) || ' section ' ||
+            CAST(j AS VARCHAR) || ' ' ||
+            repeat('x', CAST(doc_id % 5 + j + 1 AS INTEGER)) AS body_text
+        FROM ok)
+      SELECT page_id, host, md5(body_text) AS page_md5,
+        CAST(5 AS BIGINT) AS n_tokens
+      FROM p WHERE host <> 'host3.example' ORDER BY page_id""",
     "pipeline_curate_v4" -> s"""
       WITH ukeep AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
       d1 AS (SELECT d.doc_id,

@@ -336,6 +336,42 @@ object TextAnalysis {
   def withNormalizedText(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("text_norm", T.normalize(col(textCol)))
 
+  /** HTML tag-strip stages, applied IN ORDER: script and style blocks
+    * (with their contents — a raw `1 < 2 && x > 0` inside a script would
+    * corrupt a naive tag regex, so blocks go first), comments, then all
+    * remaining tags. `[\s\S]*?` stands in for dotall so Java regex and RE2
+    * read the patterns identically.
+    */
+  val HtmlStripStages: Seq[String] = Seq(
+    "(?i)<script[^>]*>[\\s\\S]*?</script>",
+    "(?i)<style[^>]*>[\\s\\S]*?</style>",
+    "<!--[\\s\\S]*?-->",
+    "<[^>]*>")
+
+  /** Entity decodes, `&amp;` deliberately LAST so `&amp;lt;` renders as
+    * the literal `&lt;` instead of double-decoding.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** HTML-to-text extraction — the step between WARC ingestion and every
+    * text operator: strip script/style/comment blocks and tags, decode the
+    * core entities, collapse whitespace; also count `<a` anchors on the
+    * ORIGINAL markup (`n_links` — links-per-token is a standard
+    * boilerplate signal). Pure narrow projection, and every regex is
+    * RE2-identical so the oracle replays the chain verbatim.
+    */
+  def htmlToText(df: DataFrame, htmlCol: String): DataFrame = {
+    var c: Column = col(htmlCol)
+    HtmlStripStages.foreach(p => c = regexp_replace(c, p, " "))
+    HtmlEntities.foreach { case (e, r) => c = regexp_replace(c, e, r) }
+    df.withColumn("n_links",
+        size(regexp_extract_all(col(htmlCol), lit("(?i)<a[\\s>]"), lit(0)))
+          .cast("long"))
+      .withColumn("text_extracted", trim(regexp_replace(c, "\\s+", " ")))
+  }
+
   /** Per-domain corpus statistics — the provenance table a crawl pipeline
     * feeds into [[domainMixWeights]] / `sampleToMixture`: per canonical
     * HOST (lowercased, userinfo and port stripped — the same RFC 3986

@@ -704,6 +704,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(stats(4L) == ((4L, 4L, Some(1.0))))
   }
 
+  test("html extract: blocks removed before tags, entity order, link count") {
+    val docs = Seq(
+      (1L, "<p>a</p><script>if (1 < 2 && 3 > 0) {}</script><p>b</p>"),
+      (2L, "x &amp;lt; y"),                 // must decode to '&lt;', not '<'
+      (3L, "<A HREF='/x'>one</A> <a\nhref='/y'>two</a> <abbr>not a link</abbr>"),
+      (4L, "<STYLE>b { x: '<'} </STYLE>keep<!-- <p>gone</p> -->")
+    ).toDF("doc_id", "html")
+    val got = TextAnalysis.htmlToText(docs, "html")
+      .select("doc_id", "n_links", "text_extracted").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) == ((0L, "a b")),
+      "raw < > inside a script must vanish with the block")
+    assert(got(2L) == ((0L, "x &lt; y")), "&amp; decodes LAST")
+    assert(got(3L)._1 == 2L, "<abbr> and </a> are not anchors")
+    assert(got(3L)._2 == "one two not a link")
+    assert(got(4L) == ((0L, "keep")), "style + comment contents removed")
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
