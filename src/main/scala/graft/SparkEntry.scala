@@ -1054,6 +1054,25 @@ object SparkEntry {
           bench = dd.where(col("doc_id") % 20 === 0), benchTextCol = "text")
         .select("doc_id", "n_overlap", "contaminated").orderBy("doc_id")
     }),
+    "dedup_ngram_coverage" -> ((s, d) => {
+      // Lee-et-al-style duplicated 10-gram coverage: a shared 11-token
+      // boilerplate sentence planted on the mod-3 family (cross-doc dups)
+      // and the mod-9==4 docs repeating their own body (within-doc and
+      // cross-copy dups); the oracle recomputes occurrence counts and the
+      // span union with an explode-distinct of covered token positions —
+      // equivalent to the operator's interval-union window
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 1,
+            lit(" the quick brown fox jumps over the lazy dog again today"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 4, concat(lit(" "), col("text")))
+            .otherwise(lit(""))).as("text"))
+      Dedup.duplicatedNgramStats(planted, "doc_id", "text", n = 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_ngrams"),
+          col("n_dup_ngrams"), col("dup_tokens"), col("dup_frac").as("dup6"))
+        .orderBy("doc_id")
+    }),
     "dedup_bloom_decontam" -> ((s, d) => {
       // Bloom-sketch decontamination (the zero-join 100 TB path of
       // dedup_decontaminate): bench = every 20th doc with a 5-token canary
@@ -3933,6 +3952,31 @@ object SparkEntry {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
       LEFT JOIN hits h ON d.doc_id = h.doc_id
       ORDER BY d.doc_id""",
+    "dedup_ngram_coverage" -> s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 1
+            THEN ' the quick brown fox jumps over the lazy dog again today'
+            ELSE '' END ||
+          CASE WHEN doc_id % 9 = 4 THEN ' ' || text ELSE '' END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      base AS (SELECT doc_id, tokens, len(tokens) AS nt FROM toks),
+      h AS (SELECT doc_id, i, md5(array_to_string(tokens[i:i+9], ' ')) AS h
+            FROM (SELECT doc_id, tokens,
+                    unnest(range(1, len(tokens) - 8)) AS i FROM base)),
+      cnt AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+      dup AS (SELECT doc_id, i FROM h JOIN cnt USING (h) WHERE c > 1),
+      perdoc AS (SELECT doc_id, count(*) AS ndup FROM dup GROUP BY 1),
+      covc AS (SELECT doc_id, count(*) AS ct FROM (
+                 SELECT DISTINCT doc_id, tp FROM (
+                   SELECT doc_id, unnest(range(i, i + 10)) AS tp FROM dup))
+               GROUP BY 1)
+      SELECT b.doc_id, nt AS n_tokens, greatest(nt - 9, 0) AS n_ngrams,
+        coalesce(ndup, 0) AS n_dup_ngrams, coalesce(ct, 0) AS dup_tokens,
+        CASE WHEN nt > 0
+          THEN round(CAST(coalesce(ct, 0) AS DOUBLE) / nt, 6) END AS dup6
+      FROM base b LEFT JOIN perdoc USING (doc_id) LEFT JOIN covc USING (doc_id)
+      ORDER BY b.doc_id""",
     "dedup_bloom_decontam" -> s"""
       WITH $bloomGateCtes
       SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated,

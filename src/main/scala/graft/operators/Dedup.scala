@@ -107,6 +107,56 @@ object Dedup {
       .where(!col("contaminated"))
       .drop("n_overlap", "contaminated")
 
+  /** Corpus-level duplicated n-gram coverage — the measurable core of
+    * exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": spans repeated anywhere
+    * in the corpus, not just within near-duplicate PAIRS): per document,
+    * how many token n-grams occur more than once corpus-wide, and what
+    * fraction of the document's tokens those duplicated spans COVER
+    * (overlapping spans merged by an interval union, so a token under
+    * three overlapping duplicated 10-grams counts once).
+    *
+    * Output: (id, n_tokens, n_ngrams, n_dup_ngrams, dup_tokens, dup_frac).
+    *
+    * Scale shape: the corpus-wide occurrence count runs on exploded
+    * (id, pos, 16-byte hash) rows — decision-sized, never text — as one
+    * partial-aggregated count plus a semi-join back; the interval union is
+    * a running-max window over (id, pos) pairs partitioned BY DOCUMENT, so
+    * no global ordering exists anywhere. Memory-bound per task by the
+    * duplicated-occurrence count of one partition's docs, not the corpus.
+    */
+  def duplicatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = df.select(col(idCol).as("__dn_id"), T.tokenize(col(textCol)).as("__dn_toks"))
+      .withColumn("__dn_nt", size(col("__dn_toks")).cast("long"))
+      .transform(graft.SparkUtil.scopedPersist)
+    // sequence(1, m) flips to DESCENDING when m < 1 — guard empty docs
+    val idxs = when(size(col("__dn_toks")) >= n,
+      sequence(lit(0), size(col("__dn_toks")) - n)).otherwise(array().cast("array<int>"))
+    val grams = base.select(col("__dn_id"),
+        posexplode(transform(idxs, i => md5(array_join(slice(col("__dn_toks"), i + 1, lit(n)), " ")))))
+      .toDF("__dn_id", "__dn_pos", "__dn_h")
+    val dupHashes = grams.groupBy("__dn_h").agg(count(lit(1)).as("__dn_c"))
+      .where(col("__dn_c") > 1).select("__dn_h")
+    val w = Window.partitionBy("__dn_id").orderBy("__dn_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = grams.join(dupHashes, Seq("__dn_h"), "left_semi")
+      .withColumn("__dn_prev_end", max(col("__dn_pos") + n).over(w))
+      .withColumn("__dn_cov",
+        greatest(lit(0), (col("__dn_pos") + n) -
+          greatest(col("__dn_pos"), coalesce(col("__dn_prev_end"), col("__dn_pos")))))
+      .groupBy("__dn_id")
+      .agg(count(lit(1)).as("n_dup_ngrams"), sum(col("__dn_cov").cast("long")).as("dup_tokens"))
+    base.select(col("__dn_id").as(idCol), col("__dn_nt").as("n_tokens"),
+        greatest(col("__dn_nt") - (n - 1), lit(0L)).as("n_ngrams"))
+      .join(perDoc.withColumnRenamed("__dn_id", idCol), Seq(idCol), "left")
+      .withColumn("n_dup_ngrams", coalesce(col("n_dup_ngrams"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", when(col("n_tokens") > 0,
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)))
+  }
+
   /** Serialized Bloom filter over the benchmark set's distinct k-shingle
     * hashes — the bounded-sketch form of the [[contaminationFlags]] bench
     * side, for corpora where even the shingle JOIN is too expensive.

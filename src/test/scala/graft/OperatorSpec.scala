@@ -722,6 +722,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, "keep")), "style + comment contents removed")
   }
 
+  test("duplicated ngram coverage: interval union merges overlapping spans") {
+    // docs 1 and 2 share tokens a..l (12 tokens → three duplicated
+    // 10-grams at pos 0,1,2 whose union covers all 12); doc 3 is clean
+    val shared = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (1L, shared + " unique1 tail1"),
+      (2L, shared + " unique2 tail2"),
+      (3L, "m n o p q r s t u v w x y z aa bb"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedNgramStats(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), Option(r.get(5)))).toMap
+    assert(got(1L) == ((14L, 5L, 3L, 12L, Some(0.857143))))
+    assert(got(2L) == ((14L, 5L, 3L, 12L, Some(0.857143))))
+    assert(got(3L) == ((16L, 7L, 0L, 0L, Some(0.0))))
+    assert(got(4L) == ((2L, 0L, 0L, 0L, Some(0.0))), "sub-n docs must not flip the sequence")
+    // decision shuffles carry (id, pos, hash) — never text
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = Dedup.duplicatedNgramStats(docs, "doc_id", "text", n = 10)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach(cols => assert(!cols.exists(_.toLowerCase.contains("text")),
+        s"an exchange ships text: $cols"))
+    } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
