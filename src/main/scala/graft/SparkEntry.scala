@@ -1328,6 +1328,20 @@ object SparkEntry {
           graft.functions.Bpe.countTokens(T.tokenize(col("text")))
             .as("n_bpe_tokens"))
         .orderBy("doc_id")),
+    "text_bpe_fertility" -> ((s, d) =>
+      // tokenizer fertility (chars per subword) — the standard measure of
+      // how well a vocab fits a corpus (high fertility = over-segmented):
+      // per doc, total word chars / BPE token count under the planted
+      // merge table
+      SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"),
+          aggregate(T.tokenize(col("text")), lit(0L),
+            (a, w) => a + length(w)).as("n_chars"),
+          graft.functions.Bpe.countTokens(T.tokenize(col("text")))
+            .as("n_bpe_tokens"))
+        .withColumn("fertility6", when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
+        .orderBy("doc_id")),
     "text_bpe_learn" -> ((s, d) => {
       // distributed BPE merge LEARNING (Sennrich learn_bpe): 6 greedy
       // rounds over the corpus token occurrences — encode under the
@@ -3062,6 +3076,17 @@ object SparkEntry {
       SELECT d.doc_id, coalesce(c.nb, 0) AS n_bpe_tokens,
         'w|e|a|ther|ing' AS probe
       FROM documents d LEFT JOIN __bpe_c c USING (doc_id) ORDER BY d.doc_id""",
+    "text_bpe_fertility" -> s"""
+      WITH $bpeDocCountCtes,
+      __bpe_nc AS (SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS nc
+                   FROM __bpe_w GROUP BY 1)
+      SELECT d.doc_id, coalesce(nc, 0) AS n_chars,
+        coalesce(nb, 0) AS n_bpe_tokens,
+        CASE WHEN coalesce(nb, 0) > 0
+          THEN round(CAST(nc AS DOUBLE) / nb, 6) END AS fertility6
+      FROM documents d LEFT JOIN __bpe_c c USING (doc_id)
+      LEFT JOIN __bpe_nc USING (doc_id)
+      ORDER BY d.doc_id""",
     "fn_k_shingles" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
       SELECT doc_id, array_to_string(list_sort(list_distinct(list_transform(range(1, len(tokens)),
