@@ -225,6 +225,36 @@ object SparkEntry {
       s.read.parquet(tmp).where(col("lang") === "en")
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    "src_robots_eval" -> ((s, d) => {
+      // RFC 9309 robots.txt evaluation: planted per-host files exercising
+      // comments, an inapplicable specific group (evilbot), multi-agent
+      // group headers, a Crawl-delay that must not end the group, RFC
+      // wildcards (/*.zip$), and a * group that must be IGNORED because a
+      // graftbot group exists (the /all/y family stays allowed). Verdicts
+      // are closed-form: blocked iff the private-secret or zip family
+      import s.implicits._
+      val robots = (0 until 7).map { k =>
+        ("host" + k + ".example",
+          "# crawl policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+          "User-agent: graftbot\nUser-agent: otherbot\n" +
+          "Disallow: /private" + k + "/\nAllow: /private" + k + "/pub\n" +
+          "Crawl-delay: 5\nDisallow: /*.zip$\n\n" +
+          "User-agent: *\nDisallow: /all\n")
+      }.toDF("rhost", "rcontent")
+      val urls = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(lit("https://host"), (col("doc_id") % 7).cast("string"),
+          lit(".example"),
+          element_at(array(
+            concat(lit("/private"), (col("doc_id") % 7).cast("string"), lit("/secret")),
+            concat(lit("/private"), (col("doc_id") % 7).cast("string"), lit("/pub/x")),
+            concat(lit("/all/y"), col("doc_id").cast("string")),
+            concat(lit("/dl/a"), col("doc_id").cast("string"), lit(".zip"))),
+            (col("doc_id") % 4 + 1).cast("int"))).as("url"))
+      graft.sources.RobotsTxt.robotsFlags(urls, "doc_id", "url",
+          robots, "rhost", "rcontent", userAgent = "graftbot")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+        .orderBy("doc_id")
+    }),
     "src_warc_scan" -> ((s, d) =>
       // WARC ingestion (ISO 28500, the Common Crawl container): spec-valid
       // planted files (warcinfo + 1-3 response records each, one 404 per
@@ -2904,6 +2934,16 @@ object SparkEntry {
     "src_text_scan" -> """
       SELECT text, length(text) AS n_chars FROM documents
       WHERE NOT regexp_matches(text, '[\n\r]') ORDER BY text""",
+    "src_robots_eval" -> """
+      SELECT doc_id,
+        'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/secret'
+          WHEN 1 THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/pub/x'
+          WHEN 2 THEN '/all/y' || CAST(doc_id AS VARCHAR)
+          ELSE '/dl/a' || CAST(doc_id AS VARCHAR) || '.zip' END AS path,
+        (doc_id % 4 = 1 OR doc_id % 4 = 2) AS allowed
+      FROM documents ORDER BY doc_id""",
     "src_warc_scan" -> """
       WITH recs AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS rec_idx
                     FROM documents),

@@ -90,6 +90,47 @@ class SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("robots: group selection, wildcards, longest-match, fallbacks") {
+    import graft.sources.RobotsTxt
+    val content =
+      """# policy
+        |User-agent: evilbot
+        |Disallow: /
+        |
+        |User-agent: GraftBot
+        |User-agent: otherbot
+        |disallow: /private/
+        |ALLOW: /private/pub
+        |Crawl-delay: 5
+        |Disallow: /*.zip$
+        |
+        |User-agent: *
+        |Disallow: /all
+        |Disallow:
+        |""".stripMargin
+    // specific group wins (case-insensitive agent + directive names); the
+    // empty Disallow in * is dropped
+    val rules = RobotsTxt.parseRobots(content, "graftbot")
+    assert(rules.map(r => (r.pattern, r.allow)) == Seq(
+      ("/private/", false), ("/private/pub", true), ("/*.zip$", false)))
+    // unknown agent falls back to the * group
+    assert(RobotsTxt.parseRobots(content, "strangerbot")
+      .map(_.pattern) == Seq("/all"))
+    // pure-JVM longest-match checks via the compiled regexes
+    def allowed(path: String, rs: Seq[RobotsTxt.RobotRule]): Boolean = {
+      def hit(rx: String) = // regexp_like semantics: find, not full-match
+        java.util.regex.Pattern.compile(rx).matcher(path).find()
+      def best(want: Boolean) = rs.filter(r => r.allow == want && hit(r.rx))
+        .map(_.pattern.length).maxOption.getOrElse(-1)
+      best(true) >= best(false)
+    }
+    assert(!allowed("/private/secret", rules))
+    assert(allowed("/private/pub/x", rules))
+    assert(allowed("/open/x", rules))
+    assert(!allowed("/dl/a.zip", rules))
+    assert(allowed("/dl/a.zip.txt", rules), "trailing $ must anchor")
+  }
+
   test("warc: malformed payloads dead-letter, headers are case-insensitive") {
     import graft.sources.WarcSource
     val good = WarcSource.plantWarc(7L)
