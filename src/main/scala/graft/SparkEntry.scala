@@ -2096,6 +2096,35 @@ object SparkEntry {
           (col("codes") === col("s_codes")).as("codes_match"))
         .orderBy("vec_id")
     }),
+    "stream_html_extract_real" -> ((s, d) => {
+      // WARC-era ingestion lifts to streams unchanged: HTML-to-text is a
+      // STATELESS narrow projection, so real micro-batch execution
+      // (4 files → 4 triggers, append-mode memory sink) must equal the
+      // batch text_html_extract gate regardless of batch boundaries —
+      // the oracle is the identical regex-chain replay
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-html")
+      docs(s, d).select("doc_id", "text").repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val planted = src.select(col("doc_id"),
+        concat(lit("<html><head><title>t"), col("doc_id").cast("string"),
+          lit("</title><style>p {color: red}</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p>"), col("text"),
+          lit("</p><script>var x = 1 < 2 && y > 0;</script>" +
+            "<p>tail &amp; fin &lt;ok&gt;</p>" +
+            "<a href=\"/x\">link</a></body></html>")).as("html"))
+      val q = TextAnalysis.htmlToText(planted, "html")
+        .select(col("doc_id"), col("n_links"),
+          md5(col("text_extracted")).as("extract_md5"))
+        .writeStream.format("memory").queryName("graft_html_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_html_gate").orderBy("doc_id")
+    }),
     "stream_gopher_real" -> ((s, d) => {
       // quality filtering lifts to streams unchanged: the Gopher rules are
       // a STATELESS narrow projection, so real micro-batch execution
@@ -2491,6 +2520,39 @@ object SparkEntry {
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
+  /** Shared oracle of `text_html_extract` and its streaming twin — the
+    * verbatim DuckDB replay of [[TextAnalysis.htmlToText]]'s regex chain
+    * over the planted markup (both gates plant identically).
+    */
+  private lazy val htmlExtractOracle = """
+      WITH planted AS (SELECT doc_id,
+          '<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p {color: red}</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' || text ||
+          '</p><script>var x = 1 < 2 && y > 0;</script>' ||
+          '<p>tail &amp; fin &lt;ok&gt;</p>' ||
+          '<a href="/x">link</a></body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT doc_id, html,
+          regexp_replace(html, '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g') AS t
+        FROM planted),
+      s2 AS (SELECT doc_id, html,
+          regexp_replace(t, '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, html,
+          regexp_replace(t, '<!--[\s\S]*?-->', ' ', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, html,
+          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, html,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t
+        FROM s4)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links,
+        md5(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS extract_md5
+      FROM s5 ORDER BY doc_id"""
+
   /** Shared CTE chain of the bloom-decontamination gate pair — replays
     * [[bloomGateTables]]'s canary planting and the exact 5-shingle
     * contamination join (`hits` = corpus doc_ids sharing any distinct
@@ -2740,34 +2802,8 @@ object SparkEntry {
         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
           chr(10) || chr(10) ORDER BY pi), '')) AS dedup_md5
       FROM k GROUP BY 1 ORDER BY 1""",
-    "text_html_extract" -> """
-      WITH planted AS (SELECT doc_id,
-          '<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
-          '</title><style>p {color: red}</style></head><body><h1>Doc ' ||
-          CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' || text ||
-          '</p><script>var x = 1 < 2 && y > 0;</script>' ||
-          '<p>tail &amp; fin &lt;ok&gt;</p>' ||
-          '<a href="/x">link</a></body></html>' AS html
-        FROM documents),
-      s1 AS (SELECT doc_id, html,
-          regexp_replace(html, '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g') AS t
-        FROM planted),
-      s2 AS (SELECT doc_id, html,
-          regexp_replace(t, '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS t FROM s1),
-      s3 AS (SELECT doc_id, html,
-          regexp_replace(t, '<!--[\s\S]*?-->', ' ', 'g') AS t FROM s2),
-      s4 AS (SELECT doc_id, html,
-          regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
-      s5 AS (SELECT doc_id, html,
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            regexp_replace(regexp_replace(t,
-            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-            '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t
-        FROM s4)
-      SELECT doc_id,
-        CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links,
-        md5(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS extract_md5
-      FROM s5 ORDER BY doc_id""",
+    "text_html_extract" -> htmlExtractOracle,
+    "stream_html_extract_real" -> htmlExtractOracle,
     "text_oov_rate" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       e AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
