@@ -1732,6 +1732,37 @@ object SparkEntry {
           size(T.tokenize(col("text_extracted"))).cast("long").as("n_tokens"))
         .orderBy("page_id")
     }),
+    "pipeline_ingest_warc_v2" -> ((s, d) => {
+      // crawl-COMPLIANCE ingestion: v1 plus an RFC 9309 robots verdict
+      // between the record walk and the blocklist — odd-indexed hosts
+      // disallow /p/ for everyone, so their pages drop on robots grounds;
+      // host4 then drops on blocklist grounds; survivors are hosts
+      // {0, 2, 6}. Closed-form oracle over the same (id, j) plant
+      import s.implicits._
+      val robots = (0 until 7).map { k =>
+        ("host" + k + ".example",
+          if (k % 2 == 1) "User-agent: *\nDisallow: /p/\n"
+          else "# open\nUser-agent: *\nDisallow:\n")
+      }.toDF("rhost", "rcontent")
+      val pages = graft.sources.WarcSource.extractWarcRecords(
+          graft.sources.WarcSource.plantWarcPayloads(
+            SparkUtil.ensureParallelism(docs(s, d)), "doc_id"))
+        .where(col("rec_type") === "response" && col("http_status") === 200)
+        .select((col("doc_id") * 10 + col("rec_seq") - 1).as("page_id"),
+          col("target_uri"), col("body"))
+      val polite = graft.sources.RobotsTxt.robotsFlags(pages, "page_id",
+          "target_uri", robots, "rhost", "rcontent", userAgent = "graftbot")
+        .where(col("allowed")).drop("host", "path", "allowed")
+      val blocklist = Seq("host4.example").toDF("domain")
+      TextAnalysis.urlBlocklistFlags(
+          TextAnalysis.htmlToText(polite, "body"), "page_id", "target_uri",
+          blocklist)
+        .where(!col("blocked"))
+        .select(col("page_id"), col("host"),
+          md5(col("text_extracted")).as("page_md5"),
+          size(T.tokenize(col("text_extracted"))).cast("long").as("n_tokens"))
+        .orderBy("page_id")
+    }),
     "pipeline_curate_v4" -> ((s, d) => {
       // the round-10 composed pipeline — the full public-curation shape:
       // canonical-URL dedup → exact content dedup → FULL Gopher rule
@@ -3561,6 +3592,20 @@ object SparkEntry {
         round(CAST(sc.lm AS DOUBLE) / 1e6, 6) AS logit6,
         sc.lm >= 0 AS quality_pass
       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    "pipeline_ingest_warc_v2" -> """
+      WITH recs AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
+                    FROM documents),
+      ok AS (SELECT doc_id, j FROM recs WHERE NOT (doc_id % 5 = 0 AND j = 1)),
+      p AS (SELECT doc_id * 10 + j AS page_id,
+          CAST((doc_id + j) % 7 AS INTEGER) AS k,
+          'host' || CAST((doc_id + j) % 7 AS VARCHAR) || '.example' AS host,
+          'page ' || CAST(doc_id AS VARCHAR) || ' section ' ||
+            CAST(j AS VARCHAR) || ' ' ||
+            repeat('x', CAST(doc_id % 5 + j + 1 AS INTEGER)) AS body_text
+        FROM ok)
+      SELECT page_id, host, md5(body_text) AS page_md5,
+        CAST(5 AS BIGINT) AS n_tokens
+      FROM p WHERE k % 2 = 0 AND k <> 4 ORDER BY page_id""",
     "pipeline_ingest_warc" -> """
       WITH recs AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
                     FROM documents),
