@@ -976,6 +976,20 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) =>
       fitted(s, d, cfg16).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
+    "graph_pagerank" -> ((s, d) => {
+      // link-graph PageRank (the Common Crawl host-rank quality signal):
+      // deterministic 3-out-regular graph over the doc ids with node 0 a
+      // GLOBAL HUB (in-degree N — the hot-key surface the map-side
+      // partial sum must absorb); 3 exact-integer rounds, oracle replays
+      // each round bit-for-bit in micro-units
+      val dd = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"))
+      val n = dd.count()
+      val e = dd.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
+      Graphs.pageRank(e, "src", "dst", iterations = 3)
+        .orderBy("node_id")
+    }),
     "graph_triangles" -> ((s, d) =>
       // duplicate-family triangles over the near-dup pair graph (cyclic
       // 3-way self-join; Dedup.trianglePairs scaladoc)
@@ -3935,6 +3949,33 @@ object SparkEntry {
             / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
         FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "graph_pagerank" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ids AS (SELECT doc_id AS v FROM documents),
+      e AS (SELECT v AS src,
+              unnest([(v * 3 + 1) % n, (v + 7) % n, CAST(0 AS BIGINT)]) AS dst
+            FROM ids, nn),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+      r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM ids),
+      c1 AS (SELECT e.dst AS v, sum(r0.r // deg.d) AS c
+             FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      r1 AS (SELECT ids.v,
+               CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM ids LEFT JOIN c1 USING (v)),
+      c2 AS (SELECT e.dst AS v, sum(r1.r // deg.d) AS c
+             FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      r2 AS (SELECT ids.v,
+               CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM ids LEFT JOIN c2 USING (v)),
+      c3 AS (SELECT e.dst AS v, sum(r2.r // deg.d) AS c
+             FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      r3 AS (SELECT ids.v,
+               CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM ids LEFT JOIN c3 USING (v))
+      SELECT v AS node_id, r AS rank_micro FROM r3 ORDER BY v""",
     "graph_triangles" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

@@ -754,6 +754,26 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("pagerank: exact-integer rounds match hand computation, mass conserved") {
+    // 2-cycle is a fixed point: contrib = 1e6, r' = 150000 + 17e6 div 20 = 1e6
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rc = Graphs.pageRank(cyc, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc == Map(1L -> 1000000L, 2L -> 1000000L))
+    // star a→b, a→c, b→a, c→a after one round (hand-computed):
+    // c(a) = 2e6, c(b) = c(c) = 500000 →
+    // r(a) = 150000 + 1700000, r(b) = r(c) = 150000 + 425000
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val rs = Graphs.pageRank(star, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    assert(rs.values.sum == 3000000L, "no dangling nodes → mass conserved")
+    // determinism under repartitioning (aggregation order must not matter)
+    val rs2 = Graphs.pageRank(star.repartition(5), "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs2 == rs)
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
