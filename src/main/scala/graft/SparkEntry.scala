@@ -39,6 +39,35 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
 
+  /** Shared planted page table of the link-graph gate family
+    * (`graph_link_extract` / `graph_host_rank` / `pipeline_curate_v5`):
+    * each doc lives on host h⟨rh⟩.example with rh = (doc_id div 2) % 10
+    * (pairs share a host), and its markup carries one external anchor to
+    * h⟨(2·rh+1)%10⟩.example (an odd host — for rh=9 that resolves back to
+    * h9 itself), one relative anchor, one absolute SELF anchor with
+    * uppercase scheme/HREF and an explicit port, and four anchors that
+    * extraction must drop (fragment, mailto, javascript, empty href, plus
+    * a no-href `<a name>`). Every field derives from doc_id arithmetic, so
+    * the oracles recompute links and ranks in closed form.
+    */
+  private def linkPages(s: SparkSession, d: String): DataFrame = {
+    val dd = SparkUtil.ensureParallelism(docs(s, d))
+    val rh = expr("(doc_id div 2) % 10")
+    dd.select(col("doc_id"),
+      concat(lit("http://h"), rh, lit(".EXAMPLE/p"),
+        col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><body><p>doc</p><a class=\"c\" href=\"http://h"),
+        expr("(2 * ((doc_id div 2) % 10) + 1) % 10"),
+        lit(".example/q\">ext</a><a href=\"/rel/p\">rel</a>" +
+          "<A HREF=\"HTTP://h"), rh,
+        lit(".example:8080/x\">self</A><a href=\"#top\">t</a>" +
+          "<a href=\"mailto:a@b.c\">m</a>" +
+          "<a href=\"JavaScript:void(0)\">j</a>" +
+          "<a href=\"\">e</a><a name=\"n\">plain</a></body></html>"))
+        .as("html"))
+  }
+
   /** Shared planted corpus of the bloom-decontamination gate pair: bench =
     * every 20th doc with a 5-token canary phrase appended (canary number
     * cycles 0-4 over bench docs), corpus = the rest, with the mod-7==3 docs
@@ -989,6 +1018,54 @@ object SparkEntry {
           pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
       Graphs.pageRank(e, "src", "dst", iterations = 3)
         .orderBy("node_id")
+    }),
+    "graph_link_extract" -> ((s, d) => {
+      // anchor extraction over planted markup: per doc one external link
+      // (host (2·rh+1)%10 — for rh=9 it resolves to the doc's OWN host,
+      // exercising the internal flag on an absolute href), one relative
+      // link, one absolute self-link with an explicit port and uppercase
+      // scheme/HREF, plus fragment/mailto/javascript/empty/no-href
+      // anchors that must all be dropped
+      TextAnalysis.extractLinks(linkPages(s, d), "doc_id", "url", "html")
+        .orderBy("doc_id", "dst_host", "internal")
+    }),
+    "graph_host_rank" -> ((s, d) => {
+      // the Common Crawl host-rank shape end-to-end: planted pages →
+      // extractLinks → weighted host graph (intra-host links dropped;
+      // host h9's only candidate edge is a self-link, so it is DANGLING
+      // and its mass leaks — the documented convention) → 2 exact-integer
+      // PageRank rounds keyed on host STRINGS
+      val links = TextAnalysis.extractLinks(linkPages(s, d),
+        "doc_id", "url", "html")
+      Graphs.pageRankKeyed(Graphs.hostEdges(links),
+          "src_host", "dst_host", iterations = 2, weightCol = Some("n_links"))
+        .orderBy("node_id")
+    }),
+    "pipeline_curate_v5" -> ((s, d) => {
+      // round-10 composed pipeline: link-graph host rank as the quality
+      // signal (extract links → weighted host PageRank → keep docs on
+      // hosts with rank ≥ r₀) ∘ exact content dedup over pair-shared
+      // text (docs (2k, 2k+1) carry doc 2k's text, so keep-min leaves
+      // the even member — while pre-existing cross-pair text dups still
+      // collapse globally, exercising the real keep-min semantics)
+      val dd = SparkUtil.ensureParallelism(docs(s, d))
+      val pages = linkPages(s, d)
+      val links = TextAnalysis.extractLinks(pages, "doc_id", "url", "html")
+      val ranks = Graphs.pageRankKeyed(Graphs.hostEdges(links),
+        "src_host", "dst_host", iterations = 2, weightCol = Some("n_links"))
+      val ranked = links.select(col("doc_id"), col("src_host")).distinct()
+        .join(ranks, col("src_host") === col("node_id"))
+        .where(col("rank_micro") >= 1000000L)
+        .select(col("doc_id"), col("src_host").as("host"), col("rank_micro"))
+      val evens = dd.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("__pair"), col("text").as("pair_text"))
+      val paired = dd.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 2).as("__pair"))
+        .join(evens, Seq("__pair"))
+      val cand = paired.join(ranked, Seq("doc_id"))
+      Dedup.dropExactDuplicates(cand, "doc_id", "pair_text")
+        .select("doc_id", "host", "rank_micro")
+        .orderBy("doc_id")
     }),
     "graph_triangles" -> ((s, d) =>
       // duplicate-family triangles over the near-dup pair graph (cyclic
@@ -2565,6 +2642,34 @@ object SparkEntry {
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
+  /** Shared closed-form CTEs of the link-graph gate family: the weighted
+    * host edges implied by [[linkPages]]'s planted anchors (only the
+    * external anchor survives `hostEdges` — and not for rh=9, whose
+    * "external" target is itself), then two exact-integer PageRank rounds
+    * replayed bit-for-bit in micro-units (`//` = the engine's `div`).
+    */
+  private lazy val hostRankCtes = """
+      k AS (SELECT (doc_id // 2) % 10 AS rh FROM documents),
+      we AS (SELECT 'h' || rh || '.example' AS src,
+               'h' || ((2 * rh + 1) % 10) || '.example' AS dst,
+               CAST(count(*) AS BIGINT) AS w
+             FROM k WHERE ((2 * rh + 1) % 10) <> rh GROUP BY 1, 2),
+      nodes AS (SELECT src AS v FROM we UNION SELECT dst AS v FROM we),
+      deg AS (SELECT src, sum(w) AS deg FROM we GROUP BY 1),
+      r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      c1 AS (SELECT we.dst AS v, sum(we.w * (r0.r // deg.deg)) AS c
+             FROM we JOIN r0 ON we.src = r0.v JOIN deg ON we.src = deg.src
+             GROUP BY 1),
+      r1 AS (SELECT nodes.v,
+               CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c1 USING (v)),
+      c2 AS (SELECT we.dst AS v, sum(we.w * (r1.r // deg.deg)) AS c
+             FROM we JOIN r1 ON we.src = r1.v JOIN deg ON we.src = deg.src
+             GROUP BY 1),
+      r2 AS (SELECT nodes.v,
+               CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c2 USING (v))"""
+
   /** Shared oracle of `text_html_extract` and its streaming twin — the
     * verbatim DuckDB replay of [[TextAnalysis.htmlToText]]'s regex chain
     * over the planted markup (both gates plant identically).
@@ -3976,6 +4081,39 @@ object SparkEntry {
                CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
              FROM ids LEFT JOIN c3 USING (v))
       SELECT v AS node_id, r AS rank_micro FROM r3 ORDER BY v""",
+    "graph_link_extract" -> """
+      WITH k AS (SELECT doc_id, (doc_id // 2) % 10 AS rh FROM documents),
+      e AS (
+        SELECT doc_id, 'h' || rh || '.example' AS src_host,
+               'h' || ((2 * rh + 1) % 10) || '.example' AS dst_host,
+               ((2 * rh + 1) % 10) = rh AS internal FROM k
+        UNION ALL
+        SELECT doc_id, 'h' || rh || '.example', 'h' || rh || '.example', true
+        FROM k
+        UNION ALL
+        SELECT doc_id, 'h' || rh || '.example', 'h' || rh || '.example', true
+        FROM k)
+      SELECT doc_id, src_host, dst_host, internal FROM e
+      ORDER BY doc_id, dst_host, internal""",
+    "graph_host_rank" -> s"""
+      WITH $hostRankCtes
+      SELECT v AS node_id, r AS rank_micro FROM r2 ORDER BY node_id""",
+    "pipeline_curate_v5" -> s"""
+      WITH $hostRankCtes,
+      dh AS (SELECT doc_id,
+               'h' || ((doc_id // 2) % 10) || '.example' AS host
+             FROM documents),
+      keep AS (SELECT dh.doc_id, dh.host, r2.r AS rank_micro
+               FROM dh JOIN r2 ON dh.host = r2.v WHERE r2.r >= 1000000),
+      pt AS (SELECT kk.doc_id, kk.host, kk.rank_micro, d2.text AS pair_text
+             FROM keep kk
+             JOIN documents d2 ON d2.doc_id = kk.doc_id - kk.doc_id % 2),
+      ded AS (SELECT doc_id, host, rank_micro,
+                row_number() OVER (PARTITION BY md5(pair_text)
+                                   ORDER BY doc_id) AS rn
+              FROM pt)
+      SELECT doc_id, host, rank_micro FROM ded WHERE rn = 1
+      ORDER BY doc_id""",
     "graph_triangles" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

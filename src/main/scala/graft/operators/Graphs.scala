@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph operators for web-corpus curation. Host/page PageRank is a
@@ -18,11 +18,16 @@ object Graphs {
     *
     * EXACT-INTEGER design (the repo's micro-unit convention): ranks live
     * in integer micro-units, r₀ = 1 000 000, and every round computes
-    *   r'(v) = 150 000 + (17 · Σ_{u→v} (r(u) div outdeg(u))) div 20
-    * — floor divisions, so both the per-edge share and the damping are
-    * exact integers: aggregation order cannot perturb results and the
-    * DuckDB oracle replays every round bit-for-bit. Multigraph edges each
-    * carry their own share.
+    *   r'(v) = 150 000 + (17 · Σ_{u→v} w(u,v) · (r(u) div W(u))) div 20
+    * with W(u) the total out-weight of u — floor divisions, so both the
+    * per-edge share and the damping are exact integers: aggregation order
+    * cannot perturb results and the DuckDB oracle replays every round
+    * bit-for-bit. Unweighted multigraph edges each carry their own share.
+    *
+    * Overflow bound: w·(r div W) ≤ r because w ≤ W, so every per-edge
+    * contribution — and hence each node's sum — is bounded by the total
+    * corpus mass N·10⁶; 17·c stays under Long.MaxValue up to N ≈ 5×10¹¹
+    * nodes, planetary-web headroom.
     *
     * Scale shape: per round, one (src)-keyed join of the rank table onto
     * the edge list and one map-side-combined sum keyed on dst — both
@@ -34,14 +39,25 @@ object Graphs {
     * flat across iterations.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    pageRankKeyed(edges.select(col(srcCol).cast("long").as(srcCol),
+      col(dstCol).cast("long").as(dstCol)), srcCol, dstCol, iterations)
+
+  /** [[pageRank]] over arbitrary (orderable, hash-joinable) node keys —
+    * host strings in a web host graph — with an optional integer weight
+    * column (link multiplicity from [[hostEdges]]). Output `node_id`
+    * keeps the input key type. Same exact-integer rounds as [[pageRank]].
+    */
+  def pageRankKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations in [1,50], got $iterations")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    val w: Column = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        w.as("w"))
       .transform(graft.SparkUtil.scopedPersist)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(sum("w").as("deg"))
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .transform(graft.SparkUtil.scopedPersist)
@@ -52,7 +68,7 @@ object Graphs {
       // rank sum can reach
       val contrib = e.join(deg, Seq("src"))
         .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), expr("r div deg").as("c"))
+        .select(col("dst").as("v"), expr("w * (r div deg)").as("c"))
         .groupBy("v").agg(sum("c").as("c"))
       val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),
@@ -62,4 +78,14 @@ object Graphs {
     }
     ranks.select(col("v").as("node_id"), col("r").as("rank_micro"))
   }
+
+  /** Collapse a page-level link table ([[TextAnalysis.extractLinks]]) to
+    * the weighted host graph: drop intra-host links (the host-graph
+    * convention — self-mass would swamp the inter-host signal), count
+    * multiplicity. One map-side-combined aggregate keyed on the host
+    * pair; the exchange carries (host, host, count) partials only.
+    */
+  def hostEdges(links: DataFrame): DataFrame =
+    links.where(!col("internal"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
 }

@@ -372,6 +372,42 @@ object TextAnalysis {
       .withColumn("text_extracted", trim(regexp_replace(c, "\\s+", " ")))
   }
 
+  /** Anchor-link extraction — the step between HTML extraction and the
+    * host graph ([[Graphs.hostEdges]] → [[Graphs.pageRankKeyed]]): pull
+    * every double-quoted `href` off the `<a>` tags, resolve it to a
+    * destination HOST (absolute http(s)/scheme'd links parse their own
+    * authority with the same RFC 3986 host regex as [[domainStats]];
+    * relative links inherit the page's host), and flag intra-host links
+    * (`internal`). Fragment-only, `mailto:` and `javascript:` hrefs are
+    * dropped, as are links whose resolved host is empty. Output:
+    * (id, src_host, dst_host, internal) — one row per kept anchor.
+    *
+    * Scale shape: pure narrow stage — regex extract + bounded explode
+    * (links per page), zero shuffles; the downstream host-pair aggregate
+    * is where the first exchange happens, and it carries hosts+counts
+    * only, never markup.
+    */
+  def extractLinks(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)"
+    val href = col("__href")
+    df.select(col(idCol),
+        lower(regexp_extract(col(urlCol), hostRe, 1)).as("src_host"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)<a\\s[^>]*?href=\"([^\"]*)\""), lit(1))).as("__href"))
+      .where(href =!= "" &&
+        !lower(href).startsWith("#") &&
+        !lower(href).startsWith("mailto:") &&
+        !lower(href).startsWith("javascript:"))
+      .withColumn("dst_host",
+        when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+          lower(regexp_extract(href, hostRe, 1)))
+        .otherwise(col("src_host")))
+      .where(col("dst_host") =!= "")
+      .select(col(idCol), col("src_host"), col("dst_host"),
+        (col("dst_host") === col("src_host")).as("internal"))
+  }
+
   /** Per-domain corpus statistics — the provenance table a crawl pipeline
     * feeds into [[domainMixWeights]] / `sampleToMixture`: per canonical
     * HOST (lowercased, userinfo and port stripped — the same RFC 3986

@@ -774,6 +774,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(rs2 == rs)
   }
 
+  test("pageRankKeyed: string keys and edge weights, share = w * (r div W)") {
+    // a --(w=3)--> b, a --(w=1)--> c, b --(w=1)--> a, c --(w=1)--> a
+    // W(a)=4: c(b) = 3*(1e6 div 4) = 750000, c(c) = 250000, c(a) = 2e6
+    // r(a) = 150000 + 17e6 div 20 = 1850000
+    // r(b) = 150000 + (17*750000) div 20 = 150000 + 637500 = 787500
+    // r(c) = 150000 + (17*250000) div 20 = 150000 + 212500 = 362500
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("s", "t", "w")
+    val r = Graphs.pageRankKeyed(e, "s", "t", iterations = 1, Some("w"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 1850000L, "b" -> 787500L, "c" -> 362500L))
+    // omitted weight = unweighted multigraph (each edge its own share)
+    val m = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("s", "t")
+    val rm = Graphs.pageRankKeyed(m, "s", "t", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // W(a)=3; c(b) = 2*(1e6 div 3) = 666666, c(c) = 333333
+    assert(rm("b") == 150000L + 17L * 666666L / 20L)
+    assert(rm("c") == 150000L + 17L * 333333L / 20L)
+  }
+
+  test("extractLinks: resolution, drops, case, ports, internal flag") {
+    val df = Seq(
+      (1L, "https://WWW.Site.org/page",
+        """<a href="http://Other.com/x">1</a><a href="/rel">2</a>""" +
+          """<A CLASS="c" HREF="HTTPS://www.site.org:443/y">3</A>""" +
+          """<a href="#frag">n</a><a href="mailto:a@b">n</a>""" +
+          """<a href="JavaScript:void(0)">n</a><a href="">n</a>""" +
+          """<a name="n">no href</a><b href="http://notanchor.com/z">n</b>"""),
+      // no parseable base host: relative links drop, absolute ones keep
+      (2L, "not a url", """<a href="http://abs.net/q">1</a><a href="/r">2</a>"""))
+      .toDF("id", "url", "html")
+    val rows = TextAnalysis.extractLinks(df, "id", "url", "html").collect()
+    assert(rows.length == 4, "rel and abs self-links are separate rows")
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, "www.site.org", "other.com", false),
+      (1L, "www.site.org", "www.site.org", true),   // relative → own host
+      (1L, "www.site.org", "www.site.org", true),   // absolute self + port
+      (2L, "", "abs.net", false)))
+  }
+
   test("argument contracts: invalid configs fail fast, not mid-job") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
