@@ -1067,6 +1067,33 @@ object SparkEntry {
         .select("doc_id", "host", "rank_micro")
         .orderBy("doc_id")
     }),
+    "layout_zorder" -> ((s, d) =>
+      // 13-bit Morton z-value over (user, event) keys — the OPTIMIZE
+      // ZORDER BY clustering key; pure builtin shift/mask projection,
+      // oracle replays the identical bit arithmetic
+      events(s, d).select(col("event_id"),
+          Layout.zValue(expr("user_id % 8192"), expr("event_id % 8192"), 13)
+            .as("zval"))
+        .orderBy("event_id")),
+    "layout_zorder_buckets" -> ((s, d) => {
+      // the file-skipping evidence table: per-bucket (x,y) bounding boxes
+      // under the z-order NEXT TO the same stats under a linear
+      // single-key order — on a 5-bit grid the linear layout leaves x at
+      // FULL span 31 in every bucket (zero pruning on x) while z holds
+      // both spans near 8-13; bucket = floor(idx·16/n) over the
+      // distributed sort+zipWithIndex rank (no global window)
+      val e = SparkUtil.ensureParallelism(events(s, d))
+        .select(expr("user_id % 32").as("x"),
+          expr("event_id % 32").as("y"), col("event_id").as("t"))
+      val zs = Layout.zOrderBucketStats(e, "x", "y", 5, 16, "t")
+        .withColumn("layout", lit("z"))
+      val ls = Layout.clusteredBucketStats(e, "x", "y", col("y"), 16, "t")
+        .withColumn("layout", lit("linear"))
+      zs.unionByName(ls)
+        .select("layout", "bucket", "n_rows", "x_min", "x_max",
+          "y_min", "y_max")
+        .orderBy("layout", "bucket")
+    }),
     "graph_triangles" -> ((s, d) =>
       // duplicate-family triangles over the near-dup pair graph (cyclic
       // 3-way self-join; Dedup.trianglePairs scaladoc)
@@ -2642,6 +2669,14 @@ object SparkEntry {
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
+  /** The `bits`-bit Morton interleave of [[Layout.zValue]] as DuckDB
+    * shift arithmetic (x on even bit positions, y on odd) — shared by
+    * both layout oracles.
+    */
+  private def zTermsSql(bits: Int): String = (0 until bits).flatMap(i => Seq(
+    s"(((x >> $i) & 1) << ${2 * i})",
+    s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   /** Shared closed-form CTEs of the link-graph gate family: the weighted
     * host edges implied by [[linkPages]]'s planted anchors (only the
     * external anchor survives `hostEdges` — and not for rh=9, whose
@@ -4114,6 +4149,35 @@ object SparkEntry {
               FROM pt)
       SELECT doc_id, host, rank_micro FROM ded WHERE rn = 1
       ORDER BY doc_id""",
+    "layout_zorder" -> s"""
+      WITH base AS (SELECT event_id, user_id % 8192 AS x, event_id % 8192 AS y
+                    FROM events)
+      SELECT event_id, CAST(${zTermsSql(13)} AS BIGINT) AS zval FROM base
+      ORDER BY event_id""",
+    "layout_zorder_buckets" -> s"""
+      WITH base AS (SELECT user_id % 32 AS x, event_id % 32 AS y,
+                      event_id AS t FROM events),
+      nn AS (SELECT count(*) AS n FROM base),
+      z AS (SELECT x, y, CAST(${zTermsSql(5)} AS BIGINT) AS zv, t FROM base),
+      zi AS (SELECT x, y,
+               ((row_number() OVER (ORDER BY zv, t)) - 1) * 16
+                 // (SELECT n FROM nn) AS bucket
+             FROM z),
+      zs AS (SELECT 'z' AS layout, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max
+             FROM zi GROUP BY bucket),
+      li AS (SELECT x, y,
+               ((row_number() OVER (ORDER BY y, t)) - 1) * 16
+                 // (SELECT n FROM nn) AS bucket
+             FROM base),
+      ls AS (SELECT 'linear' AS layout, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max
+             FROM li GROUP BY bucket)
+      SELECT layout, bucket, n_rows, x_min, x_max, y_min, y_max
+      FROM (SELECT * FROM zs UNION ALL SELECT * FROM ls)
+      ORDER BY layout, bucket""",
     "graph_triangles" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

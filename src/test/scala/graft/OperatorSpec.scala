@@ -794,6 +794,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(rm("c") == 150000L + 17L * 333333L / 20L)
   }
 
+  test("zValue: Morton interleave, truncation, quadrant nesting") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (8L, 0L))
+      .toDF("x", "y")
+    val z = df.select(Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .collect().map(_.getLong(0))
+    // interleave(3=011b, 5=101b): x→bits 0,2,4 gives 1+4; y→bits 1,3,5
+    // gives 2+32 → 39; x=8 has only bit 3 set, truncated at bits=3 → 0
+    assert(z.toSeq == Seq(0L, 1L, 2L, 39L, 0L))
+    // quadrant property: both keys < 2^(b-1) ⇔ z < 4^(b-1)
+    val grid = (0 until 8).flatMap(x => (0 until 8).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val qs = grid.select(col("x"), col("y"),
+        Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .collect()
+    assert(qs.forall(r =>
+      (r.getLong(0) < 4 && r.getLong(1) < 4) == (r.getLong(2) < 16)))
+    assert(qs.map(_.getLong(2)).toSet == (0L until 64L).toSet, "bijective")
+  }
+
+  test("clusteredBucketStats: z buckets are quadrants, linear leaves x wide") {
+    // 4x4 grid, 4 buckets of 4: under z-order each bucket is EXACTLY one
+    // quadrant (both dims span 1); under linear y-order each bucket is one
+    // y row with x at full span
+    val grid = (0 until 4).flatMap(x => (0 until 4).map(y =>
+      (x.toLong, y.toLong, (x * 4 + y).toLong))).toDF("x", "y", "t")
+    val zs = Layout.zOrderBucketStats(grid, "x", "y", 2, 4, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(zs == Set(
+      (0L, 4L, 0L, 1L, 0L, 1L), (1L, 4L, 2L, 3L, 0L, 1L),
+      (2L, 4L, 0L, 1L, 2L, 3L), (3L, 4L, 2L, 3L, 2L, 3L)))
+    val ls = Layout.clusteredBucketStats(grid, "x", "y", col("y"), 4, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(ls == Set(
+      (0L, 4L, 0L, 3L, 0L, 0L), (1L, 4L, 0L, 3L, 1L, 1L),
+      (2L, 4L, 0L, 3L, 2L, 2L), (3L, 4L, 0L, 3L, 3L, 3L)))
+  }
+
+  test("zOrderBy: range-partitions on the z-value, schema unchanged") {
+    val df = Seq((5L, 9L, "a"), (1L, 2L, "b"), (7L, 0L, "c"))
+      .toDF("x", "y", "payload")
+    val out = Layout.zOrderBy(df, "x", "y", 4, 2)
+    assert(out.columns.toSeq == Seq("x", "y", "payload"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("repartitionbyexpression") ||
+      out.queryExecution.executedPlan.toString.toLowerCase
+        .contains("rangepartitioning"), s"no range exchange in:\n$plan")
+    assert(out.count() == 3)
+    intercept[IllegalArgumentException] { Layout.zValue(col("x"), col("y"), 0) }
+    intercept[IllegalArgumentException] { Layout.zOrderBy(df, "x", "y", 4, 0) }
+  }
+
   test("extractLinks: resolution, drops, case, ports, internal flag") {
     val df = Seq(
       (1L, "https://WWW.Site.org/page",
