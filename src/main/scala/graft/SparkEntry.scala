@@ -558,6 +558,28 @@ object SparkEntry {
         .select(T.tokenize(col("text")).as("tokens"))
         .select(explode(T.kShingles(col("tokens"), 2)).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("cnt")).orderBy("shingle")),
+    "agg_cms_heavy" -> ((s, d) => {
+      // Count-Min sketch heavy hitters: ONE fixed 4×1024-long buffer per
+      // map task (no vocabulary-wide shuffle), then point-query estimates
+      // for every distinct token against the collected 32 KB matrix (the
+      // one-row cross join is the bounded declared probe convention);
+      // CMS guarantee est ≥ true holds exactly, oracle replays the
+      // matrix cell-for-cell
+      val depth = 4; val width = 1024
+      val toks = SparkUtil.ensureParallelism(docs(s, d))
+        .select(explode(T.tokenize(col("text"))).as("token"))
+        .transform(SparkUtil.scopedPersist)
+      val sk = toks.agg(graft.functions.Sketches
+        .countMinAgg(col("token"), depth, width).as("sk"))
+      val tc = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+      tc.crossJoin(sk).select(col("token"), col("true_count"),
+          least((0 until depth).map(r =>
+            element_at(col("sk"),
+              ((conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 8),
+                  16, 10).cast("long") % width) + r * width + 1).cast("int"))
+          ): _*).as("est_count"))
+        .orderBy(col("est_count").desc, col("token")).limit(25)
+    }),
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
@@ -2878,6 +2900,22 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
+    "agg_cms_heavy" -> s"""
+      WITH toks AS (SELECT unnest($tokenizeSql) AS token FROM documents),
+      tc AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+             FROM toks GROUP BY 1),
+      rr AS (SELECT unnest(range(4)) AS r),
+      hr AS (SELECT token, true_count, r,
+               (CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+                  1, 8) AS UBIGINT) % 1024) + r * 1024 AS cell
+             FROM tc CROSS JOIN rr),
+      cellc AS (SELECT cell, CAST(sum(true_count) AS BIGINT) AS cnt
+                FROM hr GROUP BY 1),
+      est AS (SELECT token, any_value(true_count) AS true_count,
+                min(cnt) AS est_count
+              FROM hr JOIN cellc USING (cell) GROUP BY token)
+      SELECT token, true_count, est_count FROM est
+      ORDER BY est_count DESC, token LIMIT 25""",
     "agg_group_stats" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -435,4 +435,37 @@ class KernelSpec extends AnyFunSuite {
       assert(agg.count() == 0, "array count must equal summed per-word encodes")
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("count-min sketch: est >= true, exact without collisions, merge-invariant") {
+    import graft.functions.Sketches
+    val depth = 4; val width = 64
+    // planted heavy hitter: 'hot' ×50 among 10 singleton tokens
+    val toks = (Seq.fill(50)("hot") ++ (0 until 10).map(i => s"t$i"))
+    val df = toks.toDF("token")
+    def estimates(d: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val sk = d.agg(Sketches.countMinAgg(col("token"), depth, width).as("sk"))
+      d.distinct().crossJoin(sk).select(col("token"),
+          least((0 until depth).map(r =>
+            element_at(col("sk"),
+              ((conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 8),
+                  16, 10).cast("long") % width) + r * width + 1).cast("int"))
+          ): _*).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val est = estimates(df)
+    val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    assert(truth.forall { case (t, n) => est(t) >= n }, "CMS never undercounts")
+    assert(est("hot") >= 50L && est("hot") <= 60L,
+      s"heavy hitter estimate near truth, got ${est("hot")}")
+    // merge path: partial buffers across 7 partitions must sum exactly
+    assert(estimates(df.repartition(7)) == est, "merge-invariant")
+    // empty input: zero matrix, estimates 0
+    val empty = df.where(lit(false))
+    val zeroSk = empty.agg(Sketches.countMinAgg(col("token"), depth, width))
+      .collect()(0).getSeq[Long](0)
+    assert(zeroSk.length == depth * width && zeroSk.forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      Sketches.countMinAgg(col("token"), 0, width)
+    }
+  }
 }
