@@ -565,20 +565,12 @@ object SparkEntry {
       // one-row cross join is the bounded declared probe convention);
       // CMS guarantee est ≥ true holds exactly, oracle replays the
       // matrix cell-for-cell
-      val depth = 4; val width = 1024
       val toks = SparkUtil.ensureParallelism(docs(s, d))
         .select(explode(T.tokenize(col("text"))).as("token"))
         .transform(SparkUtil.scopedPersist)
       val sk = toks.agg(graft.functions.Sketches
-        .countMinAgg(col("token"), depth, width).as("sk"))
-      val tc = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
-      tc.crossJoin(sk).select(col("token"), col("true_count"),
-          least((0 until depth).map(r =>
-            element_at(col("sk"),
-              ((conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 8),
-                  16, 10).cast("long") % width) + r * width + 1).cast("int"))
-          ): _*).as("est_count"))
-        .orderBy(col("est_count").desc, col("token")).limit(25)
+        .countMinAgg(col("token"), 4, 1024).as("sk"))
+      cmsHeavyHitters(toks, sk, depth = 4, width = 1024)
     }),
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -2316,6 +2308,31 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_gopher_gate").orderBy("doc_id")
     }),
+    "stream_cms_real" -> ((s, d) => {
+      // sketch maintenance lifts to streams: COMPLETE-mode aggregation
+      // keeps one 32 KB matrix in the state store and merges each
+      // micro-batch's partial by elementwise addition (associative +
+      // commutative), so the final streamed sketch must equal the batch
+      // sketch EXACTLY regardless of micro-batch boundaries — same
+      // estimates, same oracle as `agg_cms_heavy`
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-cms")
+      docs(s, d).select("doc_id", "text").repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = src.select(explode(T.tokenize(col("text"))).as("token"))
+        .agg(graft.functions.Sketches.countMinAgg(col("token"), 4, 1024)
+          .as("sk"))
+        .writeStream.format("memory").queryName("graft_cms_gate")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val toks = docs(s, d)
+        .select(explode(T.tokenize(col("text"))).as("token"))
+        .transform(SparkUtil.scopedPersist)
+      cmsHeavyHitters(toks, s.table("graft_cms_gate"), depth = 4, width = 1024)
+    }),
     "stream_index_update" -> ((s, d) => {
       // SURVEY §7.6 north star — incremental corpus ingestion: the corpus
       // round-trips into 4 parquet files and streams back ONE FILE PER
@@ -2691,6 +2708,46 @@ object SparkEntry {
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
+  /** Shared oracle of the CMS gate pair (`agg_cms_heavy` and its
+    * streaming twin — both produce the identical sketch, so one replay
+    * serves both): rebuild the 4×1024 counter matrix cell-for-cell from
+    * exact token counts, then take the same min-over-rows estimates.
+    */
+  private lazy val cmsHeavyOracle: String = s"""
+      WITH toks AS (SELECT unnest($tokenizeSql) AS token FROM documents),
+      tc AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+             FROM toks GROUP BY 1),
+      rr AS (SELECT unnest(range(4)) AS r),
+      hr AS (SELECT token, true_count, r,
+               (CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+                  1, 8) AS UBIGINT) % 1024) + r * 1024 AS cell
+             FROM tc CROSS JOIN rr),
+      cellc AS (SELECT cell, CAST(sum(true_count) AS BIGINT) AS cnt
+                FROM hr GROUP BY 1),
+      est AS (SELECT token, any_value(true_count) AS true_count,
+                min(cnt) AS est_count
+              FROM hr JOIN cellc USING (cell) GROUP BY token)
+      SELECT token, true_count, est_count FROM est
+      ORDER BY est_count DESC, token LIMIT 25"""
+
+  /** Shared tail of the CMS gate pair: point-query estimates (min over
+    * the depth rows of the one-row sketch `sk`) next to exact counts for
+    * every distinct token, top-25 by estimate. The hash expression is the
+    * byte-exact DataFrame twin of [[graft.functions.CountMinAgg]]'s
+    * update rule.
+    */
+  private def cmsHeavyHitters(toks: DataFrame, sk: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val tc = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+    tc.crossJoin(sk).select(col("token"), col("true_count"),
+        least((0 until depth).map(r =>
+          element_at(col("sk"),
+            ((conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 8),
+                16, 10).cast("long") % width) + r * width + 1).cast("int"))
+        ): _*).as("est_count"))
+      .orderBy(col("est_count").desc, col("token")).limit(25)
+  }
+
   /** The `bits`-bit Morton interleave of [[Layout.zValue]] as DuckDB
     * shift arithmetic (x on even bit positions, y on odd) — shared by
     * both layout oracles.
@@ -2900,22 +2957,8 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
-    "agg_cms_heavy" -> s"""
-      WITH toks AS (SELECT unnest($tokenizeSql) AS token FROM documents),
-      tc AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
-             FROM toks GROUP BY 1),
-      rr AS (SELECT unnest(range(4)) AS r),
-      hr AS (SELECT token, true_count, r,
-               (CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
-                  1, 8) AS UBIGINT) % 1024) + r * 1024 AS cell
-             FROM tc CROSS JOIN rr),
-      cellc AS (SELECT cell, CAST(sum(true_count) AS BIGINT) AS cnt
-                FROM hr GROUP BY 1),
-      est AS (SELECT token, any_value(true_count) AS true_count,
-                min(cnt) AS est_count
-              FROM hr JOIN cellc USING (cell) GROUP BY token)
-      SELECT token, true_count, est_count FROM est
-      ORDER BY est_count DESC, token LIMIT 25""",
+    "agg_cms_heavy" -> cmsHeavyOracle,
+    "stream_cms_real" -> cmsHeavyOracle,
     "agg_group_stats" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
