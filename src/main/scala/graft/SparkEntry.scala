@@ -1201,6 +1201,47 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       Dedup.snapshotDiff(oldC, newC, "doc_id", "text").orderBy("id")
     }),
+    "cdc_apply_changes" -> ((s, d) => {
+      // lakehouse MERGE: a deterministic change feed planted over orders —
+      // updates on every 10th key (two stacked versions on every 20th, so
+      // latest-wins is exercised), deletes on keys ≡3 mod 7 (key 10 hits
+      // both update AND delete: the higher seq, the delete, must win), and
+      // inserts at key+10^9. Base rows never shuffle (see Cdc scaladoc).
+      val o = tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      def ch(pred: org.apache.spark.sql.Column, seq: Int, op: String,
+          key: org.apache.spark.sql.Column,
+          status: org.apache.spark.sql.Column,
+          price: org.apache.spark.sql.Column): DataFrame =
+        o.where(pred).select(key.as("o_orderkey"),
+          lit(seq.toLong).as("seq"), lit(op).as("op"), col("o_custkey"),
+          status.as("o_orderstatus"), price.as("o_totalprice"))
+      val changes =
+        ch(col("o_orderkey") % 10 === 0, 1, "U", col("o_orderkey"),
+            lit("U1"), col("o_totalprice") + 1.5)
+          .unionByName(ch(col("o_orderkey") % 20 === 0, 2, "U",
+            col("o_orderkey"), lit("U2"), col("o_totalprice") + 2.5))
+          .unionByName(ch(col("o_orderkey") % 7 === 3, 3, "D",
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+          .unionByName(ch(col("o_orderkey") % 13 === 1, 1, "I",
+            col("o_orderkey") + 1000000000L, col("o_orderstatus"),
+            col("o_totalprice")))
+      Cdc.applyChanges(o, changes, "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey")
+    }),
+    "cdc_scd2" -> ((s, d) => {
+      // type-2 history of each user's event_type over the event log:
+      // consecutive equal types collapse, every transition opens a
+      // validity interval closed by the next transition; event_id pins
+      // same-timestamp order
+      Cdc.scd2History(
+          events(s, d).select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
     "split_leakage_safe" -> ((s, d) => {
       // leakage-safe train/val split: near-dup clusters move atomically,
       // so no val doc has a near-duplicate in train
@@ -4386,6 +4427,49 @@ object SparkEntry {
              ELSE 'unchanged' END AS status
       FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
       ORDER BY id""",
+    "cdc_apply_changes" -> """
+      WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                    FROM orders),
+      ch AS (
+        SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+               'U1' AS o_orderstatus, o_totalprice + 1.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice + 2.5
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 1),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY seq DESC, op DESC) AS rn
+          FROM ch) WHERE rn = 1)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM latest l
+                        WHERE l.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest
+      WHERE op <> 'D'
+      ORDER BY o_orderkey""",
+    "cdc_scd2" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                    event_type FROM events),
+      chg AS (
+        SELECT user_id, ts, event_id, event_type FROM (
+          SELECT *, lag(event_type) OVER w AS prev FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+        lead(ts) OVER w AS valid_to,
+        (lead(ts) OVER w IS NULL) AS is_current
+      FROM chg
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, event_id""",
     "split_leakage_safe" -> s"""
       WITH RECURSIVE ${docCtes(cfg16).trim},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

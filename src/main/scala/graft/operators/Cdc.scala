@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: MERGE/upsert a change feed into a base
+  * snapshot, and build type-2 (validity-interval) history from a change
+  * log. Training-data corpora are recrawled continuously — the practical
+  * shape of "update the corpus" at scale is a small change feed applied to
+  * a huge immutable snapshot, not a rewrite (the lakehouse MERGE pattern;
+  * extends the crawl-delta view of [[Dedup.snapshotDiff]]).
+  *
+  * [Scale] The base snapshot NEVER shuffles: the change feed first
+  * collapses to one decision row per changed key (a map-side-combined
+  * `max_by` aggregate — shuffle traffic is (key, latest-payload) rows,
+  * bounded by the feed, not the base), and the base then anti-joins that
+  * key set — broadcastable whenever the collapsed feed is small, which is
+  * the operating point of an incremental pipeline. Survivors union with
+  * the non-delete latest rows; both legs are narrow.
+  */
+object Cdc {
+
+  private def qcol(name: String): Column = col(s"`$name`")
+
+  /** Apply a CDC change feed to a base snapshot (MERGE semantics).
+    *
+    * `changes` carries `keyCol`, `seqCol` (monotone change order), `opCol`
+    * (`"I"`/`"U"` upsert the row's payload, `"D"` deletes the key), and
+    * every payload column of `base`. Per key, the change with the largest
+    * `(seq, op)` wins — ties on `seq` break by `op` descending so the
+    * decision is deterministic even on a malformed feed that reuses a
+    * sequence number; a well-formed feed has unique `seq` per key.
+    * Inserts and updates are the same operation (upsert): the winning
+    * payload replaces whatever the base held.
+    *
+    * Returns the new snapshot with exactly `base`'s columns.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol)
+    // one row per changed key: partial-aggregating max_by, never a window
+    // (a row_number window would sort full feed partitions; max_by combines
+    // map-side so the exchange carries one candidate row per key per task)
+    val latest = changes
+      .groupBy(qcol(keyCol))
+      .agg(max_by(struct((opCol +: payload).map(qcol): _*),
+        struct(qcol(seqCol), qcol(opCol))).as("__latest"))
+      .select(qcol(keyCol) +: (opCol +: payload).map(c =>
+        col(s"`__latest`.`$c`").as(c)): _*)
+    val survivors = base.join(latest.select(qcol(keyCol)), Seq(keyCol), "left_anti")
+    survivors.unionByName(
+      latest.where(qcol(opCol) =!= "D").select(base.columns.map(qcol): _*))
+  }
+
+  /** Build a type-2 (validity-interval) history from a change log: one row
+    * per (key, attribute-change), with `valid_from` = the change's
+    * timestamp, `valid_to` = the NEXT change's timestamp (null while
+    * current), and `is_current`. Consecutive rows whose `attrCols` are
+    * unchanged collapse into the earlier row's interval — only genuine
+    * transitions open a new version.
+    *
+    * `tieCol` pins the order of same-timestamp rows per key (pass a
+    * per-row-unique column such as an event id) so the history is
+    * deterministic.
+    *
+    * [Scale] One shuffle total: both windows partition by `keyCol` with
+    * the same `(ts, tie)` sort, so Catalyst plans a single exchange + sort
+    * feeding both Window operators — the change-detect filter between them
+    * preserves partitioning and order.
+    */
+  def scd2History(log: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val w = Window.partitionBy(qcol(keyCol)).orderBy(qcol(tsCol), qcol(tieCol))
+    val attrs = struct(attrCols.map(qcol): _*)
+    log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe: the first row per key (prev null) is always a transition
+      .where(!(attrs <=> col("__prev")))
+      .drop("__prev")
+      .withColumn("valid_from", qcol(tsCol))
+      .withColumn("valid_to", lead(qcol(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def snapshot(): org.apache.spark.sql.DataFrame =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+
+  test("applyChanges: upsert/delete/insert, latest (seq, op) wins per key") {
+    val changes = Seq(
+      (1L, 1L, "U", "a1", 11.0), // plain update
+      (2L, 1L, "U", "b1", 21.0), // update then delete: delete has higher seq
+      (2L, 2L, "D", "b1", 21.0),
+      (3L, 2L, "U", "c2", 32.0), // two updates out of arrival order
+      (3L, 1L, "U", "c1", 31.0),
+      (9L, 1L, "I", "i", 90.0)   // insert of a new key
+    ).toDF("k", "seq", "op", "s", "v")
+    val out = Cdc.applyChanges(snapshot(), changes, "k", "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a1", 11.0), (3L, "c2", 32.0), (4L, "d", 40.0),
+      (9L, "i", 90.0)))
+  }
+
+  test("applyChanges: seq tie breaks by op descending (deterministic)") {
+    // same seq for U and D on one key: 'U' > 'D' lexicographically, so the
+    // upsert wins — pinned so a malformed feed still resolves one way
+    val changes = Seq((1L, 5L, "D", "x", 0.0), (1L, 5L, "U", "tie", 1.0))
+      .toDF("k", "seq", "op", "s", "v")
+    val out = Cdc.applyChanges(snapshot(), changes, "k", "seq", "op")
+      .where($"k" === 1L).as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "tie", 1.0)))
+  }
+
+  test("applyChanges: empty feed returns the base unchanged") {
+    val empty = Seq.empty[(Long, Long, String, String, Double)]
+      .toDF("k", "seq", "op", "s", "v")
+    assert(Cdc.applyChanges(snapshot(), empty, "k", "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq ===
+      snapshot().orderBy("k").as[(Long, String, Double)].collect().toSeq)
+  }
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+
+  test("scd2History: transitions open intervals, equal runs collapse, ties pinned") {
+    val log = Seq(
+      (1L, ts(0), 10L, "x"), // first version
+      (1L, ts(1), 11L, "x"), // unchanged -> collapses
+      (1L, ts(2), 12L, "y"), // transition closes x at 00:02
+      (1L, ts(2), 13L, "x"), // same-ts tie: event_id orders y before this x
+      (2L, ts(5), 20L, "z")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Cdc.scd2History(log, "user_id", "ts", "event_id", Seq("event_type"))
+      .select("user_id", "event_id", "event_type", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+      .as[(Long, Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, "x", ts(0), Some(ts(2)), false),
+      (1L, 12L, "y", ts(2), Some(ts(2)), false),
+      (1L, 13L, "x", ts(2), None, true),
+      (2L, 20L, "z", ts(5), None, true)))
+  }
+
+  test("scd2History: single shuffle — both windows share one exchange") {
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val log = Seq((1L, ts(0), 10L, "x"), (1L, ts(1), 11L, "y"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val plan = Cdc.scd2History(log, "user_id", "ts", "event_id",
+        Seq("event_type")).queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        s"expected exactly one exchange feeding both windows, got:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+}
