@@ -2374,6 +2374,55 @@ object SparkEntry {
         .transform(SparkUtil.scopedPersist)
       cmsHeavyHitters(toks, s.table("graft_cms_gate"), depth = 4, width = 1024)
     }),
+    "stream_cdc_apply_real" -> ((s, d) => {
+      // CDC apply lifts to streams (materialized-view maintenance): the
+      // cdc_apply_changes feed round-trips into 4 parquet files and
+      // streams back one file per micro-batch; a COMPLETE-mode
+      // groupBy(key).max_by aggregation keeps exactly one (key, winner)
+      // row per changed key in the state store — max over (seq, op) is
+      // associative+commutative, so the final state is invariant to
+      // micro-batch boundaries and the batch oracle replays exactly.
+      // The base snapshot never enters the stream: it joins the final
+      // state in one batch step, as an incremental pipeline would.
+      val o = tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      def ch(pred: org.apache.spark.sql.Column, seq: Int, op: String,
+          key: org.apache.spark.sql.Column,
+          status: org.apache.spark.sql.Column,
+          price: org.apache.spark.sql.Column): DataFrame =
+        o.where(pred).select(key.as("o_orderkey"),
+          lit(seq.toLong).as("seq"), lit(op).as("op"), col("o_custkey"),
+          status.as("o_orderstatus"), price.as("o_totalprice"))
+      val changes =
+        ch(col("o_orderkey") % 10 === 0, 1, "U", col("o_orderkey"),
+            lit("U1"), col("o_totalprice") + 1.5)
+          .unionByName(ch(col("o_orderkey") % 20 === 0, 2, "U",
+            col("o_orderkey"), lit("U2"), col("o_totalprice") + 2.5))
+          .unionByName(ch(col("o_orderkey") % 7 === 3, 3, "D",
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+          .unionByName(ch(col("o_orderkey") % 13 === 1, 1, "I",
+            col("o_orderkey") + 1000000000L, col("o_orderstatus"),
+            col("o_totalprice")))
+      val tmp = roundTripDir(d, "graft-stream-cdc")
+      changes.repartition(4).write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .groupBy(col("o_orderkey"))
+        .agg(max_by(struct(("op" +: payload).map(col): _*),
+          struct(col("seq"), col("op"))).as("__latest"))
+        .writeStream.format("memory").queryName("graft_cdc_apply_gate")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val latest = s.table("graft_cdc_apply_gate")
+        .select(col("o_orderkey") +: ("op" +: payload).map(c =>
+          col(s"__latest.$c").as(c)): _*)
+      o.join(latest.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(latest.where(col("op") =!= "D").drop("op"))
+        .orderBy("o_orderkey")
+    }),
     "stream_index_update" -> ((s, d) => {
       // SURVEY §7.6 north star — incremental corpus ingestion: the corpus
       // round-trips into 4 parquet files and streams back ONE FILE PER
@@ -2754,6 +2803,40 @@ object SparkEntry {
     * serves both): rebuild the 4×1024 counter matrix cell-for-cell from
     * exact token counts, then take the same min-over-rows estimates.
     */
+  /** Shared by `cdc_apply_changes` and its streaming twin
+    * `stream_cdc_apply_real` — the twin must reproduce the batch MERGE
+    * exactly, so both keys replay the same feed in DuckDB.
+    */
+  private lazy val cdcApplyOracle: String = """
+      WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                    FROM orders),
+      ch AS (
+        SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+               'U1' AS o_orderstatus, o_totalprice + 1.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice + 2.5
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 1),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY seq DESC, op DESC) AS rn
+          FROM ch) WHERE rn = 1)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM latest l
+                        WHERE l.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest
+      WHERE op <> 'D'
+      ORDER BY o_orderkey"""
+
   private lazy val cmsHeavyOracle: String = s"""
       WITH toks AS (SELECT unnest($tokenizeSql) AS token FROM documents),
       tc AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
@@ -4427,35 +4510,8 @@ object SparkEntry {
              ELSE 'unchanged' END AS status
       FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
       ORDER BY id""",
-    "cdc_apply_changes" -> """
-      WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-                    FROM orders),
-      ch AS (
-        SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
-               'U1' AS o_orderstatus, o_totalprice + 1.5 AS o_totalprice
-        FROM orders WHERE o_orderkey % 10 = 0
-        UNION ALL
-        SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice + 2.5
-        FROM orders WHERE o_orderkey % 20 = 0
-        UNION ALL
-        SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderkey % 7 = 3
-        UNION ALL
-        SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, o_orderstatus,
-               o_totalprice
-        FROM orders WHERE o_orderkey % 13 = 1),
-      latest AS (
-        SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                      ORDER BY seq DESC, op DESC) AS rn
-          FROM ch) WHERE rn = 1)
-      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM base b
-      WHERE NOT EXISTS (SELECT 1 FROM latest l
-                        WHERE l.o_orderkey = b.o_orderkey)
-      UNION ALL
-      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest
-      WHERE op <> 'D'
-      ORDER BY o_orderkey""",
+    "cdc_apply_changes" -> cdcApplyOracle,
+    "stream_cdc_apply_real" -> cdcApplyOracle,
     "cdc_scd2" -> """
       WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
                     event_type FROM events),
