@@ -2374,6 +2374,45 @@ object SparkEntry {
         .transform(SparkUtil.scopedPersist)
       cmsHeavyHitters(toks, s.table("graft_cms_gate"), depth = 4, width = 1024)
     }),
+    "stream_scd2_real" -> ((s, d) => {
+      // type-2 history maintenance as a STREAM: flatMapGroupsWithState
+      // detects attribute transitions with one string of state per key
+      // (never buffering events); interval closing is retrospective, so
+      // the batch step closes the streamed transition log with a lead
+      // window — together they replay the cdc_scd2 oracle exactly. Input
+      // is pre-sorted by event time into ONE split (the append-log
+      // contract; a split boundary would race same-key rows).
+      import s.implicits._
+      val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
+      val tmp = roundTripDir(d, "graft-stream-scd2")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_type").as("attr"))
+        .orderBy("tsMicros", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.ScdStream.transitions(
+          s.readStream.schema(schema).parquet(tmp).as[graft.streaming.AttrEvent])
+        .toDF()
+        .writeStream.format("memory").queryName("graft_scd2_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        prevMpb match {
+          case Some(v) => s.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => s.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from", "event_id")
+      s.table("graft_scd2_gate")
+        .select(col("user_id"), col("event_id"), col("attr").as("event_type"),
+          timestamp_micros(col("tsMicros")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
     "stream_cdc_apply_real" -> ((s, d) => {
       // CDC apply lifts to streams (materialized-view maintenance): the
       // cdc_apply_changes feed round-trips into 4 parquet files and
@@ -2836,6 +2875,25 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest
       WHERE op <> 'D'
       ORDER BY o_orderkey"""
+
+  /** Shared by `cdc_scd2` and its streaming twin `stream_scd2_real` — the
+    * streamed transition log, closed with a lead window, must equal the
+    * batch type-2 history exactly.
+    */
+  private lazy val cdcScd2Oracle: String = """
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                    event_type FROM events),
+      chg AS (
+        SELECT user_id, ts, event_id, event_type FROM (
+          SELECT *, lag(event_type) OVER w AS prev FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+        lead(ts) OVER w AS valid_to,
+        (lead(ts) OVER w IS NULL) AS is_current
+      FROM chg
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, event_id"""
 
   private lazy val cmsHeavyOracle: String = s"""
       WITH toks AS (SELECT unnest($tokenizeSql) AS token FROM documents),
@@ -4512,20 +4570,8 @@ object SparkEntry {
       ORDER BY id""",
     "cdc_apply_changes" -> cdcApplyOracle,
     "stream_cdc_apply_real" -> cdcApplyOracle,
-    "cdc_scd2" -> """
-      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-                    event_type FROM events),
-      chg AS (
-        SELECT user_id, ts, event_id, event_type FROM (
-          SELECT *, lag(event_type) OVER w AS prev FROM ev
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        WHERE prev IS NULL OR prev <> event_type)
-      SELECT user_id, event_id, event_type, ts AS valid_from,
-        lead(ts) OVER w AS valid_to,
-        (lead(ts) OVER w IS NULL) AS is_current
-      FROM chg
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, valid_from, event_id""",
+    "cdc_scd2" -> cdcScd2Oracle,
+    "stream_scd2_real" -> cdcScd2Oracle,
     "split_leakage_safe" -> s"""
       WITH RECURSIVE ${docCtes(cfg16).trim},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

@@ -296,4 +296,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(0).getLong(2) == 2L) // 00:00 + 00:30 merged
     assert(sessions(1).getLong(2) == 1L) // 01:00:01 is > gap after 00:30
   }
+
+  test("ScdStream: transitions carry last-attr state across micro-batches") {
+    import graft.streaming.{AttrEvent, ScdStream, ScdTransition}
+    import spark.implicits._
+    // batch 0 ends with user 1 on attr "a"; batch 1 opens with another "a"
+    // (must NOT re-emit: state continuity) then "b" (must emit), while
+    // user 2 changes attr exactly at the boundary (must emit)
+    val b0 = Seq(AttrEvent(1L, 10L, 1000L, "a"), AttrEvent(1L, 11L, 2000L, "a"),
+      AttrEvent(2L, 20L, 1500L, "x"))
+    val b1 = Seq(AttrEvent(1L, 12L, 3000L, "a"), AttrEvent(1L, 13L, 4000L, "b"),
+      AttrEvent(2L, 21L, 2500L, "y"))
+    val src = java.nio.file.Files.createTempDirectory("scd2-src").toString
+    b0.toDS().coalesce(1).write.mode("overwrite").parquet(s"$src/stage0")
+    b1.toDS().coalesce(1).write.mode("overwrite").parquet(s"$src/stage1")
+    val in = java.nio.file.Files.createTempDirectory("scd2-in").toString
+    def copyOne(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$src/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, name))
+    }
+    copyOne("stage0", "part-0.parquet")
+    Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    copyOne("stage1", "part-1.parquet")
+    val stream = spark.readStream.schema(b0.toDS().schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[AttrEvent]
+    val q = ScdStream.transitions(stream)
+      .writeStream.format("memory").queryName("scd2_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("scd2_stream_out").as[ScdTransition]
+        .collect().sortBy(t => (t.user_id, t.tsMicros)).toSeq
+      assert(got == Seq(
+        ScdTransition(1L, 10L, 1000L, "a"), // first version
+        ScdTransition(1L, 13L, 4000L, "b"), // 3000L "a" absorbed ACROSS batches
+        ScdTransition(2L, 20L, 1500L, "x"),
+        ScdTransition(2L, 21L, 2500L, "y")), s"got $got")
+      // and the streamed log equals the batch run over the union
+      val batch = ScdStream.transitions((b0 ++ b1).toDS())
+        .collect().sortBy(t => (t.user_id, t.tsMicros)).toSeq
+      assert(got == batch, "streaming with cross-batch state must equal batch")
+    } finally q.stop()
+  }
 }
