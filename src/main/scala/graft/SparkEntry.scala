@@ -1033,6 +1033,19 @@ object SparkEntry {
       Graphs.pageRank(e, "src", "dst", iterations = 3)
         .orderBy("node_id")
     }),
+    "graph_hits" -> ((s, d) => {
+      // HITS hubs/authorities over the same deterministic 3-out-regular
+      // graph as graph_pagerank (node 0 the global authority hot key —
+      // in-degree N); 2 exact-integer rounds with divisor normalization,
+      // oracle replays every round bit-for-bit in micro-units
+      val dd = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"))
+      val n = dd.count()
+      val e = dd.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
+      Graphs.hits(e, "src", "dst", iterations = 2)
+        .orderBy("node_id")
+    }),
     "graph_link_extract" -> ((s, d) => {
       // anchor extraction over planted markup: per doc one external link
       // (host (2·rh+1)%10 — for rh=9 it resolves to the doc's OWN host,
@@ -4379,6 +4392,36 @@ object SparkEntry {
                CAST(150000 + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
              FROM ids LEFT JOIN c3 USING (v))
       SELECT v AS node_id, r AS rank_micro FROM r3 ORDER BY v""",
+    "graph_hits" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ids AS (SELECT doc_id AS v FROM documents),
+      e AS (SELECT v AS src,
+              unnest([(v * 3 + 1) % n, (v + 7) % n, CAST(0 AS BIGINT)]) AS dst
+            FROM ids, nn),
+      h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM ids),
+      ra1 AS (SELECT ids.v, CAST(coalesce(sum(h0.h), 0) AS BIGINT) AS a
+              FROM ids LEFT JOIN e ON e.dst = ids.v
+                       LEFT JOIN h0 ON e.src = h0.v GROUP BY 1),
+      a1 AS (SELECT v, a // greatest(1,
+               ((SELECT max(a) FROM ra1) + 999999) // 1000000) AS a FROM ra1),
+      rh1 AS (SELECT ids.v, CAST(coalesce(sum(a1.a), 0) AS BIGINT) AS h
+              FROM ids LEFT JOIN e ON e.src = ids.v
+                       LEFT JOIN a1 ON e.dst = a1.v GROUP BY 1),
+      h1 AS (SELECT v, h // greatest(1,
+               ((SELECT max(h) FROM rh1) + 999999) // 1000000) AS h FROM rh1),
+      ra2 AS (SELECT ids.v, CAST(coalesce(sum(h1.h), 0) AS BIGINT) AS a
+              FROM ids LEFT JOIN e ON e.dst = ids.v
+                       LEFT JOIN h1 ON e.src = h1.v GROUP BY 1),
+      a2 AS (SELECT v, a // greatest(1,
+               ((SELECT max(a) FROM ra2) + 999999) // 1000000) AS a FROM ra2),
+      rh2 AS (SELECT ids.v, CAST(coalesce(sum(a2.a), 0) AS BIGINT) AS h
+              FROM ids LEFT JOIN e ON e.src = ids.v
+                       LEFT JOIN a2 ON e.dst = a2.v GROUP BY 1),
+      h2 AS (SELECT v, h // greatest(1,
+               ((SELECT max(h) FROM rh2) + 999999) // 1000000) AS h FROM rh2)
+      SELECT ids.v AS node_id, h2.h AS hub_micro, a2.a AS auth_micro
+      FROM ids JOIN h2 ON ids.v = h2.v JOIN a2 ON ids.v = a2.v
+      ORDER BY node_id""",
     "graph_link_extract" -> """
       WITH k AS (SELECT doc_id, (doc_id // 2) % 10 AS rh FROM documents),
       e AS (

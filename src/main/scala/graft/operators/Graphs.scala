@@ -79,6 +79,73 @@ object Graphs {
     ranks.select(col("v").as("node_id"), col("r").as("rank_micro"))
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") over a directed edge list, `iterations`
+    * synchronous rounds. Complements [[pageRank]]: PageRank scores global
+    * endorsement, HITS separates pages that POINT WELL (hubs — link
+    * directories, index pages) from pages POINTED AT well (authorities),
+    * a useful pair of crawl-curation signals. Duplicate edge rows act as
+    * multiplicity weights (multigraph convention, same as [[pageRank]]).
+    *
+    * EXACT-INTEGER design (micro-unit convention): h₀ = 10⁶; per round
+    *   rawA(v) = Σ_{u→v} h(u), then a = rawA div g with
+    *   g = max(1, (max_v rawA + 999999) div 10⁶),
+    * and symmetrically rawH(u) = Σ_{u→v} a(v) with its own divisor. The
+    * divisor normalization replaces the textbook L2 norm: every round
+    * stays in exact integers (floor divisions only — aggregation order
+    * cannot perturb results, the DuckDB oracle replays bit-for-bit) and
+    * scores land in [0, 10⁶] with the round's max pinned near 10⁶.
+    *
+    * Overflow bound: normalized scores ≤ 10⁶ and raw sums ≤ d_max·10⁶ —
+    * there is NO raw×10⁶ product anywhere (the divisor absorbs the
+    * scaling), so Long arithmetic holds to d_max ≈ 9×10¹², beyond any
+    * real in-degree.
+    *
+    * Scale shape per round: two (id, long)-keyed join+sum pairs, both
+    * map-side combined; the per-round max is ONE broadcast row. Hub
+    * nodes are hot keys of the authority sum and partial-aggregate
+    * map-side, exactly as in [[pageRank]].
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations in [1,50], got $iterations")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    def rebind(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    // raw is read twice (divisor + normalization) — scoped-persisted so
+    // each round computes its sums once; the divisor row broadcasts
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val r = raw.transform(graft.SparkUtil.scopedPersist)
+      r.crossJoin(broadcast(r.agg(coalesce(max(col(c)), lit(0L)).as("__mx"))))
+        .select(col("v"), expr(
+          s"$c div greatest(CAST(1 AS BIGINT), (__mx + 999999) div 1000000)")
+          .as(c))
+    }
+    def gatherOnto(scores: DataFrame, scoreCol: String, fromEnd: String,
+        toEnd: String, outCol: String): DataFrame =
+      nodes.join(
+          e.join(scores.withColumnRenamed("v", fromEnd), Seq(fromEnd))
+            .groupBy(col(toEnd).as("v")).agg(sum(scoreCol).as(outCol)),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col(outCol), lit(0L)).as(outCol))
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iterations) {
+      auth = rebind(normalized(gatherOnto(hub, "h", "src", "dst", "a"), "a"))
+      hub = rebind(normalized(gatherOnto(auth, "a", "dst", "src", "h"), "h"))
+    }
+    nodes.join(hub, Seq("v")).join(auth, Seq("v"))
+      .select(col("v").as("node_id"), col("h").as("hub_micro"),
+        col("a").as("auth_micro"))
+  }
+
   /** Collapse a page-level link table ([[TextAnalysis.extractLinks]]) to
     * the weighted host graph: drop intra-host links (the host-graph
     * convention — self-mass would swamp the inter-host signal), count

@@ -774,6 +774,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(rs2 == rs)
   }
 
+  test("hits: exact-integer divisor rounds match hand computation") {
+    // star a->b, a->c, b->a, c->a. Round 1: rawA = (2e6, 1e6, 1e6),
+    // divisor = (2e6+999999) div 1e6 = 2 -> a = (1e6, 5e5, 5e5);
+    // rawH = (1e6, 1e6, 1e6), divisor 1 -> h = all 1e6 (a fixed point)
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graphs.hits(star, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1 == Map(1L -> (1000000L, 1000000L), 2L -> (1000000L, 500000L),
+      3L -> (1000000L, 500000L)))
+    // fixed point: a second round must not move anything
+    val r2 = Graphs.hits(star, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r2 == r1)
+    // chain 1->2->3: node 1 has no in-edges (auth 0), node 3 no
+    // out-edges (hub 0)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rc = Graphs.hits(chain, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rc == Map(1L -> (1000000L, 0L), 2L -> (1000000L, 1000000L),
+      3L -> (0L, 1000000L)))
+    // determinism under repartitioning (aggregation order must not matter)
+    val r1b = Graphs.hits(star.repartition(5), "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1b == r1)
+  }
+
   test("pageRankKeyed: string keys and edge weights, share = w * (r div W)") {
     // a --(w=3)--> b, a --(w=1)--> c, b --(w=1)--> a, c --(w=1)--> a
     // W(a)=4: c(b) = 3*(1e6 div 4) = 750000, c(c) = 250000, c(a) = 2e6
