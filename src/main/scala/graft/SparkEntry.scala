@@ -2062,6 +2062,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curate_incremental" -> ((s, d) => {
+      // incremental curation maintenance: when a change feed hits a
+      // curated corpus, quality re-scoring touches ONLY the feed's
+      // winners — carried-over rows are decided by key alone (valid
+      // because the quality rubric is a pure per-row function). The
+      // oracle recomputes the FULL pipeline over the applied snapshot;
+      // agreement is exactly the incremental-maintenance correctness
+      // claim. At scale, re-scoring cost ∝ feed, not corpus.
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      def chg(pred: org.apache.spark.sql.Column, seq: Int, op: String,
+          key: org.apache.spark.sql.Column,
+          text: org.apache.spark.sql.Column): DataFrame =
+        dd.where(pred).select(key.as("doc_id"), lit(seq.toLong).as("seq"),
+          lit(op).as("op"), text.as("text"))
+      val changes =
+        chg(col("doc_id") % 10 === 0, 1, "U", col("doc_id"),
+            concat(col("text"), lit(" update v2")))
+          .unionByName(chg(col("doc_id") % 20 === 0, 2, "U", col("doc_id"),
+            concat(col("text"), lit(" update v3"))))
+          .unionByName(chg(col("doc_id") % 7 === 3, 3, "D", col("doc_id"),
+            col("text")))
+          .unionByName(chg(col("doc_id") % 13 === 1, 1, "I",
+            col("doc_id") + 1000000000L,
+            concat(col("text"), lit(" inserted fresh sample"))))
+      val latest = changes.groupBy(col("doc_id"))
+        .agg(max_by(struct(col("op"), col("text")),
+          struct(col("seq"), col("op"))).as("__l"))
+        .select(col("doc_id"), col("__l.op").as("op"), col("__l.text").as("text"))
+        .transform(SparkUtil.scopedPersist)
+      val curatedBase = TextAnalysis.withQualityScore(dd, "text")
+        .where(col("quality_score") >= 0.75).select("doc_id")
+      val scoredWinners = TextAnalysis
+        .withQualityScore(latest.where(col("op") =!= "D"), "text")
+        .where(col("quality_score") >= 0.75).select("doc_id")
+      curatedBase.join(latest.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(scoredWinners)
+        .orderBy("doc_id")
+    }),
     "pipeline_curate_v2" -> ((s, d) => {
       // the round-7 composed pipeline: exact dedup (hash-only decision) →
       // exact-substring near-dup pruning (winnowing blocking, higher id of
@@ -5099,6 +5137,42 @@ object SparkEntry {
       WHERE q.score >= 0.75 AND q.lang_pred <> 'und'
         AND q.doc_id NOT IN (SELECT b_id FROM nd)
       ORDER BY q.doc_id""",
+    "pipeline_curate_incremental" -> s"""
+      WITH ch AS (
+        SELECT doc_id, 1 AS seq, 'U' AS op, text || ' update v2' AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'U', text || ' update v3'
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id, 3, 'D', text FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 1000000000, 1, 'I', text || ' inserted fresh sample'
+        FROM documents WHERE doc_id % 13 = 1),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY seq DESC, op DESC) AS rn
+          FROM ch) WHERE rn = 1),
+      snap AS (
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = d.doc_id)
+        UNION ALL
+        SELECT doc_id, text FROM latest WHERE op <> 'D'),
+      toks AS (SELECT doc_id, text, $tokenizeSql AS tokens FROM snap),
+      q AS (
+        SELECT doc_id,
+          (CASE WHEN len(tokens) BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+           CASE WHEN CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE)
+                  / greatest(len(tokens), 1) BETWEEN 2.0 AND 12.0
+                THEN 0.25 ELSE 0.0 END +
+           CASE WHEN CAST(len(list_filter(tokens, t -> list_contains(${stopwordList("en")}, t))) AS DOUBLE)
+                  / greatest(len(tokens), 1) >= 0.05 THEN 0.25 ELSE 0.0 END +
+           CASE WHEN CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / greatest(len(text), 1) <= 0.2 THEN 0.25 ELSE 0.0 END)
+            AS score
+        FROM toks)
+      SELECT doc_id FROM q WHERE score >= 0.75 ORDER BY doc_id""",
     "pipeline_curate_v2" -> s"""
       WITH exact AS (SELECT doc_id, text, n_chars FROM (
           SELECT doc_id, text, n_chars,
