@@ -1102,6 +1102,20 @@ object SparkEntry {
           Layout.zValue(expr("user_id % 8192"), expr("event_id % 8192"), 13)
             .as("zval"))
         .orderBy("event_id")),
+    "layout_compaction" -> ((s, d) => {
+      // OPTIMIZE bin-packing over a synthesized file manifest (one row
+      // per file — metadata, not data): every 5th order plays a file,
+      // partitioned by priority, with a deterministic pseudo-size; 16 MB
+      // target. Sequential-fill bins replay exactly in SQL (running-sum
+      // start offset div target)
+      val m = tbl(s, d, "orders").where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderpriority").as("part"),
+          col("o_orderkey").as("file_id"),
+          ((col("o_orderkey") % 997) * 16384 + 65536).as("size_bytes"))
+      Layout.compactionPlan(m, "part", "file_id", "size_bytes",
+          targetBytes = 16L * 1024 * 1024)
+        .orderBy("part", "file_id")
+    }),
     "layout_zorder_buckets" -> ((s, d) => {
       // the file-skipping evidence table: per-bucket (x,y) bounding boxes
       // under the z-order NEXT TO the same stats under a linear
@@ -4493,6 +4507,21 @@ object SparkEntry {
               FROM pt)
       SELECT doc_id, host, rank_micro FROM ded WHERE rn = 1
       ORDER BY doc_id""",
+    "layout_compaction" -> """
+      WITH m AS (
+        SELECT o_orderpriority AS part, o_orderkey AS file_id,
+               (o_orderkey % 997) * 16384 + 65536 AS size_bytes
+        FROM orders WHERE o_orderkey % 5 = 0),
+      p AS (
+        SELECT part, file_id, size_bytes,
+          CAST((CAST(sum(size_bytes) OVER (PARTITION BY part ORDER BY file_id)
+            AS BIGINT) - size_bytes) // 16777216 AS BIGINT) AS bin
+        FROM m)
+      SELECT part, file_id, size_bytes, bin,
+        count(*) OVER (PARTITION BY part, bin) AS n_in_bin,
+        CAST(sum(size_bytes) OVER (PARTITION BY part, bin) AS BIGINT)
+          AS bin_bytes
+      FROM p ORDER BY part, file_id""",
     "layout_zorder" -> s"""
       WITH base AS (SELECT event_id, user_id % 8192 AS x, event_id % 8192 AS y
                     FROM events)

@@ -93,4 +93,36 @@ object Layout {
       bits: Int, buckets: Int, tieCol: String): DataFrame =
     clusteredBucketStats(df, xCol, yCol,
       zValue(col(xCol), col(yCol), bits), buckets, tieCol)
+
+  /** Small-file compaction plan (the lakehouse `OPTIMIZE` bin-packing
+    * step): assign each manifest file to a rewrite bin so bins approach
+    * `targetBytes`. Sequential fill in `fileCol` order per partition —
+    * bin = (running-size start offset) div target — a deterministic rule
+    * both engines replay exactly, unlike best-fit heuristics whose output
+    * depends on iteration order. A file larger than the target keeps its
+    * whole bin (files are never split); `n_in_bin = 1` marks files the
+    * rewrite can skip.
+    *
+    * [Scale] The manifest is METADATA — one row per file, not per data
+    * row (a 100 TB table at 128 MB files is ~800k rows), so the plan is
+    * a sub-second computation regardless of table size. One exchange on
+    * the partition key feeds both windows: hash(part) satisfies the
+    * (part, bin) clustering, so the bin-stats window adds only a local
+    * re-sort, never a second exchange (plan-asserted in OperatorSpec).
+    */
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes >= 1, s"targetBytes >= 1, got $targetBytes")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+    val planned = manifest
+      .withColumn("__start",
+        coalesce(sum(col(sizeCol)).over(w) - col(sizeCol), lit(0L)))
+      .withColumn("bin", expr(s"__start div ${targetBytes}L"))
+      .drop("__start")
+    val wb = Window.partitionBy(col(partCol), col("bin"))
+    planned
+      .withColumn("n_in_bin", count(lit(1)).over(wb))
+      .withColumn("bin_bytes", sum(col(sizeCol)).over(wb))
+  }
 }

@@ -774,6 +774,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(rs2 == rs)
   }
 
+  test("compactionPlan: sequential fill bins, oversize isolation, one exchange") {
+    import graft.operators.Layout
+    // part a: 10,20,10 at target 25 -> starts 0,10,30 -> bins 0,0,1
+    // part b: one 100-byte file (> target) keeps its own bin, n_in_bin=1
+    val m = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 10L),
+      ("b", 1L, 100L)).toDF("part", "file_id", "size_bytes")
+    val plan = Layout.compactionPlan(m, "part", "file_id", "size_bytes", 25L)
+      .orderBy("part", "file_id")
+      .select("part", "file_id", "bin", "n_in_bin", "bin_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(plan == Seq(("a", 1L, 0L, 2L, 30L), ("a", 2L, 0L, 2L, 30L),
+      ("a", 3L, 1L, 1L, 10L), ("b", 1L, 0L, 1L, 100L)))
+    // hash(part) satisfies the (part, bin) clustering: both windows must
+    // plan over ONE exchange
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = Layout.compactionPlan(m, "part", "file_id", "size_bytes", 25L)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(exchanges.size == 1, s"expected one exchange, got ${exchanges.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("hits: exact-integer divisor rounds match hand computation") {
     // star a->b, a->c, b->a, c->a. Round 1: rawA = (2e6, 1e6, 1e6),
     // divisor = (2e6+999999) div 1e6 = 2 -> a = (1e6, 5e5, 5e5);
