@@ -128,13 +128,17 @@ object SparkEntry {
   private def roundTripDir(dir: String, prefix: String): String =
     sys.props("java.io.tmpdir") + s"/$prefix-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default; read it as long nanos and convert with integer division (a
-    * double roundtrip would lose precision at 1.7e18).
+  /** `events.ts` has shipped as TWO physical types across driver testdata
+    * generations: TIMESTAMP(NANOS) (Spark 4 only reads it as long nanos
+    * under the legacy flag — convert with integer division, a double
+    * roundtrip would lose precision at 1.7e18) and TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ). Accept both, normalizing to the same
+    * session-zone TIMESTAMP instants — the session zone is pinned UTC, so
+    * the NTZ cast reproduces the nanos-path values bit-for-bit.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    SparkUtil.normalizeEventTs(tbl(s, dir, "events"))
   }
 
   /** The deterministic query key: first 120 chars of doc 0 (the reference's

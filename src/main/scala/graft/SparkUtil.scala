@@ -13,6 +13,23 @@ object SparkUtil {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Normalize the events table's `ts` column to a session-zone TIMESTAMP.
+    * Driver testdata generations have shipped it as TIMESTAMP(NANOS) parquet
+    * (Spark 4 only reads that as long NANOS under the `nanosAsLong` legacy
+    * flag — convert with integer division; a double roundtrip would lose
+    * precision at 1.7e18) and as TIMESTAMP(MICROS) (arrives as
+    * TIMESTAMP_NTZ). With the session zone pinned UTC both paths yield
+    * bit-identical instants.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+
   /** Mid-query caches registered for explicit release. Operators that must
     * persist an intermediate frame (shared by both sides of a self-join, or
     * pinned against filter-pushdown re-execution) register it here instead

@@ -125,9 +125,9 @@ object EventStream {
     // prune to the four needed columns BEFORE anything stateful: every
     // surviving column of both sides lives in the join state stores for
     // watermark + horizon — the wide `props` payload must never get there
-    def src = spark.readStream.schema(rawSchema).parquet(dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+    def src = graft.SparkUtil.normalizeEventTs(
+        spark.readStream.schema(rawSchema).parquet(dir))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
     val errors = src.where(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
       .withWatermark("err_ts", "4 hours")
@@ -143,14 +143,14 @@ object EventStream {
   }
 
   /** The same aggregation as a streaming query over a parquet directory of
-    * raw events (ts stored as long nanos — Spark 4 rejects TIMESTAMP(NANOS)
-    * parquet natively), with a 2-hour watermark for late data. Identical
-    * expressions to the batch twin by construction. Caller starts/stops it
-    * (tests use the memory sink + processAllAvailable).
+    * raw events (ts normalized from either physical testdata type — see
+    * [[graft.SparkUtil.normalizeEventTs]]), with a 2-hour watermark for late
+    * data. Identical expressions to the batch twin by construction. Caller
+    * starts/stops it (tests use the memory sink + processAllAvailable).
     */
   def streamingTumblingCounts(spark: SparkSession, dir: String, rawSchema: StructType): DataFrame =
     tumblingCounts(
-      spark.readStream.schema(rawSchema).parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.SparkUtil.normalizeEventTs(
+          spark.readStream.schema(rawSchema).parquet(dir))
         .withWatermark("ts", "2 hours"))
 }

@@ -19,8 +19,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     val raw = spark.read.parquet(dir)
-    val batch = EventStream.tumblingCounts(
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val batch = EventStream.tumblingCounts(SparkUtil.normalizeEventTs(raw))
       .orderBy("window_start", "event_type").collect()
 
     val q = EventStream.streamingTumblingCounts(spark, dir, raw.schema)
@@ -41,8 +40,8 @@ class StreamingSpec extends AnyFunSuite {
     // so stateful dropDuplicates (keeps first ARRIVAL per key) must equal
     // the deterministic batch twin (keeps first event-TIME row per key)
     val dir = java.nio.file.Files.createTempDirectory("events-dedup").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    SparkUtil.normalizeEventTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .orderBy("ts", "event_id").coalesce(1)
       .write.mode("overwrite").parquet(dir)
     val sorted = spark.read.parquet(dir)
@@ -70,8 +69,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     val raw = spark.read.parquet(dir)
-    val batch = EventStream.purchasesNearErrors(
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val batch = EventStream.purchasesNearErrors(SparkUtil.normalizeEventTs(raw))
       .orderBy("err_id", "p_id").collect()
     val q = EventStream.streamingPurchasesNearErrors(spark, dir, raw.schema)
       .writeStream.format("memory").queryName("ssjoin_out")
@@ -89,8 +87,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.{SessionEvent, Sessionizer}
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("tsMillis"))
+    val ev = SparkUtil.normalizeEventTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tsMillis"))
       .as[SessionEvent]
     val gap = 30L * 60 * 1000
     val got = Sessionizer.assignSessions(ev, gap)
@@ -115,8 +114,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.{SessionEvent, Sessionizer}
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("tsMillis"))
+    val all = SparkUtil.normalizeEventTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tsMillis"))
     val cut = all.selectExpr("percentile(tsMillis, 0.5)").collect()(0).getDouble(0).toLong
 
     // two time-ordered files → maxFilesPerTrigger=1 forces two micro-batches,
