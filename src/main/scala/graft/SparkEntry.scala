@@ -1307,6 +1307,22 @@ object SparkEntry {
           col("n_dup_ngrams"), col("dup_tokens"), col("dup_frac").as("dup6"))
         .orderBy("doc_id")
     }),
+    "dedup_span_removal" -> ((s, d) => {
+      // the APPLIED form of dedup_ngram_coverage (Lee et al. ExactSubstr):
+      // same planted dup structure, but the duplicated spans are CUT and
+      // the surviving token stream returned; the oracle re-derives the
+      // covered-position set and rebuilds clean_text with an ordered
+      // string_agg over the kept positions
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 1,
+            lit(" the quick brown fox jumps over the lazy dog again today"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 4, concat(lit(" "), col("text")))
+            .otherwise(lit(""))).as("text"))
+      Dedup.removeDuplicatedSpans(planted, "doc_id", "text", n = 10)
+        .orderBy("doc_id")
+    }),
     "dedup_bloom_decontam" -> ((s, d) => {
       // Bloom-sketch decontamination (the zero-join 100 TB path of
       // dedup_decontaminate): bench = every 20th doc with a 5-token canary
@@ -4746,6 +4762,33 @@ object SparkEntry {
         CASE WHEN nt > 0
           THEN round(CAST(coalesce(ct, 0) AS DOUBLE) / nt, 6) END AS dup6
       FROM base b LEFT JOIN perdoc USING (doc_id) LEFT JOIN covc USING (doc_id)
+      ORDER BY b.doc_id""",
+    "dedup_span_removal" -> s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 1
+            THEN ' the quick brown fox jumps over the lazy dog again today'
+            ELSE '' END ||
+          CASE WHEN doc_id % 9 = 4 THEN ' ' || text ELSE '' END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      base AS (SELECT doc_id, tokens, len(tokens) AS nt FROM toks),
+      h AS (SELECT doc_id, i, md5(array_to_string(tokens[i:i+9], ' ')) AS h
+            FROM (SELECT doc_id, tokens,
+                    unnest(range(1, len(tokens) - 8)) AS i FROM base)),
+      cnt AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+      dup AS (SELECT doc_id, i FROM h JOIN cnt USING (h) WHERE c > 1),
+      cov AS (SELECT DISTINCT doc_id, tp FROM (
+                SELECT doc_id, unnest(range(i, i + 10)) AS tp FROM dup)),
+      pos AS (SELECT doc_id, unnest(range(1, nt + 1)) AS p FROM base),
+      kept AS (SELECT pos.doc_id, p FROM pos
+               LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.tp
+               WHERE cov.doc_id IS NULL),
+      clean AS (SELECT k.doc_id, count(*) AS kt,
+                  string_agg(b.tokens[k.p], ' ' ORDER BY k.p) AS ct
+                FROM kept k JOIN base b USING (doc_id) GROUP BY k.doc_id)
+      SELECT b.doc_id, nt AS n_tokens, coalesce(kt, 0) AS kept_tokens,
+        coalesce(ct, '') AS clean_text
+      FROM base b LEFT JOIN clean USING (doc_id)
       ORDER BY b.doc_id""",
     "dedup_bloom_decontam" -> s"""
       WITH $bloomGateCtes

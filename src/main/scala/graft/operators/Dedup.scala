@@ -157,6 +157,60 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6)))
   }
 
+  /** Exact-substring span REMOVAL — the applied form of
+    * [[duplicatedNgramStats]] (Lee et al. 2021 §4.1 "ExactSubstr": cut the
+    * duplicated spans out of the training text instead of dropping whole
+    * documents). Every token covered by ANY occurrence of a
+    * corpus-duplicated n-gram is removed (the conservative both-copies
+    * variant); the surviving tokens are re-joined with single spaces, so
+    * `clean_text` is a token stream, not byte-identical prose — exactly
+    * what a tokenizer-bound training pipeline consumes.
+    *
+    * Output: (id, n_tokens, kept_tokens, clean_text); `clean_text` is the
+    * empty string when nothing survives.
+    *
+    * Scale shape: the duplicated-occurrence decision reuses the
+    * [[duplicatedNgramStats]] machinery — exploded (id, pos, 16-byte hash)
+    * rows, one partial-aggregated corpus count, one semi-join — and the
+    * per-doc duplicated START offsets collapse to one int-array row per
+    * affected doc (bounded by that doc's n-gram count) before joining back
+    * onto the (id, tokens) projection; the cut itself is a NARROW
+    * `filter(tokens, (t, i) => …)` lambda probing the start list in place.
+    * Token arrays therefore cross AT MOST ONE exchange — none when AQE
+    * broadcasts the start table (curated corpora), exactly one SMJ
+    * co-partitioning when the affected-doc set outgrows broadcast
+    * (dup-heavy crawls) — the same documented degradation convention as
+    * [[dropExactDuplicates]]'s loser list; every other exchange carries
+    * (id, pos, hash) ints only.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = df.select(col(idCol).as("__rs_id"), T.tokenize(col(textCol)).as("__rs_toks"))
+      .transform(graft.SparkUtil.scopedPersist)
+    // sequence(1, m) flips to DESCENDING when m < 1 — guard empty docs
+    val idxs = when(size(col("__rs_toks")) >= n,
+      sequence(lit(0), size(col("__rs_toks")) - n)).otherwise(array().cast("array<int>"))
+    val grams = base.select(col("__rs_id"),
+        posexplode(transform(idxs, i => md5(array_join(slice(col("__rs_toks"), i + 1, lit(n)), " ")))))
+      .toDF("__rs_id", "__rs_pos", "__rs_h")
+    val dupHashes = grams.groupBy("__rs_h").agg(count(lit(1)).as("__rs_c"))
+      .where(col("__rs_c") > 1).select("__rs_h")
+    val starts = grams.join(dupHashes, Seq("__rs_h"), "left_semi")
+      .groupBy("__rs_id")
+      .agg(sort_array(collect_list(col("__rs_pos"))).as("__rs_starts"))
+    base.join(starts, Seq("__rs_id"), "left")
+      .withColumn("__rs_starts",
+        coalesce(col("__rs_starts"), array().cast("array<int>")))
+      .withColumn("__rs_kept",
+        filter(col("__rs_toks"), (_, i) =>
+          !exists(col("__rs_starts"), s => i >= s && i < s + n)))
+      .select(col("__rs_id").as(idCol),
+        size(col("__rs_toks")).cast("long").as("n_tokens"),
+        size(col("__rs_kept")).cast("long").as("kept_tokens"),
+        array_join(col("__rs_kept"), " ").as("clean_text"))
+  }
+
   /** Serialized Bloom filter over the benchmark set's distinct k-shingle
     * hashes — the bounded-sketch form of the [[contaminationFlags]] bench
     * side, for corpora where even the shingle JOIN is too expensive.

@@ -754,6 +754,47 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("span removal: duplicated spans cut, survivors re-joined, text never shuffles") {
+    // docs 1 and 2 share tokens a..l (12 tokens, three duplicated 10-grams
+    // whose union covers all 12) — the cut leaves only each doc's tail;
+    // doc 3 is clean and survives verbatim; doc 4 is sub-n
+    val shared = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (1L, shared + " unique1 tail1"),
+      (2L, shared + " unique2 tail2"),
+      (3L, "m n o p q r s t u v w x y z aa bb"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((14L, 2L, "unique1 tail1")))
+    assert(got(2L) == ((14L, 2L, "unique2 tail2")))
+    assert(got(3L) == ((16L, 16L, "m n o p q r s t u v w x y z aa bb")))
+    assert(got(4L) == ((2L, 2L, "short doc")), "sub-n docs survive whole")
+    // a fully-duplicated doc collapses to the empty string, not null
+    val twin = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val all = Dedup.removeDuplicatedSpans(twin, "doc_id", "text", n = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(all.forall(_ == ((12L, 0L, ""))))
+    // decision shuffles carry (id, pos/starts, hash); token arrays cross
+    // AT MOST the one documented reconstruction exchange
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 10)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      assert(shuffles.nonEmpty)
+      val tokenCarrying = shuffles.count(_.exists(c =>
+        c.toLowerCase.contains("text") || c.toLowerCase.contains("toks")))
+      assert(tokenCarrying <= 1,
+        s"more than one exchange ships document tokens: $shuffles")
+    } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("pagerank: exact-integer rounds match hand computation, mass conserved") {
     // 2-cycle is a fixed point: contrib = 1e6, r' = 150000 + 17e6 div 20 = 1e6
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
