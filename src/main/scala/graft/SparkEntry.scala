@@ -1779,6 +1779,19 @@ object SparkEntry {
           "raw_url", "text")
         .select(col("host"), col("n_docs"), col("n_tokens"))
         .orderBy("host")),
+    "text_domain_cap" -> ((s, d) => {
+      // anti-monoculture cap: ≤ 20 docs per host (longest text wins, id
+      // tie-break) over the planted crawl URLs — ~50 docs/host at sf0.001
+      // so the cap genuinely cuts; the %25==7 sliver gets an unparseable
+      // URL and must be kept unconditionally (dead-letter semantics)
+      val withUrl = plantedUrls(s, d)
+        .withColumn("raw_url", when(col("doc_id") % 25 === 7,
+          lit("no-scheme-here")).otherwise(col("raw_url")))
+        .join(docs(s, d).select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("score", length(col("text")).cast("double"))
+      TextAnalysis.capPerDomain(withUrl, "doc_id", "raw_url", "score", maxDocs = 20)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "text_chunk" -> ((s, d) =>
       // context-window chunking: 50-token windows, 10-token overlap; chunk
       // text emitted as md5 (comparator-friendly cell size)
@@ -5099,6 +5112,22 @@ object SparkEntry {
             len($tokenizeSql) AS nt FROM j)
       SELECT host, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
       FROM h GROUP BY 1 ORDER BY host""",
+    "text_domain_cap" -> s"""
+      WITH planted AS $plantedUrlSql,
+      u AS (SELECT doc_id, CASE WHEN doc_id % 25 = 7 THEN 'no-scheme-here'
+              ELSE raw_url END AS raw_url FROM planted),
+      j AS (SELECT u.doc_id, u.raw_url, len(d.text) AS score
+            FROM u JOIN documents d USING (doc_id)),
+      h AS (SELECT doc_id, lower(regexp_extract(raw_url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)', 1)) AS host,
+              score FROM j),
+      r AS (SELECT doc_id, row_number() OVER (PARTITION BY host
+              ORDER BY score DESC, doc_id) AS rn
+            FROM h WHERE host <> ''),
+      losers AS (SELECT doc_id FROM r WHERE rn > 20)
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
+      ORDER BY d.doc_id""",
     "text_chunk" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       nz AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),

@@ -427,6 +427,39 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 
+  /** Per-domain document cap — the anti-monoculture step of public crawl
+    * curation (C4 and RefinedWeb cap how much any single host contributes
+    * so template-heavy megasites cannot dominate the mixture): keep at most
+    * `maxDocs` documents per host, preferring the highest `scoreCol` with
+    * lowest-id tie-break. Documents with no parseable host are KEPT
+    * unconditionally (dead-letter semantics, like
+    * [[Dedup.dropUrlDuplicates]] — a missing URL is no evidence of
+    * monoculture); NaN/null scores rank worst, never first.
+    *
+    * Scale shape: the rank runs on a NARROW (id, host, score) projection —
+    * the per-host window shuffles 24-byte decision rows, never text — and
+    * the cut is an id-keyed anti-join of the LOSER ids (docs beyond the
+    * cap: a small sliver of a healthy corpus, so AQE usually broadcasts
+    * it; the hint is deliberately omitted so a monoculture-heavy crawl may
+    * still shuffle — the [[Dedup.dropExactDuplicates]] convention).
+    */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String,
+      scoreCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)", 1))
+    val w = Window.partitionBy(col("__cd_host"))
+      .orderBy(col("__cd_score").desc, col("__cd_id"))
+    val losers = df.select(col(idCol).as("__cd_id"), host.as("__cd_host"),
+        coalesce(nanvl(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)),
+          lit(Double.NegativeInfinity)).as("__cd_score"))
+      .where(col("__cd_host") =!= "")
+      .withColumn("__cd_rn", row_number().over(w))
+      .where(col("__cd_rn") > maxDocs)
+      .select(col("__cd_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Domain-blocklist URL filtering — the UT1/adult-list-shaped gatekeeper
     * every public crawl pipeline (CCNet, C4, RefinedWeb) runs before
     * content filters: a document is blocked when its canonical host equals

@@ -754,6 +754,38 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("capPerDomain: best-K per host, NaN ranks worst, hostless rows exempt") {
+    val docs = Seq(
+      (1L, "https://a.example/x", 5.0),
+      (2L, "https://a.example/y", 9.0),
+      (3L, "https://a.example/z", 9.0),   // ties with 2 → lower id (2) wins
+      (4L, "https://A.EXAMPLE/w", Double.NaN), // same host (lowercased); NaN worst
+      (5L, "https://b.example/x", 1.0),
+      (6L, "not a url", 0.0),             // hostless → kept unconditionally
+      (7L, "relative/path", 0.0)          // hostless → kept unconditionally
+    ).toDF("doc_id", "url", "score")
+    val kept = TextAnalysis.capPerDomain(docs, "doc_id", "url", "score", maxDocs = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L, 6L, 7L),
+      s"expected top-2 of a.example (9.0 ties break to ids 2,3), all of b + hostless: $kept")
+    // the rank window shuffles only (id, host, score) decision rows
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wide = docs.withColumn("text", lit("payload"))
+      val shuffles = TextAnalysis.capPerDomain(wide, "doc_id", "url", "score", 2)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      val windowExchanges = shuffles.filter(_.exists(_.startsWith("__cd_")))
+      assert(windowExchanges.nonEmpty)
+      windowExchanges.foreach(cols =>
+        assert(!cols.exists(c => c == "text" || c == "url"),
+          s"the rank exchange ships payload columns: $cols"))
+    } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("span removal: duplicated spans cut, survivors re-joined, text never shuffles") {
     // docs 1 and 2 share tokens a..l (12 tokens, three duplicated 10-grams
     // whose union covers all 12) — the cut leaves only each doc's tail;
