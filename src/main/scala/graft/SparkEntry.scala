@@ -1779,6 +1779,26 @@ object SparkEntry {
           "raw_url", "text")
         .select(col("host"), col("n_docs"), col("n_tokens"))
         .orderBy("host")),
+    "text_mojibake_repair" -> ((s, d) => {
+      // mojibake roundtrip gate: every doc gets a non-ASCII suffix (the
+      // U+2019 guarantees CLEAN text can never look like valid-UTF-8-in-
+      // latin1, so detection cannot false-fire); the %3==0 sliver is then
+      // double-encoded in-flight (utf8 bytes re-read as latin1 — exactly
+      // the upstream corruption), and repair must restore the clean text
+      // bit-for-bit: the oracle just recomputes md5(text || suffix)
+      val suffix = " café déjà’vu — æøå"
+      val clean = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+      val corrupted = clean.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+          .otherwise(col("text")))
+      TextAnalysis.repairMojibake(corrupted, "text")
+        .select(col("doc_id"), col("was_repaired"),
+          length(col("text_fixed")).cast("long").as("fixed_len"),
+          md5(col("text_fixed")).as("fixed_md5"))
+        .orderBy("doc_id")
+    }),
     "text_domain_cap" -> ((s, d) => {
       // anti-monoculture cap: ≤ 20 docs per host (longest text wins, id
       // tie-break) over the planted crawl URLs — ~50 docs/host at sf0.001
@@ -5112,6 +5132,15 @@ object SparkEntry {
             len($tokenizeSql) AS nt FROM j)
       SELECT host, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
       FROM h GROUP BY 1 ORDER BY host""",
+    "text_mojibake_repair" -> """
+      WITH clean AS (SELECT doc_id,
+          text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) ||
+          chr(8217) || 'vu ' || chr(8212) || ' ' || chr(230) || chr(248) ||
+          chr(229) AS text
+        FROM documents)
+      SELECT doc_id, (doc_id % 3 = 0) AS was_repaired,
+        CAST(length(text) AS BIGINT) AS fixed_len, md5(text) AS fixed_md5
+      FROM clean ORDER BY doc_id""",
     "text_domain_cap" -> s"""
       WITH planted AS $plantedUrlSql,
       u AS (SELECT doc_id, CASE WHEN doc_id % 25 = 7 THEN 'no-scheme-here'

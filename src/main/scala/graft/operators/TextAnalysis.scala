@@ -427,6 +427,45 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 
+  /** Mojibake detection and single-pass repair — the ftfy-core heuristic
+    * (Speer, public `ftfy` docs) for the dominant crawl corruption: UTF-8
+    * bytes decoded as Latin-1 somewhere upstream ("caf&eacute;" arriving as
+    * "cafÃ©"). A row is flagged when its characters all sit in U+0000-U+00FF
+    * AND, reinterpreted as Latin-1 bytes, they form VALID UTF-8 with at
+    * least one multibyte sequence — in that case re-encoding as Latin-1 and
+    * decoding as UTF-8 inverts the corruption exactly. Adds `was_repaired`
+    * and `text_fixed` (the input verbatim when not flagged).
+    *
+    * Known ambiguity (inherent to the heuristic, shared with ftfy): genuine
+    * Latin-1 prose that happens to form valid UTF-8 (e.g. a literal "Â©")
+    * is indistinguishable from mojibake and gets "repaired". Single-pass by
+    * design — doubly-corrupted text repairs one layer per application.
+    *
+    * Scale shape: a ZERO-shuffle narrow projection — two codegen'd RLIKE
+    * probes plus a conditional encode/decode roundtrip inside the scan
+    * pipeline; no UDF, no state.
+    */
+  def repairMojibake(df: DataFrame, textCol: String): DataFrame = {
+    // each alternative covers one valid UTF-8 sequence, expressed over the
+    // Latin-1 codepoints U+0080-U+00FF (RFC 3629 table: C2-DF tails, the
+    // E0/ED overlong+surrogate exclusions, the F0/F4 plane bounds)
+    val validUtf8InLatin1 =
+      "^(?:[\\x00-\\x7F]" +
+        "|[\\xC2-\\xDF][\\x80-\\xBF]" +
+        "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]" +
+        "|[\\xE1-\\xEC][\\x80-\\xBF]{2}" +
+        "|\\xED[\\x80-\\x9F][\\x80-\\xBF]" +
+        "|[\\xEE-\\xEF][\\x80-\\xBF]{2}" +
+        "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}" +
+        "|[\\xF1-\\xF3][\\x80-\\xBF]{3}" +
+        "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+    val t = col(textCol)
+    val detected = t.isNotNull && t.rlike("[\\x80-\\xFF]") && t.rlike(validUtf8InLatin1)
+    df.withColumn("was_repaired", detected)
+      .withColumn("text_fixed",
+        when(detected, decode(encode(t, "ISO-8859-1"), "UTF-8")).otherwise(t))
+  }
+
   /** Per-domain document cap — the anti-monoculture step of public crawl
     * curation (C4 and RefinedWeb cap how much any single host contributes
     * so template-heavy megasites cannot dominate the mixture): keep at most

@@ -754,6 +754,39 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("repairMojibake: inverts latin1 double-encoding, leaves clean/invalid text alone") {
+    def mojibake(s: String) = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val orig = "café déjà’vu — æøå"
+    val docs = Seq(
+      (1L, mojibake(orig)),        // corrupted → restored exactly
+      (2L, "plain ascii only"),    // no high bytes → untouched, not flagged
+      (3L, orig),                  // U+2019 > U+FF → can't be latin1 bytes → untouched
+      (4L, "café au lait"),        // latin1-only but E9+space is INVALID utf8 → untouched
+      (5L, mojibake(mojibake("å"))) // double-corrupted: one layer per pass
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repairMojibake(docs, "text")
+      .select("doc_id", "was_repaired", "text_fixed").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(got(1L) == ((true, orig)))
+    assert(got(2L) == ((false, "plain ascii only")))
+    assert(got(3L) == ((false, orig)))
+    assert(got(4L) == ((false, "café au lait")))
+    assert(got(5L) == ((true, mojibake("å"))))
+    // second pass peels the second layer
+    val twice = TextAnalysis.repairMojibake(
+      TextAnalysis.repairMojibake(docs, "text")
+        .select(col("doc_id"), col("text_fixed").as("text")), "text")
+      .where(col("doc_id") === 5L).select("text_fixed").collect()
+    assert(twice.head.getString(0) == "å")
+    // zero-shuffle narrow projection
+    val plan = TextAnalysis.repairMojibake(docs, "text").queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "repairMojibake must not shuffle")
+  }
+
   test("capPerDomain: best-K per host, NaN ranks worst, hostless rows exempt") {
     val docs = Seq(
       (1L, "https://a.example/x", 5.0),
