@@ -1909,6 +1909,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logscore"), 6).as("avg_ls6"))
         .orderBy("doc_id")),
+    "text_kn_bigram" -> ((s, d) =>
+      // held-out bigram LM with INTERPOLATED KNESER-NEY (the KenLM/CCNet
+      // smoothing): same train split as the stupid-backoff gate so the two
+      // scores are directly comparable; unseen histories exercise the
+      // continuation-only backoff path
+      TextAnalysis.withKneserNeyLogProb(docs(s, d), "doc_id", "text",
+        col("doc_id") % 2 === 0, discount = 0.75)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logscore"), 6).as("avg_ls6"))
+        .orderBy("doc_id")),
     "text_gopher_rules" -> ((s, d) =>
       // the published Gopher rule set (Rae et al. 2021 A1.1) as per-rule
       // booleans + conjunction; every signal an exact int or int-ratio
@@ -3987,6 +3997,42 @@ object SparkEntry {
              LEFT JOIN c2 ON b.bigram = c2.bigram
              LEFT JOIN c1 w1 ON string_split(b.bigram, ' ')[1] = w1.token
              LEFT JOIN c1 w2 ON string_split(b.bigram, ' ')[-1] = w2.token
+             CROSS JOIN t),
+      per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lsi) AS s
+              FROM sc GROUP BY 1)
+      SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+        round(CAST(round(CAST(per.s AS DOUBLE) / per.n_bigrams) AS BIGINT)
+          / 1e6, 6) AS avg_ls6
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_kn_bigram" -> s"""
+      WITH toks AS (SELECT doc_id, (doc_id % 2 = 0) AS is_train,
+          $tokenizeSql AS tokens FROM documents),
+      occ AS (SELECT doc_id, is_train, unnest(tokens) AS token FROM toks),
+      bg AS (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(tokens)),
+                 i -> tokens[i] || ' ' || tokens[i + 1])) AS bigram
+             FROM toks),
+      c2 AS (SELECT bigram, count(*) AS c2,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[-1] AS w2
+             FROM bg WHERE is_train GROUP BY 1),
+      hist AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+      t AS (SELECT (SELECT count(*) FROM c2) AS tt,
+                   (SELECT count(DISTINCT token) FROM occ WHERE is_train) AS v),
+      sc AS (SELECT b.doc_id,
+               CAST(round(ln(CASE WHEN h.c1 IS NOT NULL
+                   THEN greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                          / h.c1
+                        + 0.75 * CAST(h.n1f AS DOUBLE) / h.c1
+                          * (CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                             / CAST(t.tt + t.v AS DOUBLE))
+                   ELSE CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                          / CAST(t.tt + t.v AS DOUBLE) END) * 1e6) AS BIGINT) AS lsi
+             FROM bg b
+             LEFT JOIN c2 ON b.bigram = c2.bigram
+             LEFT JOIN hist h ON string_split(b.bigram, ' ')[1] = h.w1
+             LEFT JOIN cont ct ON string_split(b.bigram, ' ')[-1] = ct.w2
              CROSS JOIN t),
       per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lsi) AS s
               FROM sc GROUP BY 1)

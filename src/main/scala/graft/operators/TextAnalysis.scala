@@ -1102,6 +1102,97 @@ object TextAnalysis {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Bigram-LM quality score with INTERPOLATED KNESER-NEY smoothing (Kneser
+    * & Ney 1995; Chen & Goodman 1998 eq. 20 — the scheme KenLM implements
+    * and CCNet's perplexity filter therefore runs, vs. the train-free
+    * stupid backoff of [[withBigramLogProb]]):
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·) + D·N1+(w1·)/c(w1·)·Pc(w2)
+    *
+    * with fixed discount `D = 0.75`, history count `c(w1·)` = bigram
+    * occurrences opening with w1, fan-out `N1+(w1·)` = distinct
+    * continuations of w1, and the continuation distribution add-one
+    * smoothed so unseen words keep finite log-mass (the Chen–Goodman OOV
+    * escape folded into one term): `Pc(w2) = (N1+(·w2) + 1)/(T + V)` over
+    * T = distinct train bigram types, V = train vocabulary size. An unseen
+    * HISTORY backs off to `Pc(w2)` alone. Counts train on the held-out
+    * `trainFilter` slice and score every document, so the backoff paths
+    * genuinely occur. Adds `n_bigrams` and `avg_logscore`.
+    *
+    * Determinism: per-bigram log-scores quantize to integer micro-nats, so
+    * per-doc sums are exact and order-independent; the double-precision
+    * expression tree is structurally mirrored by the SQL oracle.
+    *
+    * Scale shape: identical to [[withBigramLogProb]] — all five count
+    * tables are corpus-vocabulary sized (never force-broadcast; AQE
+    * broadcasts the Zipf-small type tables when they fit), scoring runs on
+    * DISTINCT bigram types with one occurrence-level equi-join, and every
+    * aggregate is map-side combined.
+    */
+  def withKneserNeyLogProb(df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1), got $discount")
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), trainFilter.as("__is_train"),
+        T.tokenize(col(textCol)).as("__toks"))
+    val toks = base.select(col(idCol), col("__is_train"),
+      explode(col("__toks")).as("token"))
+    val bigrams = base
+      .select(col(idCol), col("__is_train"),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+    val c2 = bigrams.where(col("__is_train"))
+      .groupBy("bigram").agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+      .transform(graft.SparkUtil.scopedPersist)
+    // history count + fan-out from the TYPE table (c1 = Σ c2 over w1)
+    val hist = c2.groupBy(col("__w1"))
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = c2.groupBy(col("__w2")).agg(count(lit(1)).as("__n1b"))
+    val vocab = toks.where(col("__is_train")).agg(
+      count_distinct(col("token")).as("__V"))
+    val tot = c2.agg(count(lit(1)).cast("long").as("__T"))
+      .crossJoin(vocab)
+    val types = bigrams.select("bigram").distinct()
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val typeScores = types
+      .join(c2.select(col("bigram"), col("__c2")), Seq("bigram"), "left")
+      .join(hist.select(col("__w1").as("w1"), col("__c1"), col("__n1f")),
+        Seq("w1"), "left")
+      .join(cont.select(col("__w2").as("w2"), col("__n1b")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      // an empty train slice must fail loudly at execution, not return
+      // all-null scores a downstream filter would silently act on
+      .withColumn("__tv",
+        when(col("__V") > 0, (col("__T") + col("__V")).cast("double"))
+          .otherwise(raise_error(lit(
+            "withKneserNeyLogProb: trainFilter matched no rows — no counts to train on"))
+            .cast("double")))
+      .withColumn("__pc",
+        (coalesce(col("__n1b"), lit(0L)) + 1).cast("double") / col("__tv"))
+      .select(col("bigram"),
+        round(log(when(col("__c1").isNotNull,
+            greatest(coalesce(col("__c2"), lit(0L)).cast("double") - discount,
+              lit(0.0)) / col("__c1") +
+              lit(discount) * col("__n1f").cast("double") / col("__c1") * col("__pc"))
+          .otherwise(col("__pc"))) * 1e6)
+          .cast("long").as("__lsi"))
+    val scored = bigrams.select(col(idCol), col("bigram"))
+      .join(typeScores, Seq("bigram"))
+      .select(col(idCol), col("__lsi"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lsi").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        microAvg(col("__s"), col("n_bigrams")).as("avg_logscore"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** Gopher-style document quality rules (the published rule set of Rae et
     * al. 2021, Appendix A1.1 — the standard pre-filter of web-crawl
     * curation pipelines). Adds the raw signals and one boolean per rule:

@@ -754,6 +754,31 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("Kneser-Ney bigram: hand-computed interpolated scores, backoff on unseen history") {
+    // train = doc 1 only: "a b a b" → c2("a b")=2, c2("b a")=1;
+    // hist: a→(c1=2,n1f=1), b→(c1=1,n1f=1); cont: a→1, b→1; T=2, V=2
+    val docs = Seq(
+      (1L, "a b a b"),   // train
+      (2L, "a b c"),     // seen history a; unseen bigram "b c"
+      (3L, "z a"),       // unseen history z → continuation-only backoff
+      (4L, "solo")       // <2 tokens → no bigrams, null score
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withKneserNeyLogProb(docs, "doc_id", "text",
+        col("doc_id") === 1L, discount = 0.75)
+      .select("doc_id", "n_bigrams", "avg_logscore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    // P(b|a) = (2-.75)/2 + .75·1/2·((1+1)/4) = 0.8125      → ln·1e6 ≈ -207639
+    // P(a|b) = (1-.75)/1 + .75·1/1·0.5       = 0.625       → -470004
+    // P(c|b) = 0 + .75·1/1·((0+1)/4)         = 0.1875      → -1673976
+    // P(a|z) = Pc(a) = (1+1)/4               = 0.5         → -693147
+    assert(got(1L) == ((3L, Some(-0.295094))),
+      s"doc1: round((-207639*2 - 470004)/3)/1e6, got ${got(1L)}")
+    assert(got(2L) == ((2L, Some(-0.940808))),
+      s"doc2: round((-207639 - 1673976)/2) = -940808 (HALF_UP on -.5), got ${got(2L)}")
+    assert(got(3L) == ((1L, Some(-0.693147))))
+    assert(got(4L) == ((0L, None)))
+  }
+
   test("repairMojibake: inverts latin1 double-encoding, leaves clean/invalid text alone") {
     def mojibake(s: String) = new String(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
