@@ -2121,6 +2121,20 @@ object SparkEntry {
       TextSearch.bm25Scores(docs(s, d), "doc_id", "text", keyOf(s, d))
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score6"))
         .orderBy("doc_id")),
+    "text_phrase_search" -> ((s, d) => {
+      // positional phrase query over planted suffixes: the %10==4 sliver
+      // carries TWO occurrences, %5==2 one, %5==3 a near-miss prefix that
+      // must NOT match; mixed-case query exercises the shared tokenizer
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 4, lit(" alpha beta gamma alpha beta gamma"))
+            .when(col("doc_id") % 5 === 2, lit(" zeta alpha beta gamma"))
+            .when(col("doc_id") % 5 === 3, lit(" alpha beta delta"))
+            .otherwise(lit(""))).as("text"))
+      TextSearch.phraseMatches(planted, "doc_id", "text", "Alpha BETA gamma")
+        .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
+        .orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprints(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "bag_fingerprint", "seq_fingerprint").orderBy("doc_id")),
@@ -5271,6 +5285,22 @@ object SparkEntry {
         FROM tf JOIN idf i USING (token), stats s
         GROUP BY 1)
       SELECT doc_id, round(score, 6) AS score6 FROM scored ORDER BY doc_id""",
+    "text_phrase_search" -> s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 10 = 4 THEN ' alpha beta gamma alpha beta gamma'
+               WHEN doc_id % 5 = 2 THEN ' zeta alpha beta gamma'
+               WHEN doc_id % 5 = 3 THEN ' alpha beta delta'
+               ELSE '' END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      anch AS (SELECT doc_id, i FROM (
+                 SELECT doc_id, tokens,
+                   unnest(range(1, len(tokens) - 1)) AS i FROM toks)
+               WHERE tokens[i] = 'alpha' AND tokens[i+1] = 'beta'
+                 AND tokens[i+2] = 'gamma')
+      SELECT doc_id, count(*) AS n_matches,
+        CAST(min(i) - 1 AS BIGINT) AS first_pos
+      FROM anch GROUP BY 1 ORDER BY doc_id""",
     "text_fingerprint" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
       SELECT doc_id,

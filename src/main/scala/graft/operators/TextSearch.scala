@@ -61,6 +61,48 @@ object TextSearch {
       .groupBy("id").agg(sum(col("s")).as("score"))
   }
 
+  /** Exact-phrase search over positional postings — the phrase-query side
+    * of a search engine (positional inverted index + adjacency), beside the
+    * bag-of-words BM25. A document matches where the phrase's tokens occur
+    * at CONSECUTIVE positions under the shared tokenizer; overlapping
+    * occurrences all count, duplicate phrase tokens are handled (each
+    * query offset must be witnessed by its own posting). Output:
+    * (id, n_matches, first_pos) for matching docs, positions 0-based.
+    *
+    * Scale shape: no m-way self-join — each posting (id, pos, token)
+    * surviving the query-token scan filter emits one candidate ANCHOR
+    * `pos − j` per query offset j holding that token (an m-row broadcast
+    * join), and an anchor with exactly m witnesses is a match: ONE
+    * aggregation shuffle carrying (id, anchor) ints for query-token
+    * occurrences only — document text and non-query tokens never leave
+    * the scan. The per-doc rollup reuses decision-sized rows.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // phrase tokens through the SAME tokenizer expression as the documents
+    // (the bm25Scores convention) — order and duplicates kept
+    val qTokens = spark.range(1)
+      .select(T.tokenize(lit(phrase)).as("t"))
+      .collect()(0).getSeq[String](0)
+    require(qTokens.nonEmpty, "phrase tokenizes to nothing")
+    val m = qTokens.length
+    val offsets = qTokens.zipWithIndex.toDF("token", "j")
+    val postings = graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"),
+          T.tokenize(col(textCol)).as("__toks")))
+      .select(col("id"), posexplode(col("__toks")).as(Seq("pos", "token")))
+      .where(col("token").isin(qTokens.distinct: _*))
+    postings.join(broadcast(offsets), Seq("token"))
+      .select(col("id"), (col("pos") - col("j")).as("anchor"))
+      .groupBy("id", "anchor").agg(count(lit(1)).as("__w"))
+      .where(col("__w") === m)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
   /** Top-k BM25 hits with the document text attached (score-desc, id-asc). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       query: String, k: Int): DataFrame =

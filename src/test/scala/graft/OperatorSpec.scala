@@ -779,6 +779,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("phraseMatches: adjacency, overlap, duplicate query tokens, decision-only shuffle") {
+    val docs = Seq(
+      (1L, "x alpha beta gamma y alpha beta gamma"), // two matches, first at 1
+      (2L, "alpha beta delta gamma"),                // near-miss: not adjacent
+      (3L, "beta alpha gamma"),                      // wrong order
+      (4L, "ALPHA Beta gamma tail")                  // tokenizer lowercases → match at 0
+    ).toDF("doc_id", "text")
+    val got = TextSearch.phraseMatches(docs, "doc_id", "text", "alpha beta gamma")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 4L -> ((1L, 0L))))
+    // overlapping occurrences and duplicated phrase tokens: "a a" over "a a a"
+    val rep = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val ov = TextSearch.phraseMatches(rep, "doc_id", "text", "a a")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ov.toSeq == Seq((2L, 0L)), "anchors 0 and 1 both match")
+    // single-token phrase degenerates to occurrence count
+    val one = TextSearch.phraseMatches(rep, "doc_id", "text", "a")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((3L, 0L)))
+    // exchanges carry (id, anchor/token) decision rows, never text
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = TextSearch.phraseMatches(docs, "doc_id", "text", "alpha beta")
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach(cols => assert(!cols.exists(c =>
+        c.toLowerCase.contains("text") || c.toLowerCase.contains("toks")),
+        s"an exchange ships document text: $cols"))
+    } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("repairMojibake: inverts latin1 double-encoding, leaves clean/invalid text alone") {
     def mojibake(s: String) = new String(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
