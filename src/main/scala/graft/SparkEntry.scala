@@ -2491,6 +2491,35 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_gopher_gate").orderBy("doc_id")
     }),
+    "stream_mojibake_real" -> ((s, d) => {
+      // crawl cleanup lifts to streams unchanged: mojibake repair is a
+      // STATELESS narrow projection, so real micro-batch execution
+      // (4 files → 4 triggers, append-mode memory sink) must equal the
+      // batch text_mojibake_repair gate — the same planted corruption is
+      // baked into the staged files and the oracle recomputes the same
+      // clean-text md5
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-mojibake")
+      val suffix = " café déjà’vu — æøå"
+      docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit(suffix)).as("text"))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+            .otherwise(col("text")))
+        .repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = TextAnalysis.repairMojibake(src, "text")
+        .select(col("doc_id"), col("was_repaired"),
+          md5(col("text_fixed")).as("fixed_md5"))
+        .writeStream.format("memory").queryName("graft_mojibake_gate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_mojibake_gate").orderBy("doc_id")
+    }),
     "stream_cms_real" -> ((s, d) => {
       // sketch maintenance lifts to streams: COMPLETE-mode aggregation
       // keeps one 32 KB matrix in the state store and merges each
@@ -3700,6 +3729,14 @@ object SparkEntry {
       SELECT doc_id, n_words,
         (n_words BETWEEN 50 AND 100000) AS r_word_count, stop_hits
       FROM sig ORDER BY doc_id""",
+    "stream_mojibake_real" -> """
+      WITH clean AS (SELECT doc_id,
+          text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) ||
+          chr(8217) || 'vu ' || chr(8212) || ' ' || chr(230) || chr(248) ||
+          chr(229) AS text
+        FROM documents)
+      SELECT doc_id, (doc_id % 3 = 0) AS was_repaired, md5(text) AS fixed_md5
+      FROM clean ORDER BY doc_id""",
     "stream_dedup_real" -> """
       WITH e AS (SELECT user_id, event_type, event_id,
                    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
