@@ -1098,6 +1098,39 @@ object SparkEntry {
         .select("doc_id", "host", "rank_micro")
         .orderBy("doc_id")
     }),
+    "pipeline_curate_v6" -> ((s, d) => {
+      // round-10 session-2 composed pipeline stacking the session's new
+      // operators: mojibake repair (cleanup — %3==0 docs double-encoded
+      // in-flight, repair must restore them before anything downstream
+      // sees the text) ∘ per-domain cap (≤30 per host, longest-text-wins)
+      // ∘ interpolated-KN perplexity floor (keep docs scoring above the
+      // capped-corpus mean in exact micro-nats; ONE bounded 1-row collect)
+      val suffix = " café déjà’vu — æøå"
+      val clean = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+      val corrupted = clean.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+          .otherwise(col("text")))
+      val repaired = TextAnalysis.repairMojibake(corrupted, "text")
+        .select(col("doc_id"), col("text_fixed").as("text"))
+      val withUrl = plantedUrls(s, d).join(repaired, Seq("doc_id"))
+        .withColumn("score", length(col("text")).cast("double"))
+      val capped = TextAnalysis.capPerDomain(
+        withUrl, "doc_id", "raw_url", "score", maxDocs = 30)
+      val scored = TextAnalysis.withKneserNeyLogProb(capped, "doc_id", "text",
+          col("doc_id") % 2 === 0, discount = 0.75)
+        .where(col("n_bigrams") > 0)
+        .withColumn("ls_micro", round(col("avg_logscore") * 1e6).cast("long"))
+        .transform(SparkUtil.scopedPersist)
+      val cutRow = scored.agg(avg(col("ls_micro"))).collect()(0)
+      require(!cutRow.isNullAt(0),
+        "pipeline_curate_v6: no scored docs survived the cap")
+      scored.where(col("ls_micro").cast("double") > cutRow.getDouble(0))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logscore"), 6).as("avg_ls6"))
+        .orderBy("doc_id")
+    }),
     "layout_zorder" -> ((s, d) =>
       // 13-bit Morton z-value over (user, event) keys — the OPTIMIZE
       // ZORDER BY clustering key; pure builtin shift/mask projection,
@@ -4656,6 +4689,59 @@ object SparkEntry {
                                    ORDER BY doc_id) AS rn
               FROM pt)
       SELECT doc_id, host, rank_micro FROM ded WHERE rn = 1
+      ORDER BY doc_id""",
+    "pipeline_curate_v6" -> s"""
+      WITH planted AS $plantedUrlSql,
+      clean AS (SELECT doc_id,
+          text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) ||
+          chr(8217) || 'vu ' || chr(8212) || ' ' || chr(230) || chr(248) ||
+          chr(229) AS text
+        FROM documents),
+      jj AS (SELECT p.doc_id, p.raw_url, c.text, len(c.text) AS score
+             FROM planted p JOIN clean c USING (doc_id)),
+      hh AS (SELECT doc_id, lower(regexp_extract(raw_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]*)', 1)) AS host,
+               score FROM jj),
+      rr AS (SELECT doc_id, row_number() OVER (PARTITION BY host
+               ORDER BY score DESC, doc_id) AS rn FROM hh),
+      capped AS (SELECT doc_id FROM rr WHERE rn <= 30),
+      toks AS (SELECT c.doc_id, (c.doc_id % 2 = 0) AS is_train,
+          $tokenizeSql AS tokens FROM clean c JOIN capped USING (doc_id)),
+      occ AS (SELECT doc_id, is_train, unnest(tokens) AS token FROM toks),
+      bg AS (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(tokens)),
+                 i -> tokens[i] || ' ' || tokens[i + 1])) AS bigram
+             FROM toks),
+      c2 AS (SELECT bigram, count(*) AS c2,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[-1] AS w2
+             FROM bg WHERE is_train GROUP BY 1),
+      hist AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+      t AS (SELECT (SELECT count(*) FROM c2) AS tt,
+                   (SELECT count(DISTINCT token) FROM occ WHERE is_train) AS v),
+      sc AS (SELECT b.doc_id,
+               CAST(round(ln(CASE WHEN h.c1 IS NOT NULL
+                   THEN greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                          / h.c1
+                        + 0.75 * CAST(h.n1f AS DOUBLE) / h.c1
+                          * (CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                             / CAST(t.tt + t.v AS DOUBLE))
+                   ELSE CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                          / CAST(t.tt + t.v AS DOUBLE) END) * 1e6) AS BIGINT) AS lsi
+             FROM bg b
+             LEFT JOIN c2 ON b.bigram = c2.bigram
+             LEFT JOIN hist h ON string_split(b.bigram, ' ')[1] = h.w1
+             LEFT JOIN cont ct ON string_split(b.bigram, ' ')[-1] = ct.w2
+             CROSS JOIN t),
+      per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lsi) AS s
+              FROM sc GROUP BY 1),
+      scored AS (SELECT doc_id, n_bigrams,
+                   CAST(round(CAST(s AS DOUBLE) / n_bigrams) AS BIGINT) AS lsm
+                 FROM per WHERE n_bigrams > 0),
+      cut AS (SELECT avg(lsm) AS c FROM scored)
+      SELECT doc_id, n_bigrams, round(lsm / 1e6, 6) AS avg_ls6
+      FROM scored, cut WHERE CAST(lsm AS DOUBLE) > c
       ORDER BY doc_id""",
     "layout_compaction" -> """
       WITH m AS (
