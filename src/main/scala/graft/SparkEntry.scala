@@ -576,6 +576,29 @@ object SparkEntry {
         .countMinAgg(col("token"), 4, 1024).as("sk"))
       cmsHeavyHitters(toks, sk, depth = 4, width = 1024)
     }),
+    "agg_constraint_report" -> ((s, d) => {
+      // dbt-shape data-quality validation with every violation kind
+      // PLANTED in-flight: %89 null status (not-null), %97 rows duplicated
+      // (unique key), %41 custkeys shifted out of the parent domain
+      // (referential), %73 prices negated (predicate); each check is one
+      // exact single-pass count, the oracle replays plant + counts
+      val base = tbl(s, d, "orders")
+      val mutated = base.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 41 === 0, col("o_custkey") + 900000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 73 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val planted = mutated.unionAll(mutated.where(col("o_orderkey") % 97 === 0))
+      DataQuality.constraintReport(planted,
+        notNull = Seq("o_orderstatus"),
+        uniqueKeys = Seq(Seq("o_orderkey")),
+        refs = Seq(("o_custkey", tbl(s, d, "customer"), "c_custkey")),
+        predicates = Seq(("totalprice_positive", col("o_totalprice") > 0)))
+        .orderBy("check_name")
+    }),
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
@@ -3343,6 +3366,32 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
+    "agg_constraint_report" -> """
+      WITH m AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 41 = 0 THEN o_custkey + 900000000
+               ELSE o_custkey END AS o_custkey,
+          CASE WHEN o_orderkey % 89 = 0 THEN NULL
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 73 = 0 THEN -o_totalprice
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders),
+      p AS (SELECT * FROM m
+            UNION ALL SELECT * FROM m WHERE o_orderkey % 97 = 0),
+      r AS (
+        SELECT 'check:totalprice_positive' AS check_name,
+          count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE))
+            AS n_violations FROM p
+        UNION ALL
+        SELECT 'not_null:o_orderstatus',
+          count(*) FILTER (WHERE o_orderstatus IS NULL) FROM p
+        UNION ALL
+        SELECT 'ref:o_custkey->c_custkey', count(*) FROM p
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'unique:o_orderkey', count(*) - count(DISTINCT o_orderkey)
+          FROM p WHERE o_orderkey IS NOT NULL)
+      SELECT check_name, n_violations FROM r ORDER BY check_name""",
     "agg_cms_heavy" -> cmsHeavyOracle,
     "stream_cms_real" -> cmsHeavyOracle,
     "agg_group_stats" -> """

@@ -779,6 +779,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("constraintReport: each violation kind counted exactly, null semantics pinned") {
+    val parent = Seq(1L, 2L).toDF("pid")
+    val child = Seq(
+      (1L, Option(1L), Option(5.0)),
+      (1L, Option(2L), Option(-1.0)),  // duplicate key; negative value
+      (2L, None: Option[Long], None: Option[Double]), // null fk: NOT a ref violation; null pred FAILS
+      (3L, Option(9L), Option(2.0))    // orphan fk
+    ).toDF("id", "fk", "v")
+    val got = DataQuality.constraintReport(child,
+      notNull = Seq("fk"),
+      uniqueKeys = Seq(Seq("id")),
+      refs = Seq(("fk", parent, "pid")),
+      predicates = Seq(("v_positive", col("v") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null:fk" -> 1L,
+      "unique:id" -> 1L,
+      "ref:fk->pid" -> 1L,
+      "check:v_positive" -> 2L))
+  }
+
   test("phraseMatches: adjacency, overlap, duplicate query tokens, decision-only shuffle") {
     val docs = Seq(
       (1L, "x alpha beta gamma y alpha beta gamma"), // two matches, first at 1
