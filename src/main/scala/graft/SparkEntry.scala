@@ -2191,6 +2191,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
         .orderBy("doc_id")
     }),
+    "text_hybrid_rrf" -> ((s, d) =>
+      // hybrid lexical+vector retrieval: BM25 over the flagship query key
+      // fused with embedding-cosine ranks (vec_id ≡ doc_id — the two
+      // modalities of one corpus) by reciprocal rank fusion at k=60
+      TextSearch.hybridRrfTopK(docs(s, d), "doc_id", "text", keyOf(s, d),
+          tbl(s, d, "embeddings"), "vec_id", "embedding", queryId = 0L,
+          k = 10, perList = 50)
+        .select(col("id").as("doc_id"), col("rank_text"), col("rank_vec"),
+          col("rrf"))
+        .orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprints(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "bag_fingerprint", "seq_fingerprint").orderBy("doc_id")),
@@ -5473,6 +5483,41 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_matches,
         CAST(min(i) - 1 AS BIGINT) AS first_pos
       FROM anch GROUP BY 1 ORDER BY doc_id""",
+    "text_hybrid_rrf" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      tl AS (SELECT doc_id, tokens, len(tokens) AS dl FROM toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM tl),
+      qdoc AS (SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id = 0),
+      qt AS (SELECT DISTINCT unnest($tokenizeSql) AS token FROM qdoc),
+      hits AS (SELECT doc_id, dl, unnest(tokens) AS token FROM tl),
+      tf AS (SELECT h.doc_id, h.dl, h.token, count(*) AS tf
+             FROM hits h JOIN qt ON h.token = qt.token GROUP BY 1, 2, 3),
+      idf AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+          sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS score
+        FROM tf JOIN idf i USING (token), stats s GROUP BY 1),
+      bmr AS (SELECT doc_id AS id, row_number()
+                OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank_text
+              FROM scored QUALIFY rank_text <= 50),
+      q AS (SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0),
+      cs AS (
+        SELECT e.vec_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_v[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+      csr AS (SELECT vec_id AS id, row_number()
+                OVER (ORDER BY round(cosine, 6) DESC, vec_id) AS rank_vec
+              FROM cs QUALIFY rank_vec <= 50),
+      fused AS (SELECT coalesce(b.id, c.id) AS doc_id, b.rank_text, c.rank_vec,
+          coalesce(1.0 / (60 + b.rank_text), 0) + coalesce(1.0 / (60 + c.rank_vec), 0) AS rrf
+        FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id)
+      SELECT doc_id, rank_text, rank_vec, round(rrf, 6) AS rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
     "text_fingerprint" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents)
       SELECT doc_id,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 full-text relevance scoring (Robertson/Spärck Jones; the
@@ -101,6 +102,46 @@ object TextSearch {
       .groupBy("id")
       .agg(count(lit(1)).as("n_matches"),
         min(col("anchor")).cast("long").as("first_pos"))
+  }
+
+  /** Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack et al. 2009 —
+    * the standard production shape for lexical + vector search): fuse the
+    * BM25 top-`perList` and the embedding-cosine top-`perList` as
+    * `Σ 1/(rrfK + rank)`, ranking each list by its 6-dp-ROUNDED score with
+    * id tie-break (raw shuffled double sums are not bit-stable across
+    * engines; the rounded values are the proven-deterministic surface).
+    * Ids absent from a list contribute nothing. Output:
+    * (id, rank_text, rank_vec, rrf) — nullable ranks for one-list hits.
+    *
+    * Scale shape: each ranker cuts to its top-`perList` with a distributed
+    * TakeOrdered (no global sort); rank assignment and the full-outer fuse
+    * then run on two ≤ perList-row frames — the only unbounded work is the
+    * two rankers themselves, which keep their own documented shapes.
+    */
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, emb: DataFrame, embIdCol: String, embVecCol: String,
+      queryId: Long, k: Int, perList: Int = 100, rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && perList >= k, s"need 1 <= k <= perList, got k=$k perList=$perList")
+    // single-partition windows are SAFE here: both frames are already cut
+    // to perList rows
+    val wText = Window.orderBy(col("s6").desc, col("id").asc)
+    val wVec = Window.orderBy(col("c6").desc, col("id").asc)
+    val textRanks = bm25Scores(docs, idCol, textCol, query)
+      .select(col("id"), round(col("score"), 6).as("s6"))
+      .orderBy(col("s6").desc, col("id").asc).limit(perList)
+      .withColumn("rank_text", row_number().over(wText).cast("long"))
+      .select(col("id"), col("rank_text"))
+    val vecRanks = SimSearch.cosineTopK(emb, embIdCol, embVecCol, queryId, perList)
+      .select(col("id"), round(col("cosine"), 6).as("c6"))
+      .withColumn("rank_vec", row_number().over(wVec).cast("long"))
+      .select(col("id"), col("rank_vec"))
+    textRanks.join(vecRanks, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id").asc).limit(k)
+      .select(col("id"), col("rank_text"), col("rank_vec"),
+        round(col("rrf"), 6).as("rrf"))
   }
 
   /** Top-k BM25 hits with the document text attached (score-desc, id-asc). */

@@ -779,6 +779,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("hybridRrfTopK: fusion reorders single-list winners, one-list hits kept") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple"), (3L, "cherry"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),  // query vector
+      (1L, Array(0.0f, 1.0f)),  // orthogonal → vec rank 3
+      (2L, Array(1.0f, 0.0f)),  // identical → vec rank 1
+      (3L, Array(0.9f, 0.1f))   // close → vec rank 2
+    ).toDF("vec_id", "embedding")
+    val got = TextSearch.hybridRrfTopK(docs, "doc_id", "text", "apple banana",
+      emb, "vec_id", "embedding", queryId = 0L, k = 3, perList = 3).collect()
+    // bm25 alone ranks doc 1 first (both terms); fusion lifts doc 2
+    // (text #2 + vec #1 = 1/62 + 1/61) above it (1/61 + 1/63)
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L))
+    val m = got.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(m(2L) == ((Some(2L), Some(1L))))
+    assert(m(1L) == ((Some(1L), Some(3L))))
+    assert(m(3L) == ((None, Some(2L))), "bm25 miss keeps a null text rank")
+  }
+
   test("constraintReport: each violation kind counted exactly, null semantics pinned") {
     val parent = Seq(1L, 2L).toDF("pid")
     val child = Seq(
