@@ -1868,6 +1868,12 @@ object SparkEntry {
       TextAnalysis.capPerDomain(withUrl, "doc_id", "raw_url", "score", maxDocs = 20)
         .select("doc_id").orderBy("doc_id")
     }),
+    "text_chunk_bpe" -> ((s, d) =>
+      // context-window chunking at SUBWORD granularity: boundaries every
+      // 64 BPE tokens of the planted merge table; words assigned by their
+      // starting subword offset (closed-form cumsum, no greedy resets)
+      TextAnalysis.chunkByBpeBudget(docs(s, d), "doc_id", "text", budget = 64)
+        .orderBy("doc_id", "chunk_idx")),
     "text_chunk" -> ((s, d) =>
       // context-window chunking: 50-token windows, 10-token overlap; chunk
       // text emitted as md5 (comparator-friendly cell size)
@@ -5318,6 +5324,22 @@ object SparkEntry {
         CAST(len($tokenizeSql) AS BIGINT) AS n_words,
         coalesce(c.nb, 0) AS n_bpe_tokens
       FROM documents d LEFT JOIN __bpe_c c USING (doc_id) ORDER BY d.doc_id""",
+    "text_chunk_bpe" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      w AS (SELECT doc_id, i, tokens[i] AS w FROM (
+              SELECT doc_id, tokens,
+                unnest(range(1, len(tokens) + 1)) AS i FROM toks)),
+      per AS (SELECT doc_id, i,
+                CAST(${graft.functions.Bpe.duckdbCountSql("w")} AS BIGINT) AS cnt
+              FROM w),
+      cum AS (SELECT doc_id, i, cnt,
+                coalesce(sum(cnt) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM per)
+      SELECT doc_id, CAST(bef // 64 AS BIGINT) AS chunk_idx,
+        count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS bpe_tokens,
+        CAST(min(i) - 1 AS BIGINT) AS start_word
+      FROM cum GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""",
     "text_pack_sequences_bpe" -> s"""
       WITH $bpeDocCountCtes,
       t AS (SELECT d.doc_id, coalesce(c.nb, 0) AS n_tokens

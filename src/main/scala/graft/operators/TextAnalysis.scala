@@ -427,6 +427,42 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 
+  /** Context-window chunking at SUBWORD granularity — the unit a trained
+    * model's window is actually measured in (the whitespace-token
+    * [[chunk]] twin budgets in the wrong currency for a BPE-tokenized
+    * pipeline). Each word is assigned to chunk `floor(bpe_offset /
+    * budget)` by its STARTING subword offset, so boundaries fall every
+    * `budget` subwords and a word's subwords may straddle one — exactly
+    * how packed training windows treat word boundaries. No greedy resets
+    * means the assignment is a closed-form cumulative sum, not a
+    * sequential fold. Output: (id, chunk_idx, n_words, bpe_tokens,
+    * start_word); token-free docs produce no rows.
+    *
+    * Scale shape: per-word BPE counts are a narrow codegen'd kernel pass;
+    * the word strings are DROPPED before the only exchange — the
+    * per-document cumsum window and chunk aggregate run on (id, pos, cnt)
+    * decision rows, partitioned BY DOCUMENT (no global ordering anywhere).
+    */
+  def chunkByBpeBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Int,
+      table: graft.functions.BpeTable = graft.functions.Bpe.plantedTable): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val perWord = graft.SparkUtil.ensureParallelism(
+        df.select(col(idCol).as("__cb_id"), T.tokenize(col(textCol)).as("__cb_w")))
+      .select(col("__cb_id"), posexplode(col("__cb_w")).as(Seq("__cb_pos", "__cb_word")))
+      .select(col("__cb_id"), col("__cb_pos"),
+        size(graft.functions.Bpe.encodeWord(col("__cb_word"), table))
+          .cast("long").as("__cb_cnt"))
+    val w = Window.partitionBy("__cb_id").orderBy("__cb_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perWord
+      .withColumn("__cb_before", coalesce(sum(col("__cb_cnt")).over(w), lit(0L)))
+      .withColumn("chunk_idx", expr(s"__cb_before div $budget"))
+      .groupBy(col("__cb_id").as(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"), sum("__cb_cnt").as("bpe_tokens"),
+        min("__cb_pos").cast("long").as("start_word"))
+  }
+
   /** Mojibake detection and single-pass repair — the ftfy-core heuristic
     * (Speer, public `ftfy` docs) for the dominant crawl corruption: UTF-8
     * bytes decoded as Latin-1 somewhere upstream ("caf&eacute;" arriving as

@@ -779,6 +779,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("chunkByBpeBudget: closed-form subword windows, straddling word assigned by start") {
+    // planted table: "the" → 1 subword, "xyz" → 3; budget 4 →
+    // before-offsets 0,1,4,5,6 → chunks 0,0,1,1,1; the second "xyz"
+    // (subwords 7..9) straddles nothing, but the FIRST spans offsets 1..3
+    // entirely inside chunk 0 while "the"@4 opens chunk 1 exactly at the
+    // boundary — assignment is by START offset only
+    val docs = Seq((1L, "the xyz the the xyz"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByBpeBudget(docs, "doc_id", "text", budget = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 0L, 2L, 4L, 0L), (1L, 1L, 3L, 5L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("hybridRrfTopK: fusion reorders single-list winners, one-list hits kept") {
     val docs = Seq((1L, "apple banana"), (2L, "apple"), (3L, "cherry"))
       .toDF("doc_id", "text")
