@@ -2617,6 +2617,62 @@ object SparkEntry {
         .transform(SparkUtil.scopedPersist)
       cmsHeavyHitters(toks, s.table("graft_cms_gate"), depth = 4, width = 1024)
     }),
+    "stream_constraint_real" -> ((s, d) => {
+      // data contracts on STREAMS: the same planted violations as
+      // agg_constraint_report monitored by three streaming queries —
+      // (a) complete-mode conditional counts (not-null + predicate, one
+      //     agg row of state), (b) complete-mode per-key counts whose
+      //     batch rollup is the unique-violation total (state = one long
+      //     per distinct key, the dedup-state shape), (c) stream-static
+      //     LEFT OUTER against the customer dim + null-probe count
+      //     (referential; stream-static anti joins are unsupported, the
+      //     outer+filter form is the documented equivalent). Together
+      //     they replay the batch oracle exactly.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-dq")
+      val base = tbl(s, d, "orders")
+      val mutated = base.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 41 === 0, col("o_custkey") + 900000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 73 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      mutated.unionAll(mutated.where(col("o_orderkey") % 97 === 0))
+        .repartition(4).write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q1 = src.agg(
+          count(when(col("o_orderstatus").isNull, 1)).as("nn"),
+          count(when(!coalesce(col("o_totalprice") > 0, lit(false)), 1)).as("pp"))
+        .writeStream.format("memory").queryName("graft_dq_counts")
+        .outputMode("complete").start()
+      val q2 = src.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName("graft_dq_keys")
+        .outputMode("complete").start()
+      val q3 = src.select(col("o_custkey").as("__k")).where(col("__k").isNotNull)
+        .join(tbl(s, d, "customer").select(col("c_custkey").as("__k"))
+          .distinct().withColumn("__hit", lit(1)), Seq("__k"), "left_outer")
+        .where(col("__hit").isNull)
+        .agg(count(lit(1)).as("orphans"))
+        .writeStream.format("memory").queryName("graft_dq_ref")
+        .outputMode("complete").start()
+      try {
+        q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      } finally { q1.stop(); q2.stop(); q3.stop() }
+      val cnts = s.table("graft_dq_counts")
+      val uniq = s.table("graft_dq_keys")
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n"))
+      val ref = s.table("graft_dq_ref")
+      cnts.select(lit("check:totalprice_positive").as("check_name"),
+          col("pp").as("n_violations"))
+        .unionAll(cnts.select(lit("not_null:o_orderstatus"), col("nn")))
+        .unionAll(ref.select(lit("ref:o_custkey->c_custkey"), col("orphans")))
+        .unionAll(uniq.select(lit("unique:o_orderkey"), col("n")))
+        .orderBy("check_name")
+    }),
     "stream_scd2_real" -> ((s, d) => {
       // type-2 history maintenance as a STREAM: flatMapGroupsWithState
       // detects attribute transitions with one string of state per key
@@ -3268,6 +3324,36 @@ object SparkEntry {
              tokens[i+3] || ' ' || tokens[i+4]))) AS shingle FROM ctoks),
       hits AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))"""
 
+  /** Shared oracle: the batch constraint report and its streaming twin
+    * replay the identical planted-violation counts.
+    */
+  private lazy val constraintReportOracle: String = """
+      WITH m AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 41 = 0 THEN o_custkey + 900000000
+               ELSE o_custkey END AS o_custkey,
+          CASE WHEN o_orderkey % 89 = 0 THEN NULL
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 73 = 0 THEN -o_totalprice
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders),
+      p AS (SELECT * FROM m
+            UNION ALL SELECT * FROM m WHERE o_orderkey % 97 = 0),
+      r AS (
+        SELECT 'check:totalprice_positive' AS check_name,
+          count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE))
+            AS n_violations FROM p
+        UNION ALL
+        SELECT 'not_null:o_orderstatus',
+          count(*) FILTER (WHERE o_orderstatus IS NULL) FROM p
+        UNION ALL
+        SELECT 'ref:o_custkey->c_custkey', count(*) FROM p
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'unique:o_orderkey', count(*) - count(DISTINCT o_orderkey)
+          FROM p WHERE o_orderkey IS NOT NULL)
+      SELECT check_name, n_violations FROM r ORDER BY check_name"""
+
   /** Shared CTE chain: per-doc BPE subword count (bigint, 0 for empty
     * docs) as `__bpe_c(doc_id, nb)` — the DuckDB replay of the planted
     * hierarchical merge table (see [[graft.functions.Bpe.duckdbCountSql]]).
@@ -3382,32 +3468,8 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
-    "agg_constraint_report" -> """
-      WITH m AS (SELECT o_orderkey,
-          CASE WHEN o_orderkey % 41 = 0 THEN o_custkey + 900000000
-               ELSE o_custkey END AS o_custkey,
-          CASE WHEN o_orderkey % 89 = 0 THEN NULL
-               ELSE o_orderstatus END AS o_orderstatus,
-          CASE WHEN o_orderkey % 73 = 0 THEN -o_totalprice
-               ELSE o_totalprice END AS o_totalprice
-        FROM orders),
-      p AS (SELECT * FROM m
-            UNION ALL SELECT * FROM m WHERE o_orderkey % 97 = 0),
-      r AS (
-        SELECT 'check:totalprice_positive' AS check_name,
-          count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE))
-            AS n_violations FROM p
-        UNION ALL
-        SELECT 'not_null:o_orderstatus',
-          count(*) FILTER (WHERE o_orderstatus IS NULL) FROM p
-        UNION ALL
-        SELECT 'ref:o_custkey->c_custkey', count(*) FROM p
-          WHERE o_custkey IS NOT NULL
-            AND o_custkey NOT IN (SELECT c_custkey FROM customer)
-        UNION ALL
-        SELECT 'unique:o_orderkey', count(*) - count(DISTINCT o_orderkey)
-          FROM p WHERE o_orderkey IS NOT NULL)
-      SELECT check_name, n_violations FROM r ORDER BY check_name""",
+    "agg_constraint_report" -> constraintReportOracle,
+    "stream_constraint_real" -> constraintReportOracle,
     "agg_cms_heavy" -> cmsHeavyOracle,
     "stream_cms_real" -> cmsHeavyOracle,
     "agg_group_stats" -> """
