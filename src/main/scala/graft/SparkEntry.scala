@@ -1479,6 +1479,13 @@ object SparkEntry {
       SimSearch.cosineTopK(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10)
         .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_label_stats" -> ((s, d) =>
+      // classifier-dataset QA: per-label centroid norm, intra-class
+      // cohesion (mean/worst member-to-centroid cosine in exact micro
+      // units) and the nearest confusable class by centroid cosine
+      SimSearch.labelCentroidStats(tbl(s, d, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("label")),
     "sim_topk_bucketed" -> ((s, d) =>
       SimSearch.cosineTopKBucketed(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
         nBits = 4)
@@ -5268,6 +5275,43 @@ object SparkEntry {
         FROM embeddings e, q WHERE e.vec_id <> 0)
       SELECT vec_id, round(cosine, 6) AS cos6 FROM scored
       ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "sim_label_stats" -> """
+      WITH v AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+      e AS (SELECT label, i, v[i] AS x FROM (
+              SELECT label, v, unnest(range(1, 65)) AS i FROM v)),
+      cs AS (SELECT label, i, CAST(round(sum(x) * 1e6) AS BIGINT) AS sm,
+               count(*) AS nd FROM e GROUP BY 1, 2),
+      cent0 AS (SELECT label, max(nd) AS n_vecs, list(sm ORDER BY i) AS sml
+                FROM cs GROUP BY 1),
+      cent AS (SELECT label, n_vecs,
+                 list_transform(sml, s -> CAST(s AS DOUBLE) / 1e6 / n_vecs) AS c
+               FROM cent0),
+      pc AS (SELECT v.label,
+               CAST(round((list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.c[i]))
+                 / nullif(sqrt(list_sum(list_transform(range(1, 65), i -> v.v[i] * v.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> cent.c[i] * cent.c[i]))), 0.0))
+                 * 1e6) AS BIGINT) AS cm
+             FROM v JOIN cent USING (label)),
+      intra AS (SELECT label, count(*) AS nv, sum(cm) AS s, min(cm) AS mn
+                FROM pc GROUP BY 1),
+      pairs AS (SELECT a.label AS la, b.label AS lb,
+                  round(list_sum(list_transform(range(1, 65), i -> a.c[i] * b.c[i]))
+                    / nullif(sqrt(list_sum(list_transform(range(1, 65), i -> a.c[i] * a.c[i])))
+                           * sqrt(list_sum(list_transform(range(1, 65), i -> b.c[i] * b.c[i]))), 0.0), 6) AS c6
+                FROM cent a JOIN cent b ON a.label <> b.label),
+      nn AS (SELECT la AS label, lb AS nn_label, c6 AS nn_cos6,
+               row_number() OVER (PARTITION BY la ORDER BY c6 DESC, lb) AS rn
+             FROM pairs)
+      SELECT c.label, c.n_vecs,
+        round(sqrt(list_sum(list_transform(c.c, x -> x * x))), 6) AS centroid_norm6,
+        CAST(round(CAST(i.s AS DOUBLE) / i.nv) AS BIGINT) / 1e6 AS mean_cos6,
+        CAST(i.mn AS DOUBLE) / 1e6 AS min_cos6,
+        nn.nn_label, nn.nn_cos6
+      FROM cent c JOIN intra i USING (label)
+      JOIN nn ON nn.label = c.label AND nn.rn = 1
+      ORDER BY c.label""",
     "sim_topk_bucketed" -> """
       WITH eb AS (
         SELECT vec_id, embedding,

@@ -23,6 +23,73 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Per-label embedding QA report — the class-separation audit a
+    * classifier-dataset pipeline runs before training: per label, the
+    * member count, centroid norm, intra-class cohesion (mean and worst
+    * member-to-centroid cosine) and the nearest CONFUSABLE class (the
+    * other label whose centroid is most cosine-similar). Labels with
+    * high nearest-other cosine and low cohesion are the mislabeled or
+    * entangled classes.
+    *
+    * Determinism: per-element centroid sums quantize to integer micro
+    * units BEFORE the divide (partial-aggregation order cannot move
+    * them), so centroids — and every cosine derived from them — are
+    * bit-identical across engines and cluster sizes; per-member cosines
+    * quantize to micro units so the per-label mean is an exact integer
+    * average (the micro-nat LM convention).
+    *
+    * Scale shape: the centroid pass is one map-side-combined (label, dim)
+    * aggregate — decision-sized rows, vectors never shuffle; the bounded
+    * (#labels) centroid table broadcasts back onto the scan for the
+    * cohesion pass, and the confusability pass is a #labels² self-join
+    * of that same bounded table.
+    */
+  def labelCentroidStats(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val vecs = graft.SparkUtil.ensureParallelism(
+        emb.select(col(labelCol).cast("long").as("__lc_l"),
+          transform(col(vecCol), x => x.cast("double")).as("__lc_v")))
+      .transform(graft.SparkUtil.scopedPersist)
+    val elems = vecs.select(col("__lc_l"),
+      posexplode(col("__lc_v")).as(Seq("__lc_d", "__lc_x")))
+    val cent = elems.groupBy("__lc_l", "__lc_d")
+      .agg(round(sum(col("__lc_x")) * 1e6).cast("long").as("sm"),
+        count(lit(1)).as("nd"))
+      .groupBy("__lc_l")
+      .agg(max(col("nd")).as("n_vecs"),
+        array_sort(collect_list(struct(col("__lc_d").as("d"), col("sm").as("sm"))))
+          .as("__lc_pairs"))
+      .withColumn("__lc_c",
+        transform(col("__lc_pairs"),
+          s => s.getField("sm").cast("double") / 1e6 / col("n_vecs")))
+      .select(col("__lc_l"), col("n_vecs"), col("__lc_c"))
+    val cohesion = vecs.join(broadcast(cent), Seq("__lc_l"))
+      .withColumn("__lc_cm",
+        round(V.cosine(col("__lc_v"), col("__lc_c")) * 1e6).cast("long"))
+      .groupBy("__lc_l")
+      .agg(sum("__lc_cm").as("__lc_s"), count(lit(1)).as("__lc_n"),
+        min("__lc_cm").as("__lc_mn"))
+      .select(col("__lc_l"),
+        (round(col("__lc_s").cast("double") / col("__lc_n")).cast("long")
+          .cast("double") / 1e6).as("mean_cos6"),
+        (col("__lc_mn").cast("double") / 1e6).as("min_cos6"))
+    val confus = cent.select(col("__lc_l").as("la"), col("__lc_c").as("ca"))
+      .join(cent.select(col("__lc_l").as("lb"), col("__lc_c").as("cb")),
+        col("la") =!= col("lb"))
+      .select(col("la"),
+        struct(round(V.cosine(col("ca"), col("cb")), 6).as("c6"),
+          (-col("lb")).as("nl")).as("__lc_p"))
+      .groupBy("la").agg(max(col("__lc_p")).as("__lc_best"))
+      .select(col("la").as("__lc_l"),
+        (-col("__lc_best.nl")).as("nn_label"),
+        col("__lc_best.c6").as("nn_cos6"))
+    cent.select(col("__lc_l").as(labelCol), col("n_vecs"),
+        round(sqrt(aggregate(col("__lc_c"), lit(0.0), (a, x) => a + x * x)), 6)
+          .as("centroid_norm6"))
+      .join(cohesion.withColumnRenamed("__lc_l", labelCol), Seq(labelCol))
+      .join(confus.withColumnRenamed("__lc_l", labelCol), Seq(labelCol))
+  }
+
   /** Sign-quantizer-bucketed top-k (IVF-style single-probe scale path):
     * only the query's own quantizer cell is scanned — at scale the bucket
     * column is a partition/cluster key, so the probe prunes input files

@@ -779,6 +779,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("labelCentroidStats: centroids, cohesion, nearest confusable class") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimSearch.labelCentroidStats(emb, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    // label 0: centroid (.5,.5), norm √.5; both members at cos .707107;
+    // nearest confusable is 1 (cos .707107) — 2 sits at -.707107
+    assert(got(0) == ((0L, 2L, 0.707107, 0.707107, 0.707107, 1L, 0.707107)))
+    assert(got(1) == ((1L, 1L, 1.0, 1.0, 1.0, 0L, 0.707107)))
+    // label 2 vs 0 = -.707107 still beats vs 1 = -1.0 (max, not max-abs)
+    assert(got(2) == ((2L, 1L, 1.0, 1.0, 1.0, 0L, -0.707107)))
+  }
+
   test("chunkByBpeBudget: closed-form subword windows, straddling word assigned by start") {
     // planted table: "the" → 1 subword, "xyz" → 3; budget 4 →
     // before-offsets 0,1,4,5,6 → chunks 0,0,1,1,1; the second "xyz"
