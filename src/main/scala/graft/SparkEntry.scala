@@ -1486,6 +1486,16 @@ object SparkEntry {
       SimSearch.labelCentroidStats(tbl(s, d, "embeddings"),
           "vec_id", "embedding", "label")
         .orderBy("label")),
+    "sim_label_outliers" -> ((s, d) =>
+      // mislabeled-point detection over the natural label distribution
+      // (17 members sit below mean − 2σ at sf0.001 — non-vacuous): the
+      // exact-integer cross-multiplied decision must agree with the
+      // oracle on every member flag without any sqrt or double division
+      // entering the comparison; the tight-cluster flip semantics are
+      // pinned by OperatorSpec
+      SimSearch.labelCosineOutliers(tbl(s, d, "embeddings"),
+          "vec_id", "embedding", "label", sigmas = 2)
+        .orderBy("label", "vec_id")),
     "sim_topk_bucketed" -> ((s, d) =>
       SimSearch.cosineTopKBucketed(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
         nBits = 4)
@@ -5312,6 +5322,31 @@ object SparkEntry {
       FROM cent c JOIN intra i USING (label)
       JOIN nn ON nn.label = c.label AND nn.rn = 1
       ORDER BY c.label""",
+    "sim_label_outliers" -> """
+      WITH v AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      e AS (SELECT label, i, v[i] AS x FROM (
+              SELECT label, v, unnest(range(1, 65)) AS i FROM v)),
+      cs AS (SELECT label, i, CAST(round(sum(x) * 1e6) AS BIGINT) AS sm,
+               count(*) AS nd FROM e GROUP BY 1, 2),
+      cent0 AS (SELECT label, max(nd) AS n_vecs, list(sm ORDER BY i) AS sml
+                FROM cs GROUP BY 1),
+      cent AS (SELECT label, n_vecs,
+                 list_transform(sml, s -> CAST(s AS DOUBLE) / 1e6 / n_vecs) AS c
+               FROM cent0),
+      pc AS (SELECT v.label, v.vec_id,
+               CAST(round((list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.c[i]))
+                 / nullif(sqrt(list_sum(list_transform(range(1, 65), i -> v.v[i] * v.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> cent.c[i] * cent.c[i]))), 0.0))
+                 * 1e6) AS BIGINT) AS cm
+             FROM v JOIN cent USING (label)),
+      st AS (SELECT label, sum(cm) AS s, count(*) AS n,
+               sum(CAST(cm AS HUGEINT) * cm) AS q FROM pc GROUP BY 1)
+      SELECT p2.label, p2.vec_id, CAST(p2.cm AS DOUBLE) / 1e6 AS cos6,
+        (s - n * p2.cm > 0 AND
+         CAST(s - n * p2.cm AS HUGEINT) * (s - n * p2.cm)
+           > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)) AS is_outlier
+      FROM pc p2 JOIN st USING (label) ORDER BY p2.label, p2.vec_id""",
     "sim_topk_bucketed" -> """
       WITH eb AS (
         SELECT vec_id, embedding,

@@ -44,15 +44,14 @@ object SimSearch {
     * cohesion pass, and the confusability pass is a #labels² self-join
     * of that same bounded table.
     */
-  def labelCentroidStats(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String): DataFrame = {
-    val vecs = graft.SparkUtil.ensureParallelism(
-        emb.select(col(labelCol).cast("long").as("__lc_l"),
-          transform(col(vecCol), x => x.cast("double")).as("__lc_v")))
-      .transform(graft.SparkUtil.scopedPersist)
-    val elems = vecs.select(col("__lc_l"),
-      posexplode(col("__lc_v")).as(Seq("__lc_d", "__lc_x")))
-    val cent = elems.groupBy("__lc_l", "__lc_d")
+  /** Micro-quantized per-label centroids of a (__lc_l, __lc_v) frame:
+    * (label, n_vecs, centroid) with per-element sums rounded to integer
+    * micro units BEFORE the divide — bit-stable under any partitioning.
+    */
+  private def microCentroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("__lc_l"),
+        posexplode(col("__lc_v")).as(Seq("__lc_d", "__lc_x")))
+      .groupBy("__lc_l", "__lc_d")
       .agg(round(sum(col("__lc_x")) * 1e6).cast("long").as("sm"),
         count(lit(1)).as("nd"))
       .groupBy("__lc_l")
@@ -63,6 +62,14 @@ object SimSearch {
         transform(col("__lc_pairs"),
           s => s.getField("sm").cast("double") / 1e6 / col("n_vecs")))
       .select(col("__lc_l"), col("n_vecs"), col("__lc_c"))
+
+  def labelCentroidStats(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val vecs = graft.SparkUtil.ensureParallelism(
+        emb.select(col(labelCol).cast("long").as("__lc_l"),
+          transform(col(vecCol), x => x.cast("double")).as("__lc_v")))
+      .transform(graft.SparkUtil.scopedPersist)
+    val cent = microCentroids(vecs)
     val cohesion = vecs.join(broadcast(cent), Seq("__lc_l"))
       .withColumn("__lc_cm",
         round(V.cosine(col("__lc_v"), col("__lc_c")) * 1e6).cast("long"))
@@ -88,6 +95,51 @@ object SimSearch {
           .as("centroid_norm6"))
       .join(cohesion.withColumnRenamed("__lc_l", labelCol), Seq(labelCol))
       .join(confus.withColumnRenamed("__lc_l", labelCol), Seq(labelCol))
+  }
+
+  /** Per-member outlier flags against the label's cosine distribution —
+    * the mislabeled-point detector companion of [[labelCentroidStats]]: a
+    * member is flagged when its centroid-cosine sits more than `sigmas`
+    * population standard deviations BELOW the label mean. The decision is
+    * EXACT INTEGER ARITHMETIC end to end: member cosines quantize to
+    * micro units, and `x < μ − kσ` is evaluated as the cross-multiplied
+    * `S − n·x > 0 AND (S − n·x)² > k²·(n·Q − S²)` over the exact sums
+    * S = Σx, Q = Σx² (DECIMAL(38,0) — the squared terms exceed long at
+    * corpus scale), so no sqrt or double division can flip a boundary
+    * between engines. Output: every member with (label, id, cos6,
+    * is_outlier).
+    *
+    * Scale shape: one (label, dim) centroid aggregate + one broadcast of
+    * the bounded centroid table + one map-side-combined (label) stats
+    * aggregate broadcast back — vectors never cross an exchange.
+    */
+  def labelCosineOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, sigmas: Int = 2): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val vecs = graft.SparkUtil.ensureParallelism(
+        emb.select(col(idCol).cast("long").as("__lo_id"),
+          col(labelCol).cast("long").as("__lc_l"),
+          transform(col(vecCol), x => x.cast("double")).as("__lc_v")))
+      .transform(graft.SparkUtil.scopedPersist)
+    val cent = microCentroids(vecs.select(col("__lc_l"), col("__lc_v")))
+    val cm = vecs.join(broadcast(cent), Seq("__lc_l"))
+      .select(col("__lc_l"), col("__lo_id"),
+        round(V.cosine(col("__lc_v"), col("__lc_c")) * 1e6).cast("long").as("__lo_cm"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val stats = cm.groupBy("__lc_l").agg(
+      sum(col("__lo_cm")).as("__lo_s"), count(lit(1)).as("__lo_n"),
+      sum(col("__lo_cm").cast("decimal(38,0)") * col("__lo_cm")).as("__lo_q"))
+    cm.join(broadcast(stats), Seq("__lc_l"))
+      .withColumn("__lo_d",
+        (col("__lo_s") - col("__lo_n") * col("__lo_cm")).cast("decimal(38,0)"))
+      .select(col("__lc_l").as(labelCol), col("__lo_id").as(idCol),
+        (col("__lo_cm").cast("double") / 1e6).as("cos6"),
+        (col("__lo_d") > 0 &&
+          col("__lo_d") * col("__lo_d") >
+            lit(sigmas.toLong * sigmas) *
+              (col("__lo_n").cast("decimal(38,0)") * col("__lo_q") -
+                col("__lo_s").cast("decimal(38,0)") * col("__lo_s")))
+          .as("is_outlier"))
   }
 
   /** Sign-quantizer-bucketed top-k (IVF-style single-probe scale path):

@@ -798,6 +798,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 1L, 1.0, 1.0, 1.0, 0L, -0.707107)))
   }
 
+  test("labelCosineOutliers: exact-integer mean-minus-2-sigma flags the planted flip") {
+    // 9 tight members at (1,0) + one mislabeled (-1,0): centroid (0.8, 0),
+    // cosines 1e6 ×9 and -1e6; μ=0.8e6, σ²=(nQ-S²)/n²=3.6e11 → μ-2σ=-0.4e6,
+    // so only the flipped member sits below
+    val rows = (1L to 9L).map(i => (i, Array(1.0f, 0.0f), 0)) :+
+      ((10L, Array(-1.0f, 0.0f), 0))
+    val got = SimSearch.labelCosineOutliers(rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", sigmas = 2)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(got.size == 10 && got(10L) && got.filterKeys(_ != 10L).values.forall(!_),
+      s"only the flipped member may flag: $got")
+  }
+
   test("chunkByBpeBudget: closed-form subword windows, straddling word assigned by start") {
     // planted table: "the" → 1 subword, "xyz" → 3; budget 4 →
     // before-offsets 0,1,4,5,6 → chunks 0,0,1,1,1; the second "xyz"
