@@ -1329,6 +1329,14 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("user_id", "valid_from", "event_id")
     }),
+    "split_stratified" -> ((s, d) =>
+      // exact per-class quotas: within each label, md5(seed:id)-ranked
+      // rows fill ceil(0.1·n) "val" slots — rare classes stay represented
+      // where a plain hash split only hits the fraction in expectation
+      Dedup.stratifiedSplit(tbl(s, d, "embeddings").select("vec_id", "label"),
+          "vec_id", "label", valFraction = 0.1)
+        .select(col("vec_id"), col("label"), col("split"))
+        .orderBy("vec_id")),
     "split_leakage_safe" -> ((s, d) => {
       // leakage-safe train/val split: near-dup clusters move atomically,
       // so no val doc has a near-duplicate in train
@@ -5062,6 +5070,15 @@ object SparkEntry {
     "stream_cdc_apply_real" -> cdcApplyOracle,
     "cdc_scd2" -> cdcScd2Oracle,
     "stream_scd2_real" -> cdcScd2Oracle,
+    "split_stratified" -> """
+      WITH e AS (SELECT vec_id, label, CAST(label AS VARCHAR) AS s,
+            md5('graft:' || vec_id) AS h FROM embeddings),
+      r AS (SELECT vec_id, label, s,
+              row_number() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn,
+              count(*) OVER (PARTITION BY s) AS n FROM e)
+      SELECT vec_id, label,
+        CASE WHEN rn <= ceil(n * 0.1) THEN 'val' ELSE 'train' END AS split
+      FROM r ORDER BY vec_id""",
     "split_leakage_safe" -> s"""
       WITH RECURSIVE ${docCtes(cfg16).trim},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

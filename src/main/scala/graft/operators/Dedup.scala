@@ -684,6 +684,37 @@ object Dedup {
       .drop("__cid", "__cc_label", "__label")
   }
 
+  /** Deterministic STRATIFIED split with exact per-stratum quotas — the
+    * eval-split discipline for labeled datasets (a plain hash split only
+    * hits the target fraction in expectation; per-class quotas keep rare
+    * classes represented): within each stratum, rows rank by
+    * `md5(seed:id)` with id tie-break and the first `ceil(frac · n)` go
+    * to "val". Reproducible from (seed, id, label) alone — provenance,
+    * not a random draw (the [[TextAnalysis.shuffleShards]] convention).
+    *
+    * Scale shape: the rank window and the per-stratum count run on a
+    * narrow (id, stratum, hashkey) projection — payload never enters the
+    * exchange — and the split column rejoins by id (unhinted; AQE
+    * broadcasts the decision frame when it fits).
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+      valFraction: Double = 0.1, seed: String = "graft"): DataFrame = {
+    require(valFraction > 0.0 && valFraction < 1.0,
+      s"valFraction must be in (0,1), got $valFraction")
+    val w = Window.partitionBy(col("__ss_s"))
+      .orderBy(col("__ss_h"), col("__ss_id"))
+    val decisions = df.select(col(idCol).as("__ss_id"),
+        col(stratumCol).cast("string").as("__ss_s"))
+      .withColumn("__ss_h", md5(concat(lit(seed), lit(":"), col("__ss_id").cast("string"))))
+      .withColumn("__ss_rn", row_number().over(w))
+      .withColumn("__ss_n", count(lit(1)).over(Window.partitionBy(col("__ss_s"))))
+      .withColumn("split",
+        when(col("__ss_rn") <= ceil(col("__ss_n") * valFraction), "val")
+          .otherwise("train"))
+      .select(col("__ss_id").as(idCol), col("split"))
+    df.join(decisions, Seq(idCol))
+  }
+
   /** Triangles of an undirected (a_id, b_id) pair list (a < b normalized):
     * the smallest unit of cluster density — a near-dup pair that closes a
     * triangle is far more likely to be a true duplicate family than an

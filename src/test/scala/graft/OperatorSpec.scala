@@ -798,6 +798,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 1L, 1.0, 1.0, 1.0, 0L, -0.707107)))
   }
 
+  test("stratifiedSplit: exact per-stratum quotas, partitioning-invariant, seeded") {
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", s"payload$i"))
+      .toDF("id", "cls", "text")
+    val s1 = Dedup.stratifiedSplit(df, "id", "cls", 0.25)
+    val counts = s1.groupBy("cls", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("a", "val")) == 3 && counts(("b", "val")) == 3,
+      s"ceil(10·0.25)=3 val slots per class: $counts")
+    val s2 = Dedup.stratifiedSplit(df.repartition(7), "id", "cls", 0.25)
+    assert(s1.orderBy("id").collect().toSeq == s2.orderBy("id").collect().toSeq,
+      "assignment must not depend on physical partitioning")
+    val s3 = Dedup.stratifiedSplit(df, "id", "cls", 0.25, seed = "other")
+    assert(s3.where(col("split") === "val").count() == 6, "quota holds under any seed")
+    assert(s3.orderBy("id").collect().toSeq != s1.orderBy("id").collect().toSeq,
+      "seed must move membership")
+  }
+
   test("labelCosineOutliers: exact-integer mean-minus-2-sigma flags the planted flip") {
     // 9 tight members at (1,0) + one mislabeled (-1,0): centroid (0.8, 0),
     // cosines 1e6 ×9 and -1e6; μ=0.8e6, σ²=(nQ-S²)/n²=3.6e11 → μ-2σ=-0.4e6,
