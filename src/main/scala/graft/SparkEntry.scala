@@ -1996,6 +1996,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logscore"), 6).as("avg_ls6"))
         .orderBy("doc_id")),
+    "text_readability" -> ((s, d) =>
+      // Flesch-Kincaid grade with vowel-group syllables and terminal-
+      // punctuation sentences; exact integer signals, 6-dp grade
+      TextAnalysis.withReadability(docs(s, d), "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("fk_grade6"))
+        .orderBy("doc_id")),
     "text_kn_bigram" -> ((s, d) =>
       // held-out bigram LM with INTERPOLATED KNESER-NEY (the KenLM/CCNet
       // smoothing): same train split as the stupid-backoff gate so the two
@@ -4240,6 +4247,18 @@ object SparkEntry {
         round(CAST(round(CAST(per.s AS DOUBLE) / per.n_bigrams) AS BIGINT)
           / 1e6, 6) AS avg_ls6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_readability" -> s"""
+      WITH sig AS (SELECT doc_id,
+          CAST(len($tokenizeSql) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words > 0 AND n_sentences > 0
+          THEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+            + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+        END AS fk_grade6
+      FROM sig ORDER BY doc_id""",
     "text_kn_bigram" -> s"""
       WITH toks AS (SELECT doc_id, (doc_id % 2 = 0) AS is_train,
           $tokenizeSql AS tokens FROM documents),

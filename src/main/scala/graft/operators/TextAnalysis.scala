@@ -427,6 +427,30 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 
+  /** Flesch-Kincaid readability grade (Kincaid et al. 1975 — the public
+    * formula every prose-quality pipeline reports):
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`, with
+    * syllables approximated as VOWEL GROUPS (`[aeiouy]+` runs of the
+    * lowercased text — the standard cheap estimator) and sentences as
+    * terminal-punctuation runs (`[.!?]+`). Adds `n_words`, `n_sentences`,
+    * `n_syllables` (exact integers) and `fk_grade6` (null when either
+    * denominator is zero — an unpunctuated fragment has no grade).
+    *
+    * Scale shape: ZERO shuffles — two codegen'd regexp counts and the
+    * shared tokenizer inside the scan pipeline.
+    */
+  def withReadability(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_words", size(T.tokenize(t)).cast("long"))
+      .withColumn("n_sentences", regexp_count(t, lit("[.!?]+")).cast("long"))
+      .withColumn("n_syllables", regexp_count(lower(t), lit("[aeiouy]+")).cast("long"))
+      .withColumn("fk_grade6",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+            lit(15.59), 6)))
+  }
+
   /** Context-window chunking at SUBWORD granularity — the unit a trained
     * model's window is actually measured in (the whitespace-token
     * [[chunk]] twin budgets in the wrong currency for a BPE-tokenized

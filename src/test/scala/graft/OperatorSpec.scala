@@ -798,6 +798,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 1L, 1.0, 1.0, 1.0, 0L, -0.707107)))
   }
 
+  test("withReadability: FK grade from vowel-group syllables, null on fragments") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),  // 5 words, 2 sentences, 5 vowel runs
+      (2L, "no punctuation here"),   // no sentences → null grade
+      (3L, "")                       // empty → null grade
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withReadability(docs, "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "fk_grade6")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    // 0.39·(5/2) + 11.8·(5/5) − 15.59 = -2.815
+    assert(got(1L) == ((5L, 2L, 5L, Some(-2.815))))
+    assert(got(2L) == ((3L, 0L, 6L, None)), "o + u,ua,io + e,e = 6 vowel runs")
+    assert(got(3L) == ((0L, 0L, 0L, None)))
+    val plan = TextAnalysis.withReadability(docs, "text").queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "readability must not shuffle")
+  }
+
   test("stratifiedSplit: exact per-stratum quotas, partitioning-invariant, seeded") {
     val df = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", s"payload$i"))
       .toDF("id", "cls", "text")
