@@ -638,6 +638,17 @@ object SparkEntry {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
         .where(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn").orderBy("o_custkey", "rn")),
+    "window_dist" -> ((s, d) =>
+      // distribution window family: percent_rank + cume_dist over a
+      // fully-tie-broken ordering (ratios of exact integer ranks → 6 dp)
+      tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))), 6).as("pr6"),
+          round(cume_dist().over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))), 6).as("cd6"))
+        .where(col("o_orderkey") % 20 === 0)
+        .orderBy("o_orderkey")),
     "window_cumsum" -> ((s, d) =>
       // running sum in exact decimal (order-independent), emitted as double
       events(s, d)
@@ -3536,6 +3547,16 @@ object SparkEntry {
           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders)
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_dist" -> """
+      WITH r AS (SELECT o_orderkey, o_orderpriority,
+          percent_rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS pr,
+          cume_dist() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS cd
+        FROM orders)
+      SELECT o_orderkey, o_orderpriority, round(pr, 6) AS pr6,
+        round(cd, 6) AS cd6
+      FROM r WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""",
     "window_cumsum" -> """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
       SELECT user_id, event_id,
