@@ -2007,6 +2007,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logscore"), 6).as("avg_ls6"))
         .orderBy("doc_id")),
+    "text_zipf_fit" -> ((s, d) =>
+      // corpus-health statistic: OLS of ln(freq) on ln(rank) over the
+      // top-500 tokens in exact integer micro arithmetic
+      TextAnalysis.zipfFit(docs(s, d), "text", topV = 500)),
     "text_readability" -> ((s, d) =>
       // Flesch-Kincaid grade with vowel-group syllables and terminal-
       // punctuation sentences; exact integer signals, 6-dp grade
@@ -4268,6 +4272,32 @@ object SparkEntry {
         round(CAST(round(CAST(per.s AS DOUBLE) / per.n_bigrams) AS BIGINT)
           / 1e6, 6) AS avg_ls6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_zipf_fit" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      occ AS (SELECT unnest(tokens) AS t FROM toks),
+      cnt AS (SELECT t, count(*) AS c FROM occ GROUP BY 1),
+      top AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS r
+              FROM cnt QUALIFY r <= 500),
+      m AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            FROM top),
+      s AS (SELECT count(*) AS n,
+              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM m)
+      SELECT n AS v_fit,
+        round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope6,
+        round((CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / n / 1e6, 6) AS intercept6,
+        round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+          / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+          AS r2_6
+      FROM s""",
     "text_readability" -> s"""
       WITH sig AS (SELECT doc_id,
           CAST(len($tokenizeSql) AS BIGINT) AS n_words,

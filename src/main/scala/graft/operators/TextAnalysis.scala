@@ -427,6 +427,51 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 
+  /** Zipf-law fit over the frequency head — the corpus-health statistic
+    * (natural language sits near slope −1; template/spam corpora flatten
+    * or steepen it): ordinary least squares of `ln(freq)` on `ln(rank)`
+    * for the top-`topV` tokens. Returns ONE row:
+    * (v_fit, slope6, intercept6, r2_6).
+    *
+    * Determinism: ranks are exact (count desc, token asc); both log
+    * coordinates quantize to integer micro units, every OLS sum is an
+    * exact DECIMAL(38,0), and the two final double divisions mirror the
+    * oracle's operand order — so the fit is bit-stable across engines
+    * and partitionings.
+    *
+    * Scale shape: one map-side-combined token count, a distributed
+    * TakeOrdered head cut (driver/window bounded by `topV`), and the OLS
+    * sums over the ≤ topV-row frame. The unbounded corpus only ever
+    * flows through the count aggregate.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topV: Int = 500): DataFrame = {
+    require(topV >= 3, s"topV must be >= 3, got $topV")
+    val counts = graft.SparkUtil.ensureParallelism(df)
+      .select(explode(T.tokenize(col(textCol))).as("__zf_t"))
+      .groupBy("__zf_t").agg(count(lit(1)).as("__zf_c"))
+      .orderBy(col("__zf_c").desc, col("__zf_t").asc).limit(topV)
+    // single-partition window is SAFE: the frame is already cut to topV
+    val ranked = counts.withColumn("__zf_r",
+        row_number().over(Window.orderBy(col("__zf_c").desc, col("__zf_t").asc)))
+      .select(
+        round(log(col("__zf_r").cast("double")) * 1e6).cast("long").as("__zf_x"),
+        round(log(col("__zf_c").cast("double")) * 1e6).cast("long").as("__zf_y"))
+    val d38 = "decimal(38,0)"
+    val s = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("__zf_x").cast(d38)).as("__sx"), sum(col("__zf_y").cast(d38)).as("__sy"),
+      sum(col("__zf_x").cast(d38) * col("__zf_y")).as("__sxy"),
+      sum(col("__zf_x").cast(d38) * col("__zf_x")).as("__sxx"),
+      sum(col("__zf_y").cast(d38) * col("__zf_y")).as("__syy"))
+    val a = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val b = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val c = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    s.select(col("__n").as("v_fit"),
+      round(a / b, 6).as("slope6"),
+      round((col("__sy").cast("double") - (a / b) * col("__sx").cast("double"))
+        / col("__n") / 1e6, 6).as("intercept6"),
+      round(a * a / (b * c), 6).as("r2_6"))
+  }
+
   /** Flesch-Kincaid readability grade (Kincaid et al. 1975 — the public
     * formula every prose-quality pipeline reports):
     * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`, with

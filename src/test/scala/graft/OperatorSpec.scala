@@ -798,6 +798,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 1L, 1.0, 1.0, 1.0, 0L, -0.707107)))
   }
 
+  test("zipfFit: exact power law recovers slope -1, micro rounding bounded") {
+    // freq = 12/rank exactly → ln(freq) = ln 12 − ln(rank): slope −1,
+    // perfect fit, up to the ±1-micro quantization of each coordinate
+    val text = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, "text", topV = 10).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) <= 2e-6, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) >= 0.999999, s"r2 ${r.getDouble(3)}")
+    // monotone-decreasing head on natural text still fits with negative slope
+    val nat = Seq((1L, "the the the the cat cat sat on on the mat")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.zipfFit(nat, "text", topV = 10).collect()(0)
+    assert(r2.getDouble(1) < 0.0)
+  }
+
   test("withReadability: FK grade from vowel-group syllables, null on fragments") {
     val docs = Seq(
       (1L, "The cat sat. It ran!"),  // 5 words, 2 sentences, 5 vowel runs
