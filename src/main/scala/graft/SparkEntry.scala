@@ -2028,6 +2028,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logscore"), 6).as("avg_ls6"))
         .orderBy("doc_id")),
+    "text_kn_trigram" -> ((s, d) =>
+      // order-3 interpolated Kneser-Ney (the KenLM shape: raw counts at
+      // the top, CONTINUATION type counts below); same train split as the
+      // bigram gates so the three LM scores are directly comparable
+      TextAnalysis.withKneserNeyTrigramLogProb(docs(s, d), "doc_id", "text",
+        col("doc_id") % 2 === 0, discount = 0.75)
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_logscore"), 6).as("avg_ls6"))
+        .orderBy("doc_id")),
     "text_gopher_rules" -> ((s, d) =>
       // the published Gopher rule set (Rae et al. 2021 A1.1) as per-rule
       // booleans + conjunction; every signal an exact int or int-ratio
@@ -4344,6 +4353,64 @@ object SparkEntry {
               FROM sc GROUP BY 1)
       SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
         round(CAST(round(CAST(per.s AS DOUBLE) / per.n_bigrams) AS BIGINT)
+          / 1e6, 6) AS avg_ls6
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "text_kn_trigram" -> s"""
+      WITH toks AS (SELECT doc_id, (doc_id % 2 = 0) AS is_train,
+          $tokenizeSql AS tokens FROM documents),
+      occ AS (SELECT doc_id, is_train, unnest(tokens) AS token FROM toks),
+      tg AS (SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                 i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS trigram
+             FROM toks),
+      c3 AS (SELECT trigram, count(*) AS c3,
+               string_split(trigram, ' ')[1] AS w1,
+               string_split(trigram, ' ')[2] AS w2,
+               string_split(trigram, ' ')[3] AS w3
+             FROM tg WHERE is_train GROUP BY 1),
+      h12 AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS n1f12
+              FROM c3 GROUP BY 1, 2),
+      cc2 AS (SELECT w2, w3, count(*) AS cc2 FROM c3 GROUP BY 1, 2),
+      midh AS (SELECT w2, sum(cc2) AS cc2h, count(*) AS n1fm FROM cc2 GROUP BY 1),
+      cont AS (SELECT w3, count(*) AS n1b FROM cc2 GROUP BY 1),
+      t AS (SELECT (SELECT count(*) FROM cc2) AS t2,
+                   (SELECT count(DISTINCT token) FROM occ WHERE is_train) AS v),
+      sc AS (SELECT b.doc_id,
+               CAST(round(ln(
+                 CASE WHEN h.c12 IS NOT NULL
+                   THEN greatest(CAST(coalesce(c3.c3, 0) AS DOUBLE) - 0.75, 0.0)
+                          / h.c12
+                      + 0.75 * CAST(h.n1f12 AS DOUBLE) / h.c12 *
+                        (CASE WHEN m.cc2h IS NOT NULL
+                           THEN greatest(CAST(coalesce(cc.cc2, 0) AS DOUBLE) - 0.75, 0.0)
+                                  / m.cc2h
+                              + 0.75 * CAST(m.n1fm AS DOUBLE) / m.cc2h *
+                                (CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                                 / CAST(t.t2 + t.v AS DOUBLE))
+                           ELSE CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                                  / CAST(t.t2 + t.v AS DOUBLE) END)
+                   ELSE (CASE WHEN m.cc2h IS NOT NULL
+                           THEN greatest(CAST(coalesce(cc.cc2, 0) AS DOUBLE) - 0.75, 0.0)
+                                  / m.cc2h
+                              + 0.75 * CAST(m.n1fm AS DOUBLE) / m.cc2h *
+                                (CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                                 / CAST(t.t2 + t.v AS DOUBLE))
+                           ELSE CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+                                  / CAST(t.t2 + t.v AS DOUBLE) END)
+                 END) * 1e6) AS BIGINT) AS lsi
+             FROM tg b
+             LEFT JOIN c3 ON b.trigram = c3.trigram
+             LEFT JOIN h12 h ON string_split(b.trigram, ' ')[1] = h.w1
+               AND string_split(b.trigram, ' ')[2] = h.w2
+             LEFT JOIN cc2 cc ON string_split(b.trigram, ' ')[2] = cc.w2
+               AND string_split(b.trigram, ' ')[3] = cc.w3
+             LEFT JOIN midh m ON string_split(b.trigram, ' ')[2] = m.w2
+             LEFT JOIN cont ct ON string_split(b.trigram, ' ')[3] = ct.w3
+             CROSS JOIN t),
+      per AS (SELECT doc_id, count(*) AS n_trigrams, sum(lsi) AS s
+              FROM sc GROUP BY 1)
+      SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams,
+        round(CAST(round(CAST(per.s AS DOUBLE) / per.n_trigrams) AS BIGINT)
           / 1e6, 6) AS avg_ls6
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
     "text_gopher_rules" -> s"""

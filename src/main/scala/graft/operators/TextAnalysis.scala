@@ -1298,6 +1298,109 @@ object TextAnalysis {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Trigram-LM quality score with INTERPOLATED KNESER-NEY — the KenLM
+    * order-3 shape (Chen & Goodman 1998 §4.1.6: highest order uses RAW
+    * counts, every lower order uses CONTINUATION type counts):
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *                + D·N1+(w1w2·)/c(w1w2·) · Pkn(w3|w2)
+    *   Pkn(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                + D·N1+(w2·)/N1+(·w2·) · Pc(w3)
+    *   Pc(w3)     = (N1+(·_w3)+1)/(T2+V)      (add-one OOV escape,
+    *                the [[withKneserNeyLogProb]] convention)
+    *
+    * with fixed `D = 0.75` at both levels and each unseen history backing
+    * off to the next level. Counts train on the `trainFilter` slice;
+    * every document is scored, so all four branch combinations genuinely
+    * occur. Adds `n_trigrams` and `avg_logscore` (null for docs with < 3
+    * tokens). Per-trigram log-scores quantize to integer micro-nats; the
+    * double expression tree is mirrored by the oracle term for term.
+    *
+    * Scale shape: identical census to the bigram gates — all count
+    * tables are corpus-vocabulary sized (never force-broadcast), scoring
+    * runs on DISTINCT trigram types with ONE occurrence-level equi-join,
+    * every aggregate map-side combined.
+    */
+  def withKneserNeyTrigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1), got $discount")
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), trainFilter.as("__is_train"),
+        T.tokenize(col(textCol)).as("__toks"))
+    val toks = base.select(col(idCol), col("__is_train"),
+      explode(col("__toks")).as("token"))
+    val trigrams = base
+      .select(col(idCol), col("__is_train"),
+        explode(when(size(col("__toks")) >= 3,
+          transform(sequence(lit(1), size(col("__toks")) - 2),
+            i => concat_ws(" ", element_at(col("__toks"), i),
+              element_at(col("__toks"), i + 1), element_at(col("__toks"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("trigram"))
+    def w1(c: Column) = substring_index(c, " ", 1)
+    def w3(c: Column) = substring_index(c, " ", -1)
+    def w2(c: Column) = substring_index(substring_index(c, " ", 2), " ", -1)
+    val c3 = trigrams.where(col("__is_train"))
+      .groupBy("trigram").agg(count(lit(1)).as("__c3"))
+      .withColumn("__w1", w1(col("trigram")))
+      .withColumn("__w2", w2(col("trigram")))
+      .withColumn("__w3", w3(col("trigram")))
+      .transform(graft.SparkUtil.scopedPersist)
+    val h12 = c3.groupBy(col("__w1"), col("__w2"))
+      .agg(sum("__c3").as("__c12"), count(lit(1)).as("__n1f12"))
+    // continuation-bigram TYPE table: cc2(w2,w3) = N1+(·w2w3)
+    val cc2 = c3.groupBy(col("__w2"), col("__w3")).agg(count(lit(1)).as("__cc2"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val midH = cc2.groupBy(col("__w2"))
+      .agg(sum("__cc2").as("__cc2h"), count(lit(1)).as("__n1fm"))
+    val cont = cc2.groupBy(col("__w3")).agg(count(lit(1)).as("__n1b"))
+    val vocab = toks.where(col("__is_train")).agg(
+      count_distinct(col("token")).as("__V"))
+    val tot = cc2.agg(count(lit(1)).cast("long").as("__T2")).crossJoin(vocab)
+    val types = trigrams.select("trigram").distinct()
+      .withColumn("tw1", w1(col("trigram")))
+      .withColumn("tw2", w2(col("trigram")))
+      .withColumn("tw3", w3(col("trigram")))
+    val typeScores = types
+      .join(c3.select(col("trigram"), col("__c3")), Seq("trigram"), "left")
+      .join(h12.select(col("__w1").as("tw1"), col("__w2").as("tw2"),
+        col("__c12"), col("__n1f12")), Seq("tw1", "tw2"), "left")
+      .join(cc2.select(col("__w2").as("tw2"), col("__w3").as("tw3"),
+        col("__cc2")), Seq("tw2", "tw3"), "left")
+      .join(midH.select(col("__w2").as("tw2"), col("__cc2h"), col("__n1fm")),
+        Seq("tw2"), "left")
+      .join(cont.select(col("__w3").as("tw3"), col("__n1b")), Seq("tw3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__tv",
+        when(col("__V") > 0, (col("__T2") + col("__V")).cast("double"))
+          .otherwise(raise_error(lit(
+            "withKneserNeyTrigramLogProb: trainFilter matched no rows — no counts to train on"))
+            .cast("double")))
+      .withColumn("__pc",
+        (coalesce(col("__n1b"), lit(0L)) + 1).cast("double") / col("__tv"))
+      .withColumn("__pm",
+        when(col("__cc2h").isNotNull,
+          greatest(coalesce(col("__cc2"), lit(0L)).cast("double") - discount,
+            lit(0.0)) / col("__cc2h") +
+            lit(discount) * col("__n1fm").cast("double") / col("__cc2h") * col("__pc"))
+          .otherwise(col("__pc")))
+      .select(col("trigram"),
+        round(log(when(col("__c12").isNotNull,
+            greatest(coalesce(col("__c3"), lit(0L)).cast("double") - discount,
+              lit(0.0)) / col("__c12") +
+              lit(discount) * col("__n1f12").cast("double") / col("__c12") * col("__pm"))
+          .otherwise(col("__pm"))) * 1e6)
+          .cast("long").as("__lsi"))
+    val scored = trigrams.select(col(idCol), col("trigram"))
+      .join(typeScores, Seq("trigram"))
+      .select(col(idCol), col("__lsi"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum("__lsi").as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        microAvg(col("__s"), col("n_trigrams")).as("avg_logscore"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+  }
+
   /** Gopher-style document quality rules (the published rule set of Rae et
     * al. 2021, Appendix A1.1 — the standard pre-filter of web-crawl
     * curation pipelines). Adds the raw signals and one boolean per rule:

@@ -955,6 +955,27 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("Kneser-Ney trigram: hand-computed scores cover all four backoff branches") {
+    // train = doc 1: "a b c a b d" → trigram types abc,bca,cab,abd (c3=1 each);
+    // h12: (a,b)→(c12=2,n1f=2); cc2: (b,c),(c,a),(a,b),(b,d) all 1;
+    // midh: b→(2,2), c→(1,1), a→(1,1); cont: a,b,c,d → 1; T2=4, V=4
+    val docs = Seq(
+      (1L, "a b c a b d"),  // train
+      (2L, "a b c"),  // full path: .125 + .75·1·(.125+.1875) = 0.359375
+      (3L, "z a b"),  // unseen (z,a) → mid(b|a): .25 + .1875 = 0.4375
+      (4L, "a c d"),  // unseen (a,c), seen mid-history c: 0 + .1875 = 0.1875
+      (5L, "x y z")   // both unseen → Pc(z) = 1/8 = 0.125
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withKneserNeyTrigramLogProb(docs, "doc_id", "text",
+        col("doc_id") === 1L, discount = 0.75)
+      .select("doc_id", "n_trigrams", "avg_logscore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(got(2L) == ((1L, Some(-1.023389))), s"ln(0.359375): ${got(2L)}")
+    assert(got(3L) == ((1L, Some(-0.826679))), s"ln(0.4375): ${got(3L)}")
+    assert(got(4L) == ((1L, Some(-1.673976))), s"ln(0.1875): ${got(4L)}")
+    assert(got(5L) == ((1L, Some(-2.079442))), s"ln(0.125): ${got(5L)}")
+  }
+
   test("repairMojibake: inverts latin1 double-encoding, leaves clean/invalid text alone") {
     def mojibake(s: String) = new String(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
