@@ -2011,6 +2011,30 @@ object SparkEntry {
       // corpus-health statistic: OLS of ln(freq) on ln(rank) over the
       // top-500 tokens in exact integer micro arithmetic
       TextAnalysis.zipfFit(docs(s, d), "text", topV = 500)),
+    "text_report_card" -> ((s, d) =>
+      // corpus report card: language × readability-band crosstab with doc
+      // and token totals — the one-page QA summary a curation run emits;
+      // bands cut on the ROUNDED grade so the crosstab is bit-stable. The
+      // raw corpus has no terminal punctuation (every doc would land in
+      // the null band), so sentence structure is PLANTED: the %3==0
+      // sliver gets ten short sentences (low grade), %3==1 one run-on
+      // sentence (high grade), %3==2 stays unpunctuated (null band)
+      TextAnalysis.withLangId(
+          TextAnalysis.withReadability(
+            docs(s, d).select(col("doc_id"),
+              concat(col("text"),
+                when(col("doc_id") % 3 === 0,
+                  lit(" one. two. three. four. five. six. seven. eight. nine. ten."))
+                  .when(col("doc_id") % 3 === 1, lit("."))
+                  .otherwise(lit(""))).as("text")), "text"), "text")
+        .withColumn("fk_band",
+          when(col("fk_grade6").isNull, "none")
+            .when(col("fk_grade6") < 5.0, "easy")
+            .when(col("fk_grade6") <= 10.0, "mid")
+            .otherwise("hard"))
+        .groupBy("lang_pred", "fk_band")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+        .orderBy("lang_pred", "fk_band")),
     "text_readability" -> ((s, d) =>
       // Flesch-Kincaid grade with vowel-group syllables and terminal-
       // punctuation sentences; exact integer signals, 6-dp grade
@@ -4307,6 +4331,46 @@ object SparkEntry {
           / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
           AS r2_6
       FROM s""",
+    "text_report_card" -> s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' one. two. three. four. five. six. seven. eight. nine. ten.'
+            WHEN doc_id % 3 = 1 THEN '.'
+            ELSE '' END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, text, $tokenizeSql AS tokens FROM planted),
+      sig AS (SELECT doc_id, tokens,
+          CAST(len(tokens) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        FROM toks),
+      fk AS (SELECT doc_id, tokens, n_words,
+          CASE WHEN n_words > 0 AND n_sentences > 0
+            THEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+              + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+          END AS g
+        FROM sig),
+      lang AS (SELECT doc_id,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("de")}, t))) AS de_hits,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("en")}, t))) AS en_hits,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("es")}, t))) AS es_hits,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("fr")}, t))) AS fr_hits
+        FROM fk),
+      j AS (SELECT f.doc_id, f.n_words,
+          CASE
+            WHEN l.de_hits >= l.en_hits AND l.de_hits >= l.es_hits AND l.de_hits >= l.fr_hits AND l.de_hits > 0 THEN 'de'
+            WHEN l.en_hits >= l.es_hits AND l.en_hits >= l.fr_hits AND l.en_hits > 0 THEN 'en'
+            WHEN l.es_hits >= l.fr_hits AND l.es_hits > 0 THEN 'es'
+            WHEN l.fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+          CASE WHEN f.g IS NULL THEN 'none'
+               WHEN f.g < 5.0 THEN 'easy'
+               WHEN f.g <= 10.0 THEN 'mid'
+               ELSE 'hard' END AS fk_band
+        FROM fk f JOIN lang l USING (doc_id))
+      SELECT lang_pred, fk_band, count(*) AS n_docs,
+        CAST(sum(n_words) AS BIGINT) AS n_tokens
+      FROM j GROUP BY 1, 2 ORDER BY lang_pred, fk_band""",
     "text_readability" -> s"""
       WITH sig AS (SELECT doc_id,
           CAST(len($tokenizeSql) AS BIGINT) AS n_words,
