@@ -599,6 +599,16 @@ object SparkEntry {
         predicates = Seq(("totalprice_positive", col("o_totalprice") > 0)))
         .orderBy("check_name")
     }),
+    "agg_column_profile" -> ((s, d) =>
+      // ANALYZE-style table stats over orders with a planted null sliver
+      // (%89 status nulls) so the null counts are non-vacuous
+      DataQuality.columnProfile(
+        tbl(s, d, "orders").withColumn("o_orderstatus",
+          when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy("column_name")),
     "agg_group_stats" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
@@ -3548,6 +3558,33 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
+    "agg_column_profile" -> """
+      WITH m AS (SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderstatus END
+            AS o_orderstatus,
+          o_totalprice, o_orderdate, o_orderpriority
+        FROM orders),
+      r AS (
+        SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+          count(*) FILTER (WHERE o_custkey IS NULL) AS n_nulls,
+          count(DISTINCT o_custkey) AS n_distinct FROM m
+        UNION ALL SELECT 'o_orderdate', count(*),
+          count(*) FILTER (WHERE o_orderdate IS NULL),
+          count(DISTINCT o_orderdate) FROM m
+        UNION ALL SELECT 'o_orderkey', count(*),
+          count(*) FILTER (WHERE o_orderkey IS NULL),
+          count(DISTINCT o_orderkey) FROM m
+        UNION ALL SELECT 'o_orderpriority', count(*),
+          count(*) FILTER (WHERE o_orderpriority IS NULL),
+          count(DISTINCT o_orderpriority) FROM m
+        UNION ALL SELECT 'o_orderstatus', count(*),
+          count(*) FILTER (WHERE o_orderstatus IS NULL),
+          count(DISTINCT o_orderstatus) FROM m
+        UNION ALL SELECT 'o_totalprice', count(*),
+          count(*) FILTER (WHERE o_totalprice IS NULL),
+          count(DISTINCT o_totalprice) FROM m)
+      SELECT column_name, n_rows, n_nulls, n_distinct FROM r
+      ORDER BY column_name""",
     "agg_constraint_report" -> constraintReportOracle,
     "stream_constraint_real" -> constraintReportOracle,
     "agg_cms_heavy" -> cmsHeavyOracle,

@@ -54,6 +54,30 @@ object DataQuality {
     df.agg(count(when(!coalesce(pred, lit(false)), 1)).as("n_violations"))
       .select(lit(s"check:$name").as("check_name"), col("n_violations"))
 
+  /** ANALYZE-style column profile: one (column, n_rows, n_nulls,
+    * n_distinct) row per requested column — the table-stats surface a
+    * catalog needs for join planning and a pipeline needs for drift
+    * checks. Exact counts only (no min/max: cross-engine rendering of
+    * floating-point extrema is not a stable comparison surface).
+    *
+    * Scale shape: one partial-aggregated pass PER COLUMN (count +
+    * conditional count + count-distinct on a single-column projection);
+    * the per-column jobs are independent — a scheduler runs them
+    * concurrently — and nothing but the stat rows reaches the driver.
+    * Distinct is exact by design; swap in approx_count_distinct upstream
+    * when 2% error is acceptable and the column is ultra-high-cardinality.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: no columns requested")
+    cols.map { c =>
+      df.select(col(c)).agg(count(lit(1)).as("n_rows"),
+          count(when(col(c).isNull, 1)).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** The full report: one (check, n_violations) row per declared
     * constraint, in declaration order (union of one-row aggregates — each
     * check stays an independent single-pass job).
