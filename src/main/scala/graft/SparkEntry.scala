@@ -2910,6 +2910,25 @@ object SparkEntry {
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asBinaryPayloads(docs(s, d), "doc_id", "text"))
         .toDF().orderBy("doc_id")),
+    "mm_decode_bmp" -> ((s, d) =>
+      // REAL decode path, BMP: 'BM' + BITMAPINFOHEADER little-endian walk
+      // over complete planted 24-bpp DIBs; byte_len is the closed-form
+      // 54 + padded-row-bytes × height
+      Multimodal.decodeMeta(Multimodal.plantImagePayloads(docs(s, d), "doc_id", "bmp_solid"))
+        .toDF().select("doc_id", "byte_len", "format", "width", "height", "frame_count")
+        .orderBy("doc_id")),
+    "mm_features_real_bmp" -> ((s, d) =>
+      // REAL pixel path through javax.imageio's BMP reader: solid 24-bpp
+      // DIBs reproduce the planted color exactly, std exactly zero
+      Multimodal.extractFeatures(
+          Multimodal.plantImagePayloads(docs(s, d), "doc_id", "bmp_solid"))
+        .toDF()
+        .select(col("doc_id"),
+          round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+          round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"),
+          round(col("f4"), 6).as("f4"), round(col("f5"), 6).as("f5"),
+          round(col("f6"), 6).as("f6"), round(col("f7"), 6).as("f7"))
+        .orderBy("doc_id")),
     "mm_features_real" -> ((s, d) =>
       // REAL pixel path: complete solid-color PNGs (deflate-compressed
       // IDAT) decoded with javax.imageio; per-channel mean reproduces the
@@ -6143,6 +6162,25 @@ object SparkEntry {
         CAST(16 + doc_id % 512 AS INTEGER) AS width,
         CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height,
         CAST(1 + doc_id % 5 AS INTEGER) AS frame_count
+      FROM documents ORDER BY doc_id""",
+    "mm_decode_bmp" -> """
+      WITH dims AS (SELECT doc_id,
+          CAST(4 + doc_id % 13 AS INTEGER) AS w,
+          CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS h
+        FROM documents)
+      SELECT doc_id,
+        CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INTEGER) AS byte_len,
+        'bmp' AS format, w AS width, h AS height,
+        CAST(1 AS INTEGER) AS frame_count
+      FROM dims ORDER BY doc_id""",
+    "mm_features_real_bmp" -> """
+      SELECT doc_id,
+        round((doc_id % 256) / 255.0, 6) AS f0,
+        round(((doc_id * 3) % 256) / 255.0, 6) AS f1,
+        round(((doc_id * 7) % 256) / 255.0, 6) AS f2,
+        0.0 AS f3, 0.0 AS f4, 0.0 AS f5,
+        round((4 + doc_id % 13) / 1024.0, 6) AS f6,
+        round((4 + (doc_id * 5) % 11) / 1024.0, 6) AS f7
       FROM documents ORDER BY doc_id""",
     "mm_features_real" -> """
       SELECT doc_id,

@@ -80,6 +80,22 @@ object Multimodal {
       if (w > 0 && h > 0) Some(("png", w, h)) else None
     } else None
 
+  /** BMP (Windows DIB): 'BM' magic, BITMAPINFOHEADER (size ≥ 40) with
+    * little-endian width/height at offsets 18/22 (negative height =
+    * top-down — dimensions reported absolute), exactly one plane, and a
+    * defined bit depth. Core-header (BITMAPCOREHEADER, size 12) and
+    * malformed payloads are rejected.
+    */
+  private def parseBmp(b: Array[Byte]): Option[(String, Int, Int)] =
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40) {
+      val w = le32(b, 18); val h = le32(b, 22)
+      val planes = le16(b, 26); val bpp = le16(b, 28)
+      if (w > 0 && h != 0 && planes == 1 &&
+          Set(1, 4, 8, 16, 24, 32).contains(bpp))
+        Some(("bmp", w, math.abs(h)))
+      else None
+    } else None
+
   /** JPEG: SOI marker, then scan marker segments until a start-of-frame
     * (SOF0-15 minus DHT/JPG/DAC); height/width are big-endian u16 at frame
     * header offsets 3/5.
@@ -289,7 +305,8 @@ object Multimodal {
     * [[stubDecode]].
     */
   def decodeHeader(id: Long, payload: Array[Byte]): MediaMeta =
-    parsePng(payload).orElse(parseJpeg(payload)).orElse(parseGif(payload)) match {
+    parsePng(payload).orElse(parseJpeg(payload)).orElse(parseGif(payload))
+      .orElse(parseBmp(payload)) match {
       case Some((fmt, w, h)) =>
         val frames = if (fmt == "gif") gifFrameCount(payload) else 1
         MediaMeta(id, payload.length, fmt, w, h, frames)
@@ -405,6 +422,48 @@ object Multimodal {
   def plantSolidDims(id: Long): (Int, Int) =
     ((4 + id % 13).toInt, (4 + (id * 5) % 11).toInt)
 
+  /** A COMPLETE real BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * uncompressed bottom-up 24-bpp BGR rows with 4-byte row padding —
+    * the Windows DIB spec) filled with the planted solid color; decodable
+    * by `javax.imageio`'s built-in BMP reader, so it drives both the
+    * header walk and the REAL pixel path with a closed-form oracle.
+    */
+  def plantSolidBmp(id: Long): Array[Byte] = {
+    val (w, h) = plantSolidDims(id)
+    val (r, g, b) = plantSolidColor(id)
+    val rowBytes = (w * 3 + 3) & ~3
+    val pixBytes = rowBytes * h
+    val out = new Array[Byte](54 + pixBytes)
+    out(0) = 'B'; out(1) = 'M'
+    wle32(out, 2, 54 + pixBytes)
+    wle32(out, 10, 54)      // pixel data offset
+    wle32(out, 14, 40)      // BITMAPINFOHEADER size
+    wle32(out, 18, w)
+    wle32(out, 22, h)       // positive = bottom-up
+    out(26) = 1             // planes
+    out(28) = 24            // bpp
+    wle32(out, 34, pixBytes)
+    wle32(out, 38, 2835); wle32(out, 42, 2835) // 72 dpi
+    var row = 0
+    while (row < h) {
+      var x = 0
+      val base = 54 + row * rowBytes
+      while (x < w) {
+        out(base + x * 3) = b.toByte
+        out(base + x * 3 + 1) = g.toByte
+        out(base + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  @inline private def wle32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+  }
+
   /** A COMPLETE real PNG (signature, IHDR, deflate-compressed truecolor
     * IDAT, IEND) filled with the planted solid color — decodable by any
     * conformant reader, including `javax.imageio`. The gate oracle
@@ -517,6 +576,7 @@ object Multimodal {
       case "png_solid" => plantSolidPng
       case "jpeg_solid" => plantSolidJpeg
       case "gif_solid" => plantSolidGif
+      case "bmp_solid" => plantSolidBmp
       case other => throw new IllegalArgumentException(s"unsupported plant format $other")
     }
     val mediaType = "image/" + format.stripSuffix("_solid")
@@ -683,7 +743,8 @@ object Multimodal {
     * exception-driven rejection off the non-image hot path.
     */
   private def decodePixels(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    if (parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes)).isDefined)
+    if (parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes))
+        .orElse(parseBmp(bytes)).isDefined)
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
     else firstAviFrame(bytes) match {
@@ -695,7 +756,7 @@ object Multimodal {
       case _ => null
     }
 
-  /** Feature extraction: REAL pixel statistics for PNG / JPEG / GIF
+  /** Feature extraction: REAL pixel statistics for PNG / JPEG / GIF / BMP
     * payloads (decoded pure-JVM via `javax.imageio` inside the
     * per-partition batch — the reader is probed once per payload, codec
     * state amortized per partition), [[stubFeature]] for everything else

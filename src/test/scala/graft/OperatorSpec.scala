@@ -976,6 +976,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, Some(-2.079442))), s"ln(0.125): ${got(5L)}")
   }
 
+  test("parseBmp: planted DIB round-trips header + pixels; malformed rejected") {
+    (0L to 30L).foreach { id =>
+      val b = Multimodal.plantSolidBmp(id)
+      val (w, h) = Multimodal.plantSolidDims(id)
+      val m = Multimodal.decodeHeader(id, b)
+      assert((m.format, m.width, m.height, m.frame_count) == (("bmp", w, h, 1)),
+        s"id=$id: $m")
+      assert(m.byte_len == 54 + ((w * 3 + 3) / 4 * 4) * h)
+    }
+    val good = Multimodal.plantSolidBmp(5L)
+    def mutated(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    def fmt(b: Array[Byte]): String = Multimodal.decodeHeader(5L, b).format
+    assert(fmt(good.take(40)) != "bmp", "truncated header must reject")
+    assert(fmt(mutated(_(14) = 12)) != "bmp", "BITMAPCOREHEADER (size 12) rejected")
+    assert(fmt(mutated(_(26) = 2)) != "bmp", "planes != 1 rejected")
+    assert(fmt(mutated(_(28) = 13)) != "bmp", "undefined bit depth rejected")
+    // negative (top-down) height is LEGAL: dims reported absolute
+    val (w5, h5) = Multimodal.plantSolidDims(5L)
+    val topDown = mutated { c =>
+      val neg = -h5
+      c(22) = neg.toByte; c(23) = (neg >> 8).toByte
+      c(24) = (neg >> 16).toByte; c(25) = (neg >> 24).toByte
+    }
+    val td = Multimodal.decodeHeader(5L, topDown)
+    assert((td.format, td.width, td.height) == (("bmp", w5, h5)))
+    // the REAL pixel path decodes the solid color exactly
+    val feats = Multimodal.extractFeatures(
+      Multimodal.plantImagePayloads(Seq(9L).toDF("doc_id"), "doc_id", "bmp_solid"))
+      .collect().head
+    val (r, g, b) = Multimodal.plantSolidColor(9L)
+    assert(math.abs(feats.f0 - r / 255.0) < 1e-9 &&
+      math.abs(feats.f1 - g / 255.0) < 1e-9 &&
+      math.abs(feats.f2 - b / 255.0) < 1e-9 && feats.f3 == 0.0)
+  }
+
   test("repairMojibake: inverts latin1 double-encoding, leaves clean/invalid text alone") {
     def mojibake(s: String) = new String(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
