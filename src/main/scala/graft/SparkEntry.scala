@@ -496,6 +496,23 @@ object SparkEntry {
           (abs(col("__approx") - col("exact_nd")) <=
             col("exact_nd") * 0.05).as("approx_within_5pct"))
         .orderBy("l_returnflag")),
+    "join_asof_next" -> ((s, d) => {
+      // FORWARD as-of: next click at-or-after each purchase, same user —
+      // the descending-scan twin of join_asof (one windowed shuffle)
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      Joins.asofJoinNext(purchases, clicks, Seq("user_id"), "ts",
+          payloadCols = Seq("event_id", "ts"), tieBreak = "event_id",
+          outPrefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("click_event_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
     "join_asof" -> ((s, d) => {
       // most recent prior click per purchase, same user — union + one
       // windowed shuffle on user_id (no range join / cartesian; see Joins)
@@ -3883,6 +3900,15 @@ object SparkEntry {
       SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
+    "join_asof_next" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
       ORDER BY p.event_id""",
     "src_json_scan" -> """
       SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",

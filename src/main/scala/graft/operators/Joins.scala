@@ -78,8 +78,41 @@ object Joins {
       tsCol: String,
       payloadCols: Seq[String],
       tieBreak: String,
-      outPrefix: String = "r_"): DataFrame = {
-    require(keys.nonEmpty, "asofJoinPrior needs at least one key column")
+      outPrefix: String = "r_"): DataFrame =
+    asofJoinImpl(left, right, keys, tsCol, payloadCols, tieBreak, outPrefix,
+      forward = false)
+
+  /** FORWARD as-of join — the "next right row AT OR AFTER left.ts per
+    * key" counterpart of [[asofJoinPrior]] (the `ASOF ... <=` direction a
+    * time-series engine pairs with backward as-of: next fill, next quote,
+    * time-to-event). Identical machinery — the union is scanned in
+    * DESCENDING event time, so `last(ignoreNulls)` carries the nearest
+    * FUTURE right row instead of the nearest past one; tie semantics
+    * mirror exactly (a right row at left.ts matches; greatest `tieBreak`
+    * wins among equal (key, ts) rights). Same scale shape: ONE windowed
+    * shuffle on the keys, no range join, no cartesian.
+    */
+  def asofJoinNext(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tieBreak: String,
+      outPrefix: String = "r_"): DataFrame =
+    asofJoinImpl(left, right, keys, tsCol, payloadCols, tieBreak, outPrefix,
+      forward = true)
+
+  private def asofJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tieBreak: String,
+      outPrefix: String,
+      forward: Boolean): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
     val keyCols: Seq[Column] = keys.map(qcol)
     val leftType = org.apache.spark.sql.types.StructType(
       left.columns.map(c => left.schema(c)))
@@ -105,9 +138,14 @@ object Joins {
     // nulls FIRST: a null tieBreak must lose to every non-null value —
     // nulls-last would let a null-tie row beat real tie-breakers. Ties
     // among multiple null tieBreaks remain arbitrary; pass a unique
-    // non-null column for full determinism.
+    // non-null column for full determinism. Forward mode scans DESCENDING
+    // time (the nearest FUTURE right row is the last non-null seen);
+    // within an equal-(key, ts) group the ordering is unchanged, so a
+    // right row at exactly left.ts still matches and the greatest
+    // tieBreak still wins.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc_nulls_first)
+      .orderBy(tsOrder, col("__tag").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val joined = l.unionByName(r)

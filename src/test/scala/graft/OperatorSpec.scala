@@ -976,6 +976,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, Some(-2.079442))), s"ln(0.125): ${got(5L)}")
   }
 
+  test("asofJoinNext: earliest at-or-after right row per key; max tieBreak wins at ties") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (10L, 100L, 7L),  // exactly at left1.ts → matches (at-or-after)
+      (10L, 100L, 9L),  // tie at the same ts → greater tieBreak wins
+      (10L, 200L, 5L),  // strictly before left2 (205) → not eligible
+      (10L, 300L, 6L),  // the next row for left2
+      (20L, 40L, 8L)    // only a PAST row for left3 → unmatched
+    ).toDF("k", "ts", "rid")
+    val got = Joins.asofJoinNext(left, right, Seq("k"), "ts",
+        payloadCols = Seq("rid", "ts"), tieBreak = "rid")
+      .select("lid", "r_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(9L), 2L -> Some(6L), 3L -> None))
+  }
+
   test("parseBmp: planted DIB round-trips header + pixels; malformed rejected") {
     (0L to 30L).foreach { id =>
       val b = Multimodal.plantSolidBmp(id)
