@@ -616,6 +616,20 @@ object SparkEntry {
         predicates = Seq(("totalprice_positive", col("o_totalprice") > 0)))
         .orderBy("check_name")
     }),
+    "agg_psi_drift" -> ((s, d) => {
+      // drift monitor: snapshot B doubles the %3==0 docs' text, shifting
+      // the token-length distribution rightward — the per-bucket PSI
+      // terms must reproduce the planted shift exactly
+      val lens = docs(s, d).select(col("doc_id"),
+        size(T.tokenize(col("text"))).cast("double").as("v"))
+      val shifted = docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), size(T.tokenize(col("text"))).cast("double").as("v"))
+      DataQuality.psiBuckets(lens, shifted, "v",
+          cutoffs = Seq(20.0, 40.0, 60.0, 80.0, 120.0))
+        .orderBy("bucket")
+    }),
     "agg_column_profile" -> ((s, d) =>
       // ANALYZE-style table stats over orders with a planted null sliver
       // (%89 status nulls) so the null counts are non-vacuous
@@ -3594,6 +3608,29 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
+    "agg_psi_drift" -> s"""
+      WITH la AS (SELECT len($tokenizeSql) AS v FROM documents),
+      lb AS (SELECT len(CASE WHEN doc_id % 3 = 0
+               THEN list_concat($tokenizeSql, $tokenizeSql)
+               ELSE $tokenizeSql END) AS v FROM documents),
+      ba AS (SELECT CASE WHEN v < 20 THEN 0 WHEN v < 40 THEN 1
+               WHEN v < 60 THEN 2 WHEN v < 80 THEN 3 WHEN v < 120 THEN 4
+               ELSE 5 END AS bucket, count(*) AS n_a FROM la GROUP BY 1),
+      bb AS (SELECT CASE WHEN v < 20 THEN 0 WHEN v < 40 THEN 1
+               WHEN v < 60 THEN 2 WHEN v < 80 THEN 3 WHEN v < 120 THEN 4
+               ELSE 5 END AS bucket, count(*) AS n_b FROM lb GROUP BY 1),
+      sp AS (SELECT unnest(range(0, 6)) AS bucket),
+      j AS (SELECT sp.bucket, coalesce(ba.n_a, 0) AS n_a,
+              coalesce(bb.n_b, 0) AS n_b
+            FROM sp LEFT JOIN ba ON sp.bucket = ba.bucket
+            LEFT JOIN bb ON sp.bucket = bb.bucket),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+      SELECT bucket, n_a, n_b,
+        round((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6)
+             - CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))
+          * ln((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6))
+             / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
+      FROM j, t ORDER BY bucket""",
     "agg_column_profile" -> """
       WITH m AS (SELECT o_orderkey, o_custkey,
           CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderstatus END

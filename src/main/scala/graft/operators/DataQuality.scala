@@ -78,6 +78,52 @@ object DataQuality {
     }.reduce(_.unionAll(_))
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * signal — the standard production drift monitor (banking/ML-ops
+    * folklore; PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted):
+    * per fixed bucket `(pA − pB) · ln(pA / pB)` with add-one count
+    * smoothing so empty buckets stay finite. FIXED cutoffs by design
+    * (the CCNet-cutoff convention) — corpus-derived quantile cutoffs
+    * would make the reference frame drift with the data it monitors.
+    * Output: one row per bucket (bucket, n_a, n_b, term6); the PSI is
+    * the sum of terms.
+    *
+    * Scale shape: two map-side-combined bucket counts (one pass per
+    * snapshot) joined on a ≤ cutoffs+1-row spine — only bucket rows ever
+    * reach the driver or cross an exchange.
+    */
+  def psiBuckets(a: DataFrame, b: DataFrame, valueCol: String,
+      cutoffs: Seq[Double]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted,
+      s"cutoffs must be non-empty and ascending, got $cutoffs")
+    val k = cutoffs.length
+    def bucketOf(v: Column): Column =
+      cutoffs.zipWithIndex.foldRight(lit(k)) { case ((c, i), acc) =>
+        when(v < c, i).otherwise(acc)
+      }
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(bucketOf(col(valueCol).cast("double")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val spine = a.sparkSession.range(0, k + 1).select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counts(a, "n_a"), Seq("bucket"), "left")
+      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    val totA = sum(col("n_a")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)))
+    val totB = sum(col("n_b")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)))
+    // add-one smoothing: pX = (nX + 1) / (totX + k + 1); the spine is
+    // bounded, so the single-partition total window is safe
+    joined
+      .withColumn("__pa", (col("n_a") + 1).cast("double") / (totA + k + 1))
+      .withColumn("__pb", (col("n_b") + 1).cast("double") / (totB + k + 1))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")), 6)
+          .as("term6"))
+  }
+
   /** The full report: one (check, n_violations) row per declared
     * constraint, in declaration order (union of one-row aggregates — each
     * check stays an independent single-pass job).

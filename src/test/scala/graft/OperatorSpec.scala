@@ -899,6 +899,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(m(3L) == ((None, Some(2L))), "bm25 miss keeps a null text rank")
   }
 
+  test("psiBuckets: identical snapshots give zero terms; empty buckets stay finite") {
+    val cuts = Seq(20.0, 40.0, 60.0, 80.0, 120.0)
+    val a = Seq(1.0, 25.0, 90.0).toDF("v")
+    val same = DataQuality.psiBuckets(a, a, "v", cuts).collect()
+    assert(same.length == 6 && same.forall(_.getDouble(3) == 0.0),
+      "identical distributions must read PSI 0 in every bucket")
+    val b = Seq(150.0, 150.0, 150.0).toDF("v")
+    val drift = DataQuality.psiBuckets(a, b, "v", cuts)
+    assert(drift.collect().forall(r =>
+      !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite),
+      "add-one smoothing must keep empty buckets finite")
+    val psi = drift.agg(sum(col("term6"))).collect()(0).getDouble(0)
+    assert(psi > 0.25, s"a total shift must read as major drift: $psi")
+  }
+
   test("constraintReport: each violation kind counted exactly, null semantics pinned") {
     val parent = Seq(1L, 2L).toDF("pid")
     val child = Seq(
