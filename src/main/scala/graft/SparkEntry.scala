@@ -2318,6 +2318,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
         .orderBy("doc_id")
     }),
+    "text_phrase_batch" -> ((s, d) => {
+      // a query WORKLOAD in one postings pass: three phrases of mixed
+      // length over the same planted suffixes as text_phrase_search —
+      // per-phrase semantics must equal the single-query operator
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 4, lit(" alpha beta gamma alpha beta gamma"))
+            .when(col("doc_id") % 5 === 2, lit(" zeta alpha beta gamma"))
+            .when(col("doc_id") % 5 === 3, lit(" alpha beta delta"))
+            .otherwise(lit(""))).as("text"))
+      TextSearch.phraseMatchesBatch(planted, "doc_id", "text",
+          Seq("alpha beta gamma", "zeta alpha beta", "gamma alpha"))
+        .select(col("phrase_id"), col("id").as("doc_id"), col("n_matches"),
+          col("first_pos"))
+        .orderBy("phrase_id", "doc_id")
+    }),
     "text_hybrid_rrf" -> ((s, d) =>
       // hybrid lexical+vector retrieval: BM25 over the flagship query key
       // fused with embedding-cosine ranks (vec_id ≡ doc_id — the two
@@ -5983,6 +5999,29 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_matches,
         CAST(min(i) - 1 AS BIGINT) AS first_pos
       FROM anch GROUP BY 1 ORDER BY doc_id""",
+    "text_phrase_batch" -> s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 10 = 4 THEN ' alpha beta gamma alpha beta gamma'
+               WHEN doc_id % 5 = 2 THEN ' zeta alpha beta gamma'
+               WHEN doc_id % 5 = 3 THEN ' alpha beta delta'
+               ELSE '' END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      anch AS (
+        SELECT 0 AS phrase_id, doc_id, i FROM (
+            SELECT doc_id, tokens, unnest(range(1, len(tokens) - 1)) AS i FROM toks)
+          WHERE tokens[i] = 'alpha' AND tokens[i+1] = 'beta' AND tokens[i+2] = 'gamma'
+        UNION ALL
+        SELECT 1, doc_id, i FROM (
+            SELECT doc_id, tokens, unnest(range(1, len(tokens) - 1)) AS i FROM toks)
+          WHERE tokens[i] = 'zeta' AND tokens[i+1] = 'alpha' AND tokens[i+2] = 'beta'
+        UNION ALL
+        SELECT 2, doc_id, i FROM (
+            SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i FROM toks)
+          WHERE tokens[i] = 'gamma' AND tokens[i+1] = 'alpha')
+      SELECT phrase_id, doc_id, count(*) AS n_matches,
+        CAST(min(i) - 1 AS BIGINT) AS first_pos
+      FROM anch GROUP BY 1, 2 ORDER BY phrase_id, doc_id""",
     "text_hybrid_rrf" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       tl AS (SELECT doc_id, tokens, len(tokens) AS dl FROM toks),

@@ -144,6 +144,53 @@ object TextSearch {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Batch form of [[phraseMatches]] — a query WORKLOAD in one corpus
+    * pass: every phrase shares the single postings scan (filtered to the
+    * union of all query tokens), anchors carry a phrase id, and each
+    * (phrase, anchor) needs exactly that phrase's own token count of
+    * witnesses. Output: (phrase_id, id, n_matches, first_pos) for
+    * matching (phrase, doc) pairs — semantics per phrase identical to
+    * the single-query operator.
+    *
+    * Scale shape: unchanged from the single query — ONE aggregation
+    * shuffle of (id, phrase_id, anchor) ints over union-query-token
+    * occurrences; the offsets and per-phrase-length tables are bounded
+    * by the total workload token count and broadcast.
+    */
+  def phraseMatchesBatch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "no phrases given")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // workload tokens through the SAME tokenizer expression as documents;
+    // one bounded collect (total workload tokens), the bm25 convention
+    val offsetRows = spark.createDataset(phrases.zipWithIndex)
+      .toDF("phrase", "pid")
+      .select(col("pid"), posexplode(T.tokenize(col("phrase"))).as(Seq("j", "token")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    require(phrases.indices.forall(p => offsetRows.exists(_._1 == p)),
+      "a phrase tokenizes to nothing")
+    val allTokens = offsetRows.map(_._3).distinct.toSeq
+    val offsets = offsetRows.toSeq.toDF("pid", "j", "token")
+    val lens = offsetRows.groupBy(_._1).view.mapValues(_.length).toSeq
+      .toDF("pid", "m")
+    val postings = graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"),
+          T.tokenize(col(textCol)).as("__toks")))
+      .select(col("id"), posexplode(col("__toks")).as(Seq("pos", "token")))
+      .where(col("token").isin(allTokens: _*))
+    postings.join(broadcast(offsets), Seq("token"))
+      .select(col("id"), col("pid"), (col("pos") - col("j")).as("anchor"))
+      .groupBy("id", "pid", "anchor").agg(count(lit(1)).as("__w"))
+      .join(broadcast(lens), Seq("pid"))
+      .where(col("__w") === col("m"))
+      .groupBy("pid", "id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .select(col("pid").as("phrase_id"), col("id"), col("n_matches"),
+        col("first_pos"))
+  }
+
   /** Top-k BM25 hits with the document text attached (score-desc, id-asc). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       query: String, k: Int): DataFrame =

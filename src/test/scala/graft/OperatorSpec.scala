@@ -935,6 +935,26 @@ class OperatorSpec extends AnyFunSuite {
       "check:v_positive" -> 2L))
   }
 
+  test("phraseMatchesBatch: per-phrase results equal the single-query operator") {
+    val docs = Seq(
+      (1L, "x alpha beta gamma y alpha beta gamma"),
+      (2L, "alpha beta delta gamma"),
+      (3L, "beta alpha gamma"),
+      (4L, "a a a")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("alpha beta gamma", "beta alpha", "a a")
+    val batch = TextSearch.phraseMatchesBatch(docs, "doc_id", "text", phrases)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val singles = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      TextSearch.phraseMatches(docs, "doc_id", "text", p).collect()
+        .map(r => (pid, r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(batch == singles, s"batch $batch != singles $singles")
+    assert(batch((0, 1L)) == ((2L, 1L)) && batch((1, 3L)) == ((1L, 0L)) &&
+      batch((2, 4L)) == ((2L, 0L)))
+  }
+
   test("phraseMatches: adjacency, overlap, duplicate query tokens, decision-only shuffle") {
     val docs = Seq(
       (1L, "x alpha beta gamma y alpha beta gamma"), // two matches, first at 1
