@@ -2754,6 +2754,41 @@ object SparkEntry {
         .transform(SparkUtil.scopedPersist)
       cmsHeavyHitters(toks, s.table("graft_cms_gate"), depth = 4, width = 1024)
     }),
+    "stream_centroid_real" -> ((s, d) => {
+      // feature-store maintenance as a STREAM: per-(label, dim) running
+      // sums in complete mode (state = labels × dims cells, the bounded
+      // sketch shape) rebuilt into micro-quantized centroids batch-side —
+      // must equal the batch centroid stats exactly because the
+      // micro-rounding absorbs partial-order double noise (the
+      // sim_label_stats determinism convention)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-centroid")
+      tbl(s, d, "embeddings").select("vec_id", "label", "embedding")
+        .repartition(4).write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = src.select(col("label").cast("long").as("l"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("d0", "x")))
+        .groupBy("l", "d0")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_centroid_gate")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_centroid_gate")
+        .withColumn("sm", round(col("sx") * 1e6).cast("long"))
+        .groupBy("l")
+        .agg(max(col("n")).as("n_vecs"),
+          array_sort(collect_list(struct(col("d0").as("d"), col("sm").as("sm"))))
+            .as("pairs"))
+        .withColumn("c", transform(col("pairs"),
+          s0 => s0.getField("sm").cast("double") / 1e6 / col("n_vecs")))
+        .select(col("l").as("label"), col("n_vecs"),
+          round(sqrt(aggregate(col("c"), lit(0.0), (a, x) => a + x * x)), 6)
+            .as("centroid_norm6"))
+        .orderBy("label")
+    }),
     "stream_constraint_real" -> ((s, d) => {
       // data contracts on STREAMS: the same planted violations as
       // agg_constraint_report monitored by three streaming queries —
@@ -4114,6 +4149,21 @@ object SparkEntry {
       SELECT doc_id, n_words,
         (n_words BETWEEN 50 AND 100000) AS r_word_count, stop_hits
       FROM sig ORDER BY doc_id""",
+    "stream_centroid_real" -> """
+      WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+      e AS (SELECT label, i, v[i] AS x FROM (
+              SELECT label, v, unnest(range(1, 65)) AS i FROM v)),
+      cs AS (SELECT label, i, CAST(round(sum(x) * 1e6) AS BIGINT) AS sm,
+               count(*) AS nd FROM e GROUP BY 1, 2),
+      cent0 AS (SELECT label, max(nd) AS n_vecs, list(sm ORDER BY i) AS sml
+                FROM cs GROUP BY 1)
+      SELECT label, n_vecs,
+        round(sqrt(list_sum(list_transform(sml,
+          s -> (CAST(s AS DOUBLE) / 1e6 / n_vecs) * (CAST(s AS DOUBLE) / 1e6 / n_vecs)))), 6)
+          AS centroid_norm6
+      FROM cent0 ORDER BY label""",
     "stream_mojibake_real" -> """
       WITH clean AS (SELECT doc_id,
           text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) ||
