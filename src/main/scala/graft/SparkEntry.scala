@@ -1622,6 +1622,13 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 6).as("cos6"))
         .orderBy("a_id", "rank")),
+    "sim_knn_confusion" -> ((s, d) =>
+      // leave-one-out kNN label eval over the same bucket-blocked graph
+      // as sim_knn_graph: majority vote (ties → smallest label), isolated
+      // vectors keep a null prediction
+      SimSearch.knnLabelConfusion(tbl(s, d, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, nBits = 4)
+        .orderBy("true_label", "pred_label")),
     "sim_topk_ivf" -> ((s, d) => // trained inverted lists — no SQL oracle
       SimSearch.cosineTopKIvf(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
         nLists = 16, nProbe = 4, iters = 2)
@@ -5806,6 +5813,32 @@ object SparkEntry {
         FROM scored)
       SELECT a_id, b_id, rank, round(cosine, 6) AS cos6
       FROM ranked WHERE rank <= 5 ORDER BY a_id, rank""",
+    "sim_knn_confusion" -> """
+      WITH eb AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+          CAST(list_sum(list_transform(range(0, 4),
+            d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS blab,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT a_id, blab,
+          row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+        FROM scored),
+      votes AS (SELECT a_id, blab, count(*) AS v FROM ranked
+                WHERE rank <= 5 GROUP BY 1, 2),
+      pred AS (SELECT a_id, blab AS pred_label,
+                 row_number() OVER (PARTITION BY a_id ORDER BY v DESC, blab) AS rn
+               FROM votes)
+      SELECT e.label AS true_label, p.pred_label, count(*) AS n
+      FROM eb e LEFT JOIN pred p ON e.vec_id = p.a_id AND p.rn = 1
+      GROUP BY 1, 2 ORDER BY true_label, pred_label""",
     "text_langid" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       hits AS (

@@ -23,6 +23,37 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Leave-one-out kNN-classifier confusion matrix — the label-quality
+    * eval run before trusting a labeled embedding set (a strong diagonal
+    * means the labels are learnable; off-diagonal mass names the
+    * confused class pairs): every vector is classified by majority vote
+    * of its [[knnGraphBucketed]] neighbors' labels (vote-count ties break
+    * to the smallest label; vectors with no in-bucket neighbor get a
+    * null prediction and stay visible). Output: (true_label,
+    * pred_label, n).
+    *
+    * Scale shape: the kNN join keeps its own documented bucket-blocked
+    * shape; everything after moves (id, label, count) decision rows —
+    * votes partial-aggregate map-side, the argmax is one max(struct)
+    * per vector, and the confusion rollup is labels² rows.
+    */
+  def knnLabelConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val labels = emb.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("long").as("__lab"))
+    val votes = knnGraphBucketed(emb, idCol, vecCol, k, nBits)
+      .join(labels.select(col("__id").as("b_id"), col("__lab").as("__blab")),
+        Seq("b_id"))
+      .groupBy(col("a_id"), col("__blab")).agg(count(lit(1)).as("__v"))
+      .select(col("a_id"),
+        struct(col("__v"), (-col("__blab")).as("__nl")).as("__p"))
+      .groupBy("a_id").agg(max(col("__p")).as("__best"))
+      .select(col("a_id").as("__id"), (-col("__best.__nl")).as("pred_label"))
+    labels.join(votes, Seq("__id"), "left")
+      .groupBy(col("__lab").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-label embedding QA report — the class-separation audit a
     * classifier-dataset pipeline runs before training: per label, the
     * member count, centroid norm, intra-class cohesion (mean and worst

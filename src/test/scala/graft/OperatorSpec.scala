@@ -779,6 +779,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("knnLabelConfusion: vote ties break to the smaller label, isolated vecs null") {
+    // one shared bucket (nBits=1, all x>0): a(lab 0), b(lab 1), q(lab 1)
+    // with k=2 every vector votes over the other two → q and b tie 1-1
+    // (pred 0), a sees two 1-votes (pred 1); the isolated negative-x
+    // vector has no in-bucket neighbor → null prediction
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.95f, 0.05f), 1),
+      (4L, Array(-1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimSearch.knnLabelConfusion(emb, "vec_id", "embedding", "label",
+        k = 2, nBits = 1)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got == Set((0L, Some(1L), 1L), (1L, Some(0L), 2L), (2L, None, 1L)),
+      s"got $got")
+  }
+
   test("labelCentroidStats: centroids, cohesion, nearest confusable class") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),
