@@ -1439,6 +1439,20 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(planted, "doc_id", "text", n = 10)
         .orderBy("doc_id")
     }),
+    "dedup_span_keepfirst" -> ((s, d) => {
+      // the KEEP-FIRST ExactSubstr semantics: the corpus-first occurrence
+      // of each duplicated 10-gram survives (the planted boilerplate keeps
+      // exactly one copy corpus-wide), every later occurrence is cut
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 1,
+            lit(" the quick brown fox jumps over the lazy dog again today"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 4, concat(lit(" "), col("text")))
+            .otherwise(lit(""))).as("text"))
+      Dedup.removeDuplicatedSpansKeepFirst(planted, "doc_id", "text", n = 10)
+        .orderBy("doc_id")
+    }),
     "dedup_bloom_decontam" -> ((s, d) => {
       // Bloom-sketch decontamination (the zero-join 100 TB path of
       // dedup_decontaminate): bench = every 20th doc with a 5-token canary
@@ -5549,6 +5563,36 @@ object SparkEntry {
       dup AS (SELECT doc_id, i FROM h JOIN cnt USING (h) WHERE c > 1),
       cov AS (SELECT DISTINCT doc_id, tp FROM (
                 SELECT doc_id, unnest(range(i, i + 10)) AS tp FROM dup)),
+      pos AS (SELECT doc_id, unnest(range(1, nt + 1)) AS p FROM base),
+      kept AS (SELECT pos.doc_id, p FROM pos
+               LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.tp
+               WHERE cov.doc_id IS NULL),
+      clean AS (SELECT k.doc_id, count(*) AS kt,
+                  string_agg(b.tokens[k.p], ' ' ORDER BY k.p) AS ct
+                FROM kept k JOIN base b USING (doc_id) GROUP BY k.doc_id)
+      SELECT b.doc_id, nt AS n_tokens, coalesce(kt, 0) AS kept_tokens,
+        coalesce(ct, '') AS clean_text
+      FROM base b LEFT JOIN clean USING (doc_id)
+      ORDER BY b.doc_id""",
+    "dedup_span_keepfirst" -> s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 1
+            THEN ' the quick brown fox jumps over the lazy dog again today'
+            ELSE '' END ||
+          CASE WHEN doc_id % 9 = 4 THEN ' ' || text ELSE '' END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      base AS (SELECT doc_id, tokens, len(tokens) AS nt FROM toks),
+      h AS (SELECT doc_id, i, md5(array_to_string(tokens[i:i+9], ' ')) AS h
+            FROM (SELECT doc_id, tokens,
+                    unnest(range(1, len(tokens) - 8)) AS i FROM base)),
+      cnt AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+      dup AS (SELECT doc_id, i, h,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+              FROM h JOIN cnt USING (h) WHERE c > 1),
+      losers AS (SELECT doc_id, i FROM dup WHERE rn > 1),
+      cov AS (SELECT DISTINCT doc_id, tp FROM (
+                SELECT doc_id, unnest(range(i, i + 10)) AS tp FROM losers)),
       pos AS (SELECT doc_id, unnest(range(1, nt + 1)) AS p FROM base),
       kept AS (SELECT pos.doc_id, p FROM pos
                LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.tp

@@ -211,6 +211,53 @@ object Dedup {
         array_join(col("__rs_kept"), " ").as("clean_text"))
   }
 
+  /** KEEP-FIRST variant of [[removeDuplicatedSpans]] — the other
+    * ExactSubstr semantics Lee et al. discuss: the corpus-FIRST occurrence
+    * of each duplicated n-gram (smallest (id, pos)) survives, every other
+    * occurrence is cut — so duplicated content keeps exactly one copy
+    * corpus-wide instead of vanishing entirely. Output and conventions
+    * identical to the conservative variant.
+    *
+    * Scale shape: adds ONE decision aggregate to the conservative
+    * variant — the per-hash `min(struct(id, pos))` winner (map-side
+    * combined, (hash, id, pos) rows) joined back onto the duplicated
+    * occurrences to exempt winners; everything else unchanged, token
+    * arrays still cross at most the one reconstruction exchange.
+    */
+  def removeDuplicatedSpansKeepFirst(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 10): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = df.select(col(idCol).as("__rs_id"), T.tokenize(col(textCol)).as("__rs_toks"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val idxs = when(size(col("__rs_toks")) >= n,
+      sequence(lit(0), size(col("__rs_toks")) - n)).otherwise(array().cast("array<int>"))
+    val grams = base.select(col("__rs_id"),
+        posexplode(transform(idxs, i => md5(array_join(slice(col("__rs_toks"), i + 1, lit(n)), " ")))))
+      .toDF("__rs_id", "__rs_pos", "__rs_h")
+    val dupOcc = grams.join(
+        grams.groupBy("__rs_h").agg(count(lit(1)).as("__rs_c"))
+          .where(col("__rs_c") > 1).select("__rs_h"),
+        Seq("__rs_h"), "left_semi")
+      .transform(graft.SparkUtil.scopedPersist)
+    val winners = dupOcc.groupBy("__rs_h")
+      .agg(min(struct(col("__rs_id"), col("__rs_pos"))).as("__rs_w"))
+    val starts = dupOcc.join(winners, Seq("__rs_h"))
+      .where(!(col("__rs_id") === col("__rs_w.__rs_id") &&
+        col("__rs_pos") === col("__rs_w.__rs_pos")))
+      .groupBy("__rs_id")
+      .agg(sort_array(collect_list(col("__rs_pos"))).as("__rs_starts"))
+    base.join(starts, Seq("__rs_id"), "left")
+      .withColumn("__rs_starts",
+        coalesce(col("__rs_starts"), array().cast("array<int>")))
+      .withColumn("__rs_kept",
+        filter(col("__rs_toks"), (_, i) =>
+          !exists(col("__rs_starts"), s => i >= s && i < s + n)))
+      .select(col("__rs_id").as(idCol),
+        size(col("__rs_toks")).cast("long").as("n_tokens"),
+        size(col("__rs_kept")).cast("long").as("kept_tokens"),
+        array_join(col("__rs_kept"), " ").as("clean_text"))
+  }
+
   /** Serialized Bloom filter over the benchmark set's distinct k-shingle
     * hashes — the bounded-sketch form of the [[contaminationFlags]] bench
     * side, for corpora where even the shingle JOIN is too expensive.

@@ -1189,6 +1189,22 @@ class OperatorSpec extends AnyFunSuite {
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("span removal keep-first: first occurrence survives, later copies cut") {
+    val shared = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (1L, shared + " unique1 tail1"),  // FIRST occurrence of the shared run
+      (2L, shared + " unique2 tail2"),  // later copy → shared run cut
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpansKeepFirst(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((14L, 14L, shared + " unique1 tail1")),
+      s"the corpus-first copy survives whole: ${got(1L)}")
+    assert(got(2L) == ((14L, 2L, "unique2 tail2")))
+    assert(got(3L) == ((2L, 2L, "short doc")))
+  }
+
   test("pagerank: exact-integer rounds match hand computation, mass conserved") {
     // 2-cycle is a fixed point: contrib = 1e6, r' = 150000 + 17e6 div 20 = 1e6
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
