@@ -2775,6 +2775,47 @@ object SparkEntry {
         .transform(SparkUtil.scopedPersist)
       cmsHeavyHitters(toks, s.table("graft_cms_gate"), depth = 4, width = 1024)
     }),
+    "stream_psi_real" -> ((s, d) => {
+      // drift monitoring as a STREAM: the shifted snapshot arrives as a
+      // file stream, complete-mode bucket counts (state = 6 cells) are
+      // fused batch-side with the static reference distribution into the
+      // same PSI terms as agg_psi_drift — the oracle is shared verbatim
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = roundTripDir(d, "graft-stream-psi")
+      docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .repartition(4).write.mode("overwrite").parquet(tmp)
+      val schema = s.read.parquet(tmp).schema
+      def bucketOf(v: org.apache.spark.sql.Column) =
+        when(v < 20.0, 0).when(v < 40.0, 1).when(v < 60.0, 2)
+          .when(v < 80.0, 3).when(v < 120.0, 4).otherwise(5)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = src
+        .select(bucketOf(size(T.tokenize(col("text"))).cast("double")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+        .writeStream.format("memory").queryName("graft_psi_gate")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val aCounts = docs(s, d)
+        .select(bucketOf(size(T.tokenize(col("text"))).cast("double")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_a"))
+      val spine = s.range(0, 6).select(col("id").cast("int").as("bucket"))
+      val w1 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      spine.join(aCounts, Seq("bucket"), "left")
+        .join(s.table("graft_psi_gate"), Seq("bucket"), "left")
+        .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+        .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+        .withColumn("__pa", (col("n_a") + 1).cast("double") /
+          (sum(col("n_a")).over(w1) + 6))
+        .withColumn("__pb", (col("n_b") + 1).cast("double") /
+          (sum(col("n_b")).over(w1) + 6))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          round((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")), 6)
+            .as("term6"))
+        .orderBy("bucket")
+    }),
     "stream_centroid_real" -> ((s, d) => {
       // feature-store maintenance as a STREAM: per-(label, dim) running
       // sums in complete mode (state = labels × dims cells, the bounded
@@ -3536,6 +3577,33 @@ object SparkEntry {
              tokens[i+3] || ' ' || tokens[i+4]))) AS shingle FROM ctoks),
       hits AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))"""
 
+  /** Shared oracle: the batch PSI drift gate and its streaming twin
+    * replay the identical planted length shift.
+    */
+  private lazy val psiDriftOracle: String = s"""
+      WITH la AS (SELECT len($tokenizeSql) AS v FROM documents),
+      lb AS (SELECT len(CASE WHEN doc_id % 3 = 0
+               THEN list_concat($tokenizeSql, $tokenizeSql)
+               ELSE $tokenizeSql END) AS v FROM documents),
+      ba AS (SELECT CASE WHEN v < 20 THEN 0 WHEN v < 40 THEN 1
+               WHEN v < 60 THEN 2 WHEN v < 80 THEN 3 WHEN v < 120 THEN 4
+               ELSE 5 END AS bucket, count(*) AS n_a FROM la GROUP BY 1),
+      bb AS (SELECT CASE WHEN v < 20 THEN 0 WHEN v < 40 THEN 1
+               WHEN v < 60 THEN 2 WHEN v < 80 THEN 3 WHEN v < 120 THEN 4
+               ELSE 5 END AS bucket, count(*) AS n_b FROM lb GROUP BY 1),
+      sp AS (SELECT unnest(range(0, 6)) AS bucket),
+      j AS (SELECT sp.bucket, coalesce(ba.n_a, 0) AS n_a,
+              coalesce(bb.n_b, 0) AS n_b
+            FROM sp LEFT JOIN ba ON sp.bucket = ba.bucket
+            LEFT JOIN bb ON sp.bucket = bb.bucket),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+      SELECT bucket, n_a, n_b,
+        round((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6)
+             - CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))
+          * ln((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6))
+             / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
+      FROM j, t ORDER BY bucket"""
+
   /** Shared oracle: the batch constraint report and its streaming twin
     * replay the identical planted-violation counts.
     */
@@ -3680,29 +3748,8 @@ object SparkEntry {
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks)
       SELECT s AS shingle, count(*) AS cnt
       FROM (SELECT unnest(shingles) AS s FROM shing) GROUP BY 1 ORDER BY 1""",
-    "agg_psi_drift" -> s"""
-      WITH la AS (SELECT len($tokenizeSql) AS v FROM documents),
-      lb AS (SELECT len(CASE WHEN doc_id % 3 = 0
-               THEN list_concat($tokenizeSql, $tokenizeSql)
-               ELSE $tokenizeSql END) AS v FROM documents),
-      ba AS (SELECT CASE WHEN v < 20 THEN 0 WHEN v < 40 THEN 1
-               WHEN v < 60 THEN 2 WHEN v < 80 THEN 3 WHEN v < 120 THEN 4
-               ELSE 5 END AS bucket, count(*) AS n_a FROM la GROUP BY 1),
-      bb AS (SELECT CASE WHEN v < 20 THEN 0 WHEN v < 40 THEN 1
-               WHEN v < 60 THEN 2 WHEN v < 80 THEN 3 WHEN v < 120 THEN 4
-               ELSE 5 END AS bucket, count(*) AS n_b FROM lb GROUP BY 1),
-      sp AS (SELECT unnest(range(0, 6)) AS bucket),
-      j AS (SELECT sp.bucket, coalesce(ba.n_a, 0) AS n_a,
-              coalesce(bb.n_b, 0) AS n_b
-            FROM sp LEFT JOIN ba ON sp.bucket = ba.bucket
-            LEFT JOIN bb ON sp.bucket = bb.bucket),
-      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
-      SELECT bucket, n_a, n_b,
-        round((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6)
-             - CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))
-          * ln((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6))
-             / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
-      FROM j, t ORDER BY bucket""",
+    "agg_psi_drift" -> psiDriftOracle,
+    "stream_psi_real" -> psiDriftOracle,
     "agg_column_profile" -> """
       WITH m AS (SELECT o_orderkey, o_custkey,
           CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderstatus END
