@@ -1252,6 +1252,12 @@ object SparkEntry {
       // 3-way self-join; Dedup.trianglePairs scaladoc)
       Dedup.trianglePairs(fitted(s, d, cfg16).approxSimilarityJoin(0.3))
         .orderBy("i", "j", "k")),
+    "graph_clustering" -> ((s, d) =>
+      // per-node local clustering over the same near-dup pair graph: a
+      // coefficient of 1 marks a clique (true duplicate family), low
+      // values mark accidental-pair hubs
+      Graphs.localClustering(fitted(s, d, cfg16).approxSimilarityJoin(0.3))
+        .orderBy("id")),
     "dedup_weighted_pairs" -> ((s, d) =>
       // end-to-end tf-WEIGHTED near-dup pairs (Dedup.weightedMinhashPairs)
       Dedup.weightedMinhashPairs(docs(s, d), "doc_id", "text", cfg16, 0.4)
@@ -5407,6 +5413,30 @@ object SparkEntry {
       SELECT e1.u AS i, e1.v AS j, e2.v AS k
       FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
       ORDER BY i, j, k""",
+    "graph_clustering" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+            / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
+        FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id),
+      e AS (SELECT a_id AS u, b_id AS v FROM scored WHERE jaccard >= 0.3),
+      deg AS (SELECT id, count(*) AS degree FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      tri AS (SELECT e1.u AS i, e1.v AS j, e2.v AS k
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pn AS (SELECT id, count(*) AS n_triangles FROM (
+               SELECT i AS id FROM tri UNION ALL SELECT j FROM tri
+               UNION ALL SELECT k FROM tri) GROUP BY 1)
+      SELECT d.id, d.degree, coalesce(pn.n_triangles, 0) AS n_triangles,
+        CASE WHEN d.degree >= 2
+          THEN round(2.0 * coalesce(pn.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) END AS clustering6
+      FROM deg d LEFT JOIN pn USING (id) ORDER BY d.id""",
     "dedup_ngram_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

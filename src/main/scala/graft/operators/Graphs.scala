@@ -152,6 +152,37 @@ object Graphs {
     * multiplicity. One map-side-combined aggregate keyed on the host
     * pair; the exchange carries (host, host, count) partials only.
     */
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over an undirected pair list
+    * (a < b normalized) — the graph-density audit of a duplicate-family
+    * graph: coefficient 1 means the node's neighborhood is a clique (a
+    * true duplicate family), near 0 a hub of unrelated accidental pairs.
+    * `clustering = 2·triangles(v) / (deg(v)·(deg(v)−1))`, null for
+    * degree < 2. Output: (id, degree, n_triangles, clustering6).
+    *
+    * Scale shape: degrees are one map-side-combined count over the edge
+    * endpoints; triangles reuse the cyclic 3-way SELF-JOIN on the
+    * normalized edge list (each join keyed on a node id — never an
+    * all-pairs product; the [[Dedup.trianglePairs]] convention) and
+    * membership counts partial-aggregate map-side. Everything shuffled
+    * is (id, count) pairs or edge endpoints.
+    */
+  def localClustering(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("i"), col("e1.v").as("j"), col("e2.v").as("k"))
+    val perNode = tri.select(explode(array(col("i"), col("j"), col("k"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering6", when(col("degree") >= 2,
+        round(lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - 1)), 6)))
+  }
+
   def hostEdges(links: DataFrame): DataFrame =
     links.where(!col("internal"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))

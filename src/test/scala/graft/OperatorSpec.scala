@@ -1205,6 +1205,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 2L, "short doc")))
   }
 
+  test("localClustering: clique reads 1.0, path-center reads 0, degree-1 null") {
+    // triangle {1,2,3} (a clique) plus pendant 3-4: node 3 has degree 3
+    // and 1 triangle → 2·1/(3·2) = 0.333333; node 4 degree 1 → null
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = Graphs.localClustering(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1.0))))
+    assert(got(2L) == ((2L, 1L, Some(1.0))))
+    assert(got(3L) == ((3L, 1L, Some(0.333333))))
+    assert(got(4L) == ((1L, 0L, None)))
+  }
+
   test("pagerank: exact-integer rounds match hand computation, mass conserved") {
     // 2-cycle is a fixed point: contrib = 1e6, r' = 150000 + 17e6 div 20 = 1e6
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
