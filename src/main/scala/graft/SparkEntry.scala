@@ -1649,6 +1649,12 @@ object SparkEntry {
       SimSearch.knnLabelConfusion(tbl(s, d, "embeddings"), "vec_id",
           "embedding", "label", k = 5, nBits = 4)
         .orderBy("true_label", "pred_label")),
+    "sim_knn_accuracy" -> ((s, d) =>
+      // one-row accuracy + macro-F1 over the kNN confusion (null
+      // predictions are errors; per-class F1 micro-quantized before the
+      // macro average)
+      SimSearch.knnEvalSummary(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", "label", k = 5, nBits = 4)),
     "sim_topk_ivf" -> ((s, d) => // trained inverted lists — no SQL oracle
       SimSearch.cosineTopKIvf(tbl(s, d, "embeddings"), "vec_id", "embedding", 0L, 10,
         nLists = 16, nProbe = 4, iters = 2)
@@ -5960,6 +5966,56 @@ object SparkEntry {
       SELECT e.label AS true_label, p.pred_label, count(*) AS n
       FROM eb e LEFT JOIN pred p ON e.vec_id = p.a_id AND p.rn = 1
       GROUP BY 1, 2 ORDER BY true_label, pred_label""",
+    "sim_knn_accuracy" -> """
+      WITH eb AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+          CAST(list_sum(list_transform(range(0, 4),
+            d -> CASE WHEN embedding[d+1] > 0 THEN CAST(pow(2, d) AS INTEGER) ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS blab,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT a_id, blab,
+          row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+        FROM scored),
+      votes AS (SELECT a_id, blab, count(*) AS v FROM ranked
+                WHERE rank <= 5 GROUP BY 1, 2),
+      pred AS (SELECT a_id, blab AS pred_label,
+                 row_number() OVER (PARTITION BY a_id ORDER BY v DESC, blab) AS rn
+               FROM votes),
+      cm AS (SELECT e.label AS true_label, p.pred_label, count(*) AS n
+             FROM eb e LEFT JOIN pred p ON e.vec_id = p.a_id AND p.rn = 1
+             GROUP BY 1, 2),
+      fn AS (SELECT true_label AS cls,
+               sum(CASE WHEN pred_label IS NULL OR pred_label <> true_label
+                     THEN n ELSE 0 END) AS f
+             FROM cm GROUP BY 1),
+      tp AS (SELECT true_label AS cls, n AS t FROM cm
+             WHERE pred_label = true_label),
+      fp AS (SELECT pred_label AS cls, sum(n) AS p FROM cm
+             WHERE pred_label IS NOT NULL AND pred_label <> true_label
+             GROUP BY 1),
+      pc AS (SELECT fn.cls, coalesce(tp.t, 0) AS t, fn.f, coalesce(fp.p, 0) AS p
+             FROM fn LEFT JOIN tp USING (cls) LEFT JOIN fp USING (cls)),
+      f1 AS (SELECT CASE WHEN 2 * t + p + f > 0
+               THEN CAST(round(2.0 * t / (2 * t + p + f) * 1e6) AS BIGINT)
+               ELSE 0 END AS f1m FROM pc),
+      mac AS (SELECT CAST(round(CAST(sum(f1m) AS DOUBLE) / count(*)) AS BIGINT)
+                / 1e6 AS macro_f1_6 FROM f1),
+      acc AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                CAST(sum(CASE WHEN pred_label = true_label THEN n ELSE 0 END) AS BIGINT)
+                  AS n_correct
+              FROM cm)
+      SELECT acc.n_total, acc.n_correct,
+        round(CAST(acc.n_correct AS DOUBLE) / acc.n_total, 6) AS accuracy6,
+        mac.macro_f1_6
+      FROM acc, mac""",
     "text_langid" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       hits AS (

@@ -54,6 +54,66 @@ object SimSearch {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** One-row eval summary over [[knnLabelConfusion]]: accuracy (null
+    * predictions count as errors) and MACRO-F1 — per-class
+    * `2·tp/(2·tp+fp+fn)` (0 when the denominator is 0) averaged over the
+    * true classes, with each class F1 micro-quantized before the average
+    * so the mean is an exact integer division. Output:
+    * (n_total, n_correct, accuracy6, macro_f1_6).
+    */
+  def knnEvalSummary(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val cm = knnLabelConfusion(emb, idCol, vecCol, labelCol, k, nBits)
+      .transform(graft.SparkUtil.scopedPersist)
+    val tp = cm.where(col("pred_label") === col("true_label"))
+      .select(col("true_label").as("cls"), col("n").as("__tp"))
+    val fn = cm.groupBy(col("true_label").as("cls"))
+      .agg(sum(when(col("pred_label").isNull ||
+        col("pred_label") =!= col("true_label"), col("n")).otherwise(lit(0L)))
+        .as("__fn"))
+    val fp = cm.where(col("pred_label").isNotNull &&
+        col("pred_label") =!= col("true_label"))
+      .groupBy(col("pred_label").as("cls")).agg(sum(col("n")).as("__fp"))
+    val perClass = fn // every true class appears here
+      .join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("__tp"), lit(0L)).as("t"),
+        col("__fn").as("f"), coalesce(col("__fp"), lit(0L)).as("p"))
+      .withColumn("__f1m",
+        when(lit(2) * col("t") + col("p") + col("f") > 0,
+          round(lit(2.0) * col("t") / (lit(2) * col("t") + col("p") + col("f"))
+            * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+    val macroF1 = perClass.agg(count(lit(1)).as("__k"), sum(col("__f1m")).as("__s"))
+      .select((round(col("__s").cast("double") / col("__k")).cast("long")
+        .cast("double") / 1e6).as("macro_f1_6"))
+    val acc = cm.agg(sum(col("n")).as("n_total"),
+        sum(when(col("pred_label") === col("true_label"), col("n"))
+          .otherwise(lit(0L))).as("n_correct"))
+      .withColumn("accuracy6",
+        round(col("n_correct").cast("double") / col("n_total"), 6))
+    acc.crossJoin(macroF1)
+  }
+
+  /** Micro-quantized per-label centroids of a (__lc_l, __lc_v) frame:
+    * (label, n_vecs, centroid) with per-element sums rounded to integer
+    * micro units BEFORE the divide — bit-stable under any partitioning.
+    */
+  private def microCentroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("__lc_l"),
+        posexplode(col("__lc_v")).as(Seq("__lc_d", "__lc_x")))
+      .groupBy("__lc_l", "__lc_d")
+      .agg(round(sum(col("__lc_x")) * 1e6).cast("long").as("sm"),
+        count(lit(1)).as("nd"))
+      .groupBy("__lc_l")
+      .agg(max(col("nd")).as("n_vecs"),
+        array_sort(collect_list(struct(col("__lc_d").as("d"), col("sm").as("sm"))))
+          .as("__lc_pairs"))
+      .withColumn("__lc_c",
+        transform(col("__lc_pairs"),
+          s => s.getField("sm").cast("double") / 1e6 / col("n_vecs")))
+      .select(col("__lc_l"), col("n_vecs"), col("__lc_c"))
+
   /** Per-label embedding QA report — the class-separation audit a
     * classifier-dataset pipeline runs before training: per label, the
     * member count, centroid norm, intra-class cohesion (mean and worst
@@ -75,25 +135,6 @@ object SimSearch {
     * cohesion pass, and the confusability pass is a #labels² self-join
     * of that same bounded table.
     */
-  /** Micro-quantized per-label centroids of a (__lc_l, __lc_v) frame:
-    * (label, n_vecs, centroid) with per-element sums rounded to integer
-    * micro units BEFORE the divide — bit-stable under any partitioning.
-    */
-  private def microCentroids(vecs: DataFrame): DataFrame =
-    vecs.select(col("__lc_l"),
-        posexplode(col("__lc_v")).as(Seq("__lc_d", "__lc_x")))
-      .groupBy("__lc_l", "__lc_d")
-      .agg(round(sum(col("__lc_x")) * 1e6).cast("long").as("sm"),
-        count(lit(1)).as("nd"))
-      .groupBy("__lc_l")
-      .agg(max(col("nd")).as("n_vecs"),
-        array_sort(collect_list(struct(col("__lc_d").as("d"), col("sm").as("sm"))))
-          .as("__lc_pairs"))
-      .withColumn("__lc_c",
-        transform(col("__lc_pairs"),
-          s => s.getField("sm").cast("double") / 1e6 / col("n_vecs")))
-      .select(col("__lc_l"), col("n_vecs"), col("__lc_c"))
-
   def labelCentroidStats(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val vecs = graft.SparkUtil.ensureParallelism(
