@@ -1429,6 +1429,16 @@ object SparkEntry {
           col("n_dup_ngrams"), col("dup_tokens"), col("dup_frac").as("dup6"))
         .orderBy("doc_id")
     }),
+    "dedup_bench_leak" -> ((s, d) => {
+      // the eval-owner view of decontamination: per benchmark item (the
+      // %20==0 slice, as in dedup_decontaminate), how many of its
+      // shingles are compromised and by how many corpus docs
+      val all = docs(s, d)
+      Dedup.benchLeakReport(
+          all.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          all.where(col("doc_id") % 20 === 0), "doc_id", "text", k = 2)
+        .orderBy("doc_id")
+    }),
     "dedup_span_removal" -> ((s, d) => {
       // the APPLIED form of dedup_ngram_coverage (Lee et al. ExactSubstr):
       // same planted dup structure, but the duplicated spans are CUT and
@@ -5630,6 +5640,22 @@ object SparkEntry {
           THEN round(CAST(coalesce(ct, 0) AS DOUBLE) / nt, 6) END AS dup6
       FROM base b LEFT JOIN perdoc USING (doc_id) LEFT JOIN covc USING (doc_id)
       ORDER BY b.doc_id""",
+    "dedup_bench_leak" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      shing AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS shingles FROM toks),
+      bench AS (SELECT doc_id AS bid, unnest(shingles) AS shingle
+                FROM shing WHERE doc_id % 20 = 0),
+      ns AS (SELECT bid, count(*) AS n_shingles FROM bench GROUP BY 1),
+      corpus AS (SELECT doc_id AS cid, unnest(shingles) AS shingle
+                 FROM shing WHERE doc_id % 20 <> 0),
+      hits AS (SELECT b.bid, count(DISTINCT b.shingle) AS nh,
+                 count(DISTINCT c.cid) AS nc
+               FROM bench b JOIN corpus c USING (shingle) GROUP BY 1)
+      SELECT ns.bid AS doc_id, ns.n_shingles,
+        coalesce(h.nh, 0) AS n_hit_shingles,
+        coalesce(h.nc, 0) AS n_corpus_docs
+      FROM ns LEFT JOIN hits h ON ns.bid = h.bid ORDER BY doc_id""",
     "dedup_span_removal" -> s"""
       WITH planted AS (SELECT doc_id, text ||
           CASE WHEN doc_id % 3 = 1

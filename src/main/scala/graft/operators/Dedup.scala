@@ -98,6 +98,40 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** BENCH-side leak report — the inverse view of [[contaminationFlags]],
+    * and the one an eval owner actually consumes: per benchmark item, how
+    * many distinct corpus documents share a k-shingle with it and how
+    * many of its own shingles are compromised. Items with high
+    * `n_corpus_docs` are memorization risks regardless of whether the
+    * corpus rows get dropped. Output: (benchId, n_shingles,
+    * n_hit_shingles, n_corpus_docs), every bench item present.
+    *
+    * Scale shape: identical to the forward direction — the bench side
+    * collapses to (id, shingle) types and broadcasts; the corpus pass
+    * keeps only MATCHED (bench_id, shingle, corpus_id) rows, so the only
+    * shuffled rows are hits: two distinct-aggregates over hit rows, the
+    * 100 TB side never shuffled whole.
+    */
+  def benchLeakReport(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 2): DataFrame = {
+    val benchShingles = bench.select(col(benchIdCol).as("__bl_id"),
+        explode(T.shingles(col(benchTextCol), k)).as("shingle")).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    val nShingles = benchShingles.groupBy("__bl_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).as("__bl_doc"), explode(T.shingles(col(textCol), k)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+    val perItem = hits.groupBy("__bl_id")
+      .agg(count_distinct(col("shingle")).as("n_hit_shingles"),
+        count_distinct(col("__bl_doc")).as("n_corpus_docs"))
+    nShingles.join(perItem, Seq("__bl_id"), "left")
+      .select(col("__bl_id").as(benchIdCol), col("n_shingles"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+  }
+
   /** Filtering form of [[contaminationFlags]]: the corpus minus everything
     * that overlaps the benchmark set.
     */
