@@ -209,7 +209,8 @@ object Dedup {
     * per-doc duplicated START offsets collapse to one int-array row per
     * affected doc (bounded by that doc's n-gram count) before joining back
     * onto the (id, tokens) projection; the cut itself is a NARROW
-    * `filter(tokens, (t, i) => …)` lambda probing the start list in place.
+    * in-place slice ([[cutCoveredSpans]] — merged-interval complement,
+    * O(tokens + intervals) per doc even when the doc is fully duplicated).
     * Token arrays therefore cross AT MOST ONE exchange — none when AQE
     * broadcasts the start table (curated corpora), exactly one SMJ
     * co-partitioning when the affected-doc set outgrows broadcast
@@ -217,6 +218,36 @@ object Dedup {
     * [[dropExactDuplicates]]'s loser list; every other exchange carries
     * (id, pos, hash) ints only.
     */
+  /** Tokens of `toks` NOT covered by any interval `[s, s+n)` for the
+    * SORTED-ascending start list `starts` — the shared cut kernel of the
+    * two ExactSubstr variants. Touching/overlapping intervals are merged
+    * first by the consecutive-gap test (sorted fixed-length intervals are
+    * one contiguous run exactly while each gap ≤ n), then the SURVIVING
+    * complement ranges are sliced out directly — O(tokens + intervals)
+    * per doc, where the naive per-token `exists` probe is
+    * O(tokens × starts) and a long fully-duplicated document (the
+    * dup-heavy crawl case) made that per-doc quadratic.
+    */
+  private def cutCoveredSpans(toks: Column, starts: Column, n: Int): Column = {
+    // group boundaries of the merged coverage: a start opens a new run iff
+    // its gap to the previous start exceeds n (element_at is 1-based, so
+    // element_at(starts, i) is the 0-based predecessor of index i)
+    val runLo = filter(starts, (s, i) =>
+      i === lit(0) || s - element_at(starts, i) > lit(n))
+    val runHi = transform(
+      filter(starts, (s, i) =>
+        i === size(starts) - 1 || element_at(starts, i + 2) - s > lit(n)),
+      s => s + lit(n))
+    // complement of the merged runs within [0, |toks|): gap g sits between
+    // run g-1's end and run g's start, plus the head and tail gaps
+    val gapA = concat(array(lit(0)), runHi)
+    val gapB = concat(runLo, array(size(toks)))
+    val ranges = filter(
+      zip_with(gapA, gapB, (a, b) => struct(a.as("a"), b.as("b"))),
+      r => r("b") > r("a"))
+    flatten(transform(ranges, r => slice(toks, r("a") + 1, r("b") - r("a"))))
+  }
+
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 10): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
@@ -237,8 +268,7 @@ object Dedup {
       .withColumn("__rs_starts",
         coalesce(col("__rs_starts"), array().cast("array<int>")))
       .withColumn("__rs_kept",
-        filter(col("__rs_toks"), (_, i) =>
-          !exists(col("__rs_starts"), s => i >= s && i < s + n)))
+        cutCoveredSpans(col("__rs_toks"), col("__rs_starts"), n))
       .select(col("__rs_id").as(idCol),
         size(col("__rs_toks")).cast("long").as("n_tokens"),
         size(col("__rs_kept")).cast("long").as("kept_tokens"),
@@ -284,8 +314,7 @@ object Dedup {
       .withColumn("__rs_starts",
         coalesce(col("__rs_starts"), array().cast("array<int>")))
       .withColumn("__rs_kept",
-        filter(col("__rs_toks"), (_, i) =>
-          !exists(col("__rs_starts"), s => i >= s && i < s + n)))
+        cutCoveredSpans(col("__rs_toks"), col("__rs_starts"), n))
       .select(col("__rs_id").as(idCol),
         size(col("__rs_toks")).cast("long").as("n_tokens"),
         size(col("__rs_kept")).cast("long").as("kept_tokens"),

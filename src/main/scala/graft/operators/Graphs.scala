@@ -146,12 +146,6 @@ object Graphs {
         col("a").as("auth_micro"))
   }
 
-  /** Collapse a page-level link table ([[TextAnalysis.extractLinks]]) to
-    * the weighted host graph: drop intra-host links (the host-graph
-    * convention — self-mass would swamp the inter-host signal), count
-    * multiplicity. One map-side-combined aggregate keyed on the host
-    * pair; the exchange carries (host, host, count) partials only.
-    */
   /** Per-node LOCAL CLUSTERING COEFFICIENT over an undirected pair list
     * (a < b normalized) — the graph-density audit of a duplicate-family
     * graph: coefficient 1 means the node's neighborhood is a clique (a
@@ -183,6 +177,12 @@ object Graphs {
         round(lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - 1)), 6)))
   }
 
+  /** Collapse a page-level link table ([[TextAnalysis.extractLinks]]) to
+    * the weighted host graph: drop intra-host links (the host-graph
+    * convention — self-mass would swamp the inter-host signal), count
+    * multiplicity. One map-side-combined aggregate keyed on the host
+    * pair; the exchange carries (host, host, count) partials only.
+    */
   def hostEdges(links: DataFrame): DataFrame =
     links.where(!col("internal"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))

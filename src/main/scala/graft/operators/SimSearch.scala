@@ -12,15 +12,25 @@ object SimSearch {
     * columnar-parallel (no shuffle, TakeOrderedAndProject top-k).
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int): DataFrame =
+    cosineScores(emb, idCol, vecCol, queryId)
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+
+  /** Cosine of EVERY vector against `queryId`, uncut — the scoring core of
+    * [[cosineTopK]], exposed so callers that rank on the 6-dp-ROUNDED
+    * score (e.g. [[TextSearch.hybridRrfTopK]]) can apply their own
+    * deterministic cut instead of inheriting the raw-double ordering.
+    * Output: (id, cosine) for all ids except the query itself.
+    */
+  def cosineScores(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long): DataFrame = {
     val q = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("q_v"))
     graft.SparkUtil.ensureParallelism(emb).crossJoin(broadcast(q))
       .withColumn("cosine", V.cosine(col(vecCol), col("q_v")))
       .where(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("id"), col("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
   }
 
   /** Leave-one-out kNN-classifier confusion matrix — the label-quality

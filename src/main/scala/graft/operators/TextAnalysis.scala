@@ -465,11 +465,14 @@ object TextAnalysis {
     val a = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
     val b = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
     val c = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    // degenerate heads (one distinct token → b = 0; all-equal counts →
+    // c = 0) must yield stable NULLs, not engine-dependent NaN/Inf renders
+    val ok = b =!= 0.0 && c =!= 0.0
     s.select(col("__n").as("v_fit"),
-      round(a / b, 6).as("slope6"),
-      round((col("__sy").cast("double") - (a / b) * col("__sx").cast("double"))
-        / col("__n") / 1e6, 6).as("intercept6"),
-      round(a * a / (b * c), 6).as("r2_6"))
+      when(ok, round(a / b, 6)).as("slope6"),
+      when(ok, round((col("__sy").cast("double") - (a / b) * col("__sx").cast("double"))
+        / col("__n") / 1e6, 6)).as("intercept6"),
+      when(ok, round(a * a / (b * c), 6)).as("r2_6"))
   }
 
   /** Flesch-Kincaid readability grade (Kincaid et al. 1975 — the public

@@ -131,8 +131,12 @@ object TextSearch {
       .orderBy(col("s6").desc, col("id").asc).limit(perList)
       .withColumn("rank_text", row_number().over(wText).cast("long"))
       .select(col("id"), col("rank_text"))
-    val vecRanks = SimSearch.cosineTopK(emb, embIdCol, embVecCol, queryId, perList)
+    // cut on the ROUNDED score (mirroring the text side): cosineTopK's raw-
+    // double ordering could cut two same-c6 vectors differently than the
+    // oracle at the perList boundary
+    val vecRanks = SimSearch.cosineScores(emb, embIdCol, embVecCol, queryId)
       .select(col("id"), round(col("cosine"), 6).as("c6"))
+      .orderBy(col("c6").desc, col("id").asc).limit(perList)
       .withColumn("rank_vec", row_number().over(wVec).cast("long"))
       .select(col("id"), col("rank_vec"))
     textRanks.join(vecRanks, Seq("id"), "full_outer")

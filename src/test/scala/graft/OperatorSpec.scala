@@ -830,6 +830,13 @@ class OperatorSpec extends AnyFunSuite {
     val nat = Seq((1L, "the the the the cat cat sat on on the mat")).toDF("doc_id", "text")
     val r2 = TextAnalysis.zipfFit(nat, "text", topV = 10).collect()(0)
     assert(r2.getDouble(1) < 0.0)
+    // degenerate heads: all-equal counts (c = 0) and a single distinct
+    // token (b = 0 AND c = 0) must yield stable NULLs, not NaN/Inf
+    for (t <- Seq("aa bb cc dd", "aa aa aa aa")) {
+      val d = TextAnalysis.zipfFit(Seq((1L, t)).toDF("doc_id", "text"), topV = 3,
+        textCol = "text").collect()(0)
+      assert(d.isNullAt(1) && d.isNullAt(2) && d.isNullAt(3), s"'$t' -> $d")
+    }
   }
 
   test("withReadability: FK grade from vowel-group syllables, null on fragments") {
@@ -1187,6 +1194,24 @@ class OperatorSpec extends AnyFunSuite {
       assert(tokenCarrying <= 1,
         s"more than one exchange ships document tokens: $shuffles")
     } finally prev.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("span removal: merged-interval cut handles mid-doc gaps and adjacency") {
+    // doc 1 carries TWO copies of dup run A (tokens a..j) separated by one
+    // survivor, then one copy of dup run B (p..y) adjacent to a tail: the
+    // complement slicing must keep exactly the between-runs survivor and
+    // the tail — gap handling, run adjacency, and head survival in one doc
+    val a = "a b c d e f g h i j"        // 10 tokens, duplicated (2 copies in doc1)
+    val b = "p q r s t u v w x y"        // 10 tokens, duplicated (doc1 + doc2)
+    val docs = Seq(
+      (1L, s"head $a mid $a $b tail"),
+      (2L, b)
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((33L, 3L, "head mid tail")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((10L, 0L, "")), s"doc2: ${got(2L)}")
   }
 
   test("span removal keep-first: first occurrence survives, later copies cut") {
