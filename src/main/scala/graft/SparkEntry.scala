@@ -1287,6 +1287,32 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => // no SQL oracle (xxhash internals)
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
         .orderBy("a_id", "b_id")),
+    "dedup_image_phash" -> ((s, d) => {
+      // perceptual IMAGE near-dup: real planted PNGs (9×8 gradient grids
+      // whose dHash is the closed-form Multimodal.plantDhashBits(id) — 25
+      // hash families ≥5 bits apart, member axis 0-3 bits) → real pixel
+      // decode → dHash64 → Hamming-banded pair join at maxDist=2. The
+      // oracle replays the bit formula and brute-forces the pair set in
+      // SQL; the gate rolls pairs up per family so output stays 25 rows
+      // at every scale while still pinning pair counts, exact-dup counts,
+      // and the Hamming mass
+      val hashes = Multimodal.imageDHashes(
+        Multimodal.plantImagePayloads(docs(s, d), "doc_id", "dhash_png"))
+      val pairs = Dedup.imagePhashPairs(hashes, "doc_id", "dhash", maxDist = 2)
+      val perFam = pairs.withColumn("family", col("a_id") % 25)
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(col("hamming").cast("long")).as("sum_hamming"))
+      hashes.groupBy((col("doc_id") % 25).as("family"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(perFam, Seq("family"), "left")
+        .select(col("family"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("sum_hamming"), lit(0L)).as("sum_hamming"))
+        .orderBy("family")
+    }),
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
@@ -5217,6 +5243,30 @@ object SparkEntry {
         SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents)
       WHERE rn = 1 ORDER BY doc_id""",
+    "dedup_image_phash" -> """
+      WITH h AS (
+        SELECT doc_id, doc_id % 25 AS family,
+          xor(xor(xor(xor(xor(
+            doc_id % 25,
+            (doc_id % 25) << 13),
+            (doc_id % 25) << 27),
+            (doc_id % 25) << 41),
+            (doc_id % 25) << 55),
+            ((CAST(1 AS BIGINT) << CAST((doc_id // 25) % 4 AS INTEGER)) - 1) << 60) AS dh
+        FROM documents),
+      p AS (
+        SELECT a.family AS family, bit_count(xor(a.dh, b.dh)) AS d
+        FROM h a JOIN h b ON a.family = b.family AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dh, b.dh)) <= 2),
+      f AS (SELECT family, count(*) AS n_docs FROM h GROUP BY family),
+      agg AS (SELECT family, count(*) AS n_pairs,
+        sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_exact,
+        sum(d) AS sum_hamming FROM p GROUP BY family)
+      SELECT f.family, CAST(f.n_docs AS BIGINT) AS n_docs,
+        CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(agg.n_exact, 0) AS BIGINT) AS n_exact,
+        CAST(coalesce(agg.sum_hamming, 0) AS BIGINT) AS sum_hamming
+      FROM f LEFT JOIN agg USING (family) ORDER BY family""",
     "dedup_minhash_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),

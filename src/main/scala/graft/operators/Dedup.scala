@@ -461,6 +461,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** PERCEPTUAL image near-duplicate pairs over a precomputed 64-bit
+    * dHash/pHash column ([[Multimodal.imageDHashes]]) — the image analogue
+    * of [[simhashPairs]], bridging the real pixel decode to the dedup
+    * stack: two images whose horizontal-gradient hashes sit within
+    * `maxDist` Hamming bits are near-identical up to rescaling /
+    * recompression / small edits. Output: (a_id, b_id, hamming), a < b.
+    *
+    * Scale shape: identical to the SimHash path — the 64-bit hash splits
+    * into `bands` equal segments and by PIGEONHOLE any pair within
+    * `maxDist < bands` collides on at least one segment, so candidates
+    * come from a (band, value) EQUI-JOIN over 4 decision-sized rows per
+    * image (id, hash, band, 16-bit value), never an all-pairs product;
+    * the exact Hamming check then disposes candidates with one codegen'd
+    * XOR/popcount. Pixels never enter the operator; nothing wider than
+    * two longs crosses any exchange.
+    */
+  def imagePhashPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 2, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxDist < bands,
+      s"band blocking with $bands bands guarantees recall only for maxDist < $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val h = graft.SparkUtil.ensureParallelism(hashes)
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("ph"))
+    val banded = h.select(col("id"), col("ph"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("ph"), width * b).bitwiseAND(lit(mask)).as("v"))): _*)).as("bv"))
+      .select(col("id"), col("ph"), col("bv.band"), col("bv.v"))
+    val a = banded.select(col("band"), col("v"), col("id").as("a_id"), col("ph").as("a_ph"))
+    val b = banded.select(col("band"), col("v"), col("id").as("b_id"), col("ph").as("b_ph"))
+    a.join(b, Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming(col("a_ph"), col("b_ph")))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
     * classic coarse-to-fine near-dup pipeline: MinHash buckets propose,
     * the cheap signature estimate prunes (estimate ≥ threshold/3 keeps

@@ -563,6 +563,49 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** The 64-bit dHash a [[plantDhashPng]] image decodes to, in closed form
+    * from the id — 25 hash "families" (base pattern in bit segments
+    * [0,5)/[13,18)/[27,32)/[41,46)/[55,60), disjoint and injective in the
+    * family, so DISTINCT families are ≥ 5 bits apart and never collide on
+    * any 16-bit band) with a per-member near-dup axis in bits [60,63):
+    * member m flips the low `m % 4` of those bits, so within a family the
+    * pairwise Hamming distance is exactly |m₁%4 − m₂%4| ∈ {0,1,2,3}. The
+    * DuckDB oracle replays this formula and brute-forces the pair set.
+    */
+  def plantDhashBits(id: Long): Long = {
+    val f = id % 25
+    val m = (id / 25) % 4
+    (f ^ (f << 13) ^ (f << 27) ^ (f << 41) ^ (f << 55)) ^ (((1L << m) - 1L) << 60)
+  }
+
+  /** A REAL 9×8 grayscale PNG whose [[dHash64]] is exactly
+    * [[plantDhashBits]] (id): row r starts at gray 128 and steps ±10 per
+    * column as bit r·8+c of the target directs (values stay in [48, 208]),
+    * so the horizontal-gradient comparison reproduces each bit. PNG is
+    * lossless and the image already has the dHash grid dimensions, so the
+    * decode→downsample→compare round trip is pixel-exact.
+    */
+  def plantDhashPng(id: Long): Array[Byte] = {
+    val bits = plantDhashBits(id)
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var gray = 128
+      img.setRGB(0, r, (gray << 16) | (gray << 8) | gray)
+      var c = 0
+      while (c < 8) {
+        gray += (if (((bits >>> (r * 8 + c)) & 1L) == 1L) 10 else -10)
+        img.setRGB(c + 1, r, (gray << 16) | (gray << 8) | gray)
+        c += 1
+      }
+      r += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** (doc_id, payload, media_type) of REAL planted container bytes — the
     * gate surface proving [[decodeHeader]] / [[extractFeatures]] round-trip
     * dimensions, frame counts, and pixel statistics from actual format
@@ -577,6 +620,7 @@ object Multimodal {
       case "jpeg_solid" => plantSolidJpeg
       case "gif_solid" => plantSolidGif
       case "bmp_solid" => plantSolidBmp
+      case "dhash_png" => plantDhashPng
       case other => throw new IllegalArgumentException(s"unsupported plant format $other")
     }
     val mediaType = "image/" + format.stripSuffix("_solid")
@@ -755,6 +799,78 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => null }
       case _ => null
     }
+
+  /** 64-bit DIFFERENCE HASH (Krawetz dHash, the public perceptual-hash
+    * spec): box-average the decoded pixels to a 9-wide × 8-tall grayscale
+    * grid, then bit r·8+c is set iff cell (r, c+1) is STRICTLY brighter
+    * than cell (r, c) — the horizontal luminance gradient, which survives
+    * rescaling, recompression, and small edits. All arithmetic is integer
+    * (REC-601-weighted luma `(299r+587g+114b)/1000`, exact block sums,
+    * one integer division per cell), so the hash is bit-reproducible
+    * across JVMs and platforms. Images smaller than the grid point-sample
+    * (each cell reads ≥ 1 pixel); a 9×8 input maps cell = pixel.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val grid = Array.ofDim[Long](gh, gw)
+    var r = 0
+    while (r < gh) {
+      val y0 = r * h / gh; val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+      var c = 0
+      while (c < gw) {
+        val x0 = c * w / gw; val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >>> 16) & 0xFF) + 587L * ((rgb >>> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        grid(r)(c) = if (n == 0) 0L else sum / n
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r)(c + 1) > grid(r)(c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Per-image [[dHash64]] over real decoded pixels: (doc_id, dhash) for
+    * every payload the pixel path can decode (PNG/JPEG/GIF/BMP, or the
+    * first MJPEG frame of an AVI); undecodable payloads are DROPPED
+    * (dead-letter route — a payload with no pixels has no perceptual
+    * hash). Per-partition batch contract like every Multimodal operator;
+    * only (long, long) rows leave the scan — pixels never cross an
+    * exchange.
+    */
+  def imageDHashes(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = decodePixels(bytes)
+          if (img == null) None else Some((id, dHash64(img)))
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
 
   /** Feature extraction: REAL pixel statistics for PNG / JPEG / GIF / BMP
     * payloads (decoded pure-JVM via `javax.imageio` inside the

@@ -2079,6 +2079,58 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash64: gradient bits, box-average downsample, planted PNG round trip") {
+    // hand-built 9×8: row 0 ascending (all 8 bits set), row 1 descending
+    // (none), rows 2-7 flat (none) → hash = 0xFF
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 8; c <- 0 until 9) {
+      val g = if (r == 0) 40 + 10 * c else if (r == 1) 200 - 10 * c else 128
+      img.setRGB(c, r, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dHash64(img) == 0xFFL)
+    // 2× upscale (each cell becomes a 2×2 block): box average reproduces
+    // the same grid, so the hash is scale-invariant — the dHash property
+    val big = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      big.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    assert(Multimodal.dHash64(big) == 0xFFL, "2x upscale must not change the hash")
+    // smaller-than-grid input point-samples without crashing
+    val tiny = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    tiny.setRGB(2, 1, 0xFFFFFF)
+    Multimodal.dHash64(tiny)
+    // planted PNG → real decode → dHash equals the closed-form bits, and
+    // undecodable payloads are dropped
+    val ids = Seq(0L, 1L, 24L, 25L, 26L, 101L, 499L)
+    val planted = Multimodal.plantImagePayloads(ids.toDF("doc_id"), "doc_id", "dhash_png")
+    val junk = Seq((999L, "not an image".getBytes("US-ASCII"), "application/x-junk"))
+      .toDF("doc_id", "payload", "media_type")
+    val got = Multimodal.imageDHashes(planted.unionByName(junk))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == ids.toSet, "every PNG hashed, junk dropped")
+    for (id <- ids)
+      assert(got(id) == Multimodal.plantDhashBits(id), s"id=$id hash mismatch")
+  }
+
+  test("imagePhashPairs: Hamming-banded candidates, threshold disposal, pigeonhole recall") {
+    // hashes chosen so: (1,2) exact dup d=0; (1,3) d=1; (1,4) d=2 with
+    // BOTH differing bits inside band 0 (the worst case for banding —
+    // only 3 of 4 bands still match); (1,5) d=3 → excluded at maxDist=2;
+    // 6 shares no band with anyone (differs in all 4 bands)
+    val h1 = 0x1111222233334444L
+    val hashes = Seq(
+      (1L, h1), (2L, h1), (3L, h1 ^ 1L), (4L, h1 ^ 3L),
+      (5L, h1 ^ 7L), (6L, ~h1)
+    ).toDF("doc_id", "dhash")
+    val got = Dedup.imagePhashPairs(hashes, "doc_id", "dhash", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (1L, 4L) -> 2,
+      (2L, 3L) -> 1, (2L, 4L) -> 2, (3L, 4L) -> 1, (3L, 5L) -> 2, (4L, 5L) -> 1),
+      s"got $got")
+  }
+
   test("qualityClassifierScore: features = unigrams+bigrams, exact micro sums, live threshold") {
     // two single-bucket weight tables pin the feature extraction: with
     // buckets=1 every feature hits bucket 0, so n_feats and the logit are

@@ -127,6 +127,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"benchmark side must broadcast (the corpus side must never shuffle into the match):\n$plan")
   }
 
+  test("dedup_image_phash candidates come from a band equi-join — never all-pairs") {
+    val plan = planOf("dedup_image_phash")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"perceptual-hash pairing must stay a (band, value) equi-join:\n$plan")
+  }
+
   test("saltedJoin plans a hash equi-join on (keys, salt) — never a product join") {
     val plan = planOf("join_skew_salted")
     assert(!plan.contains("CartesianProduct") &&
