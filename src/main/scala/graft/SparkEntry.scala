@@ -1696,6 +1696,33 @@ object SparkEntry {
         nLists = 16, nProbe = 4, iters = 2)
         .select(col("id").as("vec_id"), col("cell"), round(col("cosine"), 6).as("cos6"))
         .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_topk_filtered" -> ((s, d) =>
+      // attribute-filtered ANN (predicate + top-k, the production vector-
+      // search shape): label = 2 pushed INSIDE the probed cells before
+      // distance ranking. nProbe = nLists makes this configuration exact,
+      // so the DuckDB brute filtered top-k replays it bit-for-bit;
+      // sim_recall_filtered gates the approximate nProbe < nLists path
+      SimSearch.cosineTopKIvfFiltered(tbl(s, d, "embeddings"), "vec_id",
+          "embedding", tbl(s, d, "embeddings").select("vec_id", "label"),
+          "vec_id", col("label") === 2, queryId = 0L, k = 10,
+          nLists = 16, nProbe = 16, iters = 2)
+        .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)),
+    "sim_recall_filtered" -> ((s, d) =>
+      // recall floor of the FILTERED IVF probe vs exact FILTERED brute
+      // force (the sim_recall_ivf pattern: the Lloyd centroids are
+      // engine-internal, the tolerance boolean is the oracle-checkable
+      // claim); denominator = min(|filtered truth|, k). nProbe = 12, not
+      // the unfiltered gate's 8: a 10%-selectivity predicate thins each
+      // cell's candidates, so matching the unfiltered recall needs more
+      // cells (measured min 0.7 / avg 0.87-0.91 at both gate scales at
+      // 12 vs min exactly 0.5 at 8 — floor 0.5 keeps the 0.2 margin
+      // convention)
+      SimSearch.ivfFilteredRecallEval(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", tbl(s, d, "embeddings").select("vec_id", "label"),
+        "vec_id", col("label") === 2, nQueries = 20, k = 10, nLists = 16,
+        nProbe = 12, iters = 2, recallFloor = 0.5)
+        .orderBy("qid")),
     "sim_topk_int8" -> ((s, d) => {
       // int8-quantized ANN (the 4× storage-reduction path of an embedding
       // pipeline): symmetric per-vector scale max|x|/127, round-half-away
@@ -4446,6 +4473,21 @@ object SparkEntry {
     "sim_recall_ivf" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "sim_recall_filtered" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "sim_topk_filtered" -> """
+      WITH q AS (SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_v[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 2)
+      SELECT vec_id, round(cosine, 6) AS cos6 FROM scored
+      ORDER BY cos6 DESC, vec_id LIMIT 10""",
     "sim_recall_pq" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",

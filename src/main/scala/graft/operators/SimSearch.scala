@@ -268,6 +268,69 @@ object SimSearch {
     model.query(qv, k, nProbe, excludeId = Some(queryId))
   }
 
+  /** ATTRIBUTE-FILTERED ANN: train the IVF index, attach the attribute
+    * table, and answer predicate + top-k with the filter pushed inside
+    * the probed cells ([[IvfModel.queryFiltered]] — filter BEFORE
+    * distance ranking; post-ranking filtering under-retrieves). At
+    * `nProbe = nLists` this degenerates to EXACT filtered brute force
+    * (the oracle-pairable configuration); at `nProbe < nLists` it is the
+    * approximate scale path whose recall [[ivfFilteredRecallEval]] gates.
+    */
+  def cosineTopKIvfFiltered(emb: DataFrame, idCol: String, vecCol: String,
+      attrs: DataFrame, attrIdCol: String, predicate: Column, queryId: Long,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val model = trainIvf(emb, idCol, vecCol, nLists, iters)
+      .withAttributes(attrs, attrIdCol)
+    val qv = emb.where(col(idCol) === queryId).select(col(vecCol)).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+    model.queryFiltered(qv, k, nProbe, predicate, excludeId = Some(queryId))
+  }
+
+  /** Recall@k of the FILTERED IVF probe against exact FILTERED brute
+    * force ([[ivfRecallEval]] pattern — one plan, no per-query driver
+    * loop): both sides restrict candidates to the predicate before
+    * ranking, the IVF side additionally prunes to each query's `nProbe`
+    * cells, and the tolerance boolean is the oracle-checkable claim
+    * (Lloyd centroids are engine-internal doubles). Queries are NOT
+    * themselves predicate-restricted — a query vector may legitimately
+    * search a slice it does not belong to.
+    */
+  def ivfFilteredRecallEval(emb: DataFrame, idCol: String, vecCol: String,
+      attrs: DataFrame, attrIdCol: String, predicate: Column,
+      nQueries: Int, k: Int, nLists: Int = 16, nProbe: Int = 8,
+      iters: Int = 2, recallFloor: Double = 0.5): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    val model = trainIvf(emb, idCol, vecCol, nLists, iters)
+      .withAttributes(attrs, attrIdCol)
+    val base = model.assigned
+    // the filtered candidate corpus feeds BOTH rankings — the recall twin
+    // must measure cell pruning, not the predicate
+    val filtered = base.where(predicate)
+    val q = base.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val cents = typedlit(model.centroids)
+    val sims = transform(cents, c => dotProduct(col("qv"), c))
+    val ranked = sort_array(zip_with(sims,
+      sequence(lit(0), lit(nLists - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx"))))
+    val qp = q.withColumn("cell",
+      explode(slice(transform(ranked, r => r.getField("idx")), 1, nProbe)))
+    def topIds(cands: DataFrame, outCol: String): DataFrame = cands
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorFunctions.cosine(col("v"), col("qv")).as("c"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as(outCol))
+    val ivf = topIds(filtered.join(broadcast(qp), Seq("cell")), "ivf_ids")
+    val brute = topIds(filtered.crossJoin(broadcast(q)), "ids")
+    brute.join(ivf, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
+          .cast("double") / least(size(col("ids")), lit(k)) >= recallFloor)
+          .as("recall_ok"))
+  }
+
   /** Train the IVF index once (Lloyd as above) and keep it as a model —
     * index construction is infrastructure, queries are the workload.
     */
@@ -731,18 +794,50 @@ final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
 final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
 
   def query(queryVec: Seq[Double], k: Int, nProbe: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None): DataFrame =
+    queryFiltered(queryVec, k, nProbe, lit(true), excludeId)
+
+  /** ATTRIBUTE-FILTERED probe (the production vector-search shape:
+    * predicate + top-k — language = X, date > Y): the predicate is applied
+    * to the candidate rows INSIDE the probed cells BEFORE any distance is
+    * computed or ranked. Filtering AFTER top-k instead would
+    * under-retrieve — the unfiltered top-k may hold fewer than k rows
+    * satisfying the predicate even when the filtered corpus has k good
+    * answers. Predicate columns beyond (id, cell, v) must be attached
+    * first via [[withAttributes]].
+    *
+    * Scale shape: unchanged from the unfiltered probe — cell pruning
+    * first (partition pruning on a [[save]]d index), then the predicate
+    * as a plain scan filter Catalyst pushes below the distance
+    * projection, then TakeOrderedAndProject. The filter only ever
+    * SHRINKS the scanned set.
+    */
+  def queryFiltered(queryVec: Seq[Double], k: Int, nProbe: Int,
+      predicate: Column, excludeId: Option[Long] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"nProbe must be in [1, ${centroids.length}], got $nProbe")
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(queryVec).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
     val scanned = assigned.where(col("cell").isin(probeCells: _*))
+      .where(predicate)
       .withColumn("cosine", V.cosine(col("v"), typedlit(queryVec)))
     excludeId.fold(scanned)(id => scanned.where(col("id") =!= id))
       .select(col("id"), col("cell"), col("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** The same index with attribute columns joined onto the assigned
+    * corpus (id-keyed equi-join, unhinted — AQE broadcasts a small
+    * attribute table, a corpus-wide one co-partitions), so
+    * [[queryFiltered]] predicates can reference them. Vectors with no
+    * attribute row keep nulls (predicates drop them — SQL semantics).
+    */
+  def withAttributes(attrs: DataFrame, attrIdCol: String): IvfModel = {
+    val cols = col(attrIdCol).cast("long").as("id") +:
+      attrs.columns.filter(_ != attrIdCol).map(col).toSeq
+    IvfModel(centroids, assigned.join(attrs.select(cols: _*), Seq("id"), "left"))
   }
 
   def save(dir: String): Unit = {

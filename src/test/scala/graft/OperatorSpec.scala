@@ -548,6 +548,38 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("queryFiltered: predicate inside cells BEFORE ranking; post-filter would under-retrieve") {
+    // query points along +x; ids 1-3 (label A) are the nearest overall,
+    // ids 4-5 (label B) sit further off-axis: the unfiltered top-2 is all
+    // label A, so filtering AFTER top-k would return nothing for B — the
+    // filtered probe must still return both B vectors
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0), "A"), (1L, v(0.99, 0.01), "A"), (2L, v(0.98, 0.02), "A"),
+      (3L, v(0.97, 0.03), "A"), (4L, v(0.7, 0.7), "B"), (5L, v(0.6, 0.8), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val model = SimSearch.trainIvf(rows, "vec_id", "embedding", nLists = 2, iters = 1)
+      .withAttributes(rows.select("vec_id", "label"), "vec_id")
+    val qv = Seq(1.0, 0.0)
+    // exact configuration (nProbe = nLists): filtered probe == brute filtered
+    val got = model.queryFiltered(qv, k = 2, nProbe = 2, col("label") === "B",
+        excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(4L, 5L), s"filtered top-2 must be the B vectors: $got")
+    // the unfiltered top-2 holds no B vector — post-ranking filtering
+    // under-retrieves, which is exactly what the operator exists to avoid
+    val unfiltered = model.query(qv, k = 2, nProbe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(unfiltered.intersect(Set(4L, 5L)).isEmpty, s"fixture broken: $unfiltered")
+    // attribute-less rows keep nulls and are dropped by any predicate
+    val partial = SimSearch.trainIvf(rows, "vec_id", "embedding", nLists = 2, iters = 1)
+      .withAttributes(rows.where(col("vec_id") < 5).select("vec_id", "label"), "vec_id")
+    val noAttr = partial.queryFiltered(qv, k = 5, nProbe = 2, col("label") === "B",
+        excludeId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(noAttr == Seq(4L), s"null-attribute rows must not match: $noAttr")
+    model.unpersist(); partial.unpersist()
+  }
+
   test("trianglePairs: exactly the closed triples, once each, any edge orientation") {
     // K4 on {1,2,3,4} minus edge (1,4), plus a dangling edge (5,6):
     // triangles are (1,2,3) and (2,3,4) only. Edges given in mixed
