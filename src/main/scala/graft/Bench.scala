@@ -50,8 +50,16 @@ object Bench {
     // swept between reps).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(2).max(1)
+    // per-query shuffle read/write rides along with the seconds: the ladder
+    // claims ("decision shuffles are hash/int-sized") are re-validated by
+    // every bench run, not re-measured ad hoc (round-10 verdict task 5)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      var bestT = Double.MaxValue
+      var bestShuf = (0L, 0L)
+      (1 to reps).foreach { _ =>
+        meter.reset()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -59,6 +67,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val shuf = meter.settle(spark.sparkContext)
         // each query fits/caches its own index; drop it so later queries are
         // measured against a clean storage pool, not a 60-query cache
         // backlog. clearCache covers Dataset caches; the RDD sweep catches
@@ -69,14 +78,20 @@ object Bench {
         SparkUtil.releaseScopedCaches() // drain the scoped-cache registry first
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (ok) dt else -1.0
+        if (ok && dt < bestT) { bestT = dt; bestShuf = shuf }
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      (name, if (bestT < Double.MaxValue) bestT else -1.0, bestShuf)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // [readMB, writeMB] per query, from the rep that produced the reported
+    // minimum (bytes are plan-determined and rep-stable; pairing them with
+    // the kept rep keeps the row self-consistent)
+    val shufs = results.map { case (k, _, (r, w)) =>
+      "\"" + k + "\":[" + f"${r / 1e6}%.3f" + "," + f"${w / 1e6}%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$shufs,"sf":"$sfDir"}""")
     // the driver stores only the tail of this process's output, and the big
     // per-query line above can push the leading total out of the retained
     // window — repeat the total LAST so every BENCH_r*.json tail carries it

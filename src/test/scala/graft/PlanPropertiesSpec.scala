@@ -497,6 +497,36 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup families: measured shuffle bytes stay decision-sized (5-family cap)") {
+    // the ladder claims ("decision shuffles carry hashes/ids, never text")
+    // asserted in BYTES, continuously: each family's total shuffle write at
+    // sf0.001 is capped at ~4x its measured steady-state value. A regression
+    // that ships text or signatures through an exchange lands megabytes at
+    // this scale and trips the cap; suites run sequentially in the forked
+    // test JVM, so the shared-context meter sees only this test's stages.
+    val capsKb = Seq(
+      "dedup_exact_keep" -> 128L,        // measured ~21 KB
+      "dedup_minhash_pairs" -> 512L,     // measured ~90 KB
+      "dedup_ngram_pairs" -> 1024L,      // measured ~236 KB
+      "dedup_embedding_bucketed" -> 1024L, // measured ~136 KB
+      // para dedup's decision shuffles are ~1 KB; the 220 KB here is the
+      // surviving text crossing its ONE documented id-keyed enrich join
+      // (full materialization, unlike the count()-pruned ladder readings)
+      "text_para_dedup_global" -> 1024L)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      for ((q, capKb) <- capsKb) {
+        meter.reset()
+        SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+        val (_, w) = meter.settle(spark.sparkContext)
+        SparkUtil.releaseScopedCaches()
+        assert(w <= capKb * 1024,
+          s"$q shuffled ${w / 1024} KB (cap $capKb KB) — decision shuffle grew beyond plan-drift margin")
+      }
+    } finally spark.sparkContext.removeSparkListener(meter)
+  }
+
   test("direct-mode featurize is a narrow plan: no exchange before the index") {
     val m = new graft.operators.MinHashLSH(
       MinHashConfig(numHash = 16, numBands = 4, numRows = 4))
