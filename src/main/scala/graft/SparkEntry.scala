@@ -128,6 +128,67 @@ object SparkEntry {
   private def roundTripDir(dir: String, prefix: String): String =
     sys.props("java.io.tmpdir") + s"/$prefix-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Stage a streaming gate's input files once per (session, corpus, name).
+    *
+    * Every `stream_*_real` gate used to rewrite its staged parquet on every
+    * execution, so a bench rep paid a full batch write job before the
+    * streaming query even started — pure machinery billed to the operator
+    * (round-10 verdict task 2). The staged content is a deterministic
+    * function of (corpus dir, gate), so it is staged exactly once per
+    * process and reused — the same memoize-per-(session, dir) convention as
+    * the fitted-index cache. A regenerated corpus is picked up at next
+    * process start (each process stages fresh on first use).
+    */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  private def stageOnce(s: SparkSession, dir: String, prefix: String)(
+      write: String => Unit): String =
+    stagedDirs.getOrElseUpdate((s, dir, prefix), {
+      val tmp = roundTripDir(dir, prefix)
+      write(tmp)
+      tmp
+    })
+
+  /** Pin the state-store partition count for a streaming query START.
+    *
+    * A stateful streaming query materializes one state store per shuffle
+    * partition per micro-batch; the count is captured when the query starts.
+    * The bench session runs 32 shuffle partitions, which would mean 32
+    * store opens+commits per batch for gates whose whole state is a few
+    * cells — 8 keeps the stores proportionate to the gate data while
+    * remaining a real multi-partition shuffle. Scoped: set at start,
+    * restored immediately after (the running query keeps its pinned value).
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int = 8)(start: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** The raw events.parquet file staged for file-source streaming — ONE
+    * copy shared by every gate that streams the unmodified events table
+    * (join / tumbling / topk); the gates previously kept three identical
+    * copies under three prefixes, re-copied per execution.
+    */
+  private def stagedEventsRaw(s: SparkSession, d: String): String =
+    stageOnce(s, d, "graft-stream-events") { tmp =>
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        p.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** `documents(doc_id, text)` staged as 4 parquet files — the shared
+    * 4-trigger source for the stateless-projection stream gates
+    * (html / gopher / cms / index-update).
+    */
+  private def stagedDocs4(s: SparkSession, d: String): String =
+    stageOnce(s, d, "graft-stream-docs4") { tmp =>
+      docs(s, d).select(col("doc_id"), col("text")).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** `events.ts` has shipped as TWO physical types across driver testdata
     * generations: TIMESTAMP(NANOS) (Spark 4 only reads it as long nanos
     * under the legacy flag — convert with integer division, a double
@@ -1146,32 +1207,6 @@ object SparkEntry {
       Graphs.pageRankKeyed(Graphs.hostEdges(links),
           "src_host", "dst_host", iterations = 2, weightCol = Some("n_links"))
         .orderBy("node_id")
-    }),
-    "pipeline_curate_v5" -> ((s, d) => {
-      // round-10 composed pipeline: link-graph host rank as the quality
-      // signal (extract links → weighted host PageRank → keep docs on
-      // hosts with rank ≥ r₀) ∘ exact content dedup over pair-shared
-      // text (docs (2k, 2k+1) carry doc 2k's text, so keep-min leaves
-      // the even member — while pre-existing cross-pair text dups still
-      // collapse globally, exercising the real keep-min semantics)
-      val dd = SparkUtil.ensureParallelism(docs(s, d))
-      val pages = linkPages(s, d)
-      val links = TextAnalysis.extractLinks(pages, "doc_id", "url", "html")
-      val ranks = Graphs.pageRankKeyed(Graphs.hostEdges(links),
-        "src_host", "dst_host", iterations = 2, weightCol = Some("n_links"))
-      val ranked = links.select(col("doc_id"), col("src_host")).distinct()
-        .join(ranks, col("src_host") === col("node_id"))
-        .where(col("rank_micro") >= 1000000L)
-        .select(col("doc_id"), col("src_host").as("host"), col("rank_micro"))
-      val evens = dd.where(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("__pair"), col("text").as("pair_text"))
-      val paired = dd.select(col("doc_id"),
-          (col("doc_id") - col("doc_id") % 2).as("__pair"))
-        .join(evens, Seq("__pair"))
-      val cand = paired.join(ranked, Seq("doc_id"))
-      Dedup.dropExactDuplicates(cand, "doc_id", "pair_text")
-        .select("doc_id", "host", "rank_micro")
-        .orderBy("doc_id")
     }),
     "pipeline_curate_v6" -> ((s, d) => {
       // round-10 session-2 composed pipeline stacking the session's new
@@ -2305,53 +2340,6 @@ object SparkEntry {
           size(T.tokenize(col("text_extracted"))).cast("long").as("n_tokens"))
         .orderBy("page_id")
     }),
-    "pipeline_curate_v4" -> ((s, d) => {
-      // the round-10 composed pipeline — the full public-curation shape:
-      // canonical-URL dedup → exact content dedup → FULL Gopher rule
-      // conjunction (A1.1 + A1.2) → CCNet bucketing at CALIBRATED
-      // cutoffs (derived from the even-id slice of the gophered
-      // survivors) → linear-classifier threshold. One lazy plan up to
-      // the calibration collect; every stage individually gated above
-      // the synthetic corpus has no English stopwords, so the Gopher
-      // stopword rule would empty the pipeline — plant a fixed stopword
-      // prefix (8 distinct hits), the same plant-what-the-corpus-lacks
-      // convention as the PII/URL/newline gates
-      val dd = docs(s, d).select(col("doc_id"),
-        concat(lit("the of and that have with be to "), col("text")).as("text"))
-      // per-PAIR URLs: docs (2k, 2k+1) differ only in case, default port,
-      // and tracking params, so canonicalization collapses each pair and
-      // keep-min leaves exactly the even ids — closed-form for the oracle
-      // while still exercising the full canonicalize+dedup machinery
-      val urls = dd.select(col("doc_id"),
-        concat(lit("HTTPS://Site.Example.ORG:443/page/"),
-          (col("doc_id") - col("doc_id") % 2).cast("string"),
-          lit("?utm_source=feed&fbclid=x"), col("doc_id").cast("string"))
-          .as("raw_url"))
-      val urlKept = Dedup.dropUrlDuplicates(urls, "doc_id", "raw_url")
-        .select("doc_id")
-      val d1 = dd.join(urlKept, Seq("doc_id"))
-      val d2 = Dedup.dropExactDuplicates(d1, "doc_id", "text")
-      val d3 = SparkUtil.scopedPersist(
-        TextAnalysis.withGopherRulesFull(d2, "text")
-          .where(col("gopher_full_pass")).select("doc_id", "text"))
-      val cal = TextAnalysis.calibrateCcnetCutoffs(
-        d3.where(col("doc_id") % 4 === 0), "doc_id", "text",
-        headFrac = 0.3, tailFrac = 0.3)
-      // scoped-persisted: the classifier references d4 twice (feature
-      // explode + join-back), which would otherwise replay the CCNet
-      // LM join
-      val d4 = SparkUtil.scopedPersist(
-        TextAnalysis.ccnetBuckets(d3, "doc_id", "text",
-            cal.headCutMicro, cal.tailCutMicro)
-          .where(col("ppl_bucket") =!= "tail")
-          .select("doc_id", "text", "n_tokens", "ppl_bucket"))
-      TextAnalysis.qualityClassifierScore(d4, "doc_id", "text",
-          qualityWeights, biasMicro = 20000L)
-        .where(col("quality_pass"))
-        .select(col("doc_id"), col("n_tokens"), col("ppl_bucket"),
-          col("n_feats"), round(col("logit"), 6).as("logit6"))
-        .orderBy("doc_id")
-    }),
     "text_dsir_weights" -> ((s, d) =>
       // DSIR importance weights toward the English slice: hashed-unigram
       // (md5-prefix mod 1024) target/source log-ratio, micro-nat exact sum
@@ -2496,37 +2484,6 @@ object SparkEntry {
         .unionByName(scoredWinners)
         .orderBy("doc_id")
     }),
-    "pipeline_curate_v2" -> ((s, d) => {
-      // the round-7 composed pipeline: exact dedup (hash-only decision) →
-      // exact-substring near-dup pruning (winnowing blocking, higher id of
-      // each pair loses) → token-budget selection — three curation stages,
-      // one lazy plan, every stage individually oracle-gated above
-      val dd = docs(s, d)
-      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text")
-      val losers = Dedup.sharedSubstringPairs(exact, "doc_id", "text",
-          k = 16, w = 25, minShared = 2)
-        .select(col("b_id").as("doc_id")).distinct()
-      val kept = exact.join(losers, Seq("doc_id"), "left_anti")
-      TextAnalysis.selectWithinTokenBudget(kept, "doc_id", "text", "n_chars", 15000L)
-        .orderBy("doc_id")
-    }),
-
-    "pipeline_curate_v3" -> ((s, d) => {
-      // the round-8 composed pipeline: exact dedup → Gopher rule filter
-      // (word-count rule — the discriminating rule at corpus scale; the
-      // full conjunction is gated separately) → CCNet perplexity tail cut —
-      // quality-driven curation, one lazy plan, stages oracle-gated above
-      val dd = docs(s, d)
-      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text")
-      val gophered = TextAnalysis.withGopherRules(exact, "text")
-        .where(col("r_word_count"))
-      TextAnalysis.ccnetBuckets(gophered, "doc_id", "text",
-          headCutMicro = -3400000L, tailCutMicro = -3404000L)
-        .where(col("ppl_bucket") =!= "tail")
-        .select(col("doc_id"), col("n_words"), col("ppl_bucket"))
-        .orderBy("doc_id")
-    }),
-
     // --- streaming twin + multimodal plumbing
     // Engine API emits (timestamp, decimal); the gate queries normalize to
     // (UTC string, double) — DuckDB timestamps are naive while Spark's are
@@ -2554,24 +2511,18 @@ object SparkEntry {
     "stream_join_real" -> ((s, d) => {
       // REAL stream-stream inner join: two watermarked file-source streams
       // joined on user_id + event-time bounds, drained to a memory sink
-      val tmp = java.nio.file.Paths.get(roundTripDir(d, "graft-stream-join"))
-      java.nio.file.Files.createDirectories(tmp)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        tmp.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(tmp.toString)
+      val tmp = stagedEventsRaw(s, d)
+      val raw = s.read.parquet(tmp)
       // a stream-stream join materializes one state store per shuffle
       // partition per side per micro-batch — size the partition count to
       // the stream (the filtered error/purchase rows), not the session
-      // default; the setting is pinned at query START, so restore after
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try EventStream.streamingPurchasesNearErrors(s, tmp.toString, raw.schema)
+      // default; the setting is pinned at query START
+      val query = withStatePartitions(s) {
+        EventStream.streamingPurchasesNearErrors(s, tmp, raw.schema)
           .writeStream.format("memory").queryName("graft_stream_join_gate")
           .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       try query.processAllAvailable() finally query.stop()
       s.table("graft_stream_join_gate").orderBy("err_id", "p_id")
     }),
@@ -2589,20 +2540,18 @@ object SparkEntry {
       // the SAME top-k aggregation through real Structured Streaming in
       // complete mode — the TypedImperativeAggregate's serialize/merge path
       // IS the streaming state round-trip, exercised by the state store
-      val tmp = java.nio.file.Paths.get(roundTripDir(d, "graft-stream-topk"))
-      java.nio.file.Files.createDirectories(tmp)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        tmp.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(tmp.toString)
-      val stream = s.readStream.schema(raw.schema).parquet(tmp.toString)
+      val tmp = stagedEventsRaw(s, d)
+      val raw = s.read.parquet(tmp)
+      val stream = s.readStream.schema(raw.schema).parquet(tmp)
         .select(col("event_type"), col("event_id"), col("value"))
-      val query = stream
-        .groupBy("event_type")
-        .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), 5).as("__tk"))
-        .writeStream.format("memory").queryName("graft_stream_topk_gate")
-        .outputMode("complete").start()
+      val query = withStatePartitions(s) {
+        stream
+          .groupBy("event_type")
+          .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), 5).as("__tk"))
+          .writeStream.format("memory").queryName("graft_stream_topk_gate")
+          .outputMode("complete").start()
+      }
       try query.processAllAvailable() finally query.stop()
       s.table("graft_stream_topk_gate")
         .select(col("event_type"), posexplode(col("__tk")).as(Seq("__r0", "__e")))
@@ -2616,18 +2565,14 @@ object SparkEntry {
       // windowed agg → memory sink, drained with processAllAvailable. The
       // gate thereby checks actual micro-batch execution, not just the
       // batch twin's expressions.
-      val tmp = java.nio.file.Paths.get(roundTripDir(d, "graft-stream"))
-      java.nio.file.Files.createDirectories(tmp)
-      // unconditional REPLACE: a copy-if-absent would stream a stale (or
-      // crash-truncated) snapshot forever if the source is regenerated
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        tmp.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(tmp.toString)
-      val query = EventStream.streamingTumblingCounts(s, tmp.toString, raw.schema)
-        .writeStream.format("memory").queryName("graft_tumbling_gate")
-        .outputMode("complete").start()
+      val tmp = stagedEventsRaw(s, d)
+      val raw = s.read.parquet(tmp)
+      val query = withStatePartitions(s) {
+        EventStream.streamingTumblingCounts(s, tmp, raw.schema)
+          .writeStream.format("memory").queryName("graft_tumbling_gate")
+          .outputMode("complete").start()
+      }
       try query.processAllAvailable() finally query.stop()
       s.table("graft_tumbling_gate")
         .orderBy("window_start", "event_type")
@@ -2661,14 +2606,17 @@ object SparkEntry {
       // into every later gate/bench query in the same session
       val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
-      val tmp = roundTripDir(d, "graft-stream-dedup")
-      events(s, d).orderBy("ts", "event_id").coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-dedup") { t =>
+        events(s, d).orderBy("ts", "event_id").coalesce(1)
+          .write.mode("overwrite").parquet(t)
+      }
       val sorted = s.read.parquet(tmp)
-      val query = s.readStream.schema(sorted.schema).parquet(tmp)
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.format("memory").queryName("graft_dedup_gate")
-        .outputMode("append").start()
+      val query = withStatePartitions(s) {
+        s.readStream.schema(sorted.schema).parquet(tmp)
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("memory").queryName("graft_dedup_gate")
+          .outputMode("append").start()
+      }
       try query.processAllAvailable() finally {
         query.stop()
         prevMpb match {
@@ -2693,17 +2641,20 @@ object SparkEntry {
       // stream_dedup_real) — never leaked into later queries
       val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
-      val tmp = roundTripDir(d, "graft-stream-urldedup")
-      plantedUrls(s, d).orderBy("doc_id").coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-urldedup") { t =>
+        plantedUrls(s, d).orderBy("doc_id").coalesce(1)
+          .write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
-      val q = s.readStream.schema(schema).parquet(tmp)
-        .withColumn("url_canon", TextAnalysis.canonicalizeUrl(col("raw_url")))
-        .withColumn("__k", md5(col("url_canon")))
-        .dropDuplicates("__k")
-        .select(col("doc_id"), col("url_canon"))
-        .writeStream.format("memory").queryName("graft_url_dedup_gate")
-        .outputMode("append").start()
+      val q = withStatePartitions(s) {
+        s.readStream.schema(schema).parquet(tmp)
+          .withColumn("url_canon", TextAnalysis.canonicalizeUrl(col("raw_url")))
+          .withColumn("__k", md5(col("url_canon")))
+          .dropDuplicates("__k")
+          .select(col("doc_id"), col("url_canon"))
+          .writeStream.format("memory").queryName("graft_url_dedup_gate")
+          .outputMode("append").start()
+      }
       try q.processAllAvailable() finally {
         q.stop()
         prevMpb match {
@@ -2729,9 +2680,10 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       val model = SimSearch.trainIvfPq(emb, "vec_id", "embedding",
         nLists = 8, m = 8, ks = 16)
-      val tmp = roundTripDir(d, "graft-stream-ivf")
-      emb.select("vec_id", "embedding").repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-ivf") { t =>
+        emb.select("vec_id", "embedding").repartition(4)
+          .write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -2754,9 +2706,7 @@ object SparkEntry {
       // batch text_html_extract gate regardless of batch boundaries —
       // the oracle is the identical regex-chain replay
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-html")
-      docs(s, d).select("doc_id", "text").repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stagedDocs4(s, d)
       val schema = s.read.parquet(tmp).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -2782,9 +2732,7 @@ object SparkEntry {
       // (4 files → 4 triggers, append-mode memory sink) must equal the
       // batch computation regardless of micro-batch boundaries
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-gopher")
-      docs(s, d).select("doc_id", "text").repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stagedDocs4(s, d)
       val schema = s.read.parquet(tmp).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -2804,16 +2752,17 @@ object SparkEntry {
       // baked into the staged files and the oracle recomputes the same
       // clean-text md5
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-mojibake")
       val suffix = " café déjà’vu — æøå"
-      docs(s, d).select(col("doc_id"),
-          concat(col("text"), lit(suffix)).as("text"))
-        .withColumn("text",
-          when(col("doc_id") % 3 === 0,
-            decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
-            .otherwise(col("text")))
-        .repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-mojibake") { t =>
+        docs(s, d).select(col("doc_id"),
+            concat(col("text"), lit(suffix)).as("text"))
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0,
+              decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+              .otherwise(col("text")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -2833,17 +2782,17 @@ object SparkEntry {
       // sketch EXACTLY regardless of micro-batch boundaries — same
       // estimates, same oracle as `agg_cms_heavy`
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-cms")
-      docs(s, d).select("doc_id", "text").repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stagedDocs4(s, d)
       val schema = s.read.parquet(tmp).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
-      val q = src.select(explode(T.tokenize(col("text"))).as("token"))
-        .agg(graft.functions.Sketches.countMinAgg(col("token"), 4, 1024)
-          .as("sk"))
-        .writeStream.format("memory").queryName("graft_cms_gate")
-        .outputMode("complete").start()
+      val q = withStatePartitions(s) {
+        src.select(explode(T.tokenize(col("text"))).as("token"))
+          .agg(graft.functions.Sketches.countMinAgg(col("token"), 4, 1024)
+            .as("sk"))
+          .writeStream.format("memory").queryName("graft_cms_gate")
+          .outputMode("complete").start()
+      }
       try q.processAllAvailable() finally q.stop()
       val toks = docs(s, d)
         .select(explode(T.tokenize(col("text"))).as("token"))
@@ -2856,22 +2805,25 @@ object SparkEntry {
       // fused batch-side with the static reference distribution into the
       // same PSI terms as agg_psi_drift — the oracle is shared verbatim
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-psi")
-      docs(s, d).select(col("doc_id"),
-          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), col("text")))
-            .otherwise(col("text")).as("text"))
-        .repartition(4).write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-psi") { t =>
+        docs(s, d).select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
       def bucketOf(v: org.apache.spark.sql.Column) =
         when(v < 20.0, 0).when(v < 40.0, 1).when(v < 60.0, 2)
           .when(v < 80.0, 3).when(v < 120.0, 4).otherwise(5)
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
-      val q = src
-        .select(bucketOf(size(T.tokenize(col("text"))).cast("double")).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_b"))
-        .writeStream.format("memory").queryName("graft_psi_gate")
-        .outputMode("complete").start()
+      val q = withStatePartitions(s) {
+        src
+          .select(bucketOf(size(T.tokenize(col("text"))).cast("double")).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+          .writeStream.format("memory").queryName("graft_psi_gate")
+          .outputMode("complete").start()
+      }
       try q.processAllAvailable() finally q.stop()
       val aCounts = docs(s, d)
         .select(bucketOf(size(T.tokenize(col("text"))).cast("double")).as("bucket"))
@@ -2899,19 +2851,22 @@ object SparkEntry {
       // micro-rounding absorbs partial-order double noise (the
       // sim_label_stats determinism convention)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-centroid")
-      tbl(s, d, "embeddings").select("vec_id", "label", "embedding")
-        .repartition(4).write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-centroid") { t =>
+        tbl(s, d, "embeddings").select("vec_id", "label", "embedding")
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
-      val q = src.select(col("label").cast("long").as("l"),
-          posexplode(transform(col("embedding"), x => x.cast("double")))
-            .as(Seq("d0", "x")))
-        .groupBy("l", "d0")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName("graft_centroid_gate")
-        .outputMode("complete").start()
+      val q = withStatePartitions(s) {
+        src.select(col("label").cast("long").as("l"),
+            posexplode(transform(col("embedding"), x => x.cast("double")))
+              .as(Seq("d0", "x")))
+          .groupBy("l", "d0")
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("graft_centroid_gate")
+          .outputMode("complete").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_centroid_gate")
         .withColumn("sm", round(col("sx") * 1e6).cast("long"))
@@ -2938,36 +2893,40 @@ object SparkEntry {
       //     outer+filter form is the documented equivalent). Together
       //     they replay the batch oracle exactly.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = roundTripDir(d, "graft-stream-dq")
-      val base = tbl(s, d, "orders")
-      val mutated = base.select(
-        col("o_orderkey"),
-        when(col("o_orderkey") % 41 === 0, col("o_custkey") + 900000000L)
-          .otherwise(col("o_custkey")).as("o_custkey"),
-        when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
-          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
-        when(col("o_orderkey") % 73 === 0, -col("o_totalprice"))
-          .otherwise(col("o_totalprice")).as("o_totalprice"))
-      mutated.unionAll(mutated.where(col("o_orderkey") % 97 === 0))
-        .repartition(4).write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-dq") { t =>
+        val base = tbl(s, d, "orders")
+        val mutated = base.select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 41 === 0, col("o_custkey") + 900000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 73 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        mutated.unionAll(mutated.where(col("o_orderkey") % 97 === 0))
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
       def src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
-      val q1 = src.agg(
-          count(when(col("o_orderstatus").isNull, 1)).as("nn"),
-          count(when(!coalesce(col("o_totalprice") > 0, lit(false)), 1)).as("pp"))
-        .writeStream.format("memory").queryName("graft_dq_counts")
-        .outputMode("complete").start()
-      val q2 = src.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
-        .writeStream.format("memory").queryName("graft_dq_keys")
-        .outputMode("complete").start()
-      val q3 = src.select(col("o_custkey").as("__k")).where(col("__k").isNotNull)
-        .join(tbl(s, d, "customer").select(col("c_custkey").as("__k"))
-          .distinct().withColumn("__hit", lit(1)), Seq("__k"), "left_outer")
-        .where(col("__hit").isNull)
-        .agg(count(lit(1)).as("orphans"))
-        .writeStream.format("memory").queryName("graft_dq_ref")
-        .outputMode("complete").start()
+      val (q1, q2, q3) = withStatePartitions(s) {
+        val a = src.agg(
+            count(when(col("o_orderstatus").isNull, 1)).as("nn"),
+            count(when(!coalesce(col("o_totalprice") > 0, lit(false)), 1)).as("pp"))
+          .writeStream.format("memory").queryName("graft_dq_counts")
+          .outputMode("complete").start()
+        val b = src.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName("graft_dq_keys")
+          .outputMode("complete").start()
+        val c = src.select(col("o_custkey").as("__k")).where(col("__k").isNotNull)
+          .join(tbl(s, d, "customer").select(col("c_custkey").as("__k"))
+            .distinct().withColumn("__hit", lit(1)), Seq("__k"), "left_outer")
+          .where(col("__hit").isNull)
+          .agg(count(lit(1)).as("orphans"))
+          .writeStream.format("memory").queryName("graft_dq_ref")
+          .outputMode("complete").start()
+        (a, b, c)
+      }
       try {
         q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       } finally { q1.stop(); q2.stop(); q3.stop() }
@@ -2993,18 +2952,21 @@ object SparkEntry {
       import s.implicits._
       val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
-      val tmp = roundTripDir(d, "graft-stream-scd2")
-      events(s, d)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("tsMicros"), col("event_type").as("attr"))
-        .orderBy("tsMicros", "event_id").coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-scd2") { t =>
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tsMicros"), col("event_type").as("attr"))
+          .orderBy("tsMicros", "event_id").coalesce(1)
+          .write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
-      val q = graft.streaming.ScdStream.transitions(
-          s.readStream.schema(schema).parquet(tmp).as[graft.streaming.AttrEvent])
-        .toDF()
-        .writeStream.format("memory").queryName("graft_scd2_gate")
-        .outputMode("append").start()
+      val q = withStatePartitions(s) {
+        graft.streaming.ScdStream.transitions(
+            s.readStream.schema(schema).parquet(tmp).as[graft.streaming.AttrEvent])
+          .toDF()
+          .writeStream.format("memory").queryName("graft_scd2_gate")
+          .outputMode("append").start()
+      }
       try q.processAllAvailable() finally {
         q.stop()
         prevMpb match {
@@ -3051,17 +3013,20 @@ object SparkEntry {
           .unionByName(ch(col("o_orderkey") % 13 === 1, 1, "I",
             col("o_orderkey") + 1000000000L, col("o_orderstatus"),
             col("o_totalprice")))
-      val tmp = roundTripDir(d, "graft-stream-cdc")
-      changes.repartition(4).write.mode("overwrite").parquet(tmp)
+      val tmp = stageOnce(s, d, "graft-stream-cdc") { t =>
+        changes.repartition(4).write.mode("overwrite").parquet(t)
+      }
       val schema = s.read.parquet(tmp).schema
       val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(tmp)
-        .groupBy(col("o_orderkey"))
-        .agg(max_by(struct(("op" +: payload).map(col): _*),
-          struct(col("seq"), col("op"))).as("__latest"))
-        .writeStream.format("memory").queryName("graft_cdc_apply_gate")
-        .outputMode("complete").start()
+      val q = withStatePartitions(s) {
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .groupBy(col("o_orderkey"))
+          .agg(max_by(struct(("op" +: payload).map(col): _*),
+            struct(col("seq"), col("op"))).as("__latest"))
+          .writeStream.format("memory").queryName("graft_cdc_apply_gate")
+          .outputMode("complete").start()
+      }
       try q.processAllAvailable() finally q.stop()
       val latest = s.table("graft_cdc_apply_gate")
         .select(col("o_orderkey") +: ("op" +: payload).map(c =>
@@ -3078,9 +3043,7 @@ object SparkEntry {
       // narrow (no global state), so the final appended index state must
       // equal a batch-built index EXACTLY — the oracle recomputes every
       // signature and bucket set from the documents.
-      val tmp = roundTripDir(d, "graft-stream-index")
-      docs(s, d).select(col("doc_id"), col("text")).repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = stagedDocs4(s, d)
       val schema = s.read.parquet(tmp).schema
       val stream = graft.streaming.StreamingIndex.incrementalIndex(
         s, tmp, schema, cfg16, maxFilesPerTrigger = Some(1))
@@ -3751,6 +3714,103 @@ object SparkEntry {
           c AS pair_count FROM b$i""").mkString("\n      UNION ALL ")
     header + body.stripSuffix(",") + "\n      " + unions + "\n      ORDER BY rank"
   }
+
+  /** Curate-pipeline compositions retired from the driver gate suite
+    * (round-10 verdict task 2): six versions each re-ran full index/LM
+    * machinery per bench execution, so the suite's cost grew linearly with
+    * its own history and started masking operator regressions. The retained
+    * driver gates are `pipeline_curate` (the original composition),
+    * `pipeline_curate_incremental` (distinct capability: incremental
+    * maintenance) and `pipeline_curate_v6` (the most comprehensive stack).
+    * The retired versions stay correctness-covered: every stage keeps its
+    * own oracle-paired gate, and the compositions themselves replay in
+    * OperatorSpec against row counts pinned from their last DuckDB-validated
+    * run (hash-matched at sf0.01 in CORRECTNESS_r10).
+    */
+  def retiredQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v2" -> ((s, d) => {
+      // the round-7 composed pipeline: exact dedup (hash-only decision) →
+      // exact-substring near-dup pruning (winnowing blocking, higher id of
+      // each pair loses) → token-budget selection
+      val dd = docs(s, d)
+      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text")
+      val losers = Dedup.sharedSubstringPairs(exact, "doc_id", "text",
+          k = 16, w = 25, minShared = 2)
+        .select(col("b_id").as("doc_id")).distinct()
+      val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+      TextAnalysis.selectWithinTokenBudget(kept, "doc_id", "text", "n_chars", 15000L)
+        .orderBy("doc_id")
+    }),
+    "pipeline_curate_v3" -> ((s, d) => {
+      // the round-8 composed pipeline: exact dedup → Gopher word-count rule
+      // → CCNet perplexity tail cut
+      val dd = docs(s, d)
+      val exact = Dedup.dropExactDuplicates(dd, "doc_id", "text")
+      val gophered = TextAnalysis.withGopherRules(exact, "text")
+        .where(col("r_word_count"))
+      TextAnalysis.ccnetBuckets(gophered, "doc_id", "text",
+          headCutMicro = -3400000L, tailCutMicro = -3404000L)
+        .where(col("ppl_bucket") =!= "tail")
+        .select(col("doc_id"), col("n_words"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+    "pipeline_curate_v4" -> ((s, d) => {
+      // the round-10 composed pipeline — the full public-curation shape:
+      // canonical-URL dedup → exact content dedup → FULL Gopher rule
+      // conjunction → CCNet bucketing at CALIBRATED cutoffs →
+      // linear-classifier threshold (planted stopword prefix: the
+      // synthetic corpus has no English stopwords)
+      val dd = docs(s, d).select(col("doc_id"),
+        concat(lit("the of and that have with be to "), col("text")).as("text"))
+      val urls = dd.select(col("doc_id"),
+        concat(lit("HTTPS://Site.Example.ORG:443/page/"),
+          (col("doc_id") - col("doc_id") % 2).cast("string"),
+          lit("?utm_source=feed&fbclid=x"), col("doc_id").cast("string"))
+          .as("raw_url"))
+      val urlKept = Dedup.dropUrlDuplicates(urls, "doc_id", "raw_url")
+        .select("doc_id")
+      val d1 = dd.join(urlKept, Seq("doc_id"))
+      val d2 = Dedup.dropExactDuplicates(d1, "doc_id", "text")
+      val d3 = SparkUtil.scopedPersist(
+        TextAnalysis.withGopherRulesFull(d2, "text")
+          .where(col("gopher_full_pass")).select("doc_id", "text"))
+      val cal = TextAnalysis.calibrateCcnetCutoffs(
+        d3.where(col("doc_id") % 4 === 0), "doc_id", "text",
+        headFrac = 0.3, tailFrac = 0.3)
+      val d4 = SparkUtil.scopedPersist(
+        TextAnalysis.ccnetBuckets(d3, "doc_id", "text",
+            cal.headCutMicro, cal.tailCutMicro)
+          .where(col("ppl_bucket") =!= "tail")
+          .select("doc_id", "text", "n_tokens", "ppl_bucket"))
+      TextAnalysis.qualityClassifierScore(d4, "doc_id", "text",
+          qualityWeights, biasMicro = 20000L)
+        .where(col("quality_pass"))
+        .select(col("doc_id"), col("n_tokens"), col("ppl_bucket"),
+          col("n_feats"), round(col("logit"), 6).as("logit6"))
+        .orderBy("doc_id")
+    }),
+    "pipeline_curate_v5" -> ((s, d) => {
+      // round-10 composed pipeline: link-graph host rank as the quality
+      // signal ∘ exact content dedup over pair-shared text
+      val dd = SparkUtil.ensureParallelism(docs(s, d))
+      val pages = linkPages(s, d)
+      val links = TextAnalysis.extractLinks(pages, "doc_id", "url", "html")
+      val ranks = Graphs.pageRankKeyed(Graphs.hostEdges(links),
+        "src_host", "dst_host", iterations = 2, weightCol = Some("n_links"))
+      val ranked = links.select(col("doc_id"), col("src_host")).distinct()
+        .join(ranks, col("src_host") === col("node_id"))
+        .where(col("rank_micro") >= 1000000L)
+        .select(col("doc_id"), col("src_host").as("host"), col("rank_micro"))
+      val evens = dd.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("__pair"), col("text").as("pair_text"))
+      val paired = dd.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 2).as("__pair"))
+        .join(evens, Seq("__pair"))
+      val cand = paired.join(ranked, Seq("doc_id"))
+      Dedup.dropExactDuplicates(cand, "doc_id", "pair_text")
+        .select("doc_id", "host", "rank_micro")
+        .orderBy("doc_id")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> bpeLearnOracle,
@@ -4980,125 +5040,6 @@ object SparkEntry {
       SELECT page_id, host, md5(body_text) AS page_md5,
         CAST(5 AS BIGINT) AS n_tokens
       FROM p WHERE host <> 'host3.example' ORDER BY page_id""",
-    "pipeline_curate_v4" -> s"""
-      WITH ukeep AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
-      d1 AS (SELECT d.doc_id,
-               'the of and that have with be to ' || d.text AS text
-             FROM documents d JOIN ukeep USING (doc_id)),
-      d2 AS (SELECT doc_id, text FROM (
-          SELECT doc_id, text,
-            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM d1) WHERE rn = 1),
-      base AS (SELECT doc_id, text, $tokenizeSql AS tokens,
-          string_split(text, chr(10)) AS lines FROM d2),
-      sig AS (SELECT doc_id,
-          len(tokens) AS n_words,
-          CAST(coalesce(list_sum(list_transform(tokens, t -> len(t))), 0) AS DOUBLE)
-            / greatest(len(tokens), 1) AS mwl,
-          (len(text) - len(replace(text, '#', ''))) +
-            ((len(text) - len(replace(text, '...', ''))) // 3) AS n_sym,
-          len(list_filter(lines, l ->
-            list_contains(['-', '*', '•'], substr(trim(l), 1, 1)))) AS n_bullet,
-          len(list_filter(lines, l ->
-            (len(l) >= 3 AND substr(l, len(l) - 2, 3) = '...')
-            OR (len(l) >= 1 AND substr(l, len(l), 1) = '…'))) AS n_ell,
-          len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
-          len(list_filter(['the','be','to','of','and','that','have','with'],
-            w -> list_contains(tokens, w))) AS stop_hits,
-          greatest(len(lines), 1) AS n_lines,
-          greatest(len(tokens), 1) AS dw
-        FROM base),
-      gp AS (SELECT doc_id,
-          ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
-            AND (CAST(n_sym AS DOUBLE) / dw <= 0.1)
-            AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
-            AND (CAST(n_ell AS DOUBLE) / n_lines <= 0.3)
-            AND (CAST(n_alpha AS DOUBLE) / dw >= 0.8)
-            AND (stop_hits >= 2)) AS gopher_pass
-        FROM sig),
-      lgrp AS (SELECT doc_id, l, count(*) AS c FROM
-          (SELECT doc_id, unnest(lines) AS l FROM base) GROUP BY 1, 2),
-      lstat AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
-            / sum(c) AS dup_line_frac FROM lgrp GROUP BY 1),
-      pgrp AS (SELECT doc_id, p, count(*) AS c FROM
-          (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS p
-           FROM d2) GROUP BY 1, 2),
-      pstat AS (SELECT doc_id, CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
-            / sum(c) AS dup_para_frac FROM pgrp GROUP BY 1),
-      bgrp AS (SELECT doc_id, g, count(*) AS c FROM
-          (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
-             i -> tokens[i] || ' ' || tokens[i + 1])) AS g FROM base) GROUP BY 1, 2),
-      bstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
-                FROM bgrp GROUP BY 1),
-      tgrp AS (SELECT doc_id, g, count(*) AS c FROM
-          (SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
-             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS g
-           FROM base) GROUP BY 1, 2),
-      tstat AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_trigram_frac
-                FROM tgrp GROUP BY 1),
-      d3 AS (SELECT b.doc_id, b.text, b.tokens
-             FROM base b
-             JOIN gp ON b.doc_id = gp.doc_id
-             LEFT JOIN lstat l ON b.doc_id = l.doc_id
-             LEFT JOIN pstat p ON b.doc_id = p.doc_id
-             LEFT JOIN bstat bs ON b.doc_id = bs.doc_id
-             LEFT JOIN tstat ts ON b.doc_id = ts.doc_id
-             WHERE gp.gopher_pass
-               AND coalesce(l.dup_line_frac <= 0.30, true)
-               AND coalesce(p.dup_para_frac <= 0.30, true)
-               AND coalesce(bs.top_bigram_frac <= 0.20, true)
-               AND coalesce(ts.top_trigram_frac <= 0.18, true)),
-      cp AS (SELECT doc_id, unnest(tokens) AS token FROM d3 WHERE doc_id % 4 = 0),
-      cf AS (SELECT token, count(*) AS c FROM cp GROUP BY 1),
-      ctt AS (SELECT sum(c) AS total FROM cf),
-      clp AS (SELECT token,
-                CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
-              FROM cf, ctt),
-      cper AS (SELECT doc_id, count(*) AS n, sum(lpi) AS s
-               FROM cp JOIN clp USING (token) GROUP BY 1),
-      cav AS (SELECT CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS avg FROM cper),
-      tot AS (SELECT count(*) AS n FROM cav),
-      ks AS (SELECT CAST(greatest(1, ceil(0.7 * n)) AS BIGINT) AS kh,
-                    CAST(greatest(1, ceil(0.3 * n)) AS BIGINT) AS kt FROM tot),
-      cum AS (SELECT avg, sum(count(*)) OVER (ORDER BY avg) AS cumc
-              FROM cav GROUP BY avg),
-      hc AS (SELECT min(avg) AS v FROM cum, ks WHERE cumc >= kh),
-      tc AS (SELECT min(avg) AS v FROM cum, ks WHERE cumc >= kt),
-      p3 AS (SELECT doc_id, unnest(tokens) AS token FROM d3),
-      f3 AS (SELECT token, count(*) AS c FROM p3 GROUP BY 1),
-      t3 AS (SELECT sum(c) AS total FROM f3),
-      lp3 AS (SELECT token,
-                CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
-              FROM f3, t3),
-      per3 AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
-               FROM p3 JOIN lp3 USING (token) GROUP BY 1),
-      am3 AS (SELECT doc_id, n_tokens,
-                CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro
-              FROM per3),
-      d4 AS (SELECT d3.doc_id, d3.tokens, coalesce(am3.n_tokens, 0) AS n_tokens,
-               CASE WHEN am3.avg_micro IS NULL THEN 'unscored'
-                    WHEN am3.avg_micro >= hc.v THEN 'head'
-                    WHEN am3.avg_micro < tc.v THEN 'tail'
-                    ELSE 'middle' END AS ppl_bucket
-             FROM d3 LEFT JOIN am3 USING (doc_id)
-             CROSS JOIN hc CROSS JOIN tc),
-      d4k AS (SELECT * FROM d4 WHERE ppl_bucket <> 'tail'),
-      uni AS (SELECT doc_id, unnest(tokens) AS f FROM d4k),
-      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
-               i -> tokens[i] || ' ' || tokens[i + 1])) AS f FROM d4k),
-      occ AS (SELECT doc_id,
-          CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 4096 AS BIGINT) AS b
-        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-      perc AS (SELECT doc_id, count(*) AS n_feats,
-          sum((((b * 37 + 11) % 2001) - 1000) * 1000) AS s
-        FROM occ GROUP BY 1),
-      scc AS (SELECT doc_id, n_feats,
-          CAST(round(CAST(s AS DOUBLE) / n_feats) AS BIGINT) + 20000 AS lm
-        FROM perc)
-      SELECT d4k.doc_id, d4k.n_tokens, d4k.ppl_bucket,
-        scc.n_feats, round(CAST(scc.lm AS DOUBLE) / 1e6, 6) AS logit6
-      FROM d4k JOIN scc USING (doc_id)
-      WHERE scc.lm >= 0 ORDER BY d4k.doc_id""",
     "text_dsir_weights" -> s"""
       WITH toks AS (SELECT doc_id, lang, $tokenizeSql AS tokens FROM documents),
       occ AS (SELECT doc_id, (lang = 'en') AS is_t,
@@ -5394,22 +5335,6 @@ object SparkEntry {
     "graph_host_rank" -> s"""
       WITH $hostRankCtes
       SELECT v AS node_id, r AS rank_micro FROM r2 ORDER BY node_id""",
-    "pipeline_curate_v5" -> s"""
-      WITH $hostRankCtes,
-      dh AS (SELECT doc_id,
-               'h' || ((doc_id // 2) % 10) || '.example' AS host
-             FROM documents),
-      keep AS (SELECT dh.doc_id, dh.host, r2.r AS rank_micro
-               FROM dh JOIN r2 ON dh.host = r2.v WHERE r2.r >= 1000000),
-      pt AS (SELECT kk.doc_id, kk.host, kk.rank_micro, d2.text AS pair_text
-             FROM keep kk
-             JOIN documents d2 ON d2.doc_id = kk.doc_id - kk.doc_id % 2),
-      ded AS (SELECT doc_id, host, rank_micro,
-                row_number() OVER (PARTITION BY md5(pair_text)
-                                   ORDER BY doc_id) AS rn
-              FROM pt)
-      SELECT doc_id, host, rank_micro FROM ded WHERE rn = 1
-      ORDER BY doc_id""",
     "pipeline_curate_v6" -> s"""
       WITH planted AS $plantedUrlSql,
       clean AS (SELECT doc_id,
@@ -6517,60 +6442,6 @@ object SparkEntry {
             AS score
         FROM toks)
       SELECT doc_id FROM q WHERE score >= 0.75 ORDER BY doc_id""",
-    "pipeline_curate_v2" -> s"""
-      WITH exact AS (SELECT doc_id, text, n_chars FROM (
-          SELECT doc_id, text, n_chars,
-            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM documents) WHERE rn = 1),
-      nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-              FROM exact),
-      h AS (SELECT doc_id, list_transform(range(1, len(t) - 14), i -> md5(substr(t, i, 16))) AS hs
-            FROM nrm WHERE len(t) >= 40),
-      f AS (SELECT doc_id,
-              unnest(list_distinct(list_transform(range(0, len(hs) - 24),
-                j -> list_min(hs[(j+1):(j+25)])))) AS fp
-            FROM h),
-      pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ns
-             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-      losers AS (SELECT DISTINCT b_id FROM pr WHERE ns >= 2),
-      kept AS (SELECT e.* FROM exact e
-               WHERE e.doc_id NOT IN (SELECT b_id FROM losers)),
-      toks AS (SELECT doc_id, n_chars, $tokenizeSql AS tokens FROM kept),
-      t2 AS (SELECT doc_id, n_chars, len(tokens) AS nt FROM toks),
-      c AS (SELECT doc_id, nt,
-              sum(nt) OVER (ORDER BY n_chars DESC, doc_id
-                ROWS UNBOUNDED PRECEDING) AS cum
-            FROM t2)
-      SELECT doc_id, nt AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
-      FROM c WHERE cum <= 15000 ORDER BY doc_id""",
-    "pipeline_curate_v3" -> s"""
-      WITH exact AS (SELECT doc_id, text FROM (
-          SELECT doc_id, text,
-            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM documents) WHERE rn = 1),
-      gt AS (SELECT doc_id, $tokenizeSql AS tokens FROM exact),
-      goph AS (SELECT doc_id, tokens, len(tokens) AS n_words FROM gt
-               WHERE len(tokens) BETWEEN 50 AND 100000),
-      p AS (SELECT doc_id, unnest(tokens) AS token FROM goph),
-      f AS (SELECT token, count(*) AS c FROM p GROUP BY 1),
-      t AS (SELECT sum(c) AS total FROM f),
-      lp AS (SELECT token,
-               CAST(round(ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpi
-             FROM f, t),
-      per AS (SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
-              FROM p JOIN lp USING (token) GROUP BY 1),
-      am AS (SELECT doc_id,
-               CAST(round(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro
-             FROM per),
-      lab AS (SELECT g.doc_id, g.n_words,
-                CASE WHEN am.avg_micro IS NULL THEN 'unscored'
-                     WHEN am.avg_micro >= -3400000 THEN 'head'
-                     WHEN am.avg_micro < -3404000 THEN 'tail'
-                     ELSE 'middle' END AS ppl_bucket
-              FROM goph g LEFT JOIN am USING (doc_id))
-      SELECT doc_id, n_words, ppl_bucket FROM lab
-      WHERE ppl_bucket <> 'tail' ORDER BY doc_id""",
     "stream_tumbling_agg" -> """
       SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
                '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -2424,4 +2424,22 @@ class OperatorSpec extends AnyFunSuite {
         "codegen path must bucket a clean signature")
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("retired curate pipelines still replay their last DuckDB-validated shape") {
+    // the v2-v5 compositions left the driver gate suite (round-10 verdict
+    // task 2: six versions re-ran full index/LM machinery per bench run);
+    // each stage keeps its own oracle-paired gate, and the compositions
+    // themselves are pinned here to the row counts produced by the code
+    // that hash-matched DuckDB at sf0.01 in CORRECTNESS_r10
+    val expected = Seq(
+      "pipeline_curate_v2" -> 193L,
+      "pipeline_curate_v3" -> 198L,
+      "pipeline_curate_v4" -> 68L,
+      "pipeline_curate_v5" -> 100L)
+    for ((q, n) <- expected) {
+      val df = SparkEntry.retiredQueries(q)(spark, "/root/testdata/sf0.001")
+      assert(df.count() == n, s"$q row count drifted from the validated run")
+      SparkUtil.releaseScopedCaches()
+    }
+  }
 }
