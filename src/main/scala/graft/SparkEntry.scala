@@ -102,6 +102,33 @@ object SparkEntry {
   private lazy val qualityWeights: Seq[Long] =
     (0 until 4096).map(b => (((b * 37 + 11) % 2001) - 1000) * 1000L)
 
+  /** Stopword-trained deterministic langid weight table + the planted
+    * corpus for its gates: doc_id % 5 ∈ {0..3} gets that language's full
+    * stopword list prepended (explicit signal for both the heuristic and
+    * the classifier); the 5th residue stays unplanted.
+    */
+  // 16384: with ~120 trained buckets, a body trigram collides at ~0.7% —
+  // collision noise stays an order of magnitude under the planted-prefix
+  // signal (at 4096 the es/fr stopword overlap plus ~6% collisions tipped
+  // a third of planted-es docs to fr)
+  private val LangIdBuckets = 16384
+  private lazy val langIdWeights =
+    graft.operators.TextAnalysis.langIdTrainFromStopwords(LangIdBuckets)
+  // 3 repetitions: the explicit signal must dominate the body's incidental
+  // stopword-trigram mass (a 2000-char synthetic doc carries ~20M micro of
+  // accidental hits; one 10-word list ≈ 30M is too close, three ≈ 90M is not)
+  private def langIdPrefix(lang: String): String = {
+    val one = graft.operators.TextAnalysis.Stopwords(lang).mkString(" ")
+    s"$one $one $one "
+  }
+  private def langIdPlanted(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit(langIdPrefix("de")), col("text")))
+        .when(col("doc_id") % 5 === 1, concat(lit(langIdPrefix("en")), col("text")))
+        .when(col("doc_id") % 5 === 2, concat(lit(langIdPrefix("es")), col("text")))
+        .when(col("doc_id") % 5 === 3, concat(lit(langIdPrefix("fr")), col("text")))
+        .otherwise(col("text")).as("text"))
+
   private def plantedUrls(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       when(col("doc_id") % 4 === 0,
@@ -1822,6 +1849,42 @@ object SparkEntry {
       TextAnalysis.withLangId(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "de_hits", "en_hits", "es_hits", "fr_hits", "lang_pred")
         .orderBy("doc_id")),
+    "text_langid_v2" -> ((s, d) =>
+      // classifier-grade language ID: hashed char-trigram linear model
+      // (fastText shape) with the stopword-trained deterministic weight
+      // table; docs get a planted language prefix by doc_id % 5 (the 5th
+      // residue stays unplanted) so every class and the und path execute.
+      // Exact integer micro-logit sums — the oracle replays hash, weight
+      // VALUES literal, and argmax chain bit-for-bit
+      TextAnalysis.langIdClassifierScore(langIdPlanted(s, d), "doc_id", "text",
+          langIdWeights, LangIdBuckets)
+        .select("doc_id", "n_feats", "de_micro", "en_micro", "es_micro",
+          "fr_micro", "lang_pred_v2")
+        .orderBy("doc_id")),
+    "text_langid_v2_agree" -> ((s, d) => {
+      // heuristic-vs-classifier agreement on the easy slice (the planted
+      // docs, where the language signal is explicit): per planted language,
+      // how often each path recovers the plant and how often they agree
+      val planted = langIdPlanted(s, d).where(col("doc_id") % 5 <= 3)
+        .withColumn("planted_lang",
+          when(col("doc_id") % 5 === 0, "de").when(col("doc_id") % 5 === 1, "en")
+            .when(col("doc_id") % 5 === 2, "es").otherwise("fr"))
+      val h = TextAnalysis.withLangId(planted, "text")
+        .select(col("doc_id"), col("planted_lang"), col("lang_pred"))
+      val c = TextAnalysis.langIdClassifierScore(planted, "doc_id", "text",
+          langIdWeights, LangIdBuckets)
+        .select(col("doc_id"), col("lang_pred_v2"))
+      h.join(c, Seq("doc_id"))
+        .groupBy("planted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang_pred") === col("planted_lang"), 1L).otherwise(0L))
+            .as("n_heur_match"),
+          sum(when(col("lang_pred_v2") === col("planted_lang"), 1L).otherwise(0L))
+            .as("n_clf_match"),
+          sum(when(col("lang_pred") === col("lang_pred_v2"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .orderBy("planted_lang")
+    }),
     "text_quality" -> ((s, d) =>
       TextAnalysis.withQualityScore(SparkUtil.ensureParallelism(docs(s, d)), "text")
         .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
@@ -3685,6 +3748,57 @@ object SparkEntry {
 
   private def stopwordList(lang: String): String =
     TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The [[langIdWeights]] sparse table as a DuckDB VALUES literal — the
+    * training is deterministic Scala, so the oracle replays scoring against
+    * the exact same integers (~120 rows: stopword trigram buckets only).
+    */
+  private lazy val langIdWeightValues: String =
+    langIdWeights.map { case (b, m) =>
+      s"($b, ${m.getOrElse("de", 0L)}, ${m.getOrElse("en", 0L)}, " +
+        s"${m.getOrElse("es", 0L)}, ${m.getOrElse("fr", 0L)})"
+    }.mkString("VALUES ", ", ", "")
+
+  private lazy val langIdPlantedSql: String = s"""
+      SELECT doc_id, CASE
+        WHEN doc_id % 5 = 0 THEN '${langIdPrefix("de")}' || text
+        WHEN doc_id % 5 = 1 THEN '${langIdPrefix("en")}' || text
+        WHEN doc_id % 5 = 2 THEN '${langIdPrefix("es")}' || text
+        WHEN doc_id % 5 = 3 THEN '${langIdPrefix("fr")}' || text
+        ELSE text END AS text FROM documents"""
+
+  /** Shared classifier-scoring CTE chain of the langid-v2 oracles: planted
+    * text → tokens → boundary-padded join → char trigrams (multiset) →
+    * md5-prefix buckets → LEFT JOIN the weight VALUES → exact integer sums
+    * + the argmax chain. Expects a CTE `planted(doc_id, text)` upstream.
+    */
+  private lazy val langIdScoreCtes: String = s"""
+      ltoks AS (SELECT doc_id, $tokenizeSql AS tokens FROM planted),
+      ln0 AS (SELECT doc_id, ' ' || array_to_string(tokens, ' ') || ' ' AS t
+              FROM ltoks),
+      lg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> t[i:i+2])
+               ELSE [] END) AS g FROM ln0),
+      lb AS (SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT)
+                 % $LangIdBuckets AS BIGINT) AS b FROM lg),
+      lw(b, wde, wen, wes, wfr) AS ($langIdWeightValues),
+      lper AS (SELECT doc_id, count(*) AS n_feats,
+          CAST(sum(coalesce(wde, 0)) AS BIGINT) AS de_micro,
+          CAST(sum(coalesce(wen, 0)) AS BIGINT) AS en_micro,
+          CAST(sum(coalesce(wes, 0)) AS BIGINT) AS es_micro,
+          CAST(sum(coalesce(wfr, 0)) AS BIGINT) AS fr_micro
+        FROM lb LEFT JOIN lw USING (b) GROUP BY 1),
+      lpred AS (SELECT doc_id, n_feats, de_micro, en_micro, es_micro, fr_micro,
+          CASE
+            WHEN de_micro >= en_micro AND de_micro >= es_micro
+              AND de_micro >= fr_micro AND de_micro > 0 THEN 'de'
+            WHEN en_micro >= es_micro AND en_micro >= fr_micro
+              AND en_micro > 0 THEN 'en'
+            WHEN es_micro >= fr_micro AND es_micro > 0 THEN 'es'
+            WHEN fr_micro > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred_v2
+        FROM lper)"""
 
   /** Generated k-round replay of [[graft.functions.Bpe.learnMerges]]:
     * round i = extract bracketed symbols, count adjacent pairs, pick the
@@ -6059,6 +6173,47 @@ object SparkEntry {
         round(CAST(acc.n_correct AS DOUBLE) / acc.n_total, 6) AS accuracy6,
         mac.macro_f1_6
       FROM acc, mac""",
+    "text_langid_v2" -> s"""
+      WITH planted AS ($langIdPlantedSql),
+      $langIdScoreCtes
+      SELECT d.doc_id, coalesce(p.n_feats, 0) AS n_feats,
+        coalesce(p.de_micro, 0) AS de_micro, coalesce(p.en_micro, 0) AS en_micro,
+        coalesce(p.es_micro, 0) AS es_micro, coalesce(p.fr_micro, 0) AS fr_micro,
+        coalesce(p.lang_pred_v2, 'und') AS lang_pred_v2
+      FROM documents d LEFT JOIN lpred p USING (doc_id) ORDER BY d.doc_id""",
+    "text_langid_v2_agree" -> s"""
+      WITH planted0 AS ($langIdPlantedSql),
+      planted AS (SELECT * FROM planted0 WHERE doc_id % 5 <= 3),
+      $langIdScoreCtes,
+      sl AS (SELECT doc_id, text,
+          CASE WHEN doc_id % 5 = 0 THEN 'de' WHEN doc_id % 5 = 1 THEN 'en'
+               WHEN doc_id % 5 = 2 THEN 'es' ELSE 'fr' END AS planted_lang
+        FROM planted),
+      htoks AS (SELECT doc_id, planted_lang, $tokenizeSql AS tokens FROM sl),
+      hh AS (SELECT doc_id, planted_lang,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("de")}, t))) AS dh,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("en")}, t))) AS eh,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("es")}, t))) AS sh,
+          len(list_filter(tokens, t -> list_contains(${stopwordList("fr")}, t))) AS fh
+        FROM htoks),
+      hp AS (SELECT doc_id, planted_lang,
+          CASE
+            WHEN dh >= eh AND dh >= sh AND dh >= fh AND dh > 0 THEN 'de'
+            WHEN eh >= sh AND eh >= fh AND eh > 0 THEN 'en'
+            WHEN sh >= fh AND sh > 0 THEN 'es'
+            WHEN fh > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+        FROM hh),
+      j AS (SELECT hp.planted_lang, hp.lang_pred, p.lang_pred_v2
+            FROM hp JOIN lpred p USING (doc_id))
+      SELECT planted_lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN lang_pred = planted_lang THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_heur_match,
+        CAST(sum(CASE WHEN lang_pred_v2 = planted_lang THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clf_match,
+        CAST(sum(CASE WHEN lang_pred = lang_pred_v2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_agree
+      FROM j GROUP BY 1 ORDER BY 1""",
     "text_langid" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       hits AS (

@@ -65,6 +65,104 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Deterministic "offline training" for [[langIdClassifierScore]]: each
+    * language's stopwords contribute +1e6 micro-logits to the hashed bucket
+    * of every boundary-padded char trigram (`" der "` → `" de"`, `"der"`,
+    * `"er "`). The hash is the repo's md5-prefix idiom, so the learned
+    * table replays in DuckDB as a VALUES literal. Stands in for fastText
+    * langid weights the way `qualityWeights` stands in for a trained
+    * quality classifier — the Spark-side machinery (hashing, broadcast,
+    * exact integer scoring) is identical for real weights.
+    *
+    * Returns sparse rows (bucket, lang → microWeight), sorted by bucket.
+    */
+  def langIdTrainFromStopwords(buckets: Int): Seq[(Int, Map[String, Long])] = {
+    require(buckets > 0, "buckets must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(g: String): Int = {
+      val hex = md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    def grams(w: String): Iterator[String] = (" " + w + " ").sliding(3)
+    // IDF-style discrimination weighting: a trigram produced by the
+    // stopwords of k languages contributes 1e6/k to each — " la" (es+fr)
+    // carries half the evidence of a language-unique trigram, which is
+    // what separates the Romance pair the raw counts confuse
+    val sharing: Map[String, Int] = (for {
+      (lang, words) <- Stopwords.toSeq
+      w <- words
+      g <- grams(w)
+    } yield (g, lang)).distinct.groupBy(_._1).map { case (g, ls) => g -> ls.size }
+    val acc = scala.collection.mutable.Map.empty[(Int, String), Long]
+    for {
+      (lang, words) <- Stopwords.toSeq.sortBy(_._1)
+      w <- words
+      g <- grams(w)
+    } acc((bucketOf(g), lang)) =
+      acc.getOrElse((bucketOf(g), lang), 0L) + 1000000L / sharing(g)
+    acc.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (b, m) =>
+      b -> m.map { case ((_, l), v) => l -> v }.toMap
+    }
+  }
+
+  /** Classifier-grade language ID — the fastText shape (hashed char-ngram
+    * linear model, Joulin et al. 2016) that public pipelines (CCNet) use
+    * where [[withLangId]] is the stopword-count heuristic. Features are ALL
+    * char trigrams (with multiplicity) of the boundary-padded token-joined
+    * text; each hashes to `b = md5-prefix mod buckets` and looks up one
+    * per-language integer micro-logit row in the bounded broadcast weight
+    * table. Per-doc per-language scores are exact integer sums —
+    * order-independent and oracle-replayable; `lang_pred_v2` is the argmax
+    * with the [[withLangId]] conventions (alphabetical precedence chain,
+    * "und" when no feature scores positive).
+    *
+    * Scale shape — identical to [[qualityClassifierScore]]: one
+    * occurrence-level map-side-combined (id, count, 4 sums) aggregate after
+    * a broadcast join against the ≤`buckets`-row weight table; no
+    * vocabulary-sized state, no text in any exchange.
+    */
+  def langIdClassifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(Int, Map[String, Long])], buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val langs = Stopwords.keys.toSeq.sorted // de, en, es, fr
+    val wDf = broadcast(weights.map { case (b, m) =>
+      (b.toLong, m.getOrElse("de", 0L), m.getOrElse("en", 0L),
+        m.getOrElse("es", 0L), m.getOrElse("fr", 0L))
+    }.toDF("__b", "__w_de", "__w_en", "__w_es", "__w_fr"))
+    val norm = concat(lit(" "), array_join(T.tokenize(col(textCol)), " "), lit(" "))
+    val grams = when(length(col("__n")) >= 3,
+      transform(sequence(lit(1), length(col("__n")) - 2),
+        i => col("__n").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val occ = graft.SparkUtil.ensureParallelism(
+        df.select(col(idCol), col(textCol)))
+      .withColumn("__n", norm)
+      .select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") %
+          buckets).as("__b"))
+    val perDoc = occ.join(wDf, Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        langs.map(l => sum(coalesce(col(s"__w_$l"), lit(0L))).as(s"${l}_micro")): _*)
+    def sc(l: String) = col(s"${l}_micro")
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("de_micro", coalesce(sc("de"), lit(0L)))
+      .withColumn("en_micro", coalesce(sc("en"), lit(0L)))
+      .withColumn("es_micro", coalesce(sc("es"), lit(0L)))
+      .withColumn("fr_micro", coalesce(sc("fr"), lit(0L)))
+      .withColumn("lang_pred_v2",
+        when(sc("de") >= sc("en") && sc("de") >= sc("es") &&
+          sc("de") >= sc("fr") && sc("de") > 0, "de")
+          .when(sc("en") >= sc("es") && sc("en") >= sc("fr") && sc("en") > 0, "en")
+          .when(sc("es") >= sc("fr") && sc("es") > 0, "es")
+          .when(sc("fr") > 0, "fr")
+          .otherwise("und"))
+  }
+
   /** Quality signals + a rubric score in {0, 0.25, 0.5, 0.75, 1}: length in
     * range, mean token length in range, stopword presence, digit-ratio cap.
     * Threshold-based (not weighted floats) so the score is bit-stable across
