@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.operators._
+import graft.sources.IndexStore
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -3120,6 +3121,46 @@ object SparkEntry {
           array_join(array_sort(col(Cols.BucketIds)), ",").as("bucket_ids_str"))
         .orderBy("doc_id")
     }),
+    "stream_index_compact" -> ((s, d) => {
+      // index MAINTENANCE for the incremental-ingestion path: three
+      // streaming-shaped appends land in the bucketed store — (1) the full
+      // corpus with PRELIMINARY text for the doc_id % 5 == 0 slice, (2) the
+      // correction re-ingest of that slice with final text, (3) a duplicate
+      // re-delivery of doc_id % 7 == 3 (idempotency) — then compact merges
+      // each bucket's small append files into one and keeps only the
+      // max-ingest_seq signature per id. The compacted index must equal a
+      // batch build over the final corpus: the oracle is the same
+      // signature/bucket recomputation as stream_index_update.
+      val table = "graft_stream_index_compact"
+      for (t <- Seq(table, table + "_compact_tmp")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      val prelim = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 5 === 0,
+          concat(lit("preliminary draft "), col(Cols.Text)))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      IndexStore.saveBucketed(feat(prelim, 1), table, 8)
+      IndexStore.appendBucketed(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table, 8)
+      IndexStore.appendBucketed(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table, 8)
+      IndexStore.compact(s, table, 8)
+      IndexStore.load(s, table)
+        .where(col(Cols.Signature).isNotNull)
+        .select(col(Cols.Id).as("doc_id"),
+          array_join(col(Cols.Signature), ",").as("signature_str"),
+          array_join(array_sort(col(Cols.BucketIds)), ",").as("bucket_ids_str"))
+        .orderBy("doc_id")
+    }),
     "stream_dedup" -> ((s, d) =>
       // batch twin of streaming dropDuplicates("user_id","event_type"):
       // first event per key in event-time order (EventStream.firstEventPerKey)
@@ -4640,6 +4681,14 @@ object SparkEntry {
       SELECT doc_id, array_to_string(list_sort(bucket_ids), ',') AS bucket_ids_str
       FROM buck ORDER BY doc_id""",
     "stream_index_update" -> s"""
+      WITH ${docCtes(cfg16)}
+      SELECT s.doc_id, array_to_string(s.signature, ',') AS signature_str,
+        array_to_string(list_sort(b.bucket_ids), ',') AS bucket_ids_str
+      FROM sig s JOIN buck b USING (doc_id) ORDER BY s.doc_id""",
+    // compaction must land exactly where a fresh batch build would: the
+    // superseded preliminary signatures are gone, so the recomputation over
+    // the final corpus (the stream_index_update oracle) replays verbatim
+    "stream_index_compact" -> s"""
       WITH ${docCtes(cfg16)}
       SELECT s.doc_id, array_to_string(s.signature, ',') AS signature_str,
         array_to_string(list_sort(b.bucket_ids), ',') AS bucket_ids_str

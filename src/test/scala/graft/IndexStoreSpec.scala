@@ -47,4 +47,42 @@ class IndexStoreSpec extends AnyFunSuite {
       s"expected exchange/broadcast on unbucketed side:\n$mixedPlan")
     model.unpersist()
   }
+
+  test("compact: max-seq wins per id, file count bounded, join stays shuffle-free") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_index_compact_fix"
+    for (t <- Seq(table, table + "_compact_tmp")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    def batch(rows: Seq[(Long, String, Long)]) =
+      rows.toDF(Cols.Id, "payload", "ingest_seq")
+    // base build + two appends: id 1 superseded twice, id 2 once, id 3 never
+    IndexStore.saveBucketed(
+      batch(Seq((1L, "v1", 1L), (2L, "v1", 1L), (3L, "v1", 1L))), table, 4)
+    IndexStore.appendBucketed(batch(Seq((1L, "v2", 2L), (2L, "v2", 2L))), table, 4)
+    IndexStore.appendBucketed(batch(Seq((1L, "v3", 3L))), table, 4)
+    assert(spark.table(table).count() == 6, "append log holds every version")
+    IndexStore.compact(spark, table, 4)
+    val got = spark.table(table).orderBy(Cols.Id)
+      .select(Cols.Id, "payload", "ingest_seq").as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq((1L, "v3", 3L), (2L, "v2", 2L), (3L, "v1", 1L)),
+      s"latest ingest must win per id: ${got.toSeq}")
+    // one data file per bucket — the compaction's file-count bound
+    val files = new java.io.File(s"spark-warehouse/$table").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 4, s"expected <= 4 bucket files, got ${files.length}")
+    // the compacted table still joins shuffle-free against a bucketed side
+    val other = IndexStore.load(spark, table).select(col(Cols.Id), col("payload"))
+    val self = IndexStore.load(spark, table).join(other, Seq(Cols.Id))
+    self.count()
+    assert(!self.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "compaction must preserve the bucketed shuffle-free join property")
+  }
 }
