@@ -1073,6 +1073,42 @@ object SparkEntry {
     "ann_query" -> ((s, d) =>
       fitted(s, d, cfg100).approxNearestNeighbors(keyOf(s, d), 10)
         .withColumnRenamed(Cols.Id, "doc_id")),
+    "ann_query_sql" -> ((s, d) => {
+      // the flagship ANN path through plain SQL text (fn_bpe_sql pattern):
+      // the registered kernels compose the SAME expression trees as the
+      // DataFrame ann_query — shingles → md5 minhash → band buckets →
+      // 1-row-broadcast bucket-overlap candidates → signature agreement →
+      // (jaccard desc, id) top-10 as TakeOrderedAndProject. Null
+      // signatures self-eliminate (arrays_overlap(null, ·) is null) so no
+      // IS NOT NULL predicate exists for pushdown to substitute the
+      // minhash tree into a scan filter (the round-3 trap). Shares
+      // ann_query's oracle.
+      val q = keyOf(s, d).replace("'", "''")
+      SparkUtil.ensureParallelism(docs(s, d))
+        .createOrReplaceTempView("documents_ann_v")
+      s.sql(s"""
+        WITH fb AS (
+          SELECT doc_id, text, sig,
+            graft_band_buckets_md5(sig, 25, 4, 4) AS buckets
+          FROM (SELECT doc_id, text,
+                  graft_minhash_md5(graft_shingles(text, 2), 100) AS sig
+                FROM documents_ann_v)),
+        qb AS (
+          SELECT q_sig, graft_band_buckets_md5(q_sig, 25, 4, 4) AS q_buckets
+          FROM (SELECT graft_minhash_md5(graft_shingles('$q', 2), 100) AS q_sig)),
+        cand AS (
+          SELECT f.doc_id, f.text,
+            graft_signature_agreement(f.sig, qb.q_sig) AS jaccard
+          FROM fb f, qb
+          -- coalesce(·, false): same drop-null semantics, but the
+          -- null-tolerant form yields no isnotnull constraint, so
+          -- InferFiltersFromConstraints cannot push an
+          -- isnotnull(minhash(...)) tree into the parquet scan (the
+          -- DataFrame path's persist() barrier, expressed in SQL)
+          WHERE coalesce(arrays_overlap(f.buckets, qb.q_buckets), false))
+        SELECT doc_id, text, jaccard FROM cand
+        ORDER BY jaccard DESC, doc_id LIMIT 10""")
+    }),
     "ann_query_thres" -> ((s, d) =>
       // the bucketThres variant (reference approxNearestNeighbors
       // bucket_thres arg): candidates pass the bucket-set-jaccard filter
@@ -1184,6 +1220,22 @@ object SparkEntry {
     "dedup_exact_keep" -> ((s, d) =>
       Dedup.dropExactDuplicates(docs(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
+    "dedup_exact_sql" -> ((s, d) => {
+      // exact dedup through plain SQL text, in the SAME plan shape as
+      // Dedup.dropExactDuplicates (hash-only decision: md5 per row,
+      // min-id winner per hash, LEFT ANTI loser removal — no window, no
+      // text in any decision exchange, no broadcast hint). Shares
+      // dedup_exact_keep's oracle.
+      docs(s, d).createOrReplaceTempView("documents_dedup_v")
+      s.sql("""
+        WITH h AS (SELECT doc_id, md5(text) AS th FROM documents_dedup_v),
+        w AS (SELECT th, min(doc_id) AS keep FROM h GROUP BY th),
+        losers AS (
+          SELECT h.doc_id FROM h JOIN w ON h.th = w.th AND h.doc_id <> w.keep)
+        SELECT d.doc_id FROM documents_dedup_v d
+        LEFT ANTI JOIN losers l ON d.doc_id = l.doc_id
+        ORDER BY d.doc_id""")
+    }),
     "dedup_minhash_pairs" -> ((s, d) =>
       fitted(s, d, cfg16).approxSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
@@ -5310,6 +5362,21 @@ object SparkEntry {
       SELECT sc.doc_id, d.text, sc.jaccard
       FROM scored sc JOIN documents d USING (doc_id)
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    // the SQL-frontend twin computes the identical pipeline from SQL text,
+    // so the ann_query replay serves it verbatim
+    "ann_query_sql" -> s"""
+      WITH ${docCtes(cfg100)}, ${queryCtes(cfg100)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 101), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     "ann_query_thres" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
       strict AS (
@@ -5385,6 +5452,12 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "dedup_exact_keep" -> """
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id""",
+    // SQL-frontend twin of dedup_exact_keep — identical keep-min semantics
+    "dedup_exact_sql" -> """
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents)

@@ -156,4 +156,37 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(top.map(_.getLong(0)).toSet == Set(0L, 50L, 82L),
       s"got ${top.map(_.getLong(0)).toSeq}")
   }
+
+  test("ann_query_sql ≡ ann_query: same rows, top-k plan, no minhash in filters") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("ann_query_sql")(spark, dir)
+    val df = SparkEntry.queries("ann_query")(spark, dir)
+    assert(sql.select("doc_id", "jaccard").except(df.select("doc_id", "jaccard")).count() == 0 &&
+      df.select("doc_id", "jaccard").except(sql.select("doc_id", "jaccard")).count() == 0,
+      "SQL frontend must reproduce the DataFrame ANN result exactly")
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"SQL top-10 must plan as TakeOrderedAndProject:\n$plan")
+    // the round-3 contract extends to the SQL surface: the coalesce form
+    // must keep InferFiltersFromConstraints from pushing the minhash tree
+    // into a scan filter
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(!filterLines.contains("minhash_"),
+      s"ann_query_sql evaluates MinHash inside a filter:\n$filterLines")
+    graft.SparkUtil.releaseScopedCaches()
+  }
+
+  test("dedup_exact_sql ≡ dedup_exact_keep: same rows, anti-join shape, no window") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("dedup_exact_sql")(spark, dir)
+    val df = SparkEntry.queries("dedup_exact_keep")(spark, dir)
+    assert(sql.except(df).count() == 0 && df.except(sql).count() == 0,
+      "SQL frontend must reproduce the DataFrame dedup result exactly")
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"loser removal must be an anti-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the SQL form must keep the hash-groupBy shape, not a text-ranking window:\n$plan")
+  }
 }
