@@ -46,10 +46,15 @@ object Bench {
     // one warmed pass of the Structured Streaming machinery (file source →
     // stateful complete-mode agg → memory sink) so the micro-batch planner,
     // state-store provider, and sink classes JIT here instead of inside the
-    // first stream_* gate's measured reps
-    locally {
+    // first stream_* gate's measured reps. Best-effort: a warm-up failure
+    // (concurrent clobber, unwritable tmpdir) must never abort the bench —
+    // it just forfeits the warm start. The dir is per-corpus so concurrent
+    // benches at different scale factors cannot clobber each other's
+    // staged files mid-stream.
+    try {
       import org.apache.spark.sql.functions._
-      val tmp = sys.props("java.io.tmpdir") + "/graft-bench-stream-warm"
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-bench-stream-warm-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       spark.read.parquet(s"$sfDir/region.parquet").write.mode("overwrite").parquet(tmp)
       val schema = spark.read.parquet(tmp).schema
       val q = spark.readStream.schema(schema).parquet(tmp)
@@ -58,6 +63,8 @@ object Bench {
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       spark.sql("DROP TABLE IF EXISTS graft_bench_stream_warm")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming warm-up skipped: ${e.getMessage}")
     }
 
     // min of N reps per query: single-shot numbers on a shared host carry

@@ -1083,7 +1083,10 @@ object SparkEntry {
       // IS NOT NULL predicate exists for pushdown to substitute the
       // minhash tree into a scan filter (the round-3 trap). Shares
       // ann_query's oracle.
-      val q = keyOf(s, d).replace("'", "''")
+      // escape backslashes BEFORE quotes: the default SQL parser processes
+      // backslash escapes inside string literals, so an unescaped \t in the
+      // corpus key would become a tab and diverge from the DataFrame path
+      val q = keyOf(s, d).replace("\\", "\\\\").replace("'", "''")
       SparkUtil.ensureParallelism(docs(s, d))
         .createOrReplaceTempView("documents_ann_v")
       s.sql(s"""
@@ -3184,14 +3187,7 @@ object SparkEntry {
       // batch build over the final corpus: the oracle is the same
       // signature/bucket recomputation as stream_index_update.
       val table = "graft_stream_index_compact"
-      for (t <- Seq(table, table + "_compact_tmp")) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new java.io.File(s"spark-warehouse/$t")
-        if (loc.exists()) {
-          import scala.reflect.io.Directory
-          new Directory(loc).deleteRecursively()
-        }
-      }
+      Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(s, _))
       val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
         col("text").as(Cols.Text))
       def feat(df: DataFrame, seq: Int): DataFrame =
@@ -3205,7 +3201,7 @@ object SparkEntry {
       IndexStore.saveBucketed(feat(prelim, 1), table, 8)
       IndexStore.appendBucketed(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table, 8)
       IndexStore.appendBucketed(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table, 8)
-      IndexStore.compact(s, table, 8)
+      IndexStore.compact(s, table)
       IndexStore.load(s, table)
         .where(col(Cols.Signature).isNotNull)
         .select(col(Cols.Id).as("doc_id"),

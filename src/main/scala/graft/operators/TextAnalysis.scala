@@ -76,13 +76,21 @@ object TextAnalysis {
     *
     * Returns sparse rows (bucket, lang → microWeight), sorted by bucket.
     */
+  /** The repo's md5-prefix bucket idiom on the JVM side — first 8 hex
+    * chars of md5(s) mod buckets, bit-identical to the Spark
+    * `conv(substring(md5(·), 1, 8), 16, 10) % buckets` column and DuckDB's
+    * `CAST('0x' || substr(md5(·), 1, 8) AS UBIGINT) % buckets`. One
+    * definition so trainers and specs cannot drift from the column form.
+    */
+  def md5Bucket(s: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
   def langIdTrainFromStopwords(buckets: Int): Seq[(Int, Map[String, Long])] = {
     require(buckets > 0, "buckets must be positive")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def bucketOf(g: String): Int = {
-      val hex = md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
-    }
+    def bucketOf(g: String): Int = md5Bucket(g, buckets)
     def grams(w: String): Iterator[String] = (" " + w + " ").sliding(3)
     // IDF-style discrimination weighting: a trigram produced by the
     // stopwords of k languages contributes 1e6/k to each — " la" (es+fr)

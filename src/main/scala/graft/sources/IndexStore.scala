@@ -35,22 +35,38 @@ object IndexStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** The bucket count recorded in the catalog for `table` — compaction
+    * derives it instead of trusting a caller parameter: a wrong constant
+    * would silently re-bucket the table, breaking the co-located
+    * shuffle-free joins against every side bucketed to the original spec.
+    */
+  def bucketCountOf(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .collectFirst {
+        case r if r.getString(0).trim == "Num Buckets" => r.getString(1).trim.toInt
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — compact only applies to bucketed index tables"))
+
   /** Compact an append-log index table: drop superseded signatures (for
     * each id keep the row with the highest `seqCol` — later re-ingests of
     * a changed document supersede earlier ones) and merge each bucket's
     * small append files into ONE file (repartition by the bucketing key
     * with `buckets` tasks aligns writer tasks to buckets, so the rewritten
-    * table holds exactly `buckets` data files).
+    * table holds exactly `buckets` data files). The bucket count comes
+    * from the table's own catalog spec.
     *
-    * The rewrite stages through a temp table because Spark refuses to
-    * overwrite a table referenced by the plan being written. At cluster
-    * scale the second write is a catalog-pointer swap instead; the data
-    * movement (one decision-sized shuffle keyed on id, max_by per id —
-    * signatures ride it once) is the same.
+    * The rewrite lands in `<table>_compact_tmp`, then swaps in via
+    * DROP + ALTER TABLE RENAME (the catalog-pointer swap — no second data
+    * write). The swap window is metadata-only; if a crash lands inside
+    * it, the fully-written tmp table is the recovery point (rename it to
+    * `table` by hand). Data movement: one decision-sized shuffle keyed on
+    * id (max_by per id) — signatures ride it exactly once.
     */
-  def compact(spark: SparkSession, table: String, buckets: Int,
+  def compact(spark: SparkSession, table: String,
       seqCol: String = "ingest_seq"): Unit = {
     import org.apache.spark.sql.functions._
+    val buckets = bucketCountOf(spark, table)
     val cur = spark.table(table)
     require(cur.columns.contains(seqCol),
       s"compact needs the append-sequence column '$seqCol'")
@@ -60,10 +76,37 @@ object IndexStore {
       .select(col(Cols.Id) +: (seqCol +: others).map(c => col(s"__w.$c").as(c)): _*)
       .repartition(buckets, col(Cols.Id))
     val tmp = table + "_compact_tmp"
+    reset(spark, tmp)
     saveBucketed(winner, tmp, buckets)
-    saveBucketed(
-      spark.table(tmp).repartition(buckets, col(Cols.Id)), table, buckets)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Drop `table` AND remove its leftover warehouse directory. The
+    * in-memory catalog forgets tables between JVMs but their managed
+    * directories survive, and a stale directory makes the next
+    * `saveAsTable` CREATE fail — every harness re-build goes through this.
+    * The location is resolved from `spark.sql.warehouse.dir` (URI or bare
+    * path), not a hardcoded relative `spark-warehouse/`.
+    */
+  def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = warehouseLocation(spark, table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  /** The managed-table directory under `spark.sql.warehouse.dir` (URI or
+    * bare path — both forms ship depending on how the session was built).
+    */
+  def warehouseLocation(spark: SparkSession, table: String): java.io.File = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base =
+      if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh))
+      else java.nio.file.Paths.get(wh)
+    base.resolve(table.toLowerCase(java.util.Locale.ROOT)).toFile
   }
 
   def load(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -16,14 +16,8 @@ class IndexStoreSpec extends AnyFunSuite {
 
     // the in-memory catalog forgets tables between JVMs but their warehouse
     // directories survive — clear them so saveAsTable doesn't refuse
-    for (t <- Seq("graft_index_bucketed", "graft_docs_bucketed")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(loc).deleteRecursively()
-      }
-    }
+    Seq("graft_index_bucketed", "graft_docs_bucketed")
+      .foreach(IndexStore.reset(spark, _))
     IndexStore.saveBucketed(model.indexDf, "graft_index_bucketed", 8)
     IndexStore.saveBucketed(docs, "graft_docs_bucketed", 8)
 
@@ -52,14 +46,7 @@ class IndexStoreSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     val table = "graft_index_compact_fix"
-    for (t <- Seq(table, table + "_compact_tmp")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(loc).deleteRecursively()
-      }
-    }
+    Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(spark, _))
     def batch(rows: Seq[(Long, String, Long)]) =
       rows.toDF(Cols.Id, "payload", "ingest_seq")
     // base build + two appends: id 1 superseded twice, id 2 once, id 3 never
@@ -68,13 +55,16 @@ class IndexStoreSpec extends AnyFunSuite {
     IndexStore.appendBucketed(batch(Seq((1L, "v2", 2L), (2L, "v2", 2L))), table, 4)
     IndexStore.appendBucketed(batch(Seq((1L, "v3", 3L))), table, 4)
     assert(spark.table(table).count() == 6, "append log holds every version")
-    IndexStore.compact(spark, table, 4)
+    // bucket count comes from the catalog spec, not a caller parameter —
+    // a wrong constant here can no longer silently re-bucket the table
+    assert(IndexStore.bucketCountOf(spark, table) == 4)
+    IndexStore.compact(spark, table)
     val got = spark.table(table).orderBy(Cols.Id)
       .select(Cols.Id, "payload", "ingest_seq").as[(Long, String, Long)].collect()
     assert(got.toSeq == Seq((1L, "v3", 3L), (2L, "v2", 2L), (3L, "v1", 1L)),
       s"latest ingest must win per id: ${got.toSeq}")
     // one data file per bucket — the compaction's file-count bound
-    val files = new java.io.File(s"spark-warehouse/$table").listFiles()
+    val files = IndexStore.warehouseLocation(spark, table).listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(files.length <= 4, s"expected <= 4 bucket files, got ${files.length}")
     // the compacted table still joins shuffle-free against a bucketed side

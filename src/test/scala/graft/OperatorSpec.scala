@@ -2430,15 +2430,11 @@ class OperatorSpec extends AnyFunSuite {
     val w = TextAnalysis.langIdTrainFromStopwords(buckets)
     // " der " fires exactly the trigrams ' de','der','er ' trained for de
     // (shared trigrams carry 1e6/k); recompute the expectation through the
-    // same deterministic trainer instead of hand-copying integers
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def bucketOf(g: String): Int = {
-      val hex = md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
-    }
+    // trainer's own md5Bucket instead of hand-copying integers
     val wmap = w.toMap
     val expectDe = Seq(" de", "der", "er ")
-      .map(g => wmap.get(bucketOf(g)).flatMap(_.get("de")).getOrElse(0L)).sum
+      .map(g => wmap.get(TextAnalysis.md5Bucket(g, buckets))
+        .flatMap(_.get("de")).getOrElse(0L)).sum
     val df = Seq((1L, "der"), (2L, ""), (3L, "zzqx")).toDF("id", "t")
     val got = TextAnalysis.langIdClassifierScore(df, "id", "t", w, buckets)
       .orderBy("id").collect()
