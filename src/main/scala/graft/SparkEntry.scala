@@ -1414,8 +1414,12 @@ object SparkEntry {
       // SQL; the gate rolls pairs up per family so output stays 25 rows
       // at every scale while still pinning pair counts, exact-dup counts,
       // and the Hamming mass
-      val hashes = Multimodal.imageDHashes(
-        Multimodal.plantImagePayloads(docs(s, d), "doc_id", "dhash_png"))
+      // scoped-persisted: the (id, 64-bit hash) frame feeds the pair
+      // join's BOTH sides plus the per-family doc counts — left lazy,
+      // each reference would re-run the PNG encode + pixel decode of the
+      // whole corpus (measured 3x the gate cost at sf0.1)
+      val hashes = SparkUtil.scopedPersist(Multimodal.imageDHashes(
+        Multimodal.plantImagePayloads(docs(s, d), "doc_id", "dhash_png")))
       val pairs = Dedup.imagePhashPairs(hashes, "doc_id", "dhash", maxDist = 2)
       val perFam = pairs.withColumn("family", col("a_id") % 25)
         .groupBy("family")

@@ -485,8 +485,11 @@ object Dedup {
       s"band blocking with $bands bands guarantees recall only for maxDist < $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1L
-    val h = graft.SparkUtil.ensureParallelism(hashes)
-      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("ph"))
+    // persist the (id, long) projection: the banded frame feeds BOTH join
+    // sides — left lazy, an expensive upstream (the per-image decode+hash
+    // pipeline) would run twice. Tiny cache (16 bytes/image), recomputable.
+    val h = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(hashes)
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("ph")))
     val banded = h.select(col("id"), col("ph"), explode(array(
         (0 until bands).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("ph"), width * b).bitwiseAND(lit(mask)).as("v"))): _*)).as("bv"))
