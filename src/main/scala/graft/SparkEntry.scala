@@ -3180,6 +3180,40 @@ object SparkEntry {
           array_join(array_sort(col(Cols.BucketIds)), ",").as("bucket_ids_str"))
         .orderBy("doc_id")
     }),
+    "stream_phash_real" -> ((s, d) => {
+      // perceptual image dedup as a STREAM (the crawl-frontier image
+      // filter): planted PNG payloads arrive via a file stream, each
+      // micro-batch runs the REAL pixel decode → dHash64 (stateless
+      // mapPartitions — the same kernel as dedup_image_phash), then
+      // stateful dropDuplicates on the 64-bit hash: the state store holds
+      // one long per distinct perceptual hash, never pixels or payloads.
+      // Input pre-sorted by doc_id into ONE split so first-arrival
+      // coincides with keep-min and the closed-form planted-bits oracle
+      // replays exactly (the stream_dedup_real contract).
+      val prevMpb = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
+      val tmp = stageOnce(s, d, "graft-stream-phash") { t =>
+        Multimodal.plantImagePayloads(docs(s, d), "doc_id", "dhash_png")
+          .select(col("doc_id"), col("payload"))
+          .orderBy("doc_id").coalesce(1)
+          .write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = withStatePartitions(s) {
+        Multimodal.imageDHashes(s.readStream.schema(schema).parquet(tmp))
+          .dropDuplicates("dhash")
+          .writeStream.format("memory").queryName("graft_phash_gate")
+          .outputMode("append").start()
+      }
+      try q.processAllAvailable() finally {
+        q.stop()
+        prevMpb match {
+          case Some(v) => s.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => s.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
+      s.table("graft_phash_gate").orderBy("doc_id")
+    }),
     "stream_index_compact" -> ((s, d) => {
       // index MAINTENANCE for the incremental-ingestion path: three
       // streaming-shaped appends land in the bucketed store — (1) the full
@@ -5486,6 +5520,22 @@ object SparkEntry {
         CAST(coalesce(agg.n_exact, 0) AS BIGINT) AS n_exact,
         CAST(coalesce(agg.sum_hamming, 0) AS BIGINT) AS sum_hamming
       FROM f LEFT JOIN agg USING (family) ORDER BY family""",
+    // first-arrival ≡ keep-min on the one-split sorted stream, so the
+    // closed-form planted dHash formula + keep-min window replay exactly
+    "stream_phash_real" -> """
+      WITH h AS (
+        SELECT doc_id,
+          xor(xor(xor(xor(xor(
+            doc_id % 25,
+            (doc_id % 25) << 13),
+            (doc_id % 25) << 27),
+            (doc_id % 25) << 41),
+            (doc_id % 25) << 55),
+            ((CAST(1 AS BIGINT) << CAST((doc_id // 25) % 4 AS INTEGER)) - 1) << 60) AS dh
+        FROM documents),
+      r AS (SELECT doc_id, dh,
+              row_number() OVER (PARTITION BY dh ORDER BY doc_id) AS rn FROM h)
+      SELECT doc_id, dh AS dhash FROM r WHERE rn = 1 ORDER BY doc_id""",
     "dedup_minhash_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
