@@ -1684,6 +1684,22 @@ object SparkEntry {
       Dedup.embeddingPairsBrute(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
         .orderBy("a_id", "b_id")),
+    "dedup_embedding_ivf" -> ((s, d) =>
+      // trained-IVF cell-blocked near-dup pairs — the data-adaptive scale
+      // path (Lloyd cells follow the corpus where fixed sign-planes skew).
+      // Rows-only: the candidate set depends on engine-internal centroids
+      // DuckDB cannot replay; the oracle-paired dedup_embedding_ivf_recall
+      // twin floor-gates it against the exact brute pair set (the
+      // sim_topk_ivf / sim_recall_ivf convention)
+      Dedup.embeddingPairsIvf(tbl(s, d, "embeddings"), "vec_id", "embedding",
+          0.35, nLists = 8, probes = 3)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
+        .orderBy("a_id", "b_id")),
+    "dedup_embedding_ivf_recall" -> ((s, d) =>
+      // floor 0.8 under measured 0.965 (sf0.001) / 0.974 (sf0.01) at
+      // nLists=8, probes=3; n_brute_pairs is the exact oracle-replayable half
+      Dedup.embeddingPairsIvfRecall(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", 0.35, nLists = 8, probes = 3, recallFloor = 0.8)),
     "dedup_embedding_bucketed" -> ((s, d) =>
       // sign-bucket blocked variant — the linear-ish scale path of the
       // brute pairs above (same scoring, bucket equi-join instead of ×)
@@ -6096,6 +6112,19 @@ object SparkEntry {
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       SELECT a_id, b_id, round(cosine, 6) AS cos6 FROM pairs
       WHERE cosine >= 0.35 ORDER BY a_id, b_id""",
+    // the exact brute pair count is the replayable half; the recall value
+    // depends on engine-internal Lloyd centroids (tolerance-boolean form)
+    "dedup_embedding_ivf_recall" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_brute_pairs, true AS recall_ok
+      FROM pairs WHERE cosine >= 0.35""",
     "sim_recall_eval" -> """
       WITH e AS (SELECT vec_id AS id, embedding AS v,
         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +

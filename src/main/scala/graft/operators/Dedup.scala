@@ -921,4 +921,81 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** Embedding cosine near-dup pairs blocked by TRAINED IVF cells — the
+    * data-adaptive counterpart of [[embeddingPairsBucketed]]: Lloyd
+    * centroids follow the corpus distribution, so clustered embeddings get
+    * balanced blocks where fixed sign-planes skew (a dense cluster lands
+    * whole in one sign cell). Each vector is assigned to its `probes`
+    * nearest cells (multiprobe: a near-dup pair split across a cell
+    * boundary still collides in a shared probe cell); candidates come from
+    * the within-cell equi-join, scored with EXACT cosine, kept at ≥
+    * threshold. Every emitted pair is exact-verified — the approximation
+    * is recall only, floor-gated against the brute twin
+    * (`dedup_embedding_ivf_recall`).
+    *
+    * Scale shape: assignment is a narrow projection over the plan-literal
+    * centroid table (nLists ≤ [[SimSearch.TypedLitCentroidMax]] — the
+    * broadcast form of trainIvf applies above); the single exchange is the
+    * cell-keyed pair join (per-cell quadratic, cell occupancy = corpus /
+    * nLists is the tuning knob); pair dedup rides (int, int) keys.
+    */
+  def embeddingPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 16, probes: Int = 2,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    require(probes >= 1 && probes <= nLists, s"need 1 <= probes <= nLists")
+    require(nLists <= SimSearch.TypedLitCentroidMax,
+      s"cell-blocked dedup keeps the typedlit assignment (nLists <= " +
+        s"${SimSearch.TypedLitCentroidMax}); shard the corpus first for more cells")
+    val model = SimSearch.trainIvf(emb, idCol, vecCol, nLists, iters)
+    val cents = typedlit(model.centroids)
+    // top-`probes` cells by centroid dot product: argmax, then argmax over
+    // the masked array — expression trees duplicate per probe, fine for
+    // the small probe counts multiprobe uses (2-4)
+    def probeCells(v: Column): Seq[Column] = {
+      var sims = transform(cents, c => dotProduct(v, c))
+      (0 until probes).map { _ =>
+        val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
+        val masked = transform(sims,
+          (s0, i) => when(i === cell, lit(-2.0)).otherwise(s0))
+        sims = masked
+        cell
+      }
+    }
+    val assigned = model.assigned
+      .select(col("id"), col("v"),
+        explode(array_distinct(array(probeCells(col("v")): _*))).as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = assigned.select(col("cell"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Recall of [[embeddingPairsIvf]] against the exhaustive brute pair set
+    * at the same threshold — ONE row: the exact brute pair count (the
+    * oracle-replayable half) and the floor boolean (Lloyd centroids are
+    * engine-internal, so the recall VALUE follows the tolerance-boolean
+    * convention of `sim_recall_ivf`).
+    */
+  def embeddingPairsIvfRecall(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 16, probes: Int = 2,
+      recallFloor: Double = 0.8): DataFrame = {
+    val brute = graft.SparkUtil.scopedPersist(
+      embeddingPairsBrute(emb, idCol, vecCol, threshold)
+        .select(col("a_id"), col("b_id")))
+    val ivf = embeddingPairsIvf(emb, idCol, vecCol, threshold, nLists, probes)
+      .select(col("a_id"), col("b_id"))
+    brute
+      .join(ivf.withColumn("__hit", lit(1)), Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_brute_pairs"),
+        sum(coalesce(col("__hit"), lit(0))).as("__nh"))
+      .select(col("n_brute_pairs"),
+        (col("__nh").cast("double") /
+          greatest(col("n_brute_pairs"), lit(1L)) >= recallFloor).as("recall_ok"))
+  }
 }

@@ -81,7 +81,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   test("blocked similarity joins never degrade to product joins") {
     for (q <- Seq("sim_knn_graph", "join_interval_overlap", "dedup_embedding_bucketed",
-        "graph_triangles")) {
+        "dedup_embedding_ivf", "graph_triangles")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
