@@ -561,6 +561,20 @@ object SparkEntry {
           date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
           date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"))
         .orderBy("user_id")),
+    "agg_retention_cohort" -> ((s, d) =>
+      // weekly cohort retention: users bucketed by the Monday week of
+      // their first event; n active per (cohort, week offset). Offsets
+      // are exact (both instants week-truncated ⇒ day diff is a multiple
+      // of 7); counts are exact ints over the distinct (user, week) frame
+      TimeSeries.retentionCohorts(events(s, d))
+        .orderBy("cohort_week", "offset_weeks")),
+    "ts_resample_ffill" -> ((s, d) =>
+      // fixed 6-hour grid per user from first-event midnight through the
+      // last event, forward-filling the latest observed value (union +
+      // one per-user ordered window — the as-of fill without a range
+      // join); filled doubles are carried verbatim, never recomputed
+      TimeSeries.resampleFfill(events(s, d), stepHours = 6)
+        .orderBy("user_id", "grid_ts")),
     "agg_collect_ordered" -> ((s, d) =>
       // behavioral sequence construction: each user's event-type string in
       // event-time order (the session→sequence step of a behavior-model
@@ -705,6 +719,13 @@ object SparkEntry {
         predicates = Seq(("totalprice_positive", col("o_totalprice") > 0)))
         .orderBy("check_name")
     }),
+    "dq_k_anonymity" -> ((s, d) =>
+      // k-anonymity audit (Sweeney 2002) on the customer release under
+      // the (c_nationkey, c_mktsegment) quasi-identifier: class count,
+      // classes under k=5, exposed rows, min/max class size — one
+      // map-side-combined count per class, all-integer summary
+      DataQuality.kAnonymityReport(tbl(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)),
     "agg_psi_drift" -> ((s, d) => {
       // drift monitor: snapshot B doubles the %3==0 docs' text, shifting
       // the token-length distribution rightward — the per-bucket PSI
@@ -1241,6 +1262,13 @@ object SparkEntry {
     }),
     "dedup_minhash_pairs" -> ((s, d) =>
       fitted(s, d, cfg16).approxSimilarityJoin(0.5)
+        .orderBy("a_id", "b_id")),
+    "dedup_bbit_pairs" -> ((s, d) =>
+      // 1-bit minwise hashing (Li & König 2010): signatures collapse to
+      // one packed long (8 bytes vs 16×32-char strings on the candidate
+      // exchange), pairs from the same LSH bucket join, estimate
+      // 2·matched/k − 1 thresholded at 0.25
+      fitted(s, d, cfg16).bbitSimilarityJoin(0.25)
         .orderBy("a_id", "b_id")),
     "graph_pagerank" -> ((s, d) => {
       // link-graph PageRank (the Common Crawl host-rank quality signal):
@@ -2322,6 +2350,12 @@ object SparkEntry {
       // corpus-health statistic: OLS of ln(freq) on ln(rank) over the
       // top-500 tokens in exact integer micro arithmetic
       TextAnalysis.zipfFit(docs(s, d), "text", topV = 500)),
+    "text_pmi_colloc" -> ((s, d) =>
+      // PMI collocation mining (Church & Hanks 1990): top-100 adjacent
+      // token pairs by ln(c_ab·N/(c_a·c_b)) in integer micro-nats, exact
+      // counts, minCount=5 pruning before the vocab joins, ties pinned
+      TextAnalysis.pmiCollocations(docs(s, d), "text", minCount = 5,
+        topN = 100)),
     "text_report_card" -> ((s, d) =>
       // corpus report card: language × readability-band crosstab with doc
       // and token totals — the one-page QA summary a curation run emits;
@@ -4435,6 +4469,42 @@ object SparkEntry {
         strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
         strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
       FROM p ORDER BY user_id""",
+    "agg_retention_cohort" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e)
+      SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', f.cohort, a.week) // 7 AS BIGINT) AS offset_weeks,
+        count(*) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_resample_ffill" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events),
+      s AS (SELECT user_id, date_trunc('day', min(ts)) AS start, max(ts) AS fin
+            FROM e GROUP BY 1),
+      g AS (SELECT user_id, unnest(generate_series(start, fin, INTERVAL 6 HOUR)) AS ts
+            FROM s),
+      u AS (SELECT user_id, ts, NULL::BIGINT AS event_id, NULL::DOUBLE AS value,
+              1 AS is_grid FROM g
+            UNION ALL
+            SELECT user_id, ts, event_id, value, 0 AS is_grid FROM e),
+      w AS (SELECT user_id, ts, is_grid,
+              last_value(value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+            FROM u)
+      SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts, ffill
+      FROM w WHERE is_grid = 1 ORDER BY user_id, grid_ts""",
+    "dq_k_anonymity" -> """
+      WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                 FROM customer GROUP BY 1, 2)
+      SELECT CAST(5 AS BIGINT) AS k, count(*) AS n_classes,
+        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        min(n) AS min_class_size, max(n) AS max_class_size
+      FROM c""",
     "agg_collect_ordered" -> """
       SELECT user_id,
         string_agg(event_type, ',' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS event_seq,
@@ -4999,6 +5069,26 @@ object SparkEntry {
           / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
           AS r2_6
       FROM s""",
+    "text_pmi_colloc" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      occ AS (SELECT unnest(tokens) AS w FROM toks),
+      uc AS (SELECT w, count(*) AS c FROM occ GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM occ),
+      bg AS (SELECT unnest(list_transform(range(1, len(tokens)),
+                      i -> tokens[i])) AS w1,
+                    unnest(list_transform(range(1, len(tokens)),
+                      i -> tokens[i + 1])) AS w2
+             FROM toks WHERE len(tokens) >= 2),
+      bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+             HAVING count(*) >= 5),
+      p AS (SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+              CAST(round(ln(CAST(b.c_ab AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1e6)
+                AS BIGINT) AS pmi_micro
+            FROM bc b JOIN uc ua ON b.w1 = ua.w
+              JOIN uc ub ON b.w2 = ub.w CROSS JOIN tot)
+      SELECT w1, w2, c_ab, c_a, c_b, pmi_micro
+      FROM p ORDER BY pmi_micro DESC, w1, w2 LIMIT 100""",
     "text_report_card" -> s"""
       WITH planted AS (SELECT doc_id, text ||
           CASE WHEN doc_id % 3 = 0
@@ -5563,6 +5653,25 @@ object SparkEntry {
             / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
         FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "dedup_bbit_pairs" -> s"""
+      WITH ${docCtes(cfg16)},
+      pb AS (SELECT doc_id,
+               CAST(list_aggregate(list_transform(range(1, 17), i ->
+                 CASE WHEN strpos('13579bdf', right(signature[i], 1)) > 0
+                      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END),
+                 'sum') AS BIGINT) AS bits
+             FROM sig),
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      scored AS (SELECT p.a_id, p.b_id,
+          CAST(bit_count((~xor(pa.bits, pb2.bits)) & 65535) AS BIGINT) AS matched_bits
+        FROM pairs p JOIN pb pa ON p.a_id = pa.doc_id JOIN pb pb2 ON p.b_id = pb2.doc_id)
+      SELECT a_id, b_id, matched_bits,
+        round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) AS jaccard_est
+      FROM scored
+      WHERE round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) >= 0.25
+      ORDER BY a_id, b_id""",
     "graph_pagerank" -> """
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ids AS (SELECT doc_id AS v FROM documents),

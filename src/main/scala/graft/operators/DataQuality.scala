@@ -141,4 +141,29 @@ object DataQuality {
     require(checks.nonEmpty, "constraintReport: no constraints declared")
     checks.reduce(_.unionAll(_))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple (Sweeney 2002): a
+    * release is k-anonymous when every equivalence class — rows sharing
+    * the full quasi-identifier value — has at least k members. One exact
+    * summary row: class count, classes below k, rows those classes expose,
+    * and the class-size extremes (min = the achieved anonymity level).
+    *
+    * Scale shape: one map-side-combined count per class (the only
+    * exchange, keyed on the quasi tuple — decision-sized), then a scalar
+    * roll-up of the class-size frame. Rows with a NULL quasi value form
+    * their own class (NULL-safe grouping), matching the release semantics:
+    * a null attribute still partitions the published table.
+    */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityReport: no quasi-identifiers declared")
+    require(k > 1, s"kAnonymityReport: k must be > 1, got $k")
+    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("violating_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("n")).as("min_class_size"),
+        max(col("n")).as("max_class_size"))
+      .select(lit(k.toLong).as("k"), col("n_classes"), col("violating_classes"),
+        col("rows_at_risk"), col("min_class_size"), col("max_class_size"))
+  }
 }

@@ -1779,4 +1779,47 @@ object TextAnalysis {
           j => array_min(slice(hs, j + 1, lit(w)))))), 1))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990; the
+    * phrase-detection signal word2vec's phrase pass thresholds on):
+    * adjacent token pairs scored by `ln(c_ab · N / (c_a · c_b))` with all
+    * counts exact corpus occurrences (N = total tokens), reported in the
+    * engine's integer micro-nat convention so the double surface is the
+    * proven-deterministic one. Top `topN` by (pmi desc, w1, w2) — ties
+    * fully pinned.
+    *
+    * Scale shape: bigram and unigram counting are both map-side-combined
+    * aggregations over exploded token frames (decision-sized: short token
+    * strings + longs). `minCount` prunes the bigram table BEFORE the two
+    * vocabulary joins, so the joined frame is collocation-candidate-sized,
+    * not corpus-sized; N is a 1-row scalar broadcast. The final cut is a
+    * distributed TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int,
+      topN: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(T.tokenize(col(textCol)).as("__pmi_ts"))
+    val uni = toks.select(explode(col("__pmi_ts")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(count(lit(1)).as("n"))
+    val bc = toks.where(size(col("__pmi_ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__pmi_ts"), lit(1), size(col("__pmi_ts")) - 1),
+        slice(col("__pmi_ts"), lit(2), size(col("__pmi_ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bi"))
+      .groupBy(col("bi.w1").as("w1"), col("bi.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    bc.join(uc.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("c_ab").cast("double") * col("n").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
 }

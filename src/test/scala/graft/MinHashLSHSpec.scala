@@ -95,4 +95,40 @@ class MinHashLSHSpec extends AnyFunSuite {
     assert(pairs.forall(_.getFloat(2) >= 0.2f))
     model.unpersist()
   }
+
+  test("bbitSimilarityJoin: exact-dup pair saturates, estimate = 2·m/k − 1, long-packed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 10_000 is a verbatim copy of doc 0 → identical signatures →
+    // every low bit matches; unrelated pairs estimate below 1
+    val planted = docs.limit(100).unionByName(
+      docs.where(col("doc_id") === 0)
+        .select(lit(10000L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+    val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4,
+      numRows = 4, bucketHexLen = 2)).fit(planted, "doc_id", "text")
+    val rows = model.bbitSimilarityJoin(-1.0).collect()
+    val dup = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 10000L)
+    assert(dup.isDefined, "the exact duplicate must be a candidate pair")
+    assert(dup.get.getLong(2) == 16L && dup.get.getDouble(3) == 1.0)
+    rows.foreach { r =>
+      val m = r.getLong(2)
+      assert(r.getDouble(3) == (2.0 * m - 16) / 16, s"estimator drift: $r")
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    // cross-check the packed-bit scores against the full-signature
+    // agreement on the SAME pairs: m/k must never disagree with the
+    // k-element agreement by construction bits (1-bit projection of equal
+    // elements always matches; unequal elements match with prob ~1/2)
+    val full = model.approxSimilarityJoin(0.0)
+      .select(col("a_id"), col("b_id"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getFloat(2)).toMap
+    rows.foreach { r =>
+      full.get((r.getLong(0), r.getLong(1))).foreach { j =>
+        assert(r.getLong(2) >= math.round(j * 16),
+          s"matched bits below full-signature agreement: $r vs $j")
+      }
+    }
+    model.unpersist()
+  }
 }

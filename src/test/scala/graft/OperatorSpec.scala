@@ -2477,4 +2477,74 @@ class OperatorSpec extends AnyFunSuite {
       SparkUtil.releaseScopedCaches()
     }
   }
+
+  test("retentionCohorts: first-touch week cohorts, offsets exact, counts distinct") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2026-01-05 is a Monday (both engines truncate weeks to Monday)
+    val ev = Seq(
+      (1L, t("2026-01-06 10:00:00")), // u1 cohort w0
+      (1L, t("2026-01-07 10:00:00")), // same week — must not double-count
+      (1L, t("2026-01-20 10:00:00")), // w2
+      (2L, t("2026-01-05 00:00:00")), // u2 cohort w0, active w0 only
+      (3L, t("2026-01-13 10:00:00"))  // u3 cohort w1
+    ).toDF("user_id", "ts")
+    val got = TimeSeries.retentionCohorts(ev)
+      .orderBy("cohort_week", "offset_weeks")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2026-01-05", 0L, 2L), ("2026-01-05", 2L, 1L), ("2026-01-12", 0L, 1L)))
+  }
+
+  test("resampleFfill: day-aligned grid, at-instant event visible, same-ts max id wins") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2026-01-05 01:00:00"), 1L, 1.0),
+      (1L, t("2026-01-05 01:00:00"), 2L, 2.0),  // same ts: event_id 2 wins
+      (1L, t("2026-01-05 06:00:00"), 3L, 5.0),  // exactly ON a grid instant
+      (1L, t("2026-01-05 13:00:00"), 4L, 9.0),
+      (1L, t("2026-01-05 19:00:00"), 5L, 3.0),
+      (2L, t("2026-01-05 02:00:00"), 6L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.resampleFfill(ev, stepHours = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq.sortBy(x => (x._1, x._2))
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(_._2) == Seq("2026-01-05 00:00:00", "2026-01-05 06:00:00",
+      "2026-01-05 12:00:00", "2026-01-05 18:00:00"))
+    assert(u1.head._3.isNaN, "grid point before any event must fill null")
+    assert(u1(1)._3 == 5.0, "an event exactly at the grid instant is visible to it")
+    assert(u1(2)._3 == 5.0)
+    assert(u1(3)._3 == 9.0, "18:00 sees 13:00, not the later 19:00")
+    val u2 = got.filter(_._1 == 2L)
+    assert(u2.length == 1 && u2.head._3.isNaN, // grid = [00:00 .. 02:00] step 6h
+      s"u2 grid must stop at its own last event: $u2")
+  }
+
+  test("kAnonymityReport: class sizes vs k, null quasi values form a class") {
+    val rows = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq((null: String, "x"))).toDF("q1", "q2")
+    val r = DataQuality.kAnonymityReport(rows, Seq("q1", "q2"), k = 3).collect()(0)
+    assert(r.getLong(0) == 3L)              // k
+    assert(r.getLong(1) == 4L)              // classes: (a,x)(a,y)(b,x)(null,x)
+    assert(r.getLong(2) == 3L, "classes under k: (a,y)=2, (b,x)=1, (null,x)=1")
+    assert(r.getLong(3) == 4L, "rows at risk = 2 + 1 + 1")
+    assert(r.getLong(4) == 1L && r.getLong(5) == 5L)
+  }
+
+  test("pmiCollocations: exact counts, micro-nat PMI, minCount prune, tie order") {
+    val d = Seq(
+      "x y x y x y",   // 3×(x y), 2×(y x)
+      "x z q",         // 1×(x z), 1×(z q)
+      "x y w"          // 1×(x y), 1×(y w)
+    ).toDF("text")
+    val got = TextAnalysis.pmiCollocations(d, "text", minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // N = 12 tokens; c(x)=5, c(y)=4; survivors: (x,y) c=4 and (y,x) c=2
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == Seq(("x", "y", 4L), ("y", "x", 2L)))
+    val pmiXY = math.round(math.log(4.0 * 12.0 / (5.0 * 4.0)) * 1e6)
+    val pmiYX = math.round(math.log(2.0 * 12.0 / (4.0 * 5.0)) * 1e6)
+    assert(got(0)._6 == pmiXY && got(1)._6 == pmiYX,
+      s"micro-nat PMI mismatch: $got vs ($pmiXY, $pmiYX)")
+  }
 }
