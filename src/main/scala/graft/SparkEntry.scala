@@ -3501,6 +3501,15 @@ object SparkEntry {
            abs(col("mean_b") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
             .as("mean_close"))
         .orderBy("doc_id", "frame_idx")),
+    "mm_exif_parse" -> ((s, d) =>
+      // REAL EXIF/TIFF walk (TIFF 6.0 + EXIF 2.3): planted JPEG APP1
+      // segments carrying both byte orders (id parity), inline SHORT and
+      // indirect ASCII storage, and the 0x8769 sub-IFD for pixel dims —
+      // every field replays from the doc_id formulas
+      Multimodal.extractExif(
+          Multimodal.plantExifPayloads(docs(s, d), "doc_id"))
+        .toDF()
+        .orderBy("doc_id")),
     "mm_resize_real_avi" -> ((s, d) => {
       // REAL resize through the VIDEO path (keyframe-thumbnail
       // semantics): the planted AVI's first MJPEG frame decodes through
@@ -7077,6 +7086,16 @@ object SparkEntry {
         CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS height,
         true AS is_uniform, true AS mean_close
       FROM m ORDER BY doc_id, frame_idx""",
+    "mm_exif_parse" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+          lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS datetime,
+        CAST(4 + doc_id % 13 AS INTEGER) AS px_width,
+        CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS px_height
+      FROM documents ORDER BY doc_id""",
     "mm_resize_real_avi" -> """
       WITH m AS (SELECT doc_id,
           CAST(4 + doc_id % 13 AS DOUBLE) AS w,

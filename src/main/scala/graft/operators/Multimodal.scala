@@ -1400,4 +1400,201 @@ object Multimodal {
       floor(col("width") * scale).cast("int").as("out_width"),
       floor(col("height") * scale).cast("int").as("out_height"))
   }
+
+  // ---------------- EXIF / TIFF metadata ----------------
+
+  /** Parsed EXIF metadata row (nulls = tag absent or payload unparseable —
+    * the dead-letter-with-reason shape, not a dropped row).
+    */
+  final case class ExifInfo(
+      doc_id: Long,
+      byte_order: Option[String],
+      orientation: Option[Int],
+      make: Option[String],
+      datetime: Option[String],
+      px_width: Option[Int],
+      px_height: Option[Int])
+
+  /** Strict EXIF walk (TIFF 6.0 + EXIF 2.3, both public specs): JPEG
+    * APP1 segment scan for the `Exif\0\0` payload, then the TIFF
+    * structure — byte-order mark (`II` little / `MM` big), magic 42,
+    * IFD0 entry walk (tag/type/count/value-or-offset, ASCII values >4
+    * bytes via the offset area), and the 0x8769 EXIF sub-IFD for pixel
+    * dimensions. Extracts Make (0x010F), Orientation (0x0112), DateTime
+    * (0x0132), PixelXDimension (0xA002), PixelYDimension (0xA003).
+    * Every offset is bounds-checked against the APP1 segment; malformed
+    * structure ⇒ None, a missing individual tag ⇒ that field null.
+    */
+  def parseExif(id: Long, b: Array[Byte]): Option[ExifInfo] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    // APP1 scan: markers until SOS/EOI
+    var p = 2
+    var tiff = -1
+    var tiffEnd = -1
+    while (p + 4 <= b.length && tiff < 0) {
+      if ((b(p) & 0xFF) != 0xFF) return None
+      val marker = b(p + 1) & 0xFF
+      if (marker == 0xDA || marker == 0xD9) return None
+      val len = be16(b, p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      if (marker == 0xE1 && len >= 10 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+        tiff = p + 10
+        tiffEnd = p + 2 + len
+      }
+      p += 2 + len
+    }
+    if (tiff < 0 || tiffEnd - tiff < 8) return None
+    val little = b(tiff) match {
+      case 'I' if b(tiff + 1) == 'I' => true
+      case 'M' if b(tiff + 1) == 'M' => false
+      case _ => return None
+    }
+    def r16(i: Int): Int =
+      if (i < tiff || i + 2 > tiffEnd) -1
+      else if (little) le16(b, i) else be16(b, i)
+    def r32(i: Int): Int =
+      if (i < tiff || i + 4 > tiffEnd) -1
+      else if (little) le32(b, i) else be32(b, i)
+    if (r16(tiff + 2) != 42) return None
+    var orientation: Option[Int] = None
+    var make: Option[String] = None
+    var datetime: Option[String] = None
+    var pxW: Option[Int] = None
+    var pxH: Option[Int] = None
+    var exifIfd = -1
+    def ascii(cnt: Int, valOff: Int): Option[String] = {
+      val at = if (cnt <= 4) valOff else tiff + r32(valOff)
+      if (at < tiff || at + cnt > tiffEnd || cnt < 1) None
+      else {
+        var end = at + cnt
+        while (end > at && b(end - 1) == 0) end -= 1 // strip NUL padding
+        Some(new String(b, at, end - at, "US-ASCII"))
+      }
+    }
+    // SHORT (3) reads 2 bytes, LONG (4) reads 4 — both inline for count 1
+    def intVal(typ: Int, valOff: Int): Option[Int] = typ match {
+      case 3 => val v = r16(valOff); if (v < 0) None else Some(v)
+      case 4 => val v = r32(valOff); if (v < 0) None else Some(v)
+      case _ => None
+    }
+    def walk(ifdOff: Int, sub: Boolean): Boolean = {
+      val n = r16(ifdOff)
+      if (n < 0 || n > 256) return false
+      var e = 0
+      while (e < n) {
+        val ent = ifdOff + 2 + e * 12
+        if (ent + 12 > tiffEnd) return false
+        val tag = r16(ent)
+        val typ = r16(ent + 2)
+        val cnt = r32(ent + 4)
+        val valOff = ent + 8
+        if (!sub) tag match {
+          case 0x010F if typ == 2 => make = ascii(cnt, valOff)
+          case 0x0112 => orientation = intVal(typ, valOff)
+          case 0x0132 if typ == 2 => datetime = ascii(cnt, valOff)
+          case 0x8769 if typ == 4 => exifIfd = tiff + r32(valOff)
+          case _ => ()
+        } else tag match {
+          case 0xA002 => pxW = intVal(typ, valOff)
+          case 0xA003 => pxH = intVal(typ, valOff)
+          case _ => ()
+        }
+        e += 1
+      }
+      true
+    }
+    val ifd0 = tiff + r32(tiff + 4)
+    if (!walk(ifd0, sub = false)) return None
+    if (exifIfd >= 0 && !walk(exifIfd, sub = true)) return None
+    Some(ExifInfo(id, Some(if (little) "II" else "MM"), orientation, make,
+      datetime, pxW, pxH))
+  }
+
+  /** Batch EXIF extraction — the [[decodeMeta]] mapPartitions contract:
+    * scalar metadata out, payload bytes never cross an exchange.
+    */
+  def extractExif(payloads: DataFrame): Dataset[ExifInfo] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseExif(id, bytes).getOrElse(
+            ExifInfo(id, None, None, None, None, None, None))
+        }
+      }
+  }
+
+  /** Planted EXIF field formulas (all doc_id arithmetic, oracle-replayable):
+    * byte order alternates II/MM, orientation 1-8, Make and DateTime land
+    * in the offset area (len > 4 forces indirect ASCII storage), pixel
+    * dims reuse the image plant formulas.
+    */
+  def plantExifParams(id: Long): (String, Int, String, String, Int, Int) = (
+    if (id % 2 == 0) "II" else "MM",
+    (1 + id % 8).toInt,
+    s"CAM-${id % 5}",
+    f"2024:01:${1 + id % 28}%02d ${id % 24}%02d:00:00",
+    (4 + id % 13).toInt,
+    (4 + (id * 5) % 11).toInt)
+
+  /** A complete JPEG-with-EXIF byte plant: SOI + APP1(Exif/TIFF) + EOI.
+    * TIFF block layout (offsets from the TIFF header): IFD0 at 8 with
+    * Make(ASCII,indirect) / Orientation(SHORT,inline) /
+    * DateTime(ASCII,indirect) / ExifIFD-pointer, sub-IFD at 62 with
+    * PixelXDimension(LONG) / PixelYDimension(SHORT — one of each numeric
+    * type), data area at 92. Both byte orders are produced (id parity).
+    */
+  def plantExifJpeg(id: Long): Array[Byte] = {
+    val (bo, orient, make, dt, w, h) = plantExifParams(id)
+    val little = bo == "II"
+    val makeB = make.getBytes("US-ASCII") :+ 0.toByte   // 6 bytes
+    val dtB = dt.getBytes("US-ASCII") :+ 0.toByte       // 20 bytes
+    val tlen = 92 + makeB.length + dtB.length
+    val t = new Array[Byte](tlen)
+    def w16(i: Int, v: Int): Unit =
+      if (little) { t(i) = (v & 0xFF).toByte; t(i + 1) = ((v >>> 8) & 0xFF).toByte }
+      else { t(i) = ((v >>> 8) & 0xFF).toByte; t(i + 1) = (v & 0xFF).toByte }
+    def w32(i: Int, v: Int): Unit =
+      if (little) { w16(i, v & 0xFFFF); w16(i + 2, (v >>> 16) & 0xFFFF) }
+      else { w16(i, (v >>> 16) & 0xFFFF); w16(i + 2, v & 0xFFFF) }
+    def entry(at: Int, tag: Int, typ: Int, cnt: Int)(value: Int => Unit): Unit = {
+      w16(at, tag); w16(at + 2, typ); w32(at + 4, cnt); value(at + 8)
+    }
+    t(0) = bo.charAt(0).toByte; t(1) = bo.charAt(1).toByte
+    w16(2, 42); w32(4, 8)
+    w16(8, 4) // IFD0: 4 entries (ascending tag order per TIFF 6.0)
+    entry(10, 0x010F, 2, makeB.length)(w32(_, 92))
+    entry(22, 0x0112, 3, 1)(w16(_, orient))
+    entry(34, 0x0132, 2, dtB.length)(w32(_, 92 + makeB.length))
+    entry(46, 0x8769, 4, 1)(w32(_, 62))
+    w32(58, 0) // no next IFD
+    w16(62, 2) // EXIF sub-IFD: 2 entries
+    entry(64, 0xA002, 4, 1)(w32(_, w))
+    entry(76, 0xA003, 3, 1)(w16(_, h))
+    w32(88, 0)
+    System.arraycopy(makeB, 0, t, 92, makeB.length)
+    System.arraycopy(dtB, 0, t, 92 + makeB.length, dtB.length)
+    val app1len = 2 + 6 + tlen
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)                   // SOI
+    out.write(0xFF); out.write(0xE1)                   // APP1
+    out.write((app1len >>> 8) & 0xFF); out.write(app1len & 0xFF)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(t)
+    out.write(0xFF); out.write(0xD9)                   // EOI
+    out.toByteArray
+  }
+
+  /** (doc_id, payload, media_type) of planted EXIF JPEGs. */
+  def plantExifPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantExifJpeg(id), "image/jpeg")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
 }

@@ -2531,6 +2531,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L && r.getLong(5) == 5L)
   }
 
+  test("parseExif: both byte orders round-trip; malformed payloads reject cleanly") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 255L)) {
+      val (bo, orient, make, dt, w, h) = Multimodal.plantExifParams(id)
+      val got = Multimodal.parseExif(id, Multimodal.plantExifJpeg(id))
+      assert(got.isDefined, s"planted EXIF must parse: id=$id")
+      val e = got.get
+      assert(e.byte_order.contains(bo) && e.orientation.contains(orient) &&
+        e.make.contains(make) && e.datetime.contains(dt) &&
+        e.px_width.contains(w) && e.px_height.contains(h), s"field drift: $e")
+    }
+    val good = Multimodal.plantExifJpeg(3L)
+    assert(Multimodal.parseExif(3L, good.take(30)).isEmpty,
+      "truncated APP1 must reject")
+    assert(Multimodal.parseExif(3L, Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte)).isEmpty, "JPEG without APP1 must reject")
+    val badMagic = good.clone()
+    badMagic(14) = 99 // TIFF magic byte (tiff starts at 12, magic at +2)
+    assert(Multimodal.parseExif(3L, badMagic).isEmpty, "bad TIFF magic must reject")
+    // indirect-ASCII offset pointing past the segment: field null, row survives
+    val badOff = good.clone()
+    badOff(12 + 10 + 8 + 3) = 0x7F // a byte of Make's value-offset → OOB offset
+    val partial = Multimodal.parseExif(3L, badOff)
+    assert(partial.isDefined && partial.get.make.isEmpty,
+      s"out-of-bounds ASCII offset must null the field, not kill the row: $partial")
+    assert(partial.get.orientation.contains(4), "sibling tags must survive")
+  }
+
   test("pmiCollocations: exact counts, micro-nat PMI, minCount prune, tie order") {
     val d = Seq(
       "x y x y x y",   // 3×(x y), 2×(y x)
