@@ -3501,6 +3501,19 @@ object SparkEntry {
            abs(col("mean_b") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
             .as("mean_close"))
         .orderBy("doc_id", "frame_idx")),
+    "mm_keyframes_real" -> ((s, d) =>
+      // REAL shot-boundary keyframe selection: planted multi-scene AVIs
+      // (solid MJPEG frames whose color jumps ≥40/channel at the planted
+      // cut positions, byte-identical within a scene) decoded frame by
+      // frame; the mean-RGB diff walk must recover exactly frame 0 plus
+      // every cut — the threshold sits far under the planted jump and far
+      // above the zero within-scene diff
+      Multimodal.selectKeyframes(
+          Multimodal.plantSceneVideoPayloads(docs(s, d), "doc_id"),
+          threshold = 10.0)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id", "frame_idx")),
     "mm_exif_parse" -> ((s, d) =>
       // REAL EXIF/TIFF walk (TIFF 6.0 + EXIF 2.3): planted JPEG APP1
       // segments carrying both byte orders (id parity), inline SHORT and
@@ -7086,6 +7099,12 @@ object SparkEntry {
         CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS height,
         true AS is_uniform, true AS mean_close
       FROM m ORDER BY doc_id, frame_idx""",
+    "mm_keyframes_real" -> """
+      WITH m AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
+      f AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM m)
+      SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, CAST(n AS BIGINT) AS n_frames
+      FROM f WHERE j = 0 OR (doc_id + j) % 3 = 0
+      ORDER BY doc_id, frame_idx""",
     "mm_exif_parse" -> """
       SELECT doc_id,
         CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,

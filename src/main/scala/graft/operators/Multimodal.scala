@@ -1597,4 +1597,152 @@ object Multimodal {
       .mapPartitions { it => it.map(id => (id, plantExifJpeg(id), "image/jpeg")) }
       .toDF("doc_id", "payload", "media_type")
   }
+
+  // ---------------- scene-cut keyframe selection ----------------
+
+  /** Scene-change keyframe selection over REAL decoded video frames: a
+    * frame is a keyframe when it is the first frame or its mean-RGB
+    * distance from the PREVIOUS decoded frame exceeds `threshold`
+    * (0-255 scale) — the standard shot-boundary heuristic a video
+    * curation pipeline uses to pick representative frames for captioning
+    * or embedding. Per-partition sequential walk (frame diffs are a
+    * per-document chain, inherently local); only (doc_id, frame_idx,
+    * n_frames) scalars leave the task — pixels and payloads never cross
+    * an exchange. Undecodable frames reset the chain (the next decodable
+    * frame re-keys), malformed containers yield no rows.
+    */
+  def selectKeyframes(payloads: DataFrame, threshold: Double): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = aviFrames(bytes)
+          val n = frames.length
+          var prev: Array[Double] = null
+          frames.iterator.flatMap { case (idx, fb) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+              catch { case _: java.io.IOException => null }
+            if (img == null) { prev = null; Iterator.empty }
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val np = (w * h).toDouble
+              val cur = Array(sr / np, sg / np, sb / np)
+              val isKey = prev == null ||
+                (math.abs(cur(0) - prev(0)) + math.abs(cur(1) - prev(1)) +
+                 math.abs(cur(2) - prev(2))) / 3.0 > threshold
+              prev = cur
+              if (isKey) Iterator.single((id, idx, n)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames")
+  }
+
+  /** Scene structure of the planted multi-scene AVI: frame count and the
+    * cut predicate (frame j > 0 starts a new scene iff (id + j) % 3 == 0).
+    */
+  def plantSceneFrames(id: Long): Int = (2 + id % 5).toInt
+  def plantSceneCut(id: Long, j: Int): Boolean = j > 0 && (id + j) % 3 == 0
+
+  /** The planted color of scene `s`: the solid-color formulas shifted by
+    * (40, 80, 120) per scene — consecutive scenes stay ≥ 40 apart per
+    * channel (mod-256 wrap only widens the gap), far above the JPEG DC
+    * quantization band, while within-scene frames are byte-identical.
+    */
+  def plantSceneColor(id: Long, s: Int): (Int, Int, Int) =
+    (((id + 40L * s) % 256).toInt, ((id * 3 + 80L * s) % 256).toInt,
+      ((id * 7 + 120L * s) % 256).toInt)
+
+  /** A REAL AVI/MJPEG container with PLANTED SCENE CUTS: frames share
+    * [[plantSolidDims]] but the solid color jumps by [[plantSceneColor]]
+    * at every [[plantSceneCut]] position, so [[selectKeyframes]]'s
+    * decoded-diff walk must recover exactly {0} ∪ {cut frames}.
+    */
+  def plantSceneAviMjpeg(id: Long): Array[Byte] = {
+    val (w, h) = plantSolidDims(id)
+    val frames = plantSceneFrames(id)
+    // one JPEG encode per SCENE, reused for its frames (same bytes ⇒
+    // decoded diff exactly 0 within a scene)
+    val sceneJpeg = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    def jpegFor(s: Int): Array[Byte] = sceneJpeg.getOrElseUpdate(s, {
+      val (r, g, b) = plantSceneColor(id, s)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val baos = new java.io.ByteArrayOutputStream(512)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.9f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { ios.close(); writer.dispose() }
+      baos.toByteArray
+    })
+    var s = 0
+    val payloads = (0 until frames).map { j =>
+      if (plantSceneCut(id, j)) s += 1
+      jpegFor(s)
+    }
+    val out = new java.io.ByteArrayOutputStream(512 +
+      payloads.map(f => 8 + f.length + (f.length & 1)).sum)
+    def wle32v(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    def wfcc(str: String): Unit = out.write(str.getBytes("US-ASCII"), 0, 4)
+    val avihSz = 56; val strhSz = 56; val strfSz = 40
+    val strlSz = 4 + 8 + strhSz + 8 + strfSz
+    val hdrlSz = 4 + 8 + avihSz + 8 + strlSz
+    val moviSz = 4 + payloads.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSz = 4 + 8 + hdrlSz + 8 + moviSz
+    wfcc("RIFF"); wle32v(riffSz); wfcc("AVI ")
+    wfcc("LIST"); wle32v(hdrlSz); wfcc("hdrl")
+    wfcc("avih"); wle32v(avihSz)
+    wle32v(33333); wle32v(0); wle32v(0); wle32v(0)
+    wle32v(frames); wle32v(0); wle32v(1); wle32v(0)
+    wle32v(w); wle32v(h); wle32v(0); wle32v(0); wle32v(0); wle32v(0)
+    wfcc("LIST"); wle32v(strlSz); wfcc("strl")
+    wfcc("strh"); wle32v(strhSz)
+    wfcc("vids"); wfcc("MJPG")
+    (0 until 12).foreach(_ => wle32v(0))
+    wfcc("strf"); wle32v(strfSz)
+    wle32v(strfSz); wle32v(w); wle32v(h); wle32v(1 | (24 << 16))
+    wfcc("MJPG"); wle32v(w * h * 3); wle32v(0); wle32v(0); wle32v(0); wle32v(0)
+    wfcc("LIST"); wle32v(moviSz); wfcc("movi")
+    payloads.foreach { f =>
+      wfcc("00dc"); wle32v(f.length)
+      out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  /** (doc_id, payload, media_type) of the planted multi-scene AVIs. */
+  def plantSceneVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantSceneAviMjpeg(id), "video/x-msvideo")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
 }

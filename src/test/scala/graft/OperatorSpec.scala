@@ -2558,6 +2558,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(partial.get.orientation.contains(4), "sibling tags must survive")
   }
 
+  test("selectKeyframes: recovers planted cuts exactly; malformed containers drop") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L, 11L)
+    val pay = ids.toDF("doc_id")
+    val got = Multimodal.selectKeyframes(
+        Multimodal.plantSceneVideoPayloads(pay, "doc_id"), threshold = 10.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = ids.flatMap { id =>
+      (0 until Multimodal.plantSceneFrames(id)).collect {
+        case j if j == 0 || Multimodal.plantSceneCut(id, j) => (id, j)
+      }
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    // a doc with > 1 scene must yield > 1 keyframe (cuts really fire)
+    assert(want.count(_._1 == 7L) > 1, "fixture must contain a multi-scene doc")
+    // malformed container: no rows, no crash
+    val junk = Seq((99L, Array.fill[Byte](64)(7), "video/x-msvideo"))
+      .toDF("doc_id", "payload", "media_type")
+    assert(Multimodal.selectKeyframes(junk, 10.0).count() == 0)
+  }
+
   test("pmiCollocations: exact counts, micro-nat PMI, minCount prune, tie order") {
     val d = Seq(
       "x y x y x y",   // 3×(x y), 2×(y x)
