@@ -719,6 +719,23 @@ object SparkEntry {
         predicates = Seq(("totalprice_positive", col("o_totalprice") > 0)))
         .orderBy("check_name")
     }),
+    "er_blocked_match" -> ((s, d) => {
+      // entity resolution: customer names corrupted in-flight three ways
+      // (append / delete / substitute — distances 1,1,1 to the source) are
+      // resolved back against the clean table by prefix blocking +
+      // Levenshtein best-match; the substitute kind ties with its block
+      // siblings at distance 1, exercising the pinned (dist, r_id) rule
+      val cust = tbl(s, d, "customer")
+      val dirty = cust.select((col("c_custkey") + 1000000L).as("d_id"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("Q")))
+          .when(col("c_custkey") % 3 === 1,
+            expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+            lit("X"))).as("d_name"))
+      Dedup.blockedFuzzyMatch(dirty, cust, "d_id", "d_name",
+          "c_custkey", "c_name", blockLen = 17, maxDistance = 2)
+        .orderBy("q_id")
+    }),
     "dq_k_anonymity" -> ((s, d) =>
       // k-anonymity audit (Sweeney 2002) on the customer release under
       // the (c_nationkey, c_mktsegment) quasi-identifier: class count,
@@ -1282,6 +1299,20 @@ object SparkEntry {
         explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
           pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
       Graphs.pageRank(e, "src", "dst", iterations = 3)
+        .orderBy("node_id")
+    }),
+    "graph_lpa" -> ((s, d) => {
+      // community detection by label propagation over the SAME planted
+      // 3-out-regular graph as graph_pagerank (node 0 the global hub —
+      // the hot key the per-node argmax AGGREGATE must absorb); 2
+      // synchronous rounds, ties pinned to the smallest label, oracle
+      // replays both rounds exactly
+      val dd = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"))
+      val n = dd.count()
+      val e = dd.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
+      Graphs.labelPropagation(e, "src", "dst", iterations = 2)
         .orderBy("node_id")
     }),
     "graph_hits" -> ((s, d) => {
@@ -4519,6 +4550,22 @@ object SparkEntry {
             FROM u)
       SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts, ffill
       FROM w WHERE is_grid = 1 ORDER BY user_id, grid_ts""",
+    "er_blocked_match" -> """
+      WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
+          CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Q'
+               WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, length(c_name) - 1)
+               ELSE substr(c_name, 1, length(c_name) - 1) || 'X' END AS d_name
+        FROM customer),
+      cand AS (SELECT d.d_id AS q_id, d.d_name AS q_name,
+          c.c_custkey AS r_id, c.c_name AS r_name,
+          levenshtein(d.d_name, c.c_name) AS dist
+        FROM dirty d JOIN customer c
+          ON substr(d.d_name, 1, 17) = substr(c.c_name, 1, 17)
+        WHERE levenshtein(d.d_name, c.c_name) <= 2),
+      best AS (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dist, r_id) AS rn FROM cand)
+      SELECT q_id, q_name, r_id, r_name, CAST(dist AS BIGINT) AS dist
+      FROM best WHERE rn = 1 ORDER BY q_id""",
     "dq_k_anonymity" -> """
       WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
                  FROM customer GROUP BY 1, 2)
@@ -5694,6 +5741,28 @@ object SparkEntry {
       FROM scored
       WHERE round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) >= 0.25
       ORDER BY a_id, b_id""",
+    "graph_lpa" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ids AS (SELECT doc_id AS v FROM documents),
+      e0 AS (SELECT v AS src,
+              unnest([(v * 3 + 1) % n, (v + 7) % n, CAST(0 AS BIGINT)]) AS dst
+            FROM ids, nn),
+      und AS (SELECT src AS a, dst AS b FROM e0
+              UNION ALL SELECT dst AS a, src AS b FROM e0),
+      l0 AS (SELECT v, v AS label FROM ids),
+      c1 AS (SELECT u.a, l.label, count(*) AS cnt
+             FROM und u JOIN l0 l ON u.b = l.v GROUP BY 1, 2),
+      w1 AS (SELECT a, label, row_number() OVER (
+               PARTITION BY a ORDER BY cnt DESC, label) AS rn FROM c1),
+      l1 AS (SELECT i.v, coalesce(w.label, i.v) AS label FROM ids i
+             LEFT JOIN (SELECT a, label FROM w1 WHERE rn = 1) w ON i.v = w.a),
+      c2 AS (SELECT u.a, l.label, count(*) AS cnt
+             FROM und u JOIN l1 l ON u.b = l.v GROUP BY 1, 2),
+      w2 AS (SELECT a, label, row_number() OVER (
+               PARTITION BY a ORDER BY cnt DESC, label) AS rn FROM c2),
+      l2 AS (SELECT i.v, coalesce(w.label, i.v) AS label FROM ids i
+             LEFT JOIN (SELECT a, label FROM w2 WHERE rn = 1) w ON i.v = w.a)
+      SELECT v AS node_id, label FROM l2 ORDER BY node_id""",
     "graph_pagerank" -> """
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ids AS (SELECT doc_id AS v FROM documents),

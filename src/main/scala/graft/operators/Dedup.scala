@@ -998,4 +998,40 @@ object Dedup {
         (col("__nh").cast("double") /
           greatest(col("n_brute_pairs"), lit(1L)) >= recallFloor).as("recall_ok"))
   }
+
+  /** Entity resolution by blocking + edit distance (the Fellegi-Sunter
+    * record-linkage shape with a deterministic decision rule): each query
+    * record joins the reference ONLY within its blocking key (a shared
+    * string prefix — the standard "typos do not hit the block key"
+    * assumption), candidates are scored with Levenshtein distance, and
+    * each query resolves to its single best match by (distance asc,
+    * reference id asc) — ties pinned, unmatched queries dropped (route
+    * them to a dead-letter review queue, not to a forced match).
+    *
+    * Scale shape: the candidate generator is a hash equi-join on the
+    * block key — NEVER a cross join — so pair volume is Σ|block_q|·|block_r|,
+    * controlled by the caller's block length; the distance filter runs
+    * inside the join projection BEFORE the best-match window, which then
+    * ranks a candidate-sized (ids, names, dist) frame keyed on q_id. A
+    * hot block is a data-model smell the block length fixes, not a plan
+    * problem; AQE skew-split covers the residue.
+    */
+  def blockedFuzzyMatch(queries: DataFrame, reference: DataFrame,
+      queryId: String, queryName: String, refId: String, refName: String,
+      blockLen: Int, maxDistance: Int): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val q = queries.select(col(queryId).as("q_id"), col(queryName).as("q_name"),
+      substring(col(queryName), 1, blockLen).as("__blk"))
+    val r = reference.select(col(refId).as("r_id"), col(refName).as("r_name"),
+      substring(col(refName), 1, blockLen).as("__blk"))
+    q.join(r, Seq("__blk"))
+      .withColumn("dist", levenshtein(col("q_name"), col("r_name")))
+      .where(col("dist") <= maxDistance)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist").asc, col("r_id").asc)))
+      .where(col("__rn") === 1)
+      .select(col("q_id"), col("q_name"), col("r_id"), col("r_name"),
+        col("dist").cast("long").as("dist"))
+  }
 }

@@ -186,4 +186,46 @@ object Graphs {
   def hostEdges(links: DataFrame): DataFrame =
     links.where(!col("internal"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
+
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures") over an undirected
+    * view of the edge list: labels start as node ids; each round every
+    * node adopts the label most frequent among its neighbors (duplicate
+    * edges count as multiplicity — multigraph convention, like
+    * [[pageRank]]), isolated-in-round nodes keep their label. The
+    * textbook algorithm breaks frequency ties RANDOMLY — here ties pin to
+    * the SMALLEST label, so every round is a pure function of the graph
+    * and the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape per round: one (long, long) equi-join of edges against
+    * the label frame, one map-side-combined (node, label) count, then the
+    * per-node argmax as `min(struct(-cnt, label))` — an AGGREGATE, not a
+    * window, so hub nodes (the hot keys) partial-aggregate map-side and
+    * nothing is ever sorted per partition. Lineage is re-bound per round
+    * (the [[pageRank]] convention) so plans stay flat across iterations.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations in [1,50], got $iterations")
+    val spark = edges.sparkSession
+    val dir = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val e = dir.unionAll(dir.select(col("b").as("a"), col("a").as("b")))
+      .transform(graft.SparkUtil.scopedPersist)
+    val nodes = e.select(col("a").as("v")).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    var labels = nodes.withColumn("label", col("v"))
+    for (_ <- 1 to iterations) {
+      val counts = e.join(labels.select(col("v").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      val winner = counts.groupBy("a")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("w"))
+        .select(col("a").as("v"), col("w").getField("l").as("label"))
+      val next = nodes.join(winner, Seq("v"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+      labels = spark.createDataFrame(next.rdd, next.schema)
+    }
+    labels.select(col("v").as("node_id"), col("label"))
+  }
 }

@@ -2579,6 +2579,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.selectKeyframes(junk, 10.0).count() == 0)
   }
 
+  test("labelPropagation: hand-computed rounds, min-label ties, edge multiplicity") {
+    // star 0—{1,2,3,4}: r1 center ties {1,2,3,4} → 1, leaves → 0;
+    // r2 center sees {0,0,0,0} → 0, leaves see {1} → 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "t")
+    val got = Graphs.labelPropagation(star, "s", "t", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"$got")
+    // duplicate edges are multiplicity: node 1 sees {2,2,3} → 2, not the
+    // tie-break answer (which would also be 2 here, so weight node 3 up:
+    // {3,2,2} with labels 2<3 — multiplicity must beat the smaller label)
+    val multi = Seq((1L, 3L), (1L, 3L), (1L, 2L)).toDF("s", "t")
+    val got2 = Graphs.labelPropagation(multi, "s", "t", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(1L) == 3L, s"multiplicity must out-vote the smaller label: $got2")
+  }
+
+  test("blockedFuzzyMatch: best match per query, pinned ties, block key prunes") {
+    val ref = Seq((1L, "alpha-one"), (2L, "alpha-two"), (3L, "omega-one"))
+      .toDF("id", "name")
+    val q = Seq(
+      (10L, "alpha-onX"),  // dist 1 to alpha-one, 2 to alpha-two → unique best
+      (11L, "alpha-onZ"),  // same → unique best
+      (12L, "alpha-twQ"),  // dist 1 to alpha-two
+      (13L, "omega-onX"),  // other block: must NOT see the alpha refs
+      (14L, "zzzzz-zzz")   // no block partner → dropped
+    ).toDF("id", "name")
+    val got = Dedup.blockedFuzzyMatch(q, ref, "id", "name", "id", "name",
+        blockLen = 6, maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == Set((10L, 1L, 1L), (11L, 1L, 1L), (12L, 2L, 1L), (13L, 3L, 1L)))
+    // tie: equidistant refs resolve to the LOWEST reference id
+    val tie = Dedup.blockedFuzzyMatch(
+        Seq((20L, "alpha-onQ")).toDF("id", "name"),
+        Seq((5L, "alpha-onA"), (4L, "alpha-onB")).toDF("id", "name"),
+        "id", "name", "id", "name", blockLen = 6, maxDistance = 2)
+      .collect()
+    assert(tie.length == 1 && tie(0).getLong(2) == 4L, s"tie must pin to min id: ${tie.toSeq}")
+  }
+
   test("pmiCollocations: exact counts, micro-nat PMI, minCount prune, tie order") {
     val d = Seq(
       "x y x y x y",   // 3×(x y), 2×(y x)
