@@ -428,6 +428,13 @@ object SparkEntry {
       docs(s, d)
         .where(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    "flt_sample_weighted" -> ((s, d) =>
+      // deterministic weighted sampling without replacement (A-ES): top
+      // 100 docs by md5-uniform^(1/n_chars) — longer docs proportionally
+      // likelier, the same 100 on every engine/partitioning; ranked on
+      // the ROUNDED micro key so the cut cannot drift across engines
+      TextAnalysis.weightedSampleTopK(docs(s, d), "doc_id", "n_chars",
+        seed = "w", k = 100)),
     "flt_sample_stratified" -> ((s, d) =>
       // deterministic stratified sampling (sampleBy twin): per-language
       // md5-prefix thresholds — keep ~10% of English, ~50% of everything
@@ -2381,6 +2388,13 @@ object SparkEntry {
       // corpus-health statistic: OLS of ln(freq) on ln(rank) over the
       // top-500 tokens in exact integer micro arithmetic
       TextAnalysis.zipfFit(docs(s, d), "text", topV = 500)),
+    "text_js_div" -> ((s, d) =>
+      // domain-drift measure: Jensen-Shannon divergence between the en
+      // and de token distributions in exact micro-nat terms (per-token
+      // rounding then integer sum — order-invariant)
+      TextAnalysis.jsDivergence(
+        docs(s, d).where(col("lang") === "en"),
+        docs(s, d).where(col("lang") === "de"), "text")),
     "text_pmi_colloc" -> ((s, d) =>
       // PMI collocation mining (Church & Hanks 1990): top-100 adjacent
       // token pairs by ln(c_ab·N/(c_a·c_b)) in integer micro-nats, exact
@@ -5138,6 +5152,40 @@ object SparkEntry {
           / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
           AS r2_6
       FROM s""",
+    "flt_sample_weighted" -> """
+      WITH s AS (SELECT doc_id, n_chars,
+          (CAST(CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS DOUBLE) + 1) / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, n_chars,
+        CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro
+      FROM s ORDER BY key_micro DESC, doc_id LIMIT 100""",
+    "text_js_div" -> s"""
+      WITH ta AS (SELECT $tokenizeSql AS tokens FROM documents WHERE lang = 'en'),
+      tb AS (SELECT $tokenizeSql AS tokens FROM documents WHERE lang = 'de'),
+      oa AS (SELECT unnest(tokens) AS w FROM ta),
+      ob AS (SELECT unnest(tokens) AS w FROM tb),
+      ca AS (SELECT w, count(*) AS ca FROM oa GROUP BY 1),
+      cb AS (SELECT w, count(*) AS cb FROM ob GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM oa) AS na,
+                     (SELECT CAST(count(*) AS BIGINT) FROM ob) AS nb),
+      j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+            FROM ca FULL OUTER JOIN cb USING (w)),
+      t AS (SELECT ca, cb,
+              CAST(ca AS DOUBLE) / na AS p, CAST(cb AS DOUBLE) / nb AS q
+            FROM j CROSS JOIN tot),
+      terms AS (SELECT ca, cb,
+          CAST(round((CASE WHEN ca > 0
+              THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END +
+            CASE WHEN cb > 0
+              THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0.0 END) * 1e6)
+            AS BIGINT) AS term_micro
+        FROM t)
+      SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_a,
+        CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_b,
+        CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        CAST(sum(term_micro) AS BIGINT) AS jsd_micro
+      FROM terms""",
     "text_pmi_colloc" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
       occ AS (SELECT unnest(tokens) AS w FROM toks),

@@ -1795,6 +1795,76 @@ object TextAnalysis {
     * not corpus-sized; N is a 1-row scalar broadcast. The final cut is a
     * distributed TakeOrdered, never a global sort.
     */
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): row i gets key uᵢ^(1/wᵢ) with uᵢ a
+    * reproducible md5-derived uniform in (0, 1], and the sample is the
+    * top-k by key — equivalently top-k by ln(uᵢ)/wᵢ (monotone transform;
+    * avoids pow). The key is rounded to integer micro-units BEFORE the
+    * cut and ties pin by id, so the selected set is identical across
+    * engines, partitionings, and runs — rand()-based weighted sampling is
+    * none of those. Zero/negative weights are excluded (a zero-weight row
+    * has selection probability 0 by definition).
+    *
+    * Scale shape: the key is a codegen'd narrow projection on the scan;
+    * the cut is a distributed TakeOrdered (k rows per partition merge on
+    * the driver), never a global sort.
+    */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
+      seed: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(seed), lit(":"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 1) /
+      lit(4294967296.0)
+    df.where(col(weightCol) > 0)
+      .withColumn("key_micro",
+        round(log(u) / col(weightCol).cast("double") * 1e6).cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("key_micro"))
+  }
+
+  /** Jensen-Shannon divergence between the unigram distributions of two
+    * corpus slices (Lin 1991) — the symmetric, bounded [0, ln 2] drift
+    * measure a curation pipeline uses to compare domains, snapshots, or a
+    * filtered corpus against its source. Counts are exact; each token's
+    * JSD term `½p·ln(p/m) + ½q·ln(q/m)` (m = (p+q)/2) is rounded to
+    * integer micro-nats and the corpus total is the EXACT integer sum of
+    * those terms — aggregation order cannot perturb the result, and the
+    * DuckDB oracle mirrors the per-term expression tree.
+    *
+    * Scale shape: two map-side-combined token counts, one full-outer
+    * equi-join on the vocabulary (vocab-sized, decision columns only),
+    * totals as a 1-row broadcast, then a scalar roll-up. Nothing is ever
+    * collected beyond the single result row.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      graft.SparkUtil.ensureParallelism(df)
+        .select(explode(T.tokenize(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(out))
+    val ca = counts(a, "ca")
+    val cb = counts(b, "cb")
+    val totals = ca.agg(sum(col("ca")).as("na"))
+      .crossJoin(cb.agg(sum(col("cb")).as("nb")))
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p", col("ca").cast("double") / col("na"))
+      .withColumn("q", col("cb").cast("double") / col("nb"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term_micro",
+        round((when(col("ca") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0)) +
+          when(col("cb") > 0, lit(0.5) * col("q") * log(col("q") / col("m")))
+            .otherwise(lit(0.0))) * 1e6).cast("long"))
+    joined.agg(
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("n_vocab_a"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_vocab_b"),
+      sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("n_shared"),
+      sum(col("term_micro")).as("jsd_micro"))
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Int,
       topN: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

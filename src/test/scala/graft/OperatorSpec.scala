@@ -2579,6 +2579,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.selectKeyframes(junk, 10.0).count() == 0)
   }
 
+  test("jsDivergence: identical slices → 0; disjoint vocabularies → ln 2") {
+    val a = Seq("alpha beta gamma", "alpha beta").toDF("text")
+    val same = TextAnalysis.jsDivergence(a, a, "text").collect()(0)
+    assert(same.getLong(3) == 0L, s"JSD(P,P) must be exactly 0: $same")
+    assert(same.getLong(0) == same.getLong(1) && same.getLong(2) == same.getLong(0))
+    val b = Seq("delta epsilon", "delta").toDF("text")
+    val dis = TextAnalysis.jsDivergence(a, b, "text").collect()(0)
+    assert(dis.getLong(2) == 0L, "no shared vocabulary")
+    // JSD of disjoint distributions = ln 2 ≈ 693147 micro-nats; per-term
+    // rounding admits at most half a micro-nat of drift per vocab entry
+    assert(math.abs(dis.getLong(3) - 693147L) <= dis.getLong(0) + dis.getLong(1),
+      s"disjoint JSD must be ~ln 2: $dis")
+  }
+
+  test("weightedSampleTopK: deterministic, zero weights excluded, exact A-ES keys") {
+    val rows = (1L to 50L).map(i => (i, if (i % 10 == 0) 0L else i)).toDF("id", "w")
+    val got = TextAnalysis.weightedSampleTopK(rows, "id", "w", seed = "s", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 10)
+    assert(!got.exists(_._1 % 10 == 0), "zero-weight rows must be excluded")
+    // replay the exact key formula on the driver
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1) / 4294967296.0
+      math.round(math.log(u) / w.toDouble * 1e6)
+    }
+    val expect = (1L to 50L).filter(_ % 10 != 0).map(i => (i, key(i, i)))
+      .sortBy { case (id, k) => (-k, id) }.take(10)
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nwant $expect")
+    // partitioning invariance
+    val rep = TextAnalysis.weightedSampleTopK(rows.repartition(7), "id", "w", "s", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rep.toSeq == got.toSeq)
+  }
+
   test("labelPropagation: hand-computed rounds, min-label ties, edge multiplicity") {
     // star 0—{1,2,3,4}: r1 center ties {1,2,3,4} → 1, leaves → 0;
     // r2 center sees {0,0,0,0} → 0, leaves see {1} → 1
