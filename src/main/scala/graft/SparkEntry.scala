@@ -582,6 +582,38 @@ object SparkEntry {
       // join); filled doubles are carried verbatim, never recomputed
       TimeSeries.resampleFfill(events(s, d), stepHours = 6)
         .orderBy("user_id", "grid_ts")),
+    "agg_event_transitions" -> ((s, d) => {
+      // first-order Markov transition matrix of user behavior: per-user
+      // event-time-ordered (type → next type) counts and exact integer
+      // micro-probabilities ((n_ab · 10⁶) div n_a — no float division);
+      // the behavioral prior a sessionization/anomaly model starts from
+      val seq = events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .where(col("next_type").isNotNull)
+      val cab = seq.groupBy(col("event_type").as("a"), col("next_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      cab.join(cab.groupBy("a").agg(sum(col("n_ab")).as("n_a")), Seq("a"))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+          expr("(n_ab * 1000000) div n_a").as("p_micro"))
+        .orderBy("a", "b")
+    }),
+    "ts_cusum_alarms" -> ((s, d) => {
+      // CUSUM burst detection with a PLANTED burst: every %7 event is
+      // cloned onto synthetic user 99999 inside one 3-hour span, so that
+      // user's 6h bucket count explodes and the closed-form
+      // P − min(0, running-min P) walk must alarm there (and wherever the
+      // organic rate sustains > drift); all-integer arithmetic
+      val ev = events(s, d)
+      val burst = ev.where(col("event_id") % 7 === 0)
+        .select(col("event_id"), lit(99999L).as("user_id"),
+          expr("timestamp '2024-01-05 00:00:00' + " +
+            "make_interval(0, 0, 0, 0, cast(event_id % 3 as int), 0, 0)").as("ts"))
+      TimeSeries.cusumAlarms(
+          ev.select("event_id", "user_id", "ts").unionByName(burst),
+          bucketSeconds = 21600, drift = 3L, threshold = 8L)
+        .orderBy("user_id", "bucket")
+    }),
     "agg_collect_ordered" -> ((s, d) =>
       // behavioral sequence construction: each user's event-type string in
       // event-time order (the session→sequence step of a behavior-model
@@ -3159,6 +3191,32 @@ object SparkEntry {
         .unionAll(uniq.select(lit("unique:o_orderkey"), col("n")))
         .orderBy("check_name")
     }),
+    "stream_k_anonymity_real" -> ((s, d) => {
+      // k-anonymity monitored on a STREAM: one complete-mode count per
+      // quasi-identifier class (state = one long per class, the bounded
+      // dedup-state shape), batch rollup = the dq_k_anonymity summary —
+      // shares that gate's oracle verbatim
+      val tmp = stageOnce(s, d, "graft-stream-kanon") { t =>
+        tbl(s, d, "customer").select("c_nationkey", "c_mktsegment")
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = withStatePartitions(s) {
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+          .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("graft_kanon_classes")
+          .outputMode("complete").start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_kanon_classes")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("violating_classes"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+          min(col("n")).as("min_class_size"),
+          max(col("n")).as("max_class_size"))
+        .select(lit(5L).as("k"), col("n_classes"), col("violating_classes"),
+          col("rows_at_risk"), col("min_class_size"), col("max_class_size"))
+    }),
     "stream_scd2_real" -> ((s, d) => {
       // type-2 history maintenance as a STREAM: flatMapGroupsWithState
       // detects attribute transitions with one string of state per key
@@ -3546,6 +3604,20 @@ object SparkEntry {
            abs(col("mean_b") * 255 - (col("doc_id") * 7 % 256)) <= 5.0)
             .as("mean_close"))
         .orderBy("doc_id", "frame_idx")),
+    "mm_silence_real" -> ((s, d) =>
+      // REAL energy-gate VAD: planted PCM alternates loud (±1000+) and
+      // near-silent (±(id%3)) blocks; the byte-walk segmentation must
+      // recover exactly the odd blocks — start offsets and lengths in
+      // closed form, trailing-run flush included (even block counts end
+      // on a silent block)
+      Multimodal.detectSilence(
+          Multimodal.plantSilencePayloads(docs(s, d), "doc_id"),
+          ampThreshold = 8, minRun = 4)
+        .toDF()
+        .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id", "seg_idx")),
     "mm_keyframes_real" -> ((s, d) =>
       // REAL shot-boundary keyframe selection: planted multi-scene AVIs
       // (solid MJPEG frames whose color jumps ≥40/channel at the planted
@@ -3948,6 +4020,18 @@ object SparkEntry {
           * ln((CAST(n_a + 1 AS DOUBLE) / (t.ta + 6))
              / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
       FROM j, t ORDER BY bucket"""
+
+  /** Shared oracle: the batch k-anonymity audit and its streaming twin
+    * (complete-mode class counts) produce the identical summary row.
+    */
+  private lazy val kAnonymityOracle: String = """
+      WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                 FROM customer GROUP BY 1, 2)
+      SELECT CAST(5 AS BIGINT) AS k, count(*) AS n_classes,
+        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        min(n) AS min_class_size, max(n) AS max_class_size
+      FROM c"""
 
   /** Shared oracle: the batch constraint report and its streaming twin
     * replay the identical planted-violation counts.
@@ -4536,6 +4620,40 @@ object SparkEntry {
         strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
         strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
       FROM p ORDER BY user_id""",
+    "agg_event_transitions" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+          CAST(ts AS TIMESTAMP) AS ts FROM events),
+      seq AS (SELECT event_type AS a,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS b
+        FROM e),
+      cab AS (SELECT a, b, count(*) AS n_ab FROM seq
+              WHERE b IS NOT NULL GROUP BY 1, 2),
+      ca AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cab GROUP BY 1)
+      SELECT cab.a, cab.b, cab.n_ab, ca.n_a,
+        (cab.n_ab * 1000000) // ca.n_a AS p_micro
+      FROM cab JOIN ca USING (a) ORDER BY a, b""",
+    "ts_cusum_alarms" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      burst AS (SELECT event_id, 99999 AS user_id,
+          TIMESTAMP '2024-01-05 00:00:00'
+            + (event_id % 3) * INTERVAL 1 HOUR AS ts
+        FROM e WHERE event_id % 7 = 0),
+      u AS (SELECT * FROM e UNION ALL SELECT * FROM burst),
+      c AS (SELECT user_id,
+          date_diff('second', TIMESTAMP '1970-01-01', ts) // 21600 AS bucket,
+          count(*) AS cnt
+        FROM u GROUP BY 1, 2),
+      p AS (SELECT user_id, bucket, cnt,
+          CAST(sum(cnt - 3) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        FROM c),
+      s AS (SELECT user_id, bucket, cnt,
+          CAST(pp - least(0, min(pp) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum
+        FROM p)
+      SELECT user_id, bucket, cnt, cusum FROM s WHERE cusum > 8
+      ORDER BY user_id, bucket""",
     "agg_retention_cohort" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
@@ -4580,14 +4698,8 @@ object SparkEntry {
           PARTITION BY q_id ORDER BY dist, r_id) AS rn FROM cand)
       SELECT q_id, q_name, r_id, r_name, CAST(dist AS BIGINT) AS dist
       FROM best WHERE rn = 1 ORDER BY q_id""",
-    "dq_k_anonymity" -> """
-      WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
-                 FROM customer GROUP BY 1, 2)
-      SELECT CAST(5 AS BIGINT) AS k, count(*) AS n_classes,
-        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
-        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
-        min(n) AS min_class_size, max(n) AS max_class_size
-      FROM c""",
+    "dq_k_anonymity" -> kAnonymityOracle,
+    "stream_k_anonymity_real" -> kAnonymityOracle,
     "agg_collect_ordered" -> """
       SELECT user_id,
         string_agg(event_type, ',' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS event_seq,
@@ -7216,6 +7328,14 @@ object SparkEntry {
         CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS height,
         true AS is_uniform, true AS mean_close
       FROM m ORDER BY doc_id, frame_idx""",
+    "mm_silence_real" -> """
+      WITH m AS (SELECT doc_id, 16 + (doc_id % 8) * 4 AS L,
+          4 + doc_id % 3 AS nb FROM documents),
+      s AS (SELECT doc_id, L, unnest(range(0, nb // 2)) AS k FROM m)
+      SELECT doc_id, CAST(k AS BIGINT) AS seg_idx,
+        CAST((2 * k + 1) * L AS BIGINT) AS start_frame,
+        CAST(L AS BIGINT) AS n_frames
+      FROM s ORDER BY doc_id, seg_idx""",
     "mm_keyframes_real" -> """
       WITH m AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
       f AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM m)

@@ -1598,6 +1598,126 @@ object Multimodal {
       .toDF("doc_id", "payload", "media_type")
   }
 
+  // ---------------- audio silence segmentation ----------------
+
+  /** A detected silent span: frame index range inside the PCM stream. */
+  final case class SilenceSegment(
+      doc_id: Long, seg_idx: Int, start_frame: Int, n_frames: Int)
+
+  /** Silence segmentation (the energy-gate VAD an audio-curation pipeline
+    * runs before transcription or chunking) over REAL 16-bit PCM: a frame
+    * is silent when EVERY channel's |sample| ≤ `ampThreshold`; maximal
+    * runs of at least `minRun` silent frames become segments, including a
+    * trailing run at end-of-stream. Per-partition byte walk over the
+    * existing [[parseWav]] container parse — payload bytes never cross an
+    * exchange, only (doc_id, seg_idx, start, length) scalars. Non-WAV /
+    * malformed payloads yield no rows (dead-letter convention).
+    */
+  def detectSilence(payloads: DataFrame, ampThreshold: Int,
+      minRun: Int): Dataset[SilenceSegment] = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseWav(bytes) match {
+            case Some(w) if w.bitDepth == 16 =>
+              val bytesPerFrame = w.channels * 2
+              val nFrames = w.dataLen / bytesPerFrame
+              val segs = scala.collection.mutable.ArrayBuffer.empty[SilenceSegment]
+              var runStart = -1
+              var segIdx = 0
+              def flush(end: Int): Unit = {
+                if (runStart >= 0 && end - runStart >= minRun) {
+                  segs += SilenceSegment(id, segIdx, runStart, end - runStart)
+                  segIdx += 1
+                }
+                runStart = -1
+              }
+              var i = 0
+              while (i < nFrames) {
+                var c = 0
+                var silent = true
+                while (silent && c < w.channels) {
+                  val v = le16s(bytes, w.dataOff + i * bytesPerFrame + c * 2)
+                  if (math.abs(v) > ampThreshold) silent = false
+                  c += 1
+                }
+                if (silent) { if (runStart < 0) runStart = i }
+                else flush(i)
+                i += 1
+              }
+              flush(nFrames)
+              segs
+            case _ => Nil
+          }
+        }
+      }
+  }
+
+  /** Planted silence structure: the PCM alternates loud / silent blocks of
+    * `L = 16 + (id % 8)·4` frames, `4 + id % 3` blocks total, starting
+    * loud — so the silent segments are exactly the odd blocks, in closed
+    * form for the oracle.
+    */
+  def plantSilenceLayout(id: Long): (Int, Int) =
+    ((16 + (id % 8) * 4).toInt, (4 + id % 3).toInt)
+
+  /** A COMPLETE real 16-bit PCM WAV with the [[plantSilenceLayout]]
+    * loud/silent block structure: loud frames are a ±(1000 + id % 500)
+    * square wave, silent frames sit at ±(id % 3) — far below any sane
+    * gate threshold, nonzero for a third of the corpus so the threshold
+    * comparison is exercised, not just the zero path.
+    */
+  def plantSilenceWavPcm(id: Long): Array[Byte] = {
+    val (blockLen, nBlocks) = plantSilenceLayout(id)
+    val ch = (1 + id % 2).toInt
+    val sr = 8000
+    val frames = blockLen * nBlocks
+    val dataLen = frames * ch * 2
+    val b = new Array[Byte](44 + dataLen)
+    def wstr(i: Int, s: String): Unit = {
+      var j = 0; while (j < s.length) { b(i + j) = s.charAt(j).toByte; j += 1 }
+    }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte }
+    wstr(0, "RIFF"); wle32(4, 36 + dataLen); wstr(8, "WAVE")
+    wstr(12, "fmt "); wle32(16, 16)
+    wle16(20, 1); wle16(22, ch); wle32(24, sr)
+    wle32(28, sr * ch * 2); wle16(32, ch * 2); wle16(34, 16)
+    wstr(36, "data"); wle32(40, dataLen)
+    val loud = (1000 + id % 500).toInt
+    val quiet = (id % 3).toInt
+    var i = 0
+    while (i < frames) {
+      val silentBlock = (i / blockLen) % 2 == 1
+      var c = 0
+      while (c < ch) {
+        val v =
+          if (silentBlock) { if (i % 2 == 0) quiet else -quiet }
+          else { if (i % 2 == 0) loud else -loud }
+        wle16(44 + (i * ch + c) * 2, v)
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** (doc_id, payload, media_type) of the planted loud/silent WAVs. */
+  def plantSilencePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantSilenceWavPcm(id), "audio/wav")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
   // ---------------- scene-cut keyframe selection ----------------
 
   /** Scene-change keyframe selection over REAL decoded video frames: a

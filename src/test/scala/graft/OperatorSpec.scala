@@ -2579,6 +2579,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.selectKeyframes(junk, 10.0).count() == 0)
   }
 
+  test("detectSilence: planted blocks recovered, minRun gate, trailing flush, non-WAV drops") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 5L, 13L)
+    val got = Multimodal.detectSilence(
+        Multimodal.plantSilencePayloads(ids.toDF("doc_id"), "doc_id"),
+        ampThreshold = 8, minRun = 4)
+      .collect().map(s => (s.doc_id, s.seg_idx, s.start_frame, s.n_frames)).toSet
+    val want = ids.flatMap { id =>
+      val (l, nb) = Multimodal.plantSilenceLayout(id)
+      (0 until nb / 2).map(k => (id, k, (2 * k + 1) * l, l))
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    // a minRun longer than any block suppresses every segment
+    val none = Multimodal.detectSilence(
+      Multimodal.plantSilencePayloads(ids.toDF("doc_id"), "doc_id"),
+      ampThreshold = 8, minRun = 10000)
+    assert(none.count() == 0)
+    // junk payload: no rows, no crash
+    val junk = Seq((7L, Array.fill[Byte](80)(3), "audio/wav"))
+      .toDF("doc_id", "payload", "media_type")
+    assert(Multimodal.detectSilence(junk, 8, 4).count() == 0)
+  }
+
+  test("cusumAlarms: closed form ≡ hand-run recursion, per-key isolation") {
+    // user 1 bucket counts [5,1,1,10] at drift 3: d=[2,-2,-2,7],
+    // S=[2,0,0,7] — threshold 4 alarms ONLY the last bucket at S=7
+    def ev(u: Long, bucket: Long, n: Int, idBase: Long) = (0 until n).map(i =>
+      (idBase + i, u, new java.sql.Timestamp(bucket * 21600L * 1000 + i * 1000)))
+    val rows = (ev(1L, 100L, 5, 0) ++ ev(1L, 101L, 1, 100) ++
+      ev(1L, 102L, 1, 200) ++ ev(1L, 103L, 10, 300) ++
+      ev(2L, 100L, 4, 400)) // user 2: S=1, quiet
+      .toDF("event_id", "user_id", "ts")
+    val got = TimeSeries.cusumAlarms(rows, 21600, drift = 3L, threshold = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 103L, 10L, 7L)),
+      s"CUSUM must alarm exactly (u1, b103, cnt 10, S 7): ${got.toSeq}")
+  }
+
   test("jsDivergence: identical slices → 0; disjoint vocabularies → ln 2") {
     val a = Seq("alpha beta gamma", "alpha beta").toDF("text")
     val same = TextAnalysis.jsDivergence(a, a, "text").collect()(0)

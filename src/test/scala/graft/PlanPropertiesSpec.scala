@@ -539,4 +539,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"direct featurize must not shuffle:\n$plan")
     m.unpersist()
   }
+
+  test("bbitSimilarityJoin: candidate exchanges carry packed longs, never signature arrays") {
+    // the operator's whole point is exchange width — a plan that ships the
+    // k-element signature arrays through the bucket join has silently
+    // reverted to the approxSimilarityJoin wire format
+    val df = SparkEntry.queries("dedup_bbit_pairs")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join")
+    val shuffled = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output
+    }
+    shuffled.foreach { attrs =>
+      attrs.foreach { a =>
+        assert(a.name != graft.Cols.Signature &&
+          !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"an exchange ships an array/signature column: ${attrs.map(_.name)}")
+      }
+    }
+    SparkUtil.releaseScopedCaches()
+  }
 }
