@@ -3191,6 +3191,40 @@ object SparkEntry {
         .unionAll(uniq.select(lit("unique:o_orderkey"), col("n")))
         .orderBy("check_name")
     }),
+    "stream_cusum_real" -> ((s, d) => {
+      // CUSUM burst monitoring on a STREAM: complete-mode (user, bucket)
+      // counts — state = one long per active (key, bucket) cell, the
+      // PSI-monitor shape — then the batch-side closed-form CUSUM walk
+      // over the final counts table; replays the ts_cusum_alarms oracle
+      // verbatim (same planted burst)
+      val tmp = stageOnce(s, d, "graft-stream-cusum") { t =>
+        val ev = events(s, d)
+        val burst = ev.where(col("event_id") % 7 === 0)
+          .select(col("event_id"), lit(99999L).as("user_id"),
+            expr("timestamp '2024-01-05 00:00:00' + " +
+              "make_interval(0, 0, 0, 0, cast(event_id % 3 as int), 0, 0)").as("ts"))
+        ev.select("event_id", "user_id", "ts").unionByName(burst)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 21600").as("bucket"))
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = withStatePartitions(s) {
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+          .groupBy("user_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .writeStream.format("memory").queryName("graft_cusum_counts")
+          .outputMode("complete").start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.table("graft_cusum_counts")
+        .withColumn("__p", sum(col("cnt") - 3L).over(w))
+        .withColumn("cusum", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+        .where(col("cusum") > 8L)
+        .select(col("user_id"), col("bucket"), col("cnt"), col("cusum"))
+        .orderBy("user_id", "bucket")
+    }),
     "stream_k_anonymity_real" -> ((s, d) => {
       // k-anonymity monitored on a STREAM: one complete-mode count per
       // quasi-identifier class (state = one long per class, the bounded
@@ -4021,6 +4055,32 @@ object SparkEntry {
              / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
       FROM j, t ORDER BY bucket"""
 
+  /** Shared oracle: the batch CUSUM alarms and the streaming monitor
+    * (complete-mode bucket counts + batch-side closed-form walk) replay
+    * the identical planted-burst alarm rows.
+    */
+  private lazy val cusumOracle: String = """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      burst AS (SELECT event_id, 99999 AS user_id,
+          TIMESTAMP '2024-01-05 00:00:00'
+            + (event_id % 3) * INTERVAL 1 HOUR AS ts
+        FROM e WHERE event_id % 7 = 0),
+      u AS (SELECT * FROM e UNION ALL SELECT * FROM burst),
+      c AS (SELECT user_id,
+          date_diff('second', TIMESTAMP '1970-01-01', ts) // 21600 AS bucket,
+          count(*) AS cnt
+        FROM u GROUP BY 1, 2),
+      p AS (SELECT user_id, bucket, cnt,
+          CAST(sum(cnt - 3) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        FROM c),
+      s AS (SELECT user_id, bucket, cnt,
+          CAST(pp - least(0, min(pp) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum
+        FROM p)
+      SELECT user_id, bucket, cnt, cusum FROM s WHERE cusum > 8
+      ORDER BY user_id, bucket"""
+
   /** Shared oracle: the batch k-anonymity audit and its streaming twin
     * (complete-mode class counts) produce the identical summary row.
     */
@@ -4633,27 +4693,8 @@ object SparkEntry {
       SELECT cab.a, cab.b, cab.n_ab, ca.n_a,
         (cab.n_ab * 1000000) // ca.n_a AS p_micro
       FROM cab JOIN ca USING (a) ORDER BY a, b""",
-    "ts_cusum_alarms" -> """
-      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      burst AS (SELECT event_id, 99999 AS user_id,
-          TIMESTAMP '2024-01-05 00:00:00'
-            + (event_id % 3) * INTERVAL 1 HOUR AS ts
-        FROM e WHERE event_id % 7 = 0),
-      u AS (SELECT * FROM e UNION ALL SELECT * FROM burst),
-      c AS (SELECT user_id,
-          date_diff('second', TIMESTAMP '1970-01-01', ts) // 21600 AS bucket,
-          count(*) AS cnt
-        FROM u GROUP BY 1, 2),
-      p AS (SELECT user_id, bucket, cnt,
-          CAST(sum(cnt - 3) OVER (PARTITION BY user_id ORDER BY bucket
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
-        FROM c),
-      s AS (SELECT user_id, bucket, cnt,
-          CAST(pp - least(0, min(pp) OVER (PARTITION BY user_id ORDER BY bucket
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum
-        FROM p)
-      SELECT user_id, bucket, cnt, cusum FROM s WHERE cusum > 8
-      ORDER BY user_id, bucket""",
+    "ts_cusum_alarms" -> cusumOracle,
+    "stream_cusum_real" -> cusumOracle,
     "agg_retention_cohort" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
