@@ -1323,8 +1323,10 @@ object SparkEntry {
       // 1-bit minwise hashing (Li & König 2010): signatures collapse to
       // one packed long (8 bytes vs 16×32-char strings on the candidate
       // exchange), pairs from the same LSH bucket join, estimate
-      // 2·matched/k − 1 thresholded at 0.25
-      fitted(s, d, cfg16).bbitSimilarityJoin(0.25)
+      // 2·matched/k − 1 thresholded at 0.5 (matched ≥ 12/16 — a random
+      // pair survives with p≈0.04; at 0.25 the b=1 noise at k=16 passed
+      // ~23% of all candidates, bloating the surviving-pair exchange)
+      fitted(s, d, cfg16).bbitSimilarityJoin(0.5)
         .orderBy("a_id", "b_id")),
     "graph_pagerank" -> ((s, d) => {
       // link-graph PageRank (the Common Crawl host-rank quality signal):
@@ -5940,7 +5942,7 @@ object SparkEntry {
       SELECT a_id, b_id, matched_bits,
         round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) AS jaccard_est
       FROM scored
-      WHERE round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) >= 0.25
+      WHERE round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) >= 0.5
       ORDER BY a_id, b_id""",
     "graph_lpa" -> """
       WITH nn AS (SELECT count(*) AS n FROM documents),
