@@ -775,6 +775,18 @@ object SparkEntry {
           "c_custkey", "c_name", blockLen = 17, maxDistance = 2)
         .orderBy("q_id")
     }),
+    "dq_mad_outliers" -> ((s, d) => {
+      // robust outlier stats with PLANTED spikes: every %131 event's
+      // value is multiplied by 50, so each type's Hampel count (|x−med| >
+      // 3·MAD with exact sort-based medians) must pick the spikes up
+      // without the spikes inflating the scale estimate itself — the
+      // failure mode of mean/stddev z-scores
+      val ev = events(s, d).select(col("event_type"),
+        when(col("event_id") % 131 === 0, col("value") * 50)
+          .otherwise(col("value")).as("value"))
+      DataQuality.madOutlierStats(ev, "event_type", "value", k = 3.0)
+        .orderBy("event_type")
+    }),
     "dq_k_anonymity" -> ((s, d) =>
       // k-anonymity audit (Sweeney 2002) on the customer release under
       // the (c_nationkey, c_mktsegment) quasi-identifier: class count,
@@ -3193,6 +3205,24 @@ object SparkEntry {
         .unionAll(uniq.select(lit("unique:o_orderkey"), col("n")))
         .orderBy("check_name")
     }),
+    "stream_exif_real" -> ((s, d) => {
+      // EXIF extraction on a STREAM of media payloads: the byte walk is a
+      // stateless narrow mapPartitions, so real micro-batch execution
+      // (append-mode memory sink, one file per trigger) must reproduce
+      // the batch mm_exif_parse rows regardless of batch boundaries
+      val tmp = stageOnce(s, d, "graft-stream-exif") { t =>
+        Multimodal.plantExifPayloads(docs(s, d), "doc_id")
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = Multimodal.extractExif(src).toDF()
+        .writeStream.format("memory").queryName("graft_exif_stream")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_exif_stream").orderBy("doc_id")
+    }),
     "stream_cusum_real" -> ((s, d) => {
       // CUSUM burst monitoring on a STREAM: complete-mode (user, bucket)
       // counts — state = one long per active (key, bucket) cell, the
@@ -4057,6 +4087,20 @@ object SparkEntry {
              / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
       FROM j, t ORDER BY bucket"""
 
+  /** Shared oracle: batch EXIF extraction and its streaming twin replay
+    * the identical planted-field formulas.
+    */
+  private lazy val exifOracle: String = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+          lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS datetime,
+        CAST(4 + doc_id % 13 AS INTEGER) AS px_width,
+        CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS px_height
+      FROM documents ORDER BY doc_id"""
+
   /** Shared oracle: the batch CUSUM alarms and the streaming monitor
     * (complete-mode bucket counts + batch-side closed-form walk) replay
     * the identical planted-burst alarm rows.
@@ -4741,6 +4785,20 @@ object SparkEntry {
           PARTITION BY q_id ORDER BY dist, r_id) AS rn FROM cand)
       SELECT q_id, q_name, r_id, r_name, CAST(dist AS BIGINT) AS dist
       FROM best WHERE rn = 1 ORDER BY q_id""",
+    "dq_mad_outliers" -> """
+      WITH e AS (SELECT event_type,
+          CASE WHEN event_id % 131 = 0 THEN value * 50 ELSE value END AS value
+        FROM events),
+      m AS (SELECT event_type, median(value) AS med FROM e GROUP BY 1),
+      d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+            FROM e JOIN m USING (event_type)),
+      md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+      SELECT d.event_type, count(*) AS n,
+        round(any_value(d.med), 6) AS med6,
+        round(any_value(md.mad), 6) AS mad6,
+        CAST(sum(CASE WHEN d.dev > md.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM d JOIN md USING (event_type) GROUP BY 1 ORDER BY 1""",
     "dq_k_anonymity" -> kAnonymityOracle,
     "stream_k_anonymity_real" -> kAnonymityOracle,
     "agg_collect_ordered" -> """
@@ -7385,16 +7443,8 @@ object SparkEntry {
       SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, CAST(n AS BIGINT) AS n_frames
       FROM f WHERE j = 0 OR (doc_id + j) % 3 = 0
       ORDER BY doc_id, frame_idx""",
-    "mm_exif_parse" -> """
-      SELECT doc_id,
-        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-        CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
-        'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
-        '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
-          lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS datetime,
-        CAST(4 + doc_id % 13 AS INTEGER) AS px_width,
-        CAST(4 + (doc_id * 5) % 11 AS INTEGER) AS px_height
-      FROM documents ORDER BY doc_id""",
+    "mm_exif_parse" -> exifOracle,
+    "stream_exif_real" -> exifOracle,
     "mm_resize_real_avi" -> """
       WITH m AS (SELECT doc_id,
           CAST(4 + doc_id % 13 AS DOUBLE) AS w,

@@ -2602,6 +2602,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.detectSilence(junk, 8, 4).count() == 0)
   }
 
+  test("madOutlierStats: hand-computed median/MAD, spike flagged, breakdown resistance") {
+    val rows = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0)) ++
+      (1 to 4).map(v => ("b", 10.0)) // constant group: MAD 0
+    val got = DataQuality.madOutlierStats(rows.toDF("k", "v"), "k", "v", 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    // group a: med 5.5, devs sorted (0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5)
+    // → MAD 2.5; only the spike exceeds 3·2.5 — the spike did NOT inflate
+    // the scale estimate (the stddev z-score failure mode)
+    assert(got(0) == ("a", 10L, 5.5, 2.5, 1L), s"${got.toSeq}")
+    // constant group: MAD 0 → any deviation would flag; none exists
+    assert(got(1) == ("b", 4L, 10.0, 0.0, 0L), s"${got.toSeq}")
+  }
+
   test("cusumAlarms: closed form ≡ hand-run recursion, per-key isolation") {
     // user 1 bucket counts [5,1,1,10] at drift 3: d=[2,-2,-2,7],
     // S=[2,0,0,7] — threshold 4 alarms ONLY the last bucket at S=7
