@@ -1354,6 +1354,21 @@ object SparkEntry {
       Graphs.pageRank(e, "src", "dst", iterations = 3)
         .orderBy("node_id")
     }),
+    "graph_ppr" -> ((s, d) => {
+      // personalized PageRank (TrustRank shape): teleport mass returns
+      // only to the %50 seed docs over the planted hub graph; 2
+      // exact-integer rounds, floor-division teleport split, oracle
+      // replays bit-for-bit (node 0 is both a seed and the global hub —
+      // the hot key rides the same map-side partial sum as pagerank)
+      val dd = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"))
+      val n = dd.count()
+      val e = dd.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
+      Graphs.personalizedPageRank(e, "src", "dst",
+          dd.where(col("doc_id") % 50 === 0), "doc_id", iterations = 2)
+        .orderBy("node_id")
+    }),
     "graph_lpa" -> ((s, d) => {
       // community detection by label propagation over the SAME planted
       // 3-out-regular graph as graph_pagerank (node 0 the global hub —
@@ -6002,6 +6017,32 @@ object SparkEntry {
       FROM scored
       WHERE round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) >= 0.5
       ORDER BY a_id, b_id""",
+    "graph_ppr" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ids AS (SELECT doc_id AS v FROM documents),
+      e AS (SELECT v AS src,
+              unnest([(v * 3 + 1) % n, (v + 7) % n, CAST(0 AS BIGINT)]) AS dst
+            FROM ids, nn),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+      ns AS (SELECT count(*) AS s FROM ids WHERE v % 50 = 0),
+      tv AS (SELECT ids.v,
+               CAST(CASE WHEN ids.v % 50 = 0
+                 THEN ((15 * n * 1000000) // 100) // s ELSE 0 END AS BIGINT) AS t
+             FROM ids, nn, ns),
+      r0 AS (SELECT v, t AS r FROM tv),
+      c1 AS (SELECT e.dst AS v, sum(r0.r // deg.d) AS c
+             FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      r1 AS (SELECT tv.v,
+               CAST(tv.t + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM tv LEFT JOIN c1 USING (v)),
+      c2 AS (SELECT e.dst AS v, sum(r1.r // deg.d) AS c
+             FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      r2 AS (SELECT tv.v,
+               CAST(tv.t + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
+             FROM tv LEFT JOIN c2 USING (v))
+      SELECT v AS node_id, r AS ppr_micro FROM r2 ORDER BY node_id""",
     "graph_lpa" -> """
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ids AS (SELECT doc_id AS v FROM documents),

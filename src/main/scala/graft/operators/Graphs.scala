@@ -187,6 +187,59 @@ object Graphs {
     links.where(!col("internal"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
 
+  /** Personalized PageRank (the TrustRank / seed-propagation form,
+    * Gyöngyi et al. 2004): identical exact-integer rounds to [[pageRank]]
+    * except the teleport mass returns ONLY to the `seeds` set — scores
+    * measure endorsement REACHABLE FROM the trusted seeds, the quality
+    * signal that separates link spam (high global PageRank, no trusted
+    * path) from genuinely endorsed hosts.
+    *
+    * Exact-integer design: total teleport mass 0.15·n·10⁶ splits evenly
+    * over the s seeds (`(15·n·10⁶ div 100) div s` micro-units each, floor
+    * division — bit-replayable); per round
+    * `r = teleport + (17·contrib) div 20`. Non-seed sinks leak mass like
+    * the plain-pageRank convention (no dangling redistribution — same
+    * documented choice). Seeds are a broadcastable id frame; everything
+    * else is the [[pageRank]] shape: one (id, long) join + map-side
+    * combined sum per round.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations in [1,50], got $iterations")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("v")).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    val n = nodes.count()
+    val s = seedIds.count()
+    require(s > 0, "personalizedPageRank: empty seed set")
+    val perSeed = (15L * n * 1000000L / 100L) / s
+    val base = nodes.join(broadcast(seedIds.withColumn("__t", lit(perSeed))),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("__t"), lit(0L)).as("t"))
+      .transform(graft.SparkUtil.scopedPersist)
+    var ranks = base.select(col("v"), col("t").as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("r div deg").as("c"))
+        .groupBy("v").agg(sum("c").as("c"))
+      val next = base.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (col("t") + expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20"))
+            .as("r"))
+      ranks = spark.createDataFrame(next.rdd, next.schema)
+    }
+    ranks.select(col("v").as("node_id"), col("r").as("ppr_micro"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
     * time algorithm to detect community structures") over an undirected
     * view of the edge list: labels start as node ids; each round every

@@ -2668,6 +2668,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rep.toSeq == got.toSeq)
   }
 
+  test("personalizedPageRank: seed-only teleport, hand rounds, spam island stays 0") {
+    // chain 1→2→3 plus disconnected 4→5; seed {1}; n = 5 nodes →
+    // perSeed = (15·5·10⁶ div 100) div 1 = 750000
+    // r1 = (750000, 637500, 0, 0, 0); r2 = (750000, 637500, 541875, 0, 0)
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graphs.personalizedPageRank(e, "src", "dst", seeds, "id", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 750000L, 2L -> 637500L, 3L -> 541875L,
+      4L -> 0L, 5L -> 0L), s"$got")
+  }
+
   test("labelPropagation: hand-computed rounds, min-label ties, edge multiplicity") {
     // star 0—{1,2,3,4}: r1 center ties {1,2,3,4} → 1, leaves → 0;
     // r2 center sees {0,0,0,0} → 0, leaves see {1} → 1
