@@ -1650,6 +1650,30 @@ object SparkEntry {
       Cdc.applyChanges(o, changes, "o_orderkey", "seq", "op")
         .orderBy("o_orderkey")
     }),
+    "cdc_pit_join" -> ((s, d) => {
+      // point-in-time enrichment — the lakehouse query SCD2 history
+      // exists FOR: each purchase event joined to the state version valid
+      // at its instant. Contiguous [valid_from, valid_to) intervals make
+      // this exactly asofJoinPrior on valid_from (an at-instant
+      // transition applies to the fact — the half-open convention), so
+      // the compose is one windowed union shuffle, no range join
+      val ev = events(s, d)
+      val hist = Cdc.scd2History(
+          ev.select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("valid_from").as("ts"),
+          col("event_id"), col("event_type"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoinPrior(facts, hist, Seq("user_id"), "ts",
+          payloadCols = Seq("event_type", "ts"), tieBreak = "event_id",
+          outPrefix = "v_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("v_event_type"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_from"))
+        .orderBy("event_id")
+    }),
     "cdc_scd2" -> ((s, d) => {
       // type-2 history of each user's event_type over the event log:
       // consecutive equal types collapse, every transition opens a
@@ -6390,6 +6414,24 @@ object SparkEntry {
     "cdc_apply_changes" -> cdcApplyOracle,
     "stream_cdc_apply_real" -> cdcApplyOracle,
     "cdc_scd2" -> cdcScd2Oracle,
+    "cdc_pit_join" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+          CAST(ts AS TIMESTAMP) AS ts FROM events),
+      h0 AS (SELECT user_id, ts, event_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM e),
+      h AS (SELECT user_id, ts AS vfrom, event_id AS hid, event_type
+            FROM h0 WHERE prev IS NULL OR prev <> event_type),
+      p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      cand AS (SELECT p.event_id, p.user_id, p.ts,
+          h.event_type AS v_event_type, h.vfrom, h.hid
+        FROM p JOIN h ON p.user_id = h.user_id AND h.vfrom <= p.ts),
+      best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+          ORDER BY vfrom DESC, hid DESC) AS rn FROM cand)
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        v_event_type, strftime(vfrom, '%Y-%m-%d %H:%M:%S') AS v_from
+      FROM best WHERE rn = 1 ORDER BY event_id""",
     "stream_scd2_real" -> cdcScd2Oracle,
     "split_stratified" -> """
       WITH e AS (SELECT vec_id, label, CAST(label AS VARCHAR) AS s,
