@@ -758,6 +758,17 @@ object SparkEntry {
         predicates = Seq(("totalprice_positive", col("o_totalprice") > 0)))
         .orderBy("check_name")
     }),
+    "join_bloom_pruned" -> ((s, d) =>
+      // explicit runtime-filter join: orders pruned by the 3-nation
+      // customer subset's Bloom filter BEFORE any exchange; result
+      // provably the plain inner join (no false negatives, false
+      // positives die in the real join)
+      Joins.bloomPrunedJoin(tbl(s, d, "orders"),
+          tbl(s, d, "customer").where(col("c_nationkey") < 3)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+        .orderBy("o_orderkey")),
     "er_blocked_match" -> ((s, d) => {
       // entity resolution: customer names corrupted in-flight three ways
       // (append / delete / substitute — distances 1,1,1 to the source) are
@@ -4808,6 +4819,10 @@ object SparkEntry {
             FROM u)
       SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts, ffill
       FROM w WHERE is_grid = 1 ORDER BY user_id, grid_ts""",
+    "join_bloom_pruned" -> """
+      SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey < 3 ORDER BY o.o_orderkey""",
     "er_blocked_match" -> """
       WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
           CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Q'

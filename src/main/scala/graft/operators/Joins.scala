@@ -267,4 +267,42 @@ object Joins {
       .dropDuplicates(keys :+ lId :+ rId)
       .drop("__cell")
   }
+
+  /** Bloom-pruned inner join — the explicit runtime-filter technique for a
+    * selective dimension join at 100 TB: the small side's keys compress
+    * into ONE bounded Bloom filter (partial-aggregated bit-OR, the driver
+    * receives `numBits/8` bytes regardless of row count), and the big side
+    * filters on `might_contain` BEFORE its shuffle — fact rows with no
+    * possible partner never enter the exchange. The result is EXACTLY the
+    * plain inner join: a Bloom filter has no false negatives, and false
+    * positives die in the real join that follows (null big-side keys fall
+    * out of the probe the same way the inner join drops them).
+    *
+    * This is what Spark's `InjectRuntimeFilter` does adaptively; the
+    * explicit form guarantees the prune regardless of optimizer
+    * heuristics/thresholds and makes the filter size a declared budget
+    * (fpp 1e-6 ⇒ ~3.6 MB per million keys). Codegen'd end to end: the
+    * build is Spark's `BloomFilterAggregate`, the probe its
+    * `BloomFilterMightContain` (deserialized once per task, not per row).
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 1e-6): DataFrame = {
+    require(bigKey != smallKey,
+      "bloomPrunedJoin: key columns must have distinct names (alias one side)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(qcol(smallKey))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloom = small.agg(agg.as("__bf")).head.getAs[Array[Byte]](0)
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloom)),
+      ColumnBridge.expression(xxhash64(qcol(bigKey)))))
+    big.where(probe).join(small, qcol(bigKey) === qcol(smallKey))
+  }
 }

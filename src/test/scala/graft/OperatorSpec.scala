@@ -2696,6 +2696,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got2(1L) == 3L, s"multiplicity must out-vote the smaller label: $got2")
   }
 
+  test("bloomPrunedJoin ≡ plain inner join; bloom probe present in the plan") {
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 500).map(i => (i.toLong, rnd.nextInt(60).toLong)).toDF("id", "bk")
+    val small = (0L to 19L).map(j => (j, s"v$j")).toDF("sk", "payload")
+    val pruned = Joins.bloomPrunedJoin(big, small, "bk", "sk")
+    val got = pruned.select("id", "bk", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = big.join(small, col("bk") === col("sk"))
+      .select("id", "bk", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, "bloom prune must not change the join result")
+    assert(want.nonEmpty && got.size < 500, "fixture must actually prune and match")
+    // on a LocalRelation the optimizer folds the probe into the scan —
+    // assert it on the parquet-backed gate plan, where it must survive as
+    // a big-side runtime filter
+    val gate = SparkEntry.queries("join_bloom_pruned")(spark, "/root/testdata/sf0.001")
+    assert(gate.queryExecution.executedPlan.toString.contains("might_contain"),
+      "the bloom probe must appear as a big-side filter on a real scan")
+  }
+
   test("blockedFuzzyMatch: best match per query, pinned ties, block key prunes") {
     val ref = Seq((1L, "alpha-one"), (2L, "alpha-two"), (3L, "omega-one"))
       .toDF("id", "name")

@@ -540,6 +540,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("blockedFuzzyMatch candidates come from a hash equi-join on the block key") {
+    // the Levenshtein predicate must stay a post-join filter — if the
+    // block key ever left the join condition, Catalyst would plan the
+    // theta-join as BNLJ and the candidate generator degrades to all-pairs
+    val plan = planOf("er_blocked_match")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"er_blocked_match must stay a block-key equi-join:\n$plan")
+  }
+
   test("bbitSimilarityJoin: candidate exchanges carry packed longs, never signature arrays") {
     // the operator's whole point is exchange width — a plan that ships the
     // k-element signature arrays through the bucket join has silently
