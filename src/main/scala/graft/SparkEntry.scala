@@ -582,6 +582,23 @@ object SparkEntry {
       // join); filled doubles are carried verbatim, never recomputed
       TimeSeries.resampleFfill(events(s, d), stepHours = 6)
         .orderBy("user_id", "grid_ts")),
+    "fn_json_props" -> ((s, d) => {
+      // semi-structured column surface: the events.props JSON payload
+      // parsed with the codegen'd path extractor (get_json_object), a
+      // %113 malformed sliver planted in-flight — broken JSON must yield
+      // null, never kill the row; per-type exact integer stats
+      val ev = events(s, d).select(col("event_type"),
+        when(col("event_id") % 113 === 0, lit("{not json"))
+          .otherwise(col("props")).as("props"))
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
     "agg_event_transitions" -> ((s, d) => {
       // first-order Markov transition matrix of user behavior: per-user
       // event-time-ordered (type → next type) counts and exact integer
@@ -4776,6 +4793,18 @@ object SparkEntry {
         strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
         strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
       FROM p ORDER BY user_id""",
+    "fn_json_props" -> """
+      WITH e AS (SELECT event_type,
+          CASE WHEN event_id % 113 = 0 THEN '{not json' ELSE props END AS props
+        FROM events),
+      x AS (SELECT event_type,
+          CASE WHEN json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        FROM e)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      FROM x GROUP BY 1 ORDER BY 1""",
     "agg_event_transitions" -> """
       WITH e AS (SELECT user_id, event_id, event_type,
           CAST(ts AS TIMESTAMP) AS ts FROM events),
