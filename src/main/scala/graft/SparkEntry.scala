@@ -786,6 +786,24 @@ object SparkEntry {
           "o_custkey", "c_custkey")
         .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
         .orderBy("o_orderkey")),
+    "er_sorted_neighborhood" -> ((s, d) => {
+      // the OTHER ER blocking strategy: global sort + fixed window — pair
+      // volume exactly n·w regardless of key distribution; same dirty
+      // plant as er_blocked_match, rank via distributed sort+zipWithIndex
+      // (no single-partition window), maxDist 1 keeps the pair set tight
+      val cust = tbl(s, d, "customer")
+      val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("Q")))
+          .when(col("c_custkey") % 3 === 1,
+            expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+            lit("X"))).as("rname"))
+      val all = cust.select(col("c_custkey").as("rid"), col("c_name").as("rname"))
+        .unionByName(dirty)
+      Dedup.sortedNeighborhoodMatch(all, "rid", "rname",
+          windowSize = 3, maxDistance = 1)
+        .orderBy("a_id", "b_id")
+    }),
     "er_blocked_match" -> ((s, d) => {
       // entity resolution: customer names corrupted in-flight three ways
       // (append / delete / substitute — distances 1,1,1 to the source) are
@@ -4852,6 +4870,22 @@ object SparkEntry {
       SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_nationkey < 3 ORDER BY o.o_orderkey""",
+    "er_sorted_neighborhood" -> """
+      WITH dirty AS (SELECT c_custkey + 1000000 AS rid,
+          CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Q'
+               WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, length(c_name) - 1)
+               ELSE substr(c_name, 1, length(c_name) - 1) || 'X' END AS rname
+        FROM customer),
+      allr AS (SELECT c_custkey AS rid, c_name AS rname FROM customer
+               UNION ALL SELECT rid, rname FROM dirty),
+      rk AS (SELECT rid, rname,
+               row_number() OVER (ORDER BY rname, rid) - 1 AS rank FROM allr),
+      cand AS (SELECT a.rid AS a_id, a.rname AS a_name,
+          b.rid AS b_id, b.rname AS b_name,
+          levenshtein(a.rname, b.rname) AS dist
+        FROM rk a JOIN rk b ON b.rank BETWEEN a.rank + 1 AND a.rank + 3)
+      SELECT a_id, a_name, b_id, b_name, CAST(dist AS BIGINT) AS dist
+      FROM cand WHERE dist <= 1 ORDER BY a_id, b_id""",
     "er_blocked_match" -> """
       WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
           CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Q'

@@ -1016,6 +1016,61 @@ object Dedup {
     * hot block is a data-model smell the block length fixes, not a plan
     * problem; AQE skew-split covers the residue.
     */
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995) — the
+    * OTHER classic ER blocking strategy: sort all records by the match
+    * field, then compare each record only to its `windowSize` successors
+    * in sort order. Complements [[blockedFuzzyMatch]]: prefix blocking
+    * misses typos IN the prefix, sorted-neighborhood misses typos that
+    * move a record far in sort order — production pipelines run both and
+    * union the candidate pairs.
+    *
+    * Scale shape: the global rank is the vocabulary convention
+    * (distributed sort + `zipWithIndex` — range-partitioned total order,
+    * NO single-partition window); candidates come from `windowSize` equi-
+    * joins on shifted ranks (explode of 1..w, one hash join on the rank —
+    * decision-sized (rank, id, name) rows); Levenshtein filters inside
+    * the join projection. Pair volume is exactly n·w by construction —
+    * no skew is possible, regardless of key distribution (the property
+    * that makes sorted-neighborhood attractive when blocking keys are
+    * pathological).
+    *
+    * Output pairs are sort-ordered (a before b); uniqueness of (name, id)
+    * makes the rank — and therefore the pair set — engine-reproducible.
+    */
+  def sortedNeighborhoodMatch(records: DataFrame, idCol: String,
+      nameCol: String, windowSize: Int, maxDistance: Int): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = records.sparkSession
+    // scoped-persist: zipWithIndex's eager offset job would otherwise run
+    // the sort twice; registry release keeps the block recomputable (the
+    // (name, id) order is a unique total order, so recompute is identical)
+    val sorted = graft.SparkUtil.scopedPersist(records
+      .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+      .where(col("name").isNotNull)
+      .orderBy("name", "id"))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row(i, r.getLong(0), r.getString(1)) },
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = false))))
+    ranked
+      .select(col("rank"), col("id").as("a_id"), col("name").as("a_name"))
+      .select(col("a_id"), col("a_name"),
+        explode(sequence(lit(1), lit(windowSize))).as("__j"),
+        col("rank"))
+      .withColumn("__r2", col("rank") + col("__j"))
+      .join(ranked.select(col("rank").as("__r2"), col("id").as("b_id"),
+        col("name").as("b_name")), Seq("__r2"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .where(col("dist") <= maxDistance)
+      .select(col("a_id"), col("a_name"), col("b_id"), col("b_name"),
+        col("dist").cast("long").as("dist"))
+  }
+
   def blockedFuzzyMatch(queries: DataFrame, reference: DataFrame,
       queryId: String, queryName: String, refId: String, refName: String,
       blockLen: Int, maxDistance: Int): DataFrame = {

@@ -2696,6 +2696,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(got2(1L) == 3L, s"multiplicity must out-vote the smaller label: $got2")
   }
 
+  test("sortedNeighborhoodMatch: window bounds pairs, sort adjacency, exact dists") {
+    val recs = Seq((1L, "aa"), (5L, "aa"), (2L, "ab"), (3L, "ac"), (4L, "ba"))
+      .toDF("id", "nm")
+    val got = Dedup.sortedNeighborhoodMatch(recs, "id", "nm",
+        windowSize = 2, maxDistance = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    // rank order: aa(1) aa(5) ab(2) ac(3) ba(4); window 2, dist<=1 →
+    // (1,5,d0) (1,2,d1) (5,2,d1) (5,3,d1) (2,3,d1); (3,4)/(2,4) at d2 drop;
+    // (1,3) is inside dist but OUTSIDE the window — sorted-neighborhood
+    // trades that recall for the guaranteed n·w pair bound
+    assert(got == Set((1L, 5L, 0L), (1L, 2L, 1L), (5L, 2L, 1L),
+      (5L, 3L, 1L), (2L, 3L, 1L)), s"$got")
+  }
+
   test("bloomPrunedJoin ≡ plain inner join; bloom probe present in the plan") {
     val rnd = new scala.util.Random(7)
     val big = (1 to 500).map(i => (i.toLong, rnd.nextInt(60).toLong)).toDF("id", "bk")
