@@ -582,6 +582,39 @@ object SparkEntry {
       // join); filled doubles are carried verbatim, never recomputed
       TimeSeries.resampleFfill(events(s, d), stepHours = 6)
         .orderBy("user_id", "grid_ts")),
+    "agg_kmv_distinct" -> ((s, d) =>
+      // bottom-k distinct sketch, tolerance-gated like agg_approx_distinct:
+      // the boolean asserts the KMV estimate lands within 10% of exact
+      // (xxhash64 is fixed-seed, so the estimate is a constant of the
+      // dataset — a drifting sketch fails the hash, not a coin flip)
+      tbl(s, d, "orders")
+        .agg(graft.functions.Sketches.kmvAgg(xxhash64(col("o_custkey")), 1024)
+            .as("__sk"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(col("n_exact"),
+          (abs(graft.functions.Sketches.kmvDistinct(col("__sk"), 1024) -
+            col("n_exact").cast("double")) <=
+            col("n_exact").cast("double") * 0.1).as("kmv_ok"))),
+    "agg_kmv_intersect" -> ((s, d) => {
+      // what HLL cannot do: distinct-INTERSECTION from two mergeable
+      // 2 KB sketches — viewers ∩ purchasers estimated from k smallest
+      // union hashes, within 20% of the exact co-shuffled answer
+      val ev = events(s, d)
+      def sk(t: String) = ev.where(col("event_type") === t)
+        .agg(graft.functions.Sketches.kmvAgg(xxhash64(col("user_id")), 1024)
+          .as(s"__sk_$t"))
+      val exact = ev.where(col("event_type") === "view")
+        .select("user_id").distinct()
+        .join(ev.where(col("event_type") === "purchase")
+          .select("user_id").distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      sk("view").crossJoin(sk("purchase")).crossJoin(broadcast(exact))
+        .select(col("n_exact"),
+          (abs(graft.functions.Sketches.kmvIntersect(
+              col("__sk_view"), col("__sk_purchase"), 1024) -
+            col("n_exact").cast("double")) <=
+            col("n_exact").cast("double") * 0.2).as("kmv_ok"))
+    }),
     "fn_json_props" -> ((s, d) => {
       // semi-structured column surface: the events.props JSON payload
       // parsed with the codegen'd path extractor (get_json_object), a
@@ -4811,6 +4844,13 @@ object SparkEntry {
         strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
         strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
       FROM p ORDER BY user_id""",
+    "agg_kmv_distinct" -> """
+      SELECT count(DISTINCT o_custkey) AS n_exact, true AS kmv_ok FROM orders""",
+    "agg_kmv_intersect" -> """
+      SELECT count(*) AS n_exact, true AS kmv_ok FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
     "fn_json_props" -> """
       WITH e AS (SELECT event_type,
           CASE WHEN event_id % 113 = 0 THEN '{not json' ELSE props END AS props

@@ -111,10 +111,145 @@ case class CountMinAgg(
     copy(child = c)
 }
 
+/** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et al.
+  * 2007 for the multi-set operations): keep the k smallest DISTINCT
+  * 64-bit hash values of a stream. `kth smallest / 2⁶⁴` estimates the
+  * fraction of hash space covered by k distinct elements, so
+  * `D̂ = (k−1)/θ`; two sketches combine by set ops on their value sets,
+  * which is what HLL cannot do — INTERSECTION and Jaccard estimates come
+  * from the same 2 KB of state.
+  *
+  * Why it exists at 100 TB: exact distinct-intersection of two key sets
+  * is a full co-shuffle of both; the sketch reduces each side to k longs
+  * (partial-aggregated — map tasks emit one bounded buffer), and the
+  * combine is driver-trivial array math. Below k distinct values the
+  * sketch IS the value set and every estimate is exact — the small-side
+  * regime degrades to truth, not noise.
+  *
+  * Values are stored SIGN-FLIPPED (`h ^ Long.MinValue`) so ascending
+  * signed order is ascending unsigned order of the raw hash; the
+  * estimation helpers undo the flip. Input must be a LONG hash column
+  * (`xxhash64(key)` — 64-bit, engine-reproducible).
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 16, s"k must be >= 16, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_agg needs a LONG hash input (xxhash64), got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val u = v.asInstanceOf[Long] ^ Long.MinValue
+      if (buf.size < k) buf.add(u)
+      else if (u < buf.last) { if (buf.add(u)) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val u = it.next()
+      if (buf.size < k) buf.add(u)
+      else if (u < buf.last) { if (buf.add(u)) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): KmvAgg =
+    copy(child = c)
+}
+
 object Sketches {
   /** DataFrame surface: `df.agg(countMinAgg(col("token"), 4, 1024))`. */
   def countMinAgg(token: Column, depth: Int, width: Int): Column =
     ColumnBridge.column(
       CountMinAgg(ColumnBridge.expression(token), depth, width)
         .toAggregateExpression())
+
+  /** `df.agg(kmvAgg(xxhash64(col("key")), 256))` → sorted flipped-hash
+    * array (≤ k longs).
+    */
+  def kmvAgg(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvAgg(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  private val Two63 = 9.223372036854775808e18
+  private val Two64 = 1.8446744073709551616e19
+
+  /** Distinct-count estimate from a KMV sketch: exact below k (the sketch
+    * holds every distinct hash), `(k−1)/θ` at capacity with θ the kth
+    * smallest hash as a fraction of the 64-bit space.
+    */
+  def kmvDistinct(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((element_at(sketch, k).cast("double") + Two63) / Two64))
+  }
+
+  /** Intersection-size estimate of two KMV sketches (Beyer et al. 2007):
+    * the k smallest of the union form a uniform sample of A∪B; the
+    * fraction of that sample present in BOTH sketches estimates Jaccard,
+    * and `Ĵ · D̂(A∪B)` the intersection size. Exact when both sides are
+    * below capacity.
+    */
+  def kmvIntersect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val union = slice(array_sort(array_union(a, b)), 1, k)
+    val theta = element_at(union, size(union)) // largest retained union hash
+    val common = size(filter(array_intersect(a, b), x => x <= theta))
+    val jacc = common.cast("double") / size(union)
+    when(size(union) === 0, lit(0.0)).otherwise(jacc * kmvDistinct(union, k))
+  }
 }

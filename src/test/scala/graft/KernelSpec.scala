@@ -468,4 +468,34 @@ class KernelSpec extends AnyFunSuite {
       Sketches.countMinAgg(col("token"), 0, width)
     }
   }
+
+  test("kmvAgg: exact below capacity, partition-invariant, intersection exact regime") {
+    import graft.functions.Sketches
+    // 500 distinct keys, k = 1024 → the sketch IS the distinct hash set
+    val keys = (1L to 500L).flatMap(i => Seq(i, i)).toDF("key") // dups collapse
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .agg(Sketches.kmvAgg(xxhash64(col("key")), 1024).as("sk"))
+      .select(Sketches.kmvDistinct(col("sk"), 1024).as("d"), size(col("sk")).as("n"))
+      .collect()(0)
+    val r = run(keys)
+    assert(r.getDouble(0) == 500.0 && r.getInt(1) == 500,
+      s"below-capacity sketch must be exact: $r")
+    assert(run(keys.repartition(13)).getDouble(0) == 500.0,
+      "merge order must not change the sketch")
+    // capacity regime: estimate within 3/sqrt(k) of truth on 50k distinct
+    val big = (1L to 50000L).toDF("key")
+      .agg(Sketches.kmvAgg(xxhash64(col("key")), 1024).as("sk"))
+      .select(Sketches.kmvDistinct(col("sk"), 1024).as("d")).collect()(0).getDouble(0)
+    assert(math.abs(big - 50000.0) / 50000.0 < 3.0 / math.sqrt(1024.0),
+      s"capacity-regime estimate off: $big")
+    // intersection, exact regime: |{1..300} ∩ {201..500}| = 100
+    val a = (1L to 300L).toDF("key")
+      .agg(Sketches.kmvAgg(xxhash64(col("key")), 1024).as("a"))
+    val b = (201L to 500L).toDF("key")
+      .agg(Sketches.kmvAgg(xxhash64(col("key")), 1024).as("b"))
+    val inter = a.crossJoin(b)
+      .select(Sketches.kmvIntersect(col("a"), col("b"), 1024).as("i"))
+      .collect()(0).getDouble(0)
+    assert(inter == 100.0, s"exact-regime intersection must be exact: $inter")
+  }
 }
