@@ -582,6 +582,36 @@ object SparkEntry {
       // join); filled doubles are carried verbatim, never recomputed
       TimeSeries.resampleFfill(events(s, d), stepHours = 6)
         .orderBy("user_id", "grid_ts")),
+    "window_longest_streak" -> ((s, d) => {
+      // gaps-and-islands classic: longest run of CONSECUTIVE active days
+      // per user — island anchor = day − row_number days, all date-integer
+      // arithmetic, no floats anywhere
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val anchored = days.withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+        .withColumn("__anchor", date_sub(col("day"), col("__rn")))
+      anchored.groupBy("user_id", "__anchor").agg(count(lit(1)).as("__len"))
+        .groupBy("user_id")
+        .agg(max(col("__len")).as("longest_streak"),
+          sum(col("__len")).as("n_active_days"))
+        .orderBy("user_id")
+    }),
+    "agg_contribution" -> ((s, d) =>
+      // ratio-to-report: each nation's share of total order revenue in
+      // exact integer micro-units — cents via round(×100) (2-dp doubles
+      // are exact in cents), share = (cents·10⁶) div total
+      tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("share_micro",
+          expr("(cents * 1000000) div sum(cents) over ()"))
+        .select(col("c_nationkey"), col("n_orders"), col("cents"),
+          col("share_micro"))
+        .orderBy("c_nationkey")),
     "agg_kmv_distinct" -> ((s, d) =>
       // bottom-k distinct sketch, tolerance-gated like agg_approx_distinct:
       // the boolean asserts the KMV estimate lands within 10% of exact
@@ -4844,6 +4874,27 @@ object SparkEntry {
         strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
         strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
       FROM p ORDER BY user_id""",
+    "window_longest_streak" -> """
+      WITH days AS (SELECT DISTINCT user_id,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      a AS (SELECT user_id, day,
+          day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+            AS INTEGER) AS anchor
+        FROM days),
+      runs AS (SELECT user_id, anchor, count(*) AS len
+               FROM a GROUP BY 1, 2)
+      SELECT user_id, max(len) AS longest_streak,
+        CAST(sum(len) AS BIGINT) AS n_active_days
+      FROM runs GROUP BY 1 ORDER BY 1""",
+    "agg_contribution" -> """
+      WITH n AS (SELECT c.c_nationkey, count(*) AS n_orders,
+          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1)
+      SELECT c_nationkey, n_orders, cents,
+        CAST((cents * 1000000) // (SELECT CAST(sum(cents) AS BIGINT) FROM n)
+          AS BIGINT) AS share_micro
+      FROM n ORDER BY c_nationkey""",
     "agg_kmv_distinct" -> """
       SELECT count(DISTINCT o_custkey) AS n_exact, true AS kmv_ok FROM orders""",
     "agg_kmv_intersect" -> """
