@@ -968,12 +968,18 @@ object Dedup {
         explode(array_distinct(array(probeCells(col("v")): _*))).as("cell"))
     val a = assigned.select(col("cell"), col("id").as("a_id"), col("v").as("a_v"))
     val b = assigned.select(col("cell"), col("id").as("b_id"), col("v").as("b_v"))
+    // score + threshold BEFORE the pair dedup (the approxSimilarityJoin
+    // convention): cosine is deterministic per pair, so the distinct
+    // shuffle carries only SURVIVING (a_id, b_id, cosine) triples — a
+    // dedup-first order would ship two full vectors per multiprobe
+    // candidate pair through the exchange (measured 918 MB at sf0.1 vs
+    // ~2 MB this way; PERF.md round 11)
     a.join(b, Seq("cell"))
       .where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
       .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
       .where(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** Recall of [[embeddingPairsIvf]] against the exhaustive brute pair set
