@@ -1463,6 +1463,17 @@ object SparkEntry {
       Graphs.pageRank(e, "src", "dst", iterations = 3)
         .orderBy("node_id")
     }),
+    "graph_node_jaccard" -> ((s, d) => {
+      // link-prediction score over the planted hub graph: top-200 node
+      // pairs by neighborhood Jaccard (exact integer counts, rounded-6
+      // ratio, ties pinned); zero-common pairs never materialize
+      val dd = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"))
+      val n = dd.count()
+      val e = dd.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
+      Graphs.nodeJaccard(e, "src", "dst", topN = 200)
+    }),
     "graph_ppr" -> ((s, d) => {
       // personalized PageRank (TrustRank shape): teleport mass returns
       // only to the %50 seed docs over the planted hub graph; 2
@@ -6210,6 +6221,26 @@ object SparkEntry {
       FROM scored
       WHERE round((CAST(matched_bits AS DOUBLE) * 2 - 16) / 16, 6) >= 0.5
       ORDER BY a_id, b_id""",
+    "graph_node_jaccard" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ids AS (SELECT doc_id AS v FROM documents),
+      -- no unnest: DuckDB (as of the driver's build) fails to bind an
+      -- unnest CTE referenced twice through a UNION ALL
+      e1 AS (SELECT v AS src, (v * 3 + 1) % n AS dst FROM ids, nn
+             UNION ALL SELECT v, (v + 7) % n FROM ids, nn
+             UNION ALL SELECT v, CAST(0 AS BIGINT) FROM ids),
+      undr AS (SELECT src AS a, dst AS b FROM e1
+               UNION ALL SELECT dst AS a, src AS b FROM e1),
+      und AS (SELECT DISTINCT a, b FROM undr WHERE a <> b),
+      deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+      cm AS (SELECT p.a AS x, q.b AS y, count(*) AS common
+             FROM und p JOIN und q ON p.b = q.a AND p.a < q.b
+             GROUP BY 1, 2)
+      SELECT cm.x AS a_id, cm.y AS b_id, cm.common,
+        round(CAST(cm.common AS DOUBLE) / (dx.deg + dy.deg - cm.common), 6)
+          AS jaccard6
+      FROM cm JOIN deg dx ON cm.x = dx.a JOIN deg dy ON cm.y = dy.a
+      ORDER BY jaccard6 DESC, a_id, b_id LIMIT 200""",
     "graph_ppr" -> """
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ids AS (SELECT doc_id AS v FROM documents),

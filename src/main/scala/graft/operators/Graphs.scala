@@ -187,6 +187,44 @@ object Graphs {
     links.where(!col("internal"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
 
+  /** Neighborhood-Jaccard node similarity (the classic link-prediction /
+    * role-similarity score): for every node pair with at least one COMMON
+    * neighbor, `|N(a)∩N(b)| / |N(a)∪N(b)|` over the undirected neighbor
+    * sets — exact integers until the final ratio, which follows the
+    * rounded-6 convention with (a, b) ties pinned.
+    *
+    * Scale shape: common-neighbor counts come from the 2-path self-join
+    * (edges ⋈ edges on the middle node — the triangle-join convention;
+    * pair volume Σ deg(m)², bounded by the hub cap the caller's graph
+    * carries), aggregated map-side to (a, b, common) longs; degrees join
+    * in as two key-sized frames; NO neighbor-set collection anywhere.
+    * Pairs with zero common neighbors (similarity 0) are never
+    * materialized — at scale they are the n² of the problem.
+    */
+  def nodeJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val dir = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    // undirected simple graph: dedup both orientations, drop self-loops
+    val und = dir.unionAll(dir.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b")).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val common = und.select(col("a").as("x"), col("b").as("m"))
+      .join(und.select(col("a").as("m"), col("b").as("y")), Seq("m"))
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("a").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("a").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(col("x").as("a_id"), col("y").as("b_id"), col("common"),
+        round(col("common").cast("double") /
+          (col("dx") + col("dy") - col("common")), 6).as("jaccard6"))
+      .orderBy(col("jaccard6").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topN)
+  }
+
   /** Personalized PageRank (the TrustRank / seed-propagation form,
     * Gyöngyi et al. 2004): identical exact-integer rounds to [[pageRank]]
     * except the teleport mass returns ONLY to the `seeds` set — scores

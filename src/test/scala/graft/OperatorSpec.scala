@@ -2668,6 +2668,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rep.toSeq == got.toSeq)
   }
 
+  test("nodeJaccard: K4 + pendant hand values; zero-common pairs absent") {
+    // K4 over {1,2,3,4} plus pendant 5—1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L)).toDF("s", "t")
+    val got = Graphs.nodeJaccard(e, "s", "t", topN = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // within-K4 pairs not touching 1: common 2, deg 3+3 → J = 0.5
+    assert(got((2L, 3L)) == 0.5 && got((2L, 4L)) == 0.5 && got((3L, 4L)) == 0.5)
+    // pairs with 1 (deg 4): (1,x) common 2, union 4+3-2 → 0.4
+    assert(got((1L, 2L)) == 0.4 && got((1L, 3L)) == 0.4 && got((1L, 4L)) == 0.4)
+    // pendant vs K4 members: common {1}, union 1+3-1 → 1/3
+    assert(got((2L, 5L)) == 0.333333 && got((3L, 5L)) == 0.333333 &&
+      got((4L, 5L)) == 0.333333)
+    // (1,5) share no neighbor → never materialized
+    assert(!got.contains((1L, 5L)) && got.size == 9, s"$got")
+  }
+
   test("personalizedPageRank: seed-only teleport, hand rounds, spam island stays 0") {
     // chain 1→2→3 plus disconnected 4→5; seed {1}; n = 5 nodes →
     // perSeed = (15·5·10⁶ div 100) div 1 = 750000
