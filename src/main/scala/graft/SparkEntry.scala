@@ -3364,6 +3364,38 @@ object SparkEntry {
         .unionAll(uniq.select(lit("unique:o_orderkey"), col("n")))
         .orderBy("check_name")
     }),
+    "stream_retention_real" -> ((s, d) => {
+      // cohort retention maintained on a STREAM: complete-mode
+      // (user, week) counts — state = one long per active cell, the
+      // distinct-activity frame itself — then the batch-side cohort
+      // join/rollup over the final state table (cohort = min active week,
+      // identical to first-event week); shares the batch oracle verbatim
+      val tmp = stageOnce(s, d, "graft-stream-retention") { t =>
+        events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = withStatePartitions(s) {
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(tmp)
+          .groupBy("user_id", "week").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("graft_retention_state")
+          .outputMode("complete").start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val active = s.table("graft_retention_state").select("user_id", "week")
+      // rebind one side: MemoryPlan self-joins carry conflicting attribute
+      // ids (the per-round rebind convention from Graphs)
+      val activeR = s.createDataFrame(active.rdd, active.schema)
+      val firsts = activeR.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      active.join(firsts, Seq("user_id"))
+        .withColumn("offset_weeks",
+          (datediff(col("week"), col("cohort")) / 7).cast("long"))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
     "stream_exif_real" -> ((s, d) => {
       // EXIF extraction on a STREAM of media payloads: the byte walk is a
       // stateless narrow mapPartitions, so real micro-batch execution
@@ -4246,6 +4278,21 @@ object SparkEntry {
              / (CAST(n_b + 1 AS DOUBLE) / (t.tb + 6))), 6) AS term6
       FROM j, t ORDER BY bucket"""
 
+  /** Shared oracle: batch cohort retention and the streaming monitor
+    * (complete-mode distinct-activity state + batch rollup) produce the
+    * identical cohort table.
+    */
+  private lazy val retentionOracle: String = """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e)
+      SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', f.cohort, a.week) // 7 AS BIGINT) AS offset_weeks,
+        count(*) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Shared oracle: batch EXIF extraction and its streaming twin replay
     * the identical planted-field formulas.
     */
@@ -4940,16 +4987,8 @@ object SparkEntry {
       FROM cab JOIN ca USING (a) ORDER BY a, b""",
     "ts_cusum_alarms" -> cusumOracle,
     "stream_cusum_real" -> cusumOracle,
-    "agg_retention_cohort" -> """
-      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
-            FROM e GROUP BY 1),
-      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e)
-      SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
-        CAST(date_diff('day', f.cohort, a.week) // 7 AS BIGINT) AS offset_weeks,
-        count(*) AS n_users
-      FROM a JOIN f USING (user_id)
-      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "agg_retention_cohort" -> retentionOracle,
+    "stream_retention_real" -> retentionOracle,
     "ts_resample_ffill" -> """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
                  FROM events),
