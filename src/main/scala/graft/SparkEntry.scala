@@ -2593,6 +2593,12 @@ object SparkEntry {
       // corpus-health statistic: OLS of ln(freq) on ln(rank) over the
       // top-500 tokens in exact integer micro arithmetic
       TextAnalysis.zipfFit(docs(s, d), "text", topV = 500)),
+    "text_rake_keywords" -> ((s, d) =>
+      // RAKE keyword extraction over the English slice: stopword-split
+      // candidate phrases scored by Σ deg(w)/freq(w) in exact integer
+      // micro-units, top-100 by (score desc, phrase) — fully pinned
+      TextAnalysis.rakeKeywords(docs(s, d).where(col("lang") === "en"),
+        "doc_id", "text", "en", topN = 100)),
     "text_js_div" -> ((s, d) =>
       // domain-drift measure: Jensen-Shannon divergence between the en
       // and de token distributions in exact micro-nat terms (per-token
@@ -5631,6 +5637,29 @@ object SparkEntry {
       SELECT doc_id, n_chars,
         CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro
       FROM s ORDER BY key_micro DESC, doc_id LIMIT 100""",
+    "text_rake_keywords" -> s"""
+      WITH de AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+      tk AS (SELECT doc_id, $tokenizeSql AS tokens FROM de),
+      tok AS (SELECT doc_id,
+          unnest(range(1, len(tokens) + 1)) - 1 AS pos,
+          unnest(tokens) AS w
+        FROM tk),
+      ns AS (SELECT doc_id, pos, w FROM tok
+             WHERE NOT list_contains(${stopwordList("en")}, w)),
+      ph AS (SELECT doc_id, pos, w,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS anchor
+        FROM ns),
+      wl AS (SELECT doc_id, anchor, pos, w,
+          count(*) OVER (PARTITION BY doc_id, anchor) AS plen FROM ph),
+      ws AS (SELECT w,
+          (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS wscore
+        FROM wl GROUP BY 1),
+      pr AS (SELECT wl.doc_id, wl.anchor,
+          string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+          CAST(sum(ws.wscore) AS BIGINT) AS pscore
+        FROM wl JOIN ws USING (w) GROUP BY 1, 2)
+      SELECT phrase, count(*) AS n_occurrences, min(pscore) AS score_micro
+      FROM pr GROUP BY 1 ORDER BY score_micro DESC, phrase LIMIT 100""",
     "text_js_div" -> s"""
       WITH ta AS (SELECT $tokenizeSql AS tokens FROM documents WHERE lang = 'en'),
       tb AS (SELECT $tokenizeSql AS tokens FROM documents WHERE lang = 'de'),

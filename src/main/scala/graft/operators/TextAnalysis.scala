@@ -1795,6 +1795,55 @@ object TextAnalysis {
     * not corpus-sized; N is a 1-row scalar broadcast. The final cut is a
     * distributed TakeOrdered, never a global sort.
     */
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are the
+    * maximal runs of non-stopword tokens; each word scores
+    * `deg(w)/freq(w)` where freq counts its phrase occurrences and deg
+    * sums the lengths of the phrases it appears in (co-occurrence
+    * degree); a phrase scores the sum of its member word scores. All
+    * corpus-global counts are exact, word scores are exact integer
+    * micro-units (`(deg·10⁶) div freq`), phrase scores exact micro sums —
+    * no float ever — and the top-N cut ranks on (score desc, phrase asc),
+    * fully pinned.
+    *
+    * Scale shape: phrase segmentation is the gaps-and-islands anchor
+    * (pos − rank-of-non-stop per doc — one per-doc window over (id, pos,
+    * short token) decision rows); word stats are map-side-combined
+    * aggregations; the word-score join is vocabulary-sized; the final cut
+    * is a distributed TakeOrdered.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      lang: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val stops = Stopwords.getOrElse(lang,
+      throw new IllegalArgumentException(s"no stopword list for '$lang'"))
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(T.tokenize(col(textCol))).as(Seq("pos", "w")))
+    val nonStop = toks.where(!col("w").isInCollection(stops))
+    val phrased = nonStop.withColumn("__anchor",
+      col("pos") - row_number().over(
+        Window.partitionBy("__id").orderBy("pos")))
+    // phrase membership rows: (phrase key, pos, w) + the phrase length
+    val withLen = phrased.withColumn("__plen",
+      count(lit(1)).over(Window.partitionBy("__id", "__anchor")))
+    val wordScores = withLen.groupBy("w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .select(col("w"), expr("(__deg * 1000000) div __freq").as("__wscore"))
+    val phrases = withLen.join(wordScores, Seq("w"))
+      .groupBy("__id", "__anchor")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        sum(col("__wscore")).as("__pscore"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("__pscore")).as("score_micro")) // identical text ⇒ identical score
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(topN)
+      .select(col("phrase"), col("n_occurrences"), col("score_micro"))
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis 2006, algorithm A-ES): row i gets key uᵢ^(1/wᵢ) with uᵢ a
     * reproducible md5-derived uniform in (0, 1], and the sample is the

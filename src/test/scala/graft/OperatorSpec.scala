@@ -2631,6 +2631,19 @@ class OperatorSpec extends AnyFunSuite {
       s"CUSUM must alarm exactly (u1, b103, cnt 10, S 7): ${got.toSeq}")
   }
 
+  test("rakeKeywords: hand-computed deg/freq scores, stopword split, pinned ties") {
+    val d = Seq((1L, "red apple and green apple"), (2L, "apple of gold"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(d, "doc_id", "text", "en", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // phrases: "red apple" "green apple" "apple" "gold"
+    // freq: apple 3, red/green/gold 1; deg: apple 2+2+1=5, red 2, green 2, gold 1
+    // scores: apple (5e6 div 3)=1666666, red/green 2e6, gold 1e6
+    assert(got.toSeq == Seq(
+      ("green apple", 1L, 3666666L), ("red apple", 1L, 3666666L),
+      ("apple", 1L, 1666666L), ("gold", 1L, 1000000L)), s"${got.toSeq}")
+  }
+
   test("jsDivergence: identical slices → 0; disjoint vocabularies → ln 2") {
     val a = Seq("alpha beta gamma", "alpha beta").toDF("text")
     val same = TextAnalysis.jsDivergence(a, a, "text").collect()(0)
