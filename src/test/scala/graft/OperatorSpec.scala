@@ -2696,6 +2696,15 @@ class OperatorSpec extends AnyFunSuite {
       got((4L, 5L)) == 0.333333)
     // (1,5) share no neighbor → never materialized
     assert(!got.contains((1L, 5L)) && got.size == 9, s"$got")
+    // super-node cap: a hub above maxHubDegree vanishes from the graph —
+    // its 2-path pair volume (quadratic in its degree) never exists
+    val star = (1L to 10L).map(i => (0L, i)).toDF("s", "t")
+    val capped = Graphs.nodeJaccard(star, "s", "t", topN = 100, maxHubDegree = 5)
+      .collect()
+    assert(capped.isEmpty, s"capped hub must contribute no pairs: ${capped.toSeq}")
+    val uncapped = Graphs.nodeJaccard(star, "s", "t", topN = 100, maxHubDegree = 100)
+      .collect()
+    assert(uncapped.length == 45, "below the cap the hub's pairs all score")
   }
 
   test("personalizedPageRank: seed-only teleport, hand rounds, spam island stays 0") {
