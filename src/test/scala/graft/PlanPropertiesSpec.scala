@@ -512,7 +512,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
       // para dedup's decision shuffles are ~1 KB; the 220 KB here is the
       // surviving text crossing its ONE documented id-keyed enrich join
       // (full materialization, unlike the count()-pruned ladder readings)
-      "text_para_dedup_global" -> 1024L)
+      "text_para_dedup_global" -> 1024L,
+      // the two round-11 measured regressions, pinned so they cannot
+      // recur: IVF dedup scoring AFTER the pair-dedup shipped full
+      // vectors (918 MB at sf0.1); the node-similarity 2-path join
+      // without the super-node cap shipped deg(hub)² pairs (74 MB)
+      "dedup_embedding_ivf" -> 2048L,
+      "graph_node_jaccard" -> 2048L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
