@@ -884,6 +884,20 @@ object SparkEntry {
           "c_custkey", "c_name", blockLen = 17, maxDistance = 2)
         .orderBy("q_id")
     }),
+    "dq_schema_drift" -> ((s, d) => {
+      // contract check on a new delivery: snapshot B drops a column, adds
+      // one, retypes totalprice to string, and nulls the %89 statuses —
+      // the report must classify every column and carry the exact
+      // null-count delta
+      val base = tbl(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val next = tbl(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        concat(lit("web"), col("o_orderkey") % 3).as("o_channel"))
+      DataQuality.schemaDrift(base, next).orderBy("column_name")
+    }),
     "dq_mad_outliers" -> ((s, d) => {
       // robust outlier stats with PLANTED spikes: every %131 event's
       // value is multiplied by 50, so each type's Hampel count (|x−med| >
@@ -5051,6 +5065,21 @@ object SparkEntry {
           PARTITION BY q_id ORDER BY dist, r_id) AS rn FROM cand)
       SELECT q_id, q_name, r_id, r_name, CAST(dist AS BIGINT) AS dist
       FROM best WHERE rn = 1 ORDER BY q_id""",
+    "dq_schema_drift" -> """
+      WITH nn AS (SELECT CAST(sum(CASE WHEN o_orderkey % 89 = 0 THEN 1
+          ELSE 0 END) AS BIGINT) AS nulled FROM orders)
+      SELECT 'o_channel' AS column_name, 'added' AS status,
+        CAST(NULL AS VARCHAR) AS type_a, 'string' AS type_b,
+        CAST(NULL AS BIGINT) AS nulls_a, CAST(0 AS BIGINT) AS nulls_b,
+        CAST(0 AS BIGINT) AS null_delta
+      UNION ALL SELECT 'o_orderkey', 'kept', 'bigint', 'bigint', 0, 0, 0
+      UNION ALL SELECT 'o_orderpriority', 'dropped', 'string',
+        CAST(NULL AS VARCHAR), 0, CAST(NULL AS BIGINT), 0
+      UNION ALL SELECT 'o_orderstatus', 'kept', 'string', 'string', 0,
+        (SELECT nulled FROM nn), (SELECT nulled FROM nn)
+      UNION ALL SELECT 'o_totalprice', 'type_changed', 'double', 'string',
+        0, 0, 0
+      ORDER BY column_name""",
     "dq_mad_outliers" -> """
       WITH e AS (SELECT event_type,
           CASE WHEN event_id % 131 = 0 THEN value * 50 ELSE value END AS value

@@ -78,6 +78,42 @@ object DataQuality {
     }.reduce(_.unionAll(_))
   }
 
+  /** Schema + profile drift between two table snapshots — the
+    * data-contract check a pipeline runs when a new upstream delivery
+    * lands: per column, its presence in each snapshot (added / dropped /
+    * kept), the declared type on each side, and the exact null-count
+    * delta for kept columns. A full-outer join of the two (bounded,
+    * schema-sized) profile frames plus the driver-side schema maps —
+    * nothing data-sized ever moves beyond the two profile passes.
+    */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val typesA = a.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val typesB = b.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val pa = columnProfile(a, a.columns.toSeq)
+      .select(col("column_name"), col("n_nulls").as("nulls_a"),
+        col("n_distinct").as("distinct_a"))
+    val pb = columnProfile(b, b.columns.toSeq)
+      .select(col("column_name"), col("n_nulls").as("nulls_b"),
+        col("n_distinct").as("distinct_b"))
+    val typeRows = (typesA.keySet ++ typesB.keySet).toSeq.sorted.map { c =>
+      (c, typesA.get(c).orNull, typesB.get(c).orNull)
+    }.toDF("column_name", "type_a", "type_b")
+    typeRows
+      .join(pa, Seq("column_name"), "left")
+      .join(pb, Seq("column_name"), "left")
+      .withColumn("status",
+        when(col("type_a").isNull, "added")
+          .when(col("type_b").isNull, "dropped")
+          .when(col("type_a") =!= col("type_b"), "type_changed")
+          .otherwise("kept"))
+      .select(col("column_name"), col("status"), col("type_a"), col("type_b"),
+        col("nulls_a"), col("nulls_b"),
+        (coalesce(col("nulls_b"), lit(0L)) - coalesce(col("nulls_a"), lit(0L)))
+          .as("null_delta"))
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * signal — the standard production drift monitor (banking/ML-ops
     * folklore; PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted):
