@@ -3386,6 +3386,35 @@ object SparkEntry {
         .unionAll(uniq.select(lit("unique:o_orderkey"), col("n")))
         .orderBy("check_name")
     }),
+    "stream_decontam_real" -> ((s, d) => {
+      // train-test overlap scrubbing on a LIVE ingest stream: the corpus
+      // slice streams in one file per trigger, each micro-batch runs the
+      // stream-static decontamination against the broadcast benchmark
+      // (no state store — the bench side is static), per-batch results
+      // are eagerly materialized (localCheckpoint) and unioned. k=4
+      // shingles (the realistic n-gram size): on this corpus 2-shingles
+      // contaminate everything (vacuous scrub), 4-shingles leave a real
+      // two-sided split (49 contaminated / 426 surviving at sf0.01)
+      val tmp = stageOnce(s, d, "graft-stream-decon") { t =>
+        docs(s, d).where(col("doc_id") % 20 =!= 0).select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").parquet(t)
+      }
+      val bench = docs(s, d).where(col("doc_id") % 20 === 0)
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val acc = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+      val q = graft.streaming.StreamingIndex.streamingDecontaminate(
+          src, "doc_id", "text", bench, "text", k = 4) { survivors =>
+        val m = survivors
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .localCheckpoint(true)
+        acc.updateAndGet(p => Some(p.map(_.unionAll(m)).getOrElse(m)))
+        ()
+      }
+      try q.processAllAvailable() finally q.stop()
+      acc.get.getOrElse(s.emptyDataFrame).orderBy("doc_id")
+    }),
     "stream_retention_real" -> ((s, d) => {
       // cohort retention maintained on a STREAM: complete-mode
       // (user, week) counts — state = one long per active cell, the
@@ -6768,6 +6797,19 @@ object SparkEntry {
         CASE WHEN substr(md5(CAST(coalesce(l.label, d.doc_id) AS VARCHAR)), 1, 2) < '19'
              THEN 'val' ELSE 'train' END AS split
       FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+      ORDER BY d.doc_id""",
+    "stream_decontam_real" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      shing AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(tokens) - 2),
+          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+            || ' ' || tokens[i+3])) AS shingles FROM toks),
+      bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM shing WHERE doc_id % 20 = 0),
+      corpus AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing WHERE doc_id % 20 <> 0),
+      hits AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench USING (shingle))
+      SELECT d.doc_id, md5(d.text) AS text_md5
+      FROM documents d
+      WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
       ORDER BY d.doc_id""",
     "dedup_decontaminate" -> s"""
       WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
