@@ -612,6 +612,30 @@ object SparkEntry {
         .select(col("c_nationkey"), col("n_orders"), col("cents"),
           col("share_micro"))
         .orderBy("c_nationkey")),
+    "agg_kmv_reagg" -> ((s, d) => {
+      // the property that makes sketches infrastructure: PER-GROUP KMV
+      // sketches re-aggregate to the global sketch EXACTLY (k smallest
+      // distinct hashes of a union = k smallest of the k-smallest sets),
+      // so daily partials roll up to weekly/corpus totals without
+      // re-reading data. Asserts bit-equality of the rolled-up and direct
+      // sketches plus the exact distinct count
+      val k = 1024
+      val perType = events(s, d).groupBy("event_type")
+        .agg(graft.functions.Sketches.kmvAgg(xxhash64(col("user_id")), k)
+          .as("sk"))
+      val rolled = perType.agg(
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("merged"))
+      val direct = events(s, d).agg(
+        graft.functions.Sketches.kmvAgg(xxhash64(col("user_id")), k).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      rolled.crossJoin(broadcast(direct))
+        .select(col("n_exact"),
+          (col("merged") === col("sk")).as("reagg_identical"),
+          (abs(graft.functions.Sketches.kmvDistinct(col("merged"), k) -
+            col("n_exact").cast("double")) <=
+            col("n_exact").cast("double") * 0.1).as("kmv_ok"))
+    }),
     "agg_kmv_distinct" -> ((s, d) =>
       // bottom-k distinct sketch, tolerance-gated like agg_approx_distinct:
       // the boolean asserts the KMV estimate lands within 10% of exact
@@ -753,6 +777,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "join_asof_tolerance" -> ((s, d) => {
+      // staleness-bounded as-of (the feature-store freshness contract):
+      // prior clicks older than 1 hour null out — exact microsecond
+      // comparison, same single windowed-union shuffle as join_asof
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      Joins.asofJoinPriorWithin(purchases, clicks, Seq("user_id"), "ts",
+          payloadCols = Seq("event_id", "ts"), tieBreak = "event_id",
+          outPrefix = "click_", toleranceSeconds = 3600L)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("click_event_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
     "join_left_outer" -> ((s, d) => {
       // customers with their big-order stats; customers without big orders
       // survive the outer join (nulls coalesced to canonical sentinels —
@@ -5004,6 +5046,9 @@ object SparkEntry {
         CAST((cents * 1000000) // (SELECT CAST(sum(cents) AS BIGINT) FROM n)
           AS BIGINT) AS share_micro
       FROM n ORDER BY c_nationkey""",
+    "agg_kmv_reagg" -> """
+      SELECT count(DISTINCT user_id) AS n_exact, true AS reagg_identical,
+        true AS kmv_ok FROM events""",
     "agg_kmv_distinct" -> """
       SELECT count(DISTINCT o_custkey) AS n_exact, true AS kmv_ok FROM orders""",
     "agg_kmv_intersect" -> """
@@ -5137,6 +5182,18 @@ object SparkEntry {
             FROM events WHERE event_type = 'click' GROUP BY 1, 2)
       SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         c.click_event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
+    "join_asof_tolerance" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        CASE WHEN date_diff('microsecond', c.ts, p.ts) > 3600000000
+             THEN NULL ELSE c.click_event_id END AS click_event_id,
+        CASE WHEN date_diff('microsecond', c.ts, p.ts) > 3600000000
+             THEN NULL ELSE strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
     "join_asof_next" -> """

@@ -268,6 +268,31 @@ object Joins {
       .drop("__cell")
   }
 
+  /** [[asofJoinPrior]] with a STALENESS BOUND — the market-data / feature-
+    * store semantics: a prior right row older than `toleranceSeconds`
+    * (exact microsecond comparison) is no better than no row, so its
+    * payload nulls out. The join itself is unchanged (same one windowed
+    * union shuffle); the bound is a post-join narrow projection, never a
+    * range join. `payloadCols` must include `tsCol` (the bound needs the
+    * matched row's timestamp — and a stale match nulls it too).
+    */
+  def asofJoinPriorWithin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, payloadCols: Seq[String],
+      tieBreak: String, outPrefix: String,
+      toleranceSeconds: Long): DataFrame = {
+    require(payloadCols.contains(tsCol),
+      s"asofJoinPriorWithin needs '$tsCol' in payloadCols for the staleness test")
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val joined = asofJoinPrior(left, right, keys, tsCol, payloadCols,
+      tieBreak, outPrefix)
+    val stale = unix_micros(qcol(tsCol)) -
+      unix_micros(qcol(outPrefix + tsCol)) > toleranceSeconds * 1000000L
+    payloadCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(outPrefix + c,
+        when(stale, lit(null)).otherwise(qcol(outPrefix + c)))
+    }
+  }
+
   /** Bloom-pruned inner join — the explicit runtime-filter technique for a
     * selective dimension join at 100 TB: the small side's keys compress
     * into ONE bounded Bloom filter (partial-aggregated bit-OR, the driver
