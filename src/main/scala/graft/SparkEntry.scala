@@ -3968,6 +3968,16 @@ object SparkEntry {
           col("start_frame").cast("long").as("start_frame"),
           col("n_frames").cast("long").as("n_frames"))
         .orderBy("doc_id", "seg_idx")),
+    "mm_gps_parse" -> ((s, d) =>
+      // GPS sub-IFD walk — the TIFF RATIONAL type (the one value type
+      // the main EXIF fields never exercise): planted deg/min rationals
+      // with denominator 1 and seconds with denominator 100, both byte
+      // orders; every field replays from the doc_id formulas as exact
+      // integers (centiseconds — no float degree conversion anywhere)
+      Multimodal.extractGps(
+          Multimodal.plantGpsPayloads(docs(s, d), "doc_id"))
+        .toDF()
+        .orderBy("doc_id")),
     "mm_keyframes_real" -> ((s, d) =>
       // REAL shot-boundary keyframe selection: planted multi-scene AVIs
       // (solid MJPEG frames whose color jumps ≥40/channel at the planted
@@ -7923,6 +7933,17 @@ object SparkEntry {
         CAST((2 * k + 1) * L AS BIGINT) AS start_frame,
         CAST(L AS BIGINT) AS n_frames
       FROM s ORDER BY doc_id, seg_idx""",
+    "mm_gps_parse" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+        CAST(doc_id % 90 AS INTEGER) AS lat_d,
+        CAST((doc_id * 7) % 60 AS INTEGER) AS lat_m,
+        CAST((doc_id * 13) % 6000 AS INTEGER) AS lat_s100,
+        CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END AS lon_ref,
+        CAST(doc_id % 180 AS INTEGER) AS lon_d,
+        CAST((doc_id * 11) % 60 AS INTEGER) AS lon_m,
+        CAST((doc_id * 17) % 6000 AS INTEGER) AS lon_s100
+      FROM documents ORDER BY doc_id""",
     "mm_keyframes_real" -> """
       WITH m AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
       f AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM m)

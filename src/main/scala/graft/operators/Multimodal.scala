@@ -1598,6 +1598,192 @@ object Multimodal {
       .toDF("doc_id", "payload", "media_type")
   }
 
+  /** Parsed GPS coordinates from the EXIF GPS sub-IFD (tag 0x8825):
+    * hemisphere refs plus degrees / minutes / centiseconds as exact
+    * integers — the float degree conversion is the CALLER's choice of
+    * precision, the parser never rounds.
+    */
+  final case class GpsInfo(
+      doc_id: Long,
+      lat_ref: Option[String], lat_d: Option[Int], lat_m: Option[Int],
+      lat_s100: Option[Int],
+      lon_ref: Option[String], lon_d: Option[Int], lon_m: Option[Int],
+      lon_s100: Option[Int])
+
+  /** GPS IFD walk — the TIFF RATIONAL type (5: two u32s, numerator /
+    * denominator) that the main [[parseExif]] fields never exercise:
+    * GPSLatitude/GPSLongitude are RATIONAL[3] (deg, min, sec) in the
+    * offset area, refs are inline 2-byte ASCII. Seconds are returned in
+    * exact centiseconds (`num·100 div den`). Same strict bounds checks
+    * as [[parseExif]]; missing tags null individually, broken structure
+    * ⇒ None.
+    */
+  def parseGps(id: Long, b: Array[Byte]): Option[GpsInfo] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var p = 2
+    var tiff = -1; var tiffEnd = -1
+    while (p + 4 <= b.length && tiff < 0) {
+      if ((b(p) & 0xFF) != 0xFF) return None
+      val marker = b(p + 1) & 0xFF
+      if (marker == 0xDA || marker == 0xD9) return None
+      val len = be16(b, p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      if (marker == 0xE1 && len >= 10 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+        tiff = p + 10; tiffEnd = p + 2 + len
+      }
+      p += 2 + len
+    }
+    if (tiff < 0 || tiffEnd - tiff < 8) return None
+    val little = b(tiff) match {
+      case 'I' if b(tiff + 1) == 'I' => true
+      case 'M' if b(tiff + 1) == 'M' => false
+      case _ => return None
+    }
+    def r16(i: Int): Int =
+      if (i < tiff || i + 2 > tiffEnd) -1
+      else if (little) le16(b, i) else be16(b, i)
+    def r32(i: Int): Int =
+      if (i < tiff || i + 4 > tiffEnd) -1
+      else if (little) le32(b, i) else be32(b, i)
+    if (r16(tiff + 2) != 42) return None
+    var gpsIfd = -1
+    def findGps(ifdOff: Int): Boolean = {
+      val n = r16(ifdOff)
+      if (n < 0 || n > 256) return false
+      var e = 0
+      while (e < n) {
+        val ent = ifdOff + 2 + e * 12
+        if (ent + 12 > tiffEnd) return false
+        if (r16(ent) == 0x8825 && r16(ent + 2) == 4) gpsIfd = tiff + r32(ent + 8)
+        e += 1
+      }
+      true
+    }
+    if (!findGps(tiff + r32(tiff + 4))) return None
+    if (gpsIfd < 0) return Some(GpsInfo(id, None, None, None, None, None, None, None, None))
+    var latRef: Option[String] = None; var lonRef: Option[String] = None
+    var lat: Option[(Int, Int, Int)] = None; var lon: Option[(Int, Int, Int)] = None
+    def asciiRef(cnt: Int, valOff: Int): Option[String] =
+      if (cnt < 1 || cnt > 4) None
+      else {
+        var end = valOff + cnt
+        while (end > valOff && b(end - 1) == 0) end -= 1
+        Some(new String(b, valOff, end - valOff, "US-ASCII"))
+      }
+    // RATIONAL[3]: deg, min, sec — sec scaled to exact centiseconds
+    def rational3(valOff: Int): Option[(Int, Int, Int)] = {
+      val at = tiff + r32(valOff)
+      if (at < tiff || at + 24 > tiffEnd) return None
+      def part(j: Int, scale: Int): Option[Int] = {
+        val num = r32(at + j * 8); val den = r32(at + j * 8 + 4)
+        if (den <= 0 || num < 0) None
+        else Some(((num.toLong * scale) / den).toInt)
+      }
+      for (d <- part(0, 1); m <- part(1, 1); s <- part(2, 100)) yield (d, m, s)
+    }
+    val n = r16(gpsIfd)
+    if (n < 0 || n > 256) return None
+    var e = 0
+    while (e < n) {
+      val ent = gpsIfd + 2 + e * 12
+      if (ent + 12 > tiffEnd) return None
+      val tag = r16(ent); val typ = r16(ent + 2); val cnt = r32(ent + 4)
+      val valOff = ent + 8
+      tag match {
+        case 0x0001 if typ == 2 => latRef = asciiRef(cnt, valOff)
+        case 0x0002 if typ == 5 && cnt == 3 => lat = rational3(valOff)
+        case 0x0003 if typ == 2 => lonRef = asciiRef(cnt, valOff)
+        case 0x0004 if typ == 5 && cnt == 3 => lon = rational3(valOff)
+        case _ => ()
+      }
+      e += 1
+    }
+    Some(GpsInfo(id, latRef, lat.map(_._1), lat.map(_._2), lat.map(_._3),
+      lonRef, lon.map(_._1), lon.map(_._2), lon.map(_._3)))
+  }
+
+  /** Batch GPS extraction (the [[extractExif]] contract). */
+  def extractGps(payloads: DataFrame): Dataset[GpsInfo] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseGps(id, bytes).getOrElse(
+            GpsInfo(id, None, None, None, None, None, None, None, None))
+        }
+      }
+  }
+
+  /** Planted GPS field formulas: hemisphere by id parity pairs, dms from
+    * id arithmetic, seconds with a NON-TRIVIAL denominator (num = s100,
+    * den = 100) so the rational division is exercised, not bypassed.
+    */
+  def plantGpsParams(id: Long): (String, Int, Int, Int, String, Int, Int, Int) = (
+    if (id % 2 == 0) "N" else "S",
+    (id % 90).toInt, ((id * 7) % 60).toInt, ((id * 13) % 6000).toInt,
+    if (id % 4 < 2) "E" else "W",
+    (id % 180).toInt, ((id * 11) % 60).toInt, ((id * 17) % 6000).toInt)
+
+  /** A JPEG carrying a TIFF block with ONLY the GPS pointer + sub-IFD —
+    * II/MM by id parity like [[plantExifJpeg]]. Layout from the TIFF
+    * start: IFD0 (1 entry: 0x8825) at 8, GPS IFD (4 entries) at 26,
+    * rational areas at 80 and 104.
+    */
+  def plantGpsJpeg(id: Long): Array[Byte] = {
+    val (laR, laD, laM, laS, loR, loD, loM, loS) = plantGpsParams(id)
+    val little = id % 2 == 0
+    val tlen = 128
+    val t = new Array[Byte](tlen)
+    def w16(i: Int, v: Int): Unit =
+      if (little) { t(i) = (v & 0xFF).toByte; t(i + 1) = ((v >>> 8) & 0xFF).toByte }
+      else { t(i) = ((v >>> 8) & 0xFF).toByte; t(i + 1) = (v & 0xFF).toByte }
+    def w32(i: Int, v: Int): Unit =
+      if (little) { w16(i, v & 0xFFFF); w16(i + 2, (v >>> 16) & 0xFFFF) }
+      else { w16(i, (v >>> 16) & 0xFFFF); w16(i + 2, v & 0xFFFF) }
+    def entry(at: Int, tag: Int, typ: Int, cnt: Int)(value: Int => Unit): Unit = {
+      w16(at, tag); w16(at + 2, typ); w32(at + 4, cnt); value(at + 8)
+    }
+    def refBytes(at: Int, s: String): Unit = {
+      t(at) = s.charAt(0).toByte; t(at + 1) = 0
+    }
+    t(0) = (if (little) 'I' else 'M').toByte; t(1) = t(0)
+    w16(2, 42); w32(4, 8)
+    w16(8, 1) // IFD0: just the GPS pointer
+    entry(10, 0x8825, 4, 1)(w32(_, 26))
+    w32(22, 0)
+    w16(26, 4) // GPS IFD: ref/lat/ref/lon
+    entry(28, 0x0001, 2, 2)(refBytes(_, laR))
+    entry(40, 0x0002, 5, 3)(w32(_, 80))
+    entry(52, 0x0003, 2, 2)(refBytes(_, loR))
+    entry(64, 0x0004, 5, 3)(w32(_, 104))
+    w32(76, 0)
+    // RATIONAL[3]: (d, 1) (m, 1) (s100, 100)
+    w32(80, laD); w32(84, 1); w32(88, laM); w32(92, 1); w32(96, laS); w32(100, 100)
+    w32(104, loD); w32(108, 1); w32(112, loM); w32(116, 1); w32(120, loS); w32(124, 100)
+    val app1len = 2 + 6 + tlen
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    out.write(0xFF); out.write(0xE1)
+    out.write((app1len >>> 8) & 0xFF); out.write(app1len & 0xFF)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(t)
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  /** (doc_id, payload, media_type) of the planted GPS JPEGs. */
+  def plantGpsPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantGpsJpeg(id), "image/jpeg")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
   // ---------------- audio silence segmentation ----------------
 
   /** A detected silent span: frame index range inside the PCM stream. */

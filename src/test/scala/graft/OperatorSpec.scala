@@ -2558,6 +2558,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(partial.get.orientation.contains(4), "sibling tags must survive")
   }
 
+  test("parseGps: rational centiseconds both byte orders; no-GPS and truncation handled") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 359L)) {
+      val (laR, laD, laM, laS, loR, loD, loM, loS) = Multimodal.plantGpsParams(id)
+      val g = Multimodal.parseGps(id, Multimodal.plantGpsJpeg(id))
+      assert(g.isDefined, s"planted GPS must parse: $id")
+      val e = g.get
+      assert(e.lat_ref.contains(laR) && e.lat_d.contains(laD) &&
+        e.lat_m.contains(laM) && e.lat_s100.contains(laS) &&
+        e.lon_ref.contains(loR) && e.lon_d.contains(loD) &&
+        e.lon_m.contains(loM) && e.lon_s100.contains(loS), s"field drift: $e")
+    }
+    // an EXIF block WITHOUT a GPS pointer: all-null row, not a dropped one
+    val noGps = Multimodal.parseGps(5L, Multimodal.plantExifJpeg(5L))
+    assert(noGps.isDefined && noGps.get.lat_ref.isEmpty && noGps.get.lon_d.isEmpty)
+    // truncation rejects cleanly
+    assert(Multimodal.parseGps(5L, Multimodal.plantGpsJpeg(5L).take(40)).isEmpty)
+  }
+
   test("selectKeyframes: recovers planted cuts exactly; malformed containers drop") {
     import spark.implicits._
     val ids = Seq(0L, 3L, 7L, 11L)
