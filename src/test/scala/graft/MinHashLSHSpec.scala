@@ -116,6 +116,15 @@ class MinHashLSHSpec extends AnyFunSuite {
       assert(r.getDouble(3) == (2.0 * m - 16) / 16, s"estimator drift: $r")
       assert(r.getLong(0) < r.getLong(1))
     }
+    // the LONG-signature branch (xx-fast mode, h & 1 instead of hex
+    // parity): the same exact duplicate must saturate there too
+    val modelXx = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4,
+      numRows = 4, bucketHexLen = 2, mode = XxFast)).fit(planted, "doc_id", "text")
+    val dupXx = modelXx.bbitSimilarityJoin(-1.0).collect()
+      .find(r => r.getLong(0) == 0L && r.getLong(1) == 10000L)
+    assert(dupXx.isDefined && dupXx.get.getLong(2) == 16L &&
+      dupXx.get.getDouble(3) == 1.0, s"xx-mode exact dup must saturate: $dupXx")
+    modelXx.unpersist()
     // cross-check the packed-bit scores against the full-signature
     // agreement on the SAME pairs: m/k must never disagree with the
     // k-element agreement by construction bits (1-bit projection of equal
