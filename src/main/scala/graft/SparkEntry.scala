@@ -582,6 +582,21 @@ object SparkEntry {
       // join); filled doubles are carried verbatim, never recomputed
       TimeSeries.resampleFfill(events(s, d), stepHours = 6)
         .orderBy("user_id", "grid_ts")),
+    "window_wow_growth" -> ((s, d) => {
+      // period-over-period reporting: weekly event counts per type with
+      // week-over-week growth in exact integer micro-units
+      // ((cur − prev)·10⁶ div prev — no float division); first week null
+      val weekly = events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n"))
+      weekly
+        .withColumn("__prev", lag(col("n"), 1).over(
+          Window.partitionBy("event_type").orderBy("week")))
+        .select(col("event_type"), col("week"), col("n"),
+          expr("((n - __prev) * 1000000) div __prev").as("wow_micro"))
+        .orderBy("event_type", "week")
+    }),
     "window_longest_streak" -> ((s, d) => {
       // gaps-and-islands classic: longest run of CONSECUTIVE active days
       // per user — island anchor = day − row_number days, all date-integer
@@ -5035,6 +5050,17 @@ object SparkEntry {
         strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
         strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
       FROM p ORDER BY user_id""",
+    "window_wow_growth" -> """
+      WITH w AS (SELECT event_type,
+          strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      l AS (SELECT event_type, week, n,
+          lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        FROM w)
+      SELECT event_type, week, n,
+        CAST(((n - prev) * 1000000) // prev AS BIGINT) AS wow_micro
+      FROM l ORDER BY event_type, week""",
     "window_longest_streak" -> """
       WITH days AS (SELECT DISTINCT user_id,
           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
