@@ -612,6 +612,26 @@ object SparkEntry {
           sum(col("__len")).as("n_active_days"))
         .orderBy("user_id")
     }),
+    "agg_gini" -> ((s, d) => {
+      // inequality of order values per nation: exact-rank Gini via
+      // Σ(2i−n−1)x = 2Σix − (n+1)Σx — every sum an exact long (cents ×
+      // rank stays under 2⁵³ so even the final double division is
+      // bit-identical across engines), ranks pinned by (cents, orderkey)
+      val rows = tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ranked = rows.withColumn("i", row_number().over(
+        Window.partitionBy("c_nationkey")
+          .orderBy(col("cents").asc, col("o_orderkey").asc)).cast("long"))
+      ranked.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .select(col("c_nationkey"), col("n"),
+          round((lit(2L) * col("six") - (col("n") + 1) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double"), 6).as("gini6"))
+        .orderBy("c_nationkey")
+    }),
     "agg_contribution" -> ((s, d) =>
       // ratio-to-report: each nation's share of total order revenue in
       // exact integer micro-units — cents via round(×100) (2-dp doubles
@@ -5073,6 +5093,22 @@ object SparkEntry {
       SELECT user_id, max(len) AS longest_streak,
         CAST(sum(len) AS BIGINT) AS n_active_days
       FROM runs GROUP BY 1 ORDER BY 1""",
+    "agg_gini" -> """
+      WITH r AS (SELECT c.c_nationkey, o.o_orderkey,
+          CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      rk AS (SELECT c_nationkey, cents,
+          CAST(row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY cents, o_orderkey) AS BIGINT) AS i
+        FROM r),
+      s AS (SELECT c_nationkey, count(*) AS n,
+          CAST(sum(cents) AS BIGINT) AS sx,
+          CAST(sum(i * cents) AS BIGINT) AS six
+        FROM rk GROUP BY 1)
+      SELECT c_nationkey, n,
+        round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+          / CAST(n * sx AS DOUBLE), 6) AS gini6
+      FROM s ORDER BY c_nationkey""",
     "agg_contribution" -> """
       WITH n AS (SELECT c.c_nationkey, count(*) AS n_orders,
           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
