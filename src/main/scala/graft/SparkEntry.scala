@@ -2686,6 +2686,23 @@ object SparkEntry {
       // corpus-health statistic: OLS of ln(freq) on ln(rank) over the
       // top-500 tokens in exact integer micro arithmetic
       TextAnalysis.zipfFit(docs(s, d), "text", topV = 500)),
+    "text_sentence_split" -> ((s, d) => {
+      // sentence segmentation over planted punctuation (the raw corpus
+      // has none): three sentences per doc with ./!/? terminators; the
+      // RE2-safe pattern replays identically in DuckDB, per-sentence
+      // digests pin content and order
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(". "),
+          substring(col("text"), 1, 40), lit("! "),
+          substring(col("text"), 1, 20), lit("?")).as("text"))
+      TextAnalysis.sentenceSplit(planted, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sentences"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+            x => x.getField("sentence")), "|")).as("digest"))
+        .orderBy("doc_id")
+    }),
     "text_rake_keywords" -> ((s, d) =>
       // RAKE keyword extraction over the English slice: stopword-split
       // candidate phrases scored by Σ deg(w)/freq(w) in exact integer
@@ -5826,6 +5843,19 @@ object SparkEntry {
       SELECT doc_id, n_chars,
         CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro
       FROM s ORDER BY key_micro DESC, doc_id LIMIT 100""",
+    "text_sentence_split" -> """
+      WITH planted AS (SELECT doc_id,
+          text || '. ' || substr(text, 1, 40) || '! '
+            || substr(text, 1, 20) || '?' AS text
+        FROM documents),
+      s AS (SELECT doc_id,
+          list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]*', 0), x -> trim(x)),
+            x -> x <> '') AS sents
+        FROM planted)
+      SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        md5(array_to_string(sents, '|')) AS digest
+      FROM s ORDER BY doc_id""",
     "text_rake_keywords" -> s"""
       WITH de AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
       tk AS (SELECT doc_id, $tokenizeSql AS tokens FROM de),

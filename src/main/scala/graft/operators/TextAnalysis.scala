@@ -1795,6 +1795,22 @@ object TextAnalysis {
     * not corpus-sized; N is a 1-row scalar broadcast. The final cut is a
     * distributed TakeOrdered, never a global sort.
     */
+  /** Rule-based sentence segmentation — the chunking primitive upstream
+    * of readability, dedup-span, and context-window operators: a sentence
+    * is a maximal run of non-terminator characters plus its trailing
+    * `[.!?]` run (`[^.!?]+[.!?]*` — deliberately RE2-safe: no lookaround,
+    * so the DuckDB oracle runs the IDENTICAL pattern). Terminator-only
+    * fragments ("?!" with no preceding text) are unmatched and drop.
+    * Pure narrow projection: posexplode of the per-doc match array,
+    * zero shuffles.
+    */
+  def sentenceSplit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(expr(
+          s"filter(transform(regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0), " +
+            "s -> trim(s)), s -> s != '')"))
+          .as(Seq("sent_idx", "sentence")))
+
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
     * extraction from individual documents"): candidate phrases are the
     * maximal runs of non-stopword tokens; each word scores
