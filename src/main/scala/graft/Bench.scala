@@ -66,6 +66,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming warm-up skipped: ${e.getMessage}")
     }
+    // one throwaway execution of a curate-shaped composite (round-11
+    // verdict task 3): the multi-job pipeline class (mojibake repair →
+    // per-domain window cap → KN scoring → scalar collect → final filter)
+    // launches several Spark jobs per query and pays a distinct JIT/codegen
+    // bill that the single-job warm-ups above never touch — historically
+    // billed to whichever curate gate ran first (4.7 s settled vs 22.5 s
+    // cold in r11). Runs on a staged 256-doc subset so the warm-up stays
+    // seconds-bounded at any scale factor. Best-effort like the streaming
+    // warm-up: a failure forfeits the warm start, never the bench.
+    try {
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-bench-curate-warm-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      SparkEntry.queries("pipeline_curate_v6")(spark, tmp)
+        .write.format("noop").mode("overwrite").save()
+      SparkUtil.releaseScopedCaches()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] curate warm-up skipped: ${e.getMessage}")
+    }
 
     // min of N reps per query: single-shot numbers on a shared host carry
     // ±2× scheduler/JIT noise; the minimum is the standard steady-state

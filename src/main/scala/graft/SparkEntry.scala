@@ -614,9 +614,12 @@ object SparkEntry {
     }),
     "agg_gini" -> ((s, d) => {
       // inequality of order values per nation: exact-rank Gini via
-      // Σ(2i−n−1)x = 2Σix − (n+1)Σx — every sum an exact long (cents ×
-      // rank stays under 2⁵³ so even the final double division is
-      // bit-identical across engines), ranks pinned by (cents, orderkey)
+      // Σ(2i−n−1)x = 2Σix − (n+1)Σx — every sum an exact long, ranks
+      // pinned by (cents, orderkey). SCALE BOUND: Σi·cents stays under
+      // 2⁵³ (double-exact) only up to ~10⁵ orders/nation at TPC-H prices
+      // (i·cents ≈ 3e14 per term beyond that); at larger SFs switch six
+      // to DecimalType(38,0) on both engines to keep the bit-identical
+      // claim — the gate runs at sf≤0.1 where longs are exact
       val rows = tbl(s, d, "orders")
         .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"), col("o_orderkey"),

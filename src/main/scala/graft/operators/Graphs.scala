@@ -325,8 +325,13 @@ object Graphs {
       val winner = counts.groupBy("a")
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("w"))
         .select(col("a").as("v"), col("w").getField("l").as("label"))
-      val next = nodes.join(winner, Seq("v"), "left")
-        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+      // Fallback joins against the PREVIOUS round's labels (not the node
+      // id) so an isolated-in-round node genuinely keeps its label, as the
+      // scaladoc states. Unreachable with the current `nodes` (every node
+      // has >= 1 edge, so a winner always exists) but kept honest.
+      val next = labels.select(col("v"), col("label").as("__prev"))
+        .join(winner, Seq("v"), "left")
+        .select(col("v"), coalesce(col("label"), col("__prev")).as("label"))
       labels = spark.createDataFrame(next.rdd, next.schema)
     }
     labels.select(col("v").as("node_id"), col("label"))

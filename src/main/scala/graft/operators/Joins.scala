@@ -285,12 +285,17 @@ object Joins {
     require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
     val joined = asofJoinPrior(left, right, keys, tsCol, payloadCols,
       tieBreak, outPrefix)
-    val stale = unix_micros(qcol(tsCol)) -
-      unix_micros(qcol(outPrefix + tsCol)) > toleranceSeconds * 1000000L
-    payloadCols.foldLeft(joined) { (df, c) =>
+    // The staleness test must be MATERIALIZED before any payload column is
+    // overwritten: nulling outPrefix+tsCol first would make a Column that
+    // re-resolves per-step evaluate to null for every later payload column,
+    // silently keeping stale values whenever tsCol isn't processed last.
+    val withStale = joined.withColumn("__stale",
+      unix_micros(qcol(tsCol)) -
+        unix_micros(qcol(outPrefix + tsCol)) > toleranceSeconds * 1000000L)
+    payloadCols.foldLeft(withStale) { (df, c) =>
       df.withColumn(outPrefix + c,
-        when(stale, lit(null)).otherwise(qcol(outPrefix + c)))
-    }
+        when(qcol("__stale"), lit(null)).otherwise(qcol(outPrefix + c)))
+    }.drop("__stale")
   }
 
   /** Bloom-pruned inner join — the explicit runtime-filter technique for a
@@ -318,8 +323,17 @@ object Joins {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.ColumnBridge
-    val numBits = math.ceil(
+    val idealBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate rejects numBits above
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits at ANALYSIS time
+    // (default 64 MiB of bits = ~2.3M items at fpp 1e-6). Clamp instead of
+    // failing: an undersized filter only degrades the achieved fpp — the
+    // join stays exact because false positives die in the real join — so
+    // at 100 TB scale the prune gets weaker, never wrong.
+    val maxBits = big.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val numBits = math.min(idealBits, maxBits)
     val agg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(qcol(smallKey))),

@@ -36,6 +36,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(byId(102L).isNullAt(3), "key with no right rows must get null")
   }
 
+  test("asofJoinPriorWithin: stale match nulls EVERY payload column, tsCol order-independent") {
+    // regression (r11 ADVICE): the staleness Column used to re-resolve per
+    // foldLeft step, so once outPrefix+tsCol was nulled every LATER payload
+    // column saw a null test and silently kept its stale value. Putting ts
+    // FIRST in payloadCols exercises exactly that ordering.
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2026-01-01 12:00:00"), 100L), // prior click 2h old → stale at 1h tol
+      (2L, t("2026-01-01 12:00:00"), 101L)  // prior click 30min old → fresh
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, t("2026-01-01 10:00:00"), 7L),
+      (2L, t("2026-01-01 11:30:00"), 8L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = Joins.asofJoinPriorWithin(left, right, Seq("user_id"), "ts",
+        payloadCols = Seq("ts", "event_id"), tieBreak = "event_id",
+        outPrefix = "c_", toleranceSeconds = 3600L)
+      .orderBy("event_id").collect()
+    val byId = got.map(r => r.getLong(r.fieldIndex("event_id")) -> r).toMap
+    assert(byId(100L).isNullAt(byId(100L).fieldIndex("c_ts")), "stale ts must null")
+    assert(byId(100L).isNullAt(byId(100L).fieldIndex("c_event_id")),
+      "stale payload AFTER tsCol in payloadCols must null too")
+    assert(byId(101L).getLong(byId(101L).fieldIndex("c_event_id")) == 8L,
+      "fresh match keeps its payload")
+    assert(!got.head.schema.fieldNames.contains("__stale"), "temp column dropped")
+  }
+
   test("asofJoinPrior ≡ brute-force max-prior join on randomized data") {
     val rnd = new scala.util.Random(42)
     def t(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
