@@ -2087,6 +2087,34 @@ object SparkEntry {
       Dedup.dropNearDuplicateClusters(e, "vec_id", pairs)
         .select("vec_id").orderBy("vec_id")
     }),
+    "dedup_semantic_cells" -> ((s, d) =>
+      // SemDeDup cluster-granularity dedup, CLOSED-FORM path: iters=0
+      // keeps the seed centroids (8 lowest-id vectors, normalized) so the
+      // oracle replays cell assignment, ε-components, and the
+      // keep-farthest-from-centroid decision exactly — argmax and keep
+      // rank both pinned on micro-rounded scores with index/id ties
+      Dedup.semanticDedupCells(tbl(s, d, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.35, nLists = 8, iters = 0)
+        .select(col("id").as("vec_id"), col("cell"), col("c2c_micro"))
+        .orderBy("vec_id")),
+    "dedup_semantic_cells_trained" -> ((s, d) =>
+      // the production path: 2 Lloyd rounds — centroids follow the corpus,
+      // cells balance — with 3-probe candidate generation (single-probe
+      // leaks ~40% of the 0.35-0.5 cosine pairs across cell boundaries).
+      // Rows-only (Lloyd centroids are engine-internal); the oracle-paired
+      // dedup_semantic_cells_leak twin bounds the cell-split duplicate
+      // leakage against the exact brute pair graph
+      Dedup.semanticDedupCells(tbl(s, d, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.35, nLists = 8, iters = 2, probes = 3)
+        .select(col("id").as("vec_id"), col("cell"), col("c2c_micro"))
+        .orderBy("vec_id")),
+    "dedup_semantic_cells_leak" -> ((s, d) =>
+      // leak ceiling 0.1 sits well over measured 0.012 (sf0.001) / 0.007
+      // (sf0.01) at nLists=8, iters=2, probes=3; n_vecs/n_brute_pairs are
+      // the exact oracle-replayable half
+      Dedup.semanticDedupLeakEval(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.35, nLists = 8, iters = 2, probes = 3,
+        leakCeil = 0.1)),
     "dedup_exact_groups" -> ((s, d) => {
       // duplicate-group diagnostic over a corpus with planted exact copies
       // (the base corpus is dup-free at gate scale)
@@ -7153,6 +7181,75 @@ object SparkEntry {
       losers AS (SELECT id FROM labels WHERE label < id)
       SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
       WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""",
+    "dedup_semantic_cells" -> """
+      WITH RECURSIVE
+      v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
+      seeds AS (SELECT id, embedding FROM v ORDER BY id LIMIT 8),
+      cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS j,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) /
+            sqrt(list_sum(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS c
+        FROM seeds),
+      dots AS (SELECT v.id, cents.j,
+          CAST(round(list_sum(list_transform(range(1, 65),
+            i -> CAST(v.embedding[i] AS DOUBLE) * cents.c[i])) * 1e6) AS BIGINT) AS dotr
+        FROM v CROSS JOIN cents),
+      asg AS (SELECT id, j AS cell FROM (
+          SELECT id, j,
+            row_number() OVER (PARTITION BY id ORDER BY dotr DESC, j ASC) AS rn
+          FROM dots) WHERE rn = 1),
+      c2c AS (SELECT v.id, a.cell,
+          CAST(round(
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(v.embedding[i] AS DOUBLE) * cents.c[i]))
+            / nullif(
+              sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(cents.c, x -> x * x))), 0.0)
+            * 1e6) AS BIGINT) AS c2c_micro
+        FROM v JOIN asg a ON v.id = a.id JOIN cents ON cents.j = a.cell),
+      jp AS (SELECT a.id AS a_id, b.id AS b_id
+        FROM v a JOIN asg aa ON a.id = aa.id
+        JOIN v b ON a.id < b.id JOIN asg bb ON b.id = bb.id
+        WHERE aa.cell = bb.cell AND
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0)
+          >= 0.35),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+                UNION SELECT b_id, a_id FROM jp),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS label
+                 FROM reach GROUP BY src),
+      keepers AS (SELECT id FROM (
+          SELECT l.id, row_number() OVER (PARTITION BY l.label
+            ORDER BY c.c2c_micro ASC, l.id ASC) AS rn
+          FROM labels l JOIN c2c c ON c.id = l.id) WHERE rn = 1),
+      losers AS (SELECT id FROM labels
+                 WHERE id NOT IN (SELECT id FROM keepers))
+      SELECT c.id AS vec_id, c.cell, c.c2c_micro FROM c2c c
+      WHERE c.id NOT IN (SELECT id FROM losers) ORDER BY vec_id""",
+    "dedup_semantic_cells_leak" -> """
+      WITH jp AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0)
+          >= 0.35)
+      SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        count(*) AS n_brute_pairs, TRUE AS leak_ok FROM jp""",
     "dedup_embedding_pairs" -> """
       WITH pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -1005,6 +1005,121 @@ object Dedup {
           greatest(col("n_brute_pairs"), lit(1L)) >= recallFloor).as("recall_ok"))
   }
 
+  /** SemDeDup-style cluster-granularity semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): shard the corpus into k-means
+    * cells, connect within-cell pairs at cosine >= `minCosine` (the
+    * paper's 1−ε floor, passed directly so both engines compare against
+    * the IDENTICAL literal — `1.0 - eps` is not exact in binary for most
+    * ε), and keep ONE representative per ε-component: the member FARTHEST
+    * from its cell centroid (the paper's keep-low-centroid-similarity
+    * convention — boundary examples carry the most information), ties
+    * pinned to the smallest id. Singletons and whole untouched cells
+    * survive as-is.
+    *
+    * `iters = 0` keeps the SEED centroids (the nLists lowest-id vectors,
+    * L2-normalized) — a closed-form assignment a SQL oracle replays
+    * exactly; `iters > 0` runs Lloyd rounds via [[SimSearch.trainIvf]]
+    * (the production path — centroids follow the corpus, cells balance).
+    * Either way the cell argmax runs over MICRO-ROUNDED dots (first/lowest
+    * cell wins ties) and the keep ranking over micro-rounded
+    * centroid-cosines with an id tie-break, so every decision is a pure
+    * function of the input in both engines — raw-double argmax drifts at
+    * ties (duplicated vectors).
+    *
+    * Scale shape: assignment is a narrow projection over the plan-literal
+    * centroid table (nLists ≤ [[SimSearch.TypedLitCentroidMax]]); the wide
+    * exchanges are the within-cell pair join (per-cell quadratic — cell
+    * count is the occupancy knob, exactly [[embeddingPairsIvf]]) and the
+    * component propagation on (long, long) ids. The keep decision runs on
+    * (id, cell, c2c_micro) — vectors never cross a second exchange.
+    * Returns the KEPT rows as (id, cell, c2c_micro).
+    */
+  def semanticDedupCells(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nLists: Int = 8, iters: Int = 0,
+      probes: Int = 1): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    require(minCosine > 0 && minCosine < 1, s"minCosine in (0,1), got $minCosine")
+    require(nLists >= 1 && nLists <= SimSearch.TypedLitCentroidMax,
+      s"semantic dedup keeps the typedlit assignment (nLists <= " +
+        s"${SimSearch.TypedLitCentroidMax}); shard the corpus first for more cells")
+    require(probes >= 1 && probes <= nLists, "need 1 <= probes <= nLists")
+    val model = SimSearch.trainIvf(emb, idCol, vecCol, nLists, iters)
+    val cents = typedlit(model.centroids)
+    val simsR = transform(cents,
+      c => round(dotProduct(col("v"), c) * 1e6).cast("long"))
+    // top-`probes` cells by micro-rounded centroid dot, lowest index wins
+    // ties — the multiprobe trick of [[embeddingPairsIvf]] over the PINNED
+    // score array. Probe 0 is the primary (keep-decision) cell; the extra
+    // probes only widen CANDIDATE generation, so a mid-similarity pair
+    // split by a cell boundary still collides in a shared probe cell.
+    def probeCells(sims0: Column): Seq[Column] = {
+      var sims = sims0
+      (0 until probes).map { _ =>
+        val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
+        sims = transform(sims,
+          (s0, i) => when(i === cell, lit(Long.MinValue)).otherwise(s0))
+        cell
+      }
+    }
+    val assigned = model.assigned.select(col("id"), col("v"))
+      .withColumn("__sims", simsR)
+      .withColumn("__cells", array_distinct(array(probeCells(col("__sims")): _*)))
+      .withColumn("cell", col("__cells").getItem(0))
+      .withColumn("c2c_micro",
+        round(V.cosine(col("v"), element_at(cents, col("cell") + 1)) * 1e6)
+          .cast("long"))
+      .drop("__sims")
+      .transform(graft.SparkUtil.scopedPersist)
+    val probed = assigned.select(col("id"), col("v"),
+      explode(col("__cells")).as("__pc"))
+    val a = probed.select(col("__pc"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = probed.select(col("__pc"), col("id").as("b_id"), col("v").as("b_v"))
+    // score-then-dedup, the embeddingPairsIvf exchange order: only
+    // surviving (a_id, b_id) pairs cross the distinct shuffle
+    val pairs = a.join(b, Seq("__pc"))
+      .where(col("a_id") < col("b_id"))
+      .where(V.cosine(col("a_v"), col("b_v")) >= minCosine)
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    // keepBestPerCluster maximizes (score, -id): negating c2c keeps the
+    // min-centroid-cosine member, ties to the smallest id
+    keepBestPerCluster(
+        assigned.select(col("id"), col("cell"), col("c2c_micro"),
+          (-col("c2c_micro")).as("__negc2c")),
+        "id", pairs, "__negc2c")
+      .select(col("id"), col("cell"), col("c2c_micro"))
+  }
+
+  /** Duplicate-leak audit of [[semanticDedupCells]] against the EXHAUSTIVE
+    * pair graph — the quality twin for the trained (Lloyd) path, whose
+    * cells are engine-internal: ONE row with the exact corpus/pair counts
+    * (the oracle-replayable half) and a tolerance boolean. A "leak" is a
+    * brute pair at >= minCosine with BOTH endpoints kept — only possible
+    * when a cell boundary splits the pair (within-cell leaks are
+    * impossible by construction), so leaked/brute measures exactly the
+    * recall the cell sharding gives up (the `sim_recall_ivf` convention).
+    */
+  def semanticDedupLeakEval(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nLists: Int = 8, iters: Int = 2,
+      probes: Int = 3, leakCeil: Double = 0.2): DataFrame = {
+    val kept = semanticDedupCells(emb, idCol, vecCol, minCosine, nLists,
+        iters, probes)
+      .select(col("id")).transform(graft.SparkUtil.scopedPersist)
+    val brute = graft.SparkUtil.scopedPersist(
+      embeddingPairsBrute(emb, idCol, vecCol, minCosine)
+        .select(col("a_id"), col("b_id")))
+    val leaked = brute
+      .join(kept.select(col("id").as("a_id")), Seq("a_id"))
+      .join(kept.select(col("id").as("b_id")), Seq("b_id"))
+    val n = emb.select(col(idCol)).count()
+    brute.agg(count(lit(1)).as("n_brute_pairs")).crossJoin(
+        leaked.agg(count(lit(1)).as("__nl")))
+      .select(lit(n).as("n_vecs"), col("n_brute_pairs"),
+        (col("__nl").cast("double") /
+          greatest(col("n_brute_pairs"), lit(1L)) <= leakCeil).as("leak_ok"))
+  }
+
   /** Entity resolution by blocking + edit distance (the Fellegi-Sunter
     * record-linkage shape with a deterministic decision rule): each query
     * record joins the reference ONLY within its blocking key (a shared

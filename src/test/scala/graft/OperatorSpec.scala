@@ -379,6 +379,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("semanticDedupCells: planted clusters — keep farthest-from-centroid, singleton survives, tie cell pins low index") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),    // seed 0 → centroid (1,0,0,0)
+      (1L, Array(0f, 1f, 0f, 0f)),    // seed 1 → centroid (0,1,0,0)
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), // cell 0, clusters with 0 and 3
+      (3L, Array(0.8f, 0.2f, 0f, 0f)), // cell 0, farthest from c0 → keeper
+      (4L, Array(0f, 1f, 0.05f, 0f)),  // cell 1, pairs with 1, farther → keeper
+      (5L, Array(0f, 0f, 1f, 0f))      // dot-tie 0 vs 0 → lowest cell (0); singleton
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupCells(e, "vec_id", "embedding",
+        minCosine = 0.9, nLists = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(kept == Map(3L -> 0, 4L -> 1, 5L -> 0),
+      s"keep-farthest + singleton + tie-to-low-cell, got $kept")
+  }
+
+  test("semanticDedupCells: multiprobe catches a cell-boundary pair single-probe leaks") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // seed 0
+      (1L, Array(0f, 1f, 0f, 0f)),     // seed 1
+      (2L, Array(1f, 0.99f, 0f, 0f)),  // cell 0 (dot 1.0 > 0.99)
+      (3L, Array(0.99f, 1f, 0f, 0f))   // cell 1 — cos(2,3) ≈ 0.99994
+    ).toDF("vec_id", "embedding")
+    val single = Dedup.semanticDedupCells(e, "vec_id", "embedding",
+      minCosine = 0.99, nLists = 2, iters = 0, probes = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(single.contains(2L) && single.contains(3L),
+      "single-probe must leak the boundary pair (documents the limitation)")
+    val multi = Dedup.semanticDedupCells(e, "vec_id", "embedding",
+      minCosine = 0.99, nLists = 2, iters = 0, probes = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!(multi.contains(2L) && multi.contains(3L)),
+      s"2-probe must merge the boundary pair, kept $multi")
+  }
+
+  test("semanticDedupLeakEval: exact brute count, leak within ceiling on real embeddings") {
+    val row = Dedup.semanticDedupLeakEval(emb, "vec_id", "embedding",
+      minCosine = 0.35, nLists = 8, iters = 2, probes = 3, leakCeil = 0.1)
+      .collect().head
+    assert(row.getAs[Long]("n_vecs") == 500L)
+    assert(row.getAs[Long]("n_brute_pairs") > 0L)
+    assert(row.getAs[Boolean]("leak_ok"), "measured leak 0.012 at sf0.001")
+  }
+
   test("cosineTopK: sorted desc, excludes query, k rows; bucketed ⊆ brute ranking") {
     val top = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10).collect()
     assert(top.length == 10)
