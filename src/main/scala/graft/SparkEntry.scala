@@ -1778,6 +1778,35 @@ object SparkEntry {
           coalesce(col("sum_hamming"), lit(0L)).as("sum_hamming"))
         .orderBy("family")
     }),
+    "dedup_video_phash" -> ((s, d) => {
+      // perceptual VIDEO near-dup: planted AVIs whose keyframes are
+      // 90×80 block-gradient JPEGs carrying the closed-form
+      // plantVideoDhashBits(id, scene) — 50 families, per-scene axis,
+      // 0-2 bit member axis — on the plantSceneCut scene structure. The
+      // REAL pipeline (frame decode → keyframe walk → dHash → Hamming
+      // banding → matched-keyframe fraction) must reproduce the formula
+      // end to end; the oracle replays it and brute-forces the pair set.
+      // Rolled up per family so output stays 50 rows at every scale.
+      val kh = SparkUtil.scopedPersist(Multimodal.videoKeyframeDHashes(
+        Multimodal.plantNearDupVideoPayloads(docs(s, d), "doc_id"),
+        threshold = 10.0))
+      val pairs = Dedup.videoPhashPairs(kh, "doc_id", "frame_idx", "dhash",
+        maxDist = 2, bands = 4, minFracMicro = 500000L)
+      val perFam = pairs.withColumn("family", col("a_id") % 50)
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_matched_a") + col("n_matched_b")).as("n_matched"),
+          sum(col("frac_micro")).as("sum_frac_micro"))
+      kh.groupBy((col("doc_id") % 50).as("family"))
+        .agg(countDistinct(col("doc_id")).as("n_videos"),
+          count(lit(1)).as("n_keyframes"))
+        .join(perFam, Seq("family"), "left")
+        .select(col("family"), col("n_videos"), col("n_keyframes"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("sum_frac_micro"), lit(0L)).as("sum_frac_micro"))
+        .orderBy("family")
+    }),
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
@@ -6493,6 +6522,47 @@ object SparkEntry {
         CAST(coalesce(agg.n_exact, 0) AS BIGINT) AS n_exact,
         CAST(coalesce(agg.sum_hamming, 0) AS BIGINT) AS sum_hamming
       FROM f LEFT JOIN agg USING (family) ORDER BY family""",
+    "dedup_video_phash" -> """
+      WITH fr AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          unnest(range(0, 2 + doc_id % 5)) AS j
+        FROM documents),
+      sc AS (SELECT id, j,
+          CAST(sum(CASE WHEN j > 0 AND (id + j) % 3 = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY id ORDER BY j) AS BIGINT) AS scene
+        FROM fr),
+      h AS (SELECT id, j AS fr,
+          xor(xor(xor(xor(xor(
+            id % 50,
+            (id % 50) << 13),
+            (id % 50) << 27),
+            (id % 50) << 41),
+            ((CAST(1 AS BIGINT) << CAST(scene % 3 AS INTEGER)) - 1) << 50),
+            ((CAST(1 AS BIGINT) << CAST((id // 50) % 3 AS INTEGER)) - 1) << 60) AS ph
+        FROM sc WHERE j = 0 OR (j > 0 AND (id + j) % 3 = 0)),
+      nk AS (SELECT id, count(*) AS nk FROM h GROUP BY id),
+      fm AS (SELECT a.id AS a_id, b.id AS b_id, a.fr AS a_fr, b.fr AS b_fr
+             FROM h a JOIN h b ON a.id < b.id
+             WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+      vp AS (SELECT a_id, b_id,
+               count(DISTINCT a_fr) AS nma, count(DISTINCT b_fr) AS nmb
+             FROM fm GROUP BY 1, 2),
+      vf AS (SELECT vp.a_id, vp.b_id, vp.nma, vp.nmb,
+               (vp.nma + vp.nmb) * 1000000 // (na.nk + nb.nk) AS frac_micro
+             FROM vp JOIN nk na ON na.id = vp.a_id
+                     JOIN nk nb ON nb.id = vp.b_id
+             WHERE (vp.nma + vp.nmb) * 1000000 // (na.nk + nb.nk) >= 500000),
+      fam AS (SELECT id % 50 AS family, count(DISTINCT id) AS n_videos,
+                count(*) AS n_keyframes FROM h GROUP BY 1),
+      agg AS (SELECT a_id % 50 AS family, count(*) AS n_pairs,
+                sum(nma + nmb) AS n_matched, sum(frac_micro) AS sum_frac_micro
+              FROM vf GROUP BY 1)
+      SELECT fam.family, CAST(fam.n_videos AS BIGINT) AS n_videos,
+        CAST(fam.n_keyframes AS BIGINT) AS n_keyframes,
+        CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(agg.n_matched, 0) AS BIGINT) AS n_matched,
+        CAST(coalesce(agg.sum_frac_micro, 0) AS BIGINT) AS sum_frac_micro
+      FROM fam LEFT JOIN agg USING (family) ORDER BY family""",
     // first-arrival ≡ keep-min on the one-split sorted stream, so the
     // closed-form planted dHash formula + keep-min window replay exactly
     "stream_phash_real" -> """

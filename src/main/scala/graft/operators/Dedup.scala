@@ -504,6 +504,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** VIDEO perceptual near-dup pairs over per-keyframe dHashes — the video
+    * counterpart of [[imagePhashPairs]]: keyframe hashes band-join into
+    * candidate FRAME pairs (same 16-bit band blocking, recall guaranteed
+    * for `maxDist < bands`), exact Hamming keeps frame matches at
+    * ≤ `maxDist`, and matched frames roll up per VIDEO pair into the
+    * matched-keyframe fraction
+    * `frac_micro = (n_matched_a + n_matched_b)·10⁶ div (n_keys_a + n_keys_b)`
+    * (exact integer arithmetic — a frame counts as matched when ANY frame
+    * of the partner video is within `maxDist`). Pairs below `minFracMicro`
+    * drop: one shared scene between two long unrelated videos is not a
+    * duplicate; a near-full matching is.
+    *
+    * Scale shape: pixels never reach this operator (the hash frame is
+    * (long, int, long) rows); the candidate generator is the band
+    * equi-join — NEVER a cross join — so pair volume is Σ per-band-bucket
+    * occupancy²; the roll-up and the two n_keys joins ride (long, long)
+    * keys with map-side-combined distinct counts.
+    */
+  def videoPhashPairs(keyHashes: DataFrame, idCol: String, frameCol: String,
+      hashCol: String, maxDist: Int = 2, bands: Int = 4,
+      minFracMicro: Long = 500000L): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+    require(maxDist < bands,
+      s"band blocking with $bands bands guarantees recall only for maxDist < $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    // persisted: feeds both band-join sides AND the per-video key counts —
+    // left lazy, the upstream decode+hash pipeline would run three times
+    val h = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(keyHashes)
+      .select(col(idCol).cast("long").as("id"),
+        col(frameCol).cast("int").as("fr"), col(hashCol).cast("long").as("ph")))
+    val nkeys = h.groupBy("id").agg(count(lit(1)).as("nk"))
+    val banded = h.select(col("id"), col("fr"), col("ph"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("ph"), width * b).bitwiseAND(lit(mask)).as("v"))): _*)).as("bv"))
+      .select(col("id"), col("fr"), col("ph"), col("bv.band"), col("bv.v"))
+    val a = banded.select(col("band"), col("v"), col("id").as("a_id"),
+      col("fr").as("a_fr"), col("ph").as("a_ph"))
+    val b = banded.select(col("band"), col("v"), col("id").as("b_id"),
+      col("fr").as("b_fr"), col("ph").as("b_ph"))
+    val frameMatches = a.join(b, Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      // Hamming BEFORE the pair-dedup shuffle (the embeddingPairsIvf
+      // exchange order): only surviving frame matches cross the distinct
+      .withColumn("hamming", hamming(col("a_ph"), col("b_ph")))
+      .where(col("hamming") <= maxDist)
+      .dropDuplicates("a_id", "a_fr", "b_id", "b_fr")
+    frameMatches.groupBy("a_id", "b_id")
+      .agg(countDistinct(col("a_fr")).as("n_matched_a"),
+        countDistinct(col("b_fr")).as("n_matched_b"))
+      .join(nkeys.select(col("id").as("a_id"), col("nk").as("n_keys_a")), Seq("a_id"))
+      .join(nkeys.select(col("id").as("b_id"), col("nk").as("n_keys_b")), Seq("b_id"))
+      .withColumn("frac_micro",
+        expr("(n_matched_a + n_matched_b) * 1000000 div (n_keys_a + n_keys_b)"))
+      .where(col("frac_micro") >= minFracMicro)
+      .select(col("a_id"), col("b_id"), col("n_matched_a"), col("n_matched_b"),
+        col("n_keys_a"), col("n_keys_b"), col("frac_micro"))
+  }
+
   /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
     * classic coarse-to-fine near-dup pipeline: MinHash buckets propose,
     * the cheap signature estimate prunes (estimate ≥ threshold/3 keeps

@@ -2009,6 +2009,16 @@ object Multimodal {
       if (plantSceneCut(id, j)) s += 1
       jpegFor(s)
     }
+    aviMjpegContainer(w, h, payloads)
+  }
+
+  /** Minimal valid AVI/MJPEG container around pre-encoded JPEG frames —
+    * shared by every video plant ([[plantSceneAviMjpeg]],
+    * [[plantNearDupVideoAvi]]).
+    */
+  private def aviMjpegContainer(w: Int, h: Int,
+      payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val frames = payloads.length
     val out = new java.io.ByteArrayOutputStream(512 +
       payloads.map(f => 8 + f.length + (f.length & 1)).sum)
     def wle32v(v: Int): Unit = {
@@ -2049,6 +2059,159 @@ object Multimodal {
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
       .mapPartitions { it => it.map(id => (id, plantSceneAviMjpeg(id), "video/x-msvideo")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  // ---------------- video perceptual near-dup ----------------
+
+  /** Keyframe selection ∘ per-keyframe [[dHash64]] in ONE decoded pass —
+    * the front half of the video near-dup pipeline: the shot-boundary walk
+    * of [[selectKeyframes]] (mean-RGB diff vs the previous decoded frame)
+    * picks representative frames, and each keyframe's perceptual hash is
+    * computed from the SAME decoded pixels before they're dropped. Only
+    * (doc_id, frame_idx, n_frames, dhash) scalars leave the task — pixels
+    * and payloads never cross an exchange, exactly the [[imageDHashes]]
+    * contract. Undecodable frames reset the chain; malformed containers
+    * yield no rows.
+    */
+  def videoKeyframeDHashes(payloads: DataFrame, threshold: Double): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = aviFrames(bytes)
+          val n = frames.length
+          var prev: Array[Double] = null
+          frames.iterator.flatMap { case (idx, fb) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+              catch { case _: java.io.IOException => null }
+            if (img == null) { prev = null; Iterator.empty }
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val np = (w * h).toDouble
+              val cur = Array(sr / np, sg / np, sb / np)
+              val isKey = prev == null ||
+                (math.abs(cur(0) - prev(0)) + math.abs(cur(1) - prev(1)) +
+                 math.abs(cur(2) - prev(2))) / 3.0 > threshold
+              prev = cur
+              if (isKey) Iterator.single((id, idx, n, dHash64(img)))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "dhash")
+  }
+
+  /** The 64-bit dHash keyframe `scene` of planted video `id` decodes to,
+    * in closed form: 50 families (6-bit base pattern replicated into
+    * segments [0,6)/[13,19)/[27,33)/[41,47) — distinct families are ≥ 4
+    * bits apart), a per-SCENE axis in bits [50,52) (scene s flips the low
+    * `s % 3` of them), and the per-member near-dup axis in bits [60,62)
+    * (member m = (id/50) % 3 flips the low `m` bits). So two keyframes
+    * hash within distance d iff |s₁%3 − s₂%3| + |m₁ − m₂| ≤ d for the
+    * same family — a DuckDB oracle replays the formula and brute-forces
+    * the pair set with bit_count(xor(...)).
+    */
+  def plantVideoDhashBits(id: Long, scene: Int): Long = {
+    val f = id % 50
+    val m = (id / 50) % 3
+    (f ^ (f << 13) ^ (f << 27) ^ (f << 41)) ^
+      (((1L << (scene % 3)) - 1L) << 50) ^ (((1L << m) - 1L) << 60)
+  }
+
+  /** The mean-gray base of planted scene `s`: cycles {83, 128, 173} so
+    * every consecutive-scene mean jump is ≥ 45 gray (vs the byte-identical
+    * 0 within a scene) while the gradient span stays inside [3, 253].
+    */
+  def plantVideoSceneBase(scene: Int): Int = 128 + (scene % 3) * 45 - 45
+
+  /** A 90×80 JPEG whose [[dHash64]] is exactly `bits`: each 9×8 grid cell
+    * is a SOLID 10×10 block on the ±10-per-column gradient walk of
+    * [[plantDhashPng]], shifted to `baseGray`. dHash box-averages each
+    * block back to its planted value (JPEG q0.9 noise on block-constant
+    * content averages out well under the ±10 step), and the hash compares
+    * ADJACENT CELL DIFFS only — invariant to the base shift, which exists
+    * purely so the mean-RGB keyframe walk sees the scene cut.
+    */
+  private[graft] def dhashGradJpeg(bits: Long, baseGray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(90, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def fillCell(r: Int, c: Int, gray: Int): Unit = {
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = r * 10
+      while (y < r * 10 + 10) {
+        var x = c * 10
+        while (x < c * 10 + 10) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+    }
+    var r = 0
+    while (r < 8) {
+      var gray = baseGray
+      fillCell(r, 0, gray)
+      var c = 0
+      while (c < 8) {
+        gray += (if (((bits >>> (r * 8 + c)) & 1L) == 1L) 10 else -10)
+        fillCell(r, c + 1, gray)
+        c += 1
+      }
+      r += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream(1024)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
+  /** A REAL AVI/MJPEG with PLANTED NEAR-DUP KEYFRAME HASHES: the scene
+    * structure of [[plantSceneAviMjpeg]] (frame count [[plantSceneFrames]],
+    * cuts [[plantSceneCut]], within-scene frames byte-identical) but every
+    * scene's frame is a [[dhashGradJpeg]] carrying
+    * [[plantVideoDhashBits]](id, s) at base [[plantVideoSceneBase]](s) —
+    * so the keyframe walk recovers {0} ∪ cuts AND each keyframe's dHash
+    * replays from the id/scene formula.
+    */
+  def plantNearDupVideoAvi(id: Long): Array[Byte] = {
+    val frames = plantSceneFrames(id)
+    val sceneJpeg = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    def jpegFor(s: Int): Array[Byte] = sceneJpeg.getOrElseUpdate(s,
+      dhashGradJpeg(plantVideoDhashBits(id, s), plantVideoSceneBase(s)))
+    var s = 0
+    val payloads = (0 until frames).map { j =>
+      if (plantSceneCut(id, j)) s += 1
+      jpegFor(s)
+    }
+    aviMjpegContainer(90, 80, payloads)
+  }
+
+  /** (doc_id, payload, media_type) of the planted near-dup-hash AVIs. */
+  def plantNearDupVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantNearDupVideoAvi(id), "video/x-msvideo")) }
       .toDF("doc_id", "payload", "media_type")
   }
 }

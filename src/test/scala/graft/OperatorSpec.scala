@@ -2234,6 +2234,60 @@ class OperatorSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("videoKeyframeDHashes: planted AVIs — keyframe set = {0} ∪ cuts, hash replays the formula") {
+    val ids = Seq(0L, 1L, 7L, 49L, 50L, 100L, 151L)
+    val kh = Multimodal.videoKeyframeDHashes(
+      Multimodal.plantNearDupVideoPayloads(ids.toDF("doc_id"), "doc_id"), 10.0)
+      .collect()
+    val gotKeys = kh.map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expKeys = ids.flatMap { id =>
+      (0 until (2 + id % 5).toInt)
+        .filter(j => j == 0 || (id + j) % 3 == 0).map(j => (id, j))
+    }.toSet
+    assert(gotKeys == expKeys, s"keyframes: got $gotKeys")
+    for (r <- kh) {
+      val id = r.getLong(0); val fr = r.getInt(1)
+      val scene = (1 to fr).count(j => (id + j) % 3 == 0)
+      assert(r.getLong(3) == Multimodal.plantVideoDhashBits(id, scene),
+        s"id=$id frame=$fr: real decode must reproduce the planted dHash")
+    }
+  }
+
+  test("videoPhashPairs: matched-keyframe fraction, floor cut, banded candidates (no cross join)") {
+    val h1 = 0x1111222233334444L
+    val far = ~h1
+    // A(10): 2 keyframes {h1, far}; B(11): 2 keyframes {h1^1, far^2} — all
+    // match → frac 1e6. C(12): 2 keyframes {h1, lone} with `lone` far from
+    // every other hash — 1 of 2 matches A (frac (1+1)/(2+2)=500000, at the
+    // floor → kept). D(13): no hash near anyone → no pair. E(14): 1
+    // keyframe {h1^3}: d=2 from h1^1 and d=2 from h1 (bits 0+1).
+    val lone = 0x0F0F0F0F0F0F0F0FL
+    val kh = Seq(
+      (10L, 0, h1), (10L, 1, far),
+      (11L, 0, h1 ^ 1L), (11L, 1, far ^ 2L),
+      (12L, 0, h1), (12L, 1, lone),
+      (13L, 0, 0x5A5A5A5A5A5A5A5AL),
+      (14L, 0, h1 ^ 3L)
+    ).toDF("doc_id", "frame_idx", "dhash")
+    val df = Dedup.videoPhashPairs(kh, "doc_id", "frame_idx", "dhash",
+      maxDist = 2, bands = 4, minFracMicro = 500000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the band equi-join, not a cross join:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    // (10,11): h1~h1^1 d=1 ✓, far~far^2 d=1 ✓ → 4/4 = 1e6
+    // (10,12): h1~h1 d=0 ✓; far vs lone far ✗ → (1+1)/(2+2) = 500000
+    // (11,12): h1^1~h1 d=1 ✓; far^2 vs lone ✗ → 500000
+    // (11,14): h1^1 ~ h1^3 d=1 ✓ → (1+1)/(2+1) = 666666
+    // (10,14): h1 ~ h1^3 d=2 ✓ → (1+1)/(2+1) = 666666
+    // (12,14): h1 ~ h1^3 d=2 ✓ → 666666
+    assert(got == Map((10L, 11L) -> 1000000L, (10L, 12L) -> 500000L,
+      (11L, 12L) -> 500000L, (11L, 14L) -> 666666L, (10L, 14L) -> 666666L,
+      (12L, 14L) -> 666666L), s"got $got")
+  }
+
   test("qualityClassifierScore: features = unigrams+bigrams, exact micro sums, live threshold") {
     // two single-bucket weight tables pin the feature extraction: with
     // buckets=1 every feature hits bucket 0, so n_feats and the logit are
