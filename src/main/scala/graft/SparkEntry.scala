@@ -2285,6 +2285,30 @@ object SparkEntry {
         "vec_id", col("label") === 2, nQueries = 20, k = 10, nLists = 16,
         nProbe = 12, iters = 2, recallFloor = 0.5)
         .orderBy("qid")),
+    "sim_topk_filtered_batch" -> ((s, d) =>
+      // attribute-filtered ANN over a query WORKLOAD (10 queries, one
+      // shared cell scan — queries × corpus never materializes, the
+      // text_phrase_batch convention). nProbe = nLists makes the batch
+      // exact, so the DuckDB per-query filtered brute top-k replays it
+      SimSearch.cosineTopKIvfFilteredBatch(tbl(s, d, "embeddings"), "vec_id",
+          "embedding", tbl(s, d, "embeddings").select("vec_id", "label"),
+          "vec_id", col("label") === 2, queryIds = (0L until 10L),
+          k = 5, nLists = 16, nProbe = 16, iters = 2)
+        .select(col("qid"), col("id").as("vec_id"),
+          round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("qid"), col("cos6").desc, col("vec_id"))),
+    "sim_topk_filtered_batch_fast" -> ((s, d) =>
+      // the approximate scale path of the batch: nProbe = 12 of 16 cells.
+      // Rows-only (Lloyd cells are engine-internal); sim_recall_filtered
+      // is its PASSING oracle-paired twin — same index, same predicate,
+      // same nProbe, per-query recall floor vs exact filtered brute force
+      SimSearch.cosineTopKIvfFilteredBatch(tbl(s, d, "embeddings"), "vec_id",
+          "embedding", tbl(s, d, "embeddings").select("vec_id", "label"),
+          "vec_id", col("label") === 2, queryIds = (0L until 10L),
+          k = 5, nLists = 16, nProbe = 12, iters = 2)
+        .select(col("qid"), col("id").as("vec_id"),
+          round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("qid"), col("cos6").desc, col("vec_id"))),
     "sim_topk_int8" -> ((s, d) => {
       // int8-quantized ANN (the 4× storage-reduction path of an embedding
       // pipeline): symmetric per-vector scale max|x|/127, round-half-away
@@ -5709,6 +5733,24 @@ object SparkEntry {
         FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 2)
       SELECT vec_id, round(cosine, 6) AS cos6 FROM scored
       ORDER BY cos6 DESC, vec_id LIMIT 10""",
+    "sim_topk_filtered_batch" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS q_v FROM embeddings
+                 WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, e.vec_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_v[i] AS DOUBLE) * CAST(q.q_v[i] AS DOUBLE)))), 0.0) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid AND e.label = 2),
+      r AS (SELECT qid, vec_id, cosine,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored)
+      SELECT qid, vec_id, round(cosine, 6) AS cos6 FROM r WHERE rn <= 5
+      ORDER BY qid, cos6 DESC, vec_id""",
     "sim_recall_pq" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",

@@ -286,6 +286,53 @@ object SimSearch {
     model.queryFiltered(qv, k, nProbe, predicate, excludeId = Some(queryId))
   }
 
+  /** ATTRIBUTE-FILTERED ANN over a query WORKLOAD — production retrieval
+    * is a batch, not a point lookup (the `text_phrase_batch` convention):
+    * every query explodes into its `nProbe` nearest cells and ONE shared
+    * cell equi-join scans the predicate-filtered corpus for the whole
+    * workload — queries × corpus never materializes, per-query work is
+    * its probed cells only, and the driver never loops (a per-query
+    * [[cosineTopKIvfFiltered]] loop would retrain/rescan per query).
+    * The filter lands INSIDE the cell scan, before distance ranking.
+    *
+    * At `nProbe = nLists` the probe degenerates to the exact filtered
+    * scan (the oracle-pairable configuration); at `nProbe < nLists` it is
+    * the approximate scale path whose per-query recall
+    * [[ivfFilteredRecallEval]] floor-gates against filtered brute force.
+    * Returns (qid, id, cosine) rows, top-k per query ranked by
+    * (cosine desc, id asc) via the [[graft.functions.TopKAgg]] partial
+    * aggregate — candidates reduce map-side, only k survivors per
+    * (partition, qid) reach the final exchange.
+    */
+  def cosineTopKIvfFilteredBatch(emb: DataFrame, idCol: String,
+      vecCol: String, attrs: DataFrame, attrIdCol: String,
+      predicate: Column, queryIds: Seq[Long], k: Int, nLists: Int = 16,
+      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    require(queryIds.nonEmpty, "batch ANN needs at least one query id")
+    val model = trainIvf(emb, idCol, vecCol, nLists, iters)
+      .withAttributes(attrs, attrIdCol)
+    val base = model.assigned
+    val filtered = base.where(predicate)
+    val q = base.where(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val cents = typedlit(model.centroids)
+    val sims = transform(cents, c => dotProduct(col("qv"), c))
+    val ranked = sort_array(zip_with(sims,
+      sequence(lit(0), lit(nLists - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx"))))
+    val qp = q.withColumn("cell",
+      explode(slice(transform(ranked, r => r.getField("idx")), 1, nProbe)))
+    filtered.join(broadcast(qp), Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        V.cosine(col("v"), col("qv")).as("cosine"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("id"), k).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("cosine"))
+  }
+
   /** Recall@k of the FILTERED IVF probe against exact FILTERED brute
     * force ([[ivfRecallEval]] pattern — one plan, no per-query driver
     * loop): both sides restrict candidates to the predicate before

@@ -436,6 +436,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(bucketedIds.subsetOf(bruteAll + 0L))
   }
 
+  test("cosineTopKIvfFilteredBatch ≡ per-query filtered ANN; one shared cell equi-join") {
+    val attrs = emb.select("vec_id", "label")
+    val pred = col("label") === 2
+    val df = SimSearch.cosineTopKIvfFilteredBatch(emb, "vec_id", "embedding",
+      attrs, "vec_id", pred, queryIds = Seq(0L, 3L, 7L), k = 5,
+      nLists = 16, nProbe = 16, iters = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the workload must ride the cell equi-join, not a cross join:\n$plan")
+    val batch = df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    for (qid <- Seq(0L, 3L, 7L)) {
+      val single = SimSearch.cosineTopKIvfFiltered(emb, "vec_id", "embedding",
+        attrs, "vec_id", pred, qid, k = 5, nLists = 16, nProbe = 16, iters = 2)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch(qid) == single, s"qid=$qid: batch ${batch(qid)} vs single $single")
+    }
+    // every returned row satisfies the predicate
+    val lbl = attrs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch.values.flatten.forall(id => lbl(id) == 2), "predicate inside the scan")
+  }
+
   test("IVF ANN: nProbe=nLists degenerates to exact brute force; partial probe is a subset") {
     val brute = SimSearch.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
       .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
