@@ -978,6 +978,27 @@ object SparkEntry {
         concat(lit("web"), col("o_orderkey") % 3).as("o_channel"))
       DataQuality.schemaDrift(base, next).orderBy("column_name")
     }),
+    "dq_cardinality_drift" -> ((s, d) => {
+      // KMV cardinality monitoring loop end-to-end: per-(type, day)
+      // sketches of snapshot A (full events) and snapshot B (the 'view'
+      // type loses its user_id % 5 == 0 users — a planted 20% audience
+      // drop) PERSIST as managed tables, reload, merge per type via the
+      // agg_kmv_reagg property, and compare. k = 4096 over 1,500 distinct
+      // users/type keeps every sketch below capacity, so the estimates
+      // are EXACT and the oracle replays them as count(DISTINCT ...) —
+      // only 'view' may cross the 10% drift floor
+      val k = 4096
+      val (ta, tb) = ("graft_kmv_snap_a", "graft_kmv_snap_b")
+      Seq(ta, tb).foreach(IndexStore.reset(s, _))
+      val ev = events(s, d)
+      DataQuality.saveKmvSnapshot(ev, "event_type", to_date(col("ts")),
+        "user_id", k, ta)
+      DataQuality.saveKmvSnapshot(
+        ev.where(!(col("event_type") === "view" && col("user_id") % 5 === 0)),
+        "event_type", to_date(col("ts")), "user_id", k, tb)
+      DataQuality.cardinalityDrift(s, ta, tb, k, driftFloorMicro = 100000L)
+        .orderBy("grp")
+    }),
     "dq_mad_outliers" -> ((s, d) => {
       // robust outlier stats with PLANTED spikes: every %131 event's
       // value is multiplied by 50, so each type's Hampel count (|x−med| >
@@ -5312,6 +5333,18 @@ object SparkEntry {
           PARTITION BY q_id ORDER BY dist, r_id) AS rn FROM cand)
       SELECT q_id, q_name, r_id, r_name, CAST(dist AS BIGINT) AS dist
       FROM best WHERE rn = 1 ORDER BY q_id""",
+    "dq_cardinality_drift" -> """
+      WITH a AS (SELECT event_type AS grp,
+          count(DISTINCT user_id) AS est_a FROM events GROUP BY 1),
+      b AS (SELECT event_type AS grp,
+          count(DISTINCT user_id) AS est_b FROM events
+        WHERE NOT (event_type = 'view' AND user_id % 5 = 0) GROUP BY 1)
+      SELECT a.grp, CAST(a.est_a AS BIGINT) AS est_a,
+        CAST(b.est_b AS BIGINT) AS est_b,
+        abs(b.est_b - a.est_a) * 1000000 // greatest(a.est_a, 1) AS drift_micro,
+        (abs(b.est_b - a.est_a) * 1000000 // greatest(a.est_a, 1)) >= 100000
+          AS drifted
+      FROM a JOIN b USING (grp) ORDER BY grp""",
     "dq_schema_drift" -> """
       WITH nn AS (SELECT CAST(sum(CASE WHEN o_orderkey % 89 = 0 THEN 1
           ELSE 0 END) AS BIGINT) AS nulled FROM orders)

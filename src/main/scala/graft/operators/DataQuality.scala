@@ -222,6 +222,57 @@ object DataQuality {
     * their own class (NULL-safe grouping), matching the release semantics:
     * a null attribute still partitions the published table.
     */
+  /** Persist a PER-(group, partition) KMV cardinality snapshot as a
+    * managed table — the sketch half of the lakehouse monitoring loop:
+    * a daily job appends its partition's per-group sketches (k longs per
+    * group — bounded regardless of row count), and later audits merge
+    * them WITHOUT re-reading the data, the re-aggregation property
+    * `agg_kmv_reagg` pins (k smallest of a union = k smallest of the
+    * k-smallest sets). One map-side-combined aggregate per save; only
+    * (group, part, k·8 bytes) rows reach the writer.
+    */
+  def saveKmvSnapshot(df: DataFrame, groupCol: String, partCol: Column,
+      keyCol: String, k: Int, table: String): Unit = {
+    val snap = df
+      .groupBy(col(groupCol).as("grp"), partCol.as("part"))
+      .agg(graft.functions.Sketches.kmvAgg(xxhash64(col(keyCol)), k).as("sk"))
+    snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Cardinality drift between two persisted KMV snapshots (the
+    * `dq_schema_drift` shape for distinct counts): reload both tables,
+    * merge each group's per-partition sketches back to one sketch
+    * (array-union + k-cut — exact re-aggregation), estimate distinct
+    * keys per group on each side, and flag groups whose relative change
+    * reaches `driftFloorMicro` (micro-units, integer arithmetic). Below
+    * sketch capacity the estimates are EXACT, so gate-scale results
+    * replay against `count(DISTINCT ...)` in any engine; above capacity
+    * the same report degrades gracefully to the (k−1)/θ estimate.
+    * Groups absent from one snapshot report 0 there (a vanished group is
+    * 100% drift, not a dropped row). Everything after the table scans is
+    * decision-sized: (group, sketch) rows, one join on the group key.
+    */
+  def cardinalityDrift(spark: org.apache.spark.sql.SparkSession,
+      tableA: String, tableB: String, k: Int,
+      driftFloorMicro: Long = 100000L): DataFrame = {
+    def merged(table: String, out: String): DataFrame =
+      spark.table(table).groupBy("grp")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("__m"))
+        .select(col("grp"),
+          graft.functions.Sketches.kmvDistinct(col("__m"), k)
+            .cast("long").as(out))
+    merged(tableA, "est_a")
+      .join(merged(tableB, "est_b"), Seq("grp"), "full_outer")
+      .select(col("grp"),
+        coalesce(col("est_a"), lit(0L)).as("est_a"),
+        coalesce(col("est_b"), lit(0L)).as("est_b"))
+      .withColumn("drift_micro",
+        expr("abs(est_b - est_a) * 1000000 div greatest(est_a, 1)"))
+      .withColumn("drifted", col("drift_micro") >= driftFloorMicro)
+  }
+
   def kAnonymityReport(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
     require(quasi.nonEmpty, "kAnonymityReport: no quasi-identifiers declared")
     require(k > 1, s"kAnonymityReport: k must be > 1, got $k")

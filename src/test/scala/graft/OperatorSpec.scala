@@ -2312,6 +2312,30 @@ class OperatorSpec extends AnyFunSuite {
       (12L, 14L) -> 666666L), s"got $got")
   }
 
+  test("KMV snapshot persistence + cardinality drift: save→reload→merge, exact below capacity, vanished/new groups") {
+    import graft.operators.DataQuality
+    import graft.sources.IndexStore
+    val (ta, tb) = ("graft_test_kmv_a", "graft_test_kmv_b")
+    Seq(ta, tb).foreach(IndexStore.reset(spark, _))
+    // two partitions per snapshot so the merge path (not just the scan) runs
+    val a = Seq(("g1", 1, 1L), ("g1", 1, 2L), ("g1", 2, 3L), ("g1", 2, 4L),
+      ("g1", 2, 5L), ("g2", 1, 1L), ("g2", 2, 2L), ("g2", 2, 3L))
+      .toDF("g", "p", "k")
+    val b = Seq(("g1", 1, 1L), ("g1", 2, 2L), ("g2", 1, 1L), ("g2", 1, 2L),
+      ("g2", 2, 3L), ("g3", 1, 10L), ("g3", 2, 11L)).toDF("g", "p", "k")
+    DataQuality.saveKmvSnapshot(a, "g", col("p"), "k", k = 16, ta)
+    DataQuality.saveKmvSnapshot(b, "g", col("p"), "k", k = 16, tb)
+    val got = DataQuality.cardinalityDrift(spark, ta, tb, k = 16,
+        driftFloorMicro = 100000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("g1") == (5L, 2L, 600000L, true), s"g1: ${got("g1")}")
+    assert(got("g2") == (3L, 3L, 0L, false), s"g2: ${got("g2")}")
+    assert(got("g3") == (0L, 2L, 2000000L, true),
+      s"new group vs greatest(est_a,1) guard: ${got("g3")}")
+    Seq(ta, tb).foreach(IndexStore.reset(spark, _))
+  }
+
   test("qualityClassifierScore: features = unigrams+bigrams, exact micro sums, live threshold") {
     // two single-bucket weight tables pin the feature extraction: with
     // buckets=1 every feature hits bucket 0, so n_feats and the logit are
