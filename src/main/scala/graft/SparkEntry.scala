@@ -2477,6 +2477,20 @@ object SparkEntry {
         .toDF("rank", "left", "right", "pair_count")
         .orderBy("rank")
     }),
+    "text_unigram_learn" -> ((s, d) => {
+      // unigram-LM tokenizer learning (Kudo 2018, the SentencePiece
+      // algorithm — completes the tokenizer-family pair with
+      // text_bpe_learn): 2 hard-EM rounds over the distinct-word
+      // histogram, seeded with corpus chars + the BPE merge outputs,
+      // exact integer micro-nat costs, ties pinned (longest piece), non-
+      // char pieces pruned under 2 uses. The oracle replays the Viterbi
+      // DP + EM rounds as generated unrolled SQL
+      import s.implicits._
+      graft.functions.Unigram.learnUnigram(docs(s, d), "text",
+          emRounds = 2, minCount = 2)
+        .toDF("piece", "count", "cost_micro")
+        .orderBy("piece")
+    }),
     "text_pack_sequences_bpe" -> ((s, d) =>
       // sequence packing in the unit that matters — BPE subwords: same
       // distributed two-pass cumsum, the per-doc count comes from the
@@ -4729,6 +4743,81 @@ object SparkEntry {
     header + body.stripSuffix(",") + "\n      " + unions + "\n      ORDER BY rank"
   }
 
+  /** Generated replay of [[graft.functions.Unigram.learnUnigram]]: per EM
+    * round, an UNROLLED Viterbi DP (forward stages 1..maxLen: per (word,
+    * position) keep the min-(cost, −k) candidate over piece lengths
+    * 1..4; backward stages peel the chosen pieces), weighted piece
+    * counts over the word histogram, then the prune + add-one re-cost.
+    * maxLen = 12 comfortably covers the corpus (max token length 8 at
+    * every SF — the engine DP itself has no length cap).
+    */
+  private lazy val unigramLearnOracle: String = {
+    val maxLen = 12
+    val maxPiece = 4
+    val seeds = graft.functions.Bpe.PlantedMerges
+      .map { case (l, r) => s"'$l$r'" }.mkString(", ")
+    def dpStages(r: Int, vc: String): String = {
+      val stages = (1 to maxLen).map { p =>
+        val branches = (1 to math.min(maxPiece, p)).map { k =>
+          s"""SELECT d.w AS w, d.cost + v.cost AS cost, $k AS k
+          FROM d${r}_${p - k} d JOIN $vc v ON v.p = substr(d.w, ${p - k + 1}, $k)
+          WHERE len(d.w) >= $p"""
+        }.mkString("\n          UNION ALL ")
+        s"""
+      d${r}_$p AS MATERIALIZED (SELECT w, cost, k FROM (
+        SELECT cand.*, row_number() OVER (PARTITION BY w
+          ORDER BY cost ASC, k DESC) AS rn FROM ($branches) cand)
+        WHERE rn = 1),"""
+      }.mkString
+      val dpUnion = (1 to maxLen)
+        .map(p => s"SELECT w, $p AS pos, k FROM d${r}_$p")
+        .mkString("\n        UNION ALL ")
+      val btStages = (1 to maxLen).map { i =>
+        s"""
+      b${r}_$i AS MATERIALIZED (SELECT b.w, b.pos - d.k AS pos,
+          substr(b.w, b.pos - d.k + 1, d.k) AS piece
+        FROM b${r}_${i - 1} b JOIN dp$r d ON d.w = b.w AND d.pos = b.pos
+        WHERE b.pos > 0),"""
+      }.mkString
+      val pcUnion = (1 to maxLen)
+        .map(i => s"SELECT w, piece FROM b${r}_$i")
+        .mkString("\n        UNION ALL ")
+      s"""
+      d${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS k FROM w),$stages
+      dp$r AS MATERIALIZED ($dpUnion),
+      b${r}_0 AS MATERIALIZED (SELECT w, len(w) AS pos FROM w),$btStages
+      pieces$r AS MATERIALIZED ($pcUnion),
+      cnt$r AS MATERIALIZED (SELECT pc.piece AS p, CAST(sum(wc.c) AS BIGINT) AS n
+        FROM pieces$r pc JOIN w wc ON wc.w = pc.w GROUP BY 1),"""
+    }
+    def mStep(r: Int, prevVocab: String): String = s"""
+      ret$r AS MATERIALIZED (SELECT s.p, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+        FROM (SELECT p FROM $prevVocab) s LEFT JOIN cnt$r c ON c.p = s.p
+        WHERE len(s.p) = 1 OR coalesce(c.n, 0) >= 2),
+      tv$r AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS v FROM ret$r),
+      vc${r + 1} AS MATERIALIZED (SELECT r.p,
+          CAST(round(-ln((r.n + 1.0) / (t.t + t.v)) * 1e6) AS BIGINT) AS cost
+        FROM ret$r r, tv$r t),"""
+    s"""WITH toks AS MATERIALIZED (SELECT $tokenizeSql AS tokens FROM documents),
+      w AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(tokens) AS w FROM toks) GROUP BY 1),
+      chars AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(range(1, len(w) + 1),
+          j -> w[j])) AS p FROM w),
+      seed AS MATERIALIZED (SELECT p FROM chars UNION SELECT unnest([$seeds])),
+      vc1 AS MATERIALIZED (SELECT p, CAST(round(-ln((0 + 1.0) /
+          (0 + sv.v)) * 1e6) AS BIGINT) AS cost
+        FROM seed, (SELECT count(*) AS v FROM seed) sv),
+      ${dpStages(1, "vc1")}
+      ${mStep(1, "seed")}
+      ${dpStages(2, "vc2")}
+      ${mStep(2, "ret1")}
+      __tail AS MATERIALIZED (SELECT 1)
+      SELECT r.p AS piece, r.n AS "count",
+        CAST(round(-ln((r.n + 1.0) / (t.t + t.v)) * 1e6) AS BIGINT)
+          AS cost_micro
+      FROM ret2 r, tv2 t ORDER BY piece"""
+  }
+
   /** Curate-pipeline compositions retired from the driver gate suite
     * (round-10 verdict task 2): six versions each re-ran full index/LM
     * machinery per bench execution, so the suite's cost grew linearly with
@@ -4828,6 +4917,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> bpeLearnOracle,
+    "text_unigram_learn" -> unigramLearnOracle,
     "src_scan_documents" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "src_orc_scan" ->

@@ -2336,6 +2336,33 @@ class OperatorSpec extends AnyFunSuite {
     Seq(ta, tb).foreach(IndexStore.reset(spark, _))
   }
 
+  test("UnigramKernel.segmentWord: min-cost Viterbi, longest-piece ties, uncoverable → null") {
+    import graft.functions.{UnigramKernel, UnigramTable}
+    val t1 = new UnigramTable(Map("a" -> 100L, "b" -> 100L, "ab" -> 150L), 4)
+    assert(UnigramKernel.segmentWord("ab", t1).toSeq == Seq("ab"),
+      "150 beats a+b=200")
+    val t2 = new UnigramTable(Map("a" -> 100L, "b" -> 100L, "ab" -> 200L), 4)
+    assert(UnigramKernel.segmentWord("ab", t2).toSeq == Seq("ab"),
+      "cost tie falls to the longer piece")
+    assert(UnigramKernel.segmentWord("abc", t1) == null, "no 'c' piece → null")
+    assert(UnigramKernel.segmentWord("", t1).toSeq == Seq.empty)
+    assert(UnigramKernel.segmentWord("abab", t1).toSeq == Seq("ab", "ab"))
+  }
+
+  test("learnUnigram: hand-replayed EM rounds — prune, add-one re-cost, exact micro-nats") {
+    // corpus "the the cat": round 1 (uniform) segments the→[the],
+    // cat→[c, at]; 'at' (1 use) prunes, 'the' (2) survives with the 5
+    // corpus chars. Round 2 re-segments cat over chars only; final
+    // costs are round(-ln((n+1)/(T+V))·1e6) with T=5, V=6.
+    val df = Seq("the the cat").toDF("text")
+    val got = graft.functions.Unigram.learnUnigram(df, "text",
+      emRounds = 2, minCount = 2)
+    assert(got == Seq(
+      ("a", 1L, 1704748L), ("c", 1L, 1704748L), ("e", 0L, 2397895L),
+      ("h", 0L, 2397895L), ("t", 1L, 1704748L), ("the", 2L, 1299283L)),
+      s"got $got")
+  }
+
   test("qualityClassifierScore: features = unigrams+bigrams, exact micro sums, live threshold") {
     // two single-bucket weight tables pin the feature extraction: with
     // buckets=1 every feature hits bucket 0, so n_feats and the logit are
