@@ -100,7 +100,16 @@ object Bench {
     // every bench run, not re-measured ad hoc (round-10 verdict task 5)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration / scale-validation escape hatch (the Verify
+    // SPARK_GRAFT_ONLY convention): SPARK_GRAFT_BENCH_ONLY=q1,q2 benches a
+    // subset — used by the sf1 flagship validation run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(o => System.err.println(
+      s"[bench] *** SPARK_GRAFT_BENCH_ONLY ACTIVE — ${o.size} queries ***"))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var bestT = Double.MaxValue
       var bestShuf = (0L, 0L)
       (1 to reps).foreach { _ =>

@@ -40,6 +40,24 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
 
+  /** Occupancy-constant index sizing for the cell/bucket-blocked embedding
+    * operators: per-cell pair joins are quadratic in OCCUPANCY, so the
+    * cell count must grow with the corpus — a fixed nLists that is right
+    * at sf0.1 is 100× too coarse at sf10. Targets are chosen so every
+    * gate scale (sf ≤ 0.1) derives the HISTORIC constants (8 lists /
+    * 4 sign bits — the values the oracles replay); only beyond-gate
+    * corpora (the sf1 validation bench and up) scale out, capped at the
+    * typedlit ceiling (shard the corpus for more, per the operator docs).
+    */
+  private def ivfListsFor(n: Long): Int =
+    math.min(graft.operators.SimSearch.TypedLitCentroidMax.toLong,
+      math.max(8L, n / 250L)).toInt // sf0.1 (n=2000) ⇒ the historic 8
+  private def signBitsFor(n: Long): Int = {
+    val cells = (n + 127L) / 128L // target occupancy ~128 (sf0.1 ⇒ 4 bits)
+    if (cells <= 1L) 4
+    else math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1L))
+  }
+
   /** Shared planted page table of the link-graph gate family
     * (`graph_link_extract` / `graph_host_rank` / `pipeline_curate_v5`):
     * each doc lives on host h⟨rh⟩.example with rh = (doc_id div 2) % 10
@@ -2107,9 +2125,11 @@ object SparkEntry {
       // Rows-only: the candidate set depends on engine-internal centroids
       // DuckDB cannot replay; the oracle-paired dedup_embedding_ivf_recall
       // twin floor-gates it against the exact brute pair set (the
-      // sim_topk_ivf / sim_recall_ivf convention)
+      // sim_topk_ivf / sim_recall_ivf convention). nLists derives from the
+      // corpus (occupancy-constant — 8 at every gate scale, more beyond)
       Dedup.embeddingPairsIvf(tbl(s, d, "embeddings"), "vec_id", "embedding",
-          0.35, nLists = 8, probes = 3)
+          0.35, nLists = ivfListsFor(tbl(s, d, "embeddings").count()),
+          probes = 3)
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
         .orderBy("a_id", "b_id")),
     "dedup_embedding_ivf_recall" -> ((s, d) =>
@@ -2119,9 +2139,11 @@ object SparkEntry {
         "embedding", 0.35, nLists = 8, probes = 3, recallFloor = 0.8)),
     "dedup_embedding_bucketed" -> ((s, d) =>
       // sign-bucket blocked variant — the linear-ish scale path of the
-      // brute pairs above (same scoring, bucket equi-join instead of ×)
+      // brute pairs above (same scoring, bucket equi-join instead of ×).
+      // nBits occupancy-derived (4 at every gate scale — the value the
+      // oracle replays — more beyond)
       Dedup.embeddingPairsBucketed(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.35,
-        nBits = 4)
+        nBits = signBitsFor(tbl(s, d, "embeddings").count()))
         .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cos6"))
         .orderBy("a_id", "b_id")),
     "dedup_embedding_clusters" -> ((s, d) => {
@@ -2153,9 +2175,12 @@ object SparkEntry {
       // leaks ~40% of the 0.35-0.5 cosine pairs across cell boundaries).
       // Rows-only (Lloyd centroids are engine-internal); the oracle-paired
       // dedup_semantic_cells_leak twin bounds the cell-split duplicate
-      // leakage against the exact brute pair graph
+      // leakage against the exact brute pair graph. nLists occupancy-
+      // derived (8 at every gate scale, more beyond)
       Dedup.semanticDedupCells(tbl(s, d, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.35, nLists = 8, iters = 2, probes = 3)
+          minCosine = 0.35,
+          nLists = ivfListsFor(tbl(s, d, "embeddings").count()),
+          iters = 2, probes = 3)
         .select(col("id").as("vec_id"), col("cell"), col("c2c_micro"))
         .orderBy("vec_id")),
     "dedup_semantic_cells_leak" -> ((s, d) =>
