@@ -49,6 +49,35 @@ object SparkEntry {
     * corpora (the sf1 validation bench and up) scale out, capped at the
     * typedlit ceiling (shard the corpus for more, per the operator docs).
     */
+  /** The planted CDC change feed of the `cdc_apply_*` gate family: base
+    * projection of orders plus updates (stacked on %20), deletes (%7≡3),
+    * and inserts (key+10^9) — shared by the plain and Bloom-pruned MERGE
+    * gates, which must produce row-identical results.
+    */
+  private def cdcPlantedFeed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    def ch(pred: org.apache.spark.sql.Column, seq: Int, op: String,
+        key: org.apache.spark.sql.Column,
+        status: org.apache.spark.sql.Column,
+        price: org.apache.spark.sql.Column): DataFrame =
+      o.where(pred).select(key.as("o_orderkey"),
+        lit(seq.toLong).as("seq"), lit(op).as("op"), col("o_custkey"),
+        status.as("o_orderstatus"), price.as("o_totalprice"))
+    val changes =
+      ch(col("o_orderkey") % 10 === 0, 1, "U", col("o_orderkey"),
+          lit("U1"), col("o_totalprice") + 1.5)
+        .unionByName(ch(col("o_orderkey") % 20 === 0, 2, "U",
+          col("o_orderkey"), lit("U2"), col("o_totalprice") + 2.5))
+        .unionByName(ch(col("o_orderkey") % 7 === 3, 3, "D",
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+        .unionByName(ch(col("o_orderkey") % 13 === 1, 1, "I",
+          col("o_orderkey") + 1000000000L, col("o_orderstatus"),
+          col("o_totalprice")))
+    (o, changes)
+  }
+
   private def ivfListsFor(n: Long): Int =
     math.min(graft.operators.SimSearch.TypedLitCentroidMax.toLong,
       math.max(8L, n / 250L)).toInt // sf0.1 (n=2000) ⇒ the historic 8
@@ -1910,28 +1939,21 @@ object SparkEntry {
       // updates on every 10th key (two stacked versions on every 20th, so
       // latest-wins is exercised), deletes on keys ≡3 mod 7 (key 10 hits
       // both update AND delete: the higher seq, the delete, must win), and
-      // inserts at key+10^9. Base rows never shuffle (see Cdc scaladoc).
-      val o = tbl(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"))
-      def ch(pred: org.apache.spark.sql.Column, seq: Int, op: String,
-          key: org.apache.spark.sql.Column,
-          status: org.apache.spark.sql.Column,
-          price: org.apache.spark.sql.Column): DataFrame =
-        o.where(pred).select(key.as("o_orderkey"),
-          lit(seq.toLong).as("seq"), lit(op).as("op"), col("o_custkey"),
-          status.as("o_orderstatus"), price.as("o_totalprice"))
-      val changes =
-        ch(col("o_orderkey") % 10 === 0, 1, "U", col("o_orderkey"),
-            lit("U1"), col("o_totalprice") + 1.5)
-          .unionByName(ch(col("o_orderkey") % 20 === 0, 2, "U",
-            col("o_orderkey"), lit("U2"), col("o_totalprice") + 2.5))
-          .unionByName(ch(col("o_orderkey") % 7 === 3, 3, "D",
-            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
-          .unionByName(ch(col("o_orderkey") % 13 === 1, 1, "I",
-            col("o_orderkey") + 1000000000L, col("o_orderstatus"),
-            col("o_totalprice")))
+      // inserts at key+10^9. Base rows never shuffle while the collapsed
+      // feed broadcasts (see Cdc scaladoc); the pruned twin below covers
+      // the beyond-broadcast regime.
+      val (o, changes) = cdcPlantedFeed(s, d)
       Cdc.applyChanges(o, changes, "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey")
+    }),
+    "cdc_apply_pruned" -> ((s, d) => {
+      // the Bloom-pruned MERGE — row-identical to cdc_apply_changes (same
+      // planted feed, SAME oracle), but base rows the changed-key filter
+      // proves untouched bypass the anti-join: the shuffled slice is
+      // feed-proportional even when the feed outgrows broadcast (the sf1
+      // regime where the plain form shuffles the whole base)
+      val (o, changes) = cdcPlantedFeed(s, d)
+      Cdc.applyChangesPruned(o, changes, "o_orderkey", "seq", "op")
         .orderBy("o_orderkey")
     }),
     "cdc_pit_join" -> ((s, d) => {
@@ -7195,6 +7217,7 @@ object SparkEntry {
       FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
       ORDER BY id""",
     "cdc_apply_changes" -> cdcApplyOracle,
+    "cdc_apply_pruned" -> cdcApplyOracle,
     "stream_cdc_apply_real" -> cdcApplyOracle,
     "cdc_scd2" -> cdcScd2Oracle,
     "cdc_pit_join" -> """

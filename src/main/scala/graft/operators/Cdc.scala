@@ -53,6 +53,59 @@ object Cdc {
       latest.where(qcol(opCol) =!= "D").select(base.columns.map(qcol): _*))
   }
 
+  /** [[applyChanges]] with a BLOOM-PRUNED base: the variant for the regime
+    * where the collapsed feed outgrows the broadcast ceiling and the plain
+    * anti-join starts shuffling the WHOLE base (measured at the sf1
+    * validation bench: 4→72 MB shuffle write crossing that threshold —
+    * BENCH_sf1.json round 12). The changed-key set compresses into one
+    * bounded Bloom filter; base rows the filter proves untouched
+    * (`might_contain = false` — a Bloom filter has NO false negatives)
+    * bypass the join entirely and never enter an exchange, so the shuffled
+    * slice is (changed + false-positive) rows — proportional to the FEED,
+    * not the base. The residue anti-joins exactly, so false positives are
+    * corrected and the result is row-identical to [[applyChanges]].
+    *
+    * `expectedChangedKeys` sizes the filter (fpp degrades above it, the
+    * prune weakens, correctness unaffected — the [[Joins.bloomPrunedJoin]]
+    * clamp convention).
+    */
+  def applyChangesPruned(base: DataFrame, changes: DataFrame, keyCol: String,
+      seqCol: String, opCol: String, expectedChangedKeys: Long = 1L << 20,
+      fpp: Double = 1e-3): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.functions.xxhash64
+    val payload = base.columns.filterNot(_ == keyCol)
+    val latest = changes
+      .groupBy(qcol(keyCol))
+      .agg(max_by(struct((opCol +: payload).map(qcol): _*),
+        struct(qcol(seqCol), qcol(opCol))).as("__latest"))
+      .select(qcol(keyCol) +: (opCol +: payload).map(c =>
+        col(s"`__latest`.`$c`").as(c)): _*)
+      .transform(graft.SparkUtil.scopedPersist) // feeds bloom build + anti-join + upserts
+    val idealBits = math.ceil(-expectedChangedKeys * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    val maxBits = base.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val bloom = latest.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(qcol(keyCol))),
+        Literal(expectedChangedKeys),
+        Literal(math.min(idealBits, maxBits))).toAggregateExpression())
+      .as("__bf")).head.getAs[Array[Byte]](0)
+    // empty feed ⇒ null aggregate ⇒ nothing changed: the base IS the result
+    if (bloom == null) return base.select(base.columns.map(qcol): _*)
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(bloom)),
+      ColumnBridge.expression(xxhash64(qcol(keyCol)))))
+    val pass = base.where(!probe) // provably untouched — never shuffles
+    val residue = base.where(probe)
+      .join(latest.select(qcol(keyCol)), Seq(keyCol), "left_anti")
+    pass.unionByName(residue).unionByName(
+      latest.where(qcol(opCol) =!= "D").select(base.columns.map(qcol): _*))
+  }
+
   /** Build a type-2 (validity-interval) history from a change log: one row
     * per (key, attribute-change), with `valid_from` = the change's
     * timestamp, `valid_to` = the NEXT change's timestamp (null while

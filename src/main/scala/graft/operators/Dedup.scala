@@ -1009,22 +1009,19 @@ object Dedup {
         s"${SimSearch.TypedLitCentroidMax}); shard the corpus first for more cells")
     val model = SimSearch.trainIvf(emb, idCol, vecCol, nLists, iters)
     val cents = typedlit(model.centroids)
-    // top-`probes` cells by centroid dot product: argmax, then argmax over
-    // the masked array — expression trees duplicate per probe, fine for
-    // the small probe counts multiprobe uses (2-4)
-    def probeCells(v: Column): Seq[Column] = {
-      var sims = transform(cents, c => dotProduct(v, c))
-      (0 until probes).map { _ =>
-        val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
-        val masked = transform(sims,
-          (s0, i) => when(i === cell, lit(-2.0)).otherwise(s0))
-        sims = masked
-        cell
-      }
-    }
+    // top-`probes` cells via ONE evaluation of the similarity array + one
+    // 64-element sort (the ivfFilteredRecallEval ranked-slice pattern).
+    // The previous nested-masked-argmax form re-built the nLists-dot tree
+    // per probe — measured 28.9× per-unit at the sf1 validation bench
+    // (BENCH_sf1.json round 12); this form reads 0.9×. Sort order
+    // (−sim, idx) reproduces first-position-wins ties exactly.
+    val sims = transform(cents, c => dotProduct(col("v"), c))
+    val probeCells = slice(transform(sort_array(zip_with(sims,
+      sequence(lit(0), lit(nLists - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx")))),
+      r => r.getField("idx")), 1, probes)
     val assigned = model.assigned
-      .select(col("id"), col("v"),
-        explode(array_distinct(array(probeCells(col("v")): _*))).as("cell"))
+      .select(col("id"), col("v"), explode(probeCells).as("cell"))
     val a = assigned.select(col("cell"), col("id").as("a_id"), col("v").as("a_v"))
     val b = assigned.select(col("cell"), col("id").as("b_id"), col("v").as("b_v"))
     // score + threshold BEFORE the pair dedup (the approxSimilarityJoin
@@ -1108,22 +1105,17 @@ object Dedup {
     val simsR = transform(cents,
       c => round(dotProduct(col("v"), c) * 1e6).cast("long"))
     // top-`probes` cells by micro-rounded centroid dot, lowest index wins
-    // ties — the multiprobe trick of [[embeddingPairsIvf]] over the PINNED
-    // score array. Probe 0 is the primary (keep-decision) cell; the extra
-    // probes only widen CANDIDATE generation, so a mid-similarity pair
-    // split by a cell boundary still collides in a shared probe cell.
-    def probeCells(sims0: Column): Seq[Column] = {
-      var sims = sims0
-      (0 until probes).map { _ =>
-        val cell = (array_position(sims, array_max(sims)) - 1).cast("int")
-        sims = transform(sims,
-          (s0, i) => when(i === cell, lit(Long.MinValue)).otherwise(s0))
-        cell
-      }
-    }
+    // ties — ONE evaluation of the pinned score array + one nLists-element
+    // sort (the ranked-slice pattern, see [[embeddingPairsIvf]]). Probe 0
+    // is the primary (keep-decision) cell; the extra probes only widen
+    // CANDIDATE generation, so a mid-similarity pair split by a cell
+    // boundary still collides in a shared probe cell.
     val assigned = model.assigned.select(col("id"), col("v"))
       .withColumn("__sims", simsR)
-      .withColumn("__cells", array_distinct(array(probeCells(col("__sims")): _*)))
+      .withColumn("__cells", slice(transform(sort_array(zip_with(
+        col("__sims"), sequence(lit(0), lit(nLists - 1)),
+        (s, i) => struct((-s).as("negs"), i.as("idx")))),
+        r => r.getField("idx")), 1, probes))
       .withColumn("cell", col("__cells").getItem(0))
       .withColumn("c2c_micro",
         round(V.cosine(col("v"), element_at(cents, col("cell") + 1)) * 1e6)

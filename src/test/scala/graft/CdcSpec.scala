@@ -29,6 +29,43 @@ class CdcSpec extends AnyFunSuite {
       (9L, "i", 90.0)))
   }
 
+  test("applyChangesPruned ≡ applyChanges; bloom probe in plan; empty feed safe") {
+    val changes = Seq(
+      (1L, 1L, "U", "a1", 11.0), (2L, 1L, "U", "b1", 21.0),
+      (2L, 2L, "D", "b1", 21.0), (3L, 2L, "U", "c2", 32.0),
+      (3L, 1L, "U", "c1", 31.0), (9L, 1L, "I", "i", 90.0)
+    ).toDF("k", "seq", "op", "s", "v")
+    // plan probe assertion needs a parquet-backed base — LocalRelation
+    // fixtures constant-fold the filter (memory/PlanPropertiesSpec gotcha)
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_pruned").toString
+    snapshot().write.mode("overwrite").parquet(tmp)
+    val fileBase = spark.read.parquet(tmp)
+    val pruned = Cdc.applyChangesPruned(fileBase, changes, "k", "seq", "op")
+    assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"),
+      "untouched rows must be gated by the bloom probe, not the join")
+    val got = pruned.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val plain = Cdc.applyChanges(snapshot(), changes, "k", "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got === plain, "bloom false positives must die in the exact anti-join")
+    // randomized equivalence at a deliberately terrible fpp so false
+    // positives actually occur and the residue join corrects them
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 500L).map(k => (k, s"s$k", k.toDouble)).toDF("k", "s", "v")
+    val feed = (0 until 200).map { _ =>
+      val k = rnd.nextInt(600).toLong
+      (k, rnd.nextInt(5).toLong, if (rnd.nextBoolean()) "U" else "D", s"u$k", k * 2.0)
+    }.toDF("k", "seq", "op", "s", "v")
+    val a = Cdc.applyChangesPruned(base, feed, "k", "seq", "op",
+        expectedChangedKeys = 4, fpp = 0.5)
+      .orderBy("k", "s").collect().toSeq
+    val b = Cdc.applyChanges(base, feed, "k", "seq", "op")
+      .orderBy("k", "s").collect().toSeq
+    assert(a === b)
+    val empty = changes.where(lit(false))
+    assert(Cdc.applyChangesPruned(snapshot(), empty, "k", "seq", "op")
+      .orderBy("k").collect().length == 4, "empty feed returns the base")
+  }
+
   test("applyChanges: seq tie breaks by op descending (deterministic)") {
     // same seq for U and D on one key: 'U' > 'D' lexicographically, so the
     // upsert wins — pinned so a malformed feed still resolves one way

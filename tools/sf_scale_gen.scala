@@ -76,4 +76,17 @@ println("GEN customer done")
 spark.read.parquet(s"$src/region.parquet")
   .write.mode("overwrite").parquet(s"$out/region.parquet")
 println("GEN region done")
+
+// events: nanos-long ts normalized once, event/user ids shift per replica
+spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+val ev = graft.SparkUtil.normalizeEventTs(spark.read.parquet(s"$src/events.parquet"))
+val nEv = ev.count()
+val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1
+(0 until reps).map { r =>
+  ev.select((col("event_id") + lit(r.toLong * nEv)).as("event_id"), col("ts"),
+    (col("user_id") + lit(r * nUsers)).as("user_id"),
+    col("event_type"), col("value"), col("props"))
+}.reduce(_ unionAll _)
+  .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+println(s"GEN events: ${nEv * reps}")
 System.exit(0)
