@@ -1875,6 +1875,33 @@ object SparkEntry {
           coalesce(col("sum_frac_micro"), lit(0L)).as("sum_frac_micro"))
         .orderBy("family")
     }),
+    "dedup_audio_fingerprint" -> ((s, d) => {
+      // AUDIO near-dup via Shazam-style constellation hashing: planted
+      // 16-bit PCM tone WAVs (bin-aligned sines, 40 families, member axis
+      // shifts segment 0's tone) → REAL per-frame FFT peak picking →
+      // consecutive-triple hashes → exact set Jaccard per pair. The
+      // oracle replays the tone formulas; the gate proves the real DSP
+      // pipeline reproduces them end to end. Rolled per family (40 rows)
+      val pk = SparkUtil.scopedPersist(Multimodal.audioPeakSequence(
+        Multimodal.plantTonePayloads(docs(s, d), "doc_id")))
+      val pairs = Dedup.audioFingerprintPairs(pk, "doc_id", "frame_idx",
+        "peak_bin", minJacMicro = 250000L)
+      val perFam = pairs.withColumn("family", col("a_id") % 40)
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_inter")).as("n_inter_sum"),
+          sum(col("jac_micro")).as("sum_jac_micro"))
+      pk.groupBy((col("doc_id") % 40).as("family"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_frames"),
+          sum(col("peak_bin").cast("long")).as("sum_bins"))
+        .join(perFam, Seq("family"), "left")
+        .select(col("family"), col("n_docs"), col("n_frames"), col("sum_bins"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_inter_sum"), lit(0L)).as("n_inter_sum"),
+          coalesce(col("sum_jac_micro"), lit(0L)).as("sum_jac_micro"))
+        .orderBy("family")
+    }),
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
@@ -6734,6 +6761,44 @@ object SparkEntry {
         CAST(coalesce(agg.n_exact, 0) AS BIGINT) AS n_exact,
         CAST(coalesce(agg.sum_hamming, 0) AS BIGINT) AS sum_hamming
       FROM f LEFT JOIN agg USING (family) ORDER BY family""",
+    "dedup_audio_fingerprint" -> """
+      WITH fr AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          unnest(range(0, (2 + doc_id % 3) * 4)) AS f
+        FROM documents),
+      pk AS (SELECT id, f,
+          CAST(20 + (id % 40) + 40 * ((f // 4) % 2) +
+            CASE WHEN f // 4 = 0 THEN (id // 40) % 3 ELSE 0 END AS BIGINT) AS b
+        FROM fr),
+      tr AS (SELECT id, b AS b0,
+          lead(b, 1) OVER (PARTITION BY id ORDER BY f) AS b1,
+          lead(b, 2) OVER (PARTITION BY id ORDER BY f) AS b2
+        FROM pk),
+      h AS (SELECT DISTINCT id,
+          b0 * 4294967296 + b1 * 65536 + b2 AS h
+        FROM tr WHERE b1 IS NOT NULL AND b2 IS NOT NULL),
+      sz AS (SELECT id, count(*) AS nh FROM h GROUP BY id),
+      iv AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_inter
+             FROM h a JOIN h b ON a.h = b.h AND a.id < b.id
+             GROUP BY 1, 2),
+      jp AS (SELECT iv.a_id, iv.b_id, iv.n_inter, sa.nh AS n_a, sb.nh AS n_b,
+               iv.n_inter * 1000000 // (sa.nh + sb.nh - iv.n_inter) AS jac_micro
+             FROM iv JOIN sz sa ON sa.id = iv.a_id
+                     JOIN sz sb ON sb.id = iv.b_id
+             WHERE iv.n_inter * 1000000 // (sa.nh + sb.nh - iv.n_inter)
+               >= 250000),
+      fam AS (SELECT id % 40 AS family, count(DISTINCT id) AS n_docs,
+                count(*) AS n_frames, sum(b) AS sum_bins FROM pk GROUP BY 1),
+      agg AS (SELECT a_id % 40 AS family, count(*) AS n_pairs,
+                sum(n_inter) AS n_inter_sum, sum(jac_micro) AS sum_jac_micro
+              FROM jp GROUP BY 1)
+      SELECT fam.family, CAST(fam.n_docs AS BIGINT) AS n_docs,
+        CAST(fam.n_frames AS BIGINT) AS n_frames,
+        CAST(fam.sum_bins AS BIGINT) AS sum_bins,
+        CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(agg.n_inter_sum, 0) AS BIGINT) AS n_inter_sum,
+        CAST(coalesce(agg.sum_jac_micro, 0) AS BIGINT) AS sum_jac_micro
+      FROM fam LEFT JOIN agg USING (family) ORDER BY family""",
     "dedup_video_phash" -> """
       WITH fr AS (
         SELECT CAST(doc_id AS BIGINT) AS id,

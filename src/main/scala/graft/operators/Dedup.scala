@@ -563,6 +563,56 @@ object Dedup {
         col("n_keys_a"), col("n_keys_b"), col("frac_micro"))
   }
 
+  /** AUDIO near-dup pairs over per-frame spectral peaks (Wang 2003
+    * constellation hashing, the Shazam scheme): consecutive-frame peak
+    * TRIPLES pack into one long hash (frequency pair + implicit time
+    * delta — the paper's combinatorial hash), each document reduces to
+    * its DISTINCT hash set, and document pairs score by exact set
+    * Jaccard in integer micro-units. The hash equi-join IS the candidate
+    * generator — two documents sharing no triple never meet, and matches
+    * are exact (no Hamming stage: a spectral hash either matches or
+    * does not, the paper's design).
+    *
+    * Scale shape: the peak stream is (long, int, int) rows; the triple
+    * window partitions per document (each partition holds one document's
+    * frame count — bounded by audio length, never corpus-sized); the
+    * join ships (hash, id) pairs and the Jaccard roll-up (long, long)
+    * keys with map-side-combined counts. A hash shared by MANY documents
+    * (the constellation stopword) is the hot key — real pipelines drop
+    * hashes above a document-frequency cap the same way text search
+    * drops stopwords; the planted corpus caps family size by
+    * construction.
+    */
+  def audioFingerprintPairs(peaks: DataFrame, idCol: String,
+      frameCol: String, binCol: String,
+      minJacMicro: Long = 250000L): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("fr")
+    val h = graft.SparkUtil.scopedPersist(
+      graft.SparkUtil.ensureParallelism(peaks)
+        .select(col(idCol).cast("long").as("id"),
+          col(frameCol).cast("int").as("fr"), col(binCol).cast("long").as("b0"))
+        .withColumn("b1", lead(col("b0"), 1).over(w))
+        .withColumn("b2", lead(col("b0"), 2).over(w))
+        .where(col("b1").isNotNull && col("b2").isNotNull)
+        .select(col("id"),
+          (col("b0") * lit(4294967296L) + col("b1") * lit(65536L) + col("b2"))
+            .as("h"))
+        .distinct())
+    val sizes = h.groupBy("id").agg(count(lit(1)).as("nh"))
+    val inter = h.select(col("h"), col("id").as("a_id"))
+      .join(h.select(col("h"), col("id").as("b_id")), Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("nh").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("nh").as("n_b")), Seq("b_id"))
+      .withColumn("jac_micro",
+        expr("n_inter * 1000000 div (n_a + n_b - n_inter)"))
+      .where(col("jac_micro") >= minJacMicro)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jac_micro"))
+  }
+
   /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
     * classic coarse-to-fine near-dup pipeline: MinHash buckets propose,
     * the cheap signature estimate prunes (estimate ≥ threshold/3 keeps

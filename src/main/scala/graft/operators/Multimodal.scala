@@ -2206,6 +2206,168 @@ object Multimodal {
     aviMjpegContainer(90, 80, payloads)
   }
 
+  // ---------------- audio fingerprinting (spectral peaks) ----------------
+
+  /** In-place iterative radix-2 FFT (Cooley-Tukey decimation-in-time, the
+    * public textbook form): bit-reversal permutation then log₂n butterfly
+    * stages over (re, im). Length must be a power of two. Pure-JVM double
+    * arithmetic — deterministic across partitions and executors.
+    */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"fft length must be a power of two, got $n")
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var k = 0
+      while (k < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var m = 0
+        val half = len >> 1
+        while (m < half) {
+          val ur = re(k + m); val ui = im(k + m)
+          val xr = re(k + m + half); val xi = im(k + m + half)
+          val vr = xr * cwr - xi * cwi
+          val vi = xr * cwi + xi * cwr
+          re(k + m) = ur + vr; im(k + m) = ui + vi
+          re(k + m + half) = ur - vr; im(k + m + half) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr; cwr = nwr
+          m += 1
+        }
+        k += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Per-frame dominant spectral bin of channel 0 — the peak-picking front
+    * half of a Wang 2003 ("An Industrial-Strength Audio Search Algorithm",
+    * the Shazam constellation paper) fingerprinting pipeline: non-
+    * overlapping `frameSize`-sample frames, REAL radix-2 FFT per frame,
+    * peak = the magnitude² argmax over bins [1, frameSize/2) with the
+    * LOWEST bin pinning ties. Only (doc_id, frame_idx, peak_bin) scalars
+    * leave the task — samples never cross an exchange (the [[dHash64]] /
+    * [[selectKeyframes]] contract). Non-PCM-16 / malformed payloads are
+    * DROPPED (dead-letter); a trailing partial frame is ignored.
+    */
+  def audioPeakSequence(payloads: DataFrame, frameSize: Int = 256): DataFrame = {
+    require(frameSize >= 8 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a power of two >= 8, got $frameSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseWav(bytes) match {
+            case Some(w) if w.bitDepth == 16 && w.channels >= 1 =>
+              val bytesPerFrame = w.channels * 2
+              val nSamples = w.dataLen / bytesPerFrame
+              val nFrames = nSamples / frameSize
+              (0 until nFrames).iterator.map { f =>
+                val re = new Array[Double](frameSize)
+                val im = new Array[Double](frameSize)
+                var t = 0
+                while (t < frameSize) {
+                  val off = w.dataOff + (f * frameSize + t) * bytesPerFrame
+                  re(t) = le16s(bytes, off).toDouble
+                  t += 1
+                }
+                fft(re, im)
+                var peak = 1; var best = -1.0
+                var b = 1
+                while (b < frameSize / 2) {
+                  val mag = re(b) * re(b) + im(b) * im(b)
+                  if (mag > best) { best = mag; peak = b }
+                  b += 1
+                }
+                (id, f, peak)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "peak_bin")
+  }
+
+  /** Planted tone structure: `plantToneSegs` tone segments of 4 frames
+    * each; segment s of doc id carries a pure sine at FFT bin
+    * [[plantToneBin]] — bin-aligned (integer cycles per 256-sample frame),
+    * so the real FFT peak recovers the bin EXACTLY. 40 families share the
+    * tone sequence; the member axis (id/40 % 3) shifts ONLY segment 0's
+    * bin by m — the near-dup structure: same-family members agree on every
+    * fingerprint triple not touching segment 0.
+    */
+  def plantToneSegs(id: Long): Int = (2 + id % 3).toInt
+  def plantToneBin(id: Long, seg: Int): Int = {
+    val fam = (id % 40).toInt
+    val m = ((id / 40) % 3).toInt
+    // every bin ENCODES its family (20+fam / 60+fam alternating), so
+    // cross-family tone sequences can never alias into a shared triple
+    // run — a modular formula (fam·2 + s·23 mod 80) let one family's
+    // whole sequence reappear inside another's and produced above-floor
+    // cross-family Jaccard. The only residual cross-family collision is
+    // the member shift landing on a neighbor family's base bin, worth at
+    // most ONE shared (b,b,b) hash ⇒ Jaccard ≤ 1/7 < every sane floor.
+    20 + fam + 40 * (seg % 2) + (if (seg == 0) m else 0)
+  }
+
+  /** A REAL 16-bit mono PCM WAV of the planted tone sequence: sample t is
+    * `round(16000 · sin(2π · bin(seg) · t / 256))` — integer cycles per
+    * frame, so every frame of a segment yields the same exact-bin peak.
+    */
+  def plantToneWavPcm(id: Long): Array[Byte] = {
+    val segs = plantToneSegs(id)
+    val frames = segs * 4
+    val n = frames * 256
+    val dataLen = n * 2
+    val b = new Array[Byte](44 + dataLen)
+    def wstr(i: Int, s: String): Unit = {
+      var j = 0; while (j < s.length) { b(i + j) = s.charAt(j).toByte; j += 1 }
+    }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    def wle16w(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte }
+    wstr(0, "RIFF"); wle32(4, 36 + dataLen); wstr(8, "WAVE")
+    wstr(12, "fmt "); wle32(16, 16)
+    wle16w(20, 1); wle16w(22, 1); wle32(24, 8000)
+    wle32(28, 8000 * 2); wle16w(32, 2); wle16w(34, 16)
+    wstr(36, "data"); wle32(40, dataLen)
+    var t = 0
+    while (t < n) {
+      val seg = (t / 256) / 4
+      val bin = plantToneBin(id, seg)
+      val v = math.round(16000.0 * math.sin(2.0 * math.Pi * bin * t / 256.0)).toInt
+      wle16w(44 + t * 2, v)
+      t += 1
+    }
+    b
+  }
+
+  /** (doc_id, payload, media_type) of the planted tone WAVs. */
+  def plantTonePayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantToneWavPcm(id), "audio/wav")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
   /** (doc_id, payload, media_type) of the planted near-dup-hash AVIs. */
   def plantNearDupVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession

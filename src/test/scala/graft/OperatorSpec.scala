@@ -2363,6 +2363,47 @@ class OperatorSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("fft + audioPeakSequence: real FFT recovers the planted bin-aligned tones exactly") {
+    // kernel: a pure bin-17 sine of length 256 must peak at bin 17
+    val re = Array.tabulate(256)(t => math.sin(2 * math.Pi * 17 * t / 256.0))
+    val im = new Array[Double](256)
+    Multimodal.fft(re, im)
+    val mags = (1 until 128).map(b => re(b) * re(b) + im(b) * im(b))
+    assert(mags.indexOf(mags.max) + 1 == 17, "FFT peak must be the planted bin")
+    // pipeline: planted WAVs → per-frame peaks == the closed-form bins
+    val ids = Seq(0L, 1L, 39L, 40L, 80L, 123L)
+    val got = Multimodal.audioPeakSequence(
+        Multimodal.plantTonePayloads(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val exp = ids.flatMap { id =>
+      (0 until Multimodal.plantToneSegs(id) * 4).map(f =>
+        (id, f) -> Multimodal.plantToneBin(id, f / 4))
+    }.toMap
+    assert(got == exp, s"real FFT peaks must replay the plant formula")
+    // junk payloads are dropped, not thrown
+    import spark.implicits._
+    val junk = Seq((9L, "nope".getBytes("US-ASCII"), "application/x"))
+      .toDF("doc_id", "payload", "media_type")
+    assert(Multimodal.audioPeakSequence(junk).count() == 0)
+  }
+
+  test("audioFingerprintPairs: exact triple-hash Jaccard, floor cut, shared-hash candidates only") {
+    // A(1): peaks 5,5,6,6 → distinct triples {(5,5,6),(5,6,6)}; B(2) same
+    // → jac 1e6. C(3): 5,5,6,7 → {(5,5,6),(5,6,7)} → inter 1 of 3 →
+    // 333333 ≥ floor 300000. D(4): 9,9,9,9 → {(9,9,9)} shares nothing.
+    val pk = Seq(
+      (1L, 0, 5), (1L, 1, 5), (1L, 2, 6), (1L, 3, 6),
+      (2L, 0, 5), (2L, 1, 5), (2L, 2, 6), (2L, 3, 6),
+      (3L, 0, 5), (3L, 1, 5), (3L, 2, 6), (3L, 3, 7),
+      (4L, 0, 9), (4L, 1, 9), (4L, 2, 9), (4L, 3, 9)
+    ).toDF("doc_id", "frame_idx", "peak_bin")
+    val got = Dedup.audioFingerprintPairs(pk, "doc_id", "frame_idx",
+        "peak_bin", minJacMicro = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == Map((1L, 2L) -> 1000000L, (1L, 3L) -> 333333L,
+      (2L, 3L) -> 333333L), s"got $got")
+  }
+
   test("qualityClassifierScore: features = unigrams+bigrams, exact micro sums, live threshold") {
     // two single-bucket weight tables pin the feature extraction: with
     // buckets=1 every feature hits bucket 0, so n_feats and the logit are
