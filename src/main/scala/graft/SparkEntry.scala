@@ -1902,6 +1902,21 @@ object SparkEntry {
           coalesce(col("sum_jac_micro"), lit(0L)).as("sum_jac_micro"))
         .orderBy("family")
     }),
+    "audio_match_offset" -> ((s, d) => {
+      // the Wang 2003 MATCHER: every %10 doc queries the corpus
+      // fingerprint table with a CLIP (its tone sequence minus segment 0)
+      // — offset voting must recover the source family at dt = 4 frames,
+      // ties across same-suffix members pinned to the smallest corpus id.
+      // Both sides run the REAL WAV→FFT→peak pipeline; the oracle replays
+      // the tone formulas through the same votes
+      val corpus = SparkUtil.scopedPersist(Multimodal.audioPeakSequence(
+        Multimodal.plantTonePayloads(docs(s, d), "doc_id")))
+      val queries = Multimodal.audioPeakSequence(
+        Multimodal.plantToneClipPayloads(
+          docs(s, d).where(col("doc_id") % 10 === 0), "doc_id"))
+      Dedup.audioMatchOffsets(queries, corpus, minVotes = 2)
+        .orderBy("q_id")
+    }),
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
@@ -6761,6 +6776,44 @@ object SparkEntry {
         CAST(coalesce(agg.n_exact, 0) AS BIGINT) AS n_exact,
         CAST(coalesce(agg.sum_hamming, 0) AS BIGINT) AS sum_hamming
       FROM f LEFT JOIN agg USING (family) ORDER BY family""",
+    "audio_match_offset" -> """
+      WITH cfr AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          unnest(range(0, (2 + doc_id % 3) * 4)) AS f
+        FROM documents),
+      cpk AS (SELECT id, f,
+          CAST(20 + (id % 40) + 40 * ((f // 4) % 2) +
+            CASE WHEN f // 4 = 0 THEN (id // 40) % 3 ELSE 0 END AS BIGINT) AS b
+        FROM cfr),
+      ch0 AS (SELECT id, f, b AS b0,
+          lead(b, 1) OVER (PARTITION BY id ORDER BY f) AS b1,
+          lead(b, 2) OVER (PARTITION BY id ORDER BY f) AS b2
+        FROM cpk),
+      ch AS (SELECT id AS c_id, f AS c_fr,
+          b0 * 4294967296 + b1 * 65536 + b2 AS h
+        FROM ch0 WHERE b1 IS NOT NULL AND b2 IS NOT NULL),
+      qfr AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          unnest(range(0, (1 + doc_id % 3) * 4)) AS f
+        FROM documents WHERE doc_id % 10 = 0),
+      qpk AS (SELECT id, f,
+          CAST(20 + (id % 40) + 40 * ((f // 4 + 1) % 2) AS BIGINT) AS b
+        FROM qfr),
+      qh0 AS (SELECT id, f, b AS b0,
+          lead(b, 1) OVER (PARTITION BY id ORDER BY f) AS b1,
+          lead(b, 2) OVER (PARTITION BY id ORDER BY f) AS b2
+        FROM qpk),
+      qh AS (SELECT id AS q_id, f AS q_fr,
+          b0 * 4294967296 + b1 * 65536 + b2 AS h
+        FROM qh0 WHERE b1 IS NOT NULL AND b2 IS NOT NULL),
+      v AS (SELECT q.q_id, c.c_id, c.c_fr - q.q_fr AS dt, count(*) AS votes
+            FROM qh q JOIN ch c ON c.h = q.h
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+      r AS (SELECT q_id, c_id, dt, votes, row_number() OVER (
+              PARTITION BY q_id ORDER BY votes DESC, dt ASC, c_id ASC) AS rn
+            FROM v)
+      SELECT q_id, c_id, CAST(dt AS BIGINT) AS dt, votes FROM r
+      WHERE rn = 1 ORDER BY q_id""",
     "dedup_audio_fingerprint" -> """
       WITH fr AS (
         SELECT CAST(doc_id AS BIGINT) AS id,

@@ -613,6 +613,49 @@ object Dedup {
         col("n_b"), col("jac_micro"))
   }
 
+  /** AUDIO RETRIEVAL by time-offset voting — the matcher half of Wang
+    * 2003: a query clip's triple hashes equi-join the corpus fingerprint
+    * table, each matching (query frame, corpus frame) pair VOTES for the
+    * offset `dt = corpus_frame − query_frame`, and a true containment
+    * match concentrates its votes on ONE offset where chance collisions
+    * scatter — the property that makes constellation matching robust.
+    * Per query the best (corpus doc, offset) wins by (votes desc, dt asc,
+    * id asc) — fully pinned. Matches below `minVotes` drop (a one-hash
+    * coincidence is not a detection).
+    *
+    * Scale shape: the fingerprint table is the (hash, id, frame) index a
+    * production system PERSISTS (the [[graft.sources.IndexStore]] shape);
+    * query workloads join it by hash — decision-sized rows throughout,
+    * vote counting map-side combined on (q, c, dt), and the per-query
+    * argmax an aggregate, not a sort.
+    */
+  def audioMatchOffsets(queryPeaks: DataFrame, corpusPeaks: DataFrame,
+      minVotes: Long = 2): DataFrame = {
+    def hashes(df: DataFrame, idOut: String, frOut: String): DataFrame = {
+      val w = Window.partitionBy("id").orderBy("fr")
+      df.select(col("doc_id").cast("long").as("id"),
+          col("frame_idx").cast("int").as("fr"),
+          col("peak_bin").cast("long").as("b0"))
+        .withColumn("b1", lead(col("b0"), 1).over(w))
+        .withColumn("b2", lead(col("b0"), 2).over(w))
+        .where(col("b1").isNotNull && col("b2").isNotNull)
+        .select(col("id").as(idOut), col("fr").as(frOut),
+          (col("b0") * lit(4294967296L) + col("b1") * lit(65536L) + col("b2"))
+            .as("h"))
+    }
+    val votes = hashes(queryPeaks, "q_id", "q_fr")
+      .join(hashes(corpusPeaks, "c_id", "c_fr"), Seq("h"))
+      .groupBy(col("q_id"), col("c_id"), (col("c_fr") - col("q_fr")).as("dt"))
+      .agg(count(lit(1)).as("votes"))
+      .where(col("votes") >= minVotes)
+    // per-query argmax as an aggregate: max over (votes, -dt, -c_id)
+    votes.groupBy("q_id")
+      .agg(max(struct(col("votes").as("v"), (-col("dt")).as("nd"),
+        (-col("c_id")).as("nc"))).as("w"))
+      .select(col("q_id"), (-col("w.nc")).as("c_id"),
+        (-col("w.nd")).cast("long").as("dt"), col("w.v").as("votes"))
+  }
+
   /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
     * classic coarse-to-fine near-dup pipeline: MinHash buckets propose,
     * the cheap signature estimate prunes (estimate ≥ threshold/3 keeps

@@ -2359,6 +2359,52 @@ object Multimodal {
     b
   }
 
+  /** A CLIP of [[plantToneWavPcm]]: the same tone sequence starting at
+    * segment 1 (the member-axis segment 0 dropped) — the retrieval-query
+    * plant for [[graft.operators.Dedup.audioMatchOffsets]]: the clip must
+    * match its source family at frame offset exactly 4.
+    */
+  def plantToneClipWavPcm(id: Long): Array[Byte] = {
+    val segs = plantToneSegs(id) - 1
+    val frames = segs * 4
+    val n = frames * 256
+    val dataLen = n * 2
+    val b = new Array[Byte](44 + dataLen)
+    def wstr(i: Int, s: String): Unit = {
+      var j = 0; while (j < s.length) { b(i + j) = s.charAt(j).toByte; j += 1 }
+    }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    def wle16w(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte }
+    wstr(0, "RIFF"); wle32(4, 36 + dataLen); wstr(8, "WAVE")
+    wstr(12, "fmt "); wle32(16, 16)
+    wle16w(20, 1); wle16w(22, 1); wle32(24, 8000)
+    wle32(28, 8000 * 2); wle16w(32, 2); wle16w(34, 16)
+    wstr(36, "data"); wle32(40, dataLen)
+    var t = 0
+    while (t < n) {
+      val seg = (t / 256) / 4 + 1
+      val bin = plantToneBin(id, seg)
+      val v = math.round(16000.0 * math.sin(2.0 * math.Pi * bin * t / 256.0)).toInt
+      wle16w(44 + t * 2, v)
+      t += 1
+    }
+    b
+  }
+
+  /** (doc_id, payload, media_type) of the planted tone CLIPS for the
+    * subset of docs the retrieval gate queries with.
+    */
+  def plantToneClipPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it => it.map(id => (id, plantToneClipWavPcm(id), "audio/wav")) }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
   /** (doc_id, payload, media_type) of the planted tone WAVs. */
   def plantTonePayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession

@@ -2387,6 +2387,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.audioPeakSequence(junk).count() == 0)
   }
 
+  test("audioMatchOffsets: clip recovers its source family at dt=4, ties to min corpus id") {
+    val corpusIds = Seq(0L, 40L, 80L, 1L, 22L) // fam 0 members 0/1/2 + two other fams
+    val corpus = Multimodal.audioPeakSequence(
+      Multimodal.plantTonePayloads(corpusIds.toDF("doc_id"), "doc_id"))
+    val queries = Multimodal.audioPeakSequence(
+      Multimodal.plantToneClipPayloads(Seq(80L).toDF("doc_id"), "doc_id"))
+    val got = Dedup.audioMatchOffsets(queries, corpus, minVotes = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // clip of 80 (fam 0, segs 4) drops seg 0; suffix segs 1..3 are member-
+    // independent, so members 0/40/80 tie on votes where their lengths
+    // allow — doc 80 itself aligns the FULL clip at dt=4 and wins on votes
+    assert(r.getLong(0) == 80L && r.getLong(2) == 4L,
+      s"clip must land at frame offset 4: $r")
+    assert(r.getLong(1) == 80L,
+      s"full-length alignment out-votes shorter same-family members: $r")
+  }
+
   test("audioFingerprintPairs: exact triple-hash Jaccard, floor cut, shared-hash candidates only") {
     // A(1): peaks 5,5,6,6 → distinct triples {(5,5,6),(5,6,6)}; B(2) same
     // → jac 1e6. C(3): 5,5,6,7 → {(5,5,6),(5,6,7)} → inter 1 of 3 →
