@@ -2580,6 +2580,26 @@ object SparkEntry {
         .toDF("piece", "count", "cost_micro")
         .orderBy("piece")
     }),
+    "text_unigram_fertility" -> ((s, d) => {
+      // fertility under the LEARNED unigram vocabulary (the
+      // text_bpe_fertility twin with learning in the loop): 2 EM rounds,
+      // then per-doc chars / Viterbi piece count under the final costs.
+      // The oracle extends the learning replay with a third unrolled DP
+      // round and per-word backtrack counts
+      val learned = graft.functions.Unigram.learnUnigram(docs(s, d), "text",
+        emRounds = 2, minCount = 2)
+      val table = new graft.functions.UnigramTable(
+        learned.map { case (p, _, cm) => p -> cm }.toMap, 4)
+      SparkUtil.ensureParallelism(docs(s, d))
+        .select(col("doc_id"),
+          aggregate(T.tokenize(col("text")), lit(0L),
+            (a, w) => a + length(w)).as("n_chars"),
+          graft.functions.Unigram.countTokens(T.tokenize(col("text")), table)
+            .as("n_uni_tokens"))
+        .withColumn("fertility6", when(col("n_uni_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_uni_tokens"), 6)))
+        .orderBy("doc_id")
+    }),
     "text_pack_sequences_bpe" -> ((s, d) =>
       // sequence packing in the unit that matters — BPE subwords: same
       // distributed two-pass cumsum, the per-doc count comes from the
@@ -4840,7 +4860,7 @@ object SparkEntry {
     * maxLen = 12 comfortably covers the corpus (max token length 8 at
     * every SF — the engine DP itself has no length cap).
     */
-  private lazy val unigramLearnOracle: String = {
+  private def unigramOracle(withRound3: Boolean, tail: String): String = {
     val maxLen = 12
     val maxPiece = 4
     val seeds = graft.functions.Bpe.PlantedMerges
@@ -4900,12 +4920,39 @@ object SparkEntry {
       ${mStep(1, "seed")}
       ${dpStages(2, "vc2")}
       ${mStep(2, "ret1")}
+      ${if (withRound3) dpStages(3, "vc3") else ""}
+      $tail"""
+  }
+
+  private lazy val unigramLearnOracle: String = unigramOracle(withRound3 = false, """
       __tail AS MATERIALIZED (SELECT 1)
       SELECT r.p AS piece, r.n AS "count",
         CAST(round(-ln((r.n + 1.0) / (t.t + t.v)) * 1e6) AS BIGINT)
           AS cost_micro
-      FROM ret2 r, tv2 t ORDER BY piece"""
-  }
+      FROM ret2 r, tv2 t ORDER BY piece""")
+
+  /** Per-doc fertility under the LEARNED unigram vocabulary: a THIRD
+    * Viterbi pass (under the final vc3 costs) yields each distinct word's
+    * piece count via its backtrack rows; docs sum their tokens' counts.
+    * Mirrors `text_bpe_fertility` with the learned table in place of the
+    * planted merges.
+    */
+  private lazy val unigramFertilityOracle: String = unigramOracle(
+    withRound3 = true, s"""
+      wcount AS MATERIALIZED (SELECT w, count(*) AS np FROM pieces3 GROUP BY w),
+      dtok AS MATERIALIZED (
+        SELECT doc_id, unnest($tokenizeSql) AS w FROM documents),
+      dsum AS MATERIALIZED (
+        SELECT d.doc_id, CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+          CAST(sum(wc.np) AS BIGINT) AS n_uni_tokens
+        FROM dtok d JOIN wcount wc ON wc.w = d.w GROUP BY 1)
+      SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
+        coalesce(n_uni_tokens, 0) AS n_uni_tokens,
+        CASE WHEN n_uni_tokens > 0
+          THEN round(CAST(n_chars AS DOUBLE) / n_uni_tokens, 6) END AS fertility6
+      FROM (SELECT dd.doc_id, ds.n_chars, ds.n_uni_tokens
+            FROM documents dd LEFT JOIN dsum ds ON ds.doc_id = dd.doc_id)
+      ORDER BY doc_id""")
 
   /** Curate-pipeline compositions retired from the driver gate suite
     * (round-10 verdict task 2): six versions each re-ran full index/LM
@@ -5007,6 +5054,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> bpeLearnOracle,
     "text_unigram_learn" -> unigramLearnOracle,
+    "text_unigram_fertility" -> unigramFertilityOracle,
     "src_scan_documents" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "src_orc_scan" ->

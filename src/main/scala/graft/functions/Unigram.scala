@@ -97,6 +97,25 @@ object UnigramKernel {
     out.reverseIterator.toArray
   }
 
+  /** Total piece count over a word array — one kernel call per row (the
+    * [[BpeKernel.countTokens]] convention); uncoverable words count 0.
+    */
+  def countTokens(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      table: UnigramTable): Long = {
+    var total = 0L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        val segs = segmentWord(w.toString, table)
+        if (segs != null) total += segs.length
+      }
+      i += 1
+    }
+    total
+  }
+
   def segment(word: UTF8String, table: UnigramTable): GenericArrayData = {
     val toks = segmentWord(word.toString, table)
     if (toks == null) return null
@@ -133,10 +152,39 @@ case class UnigramSegmentWord(child: Expression, table: UnigramTable)
     copy(child = c)
 }
 
+/** array<string> of words → total unigram piece count (long); an
+  * uncoverable word contributes 0 (the dead-letter convention of
+  * [[UnigramSegmentWord]] folded into a count).
+  */
+case class UnigramCountTokens(child: Expression, table: UnigramTable)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "unigram_count_tokens"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_count_tokens requires array<string>, got ${other.catalogString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramTable].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.UnigramKernel.countTokens($s, $ref);")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramKernel.countTokens(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], table)
+  override protected def withNewChildInternal(c: Expression): UnigramCountTokens =
+    copy(child = c)
+}
+
 object Unigram {
 
   def segmentWord(word: Column, table: UnigramTable): Column =
     ColumnBridge.column(UnigramSegmentWord(ColumnBridge.expression(word), table))
+
+  def countTokens(words: Column, table: UnigramTable): Column =
+    ColumnBridge.column(UnigramCountTokens(ColumnBridge.expression(words), table))
 
   /** Micro-nat cost of probability `count+1 / total+vocab` — add-one
     * smoothing keeps unused character pieces finite. The expression tree
