@@ -3431,6 +3431,55 @@ object SparkEntry {
       }
       s.table("graft_url_dedup_gate").orderBy("doc_id")
     }),
+    "stream_semantic_dedup_real" -> ((s, d) => {
+      // ingest-time SEMANTIC dedup as a stream (the online half of the
+      // SemDeDup family): arrivals carry the pinned closed-form seed-cell
+      // assignment (plan-literal centroids, stateless projection), and a
+      // per-cell flatMapGroupsWithState drops any vector within cosine
+      // 0.35 of a SMALLER-ID vector already seen in its cell. The
+      // smaller-id rule (not arrival order) + an id-ordered staged log (4
+      // range files, trigger order pinned by modification time) make the
+      // decision a pure function of the corpus — the oracle replays it as
+      // one NOT EXISTS
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val model = SimSearch.trainIvf(emb, "vec_id", "embedding",
+        nLists = 8, iters = 0)
+      val cents = typedlit(model.centroids)
+      val n = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val tmp = stageOnce(s, d, "graft-stream-semdedup") { t =>
+        val dir = new java.io.File(t)
+        (0 until 4).foreach { i =>
+          emb.where(col("vec_id") >= i * n / 4 && col("vec_id") < (i + 1) * n / 4)
+            .orderBy("vec_id").coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(t)
+          // pin trigger order to the id ranges: FileStreamSource orders
+          // new files by modification time. Fresh files carry a current
+          // (≫ 2023) mtime; already-stamped ones sit at the 2020-epoch
+          // base and must not be restamped
+          dir.listFiles().filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > 1700000000000L)
+            .foreach(_.setLastModified(1600000000000L + i * 60000L))
+        }
+      }
+      val schema = s.read.parquet(tmp).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val arrivals = src.select(col("vec_id").cast("long").as("vec_id"),
+          SimSearch.pinnedCellsExpr(col("embedding"), cents, 8, 1)
+            .getItem(0).as("cell"),
+          col("embedding").as("vec"))
+        .as[graft.streaming.EmbeddingArrival]
+      val q = withStatePartitions(s) {
+        graft.streaming.SemanticDedupStream.dedupArrivals(arrivals, 0.35)
+          .toDF().writeStream.format("memory")
+          .queryName("graft_sem_dedup").outputMode("append").start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_sem_dedup")
+        .select(col("vec_id"), col("cell"), col("kept"))
+        .orderBy("vec_id")
+    }),
     "stream_ivf_update_real" -> ((s, d) => {
       // embedding-index maintenance as a STREAM: train IVF-PQ in batch
       // (the offline fit), then stream the corpus back one file per
@@ -6017,6 +6066,36 @@ object SparkEntry {
     "sim_recall_pq_rerank" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    "stream_semantic_dedup_real" -> """
+      WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
+      seeds AS (SELECT id, embedding FROM v ORDER BY id LIMIT 8),
+      cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS j,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) /
+            sqrt(list_sum(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS c
+        FROM seeds),
+      dots AS (SELECT v.id, cents.j,
+          CAST(round(list_sum(list_transform(range(1, 65),
+            i -> CAST(v.embedding[i] AS DOUBLE) * cents.c[i])) * 1e6) AS BIGINT) AS dotr
+        FROM v CROSS JOIN cents),
+      asg AS (SELECT id, j AS cell FROM (
+          SELECT id, j,
+            row_number() OVER (PARTITION BY id ORDER BY dotr DESC, j ASC) AS rn
+          FROM dots) WHERE rn = 1),
+      vv AS (SELECT v.id, aa.cell, v.embedding
+             FROM v JOIN asg aa ON aa.id = v.id),
+      hit AS (SELECT DISTINCT a.id
+        FROM vv a JOIN vv b ON b.cell = a.cell AND b.id < a.id
+        WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / nullif(
+            sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 0.0)
+          >= 0.35)
+      SELECT vv.id AS vec_id, vv.cell, hit.id IS NULL AS kept
+      FROM vv LEFT JOIN hit ON hit.id = vv.id ORDER BY vec_id""",
     "stream_ivf_update_real" -> """
       SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS cell_matches,
         true AS codes_match

@@ -1195,25 +1195,18 @@ object Dedup {
     require(probes >= 1 && probes <= nLists, "need 1 <= probes <= nLists")
     val model = SimSearch.trainIvf(emb, idCol, vecCol, nLists, iters)
     val cents = typedlit(model.centroids)
-    val simsR = transform(cents,
-      c => round(dotProduct(col("v"), c) * 1e6).cast("long"))
     // top-`probes` cells by micro-rounded centroid dot, lowest index wins
-    // ties — ONE evaluation of the pinned score array + one nLists-element
-    // sort (the ranked-slice pattern, see [[embeddingPairsIvf]]). Probe 0
-    // is the primary (keep-decision) cell; the extra probes only widen
-    // CANDIDATE generation, so a mid-similarity pair split by a cell
-    // boundary still collides in a shared probe cell.
+    // ties ([[SimSearch.pinnedCellsExpr]]). Probe 0 is the primary
+    // (keep-decision) cell; the extra probes only widen CANDIDATE
+    // generation, so a mid-similarity pair split by a cell boundary still
+    // collides in a shared probe cell.
     val assigned = model.assigned.select(col("id"), col("v"))
-      .withColumn("__sims", simsR)
-      .withColumn("__cells", slice(transform(sort_array(zip_with(
-        col("__sims"), sequence(lit(0), lit(nLists - 1)),
-        (s, i) => struct((-s).as("negs"), i.as("idx")))),
-        r => r.getField("idx")), 1, probes))
+      .withColumn("__cells",
+        SimSearch.pinnedCellsExpr(col("v"), cents, nLists, probes))
       .withColumn("cell", col("__cells").getItem(0))
       .withColumn("c2c_micro",
         round(V.cosine(col("v"), element_at(cents, col("cell") + 1)) * 1e6)
           .cast("long"))
-      .drop("__sims")
       .transform(graft.SparkUtil.scopedPersist)
     val probed = assigned.select(col("id"), col("v"),
       explode(col("__cells")).as("__pc"))

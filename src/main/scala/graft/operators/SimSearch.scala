@@ -378,6 +378,23 @@ object SimSearch {
           .as("recall_ok"))
   }
 
+  /** Top-`probes` centroid cells of `v` by MICRO-ROUNDED dot product,
+    * lowest index winning ties — the pinned (engine-reproducible, SQL-
+    * replayable) assignment shared by [[graft.operators.Dedup
+    * .semanticDedupCells]] and the streaming dedup gate. One evaluation
+    * of the similarity array + one nLists-element sort per row (the
+    * ranked-slice pattern); raw-double argmax drifts at ties.
+    */
+  def pinnedCellsExpr(v: Column, cents: Column, nLists: Int,
+      probes: Int): Column = {
+    import graft.functions.ArrayKernels.dotProduct
+    val simsR = transform(cents, c => round(dotProduct(v, c) * 1e6).cast("long"))
+    slice(transform(sort_array(zip_with(simsR,
+      sequence(lit(0), lit(nLists - 1)),
+      (s, i) => struct((-s).as("negs"), i.as("idx")))),
+      r => r.getField("idx")), 1, probes)
+  }
+
   /** Train the IVF index once (Lloyd as above) and keep it as a model —
     * index construction is infrastructure, queries are the workload.
     */

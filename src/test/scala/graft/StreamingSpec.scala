@@ -34,6 +34,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("SemanticDedupStream: decisions are a pure function of ids, not batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EmbeddingArrival, SemanticDedupStream}
+    implicit val sc = spark.sqlContext
+    // cell 0: 10 ~ 11 (identical) ~ both near 12; cell 1 independent
+    val a = Seq(
+      EmbeddingArrival(10L, 0, Seq(1f, 0f, 0f)),
+      EmbeddingArrival(11L, 0, Seq(1f, 0f, 0f)),   // dup of 10 -> dropped
+      EmbeddingArrival(12L, 0, Seq(0.9f, 0.1f, 0f)), // near 10 -> dropped
+      EmbeddingArrival(13L, 0, Seq(0f, 0f, 1f)),   // far -> kept
+      EmbeddingArrival(20L, 1, Seq(1f, 0f, 0f))    // other cell -> kept
+    )
+    def run(batches: Seq[Seq[EmbeddingArrival]], name: String) = {
+      val ms = MemoryStream[EmbeddingArrival]
+      val q = SemanticDedupStream.dedupArrivals(ms.toDS(), 0.9)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).orderBy("vec_id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    }
+    val oneBatch = run(Seq(a), "semdedup_one")
+    val split = run(Seq(a.take(2), a.slice(2, 4), a.drop(4)), "semdedup_split")
+    val expected = Map(10L -> true, 11L -> false, 12L -> false,
+      13L -> true, 20L -> true)
+    assert(oneBatch == expected, s"one-batch: $oneBatch")
+    assert(split == expected, "3-batch split must not change any decision")
+  }
+
   test("streaming dropDuplicates equals firstEventPerKey batch twin on time-ordered input") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one file, pre-sorted by event time: arrival order == event-time order,
