@@ -1667,6 +1667,42 @@ object SparkEntry {
       Graphs.labelPropagation(e, "src", "dst", iterations = 2)
         .orderBy("node_id")
     }),
+    "graph_kcore" -> ((s, d) => {
+      // k-core by 4 synchronous peeling rounds: the 3-out background graph
+      // (degree ~5-7, peels round 1) + a 20-clique (the true 11-core) + a
+      // FRAGILE circulant group whose round-1 degree ≥ 11 rests on
+      // background support — it unravels in round 2, a genuine cascade
+      // (40 → 30 → 20 survivors, converged by round 3 at every SF). The
+      // converged flag asserts round 5 would remove nothing, so the gate
+      // result IS the true 11-core — exactly the planted clique
+      val dd = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"))
+      val n = dd.count()
+      val background = dd.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
+      val small = dd.where(col("doc_id") < 20)
+      val clique = small.select(col("doc_id").as("src"))
+        .join(small.select(col("doc_id").as("dst")), col("src") < col("dst"))
+      val fragile = dd.where(col("doc_id") >= 200 && col("doc_id") < 220)
+        .select((col("doc_id") - 200).as("i"))
+        .select(explode(array(
+          struct((col("i") + 200).as("src"),
+            (pmod(col("i") + 1, lit(20L)) + 200).as("dst")),
+          struct((col("i") + 200).as("src"),
+            (pmod(col("i") + 2, lit(20L)) + 200).as("dst")),
+          struct((col("i") + 200).as("src"),
+            (pmod(col("i") + 3, lit(20L)) + 200).as("dst")),
+          struct((col("i") + 200).as("src"),
+            (pmod(col("i") + 4, lit(20L)) + 200).as("dst")),
+          struct((col("i") + 200).as("src"),
+            pmod(col("i") * 13 + 3, lit(n)).as("dst")),
+          struct((col("i") + 200).as("src"),
+            pmod(col("i") * 17 + 11, lit(n)).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      Graphs.kCore(background.unionByName(clique).unionByName(fragile),
+          "src", "dst", k = 11, rounds = 4)
+        .orderBy("node_id")
+    }),
     "graph_hits" -> ((s, d) => {
       // HITS hubs/authorities over the same deterministic 3-out-regular
       // graph as graph_pagerank (node 0 the global authority hot key —
@@ -7117,6 +7153,44 @@ object SparkEntry {
                CAST(tv.t + (17 * coalesce(c, 0)) // 20 AS BIGINT) AS r
              FROM tv LEFT JOIN c2 USING (v))
       SELECT v AS node_id, r AS ppr_micro FROM r2 ORDER BY node_id""",
+    "graph_kcore" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ids AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+      bg AS (SELECT v AS src,
+              unnest([(v * 3 + 1) % n, (v + 7) % n, CAST(0 AS BIGINT)]) AS dst
+            FROM ids, nn),
+      cl AS (SELECT a.v AS src, b.v AS dst FROM ids a JOIN ids b
+             ON a.v < b.v AND a.v < 20 AND b.v < 20),
+      frg AS (SELECT i + 200 AS src,
+              unnest([(i + 1) % 20 + 200, (i + 2) % 20 + 200,
+                (i + 3) % 20 + 200, (i + 4) % 20 + 200,
+                (i * 13 + 3) % n, (i * 17 + 11) % n]) AS dst
+            FROM (SELECT v - 200 AS i FROM ids
+                  WHERE v >= 200 AND v < 220), nn),
+      e0 AS (SELECT src, dst FROM bg UNION ALL SELECT src, dst FROM cl
+             UNION ALL SELECT src, dst FROM frg),
+      und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0
+              UNION ALL SELECT dst AS a, src AS b FROM e0),
+      a0 AS (SELECT v FROM ids),
+      a1 AS MATERIALIZED (SELECT u.a AS v FROM und u
+            JOIN a0 x ON u.a = x.v JOIN a0 y ON u.b = y.v
+            GROUP BY u.a HAVING count(*) >= 11),
+      a2 AS MATERIALIZED (SELECT u.a AS v FROM und u
+            JOIN a1 x ON u.a = x.v JOIN a1 y ON u.b = y.v
+            GROUP BY u.a HAVING count(*) >= 11),
+      a3 AS MATERIALIZED (SELECT u.a AS v FROM und u
+            JOIN a2 x ON u.a = x.v JOIN a2 y ON u.b = y.v
+            GROUP BY u.a HAVING count(*) >= 11),
+      a4 AS MATERIALIZED (SELECT u.a AS v FROM und u
+            JOIN a3 x ON u.a = x.v JOIN a3 y ON u.b = y.v
+            GROUP BY u.a HAVING count(*) >= 11),
+      a5 AS MATERIALIZED (SELECT u.a AS v FROM und u
+            JOIN a4 x ON u.a = x.v JOIN a4 y ON u.b = y.v
+            GROUP BY u.a HAVING count(*) >= 11)
+      SELECT ids.v AS node_id,
+        ids.v IN (SELECT v FROM a4) AS in_kcore,
+        (SELECT count(*) FROM a5) = (SELECT count(*) FROM a4) AS converged
+      FROM ids ORDER BY node_id""",
     "graph_lpa" -> """
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ids AS (SELECT doc_id AS v FROM documents),

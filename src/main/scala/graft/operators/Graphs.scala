@@ -336,4 +336,49 @@ object Graphs {
     }
     labels.select(col("v").as("node_id"), col("label"))
   }
+
+  /** k-core membership by `rounds` SYNCHRONOUS peeling rounds (Seidman
+    * 1983, "Network structure and minimum degree"): each round removes
+    * every node whose degree in the SURVIVING subgraph is below k; the
+    * k-core is the fixpoint. Degrees follow the [[pageRank]] multigraph
+    * convention (duplicate edges count, a self-loop contributes 2 via the
+    * undirected expansion). The fixed round count keeps the computation a
+    * pure function a SQL oracle unrolls exactly; `converged` (same value
+    * on every row) reports whether round `rounds`+1 would have removed
+    * nothing more — the alive set only SHRINKS, so count equality IS the
+    * fixpoint test (the connectedComponents label-sum trick).
+    *
+    * Scale shape per round: one (long, long) semi-join of the undirected
+    * edge list against the alive set per endpoint, one map-side-combined
+    * degree count — hub hot keys partial-aggregate. Lineage re-bound per
+    * round so plans stay flat.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"rounds in [1,50], got $rounds")
+    val spark = edges.sparkSession
+    val dir = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val e = dir.unionAll(dir.select(col("b").as("a"), col("a").as("b")))
+      .transform(graft.SparkUtil.scopedPersist)
+    val nodes = e.select(col("a").as("v")).distinct()
+      .transform(graft.SparkUtil.scopedPersist)
+    def peel(alive: DataFrame): DataFrame =
+      e.join(alive.select(col("v").as("a")), Seq("a"))
+        .join(alive.select(col("v").as("b")), Seq("b"))
+        .groupBy(col("a").as("v")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select("v")
+    var alive = nodes
+    for (_ <- 1 to rounds) {
+      val next = peel(alive)
+      alive = spark.createDataFrame(next.rdd, next.schema)
+    }
+    val nAlive = alive.count()
+    val converged = peel(alive).count() == nAlive
+    nodes.join(alive.withColumn("__in", lit(true)), Seq("v"), "left")
+      .select(col("v").as("node_id"),
+        coalesce(col("__in"), lit(false)).as("in_kcore"),
+        lit(converged).as("converged"))
+  }
 }

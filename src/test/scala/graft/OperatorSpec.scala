@@ -3026,6 +3026,24 @@ class OperatorSpec extends AnyFunSuite {
       (5L, 3L, 1L), (2L, 3L, 1L)), s"$got")
   }
 
+  test("kCore: triangle survives, pendant peels, chain cascades, converged flag honest") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("s", "t")
+    val got = Graphs.kCore(tri, "s", "t", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> (true, true), 2L -> (true, true),
+      3L -> (true, true), 4L -> (false, true)), s"got $got")
+    // a chain unravels one end-pair per round; after 1 round it has NOT
+    // converged and the flag must say so
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val r1 = Graphs.kCore(chain, "s", "t", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(r1(2L) == (true, false) && r1(1L) == (false, false),
+      s"round 1 keeps the interior and reports non-convergence: $r1")
+    val r3 = Graphs.kCore(chain, "s", "t", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r3.values.forall(_ == false), "a chain has no 2-core")
+  }
+
   test("bloomPrunedJoin ≡ plain inner join; bloom probe present in the plan") {
     val rnd = new scala.util.Random(7)
     val big = (1 to 500).map(i => (i.toLong, rnd.nextInt(60).toLong)).toDF("id", "bk")
