@@ -622,6 +622,18 @@ object SparkEntry {
       // of 7); counts are exact ints over the distinct (user, week) frame
       TimeSeries.retentionCohorts(events(s, d))
         .orderBy("cohort_week", "offset_weeks")),
+    "ts_seasonal_decompose" -> ((s, d) =>
+      // classical additive decomposition of hourly counts per type:
+      // densified grid (gap hours are real zeros), centered 25-hour
+      // moving-mean trend (null edges), hour-of-day seasonals centered to
+      // ~0, residual — every division an exact integer micro `div`, so
+      // the whole decomposition replays bit-for-bit
+      TimeSeries.seasonalDecompose(events(s, d), "event_type", "ts")
+        .select(col("k").as("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("n"), col("trend_micro"), col("seasonal_micro"),
+          col("resid_micro"))
+        .orderBy("event_type", "h")),
     "ts_resample_ffill" -> ((s, d) =>
       // fixed 6-hour grid per user from first-event midnight through the
       // last event, forward-filling the latest observed value (union +
@@ -5591,6 +5603,35 @@ object SparkEntry {
     "stream_cusum_real" -> cusumOracle,
     "agg_retention_cohort" -> retentionOracle,
     "stream_retention_real" -> retentionOracle,
+    "ts_seasonal_decompose" -> """
+      WITH c AS (SELECT event_type AS k,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      sp AS (SELECT k, min(h) AS lo, max(h) AS hi FROM c GROUP BY 1),
+      g AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM sp),
+      d0 AS (SELECT g.k, g.h, coalesce(c.n, 0) AS n
+             FROM g LEFT JOIN c ON c.k = g.k AND c.h = g.h),
+      t AS (SELECT k, h, n,
+          CASE WHEN count(*) OVER w = 25
+            THEN CAST(sum(n * 1000000) OVER w AS BIGINT) // 25 END AS trend_micro
+        FROM d0 WINDOW w AS (PARTITION BY k ORDER BY h
+          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      t2 AS (SELECT k, h, n, trend_micro,
+          n * 1000000 - trend_micro AS det,
+          EXTRACT(hour FROM h) AS hod FROM t),
+      sr AS (SELECT k, hod, CAST(sum(det) AS BIGINT) // count(*) AS s_raw
+             FROM t2 WHERE det IS NOT NULL GROUP BY 1, 2),
+      se AS (SELECT k, hod,
+          s_raw - CAST(sum(s_raw) OVER (PARTITION BY k) AS BIGINT)
+            // (count(*) OVER (PARTITION BY k)) AS seasonal_micro
+        FROM sr)
+      SELECT t2.k AS event_type, strftime(t2.h, '%Y-%m-%d %H:%M:%S') AS h,
+        t2.n, t2.trend_micro, se.seasonal_micro,
+        t2.n * 1000000 - t2.trend_micro - se.seasonal_micro AS resid_micro
+      FROM t2 LEFT JOIN se ON se.k = t2.k AND se.hod = t2.hod
+      ORDER BY event_type, h""",
     "ts_resample_ffill" -> """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
                  FROM events),

@@ -3026,6 +3026,30 @@ class OperatorSpec extends AnyFunSuite {
       (5L, 3L, 1L), (2L, 3L, 1L)), s"$got")
   }
 
+  test("seasonalDecompose: hand series — zero-gap grid, edge-null trend, exact micro identity") {
+    import graft.operators.TimeSeries
+    def t(hh: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hh%02d:30:00")
+    // counts per hour: [2,4,2,4,2,4]; hour 3 carried via two rows etc.
+    val rows = Seq(0 -> 2, 1 -> 4, 2 -> 2, 3 -> 4, 4 -> 2, 5 -> 4)
+      .flatMap { case (h, c) => Seq.fill(c)(("k1", t(h))) }
+    val got = TimeSeries.seasonalDecompose(rows.toDF("event_type", "ts"),
+        "event_type", "ts", period = 2, halfWindow = 1)
+      .orderBy("h").collect()
+    assert(got.length == 6)
+    assert(got.head.isNullAt(3) && got.last.isNullAt(3),
+      "short-window edges must have null trend")
+    // interior: 3-point means alternate 8/3 and 10/3 in micro with exact div
+    assert(got(1).getLong(3) == 2666666L && got(2).getLong(3) == 3333333L)
+    // single-sample hods: seasonal = det (centering sum 2 div 4 = 0) and
+    // the identity n·1e6 = trend + seasonal + resid holds with resid 0
+    for (i <- 1 to 4) {
+      val r = got(i)
+      assert(r.getLong(5) == 0L, s"interior resid must be 0: $r")
+      assert(r.getLong(2) * 1000000L ==
+        r.getLong(3) + r.getLong(4), s"identity at $i: $r")
+    }
+  }
+
   test("kCore: triangle survives, pendant peels, chain cascades, converged flag honest") {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("s", "t")
     val got = Graphs.kCore(tri, "s", "t", k = 2, rounds = 2)
