@@ -1965,6 +1965,21 @@ object SparkEntry {
       Dedup.audioMatchOffsets(queries, corpus, minVotes = 2)
         .orderBy("q_id")
     }),
+    "dedup_cdc_chunks" -> ((s, d) => {
+      // content-defined chunk dedup over a corpus with a planted shared
+      // passage appended to every %3 doc AT DIFFERENT byte offsets — the
+      // CDC property under test: boundaries are content-defined, so the
+      // shared tail chunks identically everywhere and dedups against its
+      // first occurrence, where fixed-size blocks would misalign
+      val blurb = " the archive replicates shared passages verbatim across" +
+        " documents and a content defined chunker must find every one of" +
+        " them regardless of byte offset in the carrying document"
+      val planted = SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(blurb)))
+          .otherwise(col("text")).as("text"))
+      Dedup.cdcChunkStats(planted, "doc_id", "text", k = 16, divisor = 64)
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
@@ -7018,6 +7033,38 @@ object SparkEntry {
             FROM v)
       SELECT q_id, c_id, CAST(dt AS BIGINT) AS dt, votes FROM r
       WHERE rn = 1 ORDER BY q_id""",
+    "dedup_cdc_chunks" -> """
+      WITH base AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN text || ' the archive replicates' ||
+            ' shared passages verbatim across documents and a content' ||
+            ' defined chunker must find every one of them regardless of' ||
+            ' byte offset in the carrying document'
+          ELSE text END AS t
+        FROM documents),
+      nz AS (SELECT doc_id, t, length(t) AS len FROM base WHERE length(t) > 0),
+      bl AS (SELECT doc_id, t, len,
+          list_filter(range(16, len + 1), i ->
+            CAST('0x' || substr(md5(substr(t, i - 15, 16)), 1, 8) AS UBIGINT)
+              % 64 = 0) AS bs
+        FROM nz),
+      es0 AS (SELECT doc_id, t,
+          CASE WHEN len(bs) > 0 AND bs[-1] = len THEN bs
+               ELSE list_append(bs, len) END AS es
+        FROM bl),
+      ch AS (SELECT doc_id, t, es, unnest(range(1, len(es) + 1)) AS j FROM es0),
+      ck AS (SELECT doc_id, j AS chunk_idx,
+          es[j] - (CASE WHEN j = 1 THEN 0 ELSE es[j - 1] END) AS clen,
+          md5(substr(t, (CASE WHEN j = 1 THEN 0 ELSE es[j - 1] END) + 1,
+            es[j] - (CASE WHEN j = 1 THEN 0 ELSE es[j - 1] END))) AS h
+        FROM ch),
+      r AS (SELECT doc_id, chunk_idx, clen, h, row_number() OVER (
+              PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+            FROM ck)
+      SELECT doc_id, count(*) AS n_chunks,
+        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT) AS bytes_saved,
+        md5(string_agg(h, ',' ORDER BY chunk_idx)) AS chunks_md5
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
     "dedup_audio_fingerprint" -> """
       WITH fr AS (
         SELECT CAST(doc_id AS BIGINT) AS id,

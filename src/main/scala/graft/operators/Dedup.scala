@@ -656,6 +656,59 @@ object Dedup {
         (-col("w.nd")).cast("long").as("dt"), col("w.v").as("votes"))
   }
 
+  /** CONTENT-DEFINED CHUNKING dedup (the rsync / LBFS scheme,
+    * Muthitacharoen et al. 2001 "A low-bandwidth network file system"):
+    * chunk boundaries land where the hash of the trailing `k`-gram is
+    * ≡ 0 mod `divisor` — a pure function of CONTENT, so shared passages
+    * chunk identically regardless of their position (the property that
+    * makes CDC dedup insertions-proof where fixed-size blocks break).
+    * Expected chunk length ≈ `divisor` chars; the document tail is always
+    * a final chunk. An instance is a DUPLICATE when an identical chunk
+    * occurred earlier in (doc_id, chunk_idx) order — the storage-dedup
+    * ledger semantics; `bytes_saved` is what a chunk store would not
+    * write again.
+    *
+    * Everything is Catalyst expressions (the per-position md5 runs inside
+    * the scan projection — pricey per row, like any CDC chunker, but
+    * zero-shuffle); the ONLY exchange after the scan carries
+    * (chunk_hash, doc_id, idx, len) decision rows for the first-instance
+    * window. Returns per-doc (doc_id, n_chunks, n_dup_chunks,
+    * bytes_saved, chunks_md5 — the ordered chunk-hash digest).
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, divisor: Int = 64): DataFrame = {
+    require(k >= 2 && divisor >= 2, s"need k >= 2, divisor >= 2, got ($k, $divisor)")
+    val t = col("__t")
+    val len = length(t)
+    val boundExpr = when(len >= k,
+      filter(sequence(lit(k), len), i =>
+        pmod(conv(substring(md5(substring(t, i - lit(k) + 1, lit(k))), 1, 8),
+          16, 10).cast("long"), lit(divisor)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val ends = array_distinct(concat(boundExpr, array(len)))
+    val chunks = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .where(len > 0)
+      .select(col("doc_id"), col("__t"), posexplode(ends).as(Seq("__j", "__e")))
+      .withColumn("__s", coalesce(
+        lag(col("__e"), 1).over(Window.partitionBy("doc_id").orderBy("__j")),
+        lit(0)))
+      .select(col("doc_id"), (col("__j") + 1).as("chunk_idx"),
+        (col("__e") - col("__s")).as("chunk_len"),
+        md5(expr("substring(__t, __s + 1, __e - __s)")).as("chunk_hash"))
+      .transform(graft.SparkUtil.scopedPersist)
+    val ranked = chunks.withColumn("__rn", row_number().over(
+      Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")))
+    ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__rn") > 1, col("chunk_len").cast("long"))
+          .otherwise(0L)).as("bytes_saved"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_hash")))),
+          x => x.getField("chunk_hash")))).as("chunks_md5"))
+  }
+
   /** Token-shingle exact-Jaccard verification of LSH candidate pairs — the
     * classic coarse-to-fine near-dup pipeline: MinHash buckets propose,
     * the cheap signature estimate prunes (estimate ≥ threshold/3 keeps
