@@ -1897,23 +1897,23 @@ object SparkEntry {
     "dedup_video_phash" -> ((s, d) => {
       // perceptual VIDEO near-dup: planted AVIs whose keyframes are
       // 90×80 block-gradient JPEGs carrying the closed-form
-      // plantVideoDhashBits(id, scene) — 50 families, per-scene axis,
+      // plantVideoDhashBits(id, scene) — 100 families, per-scene axis,
       // 0-2 bit member axis — on the plantSceneCut scene structure. The
       // REAL pipeline (frame decode → keyframe walk → dHash → Hamming
       // banding → matched-keyframe fraction) must reproduce the formula
       // end to end; the oracle replays it and brute-forces the pair set.
-      // Rolled up per family so output stays 50 rows at every scale.
+      // Rolled up per family so output stays 100 rows at every scale.
       val kh = SparkUtil.scopedPersist(Multimodal.videoKeyframeDHashes(
         Multimodal.plantNearDupVideoPayloads(docs(s, d), "doc_id"),
         threshold = 10.0))
       val pairs = Dedup.videoPhashPairs(kh, "doc_id", "frame_idx", "dhash",
         maxDist = 2, bands = 4, minFracMicro = 500000L)
-      val perFam = pairs.withColumn("family", col("a_id") % 50)
+      val perFam = pairs.withColumn("family", col("a_id") % 100)
         .groupBy("family")
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("n_matched_a") + col("n_matched_b")).as("n_matched"),
           sum(col("frac_micro")).as("sum_frac_micro"))
-      kh.groupBy((col("doc_id") % 50).as("family"))
+      kh.groupBy((col("doc_id") % 100).as("family"))
         .agg(countDistinct(col("doc_id")).as("n_videos"),
           count(lit(1)).as("n_keyframes"))
         .join(perFam, Seq("family"), "left")
@@ -7114,12 +7114,12 @@ object SparkEntry {
         FROM fr),
       h AS (SELECT id, j AS fr,
           xor(xor(xor(xor(xor(
-            id % 50,
-            (id % 50) << 13),
-            (id % 50) << 27),
-            (id % 50) << 41),
+            id % 100,
+            (id % 100) << 13),
+            (id % 100) << 27),
+            (id % 100) << 41),
             ((CAST(1 AS BIGINT) << CAST(scene % 3 AS INTEGER)) - 1) << 50),
-            ((CAST(1 AS BIGINT) << CAST((id // 50) % 3 AS INTEGER)) - 1) << 60) AS ph
+            ((CAST(1 AS BIGINT) << CAST((id // 100) % 3 AS INTEGER)) - 1) << 60) AS ph
         FROM sc WHERE j = 0 OR (j > 0 AND (id + j) % 3 = 0)),
       nk AS (SELECT id, count(*) AS nk FROM h GROUP BY id),
       fm AS (SELECT a.id AS a_id, b.id AS b_id, a.fr AS a_fr, b.fr AS b_fr
@@ -7133,9 +7133,9 @@ object SparkEntry {
              FROM vp JOIN nk na ON na.id = vp.a_id
                      JOIN nk nb ON nb.id = vp.b_id
              WHERE (vp.nma + vp.nmb) * 1000000 // (na.nk + nb.nk) >= 500000),
-      fam AS (SELECT id % 50 AS family, count(DISTINCT id) AS n_videos,
+      fam AS (SELECT id % 100 AS family, count(DISTINCT id) AS n_videos,
                 count(*) AS n_keyframes FROM h GROUP BY 1),
-      agg AS (SELECT a_id % 50 AS family, count(*) AS n_pairs,
+      agg AS (SELECT a_id % 100 AS family, count(*) AS n_pairs,
                 sum(nma + nmb) AS n_matched, sum(frac_micro) AS sum_frac_micro
               FROM vf GROUP BY 1)
       SELECT fam.family, CAST(fam.n_videos AS BIGINT) AS n_videos,

@@ -2118,18 +2118,20 @@ object Multimodal {
   }
 
   /** The 64-bit dHash keyframe `scene` of planted video `id` decodes to,
-    * in closed form: 50 families (6-bit base pattern replicated into
-    * segments [0,6)/[13,19)/[27,33)/[41,47) — distinct families are ≥ 4
+    * in closed form: 100 families (7-bit base pattern replicated into
+    * segments [0,7)/[13,20)/[27,34)/[41,48) — distinct families are ≥ 4
     * bits apart), a per-SCENE axis in bits [50,52) (scene s flips the low
     * `s % 3` of them), and the per-member near-dup axis in bits [60,62)
-    * (member m = (id/50) % 3 flips the low `m` bits). So two keyframes
+    * (member m = (id/100) % 3 flips the low `m` bits). 100 families keep
+    * the family density — and with it the inherently-quadratic matched-
+    * frame decision volume — proportionate at the bench scale. So two keyframes
     * hash within distance d iff |s₁%3 − s₂%3| + |m₁ − m₂| ≤ d for the
     * same family — a DuckDB oracle replays the formula and brute-forces
     * the pair set with bit_count(xor(...)).
     */
   def plantVideoDhashBits(id: Long, scene: Int): Long = {
-    val f = id % 50
-    val m = (id / 50) % 3
+    val f = id % 100
+    val m = (id / 100) % 3
     (f ^ (f << 13) ^ (f << 27) ^ (f << 41)) ^
       (((1L << (scene % 3)) - 1L) << 50) ^ (((1L << m) - 1L) << 60)
   }
