@@ -2061,6 +2061,25 @@ object SparkEntry {
       Cdc.applyChangesPruned(o, changes, "o_orderkey", "seq", "op")
         .orderBy("o_orderkey")
     }),
+    "cdc_maintain_agg" -> ((s, d) => {
+      // incremental materialized-view maintenance: the stored per-group
+      // (count, cents-sum) view absorbs the planted feed's delta
+      // (feed-proportional work, one old-value semi-join) and must equal
+      // the full recompute over the applied snapshot BIT-FOR-BIT — the
+      // oracle IS that recompute
+      val (o0, changes0) = cdcPlantedFeed(s, d)
+      def enrich(df: DataFrame): DataFrame = df
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("grp", col("o_custkey") % 100)
+      val base = enrich(o0)
+      val changes = enrich(changes0)
+      val view = base.groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_val"))
+      Cdc.maintainGroupCounts(view, base, changes, "o_orderkey", "seq", "op",
+          "grp", "cents")
+        .select(col("grp"), col("n_rows"), col("sum_val").as("sum_cents"))
+        .orderBy("grp")
+    }),
     "cdc_pit_join" -> ((s, d) => {
       // point-in-time enrichment — the lakehouse query SCD2 history
       // exists FOR: each purchase event joined to the state version valid
@@ -7625,6 +7644,39 @@ object SparkEntry {
       ORDER BY id""",
     "cdc_apply_changes" -> cdcApplyOracle,
     "cdc_apply_pruned" -> cdcApplyOracle,
+    "cdc_maintain_agg" -> """
+      WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                    FROM orders),
+      ch AS (
+        SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+               'U1' AS o_orderstatus, o_totalprice + 1.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice + 2.5
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 1),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY seq DESC, op DESC) AS rn
+          FROM ch) WHERE rn = 1),
+      snap AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM latest l
+                          WHERE l.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice FROM latest
+        WHERE op <> 'D')
+      SELECT o_custkey % 100 AS grp, count(*) AS n_rows,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS sum_cents
+      FROM snap GROUP BY 1 ORDER BY grp""",
     "stream_cdc_apply_real" -> cdcApplyOracle,
     "cdc_scd2" -> cdcScd2Oracle,
     "cdc_pit_join" -> """

@@ -66,6 +66,29 @@ class CdcSpec extends AnyFunSuite {
       .orderBy("k").collect().length == 4, "empty feed returns the base")
   }
 
+  test("maintainGroupCounts ≡ full recompute: migration across groups, vanishing group, inserts") {
+    // base: group g of a row = s; key 4 is the ONLY member of group "d"
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "d", 40L))
+      .toDF("k", "g", "v")
+    val changes = Seq(
+      (1L, 1L, "U", "b", 11L), // migrates a -> b
+      (4L, 1L, "D", "d", 40L), // empties group d
+      (9L, 1L, "I", "c", 90L), // new group c
+      (2L, 1L, "U", "a", 25L), // in-place value update
+      (2L, 2L, "U", "a", 26L)  // stacked: latest wins
+    ).toDF("k", "seq", "op", "g", "v")
+    val view = base.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    val got = Cdc.maintainGroupCounts(view, base, changes, "k", "seq", "op", "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val recomputed = Cdc.applyChanges(base, changes, "k", "seq", "op")
+      .groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == recomputed, s"maintained $got vs recomputed $recomputed")
+    assert(!got.contains("d"), "emptied group must drop, as a recompute would")
+    assert(got("b") == (2L, 41L), "migrated row lands in its new group")
+  }
+
   test("applyChanges: seq tie breaks by op descending (deterministic)") {
     // same seq for U and D on one key: 'U' > 'D' lexicographically, so the
     // upsert wins — pinned so a malformed feed still resolves one way
