@@ -1692,9 +1692,9 @@ object SparkEntry {
       val background = dd.select(col("doc_id").as("src"),
         explode(array(pmod(col("doc_id") * 3 + 1, lit(n)),
           pmod(col("doc_id") + 7, lit(n)), lit(0L))).as("dst"))
-      val small = dd.where(col("doc_id") < 20)
-      val clique = small.select(col("doc_id").as("src"))
-        .join(small.select(col("doc_id").as("dst")), col("src") < col("dst"))
+      val clique = dd.where(col("doc_id") < 19)
+        .select(col("doc_id").as("src"),
+          explode(sequence(col("doc_id") + 1, lit(19L))).as("dst"))
       val fragile = dd.where(col("doc_id") >= 200 && col("doc_id") < 220)
         .select((col("doc_id") - 200).as("i"))
         .select(explode(array(

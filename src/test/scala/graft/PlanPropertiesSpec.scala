@@ -578,4 +578,32 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
     SparkUtil.releaseScopedCaches()
   }
+
+  test("round-12 pair generators stay equi-joins; media exchanges never ship payloads") {
+    // every candidate generator added this round must ride a key equi-join
+    // (band/cell/hash), never a product join; and the media pipelines'
+    // exchanges must carry decision scalars only — pixels, PCM samples,
+    // and payload binaries stay inside their scan task
+    for (q <- Seq("dedup_video_phash", "dedup_audio_fingerprint",
+        "audio_match_offset", "dedup_semantic_cells", "dedup_cdc_chunks",
+        "cdc_maintain_agg", "graph_kcore")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct") &&
+        !plan.toString.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidates must come from an equi-join:\n$plan")
+      if (q.startsWith("dedup_video") || q.contains("audio")) {
+        val shuffled = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output
+        }
+        shuffled.foreach(_.foreach { a =>
+          assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType.type],
+            s"$q: an exchange ships binary payloads: ${a.name}")
+        })
+      }
+      SparkUtil.releaseScopedCaches()
+      spark.catalog.clearCache()
+    }
+  }
 }
