@@ -1058,6 +1058,14 @@ object SparkEntry {
       DataQuality.cardinalityDrift(s, ta, tb, k, driftFloorMicro = 100000L)
         .orderBy("grp")
     }),
+    "dq_winsorize" -> ((s, d) =>
+      // robust repair to MAD's flagging: clamp each type's values at the
+      // exact rank-based P5/P95 (ceil/floor rank convention, (value,
+      // event_id)-pinned ranks, all micro-longs) — cut points, clamp
+      // counts and the winsorized sum replay bit-for-bit
+      DataQuality.winsorizedStats(events(s, d), "event_type", "value",
+          "event_id")
+        .orderBy("event_type")),
     "dq_mad_outliers" -> ((s, d) => {
       // robust outlier stats with PLANTED spikes: every %131 event's
       // value is multiplied by 50, so each type's Hampel count (|x−med| >
@@ -5720,6 +5728,31 @@ object SparkEntry {
           PARTITION BY q_id ORDER BY dist, r_id) AS rn FROM cand)
       SELECT q_id, q_name, r_id, r_name, CAST(dist AS BIGINT) AS dist
       FROM best WHERE rn = 1 ORDER BY q_id""",
+    "dq_winsorize" -> """
+      WITH r AS (SELECT event_type AS k,
+          CAST(round(value * 1e6) AS BIGINT) AS m,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY CAST(round(value * 1e6) AS BIGINT), event_id) AS rn
+        FROM events),
+      n0 AS (SELECT k, count(*) AS n FROM r GROUP BY 1),
+      kk AS (SELECT k, n,
+          greatest(1, (n * 50000 + 999999) // 1000000) AS klo,
+          least(n, greatest(1, (n * 950000) // 1000000)) AS khi
+        FROM n0),
+      cuts AS (SELECT r.k, max(kk.n) AS n,
+          max(CASE WHEN r.rn = kk.klo THEN r.m END) AS lo_cut_micro,
+          max(CASE WHEN r.rn = kk.khi THEN r.m END) AS hi_cut_micro
+        FROM r JOIN kk ON kk.k = r.k GROUP BY 1)
+      SELECT r.k AS event_type, max(c.n) AS n,
+        max(c.lo_cut_micro) AS lo_cut_micro,
+        max(c.hi_cut_micro) AS hi_cut_micro,
+        CAST(sum(greatest(c.lo_cut_micro, least(c.hi_cut_micro, r.m)))
+          AS BIGINT) AS sum_winsorized_micro,
+        CAST(sum(CASE WHEN r.m < c.lo_cut_micro THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_clamped_lo,
+        CAST(sum(CASE WHEN r.m > c.hi_cut_micro THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_clamped_hi
+      FROM r JOIN cuts c ON c.k = r.k GROUP BY 1 ORDER BY event_type""",
     "dq_cardinality_drift" -> """
       WITH a AS (SELECT event_type AS grp,
           count(DISTINCT user_id) AS est_a FROM events GROUP BY 1),

@@ -273,6 +273,56 @@ object DataQuality {
       .withColumn("drifted", col("drift_micro") >= driftFloorMicro)
   }
 
+  /** Per-group WINSORIZED statistics with EXACT rank-based cut points
+    * (the `agg_median` sort-based convention — no approximate
+    * percentiles): values clamp to the [k_lo, k_hi]-ranked values where
+    * `k_lo = ceil(loPct·n)` and `k_hi = floor(hiPct·n)` (clamped to
+    * [1, n]), ranks pinned by (value, tieCol). All arithmetic runs on
+    * micro-rounded longs, so cut points, clamp counts, and the
+    * winsorized sum replay bit-for-bat in any engine — the robust
+    * alternative to trimming when row counts must be preserved (Tukey's
+    * convention; [[madOutlierStats]] flags, this REPAIRS).
+    *
+    * Scale shape: one per-group sort window over (key, micro, tie)
+    * decision rows, cut extraction as a conditional aggregate (never a
+    * collect), one broadcastable per-group cut join back.
+    */
+  def winsorizedStats(df: DataFrame, keyCol: String, valCol: String,
+      tieCol: String, loPctMicro: Long = 50000L,
+      hiPctMicro: Long = 950000L): DataFrame = {
+    require(loPctMicro >= 0 && hiPctMicro <= 1000000L &&
+      loPctMicro < hiPctMicro, "need 0 <= lo < hi <= 1e6")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__m"), col("__tie"))
+    val ranked = df.select(col(keyCol).as("__k"),
+        round(col(valCol) * 1e6).cast("long").as("__m"),
+        col(tieCol).as("__tie"))
+      .withColumn("__rn", row_number().over(w))
+      .transform(graft.SparkUtil.scopedPersist)
+    val withN = ranked.join(
+      ranked.groupBy("__k").agg(count(lit(1)).as("n")), Seq("__k"))
+      .withColumn("__klo",
+        greatest(lit(1L), expr(s"(n * $loPctMicro + 999999) div 1000000")))
+      .withColumn("__khi",
+        least(col("n"), greatest(lit(1L), expr(s"(n * $hiPctMicro) div 1000000"))))
+    val cutVals = withN.groupBy("__k")
+      .agg(max(col("n")).as("n"),
+        max(when(col("__rn") === col("__klo"), col("__m"))).as("lo_cut_micro"),
+        max(when(col("__rn") === col("__khi"), col("__m"))).as("hi_cut_micro"))
+    withN.select(col("__k"), col("__m"))
+      .join(cutVals, Seq("__k"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("n")).as("n"),
+        max(col("lo_cut_micro")).as("lo_cut_micro"),
+        max(col("hi_cut_micro")).as("hi_cut_micro"),
+        sum(greatest(col("lo_cut_micro"), least(col("hi_cut_micro"), col("__m"))))
+          .as("sum_winsorized_micro"),
+        sum(when(col("__m") < col("lo_cut_micro"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("__m") > col("hi_cut_micro"), 1L).otherwise(0L))
+          .as("n_clamped_hi"))
+  }
+
   def kAnonymityReport(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
     require(quasi.nonEmpty, "kAnonymityReport: no quasi-identifiers declared")
     require(k > 1, s"kAnonymityReport: k must be > 1, got $k")

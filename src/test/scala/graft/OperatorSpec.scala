@@ -3026,6 +3026,20 @@ class OperatorSpec extends AnyFunSuite {
       (5L, 3L, 1L), (2L, 3L, 1L)), s"$got")
   }
 
+  test("winsorizedStats: exact rank cuts clamp the planted spikes, counts pinned") {
+    import graft.operators.DataQuality
+    // group g: values 1..20 → n=20, k_lo = ceil(1) = 1, k_hi = floor(19) = 19
+    // at lo=5%/hi=95%: cuts = 1.0 and 19.0; one value (20) clamps high
+    val d = (1 to 20).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "id")
+    val r = DataQuality.winsorizedStats(d, "k", "v", "id").collect().head
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(2) == 1000000L && r.getLong(3) == 19000000L,
+      s"cuts at ranks 1 and 19: $r")
+    // sum = (1..19 sum) + 19 (the clamped 20) = 190 + 19 = 209
+    assert(r.getLong(4) == 209000000L, s"winsorized sum: $r")
+    assert(r.getLong(5) == 0L && r.getLong(6) == 1L, s"clamp counts: $r")
+  }
+
   test("seasonalDecompose: hand series — zero-gap grid, edge-null trend, exact micro identity") {
     import graft.operators.TimeSeries
     def t(hh: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hh%02d:30:00")
