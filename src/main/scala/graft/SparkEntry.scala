@@ -1799,6 +1799,18 @@ object SparkEntry {
           Layout.zValue(expr("user_id % 8192"), expr("event_id % 8192"), 13)
             .as("zval"))
         .orderBy("event_id")),
+    "layout_hilbert" -> ((s, d) =>
+      // Hilbert clustering key over the SAME (user, event) grid as
+      // layout_zorder — consecutive indices are always grid-adjacent, the
+      // locality Z-order gives up at quadrant boundaries (HilbertSpec
+      // pins the step-1 property); 13 unrolled bit levels as a chained
+      // narrow projection, oracle replays every level
+      Layout.withHilbertIndex(
+          events(s, d).select(col("event_id"),
+            expr("user_id % 8192").as("hx"), expr("event_id % 8192").as("hy")),
+          col("hx"), col("hy"), 13, "hval")
+        .select(col("event_id"), col("hval"))
+        .orderBy("event_id")),
     "layout_compaction" -> ((s, d) => {
       // OPTIMIZE bin-packing over a synthesized file manifest (one row
       // per file — metadata, not data): every 5th order plays a file,
@@ -5093,6 +5105,32 @@ object SparkEntry {
             FROM documents dd LEFT JOIN dsum ds ON ds.doc_id = dd.doc_id)
       ORDER BY doc_id""")
 
+
+  /** Generated 13-level replay of [[graft.operators.Layout
+    * .withHilbertIndex]]: each CTE stage applies one bit level's
+    * flip-then-swap rotation and distance term — the engine's chained
+    * projection, unrolled.
+    */
+  private lazy val layoutHilbertOracle: String = {
+    val bits = 13
+    val stages = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""
+      h${i + 1} AS (SELECT event_id,
+          CASE WHEN (y & $s) > 0 THEN x
+               WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END AS x,
+          CASE WHEN (y & $s) > 0 THEN y
+               WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END AS y,
+          d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+            CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+        FROM h$i),"""
+    }.mkString
+    s"""WITH h0 AS (SELECT event_id, CAST(user_id % 8192 AS BIGINT) AS x,
+        CAST(event_id % 8192 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+      FROM events),${stages.stripSuffix(",")}
+      SELECT event_id, d AS hval FROM h$bits ORDER BY event_id"""
+  }
+
   /** Curate-pipeline compositions retired from the driver gate suite
     * (round-10 verdict task 2): six versions each re-ran full index/LM
     * machinery per bench execution, so the suite's cost grew linearly with
@@ -7495,6 +7533,7 @@ object SparkEntry {
         CAST(sum(size_bytes) OVER (PARTITION BY part, bin) AS BIGINT)
           AS bin_bytes
       FROM p ORDER BY part, file_id""",
+    "layout_hilbert" -> layoutHilbertOracle,
     "layout_zorder" -> s"""
       WITH base AS (SELECT event_id, user_id % 8192 AS x, event_id % 8192 AS y
                     FROM events)

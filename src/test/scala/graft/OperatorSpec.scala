@@ -3026,6 +3026,31 @@ class OperatorSpec extends AnyFunSuite {
       (5L, 3L, 1L), (2L, 3L, 1L)), s"$got")
   }
 
+  test("withHilbertIndex: reference values and the step-1 locality Z-order lacks") {
+    import graft.operators.Layout
+    // full 8x8 grid: every pair of CONSECUTIVE Hilbert indices must be
+    // grid-adjacent (Manhattan distance exactly 1) — the defining property
+    val grid = (for (x <- 0 until 8; y <- 0 until 8) yield (x, y))
+      .toDF("x", "y")
+    val h = Layout.withHilbertIndex(grid, col("x"), col("y"), 3, "d")
+      .collect().map(r => r.getLong(2) -> (r.getInt(0), r.getInt(1)))
+      .sortBy(_._1)
+    assert(h.map(_._1).toSeq == (0L until 64L).toSeq, "bijective on the grid")
+    val steps = h.sliding(2).map { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(steps.forall(_ == 1), s"Hilbert consecutive cells must touch: $steps")
+    // Z-order on the same grid violates it (the quadrant jump)
+    val z = grid.select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 3).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    val zsteps = z.sliding(2).map { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(zsteps.exists(_ > 1), "Morton order jumps — the property Hilbert buys")
+    // spot values against the public xy2d reference
+    val one = Layout.withHilbertIndex(Seq((5000, 1234)).toDF("x", "y"),
+      col("x"), col("y"), 13, "d").collect().head.getLong(2)
+    assert(one == 60764646L, s"xy2d(13, 5000, 1234): $one")
+  }
+
   test("winsorizedStats: exact rank cuts clamp the planted spikes, counts pinned") {
     import graft.operators.DataQuality
     // group g: values 1..20 → n=20, k_lo = ceil(1) = 1, k_hi = floor(19) = 19
