@@ -832,6 +832,75 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("containment"))
   }
 
+  /** EXACT Jaccard self-join via prefix filtering — the AllPairs/PPJoin
+    * family (Bayardo et al. 2007 "Scaling Up All Pairs"; Chaudhuri et al.
+    * 2006 SSJoin; Xiao et al. 2008 PPJoin), the exact complement to
+    * [[minhashPairs]]: every pair of documents whose k-shingle Jaccard is
+    * ≥ `threshold`, with NO approximation and NO recall floor — where the
+    * LSH path trades a small false-negative band for speed, this path is
+    * complete by theorem. (`dedup_ngram_pairs`' LSH-candidate result is a
+    * subset of this one by construction.)
+    *
+    * Candidate generation is the prefix-filtering principle: order the
+    * shingle universe once, globally, by (document-frequency asc,
+    * shingle) — rarest first — and index each document only by its
+    * PREFIX, the first |S| − ⌈t·|S|⌉ + 1 shingles of its ranked set. Any
+    * pair with J ≥ t has |A∩B| ≥ t·|A∪B| ≥ ⌈t·max(|A|,|B|)⌉, and by the
+    * prefix lemma two sets with overlap ≥ o share an element in their
+    * (n−o+1)-prefixes — so the prefix equi-join misses nothing. The
+    * required overlap ⌈t·n⌉ is computed in EXACT integer arithmetic
+    * ((n·tMicro + 999999) div 1e6) — a double `ceil(t*n)` can read 4 at
+    * t=0.3, n=10 from float error, silently shortening the prefix below
+    * the completeness bound. A length filter (J ≤ min/max sizes, checked
+    * as den·min ≥ num·max in integers) prunes candidates before the
+    * verify join.
+    *
+    * Scale shape: df-ascending ranking is what makes this survive skew —
+    * a boilerplate shingle shared by half the corpus ranks LAST, so it
+    * enters a document's prefix only when the document is almost nothing
+    * but boilerplate; candidate volume concentrates on rare shingles with
+    * short posting lists (Bayardo's observation). Exchanges carry
+    * (shingle, id, size) for candidates and (id, shingle-set) once for
+    * the verify join; texts never shuffle. Verification is the same
+    * cached-shingle pair join as [[ngramJaccardPairs]].
+    */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val tNum = math.round(threshold * 1000000L)
+    val tDen = 1000000L
+    val sh = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(
+        docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
+      .select(col("id"), T.kShingles(col("toks"), k).as("sh"))
+      .where(size(col("sh")) > 0))
+    val posting = sh.select(col("id").as("pid"), explode(col("sh")).as("shingle"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc prefix: first n − ⌈t·n⌉ + 1 shingles ranked (df asc, shingle);
+    // sort_array on struct(df, shingle) is the deterministic global order
+    val prefix = posting.join(dfreq, Seq("shingle"))
+      .groupBy(col("pid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .select(col("pid"), size(col("ranked")).as("n"),
+        explode(expr(
+          s"transform(slice(ranked, 1, cast(size(ranked) - ((cast(size(ranked) as bigint)" +
+            s" * $tNum + ${tDen - 1}) div $tDen) + 1 as int)), r -> r.shingle)")).as("shingle"))
+    val cands = prefix.select(col("shingle"), col("pid").as("a_pid"), col("n").as("a_n"))
+      .join(prefix.select(col("shingle"), col("pid").as("b_pid"), col("n").as("b_n")),
+        Seq("shingle"))
+      .where(col("a_pid") < col("b_pid"))
+      .where(least(col("a_n"), col("b_n")) * tDen >=
+        greatest(col("a_n"), col("b_n")) * tNum)
+      .select(col("a_pid").as("a_id"), col("b_pid").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.ArrayKernels.setJaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Exact shared-substring pairs — character-level duplication, the signal
     * token/shingle dedup misses when copies differ in tokenization
     * boundaries (code, templated text, partial sentences). Blocking =
