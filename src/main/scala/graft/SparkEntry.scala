@@ -2003,6 +2003,12 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(fitted(s, d, cfg16), docs(s, d), "doc_id", "text",
         k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
+    // EXACT all-pairs Jaccard via prefix filtering (complete by theorem, no
+    // recall floor) — oracle is the honest brute-force cross join; the Spark
+    // plan shuffles only (shingle, id, size) prefixes, never all pairs
+    "dedup_jaccard_exact" -> ((s, d) =>
+      Dedup.jaccardPairsExact(docs(s, d), "doc_id", "text",
+        k = 3, threshold = 0.3).orderBy("a_id", "b_id")),
     "dedup_substring_pairs" -> ((s, d) => {
       // exact CHARACTER-level duplication (winnowing blocking, the MOSS /
       // substring-dedup scheme; guarantee floor w+k-1 = 40 normalized
@@ -7618,6 +7624,17 @@ object SparkEntry {
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         FROM cand p JOIN sh3 a ON p.a_id = a.doc_id JOIN sh3 b ON p.b_id = b.doc_id)
+      SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
+    "dedup_jaccard_exact" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tokens) - 1),
+        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM toks),
+      ne AS (SELECT doc_id, sh FROM sh3 WHERE len(sh) > 0),
+      scored AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
     "dedup_novel_filter" -> s"""
       WITH ${docCtes(cfg16)},

@@ -867,7 +867,13 @@ object Dedup {
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val tNum = math.round(threshold * 1000000L)
+    // Rational approximation rounds DOWN: a too-low candidate threshold only
+    // lengthens the prefix and loosens the length filter, so candidates stay
+    // a SUPERSET and the exact `jaccard >= threshold` verify restores
+    // completeness. round() could round UP (e.g. 0.3 * 1e6 dust), silently
+    // dropping pairs with threshold <= J < tNum/1e6 — a false-negative hole
+    // in a function documented as complete-by-theorem.
+    val tNum = math.floor(threshold * 1000000L).toLong
     val tDen = 1000000L
     val sh = graft.SparkUtil.scopedPersist(graft.SparkUtil.ensureParallelism(
         docs.select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("toks")))
@@ -877,13 +883,15 @@ object Dedup {
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc prefix: first n − ⌈t·n⌉ + 1 shingles ranked (df asc, shingle);
     // sort_array on struct(df, shingle) is the deterministic global order
-    val prefix = posting.join(dfreq, Seq("shingle"))
+    // persisted: feeds BOTH sides of the candidate self-join below — without
+    // it the posting⋈dfreq join + per-document ranked aggregation run twice
+    val prefix = graft.SparkUtil.scopedPersist(posting.join(dfreq, Seq("shingle"))
       .groupBy(col("pid"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
       .select(col("pid"), size(col("ranked")).as("n"),
         explode(expr(
           s"transform(slice(ranked, 1, cast(size(ranked) - ((cast(size(ranked) as bigint)" +
-            s" * $tNum + ${tDen - 1}) div $tDen) + 1 as int)), r -> r.shingle)")).as("shingle"))
+            s" * $tNum + ${tDen - 1}) div $tDen) + 1 as int)), r -> r.shingle)")).as("shingle")))
     val cands = prefix.select(col("shingle"), col("pid").as("a_pid"), col("n").as("a_n"))
       .join(prefix.select(col("shingle"), col("pid").as("b_pid"), col("n").as("b_n")),
         Seq("shingle"))

@@ -371,6 +371,39 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("jaccardPairsExact equals brute force at boundary thresholds; LSH result is a subset") {
+    import graft.functions.{TextFunctions => TF}
+    // brute-force ground truth: full cross join on exact shingle sets
+    def brute(t: Double): Set[(Long, Long)] = {
+      val sh = docs.select(col("doc_id").cast("long").as("id"),
+          TF.kShingles(TF.tokenize(col("text")), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      sh.select(col("id").as("a_id"), col("sh").as("a_sh"))
+        .crossJoin(sh.select(col("id").as("b_id"), col("sh").as("b_sh")))
+        .where(col("a_id") < col("b_id"))
+        .where(graft.functions.ArrayKernels.setJaccard(col("a_sh"), col("b_sh")) >= t)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    }
+    // 0.3 and 0.5: shingle-set sizes in this corpus are not divisible by the
+    // rational denominators, exercising the ceil-prefix boundary where a
+    // rounded-UP tNum would silently shorten the prefix (false negatives)
+    for (t <- Seq(0.3, 0.5)) {
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", k = 3, threshold = t)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(exact == brute(t), s"threshold=$t: exact != brute; " +
+        s"missing=${brute(t) -- exact}, extra=${exact -- brute(t)}")
+    }
+    // completeness dominance: the LSH-candidate path can only LOSE pairs
+    val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2)).fit(docs, "doc_id", "text")
+    val lsh = Dedup.ngramJaccardPairs(model, docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact03 = Dedup.jaccardPairsExact(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact03), s"LSH found pairs exact missed: ${lsh -- exact03}")
+    model.unpersist()
+  }
+
   test("embedding pairs: bucketed results are a subset of brute results") {
     val brute = Dedup.embeddingPairsBrute(emb, "vec_id", "embedding", 0.3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
