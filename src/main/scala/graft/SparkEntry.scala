@@ -313,6 +313,25 @@ object SparkEntry {
     m
   }
 
+  /** Persisted bucket-inverted ANN index, memoized per (session, dir): the
+    * point-query serving layout is written ONCE per corpus (like a real
+    * deployment's index build) and every `ann_query_indexed` execution
+    * answers from it with partition-pruned scans. The memo stores only the
+    * table name; the data lives in the warehouse, surviving cache sweeps.
+    */
+  private val invertedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def invertedIndexFor(s: SparkSession, d: String): String = {
+    invertedCache.keys.filter(_._1.sparkContext.isStopped).foreach(invertedCache.remove)
+    invertedCache.getOrElseUpdate((s, d), {
+      val table = "graft_ann_inverted_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      fitted(s, d, cfg100).saveInvertedIndex(table, prefixLen = 2)
+      table
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -1452,6 +1471,16 @@ object SparkEntry {
     // --- the flagship ANN query (SURVEY §3.3), full reference config
     "ann_query" -> ((s, d) =>
       fitted(s, d, cfg100).approxNearestNeighbors(keyOf(s, d), 10)
+        .withColumnRenamed(Cols.Id, "doc_id")),
+    // the same flagship answered from the PERSISTED bucket-inverted index:
+    // result-identical to ann_query (shared oracle), but the scan reads
+    // ≤ numBands partition directories via PartitionFilters on the query's
+    // bucket prefixes instead of arrays_overlap over the whole index — the
+    // point-query serving path at 100 TB (plan asserted in
+    // PlanPropertiesSpec)
+    "ann_query_indexed" -> ((s, d) =>
+      fitted(s, d, cfg100)
+        .approxNearestNeighborsIndexed(invertedIndexFor(s, d), keyOf(s, d), 10)
         .withColumnRenamed(Cols.Id, "doc_id")),
     "ann_query_sql" -> ((s, d) => {
       // the flagship ANN path through plain SQL text (fn_bpe_sql pattern):
@@ -6955,6 +6984,22 @@ object SparkEntry {
       SELECT s AS shingle, row_number() OVER (ORDER BY s) - 1 AS idx
       FROM (SELECT DISTINCT unnest(shingles) AS s FROM shing) ORDER BY shingle""",
     "ann_query" -> s"""
+      WITH ${docCtes(cfg100)}, ${queryCtes(cfg100)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 101), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    // the inverted-index serving path answers the IDENTICAL query — same
+    // candidates (shares-a-bucket ⇔ posting row exists), same scoring, same
+    // tie order — so its oracle is ann_query's verbatim
+    "ann_query_indexed" -> s"""
       WITH ${docCtes(cfg100)}, ${queryCtes(cfg100)},
       cand AS (
         SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q

@@ -172,6 +172,64 @@ final class MinHashLSHModel private[operators] (
       .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
   }
 
+  /** Persist this model's index in the bucket-inverted point-query layout
+    * ([[graft.sources.IndexStore.saveInverted]]): the exploded
+    * (bucket, id, signature) posting table partitioned by a hex prefix of
+    * the bucket, so [[approxNearestNeighborsIndexed]] can answer a point
+    * query reading ≤ numBands partition directories instead of the whole
+    * index.
+    */
+  def saveInvertedIndex(table: String, prefixLen: Int = 2): Unit =
+    graft.sources.IndexStore.saveInverted(indexDf, table, prefixLen)
+
+  /** Top-n ANN answered from the PERSISTED inverted index written by
+    * [[saveInvertedIndex]] — the point-query SERVING path.
+    *
+    * Result-identical to [[approxNearestNeighbors]] in overlap mode: an id
+    * shares ≥ 1 band bucket with the query ⇔ the posting table holds a row
+    * (bucket ∈ q_buckets, id), so the candidate set is the same; scoring,
+    * tie order and the document join are the same expressions. What changes
+    * is the READ: instead of `arrays_overlap` over the ENTIRE index
+    * (reference parity, minhash_pyspark.py:308-317 — 100 TB scanned per
+    * query at scale), the scan carries PartitionFilters on the query's
+    * bucket prefixes (≤ numBands directories of the 16^prefixLen space)
+    * plus a pushed bucket-equality data filter for row-group pruning inside
+    * them — point-query cost tracks the matching postings, not the corpus.
+    *
+    * The single bounded driver round-trip is the query-key feature fetch
+    * (numBands bucket strings): partition pruning requires the bucket
+    * values as plan literals. That fetch is the same "single query-key
+    * fetch" the in-memory path already pays (rt-collect, SURVEY §2.11).
+    */
+  def approxNearestNeighborsIndexed(
+      table: String, key: String, n: Int, prefixLen: Int = 2): DataFrame = {
+    val qf = queryFeatures(key).where(col("q_sig").isNotNull)
+    val qRows = qf.select(col("q_buckets")).collect()
+    if (qRows.isEmpty || qRows(0).isNullAt(0))
+      // empty/degenerate key: no signature ⇒ no candidates (same contract
+      // as the in-memory path, which crossJoins an empty broadcast)
+      return documents.limit(0)
+        .select(col(Cols.Id), col(Cols.Text),
+          lit(null).cast("float").as(Cols.Jaccard))
+    val qBuckets = qRows(0).getSeq[String](0).distinct
+    val prefixes =
+      qBuckets.map(b => b.substring(0, math.min(prefixLen, b.length))).distinct
+    val cands = spark.table(table)
+      .where(col("bkt_pfx").isin(prefixes: _*))   // PartitionFilters
+      .where(col("bucket").isin(qBuckets: _*))    // PushedFilters in-dir
+      .select(col(Cols.Id), col(Cols.Signature))
+      .dropDuplicates(Cols.Id) // multi-band hits rejoin once; sig identical
+    val topk = cands
+      .crossJoin(broadcast(qf.select(col("q_sig"))))
+      .select(col(Cols.Id),
+        H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
+      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
+      .limit(n)
+    documents.join(broadcast(topk), Seq(Cols.Id))
+      .select(col(Cols.Id), col(Cols.Text), col(Cols.Jaccard))
+      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
+  }
+
   /** Featurize a (qid, text) frame and explode its band buckets — shared
     * candidate-generation front end of the batch ANN and novel-doc filter.
     *

@@ -22,6 +22,47 @@ object IndexStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucket-INVERTED persisted ANN index — the point-query serving layout.
+    *
+    * [[saveBucketed]]'s id-keyed layout serves sig-fetch equi-joins but is
+    * useless for candidate pruning: a single `approxNearestNeighbors` call
+    * against it scans the ENTIRE index with `arrays_overlap` (reference
+    * parity — minhash_pyspark.py:308-317 does the same — but at 100 TB one
+    * point query reads 100 TB). This writes the exploded
+    * (bucket, id, signature) posting table PARTITIONED on disk by a
+    * fixed-width hex prefix of the bucket value, so a point query reads
+    * ≤ numBands partition directories (each query bucket maps to exactly
+    * one prefix directory) with PartitionFilters pruning at the scan;
+    * inside a directory the full bucket equality is pushed to the parquet
+    * reader (PushedFilters → row-group stats/dictionary pruning).
+    *
+    * `prefixLen` is the occupancy knob, NOT a correctness parameter: the
+    * directory count is bounded by the prefix space (16^prefixLen),
+    * independent of corpus size — 2 hex chars = ≤ 256 directories (right
+    * for the test scales), 3-4 for a 100 TB index where each directory
+    * should still span many row groups. Storage is ~numBands× the id-keyed
+    * index (each doc posts once per band) — the classic inverted-index
+    * space-for-latency trade.
+    */
+  def saveInverted(index: DataFrame, table: String, prefixLen: Int = 2): Unit = {
+    import org.apache.spark.sql.functions._
+    index.where(col(Cols.Signature).isNotNull)
+      .select(col(Cols.Id), col(Cols.Signature),
+        explode(col(Cols.BucketIds)).as("bucket"))
+      .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
+      // align writer tasks to partition dirs: without this every shuffle
+      // task writes a sliver into every directory (tasks × dirs files)
+      .repartition(col("bkt_pfx"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bkt_pfx")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Load the inverted posting table written by [[saveInverted]]. */
+  def loadInverted(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Append a micro-batch to a bucketed index table (the streaming
     * ingestion sink shape): every append lands new small files in each
     * bucket, preserving the shuffle-free join property but growing the

@@ -95,6 +95,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"lang filter must prune partitions, not scan-and-filter:\n$plan")
   }
 
+  test("ann_query_indexed prunes the inverted-index scan to the query's bucket partitions") {
+    val plan = planOf("ann_query_indexed")
+    // the serving-path contract: the posting-table scan must carry
+    // PartitionFilters on the bucket-prefix partition column (≤ numBands
+    // directories read) AND push the full bucket equality into the parquet
+    // reader — never a full-index scan with a post-filter
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt_pfx[^\\]]*\\].*"),
+      s"bkt_pfx must prune partitions at the inverted-index scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"bucket equality must be pushed to the parquet reader:\n$plan")
+  }
+
+  test("ann_query_indexed equals ann_query row-for-row") {
+    val a = SparkEntry.queries("ann_query")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("ann_query_indexed")(spark, dir).collect().toSeq
+    assert(a == b, s"serving path diverged from in-memory path:\nann_query=$a\nindexed=$b")
+  }
+
   test("no MinHash expression is ever pushed into a scan-level filter") {
     // Regression contract for the round-3 find: a null-signature filter
     // placed below the query-feature cache gets pushed under the
