@@ -2099,19 +2099,20 @@ object SparkEntry {
       // updates on every 10th key (two stacked versions on every 20th, so
       // latest-wins is exercised), deletes on keys ≡3 mod 7 (key 10 hits
       // both update AND delete: the higher seq, the delete, must win), and
-      // inserts at key+10^9. Base rows never shuffle while the collapsed
-      // feed broadcasts (see Cdc scaladoc); the pruned twin below covers
-      // the beyond-broadcast regime.
+      // inserts at key+10^9. The DEFAULT merge is the Bloom-pruned form
+      // since round 13 (the round-12 sf1 bench measured the plain
+      // anti-join flipping broadcast → SMJ and shuffling the whole base) —
+      // base rows the changed-key filter proves untouched never enter an
+      // exchange, so the shuffled slice stays feed-proportional in every
+      // regime.
       val (o, changes) = cdcPlantedFeed(s, d)
       Cdc.applyChanges(o, changes, "o_orderkey", "seq", "op")
         .orderBy("o_orderkey")
     }),
     "cdc_apply_pruned" -> ((s, d) => {
-      // the Bloom-pruned MERGE — row-identical to cdc_apply_changes (same
-      // planted feed, SAME oracle), but base rows the changed-key filter
-      // proves untouched bypass the anti-join: the shuffled slice is
-      // feed-proportional even when the feed outgrows broadcast (the sf1
-      // regime where the plain form shuffles the whole base)
+      // the explicitly-parameterized Bloom-pruned MERGE — row-identical to
+      // cdc_apply_changes (same planted feed, SAME oracle; since round 13
+      // the default path above delegates here with default sizing)
       val (o, changes) = cdcPlantedFeed(s, d)
       Cdc.applyChangesPruned(o, changes, "o_orderkey", "seq", "op")
         .orderBy("o_orderkey")

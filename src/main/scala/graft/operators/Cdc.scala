@@ -35,8 +35,32 @@ object Cdc {
     * payload replaces whatever the base held.
     *
     * Returns the new snapshot with exactly `base`'s columns.
+    *
+    * The DEFAULT plan is the Bloom-pruned merge ([[applyChangesPruned]]):
+    * the sf1 validation bench (BENCH_sf1.json, round 12) measured the
+    * plain anti-join flipping broadcast → sort-merge once the collapsed
+    * feed outgrew the broadcast ceiling, shuffling the WHOLE base — while
+    * the pruned form stays feed-proportional in every regime (below the
+    * ceiling the Bloom build is one tiny aggregate job and the residue
+    * anti-join still broadcasts; above it, base rows the filter proves
+    * untouched never enter an exchange). Row-identical by construction —
+    * a Bloom filter has no false negatives and the residue anti-join
+    * corrects false positives. [[applyChangesUnpruned]] retains the plain
+    * single-scan anti-join for the broadcast regime and as the
+    * equivalence twin in specs/ladders.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+      seqCol: String, opCol: String): DataFrame =
+    applyChangesPruned(base, changes, keyCol, seqCol, opCol)
+
+  /** The plain (un-pruned) MERGE: collapse the feed, anti-join the base on
+    * the changed-key set, union the upserts. One base scan, but the
+    * anti-join shuffles the whole base once the collapsed feed outgrows
+    * the broadcast ceiling — prefer [[applyChanges]] (Bloom-pruned
+    * default) unless the feed is known-tiny and the extra base scan of
+    * the pruned form matters more than its shuffle immunity.
+    */
+  def applyChangesUnpruned(base: DataFrame, changes: DataFrame, keyCol: String,
       seqCol: String, opCol: String): DataFrame = {
     val payload = base.columns.filterNot(_ == keyCol)
     // one row per changed key: partial-aggregating max_by, never a window

@@ -29,7 +29,20 @@ class CdcSpec extends AnyFunSuite {
       (9L, "i", 90.0)))
   }
 
-  test("applyChangesPruned ≡ applyChanges; bloom probe in plan; empty feed safe") {
+  test("applyChanges DEFAULT plans the bloom-pruned path") {
+    // the round-12 sf1 finding: the plain anti-join flips broadcast → SMJ
+    // and shuffles the whole base once the feed outgrows broadcast; the
+    // default merge must therefore BE the pruned form (verdict task 2)
+    val changes = Seq((1L, 1L, "U", "a1", 11.0)).toDF("k", "seq", "op", "s", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_default").toString
+    snapshot().write.mode("overwrite").parquet(tmp)
+    val plan = Cdc.applyChanges(spark.read.parquet(tmp), changes, "k", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"default applyChanges must gate the base behind the bloom probe:\n$plan")
+  }
+
+  test("applyChangesPruned ≡ applyChangesUnpruned; bloom probe in plan; empty feed safe") {
     val changes = Seq(
       (1L, 1L, "U", "a1", 11.0), (2L, 1L, "U", "b1", 21.0),
       (2L, 2L, "D", "b1", 21.0), (3L, 2L, "U", "c2", 32.0),
@@ -44,7 +57,7 @@ class CdcSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"),
       "untouched rows must be gated by the bloom probe, not the join")
     val got = pruned.orderBy("k").as[(Long, String, Double)].collect().toSeq
-    val plain = Cdc.applyChanges(snapshot(), changes, "k", "seq", "op")
+    val plain = Cdc.applyChangesUnpruned(snapshot(), changes, "k", "seq", "op")
       .orderBy("k").as[(Long, String, Double)].collect().toSeq
     assert(got === plain, "bloom false positives must die in the exact anti-join")
     // randomized equivalence at a deliberately terrible fpp so false
@@ -58,7 +71,7 @@ class CdcSpec extends AnyFunSuite {
     val a = Cdc.applyChangesPruned(base, feed, "k", "seq", "op",
         expectedChangedKeys = 4, fpp = 0.5)
       .orderBy("k", "s").collect().toSeq
-    val b = Cdc.applyChanges(base, feed, "k", "seq", "op")
+    val b = Cdc.applyChangesUnpruned(base, feed, "k", "seq", "op")
       .orderBy("k", "s").collect().toSeq
     assert(a === b)
     val empty = changes.where(lit(false))
