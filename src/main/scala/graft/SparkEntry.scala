@@ -332,6 +332,24 @@ object SparkEntry {
     })
   }
 
+  /** Persisted IVF-PQ index (sim_recall_pq's parameters), trained + saved
+    * once per (session, dir); `sim_recall_pq_loaded` replays from it. The
+    * memo stores the directory — data survives cache sweeps on disk.
+    */
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def pqIndexFor(s: SparkSession, d: String): String = {
+    pqIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(pqIndexCache.remove)
+    pqIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-pq-index")
+      val m = SimSearch.trainIvfPq(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", nLists = 16, m = 16, ks = 64)
+      m.save(dir)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -2605,6 +2623,19 @@ object SparkEntry {
         nQueries = 20, k = 10, nLists = 16, nProbe = 12, m = 16, ks = 64,
         recallFloor = 0.3)
         .orderBy("qid")),
+    "sim_recall_pq_loaded" -> ((s, d) => {
+      // the PERSISTED IVF-PQ index replayed from disk (PqModel.save/load):
+      // a trained product quantizer is rebuild-hostile at exactly the scale
+      // where training is most expensive, so the serving path must answer
+      // from the stored codebooks/codes bit-identically to the fitted
+      // session — same parameters and SAME oracle as sim_recall_pq; the
+      // bit-identity (not just recall-floor) claim is asserted in
+      // OperatorSpec against the in-session model
+      val dir = pqIndexFor(s, d)
+      SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
+        nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.3)
+        .orderBy("qid")
+    }),
     "sim_recall_pq_rerank" -> ((s, d) =>
       // IVFADC+R (exact re-rank of the PQ top-C, the production shape):
       // same parameters as sim_recall_pq, candidate depth C=50, and a
@@ -6279,6 +6310,11 @@ object SparkEntry {
       SELECT qid, vec_id, round(cosine, 6) AS cos6 FROM r WHERE rn <= 5
       ORDER BY qid, cos6 DESC, vec_id""",
     "sim_recall_pq" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    // the loaded-model replay answers bit-identically to the fitted run
+    // (OperatorSpec asserts the stronger equality) — same floor oracle
+    "sim_recall_pq_loaded" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_pq_rerank" -> """

@@ -687,10 +687,20 @@ object SimSearch {
     */
   def pqRecallEval(emb: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, k: Int, nLists: Int = 16, nProbe: Int = 8,
-      m: Int = 8, ks: Int = 16, recallFloor: Double = 0.4): DataFrame = {
+      m: Int = 8, ks: Int = 16, recallFloor: Double = 0.4): DataFrame =
+    pqRecallEvalFromModel(trainIvfPq(emb, idCol, vecCol, nLists, m, ks),
+      nQueries, k, nProbe, recallFloor)
+
+  /** [[pqRecallEval]] against an ALREADY-TRAINED (possibly [[PqModel.load]]ed)
+    * model — the serving-side replay: a persisted IVF-PQ index must answer
+    * bit-identically to the session that trained it (codebooks, centroids
+    * and codes round-trip parquet exactly; doubles are IEEE-preserved).
+    */
+  def pqRecallEvalFromModel(model: PqModel, nQueries: Int, k: Int,
+      nProbe: Int, recallFloor: Double): DataFrame = {
     import graft.functions.ArrayKernels.dotProduct
     import graft.functions.TopKAgg
-    val model = trainIvfPq(emb, idCol, vecCol, nLists, m, ks)
+    val m = model.codebooks.length
     val base = model.ivf.assigned
     val nL = model.ivf.centroids.length
     val q = base.where(col("id") < nQueries)
@@ -842,7 +852,56 @@ object SimSearch {
   * of dim floats.
   */
 final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
-    subDim: Int, encoded: DataFrame)
+    subDim: Int, encoded: DataFrame) {
+
+  /** Persist the full IVF-PQ index: the coarse [[IvfModel]] (its own
+    * cell-partitioned layout), the encoded-codes table `partitionBy("cell")`
+    * (so a loaded index's probe joins prune partitions exactly like the
+    * in-session one), the (m, code, codeword) codebook table, and a 1-row
+    * meta table with `subDim`. Everything driver-sized except the encoded
+    * corpus, which is written distributed — a trained product quantizer is
+    * expensive at exactly the scale where rebuilding per session is
+    * unaffordable, so the whole model must round-trip.
+    */
+  def save(dir: String): Unit = {
+    ivf.save(s"$dir/ivf")
+    encoded.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/encoded")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw) }
+    }.toDF("m", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq(subDim).toDF("sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def unpersist(): Unit = { ivf.unpersist(); encoded.unpersist(); () }
+}
+
+object PqModel {
+  /** Load an index written by [[PqModel.save]] — bit-identical replay:
+    * doubles round-trip parquet exactly, so a loaded model's asymmetric
+    * scores equal the fitted session's.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqModel = {
+    import org.apache.spark.sql.functions.col
+    val ivf = IvfModel.load(spark, s"$dir/ivf")
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3).toSeq
+    }
+    val subDim = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    // partition column returns as the pruning key; cast pins the int type
+    // the in-memory model uses (the IvfModel.load convention)
+    val encoded = spark.read.parquet(s"$dir/encoded")
+      .withColumn("cell", col("cell").cast("int"))
+    PqModel(ivf, codebooks, subDim, encoded)
+  }
+}
 
 /** A trained IVF index: the (nLists × dim) centroid table (driver-side —
   * nLists is small by construction) plus the cell-assigned corpus. Queries

@@ -1838,6 +1838,39 @@ class OperatorSpec extends AnyFunSuite {
     } finally graft.SparkUtil.releaseScopedCaches()
   }
 
+  test("PqModel.save/load: loaded model replays the fitted run bit-identically") {
+    import org.apache.spark.sql.functions._
+    val model = SimSearch.trainIvfPq(emb, "vec_id", "embedding",
+      nLists = 8, m = 16, ks = 32)
+    val dir = java.nio.file.Files.createTempDirectory("pq_roundtrip").toString
+    try {
+      model.save(dir)
+      val loaded = PqModel.load(spark, dir)
+      // model parameters round-trip exactly (doubles are IEEE-preserved)
+      assert(loaded.subDim == model.subDim)
+      assert(loaded.codebooks == model.codebooks, "codebooks must be bit-identical")
+      assert(loaded.ivf.centroids == model.ivf.centroids, "centroids must be bit-identical")
+      // encoded corpus identical as a keyed set
+      def enc(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id"), col("cell"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      assert(enc(loaded.encoded) == enc(model.encoded), "codes must round-trip exactly")
+      // the serving replay: recall eval from the LOADED model equals the
+      // fitted session's row-for-row (scores flow through identical
+      // expressions over identical inputs)
+      val fitted = SimSearch.pqRecallEvalFromModel(model,
+        nQueries = 5, k = 10, nProbe = 8, recallFloor = 0.3)
+        .orderBy("qid").collect().toSeq
+      val replay = SimSearch.pqRecallEvalFromModel(loaded,
+        nQueries = 5, k = 10, nProbe = 8, recallFloor = 0.3)
+        .orderBy("qid").collect().toSeq
+      assert(fitted == replay, s"loaded replay diverged: $fitted vs $replay")
+    } finally {
+      graft.SparkUtil.releaseScopedCaches()
+      model.unpersist()
+    }
+  }
+
   test("pqRerankRecallEval: full-probe full-depth is exact; deeper candidates dominate; floor live") {
     try {
       // probing every cell with candidate depth >= corpus, the re-rank IS
