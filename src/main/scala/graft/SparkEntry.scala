@@ -1357,11 +1357,32 @@ object SparkEntry {
       SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
         array_join(T.tokenize(col("text")), " ").as("tokens_str"))
         .orderBy("doc_id")),
-    "fn_tokenize_unicode" -> ((s, d) => // Python-re `\w` parity mode — no SQL
-      // oracle (DuckDB's RE2 \w is ASCII-only); rows-only gate
-      SparkUtil.ensureParallelism(docs(s, d)).select(col("doc_id"),
-        array_join(T.tokenize(col("text"), unicode = true), " ").as("tokens_str"))
-        .orderBy("doc_id")),
+    "fn_tokenize_unicode" -> ((s, d) => {
+      // Python-re `\w` parity mode, oracle-paired via a PLANTED FIXTURE
+      // (round-12 verdict task 5): DuckDB's RE2 `\w` is ASCII-only so it
+      // cannot recompute the tokenizer, but it can compare against
+      // EXPECTED token strings derived by hand from the Unicode `\w`
+      // semantics (letters incl. accented/CJK/Cyrillic/Greek, Nd digits
+      // incl. Arabic-Indic, underscore survive; Unicode punctuation and
+      // symbols — em-dash, inverted marks, emoji — become separators;
+      // NBSP is `(?U)\s` whitespace). Corpus-wide unicode coverage stays
+      // gated by fn_tokenize_unicode_agree (ASCII half) + KernelSpec.
+      import s.implicits._
+      val cases = Seq(
+        (0L, "Héllo, Wörld! Ça va?"),
+        (1L, "naïve café — déjà-vu"),
+        (2L, "中文 分词 test123"),
+        (3L, "Москва-2026 ΑΒΓ αβγ"),
+        (4L, "under_score stays ١٢٣"),
+        (5L, "nbsp separated ok"),
+        (6L, "!!! ¿¡ …"),
+        (7L, "emoji 😀 splits"),
+        (8L, "MIXED Ünïcôde-ASCII_42"))
+      SparkUtil.ensureParallelism(cases.toDF("case_id", "text"))
+        .select(col("case_id"),
+          array_join(T.tokenize(col("text"), unicode = true), " ").as("tokens_str"))
+        .orderBy("case_id")
+    }),
     "fn_tokenize_unicode_agree" -> ((s, d) =>
       // the checkable HALF of unicode mode: on text with no non-ASCII
       // word chars, `(?U)\w` and ASCII `\w` are the same class, so the
@@ -1906,8 +1927,17 @@ object SparkEntry {
       // end-to-end tf-WEIGHTED near-dup pairs (Dedup.weightedMinhashPairs)
       Dedup.weightedMinhashPairs(docs(s, d), "doc_id", "text", cfg16, 0.4)
         .orderBy("a_id", "b_id")),
-    "dedup_minhash_pairs_fast" -> ((s, d) => // no SQL oracle (xxhash mode)
+    "dedup_minhash_pairs_fast" -> ((s, d) =>
+      // xxhash64-mode near-dup pairs, oracle-paired on the PAIR-ID SET
+      // since round 13: jaccard estimates differ across hash families
+      // (xx64 is not SQL-expressible) but the admitted pair set equals the
+      // md5 set at gate scale — the corpus similarity structure is bimodal
+      // (every true pair estimates >= threshold + 2 estimator sd, nothing
+      // else reaches 0.5; dedup_mode_agreement measures exactly this), so
+      // the md5-derived pair set IS this gate's oracle. Scores stay
+      // engine-internal; the gate emits ids only.
       fitted(s, d, cfg16.copy(mode = XxFast)).approxSimilarityJoin(0.5)
+        .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")),
     "dedup_mode_agreement" -> ((s, d) => {
       // the fast (xxhash64) near-dup pair set vs the oracle-checked md5
@@ -1928,8 +1958,12 @@ object SparkEntry {
       Seq((nM > 0, nM == nF && nBoth == nM))
         .toDF("nonempty", "pair_sets_equal")
     }),
-    "dedup_simhash_pairs" -> ((s, d) => // no SQL oracle (xxhash internals)
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
+    "dedup_simhash_pairs" -> ((s, d) =>
+      // md5-mode SimHash near-dup pairs — fully oracle-checkable since
+      // round 13 (DuckDB rebuilds the fingerprint nibble-for-nibble and
+      // brute-forces the Hamming pair set); the xx64 production variant
+      // keeps its planted-duplicate OperatorSpec coverage
+      Dedup.simhashPairsMd5(docs(s, d), "doc_id", "text", maxDist = 3)
         .orderBy("a_id", "b_id")),
     "dedup_image_phash" -> ((s, d) => {
       // perceptual IMAGE near-dup: real planted PNGs (9×8 gradient grids
@@ -6256,6 +6290,32 @@ object SparkEntry {
                string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY i) AS simhash
              FROM nib GROUP BY 1)
       SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
+    // md5-mode SimHash pair dedup: rebuild each fingerprint's 32-bit halves
+    // from the majority nibbles (hi = nibbles 1-8, lo = 9-16), then the
+    // brute Hamming pair set — the banded Spark plan must find EXACTLY the
+    // pairs within maxDist 3 (pigeonhole: complete for <= 3 over 4 bands)
+    "dedup_simhash_pairs" -> s"""
+      WITH toks AS (SELECT doc_id, $tokenizeSql AS tokens FROM documents),
+      tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+      hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+      bits AS (
+        SELECT doc_id, i.i, b.b,
+          CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(i.i AS INT), 1)) - 1)
+                     & (1 << CAST(b.b AS INT))) > 0 THEN 1 ELSE -1 END AS w
+        FROM hx, range(1, 17) i(i), range(0, 4) b(b)),
+      maj AS (SELECT doc_id, i, b, CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS bit
+              FROM bits GROUP BY 1, 2, 3),
+      nib AS (SELECT doc_id, i, sum(bit * (1 << CAST(b AS INT))) AS v
+              FROM maj GROUP BY 1, 2),
+      halves AS (SELECT doc_id,
+               sum(CASE WHEN i <= 8 THEN v * power(16, 8 - i) ELSE 0 END)::BIGINT AS hi,
+               sum(CASE WHEN i > 8 THEN v * power(16, 16 - i) ELSE 0 END)::BIGINT AS lo
+             FROM nib GROUP BY 1)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+      FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      ORDER BY a_id, b_id""",
     "fn_buckenize" -> s"""
       WITH ${docCtes(cfg16)}
       SELECT doc_id, array_to_string(list_sort(bucket_ids), ',') AS bucket_ids_str
@@ -7008,6 +7068,20 @@ object SparkEntry {
     "fn_tokenize_unicode_agree" -> """
       SELECT doc_id, true AS ascii_and_equal FROM documents
       WHERE NOT regexp_matches(text, '[^\x00-\x7F]') ORDER BY doc_id""",
+    // planted fixture: expected tokens derived BY HAND from Unicode-\w
+    // semantics (RE2 can't recompute them; it can compare literals)
+    "fn_tokenize_unicode" -> """
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'héllo wörld ça va'),
+        (1, 'naïve café déjà vu'),
+        (2, '中文 分词 test123'),
+        (3, 'москва 2026 αβγ αβγ'),
+        (4, 'under_score stays ١٢٣'),
+        (5, 'nbsp separated ok'),
+        (6, ''),
+        (7, 'emoji splits'),
+        (8, 'mixed ünïcôde ascii_42')
+      ) AS t(case_id, tokens_str) ORDER BY case_id""",
     "fn_jaccard_approx" -> s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)}
       SELECT c.doc_id,
@@ -7349,6 +7423,20 @@ object SparkEntry {
             / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
         FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
       SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    // the fast (xx64) mode admits the SAME pair-id set as md5 at gate
+    // scale (bimodal similarity structure, dedup_mode_agreement's claim) —
+    // so the md5 pair set is its oracle, ids only
+    "dedup_minhash_pairs_fast" -> s"""
+      WITH ${docCtes(cfg16)},
+      bk AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+            / least(len(sa.signature), len(sb.signature)) AS FLOAT4) AS jaccard
+        FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
+      SELECT a_id, b_id FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
     "dedup_bbit_pairs" -> s"""
       WITH ${docCtes(cfg16)},
       pb AS (SELECT doc_id,

@@ -461,6 +461,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** [[simhashPairs]] in md5 hash mode — the oracle-checkable twin: the
+    * fingerprint is [[graft.functions.SimHash64.simhashMd5]]'s 16-hex-char
+    * string (DuckDB rebuilds it nibble-for-nibble from md5, the
+    * fn_simhash_md5 oracle), banding is 4 × 4-hex-char substrings (same
+    * 16-bit pigeonhole guarantee for maxDist ≤ 3), and Hamming distance is
+    * bit_count over the two 32-bit halves parsed from hex — every step
+    * replayable in ANSI SQL. Same shuffle shape as the xx64 path:
+    * (band, value) equi-join over 4 decision-sized rows per doc.
+    * Docs with zero tokens are excluded (no hash evidence — the
+    * fn_simhash_md5 contract).
+    */
+  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "band blocking with 4 bands guarantees recall only for maxDist <= 3")
+    val sh = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("id"), T.tokenize(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("id"),
+        graft.functions.SimHash64.simhashMd5(col("__toks")).as("hx"))
+      // 32-bit halves fit a long losslessly via conv(hex, 16, 10)
+      .withColumn("hi", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
+    val banded = sh.select(col("id"), col("hi"), col("lo"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        substring(col("hx"), 1 + 4 * b, 4).as("v"))): _*)).as("bv"))
+      .select(col("id"), col("hi"), col("lo"), col("bv.band"), col("bv.v"))
+    val a = banded.select(col("band"), col("v"), col("id").as("a_id"),
+      col("hi").as("a_hi"), col("lo").as("a_lo"))
+    val b = banded.select(col("band"), col("v"), col("id").as("b_id"),
+      col("hi").as("b_hi"), col("lo").as("b_lo"))
+    a.join(b, Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("int"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** PERCEPTUAL image near-duplicate pairs over a precomputed 64-bit
     * dHash/pHash column ([[Multimodal.imageDHashes]]) — the image analogue
     * of [[simhashPairs]], bridging the real pixel decode to the dedup

@@ -361,6 +361,34 @@ class OperatorSpec extends AnyFunSuite {
       s"expected (0, 100000) at hamming 0")
   }
 
+  test("simhashPairsMd5: exact duplicate at hamming 0; banding complete vs brute at maxDist 3") {
+    val dup = docs.where(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val withDup = docs.select("doc_id", "text").union(dup)
+    val pairs = Dedup.simhashPairsMd5(withDup, "doc_id", "text", maxDist = 3)
+      .collect()
+    assert(pairs.nonEmpty && pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getInt(2) <= 3))
+    val exact = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 100000L)
+    assert(exact.isDefined && exact.get.getInt(2) == 0, "planted dup at hamming 0")
+    // pigeonhole completeness: the banded set equals the brute Hamming set
+    import graft.functions.{SimHash64 => SH, TextFunctions => TF}
+    val hx = withDup.select(col("doc_id").cast("long").as("id"),
+        TF.tokenize(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("id"),
+        conv(substring(SH.simhashMd5(col("t")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(SH.simhashMd5(col("t")), 9, 8), 16, 10).cast("long").as("lo"))
+    val brute = hx.select(col("id").as("a_id"), col("hi").as("ah"), col("lo").as("al"))
+      .crossJoin(hx.select(col("id").as("b_id"), col("hi").as("bh"), col("lo").as("bl")))
+      .where(col("a_id") < col("b_id"))
+      .where(bit_count(col("ah").bitwiseXOR(col("bh"))) +
+        bit_count(col("al").bitwiseXOR(col("bl"))) <= 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == brute,
+      "banded pair set must equal the brute Hamming set (complete for maxDist <= 3)")
+  }
+
   test("ngramJaccardPairs verifies LSH candidates with exact set jaccard") {
     val model = new MinHashLSH(MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
       bucketHexLen = 2)).fit(docs, "doc_id", "text")
