@@ -2003,18 +2003,23 @@ object SparkEntry {
       // REAL pipeline (frame decode → keyframe walk → dHash → Hamming
       // banding → matched-keyframe fraction) must reproduce the formula
       // end to end; the oracle replays it and brute-forces the pair set.
-      // Rolled up per family so output stays 100 rows at every scale.
+      // Family count is OCCUPANCY-DERIVED (nDocs/50, floor 100 — the
+      // ivfListsFor convention): matched-frame candidate volume is
+      // quadratic in family size, so fixed families under a growing corpus
+      // exploded the sf1 shuffle 7.5×/unit (round-13 validation catch);
+      // historic 100 at both oracle scales, so oracles are unchanged.
+      val nFam = math.max(100L, docs(s, d).count() / 50)
       val kh = SparkUtil.scopedPersist(Multimodal.videoKeyframeDHashes(
-        Multimodal.plantNearDupVideoPayloads(docs(s, d), "doc_id"),
+        Multimodal.plantNearDupVideoPayloads(docs(s, d), "doc_id", nFam),
         threshold = 10.0))
       val pairs = Dedup.videoPhashPairs(kh, "doc_id", "frame_idx", "dhash",
         maxDist = 2, bands = 4, minFracMicro = 500000L)
-      val perFam = pairs.withColumn("family", col("a_id") % 100)
+      val perFam = pairs.withColumn("family", col("a_id") % nFam)
         .groupBy("family")
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("n_matched_a") + col("n_matched_b")).as("n_matched"),
           sum(col("frac_micro")).as("sum_frac_micro"))
-      kh.groupBy((col("doc_id") % 100).as("family"))
+      kh.groupBy((col("doc_id") % nFam).as("family"))
         .agg(countDistinct(col("doc_id")).as("n_videos"),
           count(lit(1)).as("n_keyframes"))
         .join(perFam, Seq("family"), "left")

@@ -2122,17 +2122,27 @@ object Multimodal {
     * segments [0,7)/[13,20)/[27,34)/[41,48) — distinct families are ≥ 4
     * bits apart), a per-SCENE axis in bits [50,52) (scene s flips the low
     * `s % 3` of them), and the per-member near-dup axis in bits [60,62)
-    * (member m = (id/100) % 3 flips the low `m` bits). 100 families keep
-    * the family density — and with it the inherently-quadratic matched-
-    * frame decision volume — proportionate at the bench scale. So two keyframes
+    * (member m = (id/nFamilies) % 3 flips the low `m` bits). The family
+    * count is the occupancy knob: matched-frame decision volume is
+    * quadratic in family SIZE, so the gate derives nFamilies from corpus
+    * size (nDocs/50, floor 100 — historic at every oracle scale) and the
+    * sf1 bench stays linear. So two keyframes
     * hash within distance d iff |s₁%3 − s₂%3| + |m₁ − m₂| ≤ d for the
     * same family — a DuckDB oracle replays the formula and brute-forces
     * the pair set with bit_count(xor(...)).
     */
-  def plantVideoDhashBits(id: Long, scene: Int): Long = {
-    val f = id % 100
-    val m = (id / 100) % 3
-    (f ^ (f << 13) ^ (f << 27) ^ (f << 41)) ^
+  def plantVideoDhashBits(id: Long, scene: Int, nFamilies: Long = 100): Long = {
+    val f = id % nFamilies
+    val m = (id / nFamilies) % 3
+    // family pattern masked below bit 50 (the scene axis): for f < 100 the
+    // mask is a no-op (f<<41 < 2^48), so the historic 100-family hashes —
+    // and with them every gate oracle at sf0.01/sf0.1 — are bit-unchanged;
+    // beyond, the low-13-bits-of-f identity keeps patterns injective and
+    // cross-family distance ≥ 3 (three intact shifted copies) > maxDist 2.
+    // nFamilies is the OCCUPANCY knob (gate derives it from corpus size, the
+    // ivfListsFor convention): matched-frame candidate volume is quadratic
+    // in family SIZE, so family count must scale with the corpus.
+    ((f ^ (f << 13) ^ (f << 27) ^ (f << 41)) & ((1L << 50) - 1L)) ^
       (((1L << (scene % 3)) - 1L) << 50) ^ (((1L << m) - 1L) << 60)
   }
 
@@ -2195,11 +2205,11 @@ object Multimodal {
     * so the keyframe walk recovers {0} ∪ cuts AND each keyframe's dHash
     * replays from the id/scene formula.
     */
-  def plantNearDupVideoAvi(id: Long): Array[Byte] = {
+  def plantNearDupVideoAvi(id: Long, nFamilies: Long = 100): Array[Byte] = {
     val frames = plantSceneFrames(id)
     val sceneJpeg = scala.collection.mutable.Map.empty[Int, Array[Byte]]
     def jpegFor(s: Int): Array[Byte] = sceneJpeg.getOrElseUpdate(s,
-      dhashGradJpeg(plantVideoDhashBits(id, s), plantVideoSceneBase(s)))
+      dhashGradJpeg(plantVideoDhashBits(id, s, nFamilies), plantVideoSceneBase(s)))
     var s = 0
     val payloads = (0 until frames).map { j =>
       if (plantSceneCut(id, j)) s += 1
@@ -2417,11 +2427,13 @@ object Multimodal {
   }
 
   /** (doc_id, payload, media_type) of the planted near-dup-hash AVIs. */
-  def plantNearDupVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
+  def plantNearDupVideoPayloads(docs: DataFrame, idCol: String,
+      nFamilies: Long = 100): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
-      .mapPartitions { it => it.map(id => (id, plantNearDupVideoAvi(id), "video/x-msvideo")) }
+      .mapPartitions { it => it.map(id =>
+        (id, plantNearDupVideoAvi(id, nFamilies), "video/x-msvideo")) }
       .toDF("doc_id", "payload", "media_type")
   }
 }
