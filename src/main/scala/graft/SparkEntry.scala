@@ -1521,6 +1521,14 @@ object SparkEntry {
       fitted(s, d, cfg100)
         .approxNearestNeighborsIndexed(invertedIndexFor(s, d), keyOf(s, d), 10)
         .withColumnRenamed(Cols.Id, "doc_id")),
+    // the COLD-START form of the same query: no fitted model at all — a
+    // fresh session featurizes only the key (stateless in direct mode) and
+    // answers from the warehouse posting table + documents. Same
+    // candidates, scoring, ties ⇒ shares ann_query's oracle verbatim.
+    "ann_query_served" -> ((s, d) =>
+      MinHashLSH.annFromInvertedIndex(s, invertedIndexFor(s, d), docs(s, d),
+          "doc_id", "text", keyOf(s, d), 10, cfg100)
+        .withColumnRenamed(Cols.Id, "doc_id")),
     "ann_query_sql" -> ((s, d) => {
       // the flagship ANN path through plain SQL text (fn_bpe_sql pattern):
       // the registered kernels compose the SAME expression trees as the
@@ -7203,6 +7211,20 @@ object SparkEntry {
     // candidates (shares-a-bucket ⇔ posting row exists), same scoring, same
     // tie order — so its oracle is ann_query's verbatim
     "ann_query_indexed" -> s"""
+      WITH ${docCtes(cfg100)}, ${queryCtes(cfg100)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 101), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    // the cold-start serving path answers the identical query fit-free
+    "ann_query_served" -> s"""
       WITH ${docCtes(cfg100)}, ${queryCtes(cfg100)},
       cand AS (
         SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q

@@ -202,33 +202,9 @@ final class MinHashLSHModel private[operators] (
     * fetch" the in-memory path already pays (rt-collect, SURVEY §2.11).
     */
   def approxNearestNeighborsIndexed(
-      table: String, key: String, n: Int, prefixLen: Int = 2): DataFrame = {
-    val qf = queryFeatures(key).where(col("q_sig").isNotNull)
-    val qRows = qf.select(col("q_buckets")).collect()
-    if (qRows.isEmpty || qRows(0).isNullAt(0))
-      // empty/degenerate key: no signature ⇒ no candidates (same contract
-      // as the in-memory path, which crossJoins an empty broadcast)
-      return documents.limit(0)
-        .select(col(Cols.Id), col(Cols.Text),
-          lit(null).cast("float").as(Cols.Jaccard))
-    val qBuckets = qRows(0).getSeq[String](0).distinct
-    val prefixes =
-      qBuckets.map(b => b.substring(0, math.min(prefixLen, b.length))).distinct
-    val cands = spark.table(table)
-      .where(col("bkt_pfx").isin(prefixes: _*))   // PartitionFilters
-      .where(col("bucket").isin(qBuckets: _*))    // PushedFilters in-dir
-      .select(col(Cols.Id), col(Cols.Signature))
-      .dropDuplicates(Cols.Id) // multi-band hits rejoin once; sig identical
-    val topk = cands
-      .crossJoin(broadcast(qf.select(col("q_sig"))))
-      .select(col(Cols.Id),
-        H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
-      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
-      .limit(n)
-    documents.join(broadcast(topk), Seq(Cols.Id))
-      .select(col(Cols.Id), col(Cols.Text), col(Cols.Jaccard))
-      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
-  }
+      table: String, key: String, n: Int, prefixLen: Int = 2): DataFrame =
+    MinHashLSH.serveFromInverted(spark, table, documents,
+      queryFeatures(key).where(col("q_sig").isNotNull), n, prefixLen)
 
   /** Featurize a (qid, text) frame and explode its band buckets — shared
     * candidate-generation front end of the batch ANN and novel-doc filter.
@@ -469,6 +445,69 @@ object MinHashLSH {
         case Xx128Parity => "xx128"
         case Md5Parity => "md5"
       }, c.useVocabulary, c.vocabBroadcast)
+  }
+
+  /** FIT-FREE point-query ANN from a persisted inverted index — the
+    * COLD-START server path: a fresh session answers from the warehouse
+    * posting table plus the documents table alone, never featurizing or
+    * even counting the corpus (direct mode only: query featurization is
+    * stateless; vocabulary mode needs the fitted vocab — use [[loadModel]]
+    * and [[MinHashLSHModel.approxNearestNeighborsIndexed]] there). Result
+    * contract and plan shape are [[MinHashLSHModel.approxNearestNeighborsIndexed]]'s:
+    * the scan carries PartitionFilters on the query's bucket prefixes.
+    */
+  def annFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      key: String, n: Int, cfg: MinHashConfig, prefixLen: Int = 2): DataFrame = {
+    require(!cfg.useVocabulary,
+      "vocabulary mode needs the fitted vocabulary — use loadModel + approxNearestNeighborsIndexed")
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(0L, key)),
+      StructType(Seq(
+        StructField(Cols.Id, LongType, nullable = false),
+        StructField(Cols.Text, StringType, nullable = true))))
+    val qf = new MinHashLSH(cfg).featurize(one, Cols.Id, Cols.Text, None)
+      .select(col(Cols.Signature).as("q_sig"), col(Cols.BucketIds).as("q_buckets"))
+      .where(col("q_sig").isNotNull)
+    val base = docs.select(col(idCol).cast("long").as(Cols.Id),
+      col(textCol).as(Cols.Text))
+    serveFromInverted(spark, table, base, qf, n, prefixLen)
+  }
+
+  /** Shared serving core of the two inverted-index query paths: partition-
+    * pruned posting scan → per-id dedup → signature scoring →
+    * TakeOrderedAndProject → broadcast document join. The single bounded
+    * driver round-trip is the query-feature fetch (numBands bucket
+    * strings) — required to turn the query's buckets into literal
+    * partition predicates the scan can prune on.
+    */
+  private[operators] def serveFromInverted(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      documents: DataFrame, qf: DataFrame, n: Int, prefixLen: Int): DataFrame = {
+    val qRows = qf.select(col("q_buckets")).collect()
+    if (qRows.isEmpty || qRows(0).isNullAt(0))
+      // empty/degenerate key: no signature ⇒ no candidates (same contract
+      // as the in-memory path, which crossJoins an empty broadcast)
+      return documents.limit(0)
+        .select(col(Cols.Id), col(Cols.Text),
+          lit(null).cast("float").as(Cols.Jaccard))
+    val qBuckets = qRows(0).getSeq[String](0).distinct
+    val prefixes =
+      qBuckets.map(b => b.substring(0, math.min(prefixLen, b.length))).distinct
+    val cands = graft.sources.IndexStore.loadInverted(spark, table)
+      .where(col("bkt_pfx").isin(prefixes: _*))   // PartitionFilters
+      .where(col("bucket").isin(qBuckets: _*))    // PushedFilters in-dir
+      .select(col(Cols.Id), col(Cols.Signature))
+      .dropDuplicates(Cols.Id) // multi-band hits rejoin once; sig identical
+    val topk = cands
+      .crossJoin(broadcast(qf.select(col("q_sig"))))
+      .select(col(Cols.Id),
+        H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
+      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
+      .limit(n)
+    documents.join(broadcast(topk), Seq(Cols.Id))
+      .select(col(Cols.Id), col(Cols.Text), col(Cols.Jaccard))
+      .orderBy(col(Cols.Jaccard).desc, col(Cols.Id).asc)
   }
 
   /** Load a model persisted by [[MinHashLSHModel.save]]; the index is

@@ -59,9 +59,23 @@ object IndexStore {
       .saveAsTable(table)
   }
 
-  /** Load the inverted posting table written by [[saveInverted]]. */
+  /** Load the inverted posting table written by [[saveInverted]] — from
+    * this session's catalog when registered, else straight from its
+    * warehouse directory (the COLD-START path: an in-memory catalog
+    * forgets tables between JVMs but the managed directory survives, and
+    * partition discovery recovers `bkt_pfx`). Partition-type inference is
+    * disabled around the directory read: hex prefixes like "00" would
+    * otherwise infer as INT 0 and break string prefix pruning.
+    */
   def loadInverted(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else {
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try spark.read.parquet(warehouseLocation(spark, table).getPath)
+      finally spark.conf.set(key, prev)
+    }
 
   /** Append a micro-batch to a bucketed index table (the streaming
     * ingestion sink shape): every append lands new small files in each
