@@ -320,14 +320,15 @@ object SparkEntry {
     * table name; the data lives in the warehouse, surviving cache sweeps.
     */
   private val invertedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private def invertedIndexFor(s: SparkSession, d: String): String = {
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, MinHashConfig), String]
+  private def invertedIndexFor(s: SparkSession, d: String,
+      cfg: MinHashConfig = cfg100): String = {
     invertedCache.keys.filter(_._1.sparkContext.isStopped).foreach(invertedCache.remove)
-    invertedCache.getOrElseUpdate((s, d), {
-      val table = "graft_ann_inverted_" + d.replaceAll("[^A-Za-z0-9]", "_")
-        .toLowerCase(java.util.Locale.ROOT)
+    invertedCache.getOrElseUpdate((s, d, cfg), {
+      val table = s"graft_ann_inverted_${cfg.numHash}_" +
+        d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
       IndexStore.reset(s, table)
-      fitted(s, d, cfg100).saveInvertedIndex(table, prefixLen = 2)
+      fitted(s, d, cfg).saveInvertedIndex(table, prefixLen = 2)
       table
     })
   }
@@ -1664,6 +1665,52 @@ object SparkEntry {
       val qs = docs(s, d).where(col("doc_id") < 50)
         .select(col("doc_id").as("qid"), col("text"))
       m.approxNearestNeighborsAll(qs, "qid", "text", 5)
+    }),
+    "ann_batch_indexed" -> ((s, d) => {
+      // the batch-throughput SERVING path: the query workload's exploded
+      // buckets equi-join the PERSISTED posting table directly — no
+      // per-session corpus featurize, no bucket explode (paid once at
+      // index-build time). Result-identical to the in-memory batch path,
+      // so it shares ann_batch_md5's oracle.
+      val m = fitted(s, d, cfg16)
+      val qs = docs(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("text"))
+      m.approxNearestNeighborsAllIndexed(invertedIndexFor(s, d, cfg16),
+          qs, "qid", "text", 5)
+        .select(col("qid"), col(Cols.Id).as("id"), col(Cols.Jaccard),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+    "ann_index_maintained" -> ((s, d) => {
+      // SERVING-INDEX MAINTENANCE end to end: three streaming-shaped
+      // appends land in the inverted posting table — (1) the corpus with
+      // PRELIMINARY text for the doc_id % 5 == 0 slice, (2) the correction
+      // re-ingest of that slice (its signature CHANGES, so its old
+      // postings sit in now-stale buckets), (3) a duplicate re-delivery of
+      // doc_id % 7 == 3 (idempotency) — then compactInverted drops every
+      // superseded posting and the flagship query served from the
+      // maintained table must equal a fresh build over the FINAL corpus:
+      // the oracle is the cfg16 ANN replay over `documents`.
+      val table = "graft_ann_maintained_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(s, _))
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      val prelim = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 5 === 0,
+          concat(lit("preliminary draft "), col(Cols.Text)))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      IndexStore.saveInverted(feat(prelim, 1), table)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table)
+      IndexStore.compactInverted(s, table)
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
     }),
     "ann_batch_md5" -> ((s, d) => { // md5 twin of the batch path — oracle-checked
       val m = fitted(s, d, cfg16)
@@ -7308,6 +7355,40 @@ object SparkEntry {
         event_type, count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the posting-table batch path answers identically — shared replay
+    "ann_batch_indexed" -> s"""
+      WITH ${docCtes(cfg16)},
+      qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
+             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 20),
+      pairs AS (
+        SELECT q.qid, s.doc_id AS id, q.q_sig, s.signature
+        FROM qf q, buck b JOIN sig s USING (doc_id)
+        WHERE list_has_any(b.bucket_ids, q.q_buckets)),
+      scored AS (
+        SELECT qid, id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> signature[i] = q_sig[i])) AS DOUBLE)
+            / least(len(signature), len(q_sig)) AS FLOAT4) AS jaccard
+        FROM pairs),
+      ranked AS (
+        SELECT qid, id, jaccard,
+          row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, id) AS rank
+        FROM scored)
+      SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // the maintained (append + compact) posting table must answer as a
+    // fresh build over the FINAL corpus — the oracle IS that fresh build
+    "ann_index_maintained" -> s"""
+      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     "ann_batch_md5" -> s"""
       WITH ${docCtes(cfg16)},
       qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets

@@ -263,10 +263,33 @@ final class MinHashLSHModel private[operators] (
     * bucket (shuffle key), dedup pairs, score, top-n per query via window.
     */
   def approxNearestNeighborsAll(
-      queries: DataFrame, qidCol: String, textCol: String, n: Int): DataFrame = {
-    val qf = explodedQueryFeatures(queries, qidCol, textCol)
-    val ix = indexDf.where(col(Cols.Signature).isNotNull)
-      .select(col(Cols.Id), col(Cols.Signature), explode(col(Cols.BucketIds)).as("bucket"))
+      queries: DataFrame, qidCol: String, textCol: String, n: Int): DataFrame =
+    batchAnnAgainst(explodedQueryFeatures(queries, qidCol, textCol),
+      indexDf.where(col(Cols.Signature).isNotNull)
+        .select(col(Cols.Id), col(Cols.Signature),
+          explode(col(Cols.BucketIds)).as("bucket")), n)
+
+  /** [[approxNearestNeighborsAll]] answered from the PERSISTED inverted
+    * posting table instead of the in-memory index — the batch-throughput
+    * serving path: the workload's exploded buckets equi-join the stored
+    * postings directly (no per-corpus featurize, no bucket explode — the
+    * explode was paid once at [[saveInvertedIndex]] time). Result-identical
+    * to the in-memory form: the posting table IS the exploded index.
+    * Unlike the point path no partition pruning applies — a workload
+    * touches most prefixes — but the join key (bucket) is the same
+    * shuffle key, and at scale both sides can be co-located by bucketing
+    * the query side the same way.
+    */
+  def approxNearestNeighborsAllIndexed(table: String, queries: DataFrame,
+      qidCol: String, textCol: String, n: Int): DataFrame =
+    batchAnnAgainst(explodedQueryFeatures(queries, qidCol, textCol),
+      graft.sources.IndexStore.loadInverted(spark, table)
+        .select(col(Cols.Id), col(Cols.Signature), col("bucket")), n)
+
+  /** Shared batch-ANN tail over an exploded (qid, q_sig, bucket) workload
+    * and an exploded (id, signature, bucket) posting side.
+    */
+  private def batchAnnAgainst(qf: DataFrame, ix: DataFrame, n: Int): DataFrame = {
     // score BEFORE dedup: candidate pairs reached via multiple bands are
     // rescored (deterministic, cheap) so the dedup shuffle carries 24-byte
     // (qid, id, jaccard) rows instead of two 100-slot signatures per row

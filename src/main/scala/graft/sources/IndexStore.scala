@@ -44,19 +44,70 @@ object IndexStore {
     * index (each doc posts once per band) — the classic inverted-index
     * space-for-latency trade.
     */
-  def saveInverted(index: DataFrame, table: String, prefixLen: Int = 2): Unit = {
+  def saveInverted(index: DataFrame, table: String, prefixLen: Int = 2): Unit =
+    writeInverted(index, table, prefixLen, SaveMode.Overwrite)
+
+  /** Append a micro-batch of (re-)ingested documents to an inverted
+    * posting table — the streaming-ingestion sink shape for the SERVING
+    * index. The frame should carry an `ingest_seq` column (later
+    * re-ingests supersede earlier ones at [[compactInverted]] time); a
+    * superseded document's OLD postings may live in DIFFERENT buckets
+    * than its new ones (the signature changed — that's why it was
+    * re-ingested), so appends leave stale postings behind by design and
+    * [[compactInverted]] is the maintenance step that drops them.
+    */
+  def appendInverted(index: DataFrame, table: String, prefixLen: Int = 2): Unit =
+    writeInverted(index, table, prefixLen, SaveMode.Append)
+
+  private def writeInverted(index: DataFrame, table: String, prefixLen: Int,
+      saveMode: SaveMode): Unit = {
     import org.apache.spark.sql.functions._
+    val extra = if (index.columns.contains("ingest_seq")) Seq(col("ingest_seq"))
+                else Seq.empty
     index.where(col(Cols.Signature).isNotNull)
-      .select(col(Cols.Id), col(Cols.Signature),
-        explode(col(Cols.BucketIds)).as("bucket"))
+      .select(col(Cols.Id) +: col(Cols.Signature) +:
+        explode(col(Cols.BucketIds)).as("bucket") +: extra: _*)
       .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
       // align writer tasks to partition dirs: without this every shuffle
       // task writes a sliver into every directory (tasks × dirs files)
       .repartition(col("bkt_pfx"))
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(saveMode)
       .partitionBy("bkt_pfx")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Compact an append-log INVERTED posting table: per id keep only the
+    * postings of the winning (max `seqCol`) ingest — including dropping
+    * old postings in buckets the new signature no longer hashes to — and
+    * rewrite each partition directory's append slivers into one file.
+    * Supersession is keyed on id alone (all postings of one (id, seq)
+    * carry the same signature): one decision-sized (id, seq) aggregate,
+    * one semi-join; signatures ride the rewrite exactly once. The rewrite
+    * lands in `<table>_compact_tmp`, then swaps in via DROP + RENAME (the
+    * [[compact]] crash-recovery convention).
+    */
+  def compactInverted(spark: SparkSession, table: String,
+      seqCol: String = "ingest_seq", prefixLen: Int = 2): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = spark.table(table)
+    require(cur.columns.contains(seqCol),
+      s"compactInverted needs the append-sequence column '$seqCol'")
+    val winners = cur.groupBy(col(Cols.Id))
+      .agg(max(col(seqCol)).as(seqCol))
+    val kept = cur.join(winners, Seq(Cols.Id, seqCol), "left_semi")
+      .repartition(col("bkt_pfx"))
+    val tmp = table + "_compact_tmp"
+    reset(spark, tmp)
+    kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // PARTITIONED managed tables: the in-memory catalog's RENAME moves the
+    // directory but keeps per-partition locations pointing at the old tmp
+    // paths — scans silently read zero files (Hive/derby catalogs rewrite
+    // them; InMemoryCatalog does not). Re-discover from the moved location.
+    spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
   /** Load the inverted posting table written by [[saveInverted]] — from

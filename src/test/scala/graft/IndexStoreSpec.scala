@@ -75,4 +75,39 @@ class IndexStoreSpec extends AnyFunSuite {
       .contains("Exchange hashpartitioning"),
       "compaction must preserve the bucketed shuffle-free join property")
   }
+  test("inverted index: append + compact supersedes stale postings; scans stay partition-backed") {
+    import graft.operators.MinHashLSH
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as(Cols.Id), col("text"))
+    val table = "graft_inverted_lifecycle"
+    Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(spark, _))
+    val lsh = new MinHashLSH(cfg)
+    def feat(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      lsh.featurize(df, Cols.Id, "text", None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(seq))
+    val prelim = docs.select(col(Cols.Id),
+      when(col(Cols.Id) % 5 === 0, concat(lit("draft "), col("text")))
+        .otherwise(col("text")).as("text"))
+    IndexStore.saveInverted(feat(prelim, 1), table)
+    IndexStore.appendInverted(feat(docs.where(col(Cols.Id) % 5 === 0), 2), table)
+    IndexStore.compactInverted(spark, table)
+    val compacted = IndexStore.loadInverted(spark, table)
+    // the catalog-partition trap: a renamed PARTITIONED managed table must
+    // still read its rows (the in-memory catalog keeps stale partition
+    // locations without the MSCK repair) — a silent-zero regression guard
+    assert(compacted.count() > 0, "compacted table must not read zero files")
+    // supersession: every %5 doc serves ONLY its seq-2 (final) postings
+    val stale = compacted.where(col(Cols.Id) % 5 === 0 && col("ingest_seq") =!= 2).count()
+    assert(stale == 0, s"superseded postings survived compaction: $stale")
+    // and the compacted postings equal a fresh build over the final corpus
+    val fresh = feat(docs, 9L)
+      .select(col(Cols.Id), explode(col(Cols.BucketIds)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = compacted.select(col(Cols.Id), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == fresh, "maintained posting set must equal a fresh build")
+  }
+
 }
