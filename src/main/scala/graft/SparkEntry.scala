@@ -1681,6 +1681,49 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    "stream_inverted_ingest_real" -> ((s, d) => {
+      // the STREAMING twin of ann_index_maintained: the same three ingest
+      // slices (prelim corpus seq 1, correction re-ingest seq 2, duplicate
+      // redelivery seq 3) arrive as a REAL file stream one file per
+      // micro-batch; each batch featurizes statelessly and APPENDS to the
+      // posting table (the seq rides in the data, so the final state is a
+      // pure function of the corpus — batch boundaries can't affect it),
+      // then compactInverted drops superseded postings and the flagship
+      // query served from the maintained table must equal a fresh build
+      // over the final corpus (SAME oracle as the batch gate).
+      val table = "graft_stream_inverted_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(s, _))
+      val tmp = stageOnce(s, d, "graft-stream-inverted") { t =>
+        val dd = docs(s, d).select(col("doc_id").cast("long").as("id"), col("text"))
+        val slices = Seq(
+          dd.select(col("id"),
+            when(col("id") % 5 === 0,
+              concat(lit("preliminary draft "), col("text")))
+              .otherwise(col("text")).as("text"), lit(1L).as("ingest_seq")),
+          dd.where(col("id") % 5 === 0).withColumn("ingest_seq", lit(2L)),
+          dd.where(col("id") % 7 === 3).withColumn("ingest_seq", lit(3L)))
+        val dirF = new java.io.File(t)
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          sl.coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(t)
+          // pin trigger order to the ingest slices (FileStreamSource
+          // orders new files by mtime) — fresh files carry a current
+          // mtime; already-stamped ones must not be restamped
+          dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > 1700000000000L)
+            .foreach(_.setLastModified(1600000000000L + i * 60000L))
+        }
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingInvertedIngest(
+        s, tmp, schema, cfg16, table, prefixLen = 1)
+      try q.processAllAvailable() finally q.stop()
+      IndexStore.compactInverted(s, table)
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16, prefixLen = 1)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
     "ann_index_maintained" -> ((s, d) => {
       // SERVING-INDEX MAINTENANCE end to end: three streaming-shaped
       // appends land in the inverted posting table — (1) the corpus with
@@ -1704,12 +1747,16 @@ object SparkEntry {
         when(col(Cols.Id) % 5 === 0,
           concat(lit("preliminary draft "), col(Cols.Text)))
           .otherwise(col(Cols.Text)).as(Cols.Text))
-      IndexStore.saveInverted(feat(prelim, 1), table)
-      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table)
-      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table)
+      // prefixLen=1 (16 dirs): this gate tests SUPERSESSION semantics, not
+      // pruning width — 3 writes x 256 dirs of file ops dominated the gate
+      // at 17.5 s; the serve must pass the SAME prefixLen (partition values
+      // are 1-char here, a 2-char prefix probe would match nothing)
+      IndexStore.saveInverted(feat(prelim, 1), table, prefixLen = 1)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table, prefixLen = 1)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table, prefixLen = 1)
       IndexStore.compactInverted(s, table)
       MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
-          keyOf(s, d), 10, cfg16)
+          keyOf(s, d), 10, cfg16, prefixLen = 1)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
     "ann_batch_md5" -> ((s, d) => { // md5 twin of the batch path — oracle-checked
@@ -4796,6 +4843,25 @@ object SparkEntry {
              ELSE scheme || '://' || userinfo || host2 || rest2 END AS url_canon
       FROM c)"""
 
+  /** Shared by `ann_index_maintained` and `stream_inverted_ingest_real`:
+    * both maintenance paths (batch appends and the file-stream twin) must
+    * leave the posting table answering EXACTLY as a fresh cfg16 build over
+    * the final corpus — so one fresh-build replay serves both.
+    */
+  private lazy val annMaintainedOracle: String = s"""
+      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN documents d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10"""
+
   private val tokenizeSql =
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
@@ -7375,20 +7441,10 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     // the maintained (append + compact) posting table must answer as a
-    // fresh build over the FINAL corpus — the oracle IS that fresh build
-    "ann_index_maintained" -> s"""
-      WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
-      cand AS (
-        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
-        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
-      scored AS (
-        SELECT c.doc_id,
-          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
-            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
-        FROM cand c, qsig q)
-      SELECT sc.doc_id, d.text, sc.jaccard
-      FROM scored sc JOIN documents d USING (doc_id)
-      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    // fresh build over the FINAL corpus — the oracle IS that fresh build;
+    // the streaming twin replays the identical final state
+    "ann_index_maintained" -> annMaintainedOracle,
+    "stream_inverted_ingest_real" -> annMaintainedOracle,
     "ann_batch_md5" -> s"""
       WITH ${docCtes(cfg16)},
       qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets

@@ -88,7 +88,7 @@ object IndexStore {
     * [[compact]] crash-recovery convention).
     */
   def compactInverted(spark: SparkSession, table: String,
-      seqCol: String = "ingest_seq", prefixLen: Int = 2): Unit = {
+      seqCol: String = "ingest_seq"): Unit = {
     import org.apache.spark.sql.functions._
     val cur = spark.table(table)
     require(cur.columns.contains(seqCol),

@@ -74,6 +74,37 @@ object StreamingIndex {
     }
   }
 
+  /** Streaming ingestion into the bucket-inverted SERVING index
+    * ([[graft.sources.IndexStore.saveInverted]] layout): each micro-batch
+    * of (id, text, ingest_seq) documents is featurized — a stateless
+    * direct-mode projection, NO state store — and APPENDED to the posting
+    * table. The supersession sequence rides IN THE DATA (not the batch
+    * id), so the final table state is a pure function of the corpus:
+    * micro-batch boundaries cannot affect it, and
+    * [[graft.sources.IndexStore.compactInverted]] afterwards drops
+    * superseded postings exactly as the batch maintenance path does.
+    */
+  def streamingInvertedIngest(spark: SparkSession, dir: String,
+      schema: StructType, cfg: MinHashConfig, table: String,
+      idCol: String = "id", textCol: String = "text",
+      maxFilesPerTrigger: Int = 1, prefixLen: Int = 2): StreamingQuery = {
+    require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
+    val lsh = new MinHashLSH(cfg)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.IndexStore.appendInverted(
+            lsh.featurize(batch, idCol, textCol, None)
+              .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
+                col(Cols.BucketIds), col("ingest_seq")),
+            table, prefixLen)
+        ()
+      }.start()
+  }
+
   /** Streaming ANN: answer a stream of text queries against a static fitted
     * index — the stream-static pattern via `foreachBatch`, re-using the
     * batch multi-query plan (bucket equi-join + per-query top-n window)
