@@ -107,6 +107,29 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"bucket equality must be pushed to the parquet reader:\n$plan")
   }
 
+  test("ann_query_served (cold-start) carries the same partition-pruned scan shape") {
+    val plan = planOf("ann_query_served")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt_pfx[^\\]]*\\].*"),
+      s"fit-free serving must prune partitions like the model path:\n$plan")
+    val a = SparkEntry.queries("ann_query_served")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("ann_query")(spark, dir).collect().toSeq
+    assert(a == b, "cold-start serve diverged from the in-memory flagship")
+  }
+
+  test("ann_batch_indexed: posting-table join, no product join, no per-corpus explode") {
+    val plan = planOf("ann_batch_indexed")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch serving must stay a bucket equi-join:\n$plan")
+    // the posting table IS the exploded index — the plan must not re-pay
+    // a corpus-side Generate (explode) like the in-memory batch path does
+    val postingSide = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") || l.contains("FileScan"))
+      .mkString("\n")
+    assert(postingSide.toLowerCase.contains("graft_ann_inverted"),
+      s"batch serving must scan the persisted posting table:\n$postingSide")
+  }
+
   test("ann_query_indexed equals ann_query row-for-row") {
     val a = SparkEntry.queries("ann_query")(spark, dir).collect().toSeq
     val b = SparkEntry.queries("ann_query_indexed")(spark, dir).collect().toSeq
