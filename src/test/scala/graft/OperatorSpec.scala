@@ -432,6 +432,29 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("jaccardPairsExact edge thresholds: 1.0 finds exactly the exact-duplicate pairs; empty corpus safe") {
+    val dup = docs.where(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val withDup = docs.select("doc_id", "text").union(dup)
+    val exact = Dedup.jaccardPairsExact(withDup, "doc_id", "text", k = 3, threshold = 1.0)
+      .collect()
+    assert(exact.forall(_.getDouble(2) == 1.0))
+    assert(exact.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100000L),
+      "the planted exact duplicate must pair at J = 1.0")
+    val empty = docs.where(lit(false))
+    assert(Dedup.jaccardPairsExact(empty, "doc_id", "text", 3, 0.5).count() == 0)
+  }
+
+  test("annFromInvertedIndex refuses vocabulary mode (needs the fitted vocab)") {
+    val cfgV = MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2, useVocabulary = true)
+    val e = intercept[IllegalArgumentException] {
+      MinHashLSH.annFromInvertedIndex(spark, "nonexistent_tbl", docs,
+        "doc_id", "text", "q", 5, cfgV)
+    }
+    assert(e.getMessage.contains("vocabulary"))
+  }
+
   test("embedding pairs: bucketed results are a subset of brute results") {
     val brute = Dedup.embeddingPairsBrute(emb, "vec_id", "embedding", 0.3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
