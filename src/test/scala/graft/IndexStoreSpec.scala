@@ -75,6 +75,26 @@ class IndexStoreSpec extends AnyFunSuite {
       .contains("Exchange hashpartitioning"),
       "compaction must preserve the bucketed shuffle-free join property")
   }
+  test("inverted index: serve results invariant to the prefixLen layout knob") {
+    import graft.operators.MinHashLSH
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val key = docs.where(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0).take(120)
+    val model = new MinHashLSH(cfg).fit(docs, "doc_id", "text")
+    val results = Seq(1, 2).map { pl =>
+      val t = s"graft_inverted_pl$pl"
+      IndexStore.reset(spark, t)
+      model.saveInvertedIndex(t, prefixLen = pl)
+      model.approxNearestNeighborsIndexed(t, key, 10, prefixLen = pl)
+        .collect().toSeq
+    }
+    assert(results(0) == results(1),
+      "prefixLen is a LAYOUT knob — results must be bit-identical across it")
+    assert(results(0).nonEmpty)
+    model.unpersist()
+  }
+
   test("inverted index: append + compact supersedes stale postings; scans stay partition-backed") {
     import graft.operators.MinHashLSH
     val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
