@@ -351,6 +351,24 @@ object SparkEntry {
     })
   }
 
+  /** Persisted IVF index (sim_recall_ivf's parameters), trained + saved
+    * once per (session, dir); `sim_recall_ivf_loaded` replays from it —
+    * the coarse-quantizer sibling of [[pqIndexFor]].
+    */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ivfIndexFor(s: SparkSession, d: String): String = {
+    ivfIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfIndexCache.remove)
+    ivfIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-ivf-index")
+      val m = SimSearch.trainIvf(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", nLists = 16, iters = 2)
+      m.save(dir)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -2757,6 +2775,15 @@ object SparkEntry {
       SimSearch.ivfRecallEval(tbl(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 20, k = 10, nLists = 16, nProbe = 8, iters = 2,
         recallFloor = 0.5)
+        .orderBy("qid")),
+    "sim_recall_ivf_loaded" -> ((s, d) =>
+      // the persisted coarse-quantizer replayed from disk (IvfModel
+      // save/load): same parameters and SAME recall-floor oracle as
+      // sim_recall_ivf; the loaded probe scans are partition-pruned
+      // (OperatorSpec pins the plan and the bit-identity to the fitted run)
+      SimSearch.ivfRecallEvalFromModel(
+        IvfModel.load(s, ivfIndexFor(s, d)),
+        nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
         .orderBy("qid")),
     "sim_recall_pq" -> ((s, d) =>
       // IVF-PQ (Jégou et al. 2011 IVFADC) quality gate, sim_recall_ivf
@@ -6546,6 +6573,10 @@ object SparkEntry {
             FROM scored)
       SELECT qid, vec_id, round(cosine, 6) AS cos6 FROM r WHERE rn <= 5
       ORDER BY qid, cos6 DESC, vec_id""",
+    // the loaded coarse-quantizer replay shares sim_recall_ivf's floor
+    "sim_recall_ivf_loaded" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_pq" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",

@@ -526,9 +526,19 @@ object SimSearch {
     */
   def ivfRecallEval(emb: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, k: Int, nLists: Int = 16, nProbe: Int = 8,
-      iters: Int = 2, recallFloor: Double = 0.5): DataFrame = {
+      iters: Int = 2, recallFloor: Double = 0.5): DataFrame =
+    ivfRecallEvalFromModel(trainIvf(emb, idCol, vecCol, nLists, iters),
+      nQueries, k, nProbe, recallFloor)
+
+  /** [[ivfRecallEval]] against an ALREADY-TRAINED (possibly
+    * [[IvfModel.load]]ed) model — the serving-side replay, mirroring
+    * [[pqRecallEvalFromModel]]: a persisted IVF index must answer
+    * bit-identically to the session that trained it.
+    */
+  def ivfRecallEvalFromModel(model: IvfModel, nQueries: Int, k: Int,
+      nProbe: Int, recallFloor: Double): DataFrame = {
     import graft.functions.ArrayKernels.dotProduct
-    val model = trainIvf(emb, idCol, vecCol, nLists, iters)
+    val nLists = model.centroids.length
     val base = model.assigned
     val q = base.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("v").as("qv"))

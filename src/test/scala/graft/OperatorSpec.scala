@@ -724,6 +724,14 @@ class OperatorSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
       s"cell probe must prune partitions:\n$plan")
+    // the serving-side recall replay is bit-identical to the fitted run
+    val fittedEval = SimSearch.ivfRecallEvalFromModel(model,
+      nQueries = 5, k = 10, nProbe = 3, recallFloor = 0.5)
+      .orderBy("qid").collect().toSeq
+    val loadedEval = SimSearch.ivfRecallEvalFromModel(loaded,
+      nQueries = 5, k = 10, nProbe = 3, recallFloor = 0.5)
+      .orderBy("qid").collect().toSeq
+    assert(fittedEval == loadedEval, "loaded IVF replay diverged from fitted")
     model.unpersist()
   }
 
