@@ -325,7 +325,13 @@ object SparkEntry {
       cfg: MinHashConfig = cfg100): String = {
     invertedCache.keys.filter(_._1.sparkContext.isStopped).foreach(invertedCache.remove)
     invertedCache.getOrElseUpdate((s, d, cfg), {
-      val table = s"graft_ann_inverted_${cfg.numHash}_" +
+      // the name spells out EVERY signature-determining config field: the
+      // memo keys on the full config, so two configs sharing numHash (a
+      // fast-mode or different-band variant) must not collapse onto one
+      // table name — the second build would silently overwrite the first
+      // while both memo entries keep serving it
+      val table = s"graft_ann_inverted_${cfg.numHash}_${cfg.numBands}x${cfg.numRows}_" +
+        s"${cfg.bucketHexLen}_${cfg.mode.toString.toLowerCase(java.util.Locale.ROOT)}_" +
         d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
       IndexStore.reset(s, table)
       fitted(s, d, cfg).saveInvertedIndex(table, prefixLen = 2)
@@ -1739,7 +1745,7 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       IndexStore.compactInverted(s, table)
       MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
-          keyOf(s, d), 10, cfg16, prefixLen = 1)
+          keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
     "ann_index_maintained" -> ((s, d) => {
@@ -1774,7 +1780,7 @@ object SparkEntry {
       IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table, prefixLen = 1)
       IndexStore.compactInverted(s, table)
       MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
-          keyOf(s, d), 10, cfg16, prefixLen = 1)
+          keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
     "ann_batch_md5" -> ((s, d) => { // md5 twin of the batch path — oracle-checked

@@ -177,10 +177,14 @@ final class MinHashLSHModel private[operators] (
     * (bucket, id, signature) posting table partitioned by a hex prefix of
     * the bucket, so [[approxNearestNeighborsIndexed]] can answer a point
     * query reading ≤ numBands partition directories instead of the whole
-    * index.
+    * index. The layout knobs (prefix width, hot-bucket threshold, file
+    * bucketing) persist in the table's meta file — serving derives them
+    * from there, never from a caller.
     */
-  def saveInvertedIndex(table: String, prefixLen: Int = 2): Unit =
-    graft.sources.IndexStore.saveInverted(indexDf, table, prefixLen)
+  def saveInvertedIndex(table: String, prefixLen: Int = 2,
+      hotBucketThreshold: Long = -1L, numBuckets: Int = 0): Unit =
+    graft.sources.IndexStore.saveInverted(indexDf, table, prefixLen,
+      hotBucketThreshold, numBuckets)
 
   /** Top-n ANN answered from the PERSISTED inverted index written by
     * [[saveInvertedIndex]] — the point-query SERVING path.
@@ -200,11 +204,12 @@ final class MinHashLSHModel private[operators] (
     * (numBands bucket strings): partition pruning requires the bucket
     * values as plan literals. That fetch is the same "single query-key
     * fetch" the in-memory path already pays (rt-collect, SURVEY §2.11).
+    * The probe width comes from the table's own meta file — a caller
+    * can't silently probe non-existent partition values.
     */
-  def approxNearestNeighborsIndexed(
-      table: String, key: String, n: Int, prefixLen: Int = 2): DataFrame =
+  def approxNearestNeighborsIndexed(table: String, key: String, n: Int): DataFrame =
     MinHashLSH.serveFromInverted(spark, table, documents,
-      queryFeatures(key).where(col("q_sig").isNotNull), n, prefixLen)
+      queryFeatures(key).where(col("q_sig").isNotNull), n)
 
   /** Featurize a (qid, text) frame and explode its band buckets — shared
     * candidate-generation front end of the batch ANN and novel-doc filter.
@@ -277,14 +282,25 @@ final class MinHashLSHModel private[operators] (
     * to the in-memory form: the posting table IS the exploded index.
     * Unlike the point path no partition pruning applies — a workload
     * touches most prefixes — but the join key (bucket) is the same
-    * shuffle key, and at scale both sides can be co-located by bucketing
-    * the query side the same way.
+    * shuffle key, and a table written with `numBuckets > 0`
+    * ([[graft.sources.IndexStore.saveInverted]]) is FILE-BUCKETED on it:
+    * the posting-side scan then satisfies the join's distribution by
+    * itself and only the (small) query workload shuffles — no Exchange
+    * over the 100 TB side (plan-asserted in PlanPropertiesSpec).
+    *
+    * Maintenance semantics: tombstoned ids ([[graft.sources.IndexStore
+    * .appendTombstones]]) are excluded exactly, even before compaction —
+    * each posting row survives only if its seq outranks the id's newest
+    * delete marker (the marker partition is tiny: broadcast join).
+    * Superseded postings of a RE-INGESTED id are exact only after
+    * [[graft.sources.IndexStore.compactInverted]], matching the batch
+    * path's bulk-workload role; the point path serves the newest matched
+    * posting per id pre-compaction (serveFromInverted scaladoc).
     */
   def approxNearestNeighborsAllIndexed(table: String, queries: DataFrame,
       qidCol: String, textCol: String, n: Int): DataFrame =
     batchAnnAgainst(explodedQueryFeatures(queries, qidCol, textCol),
-      graft.sources.IndexStore.loadInverted(spark, table)
-        .select(col(Cols.Id), col(Cols.Signature), col("bucket")), n)
+      MinHashLSH.livePostings(spark, table), n)
 
   /** Shared batch-ANN tail over an exploded (qid, q_sig, bucket) workload
     * and an exploded (id, signature, bucket) posting side.
@@ -481,7 +497,7 @@ object MinHashLSH {
     */
   def annFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, docs: DataFrame, idCol: String, textCol: String,
-      key: String, n: Int, cfg: MinHashConfig, prefixLen: Int = 2): DataFrame = {
+      key: String, n: Int, cfg: MinHashConfig): DataFrame = {
     require(!cfg.useVocabulary,
       "vocabulary mode needs the fitted vocabulary — use loadModel + approxNearestNeighborsIndexed")
     val one = spark.createDataFrame(
@@ -494,19 +510,69 @@ object MinHashLSH {
       .where(col("q_sig").isNotNull)
     val base = docs.select(col(idCol).cast("long").as(Cols.Id),
       col(textCol).as(Cols.Text))
-    serveFromInverted(spark, table, base, qf, n, prefixLen)
+    serveFromInverted(spark, table, base, qf, n)
+  }
+
+  /** The queryable posting rows of an inverted table: every data posting
+    * (tombstone markers excluded by partition value) whose seq outranks
+    * its id's newest DELETE marker — so a takedown is served exactly from
+    * the moment its tombstone lands, before any compaction, and a later
+    * re-ingest (seq above the tombstone) resurrects the id. Tables with
+    * no `ingest_seq` column never carry tombstones (appendTombstones
+    * requires the column) and pass through untouched. The marker
+    * partition holds one row per deleted id — broadcast-sized by
+    * construction.
+    */
+  private[operators] def livePostings(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    import graft.sources.IndexStore
+    val postings = IndexStore.loadInverted(spark, table)
+    val data = postings.where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+    if (!postings.columns.contains("ingest_seq"))
+      data.select(col(Cols.Id), col(Cols.Signature), col("bucket"))
+    else {
+      val tomb = postings
+        .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
+        .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
+      data.join(broadcast(tomb), Seq(Cols.Id), "left_outer")
+        .where(col("__tomb_seq").isNull || col("__tomb_seq") < col("ingest_seq"))
+        .select(col(Cols.Id), col(Cols.Signature), col("bucket"), col("ingest_seq"))
+    }
   }
 
   /** Shared serving core of the two inverted-index query paths: partition-
-    * pruned posting scan → per-id dedup → signature scoring →
+    * pruned posting scan → per-id winner → signature scoring →
     * TakeOrderedAndProject → broadcast document join. The single bounded
     * driver round-trip is the query-feature fetch (numBands bucket
     * strings) — required to turn the query's buckets into literal
     * partition predicates the scan can prune on.
+    *
+    * Layout knobs come from the table's own meta file ([[graft.sources
+    * .IndexStore.invertedMeta]]): the partition-probe width (a
+    * caller-supplied width that disagreed with the written layout would
+    * probe values that don't exist and silently return nothing) and the
+    * hot-bucket policy. When the table keeps occupancy stats, query
+    * buckets on the over-occupied list are SKIPPED: a stop-word-like
+    * bucket (boilerplate-heavy corpus) would make one point query read
+    * its entire posting list, and dropping it only sharpens precision —
+    * the surviving buckets carry rarer, more selective band signatures.
+    * A query whose EVERY bucket is hot falls back to the full probe set
+    * (an empty answer serves nobody).
+    *
+    * Maintenance semantics: DELETES are exact from the moment the
+    * tombstone lands — ids whose newest tombstone outranks their newest
+    * posting are excluded, no compaction needed. Re-ingest supersession:
+    * per candidate id the newest (max `ingest_seq`) MATCHED posting
+    * scores, so a re-ingested doc always serves its newest matching
+    * version; the one transient anomaly (a doc whose newest version no
+    * longer shares any query bucket can still surface via a stale
+    * posting, until [[graft.sources.IndexStore.compactInverted]] drops
+    * it) is the documented pre-compaction window.
     */
   private[operators] def serveFromInverted(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      documents: DataFrame, qf: DataFrame, n: Int, prefixLen: Int): DataFrame = {
+      documents: DataFrame, qf: DataFrame, n: Int): DataFrame = {
+    import graft.sources.IndexStore
     val qRows = qf.select(col("q_buckets")).collect()
     if (qRows.isEmpty || qRows(0).isNullAt(0))
       // empty/degenerate key: no signature ⇒ no candidates (same contract
@@ -514,14 +580,34 @@ object MinHashLSH {
       return documents.limit(0)
         .select(col(Cols.Id), col(Cols.Text),
           lit(null).cast("float").as(Cols.Jaccard))
-    val qBuckets = qRows(0).getSeq[String](0).distinct
+    val meta = IndexStore.invertedMeta(spark, table)
+    val all = qRows(0).getSeq[String](0).distinct
+    val hot = IndexStore.hotBuckets(spark, table)
+    val qBuckets = { val live = all.filterNot(hot); if (live.isEmpty) all else live }
     val prefixes =
-      qBuckets.map(b => b.substring(0, math.min(prefixLen, b.length))).distinct
-    val cands = graft.sources.IndexStore.loadInverted(spark, table)
+      qBuckets.map(b => b.substring(0, math.min(meta.prefixLen, b.length))).distinct
+    val postings = IndexStore.loadInverted(spark, table)
+    val matched = postings
       .where(col("bkt_pfx").isin(prefixes: _*))   // PartitionFilters
       .where(col("bucket").isin(qBuckets: _*))    // PushedFilters in-dir
-      .select(col(Cols.Id), col(Cols.Signature))
-      .dropDuplicates(Cols.Id) // multi-band hits rejoin once; sig identical
+    val cands =
+      if (!postings.columns.contains("ingest_seq"))
+        matched.select(col(Cols.Id), col(Cols.Signature))
+          .dropDuplicates(Cols.Id) // multi-band hits rejoin once; sig identical
+      else {
+        // pre-compaction exactness: the newest matched posting wins per id
+        // (a re-ingested doc's stale postings lose), and an id whose
+        // newest tombstone outranks its newest posting is deleted
+        val tomb = postings
+          .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
+          .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
+        matched.groupBy(col(Cols.Id))
+          .agg(max_by(col(Cols.Signature), col("ingest_seq")).as(Cols.Signature),
+            max(col("ingest_seq")).as("__seq"))
+          .join(broadcast(tomb), Seq(Cols.Id), "left_outer")
+          .where(col("__tomb_seq").isNull || col("__tomb_seq") < col("__seq"))
+          .select(col(Cols.Id), col(Cols.Signature))
+      }
     val topk = cands
       .crossJoin(broadcast(qf.select(col("q_sig"))))
       .select(col(Cols.Id),

@@ -86,7 +86,7 @@ class IndexStoreSpec extends AnyFunSuite {
       val t = s"graft_inverted_pl$pl"
       IndexStore.reset(spark, t)
       model.saveInvertedIndex(t, prefixLen = pl)
-      model.approxNearestNeighborsIndexed(t, key, 10, prefixLen = pl)
+      model.approxNearestNeighborsIndexed(t, key, 10)
         .collect().toSeq
     }
     assert(results(0) == results(1),
