@@ -1783,6 +1783,81 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_index_deleted" -> ((s, d) => {
+      // the TAKEDOWN path end to end (copyright removal / opt-out /
+      // contamination): build the serving index, then DELETE the planted
+      // near-dup family members (50, 82 — both top hits of the flagship
+      // key) plus the doc_id % 11 == 6 slice via tombstone markers. The
+      // flagship query must equal a fresh build over corpus-minus-deleted
+      // in BOTH serving states — the instant the markers land (NO
+      // compaction yet: serving excludes any id whose newest tombstone
+      // outranks its newest posting) and after compactInverted physically
+      // drops the postings (markers survive as the at-least-once
+      // redelivery guard). One oracle, two stage rows.
+      val table = "graft_ann_deleted_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      val ix = new MinHashLSH(cfg16).featurize(dd, Cols.Id, Cols.Text, None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(1L))
+      IndexStore.saveInverted(ix, table, prefixLen = 1)
+      val deleted = dd.where(col(Cols.Id) % 11 === 6 || col(Cols.Id).isin(50L, 82L))
+        .select(col(Cols.Id))
+      IndexStore.appendTombstones(s, table, deleted, seq = 2L)
+      def serve(stage: String): DataFrame =
+        MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+            keyOf(s, d), 10, cfg16)
+          .withColumn("stage", lit(stage))
+      // materialize the pre-compaction answer BEFORE compaction rewrites
+      // the files its lazy plan would read
+      val pre = serve("pre_compact").localCheckpoint()
+      IndexStore.compactInverted(s, table)
+      pre.unionByName(serve("post_compact"))
+        .withColumnRenamed(Cols.Id, "doc_id")
+        .orderBy(col("stage"), col(Cols.Jaccard).desc, col("doc_id"))
+    }),
+    "pipeline_cdc_index" -> ((s, d) => {
+      // CDC feed → serving index COMPOSITION: one change feed (upserts
+      // re-writing the doc_id % 5 slice, deletes removing the
+      // doc_id % 9 == 4 slice) drives BOTH halves of a deployment —
+      // Cdc.applyChanges maintains the base snapshot, and the SAME feed
+      // maintains the ANN index (upserts re-featurize through
+      // appendInverted, deletes become tombstones) — then the flagship
+      // query served from the maintained index against the maintained
+      // snapshot must equal a fresh build over the applied snapshot.
+      val table = "graft_cdc_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Long): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq))
+      IndexStore.saveInverted(feat(dd, 1L), table, prefixLen = 1)
+      // the change feed (op/seq columns), disjoint upsert + delete slices
+      val feed = dd.where(col(Cols.Id) % 5 === 0)
+        .select(col(Cols.Id), concat(lit("revised "), col(Cols.Text)).as(Cols.Text),
+          lit("U").as("__op"), lit(2L).as("__seq"))
+        .unionByName(
+          dd.where(col(Cols.Id) % 9 === 4 && col(Cols.Id) % 5 =!= 0)
+            .select(col(Cols.Id), col(Cols.Text),
+              lit("D").as("__op"), lit(2L).as("__seq")))
+      // half 1: the base snapshot
+      val snapshot = Cdc.applyChanges(dd, feed, Cols.Id, "__seq", "__op")
+      // half 2: the serving index, from the SAME feed
+      IndexStore.appendInverted(
+        feat(feed.where(col("__op") === "U")
+          .select(col(Cols.Id), col(Cols.Text)), 2L), table)
+      IndexStore.appendTombstones(s, table,
+        feed.where(col("__op") === "D").select(col(Cols.Id)), seq = 2L)
+      IndexStore.compactInverted(s, table)
+      MinHashLSH.annFromInvertedIndex(s, table, snapshot, Cols.Id, Cols.Text,
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
     "ann_batch_md5" -> ((s, d) => { // md5 twin of the batch path — oracle-checked
       val m = fitted(s, d, cfg16)
       val qs = docs(s, d).where(col("doc_id") < 20)
@@ -4794,12 +4869,19 @@ object SparkEntry {
   /** DuckDB CTE chain for the md5-mode doc pipeline at (h, bands, rows,
     * hexLen) — the SQL twin of TextFunctions/HashFunctions on `documents`.
     */
-  private def docCtes(cfg: MinHashConfig): String = {
+  private def docCtes(cfg: MinHashConfig): String = docCtesFrom(cfg, "documents")
+
+  /** [[docCtes]] over an arbitrary corpus relation (`src` must be
+    * FROM-able: a table name or an aliased subquery) — the maintenance
+    * oracles replay the MinHash pipeline over corpus-minus-deleted or a
+    * CDC-applied snapshot instead of the raw `documents` table.
+    */
+  private def docCtesFrom(cfg: MinHashConfig, src: String): String = {
     val (h, bands, rows, hexLen) = (cfg.numHash, cfg.numBands, cfg.numRows, cfg.bucketHexLen)
     s"""
     toks AS (
       SELECT doc_id, $tokenizeSql AS tokens
-      FROM documents),
+      FROM $src),
     shing AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)),
         i -> tokens[i] || ' ' || tokens[i+1])) AS shingles
@@ -7492,6 +7574,50 @@ object SparkEntry {
     // the streaming twin replays the identical final state
     "ann_index_maintained" -> annMaintainedOracle,
     "stream_inverted_ingest_real" -> annMaintainedOracle,
+    // takedown: fresh MinHash replay over corpus-minus-deleted; the same
+    // top-10 must serve in both engine stages (tombstones-only and
+    // physically compacted), so the oracle emits each row twice
+    "ann_index_deleted" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 11 <> 6 AND doc_id NOT IN (50, 82)),
+      ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q),
+      topk AS (
+        SELECT sc.doc_id, d.text, sc.jaccard
+        FROM scored sc JOIN corpus d USING (doc_id)
+        ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10)
+      SELECT t.doc_id, t.text, t.jaccard, st.stage
+      FROM topk t CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      ORDER BY st.stage, t.jaccard DESC, t.doc_id""",
+    // CDC→index composition: fresh MinHash replay over the APPLIED
+    // snapshot (upserts rewritten, deletes gone) — the engine must reach
+    // the same answer through Cdc.applyChanges + index maintenance
+    "pipeline_cdc_index" -> s"""
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN 'revised ' || text ELSE text END AS text
+        FROM documents
+        WHERE NOT (doc_id % 9 = 4 AND doc_id % 5 <> 0)),
+      ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN corpus d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     "ann_batch_md5" -> s"""
       WITH ${docCtes(cfg16)},
       qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
