@@ -20,6 +20,20 @@ object SparkEntry {
   // the reference-shape flagship (NUM_HASH=100, 25×4 bands,
   // /root/reference/src/minhash_config.py:2-19).
   private val cfg16 = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+
+  /** Fixed boilerplate paragraph for the hot-bucket adversarial gates: a
+    * third of the corpus is replaced with this one text, inflating its
+    * band buckets to ~N/3 postings each (the stop-word-bucket shape of a
+    * boilerplate-heavy crawl). Lowercase a-z words only — embeds verbatim
+    * in the DuckDB oracle literal.
+    */
+  private[graft] val hotBoiler = "terms and conditions apply all rights reserved " +
+    "unauthorized reproduction of this document or any portion thereof is " +
+    "strictly prohibited please refer to the licensing agreement for further " +
+    "details about permitted use storage transmission and distribution of " +
+    "the enclosed material in any medium the publisher assumes no " +
+    "responsibility for errors or omissions and makes no warranty express " +
+    "or implied regarding fitness for a particular purpose"
   private val cfg16Vocab = cfg16.copy(useVocabulary = true)
   private val cfg100 = MinHashConfig(numHash = 100, numBands = 25, numRows = 4, bucketHexLen = 4)
   private val cfg100Fast = cfg100.copy(mode = XxFast)
@@ -320,21 +334,23 @@ object SparkEntry {
     * table name; the data lives in the warehouse, surviving cache sweeps.
     */
   private val invertedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, MinHashConfig), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, MinHashConfig, Int), String]
   private def invertedIndexFor(s: SparkSession, d: String,
-      cfg: MinHashConfig = cfg100): String = {
+      cfg: MinHashConfig = cfg100, numBuckets: Int = 0): String = {
     invertedCache.keys.filter(_._1.sparkContext.isStopped).foreach(invertedCache.remove)
-    invertedCache.getOrElseUpdate((s, d, cfg), {
-      // the name spells out EVERY signature-determining config field: the
-      // memo keys on the full config, so two configs sharing numHash (a
-      // fast-mode or different-band variant) must not collapse onto one
-      // table name — the second build would silently overwrite the first
-      // while both memo entries keep serving it
+    invertedCache.getOrElseUpdate((s, d, cfg, numBuckets), {
+      // the name spells out EVERY signature-determining config field (and
+      // the file-bucketing layout): the memo keys on the full config, so
+      // two configs sharing numHash (a fast-mode or different-band
+      // variant) must not collapse onto one table name — the second build
+      // would silently overwrite the first while both memo entries keep
+      // serving it
       val table = s"graft_ann_inverted_${cfg.numHash}_${cfg.numBands}x${cfg.numRows}_" +
         s"${cfg.bucketHexLen}_${cfg.mode.toString.toLowerCase(java.util.Locale.ROOT)}_" +
+        (if (numBuckets > 0) s"b${numBuckets}_" else "") +
         d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
       IndexStore.reset(s, table)
-      fitted(s, d, cfg).saveInvertedIndex(table, prefixLen = 2)
+      fitted(s, d, cfg).saveInvertedIndex(table, prefixLen = 2, numBuckets = numBuckets)
       table
     })
   }
@@ -1705,6 +1721,23 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    "ann_batch_colocated" -> ((s, d) => {
+      // batch serving against a posting table FILE-BUCKETED on the join
+      // key: the scan's own hash partitioning satisfies the bucket
+      // equi-join, so only the (small) query workload shuffles — no
+      // Exchange over the posting side, which at 100 TB IS the index
+      // (plan-asserted in PlanPropertiesSpec). Result-identical to the
+      // unbucketed batch path ⇒ shares ann_batch_md5's oracle.
+      val m = fitted(s, d, cfg16)
+      val qs = docs(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("text"))
+      m.approxNearestNeighborsAllIndexed(
+          invertedIndexFor(s, d, cfg16, numBuckets = 32),
+          qs, "qid", "text", 5)
+        .select(col("qid"), col(Cols.Id).as("id"), col(Cols.Jaccard),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     "stream_inverted_ingest_real" -> ((s, d) => {
       // the STREAMING twin of ann_index_maintained: the same three ingest
       // slices (prelim corpus seq 1, correction re-ingest seq 2, duplicate
@@ -1856,6 +1889,34 @@ object SparkEntry {
       IndexStore.compactInverted(s, table)
       MinHashLSH.annFromInvertedIndex(s, table, snapshot, Cols.Id, Cols.Text,
           keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
+    "ann_query_hotskip" -> ((s, d) => {
+      // HOT-BUCKET adversarial serving: a third of the corpus is replaced
+      // by one shared boilerplate paragraph, so its band buckets hold ~N/3
+      // postings each — one point query touching them would read a third
+      // of a 100 TB index. The table keeps occupancy stats
+      // (hotBucketThreshold = N/10) and serving SKIPS query buckets on the
+      // hot list (candidates keep only the rarer, more selective buckets).
+      // The query is boiler + a 60-char doc-0 prefix: 2 of its 4 buckets
+      // land on the hot list (measured at both test scales), so the gate
+      // exercises a real skip WITH surviving live buckets. The oracle
+      // mirrors the full policy in SQL — occupancy, threshold, skip, and
+      // the all-hot fallback — over the same planted corpus.
+      val table = "graft_ann_hotskip_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      val planted = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 3 === 0, lit(hotBoiler))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      val ix = new MinHashLSH(cfg16).featurize(planted, Cols.Id, Cols.Text, None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+      IndexStore.saveInverted(ix, table, prefixLen = 2,
+        hotBucketThreshold = planted.count() / 10)
+      MinHashLSH.annFromInvertedIndex(s, table, planted, Cols.Id, Cols.Text,
+          hotBoiler + " " + keyOf(s, d).take(60), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
     "ann_batch_md5" -> ((s, d) => { // md5 twin of the batch path — oracle-checked
@@ -4898,10 +4959,16 @@ object SparkEntry {
   }
 
   /** Same pipeline for the query key (120-char prefix of doc 0). */
-  private def queryCtes(cfg: MinHashConfig): String = {
+  private def queryCtes(cfg: MinHashConfig): String =
+    queryCtesExpr(cfg, "substr(text, 1, 120)")
+
+  /** [[queryCtes]] with an arbitrary key expression over doc 0's row —
+    * the hot-bucket oracle queries a boilerplate-bearing composite key.
+    */
+  private def queryCtesExpr(cfg: MinHashConfig, keyExpr: String): String = {
     val (h, bands, rows, hexLen) = (cfg.numHash, cfg.numBands, cfg.numRows, cfg.bucketHexLen)
     s"""
-    qdoc AS (SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id = 0),
+    qdoc AS (SELECT $keyExpr AS text FROM documents WHERE doc_id = 0),
     qtoks AS (
       SELECT $tokenizeSql AS tokens
       FROM qdoc),
@@ -4973,6 +5040,30 @@ object SparkEntry {
     * leave the posting table answering EXACTLY as a fresh cfg16 build over
     * the final corpus — so one fresh-build replay serves both.
     */
+  /** Shared by the three result-identical batch serving forms
+    * (`ann_batch_md5`, `ann_batch_indexed`, `ann_batch_colocated`): the
+    * in-memory, persisted, and file-bucketed paths differ only in plan
+    * shape.
+    */
+  private lazy val annBatchMd5Oracle: String = s"""
+      WITH ${docCtes(cfg16)},
+      qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
+             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 20),
+      pairs AS (
+        SELECT q.qid, s.doc_id AS id, q.q_sig, s.signature
+        FROM qf q, buck b JOIN sig s USING (doc_id)
+        WHERE list_has_any(b.bucket_ids, q.q_buckets)),
+      scored AS (
+        SELECT qid, id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> signature[i] = q_sig[i])) AS DOUBLE)
+            / least(len(signature), len(q_sig)) AS FLOAT4) AS jaccard
+        FROM pairs),
+      ranked AS (
+        SELECT qid, id, jaccard,
+          row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, id) AS rank
+        FROM scored)
+      SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+
   private lazy val annMaintainedOracle: String = s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
       cand AS (
@@ -7551,24 +7642,10 @@ object SparkEntry {
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // the posting-table batch path answers identically — shared replay
-    "ann_batch_indexed" -> s"""
-      WITH ${docCtes(cfg16)},
-      qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
-             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 20),
-      pairs AS (
-        SELECT q.qid, s.doc_id AS id, q.q_sig, s.signature
-        FROM qf q, buck b JOIN sig s USING (doc_id)
-        WHERE list_has_any(b.bucket_ids, q.q_buckets)),
-      scored AS (
-        SELECT qid, id,
-          CAST(CAST(len(list_filter(range(1, 17), i -> signature[i] = q_sig[i])) AS DOUBLE)
-            / least(len(signature), len(q_sig)) AS FLOAT4) AS jaccard
-        FROM pairs),
-      ranked AS (
-        SELECT qid, id, jaccard,
-          row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, id) AS rank
-        FROM scored)
-      SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "ann_batch_indexed" -> annBatchMd5Oracle,
+    // the file-bucketed layout changes the PLAN (no posting-side
+    // Exchange), never the rows — same oracle
+    "ann_batch_colocated" -> annBatchMd5Oracle,
     // the maintained (append + compact) posting table must answer as a
     // fresh build over the FINAL corpus — the oracle IS that fresh build;
     // the streaming twin replays the identical final state
@@ -7597,6 +7674,37 @@ object SparkEntry {
       SELECT t.doc_id, t.text, t.jaccard, st.stage
       FROM topk t CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       ORDER BY st.stage, t.jaccard DESC, t.doc_id""",
+    // hot-bucket serving policy, mirrored end to end: plant the boiler
+    // corpus, count per-bucket occupancy, skip query buckets above the
+    // N/10 threshold (falling back to all when every bucket is hot), and
+    // score candidates from the surviving buckets only
+    "ann_query_hotskip" -> s"""
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN '$hotBoiler' ELSE text END AS text
+        FROM documents),
+      ${docCtesFrom(cfg16, "corpus")},
+      ${queryCtesExpr(cfg16, s"'$hotBoiler ' || substr(text, 1, 60)")},
+      db AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      hot AS (SELECT bucket FROM db GROUP BY bucket
+              HAVING count(*) > (SELECT count(*) // 10 FROM documents)),
+      qb AS (SELECT unnest(bucket_ids) AS bucket FROM qbuck),
+      qlive AS (SELECT bucket FROM qb
+                WHERE bucket NOT IN (SELECT bucket FROM hot)),
+      qprobe AS (SELECT bucket FROM qlive UNION ALL
+                 SELECT bucket FROM qb
+                 WHERE NOT EXISTS (SELECT 1 FROM qlive)),
+      cand AS (
+        SELECT DISTINCT s.doc_id, s.signature
+        FROM sig s JOIN db USING (doc_id) JOIN qprobe USING (bucket)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN corpus d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     // CDC→index composition: fresh MinHash replay over the APPLIED
     // snapshot (upserts rewritten, deletes gone) — the engine must reach
     // the same answer through Cdc.applyChanges + index maintenance
@@ -7618,24 +7726,7 @@ object SparkEntry {
       SELECT sc.doc_id, d.text, sc.jaccard
       FROM scored sc JOIN corpus d USING (doc_id)
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
-    "ann_batch_md5" -> s"""
-      WITH ${docCtes(cfg16)},
-      qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
-             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 20),
-      pairs AS (
-        SELECT q.qid, s.doc_id AS id, q.q_sig, s.signature
-        FROM qf q, buck b JOIN sig s USING (doc_id)
-        WHERE list_has_any(b.bucket_ids, q.q_buckets)),
-      scored AS (
-        SELECT qid, id,
-          CAST(CAST(len(list_filter(range(1, 17), i -> signature[i] = q_sig[i])) AS DOUBLE)
-            / least(len(signature), len(q_sig)) AS FLOAT4) AS jaccard
-        FROM pairs),
-      ranked AS (
-        SELECT qid, id, jaccard,
-          row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, id) AS rank
-        FROM scored)
-      SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "ann_batch_md5" -> annBatchMd5Oracle,
     "dedup_exact_keep" -> """
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

@@ -647,4 +647,89 @@ class PlanPropertiesSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("ann_batch_colocated: posting side joins exchange-free beyond broadcast reach") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    // at gate scale the tiny workload broadcasts and NEITHER path shuffles
+    // the postings; the co-location claim is about the regime past the
+    // broadcast ceiling (a big workload against a 100 TB index), so probe
+    // the static plan with broadcast off: the file-bucketed table's scan
+    // must satisfy the join's distribution by itself, while the unbucketed
+    // twin pays a posting-side Exchange (the contrast proves the assert
+    // isn't vacuous)
+    def postingSideExchanges(query: String, tableRe: String): Int = {
+      // executedPlan (post-EnsureRequirements, AQE off below) — sparkPlan
+      // predates Exchange insertion and would assert vacuously
+      val plan = SparkEntry.queries(query)(spark, dir).queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      def scansPostings(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.matches(tableRe)) => f
+      }.isDefined
+      val sides = joins.flatMap(j => Seq(j.children(0), j.children(1)))
+        .filter(scansPostings)
+      assert(sides.nonEmpty, s"$query: no shuffled join over the posting table found")
+      sides.map(_.collect { case e: ShuffleExchangeExec => e }.size).sum
+    }
+    val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(postingSideExchanges("ann_batch_colocated",
+        "graft_ann_inverted_.*_b32_.*") == 0,
+        "bucketed posting side must join without an Exchange")
+      assert(postingSideExchanges("ann_batch_indexed",
+        "graft_ann_inverted_16_4x4_2_md5parity__.*") > 0,
+        "contrast broken: the unbucketed twin no longer shuffles — update this test")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      spark.conf.set("spark.sql.adaptive.enabled", oldA)
+    }
+    SparkUtil.releaseScopedCaches()
+  }
+
+  test("ann_query_hotskip: hot buckets never reach the posting scan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinHashLSH
+    // build the gate's table + serve plan (the gate resets + rebuilds)
+    val df = SparkEntry.queries("ann_query_hotskip")(spark, dir)
+    val table = "graft_ann_hotskip_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+    // recompute the policy inputs from the table's own artifacts
+    val hot = graft.sources.IndexStore.hotBuckets(spark, table)
+    assert(hot.nonEmpty, "planted boiler corpus must produce hot buckets")
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val key0 = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") === 0).select(col("text")).collect()(0).getString(0).take(60)
+    val m = new MinHashLSH(cfg).fit(
+      spark.createDataFrame(Seq((0L, SparkEntry.hotBoiler + " " + key0)))
+        .toDF("id", "text"), "id", "text")
+    val qBuckets = m.indexDf.select(col(Cols.BucketIds)).collect()(0).getSeq[String](0)
+    m.unpersist()
+    val (qHot, qLive) = qBuckets.distinct.partition(hot)
+    // the construction must exercise a REAL skip with surviving buckets
+    // (measured 2 hot / 2 live at both test scales — see the gate comment)
+    assert(qHot.nonEmpty, s"query must touch the hot list (buckets=$qBuckets hot=$hot)")
+    assert(qLive.nonEmpty, s"query must keep live buckets (buckets=$qBuckets hot=$hot)")
+    // plan evidence: the scan's PartitionFilters carry ONLY the live
+    // prefixes (prefixLen == bucketHexLen here, so prefix == bucket) —
+    // the hot bucket's directory is never opened, let alone fully read
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.nonEmpty, s"posting scan must carry PartitionFilters:\n$plan")
+    qHot.foreach(b => assert(!pf.contains(b),
+      s"hot bucket $b leaked into the partition probe:\n$pf"))
+    qLive.foreach(b => assert(pf.contains(b),
+      s"live bucket $b missing from the partition probe:\n$pf"))
+    SparkUtil.releaseScopedCaches()
+    spark.catalog.clearCache()
+  }
 }
