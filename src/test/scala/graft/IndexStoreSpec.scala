@@ -130,4 +130,103 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got == fresh, "maintained posting set must equal a fresh build")
   }
 
+  test("compactInverted is partition-scoped: clean directories stay byte-identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_scoped"
+    IndexStore.reset(spark, table)
+    // synthetic postings with CONTROLLED prefixes: ids 1-4 in four distinct
+    // directories; only id 2's directory ("bb") will hold a superseded row
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    val base = Seq(
+      posting(1L, "aa11", 1L), posting(2L, "bb22", 1L),
+      posting(3L, "cc33", 1L), posting(4L, "dd44", 1L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    IndexStore.saveInverted(base, table, prefixLen = 2)
+    IndexStore.appendInverted(
+      Seq(posting(2L, "bb22", 2L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+    def dirState(pfx: String): Map[String, Long] = {
+      val dir = new java.io.File(
+        IndexStore.warehouseLocation(spark, table), s"bkt_pfx=$pfx")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val cleanBefore = Seq("aa", "cc", "dd").map(dirState)
+    IndexStore.compactInverted(spark, table)
+    val cleanAfter = Seq("aa", "cc", "dd").map(dirState)
+    assert(cleanBefore == cleanAfter,
+      "clean directories must keep the SAME files untouched (names + mtimes)")
+    val got = spark.table(table)
+      .select(col(Cols.Id), col("ingest_seq")).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L)),
+      s"only id 2's directory compacts away its superseded row: $got")
+  }
+
+  test("compactInverted dedups a SAME-seq at-least-once redelivery") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_redelivery"
+    IndexStore.reset(spark, table)
+    def batch(seq: Long) = Seq(
+      (1L, Array("s1"), Array("aa11", "ab22"), seq),
+      (2L, Array("s2"), Array("ba33"), seq))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    IndexStore.saveInverted(batch(1L), table, prefixLen = 2)
+    // the realistic at-least-once case: the SAME micro-batch lands twice
+    // (same seq — supersession can't tell the copies apart)
+    IndexStore.appendInverted(batch(1L), table)
+    assert(spark.table(table).count() == 6, "append log holds both deliveries")
+    IndexStore.compactInverted(spark, table)
+    val got = spark.table(table)
+      .select(col(Cols.Id), col("bucket")).as[(Long, String)].collect().toSeq
+    assert(got.sorted == Seq((1L, "aa11"), (1L, "ab22"), (2L, "ba33")),
+      s"duplicate postings must collapse to one copy each: $got")
+  }
+
+  test("tombstone lifecycle: delete serves immediately, compaction drops postings, re-ingest resurrects") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_tombstone"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "ab22", 1L), posting(3L, "ba33", 1L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2)
+    IndexStore.appendTombstones(spark, table, Seq(2L).toDF(Cols.Id), seq = 2L)
+    // marker row lands in the reserved partition; postings still on disk
+    assert(spark.table(table).where(col("bkt_pfx") === IndexStore.TombstonePrefix)
+      .count() == 1)
+    assert(spark.table(table).where(col(Cols.Id) === 2L &&
+      col("bkt_pfx") =!= IndexStore.TombstonePrefix).count() == 1)
+    IndexStore.compactInverted(spark, table)
+    // postings physically gone, marker survives as the redelivery guard
+    assert(spark.table(table).where(col(Cols.Id) === 2L &&
+      col("bkt_pfx") =!= IndexStore.TombstonePrefix).count() == 0,
+      "compaction must drop a tombstoned id's postings")
+    assert(spark.table(table).where(col("bkt_pfx") === IndexStore.TombstonePrefix)
+      .count() == 1, "the marker itself must survive compaction")
+    // a replayed PRE-delete batch (seq 1) must not resurrect the id
+    IndexStore.appendInverted(
+      Seq(posting(2L, "ab22", 1L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"), table)
+    IndexStore.compactInverted(spark, table)
+    assert(spark.table(table).where(col(Cols.Id) === 2L &&
+      col("bkt_pfx") =!= IndexStore.TombstonePrefix).count() == 0,
+      "an at-least-once replay of a pre-delete batch must stay deleted")
+    // a genuinely NEWER re-ingest (seq 3) resurrects it and clears the marker
+    IndexStore.appendInverted(
+      Seq(posting(2L, "cc55", 3L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"), table)
+    IndexStore.compactInverted(spark, table)
+    assert(spark.table(table).where(col(Cols.Id) === 2L &&
+      col("bkt_pfx") =!= IndexStore.TombstonePrefix).count() == 1,
+      "a newer re-ingest must resurrect the id")
+    assert(spark.table(table).where(col("bkt_pfx") === IndexStore.TombstonePrefix)
+      .count() == 0, "a superseded tombstone compacts away")
+  }
+
 }
