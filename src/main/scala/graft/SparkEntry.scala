@@ -1891,6 +1891,59 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "stream_takedown_real" -> ((s, d) => {
+      // STREAMING twin of pipeline_cdc_index: the SAME change events —
+      // full corpus (U seq 1), the %5 revision (U seq 2), the %9==4
+      // deletes (D seq 2) — arrive as a REAL file stream, one file per
+      // micro-batch; foreachBatch routes upserts to stateless featurize +
+      // appendInverted and deletes to tombstone markers, seqs riding in
+      // the data so the final state is a pure function of the event set.
+      // After compaction the flagship query served from the maintained
+      // index against the batch-CDC-applied snapshot must equal a fresh
+      // build over that snapshot (pipeline_cdc_index's oracle verbatim).
+      val table = "graft_stream_takedown_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      val tmp = stageOnce(s, d, "graft-stream-takedown") { t =>
+        val slices = Seq(
+          dd.select(col(Cols.Id), col(Cols.Text), lit("U").as("__op"),
+            lit(1L).as("ingest_seq")),
+          dd.where(col(Cols.Id) % 5 === 0)
+            .select(col(Cols.Id),
+              concat(lit("revised "), col(Cols.Text)).as(Cols.Text),
+              lit("U").as("__op"), lit(2L).as("ingest_seq")),
+          dd.where(col(Cols.Id) % 9 === 4 && col(Cols.Id) % 5 =!= 0)
+            .select(col(Cols.Id), col(Cols.Text), lit("D").as("__op"),
+              lit(2L).as("ingest_seq")))
+        val dirF = new java.io.File(t)
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          sl.coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(t)
+          dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > 1700000000000L)
+            .foreach(_.setLastModified(1600000000000L + i * 60000L))
+        }
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingIndexMaintenance(
+        s, tmp, schema, cfg16, table, idCol = Cols.Id, textCol = Cols.Text,
+        opCol = "__op", prefixLen = 1)
+      try q.processAllAvailable() finally q.stop()
+      IndexStore.compactInverted(s, table)
+      val feed = dd.where(col(Cols.Id) % 5 === 0)
+        .select(col(Cols.Id), concat(lit("revised "), col(Cols.Text)).as(Cols.Text),
+          lit("U").as("__op"), lit(2L).as("__seq"))
+        .unionByName(
+          dd.where(col(Cols.Id) % 9 === 4 && col(Cols.Id) % 5 =!= 0)
+            .select(col(Cols.Id), col(Cols.Text),
+              lit("D").as("__op"), lit(2L).as("__seq")))
+      val snapshot = Cdc.applyChanges(dd, feed, Cols.Id, "__seq", "__op")
+      MinHashLSH.annFromInvertedIndex(s, table, snapshot, Cols.Id, Cols.Text,
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
     "ann_query_hotskip" -> ((s, d) => {
       // HOT-BUCKET adversarial serving: a third of the corpus is replaced
       // by one shared boilerplate paragraph, so its band buckets hold ~N/3
@@ -5064,6 +5117,29 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, jaccard, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
 
+  /** Shared by `pipeline_cdc_index` and its streaming twin
+    * `stream_takedown_real` — both must reproduce the flagship ANN over
+    * the CDC-applied snapshot (upserts rewritten, deletes gone).
+    */
+  private lazy val cdcIndexOracle: String = s"""
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN 'revised ' || text ELSE text END AS text
+        FROM documents
+        WHERE NOT (doc_id % 9 = 4 AND doc_id % 5 <> 0)),
+      ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN corpus d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10"""
+
   private lazy val annMaintainedOracle: String = s"""
       WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
       cand AS (
@@ -7707,25 +7783,10 @@ object SparkEntry {
       ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     // CDC→index composition: fresh MinHash replay over the APPLIED
     // snapshot (upserts rewritten, deletes gone) — the engine must reach
-    // the same answer through Cdc.applyChanges + index maintenance
-    "pipeline_cdc_index" -> s"""
-      WITH corpus AS (
-        SELECT doc_id,
-          CASE WHEN doc_id % 5 = 0 THEN 'revised ' || text ELSE text END AS text
-        FROM documents
-        WHERE NOT (doc_id % 9 = 4 AND doc_id % 5 <> 0)),
-      ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
-      cand AS (
-        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
-        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
-      scored AS (
-        SELECT c.doc_id,
-          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
-            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
-        FROM cand c, qsig q)
-      SELECT sc.doc_id, d.text, sc.jaccard
-      FROM scored sc JOIN corpus d USING (doc_id)
-      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    // the same answer through Cdc.applyChanges + index maintenance; the
+    // streaming twin replays the identical event set file-by-file
+    "pipeline_cdc_index" -> cdcIndexOracle,
+    "stream_takedown_real" -> cdcIndexOracle,
     "ann_batch_md5" -> annBatchMd5Oracle,
     "dedup_exact_keep" -> """
       SELECT doc_id FROM (

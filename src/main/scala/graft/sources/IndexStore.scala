@@ -129,16 +129,28 @@ object IndexStore {
   def appendTombstones(spark: SparkSession, table: String, ids: DataFrame,
       seq: Long): Unit = {
     import org.apache.spark.sql.functions._
+    appendTombstoneRows(spark, table,
+      ids.select(col(ids.columns.head).as(Cols.Id), lit(seq).as("ingest_seq")))
+  }
+
+  /** [[appendTombstones]] with DATA-BORNE sequences: `rows` carries
+    * (id, ingest_seq) — the streaming-feed shape, where each delete event
+    * arrives with its own position in the change order and micro-batch
+    * boundaries must not flatten distinct seqs onto one.
+    */
+  def appendTombstoneRows(spark: SparkSession, table: String,
+      rows: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
     val cur = spark.table(table)
     require(cur.columns.contains("ingest_seq"),
       s"tombstones need the append-sequence column 'ingest_seq' in $table")
     val sigType = cur.schema(Cols.Signature).dataType
     val bktType = cur.schema("bucket").dataType
-    ids.select(ids.columns.head).toDF(Cols.Id)
+    rows
       .select(col(Cols.Id).cast("long").as(Cols.Id),
         lit(null).cast(sigType).as(Cols.Signature),
         lit(null).cast(bktType).as("bucket"),
-        lit(seq).as("ingest_seq"),
+        col("ingest_seq").cast("long").as("ingest_seq"),
         lit(TombstonePrefix).as("bkt_pfx"))
       .repartition(1) // a takedown batch is tiny; one file in the marker dir
       .write.mode(SaveMode.Append)

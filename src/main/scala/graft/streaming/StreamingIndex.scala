@@ -105,6 +105,43 @@ object StreamingIndex {
       }.start()
   }
 
+  /** Streaming CHANGE-FEED maintenance of the serving index — the
+    * full-lifecycle sibling of [[streamingInvertedIngest]]: each
+    * micro-batch carries an `op` column and routes per row — upserts
+    * ('U') featurize statelessly and append postings, deletes ('D')
+    * append tombstone markers ([[graft.sources.IndexStore
+    * .appendTombstoneRows]], seq riding in the data). Because BOTH event
+    * kinds carry their own `ingest_seq`, the final table state is a pure
+    * function of the event set: micro-batch boundaries, U/D interleaving,
+    * and at-least-once redelivery all collapse under the same
+    * supersession order at serve/compact time.
+    */
+  def streamingIndexMaintenance(spark: SparkSession, dir: String,
+      schema: StructType, cfg: MinHashConfig, table: String,
+      idCol: String = "id", textCol: String = "text", opCol: String = "op",
+      maxFilesPerTrigger: Int = 1, prefixLen: Int = 2): StreamingQuery = {
+    require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
+    val lsh = new MinHashLSH(cfg)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val upserts = batch.where(col(opCol) === "U")
+        if (!upserts.isEmpty)
+          graft.sources.IndexStore.appendInverted(
+            lsh.featurize(upserts, idCol, textCol, None)
+              .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
+                col(Cols.BucketIds), col("ingest_seq")),
+            table, prefixLen)
+        val deletes = batch.where(col(opCol) === "D")
+        if (!deletes.isEmpty)
+          graft.sources.IndexStore.appendTombstoneRows(spark, table,
+            deletes.select(col(idCol).cast("long").as(Cols.Id), col("ingest_seq")))
+        ()
+      }.start()
+  }
+
   /** Streaming ANN: answer a stream of text queries against a static fitted
     * index — the stream-static pattern via `foreachBatch`, re-using the
     * batch multi-query plan (bucket equi-join + per-query top-n window)
