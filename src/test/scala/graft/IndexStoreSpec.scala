@@ -229,4 +229,34 @@ class IndexStoreSpec extends AnyFunSuite {
       .count() == 0, "a superseded tombstone compacts away")
   }
 
+  test("batch serving excludes tombstoned ids before compaction") {
+    import graft.operators.MinHashLSH
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as(Cols.Id), col("text"))
+    val table = "graft_inverted_batch_tomb"
+    IndexStore.reset(spark, table)
+    val model = new MinHashLSH(cfg).fit(docs, Cols.Id, "text")
+    IndexStore.saveInverted(
+      model.indexDf.select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(1L)),
+      table, prefixLen = 1)
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 50 is a planted near-dup of doc 0 — without the tombstone it is
+    // a guaranteed top hit for qid 0, so its absence proves the exclusion
+    val queries = docs.where(col(Cols.Id) === 0)
+      .select(col(Cols.Id).as("qid"), col("text"))
+    val before = model.approxNearestNeighborsAllIndexed(table, queries, "qid", "text", 5)
+      .select("id").as[Long].collect().toSet
+    assert(before.contains(50L), "sanity: doc 50 must be a top hit pre-delete")
+    IndexStore.appendTombstones(spark, table, Seq(50L).toDF(Cols.Id), seq = 2L)
+    val after = model.approxNearestNeighborsAllIndexed(table, queries, "qid", "text", 5)
+      .select("id").as[Long].collect().toSet
+    assert(!after.contains(50L),
+      "batch serving must exclude a tombstoned id BEFORE compaction")
+    model.releaseQueryCaches()
+    model.unpersist()
+  }
+
 }
