@@ -1891,6 +1891,21 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_batch_pruned" -> ((s, d) => {
+      // SMALL-batch serving: the workload's band buckets collect to the
+      // driver (bounded: nQueries x numBands strings — the batch form of
+      // the point path's query-key fetch) and prune the posting scan to
+      // their partition directories; a 5-query batch reads ~20 dirs of
+      // 256 instead of the whole index (PartitionFilters plan-asserted).
+      val m = fitted(s, d, cfg16)
+      val qs = docs(s, d).where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text"))
+      m.approxNearestNeighborsAllIndexedPruned(invertedIndexFor(s, d, cfg16),
+          qs, "qid", "text", 5)
+        .select(col("qid"), col(Cols.Id).as("id"), col(Cols.Jaccard),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
     "stream_takedown_real" -> ((s, d) => {
       // STREAMING twin of pipeline_cdc_index: the SAME change events —
       // full corpus (U seq 1), the %5 revision (U seq 2), the %9==4
@@ -7722,6 +7737,10 @@ object SparkEntry {
     // the file-bucketed layout changes the PLAN (no posting-side
     // Exchange), never the rows — same oracle
     "ann_batch_colocated" -> annBatchMd5Oracle,
+    // the pruned small-batch form answers the qid < 5 slice of the same
+    // workload — same pipeline, tighter qf filter
+    "ann_batch_pruned" -> annBatchMd5Oracle.replace(
+      "WHERE s.doc_id < 20", "WHERE s.doc_id < 5"),
     // the maintained (append + compact) posting table must answer as a
     // fresh build over the FINAL corpus — the oracle IS that fresh build;
     // the streaming twin replays the identical final state

@@ -302,6 +302,34 @@ final class MinHashLSHModel private[operators] (
     batchAnnAgainst(explodedQueryFeatures(queries, qidCol, textCol),
       MinHashLSH.livePostings(spark, table), n)
 
+  /** [[approxNearestNeighborsAllIndexed]] for SMALL batches: collect the
+    * workload's band buckets (bounded: ≤ nQueries × numBands strings —
+    * the batch generalization of the point path's single query-key fetch)
+    * and prune the posting scan to their partition directories, exactly
+    * like a point query. A 5-query batch then reads ≤ 20 directories of
+    * the prefix space instead of the whole index; past a few hundred
+    * queries the probe set covers most prefixes and the unpruned form's
+    * full-scan equi-join wins — that crossover is the caller's knob, not
+    * a hidden heuristic. Results identical to the unpruned form (the
+    * pruned scan keeps every posting the join could match).
+    */
+  def approxNearestNeighborsAllIndexedPruned(table: String, queries: DataFrame,
+      qidCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.sources.IndexStore
+    val qf = explodedQueryFeatures(queries, qidCol, textCol)
+    val meta = IndexStore.invertedMeta(spark, table)
+    val qBuckets = qf.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (qBuckets.isEmpty)
+      return qf.limit(0).select(col("qid"), col("qid").as(Cols.Id),
+        lit(null).cast("float").as(Cols.Jaccard), lit(0).cast("int").as("rank"))
+    val prefixes = qBuckets
+      .map(b => b.substring(0, math.min(meta.prefixLen, b.length))).distinct
+    val pruned = MinHashLSH.livePostings(spark, table,
+      Some((prefixes, qBuckets)))
+    batchAnnAgainst(qf, pruned, n)
+  }
+
   /** Shared batch-ANN tail over an exploded (qid, q_sig, bucket) workload
     * and an exploded (id, signature, bucket) posting side.
     */
@@ -524,10 +552,22 @@ object MinHashLSH {
     * construction.
     */
   private[operators] def livePostings(
-      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      probe: Option[(Seq[String], Seq[String])] = None): DataFrame = {
     import graft.sources.IndexStore
     val postings = IndexStore.loadInverted(spark, table)
-    val data = postings.where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+    val data = probe match {
+      // literal probe set (prefixes, buckets): PartitionFilters prune the
+      // directories, the bucket IN goes to the parquet reader — the
+      // point-query scan shape applied to a small batch. The tombstone
+      // partition is excluded by construction (markers carry null buckets
+      // under the reserved prefix, never a probed value).
+      case Some((prefixes, buckets)) =>
+        postings.where(col("bkt_pfx").isin(prefixes: _*))
+          .where(col("bucket").isin(buckets: _*))
+      case None =>
+        postings.where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+    }
     if (!postings.columns.contains("ingest_seq"))
       data.select(col(Cols.Id), col(Cols.Signature), col("bucket"))
     else {

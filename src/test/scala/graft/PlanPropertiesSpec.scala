@@ -694,6 +694,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
     SparkUtil.releaseScopedCaches()
   }
 
+  test("ann_batch_pruned: small-batch serving prunes the posting scan like a point query") {
+    val plan = planOf("ann_batch_pruned")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt_pfx[^\\]]*\\].*"),
+      s"the pruned batch scan must carry bkt_pfx PartitionFilters:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"bucket IN must be pushed to the parquet reader:\n$plan")
+    // results identical to the unpruned form on the same 5-query slice
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val pruned = SparkEntry.queries("ann_batch_pruned")(spark, dir).collect().toSeq
+    val full = SparkEntry.queries("ann_batch_indexed")(spark, dir)
+      .where(col("qid") < 5).collect().toSeq
+    assert(pruned == full, "pruning must never change the batch answer")
+    SparkUtil.releaseScopedCaches()
+  }
+
   test("ann_query_hotskip: hot buckets never reach the posting scan") {
     import org.apache.spark.sql.functions._
     import graft.operators.MinHashLSH
