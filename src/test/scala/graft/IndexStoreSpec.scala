@@ -229,6 +229,49 @@ class IndexStoreSpec extends AnyFunSuite {
       .count() == 0, "a superseded tombstone compacts away")
   }
 
+  test("hot-skip fallback: a query whose EVERY bucket is hot probes them all") {
+    import graft.operators.MinHashLSH
+    val spark2 = spark
+    import spark2.implicits._
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    // every doc identical ⇒ every bucket the query touches is hot; the
+    // skip must fall back to the full probe set (empty answers serve nobody)
+    val docs = (0L until 40L).map(i => (i, "the same boilerplate paragraph " +
+      "repeated verbatim in every document of this tiny corpus")).toDF(Cols.Id, "text")
+    val model = new MinHashLSH(cfg).fit(docs, Cols.Id, "text")
+    val tHot = "graft_inverted_allhot"
+    val tOff = "graft_inverted_allhot_off"
+    Seq(tHot, tOff).foreach(IndexStore.reset(spark, _))
+    model.saveInvertedIndex(tHot, prefixLen = 2, hotBucketThreshold = 5)
+    model.saveInvertedIndex(tOff, prefixLen = 2)
+    assert(IndexStore.hotBuckets(spark, tHot).nonEmpty, "sanity: buckets must be hot")
+    val key = docs.where(col(Cols.Id) === 0).select("text").collect()(0).getString(0)
+    val a = model.approxNearestNeighborsIndexed(tHot, key, 5).collect().toSeq
+    val b = model.approxNearestNeighborsIndexed(tOff, key, 5).collect().toSeq
+    assert(a == b, "all-hot fallback must serve exactly the unskipped answer")
+    assert(a.nonEmpty, "the fallback must find the identical docs")
+    model.unpersist()
+  }
+
+  test("pruned batch serving: a degenerate workload (no featurizable text) returns empty, not a crash") {
+    import graft.operators.MinHashLSH
+    val spark2 = spark
+    import spark2.implicits._
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as(Cols.Id), col("text"))
+    val table = "graft_inverted_pruned_empty"
+    IndexStore.reset(spark, table)
+    val model = new MinHashLSH(cfg).fit(docs, Cols.Id, "text")
+    model.saveInvertedIndex(table, prefixLen = 1)
+    val degenerate = Seq((0L, ""), (1L, "x")).toDF("qid", "text") // no 2-shingles
+    val out = model.approxNearestNeighborsAllIndexedPruned(
+      table, degenerate, "qid", "text", 5)
+    assert(out.count() == 0, "no signatures ⇒ no candidates ⇒ empty result")
+    model.releaseQueryCaches()
+    model.unpersist()
+  }
+
   test("batch serving excludes tombstoned ids before compaction") {
     import graft.operators.MinHashLSH
     val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
