@@ -101,7 +101,11 @@ object IndexStore {
     *
     * The layout (prefix width, bucket spec) comes from the table's own
     * meta file when it exists; `prefixLen` only seeds a table created by
-    * a first append (the streaming cold-create path).
+    * a first append (the streaming cold-create path). Hot-bucket stats
+    * are NOT refreshed per append (a per-micro-batch full-column
+    * aggregate would dominate streaming ingestion at scale) — the `_hot`
+    * list updates at the maintenance points, save and compact, so a
+    * bucket running hot mid-stream is capped at the next compaction.
     */
   def appendInverted(index: DataFrame, table: String, prefixLen: Int = 2): Unit = {
     val spark = index.sparkSession
