@@ -212,6 +212,15 @@ object IndexStore {
     * compaction (deduped to the max seq per id): they are the guard that
     * keeps an at-least-once redelivery of a pre-delete batch from
     * resurrecting the id.
+    *
+    * Concurrent readers: each directory flips old→new atomically
+    * (rename), but a query that LISTED a dirty directory before its swap
+    * can hit a deleted file and must retry — the layout bounds the blast
+    * radius to the dirty directories, it does not make compaction
+    * transactional. Operationally: run compaction in the ingestion pause
+    * between micro-batches (the gates' shape), or accept query retry
+    * during the swap window; on an object store the per-directory swap is
+    * the unit to make atomic.
     */
   def compactInverted(spark: SparkSession, table: String,
       seqCol: String = "ingest_seq"): Unit = {

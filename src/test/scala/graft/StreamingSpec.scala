@@ -372,4 +372,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch, "streaming with cross-batch state must equal batch")
     } finally q.stop()
   }
+
+  test("streamingIndexMaintenance: compacted state invariant to micro-batch boundaries") {
+    import graft.operators.MinHashLSH
+    import graft.sources.IndexStore
+    import org.apache.spark.sql.functions._
+    // the same event set — corpus upserts (seq 1), a correction re-ingest
+    // of the %5 slice (U seq 2), deletes of the %9==4 slice (D seq 2) —
+    // delivered as ONE file (single batch mixing U and D) and as THREE
+    // files must compact to the identical posting set, with the deleted
+    // ids gone: seqs ride in the data, so batch boundaries are invisible
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long").as(Cols.Id), col("text").as(Cols.Text))
+    val slices = Seq(
+      dd.select(col(Cols.Id), col(Cols.Text), lit("U").as("op"), lit(1L).as("ingest_seq")),
+      dd.where(col(Cols.Id) % 5 === 0)
+        .select(col(Cols.Id), concat(lit("revised "), col(Cols.Text)).as(Cols.Text),
+          lit("U").as("op"), lit(2L).as("ingest_seq")),
+      dd.where(col(Cols.Id) % 9 === 4 && col(Cols.Id) % 5 =!= 0)
+        .select(col(Cols.Id), col(Cols.Text), lit("D").as("op"), lit(2L).as("ingest_seq")))
+    def run(groups: Seq[org.apache.spark.sql.DataFrame], table: String): Set[(Long, String)] = {
+      IndexStore.reset(spark, table)
+      val in = java.nio.file.Files.createTempDirectory("idx-maint").toString
+      groups.zipWithIndex.foreach { case (g, i) =>
+        g.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(in)
+        new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+          .filter(_.lastModified() > 1700000000000L)
+          .foreach(_.setLastModified(1600000000000L + i * 60000L))
+      }
+      val schema = spark.read.parquet(in).schema
+      val q = graft.streaming.StreamingIndex.streamingIndexMaintenance(
+        spark, in, schema, cfg, table, idCol = Cols.Id, textCol = Cols.Text,
+        opCol = "op", prefixLen = 1)
+      try q.processAllAvailable() finally q.stop()
+      IndexStore.compactInverted(spark, table)
+      spark.table(table).where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+        .select(col(Cols.Id), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val oneBatch = run(Seq(slices.reduce(_ unionByName _)), "graft_maint_one")
+    val threeBatches = run(slices, "graft_maint_three")
+    assert(oneBatch == threeBatches,
+      "batch boundaries must not change the compacted posting set")
+    assert(oneBatch.nonEmpty)
+    val deleted = dd.where(col(Cols.Id) % 9 === 4 && col(Cols.Id) % 5 =!= 0)
+      .select(col(Cols.Id)).collect().map(_.getLong(0)).toSet
+    assert(oneBatch.forall { case (id, _) => !deleted.contains(id) },
+      "tombstoned ids must be gone from the compacted set")
+  }
 }
