@@ -315,6 +315,11 @@ object IndexStore {
     * parquet footer plus `bkt_pfx` as STRING — so hex prefixes like "00"
     * can't be inferred as INT 0 (which would break string prefix
     * pruning), without toggling any session-global inference conf.
+    * Caveat: the directory fallback serves POINT queries at full fidelity
+    * (partition pruning rides the explicit schema) but cannot expose a
+    * `numBuckets` table's file bucketing — exchange-free batch
+    * co-location needs a catalog entry, i.e. a persistent metastore in
+    * deployment (tools/derby_serving_drive{,2}.scala is that shape).
     */
   def loadInverted(spark: SparkSession, table: String): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
