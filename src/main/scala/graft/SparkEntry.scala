@@ -417,6 +417,24 @@ object SparkEntry {
     })
   }
 
+  /** A SEPARATE persisted IVF index for the vector-takedown gate — it
+    * mutates (delete markers + compaction), so it must never share
+    * [[ivfIndexFor]]'s directory that the loaded-replay gates replay.
+    */
+  private val ivfDelIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ivfDelIndexFor(s: SparkSession, d: String): String = {
+    ivfDelIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfDelIndexCache.remove)
+    ivfDelIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-ivf-del-index")
+      val m = SimSearch.trainIvf(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", nLists = 16, iters = 2)
+      m.save(dir)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -3012,6 +3030,29 @@ object SparkEntry {
         IvfModel.load(s, ivfIndexFor(s, d)),
         nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
         .orderBy("qid")),
+    "sim_recall_ivf_deleted" -> ((s, d) => {
+      // VECTOR-side takedown, mirroring ann_index_deleted: delete markers
+      // land beside the persisted IVF index ⇒ every loaded model excludes
+      // the ids immediately (broadcast anti-join above the cell-pruned
+      // scan); compactDeletes then physically drops their rows from ONLY
+      // the dirty cell directories. Both serving states must keep the
+      // recall floor vs brute-over-survivors AND return zero deleted ids
+      // (the explicit `clean` column — recall alone can't catch a failed
+      // exclusion since the brute baseline would include the ghosts too).
+      val dir = ivfDelIndexFor(s, d)
+      val del = tbl(s, d, "embeddings")
+        .where(col("vec_id") % 17 === 3).select(col("vec_id").cast("long").as("id"))
+      IvfModel.deleteVectors(s, dir, del)
+      val delIds = del.collect().map(_.getLong(0)).toSeq.sorted
+      def eval(stage: String): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
+          mustExclude = delIds)
+          .withColumn("stage", lit(stage))
+      val pre = eval("pre_compact").localCheckpoint()
+      IvfModel.compactDeletes(s, dir)
+      pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
+    }),
     "sim_recall_pq" -> ((s, d) =>
       // IVF-PQ (Jégou et al. 2011 IVFADC) quality gate, sim_recall_ivf
       // pattern: asymmetric-distance recall@10 vs exact brute force for 20
@@ -6864,6 +6905,15 @@ object SparkEntry {
     "sim_recall_ivf_loaded" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    // vector takedown: deleted queries vanish from the eval set, every
+    // surviving query keeps the floor and returns no deleted id, in both
+    // serving states (markers-only and compacted)
+    "sim_recall_ivf_deleted" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+             st.stage
+      FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      WHERE vec_id < 20 AND vec_id % 17 <> 3
+      ORDER BY st.stage, qid""",
     "sim_recall_pq" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",

@@ -535,8 +535,14 @@ object SimSearch {
     * [[pqRecallEvalFromModel]]: a persisted IVF index must answer
     * bit-identically to the session that trained it.
     */
+  /** `mustExclude`: when non-empty, an extra `clean` column asserts none
+    * of the served ids is on the list — the explicit takedown check (the
+    * recall column alone cannot catch a failed exclusion, because the
+    * brute baseline runs over the SAME assigned frame and would include
+    * the ghosts too).
+    */
   def ivfRecallEvalFromModel(model: IvfModel, nQueries: Int, k: Int,
-      nProbe: Int, recallFloor: Double): DataFrame = {
+      nProbe: Int, recallFloor: Double, mustExclude: Seq[Long] = Nil): DataFrame = {
     import graft.functions.ArrayKernels.dotProduct
     val nLists = model.centroids.length
     val base = model.assigned
@@ -560,10 +566,13 @@ object SimSearch {
       .select(col("qid"), transform(col("tk"), x => x.getField("id")).as(outCol))
     val ivf = topIds(base.join(broadcast(qp), Seq("cell")), "ivf_ids")
     val brute = topIds(base.crossJoin(broadcast(q)), "ids")
-    brute.join(ivf, Seq("qid"), "left")
-      .select(col("qid"),
-        (coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
-          .cast("double") / k >= recallFloor).as("recall_ok"))
+    val joined = brute.join(ivf, Seq("qid"), "left")
+    val recall = (coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
+      .cast("double") / k >= recallFloor).as("recall_ok")
+    if (mustExclude.isEmpty) joined.select(col("qid"), recall)
+    else joined.select(col("qid"), recall,
+      (!arrays_overlap(coalesce(col("ivf_ids"), array()),
+        typedlit(mustExclude))).as("clean"))
   }
 
   /** Ranking fidelity of int8 embedding quantization: recall@k of the
@@ -994,6 +1003,70 @@ object IvfModel {
     // type the in-memory model uses
     val assigned = spark.read.parquet(s"$dir/assigned")
       .withColumn("cell", col("cell").cast("int"))
-    IvfModel(centroids, assigned)
+    // the takedown side file, when present, excludes its ids from EVERY
+    // query the moment the marker lands — a broadcast anti-join above the
+    // cell-pruned scan (the marker set is takedown-sized by construction)
+    val delDir = deletedPath(spark, dir)
+    val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val live =
+      if (!fs.exists(delDir)) assigned
+      else assigned.join(
+        broadcast(spark.read.parquet(delDir.toString).select(col("id"))),
+        Seq("id"), "left_anti")
+    IvfModel(centroids, live)
   }
+
+  /** Append DELETE markers for `ids` to a [[IvfModel.save]]d index — the
+    * vector-side takedown path, mirroring the text index's
+    * [[graft.sources.IndexStore.appendTombstones]]: a real pipeline's
+    * removal request hits BOTH index families. [[load]] excludes marked
+    * ids immediately; [[compactDeletes]] is the maintenance step that
+    * physically drops their rows.
+    */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id"))
+      .repartition(1) // takedown batches are tiny; one marker file
+      .write.mode("append").parquet(deletedPath(spark, dir).toString)
+
+  /** Physically drop deleted vectors, PARTITION-SCOPED like
+    * [[graft.sources.IndexStore.compactInverted]]: only the cell
+    * directories holding ≥ 1 deleted row are rewritten (staged, then
+    * per-directory fs swap); clean cells stay byte-identical, and the
+    * marker file clears afterwards so [[load]]'s anti-join becomes a
+    * no-op. Queries answer identically before and after — compaction
+    * reclaims space, never changes results.
+    */
+  def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val delDir = deletedPath(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = delDir.getFileSystem(conf)
+    if (!fs.exists(delDir)) return
+    val deleted = spark.read.parquet(delDir.toString).select(col("id"))
+    val raw = spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast("int"))
+    // dirty = cells holding a deleted row; narrow columns only
+    val dirty = raw.select(col("id"), col("cell"))
+      .join(broadcast(deleted), Seq("id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    if (dirty.isEmpty) { fs.delete(delDir, true); return }
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/__compact_stage")
+    try {
+      raw.where(col("cell").isin(dirty.toSeq: _*))
+        .join(broadcast(deleted), Seq("id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+      dirty.foreach { c =>
+        val src = new org.apache.hadoop.fs.Path(stage, s"cell=$c")
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/assigned/cell=$c")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst) // absent ⇒ cell fully deleted
+      }
+    } finally fs.delete(stage, true)
+    fs.delete(delDir, true)
+  }
+
+  private def deletedPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/deleted")
 }

@@ -735,6 +735,47 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("IvfModel takedown: delete markers exclude immediately; compactDeletes is cell-scoped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val model = SimSearch.trainIvf(emb, "vec_id", "embedding", nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    model.save(dir)
+    val qv = emb.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val full = IvfModel.load(spark, dir)
+    val before = full.query(qv, k = 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    val victim = before.head // delete the top hit — its absence is visible
+    IvfModel.deleteVectors(spark, dir, Seq(victim).toDF("id"))
+    // markers-only state: every loaded model excludes the id already
+    val marked = IvfModel.load(spark, dir)
+    val preIds = marked.query(qv, k = 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(!preIds.contains(victim), "marker must exclude before compaction")
+    // cell-scoped compaction: untouched cells keep identical files
+    val victimCell = spark.read.parquet(s"$dir/assigned")
+      .where(col("id") === victim).select("cell").collect()(0).get(0).toString
+    def cellFiles(): Map[String, Map[String, Long]] =
+      new java.io.File(s"$dir/assigned").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    val beforeFiles = cellFiles()
+    IvfModel.compactDeletes(spark, dir)
+    val afterFiles = cellFiles()
+    val untouched = beforeFiles.keySet.filterNot(_ == s"cell=$victimCell")
+    untouched.foreach(c => assert(beforeFiles(c) == afterFiles(c),
+      s"clean cell $c must keep identical files"))
+    assert(beforeFiles(s"cell=$victimCell") != afterFiles(s"cell=$victimCell"),
+      "the victim's cell must be rewritten")
+    // marker gone, rows gone, query identical to the markers-only state
+    assert(!new java.io.File(s"$dir/deleted").exists(), "marker clears after compaction")
+    val compacted = IvfModel.load(spark, dir)
+    assert(spark.read.parquet(s"$dir/assigned").where(col("id") === victim).count() == 0)
+    val postIds = compacted.query(qv, k = 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(postIds == preIds, "compaction must never change the answer")
+    model.unpersist()
+  }
+
   test("queryFiltered: predicate inside cells BEFORE ranking; post-filter would under-retrieve") {
     // query points along +x; ids 1-3 (label A) are the nearest overall,
     // ids 4-5 (label B) sit further off-axis: the unfiltered top-2 is all
