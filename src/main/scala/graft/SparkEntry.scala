@@ -417,6 +417,24 @@ object SparkEntry {
     })
   }
 
+  /** A SEPARATE persisted IVF-PQ index for the PQ-takedown gate (the
+    * [[ivfDelIndexFor]] rationale: it mutates, so it never shares
+    * [[pqIndexFor]]'s replayed directory).
+    */
+  private val pqDelIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def pqDelIndexFor(s: SparkSession, d: String): String = {
+    pqDelIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(pqDelIndexCache.remove)
+    pqDelIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-pq-del-index")
+      val m = SimSearch.trainIvfPq(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", nLists = 16, m = 16, ks = 64)
+      m.save(dir)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** A SEPARATE persisted IVF index for the vector-takedown gate — it
     * mutates (delete markers + compaction), so it must never share
     * [[ivfIndexFor]]'s directory that the loaded-replay gates replay.
@@ -3066,6 +3084,26 @@ object SparkEntry {
         nQueries = 20, k = 10, nLists = 16, nProbe = 12, m = 16, ks = 64,
         recallFloor = 0.3)
         .orderBy("qid")),
+    "sim_recall_pq_deleted" -> ((s, d) => {
+      // PQ takedown: ONE marker beside the coarse quantizer governs both
+      // persisted tables (assigned + encoded) — load excludes immediately,
+      // compactDeletes scrubs only the dirty cell directories of EACH.
+      // Same contract as sim_recall_ivf_deleted: recall floor vs
+      // brute-over-survivors + explicit clean, in both serving states.
+      val dir = pqDelIndexFor(s, d)
+      val del = tbl(s, d, "embeddings")
+        .where(col("vec_id") % 17 === 3).select(col("vec_id").cast("long").as("id"))
+      PqModel.deleteVectors(s, dir, del)
+      val delIds = del.collect().map(_.getLong(0)).toSeq.sorted
+      def eval(stage: String): DataFrame =
+        SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.3,
+          mustExclude = delIds)
+          .withColumn("stage", lit(stage))
+      val pre = eval("pre_compact").localCheckpoint()
+      PqModel.compactDeletes(s, dir)
+      pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
+    }),
     "sim_recall_pq_loaded" -> ((s, d) => {
       // the PERSISTED IVF-PQ index replayed from disk (PqModel.save/load):
       // a trained product quantizer is rebuild-hostile at exactly the scale
@@ -6909,6 +6947,13 @@ object SparkEntry {
     // surviving query keeps the floor and returns no deleted id, in both
     // serving states (markers-only and compacted)
     "sim_recall_ivf_deleted" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+             st.stage
+      FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      WHERE vec_id < 20 AND vec_id % 17 <> 3
+      ORDER BY st.stage, qid""",
+    // the PQ family shares the takedown contract verbatim
+    "sim_recall_pq_deleted" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
              st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)

@@ -715,8 +715,12 @@ object SimSearch {
     * bit-identically to the session that trained it (codebooks, centroids
     * and codes round-trip parquet exactly; doubles are IEEE-preserved).
     */
+  /** `mustExclude`: when non-empty, adds the explicit takedown `clean`
+    * column ([[ivfRecallEvalFromModel]]'s contract — recall alone cannot
+    * catch a failed exclusion).
+    */
   def pqRecallEvalFromModel(model: PqModel, nQueries: Int, k: Int,
-      nProbe: Int, recallFloor: Double): DataFrame = {
+      nProbe: Int, recallFloor: Double, mustExclude: Seq[Long] = Nil): DataFrame = {
     import graft.functions.ArrayKernels.dotProduct
     import graft.functions.TopKAgg
     val m = model.codebooks.length
@@ -748,10 +752,13 @@ object SimSearch {
       .select(col("qid"), col("id"), V.cosine(col("v"), col("qv")).as("c"))
       .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
       .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("ids"))
-    brute.join(pq, Seq("qid"), "left")
-      .select(col("qid"),
-        (coalesce(size(array_intersect(col("pq_ids"), col("ids"))), lit(0))
-          .cast("double") / k >= recallFloor).as("recall_ok"))
+    val joined = brute.join(pq, Seq("qid"), "left")
+    val recall = (coalesce(size(array_intersect(col("pq_ids"), col("ids"))), lit(0))
+      .cast("double") / k >= recallFloor).as("recall_ok")
+    if (mustExclude.isEmpty) joined.select(col("qid"), recall)
+    else joined.select(col("qid"), recall,
+      (!arrays_overlap(coalesce(col("pq_ids"), array()),
+        typedlit(mustExclude))).as("clean"))
   }
 
   /** FROZEN-model encode of NEW vectors — the index-maintenance path of a
@@ -916,9 +923,39 @@ object PqModel {
     val subDim = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
     // partition column returns as the pruning key; cast pins the int type
     // the in-memory model uses (the IvfModel.load convention)
-    val encoded = spark.read.parquet(s"$dir/encoded")
+    val raw = spark.read.parquet(s"$dir/encoded")
       .withColumn("cell", col("cell").cast("int"))
+    // one takedown marker governs BOTH tables: IvfModel.load already
+    // excluded the assigned side; mirror it on the encoded side
+    val delDir = IvfModel.deletedPath(spark, s"$dir/ivf")
+    val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val encoded =
+      if (!fs.exists(delDir)) raw
+      else raw.join(
+        broadcast(spark.read.parquet(delDir.toString).select(col("id"))),
+        Seq("id"), "left_anti")
     PqModel(ivf, codebooks, subDim, encoded)
+  }
+
+  /** Vector takedown for a persisted IVF-PQ index — one marker beside the
+    * coarse quantizer governs both its tables ([[load]] excludes the ids
+    * from the assigned AND encoded sides immediately).
+    */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame): Unit =
+    IvfModel.deleteVectors(spark, s"$dir/ivf", ids)
+
+  /** Physically drop deleted vectors from BOTH cell-partitioned tables,
+    * cell-scoped ([[IvfModel.scrubCellTable]]); the encoded side scrubs
+    * first because the IVF pass clears the shared marker.
+    */
+  def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val delDir = IvfModel.deletedPath(spark, s"$dir/ivf")
+    val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(delDir)) return
+    IvfModel.scrubCellTable(spark, s"$dir/encoded",
+      spark.read.parquet(delDir.toString).select(col("id")))
+    IvfModel.compactDeletes(spark, s"$dir/ivf")
   }
 }
 
@@ -1039,18 +1076,29 @@ object IvfModel {
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val delDir = deletedPath(spark, dir)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = delDir.getFileSystem(conf)
+    val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
     val deleted = spark.read.parquet(delDir.toString).select(col("id"))
-    val raw = spark.read.parquet(s"$dir/assigned")
+    scrubCellTable(spark, s"$dir/assigned", deleted)
+    fs.delete(delDir, true)
+  }
+
+  /** Rewrite ONLY the `cell=` directories of a cell-partitioned table that
+    * hold ≥ 1 row of `deleted` ids — the shared scrub of the IVF and PQ
+    * takedown paths (a PqModel carries TWO such tables off one marker).
+    */
+  private[operators] def scrubCellTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, deleted: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val raw = spark.read.parquet(tableDir)
       .withColumn("cell", col("cell").cast("int"))
     // dirty = cells holding a deleted row; narrow columns only
     val dirty = raw.select(col("id"), col("cell"))
       .join(broadcast(deleted), Seq("id"), "left_semi")
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
-    if (dirty.isEmpty) { fs.delete(delDir, true); return }
-    val stage = new org.apache.hadoop.fs.Path(s"$dir/__compact_stage")
+    if (dirty.isEmpty) return
+    val stage = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_stage")
     try {
       raw.where(col("cell").isin(dirty.toSeq: _*))
         .join(broadcast(deleted), Seq("id"), "left_anti")
@@ -1058,15 +1106,14 @@ object IvfModel {
         .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
       dirty.foreach { c =>
         val src = new org.apache.hadoop.fs.Path(stage, s"cell=$c")
-        val dst = new org.apache.hadoop.fs.Path(s"$dir/assigned/cell=$c")
+        val dst = new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c")
         fs.delete(dst, true)
         if (fs.exists(src)) fs.rename(src, dst) // absent ⇒ cell fully deleted
       }
     } finally fs.delete(stage, true)
-    fs.delete(delDir, true)
   }
 
-  private def deletedPath(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def deletedPath(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/deleted")
 }
