@@ -776,6 +776,39 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("PqModel takedown: one marker scrubs BOTH tables; eval invariant across compaction") {
+    val spark2 = spark
+    import spark2.implicits._
+    val model = SimSearch.trainIvfPq(emb, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq-del").toString
+    model.save(dir)
+    val victims = Seq(3L, 7L)
+    PqModel.deleteVectors(spark, dir, victims.toDF("id"))
+    // markers-only: BOTH loaded tables exclude the ids already
+    val marked = PqModel.load(spark, dir)
+    assert(marked.ivf.assigned.where(col("id").isin(victims: _*)).count() == 0,
+      "assigned side must exclude marked ids pre-compaction")
+    assert(marked.encoded.where(col("id").isin(victims: _*)).count() == 0,
+      "encoded side must exclude marked ids pre-compaction")
+    val preEval = SimSearch.pqRecallEvalFromModel(marked,
+      nQueries = 5, k = 10, nProbe = 3, recallFloor = 0.3, mustExclude = victims)
+      .orderBy("qid").collect().toSeq
+    assert(preEval.forall(_.getBoolean(2)), "clean column must hold pre-compaction")
+    PqModel.compactDeletes(spark, dir)
+    // rows physically gone from BOTH raw tables, marker cleared
+    assert(spark.read.parquet(s"$dir/ivf/assigned")
+      .where(col("id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$dir/encoded")
+      .where(col("id").isin(victims: _*)).count() == 0)
+    assert(!new java.io.File(s"$dir/ivf/deleted").exists())
+    val postEval = SimSearch.pqRecallEvalFromModel(PqModel.load(spark, dir),
+      nQueries = 5, k = 10, nProbe = 3, recallFloor = 0.3, mustExclude = victims)
+      .orderBy("qid").collect().toSeq
+    assert(postEval == preEval, "compaction must never change the eval")
+    model.unpersist()
+  }
+
   test("queryFiltered: predicate inside cells BEFORE ranking; post-filter would under-retrieve") {
     // query points along +x; ids 1-3 (label A) are the nearest overall,
     // ids 4-5 (label B) sit further off-axis: the unfiltered top-2 is all
