@@ -1968,6 +1968,65 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
+    "ann_batch_colocated_deleted" -> ((s, d) => {
+      // the FULL maintenance lifecycle on the co-located (file-bucketed)
+      // layout — the round-14 weak finding: tombstones and the compaction
+      // rewrite must PRESERVE the bucket spec (spec-less files would fail
+      // catalog reads or silently break the exchange-free join the layout
+      // exists for). Build the numBuckets=32 posting table, delete the
+      // planted near-dup family (50, 82) plus the %11==6 slice, then the
+      // batch serve must equal a fresh build over corpus-minus-deleted in
+      // BOTH serving states (markers-only and physically compacted); the
+      // 0-Exchange posting-side plan surviving compaction is asserted in
+      // PlanPropertiesSpec.
+      val table = "graft_ann_colodel_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(s, _))
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      val ix = new MinHashLSH(cfg16).featurize(dd, Cols.Id, Cols.Text, None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(1L))
+      IndexStore.saveInverted(ix, table, prefixLen = 1, numBuckets = 32)
+      IndexStore.appendTombstones(s, table,
+        dd.where(col(Cols.Id) % 11 === 6 || col(Cols.Id).isin(50L, 82L))
+          .select(col(Cols.Id)), seq = 2L)
+      val m = fitted(s, d, cfg16)
+      val qs = docs(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("text"))
+      def serve(stage: String): DataFrame =
+        m.approxNearestNeighborsAllIndexed(table, qs, "qid", "text", 5)
+          .select(col("qid"), col(Cols.Id).as("id"), col(Cols.Jaccard),
+            col("rank").cast("long").as("rank"), lit(stage).as("stage"))
+      val pre = serve("pre_compact").localCheckpoint()
+      IndexStore.compactInverted(s, table)
+      pre.unionByName(serve("post_compact"))
+        .orderBy(col("stage"), col("qid"), col("rank"))
+    }),
+    "ann_batch_hotcap" -> ((s, d) => {
+      // the batch-side hot-bucket occupancy cap (the point path's policy
+      // extended to workloads, behind the skipHotBuckets knob): against
+      // the planted boiler corpus the capped batch serve must keep the
+      // recall floor vs its own uncapped twin — boiler queries (every
+      // bucket hot) fall back to their full probe set, mixed queries
+      // trade the stop-word bucket's candidates for bounded read cost
+      // (bytes evidence: tools/hot_batch_ladder.scala).
+      val (table, planted) = hotskipIndexFor(s, d)
+      val m = fitted(s, d, cfg16)
+      val qs = planted.where(col(Cols.Id) < 20)
+        .select(col(Cols.Id).as("qid"), col(Cols.Text).as("text"))
+      val k = 5
+      def topIds(skip: Boolean, outCol: String): DataFrame =
+        m.approxNearestNeighborsAllIndexed(table, qs, "qid", "text", k,
+            skipHotBuckets = skip)
+          .groupBy("qid").agg(collect_list(col(Cols.Id)).as(outCol))
+      topIds(skip = false, "full_ids")
+        .join(topIds(skip = true, "cap_ids"), Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(size(array_intersect(col("cap_ids"), col("full_ids"))),
+            lit(0)).cast("double") / k >= 0.4).as("recall_ok"))
+        .orderBy("qid")
+    }),
     "stream_takedown_real" -> ((s, d) => {
       // STREAMING twin of pipeline_cdc_index: the SAME change events —
       // full corpus (U seq 1), the %5 revision (U seq 2), the %9==4
@@ -7881,6 +7940,40 @@ object SparkEntry {
       SELECT t.doc_id, t.text, t.jaccard, st.stage
       FROM topk t CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       ORDER BY st.stage, t.jaccard DESC, t.doc_id""",
+    // co-located-layout takedown: fresh MinHash batch replay with the
+    // deleted ids filtered from the INDEX side only (they still query);
+    // both serving states must produce the identical top-5 per query, so
+    // the oracle emits each row under both stage tags. The featurize
+    // pipeline is per-row, so signatures over the full table restricted
+    // to survivors equal signatures over the survivor corpus.
+    "ann_batch_colocated_deleted" -> s"""
+      WITH ${docCtes(cfg16)},
+      live AS (SELECT doc_id FROM documents
+               WHERE doc_id % 11 <> 6 AND doc_id NOT IN (50, 82)),
+      qf AS (SELECT s.doc_id AS qid, s.signature AS q_sig, b.bucket_ids AS q_buckets
+             FROM sig s JOIN buck b USING (doc_id) WHERE s.doc_id < 20),
+      pairs AS (
+        SELECT q.qid, s.doc_id AS id, q.q_sig, s.signature
+        FROM qf q, buck b JOIN sig s USING (doc_id) JOIN live USING (doc_id)
+        WHERE list_has_any(b.bucket_ids, q.q_buckets)),
+      scored AS (
+        SELECT qid, id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> signature[i] = q_sig[i])) AS DOUBLE)
+            / least(len(signature), len(q_sig)) AS FLOAT4) AS jaccard
+        FROM pairs),
+      ranked AS (
+        SELECT qid, id, jaccard,
+          row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, id) AS rank
+        FROM scored)
+      SELECT qid, id, jaccard, rank, st.stage
+      FROM ranked CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      WHERE rank <= 5 ORDER BY st.stage, qid, rank""",
+    // the batch hot-cap keeps the recall floor per query vs its uncapped
+    // twin (capped candidates are engine-policy-internal; the floor
+    // boolean is the oracle-checkable claim, the sim_recall_* pattern)
+    "ann_batch_hotcap" -> """
+      SELECT CAST(doc_id AS BIGINT) AS qid, true AS recall_ok
+      FROM documents WHERE doc_id < 20 ORDER BY qid""",
     // hot-bucket serving policy, mirrored end to end: plant the boiler
     // corpus, count per-bucket occupancy, skip query buckets above the
     // N/10 threshold (falling back to all when every bucket is hot), and

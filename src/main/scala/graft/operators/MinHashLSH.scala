@@ -291,16 +291,31 @@ final class MinHashLSHModel private[operators] (
     * Maintenance semantics: tombstoned ids ([[graft.sources.IndexStore
     * .appendTombstones]]) are excluded exactly, even before compaction —
     * each posting row survives only if its seq outranks the id's newest
-    * delete marker (the marker partition is tiny: broadcast join).
-    * Superseded postings of a RE-INGESTED id are exact only after
-    * [[graft.sources.IndexStore.compactInverted]], matching the batch
-    * path's bulk-workload role; the point path serves the newest matched
-    * posting per id pre-compaction (serveFromInverted scaladoc).
+    * delete marker (the marker partition is tiny: broadcast join). For a
+    * RE-INGESTED id pre-compaction, the NEWEST matched posting scores per
+    * (query, id) — the point path's winner rule (a stale version can
+    * still surface if ONLY it shares a query bucket, until
+    * [[graft.sources.IndexStore.compactInverted]] drops it — the same
+    * documented transient window as serveFromInverted).
+    *
+    * `skipHotBuckets` extends the point path's hot-bucket occupancy cap
+    * to the batch workload ([[MinHashLSH.hotCapQueryBuckets]]): capped
+    * query buckets never join, trading bounded recall (measured on the
+    * planted boiler corpus — tools/hot_batch_ladder.scala) for freedom
+    * from the stop-word bucket's quadratic pairing. Default OFF: the
+    * uncapped form is the recall-exact contract.
     */
   def approxNearestNeighborsAllIndexed(table: String, queries: DataFrame,
-      qidCol: String, textCol: String, n: Int): DataFrame =
-    batchAnnAgainst(explodedQueryFeatures(queries, qidCol, textCol),
-      MinHashLSH.livePostings(spark, table), n)
+      qidCol: String, textCol: String, n: Int,
+      skipHotBuckets: Boolean = false): DataFrame = {
+    val qf = explodedQueryFeatures(queries, qidCol, textCol)
+    val capped =
+      if (skipHotBuckets)
+        MinHashLSH.hotCapQueryBuckets(qf,
+          graft.sources.IndexStore.hotBuckets(spark, table))
+      else qf
+    batchAnnAgainst(capped, MinHashLSH.livePostings(spark, table), n)
+  }
 
   /** [[approxNearestNeighborsAllIndexed]] for SMALL batches: collect the
     * workload's band buckets (bounded: ≤ nQueries × numBands strings —
@@ -314,20 +329,40 @@ final class MinHashLSHModel private[operators] (
     * pruned scan keeps every posting the join could match).
     */
   def approxNearestNeighborsAllIndexedPruned(table: String, queries: DataFrame,
-      qidCol: String, textCol: String, n: Int): DataFrame = {
+      qidCol: String, textCol: String, n: Int,
+      skipHotBuckets: Boolean = false): DataFrame = {
     import graft.sources.IndexStore
     val qf = explodedQueryFeatures(queries, qidCol, textCol)
     val meta = IndexStore.invertedMeta(spark, table)
-    val qBuckets = qf.select(col("bucket")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (qBuckets.isEmpty)
+    val pairs = qf.select(col("qid"), col("bucket")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    if (pairs.isEmpty)
       return qf.limit(0).select(col("qid"), col("qid").as(Cols.Id),
         lit(null).cast("float").as(Cols.Jaccard), lit(0).cast("int").as("rank"))
+    // HOT-CAP composition (skipHotBuckets): the probe set is already on
+    // the driver, so the point path's policy applies per query verbatim —
+    // drop each query's over-occupied buckets (they never enter the probe
+    // literals, so their postings are never READ, not merely unmatched),
+    // falling back to the full set for a query whose every bucket is hot.
+    val hot = if (skipHotBuckets) IndexStore.hotBuckets(spark, table)
+              else Set.empty[String]
+    val (qServe, served) =
+      if (hot.isEmpty) (qf, pairs)
+      else {
+        val capped = pairs.groupBy(_._1).toSeq.flatMap { case (_, bs) =>
+          val live = bs.filterNot(p => hot(p._2)); if (live.isEmpty) bs else live
+        }
+        val spark2 = spark
+        import spark2.implicits._
+        val keep = broadcast(capped.toDF("qid", "bucket"))
+        (qf.join(keep, Seq("qid", "bucket"), "left_semi"), capped)
+      }
+    val qBuckets = served.map(_._2).distinct
     val prefixes = qBuckets
       .map(b => b.substring(0, math.min(meta.prefixLen, b.length))).distinct
     val pruned = MinHashLSH.livePostings(spark, table,
       Some((prefixes, qBuckets)))
-    batchAnnAgainst(qf, pruned, n)
+    batchAnnAgainst(qServe, pruned, n)
   }
 
   /** Shared batch-ANN tail over an exploded (qid, q_sig, bucket) workload
@@ -342,10 +377,25 @@ final class MinHashLSHModel private[operators] (
     // qid, the heap aggregate reduces each map partition to ≤ n rows per
     // qid before the exchange (same deterministic (jaccard desc, id asc)
     // order — ties pinned by id; TopKAgg scaladoc)
-    qf.join(ix, Seq("bucket"))
-      .select(col("qid"), col(Cols.Id),
-        H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
-      .dropDuplicates("qid", Cols.Id)
+    val matched = qf.join(ix, Seq("bucket"))
+    val perId =
+      if (ix.columns.contains("ingest_seq"))
+        // seq-carrying posting side (a maintained table PRE-compaction may
+        // hold several versions of an id): the NEWEST matched posting
+        // scores, mirroring serveFromInverted's winner rule — an arbitrary
+        // dropDuplicates pick would flip the served jaccard between runs
+        // for a re-ingested id. Ties (one version matched via several
+        // bands) share one signature, so the score is identical.
+        matched.select(col("qid"), col(Cols.Id),
+            H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard),
+            col("ingest_seq"))
+          .groupBy("qid", Cols.Id)
+          .agg(max_by(col(Cols.Jaccard), col("ingest_seq")).as(Cols.Jaccard))
+      else
+        matched.select(col("qid"), col(Cols.Id),
+            H.signatureJaccard(col(Cols.Signature), col("q_sig")).as(Cols.Jaccard))
+          .dropDuplicates("qid", Cols.Id)
+    perId
       .groupBy("qid")
       .agg(graft.functions.TopKAgg.topK(col(Cols.Jaccard), col(Cols.Id), n).as("__topk"))
       .select(col("qid"), posexplode(col("__topk")).as(Seq("__r0", "__e")))
@@ -540,6 +590,27 @@ object MinHashLSH {
       col(textCol).as(Cols.Text))
     serveFromInverted(spark, table, base, qf, n)
   }
+
+  /** The batch form of the point path's hot-bucket policy: drop each
+    * query's buckets that sit on the table's over-occupied `_hot` list —
+    * a stop-word-like bucket would pair EVERY query in the workload with
+    * its entire (huge) posting list, and skipping it only sharpens
+    * precision — with the same per-query fallback (a query whose every
+    * bucket is hot keeps its full set: an empty answer serves nobody).
+    * The hot list is bounded (the over-threshold tail), so both the
+    * isin literal and the fallback anti-join stay driver-cheap; `qf` is
+    * backed by the persisted query-feature cache, so the double
+    * reference costs no recompute.
+    */
+  private[operators] def hotCapQueryBuckets(qf: DataFrame,
+      hot: Set[String]): DataFrame =
+    if (hot.isEmpty) qf
+    else {
+      val live = qf.where(!col("bucket").isin(hot.toSeq: _*))
+      val fallback = qf.join(live.select(col("qid")).distinct(),
+        Seq("qid"), "left_anti")
+      live.unionByName(fallback)
+    }
 
   /** The queryable posting rows of an inverted table: every data posting
     * (tombstone markers excluded by partition value) whose seq outranks

@@ -21,6 +21,40 @@ object IndexStore {
     */
   val TombstonePrefix = "zz"
 
+  /** Directory-swap strategies for partition-scoped compaction.
+    *
+    * `SwapRename` (default): per-directory rename-aside protocol — the
+    * live directory renames ASIDE (never deleted first), the staged one
+    * renames in, and the aside copies drop only after EVERY dirty
+    * directory swapped. Any crash leaves a recoverable copy (aside or
+    * stage); [[compactInverted]] self-recovers at its next run. Assumes
+    * atomic directory rename (HDFS, local, ABFS) — NOT S3.
+    *
+    * `SwapManifest`: the object-store-safe mode — data files NEVER move.
+    * The compacted slice is written once into a fresh hidden generation
+    * directory (`_gen-N/` under the table dir) and each dirty partition's
+    * catalog entry flips to its new location (`ALTER TABLE .. PARTITION ..
+    * SET LOCATION` — one metadata operation per partition; the catalog IS
+    * the manifest). A reader resolves either the old or the new complete
+    * location, never a half-swapped directory, and in-flight readers that
+    * resolved the old generation keep a complete copy until the NEXT
+    * compaction garbage-collects it (two-generation retention). Requires a
+    * catalog that persists partition metadata (the deployment shape —
+    * tools/derby_serving_drive.scala); the catalog-less cold-start
+    * directory fallback of [[loadInverted]] cannot see relocated
+    * partitions and refuses manifest tables.
+    */
+  val SwapRename = "rename"
+  val SwapManifest = "manifest"
+
+  /** Hash-partition count of the maintenance id-map ([[appendInverted]]
+    * scaladoc): bounds the per-compaction decision read to
+    * (touched partitions / 64) of the narrow id-map instead of a full
+    * table scan. 64 keeps directories file-system-cheap while a small
+    * delta touches only a handful.
+    */
+  val IdMapBuckets = 64
+
   /** Layout metadata persisted WITH an inverted posting table (a
     * `_graft_meta.json` file inside the table directory — underscore
     * names are invisible to the table's own file listing, and the file
@@ -29,9 +63,13 @@ object IndexStore {
     * serve-time callers: a mismatched serve-side prefix probes partition
     * values that do not exist and silently returns empty results.
     * `hotThreshold` < 0 means no hot-bucket stats are maintained;
-    * `numBuckets` 0 means the posting files are not bucketed.
+    * `numBuckets` 0 means the posting files are not bucketed; `swap`
+    * names the compaction swap strategy ([[SwapRename]]/[[SwapManifest]])
+    * — a table property, not a per-call choice, because mixing protocols
+    * on one table would leave both aside dirs and orphaned generations.
     */
-  final case class InvertedMeta(prefixLen: Int, hotThreshold: Long, numBuckets: Int)
+  final case class InvertedMeta(prefixLen: Int, hotThreshold: Long,
+      numBuckets: Int, swap: String = SwapRename)
 
   /** Write a DataFrame bucketed + sorted by `id` as a managed table. */
   def saveBucketed(df: DataFrame, table: String, buckets: Int): Unit =
@@ -80,14 +118,29 @@ object IndexStore {
     * query buckets against the table then plans with NO Exchange on the
     * posting side — the scan's own hash partitioning satisfies the join
     * (the query side alone shuffles, and a workload is always the small
-    * side against a 100 TB index).
+    * side against a 100 TB index). Maintenance preserves the spec:
+    * tombstone appends and compaction rewrites carry the same bucketing,
+    * so the exchange-free property survives the table's whole lifecycle.
+    *
+    * Seq-carrying tables (an `ingest_seq` column — the maintained serving
+    * shape) additionally seed the maintenance side state: a hidden
+    * `_graft_idmap/` narrow mirror hash-partitioned by id (so compaction
+    * can find a re-ingested id's OLD postings without scanning the table)
+    * and an empty `_graft_dirtylog/` (each later append records its
+    * (id, seq) delta there; the compaction decision reads the log + the
+    * touched id-map partitions only — O(delta), not O(table)). The save
+    * contract for these tables is ONE seq per id; supersession enters via
+    * appends.
     */
   def saveInverted(index: DataFrame, table: String, prefixLen: Int = 2,
-      hotBucketThreshold: Long = -1L, numBuckets: Int = 0): Unit = {
+      hotBucketThreshold: Long = -1L, numBuckets: Int = 0,
+      swapMode: String = SwapRename): Unit = {
+    val spark = index.sparkSession
     writeInverted(index, table, prefixLen, SaveMode.Overwrite, numBuckets)
-    writeMeta(index.sparkSession, table,
-      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets))
-    refreshHotStats(index.sparkSession, table)
+    writeMeta(spark, table,
+      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode))
+    if (index.columns.contains("ingest_seq")) seedIdMap(spark, table)
+    refreshHotStats(spark, table)
   }
 
   /** Append a micro-batch of (re-)ingested documents to an inverted
@@ -99,20 +152,59 @@ object IndexStore {
     * re-ingested), so appends leave stale postings behind by design and
     * [[compactInverted]] is the maintenance step that drops them.
     *
-    * The layout (prefix width, bucket spec) comes from the table's own
-    * meta file when it exists; `prefixLen` only seeds a table created by
-    * a first append (the streaming cold-create path). Hot-bucket stats
-    * are NOT refreshed per append (a per-micro-batch full-column
+    * The layout (prefix width, bucket spec, swap mode) comes from the
+    * table's own meta file when it exists; the `seed*` parameters only
+    * apply to a table CREATED by this first append (the streaming
+    * cold-create path), so a stream can cold-create the co-located
+    * (`seedNumBuckets` > 0) layout without a batch save first. Hot-bucket
+    * stats are NOT refreshed per append (a per-micro-batch full-column
     * aggregate would dominate streaming ingestion at scale) — the `_hot`
     * list updates at the maintenance points, save and compact, so a
     * bucket running hot mid-stream is capped at the next compaction.
+    *
+    * Maintenance side state: a seq-carrying append also records its
+    * narrow delta — (id, seq) into the `_graft_dirtylog/` and the
+    * exploded (id, seq, bucket, prefix) rows into the id-hash-partitioned
+    * `_graft_idmap/` — two delta-sized writes that make the next
+    * compaction's decision pass O(delta) (see [[compactInverted]]). A
+    * legacy table with no id-map stays legacy (full-scan decisions);
+    * logging a partial history would be worse than none. The three writes
+    * (table, id-map, log) are not atomic: a crashed append must be
+    * REPLAYED whole — the at-least-once contract every streaming caller
+    * already has — and the replay's duplicate copies collapse at the next
+    * compaction like any redelivery.
     */
-  def appendInverted(index: DataFrame, table: String, prefixLen: Int = 2): Unit = {
+  def appendInverted(index: DataFrame, table: String, prefixLen: Int = 2,
+      seedHotThreshold: Long = -1L, seedNumBuckets: Int = 0,
+      seedSwapMode: String = SwapRename): Unit = {
     val spark = index.sparkSession
     val meta = readMeta(spark, table)
-    val m = meta.getOrElse(InvertedMeta(prefixLen, -1L, 0))
-    writeInverted(index, table, m.prefixLen, SaveMode.Append, m.numBuckets)
-    if (meta.isEmpty) writeMeta(spark, table, m)
+    val m = meta.getOrElse(
+      InvertedMeta(prefixLen, seedHotThreshold, seedNumBuckets, seedSwapMode))
+    val hasSeq = index.columns.contains("ingest_seq")
+    val idx = if (hasSeq) index.cache() else index
+    try {
+      writeInverted(idx, table, m.prefixLen, SaveMode.Append, m.numBuckets)
+      if (meta.isEmpty) {
+        writeMeta(spark, table, m)
+        // first append CREATED the table. Unlike a save (contract: one
+        // seq per id), one append batch can carry supersession WITHIN
+        // itself (a micro-batch holding both an ingest and its
+        // correction), so the cold-create append both seeds the id-map
+        // and logs itself as a dirty delta. The explicit mkdirs marks the
+        // table as maintained even when the seeding batch is EMPTY (the
+        // delete-only streaming cold start) — an empty write may emit no
+        // files, and existence is what later appends key their logging on.
+        if (hasSeq) {
+          fsOf(spark, table).mkdirs(idMapPath(spark, table))
+          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen))
+        }
+      } else if (hasSeq) {
+        val fs = fsOf(spark, table)
+        if (fs.exists(idMapPath(spark, table)))
+          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen))
+      }
+    } finally if (hasSeq) { idx.unpersist(); () }
   }
 
   /** Append DELETE markers (tombstones) for `ids` — the takedown path
@@ -140,7 +232,10 @@ object IndexStore {
   /** [[appendTombstones]] with DATA-BORNE sequences: `rows` carries
     * (id, ingest_seq) — the streaming-feed shape, where each delete event
     * arrives with its own position in the change order and micro-batch
-    * boundaries must not flatten distinct seqs onto one.
+    * boundaries must not flatten distinct seqs onto one. On a
+    * `numBuckets` > 0 table the marker append carries the same bucket
+    * spec (saveAsTable rejects a spec-less append to a bucketed table,
+    * and a spec-less file would break the co-located read).
     */
   def appendTombstoneRows(spark: SparkSession, table: String,
       rows: DataFrame): Unit = {
@@ -148,19 +243,28 @@ object IndexStore {
     val cur = spark.table(table)
     require(cur.columns.contains("ingest_seq"),
       s"tombstones need the append-sequence column 'ingest_seq' in $table")
+    val numBuckets = readMeta(spark, table).map(_.numBuckets).getOrElse(0)
     val sigType = cur.schema(Cols.Signature).dataType
     val bktType = cur.schema("bucket").dataType
-    rows
+    val markers = rows
       .select(col(Cols.Id).cast("long").as(Cols.Id),
         lit(null).cast(sigType).as(Cols.Signature),
         lit(null).cast(bktType).as("bucket"),
         col("ingest_seq").cast("long").as("ingest_seq"),
         lit(TombstonePrefix).as("bkt_pfx"))
       .repartition(1) // a takedown batch is tiny; one file in the marker dir
-      .write.mode(SaveMode.Append)
-      .partitionBy("bkt_pfx")
-      .format("parquet")
-      .saveAsTable(table)
+      .cache()
+    try {
+      val w = markers.write.mode(SaveMode.Append)
+        .partitionBy("bkt_pfx")
+        .format("parquet")
+      (if (numBuckets > 0) w.bucketBy(numBuckets, "bucket").sortBy("bucket") else w)
+        .saveAsTable(table)
+      if (fsOf(spark, table).exists(idMapPath(spark, table)))
+        appendMaintLog(spark, table,
+          markers.select(col(Cols.Id), col("ingest_seq"), col("bucket"),
+            col("bkt_pfx")))
+    } finally { markers.unpersist(); () }
   }
 
   private def writeInverted(index: DataFrame, table: String, prefixLen: Int,
@@ -182,6 +286,56 @@ object IndexStore {
       .saveAsTable(table)
   }
 
+  /** The narrow (id, seq, bucket, prefix) projection of an index frame —
+    * the id-map/dirty-log row shape of [[appendInverted]]'s delta.
+    */
+  private def explodedNarrow(index: DataFrame, prefixLen: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    index.where(col(Cols.Signature).isNotNull)
+      .select(col(Cols.Id), col("ingest_seq"),
+        explode(col(Cols.BucketIds)).as("bucket"))
+      .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
+  }
+
+  /** (Re-)seed the maintenance id-map from the table itself: the complete
+    * narrow posting history, hash-partitioned by id so a later compaction
+    * can read ONLY the partitions its delta ids hash into. One columnar
+    * narrow read of the table — paid at save time, when an O(table) write
+    * just happened anyway.
+    */
+  private def seedIdMap(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = idMapPath(spark, table)
+    fsOf(spark, table).delete(dir, true)
+    spark.table(table)
+      .select(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"),
+        pmod(hash(col(Cols.Id)), lit(IdMapBuckets)).as("idh"))
+      .repartition(col("idh"))
+      .write.mode(SaveMode.Overwrite).partitionBy("idh")
+      .parquet(dir.toString)
+    // the log starts empty: everything in the id-map is compaction-clean
+    fsOf(spark, table).delete(dirtyLogPath(spark, table), true)
+  }
+
+  /** Record an append's narrow delta: exploded rows into the id-map (so
+    * the id's full posting history stays id-addressable) and the distinct
+    * (id, seq) pairs into the dirty log (so the next compaction knows
+    * WHICH ids changed without reading anything table-sized).
+    */
+  private def appendMaintLog(spark: SparkSession, table: String,
+      narrow: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    narrow
+      .withColumn("idh", pmod(hash(col(Cols.Id)), lit(IdMapBuckets)))
+      .repartition(col("idh"))
+      .write.mode(SaveMode.Append).partitionBy("idh")
+      .parquet(idMapPath(spark, table).toString)
+    narrow.select(col(Cols.Id), col("ingest_seq")).distinct()
+      .coalesce(1)
+      .write.mode(SaveMode.Append)
+      .parquet(dirtyLogPath(spark, table).toString)
+  }
+
   /** Compact an append-log INVERTED posting table, PARTITION-SCOPED: per
     * id keep only the postings of the winning (max `seqCol`) ingest —
     * dropping old postings in buckets the new signature no longer hashes
@@ -192,35 +346,48 @@ object IndexStore {
     * files stay byte-identical, so a maintenance pass after a 0.1%
     * re-ingest rewrites ~0.1% of a 100 TB table, not all of it.
     *
-    * Cost shape: one DECISION pass over narrow columns only (id, seq,
-    * bucket, prefix — parquet column pruning never reads the wide
-    * signature column), then ONE rewrite job of the dirty slice staged to
-    * a scratch directory (breaking the read-own-table cycle), swapped in
-    * per DIRECTORY at the filesystem level: delete the dirty
-    * `bkt_pfx=p` directory, rename the staged one into its place. Each
-    * directory is atomically old-or-new (rename), the catalog's partition
-    * locations never change (no MSCK, safe under both the in-memory and a
-    * persistent Derby/Hive catalog), and a crash mid-swap leaves a mix of
-    * compacted and not-yet-compacted directories — exactly the
-    * pre-compaction state serving already tolerates (max-seq wins). NOT
-    * dynamic partition overwrite: Spark 4.1's `insertInto` ignores the
-    * writer-level `partitionOverwriteMode` option (measured: a 1-partition
-    * insert truncated the whole table), and the session-conf form leaks
-    * dynamic-overwrite semantics to concurrent writers in the session.
+    * DECISION cost is O(delta) on tables maintained by this module: each
+    * append logged its (id, seq) delta, so the decision reads the dirty
+    * log plus ONLY the id-map partitions the delta ids hash into —
+    * the full history of exactly the ids that could have gained a
+    * superseded or duplicated row. An empty log returns immediately. A
+    * legacy table (no `_graft_idmap/`) falls back to the original
+    * full-table narrow scan. Decision jobs run under the job description
+    * `graft-compact-decision` and the rewrite under
+    * `graft-compact-rewrite`, so ladders can attribute input bytes
+    * (tools/compact_ladder.scala).
+    *
+    * The REWRITE stages the dirty slice in one job (a scratch path for
+    * plain tables; a scratch BUCKETED table when the layout carries a
+    * bucket spec, so rewritten files keep the bucket-id file-name encoding
+    * the catalog promises and the co-located exchange-free join survives
+    * compaction), then swaps per directory via the table's swap strategy
+    * ([[SwapRename]] rename-aside with crash recovery, or [[SwapManifest]]
+    * catalog-location flips — see the strategy scaladoc at the top).
+    * Either way the catalog needs no MSCK and a crash mid-swap leaves a
+    * recoverable mix of compacted and not-yet-compacted directories —
+    * exactly the pre-compaction state serving already tolerates (max-seq
+    * wins). NOT dynamic partition overwrite: Spark 4.1's `insertInto`
+    * ignores the writer-level `partitionOverwriteMode` option (measured: a
+    * 1-partition insert truncated the whole table), and the session-conf
+    * form leaks dynamic-overwrite semantics to concurrent writers.
     * Dirty directories left EMPTY by supersession are dropped (data +
     * catalog partition entry). Tombstone markers themselves survive
     * compaction (deduped to the max seq per id): they are the guard that
     * keeps an at-least-once redelivery of a pre-delete batch from
-    * resurrecting the id.
+    * resurrecting the id. The maintained id-map partitions compact in the
+    * same pass and the dirty log clears LAST — so a crash anywhere
+    * re-runs as a (cheaper) idempotent decision, never losing an id.
     *
-    * Concurrent readers: each directory flips old→new atomically
-    * (rename), but a query that LISTED a dirty directory before its swap
-    * can hit a deleted file and must retry — the layout bounds the blast
-    * radius to the dirty directories, it does not make compaction
-    * transactional. Operationally: run compaction in the ingestion pause
+    * Concurrent readers under [[SwapRename]]: each directory flips
+    * old→new atomically (rename), but a query that LISTED a dirty
+    * directory before its swap can hit a moved file and FAILS (Spark
+    * default `spark.sql.files.ignoreMissingFiles=false` — loudly, never a
+    * silent partial answer; IndexStoreSpec pins this) — re-planning the
+    * query succeeds. Operationally: run compaction in the ingestion pause
     * between micro-batches (the gates' shape), or accept query retry
-    * during the swap window; on an object store the per-directory swap is
-    * the unit to make atomic.
+    * during the swap window, or use [[SwapManifest]] where in-flight
+    * readers keep the complete old generation.
     */
   def compactInverted(spark: SparkSession, table: String,
       seqCol: String = "ingest_seq"): Unit = {
@@ -228,47 +395,285 @@ object IndexStore {
     val cur = spark.table(table)
     require(cur.columns.contains(seqCol),
       s"compactInverted needs the append-sequence column '$seqCol'")
-    val winners = cur.groupBy(col(Cols.Id)).agg(max(col(seqCol)).as(seqCol))
-    // dirty = partitions holding a superseded row (seq < its id's winner)
-    // or a duplicated (id, seq, bucket) row — both aggregates read narrow
-    // columns only; the collect is bounded by the prefix space (16^len + 1)
-    val superseded = cur.select(col(Cols.Id), col(seqCol), col("bkt_pfx"))
-      .join(winners.withColumnRenamed(seqCol, "__wseq"), Seq(Cols.Id))
-      .where(col(seqCol) < col("__wseq"))
-      .select(col("bkt_pfx"))
-    val duplicated = cur.groupBy(col(Cols.Id), col(seqCol), col("bucket"), col("bkt_pfx"))
-      .count().where(col("count") > 1).select(col("bkt_pfx"))
-    val dirty = superseded.union(duplicated).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (dirty.isEmpty) { refreshHotStats(spark, table); return }
-
-    val kept = cur.where(col("bkt_pfx").isin(dirty.toSeq: _*))
-      .join(winners, Seq(Cols.Id, seqCol), "left_semi")
-      // same-seq redelivery lands identical rows twice; the winner
-      // semi-join keeps every copy — collapse them here (nulls compare
-      // equal, so duplicate tombstone markers dedup too)
-      .dropDuplicates(Cols.Id, seqCol, "bucket")
-      // align writer tasks to partition dirs (one file per rewritten dir)
-      .repartition(col("bkt_pfx"))
+    val meta = readMeta(spark, table)
+      .getOrElse(InvertedMeta(2, -1L, 0, SwapRename))
     val tableDir = tablePath(spark, table)
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
     val stage = new org.apache.hadoop.fs.Path(
       tableDir.getParent, table.toLowerCase + "__compact_stage")
+    val stageTbl = table + "__compact_stage_tbl"
+    // recover any crashed previous run FIRST: restore swapped-aside
+    // directories whose new copy never landed, then clear the leftovers
+    recoverAside(fs, tableDir, asideDir(tableDir, table))
+    spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+    fs.delete(stage, true)
+    if (meta.swap == SwapManifest) gcStaleGenerations(spark, fs, table, tableDir)
+
+    val sc = spark.sparkContext
+    val idMapDir = idMapPath(spark, table)
+    val logDir = dirtyLogPath(spark, table)
+    // the id-map records the canonical column; a custom seqCol can only
+    // come from a table maintained outside this module — full-scan it
+    val maintained = seqCol == "ingest_seq" && fs.exists(idMapDir)
+    sc.setJobDescription("graft-compact-decision")
+    val (dirty, winners, touchedIdh) =
+      if (maintained) {
+        def noParquet(d: org.apache.hadoop.fs.Path): Boolean = !fs.exists(d) ||
+          !fs.listStatus(d).exists { st =>
+            st.getPath.getName.endsWith(".parquet") ||
+              (st.isDirectory && fs.listStatus(st.getPath)
+                .exists(_.getPath.getName.endsWith(".parquet")))
+          }
+        // empty log = no appends since the last clear; empty id-map = the
+        // table has never held a row (an empty cold seed) — either way
+        // nothing can be dirty, and reading a file-less dir would fail
+        // schema inference
+        if (noParquet(logDir) || noParquet(idMapDir)) {
+          sc.setJobDescription(null)
+          fs.delete(logDir, true)
+          refreshHotStats(spark, table)
+          return
+        }
+        val log = spark.read.parquet(logDir.toString)
+          .select(col(Cols.Id)).distinct()
+        val touched = log
+          .select(pmod(hash(col(Cols.Id)), lit(IdMapBuckets)).as("idh"))
+          .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ 64
+        // full posting history of exactly the delta ids — a partition-
+        // pruned read of the narrow id-map, O(touched/64 of the id-map)
+        val hist = spark.read.parquet(idMapDir.toString)
+          .where(col("idh").isin(touched: _*))
+          .join(log, Seq(Cols.Id), "left_semi")
+        val w = hist.groupBy(col(Cols.Id))
+          .agg(max(col("ingest_seq")).as("__wseq"))
+        val superseded = hist.join(w, Seq(Cols.Id))
+          .where(col("ingest_seq") < col("__wseq")).select(col("bkt_pfx"))
+        val duplicated = hist
+          .groupBy(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"))
+          .count().where(col("count") > 1).select(col("bkt_pfx"))
+        (superseded.union(duplicated).distinct()
+          .collect().map(_.getString(0)).toSet, w, touched)
+      } else {
+        // LEGACY decision: one narrow scan of the whole table (id, seq,
+        // bucket, prefix — parquet column pruning never reads the wide
+        // signature column); the collect is bounded by the prefix space
+        val w = cur.groupBy(col(Cols.Id)).agg(max(col(seqCol)).as("__wseq"))
+        val superseded = cur.select(col(Cols.Id), col(seqCol), col("bkt_pfx"))
+          .join(w, Seq(Cols.Id))
+          .where(col(seqCol) < col("__wseq"))
+          .select(col("bkt_pfx"))
+        val duplicated = cur
+          .groupBy(col(Cols.Id), col(seqCol), col("bucket"), col("bkt_pfx"))
+          .count().where(col("count") > 1).select(col("bkt_pfx"))
+        (superseded.union(duplicated).distinct()
+          .collect().map(_.getString(0)).toSet, w, Seq.empty[Int])
+      }
+    if (dirty.isEmpty) {
+      sc.setJobDescription(null)
+      if (maintained) fs.delete(logDir, true) // appends were clean (pure inserts)
+      refreshHotStats(spark, table)
+      return
+    }
+
+    sc.setJobDescription("graft-compact-rewrite")
+    // keep: rows of ids with no recorded winner (untouched ids — already
+    // exactly one seq each, the previous compaction's invariant) plus the
+    // winning-seq rows of delta ids; same-seq redeliveries land identical
+    // rows twice and the winner join keeps every copy — collapse them
+    // (nulls compare equal, so duplicate tombstone markers dedup too)
+    val kept = cur.where(col("bkt_pfx").isin(dirty.toSeq: _*))
+      .join(winners, Seq(Cols.Id), "left_outer")
+      .where(col("__wseq").isNull || col(seqCol) === col("__wseq"))
+      .drop("__wseq")
+      .dropDuplicates(Cols.Id, seqCol, "bucket")
+      // align writer tasks to partition dirs (one file per rewritten dir)
+      .repartition(col("bkt_pfx"))
     try {
       // ONE job writes the whole dirty slice, partitioned the same way as
-      // the table; the per-directory swap below is pure fs metadata
-      kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx").parquet(stage.toString)
-      dirty.foreach { p =>
-        val src = new org.apache.hadoop.fs.Path(stage, s"bkt_pfx=$p")
-        val dst = new org.apache.hadoop.fs.Path(tableDir, s"bkt_pfx=$p")
-        fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
-        else // every row superseded: the directory is gone for good
-          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (bkt_pfx='$p')")
+      // the table; the per-directory swap below is metadata-only. A
+      // bucketed layout stages through a scratch TABLE so every staged
+      // file carries the bucket-id file-name encoding the catalog's spec
+      // promises — renamed files keep their names, so the co-located
+      // exchange-free join property survives the swap.
+      if (meta.numBuckets > 0) {
+        kept.write.mode(SaveMode.Overwrite)
+          .option("path", stage.toString)
+          .partitionBy("bkt_pfx")
+          .bucketBy(meta.numBuckets, "bucket").sortBy("bucket")
+          .format("parquet")
+          .saveAsTable(stageTbl)
+      } else
+        kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
+          .parquet(stage.toString)
+      swapPartitions(spark, fs, table, tableDir, stage, meta.swap,
+        dirty.toSeq.sorted.map(p => (s"bkt_pfx=$p", s"bkt_pfx='$p'")))
+      // the id-map compacts in the same pass: rewrite the touched idh
+      // partitions to the same winners-only state (always rename-swapped —
+      // the id-map is maintenance-internal, no concurrent readers)
+      if (maintained && touchedIdh.nonEmpty) {
+        val mapStage = new org.apache.hadoop.fs.Path(
+          tableDir.getParent, table.toLowerCase + "__idmap_stage")
+        fs.delete(mapStage, true)
+        spark.read.parquet(idMapDir.toString)
+          .where(col("idh").isin(touchedIdh: _*))
+          .join(winners, Seq(Cols.Id), "left_outer")
+          .where(col("__wseq").isNull || col("ingest_seq") === col("__wseq"))
+          .drop("__wseq")
+          .dropDuplicates(Cols.Id, "ingest_seq", "bucket")
+          .withColumn("idh", pmod(hash(col(Cols.Id)), lit(IdMapBuckets)))
+          .repartition(col("idh"))
+          .write.mode(SaveMode.Overwrite).partitionBy("idh")
+          .parquet(mapStage.toString)
+        touchedIdh.foreach { h =>
+          val src = new org.apache.hadoop.fs.Path(mapStage, s"idh=$h")
+          val dst = new org.apache.hadoop.fs.Path(idMapDir, s"idh=$h")
+          fs.delete(dst, true)
+          if (fs.exists(src)) { fs.rename(src, dst); () }
+        }
+        fs.delete(mapStage, true)
       }
-    } finally fs.delete(stage, true)
+      // the log clears LAST: a crash before this line re-runs the whole
+      // decision from the intact log — idempotent, never lossy
+      if (maintained) fs.delete(logDir, true)
+    } finally {
+      sc.setJobDescription(null)
+      // the stage is only dropped on success or after recovery restored
+      // every aside copy; on the success path both are spent by now
+      spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+      if (asideIsClear(fs, tableDir, table)) fs.delete(stage, true)
+    }
     spark.catalog.refreshTable(table)
     refreshHotStats(spark, table)
+  }
+
+  /** Swap each staged partition directory into the live table via the
+    * table's strategy. `parts` carries (dirName, sqlSpec) pairs, e.g.
+    * `("bkt_pfx=ab", "bkt_pfx='ab'")`.
+    *
+    * [[SwapRename]]: live dir renames ASIDE (into the hidden
+    * `_compact_aside` sibling of the stage), staged dir renames in, aside
+    * drops only after every swap succeeded. A staged dir can be absent —
+    * every row of that partition was superseded — in which case the
+    * partition drops from data AND catalog (the old data is 100%
+    * superseded rows, so no aside copy is kept: a crash after the DROP
+    * loses only rows compaction was deleting anyway).
+    *
+    * [[SwapManifest]]: no data file ever moves — each dirty partition's
+    * catalog entry flips to the staged directory (atomic per-partition
+    * metadata), and the previous location survives for in-flight readers
+    * until the next compaction's [[gcStaleGenerations]]. The staged
+    * directory is ADOPTED as the partition's new home, so it must be a
+    * retained generation dir, not the transient stage: the stage renames
+    * (one directory move of already-written files — on a real object
+    * store, write the stage at its generation path directly) to
+    * `_gen-N/` under the table first.
+    */
+  private def swapPartitions(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, table: String,
+      tableDir: org.apache.hadoop.fs.Path, stage: org.apache.hadoop.fs.Path,
+      swapMode: String, parts: Seq[(String, String)]): Unit = {
+    if (swapMode == SwapManifest) {
+      val gen = nextGenDir(fs, tableDir)
+      fs.rename(stage, gen)
+      parts.foreach { case (dirName, sqlSpec) =>
+        val src = new org.apache.hadoop.fs.Path(gen, dirName)
+        if (fs.exists(src))
+          spark.sql(s"ALTER TABLE $table PARTITION ($sqlSpec) " +
+            s"SET LOCATION '${fs.makeQualified(src)}'")
+        else
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($sqlSpec)")
+      }
+    } else {
+      val aside = asideDir(tableDir, table)
+      fs.mkdirs(aside)
+      parts.foreach { case (dirName, sqlSpec) =>
+        val src = new org.apache.hadoop.fs.Path(stage, dirName)
+        val dst = new org.apache.hadoop.fs.Path(tableDir, dirName)
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) { fs.rename(dst, new org.apache.hadoop.fs.Path(aside, dirName)); () }
+          fs.rename(src, dst); ()
+        } else {
+          // every row superseded: the directory is gone for good
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($sqlSpec)")
+          fs.delete(dst, true); ()
+        }
+      }
+      // every dirty directory swapped — only now do the old copies drop
+      fs.delete(aside, true); ()
+    }
+  }
+
+  /** Crash recovery for the [[SwapRename]] protocol: an aside directory
+    * left behind means the previous compaction died mid-swap. Any aside
+    * partition whose live directory is MISSING was between its two
+    * renames — restore it (the pre-compaction state, which serving
+    * tolerates); any whose live directory exists completed its swap —
+    * drop the old copy. Runs unconditionally at the head of
+    * [[compactInverted]]; the interrupted delta is still in the dirty
+    * log, so the retry redoes it.
+    */
+  private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      aside: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(aside)) return
+    fs.listStatus(aside).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(tableDir, st.getPath.getName)
+      if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
+      else { fs.delete(st.getPath, true); () }
+    }
+    fs.delete(aside, true); ()
+  }
+
+  private def asideIsClear(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path, table: String): Boolean =
+    !fs.exists(asideDir(tableDir, table))
+
+  private def asideDir(tableDir: org.apache.hadoop.fs.Path,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableDir.getParent,
+      table.toLowerCase + "__compact_aside")
+
+  /** The next unused hidden generation directory under the table
+    * (`_gen-N`) — monotone by scanning existing names, no wall clock.
+    */
+  private def nextGenDir(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val n = fs.listStatus(tableDir)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_gen-"))
+      .map(_.stripPrefix("_gen-").toLong)
+      .foldLeft(-1L)(math.max) + 1
+    new org.apache.hadoop.fs.Path(tableDir, s"_gen-$n")
+  }
+
+  /** Drop generation directories (and replaced default-location
+    * partition directories) no catalog partition references any more —
+    * the [[SwapManifest]] garbage collector. Runs at the head of each
+    * compaction, so the PREVIOUS generation survives one full maintenance
+    * interval for in-flight readers (two-generation retention).
+    */
+  private def gcStaleGenerations(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, table: String,
+      tableDir: org.apache.hadoop.fs.Path): Unit = {
+    val referenced = spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .map(p => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))))
+      .toSet
+    fs.listStatus(tableDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_gen-")) {
+        fs.listStatus(st.getPath).foreach { sub =>
+          if (!referenced.contains(fs.makeQualified(sub.getPath))) {
+            fs.delete(sub.getPath, true); ()
+          }
+        }
+        if (fs.listStatus(st.getPath).isEmpty) { fs.delete(st.getPath, true); () }
+      } else if (name.startsWith("bkt_pfx=") &&
+          !referenced.contains(fs.makeQualified(st.getPath))) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
   }
 
   /** Recompute the `_hot` occupancy side file when the table's meta asks
@@ -319,11 +724,19 @@ object IndexStore {
     * (partition pruning rides the explicit schema) but cannot expose a
     * `numBuckets` table's file bucketing — exchange-free batch
     * co-location needs a catalog entry, i.e. a persistent metastore in
-    * deployment (tools/derby_serving_drive{,2}.scala is that shape).
+    * deployment (tools/derby_serving_drive{,2}.scala is that shape) —
+    * and REFUSES a [[SwapManifest]] table (its live partition locations
+    * exist only in the catalog; a path listing would resurrect replaced
+    * generations).
     */
   def loadInverted(spark: SparkSession, table: String): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
     else {
+      require(readMeta(spark, table).forall(_.swap != SwapManifest),
+        s"$table compacts under the manifest swap strategy: its live " +
+          "partition locations are catalog metadata, so a catalog-less " +
+          "directory read could serve replaced generations — use a " +
+          "persistent metastore for manifest-mode serving")
       val dir = tablePath(spark, table)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val leaf = fs.listStatus(dir)
@@ -348,10 +761,13 @@ object IndexStore {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       def field(k: String): Option[String] =
         (s""""$k"\\s*:\\s*(-?\\d+)""".r).findFirstMatchIn(txt).map(_.group(1))
+      val swap = ("\"swap\"\\s*:\\s*\"(\\w+)\"".r).findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(SwapRename)
       Some(InvertedMeta(
         field("prefixLen").map(_.toInt).getOrElse(2),
         field("hotThreshold").map(_.toLong).getOrElse(-1L),
-        field("numBuckets").map(_.toInt).getOrElse(0)))
+        field("numBuckets").map(_.toInt).getOrElse(0),
+        swap))
     }
   }
 
@@ -368,13 +784,23 @@ object IndexStore {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(
-      s"""{"prefixLen":${m.prefixLen},"hotThreshold":${m.hotThreshold},"numBuckets":${m.numBuckets}}"""
+      (s"""{"prefixLen":${m.prefixLen},"hotThreshold":${m.hotThreshold},""" +
+        s""""numBuckets":${m.numBuckets},"swap":"${m.swap}"}""")
         .getBytes("UTF-8"))
     finally out.close()
   }
 
   private def metaPath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(tablePath(spark, table), "_graft_meta.json")
+
+  private def idMapPath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tablePath(spark, table), "_graft_idmap")
+
+  private def dirtyLogPath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tablePath(spark, table), "_graft_dirtylog")
+
+  private def fsOf(spark: SparkSession, table: String): org.apache.hadoop.fs.FileSystem =
+    tablePath(spark, table).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** The table's directory as a Hadoop path (catalog location when
     * registered, warehouse convention otherwise) — filesystem-agnostic,

@@ -87,7 +87,8 @@ object StreamingIndex {
   def streamingInvertedIngest(spark: SparkSession, dir: String,
       schema: StructType, cfg: MinHashConfig, table: String,
       idCol: String = "id", textCol: String = "text",
-      maxFilesPerTrigger: Int = 1, prefixLen: Int = 2): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, prefixLen: Int = 2,
+      seedNumBuckets: Int = 0): StreamingQuery = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
     val lsh = new MinHashLSH(cfg)
     spark.readStream.schema(schema)
@@ -100,7 +101,7 @@ object StreamingIndex {
             lsh.featurize(batch, idCol, textCol, None)
               .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
                 col(Cols.BucketIds), col("ingest_seq")),
-            table, prefixLen)
+            table, prefixLen, seedNumBuckets = seedNumBuckets)
         ()
       }.start()
   }
@@ -115,29 +116,44 @@ object StreamingIndex {
     * function of the event set: micro-batch boundaries, U/D interleaving,
     * and at-least-once redelivery all collapse under the same
     * supersession order at serve/compact time.
+    *
+    * Cold start is op-agnostic: a FIRST micro-batch containing only
+    * deletes seeds an empty seq-carrying posting table before its
+    * tombstones append (a takedown feed may open with deletes for
+    * documents another pipeline will ingest later — the marker must land
+    * and outrank them when they arrive). `seedNumBuckets` lets the
+    * cold-created table carry the co-located file-bucketed layout.
     */
   def streamingIndexMaintenance(spark: SparkSession, dir: String,
       schema: StructType, cfg: MinHashConfig, table: String,
       idCol: String = "id", textCol: String = "text", opCol: String = "op",
-      maxFilesPerTrigger: Int = 1, prefixLen: Int = 2): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, prefixLen: Int = 2,
+      seedNumBuckets: Int = 0): StreamingQuery = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
     val lsh = new MinHashLSH(cfg)
+    def append(rows: DataFrame): Unit =
+      graft.sources.IndexStore.appendInverted(
+        lsh.featurize(rows, idCol, textCol, None)
+          .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
+            col(Cols.BucketIds), col("ingest_seq")),
+        table, prefixLen, seedNumBuckets = seedNumBuckets)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val upserts = batch.where(col(opCol) === "U")
-        if (!upserts.isEmpty)
-          graft.sources.IndexStore.appendInverted(
-            lsh.featurize(upserts, idCol, textCol, None)
-              .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
-                col(Cols.BucketIds), col("ingest_seq")),
-            table, prefixLen)
+        if (!upserts.isEmpty) append(upserts)
         val deletes = batch.where(col(opCol) === "D")
-        if (!deletes.isEmpty)
+        if (!deletes.isEmpty) {
+          // delete-only cold start: tombstones need the table's schema to
+          // exist — seed it empty (zero rows, zero partitions) with the
+          // same featurize projection, so the seq/signature types match
+          // the upserts that will follow
+          if (!spark.catalog.tableExists(table)) append(batch.limit(0))
           graft.sources.IndexStore.appendTombstoneRows(spark, table,
             deletes.select(col(idCol).cast("long").as(Cols.Id), col("ingest_seq")))
+        }
         ()
       }.start()
   }

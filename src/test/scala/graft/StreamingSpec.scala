@@ -373,6 +373,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIndexMaintenance: a delete-only FIRST micro-batch cold-creates the table; a later lower-seq upsert stays deleted") {
+    import graft.sources.IndexStore
+    import org.apache.spark.sql.functions._
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id").cast("long").as(Cols.Id), col("text").as(Cols.Text))
+    val table = "graft_maint_delfirst"
+    IndexStore.reset(spark, table)
+    val in = java.nio.file.Files.createTempDirectory("idx-delfirst").toString
+    // batch 1: ONLY deletes (ids 3, 7 at seq 5 — outranking the ingest
+    // that arrives later); batch 2: the full-corpus upsert at seq 1
+    val slices = Seq(
+      dd.where(col(Cols.Id).isin(3L, 7L))
+        .select(col(Cols.Id), col(Cols.Text), lit("D").as("op"), lit(5L).as("ingest_seq")),
+      dd.select(col(Cols.Id), col(Cols.Text), lit("U").as("op"), lit(1L).as("ingest_seq")))
+    slices.zipWithIndex.foreach { case (g, i) =>
+      g.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(in)
+      new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > 1700000000000L)
+        .foreach(_.setLastModified(1600000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(in).schema
+    val q = graft.streaming.StreamingIndex.streamingIndexMaintenance(
+      spark, in, schema, cfg, table, idCol = Cols.Id, textCol = Cols.Text,
+      opCol = "op", prefixLen = 1)
+    try q.processAllAvailable() finally q.stop()
+    IndexStore.compactInverted(spark, table)
+    val live = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(col(Cols.Id)).collect().map(_.getLong(0)).toSet
+    assert(!live.contains(3L) && !live.contains(7L),
+      s"a delete that PRECEDES its document's ingest (higher seq) must hold: $live")
+    assert(live.nonEmpty && live.subsetOf((0L until 20L).toSet))
+    assert(spark.table(table)
+      .where(col("bkt_pfx") === IndexStore.TombstonePrefix).count() == 2,
+      "both markers must survive as redelivery guards")
+  }
+
+  test("streamingInvertedIngest cold-creates the co-located file-bucketed layout") {
+    import graft.sources.IndexStore
+    import org.apache.spark.sql.functions._
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 30)
+      .select(col("doc_id").cast("long").as("id"), col("text"),
+        lit(1L).as("ingest_seq"))
+    val table = "graft_stream_coldbucketed"
+    IndexStore.reset(spark, table)
+    val in = java.nio.file.Files.createTempDirectory("idx-coldbkt").toString
+    dd.coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q = graft.streaming.StreamingIndex.streamingInvertedIngest(
+      spark, in, schema, cfg, table, prefixLen = 1, seedNumBuckets = 8)
+    try q.processAllAvailable() finally q.stop()
+    // the stream-created table must carry the bucket spec in BOTH the
+    // catalog and the meta file — maintenance and co-located serving
+    // derive it from there
+    assert(IndexStore.bucketCountOf(spark, table) == 8,
+      "cold-created table must carry the seeded bucket spec")
+    assert(IndexStore.invertedMeta(spark, table).numBuckets == 8)
+    // and the layout's property holds: a bucket equi-join plans with no
+    // exchange on the posting side
+    val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = spark.table(table)
+      val joined = t.join(t.select(col("bucket"), col(Cols.Id).as("rhs_id")),
+        Seq("bucket"))
+      joined.count()
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"stream-cold-created bucketed table must join exchange-free: $exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      spark.conf.set("spark.sql.adaptive.enabled", oldA)
+    }
+  }
+
   test("streamingIndexMaintenance: compacted state invariant to micro-batch boundaries") {
     import graft.operators.MinHashLSH
     import graft.sources.IndexStore
