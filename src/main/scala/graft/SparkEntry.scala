@@ -453,6 +453,31 @@ object SparkEntry {
     })
   }
 
+  /** Persisted IVF index for the UPSERT gate: trained over the corpus with
+    * the %17==3 slice deliberately STALE (negated vectors — the
+    * "first-generation embedding"), saved seq-carrying at ingest_seq 1.
+    * The gate re-embeds the slice (the true vectors) at seq 2 through
+    * [[graft.operators.IvfModel.appendVectors]]. Mutating, so its own dir.
+    */
+  private val ivfUpsertIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ivfUpsertIndexFor(s: SparkSession, d: String): String = {
+    ivfUpsertIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfUpsertIndexCache.remove)
+    ivfUpsertIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-ivf-upsert-index")
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -3128,6 +3153,27 @@ object SparkEntry {
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       IvfModel.compactDeletes(s, dir)
+      pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
+    }),
+    "sim_recall_ivf_upsert" -> ((s, d) => {
+      // VECTOR UPSERT supersession, mirroring ann_index_maintained: the
+      // %17==3 slice was indexed with a stale first-generation embedding
+      // (seq 1); its RE-EMBEDDING appends at seq 2 via appendVectors
+      // (frozen-centroid assignment — a new cell for most ids). Serving
+      // resolves newest-per-id within the scanned cells immediately;
+      // compactUpserts then physically drops the losers, cell-scoped.
+      // Both serving states must keep the recall floor vs brute force
+      // over the FINAL vectors (the oracle contract of sim_recall_ivf).
+      val dir = ivfUpsertIndexFor(s, d)
+      IvfModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      def eval(stage: String): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+          .withColumn("stage", lit(stage))
+      val pre = eval("pre_compact").localCheckpoint()
+      IvfModel.compactUpserts(s, dir)
       pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
     }),
     "sim_recall_pq" -> ((s, d) =>
@@ -7010,6 +7056,14 @@ object SparkEntry {
              st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20 AND vec_id % 17 <> 3
+      ORDER BY st.stage, qid""",
+    // vector upsert: every query keeps the floor vs brute-over-FINAL
+    // vectors in both serving states (pre-compaction winner resolution
+    // and post-compaction physical supersession)
+    "sim_recall_ivf_upsert" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
+      FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      WHERE vec_id < 20
       ORDER BY st.stage, qid""",
     // the PQ family shares the takedown contract verbatim
     "sim_recall_pq_deleted" -> """

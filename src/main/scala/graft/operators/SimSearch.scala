@@ -418,27 +418,7 @@ object SimSearch {
     var centroids: Seq[Seq[Double]] = base.orderBy("id").limit(nLists)
       .select("v").collect()
       .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray)).toSeq
-    def argmaxCell(v: Column, cs: Column): Column = {
-      val sims = transform(cs, c => dotProduct(v, c))
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
-    // centroid delivery: under the threshold a typedlit plan literal is the
-    // cheapest (single projection, zero exchanges); above it the literal
-    // bloats every plan that embeds it (nLists=4096 × dim doubles is
-    // megabytes of plan tree), so the centroid table ships as a BROADCAST
-    // one-row frame instead — same argmax expression over the joined
-    // column, still zero shuffles, plan size flat in nLists
-    def withCell(df: DataFrame): DataFrame =
-      if (nLists <= TypedLitCentroidMax)
-        df.withColumn("cell", argmaxCell(col("v"), typedlit(centroids)))
-      else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val centRow = broadcast(Seq(Tuple1(centroids)).toDF("__cents"))
-        df.crossJoin(centRow)
-          .withColumn("cell", argmaxCell(col("v"), col("__cents")))
-          .drop("__cents")
-      }
+    def withCell(df: DataFrame): DataFrame = assignCells(df, centroids)
     for (_ <- 1 to iters) {
       val dims = withCell(base).select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
@@ -456,6 +436,36 @@ object SimSearch {
     * of embedding a typedlit plan literal (see trainIvf).
     */
   private[graft] val TypedLitCentroidMax = 64
+
+  /** Nearest-centroid cell assignment as a zero-shuffle projection —
+    * shared by training (every Lloyd pass), [[IvfModel.appendVectors]]
+    * (incremental/upsert ingestion into a trained index), and the
+    * streaming IVF maintenance path. Centroid delivery: under
+    * [[TypedLitCentroidMax]] a typedlit plan literal is the cheapest
+    * (single projection, zero exchanges); above it the literal bloats
+    * every plan that embeds it (nLists=4096 × dim doubles is megabytes of
+    * plan tree), so the centroid table ships as a BROADCAST one-row frame
+    * instead — same argmax expression over the joined column, still zero
+    * shuffles, plan size flat in nLists.
+    */
+  private[operators] def assignCells(df: DataFrame,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.ArrayKernels.dotProduct
+    def argmaxCell(v: Column, cs: Column): Column = {
+      val sims = transform(cs, c => dotProduct(v, c))
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    if (centroids.length <= TypedLitCentroidMax)
+      df.withColumn("cell", argmaxCell(col("v"), typedlit(centroids)))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centRow = broadcast(Seq(Tuple1(centroids)).toDF("__cents"))
+      df.crossJoin(centRow)
+        .withColumn("cell", argmaxCell(col("v"), col("__cents")))
+        .drop("__cents")
+    }
+  }
 
   /** k-NN graph: the top-k cosine neighbors of EVERY vector (the
     * similarity-graph construction step of a training-data pipeline),
@@ -546,7 +556,12 @@ object SimSearch {
     import graft.functions.ArrayKernels.dotProduct
     val nLists = model.centroids.length
     val base = model.assigned
-    val q = base.where(col("id") < nQueries)
+    val hasSeq = base.columns.contains("ingest_seq")
+    // a seq-carrying (upsert-maintained) index evaluates against the FINAL
+    // vectors: the brute truth, the query vectors, and — via the per-pair
+    // winner below — the probe side all resolve newest-per-id
+    val finalBase = if (hasSeq) IvfModel.newestPerId(base) else base
+    val q = finalBase.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("v").as("qv"))
     // probe cells per query: indices of the nProbe largest centroid dot
     // products, ranked by (-sim, idx) — identical to the driver-side rule
@@ -557,15 +572,25 @@ object SimSearch {
       (s, i) => struct((-s).as("negs"), i.as("idx"))))
     val qp = q.withColumn("cell",
       explode(slice(transform(ranked, r => r.getField("idx")), 1, nProbe)))
-    def topIds(cands: DataFrame, outCol: String): DataFrame = cands
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        graft.functions.VectorFunctions.cosine(col("v"), col("qv")).as("c"))
-      .groupBy("qid")
-      .agg(graft.functions.TopKAgg.topK(col("c"), col("id"), k).as("tk"))
-      .select(col("qid"), transform(col("tk"), x => x.getField("id")).as(outCol))
+    def topIds(cands: DataFrame, outCol: String): DataFrame = {
+      val scored = cands
+        .where(col("id") =!= col("qid"))
+        .select(col("qid") +: col("id") +:
+          graft.functions.VectorFunctions.cosine(col("v"), col("qv")).as("c") +:
+          (if (hasSeq && cands.columns.contains("ingest_seq"))
+             Seq(col("ingest_seq")) else Nil): _*)
+      // probed-side winner: the newest version seen for an id scores
+      // (its stale row may sit in a different probed cell)
+      val perId =
+        if (scored.columns.contains("ingest_seq"))
+          scored.groupBy("qid", "id").agg(max_by(col("c"), col("ingest_seq")).as("c"))
+        else scored
+      perId.groupBy("qid")
+        .agg(graft.functions.TopKAgg.topK(col("c"), col("id"), k).as("tk"))
+        .select(col("qid"), transform(col("tk"), x => x.getField("id")).as(outCol))
+    }
     val ivf = topIds(base.join(broadcast(qp), Seq("cell")), "ivf_ids")
-    val brute = topIds(base.crossJoin(broadcast(q)), "ids")
+    val brute = topIds(finalBase.crossJoin(broadcast(q)), "ids")
     val joined = brute.join(ivf, Seq("qid"), "left")
     val recall = (coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
       .cast("double") / k >= recallFloor).as("recall_ok")
@@ -998,7 +1023,13 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(queryVec).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
-    val scanned = assigned.where(col("cell").isin(probeCells: _*))
+    // seq-carrying (maintained) index: per id the NEWEST version within
+    // the probed cells answers — a re-embedded vector's stale row loses
+    // wherever both versions are scanned (exact once compactUpserts drops
+    // the losers; the pre-compaction window where ONLY the stale cell is
+    // probed mirrors the text index's documented transient anomaly)
+    val scanned = IvfModel.newestPerId(
+        assigned.where(col("cell").isin(probeCells: _*)))
       .where(predicate)
       .withColumn("cosine", V.cosine(col("v"), typedlit(queryVec)))
     excludeId.fold(scanned)(id => scanned.where(col("id") =!= id))
@@ -1032,10 +1063,90 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
 }
 
 object IvfModel {
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+
+  /** Resolve a seq-carrying frame to its newest row per id (the text
+    * index's winner rule, `MinHashLSH.serveFromInverted`); frames without
+    * `ingest_seq` pass through untouched. Ties (a same-seq at-least-once
+    * redelivery) carry identical payloads, so max_by's arbitrary pick is
+    * value-deterministic.
+    */
+  private[operators] def newestPerId(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ingest_seq")) df
+    else {
+      val others = df.columns.toSeq.filterNot(c => c == "id" || c == "ingest_seq")
+      df.groupBy(col("id"))
+        .agg(max_by(struct(others.map(col): _*), col("ingest_seq")).as("__w"),
+          max(col("ingest_seq")).as("ingest_seq"))
+        .select(col("id") +: others.map(c => col(s"__w.$c").as(c))
+          :+ col("ingest_seq"): _*)
+    }
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** UPSERT ingestion into a persisted IVF index — the vector twin of
+    * [[graft.sources.IndexStore.appendInverted]]: new or RE-EMBEDDED
+    * vectors assign to their nearest frozen centroid (a zero-shuffle
+    * projection, [[SimSearch.assignCells]]) and append to the
+    * cell-partitioned table with the given `ingest_seq`. A re-embedded id
+    * usually lands in a DIFFERENT cell than its old row — serving resolves
+    * newest-per-id within the scanned cells immediately, and
+    * [[compactUpserts]] is the maintenance step that physically drops the
+    * losers. The table must already carry `ingest_seq` (save the trained
+    * model with a seeded seq column); supersession is undefined without
+    * an order.
+    */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
+    val cur = spark.read.parquet(s"$dir/assigned")
+    require(cur.columns.contains("ingest_seq"),
+      s"appendVectors needs a seq-carrying index — save the trained model " +
+        s"with an ingest_seq column before appending ($dir/assigned lacks it)")
+    val centroids = loadCentroids(spark, dir)
+    SimSearch.assignCells(
+        vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+        centroids)
+      .withColumn("ingest_seq", lit(seq))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Physically drop superseded vector versions, CELL-SCOPED like
+    * [[compactDeletes]]: only the cell directories holding ≥ 1 loser row
+    * (an id with a newer seq anywhere) rewrite; clean cells stay
+    * byte-identical. Queries answer identically before and after wherever
+    * both versions were probed — compaction closes the stale-cell window
+    * and reclaims space. Decision pass reads narrow columns only
+    * (id, seq, cell — never the vectors).
+    */
+  def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tableDir = s"$dir/assigned"
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCellAside(fs, tableDir)
+    val raw = spark.read.parquet(tableDir)
+      .withColumn("cell", col("cell").cast("int"))
+    if (!raw.columns.contains("ingest_seq")) return
+    val winners = raw.groupBy(col("id"))
+      .agg(max(col("ingest_seq")).as("__wseq"))
+    val dirty = raw.select(col("id"), col("ingest_seq"), col("cell"))
+      .join(winners, Seq("id"))
+      .where(col("ingest_seq") < col("__wseq"))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    if (dirty.isEmpty) return
+    val kept = raw.where(col("cell").isin(dirty.toSeq: _*))
+      .join(winners, Seq("id"))
+      .where(col("ingest_seq") === col("__wseq"))
+      .drop("__wseq")
+      .dropDuplicates("id", "ingest_seq")
+    rewriteCells(spark, fs, tableDir, dirty, kept)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
+    val centroids = loadCentroids(spark, dir)
     // partition column comes back as the pruning key; cast pins the int
     // type the in-memory model uses
     val assigned = spark.read.parquet(s"$dir/assigned")
@@ -1091,6 +1202,7 @@ object IvfModel {
       tableDir: String, deleted: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCellAside(fs, tableDir)
     val raw = spark.read.parquet(tableDir)
       .withColumn("cell", col("cell").cast("int"))
     // dirty = cells holding a deleted row; narrow columns only
@@ -1098,19 +1210,58 @@ object IvfModel {
       .join(broadcast(deleted), Seq("id"), "left_semi")
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
     if (dirty.isEmpty) return
+    val kept = raw.where(col("cell").isin(dirty.toSeq: _*))
+      .join(broadcast(deleted), Seq("id"), "left_anti")
+    rewriteCells(spark, fs, tableDir, dirty, kept)
+  }
+
+  /** Stage `kept` and swap it into the dirty `cell=` directories via the
+    * rename-aside protocol (the IndexStore.compactInverted contract): the
+    * live directory renames ASIDE — never deleted first — the staged one
+    * renames in, and the aside copies drop only after EVERY swap landed,
+    * so any crash window leaves a recoverable copy ([[recoverCellAside]]
+    * restores it at the head of the next maintenance call). A staged cell
+    * can be absent (every row dropped) — then the directory just deletes:
+    * its content was 100% rows the rewrite was removing.
+    */
+  private def rewriteCells(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      dirty: Set[Int], kept: DataFrame): Unit = {
     val stage = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_stage")
-    try {
-      raw.where(col("cell").isin(dirty.toSeq: _*))
-        .join(broadcast(deleted), Seq("id"), "left_anti")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-      dirty.foreach { c =>
-        val src = new org.apache.hadoop.fs.Path(stage, s"cell=$c")
-        val dst = new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c")
-        fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst) // absent ⇒ cell fully deleted
-      }
-    } finally fs.delete(stage, true)
+    val aside = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_aside")
+    fs.delete(stage, true)
+    kept.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    fs.mkdirs(aside)
+    dirty.foreach { c =>
+      val src = new org.apache.hadoop.fs.Path(stage, s"cell=$c")
+      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c")
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) {
+          fs.rename(dst, new org.apache.hadoop.fs.Path(aside, s"cell=$c")); ()
+        }
+        fs.rename(src, dst); ()
+      } else { fs.delete(dst, true); () } // absent ⇒ cell fully dropped
+    }
+    // every dirty cell swapped — only now do the old copies drop
+    fs.delete(aside, true)
+    fs.delete(stage, true); ()
+  }
+
+  /** Crash recovery for [[rewriteCells]]: an aside cell whose live
+    * directory is missing was between its two renames — restore it; one
+    * whose live directory exists completed its swap — drop the copy.
+    */
+  private def recoverCellAside(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_aside")
+    if (!fs.exists(aside)) return
+    fs.listStatus(aside).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(tableDir, st.getPath.getName)
+      if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
+      else { fs.delete(st.getPath, true); () }
+    }
+    fs.delete(aside, true); ()
   }
 
   private[operators] def deletedPath(spark: org.apache.spark.sql.SparkSession,

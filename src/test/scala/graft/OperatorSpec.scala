@@ -776,6 +776,55 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("IvfModel upsert: re-embedding supersedes at serve time; compactUpserts is cell-scoped and physical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // stale first-generation embedding for id 3 (negated — lands in a
+    // different cell), true vectors for everyone else; seq rides the rows
+    val stale = emb.select(col("vec_id"),
+      when(col("vec_id") === 3, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+    val model = SimSearch.trainIvf(stale, "vec_id", "embedding", nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-upsert").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    // the re-embedding (the TRUE vector) appends at seq 2 under the
+    // frozen centroids
+    IvfModel.appendVectors(spark, dir,
+      emb.where(col("vec_id") === 3), "vec_id", "embedding", seq = 2L)
+    val qv = emb.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    // full probe (nProbe = nLists): both versions scanned, the seq-2 row
+    // must win — its self-cosine is 1, the stale row's is -1
+    val marked = IvfModel.load(spark, dir)
+    val self = marked.query(qv, k = 1, nProbe = 8).collect()(0)
+    assert(self.getLong(0) == 3L && self.getDouble(2) > 0.99,
+      s"newest version must serve pre-compaction: $self")
+    // compaction drops the loser, cell-scoped: only cells holding a
+    // superseded row rewrite
+    def cellFiles(): Map[String, Map[String, Long]] =
+      new java.io.File(s"$dir/assigned").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    val staleCell = spark.read.parquet(s"$dir/assigned")
+      .where(col("id") === 3 && col("ingest_seq") === 1)
+      .select("cell").collect()(0).get(0).toString
+    val beforeFiles = cellFiles()
+    IvfModel.compactUpserts(spark, dir)
+    val afterFiles = cellFiles()
+    beforeFiles.keySet.filterNot(_ == s"cell=$staleCell").foreach(c =>
+      assert(beforeFiles(c) == afterFiles(c), s"clean cell $c must keep identical files"))
+    val versions = spark.read.parquet(s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq
+    assert(versions == Seq(2L), s"only the winner survives compaction: $versions")
+    // the answer is unchanged by compaction
+    val post = IvfModel.load(spark, dir).query(qv, k = 1, nProbe = 8).collect()(0)
+    assert(post.getLong(0) == 3L && post.getDouble(2) > 0.99)
+    model.unpersist()
+  }
+
   test("PqModel takedown: one marker scrubs BOTH tables; eval invariant across compaction") {
     val spark2 = spark
     import spark2.implicits._
