@@ -417,6 +417,32 @@ object SparkEntry {
     })
   }
 
+  /** Persisted IVF-PQ index for the PQ-upsert gate ([[ivfUpsertIndexFor]]
+    * rationale: stale %17==3 slice at seq 1; the gate re-embeds it at
+    * seq 2 through BOTH tables via PqModel.appendVectors). Mutating, so
+    * its own dir.
+    */
+  private val pqUpsertIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def pqUpsertIndexFor(s: SparkSession, d: String): String = {
+    pqUpsertIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(pqUpsertIndexCache.remove)
+    pqUpsertIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-pq-upsert-index")
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+        nLists = 16, m = 16, ks = 64)
+      PqModel(IvfModel(m.ivf.centroids,
+          m.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+        m.codebooks, m.subDim,
+        m.encoded.withColumn("ingest_seq", lit(1L))).save(dir)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** A SEPARATE persisted IVF-PQ index for the PQ-takedown gate (the
     * [[ivfDelIndexFor]] rationale: it mutates, so it never shares
     * [[pqIndexFor]]'s replayed directory).
@@ -3207,6 +3233,24 @@ object SparkEntry {
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       PqModel.compactDeletes(s, dir)
+      pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
+    }),
+    "sim_recall_pq_upsert" -> ((s, d) => {
+      // PQ upsert: ONE appendVectors call maintains BOTH persisted tables
+      // (coarse-assigned raw vectors + frozen-codebook codes), mirroring
+      // sim_recall_ivf_upsert's contract — recall floor vs brute over the
+      // FINAL vectors in both serving states; compactUpserts drops the
+      // superseded versions from both tables, cell-scoped.
+      val dir = pqUpsertIndexFor(s, d)
+      PqModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      def eval(stage: String): DataFrame =
+        SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.3)
+          .withColumn("stage", lit(stage))
+      val pre = eval("pre_compact").localCheckpoint()
+      PqModel.compactUpserts(s, dir)
       pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
     }),
     "sim_recall_pq_loaded" -> ((s, d) => {
@@ -7075,6 +7119,12 @@ object SparkEntry {
     "sim_recall_pq" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    // PQ upsert shares the vector-upsert contract verbatim
+    "sim_recall_pq_upsert" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
+      FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      WHERE vec_id < 20
+      ORDER BY st.stage, qid""",
     // the loaded-model replay answers bit-identically to the fitted run
     // (OperatorSpec asserts the stronger equality) — same floor oracle
     "sim_recall_pq_loaded" -> """

@@ -749,7 +749,10 @@ object SimSearch {
     import graft.functions.ArrayKernels.dotProduct
     import graft.functions.TopKAgg
     val m = model.codebooks.length
-    val base = model.ivf.assigned
+    // upsert-maintained (seq-carrying) index: brute truth and query
+    // vectors resolve to the FINAL versions; the probed encoded side
+    // resolves per (query, id) below — the IVF eval's winner contract
+    val base = IvfModel.newestPerId(model.ivf.assigned)
     val nL = model.ivf.centroids.length
     val q = base.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("v").as("qv"))
@@ -766,10 +769,17 @@ object SimSearch {
       flatten(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, mi) => element_at(element_at(cbLit, mi + 1), c + 1))),
       (a, b) => a + b)
-    val pq = model.encoded.join(broadcast(qp), Seq("cell"))
+    val pqHasSeq = model.encoded.columns.contains("ingest_seq")
+    val pqScored = model.encoded.join(broadcast(qp), Seq("cell"))
       .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        V.cosine(vhat, toD(col("qv"))).as("c"))
+      .select(col("qid") +: col("id") +:
+        V.cosine(vhat, toD(col("qv"))).as("c") +:
+        (if (pqHasSeq) Seq(col("ingest_seq")) else Nil): _*)
+    val pqPerId =
+      if (pqHasSeq)
+        pqScored.groupBy("qid", "id").agg(max_by(col("c"), col("ingest_seq")).as("c"))
+      else pqScored
+    val pq = pqPerId
       .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
       .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("pq_ids"))
     val brute = base.crossJoin(broadcast(q))
@@ -970,6 +980,37 @@ object PqModel {
       ids: DataFrame): Unit =
     IvfModel.deleteVectors(spark, s"$dir/ivf", ids)
 
+  /** UPSERT ingestion into a persisted IVF-PQ index — ONE logical append
+    * maintains BOTH tables: the raw vectors assign to the frozen coarse
+    * centroids ([[IvfModel.appendVectors]]) and product-quantize against
+    * the frozen codebooks ([[SimSearch.pqEncodeNew]] — the stateless
+    * streaming-safe projection), each landing cell-partitioned with the
+    * given `ingest_seq`. Serving resolves newest-per-id immediately;
+    * [[compactUpserts]] drops the losers from both tables, cell-scoped.
+    * Both tables must already carry `ingest_seq`.
+    */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
+    val cur = spark.read.parquet(s"$dir/encoded")
+    require(cur.columns.contains("ingest_seq"),
+      s"appendVectors needs a seq-carrying index — save the trained model " +
+        s"with an ingest_seq column before appending ($dir/encoded lacks it)")
+    val model = PqModel.load(spark, dir)
+    IvfModel.appendVectors(spark, s"$dir/ivf", vecs, idCol, vecCol, seq)
+    SimSearch.pqEncodeNew(model, vecs, idCol, vecCol)
+      .withColumn("ingest_seq", lit(seq))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/encoded")
+  }
+
+  /** Physically drop superseded vector versions from BOTH tables —
+    * [[IvfModel.compactUpserts]] applied to each cell-partitioned half.
+    */
+  def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    IvfModel.compactUpsertsCells(spark, s"$dir/encoded")
+    IvfModel.compactUpserts(spark, s"$dir/ivf")
+  }
+
   /** Physically drop deleted vectors from BOTH cell-partitioned tables,
     * cell-scoped ([[IvfModel.scrubCellTable]]); the encoded side scrubs
     * first because the IVF pass clears the shared marker.
@@ -1122,8 +1163,15 @@ object IvfModel {
     * and reclaims space. Decision pass reads narrow columns only
     * (id, seq, cell — never the vectors).
     */
-  def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val tableDir = s"$dir/assigned"
+  def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    compactUpsertsCells(spark, s"$dir/assigned")
+
+  /** [[compactUpserts]] over any cell-partitioned seq-carrying table —
+    * shared with [[PqModel.compactUpserts]], whose one logical upsert
+    * spans TWO such tables (assigned + encoded).
+    */
+  private[operators] def compactUpsertsCells(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     recoverCellAside(fs, tableDir)

@@ -47,11 +47,15 @@ object IndexStore {
   val SwapRename = "rename"
   val SwapManifest = "manifest"
 
-  /** Hash-partition count of the maintenance id-map ([[appendInverted]]
-    * scaladoc): bounds the per-compaction decision read to
-    * (touched partitions / 64) of the narrow id-map instead of a full
-    * table scan. 64 keeps directories file-system-cheap while a small
-    * delta touches only a handful.
+  /** DEFAULT hash-partition count of the maintenance id-map
+    * ([[appendInverted]] scaladoc): a compaction decision reads at most
+    * (delta's touched partitions / idMapBuckets) of the narrow id-map, so
+    * the knob bounds the decision read the way `prefixLen` bounds a point
+    * query — size it so one partition spans a few row groups at your
+    * scale (64 for the test corpora; tens of thousands for a 100 TB
+    * table, where a small delta must not drag in 1/64th of the id-map).
+    * Persisted per table in the meta file; appends and compactions derive
+    * it from there.
     */
   val IdMapBuckets = 64
 
@@ -69,7 +73,7 @@ object IndexStore {
     * on one table would leave both aside dirs and orphaned generations.
     */
   final case class InvertedMeta(prefixLen: Int, hotThreshold: Long,
-      numBuckets: Int, swap: String = SwapRename)
+      numBuckets: Int, swap: String = SwapRename, idMapBuckets: Int = IdMapBuckets)
 
   /** Write a DataFrame bucketed + sorted by `id` as a managed table. */
   def saveBucketed(df: DataFrame, table: String, buckets: Int): Unit =
@@ -134,12 +138,12 @@ object IndexStore {
     */
   def saveInverted(index: DataFrame, table: String, prefixLen: Int = 2,
       hotBucketThreshold: Long = -1L, numBuckets: Int = 0,
-      swapMode: String = SwapRename): Unit = {
+      swapMode: String = SwapRename, idMapBuckets: Int = IdMapBuckets): Unit = {
     val spark = index.sparkSession
     writeInverted(index, table, prefixLen, SaveMode.Overwrite, numBuckets)
     writeMeta(spark, table,
-      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode))
-    if (index.columns.contains("ingest_seq")) seedIdMap(spark, table)
+      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode, idMapBuckets))
+    if (index.columns.contains("ingest_seq")) seedIdMap(spark, table, idMapBuckets)
     refreshHotStats(spark, table)
   }
 
@@ -197,12 +201,14 @@ object IndexStore {
         // files, and existence is what later appends key their logging on.
         if (hasSeq) {
           fsOf(spark, table).mkdirs(idMapPath(spark, table))
-          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen))
+          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
+            m.idMapBuckets)
         }
       } else if (hasSeq) {
         val fs = fsOf(spark, table)
         if (fs.exists(idMapPath(spark, table)))
-          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen))
+          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
+            m.idMapBuckets)
       }
     } finally if (hasSeq) { idx.unpersist(); () }
   }
@@ -263,7 +269,8 @@ object IndexStore {
       if (fsOf(spark, table).exists(idMapPath(spark, table)))
         appendMaintLog(spark, table,
           markers.select(col(Cols.Id), col("ingest_seq"), col("bucket"),
-            col("bkt_pfx")))
+            col("bkt_pfx")),
+          readMeta(spark, table).map(_.idMapBuckets).getOrElse(IdMapBuckets))
     } finally { markers.unpersist(); () }
   }
 
@@ -303,13 +310,14 @@ object IndexStore {
     * narrow read of the table — paid at save time, when an O(table) write
     * just happened anyway.
     */
-  private def seedIdMap(spark: SparkSession, table: String): Unit = {
+  private def seedIdMap(spark: SparkSession, table: String,
+      idMapBuckets: Int): Unit = {
     import org.apache.spark.sql.functions._
     val dir = idMapPath(spark, table)
     fsOf(spark, table).delete(dir, true)
     spark.table(table)
       .select(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"),
-        pmod(hash(col(Cols.Id)), lit(IdMapBuckets)).as("idh"))
+        pmod(hash(col(Cols.Id)), lit(idMapBuckets)).as("idh"))
       .repartition(col("idh"))
       .write.mode(SaveMode.Overwrite).partitionBy("idh")
       .parquet(dir.toString)
@@ -323,10 +331,10 @@ object IndexStore {
     * WHICH ids changed without reading anything table-sized).
     */
   private def appendMaintLog(spark: SparkSession, table: String,
-      narrow: DataFrame): Unit = {
+      narrow: DataFrame, idMapBuckets: Int): Unit = {
     import org.apache.spark.sql.functions._
     narrow
-      .withColumn("idh", pmod(hash(col(Cols.Id)), lit(IdMapBuckets)))
+      .withColumn("idh", pmod(hash(col(Cols.Id)), lit(idMapBuckets)))
       .repartition(col("idh"))
       .write.mode(SaveMode.Append).partitionBy("idh")
       .parquet(idMapPath(spark, table).toString)
@@ -437,8 +445,8 @@ object IndexStore {
         val log = spark.read.parquet(logDir.toString)
           .select(col(Cols.Id)).distinct()
         val touched = log
-          .select(pmod(hash(col(Cols.Id)), lit(IdMapBuckets)).as("idh"))
-          .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ 64
+          .select(pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)).as("idh"))
+          .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ min(delta, idMapBuckets)
         // full posting history of exactly the delta ids — a partition-
         // pruned read of the narrow id-map, O(touched/64 of the id-map)
         val hist = spark.read.parquet(idMapDir.toString)
@@ -520,7 +528,7 @@ object IndexStore {
           .where(col("__wseq").isNull || col("ingest_seq") === col("__wseq"))
           .drop("__wseq")
           .dropDuplicates(Cols.Id, "ingest_seq", "bucket")
-          .withColumn("idh", pmod(hash(col(Cols.Id)), lit(IdMapBuckets)))
+          .withColumn("idh", pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)))
           .repartition(col("idh"))
           .write.mode(SaveMode.Overwrite).partitionBy("idh")
           .parquet(mapStage.toString)
@@ -767,7 +775,8 @@ object IndexStore {
         field("prefixLen").map(_.toInt).getOrElse(2),
         field("hotThreshold").map(_.toLong).getOrElse(-1L),
         field("numBuckets").map(_.toInt).getOrElse(0),
-        swap))
+        swap,
+        field("idMapBuckets").map(_.toInt).getOrElse(IdMapBuckets)))
     }
   }
 
@@ -785,7 +794,8 @@ object IndexStore {
     val out = fs.create(p, true)
     try out.write(
       (s"""{"prefixLen":${m.prefixLen},"hotThreshold":${m.hotThreshold},""" +
-        s""""numBuckets":${m.numBuckets},"swap":"${m.swap}"}""")
+        s""""numBuckets":${m.numBuckets},"swap":"${m.swap}",""" +
+        s""""idMapBuckets":${m.idMapBuckets}}""")
         .getBytes("UTF-8"))
     finally out.close()
   }
