@@ -322,11 +322,14 @@ final class MinHashLSHModel private[operators] (
     * the batch generalization of the point path's single query-key fetch)
     * and prune the posting scan to their partition directories, exactly
     * like a point query. A 5-query batch then reads ≤ 20 directories of
-    * the prefix space instead of the whole index; past a few hundred
-    * queries the probe set covers most prefixes and the unpruned form's
-    * full-scan equi-join wins — that crossover is the caller's knob, not
-    * a hidden heuristic. Results identical to the unpruned form (the
-    * pruned scan keeps every posting the join could match).
+    * the prefix space instead of the whole index. MEASURED crossover
+    * (tools/pruned_batch_ladder.scala, 256-dir prefix space): the read
+    * advantage is 12.5× at batch 5 and gone by batch ≈ 250 — prune while
+    * the workload's distinct buckets stay under ~a quarter of the
+    * 16^prefixLen space, else take the unpruned full-scan join. That
+    * knob is the caller's, not a hidden heuristic. Results identical to
+    * the unpruned form (the pruned scan keeps every posting the join
+    * could match).
     */
   def approxNearestNeighborsAllIndexedPruned(table: String, queries: DataFrame,
       qidCol: String, textCol: String, n: Int,

@@ -674,7 +674,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
       val sides = joins.flatMap(j => Seq(j.children(0), j.children(1)))
         .filter(scansPostings)
       assert(sides.nonEmpty, s"$query: no shuffled join over the posting table found")
-      sides.map(_.collect { case e: ShuffleExchangeExec => e }.size).sum
+      // count shuffles OUTSIDE broadcast subtrees: a maintained table's
+      // tombstone max-seq aggregate shuffles its tiny marker partition
+      // inside a BroadcastExchange — takedown-sized, not posting-sized —
+      // and must not fail the "no exchange over the 100 TB side" claim
+      def shufflesOutsideBroadcast(p: SparkPlan): Int = p match {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => 0
+        case e: ShuffleExchangeExec =>
+          1 + e.children.map(shufflesOutsideBroadcast).sum
+        case other => other.children.map(shufflesOutsideBroadcast).sum
+      }
+      sides.map(shufflesOutsideBroadcast).sum
     }
     val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val oldA = spark.conf.get("spark.sql.adaptive.enabled")
@@ -684,6 +694,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
       assert(postingSideExchanges("ann_batch_colocated",
         "graft_ann_inverted_.*_b32_.*") == 0,
         "bucketed posting side must join without an Exchange")
+      // the SAME property after the full maintenance lifecycle: the gate
+      // tombstones + compacts its numBuckets=32 table before this plan is
+      // built, so a spec-less rewrite would surface here as an Exchange
+      // (or an invalid-bucket-file read) — the round-14 weak finding
+      assert(postingSideExchanges("ann_batch_colocated_deleted",
+        "graft_ann_colodel_.*") == 0,
+        "the exchange-free property must survive tombstone + compaction")
       assert(postingSideExchanges("ann_batch_indexed",
         "graft_ann_inverted_16_4x4_2_md5parity__.*") > 0,
         "contrast broken: the unbucketed twin no longer shuffles — update this test")

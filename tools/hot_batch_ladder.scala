@@ -47,20 +47,21 @@ IndexStore.saveInverted(m.indexDf.select(col("id"), col("signature"), col("bucke
 
 println("HOT_LIST_SIZE=" + IndexStore.hotBuckets(spark, "hotb_capped").size)
 
-val qs = planted.where(col("id") < 60).select(col("id").as("qid"), col("text")).localCheckpoint()
+// two workloads: MIXED (non-boiler queries — the cap's read bound shows:
+// no query needs the hot buckets, so capped probes never list them) and
+// WITHBOILER (a third of the queries are all-hot — their per-query
+// fallback re-probes the hot buckets, so the batch read does NOT drop;
+// the cap is a per-query policy, not a batch guarantee)
+val qsMixed = planted.where(col("id") < 90 && col("id") % 3 =!= 0).select(col("id").as("qid"), col("text")).localCheckpoint()
 
-def serve(skip: Boolean): (Map[Long, Set[Long]], Long, Long) = { m.releaseQueryCaches(); BMeter.reset(); val r = m.approxNearestNeighborsAllIndexedPruned("hotb_capped", qs, "qid", "text", 5, skipHotBuckets = skip).collect(); Thread.sleep(2000); (r.groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }, BMeter.bytes, BMeter.recs) }
+val qsBoiler = planted.where(col("id") < 90).select(col("id").as("qid"), col("text")).localCheckpoint()
 
-val unc = serve(false)
+def serve(qs: org.apache.spark.sql.DataFrame, skip: Boolean): (Map[Long, Set[Long]], Long, Long) = { m.releaseQueryCaches(); BMeter.reset(); val r = m.approxNearestNeighborsAllIndexedPruned("hotb_capped", qs, "qid", "text", 5, skipHotBuckets = skip).collect(); Thread.sleep(2000); (r.groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }, BMeter.bytes, BMeter.recs) }
 
-val cap = serve(true)
+def workload(tag: String, qs: org.apache.spark.sql.DataFrame): Unit = { val unc = serve(qs, false); val cap = serve(qs, true); val recalls = unc._1.keys.toSeq.sorted.map { q => (q, cap._1.getOrElse(q, Set.empty[Long]).intersect(unc._1(q)).size.toDouble / unc._1(q).size) }; println(f"BATCH $tag uncapped inputMB=${unc._2 / 1e6}%.2f records=${unc._3}%d"); println(f"BATCH $tag capped   inputMB=${cap._2 / 1e6}%.2f records=${cap._3}%d"); println(f"RECALL $tag min=${recalls.map(_._2).min}%.2f avg=${recalls.map(_._2).sum / recalls.size}%.2f queries=${recalls.size}%d below1=${recalls.count(_._2 < 1.0)}%d") }
 
-val recalls = unc._1.keys.toSeq.sorted.map { q => (q, cap._1.getOrElse(q, Set.empty[Long]).intersect(unc._1(q)).size.toDouble / unc._1(q).size) }
+workload("mixed", qsMixed)
 
-println(f"BATCH uncapped inputMB=${unc._2 / 1e6}%.2f records=${unc._3}%d")
-
-println(f"BATCH capped   inputMB=${cap._2 / 1e6}%.2f records=${cap._3}%d")
-
-println(f"RECALL min=${recalls.map(_._2).min}%.2f avg=${recalls.map(_._2).sum / recalls.size}%.2f queries=${recalls.size}%d below1=${recalls.count(_._2 < 1.0)}%d")
+workload("withboiler", qsBoiler)
 
 System.exit(0)
