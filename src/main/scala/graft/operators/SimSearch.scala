@@ -961,14 +961,21 @@ object PqModel {
     val raw = spark.read.parquet(s"$dir/encoded")
       .withColumn("cell", col("cell").cast("int"))
     // one takedown marker governs BOTH tables: IvfModel.load already
-    // excluded the assigned side; mirror it on the encoded side
+    // excluded the assigned side; mirror it on the encoded side — with
+    // the same seq-outranking rule on an upsert-maintained index
     val delDir = IvfModel.deletedPath(spark, s"$dir/ivf")
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     val encoded =
       if (!fs.exists(delDir)) raw
-      else raw.join(
-        broadcast(spark.read.parquet(delDir.toString).select(col("id"))),
-        Seq("id"), "left_anti")
+      else {
+        val markers = IvfModel.deletedMarkers(spark, s"$dir/ivf")
+        if (!raw.columns.contains("ingest_seq"))
+          raw.join(broadcast(markers.select(col("id"))), Seq("id"), "left_anti")
+        else
+          raw.join(broadcast(markers), Seq("id"), "left_outer")
+            .where(col("__del_seq").isNull || col("ingest_seq") > col("__del_seq"))
+            .drop("__del_seq")
+      }
     PqModel(ivf, codebooks, subDim, encoded)
   }
 
@@ -977,8 +984,8 @@ object PqModel {
     * from the assigned AND encoded sides immediately).
     */
   def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: DataFrame): Unit =
-    IvfModel.deleteVectors(spark, s"$dir/ivf", ids)
+      ids: DataFrame, seq: Long = Long.MaxValue): Unit =
+    IvfModel.deleteVectors(spark, s"$dir/ivf", ids, seq)
 
   /** UPSERT ingestion into a persisted IVF-PQ index — ONE logical append
     * maintains BOTH tables: the raw vectors assign to the frozen coarse
@@ -1020,7 +1027,7 @@ object PqModel {
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
     IvfModel.scrubCellTable(spark, s"$dir/encoded",
-      spark.read.parquet(delDir.toString).select(col("id")))
+      IvfModel.deletedMarkers(spark, s"$dir/ivf"))
     IvfModel.compactDeletes(spark, s"$dir/ivf")
   }
 }
@@ -1199,16 +1206,28 @@ object IvfModel {
     // type the in-memory model uses
     val assigned = spark.read.parquet(s"$dir/assigned")
       .withColumn("cell", col("cell").cast("int"))
-    // the takedown side file, when present, excludes its ids from EVERY
-    // query the moment the marker lands — a broadcast anti-join above the
-    // cell-pruned scan (the marker set is takedown-sized by construction)
+    // the takedown side file, when present, excludes marked ids from
+    // EVERY query the moment the marker lands — broadcast above the
+    // cell-pruned scan (the marker set is takedown-sized by construction).
+    // On a seq-carrying index the marker's OWN seq decides: a row whose
+    // ingest_seq outranks the id's newest marker is a post-delete
+    // re-ingest and serves (the text index's tombstone contract); a
+    // seq-less index can't order the two events, so markers exclude
+    // unconditionally there.
     val delDir = deletedPath(spark, dir)
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     val live =
       if (!fs.exists(delDir)) assigned
-      else assigned.join(
-        broadcast(spark.read.parquet(delDir.toString).select(col("id"))),
-        Seq("id"), "left_anti")
+      else {
+        val markers = deletedMarkers(spark, dir)
+        if (!assigned.columns.contains("ingest_seq"))
+          assigned.join(broadcast(markers.select(col("id"))),
+            Seq("id"), "left_anti")
+        else
+          assigned.join(broadcast(markers), Seq("id"), "left_outer")
+            .where(col("__del_seq").isNull || col("ingest_seq") > col("__del_seq"))
+            .drop("__del_seq")
+      }
     IvfModel(centroids, live)
   }
 
@@ -1217,34 +1236,62 @@ object IvfModel {
     * [[graft.sources.IndexStore.appendTombstones]]: a real pipeline's
     * removal request hits BOTH index families. [[load]] excludes marked
     * ids immediately; [[compactDeletes]] is the maintenance step that
-    * physically drops their rows.
+    * physically drops their rows. `seq` positions the delete in a
+    * seq-carrying index's change order, so a LATER re-ingest
+    * ([[appendVectors]] with a higher seq) resurrects the id — the text
+    * index's tombstone contract; the default (Long.MaxValue) deletes
+    * unconditionally, which is the only coherent reading on a seq-less
+    * index. Unlike the text tombstones, vector markers CLEAR at
+    * [[compactDeletes]] — redelivery protection is bounded by compaction
+    * cadence (documented there).
     */
   def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("id"))
+      ids: DataFrame, seq: Long = Long.MaxValue): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id"),
+        lit(seq).as("__del_seq"))
       .repartition(1) // takedown batches are tiny; one marker file
       .write.mode("append").parquet(deletedPath(spark, dir).toString)
+
+  /** The newest marker per id, schema-tolerant: marker files written
+    * before the seq column existed read as unconditional
+    * (Long.MaxValue) deletes.
+    */
+  private[operators] def deletedMarkers(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val raw = spark.read.parquet(deletedPath(spark, dir).toString)
+    val withSeq =
+      if (raw.columns.contains("__del_seq")) raw
+      else raw.withColumn("__del_seq", lit(Long.MaxValue))
+    withSeq.groupBy(col("id")).agg(max(col("__del_seq")).as("__del_seq"))
+  }
 
   /** Physically drop deleted vectors, PARTITION-SCOPED like
     * [[graft.sources.IndexStore.compactInverted]]: only the cell
     * directories holding ≥ 1 deleted row are rewritten (staged, then
     * per-directory fs swap); clean cells stay byte-identical, and the
-    * marker file clears afterwards so [[load]]'s anti-join becomes a
+    * marker file clears afterwards so [[load]]'s marker filter becomes a
     * no-op. Queries answer identically before and after — compaction
-    * reclaims space, never changes results.
+    * reclaims space, never changes results. On a seq-carrying index only
+    * the rows each marker OUTRANKS drop (a post-delete re-ingest
+    * survives); clearing the marker here is the deliberate divergence
+    * from the text index (whose tombstones persist as redelivery
+    * guards): a vector batch replayed after its delete compacted will
+    * resurrect — protection is bounded by compaction cadence, and the
+    * caller's at-least-once window must close before maintenance runs.
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val delDir = deletedPath(spark, dir)
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
-    val deleted = spark.read.parquet(delDir.toString).select(col("id"))
-    scrubCellTable(spark, s"$dir/assigned", deleted)
+    scrubCellTable(spark, s"$dir/assigned", deletedMarkers(spark, dir))
     fs.delete(delDir, true)
   }
 
   /** Rewrite ONLY the `cell=` directories of a cell-partitioned table that
-    * hold ≥ 1 row of `deleted` ids — the shared scrub of the IVF and PQ
-    * takedown paths (a PqModel carries TWO such tables off one marker).
+    * hold ≥ 1 row the `deleted` markers outrank — the shared scrub of the
+    * IVF and PQ takedown paths (a PqModel carries TWO such tables off one
+    * marker). `deleted` carries (id) or (id, __del_seq); rows of a
+    * seq-carrying table survive when their ingest_seq outranks the marker.
     */
   private[operators] def scrubCellTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, deleted: DataFrame): Unit = {
@@ -1253,13 +1300,27 @@ object IvfModel {
     recoverCellAside(fs, tableDir)
     val raw = spark.read.parquet(tableDir)
       .withColumn("cell", col("cell").cast("int"))
-    // dirty = cells holding a deleted row; narrow columns only
-    val dirty = raw.select(col("id"), col("cell"))
-      .join(broadcast(deleted), Seq("id"), "left_semi")
+    val seqAware = raw.columns.contains("ingest_seq") &&
+      deleted.columns.contains("__del_seq")
+    // a row "drops" when its id is marked and (seq-aware case) the marker
+    // outranks it; dirty = cells holding ≥ 1 dropping row — narrow columns
+    def dropping(df: DataFrame): DataFrame =
+      if (seqAware)
+        df.join(broadcast(deleted), Seq("id"))
+          .where(col("ingest_seq") <= col("__del_seq"))
+      else df.join(broadcast(deleted.select(col("id"))), Seq("id"), "left_semi")
+    val dirty = dropping(raw.select(
+        col("id") +: col("cell") +:
+          (if (seqAware) Seq(col("ingest_seq")) else Nil): _*))
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
     if (dirty.isEmpty) return
-    val kept = raw.where(col("cell").isin(dirty.toSeq: _*))
-      .join(broadcast(deleted), Seq("id"), "left_anti")
+    val inDirty = raw.where(col("cell").isin(dirty.toSeq: _*))
+    val kept =
+      if (seqAware)
+        inDirty.join(broadcast(deleted), Seq("id"), "left_outer")
+          .where(col("__del_seq").isNull || col("ingest_seq") > col("__del_seq"))
+          .drop("__del_seq")
+      else inDirty.join(broadcast(deleted.select(col("id"))), Seq("id"), "left_anti")
     rewriteCells(spark, fs, tableDir, dirty, kept)
   }
 

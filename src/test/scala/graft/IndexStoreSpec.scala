@@ -414,6 +414,53 @@ class IndexStoreSpec extends AnyFunSuite {
     IndexStore.reset(spark, table)
   }
 
+  test("manifest swap composes with the file-bucketed layout: the relocated generation keeps the exchange-free join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_manifest_bkt"
+    Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(spark, _))
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "ab22", 1L),
+        posting(3L, "ba33", 1L), posting(4L, "bb44", 1L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2, numBuckets = 4,
+      swapMode = IndexStore.SwapManifest)
+    IndexStore.appendTombstones(spark, table, Seq(3L).toDF(Cols.Id), seq = 2L)
+    IndexStore.appendInverted(
+      Seq(posting(2L, "cc55", 2L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"), table)
+    IndexStore.compactInverted(spark, table)
+    val got = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(col(Cols.Id), col("bucket")).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "aa11"), (2L, "cc55"), (4L, "bb44")),
+      s"survivors with the re-ingest winning: $got")
+    assert(IndexStore.bucketCountOf(spark, table) == 4)
+    // the staged generation was written through the bucketed scratch
+    // table, so its files carry the bucket-id encoding and the
+    // exchange-free join survives the catalog-location flip
+    val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = spark.table(table)
+      val joined = t.join(t.select(col("bucket"), col(Cols.Id).as("rhs_id")),
+        Seq("bucket"))
+      joined.count()
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"manifest-relocated bucketed partitions must keep the co-located join: $exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      spark.conf.set("spark.sql.adaptive.enabled", oldA)
+    }
+  }
+
   test("concurrent-reader contract: a scan listed pre-swap fails loudly (never a silent partial), a re-read serves the compacted truth") {
     val spark2 = spark
     import spark2.implicits._

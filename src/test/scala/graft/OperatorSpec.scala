@@ -825,6 +825,45 @@ class OperatorSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("IvfModel seq-aware delete: a later re-ingest resurrects, a replayed pre-delete batch stays deleted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val model = SimSearch.trainIvf(emb, "vec_id", "embedding", nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-delseq").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    val qv = emb.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    // the delete (seq 2) excludes id 3 everywhere, immediately
+    IvfModel.deleteVectors(spark, dir, Seq(3L).toDF("id"), seq = 2L)
+    val gone = IvfModel.load(spark, dir).query(qv, k = 3, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!gone.contains(3L), "marker must exclude the id")
+    // a REPLAYED pre-delete batch (seq 1) must stay deleted...
+    IvfModel.appendVectors(spark, dir,
+      emb.where(col("vec_id") === 3), "vec_id", "embedding", seq = 1L)
+    assert(!IvfModel.load(spark, dir).query(qv, k = 3, nProbe = 8)
+      .collect().map(_.getLong(0)).contains(3L),
+      "an at-least-once replay of a pre-delete batch must stay deleted")
+    // ...while a genuinely NEWER re-ingest (seq 3) resurrects the id
+    IvfModel.appendVectors(spark, dir,
+      emb.where(col("vec_id") === 3), "vec_id", "embedding", seq = 3L)
+    val back = IvfModel.load(spark, dir).query(qv, k = 1, nProbe = 8).collect()(0)
+    assert(back.getLong(0) == 3L && back.getDouble(2) > 0.99,
+      s"a post-delete re-ingest must serve: $back")
+    // compaction drops exactly the outranked rows and clears the marker;
+    // the resurrected version survives and the answer is unchanged
+    IvfModel.compactDeletes(spark, dir)
+    IvfModel.compactUpserts(spark, dir)
+    val versions = spark.read.parquet(s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq
+    assert(versions == Seq(3L), s"only the resurrected version survives: $versions")
+    val post = IvfModel.load(spark, dir).query(qv, k = 1, nProbe = 8).collect()(0)
+    assert(post.getLong(0) == 3L && post.getDouble(2) > 0.99)
+    model.unpersist()
+  }
+
   test("PqModel takedown: one marker scrubs BOTH tables; eval invariant across compaction") {
     val spark2 = spark
     import spark2.implicits._
