@@ -1929,6 +1929,41 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_index_manifest" -> ((s, d) => {
+      // the MAINTAINED lifecycle under the OBJECT-STORE-SAFE swap mode:
+      // same appends/supersession as ann_index_maintained, but the table
+      // compacts via SwapManifest — data files never move, each dirty
+      // partition flips by one catalog SET LOCATION, and the replaced
+      // generation survives for in-flight readers until the next pass
+      // GCs it. The served answer must be IDENTICAL to the rename-mode
+      // twin: the swap strategy is a durability/atomicity choice, never
+      // a semantics one (same fresh-build oracle).
+      val table = "graft_ann_manifest_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(s, _))
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      val prelim = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 5 === 0,
+          concat(lit("preliminary draft "), col(Cols.Text)))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      IndexStore.saveInverted(feat(prelim, 1), table, prefixLen = 1,
+        swapMode = IndexStore.SwapManifest)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table)
+      IndexStore.compactInverted(s, table)
+      // a SECOND maintenance interval: another correction + compaction —
+      // exercises generation GC (the _gen-0 dirs nothing references drop)
+      // and the flip-over-flipped-partition path
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 10 === 0), 3), table)
+      IndexStore.compactInverted(s, table)
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
     "ann_index_deleted" -> ((s, d) => {
       // the TAKEDOWN path end to end (copyright removal / opt-out /
       // contamination): build the serving index, then DELETE the planted
@@ -8021,6 +8056,9 @@ object SparkEntry {
     // the streaming twin replays the identical final state
     "ann_index_maintained" -> annMaintainedOracle,
     "stream_inverted_ingest_real" -> annMaintainedOracle,
+    // the manifest-swap twin answers identically — the swap strategy is a
+    // durability choice, never a semantics one
+    "ann_index_manifest" -> annMaintainedOracle,
     // takedown: fresh MinHash replay over corpus-minus-deleted; the same
     // top-10 must serve in both engine stages (tombstones-only and
     // physically compacted), so the oracle emits each row twice

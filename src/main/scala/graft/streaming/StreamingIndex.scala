@@ -88,7 +88,7 @@ object StreamingIndex {
       schema: StructType, cfg: MinHashConfig, table: String,
       idCol: String = "id", textCol: String = "text",
       maxFilesPerTrigger: Int = 1, prefixLen: Int = 2,
-      seedNumBuckets: Int = 0): StreamingQuery = {
+      seedNumBuckets: Int = 0, seedHotThreshold: Long = -1L): StreamingQuery = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
     val lsh = new MinHashLSH(cfg)
     spark.readStream.schema(schema)
@@ -101,7 +101,8 @@ object StreamingIndex {
             lsh.featurize(batch, idCol, textCol, None)
               .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
                 col(Cols.BucketIds), col("ingest_seq")),
-            table, prefixLen, seedNumBuckets = seedNumBuckets)
+            table, prefixLen, seedHotThreshold = seedHotThreshold,
+            seedNumBuckets = seedNumBuckets)
         ()
       }.start()
   }
@@ -121,14 +122,17 @@ object StreamingIndex {
     * deletes seeds an empty seq-carrying posting table before its
     * tombstones append (a takedown feed may open with deletes for
     * documents another pipeline will ingest later — the marker must land
-    * and outrank them when they arrive). `seedNumBuckets` lets the
-    * cold-created table carry the co-located file-bucketed layout.
+    * and outrank them when they arrive). `seedNumBuckets` /
+    * `seedHotThreshold` let the cold-created table carry the co-located
+    * file-bucketed layout and the hot-bucket occupancy policy (the `_hot`
+    * stats themselves still refresh at the maintenance points — save and
+    * compact — never per micro-batch).
     */
   def streamingIndexMaintenance(spark: SparkSession, dir: String,
       schema: StructType, cfg: MinHashConfig, table: String,
       idCol: String = "id", textCol: String = "text", opCol: String = "op",
       maxFilesPerTrigger: Int = 1, prefixLen: Int = 2,
-      seedNumBuckets: Int = 0): StreamingQuery = {
+      seedNumBuckets: Int = 0, seedHotThreshold: Long = -1L): StreamingQuery = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
     val lsh = new MinHashLSH(cfg)
     def append(rows: DataFrame): Unit =
@@ -136,7 +140,8 @@ object StreamingIndex {
         lsh.featurize(rows, idCol, textCol, None)
           .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
             col(Cols.BucketIds), col("ingest_seq")),
-        table, prefixLen, seedNumBuckets = seedNumBuckets)
+        table, prefixLen, seedHotThreshold = seedHotThreshold,
+        seedNumBuckets = seedNumBuckets)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)

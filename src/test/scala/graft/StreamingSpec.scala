@@ -426,14 +426,18 @@ class StreamingSpec extends AnyFunSuite {
     dd.coalesce(1).write.mode("overwrite").parquet(in)
     val schema = spark.read.parquet(in).schema
     val q = graft.streaming.StreamingIndex.streamingInvertedIngest(
-      spark, in, schema, cfg, table, prefixLen = 1, seedNumBuckets = 8)
+      spark, in, schema, cfg, table, prefixLen = 1, seedNumBuckets = 8,
+      seedHotThreshold = 1000L)
     try q.processAllAvailable() finally q.stop()
     // the stream-created table must carry the bucket spec in BOTH the
     // catalog and the meta file — maintenance and co-located serving
-    // derive it from there
+    // derive it from there — and the seeded hot-bucket policy (stats
+    // refresh at the maintenance points, not per micro-batch)
     assert(IndexStore.bucketCountOf(spark, table) == 8,
       "cold-created table must carry the seeded bucket spec")
     assert(IndexStore.invertedMeta(spark, table).numBuckets == 8)
+    assert(IndexStore.invertedMeta(spark, table).hotThreshold == 1000L,
+      "cold-created table must carry the seeded hot threshold")
     // and the layout's property holds: a bucket equi-join plans with no
     // exchange on the posting side
     val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
