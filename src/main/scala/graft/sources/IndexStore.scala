@@ -496,24 +496,32 @@ object IndexStore {
       .dropDuplicates(Cols.Id, seqCol, "bucket")
       // align writer tasks to partition dirs (one file per rewritten dir)
       .repartition(col("bkt_pfx"))
+    // manifest mode stages DIRECTLY at its retained generation path —
+    // the one job that writes the compacted slice is the only data
+    // movement of the whole swap (no rename at all: object-store renames
+    // are copies); rename mode stages at the transient sibling. A
+    // crashed manifest stage is just an unreferenced generation the next
+    // pass garbage-collects.
+    val stageDst =
+      if (meta.swap == SwapManifest) nextGenDir(fs, tableDir) else stage
     try {
       // ONE job writes the whole dirty slice, partitioned the same way as
       // the table; the per-directory swap below is metadata-only. A
       // bucketed layout stages through a scratch TABLE so every staged
       // file carries the bucket-id file-name encoding the catalog's spec
-      // promises — renamed files keep their names, so the co-located
+      // promises — swapped-in files keep their names, so the co-located
       // exchange-free join property survives the swap.
       if (meta.numBuckets > 0) {
         kept.write.mode(SaveMode.Overwrite)
-          .option("path", stage.toString)
+          .option("path", stageDst.toString)
           .partitionBy("bkt_pfx")
           .bucketBy(meta.numBuckets, "bucket").sortBy("bucket")
           .format("parquet")
           .saveAsTable(stageTbl)
       } else
         kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
-          .parquet(stage.toString)
-      swapPartitions(spark, fs, table, tableDir, stage, meta.swap,
+          .parquet(stageDst.toString)
+      swapPartitions(spark, fs, table, tableDir, stageDst, meta.swap,
         dirty.toSeq.sorted.map(p => (s"bkt_pfx=$p", s"bkt_pfx='$p'")))
       // the id-map compacts in the same pass: rewrite the touched idh
       // partitions to the same winners-only state (always rename-swapped —
@@ -545,10 +553,14 @@ object IndexStore {
       if (maintained) fs.delete(logDir, true)
     } finally {
       sc.setJobDescription(null)
-      // the stage is only dropped on success or after recovery restored
-      // every aside copy; on the success path both are spent by now
+      // rename mode: the transient sibling stage drops only once every
+      // aside copy is spent (a failed run keeps both for recovery).
+      // Manifest mode never deletes its stage — it IS the new generation
+      // (adopted on success, GC'd as unreferenced on failure).
       spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
-      if (asideIsClear(fs, tableDir, table)) fs.delete(stage, true)
+      if (meta.swap != SwapManifest && asideIsClear(fs, tableDir, table)) {
+        fs.delete(stage, true); ()
+      }
     }
     spark.catalog.refreshTable(table)
     refreshHotStats(spark, table)
@@ -566,25 +578,20 @@ object IndexStore {
     * superseded rows, so no aside copy is kept: a crash after the DROP
     * loses only rows compaction was deleting anyway).
     *
-    * [[SwapManifest]]: no data file ever moves — each dirty partition's
-    * catalog entry flips to the staged directory (atomic per-partition
-    * metadata), and the previous location survives for in-flight readers
-    * until the next compaction's [[gcStaleGenerations]]. The staged
-    * directory is ADOPTED as the partition's new home, so it must be a
-    * retained generation dir, not the transient stage: the stage renames
-    * (one directory move of already-written files — on a real object
-    * store, write the stage at its generation path directly) to
-    * `_gen-N/` under the table first.
+    * [[SwapManifest]]: no data file ever moves — the staged directory IS
+    * the new generation (`_gen-N/` under the table, written there
+    * directly), and each dirty partition's catalog entry flips to its
+    * subdirectory (atomic per-partition metadata); the previous location
+    * survives for in-flight readers until the next compaction's
+    * [[gcStaleGenerations]].
     */
   private def swapPartitions(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, table: String,
       tableDir: org.apache.hadoop.fs.Path, stage: org.apache.hadoop.fs.Path,
       swapMode: String, parts: Seq[(String, String)]): Unit = {
     if (swapMode == SwapManifest) {
-      val gen = nextGenDir(fs, tableDir)
-      fs.rename(stage, gen)
       parts.foreach { case (dirName, sqlSpec) =>
-        val src = new org.apache.hadoop.fs.Path(gen, dirName)
+        val src = new org.apache.hadoop.fs.Path(stage, dirName)
         if (fs.exists(src))
           spark.sql(s"ALTER TABLE $table PARTITION ($sqlSpec) " +
             s"SET LOCATION '${fs.makeQualified(src)}'")
@@ -671,12 +678,17 @@ object IndexStore {
     fs.listStatus(tableDir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("_gen-")) {
-        fs.listStatus(st.getPath).foreach { sub =>
+        // a generation with NO referenced partition left (all replaced by
+        // later flips, or a crashed stage nothing ever adopted) drops
+        // whole — including its writer metadata (_SUCCESS)
+        if (!fs.listStatus(st.getPath)
+            .exists(sub => referenced.contains(fs.makeQualified(sub.getPath)))) {
+          fs.delete(st.getPath, true); ()
+        } else fs.listStatus(st.getPath).foreach { sub =>
           if (!referenced.contains(fs.makeQualified(sub.getPath))) {
             fs.delete(sub.getPath, true); ()
           }
         }
-        if (fs.listStatus(st.getPath).isEmpty) { fs.delete(st.getPath, true); () }
       } else if (name.startsWith("bkt_pfx=") &&
           !referenced.contains(fs.makeQualified(st.getPath))) {
         fs.delete(st.getPath, true); ()

@@ -461,6 +461,63 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest mid-flip crash: every partition serves a COMPLETE generation (old-or-new, never empty); the retry finishes the flip") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_manifest_crash"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    // two dirty partitions (aa, bb) so a flip can be interrupted BETWEEN them
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "bb22", 1L),
+        posting(3L, "cc33", 1L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2, swapMode = IndexStore.SwapManifest)
+    IndexStore.appendInverted(
+      Seq(posting(1L, "aa11", 2L), posting(2L, "bb22", 2L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+    // simulate the crash window by REPLAYING the swap's steps manually and
+    // stopping between the two SET LOCATION flips: stage the compacted
+    // slice into a generation dir, flip ONLY partition aa
+    val tableDir = IndexStore.warehouseLocation(spark, table)
+    val gen = new java.io.File(tableDir, "_gen-990") // high id: GC-ordering-proof
+    val winners = spark.table(table)
+      .where(col("bkt_pfx").isin("aa", "bb"))
+      .groupBy(Cols.Id).agg(
+        org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct(col(Cols.Signature),
+            col("bucket"), col("bkt_pfx")), col("ingest_seq")).as("__w"),
+        org.apache.spark.sql.functions.max(col("ingest_seq")).as("ingest_seq"))
+      .select(col(Cols.Id), col("__w.signature").as(Cols.Signature),
+        col("__w.bucket").as("bucket"), col("ingest_seq"),
+        col("__w.bkt_pfx").as("bkt_pfx"))
+    winners.write.partitionBy("bkt_pfx").parquet(gen.getAbsolutePath)
+    spark.sql(s"ALTER TABLE $table PARTITION (bkt_pfx='aa') " +
+      s"SET LOCATION '${new java.io.File(gen, "bkt_pfx=aa").getAbsolutePath}'")
+    spark.catalog.refreshTable(table)
+    // the crashed state: aa serves the NEW complete generation, bb the OLD
+    // complete one — per (id, max seq) both answers are full, never empty
+    val mixed = spark.table(table)
+      .groupBy(Cols.Id).agg(
+        org.apache.spark.sql.functions.max(col("ingest_seq")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mixed == Map(1L -> 2L, 2L -> 2L, 3L -> 1L),
+      s"every id must serve from a complete generation: $mixed")
+    assert(spark.table(table).where(col("bkt_pfx") === "aa").count() == 1,
+      "the flipped partition serves the compacted copy")
+    assert(spark.table(table).where(col("bkt_pfx") === "bb").count() == 2,
+      "the unflipped partition serves the complete OLD copy, not empty")
+    // the RETRY (the log was never cleared) finishes the interrupted flip
+    IndexStore.compactInverted(spark, table)
+    val after = spark.table(table)
+      .select(col(Cols.Id), col("ingest_seq")).as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 2L), (2L, 2L), (3L, 1L)),
+      s"the retried compaction must converge: $after")
+    assert(spark.table(table).where(col("bkt_pfx") === "bb").count() == 1,
+      "the retry must flip the partition the crash skipped")
+  }
+
   test("concurrent-reader contract: a scan listed pre-swap fails loudly (never a silent partial), a re-read serves the compacted truth") {
     val spark2 = spark
     import spark2.implicits._
