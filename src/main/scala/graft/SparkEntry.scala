@@ -1964,6 +1964,47 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_index_relayout" -> ((s, d) => {
+      // LAYOUT MIGRATION: the prefix width / bucket spec that fits a small
+      // index must be able to GROW with the corpus (PERF.md: "the knobs
+      // move together" — prefixLen 2→4, wider file-bucketing at 100 TB).
+      // A maintained table (prelim corpus seq 1, correction append seq 2,
+      // a tombstone at seq 2) relayouts from the starter layout
+      // (prefixLen=1, unbucketed) to the grown one (prefixLen=2,
+      // numBuckets=16) through one offline rebuild; maintenance then
+      // CONTINUES on the migrated table (compaction drops the superseded
+      // postings the migration faithfully carried over, and the marker
+      // still guards) and the flagship serve must equal a fresh build
+      // over corpus-minus-deleted — the migration changed bytes-on-disk,
+      // never answers.
+      val table = "graft_ann_relayout_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(s, _))
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      val prelim = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 5 === 0,
+          concat(lit("preliminary draft "), col(Cols.Text)))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      IndexStore.saveInverted(feat(prelim, 1), table, prefixLen = 1)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table)
+      IndexStore.appendTombstones(s, table,
+        dd.where(col(Cols.Id) === 82L).select(col(Cols.Id)), seq = 2L)
+      IndexStore.relayoutInverted(s, table,
+        IndexStore.invertedMeta(s, table).copy(prefixLen = 2, numBuckets = 16))
+      // maintenance CONTINUES on the migrated layout: a post-migration
+      // re-ingest logs into the re-seeded maintenance state and the
+      // compaction drops its superseded rows under the new bucket spec
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 7 === 3), 3), table)
+      IndexStore.compactInverted(s, table)
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
     "ann_index_deleted" -> ((s, d) => {
       // the TAKEDOWN path end to end (copyright removal / opt-out /
       // contamination): build the serving index, then DELETE the planted
@@ -8059,6 +8100,24 @@ object SparkEntry {
     // the manifest-swap twin answers identically — the swap strategy is a
     // durability choice, never a semantics one
     "ann_index_manifest" -> annMaintainedOracle,
+    // layout migration changes bytes-on-disk, never answers: fresh build
+    // over the final corpus minus the pre-migration takedown (doc 82, a
+    // planted near-dup of the flagship key — its absence proves the
+    // marker survived the migration)
+    "ann_index_relayout" -> s"""
+      WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 82),
+      ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN corpus d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     // takedown: fresh MinHash replay over corpus-minus-deleted; the same
     // top-10 must serve in both engine stages (tombstones-only and
     // physically compacted), so the oracle emits each row twice

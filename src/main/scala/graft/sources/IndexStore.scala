@@ -696,6 +696,89 @@ object IndexStore {
     }
   }
 
+  /** Re-LAYOUT an inverted posting table to a new target meta — the
+    * migration a growing corpus eventually needs: the prefix width that
+    * gave a 10 GB index ≤ 256 tidy directories leaves a 100 TB index with
+    * multi-TB directories, and PERF.md's guidance ("the knobs move
+    * together") is operational only if the knobs can actually move.
+    * Changes any of: `prefixLen` (partition regrouping), `numBuckets`
+    * (file-bucketing on/off/width), `hotThreshold`, `swap`, and
+    * `idMapBuckets`.
+    *
+    * Shape: one O(table) offline rebuild through the standard write path —
+    * the exploded postings regroup to (id, signature, bucket_ids, seq)
+    * rows (one wide shuffle keyed on (id, seq) — the honest migration
+    * cost, paid once per layout generation), stage to a scratch
+    * directory, then the table rebuilds via [[saveInverted]] and the
+    * tombstone markers re-append — so the new meta, id-map, hot stats,
+    * and bucket spec are all correct BY CONSTRUCTION (no bespoke
+    * migration writer to diverge from the canonical one). The table is
+    * absent during the rebuild window: this is an OFFLINE migration
+    * (schedule it like any reindex); an online generation-flip variant
+    * would compose the [[SwapManifest]] machinery table-wide.
+    *
+    * The migration COMPACTS en route: an O(table) rewrite that carried
+    * superseded rows through would pay full price to keep garbage — worse,
+    * the rebuilt table's fresh id-map would declare them compaction-clean
+    * (the save contract is one seq per id) and they would never drop. So
+    * the regroup keeps each id's winning-seq postings only, tombstone
+    * markers keep their seqs (re-appended — still outranking any replayed
+    * pre-delete batch), and serving answers are identical before and
+    * after; post-migration appends/compactions continue normally on the
+    * re-seeded maintenance state (gate `ann_index_relayout`).
+    */
+  def relayoutInverted(spark: SparkSession, table: String,
+      target: InvertedMeta): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = spark.table(table)
+    require(cur.columns.contains("ingest_seq"),
+      "relayoutInverted needs the maintained (ingest_seq-carrying) layout")
+    val dir = tablePath(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val scratch = new org.apache.hadoop.fs.Path(
+      dir.getParent, table.toLowerCase + "__relayout_stage")
+    fs.delete(scratch, true)
+    // regroup the exploded postings back to the saveInverted input shape,
+    // winners only (markers — null buckets under the reserved prefix —
+    // count toward the winner seq, so a tombstoned id's postings drop
+    // here exactly as compaction would drop them). ONE id-keyed
+    // aggregation carries the wide rows exactly once: a winners JOIN
+    // instead flips to a sort-merge past the broadcast ceiling and
+    // re-shuffles the whole table a second time (measured 1.5×/unit
+    // shuffle at sf1 — the single-agg form is ~1.0×). Markers ride
+    // separately (narrow).
+    cur
+      .groupBy(col(Cols.Id))
+      .agg(max(col("ingest_seq")).as("ingest_seq"),
+        collect_list(struct(col("ingest_seq").as("s"), col("bucket").as("b"),
+          col(Cols.Signature).as("sig"))).as("__all"))
+      .withColumn("__win", filter(col("__all"),
+        x => x.getField("s") === col("ingest_seq") && x.getField("b").isNotNull))
+      .where(size(col("__win")) > 0)
+      .select(col(Cols.Id),
+        element_at(col("__win"), 1).getField("sig").as(Cols.Signature),
+        array_distinct(transform(col("__win"), x => x.getField("b")))
+          .as(Cols.BucketIds),
+        col("ingest_seq"))
+      .write.mode(SaveMode.Overwrite).parquet(new org.apache.hadoop.fs.Path(
+        scratch, "postings").toString)
+    cur.where(col("bkt_pfx") === TombstonePrefix)
+      .groupBy(col(Cols.Id))
+      .agg(max(col("ingest_seq")).as("ingest_seq"))
+      .write.mode(SaveMode.Overwrite).parquet(new org.apache.hadoop.fs.Path(
+        scratch, "markers").toString)
+    try {
+      reset(spark, table)
+      saveInverted(
+        spark.read.parquet(new org.apache.hadoop.fs.Path(scratch, "postings").toString),
+        table, target.prefixLen, target.hotThreshold, target.numBuckets,
+        target.swap, target.idMapBuckets)
+      val markers = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(scratch, "markers").toString)
+      if (!markers.isEmpty) appendTombstoneRows(spark, table, markers)
+    } finally { fs.delete(scratch, true); () }
+  }
+
   /** Recompute the `_hot` occupancy side file when the table's meta asks
     * for hot-bucket stats (threshold ≥ 0). One narrow aggregate over the
     * bucket column only; tombstone markers don't count.

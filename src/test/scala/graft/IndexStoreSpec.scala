@@ -461,6 +461,53 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("relayoutInverted: prefix width + bucket spec migrate; winners, markers, and the replay guard carry over") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_relayout"
+    Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(spark, _))
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "ab22", 1L),
+        posting(3L, "ba33", 1L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"),
+      table, prefixLen = 1)
+    IndexStore.appendInverted( // supersession the migration must compact away
+      Seq(posting(2L, "cc55", 2L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"), table)
+    IndexStore.appendTombstones(spark, table, Seq(3L).toDF(Cols.Id), seq = 2L)
+    IndexStore.relayoutInverted(spark, table,
+      IndexStore.invertedMeta(spark, table).copy(prefixLen = 2, numBuckets = 4))
+    // the new layout is real: 2-char partition values, catalog bucket spec
+    val pfx = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select("bkt_pfx").distinct().collect().map(_.getString(0)).toSet
+    assert(pfx == Set("aa", "cc"), s"2-char prefixes after migration: $pfx")
+    assert(IndexStore.bucketCountOf(spark, table) == 4)
+    assert(IndexStore.invertedMeta(spark, table) ==
+      IndexStore.InvertedMeta(2, -1L, 4))
+    // winners-only carry-over: the superseded and tombstoned rows are gone,
+    // the marker survives with its seq
+    val live = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(live == Set((1L, "aa11", 1L), (2L, "cc55", 2L)), s"winners only: $live")
+    assert(spark.table(table)
+      .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
+      .select(col(Cols.Id), col("ingest_seq")).as[(Long, Long)].collect().toSet
+      == Set((3L, 2L)), "the marker must carry over with its seq")
+    // the marker still guards: a replayed pre-delete batch stays deleted
+    IndexStore.appendInverted(
+      Seq(posting(3L, "ba33", 1L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"), table)
+    IndexStore.compactInverted(spark, table)
+    assert(spark.table(table).where(col(Cols.Id) === 3L &&
+      col("bkt_pfx") =!= IndexStore.TombstonePrefix).count() == 0,
+      "the migrated marker must keep guarding against replays")
+  }
+
   test("manifest mid-flip crash: every partition serves a COMPLETE generation (old-or-new, never empty); the retry finishes the flip") {
     val spark2 = spark
     import spark2.implicits._
