@@ -1964,6 +1964,29 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_postings_audit" -> ((s, d) => {
+      // the TAKEDOWN-VERIFICATION primitive: everything the index
+      // physically stores about given ids — postings with their seqs and
+      // the tombstone markers (null bucket). Served from the maintenance
+      // id-map (partitioned by id HASH), so the lookup reads ≤ |ids|
+      // partitions instead of scanning a prefix-partitioned 100 TB table;
+      // the oracle replays the featurize pipeline for the audited ids
+      // plus the marker row.
+      val table = "graft_ann_audit_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      val ix = new MinHashLSH(cfg16).featurize(dd, Cols.Id, Cols.Text, None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(1L))
+      IndexStore.saveInverted(ix, table, prefixLen = 1)
+      IndexStore.appendTombstones(s, table,
+        dd.where(col(Cols.Id) === 82L).select(col(Cols.Id)), seq = 2L)
+      IndexStore.postingsOf(s, table, Seq(0L, 50L, 82L))
+        .select(col(Cols.Id).as("doc_id"), col("ingest_seq"), col("bucket"))
+        .orderBy(col("doc_id"), col("ingest_seq"), col("bucket").asc_nulls_last)
+    }),
     "ann_index_relayout" -> ((s, d) => {
       // LAYOUT MIGRATION: the prefix width / bucket spec that fits a small
       // index must be able to GROW with the corpus (PERF.md: "the knobs
@@ -8100,6 +8123,17 @@ object SparkEntry {
     // the manifest-swap twin answers identically — the swap strategy is a
     // durability choice, never a semantics one
     "ann_index_manifest" -> annMaintainedOracle,
+    // the audit lookup returns the physical posting rows (featurize
+    // replay for the audited ids) plus the tombstone marker (null bucket)
+    "ann_postings_audit" -> s"""
+      WITH ${docCtes(cfg16)},
+      p AS (SELECT doc_id, CAST(1 AS BIGINT) AS ingest_seq,
+                   unnest(bucket_ids) AS bucket
+            FROM buck WHERE doc_id IN (0, 50, 82))
+      SELECT doc_id, ingest_seq, bucket FROM p
+      UNION ALL
+      SELECT CAST(82 AS BIGINT), CAST(2 AS BIGINT), NULL
+      ORDER BY doc_id, ingest_seq, bucket NULLS LAST""",
     // layout migration changes bytes-on-disk, never answers: fresh build
     // over the final corpus minus the pre-migration takedown (doc 82, a
     // planted near-dup of the flagship key — its absence proves the

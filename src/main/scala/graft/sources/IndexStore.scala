@@ -779,6 +779,40 @@ object IndexStore {
     } finally { fs.delete(scratch, true); () }
   }
 
+  /** Everything the index stores about the given document ids — the
+    * AUDIT lookup a takedown pipeline needs ("which buckets does doc X
+    * still post to, at which seqs, and is there a marker?"): one row per
+    * stored posting/marker, `(id, ingest_seq, bucket, bkt_pfx)` with a
+    * null bucket marking tombstones. Pre-compaction this includes
+    * superseded rows — that is the point: the audit shows physical
+    * state, serving semantics (winner/marker resolution) live in the
+    * query paths.
+    *
+    * Cost shape: the posting table is partitioned by bucket PREFIX, so an
+    * id lookup against it would scan everything; the maintenance id-map
+    * is partitioned by id HASH, so the read prunes to the ≤ |ids| touched
+    * `idh=` partitions — the same bound as a compaction decision.
+    * Requires the maintained layout (the id-map exists exactly when
+    * `ingest_seq` does).
+    */
+  def postingsOf(spark: SparkSession, table: String,
+      ids: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idMapDir = idMapPath(spark, table)
+    require(fsOf(spark, table).exists(idMapDir),
+      s"$table has no maintenance id-map — postingsOf needs the " +
+        "seq-carrying layout (saveInverted over an ingest_seq column)")
+    val meta = invertedMeta(spark, table)
+    val touched = ids.map(id =>
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+        id, org.apache.spark.sql.types.LongType, 42) % meta.idMapBuckets)
+      .map(h => (if (h < 0) h + meta.idMapBuckets else h).toInt).distinct
+    spark.read.parquet(idMapDir.toString)
+      .where(col("idh").isin(touched: _*))
+      .where(col(Cols.Id).isin(ids: _*))
+      .select(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"))
+  }
+
   /** Recompute the `_hot` occupancy side file when the table's meta asks
     * for hot-bucket stats (threshold ≥ 0). One narrow aggregate over the
     * bucket column only; tombstone markers don't count.
