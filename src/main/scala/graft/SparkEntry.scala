@@ -1964,6 +1964,37 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_index_fresh" -> ((s, d) => {
+      // EXACT-ON-ARRIVAL maintenance: the same prelim-corpus + correction
+      // appends as ann_index_maintained, but served WITHOUT any
+      // compaction — the supersession cutoffs (the dirty log's newest
+      // append seq per id) exclude every stale posting at the scan, so an
+      // uncompacted backlog serves exactly as a fresh build over the
+      // current corpus. This closes the round-14 "transient anomaly"
+      // window (a doc whose newest version no longer shares a query
+      // bucket could surface via a stale posting until compaction);
+      // compaction is now purely a cost/space operation, never a
+      // correctness event. Same oracle as the compacted twin.
+      val table = "graft_ann_fresh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      val prelim = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 5 === 0,
+          concat(lit("preliminary draft "), col(Cols.Text)))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      IndexStore.saveInverted(feat(prelim, 1), table, prefixLen = 1)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table)
+      // NO compactInverted — the point of the gate
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
     "ann_postings_audit" -> ((s, d) => {
       // the TAKEDOWN-VERIFICATION primitive: everything the index
       // physically stores about given ids — postings with their seqs and
@@ -8120,6 +8151,9 @@ object SparkEntry {
     // the streaming twin replays the identical final state
     "ann_index_maintained" -> annMaintainedOracle,
     "stream_inverted_ingest_real" -> annMaintainedOracle,
+    // the UNCOMPACTED twin must answer identically — supersession cutoffs
+    // make serving exact between compactions
+    "ann_index_fresh" -> annMaintainedOracle,
     // the manifest-swap twin answers identically — the swap strategy is a
     // durability choice, never a semantics one
     "ann_index_manifest" -> annMaintainedOracle,

@@ -291,12 +291,11 @@ final class MinHashLSHModel private[operators] (
     * Maintenance semantics: tombstoned ids ([[graft.sources.IndexStore
     * .appendTombstones]]) are excluded exactly, even before compaction —
     * each posting row survives only if its seq outranks the id's newest
-    * delete marker (the marker partition is tiny: broadcast join). For a
-    * RE-INGESTED id pre-compaction, the NEWEST matched posting scores per
-    * (query, id) — the point path's winner rule (a stale version can
-    * still surface if ONLY it shares a query bucket, until
-    * [[graft.sources.IndexStore.compactInverted]] drops it — the same
-    * documented transient window as serveFromInverted).
+    * delete marker (the marker partition is tiny: broadcast join). A
+    * RE-INGESTED id's stale postings are excluded by its supersession
+    * cutoff (livePostings scaladoc) before the join, so the batch path is
+    * exactly fresh-build between compactions too; the per-(query, id)
+    * max-seq scoring stays beneath as the no-log fallback.
     *
     * `skipHotBuckets` extends the point path's hot-bucket occupancy cap
     * to the batch workload ([[MinHashLSH.hotCapQueryBuckets]]): capped
@@ -619,11 +618,16 @@ object MinHashLSH {
     * (tombstone markers excluded by partition value) whose seq outranks
     * its id's newest DELETE marker — so a takedown is served exactly from
     * the moment its tombstone lands, before any compaction, and a later
-    * re-ingest (seq above the tombstone) resurrects the id. Tables with
+    * re-ingest (seq above the tombstone) resurrects the id — AND whose
+    * seq reaches its id's supersession cutoff ([[graft.sources.IndexStore
+    * .supersessionCutoffs]], the dirty log's newest append seq per id):
+    * a re-ingested id's stale postings are excluded the moment the
+    * re-ingest lands, so serving between compactions is EXACTLY a fresh
+    * build over the current corpus (gate `ann_index_fresh`). Tables with
     * no `ingest_seq` column never carry tombstones (appendTombstones
-    * requires the column) and pass through untouched. The marker
-    * partition holds one row per deleted id — broadcast-sized by
-    * construction.
+    * requires the column) and pass through untouched. Both side frames
+    * are broadcast-sized by construction: one marker row per deleted id,
+    * one cutoff row per id appended since the last compaction.
     */
   private[operators] def livePostings(
       spark: org.apache.spark.sql.SparkSession, table: String,
@@ -648,8 +652,11 @@ object MinHashLSH {
       val tomb = postings
         .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
         .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
-      data.join(broadcast(tomb), Seq(Cols.Id), "left_outer")
+      val unTombed = data.join(broadcast(tomb), Seq(Cols.Id), "left_outer")
         .where(col("__tomb_seq").isNull || col("__tomb_seq") < col("ingest_seq"))
+      IndexStore.supersessionCutoffs(spark, table).fold(unTombed)(c =>
+          unTombed.join(broadcast(c), Seq(Cols.Id), "left_outer")
+            .where(col("__cut").isNull || col("ingest_seq") >= col("__cut")))
         .select(col(Cols.Id), col(Cols.Signature), col("bucket"), col("ingest_seq"))
     }
   }
@@ -673,15 +680,17 @@ object MinHashLSH {
     * A query whose EVERY bucket is hot falls back to the full probe set
     * (an empty answer serves nobody).
     *
-    * Maintenance semantics: DELETES are exact from the moment the
-    * tombstone lands — ids whose newest tombstone outranks their newest
-    * posting are excluded, no compaction needed. Re-ingest supersession:
-    * per candidate id the newest (max `ingest_seq`) MATCHED posting
-    * scores, so a re-ingested doc always serves its newest matching
-    * version; the one transient anomaly (a doc whose newest version no
-    * longer shares any query bucket can still surface via a stale
-    * posting, until [[graft.sources.IndexStore.compactInverted]] drops
-    * it) is the documented pre-compaction window.
+    * Maintenance semantics: EXACT in both directions, before any
+    * compaction. Deletes — ids whose newest tombstone outranks their
+    * newest posting are excluded the moment the marker lands. Re-ingest
+    * supersession — matched postings below their id's supersession
+    * cutoff ([[graft.sources.IndexStore.supersessionCutoffs]], the dirty
+    * log's newest append seq per id) are dropped before scoring, so a
+    * stale version can never surface, even when ONLY it shares a query
+    * bucket (the pre-round-15 transient-anomaly window — now closed;
+    * gate `ann_index_fresh` serves an uncompacted maintained table
+    * against the fresh-build oracle). The per-id max-seq winner rule
+    * stays beneath as the no-log fallback.
     */
   private[operators] def serveFromInverted(
       spark: org.apache.spark.sql.SparkSession, table: String,
@@ -709,13 +718,18 @@ object MinHashLSH {
         matched.select(col(Cols.Id), col(Cols.Signature))
           .dropDuplicates(Cols.Id) // multi-band hits rejoin once; sig identical
       else {
-        // pre-compaction exactness: the newest matched posting wins per id
-        // (a re-ingested doc's stale postings lose), and an id whose
-        // newest tombstone outranks its newest posting is deleted
+        // pre-compaction exactness: matched rows below their id's
+        // supersession cutoff drop first (a stale version can never
+        // surface, even as the ONLY match), the newest surviving posting
+        // wins per id, and an id whose newest tombstone outranks its
+        // newest posting is deleted
+        val fresh = IndexStore.supersessionCutoffs(spark, table).fold(matched)(c =>
+          matched.join(broadcast(c), Seq(Cols.Id), "left_outer")
+            .where(col("__cut").isNull || col("ingest_seq") >= col("__cut")))
         val tomb = postings
           .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
           .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
-        matched.groupBy(col(Cols.Id))
+        fresh.groupBy(col(Cols.Id))
           .agg(max_by(col(Cols.Signature), col("ingest_seq")).as(Cols.Signature),
             max(col("ingest_seq")).as("__seq"))
           .join(broadcast(tomb), Seq(Cols.Id), "left_outer")

@@ -779,6 +779,28 @@ object IndexStore {
     } finally { fs.delete(scratch, true); () }
   }
 
+  /** The newest APPEND seq per id recorded in the dirty log since the
+    * last compaction — the supersession CUTOFF serving paths use to
+    * exclude a re-ingested id's stale postings EXACTLY, before any
+    * compaction: a data row below its id's cutoff belongs to a superseded
+    * version (appends log their (id, seq) AFTER the posting rows land, so
+    * a logged cutoff always has its current rows on disk). None when the
+    * table has no log or no appends since the last clear — then every
+    * stored row is current by the compaction invariant. Broadcast-sized
+    * by the same argument as the tombstone partition: it grows with the
+    * uncompacted backlog and clears at every compaction.
+    */
+  def supersessionCutoffs(spark: SparkSession, table: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val logDir = dirtyLogPath(spark, table)
+    val fs = fsOf(spark, table)
+    val has = fs.exists(logDir) &&
+      fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!has) None
+    else Some(spark.read.parquet(logDir.toString)
+      .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__cut")))
+  }
+
   /** Everything the index stores about the given document ids — the
     * AUDIT lookup a takedown pipeline needs ("which buckets does doc X
     * still post to, at which seqs, and is there a marker?"): one row per
