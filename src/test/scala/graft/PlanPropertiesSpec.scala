@@ -711,6 +711,28 @@ class PlanPropertiesSpec extends AnyFunSuite {
     SparkUtil.releaseScopedCaches()
   }
 
+  test("ann_index_fresh: cutoff/tombstone resolution stays broadcast — the pruned point plan survives an uncompacted backlog") {
+    // the supersession-cutoff and tombstone frames must join as
+    // broadcasts above the partition-pruned scan; a silent flip to a
+    // sort-merge would shuffle the matched postings per point query
+    val df = SparkEntry.queries("ann_index_fresh")(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt_pfx[^\\]]*\\].*"),
+      s"the fresh serve must keep the pruned point scan:\n$plan")
+    val physical = df.queryExecution.executedPlan
+    val smjOverPostings = physical.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.children.exists(_.collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.tableIdentifier.exists(_.table.startsWith("graft_ann_fresh")) => f
+          }.isDefined) => j
+    }
+    assert(smjOverPostings.isEmpty,
+      s"cutoff/tombstone joins over the posting scan must broadcast: $smjOverPostings")
+    SparkUtil.releaseScopedCaches()
+  }
+
   test("ann_batch_pruned: small-batch serving prunes the posting scan like a point query") {
     val plan = planOf("ann_batch_pruned")
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt_pfx[^\\]]*\\].*"),
