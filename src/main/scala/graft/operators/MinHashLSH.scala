@@ -614,6 +614,25 @@ object MinHashLSH {
       live.unionByName(fallback)
     }
 
+  /** The supersession-cutoff frame of a maintained table, pre-hinted for
+    * its serve-side join: broadcast while the dirty log's bytes fit the
+    * budget (`graft.serve.cutoffBroadcastMaxBytes`, default 32 MB — the
+    * common case, since the log clears at every compaction), SHUFFLE_HASH
+    * past it — unlike the tombstone frame (takedown-sized by nature), the
+    * backlog is workload-sized, and a long compaction interval must
+    * degrade the plan to an id-keyed shuffle join, never grow an
+    * unbounded broadcast until the driver OOMs. The byte signal is the
+    * log's file lengths — no job runs to decide.
+    */
+  private def cutoffSide(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] =
+    graft.sources.IndexStore.supersessionCutoffsSized(spark, table).map {
+      case (c, bytes) =>
+        val cap = spark.conf.getOption("graft.serve.cutoffBroadcastMaxBytes")
+          .map(_.toLong).getOrElse(32L << 20)
+        if (bytes <= cap) broadcast(c) else c.hint("shuffle_hash")
+    }
+
   /** The queryable posting rows of an inverted table: every data posting
     * (tombstone markers excluded by partition value) whose seq outranks
     * its id's newest DELETE marker — so a takedown is served exactly from
@@ -625,9 +644,10 @@ object MinHashLSH {
     * re-ingest lands, so serving between compactions is EXACTLY a fresh
     * build over the current corpus (gate `ann_index_fresh`). Tables with
     * no `ingest_seq` column never carry tombstones (appendTombstones
-    * requires the column) and pass through untouched. Both side frames
-    * are broadcast-sized by construction: one marker row per deleted id,
-    * one cutoff row per id appended since the last compaction.
+    * requires the column) and pass through untouched. The tombstone frame
+    * is broadcast-sized by construction (one marker row per deleted id);
+    * the cutoff frame is broadcast only while its backlog fits the budget
+    * ([[cutoffSide]] — past it the join degrades to shuffle).
     */
   private[operators] def livePostings(
       spark: org.apache.spark.sql.SparkSession, table: String,
@@ -654,8 +674,8 @@ object MinHashLSH {
         .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
       val unTombed = data.join(broadcast(tomb), Seq(Cols.Id), "left_outer")
         .where(col("__tomb_seq").isNull || col("__tomb_seq") < col("ingest_seq"))
-      IndexStore.supersessionCutoffs(spark, table).fold(unTombed)(c =>
-          unTombed.join(broadcast(c), Seq(Cols.Id), "left_outer")
+      cutoffSide(spark, table).fold(unTombed)(c =>
+          unTombed.join(c, Seq(Cols.Id), "left_outer")
             .where(col("__cut").isNull || col("ingest_seq") >= col("__cut")))
         .select(col(Cols.Id), col(Cols.Signature), col("bucket"), col("ingest_seq"))
     }
@@ -723,8 +743,8 @@ object MinHashLSH {
         // surface, even as the ONLY match), the newest surviving posting
         // wins per id, and an id whose newest tombstone outranks its
         // newest posting is deleted
-        val fresh = IndexStore.supersessionCutoffs(spark, table).fold(matched)(c =>
-          matched.join(broadcast(c), Seq(Cols.Id), "left_outer")
+        val fresh = cutoffSide(spark, table).fold(matched)(c =>
+          matched.join(c, Seq(Cols.Id), "left_outer")
             .where(col("__cut").isNull || col("ingest_seq") >= col("__cut")))
         val tomb = postings
           .where(col("bkt_pfx") === IndexStore.TombstonePrefix)

@@ -59,6 +59,15 @@ object IndexStore {
     */
   val IdMapBuckets = 64
 
+  /** Cap on the distinct delta buckets [[mergeHotStats]] will recount via
+    * pushed bucket-IN point reads before falling back to the full-table
+    * recount of [[refreshHotStats]]: the IN-literal and the driver-side
+    * candidate set are both bounded by this. Past the cap the delta is a
+    * meaningful fraction of the table anyway, so the full recount IS
+    * delta-proportional there.
+    */
+  val HotMergeCandidateCap = 65536
+
   /** Layout metadata persisted WITH an inverted posting table (a
     * `_graft_meta.json` file inside the table directory — underscore
     * names are invisible to the table's own file listing, and the file
@@ -144,6 +153,9 @@ object IndexStore {
     writeMeta(spark, table,
       InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode, idMapBuckets))
     if (index.columns.contains("ingest_seq")) seedIdMap(spark, table, idMapBuckets)
+    // a save is the one O(table) event: the full recount is already
+    // delta-proportional here (the whole table IS the delta), and it
+    // absorbs/clears any stale append-delta log
     refreshHotStats(spark, table)
   }
 
@@ -162,9 +174,13 @@ object IndexStore {
     * cold-create path), so a stream can cold-create the co-located
     * (`seedNumBuckets` > 0) layout without a batch save first. Hot-bucket
     * stats are NOT refreshed per append (a per-micro-batch full-column
-    * aggregate would dominate streaming ingestion at scale) — the `_hot`
-    * list updates at the maintenance points, save and compact, so a
-    * bucket running hot mid-stream is capped at the next compaction.
+    * aggregate would dominate streaming ingestion at scale) — instead a
+    * stats-keeping append RECORDS its per-bucket posting delta in the
+    * `_graft_hotdelta/` side log (one delta-sized aggregate), and the
+    * `_hot` list merges those deltas at the maintenance points, save and
+    * compact ([[mergeHotStats]] — reads proportional to the delta, never
+    * the table), so a bucket running hot mid-stream is capped at the next
+    * compaction.
     *
     * Maintenance side state: a seq-carrying append also records its
     * narrow delta — (id, seq) into the `_graft_dirtylog/` and the
@@ -201,14 +217,17 @@ object IndexStore {
         // files, and existence is what later appends key their logging on.
         if (hasSeq) {
           fsOf(spark, table).mkdirs(idMapPath(spark, table))
-          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
-            m.idMapBuckets)
+          val narrow = explodedNarrow(idx, m.prefixLen)
+          appendMaintLog(spark, table, narrow, m.idMapBuckets)
+          if (m.hotThreshold >= 0L) appendHotDelta(spark, table, narrow)
         }
       } else if (hasSeq) {
         val fs = fsOf(spark, table)
-        if (fs.exists(idMapPath(spark, table)))
-          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
-            m.idMapBuckets)
+        if (fs.exists(idMapPath(spark, table))) {
+          val narrow = explodedNarrow(idx, m.prefixLen)
+          appendMaintLog(spark, table, narrow, m.idMapBuckets)
+          if (m.hotThreshold >= 0L) appendHotDelta(spark, table, narrow)
+        }
       }
     } finally if (hasSeq) { idx.unpersist(); () }
   }
@@ -342,6 +361,25 @@ object IndexStore {
       .coalesce(1)
       .write.mode(SaveMode.Append)
       .parquet(dirtyLogPath(spark, table).toString)
+    compactDirtyLogIfNeeded(spark, table)
+  }
+
+  /** Record an append's per-bucket posting-count delta in the
+    * `_graft_hotdelta/` side log — the delta-sized aggregate that lets
+    * [[mergeHotStats]] update the `_hot` occupancy list at maintenance
+    * points without rescanning the table. Only buckets that GAINED rows
+    * since the last merge can newly cross the threshold (appends only add
+    * physical rows; rows only drop at compaction, whose rewritten
+    * partitions are recounted exactly), so the logged buckets are exactly
+    * the candidate set the merge must re-examine.
+    */
+  private def appendHotDelta(spark: SparkSession, table: String,
+      narrow: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    narrow.groupBy(col("bucket").cast("string").as("bucket")).count()
+      .coalesce(1)
+      .write.mode(SaveMode.Append)
+      .parquet(hotDeltaPath(spark, table).toString)
   }
 
   /** Compact an append-log INVERTED posting table, PARTITION-SCOPED: per
@@ -400,6 +438,9 @@ object IndexStore {
   def compactInverted(spark: SparkSession, table: String,
       seqCol: String = "ingest_seq"): Unit = {
     import org.apache.spark.sql.functions._
+    // a crashed relayout swap may have left the flagged side table as the
+    // only (complete) copy — adopt it before touching anything else
+    recoverRelayout(spark, table)
     val cur = spark.table(table)
     require(cur.columns.contains(seqCol),
       s"compactInverted needs the append-sequence column '$seqCol'")
@@ -439,7 +480,8 @@ object IndexStore {
         if (noParquet(logDir) || noParquet(idMapDir)) {
           sc.setJobDescription(null)
           fs.delete(logDir, true)
-          refreshHotStats(spark, table)
+          // nothing was appended since the last clear, so the occupancy
+          // stats cannot have moved — the no-op early return costs no scan
           return
         }
         val log = spark.read.parquet(logDir.toString)
@@ -479,7 +521,9 @@ object IndexStore {
     if (dirty.isEmpty) {
       sc.setJobDescription(null)
       if (maintained) fs.delete(logDir, true) // appends were clean (pure inserts)
-      refreshHotStats(spark, table)
+      // pure inserts still moved bucket occupancy: merge the append deltas
+      // (reads bounded by the delta's buckets, no partitions were rewritten)
+      mergeHotStats(spark, table, Set.empty)
       return
     }
 
@@ -563,7 +607,9 @@ object IndexStore {
       }
     }
     spark.catalog.refreshTable(table)
-    refreshHotStats(spark, table)
+    // incremental occupancy update: append deltas merge in, and ONLY the
+    // partitions this compaction rewrote are recounted exactly
+    mergeHotStats(spark, table, dirty)
   }
 
   /** Swap each staged partition directory into the live table via the
@@ -726,10 +772,24 @@ object IndexStore {
     * pre-delete batch), and serving answers are identical before and
     * after; post-migration appends/compactions continue normally on the
     * re-seeded maintenance state (gate `ann_index_relayout`).
+    *
+    * CRASH SAFETY — the live table is never the build site: the rebuild
+    * lands COMPLETELY in a side table (`<table>__relayout_next`, markers
+    * included), a `_graft_relayout_ready` flag marks it complete, and only
+    * then does the metadata-only swap run (DROP old + ALTER RENAME next —
+    * the catalog rewrites partition locations with the directory move).
+    * Any failure BEFORE the flag leaves the original table untouched (the
+    * incomplete side table is garbage the next migration's
+    * [[recoverRelayout]] resets); any crash INSIDE the swap window leaves
+    * the complete flagged side table, and [[recoverRelayout]] — run at
+    * the head of every relayout AND compaction — finishes the rename.
+    * Serving therefore always sees the complete old or the complete new
+    * layout, never an empty or partial table.
     */
   def relayoutInverted(spark: SparkSession, table: String,
       target: InvertedMeta): Unit = {
     import org.apache.spark.sql.functions._
+    recoverRelayout(spark, table)
     val cur = spark.table(table)
     require(cur.columns.contains("ingest_seq"),
       "relayoutInverted needs the maintained (ingest_seq-carrying) layout")
@@ -767,16 +827,92 @@ object IndexStore {
       .agg(max(col("ingest_seq")).as("ingest_seq"))
       .write.mode(SaveMode.Overwrite).parquet(new org.apache.hadoop.fs.Path(
         scratch, "markers").toString)
+    val next = table + "__relayout_next"
     try {
-      reset(spark, table)
+      // build the WHOLE new layout in the side table first; the live
+      // table keeps serving (and stays the recovery point) throughout
+      reset(spark, next)
       saveInverted(
         spark.read.parquet(new org.apache.hadoop.fs.Path(scratch, "postings").toString),
-        table, target.prefixLen, target.hotThreshold, target.numBuckets,
+        next, target.prefixLen, target.hotThreshold, target.numBuckets,
         target.swap, target.idMapBuckets)
       val markers = spark.read.parquet(
         new org.apache.hadoop.fs.Path(scratch, "markers").toString)
-      if (!markers.isEmpty) appendTombstoneRows(spark, table, markers)
+      if (!markers.isEmpty) appendTombstoneRows(spark, next, markers)
+      // the readiness flag: recovery adopts a flagged side table (the
+      // build completed; only the swap remains) and discards an unflagged
+      // one (incomplete — the live table is still the truth)
+      fs.create(new org.apache.hadoop.fs.Path(
+        tablePath(spark, next), RelayoutReadyFlag), true).close()
+      finishRelayoutSwap(spark, table)
     } finally { fs.delete(scratch, true); () }
+  }
+
+  /** Name of the completion flag a relayout writes into its side table. */
+  private val RelayoutReadyFlag = "_graft_relayout_ready"
+
+  /** The metadata-only swap at the end of [[relayoutInverted]], shared
+    * with crash recovery: DROP the old table (its directory goes with the
+    * managed-table drop; any partially-deleted leftover is cleared
+    * explicitly) and RENAME the flagged side table in (the catalog moves
+    * the directory — every hidden side file, meta/_hot/id-map/log, rides
+    * inside it). Partition locations are then REBASED explicitly: the
+    * catalog's own rename rewrites them by URI-string prefix replacement,
+    * which silently misses when the stored URIs normalize differently
+    * (measured: `file:///` partition URIs vs a `file:/` table location
+    * leave every partition pointing at the vanished side directory — a
+    * zero-row table). The rebase is path-component math, idempotent when
+    * the catalog already fixed them.
+    */
+  private def finishRelayoutSwap(spark: SparkSession, table: String): Unit = {
+    val next = table + "__relayout_next"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val leftover = warehouseLocation(spark, table)
+    if (leftover.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(leftover).deleteRecursively(); ()
+    }
+    spark.sql(s"ALTER TABLE $next RENAME TO $table")
+    val cat = spark.sessionState.catalog
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val newDir = new org.apache.hadoop.fs.Path(
+      new java.net.URI(cat.getTableMetadata(tid).location.toString))
+    val fs = newDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // both sides normalize through the SAME makeQualified, so the prefix
+    // test is exact (java.net.URI.relativize is too strict for this)
+    val oldPrefix = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      newDir.getParent, next.toLowerCase(java.util.Locale.ROOT)))
+      .toString.stripSuffix("/") + "/"
+    val rebased = cat.listPartitions(tid).flatMap { p =>
+      val loc = fs.makeQualified(new org.apache.hadoop.fs.Path(
+        new java.net.URI(p.location.toString))).toString
+      if (!loc.startsWith(oldPrefix)) None // already under the new dir
+      else Some(p.copy(storage = p.storage.copy(locationUri = Some(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(
+          newDir, loc.substring(oldPrefix.length))).toUri))))
+    }
+    if (rebased.nonEmpty) cat.alterPartitions(tid, rebased)
+    spark.catalog.refreshTable(table)
+    fsOf(spark, table).delete(
+      new org.apache.hadoop.fs.Path(tablePath(spark, table), RelayoutReadyFlag),
+      false); ()
+  }
+
+  /** Crash recovery for [[relayoutInverted]] — runs at the head of every
+    * relayout and compaction. A leftover `<table>__relayout_next` means a
+    * previous migration died: if it carries the readiness flag its build
+    * completed and only the metadata swap remains — finish it (the new
+    * layout serves); without the flag the build was cut short — drop the
+    * fragment (the ORIGINAL table was never touched and keeps serving).
+    * Either way the caller proceeds against a complete table.
+    */
+  def recoverRelayout(spark: SparkSession, table: String): Unit = {
+    val next = table + "__relayout_next"
+    if (!spark.catalog.tableExists(next)) return
+    val flag = new org.apache.hadoop.fs.Path(
+      tablePath(spark, next), RelayoutReadyFlag)
+    if (fsOf(spark, next).exists(flag)) finishRelayoutSwap(spark, table)
+    else reset(spark, next)
   }
 
   /** The newest APPEND seq per id recorded in the dirty log since the
@@ -786,19 +922,73 @@ object IndexStore {
     * version (appends log their (id, seq) AFTER the posting rows land, so
     * a logged cutoff always has its current rows on disk). None when the
     * table has no log or no appends since the last clear — then every
-    * stored row is current by the compaction invariant. Broadcast-sized
-    * by the same argument as the tombstone partition: it grows with the
-    * uncompacted backlog and clears at every compaction.
+    * stored row is current by the compaction invariant. USUALLY
+    * broadcast-sized (it clears at every compaction), but it grows with
+    * the uncompacted backlog — serving paths must size the join via
+    * [[supersessionCutoffsSized]] and degrade to a shuffle join past
+    * their broadcast budget instead of OOMing the driver.
     */
-  def supersessionCutoffs(spark: SparkSession, table: String): Option[DataFrame] = {
+  def supersessionCutoffs(spark: SparkSession, table: String): Option[DataFrame] =
+    supersessionCutoffsSized(spark, table).map(_._1)
+
+  /** [[supersessionCutoffs]] plus the dirty log's on-disk byte size — the
+    * zero-job broadcast-budget signal (parquet bytes upper-bound the
+    * cutoff frame: the log holds ≥ one (id, seq) row per cutoff row, and
+    * the aggregate only shrinks it). Callers compare the bytes against
+    * their broadcast threshold; a backlog past it joins by shuffle — the
+    * plan degrades, never fails.
+    */
+  def supersessionCutoffsSized(spark: SparkSession,
+      table: String): Option[(DataFrame, Long)] = {
     import org.apache.spark.sql.functions._
     val logDir = dirtyLogPath(spark, table)
     val fs = fsOf(spark, table)
-    val has = fs.exists(logDir) &&
-      fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".parquet"))
-    if (!has) None
-    else Some(spark.read.parquet(logDir.toString)
-      .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__cut")))
+    if (!fs.exists(logDir)) return None
+    val files = fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) None
+    else Some((spark.read.parquet(logDir.toString)
+      .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__cut")),
+      files.map(_.getLen).sum))
+  }
+
+  /** DEFAULT file-count trigger for dirty-log self-compaction: each append
+    * lands one small log file, and a high-cadence stream accumulates
+    * thousands between compactions — past this many files the log folds
+    * into one aggregated (id, max seq) file. Override per session with
+    * `spark.conf.set("graft.maint.logCompactFiles", n)`.
+    */
+  val LogCompactFileCount = 64
+
+  /** Fold the dirty log's one-file-per-append accretion into a single
+    * aggregated file once it passes the file-count trigger — the
+    * maintenance that keeps BOTH log consumers cheap under a long
+    * compaction interval: the serve-path cutoff read stops opening
+    * thousands of footers, and the log's bytes (the broadcast-budget
+    * signal) stop over-counting superseded duplicates. Semantics are
+    * preserved exactly: both consumers reduce the log per id (distinct
+    * ids for the compaction decision, max seq for the cutoffs), and
+    * (id, max seq) is a sufficient statistic for both.
+    *
+    * Crash-safe without a swap: the aggregated file APPENDS first (the
+    * union of old files + aggregate has the same per-id reduction), the
+    * old files delete after — any crash window leaves a superset whose
+    * reduction is unchanged. Single-writer per table, like every append.
+    */
+  def compactDirtyLogIfNeeded(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val trigger = spark.conf.getOption("graft.maint.logCompactFiles")
+      .map(_.toInt).getOrElse(LogCompactFileCount)
+    val logDir = dirtyLogPath(spark, table)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(logDir)) return
+    val files = fs.listStatus(logDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    if (files.length <= trigger) return
+    spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
+      .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("ingest_seq"))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(logDir.toString)
+    files.foreach(f => fs.delete(f, false))
   }
 
   /** Everything the index stores about the given document ids — the
@@ -812,10 +1002,14 @@ object IndexStore {
     *
     * Cost shape: the posting table is partitioned by bucket PREFIX, so an
     * id lookup against it would scan everything; the maintenance id-map
-    * is partitioned by id HASH, so the read prunes to the ≤ |ids| touched
-    * `idh=` partitions — the same bound as a compaction decision.
-    * Requires the maintained layout (the id-map exists exactly when
-    * `ingest_seq` does).
+    * is partitioned by id HASH, so the DATA rows come from the ≤ |ids|
+    * touched `idh=` partitions — the same bound as a compaction decision.
+    * MARKER rows come from the table's own tombstone partition instead
+    * (one partition-pruned read of the takedown-sized `zz` directory):
+    * the id-map's marker mirrors are subject to [[pruneIdMapMarkers]]
+    * retention, and a compliance audit must keep seeing a delete after
+    * its mirror aged out. Requires the maintained layout (the id-map
+    * exists exactly when `ingest_seq` does).
     */
   def postingsOf(spark: SparkSession, table: String,
       ids: Seq[Long]): DataFrame = {
@@ -825,37 +1019,289 @@ object IndexStore {
       s"$table has no maintenance id-map — postingsOf needs the " +
         "seq-carrying layout (saveInverted over an ingest_seq column)")
     val meta = invertedMeta(spark, table)
-    val touched = ids.map(id =>
-      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
-        id, org.apache.spark.sql.types.LongType, 42) % meta.idMapBuckets)
-      .map(h => (if (h < 0) h + meta.idMapBuckets else h).toInt).distinct
-    spark.read.parquet(idMapDir.toString)
+    // the touched partitions come from the SAME Spark expression the write
+    // side partitions with (pmod(hash(id), buckets)) — a driver-side
+    // re-implementation of the hash could silently diverge on a Spark
+    // upgrade or id-type change and make this audit primitive return
+    // empty rows, the worst failure mode a verification tool can have
+    import spark.implicits._
+    val touched = ids.toDF(Cols.Id)
+      .select(pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val data = spark.read.parquet(idMapDir.toString)
       .where(col("idh").isin(touched: _*))
       .where(col(Cols.Id).isin(ids: _*))
+      .where(col("bkt_pfx") =!= TombstonePrefix)
       .select(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"))
+    val markers = loadInverted(spark, table)
+      .where(col("bkt_pfx") === TombstonePrefix) // one pruned directory
+      .where(col(Cols.Id).isin(ids: _*))
+      .select(col(Cols.Id), col("ingest_seq"),
+        col("bucket").cast("string").as("bucket"), col("bkt_pfx"))
+    data.unionByName(markers)
   }
 
-  /** Recompute the `_hot` occupancy side file when the table's meta asks
-    * for hot-bucket stats (threshold ≥ 0). One narrow aggregate over the
-    * bucket column only; tombstone markers don't count.
+  /** Drop tombstone-marker MIRROR rows with `ingest_seq` < `horizon` from
+    * the maintenance id-map — the retention pass that stops a delete-heavy
+    * table's id-map from growing with total deletes EVER. The markers in
+    * the TABLE's tombstone partition are never touched (they are the
+    * serving guard and the compliance record), and serving never reads the
+    * id-map — so even a violated horizon cannot resurrect a deleted id at
+    * serve time: the newest table marker still outranks any replayed
+    * pre-delete batch at every query. What the horizon DOES bound is
+    * physical garbage collection — a pre-delete batch replayed below a
+    * pruned marker keeps its rows on disk (the compaction decision no
+    * longer sees the marker outranking them) while remaining
+    * serve-invisible forever. Set `horizon` at or below the oldest seq
+    * the ingestion layer could still redeliver (e.g. the streaming
+    * checkpoint's committed watermark).
+    *
+    * Cost: one narrow scan of the id-map's marker rows to find the
+    * affected partitions, then a rewrite of ONLY those (≤ idMapBuckets,
+    * usually far fewer — delete-heavy ids hash into a stable subset).
+    */
+  def pruneIdMapMarkers(spark: SparkSession, table: String,
+      horizon: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val idMapDir = idMapPath(spark, table)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(idMapDir)) return
+    val idMap = spark.read.parquet(idMapDir.toString)
+    val stale = col("bkt_pfx") === TombstonePrefix && col("ingest_seq") < horizon
+    val touched = idMap.where(stale)
+      .select(col("idh")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val tableDir = tablePath(spark, table)
+    val mapStage = new org.apache.hadoop.fs.Path(
+      tableDir.getParent, table.toLowerCase + "__idmap_stage")
+    fs.delete(mapStage, true)
+    idMap.where(col("idh").isin(touched: _*))
+      .where(!stale)
+      .repartition(col("idh"))
+      .write.mode(SaveMode.Overwrite).partitionBy("idh")
+      .parquet(mapStage.toString)
+    touched.foreach { h =>
+      val src = new org.apache.hadoop.fs.Path(mapStage, s"idh=$h")
+      val dst = new org.apache.hadoop.fs.Path(idMapDir, s"idh=$h")
+      fs.delete(dst, true)
+      if (fs.exists(src)) { fs.rename(src, dst); () }
+    }
+    fs.delete(mapStage, true); ()
+  }
+
+  /** The MAINTENANCE DEBT of a maintained inverted table — the signal a
+    * backlog-aware compaction trigger needs, now that serving is exact on
+    * arrival and compaction is purely a cost operation. One row:
+    *
+    *  - `log_files` / `log_bytes`: the dirty log's accretion — bytes is
+    *    the serve path's broadcast-budget signal (the cutoff join degrades
+    *    to a shuffle past `graft.serve.cutoffBroadcastMaxBytes`), files is
+    *    the per-serve footer-open count (self-compacts past the
+    *    [[LogCompactFileCount]] trigger);
+    *  - `backlog_ids`: distinct ids appended since the last compaction —
+    *    the cutoff frame's row count;
+    *  - `dead_postings`: rows a compaction would physically drop as
+    *    superseded (delta ids' rows below their winning seq) — the space
+    *    and scan-waste reclaim on the table.
+    *
+    * Cost shape is the compaction DECISION's: the log plus only the
+    * touched id-map partitions — O(delta), so the report is cheap enough
+    * to poll. Trigger recipe: compact when `log_bytes` approaches the
+    * serve broadcast budget (keeps the cutoff join broadcast), or when
+    * `dead_postings / live rows` passes the space-amplification target
+    * (e.g. 10%), whichever first; `tools/debt_drive.scala` drives the
+    * loop under continuous ingest.
+    */
+  def maintenanceDebt(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val meta = invertedMeta(spark, table)
+    val fs = fsOf(spark, table)
+    val logDir = dirtyLogPath(spark, table)
+    val files =
+      if (!fs.exists(logDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty)
+      return Seq((0, 0L, 0L, 0L))
+        .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings")
+    val log = spark.read.parquet(logDir.toString).select(col(Cols.Id)).distinct()
+    val backlog = log.count()
+    val touched = log
+      .select(pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)).as("idh"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hist = spark.read.parquet(idMapPath(spark, table).toString)
+      .where(col("idh").isin(touched: _*))
+      .join(log, Seq(Cols.Id), "left_semi")
+    val w = hist.groupBy(col(Cols.Id))
+      .agg(max(col("ingest_seq")).as("__wseq"))
+    val dead = hist.join(w, Seq(Cols.Id))
+      .where(col("ingest_seq") < col("__wseq") &&
+        col("bkt_pfx") =!= TombstonePrefix)
+      .count()
+    Seq((files.length, files.map(_.getLen).sum, backlog, dead))
+      .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings")
+  }
+
+  /** OPT-IN reconciliation of the maintenance side state — the loud
+    * escape hatch for a violated append-replay contract:
+    * [[appendInverted]]'s three writes (posting table, id-map, dirty log)
+    * are not atomic, and a caller that swallows a failure after the table
+    * write landed leaves superseded rows invisible to both the O(delta)
+    * compaction decision and the supersession cutoff — silently. This
+    * cross-checks the DATA-row multiset — (id, seq, bucket) with
+    * occurrence counts — between the table and the id-map and throws with
+    * samples on any divergence, so a periodic (or pre-compaction) run
+    * turns the silent drift into an operational alarm; re-seed via
+    * [[relayoutInverted]] (or a save) to repair. Tombstone markers are
+    * excluded: [[pruneIdMapMarkers]] drops their mirrors by design. One
+    * narrow O(table) scan — the price of distrust, paid only when asked.
+    */
+  def verifyMaintState(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val idMapDir = idMapPath(spark, table)
+    require(fsOf(spark, table).exists(idMapDir),
+      s"$table has no maintenance id-map — nothing to reconcile")
+    def counts(df: DataFrame): DataFrame = df
+      .where(col("bkt_pfx") =!= TombstonePrefix)
+      .groupBy(col(Cols.Id), col("ingest_seq"), col("bucket"))
+      .count()
+    val diff = counts(spark.table(table)).withColumnRenamed("count", "__t")
+      .join(counts(spark.read.parquet(idMapDir.toString))
+        .withColumnRenamed("count", "__m"),
+        Seq(Cols.Id, "ingest_seq", "bucket"), "full_outer")
+      .where(col("__t").isNull || col("__m").isNull || col("__t") =!= col("__m"))
+    val sample = diff.limit(5).collect()
+    if (sample.nonEmpty)
+      throw new IllegalStateException(
+        s"maintenance id-map of $table diverges from the table — a crashed " +
+          "append was not replayed whole (appendInverted's contract); " +
+          "sample (id, seq, bucket, tableCount, idMapCount): " +
+          sample.map(_.toSeq.mkString("(", ", ", ")")).mkString(" "))
+  }
+
+  /** FULL recompute of the `_hot` occupancy side file when the table's
+    * meta asks for hot-bucket stats (threshold ≥ 0). One narrow aggregate
+    * over the bucket column of the WHOLE table (tombstone markers don't
+    * count) — the O(table) form, paid only where an O(table) event just
+    * happened anyway ([[saveInverted]], [[relayoutInverted]] via save, or
+    * a [[mergeHotStats]] whose delta overflowed [[HotMergeCandidateCap]]).
+    * Routine maintenance goes through the incremental merge instead.
+    * Absorbs (and clears) the `_graft_hotdelta/` append log.
     */
   def refreshHotStats(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions._
     readMeta(spark, table).filter(_.hotThreshold >= 0L).foreach { m =>
-      val hot = spark.table(table)
-        .where(col("bkt_pfx") =!= TombstonePrefix)
-        .groupBy(col("bucket").cast("string").as("bucket")).count()
-        .where(col("count") > m.hotThreshold)
-      // stage → rename: the hot file must never be half-written while a
-      // concurrent point query reads it
-      val dir = tablePath(spark, table)
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      val tmp = new org.apache.hadoop.fs.Path(dir.getParent, table.toLowerCase + "__hot_stage")
-      hot.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val dest = new org.apache.hadoop.fs.Path(dir, "_hot")
-      fs.delete(dest, true)
-      fs.rename(tmp, dest)
+      val sc = spark.sparkContext
+      sc.setJobDescription("graft-hot-refresh-full")
+      try {
+        val hot = spark.table(table)
+          .where(col("bkt_pfx") =!= TombstonePrefix)
+          .groupBy(col("bucket").cast("string").as("bucket")).count()
+          .where(col("count") > m.hotThreshold)
+        writeHotFile(spark, table, hot)
+      } finally sc.setJobDescription(null)
     }
+    // every delta is absorbed in the recount; clear AFTER the rename so a
+    // crash in between just re-merges (the merge recounts, never adds)
+    fsOf(spark, table).delete(hotDeltaPath(spark, table), true)
+  }
+
+  /** INCREMENTAL `_hot` update — the maintenance-point twin of
+    * [[refreshHotStats]] whose reads track the DELTA, not the table:
+    *
+    *  - buckets that gained rows since the last merge are exactly the
+    *    `_graft_hotdelta/` log's buckets (appends record their per-bucket
+    *    delta; nothing else adds physical rows) — each candidate is
+    *    recounted EXACTLY via the point-query read shape (partition
+    *    literals on the candidate prefixes + a pushed bucket-IN, so the
+    *    scan touches matching row groups, not the table);
+    *  - partitions the compaction just REWROTE (`rewritten`) are the only
+    *    places rows can have dropped — they are recounted exactly, a read
+    *    already bounded by the compaction's own delta-proportional
+    *    argument;
+    *  - every other `_hot` entry is carried over unchanged (its partition
+    *    kept its files and its bucket gained nothing).
+    *
+    * Recount-based rather than add-based, so a crash between the `_hot`
+    * rename and the delta-log clear re-merges idempotently (an add-based
+    * merge would double-count the replayed delta). A delta wider than
+    * [[HotMergeCandidateCap]] distinct buckets falls back to the full
+    * recount — at that width the "delta" is a table-sized event anyway.
+    */
+  def mergeHotStats(spark: SparkSession, table: String,
+      rewritten: Set[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val metaOpt = readMeta(spark, table).filter(_.hotThreshold >= 0L)
+    if (metaOpt.isEmpty) return
+    val m = metaOpt.get
+    val fs = fsOf(spark, table)
+    val deltaDir = hotDeltaPath(spark, table)
+    val hasDelta = fs.exists(deltaDir) &&
+      fs.listStatus(deltaDir).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasDelta && rewritten.isEmpty) return // nothing can have moved
+    val sc = spark.sparkContext
+    sc.setJobDescription("graft-hot-refresh")
+    try {
+      val cands: Option[Set[String]] =
+        if (!hasDelta) Some(Set.empty)
+        else {
+          val rows = spark.read.parquet(deltaDir.toString)
+            .select(col("bucket")).distinct()
+            .limit(HotMergeCandidateCap + 1).collect()
+          if (rows.length > HotMergeCandidateCap) None
+          else Some(rows.map(_.getString(0)).toSet)
+        }
+      cands match {
+        case None =>
+          sc.setJobDescription(null)
+          refreshHotStats(spark, table) // table-sized delta: recount all
+        case Some(candSet) =>
+          val cur = spark.table(table)
+            .where(col("bkt_pfx") =!= TombstonePrefix)
+          def over(df: DataFrame): DataFrame =
+            df.groupBy(col("bucket").cast("string").as("bucket")).count()
+              .where(col("count") > m.hotThreshold)
+          val candOutside = candSet.filterNot(b =>
+            rewritten.contains(b.substring(0, math.min(m.prefixLen, b.length))))
+          val candPrefixes = candOutside
+            .map(b => b.substring(0, math.min(m.prefixLen, b.length))).toSeq
+          val parts = Seq(
+            if (rewritten.isEmpty) None
+            else Some(over(cur.where(col("bkt_pfx").isin(rewritten.toSeq: _*)))),
+            if (candOutside.isEmpty) None
+            else Some(over(cur
+              .where(col("bkt_pfx").isin(candPrefixes: _*))        // PartitionFilters
+              .where(col("bucket").isin(candOutside.toSeq: _*))))  // PushedFilters
+          ).flatten
+          val hotDest = new org.apache.hadoop.fs.Path(
+            tablePath(spark, table), "_hot")
+          val carried =
+            if (!fs.exists(hotDest)) None
+            else Some(spark.read.parquet(hotDest.toString)
+              .where(!col("bucket").isin(candSet.toSeq: _*))
+              .where(!substring(col("bucket"), 1, m.prefixLen)
+                .isin(rewritten.toSeq: _*)))
+          val pieces = parts ++ carried
+          if (pieces.nonEmpty)
+            writeHotFile(spark, table, pieces.reduce(_ unionByName _))
+      }
+    } finally sc.setJobDescription(null)
+    // clears LAST: a crash above re-merges idempotently from the log
+    fs.delete(deltaDir, true); ()
+  }
+
+  /** Stage → rename the `_hot` side file: it must never be half-written
+    * while a concurrent point query reads it.
+    */
+  private def writeHotFile(spark: SparkSession, table: String,
+      hot: DataFrame): Unit = {
+    val dir = tablePath(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent, table.toLowerCase + "__hot_stage")
+    hot.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(dir, "_hot")
+    fs.delete(dest, true)
+    fs.rename(tmp, dest); ()
   }
 
   /** Bucket values the `_hot` stats file marks as over-occupied — empty
@@ -959,6 +1405,9 @@ object IndexStore {
 
   private def dirtyLogPath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(tablePath(spark, table), "_graft_dirtylog")
+
+  private def hotDeltaPath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tablePath(spark, table), "_graft_hotdelta")
 
   private def fsOf(spark: SparkSession, table: String): org.apache.hadoop.fs.FileSystem =
     tablePath(spark, table).getFileSystem(spark.sessionState.newHadoopConf())

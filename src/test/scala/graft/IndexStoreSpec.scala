@@ -656,6 +656,238 @@ class IndexStoreSpec extends AnyFunSuite {
       "the clean pass must still clear its log")
   }
 
+  test("incremental hot stats: the merged _hot equals the full recount through append → supersede → tombstone → compact; no-op passes skip the refresh") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_hotinc"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    def batch(rows: (Long, String, Long)*) =
+      rows.map { case (i, b, s) => posting(i, b, s) }
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    // ground truth: the full recount the incremental merge must equal
+    def truth(): Set[(String, Long)] = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .groupBy(col("bucket")).count().where(col("count") > 2)
+      .as[(String, Long)].collect().toSet
+    def hotFile(): Set[(String, Long)] = {
+      val dir = new java.io.File(IndexStore.warehouseLocation(spark, table), "_hot")
+      spark.read.parquet(dir.getAbsolutePath).as[(String, Long)].collect().toSet
+    }
+    // aa11 holds 4 postings (> threshold 2); bb22 holds 1
+    IndexStore.saveInverted(
+      batch((1L, "aa11", 1L), (2L, "aa11", 1L), (3L, "aa11", 1L),
+        (4L, "aa11", 1L), (5L, "bb22", 1L)),
+      table, prefixLen = 2, hotBucketThreshold = 2L)
+    assert(IndexStore.hotBuckets(spark, table) == Set("aa11"))
+    // pure-insert appends push bb22 over the threshold — the clean-delta
+    // compaction path must MERGE the recorded deltas (no rewrite happens)
+    IndexStore.appendInverted(batch((6L, "bb22", 1L)), table)
+    IndexStore.appendInverted(batch((7L, "bb22", 1L)), table)
+    IndexStore.compactInverted(spark, table)
+    assert(hotFile() == truth() && truth().map(_._1) == Set("aa11", "bb22"),
+      s"merge after pure inserts: got ${hotFile()}, want ${truth()}")
+    // supersession pulls aa11 BELOW the threshold: ids 2-4 re-ingest into
+    // cc33 — the rewritten partition (aa) is recounted exactly, the delta
+    // bucket (cc33) crosses via its point recount, bb22 carries over
+    IndexStore.appendInverted(
+      batch((2L, "cc33", 2L), (3L, "cc33", 2L), (4L, "cc33", 2L)), table)
+    IndexStore.compactInverted(spark, table)
+    assert(hotFile() == truth() && truth().map(_._1) == Set("bb22", "cc33"),
+      s"merge after supersession: got ${hotFile()}, want ${truth()}")
+    // takedown drops bb22's occupancy below the threshold at compaction
+    IndexStore.appendTombstones(spark, table, Seq(6L, 7L).toDF(Cols.Id), seq = 3L)
+    IndexStore.compactInverted(spark, table)
+    assert(hotFile() == truth() && truth().map(_._1) == Set("cc33"),
+      s"merge after takedown: got ${hotFile()}, want ${truth()}")
+    // a no-op maintenance pass (empty log) must not touch the hot file at
+    // all — the round-15 verdict's weak: the early returns paid a full
+    // table scan for nothing
+    val hotDir = new java.io.File(IndexStore.warehouseLocation(spark, table), "_hot")
+    def hotState() = hotDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = hotState()
+    IndexStore.compactInverted(spark, table)
+    assert(hotState() == before,
+      "an empty-log compaction must skip the hot refresh entirely")
+  }
+
+  test("relayout crash recovery: serving sees the complete old or complete new table, never empty; recovery adopts or discards the side table by its flag") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_relcrash"
+    val next = table + "__relayout_next"
+    Seq(table, next).foreach(IndexStore.reset(spark, _))
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    def batch(rows: (Long, String, Long)*) =
+      rows.map { case (i, b, s) => posting(i, b, s) }
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    def liveIds(): Set[Long] = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(Cols.Id).as[Long].collect().toSet
+    IndexStore.saveInverted(batch((1L, "aa11", 1L), (2L, "bb22", 1L)),
+      table, prefixLen = 2)
+    // CRASH STATE A — the side-table build died before the readiness flag:
+    // recovery must DISCARD the fragment; the untouched original serves
+    IndexStore.saveInverted(batch((9L, "cc33", 1L)), next, prefixLen = 1)
+    IndexStore.recoverRelayout(spark, table)
+    assert(!spark.catalog.tableExists(next), "unflagged fragment must drop")
+    assert(liveIds() == Set(1L, 2L), "the original table keeps serving")
+    // CRASH STATE B — the build completed (flag written) but the swap never
+    // started: recovery must FINISH the swap; the new layout serves
+    IndexStore.saveInverted(batch((1L, "aa11", 1L), (2L, "bb22", 1L),
+      (3L, "cc33", 1L)), next, prefixLen = 1)
+    val flag = new java.io.File(
+      IndexStore.warehouseLocation(spark, next), "_graft_relayout_ready")
+    assert(flag.createNewFile())
+    IndexStore.recoverRelayout(spark, table)
+    assert(!spark.catalog.tableExists(next))
+    assert(liveIds() == Set(1L, 2L, 3L), "the flagged side table must be adopted")
+    assert(IndexStore.invertedMeta(spark, table).prefixLen == 1,
+      "the adopted table carries the NEW layout meta")
+    // CRASH STATE C — died between the DROP and the RENAME (the only
+    // window where the catalog has no `table`): the flagged side table is
+    // the one complete copy; the next maintenance call adopts it
+    IndexStore.saveInverted(batch((1L, "aa11", 1L), (4L, "dd44", 1L)),
+      next, prefixLen = 2)
+    val flag2 = new java.io.File(
+      IndexStore.warehouseLocation(spark, next), "_graft_relayout_ready")
+    assert(flag2.createNewFile())
+    IndexStore.reset(spark, table) // the crashed DROP
+    IndexStore.compactInverted(spark, table) // head recovery adopts, then no-ops
+    assert(liveIds() == Set(1L, 4L),
+      "compaction's head recovery must finish the interrupted swap")
+    // end-to-end sanity: a NORMAL relayout still works after all that
+    IndexStore.relayoutInverted(spark, table,
+      IndexStore.invertedMeta(spark, table).copy(prefixLen = 1))
+    assert(liveIds() == Set(1L, 4L))
+    assert(IndexStore.invertedMeta(spark, table).prefixLen == 1)
+  }
+
+  test("id-map marker retention: pruned mirrors stop the growth; the table's marker keeps a replayed pre-delete batch serve-invisible") {
+    import graft.operators.MinHashLSH
+    val spark2 = spark
+    import spark2.implicits._
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as(Cols.Id), col("text"))
+    val table = "graft_inverted_retention"
+    IndexStore.reset(spark, table)
+    val lsh = new MinHashLSH(cfg)
+    def feat(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      lsh.featurize(df, Cols.Id, "text", None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(seq))
+    IndexStore.saveInverted(feat(docs, 1L), table, prefixLen = 1)
+    IndexStore.appendTombstones(spark, table, Seq(50L).toDF(Cols.Id), seq = 2L)
+    IndexStore.compactInverted(spark, table)
+    val idMapDir = new java.io.File(
+      IndexStore.warehouseLocation(spark, table), "_graft_idmap")
+    def idMapMarkers(): Long = spark.read.parquet(idMapDir.getAbsolutePath)
+      .where(col("bkt_pfx") === IndexStore.TombstonePrefix).count()
+    assert(idMapMarkers() == 1, "the marker mirror lives in the id-map pre-retention")
+    // the caller's at-least-once window closed at seq 3: prune the mirror
+    IndexStore.pruneIdMapMarkers(spark, table, horizon = 3L)
+    assert(idMapMarkers() == 0, "retention must drop the aged marker mirror")
+    assert(spark.table(table)
+      .where(col("bkt_pfx") === IndexStore.TombstonePrefix).count() == 1,
+      "the TABLE's marker — the serving guard — is never touched")
+    // the audit primitive still reports the delete (markers come from the
+    // table's tombstone partition, not the pruned mirror)
+    assert(IndexStore.postingsOf(spark, table, Seq(50L))
+      .where(col("bucket").isNull).count() == 1,
+      "postingsOf must keep showing the delete after retention")
+    // a replayed pre-delete batch: physically kept (the documented garbage
+    // cost of a violated horizon) but NEVER served — the table's marker
+    // outranks it at every query
+    IndexStore.appendInverted(feat(docs.where(col(Cols.Id) === 50L), 1L), table)
+    IndexStore.compactInverted(spark, table)
+    val queries = docs.where(col(Cols.Id) === 0)
+      .select(col(Cols.Id).as("qid"), col("text"))
+    val model = new MinHashLSH(cfg).fit(docs, Cols.Id, "text")
+    val served = model.approxNearestNeighborsAllIndexed(table, queries, "qid", "text", 5)
+      .select("id").as[Long].collect().toSet
+    assert(!served.contains(50L),
+      "a replay below a pruned mirror must stay serve-invisible (table marker)")
+    model.releaseQueryCaches()
+    model.unpersist()
+  }
+
+  test("verifyMaintState: a clean maintained table reconciles; a violated replay contract throws loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_verify"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "bb22", 1L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2)
+    IndexStore.appendInverted(
+      Seq(posting(2L, "cc33", 2L)).toDF(Cols.Id, Cols.Signature, Cols.BucketIds,
+        "ingest_seq"), table)
+    IndexStore.verifyMaintState(spark, table) // appends + markers reconcile
+    IndexStore.appendTombstones(spark, table, Seq(1L).toDF(Cols.Id), seq = 3L)
+    IndexStore.verifyMaintState(spark, table) // markers are excluded, still clean
+    // simulate the contract violation: a table write landed whose id-map
+    // mirror never did (the swallowed-failure shape ADVICE r15 flags)
+    Seq(posting(3L, "dd44", 1L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+      .select(col(Cols.Id), col(Cols.Signature),
+        explode(col(Cols.BucketIds)).as("bucket"), col("ingest_seq"),
+        lit("dd").as("bkt_pfx"))
+      .write.mode("append").partitionBy("bkt_pfx")
+      .format("parquet").saveAsTable(table)
+    val err = intercept[IllegalStateException] {
+      IndexStore.verifyMaintState(spark, table)
+    }
+    assert(err.getMessage.contains("diverges"),
+      s"the reconciliation must name the drift: ${err.getMessage}")
+  }
+
+  test("dirty log self-compaction: past the file trigger the log folds to one aggregated file; cutoffs and the decision are unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_logfold"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    spark.conf.set("graft.maint.logCompactFiles", "2")
+    try {
+      IndexStore.saveInverted(
+        Seq(posting(1L, "aa11", 1L)).toDF(Cols.Id, Cols.Signature,
+          Cols.BucketIds, "ingest_seq"), table, prefixLen = 2)
+      // 4 appends: id 2 supersedes itself twice — the fold must keep the
+      // MAX seq per id (the sufficient statistic for both log consumers)
+      IndexStore.appendInverted(Seq(posting(2L, "bb22", 2L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+      IndexStore.appendInverted(Seq(posting(3L, "cc33", 2L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+      IndexStore.appendInverted(Seq(posting(2L, "dd44", 3L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+      IndexStore.appendInverted(Seq(posting(4L, "ee55", 2L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+      val logDir = new java.io.File(
+        IndexStore.warehouseLocation(spark, table), "_graft_dirtylog")
+      val logFiles = logDir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(logFiles <= 2,
+        s"4 appends at trigger 2 must have folded the log: $logFiles files")
+      // the folded log still carries the exact cutoffs (newest seq per id)
+      val cuts = IndexStore.supersessionCutoffs(spark, table).get
+        .as[(Long, Long)].collect().toMap
+      assert(cuts == Map(2L -> 3L, 3L -> 2L, 4L -> 2L),
+        s"fold must preserve max seq per id: $cuts")
+      // and the decision still finds id 2's superseded cross-prefix row
+      IndexStore.compactInverted(spark, table)
+      val got = spark.table(table)
+        .select(col(Cols.Id), col("bucket")).as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "aa11"), (2L, "dd44"), (3L, "cc33"), (4L, "ee55")),
+        s"the folded log must drive the same compaction: $got")
+    } finally spark.conf.unset("graft.maint.logCompactFiles")
+  }
+
   test("batch serving excludes tombstoned ids before compaction") {
     import graft.operators.MinHashLSH
     val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
