@@ -529,6 +529,31 @@ object SparkEntry {
     })
   }
 
+  /** The manifest-mode twin of [[ivfUpsertIndexFor]]: identical stale
+    * corpus and seeding, saved with the OBJECT-STORE-SAFE swap
+    * ([[graft.sources.IndexStore.SwapManifest]]) so the gate's appends
+    * and compaction commit through [[graft.sources.CellManifest]]
+    * generation flips instead of directory renames.
+    */
+  private val ivfManifestIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ivfManifestIndexFor(s: SparkSession, d: String): String = {
+    ivfManifestIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfManifestIndexCache.remove)
+    ivfManifestIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-ivf-manifest-index")
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir, IndexStore.SwapManifest)
+      m.unpersist()
+      dir
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -3339,6 +3364,27 @@ object SparkEntry {
       // Both serving states must keep the recall floor vs brute force
       // over the FINAL vectors (the oracle contract of sim_recall_ivf).
       val dir = ivfUpsertIndexFor(s, d)
+      IvfModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      def eval(stage: String): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+          .withColumn("stage", lit(stage))
+      val pre = eval("pre_compact").localCheckpoint()
+      IvfModel.compactUpserts(s, dir)
+      pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
+    }),
+    "sim_recall_ivf_manifest" -> ((s, d) => {
+      // sim_recall_ivf_upsert's contract run under the OBJECT-STORE-SAFE
+      // swap: the cell table is manifest-governed (CellManifest — appends
+      // and the compaction rewrite stage as _gen-N generations and commit
+      // by ONE manifest put; data files never move, replaced directories
+      // are retained one maintenance pass for in-flight readers).
+      // VectorStoreSpec pins the mid-flip crash contract; this gate pins
+      // that the protocol never changes ANSWERS: both serving states keep
+      // the recall floor vs brute force over the final vectors.
+      val dir = ivfManifestIndexFor(s, d)
       IvfModel.appendVectors(s, dir,
         tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
         "vec_id", "embedding", seq = 2L)
@@ -7253,6 +7299,13 @@ object SparkEntry {
     // vectors in both serving states (pre-compaction winner resolution
     // and post-compaction physical supersession)
     "sim_recall_ivf_upsert" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
+      FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
+      WHERE vec_id < 20
+      ORDER BY st.stage, qid""",
+    // the object-store-safe manifest swap changes the commit protocol,
+    // never answers — the upsert contract verbatim
+    "sim_recall_ivf_manifest" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20

@@ -924,11 +924,22 @@ final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
     * expensive at exactly the scale where rebuilding per session is
     * unaffordable, so the whole model must round-trip.
     */
-  def save(dir: String): Unit = {
-    ivf.save(s"$dir/ivf")
+  def save(dir: String): Unit = save(dir, graft.sources.IndexStore.SwapRename)
+
+  /** Persist with an explicit swap strategy — [[IvfModel.save]]'s
+    * contract applied to BOTH cell tables (assigned and encoded each get
+    * their own manifest; one logical maintenance op commits each table's
+    * flip independently, and a crash between the two leaves the marker/
+    * seq resolution serving the still-consistent union, exactly as in
+    * rename mode's table-at-a-time rewrite).
+    */
+  def save(dir: String, swap: String): Unit = {
+    ivf.save(s"$dir/ivf", swap)
     encoded.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/encoded")
     val spark = encoded.sparkSession
+    if (swap == graft.sources.IndexStore.SwapManifest)
+      graft.sources.CellManifest.init(spark, s"$dir/encoded")
     import spark.implicits._
     codebooks.zipWithIndex.flatMap { case (cb, mi) =>
       cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw) }
@@ -958,7 +969,7 @@ object PqModel {
     val subDim = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
     // partition column returns as the pruning key; cast pins the int type
     // the in-memory model uses (the IvfModel.load convention)
-    val raw = spark.read.parquet(s"$dir/encoded")
+    val raw = graft.sources.CellManifest.readTable(spark, s"$dir/encoded")
       .withColumn("cell", col("cell").cast("int"))
     // one takedown marker governs BOTH tables: IvfModel.load already
     // excluded the assigned side; mirror it on the encoded side — with
@@ -998,16 +1009,16 @@ object PqModel {
     */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
       vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
-    val cur = spark.read.parquet(s"$dir/encoded")
+    val cur = graft.sources.CellManifest.readTable(spark, s"$dir/encoded")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
         s"with an ingest_seq column before appending ($dir/encoded lacks it)")
     val model = PqModel.load(spark, dir)
     IvfModel.appendVectors(spark, s"$dir/ivf", vecs, idCol, vecCol, seq)
-    SimSearch.pqEncodeNew(model, vecs, idCol, vecCol)
-      .withColumn("ingest_seq", lit(seq))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/encoded")
+    IvfModel.appendCellBatch(spark, s"$dir/encoded",
+      SimSearch.pqEncodeNew(model, vecs, idCol, vecCol)
+        .withColumn("ingest_seq", lit(seq))
+        .repartition(col("cell")))
   }
 
   /** Physically drop superseded vector versions from BOTH tables —
@@ -1098,10 +1109,21 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     IvfModel(centroids, assigned.join(attrs.select(cols: _*), Seq("id"), "left"))
   }
 
-  def save(dir: String): Unit = {
+  def save(dir: String): Unit = save(dir, graft.sources.IndexStore.SwapRename)
+
+  /** Persist with an explicit swap strategy for the cell table's later
+    * maintenance rewrites: [[graft.sources.IndexStore.SwapRename]] (the
+    * default — rename-aside with crash recovery) or
+    * [[graft.sources.IndexStore.SwapManifest]] (object-store-safe: data
+    * files never move; appends and rewrites stage as `_gen-N` and commit
+    * by one manifest put — [[graft.sources.CellManifest]]).
+    */
+  def save(dir: String, swap: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assigned")
     val spark = assigned.sparkSession
+    if (swap == graft.sources.IndexStore.SwapManifest)
+      graft.sources.CellManifest.init(spark, s"$dir/assigned")
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1149,18 +1171,35 @@ object IvfModel {
     */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
       vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
-    val cur = spark.read.parquet(s"$dir/assigned")
+    val cur = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
         s"with an ingest_seq column before appending ($dir/assigned lacks it)")
     val centroids = loadCentroids(spark, dir)
-    SimSearch.assignCells(
+    val batch = SimSearch.assignCells(
         vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
         centroids)
       .withColumn("ingest_seq", lit(seq))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+    appendCellBatch(spark, s"$dir/assigned", batch)
   }
+
+  /** Land an append batch on a cell table under its swap strategy: a
+    * plain table appends in place; a manifest table stages the batch as
+    * a fresh generation (no existing file is touched) and commits it
+    * with one manifest put — a crash before the put loses the batch
+    * (invisible, gc'd next pass) and the caller replays it whole, the
+    * [[graft.sources.IndexStore.appendInverted]] contract.
+    */
+  private[operators] def appendCellBatch(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      batch: DataFrame): Unit =
+    if (graft.sources.CellManifest.isManifest(spark, tableDir)) {
+      val (gen, stage) = graft.sources.CellManifest.nextGen(spark, tableDir)
+      batch.write.mode("overwrite").partitionBy("cell").parquet(stage)
+      graft.sources.CellManifest.commitAppend(spark, tableDir, gen)
+    } else
+      batch.write.mode("append").partitionBy("cell").parquet(tableDir)
 
   /** Physically drop superseded vector versions, CELL-SCOPED like
     * [[compactDeletes]]: only the cell directories holding ≥ 1 loser row
@@ -1181,8 +1220,8 @@ object IvfModel {
       spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    recoverCellAside(fs, tableDir)
-    val raw = spark.read.parquet(tableDir)
+    maintenanceHead(spark, fs, tableDir)
+    val raw = graft.sources.CellManifest.readTable(spark, tableDir)
       .withColumn("cell", col("cell").cast("int"))
     if (!raw.columns.contains("ingest_seq")) return
     val winners = raw.groupBy(col("id"))
@@ -1203,8 +1242,9 @@ object IvfModel {
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
     val centroids = loadCentroids(spark, dir)
     // partition column comes back as the pruning key; cast pins the int
-    // type the in-memory model uses
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    // type the in-memory model uses; a manifest-governed table resolves
+    // its live generation directories, a plain one reads directly
+    val assigned = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
       .withColumn("cell", col("cell").cast("int"))
     // the takedown side file, when present, excludes marked ids from
     // EVERY query the moment the marker lands — broadcast above the
@@ -1297,8 +1337,8 @@ object IvfModel {
       tableDir: String, deleted: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    recoverCellAside(fs, tableDir)
-    val raw = spark.read.parquet(tableDir)
+    maintenanceHead(spark, fs, tableDir)
+    val raw = graft.sources.CellManifest.readTable(spark, tableDir)
       .withColumn("cell", col("cell").cast("int"))
     val seqAware = raw.columns.contains("ingest_seq") &&
       deleted.columns.contains("__del_seq")
@@ -1333,9 +1373,33 @@ object IvfModel {
     * can be absent (every row dropped) — then the directory just deletes:
     * its content was 100% rows the rewrite was removing.
     */
+  /** Crash recovery + space reclamation at the head of a maintenance
+    * pass, per the table's swap strategy: a rename-mode table restores
+    * any mid-swap aside copies; a manifest table garbage-collects
+    * everything its newest manifest no longer references (replaced
+    * generations retained for in-flight readers since the last flip, and
+    * crashed unflipped stages).
+    */
+  private def maintenanceHead(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String): Unit =
+    if (graft.sources.CellManifest.isManifest(spark, tableDir))
+      graft.sources.CellManifest.gc(spark, tableDir)
+    else recoverCellAside(fs, tableDir)
+
   private def rewriteCells(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
       dirty: Set[Int], kept: DataFrame): Unit = {
+    if (graft.sources.CellManifest.isManifest(spark, tableDir)) {
+      // manifest mode: the staged survivors ARE the new generation — the
+      // one job that writes them is the only data movement of the whole
+      // swap; the commit is a single manifest put. A crashed stage is an
+      // unreferenced generation the next pass gc's.
+      val (gen, stage) = graft.sources.CellManifest.nextGen(spark, tableDir)
+      kept.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+      graft.sources.CellManifest.commitRewrite(spark, tableDir, gen, dirty)
+      return
+    }
     val stage = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_stage")
     val aside = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_aside")
     fs.delete(stage, true)

@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store-safe swap protocol for CELL-partitioned path tables (the
+  * IVF/PQ vector stores: `assigned/` and `encoded/` under a model dir) —
+  * the vector twin of [[IndexStore.SwapManifest]]'s catalog flips. The
+  * text index swaps by re-pointing catalog partition locations; a vector
+  * table is a bare parquet directory with no catalog, so the pointer
+  * lives in the table itself as a tiny versioned manifest file:
+  *
+  * {{{
+  *   tableDir/cell=N/                 generation 0 (the initial save)
+  *   tableDir/_gen-G/cell=N/          generation G (append or rewrite)
+  *   tableDir/_vmanifest/manifest-G   the live cell -> generations map
+  * }}}
+  *
+  * The manifest maps each live cell to the LIST of generations holding
+  * its rows: an APPEND stages its batch as a fresh generation and adds G
+  * to each written cell's list; a REWRITE (upsert/delete compaction)
+  * stages the survivors as a fresh generation and REPLACES the dirty
+  * cells' lists with [G] (or removes the cell when every row dropped).
+  * Data files NEVER move — the unit of commit is one small manifest-file
+  * put, which is what an S3-like store can make atomic (versioned names
+  * + highest-number-wins; a conditional put in production). Readers
+  * resolve the newest manifest and scan exactly the listed directories,
+  * partition-pruned per generation.
+  *
+  * Crash contract (the text index's mid-flip guarantee, ported): readers
+  * always see a COMPLETE manifest generation — old until the manifest
+  * file lands, new after, never a half-swapped table. A staged
+  * generation whose manifest write never landed is invisible (and its
+  * append is LOST — the same replay-the-whole-batch contract as
+  * [[IndexStore.appendInverted]]'s non-atomic trio); [[gc]] at the head
+  * of the next maintenance pass discards it. Directories a flip replaced
+  * are RETAINED until that same next-pass gc, so a reader that resolved
+  * the previous manifest finishes its scan on intact files.
+  *
+  * Single-writer per table, like every maintenance op in this module.
+  */
+object CellManifest {
+
+  private def manifestDir(tableDir: String) =
+    new org.apache.hadoop.fs.Path(s"$tableDir/_vmanifest")
+
+  private def fsOf(spark: SparkSession, tableDir: String) =
+    new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Whether `tableDir` is manifest-governed (init ran at save time). */
+  def isManifest(spark: SparkSession, tableDir: String): Boolean =
+    fsOf(spark, tableDir).exists(manifestDir(tableDir))
+
+  /** Adopt an existing plainly-written cell table into manifest mode:
+    * every `cell=N` directory of the initial save becomes generation 0.
+    * Called once by `save(dir, swap = manifest)`.
+    */
+  def init(spark: SparkSession, tableDir: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val cells = baseCells(fs, tableDir)
+    fs.delete(manifestDir(tableDir), true)
+    write(spark, tableDir, 0L, cells.map(_ -> Seq(0L)).toMap)
+  }
+
+  private def baseCells(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Seq[Int] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toInt).toSeq
+
+  /** The newest manifest: (its number, cell -> generation list). */
+  def read(spark: SparkSession, tableDir: String): (Long, Map[Int, Seq[Long]]) = {
+    val fs = fsOf(spark, tableDir)
+    val md = manifestDir(tableDir)
+    val files = fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+    require(files.nonEmpty, s"manifest table $tableDir has no manifest file")
+    val g = files.map(_.stripPrefix("manifest-").toLong).max
+    val in = fs.open(new org.apache.hadoop.fs.Path(md, s"manifest-$g"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val cells = body.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(c, gens) = line.split("=", 2)
+      c.toInt -> (if (gens.isEmpty) Seq.empty[Long]
+                  else gens.split(",").map(_.toLong).toSeq)
+    }.toMap
+    (g, cells)
+  }
+
+  /** One line per cell, `cell=g1,g2,...`; the put is staged through a
+    * hidden sibling and renamed in — on a real object store this is the
+    * single conditional put the protocol needs atomic.
+    */
+  private def write(spark: SparkSession, tableDir: String, gen: Long,
+      cells: Map[Int, Seq[Long]]): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val md = manifestDir(tableDir)
+    fs.mkdirs(md)
+    val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-manifest-$gen")
+    val out = fs.create(tmp, true)
+    try out.write(cells.toSeq.sortBy(_._1)
+      .map { case (c, gs) => s"$c=${gs.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(md, s"manifest-$gen")); ()
+  }
+
+  /** A fresh generation number (max over staged dirs AND manifest
+    * numbers, so a crashed unreferenced stage is never reused before gc
+    * reclaims it) and its staging path. The caller writes its batch
+    * `partitionBy("cell")` at the path, then commits.
+    */
+  def nextGen(spark: SparkSession, tableDir: String): (Long, String) = {
+    val fs = fsOf(spark, tableDir)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .map(_.getPath.getName).filter(_.startsWith("_gen-"))
+      .map(_.stripPrefix("_gen-").toLong)
+    val (m, _) = read(spark, tableDir)
+    val g = (staged :+ m).max + 1
+    (g, s"$tableDir/_gen-$g")
+  }
+
+  /** Commit an APPEND staged at generation `gen`: every cell the stage
+    * wrote gains `gen` in its list (a brand-new cell enters the map).
+    */
+  def commitAppend(spark: SparkSession, tableDir: String, gen: Long): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val written = baseCells(fs, s"$tableDir/_gen-$gen")
+    val (m, cells) = read(spark, tableDir)
+    val updated = written.foldLeft(cells) { (acc, c) =>
+      acc.updated(c, acc.getOrElse(c, Seq.empty) :+ gen)
+    }
+    write(spark, tableDir, math.max(m, gen) + 1, updated)
+  }
+
+  /** Commit a REWRITE of the `dirty` cells staged at generation `gen`:
+    * each dirty cell's list REPLACES with [gen] — or the cell leaves the
+    * map when the stage holds no directory for it (every row dropped).
+    * Clean cells keep their lists untouched (their files were never
+    * read, let alone rewritten).
+    */
+  def commitRewrite(spark: SparkSession, tableDir: String, gen: Long,
+      dirty: Set[Int]): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val staged = baseCells(fs, s"$tableDir/_gen-$gen").toSet
+    val (m, cells) = read(spark, tableDir)
+    val updated = dirty.foldLeft(cells) { (acc, c) =>
+      if (staged.contains(c)) acc.updated(c, Seq(gen)) else acc - c
+    }
+    write(spark, tableDir, math.max(m, gen) + 1, updated)
+  }
+
+  /** Reclaim everything the newest manifest no longer references: stale
+    * `_gen-*` directories (replaced generations AND crashed unflipped
+    * stages), base `cell=N` directories whose list dropped generation 0,
+    * and manifest files older than the previous one (kept as the
+    * in-flight reader's resolution target). Runs at the HEAD of each
+    * maintenance pass — never in the middle of one — so anything it
+    * deletes has been unreferenced since at least the previous flip.
+    */
+  def gc(spark: SparkSession, tableDir: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val (m, cells) = read(spark, tableDir)
+    val liveGens = cells.values.flatten.toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_gen-") &&
+          !liveGens.contains(name.stripPrefix("_gen-").toLong)) {
+        fs.delete(st.getPath, true); ()
+      } else if (name.startsWith("cell=") &&
+          !cells.get(name.stripPrefix("cell=").toInt).exists(_.contains(0L))) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    val md = manifestDir(tableDir)
+    fs.listStatus(md).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("manifest-") && n.stripPrefix("manifest-").toLong < m - 1) {
+        fs.delete(p, false); ()
+      }
+    }
+  }
+
+  /** The live rows of a manifest table: one partition-pruned read per
+    * referenced generation (basePath keeps the `cell` partition column),
+    * unioned. Enumerating explicit `cell=` paths — rather than scanning
+    * each generation directory — is what skips the retained
+    * previous-generation copies. Non-manifest tables read plainly, so
+    * every consumer can route through here unconditionally.
+    */
+  def readTable(spark: SparkSession, tableDir: String): DataFrame = {
+    if (!isManifest(spark, tableDir))
+      return spark.read.parquet(tableDir)
+    val (_, cells) = read(spark, tableDir)
+    require(cells.nonEmpty,
+      s"manifest table $tableDir is empty — every cell was dropped; " +
+        "re-save the model instead of querying a vacated table")
+    val byGen = cells.toSeq
+      .flatMap { case (c, gs) => gs.map(g => (g, c)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    byGen.map { case (g, cs) =>
+      val base = if (g == 0L) tableDir else s"$tableDir/_gen-$g"
+      spark.read.option("basePath", base)
+        .parquet(cs.map { case (_, c) => s"$base/cell=$c" }: _*)
+    }.reduce(_.unionByName(_))
+  }
+}

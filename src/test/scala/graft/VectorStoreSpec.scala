@@ -1,0 +1,177 @@
+package graft
+
+import graft.operators.{IvfModel, PqModel, SimSearch}
+import graft.sources.{CellManifest, IndexStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The vector-index storage lifecycle under the object-store-safe
+  * manifest swap ([[graft.sources.CellManifest]]) — the cell-table twin
+  * of IndexStoreSpec's SwapManifest coverage.
+  */
+class VectorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def staleCorpus = emb.select(col("vec_id"),
+    when(col("vec_id") === 3, transform(col("embedding"), x => -x))
+      .otherwise(col("embedding")).as("embedding"))
+
+  private def qvOf(id: Long): Seq[Double] =
+    emb.where(col("vec_id") === id).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+
+  private def topIds(dir: String, qv: Seq[Double], k: Int): Seq[(Long, Double)] =
+    IvfModel.load(spark, dir).query(qv, k, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("manifest lifecycle: answers equal the rename-mode twin; data files never move; replaced dirs retained one pass then gc'd") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val renameDir = java.nio.file.Files.createTempDirectory("vm-rename").toString
+    val manDir = java.nio.file.Files.createTempDirectory("vm-manifest").toString
+    val seeded = IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+    seeded.save(renameDir)
+    seeded.save(manDir, IndexStore.SwapManifest)
+    val qv = qvOf(3)
+
+    // the upsert lands as a NEW generation: every pre-existing parquet
+    // file of the manifest table stays byte-identical in place
+    val before = parquetFiles(s"$manDir/assigned")
+    Seq(renameDir, manDir).foreach(d => IvfModel.appendVectors(spark, d,
+      emb.where(col("vec_id") === 3), "vec_id", "embedding", seq = 2L))
+    val afterAppend = parquetFiles(s"$manDir/assigned")
+    before.foreach { case (p, ts) =>
+      assert(afterAppend.get(p).contains(ts),
+        s"append must not touch existing file $p")
+    }
+    assert(topIds(manDir, qv, 3) == topIds(renameDir, qv, 3),
+      "manifest and rename twins must answer identically pre-compaction")
+
+    // compaction: the stale cell's base directory is REPLACED in the
+    // manifest but RETAINED on disk for in-flight readers of the old
+    // manifest; the next maintenance pass garbage-collects it
+    val staleCell = spark.read.parquet(s"$manDir/assigned")
+      .where(col("id") === 3 && col("ingest_seq") === 1)
+      .select("cell").collect()(0).get(0).toString
+    Seq(renameDir, manDir).foreach(d => IvfModel.compactUpserts(spark, d))
+    assert(new java.io.File(s"$manDir/assigned/cell=$staleCell").exists(),
+      "the replaced base directory must be retained until the next pass")
+    assert(topIds(manDir, qv, 3) == topIds(renameDir, qv, 3),
+      "manifest and rename twins must answer identically post-compaction")
+    val live = IvfModel.load(spark, manDir).assigned
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq
+    assert(live == Seq(2L), s"only the winner serves after compaction: $live")
+
+    // second maintenance pass: head-of-pass gc reclaims the unreferenced
+    // directories; answers unchanged
+    IvfModel.compactUpserts(spark, manDir)
+    assert(!new java.io.File(s"$manDir/assigned/cell=$staleCell").exists(),
+      "the second pass must gc the replaced base directory")
+    assert(topIds(manDir, qv, 3) == topIds(renameDir, qv, 3))
+    model.unpersist()
+  }
+
+  test("manifest mid-flip crash: a staged-but-uncommitted generation is invisible (old serves complete); the commit flips atomically; gc reclaims an orphan stage") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-crash").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    val qv = qvOf(3)
+    val preIds = topIds(dir, qv, 3)
+
+    // CRASH WINDOW of an append: the batch staged as _gen-G, the
+    // manifest put never landed — readers keep serving the OLD manifest,
+    // complete, with the staged rows invisible
+    val table = s"$dir/assigned"
+    val (gen, stage) = CellManifest.nextGen(spark, table)
+    val batch = IvfModel.load(spark, dir).assigned
+      .where(col("id") === 3).withColumn("ingest_seq", lit(9L))
+    batch.write.mode("overwrite").partitionBy("cell").parquet(stage)
+    assert(topIds(dir, qv, 3) == preIds,
+      "an uncommitted stage must be invisible to readers")
+    assert(IvfModel.load(spark, dir).assigned
+      .where(col("ingest_seq") === 9L).count() == 0)
+
+    // the commit IS the flip: one manifest put and the generation serves
+    CellManifest.commitAppend(spark, table, gen)
+    assert(IvfModel.load(spark, dir).assigned
+      .where(col("ingest_seq") === 9L).count() > 0,
+      "the committed generation must serve")
+
+    // a second orphaned stage (crashed before its put) is reclaimed by
+    // the next maintenance pass and never resurrects
+    val (gen2, stage2) = CellManifest.nextGen(spark, table)
+    batch.withColumn("ingest_seq", lit(99L))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage2)
+    val orphanFiles = parquetFiles(stage2).keySet
+    IvfModel.compactUpserts(spark, dir) // head gc + upsert compaction
+    // the orphan's FILES are reclaimed (its generation NUMBER may be
+    // safely reused by the rewrite that follows the gc)
+    orphanFiles.foreach(p => assert(!new java.io.File(p).exists(),
+      s"orphan stage _gen-$gen2 file must be gc'd at the next pass: $p"))
+    assert(IvfModel.load(spark, dir).assigned
+      .where(col("ingest_seq") === 99L).count() == 0,
+      "a crashed append stays lost (the caller replays the whole batch)")
+    model.unpersist()
+  }
+
+  test("PQ manifest composition: upsert + takedown lifecycle over both cell tables, both serving states, scrub under manifest") {
+    val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 16)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pq").toString
+    PqModel(IvfModel(model.ivf.centroids,
+        model.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+      model.codebooks, model.subDim,
+      model.encoded.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+
+    // the re-embedding supersedes in BOTH tables the moment it commits
+    PqModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    def liveSeqs(of: String): Seq[Long] = {
+      val m2 = PqModel.load(spark, dir)
+      val t = if (of == "assigned") m2.ivf.assigned else m2.encoded
+      t.where(col("id") === 3).groupBy(col("id"))
+        .agg(max(col("ingest_seq")).as("s"))
+        .select("s").collect().map(_.getLong(0)).toSeq
+    }
+    assert(liveSeqs("assigned") == Seq(2L) && liveSeqs("encoded") == Seq(2L),
+      "the upsert must win in both tables pre-compaction")
+    PqModel.compactUpserts(spark, dir)
+    Seq("assigned", "encoded").foreach { t =>
+      val raw = CellManifest.readTable(spark,
+        if (t == "assigned") s"$dir/ivf/assigned" else s"$dir/encoded")
+      val seqs = raw.where(col("id") === 3)
+        .select("ingest_seq").collect().map(_.getLong(0)).toSeq
+      assert(seqs == Seq(2L), s"$t must hold only the winner physically: $seqs")
+    }
+
+    // takedown: marker excludes immediately, the manifest-mode scrub
+    // physically drops the rows from both tables
+    PqModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 5).select("vec_id"), seq = 3L)
+    assert(PqModel.load(spark, dir).encoded.where(col("id") === 5).count() == 0)
+    PqModel.compactDeletes(spark, dir)
+    Seq(s"$dir/ivf/assigned", s"$dir/encoded").foreach { t =>
+      assert(CellManifest.readTable(spark, t).where(col("id") === 5).count() == 0,
+        s"$t must physically drop the deleted id")
+    }
+    assert(PqModel.load(spark, dir).encoded.where(col("id") === 3)
+      .select("ingest_seq").collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the scrub must not disturb surviving rows")
+    model.unpersist()
+  }
+}
