@@ -554,6 +554,37 @@ object SparkEntry {
     })
   }
 
+  /** Persisted IVF index for the VECTOR AUDIT gate: the upsert builders'
+    * stale corpus (%17==3 negated) saved at seq 1, the true %17==3 slice
+    * re-embedded at seq 2, and vec_id 5 takedown-marked at seq 2. Like
+    * [[auditIndexFor]], the mutations are all build — the gate only READS
+    * the table afterwards, so the memo is sound.
+    */
+  private val vecAuditIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def vecAuditIndexFor(s: SparkSession, d: String): String = {
+    vecAuditIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(vecAuditIndexCache.remove)
+    vecAuditIndexCache.getOrElseUpdate((s, d), {
+      val dir = roundTripDir(d, "graft-vec-audit-index")
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir)
+      m.unpersist()
+      IvfModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      IvfModel.deleteVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") === 5).select("vec_id"),
+        seq = 2L)
+      dir
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -3374,6 +3405,38 @@ object SparkEntry {
       val pre = eval("pre_compact").localCheckpoint()
       IvfModel.compactUpserts(s, dir)
       pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
+    }),
+    "sim_postings_audit" -> ((s, d) => {
+      // the VECTOR-SIDE takedown-verification primitive
+      // (ann_postings_audit's twin): everything the IVF index physically
+      // stores about the given ids — every stored version's (seq, cell)
+      // plus live takedown markers — answered from the id-HASH-partitioned
+      // audit id-map, so the lookup reads ≤ |ids| idh= partitions instead
+      // of scanning the cell-partitioned table (VectorStoreSpec pins the
+      // pruned plan). cell_ok is the featurize REPLAY: each stored
+      // version's cell must equal the frozen-centroid assignment of that
+      // version's vector through the write path's OWN expression
+      // (SimSearch.assignedCellOf — reader and writer share it, so they
+      // can never disagree); the oracle replays the event set: ids 3/4/5
+      // stored at seq 1, id 3 re-embedded at seq 2, id 5 marked at seq 2.
+      val dir = vecAuditIndexFor(s, d)
+      val cents = IvfModel.load(s, dir).centroids
+      val versions = tbl(s, d, "embeddings")
+        .where(col("vec_id").isin(3L, 4L, 5L))
+        .select(col("vec_id").as("id"), lit(1L).as("ingest_seq"),
+          when(col("vec_id") % 17 === 3, transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("v"))
+        .unionByName(tbl(s, d, "embeddings").where(col("vec_id") === 3)
+          .select(col("vec_id").as("id"), lit(2L).as("ingest_seq"),
+            col("embedding").as("v")))
+        .withColumn("__expected", SimSearch.assignedCellOf(col("v"), cents))
+        .select("id", "ingest_seq", "__expected")
+      graft.sources.VectorAudit.postingsOf(s, dir, Seq(3L, 4L, 5L))
+        .join(versions, Seq("id", "ingest_seq"), "left_outer")
+        .select(col("id").as("vec_id"), col("ingest_seq"), col("kind"),
+          (col("kind") === "marker" || col("cell") === col("__expected"))
+            .as("cell_ok"))
+        .orderBy("vec_id", "ingest_seq", "kind")
     }),
     "sim_recall_ivf_manifest" -> ((s, d) => {
       // sim_recall_ivf_upsert's contract run under the OBJECT-STORE-SAFE
@@ -7303,6 +7366,19 @@ object SparkEntry {
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20
       ORDER BY st.stage, qid""",
+    // vector takedown audit: the expected physical rows replay the event
+    // set (every audited id stored at seq 1; id 3 re-embedded at seq 2;
+    // id 5 marked at seq 2) — cell correctness is the engine-side
+    // featurize replay through the shared write-path expression
+    "sim_postings_audit" -> """
+      WITH a AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS ingest_seq,
+               'vector' AS kind, true AS cell_ok
+        FROM embeddings WHERE vec_id IN (3, 4, 5)
+        UNION ALL SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'vector', true
+        UNION ALL SELECT CAST(5 AS BIGINT), CAST(2 AS BIGINT), 'marker', true)
+      SELECT vec_id, ingest_seq, kind, cell_ok FROM a
+      ORDER BY vec_id, ingest_seq, kind""",
     // the object-store-safe manifest swap changes the commit protocol,
     // never answers — the upsert contract verbatim
     "sim_recall_ivf_manifest" -> """

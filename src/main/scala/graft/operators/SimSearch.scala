@@ -448,13 +448,23 @@ object SimSearch {
     * instead — same argmax expression over the joined column, still zero
     * shuffles, plan size flat in nLists.
     */
+  /** The nearest-centroid cell of `v` — the EXACT argmax expression the
+    * write path ([[assignCells]]) evaluates, exposed for featurize-replay
+    * audits ([[graft.sources.VectorAudit.postingsOf]] verification):
+    * reader and writer share one expression, so they can never disagree
+    * on ties or rounding.
+    */
+  def assignedCellOf(v: Column, centroids: Seq[Seq[Double]]): Column =
+    argmaxCell(v, typedlit(centroids))
+
+  private def argmaxCell(v: Column, cs: Column): Column = {
+    import graft.functions.ArrayKernels.dotProduct
+    val sims = transform(cs, c => dotProduct(v, c))
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
   private[operators] def assignCells(df: DataFrame,
       centroids: Seq[Seq[Double]]): DataFrame = {
-    import graft.functions.ArrayKernels.dotProduct
-    def argmaxCell(v: Column, cs: Column): Column = {
-      val sims = transform(cs, c => dotProduct(v, c))
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
     if (centroids.length <= TypedLitCentroidMax)
       df.withColumn("cell", argmaxCell(col("v"), typedlit(centroids)))
     else {
@@ -1124,6 +1134,9 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     val spark = assigned.sparkSession
     if (swap == graft.sources.IndexStore.SwapManifest)
       graft.sources.CellManifest.init(spark, s"$dir/assigned")
+    // seed the takedown-audit id-map while the table is freshly scanned
+    // (one extra narrow job at save time buys id-addressable audits)
+    graft.sources.VectorAudit.seed(spark, dir)
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1182,6 +1195,8 @@ object IvfModel {
       .withColumn("ingest_seq", lit(seq))
       .repartition(col("cell"))
     appendCellBatch(spark, s"$dir/assigned", batch)
+    graft.sources.VectorAudit.logAppend(spark, dir,
+      batch.select(col("id"), col("ingest_seq"), col("cell")))
   }
 
   /** Land an append batch on a cell table under its swap strategy: a
@@ -1209,8 +1224,10 @@ object IvfModel {
     * and reclaims space. Decision pass reads narrow columns only
     * (id, seq, cell — never the vectors).
     */
-  def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     compactUpsertsCells(spark, s"$dir/assigned")
+    graft.sources.VectorAudit.compactUpserts(spark, dir) // mirrors in lockstep
+  }
 
   /** [[compactUpserts]] over any cell-partitioned seq-carrying table —
     * shared with [[PqModel.compactUpserts]], whose one logical upsert
@@ -1323,7 +1340,9 @@ object IvfModel {
     val delDir = deletedPath(spark, dir)
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
-    scrubCellTable(spark, s"$dir/assigned", deletedMarkers(spark, dir))
+    val markers = deletedMarkers(spark, dir)
+    scrubCellTable(spark, s"$dir/assigned", markers)
+    graft.sources.VectorAudit.compactDeletes(spark, dir, markers)
     fs.delete(delDir, true)
   }
 

@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Takedown-audit lookup for persisted vector indexes — the IVF/PQ twin
+  * of [[IndexStore.postingsOf]] ("which cells does vector X still have
+  * rows in, at which seqs, and is there a marker?"). The cell tables are
+  * partitioned by CELL, so an id lookup against them would scan
+  * everything; this module mirrors each append's narrow (id, seq, cell)
+  * rows into an id-HASH-partitioned `_idmap/` beside the model, so the
+  * audit reads ≤ |ids| touched `idh=` partitions — the text index's
+  * maintenance-id-map bound. Marker rows come from the model's own
+  * `deleted/` side file (takedown-sized by nature, read whole); they
+  * vanish when `compactDeletes` clears the markers — the documented
+  * divergence from the text tombstones, whose redelivery-guard rows
+  * persist.
+  *
+  * The id-map compacts in lockstep with the cell tables
+  * ([[compactUpserts]]/[[compactDeletes]], called from the model-level
+  * maintenance ops), so it always reflects PHYSICAL state: superseded
+  * rows appear until upsert compaction drops them — that is the audit's
+  * point; serving semantics (winner/marker resolution) live in the query
+  * paths.
+  *
+  * `dir` is the IVF model directory ([[graft.operators.IvfModel.save]]'s
+  * target; a PQ index audits through its `ivf/` half — the encoded
+  * table's (id, cell, seq) rows mirror the assigned table's by
+  * construction, pinned in VectorStoreSpec).
+  */
+object VectorAudit {
+
+  /** id-hash partition count — [[IndexStore]]'s default ladder-validated
+    * knob (tools/idmap_knob_ladder.scala): decision/audit reads scale
+    * inversely until the row-group floor.
+    */
+  val IdMapBuckets = 64
+
+  private def idMapDir(dir: String) = s"$dir/_idmap"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hasIdMap(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(idMapDir(dir)))
+
+  private def narrow(df: DataFrame): DataFrame = {
+    val seq = if (df.columns.contains("ingest_seq")) col("ingest_seq")
+              else lit(null).cast("long").as("ingest_seq")
+    df.select(col("id").cast("long").as("id"), seq,
+      col("cell").cast("int").as("cell"))
+  }
+
+  private def withIdh(df: DataFrame): DataFrame =
+    df.withColumn("idh", pmod(hash(col("id")), lit(IdMapBuckets)))
+
+  /** (Re-)seed the audit id-map from the saved assigned table — paid at
+    * save time, when an O(table) write just happened anyway (the
+    * [[IndexStore.seedIdMap]] convention).
+    */
+  def seed(spark: SparkSession, dir: String): Unit = {
+    fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(idMapDir(dir)), true)
+    withIdh(narrow(CellManifest.readTable(spark, s"$dir/assigned")))
+      .repartition(col("idh"))
+      .write.mode(SaveMode.Overwrite).partitionBy("idh")
+      .parquet(idMapDir(dir))
+  }
+
+  /** Mirror an append batch's narrow rows — one delta-sized write per
+    * [[graft.operators.IvfModel.appendVectors]].
+    */
+  def logAppend(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    if (!hasIdMap(spark, dir)) return // legacy index: audit falls back
+    withIdh(narrow(batch))
+      .repartition(col("idh"))
+      .write.mode(SaveMode.Append).partitionBy("idh")
+      .parquet(idMapDir(dir))
+  }
+
+  /** Drop superseded mirrors in lockstep with the cell tables' upsert
+    * compaction: only the `idh=` partitions holding ≥ 1 loser rewrite
+    * (pruned by the losers' own hash values — bounded by
+    * [[IdMapBuckets]]); the decision reads the narrow id-map only, never
+    * a cell table.
+    */
+  def compactUpserts(spark: SparkSession, dir: String): Unit = {
+    if (!hasIdMap(spark, dir)) return
+    val raw = spark.read.parquet(idMapDir(dir))
+    val winners = raw.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w"))
+    val touched = raw.join(winners, Seq("id"))
+      .where(col("ingest_seq") < col("__w"))
+      .select(col("idh")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    rewrite(spark, dir, touched,
+      raw.where(col("idh").isin(touched: _*))
+        .join(winners, Seq("id"))
+        .where(col("ingest_seq") === col("__w")).drop("__w")
+        .dropDuplicates("id", "ingest_seq", "cell"))
+  }
+
+  /** Drop deleted mirrors in lockstep with the takedown scrub: rows each
+    * marker OUTRANKS leave (a post-delete re-ingest's mirror survives,
+    * like its cell row); partitions pruned by the marker ids' hashes —
+    * takedown-sized.
+    */
+  def compactDeletes(spark: SparkSession, dir: String,
+      markers: DataFrame): Unit = {
+    if (!hasIdMap(spark, dir)) return
+    val touched = withIdh(markers.select(col("id")))
+      .select(col("idh")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val raw = spark.read.parquet(idMapDir(dir))
+    rewrite(spark, dir, touched,
+      raw.where(col("idh").isin(touched: _*))
+        .join(broadcast(markers), Seq("id"), "left_outer")
+        .where(col("__del_seq").isNull || col("ingest_seq") > col("__del_seq"))
+        .drop("__del_seq"))
+  }
+
+  /** Rewrite the touched `idh=` partitions to `kept` — staged then
+    * swapped per directory (the id-map is maintenance-internal with no
+    * concurrent readers, the [[IndexStore]] id-map convention).
+    */
+  private def rewrite(spark: SparkSession, dir: String, touched: Seq[Int],
+      kept: DataFrame): Unit = {
+    val fs = fsOf(spark, dir)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/__idmap_stage")
+    fs.delete(stage, true)
+    withIdh(kept.drop("idh"))
+      .repartition(col("idh"))
+      .write.mode(SaveMode.Overwrite).partitionBy("idh").parquet(stage.toString)
+    touched.foreach { h =>
+      val src = new org.apache.hadoop.fs.Path(stage, s"idh=$h")
+      val dst = new org.apache.hadoop.fs.Path(s"${idMapDir(dir)}/idh=$h")
+      fs.delete(dst, true)
+      if (fs.exists(src)) { fs.rename(src, dst); () }
+    }
+    fs.delete(stage, true); ()
+  }
+
+  /** Everything the vector index physically stores about the given ids:
+    * one row per stored version — `(id, ingest_seq, cell, kind)` with
+    * kind `vector` — plus kind `marker` rows (null cell) for live
+    * takedown markers. Reads ≤ |ids| id-map partitions; the touched
+    * partitions derive from the SAME Spark hash expression the write
+    * side partitions by, so reader and writer can never disagree. A
+    * legacy index (saved before the id-map existed) falls back to a
+    * full narrow scan of the assigned table, loudly O(table).
+    */
+  def postingsOf(spark: SparkSession, dir: String,
+      ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val idsDf = ids.toDF("id")
+    val data =
+      if (hasIdMap(spark, dir)) {
+        val touched = withIdh(idsDf)
+          .select(col("idh")).distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(idMapDir(dir))
+          .where(col("idh").isin(touched: _*))
+          .where(col("id").isin(ids: _*))
+          .drop("idh")
+      } else
+        narrow(CellManifest.readTable(spark, s"$dir/assigned"))
+          .where(col("id").isin(ids: _*))
+    val vectors = data.withColumn("kind", lit("vector"))
+    val delDir = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    if (!fsOf(spark, dir).exists(delDir)) vectors
+    else {
+      val raw = spark.read.parquet(delDir.toString)
+      // markers written before the seq column existed read as
+      // unconditional deletes (the deletedMarkers tolerance)
+      val m = if (raw.columns.contains("__del_seq")) raw
+              else raw.withColumn("__del_seq", lit(Long.MaxValue))
+      vectors.unionByName(m.where(col("id").isin(ids: _*))
+        .select(col("id"), col("__del_seq").as("ingest_seq"),
+          lit(null).cast("int").as("cell"), lit("marker").as("kind")))
+    }
+  }
+}

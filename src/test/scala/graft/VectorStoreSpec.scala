@@ -128,6 +128,73 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("vector takedown audit: postingsOf shows physical state through the lifecycle; the id-map read is partition-pruned and matches a full scan") {
+    import graft.sources.VectorAudit
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-audit").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    IvfModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 5).select("vec_id"), seq = 2L)
+
+    def audit(): Seq[(Long, Long, String)] =
+      VectorAudit.postingsOf(spark, dir, Seq(3L, 4L, 5L))
+        .select("id", "ingest_seq", "kind")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    assert(audit() == Seq((3L, 1L, "vector"), (3L, 2L, "vector"),
+      (4L, 1L, "vector"), (5L, 1L, "vector"), (5L, 2L, "marker")),
+      s"pre-compaction the audit shows BOTH versions and the marker: ${audit()}")
+
+    // the stored cells are the write path's assignments — featurize
+    // replay through the SAME shared expression
+    val cents = IvfModel.load(spark, dir).centroids
+    val versions = staleCorpus.where(col("vec_id").isin(3L, 4L, 5L))
+      .select(col("vec_id").as("id"), lit(1L).as("ingest_seq"),
+        col("embedding").as("v"))
+      .unionByName(emb.where(col("vec_id") === 3)
+        .select(col("vec_id").as("id"), lit(2L).as("ingest_seq"),
+          col("embedding").as("v")))
+      .withColumn("expected", SimSearch.assignedCellOf(col("v"), cents))
+    val mismatches = VectorAudit.postingsOf(spark, dir, Seq(3L, 4L, 5L))
+      .where(col("kind") === "vector")
+      .join(versions, Seq("id", "ingest_seq"))
+      .where(col("cell") =!= col("expected")).count()
+    assert(mismatches == 0, "stored cells must replay through assignedCellOf")
+
+    // the lookup is a partition-pruned id-map read, never a cell scan
+    val plan = VectorAudit.postingsOf(spark, dir, Seq(3L, 4L, 5L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("idh"),
+      s"the audit read must prune idh partitions:\n$plan")
+    assert(!plan.contains("assigned"),
+      s"the audit must answer from the id-map, not the cell table:\n$plan")
+
+    // maintenance keeps the mirror in lockstep: upsert compaction drops
+    // the superseded mirror, the takedown scrub drops the deleted one
+    // and the marker clears with it
+    IvfModel.compactUpserts(spark, dir)
+    assert(audit() == Seq((3L, 2L, "vector"), (4L, 1L, "vector"),
+      (5L, 1L, "vector"), (5L, 2L, "marker")), s"after upsert compact: ${audit()}")
+    IvfModel.compactDeletes(spark, dir)
+    assert(audit() == Seq((3L, 2L, "vector"), (4L, 1L, "vector")),
+      s"after takedown compact: ${audit()}")
+
+    // the pruned answer equals the full-scan truth over the cell table
+    val truth = spark.read.parquet(s"$dir/assigned")
+      .where(col("id").isin(3L, 4L, 5L))
+      .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val mirrored = VectorAudit.postingsOf(spark, dir, Seq(3L, 4L, 5L))
+      .where(col("kind") === "vector").select("id", "ingest_seq", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(mirrored == truth, s"id-map $mirrored must mirror the table $truth")
+    model.unpersist()
+  }
+
   test("PQ manifest composition: upsert + takedown lifecycle over both cell tables, both serving states, scrub under manifest") {
     val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
       nLists = 8, m = 8, ks = 16)
