@@ -2265,7 +2265,14 @@ object SparkEntry {
       // recall floor vs its own uncapped twin — boiler queries (every
       // bucket hot) fall back to their full probe set, mixed queries
       // trade the stop-word bucket's candidates for bounded read cost
-      // (bytes evidence: tools/hot_batch_ladder.scala).
+      // (bytes evidence: tools/hot_batch_ladder.scala). FLOOR = 0.8,
+      // derived from the measured curve (tools/hotcap_floor_ladder.scala:
+      // this exact configuration — unpruned path, this query set, k=5 —
+      // measures min per-query recall 1.00 at thresholds n/20..n/5 at
+      // BOTH sf0.01 and sf0.1; 0.8 allows one lost candidate of k=5
+      // below the measured curve). The PRUNED path's mixed workload is
+      // the lossy regime (min 0.20, hot_batch_ladder) — why the knob
+      // ships default-OFF.
       val (table, planted) = hotskipIndexFor(s, d)
       val m = fitted(s, d, cfg16)
       val qs = planted.where(col(Cols.Id) < 20)
@@ -2279,7 +2286,7 @@ object SparkEntry {
         .join(topIds(skip = true, "cap_ids"), Seq("qid"), "left")
         .select(col("qid"),
           (coalesce(size(array_intersect(col("cap_ids"), col("full_ids"))),
-            lit(0)).cast("double") / k >= 0.4).as("recall_ok"))
+            lit(0)).cast("double") / k >= 0.8).as("recall_ok"))
         .orderBy("qid")
     }),
     "stream_takedown_real" -> ((s, d) => {

@@ -733,6 +733,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     SparkUtil.releaseScopedCaches()
   }
 
+  test("past the cutoff broadcast budget the serve degrades to an id-keyed shuffle join — same answers, never an unbounded broadcast") {
+    // the supersession backlog is workload-sized (one row per id appended
+    // since the last compaction), so unlike the takedown-sized tombstone
+    // frame it must NOT broadcast unconditionally: past
+    // graft.serve.cutoffBroadcastMaxBytes the cutoff join flips to
+    // SHUFFLE_HASH — the plan degrades, the driver never inflates an
+    // unbounded build side, and the answers are bit-identical
+    val base = SparkEntry.queries("ann_index_fresh")(spark, dir).collect().toSeq
+    spark.conf.set("graft.serve.cutoffBroadcastMaxBytes", "1")
+    try {
+      val df = SparkEntry.queries("ann_index_fresh")(spark, dir)
+      assert(df.collect().toSeq == base,
+        "the degraded plan must answer identically to the broadcast plan")
+      val plan = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(plan.contains("ShuffledHashJoin"),
+        s"a 1-byte budget must flip the cutoff join to shuffle-hash:\n$plan")
+    } finally spark.conf.unset("graft.serve.cutoffBroadcastMaxBytes")
+    SparkUtil.releaseScopedCaches()
+  }
+
   test("ann_batch_pruned: small-batch serving prunes the posting scan like a point query") {
     val plan = planOf("ann_batch_pruned")
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt_pfx[^\\]]*\\].*"),

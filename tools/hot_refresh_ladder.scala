@@ -1,0 +1,92 @@
+// Incremental hot-bucket stats ladder — the round-15 verdict's one
+// `weak`: refreshHotStats used to rescan the WHOLE table at every
+// maintenance event. Now each append logs its per-bucket posting-count
+// delta (_graft_hotdelta) and mergeHotStats recounts ONLY the delta's
+// buckets (pushed bucket-IN point reads) plus partitions the compaction
+// rewrote, carrying the rest of _hot over. Claims measured here, via a
+// per-job-description input-bytes listener on "graft-hot-refresh":
+//   (1) merge bytes track the DELTA, not the table — vs the O(table)
+//       full-recount contrast (refreshHotStats, the save-time form);
+//   (2) an empty-log maintenance pass skips the refresh entirely
+//       (0 bytes, no job);
+//   (3) the incremental _hot equals the full recount's truth after every
+//       rung (IndexStoreSpec pins the same through tombstones).
+//
+//   cd $(mktemp -d) && /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.sql.warehouse.dir=/tmp/hot_refresh_wh \
+//     --jars /root/repo/target/scala-2.13/pysparkminhashlshspark_2.13-0.1.0.jar \
+//     -I /root/repo/tools/hot_refresh_ladder.scala <<< ":quit"
+//
+// NOTE: spark-shell -I compiles statement-by-statement — one-liners only.
+import org.apache.spark.sql.functions._
+import graft.sources.IndexStore
+import graft.operators.MinHashLSH
+import graft.MinHashConfig
+
+val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4)
+
+val d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(col("doc_id").cast("long").as("id"), col("text"))
+
+val reps = spark.range(0, 20).select(col("id").as("rep"))
+
+// 20x-replicated corpus (the compact_ladder base — 100k docs, ~400k
+// postings) so per-file footer/row-group minimums don't mask the
+// delta-vs-table contrast; a planted boiler paragraph makes a stable
+// hot family (the hot_ladder corpus)
+val docs = d0.crossJoin(reps).select((col("id") + col("rep") * 1000000L).as("id"), when(col("id") % 3 === 0, lit("the quarterly report was filed on time and the committee approved the standard boilerplate disclosure without further comment")).otherwise(concat(col("text"), lit(" rep "), col("rep"))).as("text")).localCheckpoint()
+
+val n = docs.count()
+
+def feat(df: org.apache.spark.sql.DataFrame, seq: Long) = { val m = new MinHashLSH(cfg).fit(df, "id", "text"); val ix = m.indexDf.select(col("id"), col("signature"), col("bucket_ids")).withColumn("ingest_seq", lit(seq)).localCheckpoint(); m.unpersist(); ix }
+
+class BytesListener extends org.apache.spark.scheduler.SparkListener { val byDesc = new scala.collection.concurrent.TrieMap[String, (Long, Long)](); val stageDesc = new scala.collection.concurrent.TrieMap[Int, String](); override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = { val d = Option(js.properties.getProperty("spark.job.description")).getOrElse(""); js.stageInfos.foreach(si => stageDesc.put(si.stageId, d)) }; override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = { val d = stageDesc.getOrElse(s.stageInfo.stageId, ""); val m = s.stageInfo.taskMetrics; val prev = byDesc.getOrElse(d, (0L, 0L)); byDesc.put(d, (prev._1 + m.inputMetrics.bytesRead, prev._2 + m.inputMetrics.recordsRead)) } }
+
+val bl = new BytesListener
+
+spark.sparkContext.addSparkListener(bl)
+
+val table = "hot_refresh_ladder"
+
+IndexStore.reset(spark, table)
+
+IndexStore.saveInverted(feat(docs, 1L), table, prefixLen = 2, hotBucketThreshold = n / 10)
+
+val tableBytes = { val root = new java.io.File(new java.net.URI(spark.sessionState.catalog.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)); def walk(f: java.io.File): Long = if (f.isDirectory) f.listFiles().map(walk).sum else if (f.getName.endsWith(".parquet")) f.length() else 0L; walk(root) }
+
+println(f"TABLE bytes=$tableBytes%d postings=${spark.table(table).count()}%d hotListSize=${IndexStore.hotBuckets(spark, table).size}%d")
+
+// truth check: recompute _hot from scratch into a scratch copy of the list
+def hotTruth(): Set[String] = { val m = IndexStore.invertedMeta(spark, table); spark.table(table).where(col("bkt_pfx") =!= IndexStore.TombstonePrefix).groupBy(col("bucket")).count().where(col("count") > m.hotThreshold).select("bucket").collect().map(_.getString(0)).toSet }
+
+def refreshed(): (Long, Long) = { val a = bl.byDesc.getOrElse("graft-hot-refresh", (0L, 0L)); val b = bl.byDesc.getOrElse("graft-hot-refresh-full", (0L, 0L)); (a._1 + b._1, a._2 + b._2) }
+
+def rung(tag: String, delta: Int, seq: Long): Unit = { val slice = docs.orderBy("id").limit(delta).select(col("id"), concat(lit(s"corrected pass $seq "), col("text")).as("text")); IndexStore.appendInverted(feat(slice, seq), table); bl.byDesc.clear(); IndexStore.compactInverted(spark, table); Thread.sleep(2000); val hr = refreshed(); val ok = IndexStore.hotBuckets(spark, table) == hotTruth(); println(f"RUNG $tag delta=$delta%6d refreshBytes=${hr._1}%12d refreshRecords=${hr._2}%10d fractionOfTable=${hr._1.toDouble / tableBytes}%.4f hotEqualsTruth=$ok") }
+
+rung("merge", 5, 2L)
+
+rung("merge", 50, 3L)
+
+rung("merge", 500, 4L)
+
+// (2) empty-log pass: nothing appended since the last clear — the
+// maintenance head returns before any refresh job runs
+bl.byDesc.clear()
+
+IndexStore.compactInverted(spark, table)
+
+Thread.sleep(2000)
+
+println(f"EMPTYLOG refreshBytes=${refreshed()._1}%d")
+
+// (1) contrast: the O(table) full recount the merge replaced (its own
+// job description, graft-hot-refresh-full)
+bl.byDesc.clear()
+
+IndexStore.refreshHotStats(spark, table)
+
+Thread.sleep(2000)
+
+println(f"FULLSCAN refreshBytes=${refreshed()._1}%d fractionOfTable=${refreshed()._1.toDouble / tableBytes}%.4f hotEqualsTruth=${IndexStore.hotBuckets(spark, table) == hotTruth()}")
+
+System.exit(0)
