@@ -3445,6 +3445,19 @@ object SparkEntry {
             .as("cell_ok"))
         .orderBy("vec_id", "ingest_seq", "kind")
     }),
+    "sim_maintenance_debt" -> ((s, d) => {
+      // the vector index's compaction-trigger signal (the text side's
+      // maintenanceDebt twin): superseded versions counted from the
+      // NARROW audit id-map (never the cell tables), pending takedown
+      // markers, and the manifest generation fan-out. On the audit
+      // index's deterministic event set (every %17==3 id re-embedded at
+      // seq 2 over its seq-1 row; one marker) the debt is a pure function
+      // of the corpus — the oracle derives it from the embeddings table.
+      val dir = vecAuditIndexFor(s, d)
+      graft.sources.VectorAudit.maintenanceDebt(s, dir)
+        .select(col("superseded_rows"), col("markers_pending"),
+          col("gen_lists_max"))
+    }),
     "sim_recall_ivf_manifest" -> ((s, d) => {
       // sim_recall_ivf_upsert's contract run under the OBJECT-STORE-SAFE
       // swap: the cell table is manifest-governed (CellManifest — appends
@@ -7386,6 +7399,14 @@ object SparkEntry {
         UNION ALL SELECT CAST(5 AS BIGINT), CAST(2 AS BIGINT), 'marker', true)
       SELECT vec_id, ingest_seq, kind, cell_ok FROM a
       ORDER BY vec_id, ingest_seq, kind""",
+    // vector maintenance debt is a pure function of the audit index's
+    // event set: one superseded row per re-embedded id, one pending
+    // marker, no generations (rename-mode table => -1)
+    "sim_maintenance_debt" -> """
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 17 = 3)
+               AS superseded_rows,
+             CAST(1 AS BIGINT) AS markers_pending,
+             CAST(-1 AS BIGINT) AS gen_lists_max""",
     // the object-store-safe manifest swap changes the commit protocol,
     // never answers — the upsert contract verbatim
     "sim_recall_ivf_manifest" -> """

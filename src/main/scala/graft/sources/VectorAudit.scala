@@ -139,6 +139,46 @@ object VectorAudit {
     fs.delete(stage, true); ()
   }
 
+  /** The MAINTENANCE DEBT of a persisted vector index — the IVF/PQ twin
+    * of [[IndexStore.maintenanceDebt]], the signal a cost-driven
+    * `compactUpserts`/`compactDeletes` trigger polls. One row:
+    *
+    *  - `superseded_rows`: stored versions a compaction would drop (rows
+    *    below their id's winning seq) — counted from the NARROW audit
+    *    id-map, never the cell tables (a legacy index falls back to the
+    *    assigned table's narrow projection);
+    *  - `markers_pending`: live takedown markers awaiting a scrub;
+    *  - `gen_lists_max`: on a manifest table, the longest per-cell
+    *    generation list (appends since that cell's last rewrite) — the
+    *    per-query directory-listing pressure a rewrite collapses to 1;
+    *    -1 on a rename-mode table (no generations).
+    *
+    * Trigger recipe: compact when `superseded_rows` passes the
+    * space-amplification target against the live count, or when
+    * `gen_lists_max` passes the acceptable per-cell read fan-out.
+    */
+  def maintenanceDebt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows =
+      if (hasIdMap(spark, dir)) spark.read.parquet(idMapDir(dir))
+      else narrow(CellManifest.readTable(spark, s"$dir/assigned"))
+    val w = rows.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w"))
+    val superseded = rows.join(w, Seq("id"))
+      .where(col("ingest_seq") < col("__w")).count()
+    val delDir = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    val markers =
+      if (!fsOf(spark, dir).exists(delDir)) 0L
+      else spark.read.parquet(delDir.toString)
+        .select(col("id")).distinct().count()
+    val table = s"$dir/assigned"
+    val genMax =
+      if (!CellManifest.isManifest(spark, table)) -1L
+      else CellManifest.read(spark, table)._2.values
+        .map(_.length.toLong).foldLeft(0L)(math.max)
+    Seq((superseded, markers, genMax))
+      .toDF("superseded_rows", "markers_pending", "gen_lists_max")
+  }
+
   /** Everything the vector index physically stores about the given ids:
     * one row per stored version — `(id, ingest_seq, cell, kind)` with
     * kind `vector` — plus kind `marker` rows (null cell) for live

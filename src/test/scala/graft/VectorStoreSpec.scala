@@ -56,6 +56,10 @@ class VectorStoreSpec extends AnyFunSuite {
     }
     assert(topIds(manDir, qv, 3) == topIds(renameDir, qv, 3),
       "manifest and rename twins must answer identically pre-compaction")
+    val manDebt = graft.sources.VectorAudit.maintenanceDebt(spark, manDir).collect()(0)
+    assert(manDebt.getLong(0) == 1L && manDebt.getLong(2) == 2L,
+      s"manifest debt after the append: one superseded row, touched cells " +
+        s"at generation fan-out 2: $manDebt")
 
     // compaction: the stale cell's base directory is REPLACED in the
     // manifest but RETAINED on disk for in-flight readers of the old
@@ -149,6 +153,12 @@ class VectorStoreSpec extends AnyFunSuite {
       (4L, 1L, "vector"), (5L, 1L, "vector"), (5L, 2L, "marker")),
       s"pre-compaction the audit shows BOTH versions and the marker: ${audit()}")
 
+    // debt pre-maintenance: one superseded version (id 3's seq-1 row),
+    // one pending marker, rename table -> no generations
+    val preDebt = VectorAudit.maintenanceDebt(spark, dir).collect()(0)
+    assert((preDebt.getLong(0), preDebt.getLong(1), preDebt.getLong(2)) ==
+      ((1L, 1L, -1L)), s"pre-maintenance debt: $preDebt")
+
     // the stored cells are the write path's assignments — featurize
     // replay through the SAME shared expression
     val cents = IvfModel.load(spark, dir).centroids
@@ -182,6 +192,13 @@ class VectorStoreSpec extends AnyFunSuite {
     IvfModel.compactDeletes(spark, dir)
     assert(audit() == Seq((3L, 2L, "vector"), (4L, 1L, "vector")),
       s"after takedown compact: ${audit()}")
+
+    // the debt report tracks the lifecycle: after both compactions
+    // nothing is superseded, no marker pends, and a rename table
+    // reports no generations
+    val debt = VectorAudit.maintenanceDebt(spark, dir).collect()(0)
+    assert((debt.getLong(0), debt.getLong(1), debt.getLong(2)) == ((0L, 0L, -1L)),
+      s"post-maintenance debt must be zero: $debt")
 
     // the pruned answer equals the full-scan truth over the cell table
     val truth = spark.read.parquet(s"$dir/assigned")
