@@ -212,6 +212,56 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("streaming ingestion into a manifest table: per-micro-batch appends commit as generations; state equals the one-batch twin") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val batchDir = java.nio.file.Files.createTempDirectory("vm-sb").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("vm-ss").toString
+    val seeded = IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+    seeded.save(batchDir, IndexStore.SwapManifest)
+    seeded.save(streamDir, IndexStore.SwapManifest)
+    val slice = emb.where(col("vec_id") % 17 === 3)
+
+    // batch twin: the whole re-embedding slice in ONE append
+    IvfModel.appendVectors(spark, batchDir, slice, "vec_id", "embedding", 2L)
+
+    // streaming twin: the same slice, one file per micro-batch, each
+    // foreachBatch commit is its own generation flip (the single-writer
+    // manifest contract under micro-batch cadence)
+    val tmp = java.nio.file.Files.createTempDirectory("vm-feed").toString
+    slice.repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          IvfModel.appendVectors(spark, streamDir, df, "vec_id", "embedding", 2L)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the streamed table accumulated one generation per micro-batch...
+    val fanOut = graft.sources.VectorAudit
+      .maintenanceDebt(spark, streamDir).collect()(0).getLong(2)
+    assert(fanOut >= 2, s"micro-batch appends must land as generations: $fanOut")
+    // ...and serves exactly the one-batch twin, before and after the
+    // compaction that collapses the superseded rows
+    def state(dir: String): Seq[(Long, Int, Long)] =
+      CellManifest.readTable(spark, s"$dir/assigned")
+        .select(col("id"), col("cell").cast("int"), col("ingest_seq"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(state(streamDir) == state(batchDir),
+      "streamed state must equal the one-batch twin")
+    val qv = qvOf(3)
+    assert(topIds(streamDir, qv, 3) == topIds(batchDir, qv, 3))
+    Seq(batchDir, streamDir).foreach(d => IvfModel.compactUpserts(spark, d))
+    assert(state(streamDir) == state(batchDir))
+    assert(topIds(streamDir, qv, 3) == topIds(batchDir, qv, 3))
+    model.unpersist()
+  }
+
   test("PQ manifest composition: upsert + takedown lifecycle over both cell tables, both serving states, scrub under manifest") {
     val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
       nLists = 8, m = 8, ks = 16)
