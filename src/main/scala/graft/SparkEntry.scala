@@ -566,6 +566,11 @@ object SparkEntry {
     vecAuditIndexCache.keys.filter(_._1.sparkContext.isStopped).foreach(vecAuditIndexCache.remove)
     vecAuditIndexCache.getOrElseUpdate((s, d), {
       val dir = roundTripDir(d, "graft-vec-audit-index")
+      // the builder replays per JVM: save() overwrites the tables but the
+      // takedown markers APPEND — wipe the dir so a re-run's audit shows
+      // one event set, not one per Verify invocation
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
         when(col("vec_id") % 17 === 3,
           transform(col("embedding"), x => -x))

@@ -179,6 +179,44 @@ object VectorAudit {
       .toDF("superseded_rows", "markers_pending", "gen_lists_max")
   }
 
+  /** OPT-IN reconciliation of the vector index's side state — the
+    * [[IndexStore.verifyMaintState]] twin: an append spans up to three
+    * non-atomic writes (assigned cells, encoded codes on a PQ index, the
+    * audit id-map), and a caller that swallows a failure mid-trio leaves
+    * them silently diverged — audits under-report, or one PQ table
+    * serves a version the other lacks. Cross-checks the (id, seq, cell)
+    * multiset of the assigned table against the audit id-map, and (when
+    * `encodedDir` names the PQ code table) against the encoded table,
+    * throwing with samples on any divergence; re-save the model (or
+    * replay the failed batch whole) to repair. One narrow scan per
+    * table — the price of distrust, paid only when asked.
+    */
+  def verifyVectorState(spark: SparkSession, dir: String,
+      encodedDir: Option[String] = None): Unit = {
+    require(hasIdMap(spark, dir),
+      s"$dir has no audit id-map — nothing to reconcile")
+    def counts(df: DataFrame): DataFrame = narrow(df)
+      .groupBy(col("id"), col("ingest_seq"), col("cell")).count()
+    def diff(tag: String, left: DataFrame, right: DataFrame): Unit = {
+      val d = left.withColumnRenamed("count", "__l")
+        .join(right.withColumnRenamed("count", "__r"),
+          Seq("id", "ingest_seq", "cell"), "full_outer")
+        .where(col("__l").isNull || col("__r").isNull || col("__l") =!= col("__r"))
+        .limit(5).collect()
+      if (d.nonEmpty)
+        throw new IllegalStateException(
+          s"$tag of $dir diverges — a crashed append was not replayed " +
+            "whole; sample (id, seq, cell, leftCount, rightCount): " +
+            d.map(_.toSeq.mkString("(", ", ", ")")).mkString(" "))
+    }
+    val assigned = counts(CellManifest.readTable(spark, s"$dir/assigned"))
+    diff("audit id-map", assigned,
+      counts(spark.read.parquet(idMapDir(dir)).drop("idh")))
+    encodedDir.foreach(e =>
+      diff("encoded table", assigned,
+        counts(CellManifest.readTable(spark, e))))
+  }
+
   /** Everything the vector index physically stores about the given ids:
     * one row per stored version — `(id, ingest_seq, cell, kind)` with
     * kind `vector` — plus kind `marker` rows (null cell) for live

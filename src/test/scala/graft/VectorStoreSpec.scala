@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{IvfModel, PqModel, SimSearch}
-import graft.sources.{CellManifest, IndexStore}
+import graft.sources.{CellManifest, IndexStore, VectorAudit}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -306,6 +306,23 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(PqModel.load(spark, dir).encoded.where(col("id") === 3)
       .select("ingest_seq").collect().map(_.getLong(0)).toSeq == Seq(2L),
       "the scrub must not disturb surviving rows")
+
+    // the reconciliation hatch: clean after the full lifecycle, loud on
+    // a violated replay contract (a half-landed append)
+    VectorAudit.verifyVectorState(spark, s"$dir/ivf", Some(s"$dir/encoded"))
+    // half-landed append: the assigned generation commits, encoded and
+    // the id-map never see the batch (the crash window the replay
+    // contract covers)
+    val at = s"$dir/ivf/assigned"
+    val (gen, stage) = CellManifest.nextGen(spark, at)
+    CellManifest.readTable(spark, at)
+      .where(col("id") === 3).withColumn("ingest_seq", lit(7L))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    CellManifest.commitAppend(spark, at, gen)
+    val ex = intercept[IllegalStateException] {
+      VectorAudit.verifyVectorState(spark, s"$dir/ivf", Some(s"$dir/encoded"))
+    }
+    assert(ex.getMessage.contains("diverges"), ex.getMessage)
     model.unpersist()
   }
 }
