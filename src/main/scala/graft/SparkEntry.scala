@@ -3463,6 +3463,47 @@ object SparkEntry {
         .select(col("superseded_rows"), col("markers_pending"),
           col("gen_lists_max"))
     }),
+    "sim_recall_ivf_retrain" -> ((s, d) => {
+      // OFFLINE RETRAIN — the vector relayoutInverted: a drifted index
+      // (stale %17==3 embeddings at seq 1, re-embedded at seq 2, vec 5
+      // takedown-marked) retrains fresh centroids over the CURRENT truth
+      // through the flagged-stage swap (VectorStoreSpec pins the crash
+      // windows), then maintenance CONTINUES on the rebuilt index (a
+      // seq-3 takedown against the carried seqs, compactDeletes). Both
+      // stages keep the recall floor vs brute over the final vectors and
+      // the explicit clean column proves each takedown serves excluded.
+      val dir = roundTripDir(d, "graft-ivf-retrain-index")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir)
+      m.unpersist()
+      IvfModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      IvfModel.deleteVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") === 5).select("vec_id"),
+        seq = 2L)
+      IvfModel.retrain(s, dir, nLists = 16, iters = 2)
+      def eval(stage: String, excl: Seq[Long]): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
+          mustExclude = excl)
+          .withColumn("stage", lit(stage))
+      val post = eval("post_retrain", Seq(5L)).localCheckpoint()
+      IvfModel.deleteVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") === 6).select("vec_id"),
+        seq = 3L)
+      IvfModel.compactDeletes(s, dir)
+      post.unionByName(eval("post_delete", Seq(5L, 6L)))
+        .orderBy("stage", "qid")
+    }),
     "sim_recall_ivf_manifest" -> ((s, d) => {
       // sim_recall_ivf_upsert's contract run under the OBJECT-STORE-SAFE
       // swap: the cell table is manifest-governed (CellManifest — appends
@@ -7412,6 +7453,17 @@ object SparkEntry {
                AS superseded_rows,
              CAST(1 AS BIGINT) AS markers_pending,
              CAST(-1 AS BIGINT) AS gen_lists_max""",
+    // retrain rebuilds the index over the current truth: the takedowns
+    // stay excluded (clean) and recall holds vs brute over the final
+    // vectors, in the retrained state and after continued maintenance
+    "sim_recall_ivf_retrain" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+             'post_retrain' AS stage
+      FROM embeddings WHERE vec_id < 20 AND vec_id <> 5
+      UNION ALL
+      SELECT CAST(vec_id AS BIGINT), true, true, 'post_delete'
+      FROM embeddings WHERE vec_id < 20 AND vec_id NOT IN (5, 6)
+      ORDER BY stage, qid""",
     // the object-store-safe manifest swap changes the commit protocol,
     // never answers — the upsert contract verbatim
     "sim_recall_ivf_manifest" -> """

@@ -1225,8 +1225,123 @@ object IvfModel {
     * (id, seq, cell — never the vectors).
     */
   def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    recoverRetrain(spark, dir)
     compactUpsertsCells(spark, s"$dir/assigned")
     graft.sources.VectorAudit.compactUpserts(spark, dir) // mirrors in lockstep
+  }
+
+  /** OFFLINE RETRAIN of a persisted IVF index — the vector twin of
+    * [[graft.sources.IndexStore.relayoutInverted]]: frozen-centroid
+    * ingestion ([[appendVectors]]) accumulates assignment drift as the
+    * corpus distribution moves away from the centroids trained at fit
+    * time, and `nLists` sized for the starter corpus stops fitting a
+    * grown one. Retrain fits fresh centroids (Lloyd, [[SimSearch
+    * .trainIvf]]'s deterministic seeding) over the CURRENT truth — the
+    * newest version of every live id, takedown markers applied — and
+    * rebuilds the whole index (assigned cells + centroids + audit
+    * id-map) through a FLAGGED side stage:
+    *
+    *  1. the stage builds at `__retrain_stage/` — the live index is
+    *     NEVER the build site, so a failed rebuild destroys nothing;
+    *  2. a `_complete` flag commits the intent; the swap then renames
+    *     each live component aside and the staged one in;
+    *  3. [[recoverRetrain]] — at the head of every maintenance op —
+    *     discards an unflagged fragment, finishes a flagged swap
+    *     (rename-idempotent), and restores any aside copy whose live
+    *     component went missing: serving resumes from the complete old
+    *     or complete new index, never a mix.
+    *
+    * Markers are APPLIED by the rebuild (deleted ids simply aren't in
+    * the new index) and clear with the swap — the [[compactDeletes]]
+    * redelivery contract: the caller's at-least-once window must close
+    * before retraining. Each id carries its newest `ingest_seq` into the
+    * rebuilt table, so post-retrain appends and deletes keep their
+    * ordering. Inside the swap window a concurrent reader fails LOUDLY
+    * (a component mid-rename), never silently partial — the text index's
+    * concurrent-reader contract; single-writer per index, like every
+    * maintenance op. The rebuilt table keeps the source's swap strategy
+    * (a manifest table re-inits its manifest at generation 0).
+    */
+  def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nLists: Int, iters: Int = 2): Unit = {
+    recoverRetrain(spark, dir)
+    val cur = load(spark, dir) // markers applied at load
+    val live = newestPerId(cur.assigned)
+    val hasSeq = live.columns.contains("ingest_seq")
+    val manifest = graft.sources.CellManifest
+      .isManifest(spark, s"$dir/assigned")
+    val m = SimSearch.trainIvf(live, "id", "v", nLists, iters)
+    val rebuilt =
+      if (hasSeq) m.assigned.join(
+        live.select(col("id"), col("ingest_seq")), Seq("id"))
+      else m.assigned
+    val fs = deletedPath(spark, dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = s"$dir/__retrain_stage"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IvfModel(m.centroids, rebuilt).save(stage,
+      if (manifest) graft.sources.IndexStore.SwapManifest
+      else graft.sources.IndexStore.SwapRename)
+    m.unpersist()
+    // the flag commits the intent: everything below is re-runnable
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_complete"), true).close()
+    finishRetrainSwap(spark, dir)
+  }
+
+  private val RetrainSubs = Seq("assigned", "centroids", "_idmap")
+
+  /** The committed half of [[retrain]] — rename-idempotent, so a crash
+    * anywhere inside re-runs to completion from the flag.
+    */
+  private def finishRetrainSwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = deletedPath(spark, dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/__retrain_stage")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/__retrain_aside")
+    fs.mkdirs(aside)
+    RetrainSubs.foreach { s =>
+      val st = new org.apache.hadoop.fs.Path(stage, s)
+      val lv = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      if (fs.exists(st)) {
+        if (fs.exists(lv)) { fs.rename(lv, new org.apache.hadoop.fs.Path(aside, s)); () }
+        fs.rename(st, lv); ()
+      }
+    }
+    // markers were applied by the rebuild — they clear with the swap
+    val del = deletedPath(spark, dir)
+    if (fs.exists(del)) { fs.delete(del, true); () }
+    fs.delete(aside, true)
+    fs.delete(stage, true); ()
+  }
+
+  /** Crash recovery for [[retrain]], run at the head of every
+    * maintenance op: a FLAGGED stage is a committed retrain — finish its
+    * swap; an unflagged stage is a failed build — discard it (the live
+    * index was never touched); an aside copy whose live component went
+    * missing is a mid-swap fragment of a pre-flag protocol violation —
+    * restore it.
+    */
+  private[operators] def recoverRetrain(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = deletedPath(spark, dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/__retrain_stage")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/__retrain_aside")
+    if (fs.exists(stage)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_complete"))) {
+        finishRetrainSwap(spark, dir)
+        return
+      }
+      fs.delete(stage, true); ()
+    }
+    if (fs.exists(aside)) {
+      fs.listStatus(aside).foreach { st =>
+        val lv = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
+        if (!fs.exists(lv)) { fs.rename(st.getPath, lv); () }
+      }
+      fs.delete(aside, true); ()
+    }
   }
 
   /** [[compactUpserts]] over any cell-partitioned seq-carrying table —
@@ -1337,6 +1452,7 @@ object IvfModel {
     * caller's at-least-once window must close before maintenance runs.
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    recoverRetrain(spark, dir)
     val delDir = deletedPath(spark, dir)
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return

@@ -262,6 +262,114 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("retrain: fresh centroids over the current truth, seq continuity, markers applied, audit reseeded, swap strategy preserved") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-retrain").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    IvfModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 5).select("vec_id"), seq = 2L)
+    val n = emb.count()
+
+    IvfModel.retrain(spark, dir, nLists = 8, iters = 1)
+
+    // the rebuilt index: 8 fresh centroids over the current truth — one
+    // row per live id (the upsert winner carried its seq, the deleted id
+    // is gone), markers cleared, swap strategy preserved
+    val re = IvfModel.load(spark, dir)
+    assert(re.centroids.length == 8, "retrain must fit the new nLists")
+    val seqs = re.assigned.groupBy(col("ingest_seq")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(seqs == Map(1L -> (n - 2), 2L -> 1L),
+      s"one row per live id with its newest seq carried: $seqs")
+    assert(re.assigned.where(col("id") === 5).count() == 0,
+      "the takedown must be applied by the rebuild")
+    assert(!new java.io.File(s"$dir/deleted").exists(),
+      "markers clear with the swap (the compactDeletes redelivery contract)")
+    assert(CellManifest.isManifest(spark, s"$dir/assigned"),
+      "a manifest table must retrain into a manifest table")
+    // the audit id-map reseeded with the rebuilt truth
+    assert(VectorAudit.postingsOf(spark, dir, Seq(3L, 5L))
+      .select("id", "ingest_seq", "kind")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted == Seq((3L, 2L, "vector")))
+    VectorAudit.verifyVectorState(spark, dir)
+    // exactness: full-probe top-1 of id 3's vector is itself
+    val qv = qvOf(3)
+    val top = re.query(qv, 1, nProbe = 8).collect()(0)
+    assert(top.getLong(0) == 3L && top.getDouble(2) > 0.99)
+
+    // maintenance CONTINUES on the retrained index: a seq-3 delete and a
+    // seq-3 re-ingest keep their ordering against the carried seqs
+    IvfModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 7).select("vec_id"), seq = 3L)
+    assert(IvfModel.load(spark, dir).assigned.where(col("id") === 7).count() == 0)
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 3L)
+    IvfModel.compactUpserts(spark, dir)
+    assert(CellManifest.readTable(spark, s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "post-retrain supersession must keep working")
+    model.unpersist()
+  }
+
+  test("retrain crash windows: an unflagged stage is discarded, a flagged stage is adopted to completion, live is never the build site") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-retrain-crash").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    val qv = qvOf(3)
+    val before = topIds(dir, qv, 3)
+
+    // (a) a build that died pre-flag: junk stage — the next maintenance
+    // op discards it, the live index is untouched
+    val stage = new java.io.File(s"$dir/__retrain_stage")
+    stage.mkdirs()
+    new java.io.File(stage, "junk").createNewFile()
+    IvfModel.compactUpserts(spark, dir)
+    assert(!stage.exists(), "an unflagged stage must be discarded")
+    assert(topIds(dir, qv, 3) == before, "live must be untouched")
+
+    // (b) a retrain that died AFTER the flag, before any rename: build a
+    // complete staged index (seqs bumped to 9 as the adoption sentinel),
+    // flag it — recovery at the next maintenance head finishes the swap
+    val m2 = SimSearch.trainIvf(emb, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    IvfModel(m2.centroids,
+      m2.assigned.withColumn("ingest_seq", lit(9L)))
+      .save(s"$dir/__retrain_stage")
+    new java.io.File(stage, "_complete").createNewFile()
+    IvfModel.compactUpserts(spark, dir) // head recovery adopts
+    assert(!stage.exists() && !new java.io.File(s"$dir/__retrain_aside").exists())
+    val adopted = IvfModel.load(spark, dir)
+    assert(adopted.centroids.length == 8 &&
+      adopted.assigned.where(col("ingest_seq") =!= 9L).count() == 0,
+      "a flagged stage must be adopted whole")
+
+    // (c) mid-swap fragment: assigned renamed aside, the rest unswapped —
+    // with the flag still present the recovery completes the swap
+    IvfModel(m2.centroids,
+      m2.assigned.withColumn("ingest_seq", lit(11L)))
+      .save(s"$dir/__retrain_stage")
+    new java.io.File(stage, "_complete").createNewFile()
+    val aside = new java.io.File(s"$dir/__retrain_aside")
+    aside.mkdirs()
+    assert(new java.io.File(s"$dir/assigned")
+      .renameTo(new java.io.File(aside, "assigned")))
+    IvfModel.compactDeletes(spark, dir) // no markers: only the recovery runs
+    assert(IvfModel.load(spark, dir).assigned
+      .where(col("ingest_seq") =!= 11L).count() == 0,
+      "a mid-swap crash must complete to the new index, never a mix")
+    m2.unpersist()
+    model.unpersist()
+  }
+
   test("PQ manifest composition: upsert + takedown lifecycle over both cell tables, both serving states, scrub under manifest") {
     val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
       nLists = 8, m = 8, ks = 16)
