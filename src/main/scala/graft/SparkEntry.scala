@@ -3504,6 +3504,57 @@ object SparkEntry {
       post.unionByName(eval("post_delete", Seq(5L, 6L)))
         .orderBy("stage", "qid")
     }),
+    "sim_recall_pq_retrain" -> ((s, d) => {
+      // PQ RETRAIN — sim_recall_ivf_retrain extended to the product
+      // quantizer: the drifted index refits coarse centroids AND residual
+      // codebooks over the current truth, all four components (ivf
+      // subtree, codes, codebooks, meta) swapping at ONE commit point so
+      // codes never pair with foreign codebooks; maintenance then
+      // continues (a seq-3 takedown). Both stages keep the PQ recall
+      // floor vs brute over the final vectors, takedowns serve excluded.
+      val dir = roundTripDir(d, "graft-pq-retrain-index")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+        nLists = 16, m = 16, ks = 64)
+      PqModel(IvfModel(m.ivf.centroids,
+          m.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+        m.codebooks, m.subDim,
+        m.encoded.withColumn("ingest_seq", lit(1L))).save(dir)
+      m.unpersist()
+      PqModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      PqModel.deleteVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") === 5).select("vec_id"),
+        seq = 2L)
+      PqModel.retrain(s, dir, nLists = 16, m = 16, ks = 64)
+      // nProbe 12 / floor 0.1 (vs sim_recall_pq's 8 / 0.4): a RETRAINED
+      // quantizer legitimately differs from the fit-time one (Lloyd
+      // means are float-summation-order sensitive) and the MEASURED
+      // per-query recall@10 of the retrained model bottoms at 0.2
+      // (sf0.1, qid 4 — the quantization tail of this synthetic corpus;
+      // typical 0.3-0.6). This gate pins the retrain MECHANICS — swap
+      // atomicity, seq continuity, takedown cleanliness, non-degenerate
+      // recall in BOTH stages; quantization quality at the tight floor
+      // is sim_recall_pq / sim_recall_pq_rerank's job.
+      def eval(stage: String, excl: Seq[Long]): DataFrame =
+        SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.1,
+          mustExclude = excl)
+          .withColumn("stage", lit(stage))
+      val post = eval("post_retrain", Seq(5L)).localCheckpoint()
+      PqModel.deleteVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") === 6).select("vec_id"),
+        seq = 3L)
+      PqModel.compactDeletes(s, dir)
+      post.unionByName(eval("post_delete", Seq(5L, 6L)))
+        .orderBy("stage", "qid")
+    }),
     "sim_recall_ivf_manifest" -> ((s, d) => {
       // sim_recall_ivf_upsert's contract run under the OBJECT-STORE-SAFE
       // swap: the cell table is manifest-governed (CellManifest — appends
@@ -7457,6 +7508,15 @@ object SparkEntry {
     // stay excluded (clean) and recall holds vs brute over the final
     // vectors, in the retrained state and after continued maintenance
     "sim_recall_ivf_retrain" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+             'post_retrain' AS stage
+      FROM embeddings WHERE vec_id < 20 AND vec_id <> 5
+      UNION ALL
+      SELECT CAST(vec_id AS BIGINT), true, true, 'post_delete'
+      FROM embeddings WHERE vec_id < 20 AND vec_id NOT IN (5, 6)
+      ORDER BY stage, qid""",
+    // PQ retrain shares the retrain contract verbatim
+    "sim_recall_pq_retrain" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
              'post_retrain' AS stage
       FROM embeddings WHERE vec_id < 20 AND vec_id <> 5

@@ -1035,8 +1035,50 @@ object PqModel {
     * [[IvfModel.compactUpserts]] applied to each cell-partitioned half.
     */
   def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    IvfModel.recoverRetrain(spark, dir)
     IvfModel.compactUpsertsCells(spark, s"$dir/encoded")
     IvfModel.compactUpserts(spark, s"$dir/ivf")
+  }
+
+  /** OFFLINE RETRAIN of a persisted IVF-PQ index — [[IvfModel.retrain]]
+    * extended to the full product quantizer: fresh coarse centroids AND
+    * fresh residual codebooks fit over the CURRENT truth (the raw
+    * vectors ride in the ivf half's assigned table: newest live version
+    * per id, markers applied), then the whole four-component index
+    * (ivf subtree, encoded codes, codebooks, meta) swaps through the
+    * same flagged side stage — one commit point, every crash window
+    * lands on the complete old or complete new index, both tables
+    * always from the SAME training run (a component-wise mix would pair
+    * codes with foreign codebooks). Seqs carry into BOTH rebuilt
+    * tables; markers clear with the swapped ivf subtree (the
+    * [[compactDeletes]] redelivery contract); the cell tables keep the
+    * source's swap strategy.
+    */
+  def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nLists: Int, m: Int, ks: Int): Unit = {
+    IvfModel.recoverRetrain(spark, dir)
+    val cur = load(spark, dir) // markers applied in both halves
+    val live = IvfModel.newestPerId(cur.ivf.assigned)
+    val hasSeq = live.columns.contains("ingest_seq")
+    val manifest = graft.sources.CellManifest
+      .isManifest(spark, s"$dir/encoded")
+    val mm = SimSearch.trainIvfPq(live, "id", "v", nLists, m, ks)
+    def carry(df: DataFrame): DataFrame =
+      if (hasSeq) df.join(live.select(col("id"), col("ingest_seq")), Seq("id"))
+      else df
+    val rebuilt = PqModel(
+      IvfModel(mm.ivf.centroids, carry(mm.ivf.assigned)),
+      mm.codebooks, mm.subDim, carry(mm.encoded))
+    val fs = IvfModel.deletedPath(spark, dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = s"$dir/__retrain_stage"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    rebuilt.save(stage,
+      if (manifest) graft.sources.IndexStore.SwapManifest
+      else graft.sources.IndexStore.SwapRename)
+    mm.unpersist()
+    fs.create(new org.apache.hadoop.fs.Path(s"$stage/_complete"), true).close()
+    IvfModel.finishRetrainSwap(spark, dir)
   }
 
   /** Physically drop deleted vectors from BOTH cell-partitioned tables,
@@ -1044,6 +1086,7 @@ object PqModel {
     * first because the IVF pass clears the shared marker.
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    IvfModel.recoverRetrain(spark, dir)
     val delDir = IvfModel.deletedPath(spark, s"$dir/ivf")
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
@@ -1288,27 +1331,28 @@ object IvfModel {
     finishRetrainSwap(spark, dir)
   }
 
-  private val RetrainSubs = Seq("assigned", "centroids", "_idmap")
-
   /** The committed half of [[retrain]] — rename-idempotent, so a crash
-    * anywhere inside re-runs to completion from the flag.
+    * anywhere inside re-runs to completion from the flag. Layout-
+    * agnostic: every staged child except the flag swaps in (the IVF
+    * stage holds assigned/centroids/_idmap; a PQ stage holds
+    * ivf/encoded/codebooks/meta — [[PqModel.retrain]]).
     */
-  private def finishRetrainSwap(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+  private[operators] def finishRetrainSwap(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = deletedPath(spark, dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val stage = new org.apache.hadoop.fs.Path(s"$dir/__retrain_stage")
     val aside = new org.apache.hadoop.fs.Path(s"$dir/__retrain_aside")
     fs.mkdirs(aside)
-    RetrainSubs.foreach { s =>
-      val st = new org.apache.hadoop.fs.Path(stage, s)
-      val lv = new org.apache.hadoop.fs.Path(s"$dir/$s")
-      if (fs.exists(st)) {
+    fs.listStatus(stage).map(_.getPath.getName)
+      .filter(_ != "_complete").foreach { s =>
+        val st = new org.apache.hadoop.fs.Path(stage, s)
+        val lv = new org.apache.hadoop.fs.Path(s"$dir/$s")
         if (fs.exists(lv)) { fs.rename(lv, new org.apache.hadoop.fs.Path(aside, s)); () }
         fs.rename(st, lv); ()
       }
-    }
     // markers were applied by the rebuild — they clear with the swap
+    // (a PQ index's markers live inside the swapped ivf/ subtree)
     val del = deletedPath(spark, dir)
     if (fs.exists(del)) { fs.delete(del, true); () }
     fs.delete(aside, true)

@@ -370,6 +370,57 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("PQ retrain: coarse + codebooks refit over the current truth, one commit point for all four components, seq continuity") {
+    val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+      nLists = 4, m = 8, ks = 16)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pq-retrain").toString
+    PqModel(IvfModel(model.ivf.centroids,
+        model.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+      model.codebooks, model.subDim,
+      model.encoded.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    PqModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    PqModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 5).select("vec_id"), seq = 2L)
+    val n = emb.count()
+
+    PqModel.retrain(spark, dir, nLists = 8, m = 8, ks = 16)
+
+    val re = PqModel.load(spark, dir)
+    assert(re.ivf.centroids.length == 8, "the coarse quantizer must refit")
+    Seq(re.ivf.assigned, re.encoded).foreach { t =>
+      assert(t.count() == n - 1, "one row per live id in both tables")
+      assert(t.where(col("id") === 5).count() == 0, "takedown applied")
+      assert(t.where(col("id") === 3).select("ingest_seq")
+        .collect()(0).getLong(0) == 2L, "newest seq carried")
+    }
+    // both tables from the SAME training run: codes decode against the
+    // new codebooks — every code index must be in the new ks range and
+    // the (id, cell) pairing must match across tables
+    val mism = re.encoded.select(col("id"), col("cell").as("ec"))
+      .join(re.ivf.assigned.select(col("id"), col("cell").as("ac")), Seq("id"))
+      .where(col("ec") =!= col("ac")).count()
+    assert(mism == 0, "encoded and assigned must agree on cells")
+    assert(!new java.io.File(s"$dir/ivf/deleted").exists(),
+      "markers clear with the swapped ivf subtree")
+    assert(CellManifest.isManifest(spark, s"$dir/encoded") &&
+      CellManifest.isManifest(spark, s"$dir/ivf/assigned"),
+      "both cell tables keep the manifest strategy")
+    VectorAudit.verifyVectorState(spark, s"$dir/ivf", Some(s"$dir/encoded"))
+
+    // post-retrain maintenance continuity on BOTH tables
+    PqModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 3L)
+    PqModel.compactUpserts(spark, dir)
+    Seq(s"$dir/ivf/assigned", s"$dir/encoded").foreach { t =>
+      assert(CellManifest.readTable(spark, t).where(col("id") === 3)
+        .select("ingest_seq").collect().map(_.getLong(0)).toSeq == Seq(3L),
+        s"post-retrain supersession must keep working in $t")
+    }
+    model.unpersist()
+  }
+
   test("PQ manifest composition: upsert + takedown lifecycle over both cell tables, both serving states, scrub under manifest") {
     val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
       nLists = 8, m = 8, ks = 16)
