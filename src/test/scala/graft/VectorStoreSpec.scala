@@ -132,6 +132,38 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("manifest stale-reader contract: a frame resolved pre-gc fails LOUDLY once its generation is reclaimed; a re-read serves the current truth") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-stale").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    // resolve a reader against the CURRENT manifest, then age its
+    // generation out: one compaction replaces the dirty cells (retained
+    // one pass), a second pass gc's them
+    val stale = IvfModel.load(spark, dir).assigned
+    stale.count() // the resolution is real, not lazy-path-only
+    IvfModel.appendVectors(spark, dir,
+      emb.where(col("vec_id") === 3), "vec_id", "embedding", seq = 2L)
+    IvfModel.compactUpserts(spark, dir)
+    IvfModel.compactUpserts(spark, dir) // head gc reclaims the replaced dirs
+    // the stale frame's file list names reclaimed paths — an action on it
+    // must fail loudly, never silently serve a partial table
+    val ex = intercept[Exception] { stale.count() }
+    val msg = Option(ex.getMessage).getOrElse(ex.toString)
+    assert(msg.contains("not exist") || msg.contains("FileNotFound") ||
+      ex.isInstanceOf[org.apache.spark.SparkException],
+      s"a reclaimed generation must fail the stale reader loudly: $ex")
+    // a re-read resolves the newest manifest and serves the full truth
+    val fresh = IvfModel.load(spark, dir).assigned
+    assert(fresh.count() == emb.count(),
+      "the re-read must serve the complete current generation set")
+    assert(fresh.where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    model.unpersist()
+  }
+
   test("vector takedown audit: postingsOf shows physical state through the lifecycle; the id-map read is partition-pruned and matches a full scan") {
     import graft.sources.VectorAudit
     val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
