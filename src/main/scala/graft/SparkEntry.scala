@@ -3504,6 +3504,20 @@ object SparkEntry {
       post.unionByName(eval("post_delete", Seq(5L, 6L)))
         .orderBy("stage", "qid")
     }),
+    "ann_maintenance_debt" -> ((s, d) => {
+      // the TEXT index's compaction-trigger signal gated (the
+      // sim_maintenance_debt twin; tools/debt_drive.scala is the
+      // continuous-ingest recipe): on the read-only audit table's
+      // deterministic event set — corpus at seq 1, one tombstone (doc
+      // 82) at seq 2 — the debt is a pure function of the featurize
+      // pipeline: one log file (the tombstone append's maint-log write),
+      // one backlog id, and doc 82's bucket count of dead postings (its
+      // seq-1 rows, outranked by the marker). log_bytes is parquet-
+      // encoding-dependent and stays un-gated.
+      val table = auditIndexFor(s, d)
+      IndexStore.maintenanceDebt(s, table)
+        .select(col("log_files"), col("backlog_ids"), col("dead_postings"))
+    }),
     "sim_recall_pq_retrain" -> ((s, d) => {
       // PQ RETRAIN — sim_recall_ivf_retrain extended to the product
       // quantizer: the drifted index refits coarse centroids AND residual
@@ -7515,6 +7529,13 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT), true, true, 'post_delete'
       FROM embeddings WHERE vec_id < 20 AND vec_id NOT IN (5, 6)
       ORDER BY stage, qid""",
+    // text-side maintenance debt replays the featurize pipeline: the one
+    // tombstoned doc's bucket count IS the dead-posting count
+    "ann_maintenance_debt" -> s"""
+      WITH ${docCtes(cfg16)}
+      SELECT 1 AS log_files, CAST(1 AS BIGINT) AS backlog_ids,
+             (SELECT CAST(len(bucket_ids) AS BIGINT) FROM buck
+              WHERE doc_id = 82) AS dead_postings""",
     // PQ retrain shares the retrain contract verbatim
     "sim_recall_pq_retrain" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,

@@ -53,8 +53,13 @@ object CellManifest {
     fsOf(spark, tableDir).exists(manifestDir(tableDir))
 
   /** Adopt an existing plainly-written cell table into manifest mode:
-    * every `cell=N` directory of the initial save becomes generation 0.
-    * Called once by `save(dir, swap = manifest)`.
+    * every `cell=N` directory becomes generation 0 — no data moves.
+    * Called once by `save(dir, swap = manifest)`, and usable as the
+    * MIGRATION path for a lived-in rename-mode table (run any pending
+    * maintenance first so no `__compact_stage`/`__compact_aside`
+    * leftovers exist; from the init on, appends and rewrites commit
+    * through manifest flips — VectorStoreSpec pins answer equality
+    * across the adoption).
     */
   def init(spark: SparkSession, tableDir: String): Unit = {
     val fs = fsOf(spark, tableDir)

@@ -132,6 +132,41 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("manifest adoption: a lived-in rename-mode table converts in place (no data moves); maintenance continues under the manifest") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-adopt").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir) // rename mode
+    // live the rename-mode life first: an upsert and its compaction
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    IvfModel.compactUpserts(spark, dir)
+    val qv = qvOf(3)
+    val before = topIds(dir, qv, 3)
+    val files = parquetFiles(s"$dir/assigned")
+
+    // adoption is one manifest put — nothing moves, answers identical
+    CellManifest.init(spark, s"$dir/assigned")
+    assert(parquetFiles(s"$dir/assigned") == files,
+      "adoption must not touch a data file")
+    assert(topIds(dir, qv, 3) == before, "answers must survive adoption")
+
+    // maintenance CONTINUES under the manifest: the next upsert lands as
+    // a generation, its compaction commits by flip, answers unchanged
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 3L)
+    assert(new java.io.File(s"$dir/assigned").listFiles()
+      .exists(_.getName.startsWith("_gen-")),
+      "post-adoption appends must stage as generations")
+    IvfModel.compactUpserts(spark, dir)
+    assert(topIds(dir, qv, 3) == before)
+    assert(CellManifest.readTable(spark, s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    model.unpersist()
+  }
+
   test("manifest stale-reader contract: a frame resolved pre-gc fails LOUDLY once its generation is reclaimed; a re-read serves the current truth") {
     val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
       nLists = 8, iters = 1)
