@@ -969,6 +969,10 @@ object PqModel {
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqModel = {
     import org.apache.spark.sql.functions.col
+    // a crashed retrain swap must finish BEFORE any component reads:
+    // without this a reader between the component renames would pair new
+    // codes with old codebooks silently (the mixed-index window)
+    IvfModel.recoverRetrain(spark, dir)
     val ivf = IvfModel.load(spark, s"$dir/ivf")
     val rows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
@@ -1005,8 +1009,13 @@ object PqModel {
     * from the assigned AND encoded sides immediately).
     */
   def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: DataFrame, seq: Long = Long.MaxValue): Unit =
+      ids: DataFrame, seq: Long = Long.MaxValue): Unit = {
+    // adopt a committed-but-unswapped retrain FIRST: a marker written
+    // beside a flagged stage would clear unapplied when the stage swaps
+    // in (silent takedown loss — the rebuild never saw the id)
+    IvfModel.recoverRetrain(spark, dir)
     IvfModel.deleteVectors(spark, s"$dir/ivf", ids, seq)
+  }
 
   /** UPSERT ingestion into a persisted IVF-PQ index — ONE logical append
     * maintains BOTH tables: the raw vectors assign to the frozen coarse
@@ -1019,6 +1028,9 @@ object PqModel {
     */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
       vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
+    // a flagged stage pending adoption would swallow this append when it
+    // swaps in — adopt it first so the batch lands on the live truth
+    IvfModel.recoverRetrain(spark, dir)
     val cur = graft.sources.CellManifest.readTable(spark, s"$dir/encoded")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
@@ -1227,6 +1239,9 @@ object IvfModel {
     */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
       vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
+    // a committed retrain whose swap crashed must adopt BEFORE the batch
+    // lands: appended to the old table it would vanish with the swap
+    recoverRetrain(spark, dir)
     val cur = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
@@ -1402,20 +1417,34 @@ object IvfModel {
     if (!raw.columns.contains("ingest_seq")) return
     val winners = raw.groupBy(col("id"))
       .agg(max(col("ingest_seq")).as("__wseq"))
-    val dirty = raw.select(col("id"), col("ingest_seq"), col("cell"))
-      .join(winners, Seq("id"))
-      .where(col("ingest_seq") < col("__wseq"))
-      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    val narrow = raw.select(col("id"), col("ingest_seq"), col("cell"))
+    // dirty = cells holding a superseded row OR a same-seq duplicate (an
+    // at-least-once replay that landed twice) — the duplicate criterion
+    // matches [[graft.sources.VectorAudit.compactUpserts]]'s exactly, so
+    // the cell table and its audit mirror dedupe the same rows and
+    // verifyVectorState stays clean across any compaction order
+    val superseded = narrow.join(winners, Seq("id"))
+      .where(col("ingest_seq") < col("__wseq")).select(col("cell"))
+    val duplicated = narrow.groupBy(col("id"), col("ingest_seq"), col("cell"))
+      .count().where(col("count") > 1).select(col("cell"))
+    val dirty = superseded.union(duplicated)
+      .distinct().collect().map(_.getInt(0)).toSet
     if (dirty.isEmpty) return
     val kept = raw.where(col("cell").isin(dirty.toSeq: _*))
       .join(winners, Seq("id"))
       .where(col("ingest_seq") === col("__wseq"))
       .drop("__wseq")
-      .dropDuplicates("id", "ingest_seq")
+      .dropDuplicates("id", "ingest_seq", "cell")
     rewriteCells(spark, fs, tableDir, dirty, kept)
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
+    // finish a crashed retrain swap before reading any component: the
+    // component-at-a-time swap has a window where new `assigned` and old
+    // `centroids` are both live, and a load there would probe the new
+    // cells with the old geometry — silently degraded answers. The check
+    // is two fs.exists on a clean index.
+    recoverRetrain(spark, dir)
     val centroids = loadCentroids(spark, dir)
     // partition column comes back as the pruning key; cast pins the int
     // type the in-memory model uses; a manifest-governed table resolves
@@ -1462,11 +1491,16 @@ object IvfModel {
     * cadence (documented there).
     */
   def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: DataFrame, seq: Long = Long.MaxValue): Unit =
+      ids: DataFrame, seq: Long = Long.MaxValue): Unit = {
+    // adopt a committed-but-unswapped retrain FIRST: markers clear with
+    // the swap, so one written beside a flagged stage would vanish
+    // UNAPPLIED when the stage swaps in — the id would resurrect
+    recoverRetrain(spark, dir)
     ids.select(col(ids.columns.head).cast("long").as("id"),
         lit(seq).as("__del_seq"))
       .repartition(1) // takedown batches are tiny; one marker file
       .write.mode("append").parquet(deletedPath(spark, dir).toString)
+  }
 
   /** The newest marker per id, schema-tolerant: marker files written
     * before the seq column existed read as unconditional

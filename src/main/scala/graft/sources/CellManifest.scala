@@ -167,7 +167,7 @@ object CellManifest {
     */
   def gc(spark: SparkSession, tableDir: String): Unit = {
     val fs = fsOf(spark, tableDir)
-    val (m, cells) = read(spark, tableDir)
+    val (_, cells) = read(spark, tableDir)
     val liveGens = cells.values.flatten.toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
       val name = st.getPath.getName
@@ -179,12 +179,17 @@ object CellManifest {
         fs.delete(st.getPath, true); ()
       }
     }
+    // retain the TWO HIGHEST manifests that actually exist (commit
+    // numbering advances by 2 — gen then manifest — so "m - 1" names a
+    // file that never existed and comparing against it would delete the
+    // in-flight reader's resolution target, the immediately previous one)
     val md = manifestDir(tableDir)
-    fs.listStatus(md).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("manifest-") && n.stripPrefix("manifest-").toLong < m - 1) {
-        fs.delete(p, false); ()
-      }
+    val nums = fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong).sorted
+    val keep = nums.takeRight(2).toSet
+    nums.filterNot(keep).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(md, s"manifest-$n"), false); ()
     }
   }
 

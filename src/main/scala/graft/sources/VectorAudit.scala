@@ -88,9 +88,18 @@ object VectorAudit {
     if (!hasIdMap(spark, dir)) return
     val raw = spark.read.parquet(idMapDir(dir))
     val winners = raw.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w"))
-    val touched = raw.join(winners, Seq("id"))
-      .where(col("ingest_seq") < col("__w"))
-      .select(col("idh")).distinct().collect().map(_.getInt(0)).toSeq
+    // touched = partitions holding a superseded row OR a same-seq
+    // duplicate — the SAME criteria the cell-table rewrite uses
+    // ([[graft.operators.IvfModel.compactUpsertsCells]]), so a replayed
+    // batch's duplicate copies collapse on both sides in the same pass
+    // and verifyVectorState never sees a healthy index diverge
+    val superseded = raw.join(winners, Seq("id"))
+      .where(col("ingest_seq") < col("__w")).select(col("idh"))
+    val duplicated = raw
+      .groupBy(col("idh"), col("id"), col("ingest_seq"), col("cell"))
+      .count().where(col("count") > 1).select(col("idh"))
+    val touched = superseded.union(duplicated)
+      .distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     rewrite(spark, dir, touched,
       raw.where(col("idh").isin(touched: _*))

@@ -551,4 +551,142 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("diverges"), ex.getMessage)
     model.unpersist()
   }
+
+  test("a crashed retrain swap finishes at LOAD: readers never see new assigned paired with old centroids") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-load-recover").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    // a committed retrain (4 fresh centroids, seq-9 sentinel) that died
+    // BETWEEN the component renames: assigned already swapped in, the
+    // centroids still the old 8-cell geometry
+    val m2 = SimSearch.trainIvf(emb, "vec_id", "embedding",
+      nLists = 4, iters = 1)
+    val stage = new java.io.File(s"$dir/__retrain_stage")
+    IvfModel(m2.centroids,
+      m2.assigned.withColumn("ingest_seq", lit(9L)))
+      .save(s"$dir/__retrain_stage")
+    new java.io.File(stage, "_complete").createNewFile()
+    val aside = new java.io.File(s"$dir/__retrain_aside")
+    aside.mkdirs()
+    assert(new java.io.File(s"$dir/assigned")
+      .renameTo(new java.io.File(aside, "assigned")))
+    assert(new java.io.File(stage, "assigned")
+      .renameTo(new java.io.File(s"$dir/assigned")))
+    // NO maintenance op runs — a plain reader load must already serve a
+    // consistent pair (the load-head recovery finishes the flagged swap)
+    val loaded = IvfModel.load(spark, dir)
+    assert(loaded.centroids == m2.centroids,
+      "load must finish the swap: staged centroids, never the old geometry")
+    assert(loaded.assigned.where(col("ingest_seq") =!= 9L).count() == 0)
+    assert(loaded.assigned.select(max(col("cell"))).collect()(0).getInt(0) <
+      loaded.centroids.length, "assigned cells must index the NEW centroids")
+    assert(!stage.exists() && !aside.exists(), "recovery must leave no fragments")
+    m2.unpersist(); model.unpersist()
+  }
+
+  test("writes adopt a flagged retrain stage FIRST: a takedown beside the stage applies to the adopted index, never silently lost") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-write-recover").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    val m2 = SimSearch.trainIvf(emb, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val stage = new java.io.File(s"$dir/__retrain_stage")
+    IvfModel(m2.centroids,
+      m2.assigned.withColumn("ingest_seq", lit(9L)))
+      .save(s"$dir/__retrain_stage")
+    new java.io.File(stage, "_complete").createNewFile()
+    // the takedown arrives while the flagged stage pends: deleteVectors
+    // must adopt the stage BEFORE writing its marker — a marker written
+    // beside the stage would clear UNAPPLIED when the stage swapped in
+    IvfModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 5).select("vec_id"), seq = 10L)
+    assert(!stage.exists(), "the write head must adopt the flagged stage")
+    assert(IvfModel.load(spark, dir).assigned.where(col("id") === 5).count() == 0,
+      "the takedown must exclude the id from the ADOPTED index")
+    IvfModel.compactDeletes(spark, dir)
+    assert(spark.read.parquet(s"$dir/assigned").where(col("id") === 5).count() == 0,
+      "the scrub must physically drop the id — no silent takedown loss")
+    // same contract on the append side: a batch lands on the adopted truth
+    IvfModel(m2.centroids,
+      m2.assigned.withColumn("ingest_seq", lit(11L)))
+      .save(s"$dir/__retrain_stage")
+    new java.io.File(stage, "_complete").createNewFile()
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 12L)
+    assert(!stage.exists())
+    val seqs = CellManifest.readTable(spark, s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(seqs == Seq(11L, 12L),
+      s"the append must survive the adoption (never swallowed): $seqs")
+    m2.unpersist(); model.unpersist()
+  }
+
+  test("manifest gc retains the two newest manifest FILES: an in-flight reader's resolution target survives one pass") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-gc-manifests").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    def manifests(): Seq[Long] =
+      new java.io.File(s"$dir/assigned/_vmanifest").listFiles()
+        .map(_.getName).filter(_.startsWith("manifest-"))
+        .map(_.stripPrefix("manifest-").toLong).toSeq.sorted
+    assert(manifests() == Seq(0L))
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    // first maintenance pass: its head gc must KEEP the previous manifest
+    // (numbering advances by 2, so the old `< m - 1` rule deleted it)
+    IvfModel.compactUpserts(spark, dir)
+    assert(manifests().contains(0L),
+      s"the previous manifest must survive one pass for in-flight " +
+        s"readers: ${manifests()}")
+    // second pass: only the two newest survive
+    IvfModel.compactUpserts(spark, dir)
+    val after = manifests()
+    assert(after.length <= 2 && !after.contains(0L),
+      s"older manifests must gc once twice-replaced: $after")
+    model.unpersist()
+  }
+
+  test("a replayed duplicate WINNER collapses identically in the cell table and the audit mirror — verifyVectorState stays clean") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-dup").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    // a NEW id (no older version, so no superseded row of its own) whose
+    // vector is id 5's — deterministic assignment puts it in id 5's cell;
+    // pick its value so it hashes into a DIFFERENT id-map partition than
+    // id 5 (the advice scenario: the loser's rewrite scope touches the
+    // duplicate's cell but not its idh partition)
+    import spark.implicits._
+    def idhOf(id: Long): Int = Seq(id).toDF("id")
+      .select(pmod(hash(col("id")), lit(VectorAudit.IdMapBuckets)))
+      .collect()(0).getInt(0)
+    val newId = (1000L to 1100L).find(c => idhOf(c) != idhOf(5L)).get
+    val dupBatch = emb.where(col("vec_id") === 5)
+      .select(lit(newId).as("vec_id"), col("embedding"))
+    // the at-least-once replay: the same batch lands TWICE at seq 2
+    IvfModel.appendVectors(spark, dir, dupBatch, "vec_id", "embedding", 2L)
+    IvfModel.appendVectors(spark, dir, dupBatch, "vec_id", "embedding", 2L)
+    // an unrelated supersession in the SAME cell triggers its rewrite
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 5),
+      "vec_id", "embedding", seq = 3L)
+    IvfModel.compactUpserts(spark, dir)
+    val inTable = spark.read.parquet(s"$dir/assigned")
+      .where(col("id") === newId).count()
+    val inMirror = spark.read.parquet(s"$dir/_idmap")
+      .where(col("id") === newId).count()
+    assert(inTable == 1L && inMirror == 1L,
+      s"both sides must collapse the replayed winner to one row: " +
+        s"table=$inTable mirror=$inMirror")
+    VectorAudit.verifyVectorState(spark, dir) // healthy index, no divergence
+    model.unpersist()
+  }
 }
