@@ -944,12 +944,15 @@ final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
     * rename mode's table-at-a-time rewrite).
     */
   def save(dir: String, swap: String): Unit = {
+    val spark = encoded.sparkSession
+    val preEpoch = graft.sources.Fence.current(spark, s"$dir/encoded")
+    graft.sources.Fence.begin(spark, dir) // the PQ model-level claim
     ivf.save(s"$dir/ivf", swap)
     encoded.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/encoded")
-    val spark = encoded.sparkSession
     if (swap == graft.sources.IndexStore.SwapManifest)
       graft.sources.CellManifest.init(spark, s"$dir/encoded")
+    graft.sources.Fence.begin(spark, s"$dir/encoded", preEpoch + 1)
     import spark.implicits._
     codebooks.zipWithIndex.flatMap { case (cb, mi) =>
       cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw) }
@@ -969,10 +972,13 @@ object PqModel {
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqModel = {
     import org.apache.spark.sql.functions.col
-    // a crashed retrain swap must finish BEFORE any component reads:
-    // without this a reader between the component renames would pair new
-    // codes with old codebooks silently (the mixed-index window)
-    IvfModel.recoverRetrain(spark, dir)
+    // a committed-but-unfinished retrain swap fails the reader LOUDLY:
+    // without the check a load between the component renames would pair
+    // new codes with old codebooks silently. Readers never run the
+    // recovery themselves (two racing recoveries could strand a
+    // component) — a maintenance head, or an explicit recoverRetrain,
+    // finishes the swap under the writer's claim.
+    IvfModel.requireNoPendingRetrainSwap(spark, dir)
     val ivf = IvfModel.load(spark, s"$dir/ivf")
     val rows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
@@ -1031,6 +1037,7 @@ object PqModel {
     // a flagged stage pending adoption would swallow this append when it
     // swaps in — adopt it first so the batch lands on the live truth
     IvfModel.recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
     val cur = graft.sources.CellManifest.readTable(spark, s"$dir/encoded")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
@@ -1048,6 +1055,7 @@ object PqModel {
     */
   def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     IvfModel.recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
     IvfModel.compactUpsertsCells(spark, s"$dir/encoded")
     IvfModel.compactUpserts(spark, s"$dir/ivf")
   }
@@ -1069,6 +1077,8 @@ object PqModel {
   def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
       nLists: Int, m: Int, ks: Int): Unit = {
     IvfModel.recoverRetrain(spark, dir)
+    val fenceTok = graft.sources.Fence.begin(spark, dir)
+    val snap = IvfModel.retrainSnapshot(spark, s"$dir/ivf")
     val cur = load(spark, dir) // markers applied in both halves
     val live = IvfModel.newestPerId(cur.ivf.assigned)
     val hasSeq = live.columns.contains("ingest_seq")
@@ -1089,6 +1099,12 @@ object PqModel {
       if (manifest) graft.sources.IndexStore.SwapManifest
       else graft.sources.IndexStore.SwapRename)
     mm.unpersist()
+    // COMMIT POINT — the IvfModel.retrain contract: seq-guard (both PQ
+    // tables rebuild off the assigned truth, so guarding it guards both)
+    // then the fence; a refusal leaves the stage unflagged and discarded
+    graft.sources.MaintHooks.at("retrain.staged", dir)
+    IvfModel.requireRetrainUnmoved(spark, s"$dir/ivf", snap)
+    graft.sources.Fence.check(spark, dir, fenceTok)
     fs.create(new org.apache.hadoop.fs.Path(s"$stage/_complete"), true).close()
     IvfModel.finishRetrainSwap(spark, dir)
   }
@@ -1099,6 +1115,7 @@ object PqModel {
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     IvfModel.recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
     val delDir = IvfModel.deletedPath(spark, s"$dir/ivf")
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
@@ -1184,11 +1201,17 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     * by one manifest put — [[graft.sources.CellManifest]]).
     */
   def save(dir: String, swap: String): Unit = {
+    val spark = assigned.sparkSession
+    // a save claims the model; the cell-table overwrite wipes the fence
+    // inside it, so the epoch re-seeds past the pre-save value (stale
+    // tokens can never collide with post-save claims)
+    val preEpoch = graft.sources.Fence.current(spark, s"$dir/assigned")
+    graft.sources.Fence.begin(spark, dir)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assigned")
-    val spark = assigned.sparkSession
     if (swap == graft.sources.IndexStore.SwapManifest)
       graft.sources.CellManifest.init(spark, s"$dir/assigned")
+    graft.sources.Fence.begin(spark, s"$dir/assigned", preEpoch + 1)
     // seed the takedown-audit id-map while the table is freshly scanned
     // (one extra narrow job at save time buys id-addressable audits)
     graft.sources.VectorAudit.seed(spark, dir)
@@ -1242,6 +1265,7 @@ object IvfModel {
     // a committed retrain whose swap crashed must adopt BEFORE the batch
     // lands: appended to the old table it would vanish with the swap
     recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir) // the append claims the model
     val cur = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
@@ -1271,8 +1295,10 @@ object IvfModel {
       val (gen, stage) = graft.sources.CellManifest.nextGen(spark, tableDir)
       batch.write.mode("overwrite").partitionBy("cell").parquet(stage)
       graft.sources.CellManifest.commitAppend(spark, tableDir, gen)
-    } else
+    } else {
+      graft.sources.Fence.begin(spark, tableDir) // the append claims
       batch.write.mode("append").partitionBy("cell").parquet(tableDir)
+    }
 
   /** Physically drop superseded vector versions, CELL-SCOPED like
     * [[compactDeletes]]: only the cell directories holding ≥ 1 loser row
@@ -1284,6 +1310,7 @@ object IvfModel {
     */
   def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
     compactUpsertsCells(spark, s"$dir/assigned")
     graft.sources.VectorAudit.compactUpserts(spark, dir) // mirrors in lockstep
   }
@@ -1323,6 +1350,8 @@ object IvfModel {
   def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
       nLists: Int, iters: Int = 2): Unit = {
     recoverRetrain(spark, dir)
+    val fenceTok = graft.sources.Fence.begin(spark, dir)
+    val snap = retrainSnapshot(spark, dir)
     val cur = load(spark, dir) // markers applied at load
     val live = newestPerId(cur.assigned)
     val hasSeq = live.columns.contains("ingest_seq")
@@ -1341,9 +1370,64 @@ object IvfModel {
       if (manifest) graft.sources.IndexStore.SwapManifest
       else graft.sources.IndexStore.SwapRename)
     m.unpersist()
+    // COMMIT POINT: seq-guard first (an append/takedown that raced the
+    // offline rebuild would be silently dropped by the swap), then the
+    // writer fence; either refusal leaves the stage UNFLAGGED — the next
+    // maintenance head discards it and the live index is unchanged
+    graft.sources.MaintHooks.at("retrain.staged", dir)
+    requireRetrainUnmoved(spark, dir, snap)
+    graft.sources.Fence.check(spark, dir, fenceTok)
     // the flag commits the intent: everything below is re-runnable
     fs.create(new org.apache.hadoop.fs.Path(stage, "_complete"), true).close()
     finishRetrainSwap(spark, dir)
+  }
+
+  /** What the live index looked like when a retrain snapshotted it: the
+    * newest ingest_seq, the physical row count of the assigned table, and
+    * the takedown-marker file count. [[requireRetrainUnmoved]] compares
+    * at the commit point — any append or delete that landed between
+    * snapshot and swap moves at least one of the three (appends advance
+    * the max seq by the monotone-seq contract, and always add rows; a
+    * same-seq REPLAY is content-identical by the redelivery contract,
+    * caught by the row count, and harmless to drop either way).
+    */
+  private[operators] final case class RetrainSnapshot(
+      maxSeq: Option[Long], rows: Long, markerFiles: Int)
+
+  private[operators] def retrainSnapshot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): RetrainSnapshot = {
+    val raw = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
+    val (maxSeq, rows) =
+      if (raw.columns.contains("ingest_seq")) {
+        val r = raw.agg(max(col("ingest_seq")), count(lit(1))).collect()(0)
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))
+      } else (None, raw.count())
+    val delDir = deletedPath(spark, dir)
+    val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val markers =
+      if (!fs.exists(delDir)) 0
+      else fs.listStatus(delDir).count(_.getPath.getName.endsWith(".parquet"))
+    RetrainSnapshot(maxSeq, rows, markers)
+  }
+
+  /** The retrain seq-guard: refuse the swap when the live table advanced
+    * past the staged rebuild's snapshot — LOUD instead of silently
+    * dropping the raced write (the fence catches a second WRITER; this
+    * catches the same writer interleaving its own ingest with an offline
+    * retrain it forgot to quiesce).
+    */
+  private[operators] def requireRetrainUnmoved(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      snap: RetrainSnapshot): Unit = {
+    val now = retrainSnapshot(spark, dir)
+    if (now != snap) throw new IllegalStateException(
+      s"retrain snapshot of $dir is stale: the live index advanced while " +
+        s"the rebuild staged (max ingest_seq ${snap.maxSeq} -> ${now.maxSeq}, " +
+        s"rows ${snap.rows} -> ${now.rows}, marker files ${snap.markerFiles} " +
+        s"-> ${now.markerFiles}) — an append or takedown raced the offline " +
+        "retrain and the swap would silently drop it; the commit was " +
+        "refused and nothing changed. Quiesce the writer, then re-run " +
+        "retrain (maintenanceDebt shows the backlog).")
   }
 
   /** The committed half of [[retrain]] — rename-idempotent, so a crash
@@ -1374,14 +1458,36 @@ object IvfModel {
     fs.delete(stage, true); ()
   }
 
-  /** Crash recovery for [[retrain]], run at the head of every
-    * maintenance op: a FLAGGED stage is a committed retrain — finish its
-    * swap; an unflagged stage is a failed build — discard it (the live
-    * index was never touched); an aside copy whose live component went
-    * missing is a mid-swap fragment of a pre-flag protocol violation —
-    * restore it.
+  /** Loud-fail guard for READERS ([[load]]/[[PqModel.load]]): a flagged
+    * stage or an aside fragment means a committed retrain swap is
+    * unfinished, and reading through it could pair components from two
+    * training runs. An UNFLAGGED stage is fine to read past — the live
+    * index is complete and still the truth (the build site is separate).
     */
-  private[operators] def recoverRetrain(
+  private[operators] def requireNoPendingRetrainSwap(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = deletedPath(spark, dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val flagged = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/__retrain_stage/_complete"))
+    val aside = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/__retrain_aside"))
+    if (flagged || aside) throw new IllegalStateException(
+      s"$dir has a committed retrain swap pending (crashed mid-swap) — " +
+        "reading now could pair components from two training runs; run " +
+        "IvfModel.recoverRetrain (or any maintenance op) to finish the " +
+        "swap, then re-load. The index is complete on disk, never lost.")
+  }
+
+  /** Crash recovery for [[retrain]], run at the head of every
+    * maintenance op (and callable directly by an operator when a reader
+    * hit the pending-swap guard): a FLAGGED stage is a committed retrain
+    * — finish its swap; an unflagged stage is a failed build — discard
+    * it (the live index was never touched); an aside copy whose live
+    * component went missing is a mid-swap fragment — restore it.
+    * Single-writer: run this from the maintenance pipeline, not from
+    * concurrent readers.
+    */
+  def recoverRetrain(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = deletedPath(spark, dir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -1439,12 +1545,13 @@ object IvfModel {
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
-    // finish a crashed retrain swap before reading any component: the
-    // component-at-a-time swap has a window where new `assigned` and old
-    // `centroids` are both live, and a load there would probe the new
-    // cells with the old geometry — silently degraded answers. The check
-    // is two fs.exists on a clean index.
-    recoverRetrain(spark, dir)
+    // a committed retrain whose swap crashed leaves a window where new
+    // `assigned` and old `centroids` are both live — a load there would
+    // probe the new cells with the old geometry, silently degraded. The
+    // reader FAILS LOUDLY instead (two fs.exists on a clean index);
+    // recovery runs at maintenance heads / recoverRetrain, never from
+    // readers (two racing reader-recoveries could strand a component).
+    requireNoPendingRetrainSwap(spark, dir)
     val centroids = loadCentroids(spark, dir)
     // partition column comes back as the pruning key; cast pins the int
     // type the in-memory model uses; a manifest-governed table resolves
@@ -1531,6 +1638,7 @@ object IvfModel {
     */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
     val delDir = deletedPath(spark, dir)
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
@@ -1613,11 +1721,16 @@ object IvfModel {
       graft.sources.CellManifest.commitRewrite(spark, tableDir, gen, dirty)
       return
     }
+    val fenceTok = graft.sources.Fence.begin(spark, tableDir)
     val stage = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_stage")
     val aside = new org.apache.hadoop.fs.Path(s"$tableDir/__compact_aside")
     fs.delete(stage, true)
     kept.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    // COMMIT POINT: a writer that claimed the table during the stage
+    // build fences the rename swap out; the stage is recovery garbage
+    graft.sources.MaintHooks.at("cells.staged", tableDir)
+    graft.sources.Fence.check(spark, tableDir, fenceTok)
     fs.mkdirs(aside)
     dirty.foreach { c =>
       val src = new org.apache.hadoop.fs.Path(stage, s"cell=$c")

@@ -116,6 +116,14 @@ object CellManifest {
     * numbers, so a crashed unreferenced stage is never reused before gc
     * reclaims it) and its staging path. The caller writes its batch
     * `partitionBy("cell")` at the path, then commits.
+    *
+    * The call also CLAIMS the table's writer fence and binds the claimed
+    * epoch to the generation (a `.stage-G-E` marker beside the
+    * manifests): the matching commit re-validates that epoch, so a
+    * second writer claiming the table between stage and commit makes
+    * this generation's manifest put FAIL LOUDLY — the stage is abandoned
+    * unreferenced (gc reclaims it) and readers keep the newer writer's
+    * truth.
     */
   def nextGen(spark: SparkSession, tableDir: String): (Long, String) = {
     val fs = fsOf(spark, tableDir)
@@ -124,13 +132,42 @@ object CellManifest {
       .map(_.stripPrefix("_gen-").toLong)
     val (m, _) = read(spark, tableDir)
     val g = (staged :+ m).max + 1
+    val epoch = Fence.begin(spark, tableDir)
+    fs.create(new org.apache.hadoop.fs.Path(manifestDir(tableDir),
+      s".stage-$g-$epoch"), true).close()
     (g, s"$tableDir/_gen-$g")
+  }
+
+  /** The fence epoch [[nextGen]] bound to generation `gen`, if any. */
+  private def stageEpochOf(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, gen: Long): Option[Long] = {
+    val md = manifestDir(tableDir)
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith(s".stage-$gen-"))
+      .map(_.stripPrefix(s".stage-$gen-").toLong)
+      .sorted.lastOption
+  }
+
+  private def checkStageFence(spark: SparkSession, tableDir: String,
+      gen: Long): Unit = {
+    val fs = fsOf(spark, tableDir)
+    stageEpochOf(fs, tableDir, gen).foreach(e => Fence.check(spark, tableDir, e))
+  }
+
+  private def dropStageMarker(spark: SparkSession, tableDir: String,
+      gen: Long): Unit = {
+    val fs = fsOf(spark, tableDir)
+    fs.listStatus(manifestDir(tableDir)).map(_.getPath)
+      .filter(_.getName.startsWith(s".stage-$gen-"))
+      .foreach { p => fs.delete(p, false); () }
   }
 
   /** Commit an APPEND staged at generation `gen`: every cell the stage
     * wrote gains `gen` in its list (a brand-new cell enters the map).
     */
   def commitAppend(spark: SparkSession, tableDir: String, gen: Long): Unit = {
+    checkStageFence(spark, tableDir, gen) // COMMIT POINT: fence first
     val fs = fsOf(spark, tableDir)
     val written = baseCells(fs, s"$tableDir/_gen-$gen")
     val (m, cells) = read(spark, tableDir)
@@ -138,6 +175,7 @@ object CellManifest {
       acc.updated(c, acc.getOrElse(c, Seq.empty) :+ gen)
     }
     write(spark, tableDir, math.max(m, gen) + 1, updated)
+    dropStageMarker(spark, tableDir, gen)
   }
 
   /** Commit a REWRITE of the `dirty` cells staged at generation `gen`:
@@ -148,6 +186,7 @@ object CellManifest {
     */
   def commitRewrite(spark: SparkSession, tableDir: String, gen: Long,
       dirty: Set[Int]): Unit = {
+    checkStageFence(spark, tableDir, gen) // COMMIT POINT: fence first
     val fs = fsOf(spark, tableDir)
     val staged = baseCells(fs, s"$tableDir/_gen-$gen").toSet
     val (m, cells) = read(spark, tableDir)
@@ -155,6 +194,7 @@ object CellManifest {
       if (staged.contains(c)) acc.updated(c, Seq(gen)) else acc - c
     }
     write(spark, tableDir, math.max(m, gen) + 1, updated)
+    dropStageMarker(spark, tableDir, gen)
   }
 
   /** Reclaim everything the newest manifest no longer references: stale
@@ -191,6 +231,15 @@ object CellManifest {
     nums.filterNot(keep).foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(md, s"manifest-$n"), false); ()
     }
+    // a surviving .stage-G-E marker belongs to a fenced-out or crashed
+    // stage (commit deletes its own marker) — drop it with the stage
+    fs.listStatus(md).map(_.getPath).filter(_.getName.startsWith(".stage-"))
+      .foreach { p =>
+        val g = p.getName.stripPrefix(".stage-").takeWhile(_ != '-')
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/_gen-$g"))) {
+          fs.delete(p, false); ()
+        }
+      }
   }
 
   /** The live rows of a manifest table: one partition-pruned read per

@@ -149,7 +149,13 @@ object IndexStore {
       hotBucketThreshold: Long = -1L, numBuckets: Int = 0,
       swapMode: String = SwapRename, idMapBuckets: Int = IdMapBuckets): Unit = {
     val spark = index.sparkSession
+    // a save CLAIMS the table: the overwrite wipes the fence dir with the
+    // rest of the directory, so the epoch re-seeds monotonically past the
+    // pre-save value — a stale pre-save writer's token can never collide
+    // with a post-save claim
+    val preEpoch = Fence.current(spark, tablePath(spark, table).toString)
     writeInverted(index, table, prefixLen, SaveMode.Overwrite, numBuckets)
+    Fence.begin(spark, tablePath(spark, table).toString, preEpoch + 1)
     writeMeta(spark, table,
       InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode, idMapBuckets))
     if (index.columns.contains("ingest_seq")) seedIdMap(spark, table, idMapBuckets)
@@ -203,9 +209,14 @@ object IndexStore {
       InvertedMeta(prefixLen, seedHotThreshold, seedNumBuckets, seedSwapMode))
     val hasSeq = index.columns.contains("ingest_seq")
     val idx = if (hasSeq) index.cache() else index
+    // an append CLAIMS the table (single-shot: the claim itself is what
+    // invalidates any in-flight staged op's later commit); a cold-create
+    // append claims after the table exists
+    if (meta.nonEmpty) Fence.begin(spark, tablePath(spark, table).toString)
     try {
       writeInverted(idx, table, m.prefixLen, SaveMode.Append, m.numBuckets)
       if (meta.isEmpty) {
+        Fence.begin(spark, tablePath(spark, table).toString)
         writeMeta(spark, table, m)
         // first append CREATED the table. Unlike a save (contract: one
         // seq per id), one append batch can carry supersession WITHIN
@@ -268,6 +279,7 @@ object IndexStore {
     val cur = spark.table(table)
     require(cur.columns.contains("ingest_seq"),
       s"tombstones need the append-sequence column 'ingest_seq' in $table")
+    Fence.begin(spark, tablePath(spark, table).toString) // takedowns claim too
     val numBuckets = readMeta(spark, table).map(_.numBuckets).getOrElse(0)
     val sigType = cur.schema(Cols.Signature).dataType
     val bktType = cur.schema("bucket").dataType
@@ -447,6 +459,10 @@ object IndexStore {
     val meta = readMeta(spark, table)
       .getOrElse(InvertedMeta(2, -1L, 0, SwapRename))
     val tableDir = tablePath(spark, table)
+    // claim the table; the token re-validates right before the partition
+    // swap, so a writer arriving during the (long) stage build fails this
+    // op's commit instead of interleaving with it
+    val fenceTok = Fence.begin(spark, tableDir.toString)
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
     val stage = new org.apache.hadoop.fs.Path(
       tableDir.getParent, table.toLowerCase + "__compact_stage")
@@ -565,6 +581,11 @@ object IndexStore {
       } else
         kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
           .parquet(stageDst.toString)
+      // COMMIT POINT: everything above only staged; a second writer that
+      // claimed the table since this op began fences the swap out loudly
+      // (the stage is abandoned garbage its own recovery reclaims)
+      MaintHooks.at("compact.staged", table)
+      Fence.check(spark, tableDir.toString, fenceTok)
       swapPartitions(spark, fs, table, tableDir, stageDst, meta.swap,
         dirty.toSeq.sorted.map(p => (s"bkt_pfx=$p", s"bkt_pfx='$p'")))
       // the id-map compacts in the same pass: rewrite the touched idh
@@ -794,6 +815,9 @@ object IndexStore {
     require(cur.columns.contains("ingest_seq"),
       "relayoutInverted needs the maintained (ingest_seq-carrying) layout")
     val dir = tablePath(spark, table)
+    // claim; re-validated before the readiness flag (the commit point) so
+    // a writer arriving during the O(table) rebuild fences this swap out
+    val fenceTok = Fence.begin(spark, dir.toString)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val scratch = new org.apache.hadoop.fs.Path(
       dir.getParent, table.toLowerCase + "__relayout_stage")
@@ -839,6 +863,11 @@ object IndexStore {
       val markers = spark.read.parquet(
         new org.apache.hadoop.fs.Path(scratch, "markers").toString)
       if (!markers.isEmpty) appendTombstoneRows(spark, next, markers)
+      // COMMIT POINT: the flag commits the migration — fence first, so a
+      // writer that claimed the live table mid-rebuild leaves it serving
+      // its own truth and this side table is discarded unflagged
+      MaintHooks.at("relayout.staged", table)
+      Fence.check(spark, dir.toString, fenceTok)
       // the readiness flag: recovery adopts a flagged side table (the
       // build completed; only the swap remains) and discards an unflagged
       // one (incomplete — the live table is still the truth)
@@ -866,6 +895,10 @@ object IndexStore {
     */
   private def finishRelayoutSwap(spark: SparkSession, table: String): Unit = {
     val next = table + "__relayout_next"
+    // the swap replaces the table directory (and the fence inside it)
+    // with the side table's — re-seed the epoch past the OLD table's so
+    // stale pre-migration tokens can never collide with fresh claims
+    val preEpoch = Fence.current(spark, tablePath(spark, table).toString)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val leftover = warehouseLocation(spark, table)
     if (leftover.exists()) {
@@ -895,7 +928,8 @@ object IndexStore {
     spark.catalog.refreshTable(table)
     fsOf(spark, table).delete(
       new org.apache.hadoop.fs.Path(tablePath(spark, table), RelayoutReadyFlag),
-      false); ()
+      false)
+    Fence.begin(spark, tablePath(spark, table).toString, preEpoch + 1); ()
   }
 
   /** Crash recovery for [[relayoutInverted]] — runs at the head of every
@@ -1066,6 +1100,7 @@ object IndexStore {
     val idMapDir = idMapPath(spark, table)
     val fs = fsOf(spark, table)
     if (!fs.exists(idMapDir)) return
+    Fence.begin(spark, tablePath(spark, table).toString) // retention claims
     val idMap = spark.read.parquet(idMapDir.toString)
     val stale = col("bkt_pfx") === TombstonePrefix && col("ingest_seq") < horizon
     val touched = idMap.where(stale)
@@ -1376,6 +1411,14 @@ object IndexStore {
         field("idMapBuckets").map(_.toInt).getOrElse(IdMapBuckets)))
     }
   }
+
+  /** The directory whose [[Fence]] epoch governs this table's writers —
+    * a second pipeline (or a spec) claims the table via
+    * `Fence.begin(spark, IndexStore.fenceDirOf(spark, table))`, which
+    * fences out every in-flight staged op's commit.
+    */
+  def fenceDirOf(spark: SparkSession, table: String): String =
+    tablePath(spark, table).toString
 
   /** The meta for a table that must have one — serving paths derive their
     * partition-probe width from here instead of trusting a caller.

@@ -918,4 +918,72 @@ class IndexStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("writer fence: a second claim during the stage build fences the compaction swap out — loud refusal, table unchanged, retry clean") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.sources.{Fence, MaintHooks}
+    val table = "graft_inverted_fence"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    IndexStore.saveInverted(Seq(posting(1L, "aa11", 1L), posting(2L, "bb22", 1L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2)
+    IndexStore.appendInverted(Seq(posting(2L, "bb22", 2L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+    val preRows = spark.table(table)
+      .select(col(Cols.Id), col("ingest_seq")).as[(Long, Long)].collect().toSet
+    // writer B claims the table exactly while A's compaction has staged
+    // but not swapped (the deterministic interleave seam)
+    MaintHooks.hook = (point, _) =>
+      if (point == "compact.staged")
+        Fence.begin(spark, IndexStore.fenceDirOf(spark, table))
+    val ex = try intercept[IllegalStateException] {
+      IndexStore.compactInverted(spark, table)
+    } finally MaintHooks.reset()
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    // nothing changed: the append log's rows still serve, the dirty log
+    // survives for the retry, no partition was swapped
+    assert(spark.table(table).select(col(Cols.Id), col("ingest_seq"))
+      .as[(Long, Long)].collect().toSet == preRows,
+      "a fenced-out compaction must leave every physical row in place")
+    assert(IndexStore.supersessionCutoffs(spark, table).nonEmpty,
+      "the dirty log must survive a fenced-out commit (the retry needs it)")
+    // the CURRENT writer (holding the newest epoch) compacts cleanly
+    IndexStore.compactInverted(spark, table)
+    assert(spark.table(table).select(col(Cols.Id), col("ingest_seq"))
+      .as[(Long, Long)].collect().toSet == Set((1L, 1L), (2L, 2L)),
+      "the retry under the live claim must compact to winners")
+  }
+
+  test("writer fence: a claim during the relayout rebuild refuses the flag — the original table serves, the fragment is discarded, retry migrates") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.sources.{Fence, MaintHooks}
+    val table = "graft_inverted_fence_relayout"
+    Seq(table, table + "__relayout_next").foreach(IndexStore.reset(spark, _))
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    IndexStore.saveInverted(Seq(posting(1L, "aa11", 1L), posting(2L, "bb22", 1L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2)
+    MaintHooks.hook = (point, _) =>
+      if (point == "relayout.staged")
+        Fence.begin(spark, IndexStore.fenceDirOf(spark, table))
+    val ex = try intercept[IllegalStateException] {
+      IndexStore.relayoutInverted(spark, table,
+        IndexStore.InvertedMeta(1, -1L, 0))
+    } finally MaintHooks.reset()
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    assert(IndexStore.invertedMeta(spark, table).prefixLen == 2,
+      "the original layout must keep serving after a fenced-out migration")
+    assert(spark.table(table).count() == 2)
+    // the unflagged side table is recovery garbage; the retry (the live
+    // claim) migrates cleanly
+    IndexStore.relayoutInverted(spark, table, IndexStore.InvertedMeta(1, -1L, 0))
+    assert(IndexStore.invertedMeta(spark, table).prefixLen == 1)
+    assert(spark.table(table).select(col(Cols.Id)).as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
 }

@@ -552,7 +552,7 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
-  test("a crashed retrain swap finishes at LOAD: readers never see new assigned paired with old centroids") {
+  test("a crashed retrain swap fails readers LOUDLY; recoverRetrain finishes it — never new assigned paired with old centroids") {
     val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
       nLists = 8, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("vm-load-recover").toString
@@ -574,11 +574,18 @@ class VectorStoreSpec extends AnyFunSuite {
       .renameTo(new java.io.File(aside, "assigned")))
     assert(new java.io.File(stage, "assigned")
       .renameTo(new java.io.File(s"$dir/assigned")))
-    // NO maintenance op runs — a plain reader load must already serve a
-    // consistent pair (the load-head recovery finishes the flagged swap)
+    // NO maintenance op runs — a plain reader must fail LOUDLY (never
+    // silently pair the new assigned cells with the old centroid
+    // geometry); readers don't run the recovery themselves, so two
+    // concurrent loads can't race the renames
+    val ex = intercept[IllegalStateException] { IvfModel.load(spark, dir) }
+    assert(ex.getMessage.contains("retrain swap pending"), ex.getMessage)
+    // the documented recovery (a maintenance head or this explicit call)
+    // finishes the swap; the re-load serves the consistent NEW index
+    IvfModel.recoverRetrain(spark, dir)
     val loaded = IvfModel.load(spark, dir)
     assert(loaded.centroids == m2.centroids,
-      "load must finish the swap: staged centroids, never the old geometry")
+      "recovery must finish the swap: staged centroids, never the old geometry")
     assert(loaded.assigned.where(col("ingest_seq") =!= 9L).count() == 0)
     assert(loaded.assigned.select(max(col("cell"))).collect()(0).getInt(0) <
       loaded.centroids.length, "assigned cells must index the NEW centroids")
@@ -687,6 +694,131 @@ class VectorStoreSpec extends AnyFunSuite {
       s"both sides must collapse the replayed winner to one row: " +
         s"table=$inTable mirror=$inMirror")
     VectorAudit.verifyVectorState(spark, dir) // healthy index, no divergence
+    model.unpersist()
+  }
+
+  test("writer fence: a stale-epoch manifest commit throws and changes nothing — the table serves the newer writer's truth") {
+    import graft.sources.Fence
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-fence").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    val table = s"$dir/assigned"
+    val preState = CellManifest.readTable(spark, table)
+      .select(col("id"), col("ingest_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // writer A stages an append (nextGen binds A's epoch to the gen)...
+    val (gen, stage) = CellManifest.nextGen(spark, table)
+    CellManifest.readTable(spark, table)
+      .where(col("id") === 3).withColumn("ingest_seq", lit(9L))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    // ...writer B claims the table before A commits
+    Fence.begin(spark, table)
+    val ex = intercept[IllegalStateException] {
+      CellManifest.commitAppend(spark, table, gen)
+    }
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    assert(CellManifest.readTable(spark, table)
+      .select(col("id"), col("ingest_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == preState,
+      "a fenced-out commit must leave the manifest (and every row) unchanged")
+    // A replays the batch whole under a fresh claim — the normal recovery
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 9L)
+    assert(CellManifest.readTable(spark, table)
+      .where(col("ingest_seq") === 9L).count() > 0)
+    // the abandoned stage is gc'd at the next maintenance head
+    IvfModel.compactUpserts(spark, dir)
+    assert(!new java.io.File(stage).exists() ||
+      new java.io.File(stage).list().isEmpty,
+      "the fenced-out stage must be reclaimed by gc")
+    model.unpersist()
+  }
+
+  test("writer fence: a foreign claim during the retrain rebuild refuses the flag — old index serves, stage discarded, retry retrains") {
+    import graft.sources.{Fence, MaintHooks}
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-fence-retrain").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    val qv = qvOf(3)
+    val before = topIds(dir, qv, 3)
+    MaintHooks.hook = (point, d) =>
+      if (point == "retrain.staged" && d == dir) Fence.begin(spark, dir)
+    val ex = try intercept[IllegalStateException] {
+      IvfModel.retrain(spark, dir, nLists = 4, iters = 1)
+    } finally MaintHooks.reset()
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    assert(IvfModel.load(spark, dir).centroids.length == 8 &&
+      topIds(dir, qv, 3) == before,
+      "the fenced-out retrain must leave the old index serving")
+    IvfModel.compactUpserts(spark, dir) // head recovery discards the stage
+    assert(!new java.io.File(s"$dir/__retrain_stage").exists())
+    IvfModel.retrain(spark, dir, nLists = 4, iters = 1) // the live claim
+    assert(IvfModel.load(spark, dir).centroids.length == 4)
+    model.unpersist()
+  }
+
+  test("retrain seq-guard: an append racing the staged rebuild refuses the swap — no silent vector loss; retrain-after-catchup succeeds") {
+    import graft.sources.MaintHooks
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-seqguard").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    // the racing append lands exactly between snapshot and commit
+    MaintHooks.hook = (point, d) =>
+      if (point == "retrain.staged" && d == dir) {
+        MaintHooks.reset() // the inner append must not re-trigger
+        IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+          "vec_id", "embedding", seq = 5L)
+      }
+    val ex = try intercept[IllegalStateException] {
+      IvfModel.retrain(spark, dir, nLists = 4, iters = 1)
+    } finally MaintHooks.reset()
+    assert(ex.getMessage.contains("retrain snapshot") &&
+      ex.getMessage.contains("raced"), ex.getMessage)
+    // the raced append SURVIVES (it was never swallowed by a swap)
+    val seqs = CellManifest.readTable(spark, s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(seqs == Seq(1L, 5L), s"the raced append must survive: $seqs")
+    // after the writer quiesces, retrain succeeds and carries the seq
+    IvfModel.retrain(spark, dir, nLists = 4, iters = 1)
+    val re = IvfModel.load(spark, dir)
+    assert(re.centroids.length == 4)
+    assert(re.assigned.where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L),
+      "the rebuilt index must hold the raced append's newest version")
+    model.unpersist()
+  }
+
+  test("retrain seq-guard: a takedown racing the staged rebuild refuses the swap — the marker survives and applies on the retry") {
+    import graft.sources.MaintHooks
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-seqguard-del").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    MaintHooks.hook = (point, d) =>
+      if (point == "retrain.staged" && d == dir) {
+        MaintHooks.reset()
+        IvfModel.deleteVectors(spark, dir,
+          emb.where(col("vec_id") === 5).select("vec_id"), seq = 6L)
+      }
+    val ex = try intercept[IllegalStateException] {
+      IvfModel.retrain(spark, dir, nLists = 4, iters = 1)
+    } finally MaintHooks.reset()
+    assert(ex.getMessage.contains("marker files 0 -> 1"), ex.getMessage)
+    // the takedown is live (never cleared by an un-adopting swap)...
+    assert(IvfModel.load(spark, dir).assigned.where(col("id") === 5).count() == 0)
+    // ...and the retry applies it: the rebuilt index never held the id
+    IvfModel.retrain(spark, dir, nLists = 4, iters = 1)
+    assert(spark.read.parquet(s"$dir/assigned").where(col("id") === 5).count() == 0,
+      "the retry must rebuild without the taken-down id — no resurrection")
     model.unpersist()
   }
 }
