@@ -86,13 +86,25 @@ object CellManifest {
     val in = fs.open(new org.apache.hadoop.fs.Path(md, s"manifest-$g"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val cells = body.linesIterator.filter(_.nonEmpty).map { line =>
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    // the terminator proves the put landed whole: a store that tears
+    // multi-part writes (no object store does for a single put; a broken
+    // copy-based rename could) must fail LOUDLY, never silently serve a
+    // truncated cell map as "those cells were dropped"
+    require(lines.lastOption.contains(EofLine),
+      s"manifest-$g of $tableDir is TORN (missing the $EofLine terminator) " +
+        "— the commit put did not land whole; restore from the previous " +
+        "manifest (retained one pass) or re-run the crashed maintenance op")
+    val cells = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(c, gens) = line.split("=", 2)
       c.toInt -> (if (gens.isEmpty) Seq.empty[Long]
                   else gens.split(",").map(_.toLong).toSeq)
     }.toMap
     (g, cells)
   }
+
+  /** Final line of every manifest — the whole-file integrity witness. */
+  private val EofLine = "#eof"
 
   /** One line per cell, `cell=g1,g2,...`; the put is staged through a
     * hidden sibling and renamed in — on a real object store this is the
@@ -105,8 +117,8 @@ object CellManifest {
     fs.mkdirs(md)
     val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-manifest-$gen")
     val out = fs.create(tmp, true)
-    try out.write(cells.toSeq.sortBy(_._1)
-      .map { case (c, gs) => s"$c=${gs.mkString(",")}" }
+    try out.write((cells.toSeq.sortBy(_._1)
+      .map { case (c, gs) => s"$c=${gs.mkString(",")}" } :+ EofLine)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, new org.apache.hadoop.fs.Path(md, s"manifest-$gen")); ()
