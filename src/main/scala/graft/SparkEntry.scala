@@ -381,6 +381,41 @@ object SparkEntry {
     })
   }
 
+  /** The hot-bucket corpus again, maintained under the SKETCH hot mode
+    * ([[IndexStore.HotCms]]): the non-boiler slice saves as the base and
+    * the boiler slice arrives as an APPEND, so the hot list the serve
+    * policy reads comes from the Count-Min MERGE (matrix + delta log
+    * only — no posting file is read however boiler-heavy the delta), not
+    * from an exact recount. Memoized per (session, dir) like the exact
+    * twin.
+    */
+  private val hotskipCmsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+  private def hotskipCmsIndexFor(s: SparkSession, d: String): (String, DataFrame) = {
+    hotskipCmsCache.keys.filter(_._1.sparkContext.isStopped).foreach(hotskipCmsCache.remove)
+    hotskipCmsCache.getOrElseUpdate((s, d), {
+      val table = "graft_ann_hotskip_cms_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      IndexStore.reset(s, table)
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      val planted = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 3 === 0, lit(hotBoiler))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      def feat(df: DataFrame, seq: Long) = new MinHashLSH(cfg16)
+        .featurize(df, Cols.Id, Cols.Text, None)
+        .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+        .withColumn("ingest_seq", lit(seq))
+      IndexStore.saveInverted(feat(planted.where(col(Cols.Id) % 3 =!= 0), 1L),
+        table, prefixLen = 2, hotBucketThreshold = planted.count() / 10,
+        hotMode = IndexStore.HotCms)
+      IndexStore.appendInverted(feat(planted.where(col(Cols.Id) % 3 === 0), 2L),
+        table)
+      IndexStore.compactInverted(s, table) // the sketch merge runs here
+      (table, planted)
+    })
+  }
+
   /** Seq-carrying inverted table WITH one tombstone (doc 82) for the
     * audit-lookup gate, built once per (session, dir): unlike the
     * mutating takedown gates, `ann_postings_audit` only READS the table —
@@ -2362,6 +2397,20 @@ object SparkEntry {
       // table is memoized per (session, dir) like invertedIndexFor: the
       // operator under test is the SERVE policy, not the index build.
       val (table, planted) = hotskipIndexFor(s, d)
+      MinHashLSH.annFromInvertedIndex(s, table, planted, Cols.Id, Cols.Text,
+          hotBoiler + " " + keyOf(s, d).take(60), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+    }),
+    "ann_query_hotskip_cms" -> ((s, d) => {
+      // the hot-bucket policy under the SKETCH hot mode: the boiler
+      // slice arrives as an append, the hot list comes from the
+      // Count-Min merge (est ≥ true, one-sided), and serving skips the
+      // estimated-hot query buckets. The oracle replays the ENGINE's
+      // exact rule — base-save estimates over the base matrix, merge
+      // estimates for the delta's buckets over the base+delta matrix
+      // (CMS matrices are additive, so the split replays from the final
+      // corpus alone), threshold, skip, all-hot fallback, scoring.
+      val (table, planted) = hotskipCmsIndexFor(s, d)
       MinHashLSH.annFromInvertedIndex(s, table, planted, Cols.Id, Cols.Text,
           hotBoiler + " " + keyOf(s, d).take(60), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
@@ -8570,6 +8619,62 @@ object SparkEntry {
       db AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
       hot AS (SELECT bucket FROM db GROUP BY bucket
               HAVING count(*) > (SELECT count(*) // 10 FROM documents)),
+      qb AS (SELECT unnest(bucket_ids) AS bucket FROM qbuck),
+      qlive AS (SELECT bucket FROM qb
+                WHERE bucket NOT IN (SELECT bucket FROM hot)),
+      qprobe AS (SELECT bucket FROM qlive UNION ALL
+                 SELECT bucket FROM qb
+                 WHERE NOT EXISTS (SELECT 1 FROM qlive)),
+      cand AS (
+        SELECT DISTINCT s.doc_id, s.signature
+        FROM sig s JOIN db USING (doc_id) JOIN qprobe USING (bucket)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard
+      FROM scored sc JOIN corpus d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
+    // the SKETCH hot mode's policy, replayed to the engine's exact rule:
+    // hot = base buckets whose est over the BASE matrix passes the
+    // threshold (the save-time refresh) ∪ delta buckets whose est over
+    // the base+delta matrix passes it (the merge) — CMS hashing is the
+    // repo's DuckDB-replayable md5 idiom (CountMinAgg's update rule)
+    "ann_query_hotskip_cms" -> s"""
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN '$hotBoiler' ELSE text END AS text
+        FROM documents),
+      ${docCtesFrom(cfg16, "corpus")},
+      ${queryCtesExpr(cfg16, s"'$hotBoiler ' || substr(text, 1, 60)")},
+      db AS (SELECT doc_id, unnest(bucket_ids) AS bucket FROM buck),
+      thr AS (SELECT count(*) // 10 AS t FROM documents),
+      bcb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM db
+              WHERE doc_id % 3 <> 0 GROUP BY 1),
+      bcd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM db
+              WHERE doc_id % 3 = 0 GROUP BY 1),
+      rr AS (SELECT unnest(range(${IndexStore.HotCmsDepth})) AS r),
+      mb AS (SELECT rr.r, CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || bucket), 1, 8) AS UBIGINT) % ${IndexStore.HotCmsWidth} AS cell,
+               CAST(sum(cnt) AS BIGINT) AS v
+             FROM bcb CROSS JOIN rr GROUP BY 1, 2),
+      mf AS (SELECT rr.r, CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || bucket), 1, 8) AS UBIGINT) % ${IndexStore.HotCmsWidth} AS cell,
+               CAST(sum(cnt) AS BIGINT) AS v
+             FROM (SELECT * FROM bcb UNION ALL SELECT * FROM bcd)
+             CROSS JOIN rr GROUP BY 1, 2),
+      eb AS (SELECT b.bucket, min(m.v) AS est
+             FROM bcb b CROSS JOIN rr
+             JOIN mb m ON m.r = rr.r AND m.cell =
+               CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || b.bucket), 1, 8) AS UBIGINT) % ${IndexStore.HotCmsWidth}
+             GROUP BY 1),
+      ef AS (SELECT b.bucket, min(m.v) AS est
+             FROM bcd b CROSS JOIN rr
+             JOIN mf m ON m.r = rr.r AND m.cell =
+               CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || b.bucket), 1, 8) AS UBIGINT) % ${IndexStore.HotCmsWidth}
+             GROUP BY 1),
+      hot AS (SELECT bucket FROM eb WHERE est > (SELECT t FROM thr)
+              UNION
+              SELECT bucket FROM ef WHERE est > (SELECT t FROM thr)),
       qb AS (SELECT unnest(bucket_ids) AS bucket FROM qbuck),
       qlive AS (SELECT bucket FROM qb
                 WHERE bucket NOT IN (SELECT bucket FROM hot)),

@@ -59,6 +59,27 @@ object IndexStore {
     */
   val IdMapBuckets = 64
 
+  /** Hot-stats maintenance modes. `HotExact` (default): [[mergeHotStats]]
+    * recounts each delta bucket EXACTLY via point reads — right for most
+    * tables, but a boiler-heavy delta makes the recount read those
+    * buckets' FULL posting lists (hot buckets are big by definition).
+    * `HotCms`: occupancy rides a Count-Min sketch ([[HotCmsDepth]] ×
+    * [[HotCmsWidth]] counters, ~128 KB) — the merge reads ONLY the sketch
+    * and the delta log, never the table, and a bucket goes hot when its
+    * sketch ESTIMATE passes the threshold. The error is ONE-SIDED
+    * (est ≥ true: CMS collisions over-count, a crash-replayed merge
+    * re-adds its delta, and compaction removals are not subtracted — all
+    * upward), so the failure direction only marks buckets hot EARLY,
+    * which sharpens precision and never serves stale data; estimates
+    * reset to exact at every O(table) refresh (save / relayout /
+    * capped-delta fallback). Bound: est ≤ true + e/width · N plus the
+    * uncompacted removals.
+    */
+  val HotExact = "exact"
+  val HotCms = "cms"
+  val HotCmsDepth = 4
+  val HotCmsWidth = 4096
+
   /** Cap on the distinct delta buckets [[mergeHotStats]] will recount via
     * pushed bucket-IN point reads before falling back to the full-table
     * recount of [[refreshHotStats]]: the IN-literal and the driver-side
@@ -82,7 +103,8 @@ object IndexStore {
     * on one table would leave both aside dirs and orphaned generations.
     */
   final case class InvertedMeta(prefixLen: Int, hotThreshold: Long,
-      numBuckets: Int, swap: String = SwapRename, idMapBuckets: Int = IdMapBuckets)
+      numBuckets: Int, swap: String = SwapRename,
+      idMapBuckets: Int = IdMapBuckets, hotMode: String = HotExact)
 
   /** Write a DataFrame bucketed + sorted by `id` as a managed table. */
   def saveBucketed(df: DataFrame, table: String, buckets: Int): Unit =
@@ -147,7 +169,8 @@ object IndexStore {
     */
   def saveInverted(index: DataFrame, table: String, prefixLen: Int = 2,
       hotBucketThreshold: Long = -1L, numBuckets: Int = 0,
-      swapMode: String = SwapRename, idMapBuckets: Int = IdMapBuckets): Unit = {
+      swapMode: String = SwapRename, idMapBuckets: Int = IdMapBuckets,
+      hotMode: String = HotExact): Unit = {
     val spark = index.sparkSession
     // a save CLAIMS the table: the overwrite wipes the fence dir with the
     // rest of the directory, so the epoch re-seeds monotonically past the
@@ -157,7 +180,8 @@ object IndexStore {
     writeInverted(index, table, prefixLen, SaveMode.Overwrite, numBuckets)
     Fence.begin(spark, tablePath(spark, table).toString, preEpoch + 1)
     writeMeta(spark, table,
-      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode, idMapBuckets))
+      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode,
+        idMapBuckets, hotMode))
     if (index.columns.contains("ingest_seq")) seedIdMap(spark, table, idMapBuckets)
     // a save is the one O(table) event: the full recount is already
     // delta-proportional here (the whole table IS the delta), and it
@@ -859,7 +883,7 @@ object IndexStore {
       saveInverted(
         spark.read.parquet(new org.apache.hadoop.fs.Path(scratch, "postings").toString),
         next, target.prefixLen, target.hotThreshold, target.numBuckets,
-        target.swap, target.idMapBuckets)
+        target.swap, target.idMapBuckets, target.hotMode)
       val markers = spark.read.parquet(
         new org.apache.hadoop.fs.Path(scratch, "markers").toString)
       if (!markers.isEmpty) appendTombstoneRows(spark, next, markers)
@@ -1229,11 +1253,25 @@ object IndexStore {
       val sc = spark.sparkContext
       sc.setJobDescription("graft-hot-refresh-full")
       try {
-        val hot = spark.table(table)
+        val counts = spark.table(table)
           .where(col("bkt_pfx") =!= TombstonePrefix)
           .groupBy(col("bucket").cast("string").as("bucket")).count()
-          .where(col("count") > m.hotThreshold)
-        writeHotFile(spark, table, hot)
+        if (m.hotMode == HotCms) {
+          // the O(table) event resets the sketch to EXACT per-bucket
+          // counts (accumulated over-estimates clear here); hot
+          // membership comes from the sketch's own estimates so the
+          // serve-time policy and the maintained state can never
+          // disagree on which side of the threshold a bucket sits
+          val matrix = cmsCellsOf(counts.withColumnRenamed("count", "cnt"))
+          writeHotCms(spark, table, matrix)
+          val hot = cmsEstimates(spark, counts.select(col("bucket")),
+              readHotCms(spark, table))
+            .where(col("est") > m.hotThreshold)
+            .select(col("bucket"), col("est").as("count"))
+          writeHotFile(spark, table, hot)
+        } else {
+          writeHotFile(spark, table, counts.where(col("count") > m.hotThreshold))
+        }
       } finally sc.setJobDescription(null)
     }
     // every delta is absorbed in the recount; clear AFTER the rename so a
@@ -1276,6 +1314,40 @@ object IndexStore {
     if (!hasDelta && rewritten.isEmpty) return // nothing can have moved
     val sc = spark.sparkContext
     sc.setJobDescription("graft-hot-refresh")
+    if (m.hotMode == HotCms) {
+      // SKETCH merge: reads the ~128 KB matrix and the delta log ONLY —
+      // never a posting file, however boiler-heavy the delta. Additive
+      // fold (delta counts into the matrix), then estimate exactly the
+      // delta's buckets against the merged matrix; hot entries are
+      // monotone between O(table) refreshes (rewrites not subtracted —
+      // the documented one-sided band), so carried entries stay.
+      try {
+        if (hasDelta) {
+          val deltaAgg = spark.read.parquet(deltaDir.toString)
+            .groupBy(col("bucket").cast("string").as("bucket"))
+            .agg(sum(col("count")).as("cnt"))
+          val merged = readHotCms(spark, table)
+            .unionByName(cmsCellsOf(deltaAgg))
+            .groupBy(col("r"), col("cell")).agg(sum(col("v")).as("v"))
+          writeHotCms(spark, table, merged)
+          val newlyHot = cmsEstimates(spark, deltaAgg.select(col("bucket")),
+              readHotCms(spark, table))
+            .where(col("est") > m.hotThreshold)
+            .select(col("bucket"), col("est").as("count"))
+          val hotDest = new org.apache.hadoop.fs.Path(
+            tablePath(spark, table), "_hot")
+          val carried =
+            if (!fs.exists(hotDest)) newlyHot
+            else spark.read.parquet(hotDest.toString)
+              .select(col("bucket"), col("count"))
+              .join(newlyHot.select(col("bucket")), Seq("bucket"), "left_anti")
+              .unionByName(newlyHot)
+          writeHotFile(spark, table, carried)
+        }
+      } finally sc.setJobDescription(null)
+      fs.delete(deltaDir, true)
+      return
+    }
     try {
       val cands: Option[Set[String]] =
         if (!hasDelta) Some(Set.empty)
@@ -1323,6 +1395,60 @@ object IndexStore {
     } finally sc.setJobDescription(null)
     // clears LAST: a crash above re-merges idempotently from the log
     fs.delete(deltaDir, true); ()
+  }
+
+  /** Sparse CMS cells of a (bucket, cnt) frame: one (r, cell, v) row per
+    * occupied counter, hashed with the byte-exact
+    * [[graft.functions.CountMinAgg]] rule (uint32 of the first 8 md5 hex
+    * chars of "r:bucket", mod width) — DuckDB-replayable, the repo's
+    * oracle idiom.
+    */
+  private def cmsCellsOf(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    counts.select(
+        explode(array((0 until HotCmsDepth).map(lit): _*)).as("r"),
+        col("bucket"), col("cnt"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("bucket"))), 1, 8), 16, 10).cast("long") % HotCmsWidth)
+      .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("v"))
+  }
+
+  /** Point-query estimates for `buckets` (one column `bucket`) against a
+    * sparse (r, cell, v) matrix: min over the depth rows, absent cells
+    * reading 0 (possible only when the bucket was never counted).
+    */
+  private def cmsEstimates(spark: SparkSession, buckets: DataFrame,
+      matrix: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    buckets.distinct()
+      .select(col("bucket"),
+        explode(array((0 until HotCmsDepth).map(lit): _*)).as("r"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("bucket"))), 1, 8), 16, 10).cast("long") % HotCmsWidth)
+      .join(broadcast(matrix), Seq("r", "cell"), "left_outer")
+      .groupBy(col("bucket"))
+      .agg(min(coalesce(col("v"), lit(0L))).as("est"))
+  }
+
+  private def hotCmsPath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tablePath(spark, table), "_hotcms")
+
+  private def readHotCms(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(hotCmsPath(spark, table).toString)
+
+  /** Stage → rename the `_hotcms` sparse matrix, like the `_hot` file. */
+  private def writeHotCms(spark: SparkSession, table: String,
+      matrix: DataFrame): Unit = {
+    val dir = tablePath(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+      table.toLowerCase + "__hotcms_stage")
+    matrix.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dest = hotCmsPath(spark, table)
+    fs.delete(dest, true)
+    fs.rename(tmp, dest); ()
   }
 
   /** Stage → rename the `_hot` side file: it must never be half-written
@@ -1403,12 +1529,15 @@ object IndexStore {
         (s""""$k"\\s*:\\s*(-?\\d+)""".r).findFirstMatchIn(txt).map(_.group(1))
       val swap = ("\"swap\"\\s*:\\s*\"(\\w+)\"".r).findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse(SwapRename)
+      val hotMode = ("\"hotMode\"\\s*:\\s*\"(\\w+)\"".r).findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(HotExact)
       Some(InvertedMeta(
         field("prefixLen").map(_.toInt).getOrElse(2),
         field("hotThreshold").map(_.toLong).getOrElse(-1L),
         field("numBuckets").map(_.toInt).getOrElse(0),
         swap,
-        field("idMapBuckets").map(_.toInt).getOrElse(IdMapBuckets)))
+        field("idMapBuckets").map(_.toInt).getOrElse(IdMapBuckets),
+        hotMode))
     }
   }
 
@@ -1435,7 +1564,7 @@ object IndexStore {
     try out.write(
       (s"""{"prefixLen":${m.prefixLen},"hotThreshold":${m.hotThreshold},""" +
         s""""numBuckets":${m.numBuckets},"swap":"${m.swap}",""" +
-        s""""idMapBuckets":${m.idMapBuckets}}""")
+        s""""idMapBuckets":${m.idMapBuckets},"hotMode":"${m.hotMode}"}""")
         .getBytes("UTF-8"))
     finally out.close()
   }

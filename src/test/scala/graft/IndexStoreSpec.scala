@@ -712,6 +712,57 @@ class IndexStoreSpec extends AnyFunSuite {
       "an empty-log compaction must skip the hot refresh entirely")
   }
 
+  test("cms hot mode: the sketch merge reproduces a fresh-save twin without reading the table; the band is one-sided and resets exact at refresh") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_hotcms"
+    val twin = "graft_inverted_hotcms_twin"
+    Seq(table, twin).foreach(IndexStore.reset(spark, _))
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id"), Array(bucket), seq)
+    def batch(rows: (Long, String, Long)*) =
+      rows.map { case (i, b, s) => posting(i, b, s) }
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    IndexStore.saveInverted(
+      batch((1L, "aa11", 1L), (2L, "aa11", 1L), (3L, "aa11", 1L),
+        (4L, "aa11", 1L), (5L, "bb22", 1L)),
+      table, prefixLen = 2, hotBucketThreshold = 2L,
+      hotMode = IndexStore.HotCms)
+    assert(IndexStore.hotBuckets(spark, table) == Set("aa11"))
+    // pure-insert appends push bb22 over the threshold: the SKETCH merge
+    // (matrix + delta log only — no posting file is ever read) must
+    // estimate it hot, additively identical to a fresh cms-mode save of
+    // the same final rows
+    IndexStore.appendInverted(batch((6L, "bb22", 1L)), table)
+    IndexStore.appendInverted(batch((7L, "bb22", 1L)), table)
+    IndexStore.compactInverted(spark, table)
+    assert(IndexStore.hotBuckets(spark, table) == Set("aa11", "bb22"),
+      s"sketch merge must cross bb22: ${IndexStore.hotBuckets(spark, table)}")
+    IndexStore.saveInverted(
+      batch((1L, "aa11", 1L), (2L, "aa11", 1L), (3L, "aa11", 1L),
+        (4L, "aa11", 1L), (5L, "bb22", 1L), (6L, "bb22", 1L),
+        (7L, "bb22", 1L)),
+      twin, prefixLen = 2, hotBucketThreshold = 2L,
+      hotMode = IndexStore.HotCms)
+    assert(IndexStore.hotBuckets(spark, table) ==
+      IndexStore.hotBuckets(spark, twin),
+      "the merged sketch must equal the fresh-save twin (additive matrix)")
+    // supersession empties aa11 (ids 2-4 re-ingest into cc33): the sketch
+    // does NOT subtract — aa11 stays hot (the documented one-sided band:
+    // skipping more only sharpens precision), cc33 crosses via its delta
+    IndexStore.appendInverted(
+      batch((2L, "cc33", 2L), (3L, "cc33", 2L), (4L, "cc33", 2L)), table)
+    IndexStore.compactInverted(spark, table)
+    assert(IndexStore.hotBuckets(spark, table) == Set("aa11", "bb22", "cc33"),
+      s"one-sided: rewrites keep their hot entries until an O(table) " +
+        s"refresh: ${IndexStore.hotBuckets(spark, table)}")
+    // the O(table) refresh resets the sketch to exact: aa11 (occupancy 1
+    // after the rewrite) drops off the list
+    IndexStore.refreshHotStats(spark, table)
+    assert(IndexStore.hotBuckets(spark, table) == Set("bb22", "cc33"),
+      s"refresh must reset to exact: ${IndexStore.hotBuckets(spark, table)}")
+  }
+
   test("relayout crash recovery: serving sees the complete old or complete new table, never empty; recovery adopts or discards the side table by its flag") {
     val spark2 = spark
     import spark2.implicits._

@@ -89,4 +89,35 @@ Thread.sleep(2000)
 
 println(f"FULLSCAN refreshBytes=${refreshed()._1}%d fractionOfTable=${refreshed()._1.toDouble / tableBytes}%.4f hotEqualsTruth=${IndexStore.hotBuckets(spark, table) == hotTruth()}")
 
+// (4) BOILER-HEAVY delta, exact vs SKETCH mode: the delta's buckets ARE
+// the hot boiler buckets, so the exact merge's point recount must read
+// those buckets' full posting lists (~N/3 of the table); the cms-mode
+// merge reads only the ~128 KB matrix + the delta log — bounded
+// regardless of the delta's occupancy, at the documented one-sided
+// (est >= true) band.
+val boiler = "the quarterly report was filed on time and the committee approved the standard boilerplate disclosure without further comment"
+
+def boilerSlice(seq: Long, k: Int) = spark.range(0, k).select((col("id") + 900000000L + seq * 1000000L).as("id"), lit(boiler).as("text"))
+
+val ctable = "hot_refresh_ladder_cms"
+
+IndexStore.reset(spark, ctable)
+
+IndexStore.saveInverted(feat(docs, 1L), ctable, prefixLen = 2, hotBucketThreshold = n / 10, hotMode = IndexStore.HotCms)
+
+def boilerRung(t: String, k: Int, seq: Long): Unit = { IndexStore.appendInverted(feat(boilerSlice(seq, k), seq), t); bl.byDesc.clear(); IndexStore.compactInverted(spark, t); Thread.sleep(2000); val hr = refreshed(); println(f"BOILER table=$t%s delta=$k%6d refreshBytes=${hr._1}%12d fractionOfTable=${hr._1.toDouble / tableBytes}%.4f hotSize=${IndexStore.hotBuckets(spark, t).size}%d") }
+
+boilerRung(table, 500, 10L)
+
+boilerRung(ctable, 500, 10L)
+
+boilerRung(table, 5000, 11L)
+
+boilerRung(ctable, 5000, 11L)
+
+// the cms hot list must still cover the exact truth (one-sided: superset)
+def hotTruthOf(t: String): Set[String] = { val m = IndexStore.invertedMeta(spark, t); spark.table(t).where(col("bkt_pfx") =!= IndexStore.TombstonePrefix).groupBy(col("bucket")).count().where(col("count") > m.hotThreshold).select("bucket").collect().map(_.getString(0)).toSet }
+
+println(f"CMS_COVER supersetOfTruth=${hotTruthOf(ctable).subsetOf(IndexStore.hotBuckets(spark, ctable))}%b extra=${(IndexStore.hotBuckets(spark, ctable) -- hotTruthOf(ctable)).size}%d")
+
 System.exit(0)
