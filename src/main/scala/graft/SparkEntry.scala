@@ -2015,6 +2015,55 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "stream_index_debt_compact" -> ((s, d) => {
+      // DEBT-TRIGGERED maintenance in the streaming sink: the same three
+      // ingest slices arrive as a file stream, and compaction is NEVER
+      // called by the harness — the sink's own debt poll
+      // (compactAtDeadPostings = 1) must fire it mid-stream when the
+      // correction slice creates reclaimable rows. The gate's result
+      // carries the oracle-checkable claim: zero superseded rows remain
+      // physically (only the trigger could have dropped them), and the
+      // served flagship query equals a fresh build over the final corpus
+      // (the shared maintained-index oracle).
+      val table = "graft_stream_debt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(s, _))
+      val tmp = stageOnce(s, d, "graft-stream-debt") { t =>
+        val dd = docs(s, d).select(col("doc_id").cast("long").as("id"), col("text"))
+        val slices = Seq(
+          dd.select(col("id"),
+            when(col("id") % 5 === 0,
+              concat(lit("preliminary draft "), col("text")))
+              .otherwise(col("text")).as("text"), lit(1L).as("ingest_seq")),
+          dd.where(col("id") % 5 === 0).withColumn("ingest_seq", lit(2L)),
+          dd.where(col("id") % 7 === 3).withColumn("ingest_seq", lit(3L)))
+        val dirF = new java.io.File(t)
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          sl.coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(t)
+          dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > 1700000000000L)
+            .foreach(_.setLastModified(1600000000000L + i * 60000L))
+        }
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingInvertedIngest(
+        s, tmp, schema, cfg16, table, prefixLen = 1,
+        compactAtDeadPostings = 1L)
+      try q.processAllAvailable() finally q.stop()
+      // NO manual compactInverted here — the claim below fails the gate
+      // if the stream's debt trigger did not fire
+      val t = s.table(table).where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+        .select(col(Cols.Id), col("ingest_seq"))
+      val stale = t.join(
+          t.groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__w")),
+          Seq(Cols.Id))
+        .where(col("ingest_seq") < col("__w")).count()
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+        .withColumn("compacted_by_debt", lit(stale == 0L))
+    }),
     "ann_index_maintained" -> ((s, d) => {
       // SERVING-INDEX MAINTENANCE end to end: three streaming-shaped
       // appends land in the inverted posting table — (1) the corpus with
@@ -8513,6 +8562,11 @@ object SparkEntry {
     // the streaming twin replays the identical final state
     "ann_index_maintained" -> annMaintainedOracle,
     "stream_inverted_ingest_real" -> annMaintainedOracle,
+    // same truth + the trigger claim: the sink's own debt poll must have
+    // compacted (zero superseded rows remain — nothing else could drop
+    // them, the harness never calls compactInverted)
+    "stream_index_debt_compact" ->
+      s"SELECT o.*, true AS compacted_by_debt FROM ($annMaintainedOracle) o",
     // the UNCOMPACTED twin must answer identically — supersession cutoffs
     // make serving exact between compactions
     "ann_index_fresh" -> annMaintainedOracle,

@@ -83,12 +83,27 @@ object StreamingIndex {
     * micro-batch boundaries cannot affect it, and
     * [[graft.sources.IndexStore.compactInverted]] afterwards drops
     * superseded postings exactly as the batch maintenance path does.
+    *
+    * Debt-triggered maintenance (`compactAtDeadPostings` /
+    * `compactAtLogBytes`, both off by default): after each append the
+    * micro-batch head polls [[graft.sources.IndexStore.maintenanceDebt]]
+    * — an O(delta) read of the dirty log plus the touched id-map
+    * partitions, never the table — and runs
+    * [[graft.sources.IndexStore.compactInverted]] when the reclaimable
+    * rows pass `compactAtDeadPostings` or the log's bytes (the serve
+    * path's broadcast-budget signal) pass `compactAtLogBytes`. This is
+    * tools/debt_drive.scala's recipe wired into the sink: compaction
+    * cost is paid exactly when the backlog justifies it, inside the
+    * ingestion pause between micro-batches (the documented concurrent-
+    * reader window), and a quiet stream never pays it at all.
     */
   def streamingInvertedIngest(spark: SparkSession, dir: String,
       schema: StructType, cfg: MinHashConfig, table: String,
       idCol: String = "id", textCol: String = "text",
       maxFilesPerTrigger: Int = 1, prefixLen: Int = 2,
-      seedNumBuckets: Int = 0, seedHotThreshold: Long = -1L): StreamingQuery = {
+      seedNumBuckets: Int = 0, seedHotThreshold: Long = -1L,
+      compactAtDeadPostings: Long = -1L,
+      compactAtLogBytes: Long = -1L): StreamingQuery = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
     val lsh = new MinHashLSH(cfg)
     spark.readStream.schema(schema)
@@ -96,13 +111,24 @@ object StreamingIndex {
       .parquet(dir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.sources.IndexStore.appendInverted(
             lsh.featurize(batch, idCol, textCol, None)
               .select(col(idCol).cast("long").as(Cols.Id), col(Cols.Signature),
                 col(Cols.BucketIds), col("ingest_seq")),
             table, prefixLen, seedHotThreshold = seedHotThreshold,
             seedNumBuckets = seedNumBuckets)
+          if (compactAtDeadPostings >= 0L || compactAtLogBytes >= 0L) {
+            val debt = graft.sources.IndexStore.maintenanceDebt(spark, table)
+              .collect()(0)
+            val fire =
+              (compactAtDeadPostings >= 0L &&
+                debt.getAs[Long]("dead_postings") >= compactAtDeadPostings) ||
+              (compactAtLogBytes >= 0L &&
+                debt.getAs[Long]("log_bytes") >= compactAtLogBytes)
+            if (fire) graft.sources.IndexStore.compactInverted(spark, table)
+          }
+        }
         ()
       }.start()
   }
