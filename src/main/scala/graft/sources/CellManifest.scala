@@ -139,11 +139,10 @@ object CellManifest {
     */
   def nextGen(spark: SparkSession, tableDir: String): (Long, String) = {
     val fs = fsOf(spark, tableDir)
-    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      .map(_.getPath.getName).filter(_.startsWith("_gen-"))
-      .map(_.stripPrefix("_gen-").toLong)
     val (m, _) = read(spark, tableDir)
-    val g = (staged :+ m).max + 1
+    // shared generation discipline: above every staged dir AND above the
+    // manifest numbers (the pointer layer's floor), never reused
+    val g = Generations.next(fs, new org.apache.hadoop.fs.Path(tableDir), m)
     val epoch = Fence.begin(spark, tableDir)
     fs.create(new org.apache.hadoop.fs.Path(manifestDir(tableDir),
       s".stage-$g-$epoch"), true).close()
@@ -221,12 +220,13 @@ object CellManifest {
     val fs = fsOf(spark, tableDir)
     val (_, cells) = read(spark, tableDir)
     val liveGens = cells.values.flatten.toSet
+    // shared generation discipline: replaced generations and crashed
+    // unreferenced stages reclaim together at the maintenance head
+    Generations.dropUnreferenced(fs, new org.apache.hadoop.fs.Path(tableDir),
+      liveGens.contains)
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("_gen-") &&
-          !liveGens.contains(name.stripPrefix("_gen-").toLong)) {
-        fs.delete(st.getPath, true); ()
-      } else if (name.startsWith("cell=") &&
+      if (name.startsWith("cell=") &&
           !cells.get(name.stripPrefix("cell=").toInt).exists(_.contains(0L))) {
         fs.delete(st.getPath, true); ()
       }

@@ -740,17 +740,12 @@ object IndexStore {
       table.toLowerCase + "__compact_aside")
 
   /** The next unused hidden generation directory under the table
-    * (`_gen-N`) — monotone by scanning existing names, no wall clock.
+    * (`_gen-N`) — the shared [[Generations]] discipline; monotone, no
+    * wall clock.
     */
   private def nextGenDir(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
-    val n = fs.listStatus(tableDir)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("_gen-"))
-      .map(_.stripPrefix("_gen-").toLong)
-      .foldLeft(-1L)(math.max) + 1
-    new org.apache.hadoop.fs.Path(tableDir, s"_gen-$n")
-  }
+      tableDir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    Generations.dirOf(tableDir, Generations.next(fs, tableDir))
 
   /** Drop generation directories (and replaced default-location
     * partition directories) no catalog partition references any more —
@@ -766,16 +761,20 @@ object IndexStore {
       .map(p => fs.makeQualified(
         new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))))
       .toSet
+    // whole-dir sweep through the shared core: a generation with NO
+    // referenced partition left (all replaced by later flips, or a
+    // crashed stage nothing ever adopted) drops whole — including its
+    // writer metadata (_SUCCESS)
+    Generations.dropUnreferenced(fs, tableDir, n =>
+      fs.listStatus(Generations.dirOf(tableDir, n))
+        .exists(sub => referenced.contains(fs.makeQualified(sub.getPath))))
     fs.listStatus(tableDir).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("_gen-")) {
-        // a generation with NO referenced partition left (all replaced by
-        // later flips, or a crashed stage nothing ever adopted) drops
-        // whole — including its writer metadata (_SUCCESS)
-        if (!fs.listStatus(st.getPath)
-            .exists(sub => referenced.contains(fs.makeQualified(sub.getPath)))) {
-          fs.delete(st.getPath, true); ()
-        } else fs.listStatus(st.getPath).foreach { sub =>
+      if (name.startsWith(Generations.Prefix)) {
+        // a surviving (partially referenced) generation sheds only its
+        // individually replaced partition children — the catalog pointer
+        // is per-partition, finer than CellManifest's per-cell lists
+        fs.listStatus(st.getPath).foreach { sub =>
           if (!referenced.contains(fs.makeQualified(sub.getPath))) {
             fs.delete(sub.getPath, true); ()
           }
