@@ -3688,6 +3688,53 @@ object SparkEntry {
       IvfModel.compactUpserts(s, dir)
       pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
     }),
+    "stream_vec_debt_compact" -> ((s, d) => {
+      // DEBT-TRIGGERED maintenance in the VECTOR streaming sink — the
+      // stream_index_debt_compact twin, completing the text/vector
+      // operational symmetry: the %17==3 re-embedding slice arrives as a
+      // file stream (seq riding IN THE DATA) through
+      // streamingVectorIngest, and compactUpserts is NEVER called by the
+      // harness — the sink's own debt poll (compactAtSuperseded = 1, an
+      // O(delta) read of the narrow audit id-map) must fire it mid-stream
+      // when a micro-batch's upserts create superseded versions. The
+      // result carries the oracle-checkable claim: zero superseded rows
+      // remain PHYSICALLY in the cell table (only the in-sink trigger
+      // could have dropped them), and the served recall keeps the
+      // maintained-index floor over the final vectors.
+      val dir = roundTripDir(d, "graft-vec-stream-debt")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir, IndexStore.SwapManifest)
+      m.unpersist()
+      val tmp = stageOnce(s, d, "graft-vec-debt-feed") { t =>
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3)
+          .select(col("vec_id"), col("embedding"), lit(2L).as("ingest_seq"))
+          .repartition(2).write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingVectorIngest(
+        s, tmp, schema, dir, compactAtSuperseded = 1L)
+      try q.processAllAvailable() finally q.stop()
+      // NO manual compactUpserts here — the claim below fails the gate
+      // if the stream's debt trigger did not fire
+      val narrow = graft.sources.CellManifest.readTable(s, s"$dir/assigned")
+        .select(col("id"), col("ingest_seq"))
+      val stale = narrow.join(
+          narrow.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w")),
+          Seq("id"))
+        .where(col("ingest_seq") < col("__w")).count()
+      SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+        .withColumn("compacted_by_debt", lit(stale == 0L))
+        .orderBy("qid")
+    }),
     "sim_recall_pq" -> ((s, d) =>
       // IVF-PQ (Jégou et al. 2011 IVFADC) quality gate, sim_recall_ivf
       // pattern: asymmetric-distance recall@10 vs exact brute force for 20
@@ -7650,6 +7697,14 @@ object SparkEntry {
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20
       ORDER BY st.stage, qid""",
+    // the vector streaming sink's debt trigger: recall floor over the
+    // final vectors + the compacted-by-debt physical claim (the harness
+    // never compacts — only the in-sink trigger can zero the superseded
+    // rows, so `true` here IS the mid-stream-firing oracle)
+    "stream_vec_debt_compact" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS compacted_by_debt
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     // the PQ family shares the takedown contract verbatim
     "sim_recall_pq_deleted" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,

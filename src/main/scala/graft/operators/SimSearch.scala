@@ -818,7 +818,7 @@ object SimSearch {
     * (id, cell, codes).
     */
   def pqEncodeNew(model: PqModel, df: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.ArrayKernels.dotProduct
     val m = model.codebooks.length
     val dsub = model.subDim
@@ -828,13 +828,15 @@ object SimSearch {
     val cbLit = typedlit(model.codebooks)
     val resid = zip_with(toD(col("__v")), element_at(cents, col("cell") + 1),
       (a, b) => a - b)
-    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+    df.select(col(idCol).cast("long").as("id") +: col(vecCol).as("__v") +:
+        keep.map(col): _*)
       .withColumn("cell", cell)
       .withColumn("__r", resid)
-      .select(col("id"), col("cell"),
+      .select(col("id") +: col("cell") +:
         transform(sequence(lit(0), lit(m - 1)),
           i => nearestCode(element_at(cbLit, i + 1),
-            slice(col("__r"), i * dsub + 1, lit(dsub)))).as("codes"))
+            slice(col("__r"), i * dsub + 1, lit(dsub)))).as("codes") +:
+        keep.map(col): _*)
   }
 
   /** IVFADC+R — the exact-re-rank stage the same Jégou et al. 2011 line of
@@ -1033,7 +1035,24 @@ object PqModel {
     * Both tables must already carry `ingest_seq`.
     */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
+      vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit =
+    appendVectorsSeqed(spark, dir,
+      vecs.withColumn("__graft_seq", lit(seq)), idCol, vecCol)
+
+  /** [[appendVectors]] with the supersession sequence riding IN THE DATA
+    * (per-row `seqCol`) — the streaming shape; see the [[IvfModel
+    * .appendVectors]] seq-column twin. Both persisted tables land each
+    * row under its own seq, so the final state is a pure function of the
+    * event set regardless of micro-batch boundaries.
+    */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, idCol: String, vecCol: String, seqCol: String): Unit =
+    appendVectorsSeqed(spark, dir,
+      vecs.withColumn("__graft_seq", col(seqCol).cast("long")),
+      idCol, vecCol)
+
+  private def appendVectorsSeqed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, idCol: String, vecCol: String): Unit = {
     // a flagged stage pending adoption would swallow this append when it
     // swaps in — adopt it first so the batch lands on the live truth
     IvfModel.recoverRetrain(spark, dir)
@@ -1043,10 +1062,12 @@ object PqModel {
       s"appendVectors needs a seq-carrying index — save the trained model " +
         s"with an ingest_seq column before appending ($dir/encoded lacks it)")
     val model = PqModel.load(spark, dir)
-    IvfModel.appendVectors(spark, s"$dir/ivf", vecs, idCol, vecCol, seq)
+    IvfModel.appendVectors(spark, s"$dir/ivf", vecs, idCol, vecCol,
+      "__graft_seq")
     IvfModel.appendCellBatch(spark, s"$dir/encoded",
-      SimSearch.pqEncodeNew(model, vecs, idCol, vecCol)
-        .withColumn("ingest_seq", lit(seq))
+      SimSearch.pqEncodeNew(model, vecs, idCol, vecCol,
+          keep = Seq("__graft_seq"))
+        .withColumnRenamed("__graft_seq", "ingest_seq")
         .repartition(col("cell")))
   }
 
@@ -1261,7 +1282,27 @@ object IvfModel {
     * an order.
     */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit = {
+      vecs: DataFrame, idCol: String, vecCol: String, seq: Long): Unit =
+    appendVectorsSeqed(spark, dir,
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        lit(seq).as("ingest_seq")))
+
+  /** [[appendVectors]] with the supersession sequence riding IN THE DATA
+    * (a per-row `seqCol`) instead of one literal per call — the streaming
+    * shape: a change feed carries each event's own order, so the final
+    * table state is a pure function of the event set and micro-batch
+    * boundaries cannot affect it (the
+    * [[graft.streaming.StreamingIndex.streamingInvertedIngest]] contract,
+    * on the vector side).
+    */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, idCol: String, vecCol: String, seqCol: String): Unit =
+    appendVectorsSeqed(spark, dir,
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(seqCol).cast("long").as("ingest_seq")))
+
+  private def appendVectorsSeqed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, prepared: DataFrame): Unit = {
     // a committed retrain whose swap crashed must adopt BEFORE the batch
     // lands: appended to the old table it would vanish with the swap
     recoverRetrain(spark, dir)
@@ -1271,10 +1312,8 @@ object IvfModel {
       s"appendVectors needs a seq-carrying index — save the trained model " +
         s"with an ingest_seq column before appending ($dir/assigned lacks it)")
     val centroids = loadCentroids(spark, dir)
-    val batch = SimSearch.assignCells(
-        vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
-        centroids)
-      .withColumn("ingest_seq", lit(seq))
+    val batch = SimSearch.assignCells(prepared, centroids)
+      .select(col("id"), col("v"), col("cell"), col("ingest_seq"))
       .repartition(col("cell"))
     appendCellBatch(spark, s"$dir/assigned", batch)
     graft.sources.VectorAudit.logAppend(spark, dir,

@@ -38,7 +38,17 @@ import org.apache.spark.sql.SparkSession
   * Cost: two or three filesystem metadata calls per MAINTENANCE op (zero
   * on the query path). On a real object store the create-exclusive put is
   * the same conditional-put primitive the manifest commit already
-  * assumes.
+  * assumes; [[current]]/[[check]] additionally require read-after-write
+  * CONSISTENT LISTING (a listing that hides the newest epoch would let a
+  * fenced-out writer pass its commit check) — S3 has been strongly
+  * consistent since 2020, and stores without it need the epoch resolved
+  * by conditional reads instead of listings. Any IOException on the
+  * claim put reads as a lost race (the claimer advances and retries) —
+  * a transient store failure and a real competitor are indistinguishable
+  * and both are safe, since the claimer only ever proceeds with a token
+  * it holds; FenceSpec pins this, the shared-token impossibility, and
+  * the no-lease property (a crashed claimer's epoch file wedges nothing
+  * and needs no cleanup or timeout).
   */
 object Fence {
 

@@ -189,6 +189,64 @@ object StreamingIndex {
       }.start()
   }
 
+  /** Streaming UPSERT ingestion into a persisted VECTOR index — the
+    * [[streamingInvertedIngest]] twin on the embedding side, completing
+    * the operational symmetry: each micro-batch of (id, vector, seq)
+    * arrivals assigns to the FROZEN centroids (a stateless zero-shuffle
+    * projection — the bounded codebook rides in the plan, no state store)
+    * and appends to the cell-partitioned table via
+    * [[graft.operators.IvfModel.appendVectors]]'s seq-column form (`pq =
+    * true` routes through [[graft.operators.PqModel.appendVectors]], ONE
+    * logical append maintaining both persisted tables). The supersession
+    * sequence rides IN THE DATA, so the final index state is a pure
+    * function of the event set: micro-batch boundaries cannot affect it,
+    * and a manifest-mode table commits each batch as its own generation
+    * flip (the single-writer manifest contract under micro-batch
+    * cadence).
+    *
+    * Debt-triggered maintenance (`compactAtSuperseded`, off by default):
+    * after each append the micro-batch head polls
+    * [[graft.sources.VectorAudit.maintenanceDebt]] — an O(delta) read of
+    * the narrow audit id-map, never the cell tables — and runs
+    * `compactUpserts` when the superseded-version count passes the knob:
+    * re-embedding cost is reclaimed exactly when the backlog justifies
+    * it, inside the ingestion pause between micro-batches, and a
+    * no-re-embedding stream never pays it at all.
+    */
+  def streamingVectorIngest(spark: SparkSession, dir: String,
+      schema: StructType, modelDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seqCol: String = "ingest_seq",
+      maxFilesPerTrigger: Int = 1, pq: Boolean = false,
+      compactAtSuperseded: Long = -1L): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (pq)
+            graft.operators.PqModel.appendVectors(
+              spark, modelDir, batch, idCol, vecCol, seqCol)
+          else
+            graft.operators.IvfModel.appendVectors(
+              spark, modelDir, batch, idCol, vecCol, seqCol)
+          if (compactAtSuperseded >= 0L) {
+            // a PQ model's audit id-map (and markers) live under its ivf
+            // subtree — the coarse quantizer is the system of record for
+            // per-id state; the encoded table mirrors it in lockstep
+            val debtDir = if (pq) s"$modelDir/ivf" else modelDir
+            val debt = graft.sources.VectorAudit
+              .maintenanceDebt(spark, debtDir).collect()(0)
+            if (debt.getAs[Long]("superseded_rows") >= compactAtSuperseded) {
+              if (pq) graft.operators.PqModel.compactUpserts(spark, modelDir)
+              else graft.operators.IvfModel.compactUpserts(spark, modelDir)
+            }
+          }
+        }
+        ()
+      }.start()
+
   /** Streaming ANN: answer a stream of text queries against a static fitted
     * index — the stream-static pattern via `foreachBatch`, re-using the
     * batch multi-query plan (bucket equi-join + per-query top-n window)

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{IvfModel, SimSearch}
+import graft.sources.Fence
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fencing-token protocol's own contract ([[graft.sources.Fence]]) —
+  * the properties the per-operator fence tests (IndexStoreSpec /
+  * VectorStoreSpec interleave refusals) rely on but don't pin directly:
+  * epochs are NOT leases, so there is nothing to leak, time out, or
+  * manually clean; and racing claims can never share a token.
+  */
+class FenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("racing claims never share a token: the create-exclusive loser advances past the winner; both tokens validate their own epoch only") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-race").toString
+    val winner = Fence.begin(spark, dir)
+    // the competitor's claim is already on disk when the loser retries:
+    // pre-create the next epoch file, exactly what begin would race on
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_fence/epoch-${winner + 1}"),
+      false).close()
+    val loser = Fence.begin(spark, dir)
+    assert(loser == winner + 2,
+      s"the loser must advance past the competitor's $winner+1: got $loser")
+    // the newest claim is the only valid token
+    Fence.check(spark, dir, loser)
+    val ex = intercept[IllegalStateException](Fence.check(spark, dir, winner))
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+  }
+
+  test("a transient create failure on one epoch file is a lost race, not corruption: begin advances, the token validates, no cleanup needed") {
+    val tmp = java.nio.file.Files.createTempDirectory("fence-fault").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val dir = s"faultfs:$tmp"
+    val cur = Fence.begin(spark, dir) // seed epoch 1 cleanly
+    FaultFs.reset()
+    FaultFs.failCreateOn = Some(s"epoch-${cur + 1}")
+    try {
+      // the store refuses the put of epoch-(cur+1) — an object store's
+      // conditional-put failure and a lost race are indistinguishable to
+      // the claimer, and both are safe: take the next number
+      val token = Fence.begin(spark, dir)
+      assert(token == cur + 2,
+        s"begin must advance past the refused number: got $token")
+      Fence.check(spark, dir, token)
+    } finally FaultFs.reset()
+  }
+
+  test("a crashed claimer never wedges the table: epochs are not leases — the next op claims over the dangling epoch and proceeds, zero cleanup") {
+    val model = SimSearch.trainIvf(emb, "vec_id", "embedding",
+      nLists = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("fence-crash").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    // a writer claims at its head and dies before doing ANY work: the
+    // epoch file is all it leaves behind
+    val dangling = Fence.begin(spark, dir)
+    // a fresh op needs no timeout, no lease steal, no manual unlock —
+    // its own head claim outranks the corpse and the append lands
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    assert(Fence.current(spark, dir) > dangling,
+      "the fresh op's claim must outrank the dangling epoch")
+    val seqs = spark.read.parquet(s"$dir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(seqs == Seq(1L, 2L), s"the append must have landed: $seqs")
+    // ...and the corpse's token can never commit anything afterwards
+    val ex = intercept[IllegalStateException](Fence.check(spark, dir, dangling))
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    model.unpersist()
+  }
+}

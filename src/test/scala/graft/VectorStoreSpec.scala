@@ -821,4 +821,135 @@ class VectorStoreSpec extends AnyFunSuite {
       "the retry must rebuild without the taken-down id — no resurrection")
     model.unpersist()
   }
+
+  test("seq-in-data appends: one batch carrying two versions of an id lands each under its own seq — equal to the literal-seq twin") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val litDir = java.nio.file.Files.createTempDirectory("vm-seqlit").toString
+    val colDir = java.nio.file.Files.createTempDirectory("vm-seqcol").toString
+    val seeded = IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+    seeded.save(litDir); seeded.save(colDir)
+    val v2 = emb.where(col("vec_id") === 3)
+      .select(col("vec_id"), col("embedding"))
+    val v3 = emb.where(col("vec_id") === 3)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    // literal twin: two appends, one per version
+    IvfModel.appendVectors(spark, litDir, v2, "vec_id", "embedding", seq = 2L)
+    IvfModel.appendVectors(spark, litDir, v3, "vec_id", "embedding", seq = 3L)
+    // seq-column twin: BOTH versions in ONE frame, each row its own seq —
+    // the shape a literal-seq call cannot express
+    IvfModel.appendVectors(spark, colDir,
+      v2.withColumn("ingest_seq", lit(2L))
+        .unionByName(v3.withColumn("ingest_seq", lit(3L))),
+      "vec_id", "embedding", "ingest_seq")
+    def state(dir: String): Seq[(Long, Long, Int)] =
+      CellManifest.readTable(spark, s"$dir/assigned")
+        .where(col("id") === 3)
+        .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(state(colDir) == state(litDir),
+      s"seq-column rows must land as the literal twin: ${state(colDir)} vs ${state(litDir)}")
+    Seq(litDir, colDir).foreach(d => IvfModel.compactUpserts(spark, d))
+    assert(state(colDir) == state(litDir))
+    val win = CellManifest.readTable(spark, s"$colDir/assigned")
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq
+    assert(win == Seq(3L), s"newest seq in the frame must win: $win")
+    val qv = qvOf(4)
+    assert(topIds(colDir, qv, 3) == topIds(litDir, qv, 3))
+    model.unpersist()
+  }
+
+  test("streaming vector sink: the debt poll fires compaction mid-stream — zero superseded rows without any harness compact; state equals the one-batch twin") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val batchDir = java.nio.file.Files.createTempDirectory("vm-debt-b").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("vm-debt-s").toString
+    val seeded = IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+    seeded.save(batchDir, IndexStore.SwapManifest)
+    seeded.save(streamDir, IndexStore.SwapManifest)
+    val slice = emb.where(col("vec_id") % 17 === 3)
+      .select(col("vec_id"), col("embedding"), lit(2L).as("ingest_seq"))
+
+    // batch twin: one append, harness-compacted
+    IvfModel.appendVectors(spark, batchDir, slice, "vec_id", "embedding",
+      "ingest_seq")
+    IvfModel.compactUpserts(spark, batchDir)
+
+    // streaming twin: three micro-batches through the sink; the harness
+    // NEVER compacts — only the in-sink debt trigger can drop losers
+    val tmp = java.nio.file.Files.createTempDirectory("vm-debt-feed").toString
+    slice.repartition(3).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = graft.streaming.StreamingIndex.streamingVectorIngest(
+      spark, tmp, schema, streamDir, compactAtSuperseded = 1L)
+    try q.processAllAvailable() finally q.stop()
+
+    val narrow = CellManifest.readTable(spark, s"$streamDir/assigned")
+      .select(col("id"), col("ingest_seq"))
+    val stale = narrow.join(
+        narrow.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w")),
+        Seq("id"))
+      .where(col("ingest_seq") < col("__w")).count()
+    assert(stale == 0L,
+      s"the debt trigger must have compacted mid-stream: $stale stale rows")
+    def state(dir: String): Seq[(Long, Int, Long)] =
+      CellManifest.readTable(spark, s"$dir/assigned")
+        .select(col("id"), col("cell").cast("int"), col("ingest_seq"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(state(streamDir) == state(batchDir),
+      "debt-compacted streamed state must equal the one-batch compacted twin")
+    val qv = qvOf(3)
+    assert(topIds(streamDir, qv, 3) == topIds(batchDir, qv, 3))
+    model.unpersist()
+  }
+
+  test("PQ streaming sink: one logical append per micro-batch maintains BOTH tables; the debt trigger compacts both — state equals the one-batch twin") {
+    val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 16)
+    val batchDir = java.nio.file.Files.createTempDirectory("vm-pqdebt-b").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("vm-pqdebt-s").toString
+    val seeded = PqModel(
+      IvfModel(model.ivf.centroids,
+        model.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+      model.codebooks, model.subDim,
+      model.encoded.withColumn("ingest_seq", lit(1L)))
+    seeded.save(batchDir); seeded.save(streamDir)
+    val slice = emb.where(col("vec_id") % 17 === 3)
+      .select(col("vec_id"), col("embedding"), lit(2L).as("ingest_seq"))
+
+    PqModel.appendVectors(spark, batchDir, slice, "vec_id", "embedding",
+      "ingest_seq")
+    PqModel.compactUpserts(spark, batchDir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("vm-pqdebt-feed").toString
+    slice.repartition(2).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = graft.streaming.StreamingIndex.streamingVectorIngest(
+      spark, tmp, schema, streamDir, pq = true, compactAtSuperseded = 1L)
+    try q.processAllAvailable() finally q.stop()
+
+    // both persisted tables compacted by the trigger, state equal to the
+    // one-batch twin — codes never pair with foreign codebooks because
+    // the sink encodes against the FROZEN model
+    def state(dir: String, table: String): Seq[(Long, Long)] =
+      CellManifest.readTable(spark, s"$dir/$table")
+        .select(col("id"), col("ingest_seq"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    Seq("ivf/assigned", "encoded").foreach { t =>
+      assert(state(streamDir, t) == state(batchDir, t),
+        s"$t: streamed state must equal the one-batch twin")
+      val rows = state(streamDir, t)
+      assert(rows.groupBy(_._1).forall(_._2.length == 1),
+        s"$t: the debt trigger must have dropped every superseded row: $rows")
+    }
+    val codes = CellManifest.readTable(spark, s"$streamDir/encoded")
+      .where(col("id") === 3).select("codes", "ingest_seq").collect()
+    assert(codes.length == 1 && codes(0).getLong(1) == 2L,
+      "the re-embedded id serves its seq-2 codes only")
+    model.unpersist()
+  }
 }
