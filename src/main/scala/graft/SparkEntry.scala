@@ -2064,6 +2064,54 @@ object SparkEntry {
         .withColumnRenamed(Cols.Id, "doc_id")
         .withColumn("compacted_by_debt", lit(stale == 0L))
     }),
+    "stream_index_file_compact" -> ((s, d) => {
+      // the PURE-APPEND path's physical debt on the TEXT index (the
+      // stream_vec_gen_compact twin): an all-new-ids stream never creates
+      // superseded rows, so the dead-postings trigger can never fire and
+      // every micro-batch leaves one more parquet file in each touched
+      // partition forever — reads pay one footer per append. The sink's
+      // compactAtDataFiles knob (an opt-in one-listStatus-per-partition
+      // poll) drives compactInverted's maxFilesPerDir rewrite: offending
+      // partitions fold to ONE file each, rows passing through an absent
+      // winner untouched. The harness NEVER compacts; files_bounded is
+      // the claim only the in-sink trigger can satisfy, and the served
+      // flagship query must equal a fresh build over the final corpus.
+      val table = "graft_stream_files_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "_compact_tmp").foreach(IndexStore.reset(s, _))
+      val tmp = stageOnce(s, d, "graft-stream-files") { t =>
+        val dd = docs(s, d).select(col("doc_id").cast("long").as("id"),
+          col("text"), lit(1L).as("ingest_seq"))
+        val slices = Seq(
+          dd.where(col("id") % 3 === 0),
+          dd.where(col("id") % 3 === 1),
+          dd.where(col("id") % 3 === 2))
+        val dirF = new java.io.File(t)
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          sl.coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(t)
+          dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > 1700000000000L)
+            .foreach(_.setLastModified(1600000000000L + i * 60000L))
+        }
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingInvertedIngest(
+        s, tmp, schema, cfg16, table, prefixLen = 1,
+        compactAtDataFiles = 1)
+      try q.processAllAvailable() finally q.stop()
+      // physical claim, catalog-free (rename mode keeps partition dirs in
+      // place): every partition folded to one file
+      val base = IndexStore.warehouseLocation(s, table)
+      val maxFiles = Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bkt_pfx="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+        .foldLeft(0)(math.max)
+      MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id", "text",
+          keyOf(s, d), 10, cfg16)
+        .withColumnRenamed(Cols.Id, "doc_id")
+        .withColumn("files_bounded", lit(maxFiles == 1))
+    }),
     "ann_index_maintained" -> ((s, d) => {
       // SERVING-INDEX MAINTENANCE end to end: three streaming-shaped
       // appends land in the inverted posting table — (1) the corpus with
@@ -3734,6 +3782,72 @@ object SparkEntry {
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
         .withColumn("compacted_by_debt", lit(stale == 0L))
         .orderBy("qid")
+    }),
+    "stream_vec_gen_compact" -> ((s, d) => {
+      // the PURE-APPEND path's physical debt: every micro-batch append
+      // to a manifest vector table commits as its own generation, and
+      // upsert compaction only rewrites cells holding SUPERSEDED rows —
+      // an all-new-ids stream (nothing to supersede) grows every cell's
+      // generation list by one per batch forever, so each cell read
+      // unions one directory per surviving append. The sink's
+      // compactAtGenLists knob drives IvfModel.compactGenerations (a
+      // purely physical fold: rows pass through untouched, one staged
+      // write + one manifest put) from the O(1) gen_lists_max debt
+      // signal. Claims: the fan-out stays bounded at the knob
+      // (gen_bounded — without the fold it would be base + one per
+      // batch), the fold FIRED (a folded cell's list no longer holds
+      // base generation 0; the harness never compacts), and the folded
+      // state equals the never-folded one-batch twin EXACTLY
+      // (state_equal) with the oracle-computable row count (n_rows).
+      val dir = roundTripDir(d, "graft-vec-stream-gen")
+      val twin = roundTripDir(d, "graft-vec-stream-gen-twin")
+      Seq(dir, twin).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val m = SimSearch.trainIvf(tbl(s, d, "embeddings"), "vec_id",
+        "embedding", nLists = 16, iters = 2)
+      val seeded = IvfModel(m.centroids,
+        m.assigned.withColumn("ingest_seq", lit(1L)))
+      seeded.save(dir, IndexStore.SwapManifest)
+      seeded.save(twin, IndexStore.SwapManifest)
+      m.unpersist()
+      // the arrivals are NEW documents (disjoint ids; negated vectors so
+      // the corpus geometry is new content, not duplicates), four files
+      // so the stream commits four generations before folding
+      val newDocs = tbl(s, d, "embeddings")
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          lit(1L).as("ingest_seq"))
+      val tmp = stageOnce(s, d, "graft-vec-gen-feed") { t =>
+        newDocs.repartition(4).write.mode("overwrite").parquet(t)
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingVectorIngest(
+        s, tmp, schema, dir, compactAtGenLists = 2)
+      try q.processAllAvailable() finally q.stop()
+      // never-folded twin: the same arrivals in ONE append
+      IvfModel.appendVectors(s, twin, newDocs, "vec_id", "embedding",
+        "ingest_seq")
+      val cells = graft.sources.CellManifest
+        .read(s, s"$dir/assigned")._2.values
+      val genMax = cells.map(_.length).foldLeft(0)(math.max)
+      val foldFired = cells.exists(l => !l.contains(0L))
+      def narrow(t: String) = graft.sources.CellManifest
+        .readTable(s, t)
+        .select(col("id"), col("ingest_seq"), col("cell").cast("int").as("cell"))
+      val a = narrow(s"$dir/assigned")
+      val b = narrow(s"$twin/assigned")
+      val mismatches = a.groupBy("id", "ingest_seq", "cell")
+        .agg(count(lit(1)).as("na"))
+        .join(b.groupBy("id", "ingest_seq", "cell")
+          .agg(count(lit(1)).as("nb")),
+          Seq("id", "ingest_seq", "cell"), "full_outer")
+        .where(col("na").isNull || col("nb").isNull || col("na") =!= col("nb"))
+        .count()
+      import s.implicits._
+      Seq((a.count(), genMax <= 2, foldFired, mismatches == 0L))
+        .toDF("n_rows", "gen_bounded", "fold_fired", "state_equal")
     }),
     "sim_recall_pq" -> ((s, d) =>
       // IVF-PQ (Jégou et al. 2011 IVFADC) quality gate, sim_recall_ivf
@@ -7705,6 +7819,13 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
              true AS compacted_by_debt
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
+    // the pure-append fan-out fold: the row count is the replayable
+    // number (seed corpus + the streamed new-document copy); the
+    // booleans are claims only the in-sink fold can satisfy
+    "stream_vec_gen_compact" -> """
+      SELECT 2 * count(*) AS n_rows, true AS gen_bounded,
+             true AS fold_fired, true AS state_equal
+      FROM embeddings""",
     // the PQ family shares the takedown contract verbatim
     "sim_recall_pq_deleted" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
@@ -8622,6 +8743,11 @@ object SparkEntry {
     // them, the harness never calls compactInverted)
     "stream_index_debt_compact" ->
       s"SELECT o.*, true AS compacted_by_debt FROM ($annMaintainedOracle) o",
+    // pure-append twin: the final corpus is the whole documents table
+    // (three disjoint slices at one seq), so the same fresh-build replay
+    // holds; files_bounded is the in-sink file-fold firing claim
+    "stream_index_file_compact" ->
+      s"SELECT o.*, true AS files_bounded FROM ($annMaintainedOracle) o",
     // the UNCOMPACTED twin must answer identically — supersession cutoffs
     // make serving exact between compactions
     "ann_index_fresh" -> annMaintainedOracle,

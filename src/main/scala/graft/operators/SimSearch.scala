@@ -1081,6 +1081,18 @@ object PqModel {
     IvfModel.compactUpserts(spark, s"$dir/ivf")
   }
 
+  /** Fold BOTH manifest tables' generation fan-out —
+    * [[IvfModel.compactGenerations]] applied to each cell-partitioned
+    * half (the streaming append path grows both in lockstep).
+    */
+  def compactGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxGenLists: Int = 16): Unit = {
+    IvfModel.recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
+    IvfModel.compactGenerationsCells(spark, s"$dir/encoded", maxGenLists)
+    IvfModel.compactGenerations(spark, s"$dir/ivf", maxGenLists)
+  }
+
   /** OFFLINE RETRAIN of a persisted IVF-PQ index — [[IvfModel.retrain]]
     * extended to the full product quantizer: fresh coarse centroids AND
     * fresh residual codebooks fit over the CURRENT truth (the raw
@@ -1352,6 +1364,47 @@ object IvfModel {
     graft.sources.Fence.begin(spark, dir)
     compactUpsertsCells(spark, s"$dir/assigned")
     graft.sources.VectorAudit.compactUpserts(spark, dir) // mirrors in lockstep
+  }
+
+  /** Fold a manifest table's GENERATION FAN-OUT — the maintenance op for
+    * the append path's physical debt, which [[compactUpserts]] cannot
+    * touch: every micro-batch append commits as its own generation, and
+    * the rewrite only replaces the generation lists of cells holding
+    * SUPERSEDED rows, so a pure-append stream (all-new ids, nothing to
+    * supersede) grows every cell's list by one per batch forever — each
+    * read of a cell then unions one directory per surviving append, and
+    * at 10k batches that is 10k tiny-file scans per cell. This op folds
+    * every cell whose list is LONGER than `maxGenLists` into one fresh
+    * generation (the same staged-write + one-manifest-put commit as any
+    * rewrite; rows pass through untouched — purely physical, answers
+    * identical by construction). Decision cost is O(1): the generation
+    * lists ARE the manifest, no data is read to decide. Plain
+    * (rename-mode) tables append in place and have no fan-out — no-op.
+    * The sink's `compactAtGenLists` knob drives it from the
+    * `gen_lists_max` debt signal.
+    */
+  def compactGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxGenLists: Int = 16): Unit = {
+    recoverRetrain(spark, dir)
+    graft.sources.Fence.begin(spark, dir)
+    compactGenerationsCells(spark, s"$dir/assigned", maxGenLists)
+  }
+
+  private[operators] def compactGenerationsCells(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      maxGenLists: Int): Unit = {
+    require(maxGenLists >= 1, s"maxGenLists must be >= 1: $maxGenLists")
+    if (!graft.sources.CellManifest.isManifest(spark, tableDir)) return
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    maintenanceHead(spark, fs, tableDir)
+    val (_, cells) = graft.sources.CellManifest.read(spark, tableDir)
+    val dirty = cells.filter(_._2.length > maxGenLists).keySet
+    if (dirty.isEmpty) return
+    val kept = graft.sources.CellManifest.readTable(spark, tableDir)
+      .withColumn("cell", col("cell").cast("int"))
+      .where(col("cell").isin(dirty.toSeq: _*))
+    rewriteCells(spark, fs, tableDir, dirty.toSet, kept)
   }
 
   /** OFFLINE RETRAIN of a persisted IVF index — the vector twin of

@@ -472,7 +472,7 @@ object IndexStore {
     * readers keep the complete old generation.
     */
   def compactInverted(spark: SparkSession, table: String,
-      seqCol: String = "ingest_seq"): Unit = {
+      seqCol: String = "ingest_seq", maxFilesPerDir: Int = -1): Unit = {
     import org.apache.spark.sql.functions._
     // a crashed relayout swap may have left the flagged side table as the
     // only (complete) copy — adopt it before touching anything else
@@ -505,7 +505,46 @@ object IndexStore {
     // come from a table maintained outside this module — full-scan it
     val maintained = seqCol == "ingest_seq" && fs.exists(idMapDir)
     sc.setJobDescription("graft-compact-decision")
-    val (dirty, winners, touchedIdh) =
+    // the PURE-APPEND path's physical debt (opt-in): partitions whose
+    // parquet-file count exceeds `maxFilesPerDir` rewrite too — appends
+    // land one file per touched partition per batch and ONLY a rewrite
+    // folds them, so without this a never-superseded stream's read
+    // fan-out grows one footer per append forever. Counted from the
+    // catalog's live partition locations (one listStatus each, bounded
+    // by 16^prefixLen); the rows of a file-dirty-only partition pass
+    // through the winner join untouched (no winner recorded ⇒ kept).
+    require(maxFilesPerDir < 1 || meta.numBuckets <= 0 ||
+      maxFilesPerDir >= meta.numBuckets,
+      s"maxFilesPerDir=$maxFilesPerDir is below the table's bucket count " +
+        s"${meta.numBuckets} — a bucketed rewrite lands one file per bucket " +
+        "per partition, so the threshold could never be met and every pass " +
+        "would rewrite again; set it at or above the bucket count")
+    val fileDirty: Set[String] =
+      if (maxFilesPerDir < 1) Set.empty
+      else partitionFileCounts(spark, table)
+        .filter(_._2 > maxFilesPerDir).map(_._1).toSet
+    def decideFromLog(): (Set[String], DataFrame, Seq[Int]) = {
+      val log = spark.read.parquet(logDir.toString)
+        .select(col(Cols.Id)).distinct()
+      val touched = log
+        .select(pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)).as("idh"))
+        .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ min(delta, idMapBuckets)
+      // full posting history of exactly the delta ids — a partition-
+      // pruned read of the narrow id-map, O(touched/64 of the id-map)
+      val hist = spark.read.parquet(idMapDir.toString)
+        .where(col("idh").isin(touched: _*))
+        .join(log, Seq(Cols.Id), "left_semi")
+      val w = hist.groupBy(col(Cols.Id))
+        .agg(max(col("ingest_seq")).as("__wseq"))
+      val superseded = hist.join(w, Seq(Cols.Id))
+        .where(col("ingest_seq") < col("__wseq")).select(col("bkt_pfx"))
+      val duplicated = hist
+        .groupBy(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"))
+        .count().where(col("count") > 1).select(col("bkt_pfx"))
+      (superseded.union(duplicated).distinct()
+        .collect().map(_.getString(0)).toSet, w, touched)
+    }
+    val (seqDirty, winners, touchedIdh) =
       if (maintained) {
         def noParquet(d: org.apache.hadoop.fs.Path): Boolean = !fs.exists(d) ||
           !fs.listStatus(d).exists { st =>
@@ -515,34 +554,24 @@ object IndexStore {
           }
         // empty log = no appends since the last clear; empty id-map = the
         // table has never held a row (an empty cold seed) — either way
-        // nothing can be dirty, and reading a file-less dir would fail
-        // schema inference
+        // nothing can be SEQ-dirty, and reading a file-less dir would fail
+        // schema inference. A requested file fold still proceeds: the log
+        // clearing at the last pass proved the table supersession-clean,
+        // so its rewrite carries every row through an absent winner.
         if (noParquet(logDir) || noParquet(idMapDir)) {
-          sc.setJobDescription(null)
+          if (fileDirty.isEmpty) {
+            sc.setJobDescription(null)
+            fs.delete(logDir, true)
+            // nothing was appended since the last clear, so the occupancy
+            // stats cannot have moved — the no-op early return costs no scan
+            return
+          }
           fs.delete(logDir, true)
-          // nothing was appended since the last clear, so the occupancy
-          // stats cannot have moved — the no-op early return costs no scan
-          return
-        }
-        val log = spark.read.parquet(logDir.toString)
-          .select(col(Cols.Id)).distinct()
-        val touched = log
-          .select(pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)).as("idh"))
-          .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ min(delta, idMapBuckets)
-        // full posting history of exactly the delta ids — a partition-
-        // pruned read of the narrow id-map, O(touched/64 of the id-map)
-        val hist = spark.read.parquet(idMapDir.toString)
-          .where(col("idh").isin(touched: _*))
-          .join(log, Seq(Cols.Id), "left_semi")
-        val w = hist.groupBy(col(Cols.Id))
-          .agg(max(col("ingest_seq")).as("__wseq"))
-        val superseded = hist.join(w, Seq(Cols.Id))
-          .where(col("ingest_seq") < col("__wseq")).select(col("bkt_pfx"))
-        val duplicated = hist
-          .groupBy(col(Cols.Id), col("ingest_seq"), col("bucket"), col("bkt_pfx"))
-          .count().where(col("count") > 1).select(col("bkt_pfx"))
-        (superseded.union(duplicated).distinct()
-          .collect().map(_.getString(0)).toSet, w, touched)
+          (Set.empty[String],
+            cur.select(col(Cols.Id)).limit(0)
+              .withColumn("__wseq", lit(null).cast("long")),
+            Seq.empty[Int])
+        } else decideFromLog()
       } else {
         // LEGACY decision: one narrow scan of the whole table (id, seq,
         // bucket, prefix — parquet column pruning never reads the wide
@@ -558,6 +587,7 @@ object IndexStore {
         (superseded.union(duplicated).distinct()
           .collect().map(_.getString(0)).toSet, w, Seq.empty[Int])
       }
+    val dirty = seqDirty ++ fileDirty
     if (dirty.isEmpty) {
       sc.setJobDescription(null)
       if (maintained) fs.delete(logDir, true) // appends were clean (pure inserts)
@@ -1170,18 +1200,31 @@ object IndexStore {
     * (e.g. 10%), whichever first; `tools/debt_drive.scala` drives the
     * loop under continuous ingest.
     */
-  def maintenanceDebt(spark: SparkSession, table: String): DataFrame = {
+  def maintenanceDebt(spark: SparkSession, table: String,
+      withFileCounts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val meta = invertedMeta(spark, table)
     val fs = fsOf(spark, table)
     val logDir = dirtyLogPath(spark, table)
+    // OPT-IN (one listStatus per partition, bounded by 16^prefixLen —
+    // a real cost at prefixLen 4, so the default poll stays O(delta)):
+    // the PURE-APPEND path's physical debt, invisible to every other
+    // signal here — appends land one file per touched partition per
+    // batch and only a rewrite folds them, so the max per-partition
+    // parquet-file count is what drives compactInverted's
+    // maxFilesPerDir trigger
+    def dataFilesMax: Long =
+      if (!withFileCounts) -1L
+      else partitionFileCounts(spark, table).map(_._2.toLong)
+        .foldLeft(0L)(math.max)
     val files =
       if (!fs.exists(logDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty)
-      return Seq((0, 0L, 0L, 0L))
-        .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings")
+      return Seq((0, 0L, 0L, 0L, dataFilesMax))
+        .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings",
+          "data_files_max")
     val log = spark.read.parquet(logDir.toString).select(col(Cols.Id)).distinct()
     val backlog = log.count()
     val touched = log
@@ -1196,8 +1239,30 @@ object IndexStore {
       .where(col("ingest_seq") < col("__wseq") &&
         col("bkt_pfx") =!= TombstonePrefix)
       .count()
-    Seq((files.length, files.map(_.getLen).sum, backlog, dead))
-      .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings")
+    Seq((files.length, files.map(_.getLen).sum, backlog, dead, dataFilesMax))
+      .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings",
+        "data_files_max")
+  }
+
+  /** Parquet-file count per live partition, CATALOG-resolved — a
+    * manifest-flipped partition counts its current generation directory,
+    * not the stale base one. One listStatus per partition (bounded by
+    * 16^prefixLen); callers opt in.
+    */
+  private def partitionFileCounts(spark: SparkSession,
+      table: String): Seq[(String, Int)] = {
+    val fs = fsOf(spark, table)
+    spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .map { p =>
+        val loc = new org.apache.hadoop.fs.Path(
+          new java.net.URI(p.location.toString))
+        val n =
+          if (!fs.exists(loc)) 0
+          else fs.listStatus(loc)
+            .count(_.getPath.getName.endsWith(".parquet"))
+        (p.spec("bkt_pfx"), n)
+      }
   }
 
   /** OPT-IN reconciliation of the maintenance side state — the loud

@@ -85,13 +85,18 @@ object StreamingIndex {
     * superseded postings exactly as the batch maintenance path does.
     *
     * Debt-triggered maintenance (`compactAtDeadPostings` /
-    * `compactAtLogBytes`, both off by default): after each append the
-    * micro-batch head polls [[graft.sources.IndexStore.maintenanceDebt]]
+    * `compactAtLogBytes` / `compactAtDataFiles`, all off by default):
+    * after each append the micro-batch head polls
+    * [[graft.sources.IndexStore.maintenanceDebt]]
     * — an O(delta) read of the dirty log plus the touched id-map
     * partitions, never the table — and runs
     * [[graft.sources.IndexStore.compactInverted]] when the reclaimable
-    * rows pass `compactAtDeadPostings` or the log's bytes (the serve
-    * path's broadcast-budget signal) pass `compactAtLogBytes`. This is
+    * rows pass `compactAtDeadPostings`, the log's bytes (the serve
+    * path's broadcast-budget signal) pass `compactAtLogBytes`, or any
+    * partition's parquet-file count passes `compactAtDataFiles` (the
+    * PURE-APPEND path's physical debt: each micro-batch lands one file
+    * per touched partition, and only a rewrite folds them — the file
+    * poll adds one listStatus per partition, so it is opt-in). This is
     * tools/debt_drive.scala's recipe wired into the sink: compaction
     * cost is paid exactly when the backlog justifies it, inside the
     * ingestion pause between micro-batches (the documented concurrent-
@@ -103,7 +108,8 @@ object StreamingIndex {
       maxFilesPerTrigger: Int = 1, prefixLen: Int = 2,
       seedNumBuckets: Int = 0, seedHotThreshold: Long = -1L,
       compactAtDeadPostings: Long = -1L,
-      compactAtLogBytes: Long = -1L): StreamingQuery = {
+      compactAtLogBytes: Long = -1L,
+      compactAtDataFiles: Int = -1): StreamingQuery = {
     require(!cfg.useVocabulary, "streaming ingestion requires direct (vocabulary-free) mode")
     val lsh = new MinHashLSH(cfg)
     spark.readStream.schema(schema)
@@ -118,15 +124,21 @@ object StreamingIndex {
                 col(Cols.BucketIds), col("ingest_seq")),
             table, prefixLen, seedHotThreshold = seedHotThreshold,
             seedNumBuckets = seedNumBuckets)
-          if (compactAtDeadPostings >= 0L || compactAtLogBytes >= 0L) {
-            val debt = graft.sources.IndexStore.maintenanceDebt(spark, table)
-              .collect()(0)
+          if (compactAtDeadPostings >= 0L || compactAtLogBytes >= 0L ||
+              compactAtDataFiles >= 1) {
+            val debt = graft.sources.IndexStore.maintenanceDebt(spark, table,
+              withFileCounts = compactAtDataFiles >= 1).collect()(0)
             val fire =
               (compactAtDeadPostings >= 0L &&
                 debt.getAs[Long]("dead_postings") >= compactAtDeadPostings) ||
               (compactAtLogBytes >= 0L &&
-                debt.getAs[Long]("log_bytes") >= compactAtLogBytes)
-            if (fire) graft.sources.IndexStore.compactInverted(spark, table)
+                debt.getAs[Long]("log_bytes") >= compactAtLogBytes) ||
+              (compactAtDataFiles >= 1 &&
+                debt.getAs[Long]("data_files_max") > compactAtDataFiles)
+            // the file knob rides along on ANY firing, so a supersession-
+            // triggered pass folds offending partitions opportunistically
+            if (fire) graft.sources.IndexStore.compactInverted(spark, table,
+              maxFilesPerDir = compactAtDataFiles)
           }
         }
         ()
@@ -204,21 +216,27 @@ object StreamingIndex {
     * flip (the single-writer manifest contract under micro-batch
     * cadence).
     *
-    * Debt-triggered maintenance (`compactAtSuperseded`, off by default):
-    * after each append the micro-batch head polls
+    * Debt-triggered maintenance (both knobs off by default): after each
+    * append the micro-batch head polls
     * [[graft.sources.VectorAudit.maintenanceDebt]] — an O(delta) read of
-    * the narrow audit id-map, never the cell tables — and runs
-    * `compactUpserts` when the superseded-version count passes the knob:
-    * re-embedding cost is reclaimed exactly when the backlog justifies
-    * it, inside the ingestion pause between micro-batches, and a
-    * no-re-embedding stream never pays it at all.
+    * the narrow audit id-map plus the manifest's generation lists, never
+    * the cell tables — and runs `compactUpserts` when the
+    * superseded-version count passes `compactAtSuperseded` (re-embedding
+    * backlog), or `compactGenerations` when any cell's generation-list
+    * length passes `compactAtGenLists` (the PURE-APPEND path's physical
+    * debt, which upsert compaction cannot touch: every micro-batch
+    * commits as its own generation, so an all-new-ids stream grows every
+    * cell's read fan-out by one per batch until folded). Maintenance
+    * cost lands exactly when the backlog justifies it, inside the
+    * ingestion pause between micro-batches; a quiet stream never pays.
     */
   def streamingVectorIngest(spark: SparkSession, dir: String,
       schema: StructType, modelDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seqCol: String = "ingest_seq",
       maxFilesPerTrigger: Int = 1, pq: Boolean = false,
-      compactAtSuperseded: Long = -1L): StreamingQuery =
+      compactAtSuperseded: Long = -1L,
+      compactAtGenLists: Int = -1): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
@@ -231,16 +249,26 @@ object StreamingIndex {
           else
             graft.operators.IvfModel.appendVectors(
               spark, modelDir, batch, idCol, vecCol, seqCol)
-          if (compactAtSuperseded >= 0L) {
+          if (compactAtSuperseded >= 0L || compactAtGenLists >= 1) {
             // a PQ model's audit id-map (and markers) live under its ivf
             // subtree — the coarse quantizer is the system of record for
             // per-id state; the encoded table mirrors it in lockstep
             val debtDir = if (pq) s"$modelDir/ivf" else modelDir
             val debt = graft.sources.VectorAudit
               .maintenanceDebt(spark, debtDir).collect()(0)
-            if (debt.getAs[Long]("superseded_rows") >= compactAtSuperseded) {
+            if (compactAtSuperseded >= 0L &&
+                debt.getAs[Long]("superseded_rows") >= compactAtSuperseded) {
               if (pq) graft.operators.PqModel.compactUpserts(spark, modelDir)
               else graft.operators.IvfModel.compactUpserts(spark, modelDir)
+            }
+            if (compactAtGenLists >= 1 &&
+                debt.getAs[Long]("gen_lists_max") > compactAtGenLists) {
+              if (pq)
+                graft.operators.PqModel.compactGenerations(
+                  spark, modelDir, compactAtGenLists)
+              else
+                graft.operators.IvfModel.compactGenerations(
+                  spark, modelDir, compactAtGenLists)
             }
           }
         }

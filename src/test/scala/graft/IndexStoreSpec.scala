@@ -1037,4 +1037,68 @@ class IndexStoreSpec extends AnyFunSuite {
       Set(1L, 2L))
   }
 
+  test("file fold: pure appends grow per-partition files that supersession compaction never touches; maxFilesPerDir folds them, even on an empty log") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_filefold"
+    IndexStore.reset(spark, table)
+    def posting(id: Long) =
+      (id, Array(s"sig$id"), Array(if (id % 2 == 0) "aa11" else "bb22"), 1L)
+    def batch(ids: Seq[Long]) = ids.map(posting)
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    // a PURE-APPEND lifecycle: three writes of disjoint ids — nothing is
+    // ever superseded, so the dead-postings decision has nothing to do
+    IndexStore.saveInverted(batch(Seq(1L, 2L)), table, prefixLen = 2)
+    IndexStore.appendInverted(batch(Seq(3L, 4L)), table)
+    IndexStore.appendInverted(batch(Seq(5L, 6L)), table)
+    def fileCounts(): Map[String, Int] = {
+      val root = IndexStore.warehouseLocation(spark, table)
+      root.listFiles().filter(_.getName.startsWith("bkt_pfx="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(fileCounts().values.max >= 3,
+      s"one file per partition per append: ${fileCounts()}")
+    def rows(): Set[(Long, String, Long)] = spark.table(table)
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    val truth = rows()
+    // supersession compaction is a no-op here — the fan-out is invisible
+    // to it (this also CLEARS the dirty log)
+    IndexStore.compactInverted(spark, table)
+    assert(fileCounts().values.max >= 3,
+      "a clean pass must not rewrite anything")
+    // the file fold fires off the EMPTY log (the pass above cleared it):
+    // the table is supersession-clean by that very invariant, so every
+    // row passes through an absent winner
+    IndexStore.compactInverted(spark, table, maxFilesPerDir = 1)
+    assert(fileCounts() == Map("bkt_pfx=aa" -> 1, "bkt_pfx=bb" -> 1),
+      s"offending partitions must fold to one file: ${fileCounts()}")
+    assert(rows() == truth, "the fold is purely physical")
+    // below threshold: idle — no partition rewrites again
+    val stamps = {
+      val root = IndexStore.warehouseLocation(spark, table)
+      root.listFiles().filter(_.getName.startsWith("bkt_pfx="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    IndexStore.compactInverted(spark, table, maxFilesPerDir = 1)
+    val stamps2 = {
+      val root = IndexStore.warehouseLocation(spark, table)
+      root.listFiles().filter(_.getName.startsWith("bkt_pfx="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    assert(stamps2 == stamps, "a bounded table must not rewrite")
+    // and the file knob COMPOSES with supersession: a correction plus the
+    // fold in one pass — winners only, one file per partition
+    IndexStore.appendInverted(
+      Seq((2L, Array("sig2b"), Array("cc33"), 2L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"), table)
+    IndexStore.appendInverted(batch(Seq(7L)), table)
+    IndexStore.compactInverted(spark, table, maxFilesPerDir = 1)
+    val got = rows()
+    assert(!got.contains((2L, "aa11", 1L)) && got.contains((2L, "cc33", 2L)),
+      s"supersession must still apply through a file-fold pass: $got")
+    assert(fileCounts().values.max == 1, s"folded with the pass: ${fileCounts()}")
+  }
+
 }

@@ -907,6 +907,95 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("generation fold: a pure-append manifest table's fan-out collapses to one generation per offending cell — rows untouched, answers identical, idle twice over") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-genfold").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    // three appends of NEW ids: nothing superseded, so compactUpserts
+    // has nothing to rewrite and the generation lists only ever grow
+    (1 to 3).foreach { i =>
+      IvfModel.appendVectors(spark, dir,
+        emb.where(col("vec_id") % 3 === i % 3)
+          .select((col("vec_id") + i * 10000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", seq = 1L)
+    }
+    def genLists = CellManifest.read(spark, s"$dir/assigned")._2.values
+    assert(genLists.map(_.length).max >= 3,
+      s"appends must fan out: ${genLists.toSeq}")
+    IvfModel.compactUpserts(spark, dir)
+    assert(genLists.map(_.length).max >= 3,
+      "upsert compaction must not touch clean cells' generation lists")
+    val before = CellManifest.readTable(spark, s"$dir/assigned")
+      .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val qv = qvOf(4)
+    val preTop = topIds(dir, qv, 5)
+    IvfModel.compactGenerations(spark, dir, maxGenLists = 1)
+    assert(genLists.map(_.length).max == 1,
+      s"every offending cell must fold to one generation: ${genLists.toSeq}")
+    val after = CellManifest.readTable(spark, s"$dir/assigned")
+      .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(after == before, "the fold is purely physical — rows untouched")
+    assert(topIds(dir, qv, 5) == preTop, "answers identical across the fold")
+    // idle twice over: a below-threshold second call commits no new
+    // generation and leaves the live files byte-identical (its head-of-
+    // pass gc MAY reclaim the one-pass-retained replaced dirs — that is
+    // the retention contract, not a rewrite)
+    val manifest = CellManifest.read(spark, s"$dir/assigned")._2
+    val liveDirs = manifest.values.flatten.toSet.map((g: Long) => s"_gen-$g/")
+    def liveFiles = parquetFiles(s"$dir/assigned")
+      .filter { case (p, _) => liveDirs.exists(p.contains) }
+    val files = liveFiles
+    IvfModel.compactGenerations(spark, dir, maxGenLists = 1)
+    assert(CellManifest.read(spark, s"$dir/assigned")._2 == manifest,
+      "a below-threshold fold must not commit a generation")
+    assert(liveFiles == files,
+      "a below-threshold fold must leave live files untouched")
+    val plainDir = java.nio.file.Files.createTempDirectory("vm-genplain").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(plainDir)
+    IvfModel.compactGenerations(spark, plainDir, maxGenLists = 1) // no-op
+    assert(topIds(plainDir, qv, 3).nonEmpty)
+    model.unpersist()
+  }
+
+  test("PQ generation fold: both manifest tables fold together — codes and assignments byte-equal across the fold") {
+    val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 16)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pqgenfold").toString
+    PqModel(IvfModel(model.ivf.centroids,
+        model.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+      model.codebooks, model.subDim,
+      model.encoded.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    (1 to 3).foreach { i =>
+      PqModel.appendVectors(spark, dir,
+        emb.where(col("vec_id") % 3 === i % 3)
+          .select((col("vec_id") + i * 10000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", seq = 1L)
+    }
+    def listsOf(t: String) = CellManifest.read(spark, s"$dir/$t")._2.values
+    assert(listsOf("encoded").map(_.length).max >= 3 &&
+      listsOf("ivf/assigned").map(_.length).max >= 3,
+      "appends must fan out both tables")
+    def codesOf: Seq[(Long, Seq[Int], Long)] =
+      CellManifest.readTable(spark, s"$dir/encoded")
+        .select(col("id"), col("codes"), col("ingest_seq"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getLong(2)))
+        .toSeq.sortBy(x => (x._1, x._3))
+    val before = codesOf
+    PqModel.compactGenerations(spark, dir, maxGenLists = 1)
+    assert(listsOf("encoded").map(_.length).max == 1 &&
+      listsOf("ivf/assigned").map(_.length).max == 1,
+      "both tables must fold to one generation per cell")
+    assert(codesOf == before, "codes pass through the fold untouched")
+    model.unpersist()
+  }
+
   test("PQ streaming sink: one logical append per micro-batch maintains BOTH tables; the debt trigger compacts both — state equals the one-batch twin") {
     val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
       nLists = 8, m = 8, ks = 16)
