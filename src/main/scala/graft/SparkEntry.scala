@@ -3783,6 +3783,71 @@ object SparkEntry {
         .withColumn("compacted_by_debt", lit(stale == 0L))
         .orderBy("qid")
     }),
+    "stream_vec_takedown_real" -> ((s, d) => {
+      // CHANGE-FEED maintenance of the vector index as a STREAM (the
+      // stream_takedown_real twin): one feed carries upserts AND
+      // takedowns, each row its own seq, routed per micro-batch by
+      // streamingVectorMaintenance. Events: the %17==3 slice re-embeds
+      // at seq 2 (U), vec 5 is taken down at seq 2 (D), vec 6 is taken
+      // down at seq 2 (D) and RE-INGESTED at seq 3 (U) — the marker
+      // contract: 5 serves excluded, 6 resurrects at its newest version.
+      // Both serving states (marker-applied and physically compacted)
+      // keep the recall floor vs brute over the final vectors with the
+      // explicit clean column, and `resurrected` pins vec 6's comeback.
+      val dir = roundTripDir(d, "graft-vec-stream-takedown")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir, IndexStore.SwapManifest)
+      m.unpersist()
+      val emb = tbl(s, d, "embeddings")
+      val zeroVec = transform(col("embedding"), x => x * 0.0f)
+      val slices = Seq(
+        emb.where(col("vec_id") % 17 === 3)
+          .select(col("vec_id"), col("embedding"),
+            lit(2L).as("ingest_seq"), lit("U").as("op")),
+        emb.where(col("vec_id").isin(5L, 6L))
+          .select(col("vec_id"), zeroVec.as("embedding"),
+            lit(2L).as("ingest_seq"), lit("D").as("op")),
+        emb.where(col("vec_id") === 6)
+          .select(col("vec_id"), col("embedding"),
+            lit(3L).as("ingest_seq"), lit("U").as("op")))
+      val tmp = stageOnce(s, d, "graft-vec-takedown-feed") { t =>
+        val dirF = new java.io.File(t)
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          sl.coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(t)
+          dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > 1700000000000L)
+            .foreach(_.setLastModified(1600000000000L + i * 60000L))
+        }
+      }
+      val schema = s.read.parquet(tmp).schema
+      val q = graft.streaming.StreamingIndex.streamingVectorMaintenance(
+        s, tmp, schema, dir)
+      try q.processAllAvailable() finally q.stop()
+      def resurrected: Boolean = {
+        val m6 = IvfModel.load(s, dir).assigned.where(col("id") === 6)
+          .agg(max(col("ingest_seq"))).collect()(0)
+        !m6.isNullAt(0) && m6.getLong(0) == 3L
+      }
+      def eval(stage: String): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
+          mustExclude = Seq(5L))
+          .withColumn("stage", lit(stage))
+          .withColumn("resurrected", lit(resurrected))
+      val pre = eval("served").localCheckpoint()
+      IvfModel.compactUpserts(s, dir)
+      IvfModel.compactDeletes(s, dir)
+      pre.unionByName(eval("compacted")).orderBy("stage", "qid")
+    }),
     "stream_vec_gen_compact" -> ((s, d) => {
       // the PURE-APPEND path's physical debt: every micro-batch append
       // to a manifest vector table commits as its own generation, and
@@ -7826,6 +7891,15 @@ object SparkEntry {
       SELECT 2 * count(*) AS n_rows, true AS gen_bounded,
              true AS fold_fired, true AS state_equal
       FROM embeddings""",
+    // the vector change feed: vec 5 taken down (never a query, serves
+    // excluded — the clean column), vec 6 resurrected at its newest
+    // version, recall floor in both serving states
+    "stream_vec_takedown_real" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS clean, st.stage, true AS resurrected
+      FROM embeddings CROSS JOIN (VALUES ('served'), ('compacted')) st(stage)
+      WHERE vec_id < 20 AND vec_id <> 5
+      ORDER BY st.stage, qid""",
     // the PQ family shares the takedown contract verbatim
     "sim_recall_pq_deleted" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,

@@ -1025,6 +1025,15 @@ object PqModel {
     IvfModel.deleteVectors(spark, s"$dir/ivf", ids, seq)
   }
 
+  /** [[deleteVectors]] with the marker sequence riding IN THE DATA —
+    * see the [[IvfModel.deleteVectors]] seq-column twin.
+    */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String, seqCol: String): Unit = {
+    IvfModel.recoverRetrain(spark, dir)
+    IvfModel.deleteVectors(spark, s"$dir/ivf", ids, idCol, seqCol)
+  }
+
   /** UPSERT ingestion into a persisted IVF-PQ index — ONE logical append
     * maintains BOTH tables: the raw vectors assign to the frozen coarse
     * centroids ([[IvfModel.appendVectors]]) and product-quantize against
@@ -1698,6 +1707,21 @@ object IvfModel {
     ids.select(col(ids.columns.head).cast("long").as("id"),
         lit(seq).as("__del_seq"))
       .repartition(1) // takedown batches are tiny; one marker file
+      .write.mode("append").parquet(deletedPath(spark, dir).toString)
+  }
+
+  /** [[deleteVectors]] with the marker sequence riding IN THE DATA (a
+    * per-row `seqCol`) — the change-feed shape: one micro-batch can carry
+    * takedowns at different points of the event order, and the final
+    * serve state stays a pure function of the event set (the
+    * [[appendVectors]] seq-column twin, on the delete side).
+    */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String, seqCol: String): Unit = {
+    recoverRetrain(spark, dir)
+    ids.select(col(idCol).cast("long").as("id"),
+        col(seqCol).cast("long").as("__del_seq"))
+      .repartition(1)
       .write.mode("append").parquet(deletedPath(spark, dir).toString)
   }
 

@@ -275,6 +275,60 @@ object StreamingIndex {
         ()
       }.start()
 
+  /** Streaming CHANGE-FEED maintenance of a persisted VECTOR index — the
+    * [[streamingIndexMaintenance]] twin, completing the change-feed side
+    * of the text/vector symmetry: each micro-batch carries an `op`
+    * column and routes per row — upserts ('U') assign to the frozen
+    * centroids and append ([[graft.operators.IvfModel.appendVectors]]'s
+    * seq-column form; `pq = true` routes both PQ tables), deletes ('D')
+    * append takedown markers with the row's own sequence
+    * ([[graft.operators.IvfModel.deleteVectors]]'s seq-column form).
+    * Because BOTH event kinds carry their own `seqCol`, the served state
+    * is a pure function of the event set: micro-batch boundaries, U/D
+    * interleaving, and at-least-once redelivery all collapse under the
+    * same supersession order at load/compact time — a marker outranks
+    * every row at or below its seq, and a later re-ingest resurrects
+    * (the documented vector-marker contract; unlike text tombstones,
+    * markers CLEAR at `compactDeletes`, so close the redelivery window
+    * before running vector maintenance).
+    *
+    * The model must already be SAVED (a frozen quantizer is the premise
+    * of streaming vector ingestion — there are no centroids to cold-
+    * create from a delete); a delete-only FIRST micro-batch is fine, the
+    * markers land beside the existing model and outrank the ingest that
+    * follows at a lower seq.
+    */
+  def streamingVectorMaintenance(spark: SparkSession, dir: String,
+      schema: StructType, modelDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seqCol: String = "ingest_seq", opCol: String = "op",
+      maxFilesPerTrigger: Int = 1, pq: Boolean = false): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val upserts = batch.where(col(opCol) === "U")
+        if (!upserts.isEmpty) {
+          if (pq)
+            graft.operators.PqModel.appendVectors(
+              spark, modelDir, upserts, idCol, vecCol, seqCol)
+          else
+            graft.operators.IvfModel.appendVectors(
+              spark, modelDir, upserts, idCol, vecCol, seqCol)
+        }
+        val deletes = batch.where(col(opCol) === "D")
+        if (!deletes.isEmpty) {
+          if (pq)
+            graft.operators.PqModel.deleteVectors(
+              spark, modelDir, deletes, idCol, seqCol)
+          else
+            graft.operators.IvfModel.deleteVectors(
+              spark, modelDir, deletes, idCol, seqCol)
+        }
+        ()
+      }.start()
+
   /** Streaming ANN: answer a stream of text queries against a static fitted
     * index — the stream-static pattern via `foreachBatch`, re-using the
     * batch multi-query plan (bucket equi-join + per-query top-n window)

@@ -907,6 +907,121 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("vector change feed: U/D events with per-row seqs — micro-batch boundaries never change the state; markers outrank, re-ingests resurrect") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val batchDir = java.nio.file.Files.createTempDirectory("vm-cf-b").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("vm-cf-s").toString
+    val seeded = IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+    seeded.save(batchDir, IndexStore.SwapManifest)
+    seeded.save(streamDir, IndexStore.SwapManifest)
+    val zero = transform(col("embedding"), x => x * 0.0f)
+    // the event set: id 3 re-embeds at seq 2; ids 5 and 6 taken down at
+    // seq 2; id 6 re-ingested at seq 3 (resurrect)
+    val ups = emb.where(col("vec_id") === 3)
+      .select(col("vec_id"), col("embedding"),
+        lit(2L).as("ingest_seq"), lit("U").as("op"))
+    val dels = emb.where(col("vec_id").isin(5L, 6L))
+      .select(col("vec_id"), zero.as("embedding"),
+        lit(2L).as("ingest_seq"), lit("D").as("op"))
+    val res = emb.where(col("vec_id") === 6)
+      .select(col("vec_id"), col("embedding"),
+        lit(3L).as("ingest_seq"), lit("U").as("op"))
+
+    // batch twin: one append call per op kind (per-row seqs carry the
+    // event order, so call boundaries are irrelevant by contract)
+    IvfModel.appendVectors(spark, batchDir, ups.unionByName(res),
+      "vec_id", "embedding", "ingest_seq")
+    IvfModel.deleteVectors(spark, batchDir, dels, "vec_id", "ingest_seq")
+
+    // streaming twin: the same events as three micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("vm-cf-feed").toString
+    Seq(ups, dels, res).zipWithIndex.foreach { case (sl, i) =>
+      sl.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > 1700000000000L)
+        .foreach(_.setLastModified(1600000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val q = graft.streaming.StreamingIndex.streamingVectorMaintenance(
+      spark, tmp, schema, streamDir)
+    try q.processAllAvailable() finally q.stop()
+
+    def served(dir: String): Seq[(Long, Long, Int)] =
+      IvfModel.load(spark, dir).assigned
+        .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(served(streamDir) == served(batchDir),
+      "micro-batch boundaries must not change the served state")
+    val s6 = IvfModel.load(spark, streamDir).assigned
+      .where(col("id") === 6).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s6 == Seq(3L), s"id 6 must resurrect at its newest seq: $s6")
+    assert(IvfModel.load(spark, streamDir).assigned
+      .where(col("id") === 5).count() == 0, "id 5 serves excluded")
+    Seq(batchDir, streamDir).foreach { d =>
+      IvfModel.compactUpserts(spark, d); IvfModel.compactDeletes(spark, d)
+    }
+    assert(served(streamDir) == served(batchDir))
+    // live physical state (manifest-resolved — replaced generation dirs
+    // are retained one pass by contract, so raw-parquet would over-read)
+    assert(CellManifest.readTable(spark, s"$streamDir/assigned")
+      .where(col("id") === 5).count() == 0, "physically scrubbed")
+    model.unpersist()
+  }
+
+  test("PQ change feed: the op-routed stream maintains both tables; state equals the batch twin with markers applied") {
+    val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 16)
+    val batchDir = java.nio.file.Files.createTempDirectory("vm-pqcf-b").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("vm-pqcf-s").toString
+    val seeded = PqModel(
+      IvfModel(model.ivf.centroids,
+        model.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+      model.codebooks, model.subDim,
+      model.encoded.withColumn("ingest_seq", lit(1L)))
+    seeded.save(batchDir); seeded.save(streamDir)
+    val zero = transform(col("embedding"), x => x * 0.0f)
+    val ups = emb.where(col("vec_id") === 3)
+      .select(col("vec_id"), col("embedding"),
+        lit(2L).as("ingest_seq"), lit("U").as("op"))
+    val dels = emb.where(col("vec_id") === 5)
+      .select(col("vec_id"), zero.as("embedding"),
+        lit(2L).as("ingest_seq"), lit("D").as("op"))
+    PqModel.appendVectors(spark, batchDir, ups, "vec_id", "embedding",
+      "ingest_seq")
+    PqModel.deleteVectors(spark, batchDir, dels, "vec_id", "ingest_seq")
+    val tmp = java.nio.file.Files.createTempDirectory("vm-pqcf-feed").toString
+    Seq(ups, dels).zipWithIndex.foreach { case (sl, i) =>
+      sl.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > 1700000000000L)
+        .foreach(_.setLastModified(1600000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val q = graft.streaming.StreamingIndex.streamingVectorMaintenance(
+      spark, tmp, schema, streamDir, pq = true)
+    try q.processAllAvailable() finally q.stop()
+    def state(dir: String, table: String): Seq[(Long, Long)] =
+      PqModel.load(spark, dir) match { case m2 =>
+        (if (table == "encoded") m2.encoded else m2.ivf.assigned)
+          .select(col("id"), col("ingest_seq"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      }
+    Seq("encoded", "assigned").foreach { t =>
+      assert(state(streamDir, t) == state(batchDir, t),
+        s"$t: streamed change feed must equal the batch twin")
+    }
+    assert(!state(streamDir, "encoded").exists(_._1 == 5L),
+      "the taken-down id serves excluded from the code table too")
+    model.unpersist()
+  }
+
   test("generation fold: a pure-append manifest table's fan-out collapses to one generation per offending cell — rows untouched, answers identical, idle twice over") {
     val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
       nLists = 8, iters = 1)
