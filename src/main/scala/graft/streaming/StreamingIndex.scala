@@ -297,12 +297,24 @@ object StreamingIndex {
     * create from a delete); a delete-only FIRST micro-batch is fine, the
     * markers land beside the existing model and outrank the ingest that
     * follows at a lower seq.
+    *
+    * Debt knobs: `compactAtSuperseded` / `compactAtGenLists` mirror
+    * [[streamingVectorIngest]] (both redelivery-safe — upsert compaction
+    * keeps winners, the fold moves nothing logically). There is
+    * DELIBERATELY no marker-count trigger: `compactDeletes` CLEARS the
+    * takedown markers, and firing it from inside the sink would close
+    * the redelivery-protection window mid-stream (a replayed pre-delete
+    * batch could then resurrect the id) — scheduling vector delete
+    * compaction belongs to the operator who knows the feed's redelivery
+    * horizon (OPERATIONS.md).
     */
   def streamingVectorMaintenance(spark: SparkSession, dir: String,
       schema: StructType, modelDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seqCol: String = "ingest_seq", opCol: String = "op",
-      maxFilesPerTrigger: Int = 1, pq: Boolean = false): StreamingQuery =
+      maxFilesPerTrigger: Int = 1, pq: Boolean = false,
+      compactAtSuperseded: Long = -1L,
+      compactAtGenLists: Int = -1): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
@@ -325,6 +337,26 @@ object StreamingIndex {
           else
             graft.operators.IvfModel.deleteVectors(
               spark, modelDir, deletes, idCol, seqCol)
+        }
+        if (!batch.isEmpty &&
+            (compactAtSuperseded >= 0L || compactAtGenLists >= 1)) {
+          val debtDir = if (pq) s"$modelDir/ivf" else modelDir
+          val debt = graft.sources.VectorAudit
+            .maintenanceDebt(spark, debtDir).collect()(0)
+          if (compactAtSuperseded >= 0L &&
+              debt.getAs[Long]("superseded_rows") >= compactAtSuperseded) {
+            if (pq) graft.operators.PqModel.compactUpserts(spark, modelDir)
+            else graft.operators.IvfModel.compactUpserts(spark, modelDir)
+          }
+          if (compactAtGenLists >= 1 &&
+              debt.getAs[Long]("gen_lists_max") > compactAtGenLists) {
+            if (pq)
+              graft.operators.PqModel.compactGenerations(
+                spark, modelDir, compactAtGenLists)
+            else
+              graft.operators.IvfModel.compactGenerations(
+                spark, modelDir, compactAtGenLists)
+          }
         }
         ()
       }.start()
