@@ -1386,11 +1386,14 @@ object IvfModel {
     * every cell whose list is LONGER than `maxGenLists` into one fresh
     * generation (the same staged-write + one-manifest-put commit as any
     * rewrite; rows pass through untouched — purely physical, answers
-    * identical by construction). Decision cost is O(1): the generation
-    * lists ARE the manifest, no data is read to decide. Plain
-    * (rename-mode) tables append in place and have no fan-out — no-op.
-    * The sink's `compactAtGenLists` knob drives it from the
-    * `gen_lists_max` debt signal.
+    * identical by construction). Decision cost is O(1) under a manifest
+    * (the generation lists ARE the manifest). Rename-mode tables carry
+    * the SAME debt as per-cell parquet-FILE fan-out (each append lands
+    * one more file per touched cell in place): the threshold applies to
+    * the file count there, the decision is one listStatus per cell dir,
+    * and the fold runs through the rename-aside swap. The sink's
+    * `compactAtGenLists` knob drives both from the `gen_lists_max` debt
+    * signal (reported in the table's own units).
     */
   def compactGenerations(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxGenLists: Int = 16): Unit = {
@@ -1403,17 +1406,28 @@ object IvfModel {
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
       maxGenLists: Int): Unit = {
     require(maxGenLists >= 1, s"maxGenLists must be >= 1: $maxGenLists")
-    if (!graft.sources.CellManifest.isManifest(spark, tableDir)) return
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     maintenanceHead(spark, fs, tableDir)
-    val (_, cells) = graft.sources.CellManifest.read(spark, tableDir)
-    val dirty = cells.filter(_._2.length > maxGenLists).keySet
+    // per-cell read fan-out, in the table's own units: generation-list
+    // length under a manifest, parquet-file count under rename mode
+    // (there each append lands one more file per touched cell in place —
+    // the same one-footer-per-surviving-append debt, different carrier)
+    val dirty: Set[Int] =
+      if (graft.sources.CellManifest.isManifest(spark, tableDir))
+        graft.sources.CellManifest.read(spark, tableDir)._2
+          .filter(_._2.length > maxGenLists).keySet.toSet
+      else
+        fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+          .filter(_.getPath.getName.startsWith("cell="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > maxGenLists)
+          .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
     if (dirty.isEmpty) return
     val kept = graft.sources.CellManifest.readTable(spark, tableDir)
       .withColumn("cell", col("cell").cast("int"))
       .where(col("cell").isin(dirty.toSeq: _*))
-    rewriteCells(spark, fs, tableDir, dirty.toSet, kept)
+    rewriteCells(spark, fs, tableDir, dirty, kept)
   }
 
   /** OFFLINE RETRAIN of a persisted IVF index — the vector twin of

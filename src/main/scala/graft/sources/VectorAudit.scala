@@ -180,12 +180,36 @@ object VectorAudit {
       else spark.read.parquet(delDir.toString)
         .select(col("id")).distinct().count()
     val table = s"$dir/assigned"
+    // per-cell read fan-out, each mode in its own column and unit:
+    // `gen_lists_max` = generation-list length (manifest tables; −1
+    // otherwise), `cell_files_max` = parquet-file count per cell dir
+    // (rename-mode tables, where each append lands one more file per
+    // touched cell in place; −1 under a manifest — generations are the
+    // fold unit there). File counts depend on writer parallelism, so
+    // they live in their own column instead of overloading the
+    // deterministic generation signal. Both drive
+    // [[graft.operators.IvfModel.compactGenerations]] at the same
+    // threshold meaning "units unioned per cell read"; the rename-mode
+    // listing is one listStatus per cell, bounded by nLists.
+    val isManifest = CellManifest.isManifest(spark, table)
     val genMax =
-      if (!CellManifest.isManifest(spark, table)) -1L
+      if (!isManifest) -1L
       else CellManifest.read(spark, table)._2.values
         .map(_.length.toLong).foldLeft(0L)(math.max)
-    Seq((superseded, markers, genMax))
-      .toDF("superseded_rows", "markers_pending", "gen_lists_max")
+    val fileMax =
+      if (isManifest) -1L
+      else {
+        val fs = fsOf(spark, dir)
+        val t = new org.apache.hadoop.fs.Path(table)
+        if (!fs.exists(t)) -1L
+        else fs.listStatus(t).filter(_.getPath.getName.startsWith("cell="))
+          .map(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")).toLong)
+          .foldLeft(-1L)(math.max)
+      }
+    Seq((superseded, markers, genMax, fileMax))
+      .toDF("superseded_rows", "markers_pending", "gen_lists_max",
+        "cell_files_max")
   }
 
   /** OPT-IN reconciliation of the vector index's side state — the

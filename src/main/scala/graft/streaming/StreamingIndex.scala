@@ -262,7 +262,8 @@ object StreamingIndex {
               else graft.operators.IvfModel.compactUpserts(spark, modelDir)
             }
             if (compactAtGenLists >= 1 &&
-                debt.getAs[Long]("gen_lists_max") > compactAtGenLists) {
+                math.max(debt.getAs[Long]("gen_lists_max"),
+                debt.getAs[Long]("cell_files_max")) > compactAtGenLists) {
               if (pq)
                 graft.operators.PqModel.compactGenerations(
                   spark, modelDir, compactAtGenLists)
@@ -349,7 +350,8 @@ object StreamingIndex {
             else graft.operators.IvfModel.compactUpserts(spark, modelDir)
           }
           if (compactAtGenLists >= 1 &&
-              debt.getAs[Long]("gen_lists_max") > compactAtGenLists) {
+              math.max(debt.getAs[Long]("gen_lists_max"),
+                debt.getAs[Long]("cell_files_max")) > compactAtGenLists) {
             if (pq)
               graft.operators.PqModel.compactGenerations(
                 spark, modelDir, compactAtGenLists)

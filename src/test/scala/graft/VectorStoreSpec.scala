@@ -1078,6 +1078,39 @@ class VectorStoreSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("rename-mode file fold: per-cell parquet fan-out is the same debt in a different carrier — folds through the rename swap, reported as cell_files_max") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-filefold").toString
+    IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L))).save(dir)
+    (1 to 3).foreach { i =>
+      IvfModel.appendVectors(spark, dir,
+        emb.where(col("vec_id") % 3 === i % 3)
+          .select((col("vec_id") + i * 10000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", seq = 1L)
+    }
+    def debtRow = VectorAudit.maintenanceDebt(spark, dir).collect()(0)
+    assert(debtRow.getAs[Long]("gen_lists_max") == -1L,
+      "rename mode has no generations")
+    assert(debtRow.getAs[Long]("cell_files_max") >= 3L,
+      s"appends must fan out files per cell: $debtRow")
+    // supersession compaction is a no-op on the pure-append table
+    IvfModel.compactUpserts(spark, dir)
+    assert(debtRow.getAs[Long]("cell_files_max") >= 3L)
+    val before = spark.read.parquet(s"$dir/assigned")
+      .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    IvfModel.compactGenerations(spark, dir, maxGenLists = 1)
+    assert(debtRow.getAs[Long]("cell_files_max") == 1L,
+      s"every cell must fold to one file: $debtRow")
+    val after = spark.read.parquet(s"$dir/assigned")
+      .select(col("id"), col("ingest_seq"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(after == before, "the fold is purely physical")
+    model.unpersist()
+  }
+
   test("PQ generation fold: both manifest tables fold together — codes and assignments byte-equal across the fold") {
     val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
       nLists = 8, m = 8, ks = 16)
