@@ -3736,6 +3736,101 @@ object SparkEntry {
       IvfModel.compactUpserts(s, dir)
       pre.unionByName(eval("post_compact")).orderBy("stage", "qid")
     }),
+    "sim_snapshot_pin" -> ((s, d) => {
+      // NAMED SNAPSHOTS on a manifest vector table — the reproducible-
+      // training-corpus primitive: a training run pins the snapshot it
+      // reads (IvfModel.pinSnapshot — one tiny pin file; zero copies,
+      // data files never move under the manifest protocol) and every
+      // re-run resolves the same bytes while the LIVE index keeps
+      // ingesting and compacting past it. The oracle-checkable claims:
+      // `frozen` = after a post-pin upsert AND a physical compaction of
+      // the live table, the pinned read is EXACTLY the pin-time multiset
+      // (full corpus count, every row at seq 1, zero seq-2 leakage —
+      // DuckDB replays the count); recall floors hold through the pin
+      // (pinned model vs its own truth) and on the live index (final
+      // vectors). VectorStoreSpec pins the gc-retention, unpin-reclaim,
+      // and retrain/save-refusal corners.
+      val dir = roundTripDir(d, "graft-vec-pin-gate")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val staleCorpus = tbl(s, d, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 17 === 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val m = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+        nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir, IndexStore.SwapManifest)
+      m.unpersist()
+      val nCorpus = tbl(s, d, "embeddings").count()
+      IvfModel.pinSnapshot(s, dir, "train_v1")
+      IvfModel.appendVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") % 17 === 3),
+        "vec_id", "embedding", seq = 2L)
+      IvfModel.compactUpserts(s, dir)
+      val pinnedNarrow = graft.sources.CellManifest
+        .readTable(s, s"$dir/assigned", "train_v1")
+        .agg(count(lit(1)), max(col("ingest_seq"))).collect()(0)
+      val frozen = pinnedNarrow.getLong(0) == nCorpus &&
+        pinnedNarrow.getLong(1) == 1L
+      def eval(model: IvfModel, stage: String): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(model,
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+          .withColumn("stage", lit(stage))
+      eval(IvfModel.load(s, dir, "train_v1"), "pinned")
+        .unionByName(eval(IvfModel.load(s, dir), "live"))
+        .withColumn("frozen", lit(frozen))
+        .orderBy("stage", "qid")
+    }),
+    "sim_snapshot_takedown" -> ((s, d) => {
+      // Takedown COMPLIANCE pierces the snapshot: a delete marker
+      // excludes the id from PINNED reads the moment it lands (the
+      // pinned generations are immutable — the marker does the work),
+      // and compactDeletes RETAINS the marker files while any pin exists
+      // (the live generations scrub physically; clearing the marker
+      // would un-delete the id for snapshot readers) then clears them at
+      // the first pass after the last unpin. Claims: `pinned_clean` /
+      // `live_scrubbed` (id 5 invisible through the pin AND physically
+      // gone from the live table), `marker_lifecycle` (retained while
+      // pinned, cleared after unpin), recall floor over the surviving
+      // corpus in both serving states.
+      val dir = roundTripDir(d, "graft-vec-pin-takedown")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      val m = SimSearch.trainIvf(tbl(s, d, "embeddings"),
+        "vec_id", "embedding", nLists = 16, iters = 2)
+      IvfModel(m.centroids, m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir, IndexStore.SwapManifest)
+      m.unpersist()
+      IvfModel.pinSnapshot(s, dir, "audit_v1")
+      IvfModel.deleteVectors(s, dir,
+        tbl(s, d, "embeddings").where(col("vec_id") === 5).select("vec_id"),
+        seq = 2L)
+      IvfModel.compactDeletes(s, dir)
+      val delDir = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+      val retained = fs.exists(delDir)
+      val pinnedClean = IvfModel.load(s, dir, "audit_v1").assigned
+        .where(col("id") === 5).count() == 0L
+      val liveScrubbed = graft.sources.CellManifest
+        .readTable(s, s"$dir/assigned")
+        .where(col("id") === 5).count() == 0L
+      def eval(model: IvfModel, stage: String): DataFrame =
+        SimSearch.ivfRecallEvalFromModel(model,
+          nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
+          mustExclude = Seq(5L))
+          .withColumn("stage", lit(stage))
+      val out = eval(IvfModel.load(s, dir, "audit_v1"), "pinned")
+        .unionByName(eval(IvfModel.load(s, dir), "live"))
+        .localCheckpoint()
+      IvfModel.unpinSnapshot(s, dir, "audit_v1")
+      IvfModel.compactDeletes(s, dir)
+      val cleared = !fs.exists(delDir)
+      out.withColumn("pinned_clean", lit(pinnedClean))
+        .withColumn("live_scrubbed", lit(liveScrubbed))
+        .withColumn("marker_lifecycle", lit(retained && cleared))
+        .orderBy("stage", "qid")
+    }),
     "stream_vec_debt_compact" -> ((s, d) => {
       // DEBT-TRIGGERED maintenance in the VECTOR streaming sink — the
       // stream_index_debt_compact twin, completing the text/vector
@@ -7875,6 +7970,24 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20
+      ORDER BY st.stage, qid""",
+    // named snapshots: `frozen` replays in DuckDB as "the pinned read is
+    // the full pin-time corpus at seq 1" — the engine computes it from
+    // the pinned manifest AFTER a live upsert + physical compaction
+    "sim_snapshot_pin" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage,
+             true AS frozen
+      FROM embeddings CROSS JOIN (VALUES ('pinned'), ('live')) st(stage)
+      WHERE vec_id < 20
+      ORDER BY st.stage, qid""",
+    // takedown pierces the pin: id 5 invisible in BOTH serving states,
+    // markers retained-while-pinned then cleared after the unpin
+    "sim_snapshot_takedown" -> """
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+             st.stage, true AS pinned_clean, true AS live_scrubbed,
+             true AS marker_lifecycle
+      FROM embeddings CROSS JOIN (VALUES ('pinned'), ('live')) st(stage)
+      WHERE vec_id < 20 AND vec_id <> 5
       ORDER BY st.stage, qid""",
     // the vector streaming sink's debt trigger: recall floor over the
     // final vectors + the compacted-by-debt physical claim (the harness

@@ -947,6 +947,11 @@ final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
     */
   def save(dir: String, swap: String): Unit = {
     val spark = encoded.sparkSession
+    // a re-save overwrites both cell tables' generations — refuse while
+    // snapshot pins reference either (ivf.save re-checks its own half)
+    if (graft.sources.CellManifest.isManifest(spark, s"$dir/encoded"))
+      graft.sources.CellManifest.requireNoPins(spark, s"$dir/encoded",
+        "save (overwrite)")
     val preEpoch = graft.sources.Fence.current(spark, s"$dir/encoded")
     graft.sources.Fence.begin(spark, dir) // the PQ model-level claim
     ivf.save(s"$dir/ivf", swap)
@@ -973,7 +978,6 @@ object PqModel {
     * scores equal the fitted session's.
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): PqModel = {
-    import org.apache.spark.sql.functions.col
     // a committed-but-unfinished retrain swap fails the reader LOUDLY:
     // without the check a load between the component renames would pair
     // new codes with old codebooks silently. Readers never run the
@@ -981,7 +985,64 @@ object PqModel {
     // component) — a maintenance head, or an explicit recoverRetrain,
     // finishes the swap under the writer's claim.
     IvfModel.requireNoPendingRetrainSwap(spark, dir)
-    val ivf = IvfModel.load(spark, s"$dir/ivf")
+    loadResolved(spark, dir, IvfModel.load(spark, s"$dir/ivf"),
+      graft.sources.CellManifest.readTable(spark, s"$dir/encoded"))
+  }
+
+  /** Load the IVF-PQ index AT A NAMED SNAPSHOT ([[pinSnapshot]]): both
+    * cell tables resolve through their pinned manifests; codebooks and
+    * centroids are snapshot-stable (only retrain replaces them, and
+    * retrain refuses while pins exist). Takedown markers pierce the pin
+    * at read time on both halves — the [[IvfModel.load]] contract.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      pin: String): PqModel = {
+    IvfModel.requireNoPendingRetrainSwap(spark, dir)
+    loadResolved(spark, dir, IvfModel.load(spark, s"$dir/ivf", pin),
+      graft.sources.CellManifest.readTable(spark, s"$dir/encoded", pin))
+  }
+
+  /** PIN the IVF-PQ index's current ingest state under ONE name covering
+    * BOTH cell tables (assigned + encoded) — see [[IvfModel.pinSnapshot]].
+    * The marker-governing ivf half pins first, so marker retention (and
+    * the retrain/save refusals) key off it; quiesce the writer across the
+    * two puts, or accept that a pin racing an in-flight append captures
+    * the pre-append state of whichever table had not committed yet (the
+    * same still-consistent-union contract as [[PqModel.save]]'s
+    * table-at-a-time flips — serving joins the halves by id, so a
+    * one-sided batch is invisible). Returns the encoded table's pinned
+    * manifest number.
+    */
+  def pinSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Long = {
+    IvfModel.requireNoPendingRetrainSwap(spark, dir)
+    IvfModel.pinSnapshot(spark, s"$dir/ivf", name)
+    try graft.sources.CellManifest.pin(spark, s"$dir/encoded", name)
+    catch { case e: Throwable =>
+      // keep the two halves atomic-ish: a failed second put rolls back
+      // the first so no half-pinned name dangles
+      IvfModel.unpinSnapshot(spark, s"$dir/ivf", name)
+      throw e
+    }
+  }
+
+  def unpinSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit = {
+    graft.sources.CellManifest.unpin(spark, s"$dir/encoded", name)
+    IvfModel.unpinSnapshot(spark, s"$dir/ivf", name)
+  }
+
+  /** Every named snapshot on the index (the ivf half is authoritative —
+    * [[pinSnapshot]] writes it first and [[unpinSnapshot]] clears it
+    * last).
+    */
+  def snapshots(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] =
+    IvfModel.snapshots(spark, s"$dir/ivf")
+
+  private def loadResolved(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ivf: IvfModel, rawEncoded: DataFrame): PqModel = {
+    import org.apache.spark.sql.functions.col
     val rows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val m = rows.map(_._1).max + 1
@@ -991,7 +1052,7 @@ object PqModel {
     val subDim = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
     // partition column returns as the pruning key; cast pins the int type
     // the in-memory model uses (the IvfModel.load convention)
-    val raw = graft.sources.CellManifest.readTable(spark, s"$dir/encoded")
+    val raw = rawEncoded
       .withColumn("cell", col("cell").cast("int"))
     // one takedown marker governs BOTH tables: IvfModel.load already
     // excluded the assigned side; mirror it on the encoded side — with
@@ -1119,6 +1180,9 @@ object PqModel {
   def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
       nLists: Int, m: Int, ks: Int): Unit = {
     IvfModel.recoverRetrain(spark, dir)
+    // snapshot pins reference the current generations of BOTH cell
+    // tables — refuse before the fit is paid for, and again at commit
+    IvfModel.requirePinFree(spark, s"$dir/ivf", "retrain")
     val fenceTok = graft.sources.Fence.begin(spark, dir)
     val snap = IvfModel.retrainSnapshot(spark, s"$dir/ivf")
     val cur = load(spark, dir) // markers applied in both halves
@@ -1146,6 +1210,7 @@ object PqModel {
     // then the fence; a refusal leaves the stage unflagged and discarded
     graft.sources.MaintHooks.at("retrain.staged", dir)
     IvfModel.requireRetrainUnmoved(spark, s"$dir/ivf", snap)
+    IvfModel.requirePinFree(spark, s"$dir/ivf", "retrain") // a pin landed
     graft.sources.Fence.check(spark, dir, fenceTok)
     fs.create(new org.apache.hadoop.fs.Path(s"$stage/_complete"), true).close()
     IvfModel.finishRetrainSwap(spark, dir)
@@ -1244,6 +1309,9 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     */
   def save(dir: String, swap: String): Unit = {
     val spark = assigned.sparkSession
+    // a re-save overwrites every generation — refuse while snapshot pins
+    // reference them (the same whole-table guard as retrain)
+    IvfModel.requirePinFree(spark, dir, "save (overwrite)")
     // a save claims the model; the cell-table overwrite wipes the fence
     // inside it, so the epoch re-seeds past the pre-save value (stale
     // tokens can never collide with post-save claims)
@@ -1465,6 +1533,10 @@ object IvfModel {
   def retrain(spark: org.apache.spark.sql.SparkSession, dir: String,
       nLists: Int, iters: Int = 2): Unit = {
     recoverRetrain(spark, dir)
+    // snapshot pins reference the CURRENT generations, which the swap
+    // replaces wholesale — refuse at the head (cheap, before the Lloyd
+    // fit is paid for) and again at the commit point below
+    requirePinFree(spark, dir, "retrain")
     val fenceTok = graft.sources.Fence.begin(spark, dir)
     val snap = retrainSnapshot(spark, dir)
     val cur = load(spark, dir) // markers applied at load
@@ -1491,11 +1563,21 @@ object IvfModel {
     // maintenance head discards it and the live index is unchanged
     graft.sources.MaintHooks.at("retrain.staged", dir)
     requireRetrainUnmoved(spark, dir, snap)
+    requirePinFree(spark, dir, "retrain") // a pin landed while staging
     graft.sources.Fence.check(spark, dir, fenceTok)
     // the flag commits the intent: everything below is re-runnable
     fs.create(new org.apache.hadoop.fs.Path(stage, "_complete"), true).close()
     finishRetrainSwap(spark, dir)
   }
+
+  /** [[graft.sources.CellManifest.requireNoPins]] scoped to the index's
+    * assigned table — no-op for rename-mode tables (pins need manifests).
+    */
+  private[operators] def requirePinFree(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      op: String): Unit =
+    if (graft.sources.CellManifest.isManifest(spark, s"$dir/assigned"))
+      graft.sources.CellManifest.requireNoPins(spark, s"$dir/assigned", op)
 
   /** What the live index looked like when a retrain snapshotted it: the
     * newest ingest_seq, the physical row count of the assigned table, and
@@ -1659,6 +1741,38 @@ object IvfModel {
     rewriteCells(spark, fs, tableDir, dirty, kept)
   }
 
+  /** PIN the index's current ingest state as a named SNAPSHOT — the
+    * reproducible-training-corpus primitive: [[load]]`(dir, pin = name)`
+    * answers with these exact bytes while the live index keeps appending,
+    * upserting, and compacting (pinned generations are retained by the
+    * manifest gc; data files never move, so the snapshot costs zero
+    * copies). Requires the manifest swap strategy — rename-mode
+    * compaction rewrites files in place, which cannot freeze. Reader-
+    * initiated (no fence claim); `retrain` and a re-`save` refuse while
+    * pins exist (both replace the generations wholesale); takedown
+    * markers deliberately pierce the pin (see [[load]]'s pinned overload).
+    * Returns the pinned manifest number.
+    */
+  def pinSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Long = {
+    // a flagged pending retrain swap means the generations the pin would
+    // reference are about to be replaced — same loud guard as readers
+    requireNoPendingRetrainSwap(spark, dir)
+    graft.sources.CellManifest.pin(spark, s"$dir/assigned", name)
+  }
+
+  /** Release a named snapshot: its generations reclaim at the next
+    * maintenance pass. The training run that pinned owns the unpin.
+    */
+  def unpinSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit =
+    graft.sources.CellManifest.unpin(spark, s"$dir/assigned", name)
+
+  /** Every named snapshot on the index: name -> pinned manifest number. */
+  def snapshots(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] =
+    graft.sources.CellManifest.pins(spark, s"$dir/assigned")
+
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
     // a committed retrain whose swap crashed leaves a window where new
     // `assigned` and old `centroids` are both live — a load there would
@@ -1667,11 +1781,35 @@ object IvfModel {
     // recovery runs at maintenance heads / recoverRetrain, never from
     // readers (two racing reader-recoveries could strand a component).
     requireNoPendingRetrainSwap(spark, dir)
-    val centroids = loadCentroids(spark, dir)
     // partition column comes back as the pruning key; cast pins the int
     // type the in-memory model uses; a manifest-governed table resolves
     // its live generation directories, a plain one reads directly
-    val assigned = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
+    loadResolved(spark, dir,
+      graft.sources.CellManifest.readTable(spark, s"$dir/assigned"))
+  }
+
+  /** Load the index AT A NAMED SNAPSHOT ([[pinSnapshot]]): the assigned
+    * table resolves through the pinned manifest — the exact ingest state
+    * the pin froze, however far the live table has appended or compacted
+    * past it. Centroids are snapshot-stable by construction (only a
+    * retrain replaces them, and retrain REFUSES while pins exist).
+    * Takedown markers are NOT frozen: they apply at read time, so a
+    * deleted id disappears from every snapshot the moment its marker
+    * lands — compliance outranks reproducibility, deliberately (and
+    * `compactDeletes` retains marker files while pins exist so the
+    * exclusion survives the live table's physical scrub).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      pin: String): IvfModel = {
+    requireNoPendingRetrainSwap(spark, dir)
+    loadResolved(spark, dir,
+      graft.sources.CellManifest.readTable(spark, s"$dir/assigned", pin))
+  }
+
+  private def loadResolved(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rawAssigned: DataFrame): IvfModel = {
+    val centroids = loadCentroids(spark, dir)
+    val assigned = rawAssigned
       .withColumn("cell", col("cell").cast("int"))
     // the takedown side file, when present, excludes marked ids from
     // EVERY query the moment the marker lands — broadcast above the
@@ -1775,7 +1913,17 @@ object IvfModel {
     val markers = deletedMarkers(spark, dir)
     scrubCellTable(spark, s"$dir/assigned", markers)
     graft.sources.VectorAudit.compactDeletes(spark, dir, markers)
-    fs.delete(delDir, true)
+    // snapshot pins keep the PRE-DELETE generations readable, and a
+    // pinned read excludes deleted ids through these markers (compliance
+    // pierces the pin) — so while any pin exists the markers RETAIN: the
+    // physical scrub of the live generations must not un-delete the id
+    // for snapshot readers. They clear at the first compactDeletes after
+    // the last unpin; the redelivery-protection window (bounded by
+    // compaction cadence) stretches with them, never shrinks.
+    if (!graft.sources.CellManifest.isManifest(spark, s"$dir/assigned") ||
+        graft.sources.CellManifest.pins(spark, s"$dir/assigned").isEmpty) {
+      fs.delete(delDir, true); ()
+    }
   }
 
   /** Rewrite ONLY the `cell=` directories of a cell-partitioned table that

@@ -83,6 +83,22 @@ object CellManifest {
       .filter(_.startsWith("manifest-"))
     require(files.nonEmpty, s"manifest table $tableDir has no manifest file")
     val g = files.map(_.stripPrefix("manifest-").toLong).max
+    (g, readAt(spark, tableDir, g))
+  }
+
+  /** The cell -> generation map of ONE SPECIFIC manifest number — the
+    * time-travel resolution a [[pin]] reader uses. Loud when the number
+    * is gone (gc reclaimed it: only the newest two and pinned manifests
+    * survive a maintenance pass).
+    */
+  def readAt(spark: SparkSession, tableDir: String,
+      g: Long): Map[Int, Seq[Long]] = {
+    val fs = fsOf(spark, tableDir)
+    val md = manifestDir(tableDir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(md, s"manifest-$g")),
+      s"manifest-$g of $tableDir no longer exists — unpinned manifests " +
+        "are retained only one maintenance pass; pin a snapshot before " +
+        "relying on its number")
     val in = fs.open(new org.apache.hadoop.fs.Path(md, s"manifest-$g"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -100,11 +116,139 @@ object CellManifest {
       c.toInt -> (if (gens.isEmpty) Seq.empty[Long]
                   else gens.split(",").map(_.toLong).toSeq)
     }.toMap
-    (g, cells)
+    cells
   }
 
   /** Final line of every manifest — the whole-file integrity witness. */
   private val EofLine = "#eof"
+
+  // ---------------------------------------------------------------- pins
+
+  private val PinPrefix = "pin-"
+  private val PinName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  private def pinPath(tableDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(manifestDir(tableDir), s"$PinPrefix$name")
+
+  /** PIN the table's current state as a named SNAPSHOT: records the
+    * newest manifest number in `_vmanifest/pin-<name>`, and from then on
+    * [[gc]] retains that manifest AND every generation directory it
+    * references — so [[readTable]]`(pin = name)` keeps answering with the
+    * pinned truth while the live table appends, upserts, and compacts
+    * freely past it (each rewrite lands in NEW generations; pinned data
+    * files are never touched — the manifest protocol's data-never-moves
+    * property is what makes snapshots free). The reproducible-corpus
+    * primitive: a training run pins the snapshot it reads, re-runs
+    * resolve the same bytes, and the pin is a named, auditable object.
+    *
+    * Pins are READER-initiated — no fence claim (a training run must not
+    * fence out the maintenance writer). Create-exclusive per name: a
+    * second pin of the same name fails loudly ([[unpin]] first — pins are
+    * immutable). Two whole-table writer ops refuse while pins exist,
+    * checked at their commit points: a model re-`save` (the overwrite
+    * wipes every generation) and `retrain` (the swap replaces the table
+    * wholesale). Takedowns are NOT frozen: delete markers apply to pinned
+    * reads at read time (compliance outranks reproducibility — see
+    * [[graft.operators.IvfModel.load]]), and marker files are retained by
+    * `compactDeletes` while any pin exists so the exclusion survives the
+    * physical scrub of the live generations.
+    *
+    * Returns the pinned manifest number. The post-write validation guards
+    * the one real race: a pin landing while TWO maintenance passes
+    * complete (flip + gc twice) could reference a reclaimed manifest —
+    * then the pin self-deletes and throws instead of dangling.
+    */
+  def pin(spark: SparkSession, tableDir: String, name: String): Long = {
+    require(PinName.pattern.matcher(name).matches(),
+      s"pin name '$name' must match ${PinName.regex}")
+    require(isManifest(spark, tableDir),
+      s"$tableDir is not manifest-governed — snapshots need the manifest " +
+        "swap strategy (rename-mode compaction rewrites files in place, " +
+        "which cannot freeze); save with swap = manifest")
+    val fs = fsOf(spark, tableDir)
+    val (m, _) = read(spark, tableDir)
+    val p = pinPath(tableDir, name)
+    val out = try fs.create(p, false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"snapshot pin '$name' already exists on $tableDir — pins are " +
+          "immutable; unpin first or choose a new name", e)
+    }
+    try out.write(s"$m\n$EofLine".getBytes("UTF-8")) finally out.close()
+    // validate against the pin-vs-gc race: the manifest we pinned (and
+    // every generation it references) must still exist now that the pin
+    // is visible to gc — if a concurrent maintenance pass reclaimed it
+    // between our read and the pin put, fail loudly and leave nothing
+    try {
+      val cells = readAt(spark, tableDir, m)
+      val missing = cells.values.flatten.toSet.filter(_ != 0L).filterNot(g =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/_gen-$g")))
+      require(missing.isEmpty,
+        s"pinned manifest-$m references reclaimed generations $missing")
+      val missingBase = cells.collect {
+        case (c, gs) if gs.contains(0L) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c")) => c
+      }
+      require(missingBase.isEmpty,
+        s"pinned manifest-$m references reclaimed base cells $missingBase")
+      m
+    } catch {
+      case e: Throwable =>
+        fs.delete(p, false)
+        throw new IllegalStateException(
+          s"snapshot pin '$name' on $tableDir raced a maintenance pass " +
+            s"that reclaimed manifest-$m — the pin was rolled back; " +
+            "re-pin (the retry resolves the newer manifest)", e)
+    }
+  }
+
+  /** Drop a named snapshot: the pinned manifest and any generations only
+    * it referenced become reclaimable at the next maintenance pass (gc
+    * runs at pass heads — nothing deletes at unpin time). Loud on an
+    * unknown name, so a typo cannot silently leave the real pin holding
+    * storage forever.
+    */
+  def unpin(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val p = pinPath(tableDir, name)
+    require(fs.exists(p), s"no snapshot pin '$name' on $tableDir " +
+      s"(pins: ${pins(spark, tableDir).keys.toSeq.sorted.mkString(", ")})")
+    fs.delete(p, false); ()
+  }
+
+  /** Every named snapshot on the table: name -> pinned manifest number. */
+  def pins(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val fs = fsOf(spark, tableDir)
+    val md = manifestDir(tableDir)
+    if (!fs.exists(md)) return Map.empty
+    fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith(PinPrefix)).map { f =>
+        val name = f.stripPrefix(PinPrefix)
+        val in = fs.open(new org.apache.hadoop.fs.Path(md, f))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+        // same torn-put witness as the manifests: a pin that did not land
+        // whole must not silently pin nothing
+        require(lines.lastOption.contains(EofLine),
+          s"snapshot pin '$name' of $tableDir is TORN — the put did not " +
+            "land whole; delete and re-pin")
+        name -> lines.head.toLong
+      }.toMap
+  }
+
+  /** Loud guard for whole-table writer ops (re-save, retrain swap): both
+    * replace every generation, which would tear the bytes out from under
+    * the named snapshots. Checked at the op's head AND its commit point.
+    */
+  def requireNoPins(spark: SparkSession, tableDir: String, op: String): Unit = {
+    val ps = pins(spark, tableDir)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$op on $tableDir refused: snapshot pins " +
+        s"${ps.keys.toSeq.sorted.mkString("[", ", ", "]")} reference the " +
+        "current generations, which this op would replace wholesale — " +
+        "unpin them (or copy the pinned snapshot out) first; nothing " +
+        "was changed")
+  }
 
   /** One line per cell, `cell=g1,g2,...`; the put is staged through a
     * hidden sibling and renamed in — on a real object store this is the
@@ -219,15 +363,24 @@ object CellManifest {
   def gc(spark: SparkSession, tableDir: String): Unit = {
     val fs = fsOf(spark, tableDir)
     val (_, cells) = read(spark, tableDir)
-    val liveGens = cells.values.flatten.toSet
+    // PINNED manifests extend liveness: a named snapshot's manifest and
+    // every generation (and gen-0 base cell) it references survive gc
+    // until the pin drops — that is the whole snapshot contract
+    val pinnedMaps = pins(spark, tableDir).values.toSet[Long]
+      .map(m => readAt(spark, tableDir, m))
+    val liveGens = cells.values.flatten.toSet ++
+      pinnedMaps.flatMap(_.values.flatten)
     // shared generation discipline: replaced generations and crashed
     // unreferenced stages reclaim together at the maintenance head
     Generations.dropUnreferenced(fs, new org.apache.hadoop.fs.Path(tableDir),
       liveGens.contains)
+    def gen0Live(c: Int): Boolean =
+      cells.get(c).exists(_.contains(0L)) ||
+        pinnedMaps.exists(_.get(c).exists(_.contains(0L)))
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("cell=") &&
-          !cells.get(name.stripPrefix("cell=").toInt).exists(_.contains(0L))) {
+          !gen0Live(name.stripPrefix("cell=").toInt)) {
         fs.delete(st.getPath, true); ()
       }
     }
@@ -235,11 +388,12 @@ object CellManifest {
     // numbering advances by 2 — gen then manifest — so "m - 1" names a
     // file that never existed and comparing against it would delete the
     // in-flight reader's resolution target, the immediately previous one)
+    // plus every PINNED number, each a named snapshot's resolution target
     val md = manifestDir(tableDir)
     val nums = fs.listStatus(md).map(_.getPath.getName)
       .filter(_.startsWith("manifest-"))
       .map(_.stripPrefix("manifest-").toLong).sorted
-    val keep = nums.takeRight(2).toSet
+    val keep = nums.takeRight(2).toSet ++ pins(spark, tableDir).values
     nums.filterNot(keep).foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(md, s"manifest-$n"), false); ()
     }
@@ -264,7 +418,29 @@ object CellManifest {
   def readTable(spark: SparkSession, tableDir: String): DataFrame = {
     if (!isManifest(spark, tableDir))
       return spark.read.parquet(tableDir)
-    val (_, cells) = read(spark, tableDir)
+    scanCells(spark, tableDir, read(spark, tableDir)._2)
+  }
+
+  /** TIME-TRAVEL read of a named snapshot ([[pin]]): resolves the pinned
+    * manifest number and scans exactly the generation directories it
+    * listed — the same bytes every time, however far the live table has
+    * moved. Loud on an unknown pin (a dropped pin's generations may
+    * already be reclaimed — serving a partial table silently is the one
+    * forbidden outcome).
+    */
+  def readTable(spark: SparkSession, tableDir: String, pin: String): DataFrame = {
+    require(isManifest(spark, tableDir),
+      s"$tableDir is not manifest-governed — snapshots need the manifest " +
+        "swap strategy (save with swap = manifest)")
+    val m = pins(spark, tableDir).getOrElse(pin,
+      throw new IllegalArgumentException(
+        s"no snapshot pin '$pin' on $tableDir (pins: " +
+          s"${pins(spark, tableDir).keys.toSeq.sorted.mkString(", ")})"))
+    scanCells(spark, tableDir, readAt(spark, tableDir, m))
+  }
+
+  private def scanCells(spark: SparkSession, tableDir: String,
+      cells: Map[Int, Seq[Long]]): DataFrame = {
     require(cells.nonEmpty,
       s"manifest table $tableDir is empty — every cell was dropped; " +
         "re-save the model instead of querying a vacated table")

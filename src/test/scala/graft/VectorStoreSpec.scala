@@ -1189,4 +1189,180 @@ class VectorStoreSpec extends AnyFunSuite {
       "the re-embedded id serves its seq-2 codes only")
     model.unpersist()
   }
+
+  private def idSeqs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("id"), col("ingest_seq")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("snapshot pin: time-travel reads stay byte-stable across append + compaction + gc; live moves on; unpin reclaims next pass") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pin").toString
+    IvfModel(model.centroids,
+        model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    model.unpersist()
+    val table = s"$dir/assigned"
+    val qv = qvOf(7L)
+    val truthAtPin = idSeqs(CellManifest.readTable(spark, table))
+    val answerAtPin = topIds(dir, qv, 3)
+
+    val m = IvfModel.pinSnapshot(spark, dir, "train_v1")
+    assert(IvfModel.snapshots(spark, dir) == Map("train_v1" -> m))
+
+    // the live table moves: upsert, physical compaction (rewrites the
+    // dirty cells into NEW generations), and the gc at each maintenance
+    // head — none of which may touch the pinned truth
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    IvfModel.compactUpserts(spark, dir)
+    IvfModel.compactGenerations(spark, dir, maxGenLists = 1)
+
+    assert(idSeqs(CellManifest.readTable(spark, table, "train_v1"))
+      == truthAtPin, "the pinned multiset must be exactly the pin-time truth")
+    val pinned = IvfModel.load(spark, dir, "train_v1")
+    assert(pinned.query(qv, 3, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq == answerAtPin,
+      "a pinned query must answer the pin-time truth")
+    assert(pinned.assigned.where(col("ingest_seq") === 2L).count() == 0,
+      "post-pin ingest must be invisible through the pin")
+    val live = IvfModel.load(spark, dir).assigned
+      .where(col("id") === 3).select("ingest_seq")
+      .collect().map(_.getLong(0)).toSeq
+    assert(live == Seq(2L), s"the live table must serve the upsert: $live")
+
+    // unpin: the generations only the pin referenced reclaim at the NEXT
+    // maintenance head, and the pinned name resolves loudly never stale
+    IvfModel.unpinSnapshot(spark, dir, "train_v1")
+    intercept[IllegalArgumentException] {
+      CellManifest.readTable(spark, table, "train_v1")
+    }
+    IvfModel.compactUpserts(spark, dir) // gc runs at its head
+    val manifests = new java.io.File(s"$table/_vmanifest").listFiles()
+      .map(_.getName).filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong).sorted
+    assert(!manifests.contains(m),
+      s"the unpinned manifest must reclaim at the next pass: $manifests")
+  }
+
+  test("snapshot pin guards: double-pin throws, unknown unpin throws, rename-mode refuses, re-save and retrain refuse while pinned") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pin-guard").toString
+    val seeded = IvfModel(model.centroids,
+      model.assigned.withColumn("ingest_seq", lit(1L)))
+    seeded.save(dir, IndexStore.SwapManifest)
+    IvfModel.pinSnapshot(spark, dir, "p1")
+    intercept[IllegalStateException] { IvfModel.pinSnapshot(spark, dir, "p1") }
+    intercept[IllegalArgumentException] {
+      IvfModel.unpinSnapshot(spark, dir, "nope")
+    }
+
+    // whole-table writers refuse while the pin references the generations
+    val exR = intercept[IllegalStateException] {
+      IvfModel.retrain(spark, dir, nLists = 8, iters = 1)
+    }
+    assert(exR.getMessage.contains("p1"), exR.getMessage)
+    val exS = intercept[IllegalStateException] {
+      seeded.save(dir, IndexStore.SwapManifest)
+    }
+    assert(exS.getMessage.contains("p1"), exS.getMessage)
+    // both refusals changed nothing: the pin still reads, the live table
+    // still serves seq-1 truth
+    assert(idSeqs(CellManifest.readTable(spark, s"$dir/assigned", "p1"))
+      == idSeqs(CellManifest.readTable(spark, s"$dir/assigned")))
+
+    // after the unpin, retrain proceeds (the refusal was the pin, nothing
+    // else) — and a rename-mode table has no manifest to pin against
+    IvfModel.unpinSnapshot(spark, dir, "p1")
+    IvfModel.retrain(spark, dir, nLists = 8, iters = 1)
+    val renameDir = java.nio.file.Files.createTempDirectory("vm-pin-ren").toString
+    seeded.save(renameDir) // rename mode
+    intercept[IllegalArgumentException] {
+      IvfModel.pinSnapshot(spark, renameDir, "p1")
+    }
+    model.unpersist()
+  }
+
+  test("snapshot pin vs takedown: markers pierce the pin at read time; compactDeletes retains markers while pinned, clears after unpin") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pin-del").toString
+    IvfModel(model.centroids,
+        model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    model.unpersist()
+    IvfModel.pinSnapshot(spark, dir, "audit_v1")
+    IvfModel.deleteVectors(spark, dir,
+      emb.where(col("vec_id") === 5).select("vec_id"), seq = 2L)
+
+    // compliance outranks reproducibility: the marker excludes the id
+    // from the PINNED read immediately, though the pinned bytes hold it
+    assert(IvfModel.load(spark, dir, "audit_v1").assigned
+      .where(col("id") === 5).count() == 0,
+      "a takedown must pierce the pin at read time")
+    assert(CellManifest.readTable(spark, s"$dir/assigned", "audit_v1")
+      .where(col("id") === 5).count() == 1,
+      "the pinned generation itself is immutable — the marker does the work")
+
+    IvfModel.compactDeletes(spark, dir)
+    assert(CellManifest.readTable(spark, s"$dir/assigned")
+      .where(col("id") === 5).count() == 0,
+      "the live table must physically scrub")
+    assert(new java.io.File(s"$dir/deleted").exists(),
+      "markers must RETAIN while a pin exists — the pinned read depends " +
+        "on them for the exclusion")
+    assert(IvfModel.load(spark, dir, "audit_v1").assigned
+      .where(col("id") === 5).count() == 0,
+      "the pinned read must stay clean after the live scrub")
+
+    IvfModel.unpinSnapshot(spark, dir, "audit_v1")
+    IvfModel.compactDeletes(spark, dir)
+    assert(!new java.io.File(s"$dir/deleted").exists(),
+      "markers clear at the first compactDeletes after the last unpin")
+  }
+
+  test("PQ snapshot pin: one name covers both cell tables; pinned queries answer the pin-time truth; a half-failed pin rolls back") {
+    val model = SimSearch.trainIvfPq(staleCorpus, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 16)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pin-pq").toString
+    PqModel(IvfModel(model.ivf.centroids,
+        model.ivf.assigned.withColumn("ingest_seq", lit(1L))),
+      model.codebooks, model.subDim,
+      model.encoded.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    model.unpersist()
+    val truthAtPin = idSeqs(CellManifest.readTable(spark, s"$dir/encoded"))
+    PqModel.pinSnapshot(spark, dir, "pq_v1")
+    assert(PqModel.snapshots(spark, dir).contains("pq_v1"))
+
+    PqModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    PqModel.compactUpserts(spark, dir)
+
+    val pinned = PqModel.load(spark, dir, "pq_v1")
+    assert(idSeqs(pinned.encoded) == truthAtPin,
+      "the pinned encoded table must be exactly the pin-time truth")
+    assert(pinned.ivf.assigned.where(col("ingest_seq") === 2L).count() == 0
+      && pinned.encoded.where(col("ingest_seq") === 2L).count() == 0,
+      "post-pin ingest must be invisible through the pin in BOTH tables")
+    assert(PqModel.load(spark, dir).encoded.where(col("id") === 3)
+      .select("ingest_seq").collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the live index must serve the upsert")
+
+    // a duplicate-name pin fails on the FIRST half and leaves no
+    // half-pinned state; a fresh name that fails on the second half
+    // rolls the first back (forced by pinning the encoded name directly)
+    intercept[IllegalStateException] { PqModel.pinSnapshot(spark, dir, "pq_v1") }
+    CellManifest.pin(spark, s"$dir/encoded", "half")
+    intercept[IllegalStateException] { PqModel.pinSnapshot(spark, dir, "half") }
+    assert(!PqModel.snapshots(spark, dir).contains("half"),
+      "a half-failed pin must roll back the ivf half")
+    CellManifest.unpin(spark, s"$dir/encoded", "half")
+
+    PqModel.unpinSnapshot(spark, dir, "pq_v1")
+    assert(PqModel.snapshots(spark, dir).isEmpty
+      && CellManifest.pins(spark, s"$dir/encoded").isEmpty,
+      "unpin must clear both halves")
+  }
 }
