@@ -1718,27 +1718,50 @@ object IvfModel {
     val raw = graft.sources.CellManifest.readTable(spark, tableDir)
       .withColumn("cell", col("cell").cast("int"))
     if (!raw.columns.contains("ingest_seq")) return
-    val winners = raw.groupBy(col("id"))
-      .agg(max(col("ingest_seq")).as("__wseq"))
-    val narrow = raw.select(col("id"), col("ingest_seq"), col("cell"))
     // dirty = cells holding a superseded row OR a same-seq duplicate (an
     // at-least-once replay that landed twice) — the duplicate criterion
     // matches [[graft.sources.VectorAudit.compactUpserts]]'s exactly, so
     // the cell table and its audit mirror dedupe the same rows and
-    // verifyVectorState stays clean across any compaction order
-    val superseded = narrow.join(winners, Seq("id"))
-      .where(col("ingest_seq") < col("__wseq")).select(col("cell"))
-    val duplicated = narrow.groupBy(col("id"), col("ingest_seq"), col("cell"))
-      .count().where(col("count") > 1).select(col("cell"))
-    val dirty = superseded.union(duplicated)
-      .distinct().collect().map(_.getInt(0)).toSet
+    // verifyVectorState stays clean across any compaction order.
+    // ONE exchange decides both: per-id version lists are bounded by the
+    // ingest history since the last compaction (a handful of structs),
+    // so a single groupBy(id) carries max-seq, supersession, and
+    // duplicate detection together — the previous three-pass form
+    // (winners agg + supersession join + duplicate agg) shuffled the
+    // narrow projection three times for the same answer
+    val dirty = dirtySlots(
+      raw.select(col("id"), col("ingest_seq"), col("cell").as("slot")))
     if (dirty.isEmpty) return
+    val winners = raw.groupBy(col("id"))
+      .agg(max(col("ingest_seq")).as("__wseq"))
     val kept = raw.where(col("cell").isin(dirty.toSeq: _*))
       .join(winners, Seq("id"))
       .where(col("ingest_seq") === col("__wseq"))
       .drop("__wseq")
       .dropDuplicates("id", "ingest_seq", "cell")
     rewriteCells(spark, fs, tableDir, dirty, kept)
+  }
+
+  /** The slots (cells / id-map partitions) holding ≥ 1 row the upsert
+    * compaction must drop — a superseded version (seq below the id's
+    * max) or a same-seq duplicate — computed in ONE exchange: groupBy(id)
+    * folds each id's (seq, slot) versions into a bounded list (ingest
+    * history since the last compaction), and the dirty test runs inside
+    * the aggregate's projection. Shared by [[compactUpsertsCells]] and
+    * [[graft.sources.VectorAudit.compactUpserts]] so the two sides can
+    * never drift.
+    */
+  private[graft] def dirtySlots(narrow: DataFrame): Set[Int] = {
+    val perId = narrow.groupBy(col("id")).agg(
+      max(col("ingest_seq")).as("__w"),
+      collect_list(struct(col("ingest_seq"), col("slot"))).as("__vers"))
+    perId.select(explode(col("__vers")).as("v"), col("__w"), col("__vers"))
+      .where(col("v.ingest_seq") < col("__w") ||
+        size(filter(col("__vers"),
+          x => x.getField("ingest_seq") === col("v.ingest_seq") &&
+            x.getField("slot") === col("v.slot"))) > 1)
+      .select(col("v.slot")).distinct()
+      .collect().map(_.getInt(0)).toSet
   }
 
   /** PIN the index's current ingest state as a named SNAPSHOT — the

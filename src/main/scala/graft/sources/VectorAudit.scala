@@ -87,20 +87,21 @@ object VectorAudit {
   def compactUpserts(spark: SparkSession, dir: String): Unit = {
     if (!hasIdMap(spark, dir)) return
     val raw = spark.read.parquet(idMapDir(dir))
-    val winners = raw.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w"))
     // touched = partitions holding a superseded row OR a same-seq
-    // duplicate — the SAME criteria the cell-table rewrite uses
+    // duplicate — the SAME criteria (and the same shared one-exchange
+    // decision pass) as the cell-table rewrite
     // ([[graft.operators.IvfModel.compactUpsertsCells]]), so a replayed
     // batch's duplicate copies collapse on both sides in the same pass
-    // and verifyVectorState never sees a healthy index diverge
-    val superseded = raw.join(winners, Seq("id"))
-      .where(col("ingest_seq") < col("__w")).select(col("idh"))
-    val duplicated = raw
-      .groupBy(col("idh"), col("id"), col("ingest_seq"), col("cell"))
-      .count().where(col("count") > 1).select(col("idh"))
-    val touched = superseded.union(duplicated)
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // and verifyVectorState never sees a healthy index diverge. The
+    // duplicate test here keys on (seq, idh) — same-seq copies of one id
+    // share their idh, so every true replay duplicate is caught; rows at
+    // one seq in DIFFERENT cells (impossible under the content-identical
+    // replay contract) would flag a rewrite that preserves both rows,
+    // exactly like the cell side's dropDuplicates — never a drift
+    val touched = graft.operators.IvfModel.dirtySlots(
+      raw.select(col("id"), col("ingest_seq"), col("idh").as("slot"))).toSeq
     if (touched.isEmpty) return
+    val winners = raw.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w"))
     rewrite(spark, dir, touched,
       raw.where(col("idh").isin(touched: _*))
         .join(winners, Seq("id"))
