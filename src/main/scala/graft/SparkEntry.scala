@@ -2182,6 +2182,54 @@ object SparkEntry {
           keyOf(s, d), 10, cfg16)
         .withColumnRenamed(Cols.Id, "doc_id")
     }),
+    "ann_snapshot_pin" -> ((s, d) => {
+      // NAMED SNAPSHOTS on the TEXT index — the sim_snapshot_pin twin
+      // (IndexStore.pinInverted): the pin records the catalog's partition
+      // locations (zero data copies — manifest mode never moves a file)
+      // plus delta-sized copies of the dirty log and hot list, so a
+      // pinned serve resolves the EXACT index state of its moment:
+      // postings, supersession cutoffs, and hot-skip policy all frozen.
+      // The pin lands ON AN UNCOMPACTED BACKLOG (the %5 correction is
+      // appended but not compacted), so the pinned serve exercises the
+      // pinned cutoffs for real: it must answer as a fresh build over the
+      // pin-time corpus — the TRUE documents — while the live table takes
+      // a post-pin revision (%3 docs), a compaction that flips the dirty
+      // partitions to new generations (pinned ones retained by gc), and a
+      // TAKEDOWN of doc 50 (a planted near-dup, a guaranteed top hit)
+      // that must pierce BOTH serving states: tombstones alone read live.
+      val table = "graft_ann_pin_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(s, _))
+      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      val prelim = dd.select(col(Cols.Id),
+        when(col(Cols.Id) % 5 === 0,
+          concat(lit("preliminary draft "), col(Cols.Text)))
+          .otherwise(col(Cols.Text)).as(Cols.Text))
+      IndexStore.saveInverted(feat(prelim, 1), table, prefixLen = 1,
+        swapMode = IndexStore.SwapManifest)
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table)
+      IndexStore.pinInverted(s, table, "train_v1")
+      // the live table moves on: a revision, a compaction, a takedown
+      IndexStore.appendInverted(feat(
+        dd.where(col(Cols.Id) % 3 === 0).select(col(Cols.Id),
+          concat(lit("revised edition "), col(Cols.Text)).as(Cols.Text)), 3),
+        table)
+      IndexStore.compactInverted(s, table)
+      IndexStore.appendTombstones(s, table,
+        dd.where(col(Cols.Id) === 50).select(col(Cols.Id)), seq = 4L)
+      def serve(pin: Option[String], stage: String): DataFrame =
+        MinHashLSH.annFromInvertedIndex(s, table, docs(s, d), "doc_id",
+            "text", keyOf(s, d), 10, cfg16, pin)
+          .withColumnRenamed(Cols.Id, "doc_id")
+          .withColumn("stage", lit(stage))
+      serve(Some("train_v1"), "pinned").unionByName(serve(None, "live"))
+        .orderBy(col("stage"), col(Cols.Jaccard).desc, col("doc_id"))
+    }),
     "ann_index_fresh" -> ((s, d) => {
       // EXACT-ON-ARRIVAL maintenance: the same prelim-corpus + correction
       // appends as ann_index_maintained, but served WITHOUT any
@@ -8941,6 +8989,43 @@ object SparkEntry {
     // the manifest-swap twin answers identically — the swap strategy is a
     // durability choice, never a semantics one
     "ann_index_manifest" -> annMaintainedOracle,
+    // named snapshot: the pinned serve (frozen postings + pinned cutoffs
+    // over the pin-time backlog) answers as a fresh build over the
+    // pin-time corpus — the TRUE documents — while the live serve answers
+    // over the post-pin revision; the doc-50 takedown pierces BOTH (the
+    // tombstone reads live under a pin)
+    "ann_snapshot_pin" -> s"""
+      SELECT * FROM (
+        WITH ${docCtes(cfg16)}, ${queryCtes(cfg16)},
+        cand AS (
+          SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+          WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+        scored AS (
+          SELECT c.doc_id,
+            CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+              / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+          FROM cand c, qsig q)
+        SELECT sc.doc_id, d.text, sc.jaccard, 'pinned' AS stage
+        FROM scored sc JOIN documents d USING (doc_id)
+        WHERE sc.doc_id <> 50
+        ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10)
+      UNION ALL
+      SELECT * FROM (
+        WITH ${docCtesFrom(cfg16, "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'revised edition ' || text ELSE text END AS text FROM documents) rev")},
+        ${queryCtes(cfg16)},
+        cand AS (
+          SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+          WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+        scored AS (
+          SELECT c.doc_id,
+            CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+              / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+          FROM cand c, qsig q)
+        SELECT sc.doc_id, d.text, sc.jaccard, 'live' AS stage
+        FROM scored sc JOIN documents d USING (doc_id)
+        WHERE sc.doc_id <> 50
+        ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10)
+      ORDER BY stage, jaccard DESC, doc_id""",
     // the audit lookup returns the physical posting rows (featurize
     // replay for the audited ids) plus the tombstone marker (null bucket)
     "ann_postings_audit" -> s"""

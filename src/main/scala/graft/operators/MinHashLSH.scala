@@ -577,7 +577,21 @@ object MinHashLSH {
     */
   def annFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, docs: DataFrame, idCol: String, textCol: String,
-      key: String, n: Int, cfg: MinHashConfig): DataFrame = {
+      key: String, n: Int, cfg: MinHashConfig): DataFrame =
+    annFromInvertedIndex(spark, table, docs, idCol, textCol, key, n, cfg, None)
+
+  /** [[annFromInvertedIndex]] served AT A NAMED SNAPSHOT
+    * ([[graft.sources.IndexStore.pinInverted]]): the postings, the
+    * supersession cutoffs, and the hot-skip list all resolve through the
+    * pin — the exact index state the pin froze, however far the live
+    * table has appended or compacted past it. Tombstones alone read LIVE
+    * (takedown compliance pierces the snapshot). The text twin of
+    * [[IvfModel.load]]'s pinned overload.
+    */
+  def annFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      key: String, n: Int, cfg: MinHashConfig,
+      pin: Option[String]): DataFrame = {
     require(!cfg.useVocabulary,
       "vocabulary mode needs the fitted vocabulary — use loadModel + approxNearestNeighborsIndexed")
     val one = spark.createDataFrame(
@@ -590,7 +604,7 @@ object MinHashLSH {
       .where(col("q_sig").isNotNull)
     val base = docs.select(col(idCol).cast("long").as(Cols.Id),
       col(textCol).as(Cols.Text))
-    serveFromInverted(spark, table, base, qf, n)
+    serveFromInverted(spark, table, base, qf, n, pin)
   }
 
   /** The batch form of the point path's hot-bucket policy: drop each
@@ -625,13 +639,14 @@ object MinHashLSH {
     * log's file lengths — no job runs to decide.
     */
   private def cutoffSide(spark: org.apache.spark.sql.SparkSession,
-      table: String): Option[DataFrame] =
-    graft.sources.IndexStore.supersessionCutoffsSized(spark, table).map {
-      case (c, bytes) =>
+      table: String, pin: Option[String] = None): Option[DataFrame] =
+    pin.fold(graft.sources.IndexStore.supersessionCutoffsSized(spark, table))(
+        p => graft.sources.IndexStore.pinnedCutoffsSized(spark, table, p))
+      .map { case (c, bytes) =>
         val cap = spark.conf.getOption("graft.serve.cutoffBroadcastMaxBytes")
           .map(_.toLong).getOrElse(32L << 20)
         if (bytes <= cap) broadcast(c) else c.hint("shuffle_hash")
-    }
+      }
 
   /** The queryable posting rows of an inverted table: every data posting
     * (tombstone markers excluded by partition value) whose seq outranks
@@ -714,7 +729,8 @@ object MinHashLSH {
     */
   private[operators] def serveFromInverted(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      documents: DataFrame, qf: DataFrame, n: Int): DataFrame = {
+      documents: DataFrame, qf: DataFrame, n: Int,
+      pin: Option[String] = None): DataFrame = {
     import graft.sources.IndexStore
     val qRows = qf.select(col("q_buckets")).collect()
     if (qRows.isEmpty || qRows(0).isNullAt(0))
@@ -725,11 +741,16 @@ object MinHashLSH {
           lit(null).cast("float").as(Cols.Jaccard))
     val meta = IndexStore.invertedMeta(spark, table)
     val all = qRows(0).getSeq[String](0).distinct
-    val hot = IndexStore.hotBuckets(spark, table)
+    // a PINNED serve freezes the policy inputs with the data: the pin's
+    // own hot list and dirty-log cutoffs, never the live ones — a pinned
+    // answer must not drift with live ingest
+    val hot = pin.fold(IndexStore.hotBuckets(spark, table))(p =>
+      IndexStore.pinnedHotBuckets(spark, table, p))
     val qBuckets = { val live = all.filterNot(hot); if (live.isEmpty) all else live }
     val prefixes =
       qBuckets.map(b => b.substring(0, math.min(meta.prefixLen, b.length))).distinct
-    val postings = IndexStore.loadInverted(spark, table)
+    val postings = pin.fold(IndexStore.loadInverted(spark, table))(p =>
+      IndexStore.loadInvertedPinned(spark, table, p))
     val matched = postings
       .where(col("bkt_pfx").isin(prefixes: _*))   // PartitionFilters
       .where(col("bucket").isin(qBuckets: _*))    // PushedFilters in-dir
@@ -742,11 +763,14 @@ object MinHashLSH {
         // supersession cutoff drop first (a stale version can never
         // surface, even as the ONLY match), the newest surviving posting
         // wins per id, and an id whose newest tombstone outranks its
-        // newest posting is deleted
-        val fresh = cutoffSide(spark, table).fold(matched)(c =>
+        // newest posting is deleted. Tombstones are read from the LIVE
+        // table even under a pin — takedown compliance pierces the
+        // snapshot (the [[graft.sources.IndexStore.pinInverted]]
+        // contract; text markers persist, so live ⊇ pin-time)
+        val fresh = cutoffSide(spark, table, pin).fold(matched)(c =>
           matched.join(c, Seq(Cols.Id), "left_outer")
             .where(col("__cut").isNull || col("ingest_seq") >= col("__cut")))
-        val tomb = postings
+        val tomb = pin.fold(postings)(_ => IndexStore.loadInverted(spark, table))
           .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
           .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
         fresh.groupBy(col(Cols.Id))

@@ -172,6 +172,10 @@ object IndexStore {
       swapMode: String = SwapRename, idMapBuckets: Int = IdMapBuckets,
       hotMode: String = HotExact): Unit = {
     val spark = index.sparkSession
+    // a re-save overwrites every partition location a snapshot pin
+    // references — refuse while pins exist (the whole-table guard)
+    if (spark.catalog.tableExists(table))
+      requireNoInvertedPins(spark, table, "saveInverted (overwrite)")
     // a save CLAIMS the table: the overwrite wipes the fence dir with the
     // rest of the directory, so the epoch re-seeds monotonically past the
     // pre-save value — a stale pre-save writer's token can never collide
@@ -717,7 +721,16 @@ object IndexStore {
           spark.sql(s"ALTER TABLE $table PARTITION ($sqlSpec) " +
             s"SET LOCATION '${fs.makeQualified(src)}'")
         else
-          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($sqlSpec)")
+          // every row superseded: the partition leaves the CATALOG now but
+          // its data is RETAINED (a plain SQL DROP would purge the managed
+          // directory immediately, breaking both the one-pass in-flight-
+          // reader retention and any snapshot pin referencing it) — the
+          // next pass's gcStaleGenerations reclaims it once nothing
+          // references it, like every other replaced location
+          spark.sessionState.catalog.dropPartitions(
+            org.apache.spark.sql.catalyst.TableIdentifier(table),
+            Seq(Map("bkt_pfx" -> dirName.stripPrefix("bkt_pfx="))),
+            ignoreIfNotExists = true, purge = false, retainData = true)
       }
     } else {
       val aside = asideDir(tableDir, table)
@@ -786,11 +799,27 @@ object IndexStore {
   private def gcStaleGenerations(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, table: String,
       tableDir: org.apache.hadoop.fs.Path): Unit = {
+    // PINNED snapshots extend liveness: every location a pin references
+    // survives gc until the pin drops — the snapshot contract; orphan
+    // pin side copies (a crashed half-pin's log/hot) sweep here too
+    val pins = pinsInverted(spark, table)
+    val pd = pinsDir(spark, table)
+    if (fs.exists(pd)) fs.listStatus(pd).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if ((n.startsWith("log-") && !pins.contains(n.stripPrefix("log-"))) ||
+          (n.startsWith("hot-") && !pins.contains(n.stripPrefix("hot-")))) {
+        fs.delete(p, true); ()
+      }
+    }
+    // pins inventory FILES; gc reclaims whole directories, so a pinned
+    // file keeps its PARENT directory alive (post-pin appends sharing the
+    // dir ride along until unpin — bounded by the append backlog)
     val referenced = spark.sessionState.catalog
       .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .map(p => fs.makeQualified(
         new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))))
-      .toSet
+      .toSet ++ pins.values.flatten.map { case (_, f) => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(f))).getParent }
     // whole-dir sweep through the shared core: a generation with NO
     // referenced partition left (all replaced by later flips, or a
     // crashed stage nothing ever adopted) drops whole — including its
@@ -864,6 +893,10 @@ object IndexStore {
       target: InvertedMeta): Unit = {
     import org.apache.spark.sql.functions._
     recoverRelayout(spark, table)
+    // the DROP + RENAME swap destroys every location a snapshot pin
+    // references — refuse while pins exist (the whole-table guard),
+    // before the O(table) rebuild is paid for
+    requireNoInvertedPins(spark, table, "relayoutInverted")
     val cur = spark.table(table)
     require(cur.columns.contains("ingest_seq"),
       "relayoutInverted needs the maintained (ingest_seq-carrying) layout")
@@ -920,6 +953,7 @@ object IndexStore {
       // writer that claimed the live table mid-rebuild leaves it serving
       // its own truth and this side table is discarded unflagged
       MaintHooks.at("relayout.staged", table)
+      requireNoInvertedPins(spark, table, "relayoutInverted") // a pin landed
       Fence.check(spark, dir.toString, fenceTok)
       // the readiness flag: recovery adopts a flagged side table (the
       // build completed; only the swap remains) and discards an unflagged
@@ -1076,6 +1110,221 @@ object IndexStore {
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(logDir.toString)
     files.foreach(f => fs.delete(f, false))
+  }
+
+  // ------------------------------------------------------------- pins
+
+  private val PinName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  private def pinsDir(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(tablePath(spark, table), "_graft_pins")
+
+  /** PIN the inverted table's current state as a named SNAPSHOT — the
+    * text twin of [[CellManifest.pin]], same contract: zero copies of
+    * DATA (under [[SwapManifest]] no data file ever changes or moves —
+    * the pin records a FILE inventory, manifest-style, and
+    * [[gcStaleGenerations]] retains the containing directories until
+    * unpin; files rather than directories because text APPENDS land new
+    * files inside the live partition dirs, and a directory pin would
+    * leak post-pin rows into the frozen read), reader-initiated (no
+    * fence claim), immutable per name, whole-table writers (re-save,
+    * relayout) refuse while pins exist, and takedowns PIERCE the pin
+    * (pinned serving reads the LIVE tombstone markers — compliance
+    * outranks reproducibility; text markers are permanent, so no
+    * retention complexity).
+    *
+    * Two delta-sized side states DO copy, because the live ones mutate in
+    * place: the supersession dirty log (so a pinned serve keeps the
+    * exact-on-arrival cutoffs of its moment — the live log clears at
+    * every compaction) and the `_hot` occupancy list (so the hot-skip
+    * serving policy is frozen with the data it was computed over, and a
+    * pinned query's answer never drifts with live ingest). Both are
+    * bounded: the log by the pin-time backlog, `_hot` by the
+    * over-threshold tail.
+    *
+    * The pin file itself is the commit point (create-exclusive,
+    * `#eof`-terminated like every manifest put); the post-put validation
+    * rolls back loudly if a concurrent maintenance pass reclaimed a
+    * pinned location (the same two-pass race as the vector pin).
+    */
+  def pinInverted(spark: SparkSession, table: String, name: String): Unit = {
+    require(PinName.pattern.matcher(name).matches(),
+      s"pin name '$name' must match ${PinName.regex}")
+    val meta = invertedMeta(spark, table)
+    require(meta.swap == SwapManifest,
+      s"$table compacts under '${meta.swap}' — snapshots need the manifest " +
+        "swap strategy (rename-mode compaction rewrites directories in " +
+        "place, which cannot freeze); relayout with swap = manifest first")
+    require(spark.catalog.tableExists(table),
+      s"$table has no catalog entry — pinned locations are catalog metadata")
+    val fs = fsOf(spark, table)
+    val pd = pinsDir(spark, table)
+    fs.mkdirs(pd)
+    // side copies land BEFORE the pin-file commit point: a crash here
+    // leaves orphan copies the next gc sweeps (no pin references them)
+    val logCopy = new org.apache.hadoop.fs.Path(pd, s"log-$name")
+    fs.delete(logCopy, true)
+    val logDir = dirtyLogPath(spark, table)
+    if (fs.exists(logDir) &&
+        fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".parquet"))) {
+      spark.read.parquet(logDir.toString).coalesce(1)
+        .write.parquet(logCopy.toString)
+    }
+    val hotCopy = new org.apache.hadoop.fs.Path(pd, s"hot-$name")
+    fs.delete(hotCopy, true)
+    val hotDir = new org.apache.hadoop.fs.Path(tablePath(spark, table), "_hot")
+    if (fs.exists(hotDir))
+      spark.read.parquet(hotDir.toString).coalesce(1)
+        .write.parquet(hotCopy.toString)
+    // the pin inventories FILES, not directories: a post-pin APPEND lands
+    // new parquet files INSIDE the live partition directories (text
+    // appends are in-place even under the manifest swap — only rewrites
+    // flip to generations), and a directory-level pin would leak them
+    // into the frozen read. Files themselves never change or move under
+    // SwapManifest, so the pin-time file list is byte-stable; the pin
+    // file is a manifest-style inventory whose size scales with the
+    // table's file count at pin time.
+    val parts = spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .flatMap { p =>
+        val pfx = p.spec("bkt_pfx")
+        val dir = new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => pfx -> fs.makeQualified(f).toString)
+      }
+      .sortBy(identity)
+    val pinFile = new org.apache.hadoop.fs.Path(pd, s"pin-$name")
+    val out = try fs.create(pinFile, false) catch {
+      case e: java.io.IOException =>
+        fs.delete(logCopy, true); fs.delete(hotCopy, true)
+        throw new IllegalStateException(
+          s"snapshot pin '$name' already exists on $table — pins are " +
+            "immutable; unpin first or choose a new name", e)
+    }
+    try out.write((parts.map { case (pfx, f) => s"$pfx\t$f" } :+ "#eof")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // pin-vs-gc race: every pinned file must still exist now that the
+    // pin is visible — else roll back loudly (re-pin resolves the newer
+    // state)
+    val missing = parts.filterNot { case (_, f) =>
+      fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(f)))
+    }
+    if (missing.nonEmpty) {
+      fs.delete(pinFile, false); fs.delete(logCopy, true); fs.delete(hotCopy, true)
+      throw new IllegalStateException(
+        s"snapshot pin '$name' on $table raced a maintenance pass that " +
+          s"reclaimed ${missing.map(_._1).mkString(", ")} — the pin was " +
+          "rolled back; re-pin")
+    }
+  }
+
+  /** Drop a named snapshot: its locations reclaim at the next maintenance
+    * pass; the pin-private log/hot copies drop now. Loud on a typo.
+    */
+  def unpinInverted(spark: SparkSession, table: String, name: String): Unit = {
+    val fs = fsOf(spark, table)
+    val pd = pinsDir(spark, table)
+    val pinFile = new org.apache.hadoop.fs.Path(pd, s"pin-$name")
+    require(fs.exists(pinFile),
+      s"no snapshot pin '$name' on $table (pins: " +
+        s"${pinsInverted(spark, table).keys.toSeq.sorted.mkString(", ")})")
+    fs.delete(pinFile, false)
+    fs.delete(new org.apache.hadoop.fs.Path(pd, s"log-$name"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(pd, s"hot-$name"), true); ()
+  }
+
+  /** Every named snapshot: name -> pinned (bkt_pfx, file URI) inventory. */
+  def pinsInverted(spark: SparkSession,
+      table: String): Map[String, Seq[(String, String)]] = {
+    val fs = fsOf(spark, table)
+    val pd = pinsDir(spark, table)
+    if (!fs.exists(pd)) return Map.empty
+    fs.listStatus(pd).map(_.getPath.getName)
+      .filter(_.startsWith("pin-")).map { f =>
+        val name = f.stripPrefix("pin-")
+        val in = fs.open(new org.apache.hadoop.fs.Path(pd, f))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+        require(lines.lastOption.contains("#eof"),
+          s"snapshot pin '$name' of $table is TORN — the put did not land " +
+            "whole; delete and re-pin")
+        name -> lines.filterNot(_.startsWith("#")).map { l =>
+          val Array(pfx, loc) = l.split("\t", 2); pfx -> loc
+        }
+      }.toMap
+  }
+
+  /** Loud guard for whole-table writer ops (re-save, relayout). */
+  def requireNoInvertedPins(spark: SparkSession, table: String,
+      op: String): Unit = {
+    val ps = pinsInverted(spark, table)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$op on $table refused: snapshot pins " +
+        s"${ps.keys.toSeq.sorted.mkString("[", ", ", "]")} reference the " +
+        "current partition locations, which this op would replace " +
+        "wholesale — unpin them first; nothing was changed")
+  }
+
+  /** TIME-TRAVEL read of a pinned snapshot's posting rows: one
+    * explicit-schema read per parent directory over exactly the pinned
+    * locations (basePath recovers the `bkt_pfx` partition column) — the
+    * same bytes every time, however far the live table has flipped past
+    * them. Loud on an unknown pin.
+    */
+  def loadInvertedPinned(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    val files = pinsInverted(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no snapshot pin '$name' on $table (pins: " +
+          s"${pinsInverted(spark, table).keys.toSeq.sorted.mkString(", ")})"))
+    require(files.nonEmpty, s"pin '$name' on $table lists no files")
+    val fs = fsOf(spark, table)
+    val dataSchema = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(new java.net.URI(files.head._2)).toString)
+      .schema
+    // basePath = the pinned file's grandparent (tableDir or a _gen-N
+    // under it) recovers the bkt_pfx partition column from the path
+    files.map { case (_, f) =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(new java.net.URI(f))) }
+      .groupBy(_.getParent.getParent.toString).toSeq.sortBy(_._1)
+      .map { case (base, paths) =>
+        spark.read.option("basePath", base)
+          .schema(dataSchema.add("bkt_pfx", org.apache.spark.sql.types.StringType))
+          .parquet(paths.map(_.toString): _*)
+      }.reduce(_.unionByName(_))
+  }
+
+  /** The pinned supersession cutoffs plus their on-disk byte size — the
+    * pin-time dirty log's newest append seq per id, sized like
+    * [[supersessionCutoffsSized]] so the serve applies the same broadcast
+    * budget (None when the log was empty at pin time: the table was
+    * compaction-clean, winners resolve by max seq alone).
+    */
+  def pinnedCutoffsSized(spark: SparkSession, table: String,
+      name: String): Option[(DataFrame, Long)] = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(pinsDir(spark, table), s"log-$name")
+    val fs = fsOf(spark, table)
+    if (!fs.exists(p)) None
+    else Some((spark.read.parquet(p.toString)
+      .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__cut")),
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum))
+  }
+
+  /** The pinned `_hot` occupancy list — the hot-skip policy frozen with
+    * the data it was computed over (empty when the table had no hot
+    * stats at pin time).
+    */
+  def pinnedHotBuckets(spark: SparkSession, table: String,
+      name: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(pinsDir(spark, table), s"hot-$name")
+    if (!fsOf(spark, table).exists(p)) Set.empty
+    else spark.read.parquet(p.toString).select("bucket")
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Everything the index stores about the given document ids — the

@@ -1101,4 +1101,129 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(fileCounts().values.max == 1, s"folded with the pass: ${fileCounts()}")
   }
 
+  test("snapshot pin (text): pinned reads are byte-stable across appends + compaction flips; gc retains pinned locations; unpin reclaims") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_pin"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id-$seq"), Array(bucket), seq)
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "bb22", 1L),
+        posting(3L, "cc33", 1L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2, swapMode = IndexStore.SwapManifest)
+    // pin lands on a BACKLOG: id 2 re-ingested into a new prefix,
+    // uncompacted — the pinned cutoffs must carry it
+    IndexStore.appendInverted(
+      Seq(posting(2L, "ee55", 2L)).toDF(Cols.Id, Cols.Signature,
+        Cols.BucketIds, "ingest_seq"), table)
+    IndexStore.pinInverted(spark, table, "t1")
+    def pinnedRows(): Set[(Long, String, Long)] =
+      IndexStore.loadInvertedPinned(spark, table, "t1")
+        .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+        .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+        .as[(Long, String, Long)].collect().toSet
+    val atPin = pinnedRows()
+    assert(atPin == Set((1L, "aa11", 1L), (2L, "bb22", 1L), (3L, "cc33", 1L),
+      (2L, "ee55", 2L)), s"pin-time physical state: $atPin")
+    val cutoffs = IndexStore.pinnedCutoffsSized(spark, table, "t1")
+    assert(cutoffs.isDefined, "the pin must carry its backlog's cutoffs")
+    val cut = cutoffs.get._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut(2L) == 2L, s"pinned cutoff for the backlog id: $cut")
+
+    // the live table moves: compaction (flips dirty partitions to new
+    // generations), another re-ingest, another compaction — TWO full
+    // maintenance passes, so every unpinned replaced dir has been gc'd
+    IndexStore.compactInverted(spark, table)
+    IndexStore.appendInverted(
+      Seq(posting(3L, "cc77", 2L)).toDF(Cols.Id, Cols.Signature,
+        Cols.BucketIds, "ingest_seq"), table)
+    // the append landed a NEW file inside a directory the pin references
+    // (text appends are in-place) — the FILE-level pin must not leak it
+    assert(pinnedRows() == atPin,
+      "a post-pin append into a pinned directory must stay invisible")
+    IndexStore.compactInverted(spark, table)
+    IndexStore.compactInverted(spark, table) // extra head: gc again
+    assert(pinnedRows() == atPin,
+      "the pinned read must be exactly the pin-time state after two passes")
+    val livePruned = spark.table(table)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(livePruned == Set((1L, "aa11", 1L), (2L, "ee55", 2L),
+      (3L, "cc77", 2L)), s"the live table serves the compacted truth: $livePruned")
+
+    // unpin: the next maintenance head reclaims every directory only the
+    // pin referenced, and the pin-private side copies drop immediately
+    val fs = new org.apache.hadoop.fs.Path(
+      IndexStore.warehouseLocation(spark, table).getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pinnedDirs = IndexStore.pinsInverted(spark, table)("t1")
+      .map { case (_, f) => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(f))).getParent }
+      .distinct
+    IndexStore.unpinInverted(spark, table, "t1")
+    intercept[IllegalArgumentException] {
+      IndexStore.loadInvertedPinned(spark, table, "t1")
+    }
+    IndexStore.compactInverted(spark, table)
+    val liveLocs = spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .map(p => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))))
+      .toSet
+    val reclaimed = pinnedDirs.filterNot(liveLocs.contains)
+      .filterNot(fs.exists)
+    assert(reclaimed.nonEmpty,
+      s"at least one pin-only directory must reclaim after unpin: " +
+        s"$pinnedDirs vs $liveLocs")
+  }
+
+  test("snapshot pin (text) guards: rename-mode refuses, pins are immutable, save/relayout refuse while pinned and change nothing") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_pin_guard"
+    IndexStore.reset(spark, table)
+    def idx(seq: Long) =
+      Seq((1L, Array(s"sig1-$seq"), Array("aa11"), seq),
+        (2L, Array(s"sig2-$seq"), Array("bb22"), seq))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    IndexStore.saveInverted(idx(1L), table, prefixLen = 2) // rename mode
+    intercept[IllegalArgumentException] {
+      IndexStore.pinInverted(spark, table, "t1")
+    }
+    IndexStore.reset(spark, table)
+    IndexStore.saveInverted(idx(1L), table, prefixLen = 2,
+      swapMode = IndexStore.SwapManifest)
+    IndexStore.pinInverted(spark, table, "t1")
+    intercept[IllegalStateException] {
+      IndexStore.pinInverted(spark, table, "t1") // immutable per name
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.unpinInverted(spark, table, "nope")
+    }
+    val exS = intercept[IllegalStateException] {
+      IndexStore.saveInverted(idx(9L), table, prefixLen = 2,
+        swapMode = IndexStore.SwapManifest)
+    }
+    assert(exS.getMessage.contains("t1"), exS.getMessage)
+    val exR = intercept[IllegalStateException] {
+      IndexStore.relayoutInverted(spark, table,
+        IndexStore.InvertedMeta(1, -1L, 0, IndexStore.SwapManifest,
+          IndexStore.IdMapBuckets, IndexStore.HotExact))
+    }
+    assert(exR.getMessage.contains("t1"), exR.getMessage)
+    // both refusals changed nothing: live and pinned still serve seq 1
+    assert(spark.table(table).where(col("ingest_seq") === 1L).count() == 2)
+    assert(IndexStore.loadInvertedPinned(spark, table, "t1")
+      .where(col("ingest_seq") === 1L).count() == 2)
+    // after the unpin the relayout proceeds — the refusal was the pin
+    IndexStore.unpinInverted(spark, table, "t1")
+    IndexStore.relayoutInverted(spark, table,
+      IndexStore.InvertedMeta(1, -1L, 0, IndexStore.SwapManifest,
+        IndexStore.IdMapBuckets, IndexStore.HotExact))
+    assert(spark.table(table).where(col("ingest_seq") === 1L).count() == 2)
+  }
+
 }
