@@ -122,4 +122,62 @@ class ManifestFaultSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("TORN"), ex.getMessage)
   }
+
+  test("pin fail-before-put: the pin create fails — no pin lands, nothing is retained; the retry pins clean") {
+    val (dir, _) = freshModelDir()
+    seededSave(dir)
+    FaultFs.failCreateOn = Some("pin-t1")
+    val ex = try intercept[IllegalStateException] {
+      CellManifest.pin(spark, s"$dir/assigned", "t1")
+    } finally FaultFs.reset()
+    // a transient store failure on the create-exclusive put is
+    // indistinguishable from a lost double-pin race — both are safe
+    // (nothing landed) and both read as the same loud refusal
+    assert(ex.getMessage.contains("t1"), ex.getMessage)
+    assert(CellManifest.pins(spark, s"$dir/assigned").isEmpty,
+      "a failed pin put must leave no pin")
+    val m = CellManifest.pin(spark, s"$dir/assigned", "t1")
+    assert(CellManifest.pins(spark, s"$dir/assigned") == Map("t1" -> m),
+      "the retry must pin clean")
+  }
+
+  test("a torn pin file fails LOUDLY, never a silently empty snapshot") {
+    val (dir, local) = freshModelDir()
+    seededSave(dir)
+    CellManifest.pin(spark, s"$dir/assigned", "t1")
+    val pinFile = new java.io.File(s"$local/assigned/_vmanifest/pin-t1")
+    val bytes = java.nio.file.Files.readAllBytes(pinFile.toPath)
+    java.nio.file.Files.write(pinFile.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length - 3)) // tear the tail
+    val ex = intercept[IllegalArgumentException] {
+      CellManifest.pins(spark, s"$dir/assigned")
+    }
+    assert(ex.getMessage.contains("TORN"), ex.getMessage)
+  }
+
+  test("pin under an eventually-consistent listing: the pin resolves the newest VISIBLE manifest — a complete generation set, retained") {
+    val (dir, _) = freshModelDir()
+    seededSave(dir)
+    val pre = rowsOf(dir)
+    // an append advances the manifest; the listing hides the newest one
+    IvfModel.appendVectors(spark, dir, emb.where(col("vec_id") === 3),
+      "vec_id", "embedding", seq = 2L)
+    FaultFs.hideNewestManifest = true
+    val m = try CellManifest.pin(spark, s"$dir/assigned", "stale")
+    finally FaultFs.reset()
+    // the pin references the PREVIOUS (pre-append) manifest — a complete
+    // state by the two-generation retention, and gc keeps it now that
+    // the pin names it
+    val pinned = CellManifest.readTable(spark, s"$dir/assigned", "stale")
+      .select(col("id"), col("ingest_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinned == pre,
+      s"the stale-listing pin must serve the complete previous state: " +
+        s"manifest-$m")
+    IvfModel.compactUpserts(spark, dir)
+    val pinnedAfter = CellManifest.readTable(spark, s"$dir/assigned", "stale")
+      .select(col("id"), col("ingest_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinnedAfter == pre, "gc must retain the stale-listing pin's state")
+  }
 }
