@@ -306,14 +306,28 @@ final class MinHashLSHModel private[operators] (
     */
   def approxNearestNeighborsAllIndexed(table: String, queries: DataFrame,
       qidCol: String, textCol: String, n: Int,
-      skipHotBuckets: Boolean = false): DataFrame = {
+      skipHotBuckets: Boolean = false): DataFrame =
+    approxNearestNeighborsAllIndexed(table, queries, qidCol, textCol, n,
+      skipHotBuckets, None)
+
+  /** The batch path served AT A NAMED SNAPSHOT — postings, cutoffs, and
+    * the hot list resolve through the pin ([[graft.sources.IndexStore
+    * .pinInverted]]); tombstones alone read live. The batch twin of the
+    * point path's pinned overload.
+    */
+  def approxNearestNeighborsAllIndexed(table: String, queries: DataFrame,
+      qidCol: String, textCol: String, n: Int,
+      skipHotBuckets: Boolean, pin: Option[String]): DataFrame = {
+    import graft.sources.IndexStore
     val qf = explodedQueryFeatures(queries, qidCol, textCol)
     val capped =
       if (skipHotBuckets)
         MinHashLSH.hotCapQueryBuckets(qf,
-          graft.sources.IndexStore.hotBuckets(spark, table))
+          pin.fold(IndexStore.hotBuckets(spark, table))(p =>
+            IndexStore.pinnedHotBuckets(spark, table, p)))
       else qf
-    batchAnnAgainst(capped, MinHashLSH.livePostings(spark, table), n)
+    batchAnnAgainst(capped,
+      MinHashLSH.livePostings(spark, table, None, pin), n)
   }
 
   /** [[approxNearestNeighborsAllIndexed]] for SMALL batches: collect the
@@ -666,9 +680,14 @@ object MinHashLSH {
     */
   private[operators] def livePostings(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      probe: Option[(Seq[String], Seq[String])] = None): DataFrame = {
+      probe: Option[(Seq[String], Seq[String])] = None,
+      pin: Option[String] = None): DataFrame = {
     import graft.sources.IndexStore
-    val postings = IndexStore.loadInverted(spark, table)
+    // a PINNED read resolves the snapshot's file inventory and its frozen
+    // cutoffs; tombstones still read LIVE (compliance pierces the pin —
+    // the serveFromInverted contract, on the batch path)
+    val postings = pin.fold(IndexStore.loadInverted(spark, table))(p =>
+      IndexStore.loadInvertedPinned(spark, table, p, probe.map(_._1)))
     val data = probe match {
       // literal probe set (prefixes, buckets): PartitionFilters prune the
       // directories, the bucket IN goes to the parquet reader — the
@@ -684,12 +703,12 @@ object MinHashLSH {
     if (!postings.columns.contains("ingest_seq"))
       data.select(col(Cols.Id), col(Cols.Signature), col("bucket"))
     else {
-      val tomb = postings
+      val tomb = pin.fold(postings)(_ => IndexStore.loadInverted(spark, table))
         .where(col("bkt_pfx") === IndexStore.TombstonePrefix)
         .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
       val unTombed = data.join(broadcast(tomb), Seq(Cols.Id), "left_outer")
         .where(col("__tomb_seq").isNull || col("__tomb_seq") < col("ingest_seq"))
-      cutoffSide(spark, table).fold(unTombed)(c =>
+      cutoffSide(spark, table, pin).fold(unTombed)(c =>
           unTombed.join(c, Seq(Cols.Id), "left_outer")
             .where(col("__cut").isNull || col("ingest_seq") >= col("__cut")))
         .select(col(Cols.Id), col(Cols.Signature), col("bucket"), col("ingest_seq"))
@@ -749,8 +768,11 @@ object MinHashLSH {
     val qBuckets = { val live = all.filterNot(hot); if (live.isEmpty) all else live }
     val prefixes =
       qBuckets.map(b => b.substring(0, math.min(meta.prefixLen, b.length))).distinct
+    // pinned point path: the probe prefixes subset the pin's FILE
+    // inventory on the driver before the reader is built — the pinned
+    // twin of the live scan's PartitionFilters
     val postings = pin.fold(IndexStore.loadInverted(spark, table))(p =>
-      IndexStore.loadInvertedPinned(spark, table, p))
+      IndexStore.loadInvertedPinned(spark, table, p, Some(prefixes)))
     val matched = postings
       .where(col("bkt_pfx").isin(prefixes: _*))   // PartitionFilters
       .where(col("bucket").isin(qBuckets: _*))    // PushedFilters in-dir

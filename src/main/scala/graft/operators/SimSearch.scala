@@ -1796,6 +1796,25 @@ object IvfModel {
       dir: String): Map[String, Long] =
     graft.sources.CellManifest.pins(spark, s"$dir/assigned")
 
+  /** MATERIALIZE a named snapshot as a standalone index at `dest` — the
+    * escape hatch the retrain/save refusals point at: a long-lived
+    * training snapshot stops blocking whole-table maintenance the moment
+    * it is exported and unpinned. The export is the SERVED state of the
+    * pin (newest version per id, takedown markers applied — compliance
+    * travels with the copy), written through the canonical [[save]] path
+    * so the standalone index's meta, audit id-map, and layout are
+    * correct by construction. One O(snapshot) distributed write — the
+    * only time a snapshot costs data movement, paid exactly when the
+    * operator chooses durability over zero-copy.
+    */
+  def exportSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, dest: String): Unit = {
+    val pinned = load(spark, dir, name) // markers applied at read time
+    // collapse to one seq per id — the save contract; the pinned backlog's
+    // losers are exactly what serving would never answer from
+    IvfModel(pinned.centroids, newestPerId(pinned.assigned)).save(dest)
+  }
+
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
     // a committed retrain whose swap crashed leaves a window where new
     // `assigned` and old `centroids` are both live — a load there would

@@ -1275,16 +1275,27 @@ object IndexStore {
     * them. Loud on an unknown pin.
     */
   def loadInvertedPinned(spark: SparkSession, table: String,
-      name: String): DataFrame = {
-    val files = pinsInverted(spark, table).getOrElse(name,
+      name: String, prefixes: Option[Seq[String]] = None): DataFrame = {
+    val all = pinsInverted(spark, table).getOrElse(name,
       throw new IllegalArgumentException(
         s"no snapshot pin '$name' on $table (pins: " +
           s"${pinsInverted(spark, table).keys.toSeq.sorted.mkString(", ")})"))
-    require(files.nonEmpty, s"pin '$name' on $table lists no files")
+    // point-query shape: the inventory carries each file's bkt_pfx, so a
+    // probed read subsets the FILE LIST on the driver (string ops over
+    // the inventory) before any reader is built — the pinned twin of the
+    // live scan's PartitionFilters, without handing Spark thousands of
+    // never-matching files to plan over
+    require(all.nonEmpty, s"pin '$name' on $table lists no files")
+    val files = prefixes.fold(all)(ps => all.filter(f => ps.contains(f._1)))
     val fs = fsOf(spark, table)
     val dataSchema = spark.read.parquet(
-      new org.apache.hadoop.fs.Path(new java.net.URI(files.head._2)).toString)
+      new org.apache.hadoop.fs.Path(new java.net.URI(all.head._2)).toString)
       .schema
+    if (files.isEmpty) // no pinned file under the probed prefixes: a
+      // legitimately empty match, same contract as the live scan
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        dataSchema.add("bkt_pfx", org.apache.spark.sql.types.StringType))
     // basePath = the pinned file's grandparent (tableDir or a _gen-N
     // under it) recovers the bkt_pfx partition column from the path
     files.map { case (_, f) =>
@@ -1325,6 +1336,56 @@ object IndexStore {
     if (!fsOf(spark, table).exists(p)) Set.empty
     else spark.read.parquet(p.toString).select("bucket")
       .collect().map(_.getString(0)).toSet
+  }
+
+  /** MATERIALIZE a named snapshot as a standalone inverted table at
+    * `destTable` — the escape hatch the save/relayout refusals point at:
+    * export + unpin, and the long-lived snapshot stops holding the live
+    * table's generations. The export is the SERVED state of the pin —
+    * pinned supersession cutoffs applied, newest surviving version per
+    * id, LIVE tombstones applied (takedown compliance travels with the
+    * copy) — regrouped to (id, signature, bucket_ids, seq) rows and
+    * written through the canonical [[saveInverted]] path with the source
+    * table's meta, so the standalone table's layout, id-map, and hot
+    * stats are correct by construction. One O(snapshot) distributed
+    * write — the only time a snapshot costs data movement, paid exactly
+    * when the operator chooses durability over zero-copy.
+    */
+  def exportPinned(spark: SparkSession, table: String, name: String,
+      destTable: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val meta = invertedMeta(spark, table)
+    val pinned = loadInvertedPinned(spark, table, name)
+      .where(col("bkt_pfx") =!= TombstonePrefix)
+    val cut = pinnedCutoffsSized(spark, table, name).map(_._1)
+    val fresh = cut.fold(pinned)(c =>
+      pinned.join(broadcast(c), Seq(Cols.Id), "left_outer")
+        .where(col("__cut").isNull || col("ingest_seq") >= col("__cut"))
+        .drop("__cut"))
+    // winner per id, regrouped to the save shape: buckets fold per
+    // (id, seq) version first, then the newest version wins — the
+    // signature and bucket set ride the winning seq together
+    val perVersion = fresh.groupBy(col(Cols.Id), col("ingest_seq"))
+      .agg(first(col(Cols.Signature)).as(Cols.Signature),
+        collect_set(col("bucket")).as(Cols.BucketIds))
+    val winners = perVersion.groupBy(col(Cols.Id))
+      .agg(max_by(struct(col(Cols.Signature), col(Cols.BucketIds)),
+          col("ingest_seq")).as("__w"),
+        max(col("ingest_seq")).as("ingest_seq"))
+      .select(col(Cols.Id), col(s"__w.${Cols.Signature}").as(Cols.Signature),
+        col(s"__w.${Cols.BucketIds}").as(Cols.BucketIds), col("ingest_seq"))
+    // LIVE tombstones: a takedown excludes its id from the export unless
+    // a pinned posting outranks the marker (the serve rule, verbatim)
+    val tomb = loadInverted(spark, table)
+      .where(col("bkt_pfx") === TombstonePrefix)
+      .groupBy(col(Cols.Id)).agg(max(col("ingest_seq")).as("__tomb_seq"))
+    val served = winners
+      .join(broadcast(tomb), Seq(Cols.Id), "left_outer")
+      .where(col("__tomb_seq").isNull || col("__tomb_seq") < col("ingest_seq"))
+      .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds),
+        col("ingest_seq"))
+    saveInverted(served, destTable, meta.prefixLen, meta.hotThreshold,
+      meta.numBuckets, meta.swap, meta.idMapBuckets, meta.hotMode)
   }
 
   /** Everything the index stores about the given document ids — the

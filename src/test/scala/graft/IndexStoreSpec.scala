@@ -1154,6 +1154,20 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(livePruned == Set((1L, "aa11", 1L), (2L, "ee55", 2L),
       (3L, "cc77", 2L)), s"the live table serves the compacted truth: $livePruned")
 
+    // export the pin as a standalone table BEFORE unpinning: the served
+    // state — pinned cutoffs applied (id 2's stale bb22 row drops, its
+    // backlog winner ee55 survives), one seq per id
+    val exp = table + "_exp"
+    IndexStore.reset(spark, exp)
+    IndexStore.exportPinned(spark, table, "t1", exp)
+    val exported = spark.table(exp)
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(exported == Set((1L, "aa11", 1L), (2L, "ee55", 2L),
+      (3L, "cc33", 1L)),
+      s"the export must hold the pin-time SERVED state: $exported")
+
     // unpin: the next maintenance head reclaims every directory only the
     // pin referenced, and the pin-private side copies drop immediately
     val fs = new org.apache.hadoop.fs.Path(

@@ -1231,6 +1231,12 @@ class VectorStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(live == Seq(2L), s"the live table must serve the upsert: $live")
 
+    // export the pin as a standalone index BEFORE unpinning — the escape
+    // hatch: the exported copy must keep answering the pin-time truth
+    // after the pin (and its retained generations) are gone
+    val exp = java.nio.file.Files.createTempDirectory("vm-pin-exp").toString + "/m"
+    IvfModel.exportSnapshot(spark, dir, "train_v1", exp)
+
     // unpin: the generations only the pin referenced reclaim at the NEXT
     // maintenance head, and the pinned name resolves loudly never stale
     IvfModel.unpinSnapshot(spark, dir, "train_v1")
@@ -1243,6 +1249,14 @@ class VectorStoreSpec extends AnyFunSuite {
       .map(_.stripPrefix("manifest-").toLong).sorted
     assert(!manifests.contains(m),
       s"the unpinned manifest must reclaim at the next pass: $manifests")
+    // the exported standalone copy outlives the pin: same ids at the
+    // pin-time seqs (one seq per id — the served state), same answer
+    val expm = IvfModel.load(spark, exp)
+    assert(idSeqs(expm.assigned) == truthAtPin,
+      "the export must hold exactly the pin-time served state")
+    assert(expm.query(qv, 3, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq == answerAtPin,
+      "the exported index must answer the pin-time truth with no pin")
   }
 
   test("snapshot pin guards: double-pin throws, unknown unpin throws, rename-mode refuses, re-save and retrain refuse while pinned") {
@@ -1320,6 +1334,48 @@ class VectorStoreSpec extends AnyFunSuite {
     IvfModel.compactDeletes(spark, dir)
     assert(!new java.io.File(s"$dir/deleted").exists(),
       "markers clear at the first compactDeletes after the last unpin")
+  }
+
+  test("snapshot pin under the streaming sink: debt-fired compactions and generation folds never disturb the pinned truth") {
+    val model = SimSearch.trainIvf(staleCorpus, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vm-pin-stream").toString
+    IvfModel(model.centroids,
+        model.assigned.withColumn("ingest_seq", lit(1L)))
+      .save(dir, IndexStore.SwapManifest)
+    model.unpersist()
+    val truthAtPin = idSeqs(CellManifest.readTable(spark, s"$dir/assigned"))
+    IvfModel.pinSnapshot(spark, dir, "pre_stream")
+
+    // a continuous-ingest stream with BOTH in-sink maintenance triggers
+    // armed: the re-embedding slice supersedes (debt-fired compactUpserts
+    // rewrites dirty cells) and the per-micro-batch appends fan out
+    // generations (fold-fired compactGenerations) — every maintenance
+    // head runs gc, and none of it may touch the pinned truth
+    val slice = emb.where(col("vec_id") % 17 === 3)
+      .select(col("vec_id"), col("embedding"), lit(2L).as("ingest_seq"))
+    val tmp = java.nio.file.Files.createTempDirectory("vm-pin-feed").toString
+    slice.repartition(3).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = graft.streaming.StreamingIndex.streamingVectorIngest(
+      spark, tmp, schema, dir, compactAtSuperseded = 1L, compactAtGenLists = 1)
+    try q.processAllAvailable() finally q.stop()
+
+    val narrow = CellManifest.readTable(spark, s"$dir/assigned")
+      .select(col("id"), col("ingest_seq"))
+    val stale = narrow.join(
+        narrow.groupBy(col("id")).agg(max(col("ingest_seq")).as("__w")),
+        Seq("id"))
+      .where(col("ingest_seq") < col("__w")).count()
+    assert(stale == 0L, "the in-sink triggers must have fired (the test " +
+      s"needs real mid-stream maintenance to mean anything): $stale")
+    assert(idSeqs(CellManifest.readTable(spark, s"$dir/assigned", "pre_stream"))
+      == truthAtPin,
+      "the pinned truth must survive the stream's own maintenance")
+    assert(IvfModel.load(spark, dir, "pre_stream").assigned
+      .where(col("ingest_seq") === 2L).count() == 0,
+      "streamed ingest must be invisible through the pin")
+    IvfModel.unpinSnapshot(spark, dir, "pre_stream")
   }
 
   test("PQ snapshot pin: one name covers both cell tables; pinned queries answer the pin-time truth; a half-failed pin rolls back") {
