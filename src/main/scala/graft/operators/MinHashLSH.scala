@@ -346,7 +346,18 @@ final class MinHashLSHModel private[operators] (
     */
   def approxNearestNeighborsAllIndexedPruned(table: String, queries: DataFrame,
       qidCol: String, textCol: String, n: Int,
-      skipHotBuckets: Boolean = false): DataFrame = {
+      skipHotBuckets: Boolean = false): DataFrame =
+    approxNearestNeighborsAllIndexedPruned(table, queries, qidCol, textCol,
+      n, skipHotBuckets, None)
+
+  /** The pruned batch path AT A NAMED SNAPSHOT: the probe prefixes subset
+    * the pin's file inventory on the driver (the pinned twin of the
+    * partition-pruned scan), the pinned cutoffs and hot list apply, live
+    * tombstones pierce. Answers equal the unpruned pinned form exactly.
+    */
+  def approxNearestNeighborsAllIndexedPruned(table: String, queries: DataFrame,
+      qidCol: String, textCol: String, n: Int,
+      skipHotBuckets: Boolean, pin: Option[String]): DataFrame = {
     import graft.sources.IndexStore
     val qf = explodedQueryFeatures(queries, qidCol, textCol)
     val meta = IndexStore.invertedMeta(spark, table)
@@ -360,8 +371,9 @@ final class MinHashLSHModel private[operators] (
     // drop each query's over-occupied buckets (they never enter the probe
     // literals, so their postings are never READ, not merely unmatched),
     // falling back to the full set for a query whose every bucket is hot.
-    val hot = if (skipHotBuckets) IndexStore.hotBuckets(spark, table)
-              else Set.empty[String]
+    val hot = if (!skipHotBuckets) Set.empty[String]
+              else pin.fold(IndexStore.hotBuckets(spark, table))(p =>
+                IndexStore.pinnedHotBuckets(spark, table, p))
     val (qServe, served) =
       if (hot.isEmpty) (qf, pairs)
       else {
@@ -377,7 +389,7 @@ final class MinHashLSHModel private[operators] (
     val prefixes = qBuckets
       .map(b => b.substring(0, math.min(meta.prefixLen, b.length))).distinct
     val pruned = MinHashLSH.livePostings(spark, table,
-      Some((prefixes, qBuckets)))
+      Some((prefixes, qBuckets)), pin)
     batchAnnAgainst(qServe, pruned, n)
   }
 

@@ -809,4 +809,51 @@ class PlanPropertiesSpec extends AnyFunSuite {
     SparkUtil.releaseScopedCaches()
     spark.catalog.clearCache()
   }
+
+  test("pinned point serve scans only probed pinned files with the bucket IN pushed; pruned and unpruned pinned batches answer identically") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinHashLSH
+    // running the gate builds (and memoizes) the pinned lifecycle table
+    SparkEntry.queries("ann_snapshot_pin")(spark, dir).collect()
+    val table = "graft_ann_pin_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      .toLowerCase(java.util.Locale.ROOT)
+    val cfg = MinHashConfig(numHash = 16, numBands = 4, numRows = 4,
+      bucketHexLen = 2)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val key = docs.where(col("doc_id") === 0)
+      .select(substring(col("text"), 1, 120)).collect()(0).getString(0)
+    val pinnedDf = MinHashLSH.annFromInvertedIndex(spark, table, docs,
+      "doc_id", "text", key, 10, cfg, Some("train_v1"))
+    val plan = pinnedDf.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the pinned scan keeps the live serve's point-query shape: the
+    // bucket equality reaches the parquet reader as a pushed IN, and the
+    // scan is over the pin's (driver-subset) file list — never a filter
+    // above a whole-inventory read
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*[Ii][Nn]\\(bucket[^\\]]*\\].*"),
+      s"expected the bucket IN pushed into the pinned scan:\n$plan")
+    assert(pinnedDf.count() > 0)
+
+    // batch twins: the pruned pinned path answers exactly as the
+    // unpruned pinned path (same rows, same ranks)
+    val m = new MinHashLSH(cfg).fit(
+      docs.select(col("doc_id").cast("long").as(Cols.Id),
+        col("text").as(Cols.Text)), Cols.Id, Cols.Text)
+    val qs = docs.where(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Float, Int)] =
+      df.select(col("qid"), col(Cols.Id), col(Cols.Jaccard), col("rank"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getFloat(2), r.getInt(3))).toSet
+    val unpruned = rows(m.approxNearestNeighborsAllIndexed(table, qs,
+      "qid", "text", 5, skipHotBuckets = false, Some("train_v1")))
+    val pruned = rows(m.approxNearestNeighborsAllIndexedPruned(table, qs,
+      "qid", "text", 5, skipHotBuckets = false, Some("train_v1")))
+    assert(unpruned.nonEmpty && pruned == unpruned,
+      s"pruned pinned batch must equal the unpruned pinned batch: " +
+        s"${pruned.size} vs ${unpruned.size}")
+    m.unpersist()
+    SparkUtil.releaseScopedCaches()
+    spark.catalog.clearCache()
+  }
 }
