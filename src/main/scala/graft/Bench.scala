@@ -150,6 +150,14 @@ object Bench {
     // per-query line above can push the leading total out of the retained
     // window — repeat the total LAST so every BENCH_r*.json tail carries it
     println(f"""{"total":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // round-over-round regression adjudication from the artifact alone
+    // (round-17 verdict task 1): the driver's tail window keeps only the
+    // last few lines, so the top-20 slowest queries — the only ones whose
+    // movement can explain a total swing — are repeated here compactly.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -806,9 +806,17 @@ object IndexStore {
     val pd = pinsDir(spark, table)
     if (fs.exists(pd)) fs.listStatus(pd).map(_.getPath).foreach { p =>
       val n = p.getName
-      if ((n.startsWith("log-") && !pins.contains(n.stripPrefix("log-"))) ||
-          (n.startsWith("hot-") && !pins.contains(n.stripPrefix("hot-")))) {
-        fs.delete(p, true); ()
+      val orphanOf = if (n.startsWith("log-")) Some(n.stripPrefix("log-"))
+        else if (n.startsWith("hot-")) Some(n.stripPrefix("hot-")) else None
+      orphanOf.filterNot(pins.contains).foreach { name =>
+        // re-probe the pin file at the last moment: a pin COMMITTING
+        // between this pass's pins listing and this delete would lose its
+        // just-staged side copies (its own post-commit validation would
+        // catch that and roll the pin back loudly, but not sweeping a pin
+        // that already won beats making it retry)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(pd, s"pin-$name"))) {
+          fs.delete(p, true); ()
+        }
       }
     }
     // pins inventory FILES; gc reclaims whole directories, so a pinned
@@ -1162,20 +1170,32 @@ object IndexStore {
     fs.mkdirs(pd)
     // side copies land BEFORE the pin-file commit point: a crash here
     // leaves orphan copies the next gc sweeps (no pin references them)
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     val logCopy = new org.apache.hadoop.fs.Path(pd, s"log-$name")
     fs.delete(logCopy, true)
     val logDir = dirtyLogPath(spark, table)
-    if (fs.exists(logDir) &&
-        fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".parquet"))) {
+    val wroteLog = hasParquet(logDir)
+    if (wroteLog)
       spark.read.parquet(logDir.toString).coalesce(1)
         .write.parquet(logCopy.toString)
-    }
     val hotCopy = new org.apache.hadoop.fs.Path(pd, s"hot-$name")
     fs.delete(hotCopy, true)
     val hotDir = new org.apache.hadoop.fs.Path(tablePath(spark, table), "_hot")
-    if (fs.exists(hotDir))
+    // same guard as the log copy: a _hot directory holding no parquet
+    // (e.g. only _SUCCESS after an interrupted recompute) would fail the
+    // whole pin on schema inference — an empty hot list pins as "no hot
+    // stats", which is what the directory's contents say
+    val wroteHot = hasParquet(hotDir)
+    if (wroteHot)
       spark.read.parquet(hotDir.toString).coalesce(1)
         .write.parquet(hotCopy.toString)
+    // staged-but-uncommitted window: side copies exist, pin file doesn't
+    // — a maintenance head's orphan sweep in exactly this window reads
+    // them as crashed half-pin leftovers (IndexStoreSpec interleaves one
+    // here; the post-commit validation below must then roll back loudly)
+    MaintHooks.at("pin.staged", table)
     // the pin inventories FILES, not directories: a post-pin APPEND lands
     // new parquet files INSIDE the live partition directories (text
     // appends are in-place even under the manifest swap — only rewrites
@@ -1184,16 +1204,36 @@ object IndexStore {
     // SwapManifest, so the pin-time file list is byte-stable; the pin
     // file is a manifest-style inventory whose size scales with the
     // table's file count at pin time.
-    val parts = spark.sessionState.catalog
+    // one listStatus per partition, but PARALLEL across partitions: at
+    // the 16^4-dir layout OPERATIONS.md recommends for 100 TB a serial
+    // driver loop is minutes of round-trip latency, while the calls are
+    // independent metadata reads a bounded pool overlaps to ~seconds
+    // (hadoop FileSystem instances are shared and thread-safe for reads;
+    // the inventory itself stays bounded — compaction caps files per
+    // partition). Small tables skip the pool: thread spin-up would cost
+    // more than 16 serial lists.
+    val specs = spark.sessionState.catalog
       .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .flatMap { p =>
-        val pfx = p.spec("bkt_pfx")
-        val dir = new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))
-        fs.listStatus(dir).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => pfx -> fs.makeQualified(f).toString)
-      }
-      .sortBy(identity)
+      .map(p => p.spec("bkt_pfx") -> new org.apache.hadoop.fs.Path(
+        new java.net.URI(p.location.toString)))
+    def listOne(pfx: String, dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => pfx -> fs.makeQualified(f).toString)
+    val parts = (if (specs.size <= 64)
+        specs.flatMap { case (pfx, dir) => listOne(pfx, dir) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+        try {
+          val futures = specs.map { case (pfx, dir) =>
+            pool.submit(new java.util.concurrent.Callable[
+                Array[(String, String)]] {
+              def call(): Array[(String, String)] = listOne(pfx, dir)
+            })
+          }
+          futures.flatMap(_.get())
+        } finally pool.shutdown()
+      }).sortBy(identity)
     val pinFile = new org.apache.hadoop.fs.Path(pd, s"pin-$name")
     val out = try fs.create(pinFile, false) catch {
       case e: java.io.IOException =>
@@ -1218,6 +1258,23 @@ object IndexStore {
           s"reclaimed ${missing.map(_._1).mkString(", ")} — the pin was " +
           "rolled back; re-pin")
     }
+    // ...and the SIDE copies must have survived too: they land BEFORE the
+    // pin-file commit, so a maintenance head whose orphan sweep listed
+    // pins in that window reads them as crashed half-pin leftovers and
+    // deletes them. A pin missing its frozen cutoffs/hot list would serve
+    // silently wrong (superseded rows over an uncompacted backlog) — the
+    // exact silent-failure class every other commit here refuses loudly.
+    val lostSides =
+      (if (wroteLog && !hasParquet(logCopy)) Seq(s"log-$name") else Nil) ++
+        (if (wroteHot && !hasParquet(hotCopy)) Seq(s"hot-$name") else Nil)
+    if (lostSides.nonEmpty) {
+      fs.delete(pinFile, false); fs.delete(logCopy, true); fs.delete(hotCopy, true)
+      throw new IllegalStateException(
+        s"snapshot pin '$name' on $table raced a maintenance pass whose " +
+          s"orphan sweep removed its staged ${lostSides.mkString(", ")} " +
+          "side copies before the pin file landed — the pin was rolled " +
+          "back; re-pin")
+    }
   }
 
   /** Drop a named snapshot: its locations reclaim at the next maintenance
@@ -1235,6 +1292,30 @@ object IndexStore {
     fs.delete(new org.apache.hadoop.fs.Path(pd, s"hot-$name"), true); ()
   }
 
+  /** One named snapshot's (bkt_pfx, file URI) inventory — a single point
+    * read of `pin-<name>`, None when no such pin. The latency-sensitive
+    * pinned SERVE resolves its pin through this instead of
+    * [[pinsInverted]] (which lists and parses EVERY pin file — right for
+    * gc and writer guards, a per-query filesystem tax proportional to
+    * pin count on the point path).
+    */
+  def pinInventory(spark: SparkSession, table: String,
+      name: String): Option[Seq[(String, String)]] = {
+    val fs = fsOf(spark, table)
+    val p = new org.apache.hadoop.fs.Path(pinsDir(spark, table), s"pin-$name")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.lastOption.contains("#eof"),
+      s"snapshot pin '$name' of $table is TORN — the put did not land " +
+        "whole; delete and re-pin")
+    Some(lines.filterNot(_.startsWith("#")).map { l =>
+      val Array(pfx, loc) = l.split("\t", 2); pfx -> loc
+    })
+  }
+
   /** Every named snapshot: name -> pinned (bkt_pfx, file URI) inventory. */
   def pinsInverted(spark: SparkSession,
       table: String): Map[String, Seq[(String, String)]] = {
@@ -1242,19 +1323,9 @@ object IndexStore {
     val pd = pinsDir(spark, table)
     if (!fs.exists(pd)) return Map.empty
     fs.listStatus(pd).map(_.getPath.getName)
-      .filter(_.startsWith("pin-")).map { f =>
-        val name = f.stripPrefix("pin-")
-        val in = fs.open(new org.apache.hadoop.fs.Path(pd, f))
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val lines = body.linesIterator.filter(_.nonEmpty).toSeq
-        require(lines.lastOption.contains("#eof"),
-          s"snapshot pin '$name' of $table is TORN — the put did not land " +
-            "whole; delete and re-pin")
-        name -> lines.filterNot(_.startsWith("#")).map { l =>
-          val Array(pfx, loc) = l.split("\t", 2); pfx -> loc
-        }
-      }.toMap
+      .filter(_.startsWith("pin-")).map(_.stripPrefix("pin-"))
+      .flatMap(n => pinInventory(spark, table, n).map(n -> _))
+      .toMap
   }
 
   /** Loud guard for whole-table writer ops (re-save, relayout). */
@@ -1276,7 +1347,9 @@ object IndexStore {
     */
   def loadInvertedPinned(spark: SparkSession, table: String,
       name: String, prefixes: Option[Seq[String]] = None): DataFrame = {
-    val all = pinsInverted(spark, table).getOrElse(name,
+    // one point read of pin-<name> — never a list-and-parse of every pin
+    // on the serve path; the full listing is error-path only
+    val all = pinInventory(spark, table, name).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot pin '$name' on $table (pins: " +
           s"${pinsInverted(spark, table).keys.toSeq.sorted.mkString(", ")})"))

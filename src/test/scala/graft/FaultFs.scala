@@ -49,6 +49,17 @@ class FaultFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def listStatus(f: org.apache.hadoop.fs.Path)
       : Array[org.apache.hadoop.fs.FileStatus] = {
     val all = super.listStatus(f)
+    if (FaultFs.hideNewestEpoch && f.toString.endsWith("_fence")) {
+      // eventually-consistent listing over the FENCE dir: the newest
+      // epoch file exists (point reads still see it) but the listing
+      // hasn't caught up — the exact staleness Fence's successor walk
+      // must see through
+      val epochs = all.filter(_.getPath.getName.startsWith("epoch-"))
+      if (epochs.isEmpty) return all
+      val newest = epochs
+        .maxBy(_.getPath.getName.stripPrefix("epoch-").toLong)
+      return all.filterNot(_.getPath == newest.getPath)
+    }
     if (!FaultFs.hideNewestManifest ||
         !f.toString.endsWith("_vmanifest")) all
     else {
@@ -69,10 +80,12 @@ object FaultFs {
   @volatile var failCreateOn: Option[String] = None
   @volatile var crashRenameAfterCopyOn: Option[String] = None
   @volatile var hideNewestManifest: Boolean = false
+  @volatile var hideNewestEpoch: Boolean = false
 
   def reset(): Unit = {
     failCreateOn = None
     crashRenameAfterCopyOn = None
     hideNewestManifest = false
+    hideNewestEpoch = false
   }
 }

@@ -52,6 +52,51 @@ class FenceSpec extends AnyFunSuite {
     } finally FaultFs.reset()
   }
 
+  test("a hidden-newest listing (eventually-consistent store) never shares a token and never passes a stale commit: the successor walk resolves the true head by point reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("fence-hide").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val dir = s"faultfs:$tmp"
+    FaultFs.reset()
+    val a = Fence.begin(spark, dir)
+    val b = Fence.begin(spark, dir) // two epochs on disk so hiding bites
+    try {
+      FaultFs.hideNewestEpoch = true
+      // the listing now hides epoch-b, but exists() still sees it: a new
+      // claimer must resolve the TRUE head and land strictly past it —
+      // never reuse b's number (shared token) or a number below it
+      val c = Fence.begin(spark, dir)
+      assert(c == b + 1,
+        s"claim under a stale listing must walk to the true head $b: got $c")
+      // ...and the fenced-out writer's commit must refuse LOUDLY even
+      // while the listing still hides the newest claim — the point-read
+      // successor probe, not the listing, decides the commit
+      val ex = intercept[IllegalStateException](Fence.check(spark, dir, b))
+      assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+      Fence.check(spark, dir, c) // the true newest token still validates
+      assert(a < b && b < c, "tokens stay strictly ordered")
+    } finally FaultFs.reset()
+  }
+
+  test("a persistently refusing store is an outage, not an epoch climb: begin throws loudly after the refusal cap instead of advancing forever") {
+    val tmp = java.nio.file.Files.createTempDirectory("fence-outage").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val dir = s"faultfs:$tmp"
+    FaultFs.reset()
+    val seeded = Fence.begin(spark, dir) // the dir exists; store then dies
+    FaultFs.failCreateOn = Some("epoch-") // EVERY claim put refused
+    try {
+      val ex = intercept[IllegalStateException](Fence.begin(spark, dir))
+      assert(ex.getMessage.contains("store is refusing puts"), ex.getMessage)
+      assert(ex.getCause.isInstanceOf[java.io.IOException])
+    } finally FaultFs.reset()
+    // the climb was bounded AND left nothing behind: no epoch file past
+    // the seeded one, so the table's epoch did not move
+    assert(Fence.current(spark, dir) == seeded,
+      "a refused claim storm must not advance the table's epoch")
+  }
+
   test("a crashed claimer never wedges the table: epochs are not leases — the next op claims over the dangling epoch and proceeds, zero cleanup") {
     val model = SimSearch.trainIvf(emb, "vec_id", "embedding",
       nLists = 4, iters = 0)

@@ -1194,6 +1194,57 @@ class IndexStoreSpec extends AnyFunSuite {
         s"$pinnedDirs vs $liveLocs")
   }
 
+  test("pin-vs-gc race: an orphan sweep inside the pin's staged window is caught — the pin rolls back loudly instead of committing without its frozen cutoffs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_pin_race"
+    IndexStore.reset(spark, table)
+    def posting(id: Long, bucket: String, seq: Long) =
+      (id, Array(s"sig$id-$seq"), Array(bucket), seq)
+    IndexStore.saveInverted(
+      Seq(posting(1L, "aa11", 1L), posting(2L, "bb22", 1L))
+        .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2, swapMode = IndexStore.SwapManifest)
+    // a real backlog, so the pin STAGES a dirty-log side copy — the state
+    // the sweep can race
+    IndexStore.appendInverted(
+      Seq(posting(2L, "ee55", 2L)).toDF(Cols.Id, Cols.Signature,
+        Cols.BucketIds, "ingest_seq"), table)
+    import graft.sources.MaintHooks
+    // interleave a full maintenance head EXACTLY in the window where the
+    // side copies exist but the pin file does not: its orphan sweep reads
+    // them as a crashed half-pin's leftovers and removes them
+    MaintHooks.hook = (point, _) =>
+      if (point == "pin.staged") IndexStore.compactInverted(spark, table)
+    try {
+      val ex = intercept[IllegalStateException](
+        IndexStore.pinInverted(spark, table, "r1"))
+      assert(ex.getMessage.contains("orphan sweep"), ex.getMessage)
+    } finally MaintHooks.reset()
+    // the rollback left NOTHING: no pin, no dangling side copies — a
+    // half-committed pin serving without its frozen cutoffs is the silent
+    // failure this guard exists to refuse
+    assert(IndexStore.pinsInverted(spark, table).isEmpty,
+      "the raced pin must not be visible")
+    val fs = new org.apache.hadoop.fs.Path(
+      IndexStore.warehouseLocation(spark, table).getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pd = new org.apache.hadoop.fs.Path(
+      IndexStore.warehouseLocation(spark, table).getAbsolutePath,
+      "_graft_pins")
+    if (fs.exists(pd))
+      assert(fs.listStatus(pd).isEmpty, "no side copies may dangle")
+    // the documented recovery — re-pin — resolves the post-maintenance
+    // state cleanly (the backlog was compacted away, so no log copy now)
+    IndexStore.pinInverted(spark, table, "r1")
+    val pinned = IndexStore.loadInvertedPinned(spark, table, "r1")
+      .where(col("bkt_pfx") =!= IndexStore.TombstonePrefix)
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(pinned == Set((1L, "aa11", 1L), (2L, "ee55", 2L)),
+      s"the retry pins the newer (compacted) truth: $pinned")
+  }
+
   test("snapshot pin (text) guards: rename-mode refuses, pins are immutable, save/relayout refuse while pinned and change nothing") {
     val spark2 = spark
     import spark2.implicits._
