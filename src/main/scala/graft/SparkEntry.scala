@@ -674,6 +674,73 @@ object SparkEntry {
     })
   }
 
+  /** Cross-index consistent PIN-PAIR fixture for `snapshot_pair_pin`
+    * ([[graft.sources.Snapshots.pinTrainingSet]]): a text index and a
+    * vector index pinned as ONE training-set snapshot, with a RACING
+    * vector ingest interleaved into the first attempt's pin window (via
+    * the `pin.staged` hook) — the claim-all → pin-all → check-all
+    * protocol must fence the straddled attempt out, roll it back whole,
+    * and commit attempt 2 against the post-append state. Post-pin churn
+    * on both surfaces (revision + compaction) then proves the pair
+    * frozen. PROTOCOL gate: the corpus is capped at the sf0.01 shape
+    * (doc_id/vec_id < 500) — the claims are about commit-window
+    * atomicity, not scale; the scale rows live with the whole-corpus
+    * index/ingest gates (round-17 verdict task 7).
+    */
+  private val pairPinCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String, Int)]
+  private def pairPinSetupFor(s: SparkSession, d: String): (String, String, Int) = {
+    pairPinCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairPinCache.remove)
+    pairPinCache.getOrElseUpdate((s, d), {
+      val table = "graft_pair_pin_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(s, _))
+      val vecDir = roundTripDir(d, "graft-pair-pin-vec")
+      val vp = new org.apache.hadoop.fs.Path(vecDir)
+      vp.getFileSystem(s.sessionState.newHadoopConf()).delete(vp, true)
+      val dd = docs(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id").cast("long").as(Cols.Id), col("text").as(Cols.Text))
+      val emb = tbl(s, d, "embeddings").where(col("vec_id") < 500)
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      IndexStore.saveInverted(feat(dd, 1), table, prefixLen = 1,
+        swapMode = IndexStore.SwapManifest)
+      val m = graft.operators.SimSearch.trainIvf(emb, "vec_id", "embedding",
+        nLists = 8, iters = 1)
+      graft.operators.IvfModel(m.centroids,
+          m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(vecDir, IndexStore.SwapManifest)
+      m.unpersist()
+      // the race: a vector ingest lands INSIDE the first pin window (both
+      // fences already claimed, text pin staged) — its head claim moves
+      // the vector epoch, so the commit-point check-all must refuse
+      var fired = false
+      graft.sources.MaintHooks.hook = (point, _) =>
+        if (point == "pin.staged" && !fired) {
+          fired = true
+          graft.operators.IvfModel.appendVectors(s, vecDir,
+            emb.where(col("vec_id") % 13 === 2), "vec_id", "embedding",
+            seq = 2L)
+        }
+      val attempts =
+        try graft.sources.Snapshots.pinTrainingSet(s, "pair_v1",
+          Seq(table), Seq(vecDir))
+        finally graft.sources.MaintHooks.reset()
+      // post-pin churn on BOTH surfaces: the committed pair must freeze
+      IndexStore.appendInverted(feat(
+        dd.where(col(Cols.Id) % 3 === 0).select(col(Cols.Id),
+          concat(lit("revised edition number "), col(Cols.Id).cast("string"),
+            lit(" replaces the prior draft")).as(Cols.Text)), 2), table)
+      IndexStore.compactInverted(s, table)
+      graft.operators.IvfModel.appendVectors(s, vecDir,
+        emb.where(col("vec_id") % 17 === 3), "vec_id", "embedding", seq = 3L)
+      graft.operators.IvfModel.compactUpserts(s, vecDir)
+      (table, vecDir, attempts)
+    })
+  }
+
   /** Flagship: full-config ANN on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -2282,6 +2349,40 @@ object SparkEntry {
       val live = batch(None).localCheckpoint()
       val differs = pinned.exceptAll(live).count() > 0
       pinned.withColumn("live_differs", lit(differs)).orderBy("qid", "rank")
+    }),
+    "snapshot_pair_pin" -> ((s, d) => {
+      // CROSS-INDEX consistent snapshot (Snapshots.pinTrainingSet): text
+      // + vector pinned as ONE training set under claim-all → pin-all →
+      // check-all. The fixture interleaves a RACING vector append into
+      // the first pin window — the commit must refuse, roll back whole,
+      // and the retry pins the post-append state on BOTH surfaces
+      // (paired_attempts = 2). The served rows are the PINNED text serve
+      // after post-pin churn on both sides — a fresh build over the
+      // pin-time corpus (the capped TRUE documents); vec_pin_coherent /
+      // vec_live_moved are the vector half's frozen-window claims (the
+      // raced seq-2 rows are IN the pin — the retry resolved the newer
+      // state — and the post-pin seq-3 ingest is NOT).
+      val (table, vecDir, attempts) = pairPinSetupFor(s, d)
+      val emb = tbl(s, d, "embeddings").where(col("vec_id") < 500)
+      val nBase = emb.count()
+      val nRaced = emb.where(col("vec_id") % 13 === 2).count()
+      val pinnedVec = graft.sources.CellManifest
+        .readTable(s, s"$vecDir/assigned", "pair_v1")
+        .agg(count(lit(1)).as("n"), max(col("ingest_seq")).as("mx"))
+        .collect()(0)
+      val vecCoherent = pinnedVec.getLong(0) == nBase + nRaced &&
+        pinnedVec.getLong(1) == 2L
+      val liveMoved = graft.sources.CellManifest
+        .readTable(s, s"$vecDir/assigned")
+        .agg(max(col("ingest_seq"))).collect()(0).getLong(0) == 3L
+      MinHashLSH.annFromInvertedIndex(s, table,
+          docs(s, d).where(col("doc_id") < 500), "doc_id", "text",
+          keyOf(s, d), 10, cfg16, Some("pair_v1"))
+        .withColumnRenamed(Cols.Id, "doc_id")
+        .withColumn("paired_attempts", lit(attempts))
+        .withColumn("vec_pin_coherent", lit(vecCoherent))
+        .withColumn("vec_live_moved", lit(liveMoved))
+        .orderBy(col(Cols.Jaccard).desc, col("doc_id"))
     }),
     "ann_index_fresh" -> ((s, d) => {
       // EXACT-ON-ARRIVAL maintenance: the same prelim-corpus + correction
@@ -9113,6 +9214,27 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, jaccard, rank, true AS live_differs
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // the PAIRED snapshot serves the pin-time text corpus (the capped
+    // TRUE documents — the post-pin %3 revision is invisible through the
+    // pin) and carries the protocol claims as literals: the raced first
+    // attempt rolled back whole (paired_attempts = 2), the committed pin
+    // holds the post-race vector state (vec_pin_coherent), and the live
+    // vector table moved past the pin (vec_live_moved)
+    "snapshot_pair_pin" -> s"""
+      WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
+      cand AS (
+        SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q
+        WHERE list_has_any(b.bucket_ids, q.bucket_ids)),
+      scored AS (
+        SELECT c.doc_id,
+          CAST(CAST(len(list_filter(range(1, 17), i -> c.signature[i] = q.signature[i])) AS DOUBLE)
+            / least(len(c.signature), len(q.signature)) AS FLOAT4) AS jaccard
+        FROM cand c, qsig q)
+      SELECT sc.doc_id, d.text, sc.jaccard, 2 AS paired_attempts,
+        true AS vec_pin_coherent, true AS vec_live_moved
+      FROM scored sc JOIN corpus d USING (doc_id)
+      ORDER BY sc.jaccard DESC, sc.doc_id LIMIT 10""",
     // the audit lookup returns the physical posting rows (featurize
     // replay for the audited ids) plus the tombstone marker (null bucket)
     "ann_postings_audit" -> s"""

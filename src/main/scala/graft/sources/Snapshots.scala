@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** CROSS-INDEX consistent snapshots — the training-set primitive the
+  * per-table pins compose into. A training run that reads a text index
+  * AND one or more vector indexes pins each table separately; two pins
+  * taken while an ingest pipeline is mid-flight can straddle one table's
+  * commit (text pinned before a document's re-ingest, vectors pinned
+  * after its embedding landed), and the run then trains on a corpus
+  * state no single moment ever held. [[pinTrainingSet]] makes the pin
+  * SET mutually consistent by construction under the existing writer
+  * fence:
+  *
+  *  1. CLAIM the fence of every surface first ([[Fence.begin]] on the
+  *     text table's directory / the vector model directory — the same
+  *     epochs every maintenance writer claims). The claims fence any
+  *     in-flight STAGED op out of its commit, exactly as a competing
+  *     writer would.
+  *  2. PIN every surface (the per-table reader-initiated pins, verbatim:
+  *     zero data copies, takedowns keep piercing).
+  *  3. CHECK every claim token at the commit point. A writer that began
+  *     on ANY surface between step 1 and here moved that surface's epoch
+  *     past our token, so the check throws — the helper then UNPINS
+  *     everything from this attempt and retries against the newer state
+  *     (bounded by `maxAttempts`; the per-table pin-vs-gc rollbacks
+  *     retry the same way). Only a pin set whose window saw zero writer
+  *     claims anywhere ever commits.
+  *
+  * There is nothing to release afterwards: fence epochs are not leases
+  * (a claim is a number, not a lock), so the "quiesce" costs two
+  * metadata puts per surface and holds nothing open — maintenance
+  * resumes with its next head claim as if a tiny writer had run.
+  *
+  * Boundary (the fence's own, inherited): a single-shot append that
+  * CLAIMED before step 1 but was still materializing bytes during the
+  * window is invisible to epoch checks — appends don't re-validate at a
+  * commit point. That window is the claim-to-write gap of one append,
+  * not the pin-to-pin gap this helper closes; the fence doc names the
+  * same residual for writer interleave generally ("a fence, not a
+  * lock").
+  */
+object Snapshots {
+
+  /** One pinned surface: `kind` is `text` (an inverted posting TABLE
+    * name) or `vector` (an [[graft.operators.IvfModel]] / PQ model
+    * DIRECTORY).
+    */
+  private case class Surface(kind: String, loc: String) {
+    def fenceDir(spark: SparkSession): String = kind match {
+      case "text" => IndexStore.fenceDirOf(spark, loc)
+      case _      => loc
+    }
+    def pin(spark: SparkSession, name: String): Unit = kind match {
+      case "text" => IndexStore.pinInverted(spark, loc, name)
+      case _      => graft.operators.IvfModel.pinSnapshot(spark, loc, name); ()
+    }
+    def unpin(spark: SparkSession, name: String): Unit = kind match {
+      case "text" => IndexStore.unpinInverted(spark, loc, name)
+      case _      => graft.operators.IvfModel.unpinSnapshot(spark, loc, name)
+    }
+  }
+
+  /** Pin `name` on every listed surface as ONE consistent training-set
+    * snapshot (claim-all → pin-all → check-all; see the object doc).
+    * Returns the number of attempts taken — 1 when no writer raced, >1
+    * when a racing claim forced a clean retry. Throws after
+    * `maxAttempts` raced attempts (every attempt's pins rolled back), or
+    * immediately on non-race failures (e.g. the name already pinned —
+    * pins are immutable, same as the per-table contract).
+    */
+  def pinTrainingSet(spark: SparkSession, name: String,
+      textTables: Seq[String] = Nil, vectorDirs: Seq[String] = Nil,
+      maxAttempts: Int = 8): Int = {
+    require(textTables.nonEmpty || vectorDirs.nonEmpty,
+      "pinTrainingSet needs at least one surface to pin")
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    val surfaces = textTables.map(Surface("text", _)) ++
+      vectorDirs.map(Surface("vector", _))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // head claims FIRST, in declaration order — the pin window opens
+      // with every surface's epoch at our token
+      val tokens = surfaces.map(s => s -> Fence.begin(spark, s.fenceDir(spark)))
+      val pinned = scala.collection.mutable.ListBuffer.empty[Surface]
+      try {
+        surfaces.foreach { s => s.pin(spark, name); pinned += s }
+        // commit point: zero writer claims anywhere during the window,
+        // or the whole set rolls back
+        tokens.foreach { case (s, tok) =>
+          Fence.check(spark, s.fenceDir(spark), tok)
+        }
+        return attempt
+      } catch {
+        case e: IllegalStateException if isRace(e) =>
+          // roll back THIS attempt's pins completely — a partial pin set
+          // must never be visible as a training snapshot
+          pinned.foreach(_.unpin(spark, name))
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"pinTrainingSet('$name') lost $attempt consecutive races to " +
+              "concurrent writers across " +
+              s"${surfaces.map(_.loc).mkString(", ")} — every attempt was " +
+              "rolled back whole (no surface is pinned); quiesce the " +
+              "ingest pipelines or raise maxAttempts", e)
+        case e: Throwable =>
+          pinned.foreach(_.unpin(spark, name))
+          throw e
+      }
+    }
+    attempt // unreachable
+  }
+
+  /** Drop the named training-set snapshot from every surface. Loud on a
+    * surface that never carried it (same as the per-table unpins).
+    */
+  def unpinTrainingSet(spark: SparkSession, name: String,
+      textTables: Seq[String] = Nil, vectorDirs: Seq[String] = Nil): Unit =
+    (textTables.map(Surface("text", _)) ++ vectorDirs.map(Surface("vector", _)))
+      .foreach(_.unpin(spark, name))
+
+  /** A racing writer's signature at the helper's boundary: the fence
+    * check refusal, or a per-table pin losing its own pin-vs-gc race —
+    * both resolved by a clean retry against the newer state. Everything
+    * else (immutable-name refusal, store outage) rethrows.
+    */
+  private def isRace(e: IllegalStateException): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("writer fence violated") || m.contains("raced a maintenance")
+  }
+}
