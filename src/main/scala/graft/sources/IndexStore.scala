@@ -1242,7 +1242,14 @@ object IndexStore {
           s"snapshot pin '$name' already exists on $table — pins are " +
             "immutable; unpin first or choose a new name", e)
     }
-    try out.write((parts.map { case (pfx, f) => s"$pfx\t$f" } :+ "#eof")
+    // header: the table's fence epoch at pin time — the pin's AGE is then
+    // current-epoch − this (one unit per writer op: append, compaction,
+    // takedown, relayout all claim), the wall-clock-free staleness signal
+    // snapshotDebt surfaces. Comment lines are skipped by every parser,
+    // so pre-header pins read fine (age reports as unknown)
+    val claimEpoch = Fence.current(spark, fenceDirOf(spark, table))
+    try out.write(((s"#epoch $claimEpoch" +:
+        parts.map { case (pfx, f) => s"$pfx\t$f" }) :+ "#eof")
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // pin-vs-gc race: every pinned file must still exist now that the
@@ -1314,6 +1321,21 @@ object IndexStore {
     Some(lines.filterNot(_.startsWith("#")).map { l =>
       val Array(pfx, loc) = l.split("\t", 2); pfx -> loc
     })
+  }
+
+  /** The fence epoch recorded in a pin's `#epoch` header — None for an
+    * unknown pin or one written before the header existed.
+    */
+  private def pinClaimEpoch(spark: SparkSession, table: String,
+      name: String): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val p = new org.apache.hadoop.fs.Path(pinsDir(spark, table), s"pin-$name")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.find(_.startsWith("#epoch "))
+      .map(_.stripPrefix("#epoch ").trim.toLong)
   }
 
   /** Every named snapshot: name -> pinned (bkt_pfx, file URI) inventory. */
@@ -1625,6 +1647,61 @@ object IndexStore {
     Seq((files.length, files.map(_.getLen).sum, backlog, dead, dataFilesMax))
       .toDF("log_files", "log_bytes", "backlog_ids", "dead_postings",
         "data_files_max")
+  }
+
+  /** The SNAPSHOT-RETENTION debt of an inverted table — the pin twin of
+    * [[maintenanceDebt]]: long-lived pins block whole-table writers and
+    * hold replaced locations out of gc BY DESIGN, and this is the signal
+    * that turns OPERATIONS.md's "never leave a pin behind" rule from a
+    * documentation convention into a pollable number. One row:
+    *
+    *  - `pins`: named snapshots currently held;
+    *  - `oldest_pin` / `oldest_pin_age_claims`: the stalest pin and its
+    *    age in WRITER CLAIMS (the table's fence epoch now minus at pin
+    *    time — one unit per append/compaction/takedown/relayout, never
+    *    wall clock; −1 with no pins or under a pre-header pin);
+    *  - `retained_locations`: partition directories (generation children
+    *    and replaced base dirs) no catalog partition references — the
+    *    storage gc is holding for pins, reclaimed at the first
+    *    maintenance head after the last unpin.
+    *
+    * Cost shape: one point read per pin file, one listing per generation
+    * directory plus the table root — metadata-only, poll-friendly.
+    * Trigger recipe: alert when `oldest_pin_age_claims` passes the
+    * maintenance-interval budget (a pin older than N compaction passes
+    * is a forgotten pin, not a training run) or when
+    * `retained_locations` grows past the space-amplification target.
+    */
+  def snapshotDebt(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    val pd = pinsDir(spark, table)
+    val names =
+      if (!fs.exists(pd)) Seq.empty[String]
+      else fs.listStatus(pd).map(_.getPath.getName)
+        .filter(_.startsWith("pin-")).map(_.stripPrefix("pin-")).toSeq
+    val cur = Fence.current(spark, fenceDirOf(spark, table))
+    val ages = names.map(n =>
+      n -> pinClaimEpoch(spark, table, n).map(cur - _).getOrElse(-1L))
+    val (oldestName, oldestAge) =
+      if (ages.isEmpty) (None: Option[String], -1L)
+      else { val (n, a) = ages.maxBy(_._2); (Some(n), a) }
+    val tableDir = tablePath(spark, table)
+    val liveLocs = spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .map(p => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(p.location.toString))))
+      .toSet
+    val retained = fs.listStatus(tableDir).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(Generations.Prefix))
+        fs.listStatus(st.getPath).map(_.getPath) // per-child: gens can be partially live
+      else if (n.startsWith("bkt_pfx=")) Array(st.getPath)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    }.count(p => !liveLocs.contains(fs.makeQualified(p))).toLong
+    Seq((names.size, oldestName, oldestAge, retained))
+      .toDF("pins", "oldest_pin", "oldest_pin_age_claims",
+        "retained_locations")
   }
 
   /** Parquet-file count per live partition, CATALOG-resolved — a

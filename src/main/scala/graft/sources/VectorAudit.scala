@@ -213,6 +213,60 @@ object VectorAudit {
         "cell_files_max")
   }
 
+  /** The SNAPSHOT-RETENTION debt of a vector index — the IVF/PQ twin of
+    * [[IndexStore.snapshotDebt]]: pins block retrain/re-save and extend
+    * manifest, generation, and takedown-marker retention by design;
+    * this makes that cost pollable. One row:
+    *
+    *  - `pins`: named snapshots on the assigned table;
+    *  - `oldest_pin` / `oldest_pin_age_commits`: the stalest pin and its
+    *    age in MANIFEST COMMITS (newest manifest number minus the pinned
+    *    one — one unit per append/rewrite pass, never wall clock; −1
+    *    with no pins);
+    *  - `retained_locations`: per-cell locations (a generation's cell
+    *    directory, or a base `cell=` dir as generation 0) only pinned
+    *    manifests reference — the storage gc holds for pins, reclaimed
+    *    at the first maintenance head after the last unpin;
+    *  - `markers_retained`: live takedown-marker ids whose files
+    *    compactDeletes is retaining because pins exist (0 with no pins —
+    *    then markers are [[maintenanceDebt]]'s `markers_pending`,
+    *    awaiting an ordinary scrub).
+    *
+    * Cost: pin-count point reads plus the manifests' own reads —
+    * metadata-only, poll-friendly. A rename-mode index reports the empty
+    * row (it cannot carry pins). Trigger recipe: alert when the oldest
+    * age passes the maintenance-interval budget; a pin older than N
+    * passes is a forgotten pin blocking retrain, not a training run.
+    */
+  def snapshotDebt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"$dir/assigned"
+    if (!CellManifest.isManifest(spark, table))
+      return Seq((0, None: Option[String], -1L, -1L, 0L))
+        .toDF("pins", "oldest_pin", "oldest_pin_age_commits",
+          "retained_locations", "markers_retained")
+    val pins = CellManifest.pins(spark, table)
+    val (cur, liveCells) = CellManifest.read(spark, table)
+    val ages = pins.toSeq.map { case (n, m) => n -> (cur - m) }
+    val (oldestName, oldestAge) =
+      if (ages.isEmpty) (None: Option[String], -1L)
+      else { val (n, a) = ages.maxBy(_._2); (Some(n), a) }
+    def locs(cells: Map[Int, Seq[Long]]): Set[(Int, Long)] =
+      cells.toSeq.flatMap { case (c, gs) => gs.map(c -> _) }.toSet
+    val liveLocs = locs(liveCells)
+    val pinnedLocs = pins.values.toSet.flatMap((m: Long) =>
+      locs(CellManifest.readAt(spark, table, m)))
+    val retained = (pinnedLocs -- liveLocs).size.toLong
+    val delDir = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    val markers =
+      if (pins.isEmpty || !fsOf(spark, dir).exists(delDir)) 0L
+      else spark.read.parquet(delDir.toString)
+        .select(col("id")).distinct().count()
+    Seq((pins.size, oldestName, oldestAge, retained, markers))
+      .toDF("pins", "oldest_pin", "oldest_pin_age_commits",
+        "retained_locations", "markers_retained")
+  }
+
   /** OPT-IN reconciliation of the vector index's side state — the
     * [[IndexStore.verifyMaintState]] twin: an append spans up to three
     * non-atomic writes (assigned cells, encoded codes on a PQ index, the
