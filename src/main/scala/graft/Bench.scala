@@ -107,12 +107,23 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach(o => System.err.println(
       s"[bench] *** SPARK_GRAFT_BENCH_ONLY ACTIVE — ${o.size} queries ***"))
+    // adaptive reps: min-of-N exists to shave scheduler/JIT noise off
+    // sub-second queries, where the noise is a large FRACTION of the
+    // number. The lifecycle-protocol gates (index builds, stream sinks,
+    // snapshot lifecycles) run 15-30 s of fixed protocol machinery —
+    // noise is a rounding error there, and a second full rep buys no
+    // precision while doubling the suite's dominant wall-clock term
+    // (round-17 verdict task 7). Queries whose first rep lands at or
+    // above the floor report single-shot.
+    val singleRepFloor = sys.env.get("SPARK_GRAFT_BENCH_SINGLE_REP_FLOOR")
+      .flatMap(_.toDoubleOption).getOrElse(5.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var bestT = Double.MaxValue
       var bestShuf = (0L, 0L)
-      (1 to reps).foreach { _ =>
+      (1 to reps).takeWhile(r => r == 1 || bestT < singleRepFloor ||
+          bestT == Double.MaxValue /* failed rep: keep retrying */).foreach { _ =>
         meter.reset()
         val t0 = System.nanoTime()
         val ok =
