@@ -122,7 +122,10 @@ object Bench {
       .map { case (name, fn) =>
       var bestT = Double.MaxValue
       var bestShuf = (0L, 0L)
-      (1 to reps).takeWhile(r => r == 1 || bestT < singleRepFloor ||
+      // iterator, not Range.takeWhile: a strict Range evaluates the
+      // predicate for every element up front (bestT still MaxValue), so
+      // the adaptive cut would never engage
+      (1 to reps).iterator.takeWhile(r => r == 1 || bestT < singleRepFloor ||
           bestT == Double.MaxValue /* failed rep: keep retrying */).foreach { _ =>
         meter.reset()
         val t0 = System.nanoTime()
