@@ -2609,10 +2609,14 @@ object SparkEntry {
       // appendInverted, deletes become tombstones) — then the flagship
       // query served from the maintained index against the maintained
       // snapshot must equal a fresh build over the applied snapshot.
+      // PROTOCOL gate: corpus capped at the sf0.01 shape — the claim is
+      // one feed maintaining both halves coherently, not CDC scale (the
+      // cdc_* and stream_cdc_apply_real gates carry the scale rows)
       val table = "graft_cdc_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
         .toLowerCase(java.util.Locale.ROOT)
       IndexStore.reset(s, table)
-      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+      val dd = docs(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id").cast("long").as(Cols.Id),
         col("text").as(Cols.Text))
       def feat(df: DataFrame, seq: Long): DataFrame =
         new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
@@ -2731,10 +2735,14 @@ object SparkEntry {
       // After compaction the flagship query served from the maintained
       // index against the batch-CDC-applied snapshot must equal a fresh
       // build over that snapshot (pipeline_cdc_index's oracle verbatim).
+      // PROTOCOL gate: corpus capped at the sf0.01 shape — the claims
+      // are U/D routing and seq-in-data purity; the vector twin is
+      // capped identically (round-17 task 7)
       val table = "graft_stream_takedown_" + d.replaceAll("[^A-Za-z0-9]", "_")
         .toLowerCase(java.util.Locale.ROOT)
       IndexStore.reset(s, table)
-      val dd = docs(s, d).select(col("doc_id").cast("long").as(Cols.Id),
+      val dd = docs(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id").cast("long").as(Cols.Id),
         col("text").as(Cols.Text))
       val tmp = stageOnce(s, d, "graft-stream-takedown") { t =>
         val slices = Seq(
@@ -6514,7 +6522,7 @@ object SparkEntry {
         SELECT doc_id,
           CASE WHEN doc_id % 5 = 0 THEN 'revised ' || text ELSE text END AS text
         FROM documents
-        WHERE NOT (doc_id % 9 = 4 AND doc_id % 5 <> 0)),
+        WHERE doc_id < 500 AND NOT (doc_id % 9 = 4 AND doc_id % 5 <> 0)),
       ${docCtesFrom(cfg16, "corpus")}, ${queryCtes(cfg16)},
       cand AS (
         SELECT s.doc_id, s.signature FROM sig s JOIN buck b USING (doc_id), qbuck q

@@ -48,8 +48,8 @@ import org.apache.spark.sql.SparkSession
   * eventual-consistency window (S3 has been strongly consistent since
   * 2020; the walk is the documented conditional-read fallback for stores
   * that are not). [[check]] therefore refuses LOUDLY under a
-  * hidden-newest listing instead of wrongly passing — ManifestFaultSpec
-  * drives the matrix. Any IOException on the claim put reads as a lost
+  * hidden-newest listing instead of wrongly passing — FenceSpec drives
+  * the matrix through the same FaultFs injections ManifestFaultSpec uses. Any IOException on the claim put reads as a lost
   * race (the claimer advances and retries) — a transient store failure
   * and a real competitor are indistinguishable and both are safe, since
   * the claimer only ever proceeds with a token it holds — but the

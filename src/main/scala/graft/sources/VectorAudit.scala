@@ -240,6 +240,20 @@ object VectorAudit {
     */
   def snapshotDebt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // PQ layout: one pin name covers BOTH cell tables (ivf subtree +
+    // encoded codes). The age/pins read from the ivf half (the halves
+    // pin together or roll back together); the encoded half contributes
+    // its own retained locations to the storage signal.
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assigned")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf/assigned"))) {
+      val base = snapshotDebt(spark, s"$dir/ivf")
+      val encRetained = retainedLocations(spark, s"$dir/encoded")
+      return base.withColumn("retained_locations",
+        when(col("retained_locations") >= 0,
+          col("retained_locations") + lit(encRetained))
+          .otherwise(col("retained_locations")))
+    }
     val table = s"$dir/assigned"
     if (!CellManifest.isManifest(spark, table))
       return Seq((0, None: Option[String], -1L, -1L, 0L))
@@ -251,12 +265,7 @@ object VectorAudit {
     val (oldestName, oldestAge) =
       if (ages.isEmpty) (None: Option[String], -1L)
       else { val (n, a) = ages.maxBy(_._2); (Some(n), a) }
-    def locs(cells: Map[Int, Seq[Long]]): Set[(Int, Long)] =
-      cells.toSeq.flatMap { case (c, gs) => gs.map(c -> _) }.toSet
-    val liveLocs = locs(liveCells)
-    val pinnedLocs = pins.values.toSet.flatMap((m: Long) =>
-      locs(CellManifest.readAt(spark, table, m)))
-    val retained = (pinnedLocs -- liveLocs).size.toLong
+    val retained = retainedLocations(spark, table)
     val delDir = new org.apache.hadoop.fs.Path(s"$dir/deleted")
     val markers =
       if (pins.isEmpty || !fsOf(spark, dir).exists(delDir)) 0L
@@ -265,6 +274,22 @@ object VectorAudit {
     Seq((pins.size, oldestName, oldestAge, retained, markers))
       .toDF("pins", "oldest_pin", "oldest_pin_age_commits",
         "retained_locations", "markers_retained")
+  }
+
+  /** Per-cell locations only PINNED manifests of `table` reference — a
+    * generation's cell directory, or a base `cell=` dir as generation 0;
+    * 0 on a rename-mode or pin-free table.
+    */
+  private def retainedLocations(spark: SparkSession, table: String): Long = {
+    if (!CellManifest.isManifest(spark, table)) return 0L
+    val pins = CellManifest.pins(spark, table)
+    if (pins.isEmpty) return 0L
+    val (_, liveCells) = CellManifest.read(spark, table)
+    def locs(cells: Map[Int, Seq[Long]]): Set[(Int, Long)] =
+      cells.toSeq.flatMap { case (c, gs) => gs.map(c -> _) }.toSet
+    val pinnedLocs = pins.values.toSet.flatMap((m: Long) =>
+      locs(CellManifest.readAt(spark, table, m)))
+    (pinnedLocs -- locs(liveCells)).size.toLong
   }
 
   /** OPT-IN reconciliation of the vector index's side state — the

@@ -1396,6 +1396,13 @@ class VectorStoreSpec extends AnyFunSuite {
       "vec_id", "embedding", seq = 2L)
     PqModel.compactUpserts(spark, dir)
 
+    // the PQ-layout debt signal aggregates BOTH halves: one pin, a
+    // positive manifest-commit age, retention from ivf + encoded
+    val debt = graft.sources.VectorAudit.snapshotDebt(spark, dir).collect()(0)
+    assert(debt.getInt(0) == 1 && debt.getString(1) == "pq_v1" &&
+      debt.getLong(2) > 0L && debt.getLong(3) > 0L,
+      s"PQ snapshotDebt must see the aged two-table pin: ${debt.toSeq}")
+
     val pinned = PqModel.load(spark, dir, "pq_v1")
     assert(idSeqs(pinned.encoded) == truthAtPin,
       "the pinned encoded table must be exactly the pin-time truth")
@@ -1420,5 +1427,10 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(PqModel.snapshots(spark, dir).isEmpty
       && CellManifest.pins(spark, s"$dir/encoded").isEmpty,
       "unpin must clear both halves")
+    PqModel.compactUpserts(spark, dir) // post-unpin head: gc reclaims
+    val after = graft.sources.VectorAudit.snapshotDebt(spark, dir).collect()(0)
+    assert(after.getInt(0) == 0 && after.getLong(2) == -1L &&
+      after.getLong(3) == 0L,
+      s"PQ snapshotDebt must clear after unpin + maintenance head: ${after.toSeq}")
   }
 }
