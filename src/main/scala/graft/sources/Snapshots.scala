@@ -111,13 +111,28 @@ object Snapshots {
     attempt // unreachable
   }
 
-  /** Drop the named training-set snapshot from every surface. Loud on a
-    * surface that never carried it (same as the per-table unpins).
+  /** Drop the named training-set snapshot from every surface. EVERY
+    * surface is attempted — a failure on one (a typo'd table, a name
+    * already dropped by hand) must not leave the later surfaces pinned
+    * and silently holding retention — then a single loud error names
+    * every surface that refused (same per-table loudness, aggregated).
     */
   def unpinTrainingSet(spark: SparkSession, name: String,
-      textTables: Seq[String] = Nil, vectorDirs: Seq[String] = Nil): Unit =
-    (textTables.map(Surface("text", _)) ++ vectorDirs.map(Surface("vector", _)))
-      .foreach(_.unpin(spark, name))
+      textTables: Seq[String] = Nil, vectorDirs: Seq[String] = Nil): Unit = {
+    val failures = (textTables.map(Surface("text", _)) ++
+        vectorDirs.map(Surface("vector", _)))
+      .flatMap { s =>
+        try { s.unpin(spark, name); None }
+        catch { case e: Exception => Some(s.loc -> e) }
+      }
+    failures.headOption.foreach { case (_, first) =>
+      throw new IllegalStateException(
+        s"unpinTrainingSet('$name') failed on " +
+          s"${failures.map(_._1).mkString(", ")} (every other surface WAS " +
+          "unpinned — nothing else is still holding retention); first " +
+          s"cause: ${first.getMessage}", first)
+    }
+  }
 
   /** A racing writer's signature at the helper's boundary: the fence
     * check refusal, or a per-table pin losing its own pin-vs-gc race —
