@@ -1245,6 +1245,44 @@ class IndexStoreSpec extends AnyFunSuite {
       s"the retry pins the newer (compacted) truth: $pinned")
   }
 
+  test("snapshot pin over a wide layout: the pooled partition listing (>64 dirs) builds the same inventory the serial path would, and the pinned read is exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = "graft_inverted_pin_wide"
+    IndexStore.reset(spark, table)
+    // 200 ids spread over ~200 two-hex-char prefixes — well past the
+    // 64-partition threshold where pinInverted switches to the thread
+    // pool; bucket value = prefix + suffix so prefixLen 2 partitioning
+    // fans out one dir per id
+    val postings = (0 until 200).map { i =>
+      (i.toLong, Array(s"sig$i"), Array(f"$i%02x$i%04d"), 1L)
+    }
+    IndexStore.saveInverted(
+      postings.toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq"),
+      table, prefixLen = 2, swapMode = IndexStore.SwapManifest)
+    val nParts = spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .size
+    assert(nParts > 64, s"the fixture must cross the pool threshold: $nParts")
+    IndexStore.pinInverted(spark, table, "wide")
+    // the inventory covers every partition exactly once per file, sorted
+    val inv = IndexStore.pinsInverted(spark, table)("wide")
+    assert(inv.map(_._1).distinct.size == nParts,
+      s"every partition must appear in the pooled inventory: " +
+        s"${inv.map(_._1).distinct.size} of $nParts")
+    assert(inv == inv.sorted, "the inventory stays deterministically sorted")
+    // and the pinned read is the exact table state
+    val pinned = IndexStore.loadInvertedPinned(spark, table, "wide")
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    val live = spark.table(table)
+      .select(col(Cols.Id), col("bucket"), col("ingest_seq"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(pinned == live && pinned.size == 200,
+      s"pinned read must equal the table: ${pinned.size} vs ${live.size}")
+    IndexStore.unpinInverted(spark, table, "wide")
+  }
+
   test("snapshot pin (text) guards: rename-mode refuses, pins are immutable, save/relayout refuse while pinned and change nothing") {
     val spark2 = spark
     import spark2.implicits._
