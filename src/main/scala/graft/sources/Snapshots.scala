@@ -134,6 +134,40 @@ object Snapshots {
     }
   }
 
+  /** The pin-retention debt of a TRAINING SET's surfaces in one frame —
+    * the observability twin of [[pinTrainingSet]]: one row per surface
+    * (`surface` = the table name / model dir, `kind` = text | vector),
+    * with that family's [[IndexStore.snapshotDebt]] /
+    * [[graft.sources.VectorAudit.snapshotDebt]] columns aligned to one
+    * schema (`oldest_pin_age` carries claims on text surfaces and
+    * manifest commits on vector ones — both "writer ops since the pin",
+    * never wall clock; `markers_retained` is −1 on text surfaces, where
+    * tombstones are permanent by contract and never pin-retained). The
+    * dashboard query for "which surface is the forgotten pin on".
+    */
+  def trainingSetDebt(spark: SparkSession,
+      textTables: Seq[String] = Nil,
+      vectorDirs: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(textTables.nonEmpty || vectorDirs.nonEmpty,
+      "trainingSetDebt needs at least one surface")
+    val text = textTables.map { t =>
+      IndexStore.snapshotDebt(spark, t)
+        .select(lit(t).as("surface"), lit("text").as("kind"),
+          col("pins"), col("oldest_pin"),
+          col("oldest_pin_age_claims").as("oldest_pin_age"),
+          col("retained_locations"), lit(-1L).as("markers_retained"))
+    }
+    val vec = vectorDirs.map { d =>
+      VectorAudit.snapshotDebt(spark, d)
+        .select(lit(d).as("surface"), lit("vector").as("kind"),
+          col("pins"), col("oldest_pin"),
+          col("oldest_pin_age_commits").as("oldest_pin_age"),
+          col("retained_locations"), col("markers_retained"))
+    }
+    (text ++ vec).reduce(_.unionByName(_))
+  }
+
   /** A racing writer's signature at the helper's boundary: the fence
     * check refusal, or a per-table pin losing its own pin-vs-gc race —
     * both resolved by a clean retry against the newer state. Everything

@@ -94,7 +94,20 @@ class SnapshotPairSpec extends AnyFunSuite {
       "no vector pin may survive an exhausted pinTrainingSet")
     // with the writers quiet the same name pins first try
     assert(Snapshots.pinTrainingSet(spark, "pair_v2", Seq(table), Seq(dir)) == 1)
+    // the training set's one-frame debt view: one row per surface, the
+    // shared age column carrying each family's own writer-op unit
+    val debt = Snapshots.trainingSetDebt(spark, Seq(table), Seq(dir))
+      .orderBy("kind").collect()
+    assert(debt.length == 2 &&
+      debt.map(_.getString(1)).toSeq == Seq("text", "vector"))
+    assert(debt.forall(r => r.getInt(2) == 1 && r.getString(3) == "pair_v2"),
+      s"both surfaces carry the fresh pin: ${debt.toSeq}")
+    assert(debt.forall(_.getLong(4) >= 0L),
+      "a just-taken pin's age is zero or the claims the pin window itself made")
     Snapshots.unpinTrainingSet(spark, "pair_v2", Seq(table), Seq(dir))
+    val after = Snapshots.trainingSetDebt(spark, Seq(table), Seq(dir)).collect()
+    assert(after.forall(r => r.getInt(2) == 0 && r.getLong(4) == -1L),
+      s"unpin clears the whole view: ${after.toSeq}")
   }
 
   test("non-race failures rethrow immediately and roll back the attempt's pins: an immutable-name collision is not a retry") {
