@@ -194,7 +194,7 @@ object CellManifest {
     } catch {
       case e: Throwable =>
         fs.delete(p, false)
-        throw new IllegalStateException(
+        throw new FenceViolation(
           s"snapshot pin '$name' on $tableDir raced a maintenance pass " +
             s"that reclaimed manifest-$m — the pin was rolled back; " +
             "re-pin (the retry resolves the newer manifest)", e)

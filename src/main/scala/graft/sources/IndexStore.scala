@@ -1231,7 +1231,17 @@ object IndexStore {
               def call(): Array[(String, String)] = listOne(pfx, dir)
             })
           }
-          futures.flatMap(_.get())
+          // unwrap the pool's ExecutionException so the pooled path's
+          // failure contract (the IOException the serial listStatus loop
+          // throws) is identical regardless of partition count — handlers
+          // keyed on exception type must not see a different shape past
+          // 64 partitions
+          futures.flatMap { f =>
+            try f.get() catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
         } finally pool.shutdown()
       }).sortBy(identity)
     val pinFile = new org.apache.hadoop.fs.Path(pd, s"pin-$name")
@@ -1260,7 +1270,7 @@ object IndexStore {
     }
     if (missing.nonEmpty) {
       fs.delete(pinFile, false); fs.delete(logCopy, true); fs.delete(hotCopy, true)
-      throw new IllegalStateException(
+      throw new FenceViolation(
         s"snapshot pin '$name' on $table raced a maintenance pass that " +
           s"reclaimed ${missing.map(_._1).mkString(", ")} — the pin was " +
           "rolled back; re-pin")
@@ -1276,7 +1286,7 @@ object IndexStore {
         (if (wroteHot && !hasParquet(hotCopy)) Seq(s"hot-$name") else Nil)
     if (lostSides.nonEmpty) {
       fs.delete(pinFile, false); fs.delete(logCopy, true); fs.delete(hotCopy, true)
-      throw new IllegalStateException(
+      throw new FenceViolation(
         s"snapshot pin '$name' on $table raced a maintenance pass whose " +
           s"orphan sweep removed its staged ${lostSides.mkString(", ")} " +
           "side copies before the pin file landed — the pin was rolled " +

@@ -93,7 +93,7 @@ object Snapshots {
         }
         return attempt
       } catch {
-        case e: IllegalStateException if isRace(e) =>
+        case e: FenceViolation =>
           // roll back THIS attempt's pins completely — a partial pin set
           // must never be visible as a training snapshot
           pinned.foreach(_.unpin(spark, name))
@@ -168,13 +168,4 @@ object Snapshots {
     (text ++ vec).reduce(_.unionByName(_))
   }
 
-  /** A racing writer's signature at the helper's boundary: the fence
-    * check refusal, or a per-table pin losing its own pin-vs-gc race —
-    * both resolved by a clean retry against the newer state. Everything
-    * else (immutable-name refusal, store outage) rethrows.
-    */
-  private def isRace(e: IllegalStateException): Boolean = {
-    val m = Option(e.getMessage).getOrElse("")
-    m.contains("writer fence violated") || m.contains("raced a maintenance")
-  }
 }

@@ -97,6 +97,47 @@ class FenceSpec extends AnyFunSuite {
       "a refused claim storm must not advance the table's epoch")
   }
 
+  test("a fence refusal is TYPED: check throws FenceViolation, so race-retry callers match on the class and the message text is free to change") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-typed").toString
+    val older = Fence.begin(spark, dir)
+    Fence.begin(spark, dir)
+    // the supertype catch sites keep working (FenceViolation extends
+    // IllegalStateException), and the structural match works too
+    val ex = intercept[graft.sources.FenceViolation](
+      Fence.check(spark, dir, older))
+    assert(ex.isInstanceOf[IllegalStateException])
+  }
+
+  test("a re-seeded fence back-fills a contiguous tail: a stale listing that hides the lone post-wipe epoch still resolves the true head by the successor walk") {
+    val tmp = java.nio.file.Files.createTempDirectory("fence-reseed").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val dir = s"faultfs:$tmp"
+    FaultFs.reset()
+    val pre = Fence.begin(spark, dir) // pre-wipe history
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the overwrite/relayout wipe: _fence goes with the directory
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_fence"), true)
+    val reseeded = Fence.begin(spark, dir, atLeast = pre + 1)
+    assert(reseeded == pre + 1, s"re-seed must land at pre+1: $reseeded")
+    // the back-fill gives the lone re-seeded epoch contiguous
+    // predecessors, so a listing blind to the newest file still walks to
+    // the head — without it current() would resolve 0 here and a new
+    // claim would re-use a low slot the pre-wipe tokens already held
+    try {
+      FaultFs.hideNewestEpoch = true
+      assert(Fence.current(spark, dir) == reseeded,
+        "a stale listing must still resolve the re-seeded head")
+      val next = Fence.begin(spark, dir)
+      assert(next == reseeded + 1,
+        s"claim under a stale listing must land past the re-seed: $next")
+      val ex = intercept[graft.sources.FenceViolation](
+        Fence.check(spark, dir, reseeded))
+      assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    } finally FaultFs.reset()
+  }
+
   test("a crashed claimer never wedges the table: epochs are not leases — the next op claims over the dangling epoch and proceeds, zero cleanup") {
     val model = SimSearch.trainIvf(emb, "vec_id", "embedding",
       nLists = 4, iters = 0)
