@@ -89,6 +89,34 @@ object Bench {
       System.err.println(s"[bench] curate warm-up skipped: ${e.getMessage}")
     }
 
+    // HOST-CHURN CALIBRATION PROBE (round-18 verdict task 1): a fixed,
+    // deterministic, CPU-bound query — an in-memory hash-agg over a
+    // generated range, zero I/O, zero shuffle beyond the single-row
+    // reduce — timed at suite start, middle, and end and printed as
+    // {"calib":[s1,s2,s3]} in the artifact tail. The artifact then
+    // self-normalizes: a slowest-20 outlier against a 3× calibration
+    // drift reads as host churn; against ~1.0× it reads as a real code
+    // regression. Expected quiet-host value: ~2.2 s per probe at 32
+    // threads (PERF.md round-19 notes the watch value; the probe is
+    // whole-stage-codegen'd xxhash64 over spark.range, so its cost
+    // tracks available CPU and nothing else).
+    val calibRows = sys.env.get("SPARK_GRAFT_CALIB_ROWS")
+      .flatMap(_.toLongOption).getOrElse(3_000_000_000L)
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      // pmod bounds the summand so the 3e9-row sum stays inside a long
+      // under ANSI mode; xxhash64 carries the CPU load
+      val r = spark.range(0L, calibRows, 1L, cpus.toInt)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000000L))).as("h"))
+        .collect()(0).getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] calib $dt%.3f s (checksum $r)")
+      dt
+    }
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calib += calibrate()
+
     // min of N reps per query: single-shot numbers on a shared host carry
     // ±2× scheduler/JIT noise; the minimum is the standard steady-state
     // estimator and stays honest (every rep does the full work — caches are
@@ -117,9 +145,11 @@ object Bench {
     // above the floor report single-shot.
     val singleRepFloor = sys.env.get("SPARK_GRAFT_BENCH_SINGLE_REP_FLOOR")
       .flatMap(_.toDoubleOption).getOrElse(5.0)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val midAt = benched.size / 2
+    val results = benched.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midAt && qi > 0) calib += calibrate() // mid-suite probe
       var bestT = Double.MaxValue
       var bestShuf = (0L, 0L)
       // iterator, not Range.takeWhile: a strict Range evaluates the
@@ -172,6 +202,13 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"slowest":$slowest}""")
+    // suite-end calibration probe, then the tail line the regression scan
+    // divides the slowest-20 by before claiming anything (quiet host:
+    // every element near the PERF.md watch value and flat across the
+    // suite; a churned host shows inflated and/or wildly uneven probes)
+    calib += calibrate()
+    val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
+    println(s"""{"calib":$calibJson,"calib_rows":$calibRows}""")
     spark.stop()
   }
 }
