@@ -2000,22 +2000,49 @@ object SparkEntry {
       // rates ≥ 0.8 must appear ≥ 0.65 in the other (sd ≈ 0.04 at 100
       // hashes; banding at J ≥ 0.72 with 25 bands misses with p < 1e-5)
       // — instead of a knife-edge set equality.
+      // Round-19 robustness (advisor): the one-sided check used to
+      // resolve "≥ 0.65 in the other family" WITHIN that family's own
+      // top-50 candidate list, so a strong hit ranked 51st there (or
+      // missed by its banding) failed the gate spuriously. Now the
+      // strong ids' estimates are looked up in the other family
+      // DIRECTLY from its signatures (queryFeatures + the agreement
+      // kernel — no candidate list, no banding probability in the claim
+      // at all); and the self-match asserts MEMBERSHIP of (doc 0, 1.0)
+      // rather than head position, so an improbable 1.0 tie cannot
+      // break it either.
       val fullKey = docs(s, d).where(col("doc_id") === 0)
         .select(col("text")).collect()(0).getString(0)
+      val cfgs = Seq(cfg100, cfg100Fast, cfg100Xx128)
       def hits(cfg: MinHashConfig): Seq[(Long, Float)] =
         fitted(s, d, cfg).approxNearestNeighbors(fullKey, 50)
           .select(col(Cols.Id), col(Cols.Jaccard)).collect()
           .map(r => (r.getLong(0), r.getFloat(1))).toSeq
-      val all = Seq(hits(cfg100), hits(cfg100Fast), hits(cfg100Xx128))
+      val all = cfgs.map(hits)
       def strong(h: Seq[(Long, Float)]) = h.filter(_._2 >= 0.8f).map(_._1).toSet
-      def near(h: Seq[(Long, Float)]) = h.filter(_._2 >= 0.65f).map(_._1).toSet
-      def agree(a: Seq[(Long, Float)], b: Seq[(Long, Float)]) =
-        strong(a).subsetOf(near(b)) && strong(b).subsetOf(near(a))
-      val selfExact = all.forall(h =>
-        h.headOption.exists(t => t._1 == 0L && t._2 == 1.0f))
+      // the named ids' signature-agreement estimates under `cfg`,
+      // straight from the index signatures (bounded collect: ≤ 50 ids)
+      def estIn(cfg: MinHashConfig, ids: Set[Long]): Map[Long, Float] =
+        if (ids.isEmpty) Map.empty
+        else {
+          val m = fitted(s, d, cfg)
+          m.indexDf.where(col(Cols.Id).isin(ids.toSeq: _*))
+            .crossJoin(broadcast(m.queryFeatures(fullKey)
+              .where(col("q_sig").isNotNull).select(col("q_sig"))))
+            .select(col(Cols.Id), graft.functions.ArrayKernels
+              .signatureAgreement(col(Cols.Signature), col("q_sig")).as("est"))
+            .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+        }
+      def agree(a: Int, b: Int): Boolean = {
+        def oneWay(x: Int, y: Int) = {
+          val st = strong(all(x))
+          val est = estIn(cfgs(y), st)
+          st.forall(id => est.get(id).exists(_ >= 0.65f))
+        }
+        oneWay(a, b) && oneWay(b, a)
+      }
+      val selfExact = all.forall(_.exists(t => t._1 == 0L && t._2 == 1.0f))
       import s.implicits._
-      Seq((selfExact, agree(all(0), all(1)), agree(all(0), all(2)),
-          agree(all(1), all(2))))
+      Seq((selfExact, agree(0, 1), agree(0, 2), agree(1, 2)))
         .toDF("self_exact", "agree_md5_fast", "agree_md5_xx128",
           "agree_fast_xx128")
     }),
@@ -2490,6 +2517,77 @@ object SparkEntry {
       Seq((aged.getInt(0), agedOk, retainedForPin, markersRetained, cleared))
         .toDF("pins", "pin_aged", "retained_for_pin", "markers_retained",
           "cleared_on_unpin")
+    }),
+    "snapshot_pair_debt" -> ((s, d) => {
+      // ONE-FRAME retention debt for a CROSS-INDEX training-set pin
+      // (Snapshots.trainingSetDebt): pin a text table + a vector index as
+      // one set, churn BOTH surfaces, and the union frame must show the
+      // pin aging in each family's own writer-op unit (claims on text,
+      // manifest commits on vector — never wall clock), with retention
+      // held per surface (text markers are permanent by contract, −1;
+      // vector takedown markers retained for the pin), then clear WHOLE
+      // on unpinTrainingSet + the next maintenance heads. PROTOCOL gate —
+      // capped corpus (pin cost scaling is pin_ladder's job).
+      val table = "graft_pair_debt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        .toLowerCase(java.util.Locale.ROOT)
+      Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(s, _))
+      val dd = docs(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id").cast("long").as(Cols.Id), col("text").as(Cols.Text))
+      def feat(df: DataFrame, seq: Int): DataFrame =
+        new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+          .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+          .withColumn("ingest_seq", lit(seq.toLong))
+      IndexStore.saveInverted(feat(dd, 1), table, prefixLen = 1,
+        swapMode = IndexStore.SwapManifest)
+      val dir = roundTripDir(d, "graft-pair-debt-vec")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val emb = tbl(s, d, "embeddings").where(col("vec_id") < 500)
+      val m = SimSearch.trainIvf(emb, "vec_id", "embedding",
+        nLists = 8, iters = 1)
+      graft.operators.IvfModel(m.centroids,
+          m.assigned.withColumn("ingest_seq", lit(1L)))
+        .save(dir, IndexStore.SwapManifest)
+      m.unpersist()
+      val attempts = graft.sources.Snapshots.pinTrainingSet(s, "set_v1",
+        Seq(table), Seq(dir))
+      // churn BOTH surfaces past the pin
+      IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0)
+        .select(col(Cols.Id), concat(lit("revised "), col(Cols.Text))
+          .as(Cols.Text)), 2), table)
+      IndexStore.compactInverted(s, table)
+      graft.operators.IvfModel.appendVectors(s, dir,
+        emb.where(col("vec_id") % 13 === 2), "vec_id", "embedding", seq = 2L)
+      graft.operators.IvfModel.compactUpserts(s, dir)
+      graft.operators.IvfModel.deleteVectors(s, dir,
+        emb.where(col("vec_id") === 7).select("vec_id"), seq = 3L)
+      graft.operators.IvfModel.compactDeletes(s, dir)
+      val aged = graft.sources.Snapshots.trainingSetDebt(s, Seq(table), Seq(dir))
+        .orderBy("kind").collect()
+      def agedRow(kind: String) = aged.find(_.getString(1) == kind).get
+      def agedOk(r: org.apache.spark.sql.Row) =
+        r.getInt(2) == 1 && r.getString(3) == "set_v1" && r.getLong(4) > 0L
+      val (tA, vA) = (agedRow("text"), agedRow("vector"))
+      graft.sources.Snapshots.unpinTrainingSet(s, "set_v1", Seq(table), Seq(dir))
+      // post-unpin maintenance heads reclaim each surface's retention
+      IndexStore.compactInverted(s, table)
+      graft.operators.IvfModel.compactUpserts(s, dir)
+      graft.operators.IvfModel.compactDeletes(s, dir)
+      val after = graft.sources.Snapshots.trainingSetDebt(s, Seq(table), Seq(dir))
+        .collect()
+      def clearedOk(r: org.apache.spark.sql.Row) =
+        r.getInt(2) == 0 && r.getLong(4) == -1L && r.getLong(5) == 0L
+      import s.implicits._
+      Seq(
+        ("text", attempts, agedOk(tA), tA.getLong(5) > 0L,
+          tA.getLong(6) == -1L,
+          clearedOk(after.find(_.getString(1) == "text").get)),
+        ("vector", attempts, agedOk(vA), vA.getLong(5) > 0L,
+          vA.getLong(6) > 0L,
+          clearedOk(after.find(_.getString(1) == "vector").get)))
+        .toDF("kind", "pin_attempts", "pin_aged", "retained_for_pin",
+          "markers_ok", "cleared_on_unpin")
+        .orderBy("kind")
     }),
     "ann_index_fresh" -> ((s, d) => {
       // EXACT-ON-ARRIVAL maintenance: the same prelim-corpus + correction
@@ -3858,6 +3956,7 @@ object SparkEntry {
       SimSearch.ivfRecallEval(tbl(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 20, k = 10, nLists = 16, nProbe = 8, iters = 2,
         recallFloor = 0.5)
+        .drop("min_recall", "mean_recall")
         .orderBy("qid")),
     "sim_recall_ivf_loaded" -> ((s, d) =>
       // the persisted coarse-quantizer replayed from disk (IvfModel
@@ -3867,6 +3966,7 @@ object SparkEntry {
       SimSearch.ivfRecallEvalFromModel(
         IvfModel.load(s, ivfIndexFor(s, d)),
         nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+        .drop("min_recall", "mean_recall")
         .orderBy("qid")),
     "sim_recall_ivf_deleted" -> ((s, d) => {
       // VECTOR-side takedown, mirroring ann_index_deleted: delete markers
@@ -3886,6 +3986,7 @@ object SparkEntry {
         SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
           mustExclude = delIds)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       IvfModel.compactDeletes(s, dir)
@@ -3907,6 +4008,7 @@ object SparkEntry {
       def eval(stage: String): DataFrame =
         SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       IvfModel.compactUpserts(s, dir)
@@ -3989,6 +4091,7 @@ object SparkEntry {
         SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
           mustExclude = excl)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val post = eval("post_retrain", Seq(5L)).localCheckpoint()
       IvfModel.deleteVectors(s, dir,
@@ -4054,6 +4157,7 @@ object SparkEntry {
         SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.1,
           mustExclude = excl)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val post = eval("post_retrain", Seq(5L)).localCheckpoint()
       PqModel.deleteVectors(s, dir,
@@ -4079,6 +4183,7 @@ object SparkEntry {
       def eval(stage: String): DataFrame =
         SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       IvfModel.compactUpserts(s, dir)
@@ -4129,6 +4234,7 @@ object SparkEntry {
       def eval(model: IvfModel, stage: String): DataFrame =
         SimSearch.ivfRecallEvalFromModel(model,
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       // the export escape hatch: the pin materializes as a standalone
       // rename-mode index (served state — one seq per id) that keeps the
@@ -4185,6 +4291,7 @@ object SparkEntry {
         SimSearch.ivfRecallEvalFromModel(model,
           nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.5,
           mustExclude = Seq(5L))
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val out = eval(IvfModel.load(s, dir, "audit_v1"), "pinned")
         .unionByName(eval(IvfModel.load(s, dir), "live"))
@@ -4244,6 +4351,7 @@ object SparkEntry {
         .where(col("ingest_seq") < col("__w")).count()
       SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5)
+        .drop("min_recall", "mean_recall")
         .withColumn("compacted_by_debt", lit(stale == 0L))
         .orderBy("qid")
     }),
@@ -4307,6 +4415,7 @@ object SparkEntry {
         SimSearch.ivfRecallEvalFromModel(IvfModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 8, recallFloor = 0.5,
           mustExclude = Seq(5L))
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
           .withColumn("resurrected", lit(resurrected))
       val pre = eval("served").localCheckpoint()
@@ -4395,6 +4504,7 @@ object SparkEntry {
       SimSearch.pqRecallEval(tbl(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 20, k = 10, nLists = 16, nProbe = 12, m = 16, ks = 64,
         recallFloor = 0.3)
+        .drop("min_recall", "mean_recall")
         .orderBy("qid")),
     "sim_recall_pq_deleted" -> ((s, d) => {
       // PQ takedown: ONE marker beside the coarse quantizer governs both
@@ -4411,6 +4521,7 @@ object SparkEntry {
         SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.3,
           mustExclude = delIds)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       PqModel.compactDeletes(s, dir)
@@ -4429,6 +4540,7 @@ object SparkEntry {
       def eval(stage: String): DataFrame =
         SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
           nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.3)
+          .drop("min_recall", "mean_recall")
           .withColumn("stage", lit(stage))
       val pre = eval("pre_compact").localCheckpoint()
       PqModel.compactUpserts(s, dir)
@@ -4445,7 +4557,37 @@ object SparkEntry {
       val dir = pqIndexFor(s, d)
       SimSearch.pqRecallEvalFromModel(PqModel.load(s, dir),
         nQueries = 20, k = 10, nProbe = 12, recallFloor = 0.3)
+        .drop("min_recall", "mean_recall")
         .orderBy("qid")
+    }),
+    "sim_recall_telemetry" -> ((s, d) => {
+      // the DRAW-DEPENDENT recall distribution behind the two-tier recall
+      // gates, exposed ROWS-ONLY: the workload's min/mean per-query
+      // recall are exactly the quantities a hash-pinned oracle would turn
+      // back into a corpus-draw lottery (the round-18 restatement's
+      // lesson), so they ride a rows-only gate instead — one row per
+      // family with the raw min/mean and the tiers cleared. A
+      // single-query mode regression hiding under a healthy workload
+      // mean is VISIBLE here as a sagging min_recall even while every
+      // boolean gate passes (round-18 verdict, What's wrong #3). Watch
+      // value (COVERAGE.md): min_recall ≥ floor/3 always; healthy draws
+      // sit at or above the floor itself.
+      def oneRow(df: DataFrame, family: String, floor: Double): DataFrame =
+        df.agg(
+            first(col("min_recall")).as("min_recall"),
+            first(col("mean_recall")).as("mean_recall"),
+            (min(col("sane_ok").cast("int")) === 1).as("all_sane"),
+            first(col("mean_recall_ok")).as("mean_ok"))
+          .select(lit(family).as("family"), lit(floor).as("floor"),
+            col("min_recall"), col("mean_recall"), col("all_sane"),
+            col("mean_ok"))
+      oneRow(SimSearch.ivfRecallEval(tbl(s, d, "embeddings"), "vec_id",
+          "embedding", nQueries = 20, k = 10, nLists = 16, nProbe = 8,
+          iters = 2, recallFloor = 0.5), "ivf", 0.5)
+        .unionByName(oneRow(SimSearch.pqRecallEval(tbl(s, d, "embeddings"),
+          "vec_id", "embedding", nQueries = 20, k = 10, nLists = 16,
+          nProbe = 12, m = 16, ks = 64, recallFloor = 0.3), "pq", 0.3))
+        .orderBy("family")
     }),
     "sim_recall_pq_rerank" -> ((s, d) =>
       // IVFADC+R (exact re-rank of the PQ top-C, the production shape):
@@ -4456,6 +4598,7 @@ object SparkEntry {
       SimSearch.pqRerankRecallEval(tbl(s, d, "embeddings"), "vec_id",
         "embedding", nQueries = 20, k = 10, rerankC = 50, nLists = 16,
         nProbe = 12, m = 16, ks = 64, recallFloor = 0.5)
+        .drop("min_recall", "mean_recall")
         .orderBy("qid")),
 
     // --- text analysis
@@ -8256,7 +8399,8 @@ object SparkEntry {
         array_to_string(list_sort(b.bucket_ids), ',') AS bucket_ids_str
       FROM sig s JOIN buck b USING (doc_id) ORDER BY s.doc_id""",
     "sim_recall_ivf" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_filtered" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
@@ -8293,13 +8437,15 @@ object SparkEntry {
       ORDER BY qid, cos6 DESC, vec_id""",
     // the loaded coarse-quantizer replay shares sim_recall_ivf's floor
     "sim_recall_ivf_loaded" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     // vector takedown: deleted queries vanish from the eval set, every
     // surviving query keeps the floor and returns no deleted id, in both
     // serving states (markers-only and compacted)
     "sim_recall_ivf_deleted" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, true AS clean,
              st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20 AND vec_id % 17 <> 3
@@ -8308,7 +8454,8 @@ object SparkEntry {
     // vectors in both serving states (pre-compaction winner resolution
     // and post-compaction physical supersession)
     "sim_recall_ivf_upsert" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20
       ORDER BY st.stage, qid""",
@@ -8337,11 +8484,12 @@ object SparkEntry {
     // stay excluded (clean) and recall holds vs brute over the final
     // vectors, in the retrained state and after continued maintenance
     "sim_recall_ivf_retrain" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, true AS clean,
              'post_retrain' AS stage
       FROM embeddings WHERE vec_id < 20 AND vec_id <> 5
       UNION ALL
-      SELECT CAST(vec_id AS BIGINT), true, true, 'post_delete'
+      SELECT CAST(vec_id AS BIGINT), true, true, true, true, 'post_delete'
       FROM embeddings WHERE vec_id < 20 AND vec_id NOT IN (5, 6)
       ORDER BY stage, qid""",
     // text-side maintenance debt replays the featurize pipeline: the one
@@ -8353,17 +8501,19 @@ object SparkEntry {
               WHERE doc_id = 82) AS dead_postings""",
     // PQ retrain shares the retrain contract verbatim
     "sim_recall_pq_retrain" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, true AS clean,
              'post_retrain' AS stage
       FROM embeddings WHERE vec_id < 20 AND vec_id <> 5
       UNION ALL
-      SELECT CAST(vec_id AS BIGINT), true, true, 'post_delete'
+      SELECT CAST(vec_id AS BIGINT), true, true, true, true, 'post_delete'
       FROM embeddings WHERE vec_id < 20 AND vec_id NOT IN (5, 6)
       ORDER BY stage, qid""",
     // the object-store-safe manifest swap changes the commit protocol,
     // never answers — the upsert contract verbatim
     "sim_recall_ivf_manifest" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20
       ORDER BY st.stage, qid""",
@@ -8371,7 +8521,8 @@ object SparkEntry {
     // the full pin-time corpus at seq 1" — the engine computes it from
     // the pinned manifest AFTER a live upsert + physical compaction
     "sim_snapshot_pin" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage,
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, st.stage,
              true AS frozen
       FROM embeddings
            CROSS JOIN (VALUES ('pinned'), ('exported'), ('live')) st(stage)
@@ -8380,7 +8531,8 @@ object SparkEntry {
     // takedown pierces the pin: id 5 invisible in BOTH serving states,
     // markers retained-while-pinned then cleared after the unpin
     "sim_snapshot_takedown" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, true AS clean,
              st.stage, true AS pinned_clean, true AS live_scrubbed,
              true AS marker_lifecycle
       FROM embeddings CROSS JOIN (VALUES ('pinned'), ('live')) st(stage)
@@ -8392,6 +8544,7 @@ object SparkEntry {
     // rows, so `true` here IS the mid-stream-firing oracle)
     "stream_vec_debt_compact" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok,
              true AS compacted_by_debt
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     // the pure-append fan-out fold: the row count is the replayable
@@ -8406,33 +8559,39 @@ object SparkEntry {
     // version, recall floor in both serving states
     "stream_vec_takedown_real" -> """
       SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok,
              true AS clean, st.stage, true AS resurrected
       FROM embeddings CROSS JOIN (VALUES ('served'), ('compacted')) st(stage)
       WHERE vec_id < 20 AND vec_id <> 5
       ORDER BY st.stage, qid""",
     // the PQ family shares the takedown contract verbatim
     "sim_recall_pq_deleted" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, true AS clean,
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, true AS clean,
              st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20 AND vec_id % 17 <> 3
       ORDER BY st.stage, qid""",
     "sim_recall_pq" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     // PQ upsert shares the vector-upsert contract verbatim
     "sim_recall_pq_upsert" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok, st.stage
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok, st.stage
       FROM embeddings CROSS JOIN (VALUES ('pre_compact'), ('post_compact')) st(stage)
       WHERE vec_id < 20
       ORDER BY st.stage, qid""",
     // the loaded-model replay answers bit-identically to the fitted run
     // (OperatorSpec asserts the stronger equality) — same floor oracle
     "sim_recall_pq_loaded" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "sim_recall_pq_rerank" -> """
-      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok
+      SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+             true AS sane_ok, true AS mean_recall_ok
       FROM embeddings WHERE vec_id < 20 ORDER BY qid""",
     "stream_semantic_dedup_real" -> """
       WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
@@ -9432,6 +9591,19 @@ object SparkEntry {
     "sim_snapshot_debt" -> """
       SELECT 1 AS pins, true AS pin_aged, true AS retained_for_pin,
              true AS markers_retained, true AS cleared_on_unpin""",
+    // the one-frame training-set debt view: one row per pinned surface,
+    // every lifecycle claim engine-computed from the union frame (quiet
+    // window pins in one attempt; age positive in each family's own
+    // writer-op unit; retention held per surface — text markers −1 by
+    // the permanent-tombstone contract, vector markers positive for the
+    // pin; everything clears whole after unpinTrainingSet + heads)
+    "snapshot_pair_debt" -> """
+      SELECT * FROM (VALUES
+        ('text',   1, true, true, true, true),
+        ('vector', 1, true, true, true, true))
+        t(kind, pin_attempts, pin_aged, retained_for_pin, markers_ok,
+          cleared_on_unpin)
+      ORDER BY kind""",
     // the audit lookup returns the physical posting rows (featurize
     // replay for the audited ids) plus the tombstone marker (null bucket)
     "ann_postings_audit" -> s"""

@@ -602,13 +602,13 @@ object SimSearch {
     val ivf = topIds(base.join(broadcast(qp), Seq("cell")), "ivf_ids")
     val brute = topIds(finalBase.crossJoin(broadcast(q)), "ids")
     val joined = brute.join(ivf, Seq("qid"), "left")
-    val recall = recallOk(
-      coalesce(size(array_intersect(col("ivf_ids"), col("ids"))), lit(0))
-        .cast("double") / k, recallFloor).as("recall_ok")
-    if (mustExclude.isEmpty) joined.select(col("qid"), recall)
-    else joined.select(col("qid"), recall,
+    val rec = coalesce(size(array_intersect(col("ivf_ids"), col("ids"))),
+      lit(0)).cast("double") / k
+    if (mustExclude.isEmpty)
+      joined.select(col("qid") +: recallCols(rec, recallFloor): _*)
+    else joined.select(col("qid") +: recallCols(rec, recallFloor) :+
       (!arrays_overlap(coalesce(col("ivf_ids"), array()),
-        typedlit(mustExclude))).as("clean"))
+        typedlit(mustExclude))).as("clean"): _*)
   }
 
   /** Ranking fidelity of int8 embedding quantization: recall@k of the
@@ -653,15 +653,30 @@ object SimSearch {
     * pure code distortion at 16× compression, not a defect), and the
     * every-query-clears-the-floor form made the gates a lottery over
     * corpus draws. The two-tier form is strictly implied by the old one
-    * (every gate that passed keeps passing), keeps the per-row schema
-    * (the mean is a window aggregate), and still fails loudly on real
-    * regressions — a broken probe/codebook path drags the MEAN under the
-    * floor or a query under the sanity tier.
+    * (every gate that passed keeps passing) and still fails loudly on
+    * real regressions — a broken probe/codebook path drags the MEAN
+    * under the floor or a query under the sanity tier.
+    *
+    * The tiers are EXPLICIT in the schema (round-19): `sane_ok` is the
+    * per-query tier and `mean_recall_ok` the workload tier, so a
+    * consumer can see which tier a verdict rests on instead of reading
+    * `recall_ok` as a pure per-query claim; `min_recall` / `mean_recall`
+    * carry the workload's raw distribution (constant per workload — a
+    * single-query mode regression that hides under a healthy mean is
+    * visible as a sagging `min_recall` even while every boolean passes).
+    * The raw columns are draw-dependent by nature, which is exactly why
+    * the hash-pinned gates project them away and the rows-only
+    * `sim_recall_telemetry` gate carries them instead.
     */
-  private def recallOk(rec: org.apache.spark.sql.Column,
-      recallFloor: Double): org.apache.spark.sql.Column = {
+  private def recallCols(rec: org.apache.spark.sql.Column,
+      recallFloor: Double): Seq[org.apache.spark.sql.Column] = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    rec >= lit(recallFloor / 3.0) && avg(rec).over(w) >= lit(recallFloor)
+    val sane = rec >= lit(recallFloor / 3.0)
+    val meanOk = avg(rec).over(w) >= lit(recallFloor)
+    Seq((sane && meanOk).as("recall_ok"), sane.as("sane_ok"),
+      meanOk.as("mean_recall_ok"),
+      min(rec).over(w).as("min_recall"),
+      avg(rec).over(w).as("mean_recall"))
   }
 
   // ---------------- IVF-PQ (Jégou et al. 2011, IVFADC) ----------------
@@ -820,13 +835,13 @@ object SimSearch {
       .groupBy("qid").agg(TopKAgg.topK(col("c"), col("id"), k).as("tk"))
       .select(col("qid"), transform(col("tk"), x => x.getField("id")).as("ids"))
     val joined = brute.join(pq, Seq("qid"), "left")
-    val recall = recallOk(
-      coalesce(size(array_intersect(col("pq_ids"), col("ids"))), lit(0))
-        .cast("double") / k, recallFloor).as("recall_ok")
-    if (mustExclude.isEmpty) joined.select(col("qid"), recall)
-    else joined.select(col("qid"), recall,
+    val rec = coalesce(size(array_intersect(col("pq_ids"), col("ids"))),
+      lit(0)).cast("double") / k
+    if (mustExclude.isEmpty)
+      joined.select(col("qid") +: recallCols(rec, recallFloor): _*)
+    else joined.select(col("qid") +: recallCols(rec, recallFloor) :+
       (!arrays_overlap(coalesce(col("pq_ids"), array()),
-        typedlit(mustExclude))).as("clean"))
+        typedlit(mustExclude))).as("clean"): _*)
   }
 
   /** FROZEN-model encode of NEW vectors — the index-maintenance path of a
@@ -886,7 +901,7 @@ object SimSearch {
       m: Int = 8, ks: Int = 16, recallFloor: Double = 0.5): DataFrame =
     pqRerankRecalls(emb, idCol, vecCol, nQueries, k, rerankC, nLists,
       nProbe, m, ks)
-      .select(col("qid"), recallOk(col("recall"), recallFloor).as("recall_ok"))
+      .select(col("qid") +: recallCols(col("recall"), recallFloor): _*)
 
   /** The per-query recall@k values behind [[pqRerankRecallEval]] (exposed
     * for floor calibration — measure, don't guess).
@@ -1149,19 +1164,27 @@ object PqModel {
     // a flagged stage pending adoption would swallow this append when it
     // swaps in — adopt it first so the batch lands on the live truth
     IvfModel.recoverRetrain(spark, dir)
-    graft.sources.Fence.begin(spark, dir)
+    // the append claims the PQ model; the token re-validates at EACH
+    // half's visibility point (the manifest puts), so an append still
+    // staging when a pin window opens on the PQ dir is fenced out before
+    // either half becomes visible. A claim landing BETWEEN the two puts
+    // fences the second half only — the one-sided batch is the
+    // documented crash shape (serving joins the halves by id, so it is
+    // invisible) and the caller replays whole.
+    val tok = graft.sources.Fence.begin(spark, dir)
     val cur = graft.sources.CellManifest.readTable(spark, s"$dir/encoded")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
         s"with an ingest_seq column before appending ($dir/encoded lacks it)")
     val model = PqModel.load(spark, dir)
-    IvfModel.appendVectors(spark, s"$dir/ivf", vecs, idCol, vecCol,
-      "__graft_seq")
+    IvfModel.appendVectorsOuterFenced(spark, s"$dir/ivf", vecs, idCol, vecCol,
+      "__graft_seq", Seq(dir -> tok))
     IvfModel.appendCellBatch(spark, s"$dir/encoded",
       SimSearch.pqEncodeNew(model, vecs, idCol, vecCol,
           keep = Seq("__graft_seq"))
         .withColumnRenamed("__graft_seq", "ingest_seq")
-        .repartition(col("cell")))
+        .repartition(col("cell")),
+      Seq(dir -> tok))
   }
 
   /** Physically drop superseded vector versions from BOTH tables —
@@ -1413,12 +1436,32 @@ object IvfModel {
       vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         col(seqCol).cast("long").as("ingest_seq")))
 
+  /** [[appendVectors]] carrying an ENCLOSING model's fence claim through
+    * to the visibility point — the PQ wrapper appends its ivf half
+    * through here so the PQ-dir token (the one
+    * [[graft.sources.Snapshots.pinTrainingSet]] claims) re-validates at
+    * this half's manifest put too.
+    */
+  private[operators] def appendVectorsOuterFenced(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, idCol: String, vecCol: String, seqCol: String,
+      outerFence: Seq[(String, Long)]): Unit =
+    appendVectorsSeqed(spark, dir,
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(seqCol).cast("long").as("ingest_seq")), outerFence)
+
   private def appendVectorsSeqed(spark: org.apache.spark.sql.SparkSession,
-      dir: String, prepared: DataFrame): Unit = {
+      dir: String, prepared: DataFrame,
+      outerFence: Seq[(String, Long)] = Nil): Unit = {
     // a committed retrain whose swap crashed must adopt BEFORE the batch
     // lands: appended to the old table it would vanish with the swap
     recoverRetrain(spark, dir)
-    graft.sources.Fence.begin(spark, dir) // the append claims the model
+    // the append claims the model; the token re-validates at the
+    // visibility point (the manifest put inside appendCellBatch), so an
+    // append still staging when a snapshot-pin window opens is fenced
+    // out before anything becomes visible. outerFence carries a PQ
+    // wrapper's own model claim through to the same point.
+    val tok = graft.sources.Fence.begin(spark, dir)
     val cur = graft.sources.CellManifest.readTable(spark, s"$dir/assigned")
     require(cur.columns.contains("ingest_seq"),
       s"appendVectors needs a seq-carrying index — save the trained model " +
@@ -1427,7 +1470,7 @@ object IvfModel {
     val batch = SimSearch.assignCells(prepared, centroids)
       .select(col("id"), col("v"), col("cell"), col("ingest_seq"))
       .repartition(col("cell"))
-    appendCellBatch(spark, s"$dir/assigned", batch)
+    appendCellBatch(spark, s"$dir/assigned", batch, outerFence :+ (dir -> tok))
     graft.sources.VectorAudit.logAppend(spark, dir,
       batch.select(col("id"), col("ingest_seq"), col("cell")))
   }
@@ -1438,13 +1481,36 @@ object IvfModel {
     * with one manifest put — a crash before the put loses the batch
     * (invisible, gc'd next pass) and the caller replays it whole, the
     * [[graft.sources.IndexStore.appendInverted]] contract.
+    *
+    * `modelFence` carries the MODEL-level claim(s) the append's caller
+    * holds (the model dir for a standalone IVF index; the PQ dir AND the
+    * ivf-half dir for a PQ index): they re-validate here, right before
+    * the manifest put — the append's visibility point — which closes the
+    * claim-to-write gap against [[graft.sources.Snapshots.pinTrainingSet]]
+    * (an append that claimed before a pin window but is still staging
+    * when the window opens is fenced out BEFORE anything becomes
+    * visible; the staged generation is abandoned unreferenced and gc'd).
+    * Because visibility is ONE atomic manifest put, a pin's manifest
+    * read sees the whole batch or none of it — never a torn capture.
+    * Plain (rename-mode) tables skip the check: they cannot hold pins
+    * (pins require the manifest swap), so the gap has no observer.
     */
   private[operators] def appendCellBatch(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame,
+      modelFence: Seq[(String, Long)] = Nil): Unit =
     if (graft.sources.CellManifest.isManifest(spark, tableDir)) {
       val (gen, stage) = graft.sources.CellManifest.nextGen(spark, tableDir)
       batch.write.mode("overwrite").partitionBy("cell").parquet(stage)
+      // staged-but-uncommitted: specs interleave a pin window here to
+      // drive the claim-to-write gap deterministically
+      graft.sources.MaintHooks.at("vecappend.staged", tableDir)
+      // VISIBILITY POINT: the model claims must still be the head —
+      // a pin (or any writer) that claimed the model during the stage
+      // write refuses this commit; the stage is unreferenced garbage
+      modelFence.foreach { case (d, tok) =>
+        graft.sources.Fence.check(spark, d, tok)
+      }
       graft.sources.CellManifest.commitAppend(spark, tableDir, gen)
     } else {
       graft.sources.Fence.begin(spark, tableDir) // the append claims

@@ -231,7 +231,8 @@ object Fence {
   */
 private[graft] object MaintHooks {
   /** (point, dir) — points: `compact.staged`, `relayout.staged`,
-    * `retrain.staged`, `cells.staged`.
+    * `retrain.staged`, `cells.staged`, `pin.staged`, `pin.committed`,
+    * `append.staged`, `append.visible`.
     */
   @volatile var hook: (String, String) => Unit = (_, _) => ()
 

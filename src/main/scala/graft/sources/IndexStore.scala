@@ -239,10 +239,31 @@ object IndexStore {
     val idx = if (hasSeq) index.cache() else index
     // an append CLAIMS the table (single-shot: the claim itself is what
     // invalidates any in-flight staged op's later commit); a cold-create
-    // append claims after the table exists
-    if (meta.nonEmpty) Fence.begin(spark, tablePath(spark, table).toString)
+    // append claims after the table exists. On a PINNABLE (manifest-swap)
+    // table the claim token is re-validated at the append's visibility
+    // point through the staged path — see [[stagedVisibleAppend]] — so an
+    // append can never materialize half-landed inside a snapshot-pin
+    // window. Rename-mode tables (unpinnable) keep the direct write.
+    val token =
+      if (meta.nonEmpty) Some(Fence.begin(spark, tablePath(spark, table).toString))
+      else None
     try {
-      writeInverted(idx, table, m.prefixLen, SaveMode.Append, m.numBuckets)
+      token match {
+        case Some(t) if m.swap == SwapManifest =>
+          // on a raced-but-partially-kept batch the maintenance delta
+          // still records (see handleRacedVisibleAppend) — the kept rows
+          // must be decision-visible so the replay's copies collapse
+          val logDelta: () => Unit = () =>
+            if (hasSeq && fsOf(spark, table).exists(idMapPath(spark, table))) {
+              val narrow = explodedNarrow(idx, m.prefixLen)
+              appendMaintLog(spark, table, narrow, m.idMapBuckets)
+              if (m.hotThreshold >= 0L) appendHotDelta(spark, table, narrow)
+            }
+          stagedVisibleAppend(spark, table, indexRows(idx, m.prefixLen),
+            m.numBuckets, t, logDelta)
+        case _ =>
+          writeInverted(idx, table, m.prefixLen, SaveMode.Append, m.numBuckets)
+      }
       if (meta.isEmpty) {
         Fence.begin(spark, tablePath(spark, table).toString)
         writeMeta(spark, table, m)
@@ -307,8 +328,13 @@ object IndexStore {
     val cur = spark.table(table)
     require(cur.columns.contains("ingest_seq"),
       s"tombstones need the append-sequence column 'ingest_seq' in $table")
-    Fence.begin(spark, tablePath(spark, table).toString) // takedowns claim too
-    val numBuckets = readMeta(spark, table).map(_.numBuckets).getOrElse(0)
+    // takedowns claim too; on a pinnable (manifest-swap) table the marker
+    // append goes through the same staged-visible path as data appends —
+    // a marker lost to a concurrent location flip would be a silent
+    // RESURRECTION risk, the worst failure class a takedown can have
+    val token = Fence.begin(spark, tablePath(spark, table).toString)
+    val meta = readMeta(spark, table)
+    val numBuckets = meta.map(_.numBuckets).getOrElse(0)
     val sigType = cur.schema(Cols.Signature).dataType
     val bktType = cur.schema("bucket").dataType
     val markers = rows
@@ -320,36 +346,215 @@ object IndexStore {
       .repartition(1) // a takedown batch is tiny; one file in the marker dir
       .cache()
     try {
-      val w = markers.write.mode(SaveMode.Append)
-        .partitionBy("bkt_pfx")
-        .format("parquet")
-      (if (numBuckets > 0) w.bucketBy(numBuckets, "bucket").sortBy("bucket") else w)
-        .saveAsTable(table)
-      if (fsOf(spark, table).exists(idMapPath(spark, table)))
-        appendMaintLog(spark, table,
-          markers.select(col(Cols.Id), col("ingest_seq"), col("bucket"),
-            col("bkt_pfx")),
-          readMeta(spark, table).map(_.idMapBuckets).getOrElse(IdMapBuckets))
+      val logDelta: () => Unit = () =>
+        if (fsOf(spark, table).exists(idMapPath(spark, table)))
+          appendMaintLog(spark, table,
+            markers.select(col(Cols.Id), col("ingest_seq"), col("bucket"),
+              col("bkt_pfx")),
+            meta.map(_.idMapBuckets).getOrElse(IdMapBuckets))
+      if (meta.exists(_.swap == SwapManifest))
+        stagedVisibleAppend(spark, table, markers, numBuckets, token, logDelta)
+      else {
+        val w = markers.write.mode(SaveMode.Append)
+          .partitionBy("bkt_pfx")
+          .format("parquet")
+        (if (numBuckets > 0) w.bucketBy(numBuckets, "bucket").sortBy("bucket")
+         else w).saveAsTable(table)
+      }
+      logDelta()
     } finally { markers.unpersist(); () }
+  }
+
+  /** The exploded posting-row projection of an index frame — the physical
+    * row shape of the inverted table: (id, signature, bucket
+    * [, ingest_seq], bkt_pfx).
+    */
+  private def indexRows(index: DataFrame, prefixLen: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val extra = if (index.columns.contains("ingest_seq")) Seq(col("ingest_seq"))
+                else Seq.empty
+    index.where(col(Cols.Signature).isNotNull)
+      .select(col(Cols.Id) +: col(Cols.Signature) +:
+        explode(col(Cols.BucketIds)).as("bucket") +: extra: _*)
+      .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
   }
 
   private def writeInverted(index: DataFrame, table: String, prefixLen: Int,
       saveMode: SaveMode, numBuckets: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val extra = if (index.columns.contains("ingest_seq")) Seq(col("ingest_seq"))
-                else Seq.empty
-    val w = index.where(col(Cols.Signature).isNotNull)
-      .select(col(Cols.Id) +: col(Cols.Signature) +:
-        explode(col(Cols.BucketIds)).as("bucket") +: extra: _*)
-      .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
-      // align writer tasks to partition dirs: without this every shuffle
-      // task writes a sliver into every directory (tasks × dirs files)
+    // align writer tasks to partition dirs: without this every shuffle
+    // task writes a sliver into every directory (tasks × dirs files)
+    val w = indexRows(index, prefixLen)
       .repartition(col("bkt_pfx"))
       .write.mode(saveMode)
       .partitionBy("bkt_pfx")
       .format("parquet")
     (if (numBuckets > 0) w.bucketBy(numBuckets, "bucket").sortBy("bucket") else w)
       .saveAsTable(table)
+  }
+
+  /** STAGED visible append for a pinnable ([[SwapManifest]]) table — the
+    * closer for the append CLAIM-TO-WRITE GAP (round-19): a single-shot
+    * append used to claim the fence and then materialize its bytes
+    * directly into the live partition directories, so an append that
+    * claimed BEFORE a snapshot-pin window but was still writing DURING it
+    * was invisible to the pin's epoch checks and could be captured
+    * half-landed (a torn pinned view). Now the batch stages beside the
+    * table, re-validates the claim at the VISIBILITY point (the pattern
+    * every compaction swap uses), moves files into the live partition
+    * locations with metadata renames only, and re-validates once more
+    * after the moves:
+    *
+    *  - a writer (or pin) that claimed during the STAGE build fences this
+    *    append out before anything is visible — the stage is dropped and
+    *    the caller replays (the existing at-least-once contract);
+    *  - a claim landing during the (metadata-priced) MOVE window is
+    *    caught by the post-move check: the append keeps every moved file
+    *    some pin captured (a committed pin must never dangle — the gc
+    *    sweep's last-moment-re-probe rule), deletes the rest, POISONS any
+    *    pin that captured a PROPER SUBSET of the batch (its reads then
+    *    refuse loudly instead of serving a torn view — see
+    *    [[pinInventory]]), and throws [[FenceViolation]] so the caller
+    *    replays whole. Replayed copies of kept files collapse at the next
+    *    compaction like any redelivery.
+    *
+    * Rename-mode tables keep the direct write: they cannot hold pins
+    * (pins require the manifest swap), so the gap has no observer there
+    * and the staged double-write would be pure overhead on the streaming
+    * hot path. Cost here: one extra localized write of the batch (to the
+    * stage) plus one metadata rename per staged file — delta-priced,
+    * never table-priced.
+    */
+  private def stagedVisibleAppend(spark: SparkSession, table: String,
+      rows: DataFrame, numBuckets: Int, token: Long,
+      onKept: () => Unit = () => ()): Unit = {
+    import org.apache.spark.sql.functions._
+    val tableDir = tablePath(spark, table)
+    val fs = fsOf(spark, table)
+    val stage = new org.apache.hadoop.fs.Path(
+      tableDir.getParent, table.toLowerCase + "__append_stage")
+    val stageTbl = table + "__append_stage_tbl"
+    // reclaim a crashed previous append's stage first (same head-recovery
+    // shape as the compaction stage)
+    spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+    fs.delete(stage, true)
+    try {
+      val w = rows.repartition(col("bkt_pfx"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
+        .format("parquet")
+      // bucketed layouts stage through a scratch TABLE so the staged file
+      // names carry the bucket-id encoding the live spec promises —
+      // moved-in files keep their names, preserving the co-located join
+      if (numBuckets > 0)
+        w.option("path", stage.toString)
+          .bucketBy(numBuckets, "bucket").sortBy("bucket").saveAsTable(stageTbl)
+      else w.parquet(stage.toString)
+      MaintHooks.at("append.staged", table)
+      // cheap abort: nothing is visible yet, so a raced claim costs only
+      // the staged bytes (dropped below) and a replay
+      Fence.check(spark, tableDir.toString, token)
+      // VISIBILITY: move each staged file into its partition's live
+      // location (metadata renames; file names are unique by writer UUID)
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+      val liveLoc = scala.collection.mutable.Map(
+        spark.sessionState.catalog.listPartitions(ident)
+          .map(p => p.spec("bkt_pfx") -> new org.apache.hadoop.fs.Path(
+            new java.net.URI(p.location.toString))): _*)
+      val moved = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
+      fs.listStatus(stage)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt_pfx="))
+        .foreach { pdir =>
+          val pfx = pdir.getPath.getName.stripPrefix("bkt_pfx=")
+          val live = liveLoc.getOrElse(pfx, {
+            // brand-new partition: register it at the default location
+            // (mixed locations are normal under the manifest swap)
+            spark.sql(
+              s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION (bkt_pfx='$pfx')")
+            val loc = new org.apache.hadoop.fs.Path(new java.net.URI(
+              spark.sessionState.catalog
+                .getPartition(ident, Map("bkt_pfx" -> pfx)).location.toString))
+            liveLoc(pfx) = loc; loc
+          })
+          fs.mkdirs(live)
+          fs.listStatus(pdir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+              val dst = new org.apache.hadoop.fs.Path(live, f.getPath.getName)
+              fs.rename(f.getPath, dst)
+              moved += dst
+            }
+        }
+      MaintHooks.at("append.visible", table)
+      try Fence.check(spark, tableDir.toString, token)
+      catch {
+        case e: FenceViolation =>
+          handleRacedVisibleAppend(spark, table, fs, moved.toSeq, onKept, e)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+      fs.delete(stage, true)
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** A staged append's post-visibility fence check failed: a writer — in
+    * the gap case, a snapshot pin — claimed the table while the append's
+    * file moves were in flight. Resolve so that NO committed pin ever
+    * dangles and NO pin silently serves a torn batch, then rethrow for
+    * the caller to replay whole.
+    */
+  private def handleRacedVisibleAppend(spark: SparkSession, table: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      moved: Seq[org.apache.hadoop.fs.Path], onKept: () => Unit,
+      cause: FenceViolation): Unit = {
+    val ours = moved.map(f => fs.makeQualified(f).toString).toSet
+    val pd = pinsDir(spark, table)
+    // older pins cannot reference our files (their inventories predate
+    // the batch and file names are writer-unique), so every pin on disk
+    // is classified purely by what it captured. A pin file we cannot
+    // parse (torn mid-put) is treated as capturing everything —
+    // conservative: keep all files, let the pin's own validation decide.
+    var keep = Set.empty[String]
+    var unreadable = false
+    if (fs.exists(pd)) fs.listStatus(pd).map(_.getPath.getName)
+      .filter(_.startsWith("pin-")).map(_.stripPrefix("pin-")).foreach { n =>
+        val inv: Set[String] =
+          try readPinInventory(spark, table, n)
+            .map(_.map(_._2).toSet).getOrElse(Set.empty)
+          catch { case _: Exception => unreadable = true; Set.empty[String] }
+        val ref = inv.intersect(ours)
+        if (ref.nonEmpty) {
+          keep ++= ref
+          if (ref != ours) {
+            // the pin froze a PROPER SUBSET of this batch — a torn view.
+            // Poison it: its reads refuse loudly until unpin + re-pin
+            // (the same never-silent rule as every other commit here)
+            try fs.create(new org.apache.hadoop.fs.Path(pd, s"torn-$n"), false)
+              .close()
+            catch { case _: java.io.IOException => () } // already poisoned
+          }
+        }
+      }
+    if (!unreadable)
+      moved.filterNot(f => keep.contains(fs.makeQualified(f).toString))
+        .foreach { f => fs.delete(f, false); () }
+    // files were kept for a pin: the batch is now PARTIALLY LANDED
+    // pending replay, so its maintenance side-state (id-map / dirty-log
+    // delta) must record it — otherwise the replay's second copy of the
+    // kept rows would never read as duplicated at the next compaction
+    // decision and would survive forever. Between this throw and the
+    // replay the table holds the standard crashed-append shape the
+    // at-least-once contract already covers.
+    if (unreadable || keep.nonEmpty) onKept()
+    throw new FenceViolation(
+      s"append to $table raced a writer that claimed the table during the " +
+        "append's visibility window — " +
+        (if (unreadable) "an in-flight pin was mid-commit, so every moved " +
+          "file was left in place for its validation; "
+        else s"${ours.size - keep.size} unreferenced moved files were " +
+          s"rolled back and ${keep.size} pin-captured files were kept; ") +
+        "replay the batch whole (kept copies collapse at the next " +
+        "compaction like any at-least-once redelivery)", cause)
   }
 
   /** The narrow (id, seq, bucket, prefix) projection of an index frame —
@@ -807,7 +1012,8 @@ object IndexStore {
     if (fs.exists(pd)) fs.listStatus(pd).map(_.getPath).foreach { p =>
       val n = p.getName
       val orphanOf = if (n.startsWith("log-")) Some(n.stripPrefix("log-"))
-        else if (n.startsWith("hot-")) Some(n.stripPrefix("hot-")) else None
+        else if (n.startsWith("hot-")) Some(n.stripPrefix("hot-"))
+        else if (n.startsWith("torn-")) Some(n.stripPrefix("torn-")) else None
       orphanOf.filterNot(pins.contains).foreach { name =>
         // re-probe the pin file at the last moment: a pin COMMITTING
         // between this pass's pins listing and this delete would lose its
@@ -1156,6 +1362,34 @@ object IndexStore {
     * pinned location (the same two-pass race as the vector pin).
     */
   def pinInverted(spark: SparkSession, table: String, name: String): Unit = {
+    // the pin CLAIMS the table's writer fence for the duration of its
+    // capture (round-19; the object doc's "reader-initiated" contract
+    // changed here): the claim is what lets an IN-FLIGHT append — one
+    // that claimed before this pin began and is still materializing —
+    // detect the pin at its own visibility check and refuse instead of
+    // landing half inside the capture (the claim-to-write gap). Two
+    // metadata puts; epochs are not leases, nothing is held open.
+    val token = Fence.begin(spark, fenceDirOf(spark, table))
+    pinInvertedUnfenced(spark, table, name)
+    try Fence.check(spark, fenceDirOf(spark, table), token)
+    catch {
+      case e: FenceViolation =>
+        unpinInverted(spark, table, name)
+        throw new FenceViolation(
+          s"snapshot pin '$name' on $table raced a maintenance writer that " +
+            "claimed the table during the capture — the pin was rolled " +
+            "back; re-pin (the retry resolves the settled state)", e)
+    }
+  }
+
+  /** [[pinInverted]] WITHOUT the pin's own fence claim/check — for
+    * callers that already hold the table inside their own fence window
+    * ([[Snapshots.pinTrainingSet]]'s claim-all → pin-all → check-all: a
+    * nested claim here would move the epoch past the outer token and
+    * fail the outer commit unconditionally).
+    */
+  private[graft] def pinInvertedUnfenced(spark: SparkSession, table: String,
+      name: String): Unit = {
     require(PinName.pattern.matcher(name).matches(),
       s"pin name '$name' must match ${PinName.regex}")
     val meta = invertedMeta(spark, table)
@@ -1212,15 +1446,16 @@ object IndexStore {
     // the inventory itself stays bounded — compaction caps files per
     // partition). Small tables skip the pool: thread spin-up would cost
     // more than 16 serial lists.
-    val specs = spark.sessionState.catalog
-      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .map(p => p.spec("bkt_pfx") -> new org.apache.hadoop.fs.Path(
-        new java.net.URI(p.location.toString)))
-    def listOne(pfx: String, dir: org.apache.hadoop.fs.Path) =
-      fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => pfx -> fs.makeQualified(f).toString)
-    val parts = (if (specs.size <= 64)
+    def listInventory(): Seq[(String, String)] = {
+      val specs = spark.sessionState.catalog
+        .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .map(p => p.spec("bkt_pfx") -> new org.apache.hadoop.fs.Path(
+          new java.net.URI(p.location.toString)))
+      def listOne(pfx: String, dir: org.apache.hadoop.fs.Path) =
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => pfx -> fs.makeQualified(f).toString)
+      (if (specs.size <= 64)
         specs.flatMap { case (pfx, dir) => listOne(pfx, dir) }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
@@ -1243,7 +1478,9 @@ object IndexStore {
             }
           }
         } finally pool.shutdown()
-      }).sortBy(identity)
+      }).sortBy(identity).toSeq
+    }
+    val parts = listInventory()
     val pinFile = new org.apache.hadoop.fs.Path(pd, s"pin-$name")
     val out = try fs.create(pinFile, false) catch {
       case e: java.io.IOException =>
@@ -1262,6 +1499,10 @@ object IndexStore {
         parts.map { case (pfx, f) => s"$pfx\t$f" }) :+ "#eof")
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // committed-but-unvalidated window: the pin file is visible, the
+    // existence/extra-files/poison validations below have not run —
+    // specs interleave a writer here to drive the post-commit matrix
+    MaintHooks.at("pin.committed", table)
     // pin-vs-gc race: every pinned file must still exist now that the
     // pin is visible — else roll back loudly (re-pin resolves the newer
     // state)
@@ -1292,6 +1533,38 @@ object IndexStore {
           "side copies before the pin file landed — the pin was rolled " +
           "back; re-pin")
     }
+    // EXTRA-files validation (the append claim-to-write gap): re-inventory
+    // the table now that the pin is committed. Any parquet file present
+    // that the pin did NOT capture means a writer's batch was landing
+    // BETWEEN the two listings — the capture may hold only part of that
+    // batch, so refuse and let the caller re-pin the settled state. (A
+    // fully-pre-capture or fully-post-capture batch passes: the first
+    // contributes to both listings, the second to neither... — files it
+    // lands after this re-listing are invisible here AND absent from the
+    // pin, which is the consistent "pin linearizes first" outcome; the
+    // in-flight append's own post-visibility check covers that tail.)
+    val extra = listInventory().map(_._2).toSet -- parts.map(_._2).toSet
+    if (extra.nonEmpty) {
+      fs.delete(pinFile, false); fs.delete(logCopy, true); fs.delete(hotCopy, true)
+      throw new FenceViolation(
+        s"snapshot pin '$name' on $table raced an append whose batch was " +
+          s"still materializing during the capture (${extra.size} files " +
+          "landed between the pin's two inventory passes) — the pin was " +
+          "rolled back; re-pin (the retry captures the settled state)")
+    }
+    // ...and a concurrent append's visibility check may have POISONED
+    // this pin (it detected a proper-subset capture of its batch) in the
+    // window since the re-listing — fold that refusal into the retry
+    // path now instead of leaving it for the first read
+    if (fs.exists(new org.apache.hadoop.fs.Path(pd, s"torn-$name"))) {
+      fs.delete(pinFile, false); fs.delete(logCopy, true); fs.delete(hotCopy, true)
+      fs.delete(new org.apache.hadoop.fs.Path(pd, s"torn-$name"), false)
+      throw new FenceViolation(
+        s"snapshot pin '$name' on $table captured part of an append batch " +
+          "that was materializing during the capture (the append's " +
+          "visibility check poisoned the pin) — the pin was rolled back; " +
+          "re-pin")
+    }
   }
 
   /** Drop a named snapshot: its locations reclaim at the next maintenance
@@ -1306,7 +1579,8 @@ object IndexStore {
         s"${pinsInverted(spark, table).keys.toSeq.sorted.mkString(", ")})")
     fs.delete(pinFile, false)
     fs.delete(new org.apache.hadoop.fs.Path(pd, s"log-$name"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(pd, s"hot-$name"), true); ()
+    fs.delete(new org.apache.hadoop.fs.Path(pd, s"hot-$name"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(pd, s"torn-$name"), false); ()
   }
 
   /** One named snapshot's (bkt_pfx, file URI) inventory — a single point
@@ -1317,6 +1591,30 @@ object IndexStore {
     * pin count on the point path).
     */
   def pinInventory(spark: SparkSession, table: String,
+      name: String): Option[Seq[(String, String)]] = {
+    val fs = fsOf(spark, table)
+    // a POISONED pin (an append's visibility check proved it captured a
+    // proper subset of a batch that was materializing during the capture)
+    // refuses loudly instead of serving the torn view — unpin and re-pin
+    // resolves it. Retention still honors the pin ([[pinsInverted]] reads
+    // raw), so the refusal never turns into missing-file chaos.
+    if (fs.exists(new org.apache.hadoop.fs.Path(pinsDir(spark, table),
+        s"torn-$name")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(pinsDir(spark, table),
+          s"pin-$name")))
+      throw new IllegalStateException(
+        s"snapshot pin '$name' on $table is POISONED: it captured part of " +
+          "an append batch that was still materializing when the pin " +
+          "committed, so its frozen view is torn — unpin and re-pin to " +
+          "capture the settled state (nothing is served from a torn pin)")
+    readPinInventory(spark, table, name)
+  }
+
+  /** The raw pin-file parse, WITHOUT the poison refusal — gc/retention
+    * and writer guards must keep honoring a poisoned pin's locations
+    * until it is unpinned.
+    */
+  private def readPinInventory(spark: SparkSession, table: String,
       name: String): Option[Seq[(String, String)]] = {
     val fs = fsOf(spark, table)
     val p = new org.apache.hadoop.fs.Path(pinsDir(spark, table), s"pin-$name")
@@ -1356,7 +1654,7 @@ object IndexStore {
     if (!fs.exists(pd)) return Map.empty
     fs.listStatus(pd).map(_.getPath.getName)
       .filter(_.startsWith("pin-")).map(_.stripPrefix("pin-"))
-      .flatMap(n => pinInventory(spark, table, n).map(n -> _))
+      .flatMap(n => readPinInventory(spark, table, n).map(n -> _))
       .toMap
   }
 

@@ -32,13 +32,14 @@ import org.apache.spark.sql.SparkSession
   * metadata puts per surface and holds nothing open — maintenance
   * resumes with its next head claim as if a tiny writer had run.
   *
-  * Boundary (the fence's own, inherited): a single-shot append that
-  * CLAIMED before step 1 but was still materializing bytes during the
-  * window is invisible to epoch checks — appends don't re-validate at a
-  * commit point. That window is the claim-to-write gap of one append,
-  * not the pin-to-pin gap this helper closes; the fence doc names the
-  * same residual for writer interleave generally ("a fence, not a
-  * lock").
+  * Appends that claimed BEFORE step 1 but materialize DURING the window
+  * are covered too (round-19): text appends re-validate their claim at
+  * their visibility point ([[IndexStore]]'s staged append — they are
+  * fenced out before anything lands, or the pin's post-commit
+  * validations refuse the capture), and vector appends re-validate the
+  * model fence before their atomic manifest put — so an in-flight
+  * append is either fenced out or completes before the pin, never a
+  * straddle.
   */
 object Snapshots {
 
@@ -52,7 +53,11 @@ object Snapshots {
       case _      => loc
     }
     def pin(spark: SparkSession, name: String): Unit = kind match {
-      case "text" => IndexStore.pinInverted(spark, loc, name)
+      // the UNFENCED text pin: pinTrainingSet's own claim-all/check-all
+      // is the fence window here — the public pinInverted's nested claim
+      // would move the epoch past the outer token and fail the outer
+      // commit unconditionally
+      case "text" => IndexStore.pinInvertedUnfenced(spark, loc, name)
       case _      => graft.operators.IvfModel.pinSnapshot(spark, loc, name); ()
     }
     def unpin(spark: SparkSession, name: String): Unit = kind match {

@@ -110,6 +110,146 @@ class SnapshotPairSpec extends AnyFunSuite {
       s"unpin clears the whole view: ${after.toSeq}")
   }
 
+  test("an append still STAGING when the pin window opens is fenced out before anything is visible: the pin captures the pre-append state, the append replays cleanly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = freshTextTable("graft_pair_gap_staged")
+    val preCount = spark.table(table).count()
+    val batch = Seq((3L, Array("sig3-2"), Array("cc33", "aa77"), 2L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    // the append CLAIMS first, then the pin window opens while the batch
+    // sits staged — the append's pre-visibility check must refuse, so
+    // the window never sees a byte of it (the claim-to-write gap, closed)
+    var attempts = -1
+    MaintHooks.hook = (point, _) =>
+      if (point == "append.staged" && attempts < 0)
+        attempts = Snapshots.pinTrainingSet(spark, "gap_v1", Seq(table))
+    val ex = try intercept[graft.sources.FenceViolation](
+        IndexStore.appendInverted(batch, table))
+      finally MaintHooks.reset()
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    assert(attempts == 1,
+      s"the pin window saw zero claims after its own — one attempt: $attempts")
+    assert(spark.table(table).count() == preCount,
+      "a fenced-out staged append must leave the live table untouched")
+    val pinned = IndexStore.pinInventory(spark, table, "gap_v1").get
+    assert(spark.table(table).where(col(Cols.Id) === 3L).count() == 0)
+    // the replay lands on the settled (pinned) state without disturbing it
+    IndexStore.appendInverted(batch, table)
+    assert(spark.table(table).where(col(Cols.Id) === 3L).count() == 2)
+    assert(IndexStore.pinInventory(spark, table, "gap_v1").get == pinned,
+      "the pin's inventory must not move when the replay lands")
+    Snapshots.unpinTrainingSet(spark, "gap_v1", Seq(table))
+  }
+
+  test("an append whose batch became VISIBLE just before the pin's claim completes before the pin: the pin captures the whole batch, the raced append replays and collapses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = freshTextTable("graft_pair_gap_visible")
+    val batch = Seq((3L, Array("sig3-2"), Array("cc33", "aa77"), 2L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    // the pin window opens AFTER the append's files moved in but BEFORE
+    // its post-visibility check: the pin inventories the complete batch,
+    // the append detects the claim, keeps every pin-captured file, and
+    // throws for a whole-batch replay — never a half-landed straddle
+    var attempts = -1
+    MaintHooks.hook = (point, _) =>
+      if (point == "append.visible" && attempts < 0)
+        attempts = Snapshots.pinTrainingSet(spark, "gap_v2", Seq(table))
+    val ex = try intercept[graft.sources.FenceViolation](
+        IndexStore.appendInverted(batch, table))
+      finally MaintHooks.reset()
+    assert(ex.getMessage.contains("pin-captured files were kept"), ex.getMessage)
+    assert(attempts == 1, s"quiet window for the pin itself: $attempts")
+    // the pin holds the COMPLETE batch (it linearizes after the append)
+    // and no pin was poisoned — nothing is torn
+    val pinnedFiles = IndexStore.pinInventory(spark, table, "gap_v2").get
+    assert(pinnedFiles.exists(_._1 == "cc") && pinnedFiles.exists(_._1 == "aa"),
+      s"the pin must capture both of the batch's partitions: $pinnedFiles")
+    assert(spark.table(table).where(col(Cols.Id) === 3L).count() == 2,
+      "the kept (pin-captured) files stay live")
+    // the at-least-once replay lands a second copy; the next compaction
+    // collapses the redelivery back to exactly one posting per bucket
+    IndexStore.appendInverted(batch, table)
+    assert(spark.table(table).where(col(Cols.Id) === 3L).count() == 4)
+    IndexStore.compactInverted(spark, table)
+    val after = spark.table(table).where(col(Cols.Id) === 3L)
+      .select("bucket").as[String].collect().sorted.toSeq
+    assert(after == Seq("aa77", "cc33"),
+      s"the replayed copies must collapse at compaction: $after")
+    Snapshots.unpinTrainingSet(spark, "gap_v2", Seq(table))
+  }
+
+  test("a batch materializing BETWEEN the pin's two inventory passes refuses the pin, not the data: re-pin captures the settled state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = freshTextTable("graft_pair_gap_listing")
+    val batch = Seq((3L, Array("sig3-2"), Array("cc33"), 2L))
+      .toDF(Cols.Id, Cols.Signature, Cols.BucketIds, "ingest_seq")
+    // a full append lands between the pin-file commit and the pin's
+    // post-commit re-inventory: the extra-files validation must roll the
+    // pin back loudly (retryable), never freeze a capture that missed
+    // part of a batch
+    var fired = false
+    MaintHooks.hook = (point, _) =>
+      if (point == "pin.committed" && !fired) {
+        fired = true
+        IndexStore.appendInverted(batch, table)
+      }
+    val ex = try intercept[graft.sources.FenceViolation](
+        IndexStore.pinInverted(spark, table, "gap_v3"))
+      finally MaintHooks.reset()
+    assert(ex.getMessage.contains("raced an append"), ex.getMessage)
+    assert(fired && IndexStore.pinsInverted(spark, table).isEmpty,
+      "the raced pin must roll back whole")
+    assert(spark.table(table).where(col(Cols.Id) === 3L).count() == 1,
+      "the append itself is untouched by the pin's refusal")
+    // the retry captures the settled state, batch included
+    IndexStore.pinInverted(spark, table, "gap_v3")
+    assert(IndexStore.pinInventory(spark, table, "gap_v3").get
+      .exists(_._1 == "cc"), "the re-pin must capture the landed batch")
+    IndexStore.unpinInverted(spark, table, "gap_v3")
+  }
+
+  test("a VECTOR append still staging when the pin window opens is fenced out before its manifest put: the pin is atomic, the replay lands whole") {
+    val dir = freshVectorDir("pair-gap-vec")
+    val batch = emb.where(col("vec_id") % 13 === 2)
+    // the append CLAIMS the model fence, stages its generation, and the
+    // pin window opens while the stage sits unreferenced: the append's
+    // model-fence check at its visibility point (right before the
+    // manifest put) must refuse — the pinned manifest never sees a row
+    // of the batch, because visibility IS the atomic put
+    var attempts = -1
+    MaintHooks.hook = (point, _) =>
+      if (point == "vecappend.staged" && attempts < 0)
+        attempts = Snapshots.pinTrainingSet(spark, "gap_v4", Nil, Seq(dir))
+    val ex = try intercept[graft.sources.FenceViolation](
+        IvfModel.appendVectors(spark, dir, batch,
+          "vec_id", "embedding", seq = 2L))
+      finally MaintHooks.reset()
+    assert(ex.getMessage.contains("writer fence violated"), ex.getMessage)
+    assert(attempts == 1, s"the pin window itself was quiet: $attempts")
+    val pinnedMax = graft.sources.CellManifest
+      .readTable(spark, s"$dir/assigned", "gap_v4")
+      .agg(max(col("ingest_seq"))).collect()(0).getLong(0)
+    assert(pinnedMax == 1L,
+      s"the pinned manifest must hold the pre-append state: $pinnedMax")
+    assert(graft.sources.CellManifest
+        .readTable(spark, s"$dir/assigned")
+        .agg(max(col("ingest_seq"))).collect()(0).getLong(0) == 1L,
+      "the fenced-out batch is invisible to the LIVE read too (atomic put)")
+    // the whole-batch replay lands after the window; the pin stays frozen
+    IvfModel.appendVectors(spark, dir, batch, "vec_id", "embedding", seq = 2L)
+    assert(graft.sources.CellManifest
+        .readTable(spark, s"$dir/assigned")
+        .agg(max(col("ingest_seq"))).collect()(0).getLong(0) == 2L)
+    assert(graft.sources.CellManifest
+        .readTable(spark, s"$dir/assigned", "gap_v4")
+        .agg(max(col("ingest_seq"))).collect()(0).getLong(0) == 1L,
+      "the pinned read must not move when the replay lands")
+    Snapshots.unpinTrainingSet(spark, "gap_v4", Nil, Seq(dir))
+  }
+
   test("non-race failures rethrow immediately and roll back the attempt's pins: an immutable-name collision is not a retry") {
     val table = freshTextTable("graft_pair_immutable")
     val dir = freshVectorDir("pair-immutable-vec")
