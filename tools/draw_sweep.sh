@@ -11,8 +11,28 @@ GATES="ann_mode_agreement,dedup_mode_agreement,dedup_minhash_pairs_fast,sim_reca
 OUT=/tmp/graft_draw_sweep
 mkdir -p "$OUT"
 pass=0; fail=0
-for i in $(seq -w 1 "$N"); do
+for n in $(seq 1 "$N"); do
+  i=$(printf "%02d" "$n")
   d="/tmp/graft_draws/draw$i"
+  # flatten spark's directory-per-table output to the single-file shape
+  # the driver's testdata (and oracle_check's read_parquet) expects
+  for t in documents embeddings; do
+    if [ -d "$d/$t.parquet" ]; then
+      parts=("$d/$t.parquet"/part-*.parquet)
+      if [ ${#parts[@]} -eq 1 ]; then
+        mv "${parts[0]}" "$d/.$t.flat.parquet"
+      else
+        python3 - "$d/$t.parquet" "$d/.$t.flat.parquet" <<'EOF'
+import sys, glob
+import pyarrow.parquet as pq, pyarrow as pa
+tables = [pq.read_table(f) for f in sorted(glob.glob(f"{sys.argv[1]}/part-*.parquet"))]
+pq.write_table(pa.concat_tables(tables), sys.argv[2])
+EOF
+      fi
+      rm -rf "$d/$t.parquet"
+      mv "$d/.$t.flat.parquet" "$d/$t.parquet"
+    fi
+  done
   vo="$OUT/draw$i"
   rm -rf "$vo"
   SPARK_GRAFT_ONLY="$GATES" sbt -batch "runMain graft.Verify $d $vo" \
