@@ -9,6 +9,9 @@ object SparkUtil {
     * and this is a no-op (never reduces partitioning).
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
+    // streaming frames: .rdd is illegal and parallelism is the source's
+    // business (micro-batch planning re-splits per trigger) — pass through
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

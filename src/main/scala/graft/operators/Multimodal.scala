@@ -32,6 +32,37 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every decode of an
+  // in-memory byte array writes (and deletes) a temp cache file. All
+  // payloads here are byte arrays already in memory, so the disk bounce is
+  // pure per-frame overhead on the decode hot path (guide §1.2 per-task
+  // work) — use the memory-backed cache. Decoded pixels are unaffected.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** One bulk getRGB of the whole decoded image — the exact ints
+    * per-pixel `img.getRGB(x, y)` returns (both run the same ColorModel
+    * conversion), in one call instead of w·h: the per-pixel accessor
+    * re-enters the color model and bounds checks per call and dominated
+    * decode-side CPU in the round-19 profiles. Row-major: pixel (x, y)
+    * is `arr(y * w + x)`.
+    */
+  private def rgbArray(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** Exact integer mean-RGB of a decoded frame as (sumR, sumG, sumB) —
+    * shared by the shot-boundary walks; divide by w·h at the caller.
+    */
+  private def rgbSums(arr: Array[Int]): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < arr.length) {
+      val p = arr(i)
+      sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Decoded-media metadata row. */
   final case class MediaMeta(
       doc_id: Long,
@@ -626,7 +657,8 @@ object Multimodal {
     val mediaType = "image/" + format.stripSuffix("_solid")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, planter(id), mediaType)) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -648,7 +680,8 @@ object Multimodal {
   def decodeMeta(payloads: DataFrame): Dataset[MediaMeta] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real pixel codecs would init the decoder once here, per partition
@@ -706,7 +739,8 @@ object Multimodal {
     require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -756,19 +790,16 @@ object Multimodal {
     */
   def pixelFeatures(id: Long, img: java.awt.image.BufferedImage): MediaFeatures = {
     val w = img.getWidth; val h = img.getHeight
+    val arr = rgbArray(img)
     var sr = 0.0; var sg = 0.0; var sb = 0.0
     var qr = 0.0; var qg = 0.0; var qb = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >>> 16) & 0xFF; val g = (rgb >>> 8) & 0xFF; val b = rgb & 0xFF
-        sr += r; sg += g; sb += b
-        qr += r.toDouble * r; qg += g.toDouble * g; qb += b.toDouble * b
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < arr.length) {
+      val rgb = arr(i)
+      val r = (rgb >>> 16) & 0xFF; val g = (rgb >>> 8) & 0xFF; val b = rgb & 0xFF
+      sr += r; sg += g; sb += b
+      qr += r.toDouble * r; qg += g.toDouble * g; qb += b.toDouble * b
+      i += 1
     }
     val n = w.toDouble * h
     def std(sum: Double, sq: Double): Double =
@@ -810,9 +841,15 @@ object Multimodal {
     * across JVMs and platforms. Images smaller than the grid point-sample
     * (each cell reads ≥ 1 pixel); a 9×8 input maps cell = pixel.
     */
-  def dHash64(img: java.awt.image.BufferedImage): Long = {
+  def dHash64(img: java.awt.image.BufferedImage): Long =
+    dHash64(rgbArray(img), img.getWidth, img.getHeight)
+
+  /** [[dHash64]] over an already-extracted row-major RGB array — lets the
+    * keyframe walk hash the same pixels it just averaged without a second
+    * bulk extraction. Identical bits to the image overload.
+    */
+  private[operators] def dHash64(arr: Array[Int], w: Int, h: Int): Long = {
     val gw = 9; val gh = 8
-    val w = img.getWidth; val h = img.getHeight
     val grid = Array.ofDim[Long](gh, gw)
     var r = 0
     while (r < gh) {
@@ -823,9 +860,10 @@ object Multimodal {
         var sum = 0L; var n = 0L
         var y = y0
         while (y < y1 && y < h) {
+          val row = y * w
           var x = x0
           while (x < x1 && x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = arr(row + x)
             sum += (299L * ((rgb >>> 16) & 0xFF) + 587L * ((rgb >>> 8) & 0xFF) +
               114L * (rgb & 0xFF)) / 1000L
             n += 1; x += 1
@@ -861,7 +899,8 @@ object Multimodal {
   def imageDHashes(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -882,7 +921,8 @@ object Multimodal {
   def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real extractors init the model once here, per partition
@@ -924,7 +964,8 @@ object Multimodal {
   def extractWavFeatures(payloads: DataFrame): Dataset[WavFeatures] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -1129,7 +1170,8 @@ object Multimodal {
   def plantMp3Payloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantMp3(id), "audio/mpeg")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1145,7 +1187,8 @@ object Multimodal {
   def extractMp3Features(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -1253,7 +1296,8 @@ object Multimodal {
   def plantFlacPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantFlac(id), "audio/flac")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1264,7 +1308,8 @@ object Multimodal {
   def extractFlacFeatures(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -1331,7 +1376,8 @@ object Multimodal {
   def plantAudioPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantWavPcm(id), "audio/wav")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1342,7 +1388,8 @@ object Multimodal {
   def plantVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantAviMjpeg(id), "video/x-msvideo")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1362,7 +1409,8 @@ object Multimodal {
     require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -1518,7 +1566,8 @@ object Multimodal {
   def extractExif(payloads: DataFrame): Dataset[ExifInfo] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1593,7 +1642,8 @@ object Multimodal {
   def plantExifPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantExifJpeg(id), "image/jpeg")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1708,7 +1758,8 @@ object Multimodal {
   def extractGps(payloads: DataFrame): Dataset[GpsInfo] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1779,7 +1830,8 @@ object Multimodal {
   def plantGpsPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantGpsJpeg(id), "image/jpeg")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1804,7 +1856,8 @@ object Multimodal {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -1899,7 +1952,8 @@ object Multimodal {
   def plantSilencePayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantSilenceWavPcm(id), "audio/wav")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -1920,7 +1974,8 @@ object Multimodal {
   def selectKeyframes(payloads: DataFrame, threshold: Double): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -1934,17 +1989,7 @@ object Multimodal {
             if (img == null) { prev = null; Iterator.empty }
             else {
               val (w, h) = (img.getWidth, img.getHeight)
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
-                  x += 1
-                }
-                y += 1
-              }
+              val (sr, sg, sb) = rgbSums(rgbArray(img))
               val np = (w * h).toDouble
               val cur = Array(sr / np, sg / np, sb / np)
               val isKey = prev == null ||
@@ -2057,7 +2102,8 @@ object Multimodal {
   def plantSceneVideoPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantSceneAviMjpeg(id), "video/x-msvideo")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -2077,7 +2123,8 @@ object Multimodal {
   def videoKeyframeDHashes(payloads: DataFrame, threshold: Double): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -2091,24 +2138,15 @@ object Multimodal {
             if (img == null) { prev = null; Iterator.empty }
             else {
               val (w, h) = (img.getWidth, img.getHeight)
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
-                  x += 1
-                }
-                y += 1
-              }
+              val arr = rgbArray(img)
+              val (sr, sg, sb) = rgbSums(arr)
               val np = (w * h).toDouble
               val cur = Array(sr / np, sg / np, sb / np)
               val isKey = prev == null ||
                 (math.abs(cur(0) - prev(0)) + math.abs(cur(1) - prev(1)) +
                  math.abs(cur(2) - prev(2))) / 3.0 > threshold
               prev = cur
-              if (isKey) Iterator.single((id, idx, n, dHash64(img)))
+              if (isKey) Iterator.single((id, idx, n, dHash64(arr, w, h)))
               else Iterator.empty
             }
           }
@@ -2280,7 +2318,8 @@ object Multimodal {
       s"frameSize must be a power of two >= 8, got $frameSize")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload"))
+    graft.SparkUtil.ensureParallelism(
+      payloads.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -2412,7 +2451,8 @@ object Multimodal {
   def plantToneClipPayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantToneClipWavPcm(id), "audio/wav")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -2421,7 +2461,8 @@ object Multimodal {
   def plantTonePayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id => (id, plantToneWavPcm(id), "audio/wav")) }
       .toDF("doc_id", "payload", "media_type")
   }
@@ -2431,7 +2472,8 @@ object Multimodal {
       nFamilies: Long = 100): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    graft.SparkUtil.ensureParallelism(
+      docs.select(col(idCol).cast("long").as("doc_id"))).as[Long]
       .mapPartitions { it => it.map(id =>
         (id, plantNearDupVideoAvi(id, nFamilies), "video/x-msvideo")) }
       .toDF("doc_id", "payload", "media_type")
