@@ -997,8 +997,12 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // fused first propagation: label = min(own id, min neighbor id) — the
+    // node list comes out of the same groupBy that a plain `distinct` would
+    // run, so the whole first min-propagation round is free (round-19 opt:
+    // one fewer full round for every caller)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("label")).persist()
     // labels only ever DECREASE under min-propagation, so the exact-decimal
     // label sum is strictly monotone: sum unchanged ⇔ fixpoint. One cheap
     // aggregate per round instead of a change-detection join. sum over an
@@ -1015,8 +1019,15 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
-      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped0 = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // the pointer jump below is a SELF-join, and Catalyst plans the two
+      // branches as independent subtrees (their exchanges hash different
+      // keys, so ReuseExchange never fires) — without a persist the whole
+      // neighbor-min join above computes twice per round (round-19 opt).
+      // The RDD rebind also keeps the per-round plan constant-size.
+      val stepped = stepped0.sparkSession
+        .createDataFrame(stepped0.rdd, stepped0.schema).persist()
       // ...then pointer-jump (label := label of label): halves the residual
       // diameter each round, so convergence is O(log diameter) iterations —
       // a 10^6-node chain fits comfortably inside the default cap
@@ -1033,6 +1044,7 @@ object Dedup {
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      stepped.unpersist()
       labels.unpersist()
       labels = next
       i += 1
