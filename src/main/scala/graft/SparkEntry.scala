@@ -4452,8 +4452,10 @@ object SparkEntry {
         "embedding", nLists = 16, iters = 2)
       val seeded = IvfModel(m.centroids,
         m.assigned.withColumn("ingest_seq", lit(1L)))
-      seeded.save(dir, IndexStore.SwapManifest)
-      seeded.save(twin, IndexStore.SwapManifest)
+      // two independent model saves to disjoint dirs — overlap (guide §2.6)
+      SparkUtil.inParallel(
+        () => seeded.save(dir, IndexStore.SwapManifest),
+        () => seeded.save(twin, IndexStore.SwapManifest))
       m.unpersist()
       // the arrivals are NEW documents (disjoint ids; negated vectors so
       // the corpus geometry is new content, not duplicates), four files

@@ -92,6 +92,42 @@ object SparkUtil {
     }
   }
 
+  /** Run independent Spark ACTIONS concurrently and wait for all of them
+    * (optimization-guide §2.6 "overlap independent jobs": actions are only
+    * sequential because driver code calls them sequentially; submitting
+    * independent jobs from separate threads lets the next job's tasks
+    * back-fill executors freed by the current job's tail). Used by the
+    * maintenance protocols for side-writes that are mutually independent
+    * AND all-or-nothing at the caller (the crash contract is replay-whole,
+    * so partial completion under a failure is the already-covered crashed
+    * shape). Threads are created by the CALLING thread, so Spark's
+    * inheritable thread-locals (job group/description) propagate.
+    *
+    * Failure contract: the FIRST failure rethrows AS-IS after every action
+    * has finished — protocol error types (FenceViolation, IOException)
+    * must cross unchanged so callers' race/outage classification keeps
+    * working. Remaining actions are not cancelled (Spark actions are not
+    * interruptible mid-commit; letting them finish keeps the on-disk
+    * state one of the shapes the replay contract already covers).
+    */
+  def inParallel(actions: (() => Unit)*): Unit = {
+    val real = actions.filter(_ ne null)
+    if (real.isEmpty) return
+    if (real.size == 1) { real.head.apply(); return }
+    val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = real.map { a =>
+      val t = new Thread(() =>
+        try a()
+        catch { case e: Throwable => firstFailure.compareAndSet(null, e) })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    val e = firstFailure.get()
+    if (e != null) throw e
+  }
+
   /** Number of globally-registered caches awaiting a sweep (test surface). */
   private[graft] def scopedCacheCount: Int = scopedCaches.size
 

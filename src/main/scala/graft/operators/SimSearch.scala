@@ -992,19 +992,26 @@ final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
         "save (overwrite)")
     val preEpoch = graft.sources.Fence.current(spark, s"$dir/encoded")
     graft.sources.Fence.begin(spark, dir) // the PQ model-level claim
-    ivf.save(s"$dir/ivf", swap)
-    encoded.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/encoded")
-    if (swap == graft.sources.IndexStore.SwapManifest)
-      graft.sources.CellManifest.init(spark, s"$dir/encoded")
-    graft.sources.Fence.begin(spark, s"$dir/encoded", preEpoch + 1)
     import spark.implicits._
-    codebooks.zipWithIndex.flatMap { case (cb, mi) =>
-      cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw) }
-    }.toDF("m", "code", "codeword")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq(subDim).toDF("sub_dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // the four components (ivf subtree, encoded codes, codebooks, meta)
+    // write to disjoint paths with per-component commit points — they
+    // overlap (guide §2.6); each component's internal ordering (write →
+    // manifest init → fence re-seed) is preserved inside its own action
+    graft.SparkUtil.inParallel(
+      () => ivf.save(s"$dir/ivf", swap),
+      () => {
+        encoded.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/encoded")
+        if (swap == graft.sources.IndexStore.SwapManifest)
+          graft.sources.CellManifest.init(spark, s"$dir/encoded")
+        graft.sources.Fence.begin(spark, s"$dir/encoded", preEpoch + 1)
+      },
+      () => codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw) }
+      }.toDF("m", "code", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"),
+      () => Seq(subDim).toDF("sub_dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta"))
   }
 
   def unpersist(): Unit = { ivf.unpersist(); encoded.unpersist(); () }
@@ -1193,8 +1200,12 @@ object PqModel {
   def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     IvfModel.recoverRetrain(spark, dir)
     graft.sources.Fence.begin(spark, dir)
-    IvfModel.compactUpsertsCells(spark, s"$dir/encoded")
-    IvfModel.compactUpserts(spark, s"$dir/ivf")
+    // the two halves decide and rewrite over disjoint subtrees (encoded
+    // cells vs ivf cells + audit map) — overlap them (guide §2.6); a
+    // crash leaving one half compacted is the sequential shape already
+    graft.SparkUtil.inParallel(
+      () => IvfModel.compactUpsertsCells(spark, s"$dir/encoded"),
+      () => IvfModel.compactUpserts(spark, s"$dir/ivf"))
   }
 
   /** Fold BOTH manifest tables' generation fan-out —
@@ -1205,8 +1216,10 @@ object PqModel {
       dir: String, maxGenLists: Int = 16): Unit = {
     IvfModel.recoverRetrain(spark, dir)
     graft.sources.Fence.begin(spark, dir)
-    IvfModel.compactGenerationsCells(spark, s"$dir/encoded", maxGenLists)
-    IvfModel.compactGenerations(spark, s"$dir/ivf", maxGenLists)
+    // disjoint halves again — overlap (guide §2.6)
+    graft.SparkUtil.inParallel(
+      () => IvfModel.compactGenerationsCells(spark, s"$dir/encoded", maxGenLists),
+      () => IvfModel.compactGenerations(spark, s"$dir/ivf", maxGenLists))
   }
 
   /** OFFLINE RETRAIN of a persisted IVF-PQ index — [[IvfModel.retrain]]
@@ -1368,12 +1381,17 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     if (swap == graft.sources.IndexStore.SwapManifest)
       graft.sources.CellManifest.init(spark, s"$dir/assigned")
     graft.sources.Fence.begin(spark, s"$dir/assigned", preEpoch + 1)
-    // seed the takedown-audit id-map while the table is freshly scanned
-    // (one extra narrow job at save time buys id-addressable audits)
-    graft.sources.VectorAudit.seed(spark, dir)
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // the audit-map seed and the (driver-sized) centroid write are
+    // independent side-states of the already-committed cell table — run
+    // them concurrently (guide §2.6)
+    graft.SparkUtil.inParallel(
+      // seed the takedown-audit id-map while the table is freshly scanned
+      // (one extra narrow job at save time buys id-addressable audits)
+      () => graft.sources.VectorAudit.seed(spark, dir),
+      () => centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
   }
 
   def unpersist(): Unit = { assigned.unpersist(); () }
@@ -1528,8 +1546,13 @@ object IvfModel {
   def compactUpserts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     recoverRetrain(spark, dir)
     graft.sources.Fence.begin(spark, dir)
-    compactUpsertsCells(spark, s"$dir/assigned")
-    graft.sources.VectorAudit.compactUpserts(spark, dir) // mirrors in lockstep
+    // the cell rewrite and the audit-mirror rewrite decide from DISJOINT
+    // states (cell table vs audit id-map) and write disjoint paths; a
+    // crash leaving either side un-rewritten is the same idempotent
+    // re-run shape as the sequential order — overlap them (guide §2.6)
+    graft.SparkUtil.inParallel(
+      () => compactUpsertsCells(spark, s"$dir/assigned"),
+      () => graft.sources.VectorAudit.compactUpserts(spark, dir)) // mirrors in lockstep
   }
 
   /** Fold a manifest table's GENERATION FAN-OUT — the maintenance op for
@@ -2042,8 +2065,12 @@ object IvfModel {
     val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delDir)) return
     val markers = deletedMarkers(spark, dir)
-    scrubCellTable(spark, s"$dir/assigned", markers)
-    graft.sources.VectorAudit.compactDeletes(spark, dir, markers)
+    // cell scrub and audit-mirror scrub read the same (already-resolved)
+    // marker frame and write disjoint paths — overlap them (guide §2.6);
+    // the marker FILE clears strictly after both, below
+    graft.SparkUtil.inParallel(
+      () => scrubCellTable(spark, s"$dir/assigned", markers),
+      () => graft.sources.VectorAudit.compactDeletes(spark, dir, markers))
     // snapshot pins keep the PRE-DELETE generations readable, and a
     // pinned read excludes deleted ids through these markers (compliance
     // pierces the pin) — so while any pin exists the markers RETAIN: the

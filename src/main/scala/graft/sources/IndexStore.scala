@@ -186,11 +186,17 @@ object IndexStore {
     writeMeta(spark, table,
       InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode,
         idMapBuckets, hotMode))
-    if (index.columns.contains("ingest_seq")) seedIdMap(spark, table, idMapBuckets)
-    // a save is the one O(table) event: the full recount is already
-    // delta-proportional here (the whole table IS the delta), and it
-    // absorbs/clears any stale append-delta log
-    refreshHotStats(spark, table)
+    // the id-map seed and the hot-stats recount both READ the freshly
+    // written table and WRITE disjoint side-states — independent, so they
+    // overlap (guide §2.6) instead of paying two serial table scans' wall
+    graft.SparkUtil.inParallel(
+      if (index.columns.contains("ingest_seq"))
+        () => seedIdMap(spark, table, idMapBuckets)
+      else null,
+      // a save is the one O(table) event: the full recount is already
+      // delta-proportional here (the whole table IS the delta), and it
+      // absorbs/clears any stale append-delta log
+      () => refreshHotStats(spark, table))
   }
 
   /** Append a micro-batch of (re-)ingested documents to an inverted
@@ -254,11 +260,9 @@ object IndexStore {
           // still records (see handleRacedVisibleAppend) — the kept rows
           // must be decision-visible so the replay's copies collapse
           val logDelta: () => Unit = () =>
-            if (hasSeq && fsOf(spark, table).exists(idMapPath(spark, table))) {
-              val narrow = explodedNarrow(idx, m.prefixLen)
-              appendMaintLog(spark, table, narrow, m.idMapBuckets)
-              if (m.hotThreshold >= 0L) appendHotDelta(spark, table, narrow)
-            }
+            if (hasSeq && fsOf(spark, table).exists(idMapPath(spark, table)))
+              appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
+                m.idMapBuckets, alsoHotDelta = m.hotThreshold >= 0L)
           stagedVisibleAppend(spark, table, indexRows(idx, m.prefixLen),
             m.numBuckets, t, logDelta)
         case _ =>
@@ -277,17 +281,14 @@ object IndexStore {
         // files, and existence is what later appends key their logging on.
         if (hasSeq) {
           fsOf(spark, table).mkdirs(idMapPath(spark, table))
-          val narrow = explodedNarrow(idx, m.prefixLen)
-          appendMaintLog(spark, table, narrow, m.idMapBuckets)
-          if (m.hotThreshold >= 0L) appendHotDelta(spark, table, narrow)
+          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
+            m.idMapBuckets, alsoHotDelta = m.hotThreshold >= 0L)
         }
       } else if (hasSeq) {
         val fs = fsOf(spark, table)
-        if (fs.exists(idMapPath(spark, table))) {
-          val narrow = explodedNarrow(idx, m.prefixLen)
-          appendMaintLog(spark, table, narrow, m.idMapBuckets)
-          if (m.hotThreshold >= 0L) appendHotDelta(spark, table, narrow)
-        }
+        if (fs.exists(idMapPath(spark, table)))
+          appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
+            m.idMapBuckets, alsoHotDelta = m.hotThreshold >= 0L)
       }
     } finally if (hasSeq) { idx.unpersist(); () }
   }
@@ -595,17 +596,23 @@ object IndexStore {
     * WHICH ids changed without reading anything table-sized).
     */
   private def appendMaintLog(spark: SparkSession, table: String,
-      narrow: DataFrame, idMapBuckets: Int): Unit = {
+      narrow: DataFrame, idMapBuckets: Int, alsoHotDelta: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
-    narrow
-      .withColumn("idh", pmod(hash(col(Cols.Id)), lit(idMapBuckets)))
-      .repartition(col("idh"))
-      .write.mode(SaveMode.Append).partitionBy("idh")
-      .parquet(idMapPath(spark, table).toString)
-    narrow.select(col(Cols.Id), col("ingest_seq")).distinct()
-      .coalesce(1)
-      .write.mode(SaveMode.Append)
-      .parquet(dirtyLogPath(spark, table).toString)
+    // the three delta writes (id-map, dirty log, hot delta) are mutually
+    // independent post-visibility side-states with a replay-whole crash
+    // contract — run them concurrently (guide §2.6) instead of paying
+    // three serial job latencies per append/micro-batch
+    graft.SparkUtil.inParallel(
+      () => narrow
+        .withColumn("idh", pmod(hash(col(Cols.Id)), lit(idMapBuckets)))
+        .repartition(col("idh"))
+        .write.mode(SaveMode.Append).partitionBy("idh")
+        .parquet(idMapPath(spark, table).toString),
+      () => narrow.select(col(Cols.Id), col("ingest_seq")).distinct()
+        .coalesce(1)
+        .write.mode(SaveMode.Append)
+        .parquet(dirtyLogPath(spark, table).toString),
+      if (alsoHotDelta) () => appendHotDelta(spark, table, narrow) else null)
     compactDirtyLogIfNeeded(spark, table)
   }
 
