@@ -110,15 +110,45 @@ object SparkUtil {
     * interruptible mid-commit; letting them finish keeps the on-disk
     * state one of the shapes the replay contract already covers).
     */
+  /** Whether [[inParallel]] actually overlaps (A/B knob for the bench-gate
+    * harness; `GRAFT_INPARALLEL=off` forces sequential execution in
+    * declaration order without rebuilding the jar).
+    */
+  private def parallelSaves: Boolean =
+    !sys.env.get("GRAFT_INPARALLEL").contains("off")
+
+  /** Env-gated protocol phase timer (`GRAFT_PROTO_TIMING=1`): prints one
+    * `PSTEP tag seconds` line per wrapped phase so the maintenance
+    * protocols' wall-clock can be attributed without a profiler. Zero
+    * overhead when the env var is unset (the default — one cached boolean
+    * test per call).
+    */
+  private val protoTiming = sys.env.contains("GRAFT_PROTO_TIMING")
+  def ptime[T](tag: String)(body: => T): T =
+    if (!protoTiming) body
+    else {
+      val t0 = System.nanoTime(); val r = body
+      println(f"PSTEP $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
   def inParallel(actions: (() => Unit)*): Unit = {
     val real = actions.filter(_ ne null)
     if (real.isEmpty) return
-    if (real.size == 1) { real.head.apply(); return }
+    if (real.size == 1 || !parallelSaves) { real.foreach(_.apply()); return }
     val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val threads = real.map { a =>
       val t = new Thread(() =>
         try a()
-        catch { case e: Throwable => firstFailure.compareAndSet(null, e) })
+        catch {
+          case e: Throwable =>
+            // keep the FIRST failure as the thrown one; later failures
+            // ride along as suppressed so a multi-component save that
+            // fails twice loses no diagnostics
+            if (!firstFailure.compareAndSet(null, e)) {
+              val f = firstFailure.get()
+              if (f ne e) f.synchronized { f.addSuppressed(e) }
+            }
+        })
       t.setDaemon(true)
       t.start()
       t

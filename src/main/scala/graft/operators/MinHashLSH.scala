@@ -67,7 +67,12 @@ final class MinHashLSH(val cfg: MinHashConfig = MinHashConfig()) {
   private[graft] def featurize(
       df: DataFrame, idCol: String, textCol: String,
       vocab: Option[DataFrame]): DataFrame = {
-    val shingled = df.withColumn(Cols.Shingles, T.shingles(col(textCol), cfg.numShingles))
+    // the signature kernel (shingle → N hashes per shingle) is the
+    // CPU-heavy step of every index build; local single-parquet-file
+    // inputs plan as one scan task and serialize it (guide §2.5 input
+    // skew). No-op at scale, where inputs arrive pre-split.
+    val base = SparkUtil.ensureParallelism(df)
+    val shingled = base.withColumn(Cols.Shingles, T.shingles(col(textCol), cfg.numShingles))
     val withSig = vocab match {
       case Some(v) =>
         val exploded = shingled.select(col(idCol), explode(col(Cols.Shingles)).as(Cols.Shingle))

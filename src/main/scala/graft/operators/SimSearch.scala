@@ -996,7 +996,12 @@ final case class PqModel(ivf: IvfModel, codebooks: Seq[Seq[Seq[Double]]],
     // the four components (ivf subtree, encoded codes, codebooks, meta)
     // write to disjoint paths with per-component commit points — they
     // overlap (guide §2.6); each component's internal ordering (write →
-    // manifest init → fence re-seed) is preserved inside its own action
+    // manifest init → fence re-seed) is preserved inside its own action.
+    // NO component is a completion marker anymore (the old sequential
+    // order implied meta-last = everything-present): a crash leaves an
+    // arbitrary subset, and [[PqModel.load]] fails loudly on ANY missing
+    // component — tooling must not infer completeness from meta/centroids
+    // presence alone
     graft.SparkUtil.inParallel(
       () => ivf.save(s"$dir/ivf", swap),
       () => {
@@ -1382,16 +1387,20 @@ final case class IvfModel(centroids: Seq[Seq[Double]], assigned: DataFrame) {
       graft.sources.CellManifest.init(spark, s"$dir/assigned")
     graft.sources.Fence.begin(spark, s"$dir/assigned", preEpoch + 1)
     import spark.implicits._
-    // the audit-map seed and the (driver-sized) centroid write are
-    // independent side-states of the already-committed cell table — run
-    // them concurrently (guide §2.6)
-    graft.SparkUtil.inParallel(
-      // seed the takedown-audit id-map while the table is freshly scanned
-      // (one extra narrow job at save time buys id-addressable audits)
-      () => graft.sources.VectorAudit.seed(spark, dir),
-      () => centroids.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
+    // seed the takedown-audit id-map while the table is freshly scanned
+    // (one extra narrow job at save time buys id-addressable audits).
+    // STRICTLY BEFORE the centroids write: centroids are the save's
+    // implicit completion marker (load fails loudly without them), so a
+    // crash mid-seed must leave the model unloadable and force a replay —
+    // overlapping the two could commit centroids while seed died after
+    // its delete, leaving a partial _idmap that hasIdMap treats as
+    // complete and the audit mirrors silently diverging. The overlap won
+    // only the (driver-sized) centroid write's latency — not worth the
+    // crash shape.
+    graft.sources.VectorAudit.seed(spark, dir)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
   def unpersist(): Unit = { assigned.unpersist(); () }

@@ -181,22 +181,25 @@ object IndexStore {
     // pre-save value — a stale pre-save writer's token can never collide
     // with a post-save claim
     val preEpoch = Fence.current(spark, tablePath(spark, table).toString)
-    writeInverted(index, table, prefixLen, SaveMode.Overwrite, numBuckets)
+    graft.SparkUtil.ptime("save.writeInverted") {
+      writeInverted(index, table, prefixLen, SaveMode.Overwrite, numBuckets) }
     Fence.begin(spark, tablePath(spark, table).toString, preEpoch + 1)
-    writeMeta(spark, table,
-      InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode,
-        idMapBuckets, hotMode))
+    graft.SparkUtil.ptime("save.writeMeta") {
+      writeMeta(spark, table,
+        InvertedMeta(prefixLen, hotBucketThreshold, numBuckets, swapMode,
+          idMapBuckets, hotMode)) }
     // the id-map seed and the hot-stats recount both READ the freshly
     // written table and WRITE disjoint side-states — independent, so they
     // overlap (guide §2.6) instead of paying two serial table scans' wall
-    graft.SparkUtil.inParallel(
-      if (index.columns.contains("ingest_seq"))
-        () => seedIdMap(spark, table, idMapBuckets)
-      else null,
-      // a save is the one O(table) event: the full recount is already
-      // delta-proportional here (the whole table IS the delta), and it
-      // absorbs/clears any stale append-delta log
-      () => refreshHotStats(spark, table))
+    graft.SparkUtil.ptime("save.sideStates") {
+      graft.SparkUtil.inParallel(
+        if (index.columns.contains("ingest_seq"))
+          () => seedIdMap(spark, table, idMapBuckets)
+        else null,
+        // a save is the one O(table) event: the full recount is already
+        // delta-proportional here (the whole table IS the delta), and it
+        // absorbs/clears any stale append-delta log
+        () => refreshHotStats(spark, table)) }
   }
 
   /** Append a micro-batch of (re-)ingested documents to an inverted
@@ -263,10 +266,12 @@ object IndexStore {
             if (hasSeq && fsOf(spark, table).exists(idMapPath(spark, table)))
               appendMaintLog(spark, table, explodedNarrow(idx, m.prefixLen),
                 m.idMapBuckets, alsoHotDelta = m.hotThreshold >= 0L)
-          stagedVisibleAppend(spark, table, indexRows(idx, m.prefixLen),
-            m.numBuckets, t, logDelta)
+          graft.SparkUtil.ptime("append.staged") {
+            stagedVisibleAppend(spark, table, indexRows(idx, m.prefixLen),
+              m.numBuckets, t, logDelta) }
         case _ =>
-          writeInverted(idx, table, m.prefixLen, SaveMode.Append, m.numBuckets)
+          graft.SparkUtil.ptime("append.write") {
+            writeInverted(idx, table, m.prefixLen, SaveMode.Append, m.numBuckets) }
       }
       if (meta.isEmpty) {
         Fence.begin(spark, tablePath(spark, table).toString)
@@ -374,7 +379,13 @@ object IndexStore {
     import org.apache.spark.sql.functions._
     val extra = if (index.columns.contains("ingest_seq")) Seq(col("ingest_seq"))
                 else Seq.empty
-    index.where(col(Cols.Signature).isNotNull)
+    // no isnotnull(signature) pre-filter: a null signature implies a null
+    // bucket_ids (featurize builds one from the other) and explode drops
+    // null arrays, so the filter changed nothing — while Catalyst pushed
+    // it below the exchange to the scan, re-evaluating the whole
+    // signature kernel per row on the scan's (often single) task
+    // (measured on sf0.1: 9.1 s → 0.8 s for the exploded write, r20)
+    index
       .select(col(Cols.Id) +: col(Cols.Signature) +:
         explode(col(Cols.BucketIds)).as("bucket") +: extra: _*)
       .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
@@ -563,7 +574,8 @@ object IndexStore {
     */
   private def explodedNarrow(index: DataFrame, prefixLen: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    index.where(col(Cols.Signature).isNotNull)
+    // no isnotnull(signature) pre-filter — same reasoning as [[indexRows]]
+    index
       .select(col(Cols.Id), col("ingest_seq"),
         explode(col(Cols.BucketIds)).as("bucket"))
       .withColumn("bkt_pfx", substring(col("bucket"), 1, prefixLen))
@@ -596,23 +608,30 @@ object IndexStore {
     * WHICH ids changed without reading anything table-sized).
     */
   private def appendMaintLog(spark: SparkSession, table: String,
-      narrow: DataFrame, idMapBuckets: Int, alsoHotDelta: Boolean = false): Unit = {
+      narrow: DataFrame, idMapBuckets: Int, alsoHotDelta: Boolean = false): Unit = graft.SparkUtil.ptime("append.maintLog") {
     import org.apache.spark.sql.functions._
-    // the three delta writes (id-map, dirty log, hot delta) are mutually
-    // independent post-visibility side-states with a replay-whole crash
-    // contract — run them concurrently (guide §2.6) instead of paying
-    // three serial job latencies per append/micro-batch
+    // the id-map and hot-delta writes are mutually independent
+    // post-visibility side-states with a replay-whole crash contract —
+    // run them concurrently (guide §2.6). The dirty log commits STRICTLY
+    // AFTER the id-map append succeeds: compaction's decision trusts
+    // "dirty log lists an id ⇒ its id-map mirror is complete" (it
+    // computes the id's winner from the mirror and physically drops
+    // non-winning rows), so a dirty-log-first crash could list an id
+    // whose newest mirror rows are missing and silently demote the
+    // table's visible newest ingest. The inverse crash shape (id-map
+    // written, log missing) is safe by design: an id absent from the log
+    // yields no winner and every row is kept until the batch replays.
     graft.SparkUtil.inParallel(
       () => narrow
         .withColumn("idh", pmod(hash(col(Cols.Id)), lit(idMapBuckets)))
         .repartition(col("idh"))
         .write.mode(SaveMode.Append).partitionBy("idh")
         .parquet(idMapPath(spark, table).toString),
-      () => narrow.select(col(Cols.Id), col("ingest_seq")).distinct()
-        .coalesce(1)
-        .write.mode(SaveMode.Append)
-        .parquet(dirtyLogPath(spark, table).toString),
       if (alsoHotDelta) () => appendHotDelta(spark, table, narrow) else null)
+    narrow.select(col(Cols.Id), col("ingest_seq")).distinct()
+      .coalesce(1)
+      .write.mode(SaveMode.Append)
+      .parquet(dirtyLogPath(spark, table).toString)
     compactDirtyLogIfNeeded(spark, table)
   }
 
@@ -710,9 +729,11 @@ object IndexStore {
     // recover any crashed previous run FIRST: restore swapped-aside
     // directories whose new copy never landed, then clear the leftovers
     recoverAside(fs, tableDir, asideDir(tableDir, table))
-    spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+    graft.SparkUtil.ptime("compact.dropStagePre") {
+      spark.sql(s"DROP TABLE IF EXISTS $stageTbl") }
     fs.delete(stage, true)
-    if (meta.swap == SwapManifest) gcStaleGenerations(spark, fs, table, tableDir)
+    if (meta.swap == SwapManifest) graft.SparkUtil.ptime("compact.gcGen") {
+      gcStaleGenerations(spark, fs, table, tableDir) }
 
     val sc = spark.sparkContext
     val idMapDir = idMapPath(spark, table)
@@ -760,7 +781,7 @@ object IndexStore {
       (superseded.union(duplicated).distinct()
         .collect().map(_.getString(0)).toSet, w, touched)
     }
-    val (seqDirty, winners, touchedIdh) =
+    val (seqDirty, winners, touchedIdh) = graft.SparkUtil.ptime("compact.decision") {
       if (maintained) {
         def noParquet(d: org.apache.hadoop.fs.Path): Boolean = !fs.exists(d) ||
           !fs.listStatus(d).exists { st =>
@@ -803,6 +824,7 @@ object IndexStore {
         (superseded.union(duplicated).distinct()
           .collect().map(_.getString(0)).toSet, w, Seq.empty[Int])
       }
+    }
     val dirty = seqDirty ++ fileDirty
     if (dirty.isEmpty) {
       sc.setJobDescription(null)
@@ -841,27 +863,30 @@ object IndexStore {
       // file carries the bucket-id file-name encoding the catalog's spec
       // promises — swapped-in files keep their names, so the co-located
       // exchange-free join property survives the swap.
-      if (meta.numBuckets > 0) {
-        kept.write.mode(SaveMode.Overwrite)
-          .option("path", stageDst.toString)
-          .partitionBy("bkt_pfx")
-          .bucketBy(meta.numBuckets, "bucket").sortBy("bucket")
-          .format("parquet")
-          .saveAsTable(stageTbl)
-      } else
-        kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
-          .parquet(stageDst.toString)
+      graft.SparkUtil.ptime("compact.rewrite") {
+        if (meta.numBuckets > 0) {
+          kept.write.mode(SaveMode.Overwrite)
+            .option("path", stageDst.toString)
+            .partitionBy("bkt_pfx")
+            .bucketBy(meta.numBuckets, "bucket").sortBy("bucket")
+            .format("parquet")
+            .saveAsTable(stageTbl)
+        } else
+          kept.write.mode(SaveMode.Overwrite).partitionBy("bkt_pfx")
+            .parquet(stageDst.toString)
+      }
       // COMMIT POINT: everything above only staged; a second writer that
       // claimed the table since this op began fences the swap out loudly
       // (the stage is abandoned garbage its own recovery reclaims)
       MaintHooks.at("compact.staged", table)
       Fence.check(spark, tableDir.toString, fenceTok)
-      swapPartitions(spark, fs, table, tableDir, stageDst, meta.swap,
-        dirty.toSeq.sorted.map(p => (s"bkt_pfx=$p", s"bkt_pfx='$p'")))
+      graft.SparkUtil.ptime("compact.swap") {
+        swapPartitions(spark, fs, table, tableDir, stageDst, meta.swap,
+          dirty.toSeq.sorted.map(p => (s"bkt_pfx=$p", s"bkt_pfx='$p'"))) }
       // the id-map compacts in the same pass: rewrite the touched idh
       // partitions to the same winners-only state (always rename-swapped —
       // the id-map is maintenance-internal, no concurrent readers)
-      if (maintained && touchedIdh.nonEmpty) {
+      if (maintained && touchedIdh.nonEmpty) graft.SparkUtil.ptime("compact.idmap") {
         val mapStage = new org.apache.hadoop.fs.Path(
           tableDir.getParent, table.toLowerCase + "__idmap_stage")
         fs.delete(mapStage, true)
@@ -892,7 +917,8 @@ object IndexStore {
       // aside copy is spent (a failed run keeps both for recovery).
       // Manifest mode never deletes its stage — it IS the new generation
       // (adopted on success, GC'd as unreferenced on failure).
-      spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+      graft.SparkUtil.ptime("compact.dropStage") {
+        spark.sql(s"DROP TABLE IF EXISTS $stageTbl") }
       if (meta.swap != SwapManifest && asideIsClear(fs, tableDir, table)) {
         fs.delete(stage, true); ()
       }
@@ -900,7 +926,7 @@ object IndexStore {
     spark.catalog.refreshTable(table)
     // incremental occupancy update: append deltas merge in, and ONLY the
     // partitions this compaction rewrote are recounted exactly
-    mergeHotStats(spark, table, dirty)
+    graft.SparkUtil.ptime("compact.hotStats") { mergeHotStats(spark, table, dirty) }
   }
 
   /** Swap each staged partition directory into the live table via the
@@ -1138,6 +1164,7 @@ object IndexStore {
     // re-shuffles the whole table a second time (measured 1.5×/unit
     // shuffle at sf1 — the single-agg form is ~1.0×). Markers ride
     // separately (narrow).
+    graft.SparkUtil.ptime("relayout.regroup") {
     cur
       .groupBy(col(Cols.Id))
       .agg(max(col("ingest_seq")).as("ingest_seq"),
@@ -1158,18 +1185,20 @@ object IndexStore {
       .agg(max(col("ingest_seq")).as("ingest_seq"))
       .write.mode(SaveMode.Overwrite).parquet(new org.apache.hadoop.fs.Path(
         scratch, "markers").toString)
+    }
     val next = table + "__relayout_next"
     try {
       // build the WHOLE new layout in the side table first; the live
       // table keeps serving (and stays the recovery point) throughout
-      reset(spark, next)
-      saveInverted(
+      graft.SparkUtil.ptime("relayout.resetNext") { reset(spark, next) }
+      graft.SparkUtil.ptime("relayout.saveNext") { saveInverted(
         spark.read.parquet(new org.apache.hadoop.fs.Path(scratch, "postings").toString),
         next, target.prefixLen, target.hotThreshold, target.numBuckets,
-        target.swap, target.idMapBuckets, target.hotMode)
+        target.swap, target.idMapBuckets, target.hotMode) }
       val markers = spark.read.parquet(
         new org.apache.hadoop.fs.Path(scratch, "markers").toString)
-      if (!markers.isEmpty) appendTombstoneRows(spark, next, markers)
+      graft.SparkUtil.ptime("relayout.markers") {
+        if (!markers.isEmpty) appendTombstoneRows(spark, next, markers) }
       // COMMIT POINT: the flag commits the migration — fence first, so a
       // writer that claimed the live table mid-rebuild leaves it serving
       // its own truth and this side table is discarded unflagged
@@ -1181,7 +1210,7 @@ object IndexStore {
       // one (incomplete — the live table is still the truth)
       fs.create(new org.apache.hadoop.fs.Path(
         tablePath(spark, next), RelayoutReadyFlag), true).close()
-      finishRelayoutSwap(spark, table)
+      graft.SparkUtil.ptime("relayout.swap") { finishRelayoutSwap(spark, table) }
     } finally { fs.delete(scratch, true); () }
   }
 

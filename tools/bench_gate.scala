@@ -14,6 +14,7 @@
 //     -I /root/repo/tools/bench_gate.scala <<< ":quit"
 //
 // NOTE: spark-shell -I compiles statement-by-statement — one-liners only.
+val confAlign = spark.conf.set("spark.sql.optimizer.excludedRules", "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 val sfDir = sys.env.getOrElse("GATE_SF", "/root/testdata/sf0.1")
 val gates = sys.env("GATES").split(",").map(_.trim).filter(_.nonEmpty)
 val reps = sys.env.getOrElse("REPS", "1").toInt
