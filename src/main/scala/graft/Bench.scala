@@ -135,16 +135,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach(o => System.err.println(
       s"[bench] *** SPARK_GRAFT_BENCH_ONLY ACTIVE — ${o.size} queries ***"))
-    // adaptive reps: min-of-N exists to shave scheduler/JIT noise off
-    // sub-second queries, where the noise is a large FRACTION of the
-    // number. The lifecycle-protocol gates (index builds, stream sinks,
-    // snapshot lifecycles) run 15-30 s of fixed protocol machinery —
-    // noise is a rounding error there, and a second full rep buys no
-    // precision while doubling the suite's dominant wall-clock term
-    // (round-17 verdict task 7). Queries whose first rep lands at or
-    // above the floor report single-shot.
+    // reps policy (round-19 verdict task 7): min-of-N for EVERY query,
+    // including the slowest bucket. The round-17 single-shot carve-out for
+    // ≥5 s gates saved ~10 min of suite wall but made the slowest-20 —
+    // exactly the rows regression adjudication reads — single-sample on a
+    // host whose single-shot readings swing up to 8×; three rounds of
+    // churn-vs-regression ambiguity cost more than the carve-out saved.
+    // The env knob restores a floor (gates whose first rep lands at or
+    // above it report single-shot) for local iteration.
     val singleRepFloor = sys.env.get("SPARK_GRAFT_BENCH_SINGLE_REP_FLOOR")
-      .flatMap(_.toDoubleOption).getOrElse(5.0)
+      .flatMap(_.toDoubleOption).getOrElse(Double.MaxValue)
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val midAt = benched.size / 2
@@ -189,10 +189,16 @@ object Bench {
       "\"" + k + "\":[" + f"${r / 1e6}%.3f" + "," + f"${w / 1e6}%.3f" + "]"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$shufs,"sf":"$sfDir"}""")
-    // the driver stores only the tail of this process's output, and the big
-    // per-query line above can push the leading total out of the retained
-    // window — repeat the total LAST so every BENCH_r*.json tail carries it
+    // shuffle_mb rides on its OWN line, printed FIRST (round-19 verdict
+    // task 8): the driver retains only the TAIL of this process's output,
+    // and r15–r18 lost their per-query dicts because shuffle_mb tripled
+    // the contract line past the retained window. Shuffle bytes are the
+    // expendable prefix; the contract line below stays small enough to
+    // survive any plausible tail window.
+    println(f"""{"metric":"shuffle_mb_detail","shuffle_mb":$shufs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // repeat the total LAST so every BENCH_r*.json tail carries it even if
+    // the window is tiny
     println(f"""{"total":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     // round-over-round regression adjudication from the artifact alone
     // (round-17 verdict task 1): the driver's tail window keeps only the

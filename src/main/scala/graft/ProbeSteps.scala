@@ -28,7 +28,35 @@ object ProbeSteps {
       println(f"STEP $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val reps = sys.env.getOrElse("PROBE_REPS", "2").toInt
+    val mode = sys.env.getOrElse("PROBE_MODE", "relayout")
     val cfg16 = MinHashConfig(numHash = 16, numBands = 4, numRows = 4, bucketHexLen = 2)
+    if (mode == "manifest") {
+      (1 to reps).foreach { rep =>
+        println(s"== rep $rep ==")
+        val table = "graft_r20_manifest_probe"
+        step("reset") { Seq(table, table + "__compact_stage_tbl").foreach(IndexStore.reset(spark, _)) }
+        val dd = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as(Cols.Id), col("text").as(Cols.Text))
+        def feat(df: DataFrame, seq: Int): DataFrame =
+          new MinHashLSH(cfg16).featurize(df, Cols.Id, Cols.Text, None)
+            .select(col(Cols.Id), col(Cols.Signature), col(Cols.BucketIds))
+            .withColumn("ingest_seq", lit(seq.toLong))
+        val prelim = dd.select(col(Cols.Id),
+          when(col(Cols.Id) % 5 === 0, concat(lit("preliminary draft "), col(Cols.Text)))
+            .otherwise(col(Cols.Text)).as(Cols.Text))
+        step("saveInverted") { IndexStore.saveInverted(feat(prelim, 1), table, prefixLen = 1,
+          swapMode = IndexStore.SwapManifest) }
+        step("appendInverted") { IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 5 === 0), 2), table) }
+        step("compactInverted") { IndexStore.compactInverted(spark, table) }
+        step("appendInverted2") { IndexStore.appendInverted(feat(dd.where(col(Cols.Id) % 10 === 0), 3), table) }
+        step("compactInverted2") { IndexStore.compactInverted(spark, table) }
+        val key = dd.where(col(Cols.Id) === 0L).select(col(Cols.Text)).collect()(0).getString(0).take(120)
+        step("serve") { MinHashLSH.annFromInvertedIndex(spark, table, spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", key, 10, cfg16).write.format("noop").mode("overwrite").save() }
+        SparkUtil.releaseScopedCaches(); spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      spark.stop(); return
+    }
     (1 to reps).foreach { rep =>
       println(s"== rep $rep ==")
       val table = "graft_r20_relayout_probe"

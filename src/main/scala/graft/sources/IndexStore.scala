@@ -767,12 +767,18 @@ object IndexStore {
         .select(pmod(hash(col(Cols.Id)), lit(meta.idMapBuckets)).as("idh"))
         .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ min(delta, idMapBuckets)
       // full posting history of exactly the delta ids — a partition-
-      // pruned read of the narrow id-map, O(touched/64 of the id-map)
-      val hist = spark.read.parquet(idMapDir.toString)
-        .where(col("idh").isin(touched: _*))
-        .join(log, Seq(Cols.Id), "left_semi")
-      val w = hist.groupBy(col(Cols.Id))
-        .agg(max(col("ingest_seq")).as("__wseq"))
+      // pruned read of the narrow id-map, O(touched/64 of the id-map).
+      // Delta-sized, read by three downstream actions (the dirty-set
+      // collect here, the kept-slice rewrite, the id-map rewrite) —
+      // persist so each action doesn't re-pay the log + id-map scans
+      // (scoped: released by compactInverted's finally / harness sweep)
+      val hist = graft.SparkUtil.scopedPersist(
+        spark.read.parquet(idMapDir.toString)
+          .where(col("idh").isin(touched: _*))
+          .join(log, Seq(Cols.Id), "left_semi"))
+      val w = graft.SparkUtil.scopedPersist(
+        hist.groupBy(col(Cols.Id))
+          .agg(max(col("ingest_seq")).as("__wseq")))
       val superseded = hist.join(w, Seq(Cols.Id))
         .where(col("ingest_seq") < col("__wseq")).select(col("bkt_pfx"))
       val duplicated = hist
@@ -812,8 +818,10 @@ object IndexStore {
       } else {
         // LEGACY decision: one narrow scan of the whole table (id, seq,
         // bucket, prefix — parquet column pruning never reads the wide
-        // signature column); the collect is bounded by the prefix space
-        val w = cur.groupBy(col(Cols.Id)).agg(max(col(seqCol)).as("__wseq"))
+        // signature column); the collect is bounded by the prefix space.
+        // winners persist for the same three-action reuse as decideFromLog
+        val w = graft.SparkUtil.scopedPersist(
+          cur.groupBy(col(Cols.Id)).agg(max(col(seqCol)).as("__wseq")))
         val superseded = cur.select(col(Cols.Id), col(seqCol), col("bkt_pfx"))
           .join(w, Seq(Cols.Id))
           .where(col(seqCol) < col("__wseq"))
