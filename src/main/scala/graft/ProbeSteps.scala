@@ -22,6 +22,18 @@ object ProbeSteps {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("PROBE_JOBS")) {
+      import org.apache.spark.scheduler._
+      spark.sparkContext.addSparkListener(new SparkListener {
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (System.nanoTime(), j.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          val s = starts.remove(j.jobId)
+          if (s != null) println(f"PJOB ${j.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f s tasks ${s._2}%5d")
+        }
+      })
+    }
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     def step[T](tag: String)(body: => T): T = {
       val t0 = System.nanoTime(); val r = body
